@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators (batch forms; streaming counterparts live in
+  * `graft.streaming`). Event time is an int64 nanosecond epoch column
+  * (`ts_ns`) — integer arithmetic end-to-end, so results are exact and
+  * engine-independent.
+  */
+object Events {
+
+  /** Tumbling-window aggregation: bucket = floor(ts_ns / windowNs).
+    * Equivalent to Structured Streaming's `window()` grouping in batch.
+    */
+  def tumblingAgg(df: DataFrame, tsNs: String, windowNs: Long, keys: Seq[String],
+      aggs: Seq[Column]): DataFrame =
+    df.withColumn("window_start_ns", (col(tsNs) - pmod(col(tsNs), lit(windowNs))))
+      .groupBy((col("window_start_ns") +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapNs`. Returns the input
+    * plus `session_id` (per-user ordinal, starting at 1).
+    *
+    * Scale: one shuffle on userCol (the window partition); sessions are
+    * derived with lag + a running sum, both within-partition.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsNs: String, gapNs: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsNs))
+    val isNew = when(
+      col(tsNs) - lag(col(tsNs), 1).over(w) > gapNs || lag(col(tsNs), 1).over(w).isNull,
+      lit(1L)).otherwise(lit(0L))
+    df.withColumn("__new", isNew)
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new")
+  }
+
+  /** As-of join: for each left row, the single most recent right row
+    * with right.ts <= left.ts (per key), within `toleranceNs` (≤ 0
+    * disables the bound).
+    *
+    * Implementation is the union-tag trick — a sort-merge friendly
+    * reformulation that avoids a range theta-join: tag both sides, sort
+    * by (key, ts, tag) within key partitions, carry the last right row
+    * forward with `last(..., ignoreNulls)` over an unbounded-preceding
+    * window, then keep left rows. One shuffle on the key, no
+    * broadcast-nested-loop, skew governed by key cardinality.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      rightValCols: Seq[String], toleranceNs: Long = 0L): DataFrame = {
+
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rts", lit(null).cast("long"))
+      .withColumns(rightValCols.map(c => s"__r_$c" -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val rTagged = right
+      .select((keyCols.map(col) :+ col(rightTs).as("__ts")) ++ rightValCols.map(col): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col("__ts"))
+      .withColumns(rightValCols.map(c => s"__r_$c" -> col(c)).toMap)
+      .drop(rightValCols: _*)
+
+    val unioned = lTagged.select(
+      (keyCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__rts")) ++
+        rightValCols.map(c => col(s"__r_$c")) ++
+        left.columns.filterNot(keyCols.contains).map(col): _*
+    ).unionByName(rTagged, allowMissingColumns = true)
+
+    // rows sort right-before-left at equal ts, so "<=" semantics hold
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val carried = unioned
+      .withColumn("__asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      .withColumns(rightValCols.map(c =>
+        s"__asof_$c" -> last(col(s"__r_$c"), ignoreNulls = true).over(w)).toMap)
+
+    val bounded =
+      if (toleranceNs > 0)
+        carried.withColumn("__ok",
+          col("__asof_ts").isNotNull && (col("__ts") - col("__asof_ts") <= toleranceNs))
+      else carried.withColumn("__ok", col("__asof_ts").isNotNull)
+
+    bounded.where(col("__side") === 1)
+      .select(
+        (left.columns.map(col) :+
+          when(col("__ok"), col("__asof_ts")).otherwise(lit(null)).as("asof_ts")) ++
+          rightValCols.map(c =>
+            when(col("__ok"), col(s"__asof_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
+  }
+}

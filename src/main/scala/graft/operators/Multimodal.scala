@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns travelling next to typed metadata.
+  *
+  * The Spark-side mechanics — schema, batching, partition sizing,
+  * per-partition decode loops — are real and tested; the actual media
+  * decode is STUBBED (this environment has no image/audio libraries):
+  * [[decodeStub]] derives deterministic fake features from the bytes.
+  * Swapping in a real decoder changes only the body of the
+  * `mapPartitions` closure (or, in PySpark, a `mapInPandas` batch fn
+  * with the identical schema contract).
+  */
+object Multimodal {
+
+  /** Canonical media schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Wrap an arbitrary id+bytes DataFrame into the canonical media
+    * schema (metadata nulls where unknown).
+    */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, modality: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      lit(modality).as("modality"),
+      col(payloadCol).cast(BinaryType).as("payload"),
+      lit(null).cast(StringType).as("mime"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+
+  /** Cheap byte-level metadata — no decode needed, pure columns. */
+  def byteStats(df: DataFrame): DataFrame =
+    df.withColumn("n_bytes", length(col("payload")).cast(LongType))
+      .withColumn("payload_md5", md5(col("payload")))
+
+  /** STUB decode → fixed-size feature vector. Deterministic fake:
+    * feature[i] = byte[(i * stride) mod n] / 255.0. A real
+    * implementation would decode pixels/samples here; everything
+    * around the closure (schema contract, partition-wise batching)
+    * is the production shape.
+    */
+  def decodeStub(dim: Int = 8)(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.isEmpty) Array.fill(dim)(0d)
+    else {
+      val stride = math.max(1, payload.length / dim)
+      Array.tabulate(dim) { i =>
+        (payload((i * stride) % payload.length) & 0xff) / 255.0
+      }
+    }
+  }
+
+  /** Feature extraction over the payload column via mapPartitions —
+    * the per-partition loop is where a real decoder (libjpeg, ffmpeg,
+    * …) would be initialized once per task and reused per row.
+    */
+  def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(DoubleType), nullable = false))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      // real impl: init decoder once per partition here
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+ decodeStub(dim)(bytes).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic frame sampling plan for video-like payloads: every
+    * `everyMs` milliseconds in [0, duration); pure column math (the
+    * actual frame grab is the decoder's job).
+    */
+  def frameSamplePlan(df: DataFrame, everyMs: Long): DataFrame =
+    df.where(col("duration_ms").isNotNull)
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>` / `array<double>`).
+  *
+  * Two tiers:
+  *   - [[bruteForceKnn]] — exact top-k by cosine; the correctness
+  *     baseline. The query set is broadcast, the corpus is scanned
+  *     once; per-query ranking shuffles |corpus|·|queries| scored rows,
+  *     so it is for small query sets / validation only.
+  *   - [[lshKnn]] — random-hyperplane LSH: corpus and queries are
+  *     bucketed by sign-bit signatures; only same-bucket pairs are
+  *     scored. Sub-linear candidate sets at the cost of recall, the
+  *     100 TB path. Multiple signature tables (`tables`) trade compute
+  *     for recall.
+  *
+  * Hyperplane weights are md5-derived pseudo-randoms, so signatures are
+  * deterministic and reproducible across engines and runs (production
+  * note: a broadcast precomputed plane matrix avoids the per-element
+  * hash; the md5 form is kept for cross-engine verifiability).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random weight in [-1, 1] for (plane, dim). */
+  private def planeWeight(tag: String, plane: Column, dim: Column): Column =
+    (pmod(md5Long(concat_ws(":", lit(tag), plane, dim)), lit(2001L)) - 1000L) / 1000d
+
+  /** Sign-bit signature of `vec` against `planes` deterministic random
+    * hyperplanes; returns a compact integer bucket key.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int, tag: String = "hp"): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeWeight(tag, lit(p), i)),
+        lit(0d), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact cosine top-k: for each row of `queries`, the `k` most
+    * similar rows of `corpus` (excluding identical ids when both sides
+    * share the id space). Deterministic tie-break on corpus id.
+    */
+  def bruteForceKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSimilarity(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed ANN: candidates = same (table, signature) bucket in
+    * any of `tables` independent hyperplane sets; exact cosine ranks
+    * candidates, top-k per query. Recall < 1 by construction.
+    */
+  def lshKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      planes: Int = 8, tables: Int = 2): DataFrame = {
+
+    def signed(df: DataFrame, id: String): DataFrame =
+      df.select(
+        col(idCol).as(id), col(vecCol).as(s"${id}_vec"),
+        explode(array((0 until tables).map { t =>
+          struct(
+            lit(t).as("table"),
+            hyperplaneSignature(col(vecCol), planes, s"hp$t").as("sig"))
+        }: _*)).as("bk"))
+        .select(col(id), col(s"${id}_vec"), col("bk.table"), col("bk.sig"))
+
+    val c = signed(corpus, "neighbor_id")
+    val q = broadcast(signed(queries, "query_id"))
+    val candidates = c.join(q, Seq("table", "sig"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
+      .distinct() // collapse multi-table collisions
+      .withColumn("cosine",
+        cosineSimilarity(col("query_id_vec"), col("neighbor_id_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

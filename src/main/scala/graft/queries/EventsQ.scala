@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Events
+
+/** Event-time operator surface over the `events` table.
+  *
+  * `events.ts` is nanosecond-precision parquet; Spark reads it as int64
+  * nanoseconds (`spark.sql.legacy.parquet.nanosAsLong`, set by
+  * [[graft.Tables.events]]) and every query below does pure integer
+  * arithmetic on it. DuckDB oracles use `epoch_ns(ts)` — both engines
+  * see identical int64 values, so results are exact, with no timestamp
+  * precision/zone hazards.
+  */
+object EventsQ {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val GapNs = 30L * 60 * 1000 * 1000 * 1000 // 30 min session gap
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- tumbling-window aggregation (batch form of streaming window) ----
+    "q27_tumbling_hourly" -> ((s, d) => {
+      Events.tumblingAgg(
+          Tables.events(s, d), "ts", HourNs, Seq("event_type"),
+          Seq(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")))
+        .orderBy("window_start_ns", "event_type")
+    }),
+
+    // ---- gap-based sessionization (lag + running sum windows) ----
+    "q28_sessionize" -> ((s, d) => {
+      Events.sessionize(Tables.events(s, d), "user_id", "ts", GapNs)
+        .groupBy("user_id")
+        .agg(
+          max("session_id").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- as-of join: each purchase matched to latest prior view ----
+    "q29_asof_purchase_view" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      // output µs (not ns): DuckDB truncates parquet ns timestamps to µs
+      // on read, so µs is the finest precision both engines agree on
+      Events.asofJoin(purchases, views, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(
+          col("user_id"), col("event_id"),
+          expr("asof_ts div 1000").as("asof_ts_us"),
+          round(col("asof_value"), 2).as("view_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- heavy hitters ----
+    "q30_top_users" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy(col("n").desc, col("user_id").asc)
+        .limit(10)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q27_tumbling_hourly" ->
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $HourNs AS window_start_ns,
+          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY window_start_ns, event_type""",
+    "q28_sessionize" ->
+      s"""SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+          FROM (
+            SELECT user_id,
+              sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (
+              SELECT user_id, ts,
+                CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) > $GapNs
+                     OR lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events))
+          GROUP BY user_id ORDER BY user_id""",
+    "q29_asof_purchase_view" ->
+      """SELECT p.user_id AS user_id, p.event_id AS event_id,
+          v.asof_ts_us, round(v.asof_value, 2) AS view_value
+          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+          LEFT JOIN LATERAL (
+            SELECT epoch_us(ts) AS asof_ts_us, value AS asof_value
+            FROM events v
+            WHERE v.event_type = 'view' AND v.user_id = p.user_id
+              AND v.ts <= p.ts
+            ORDER BY v.ts DESC LIMIT 1) v ON TRUE
+          ORDER BY user_id, event_id""",
+    "q30_top_users" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+          FROM events GROUP BY user_id
+          ORDER BY n DESC, user_id ASC LIMIT 10""")
+}

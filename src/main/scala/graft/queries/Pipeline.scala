@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operator surface: dedup family, similarity
+  * search, text analysis, multimodal plumbing — over `documents` and
+  * `embeddings`.
+  *
+  * Every pseudo-random ingredient (MinHash families, SimHash bits,
+  * hyperplanes) derives from md5, so the DuckDB oracles replicate the
+  * *same* LSH — approximate recall, exact cross-engine parity.
+  */
+object Pipeline {
+
+  private val Toks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup on a derived boilerplate key (2-token prefix) ----
+    "q31_dedup_prefix_groups" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(array_join(slice(tokens(col("text")), 1, 2), " ")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("fingerprint")
+    }),
+
+    // ---- MinHash + LSH near-dup pairs (bigram shingles) ----
+    "q32_dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id",
+          numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- blocked n-gram Jaccard near-dup pairs ----
+    "q33_dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("len_bucket", (col("n_chars") / lit(50)).cast("long"))
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          blockCols = Seq("lang", "len_bucket"), shingleSize = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- SimHash fingerprints (16-bit) ----
+    "q34_simhash" -> ((s, d) => {
+      Dedup.simHashFingerprints(Tables.documents(s, d), "text", "doc_id", bits = 16)
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact cosine top-k (ANN correctness baseline) ----
+    "q35_knn_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceKnn(
+          emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LSH-bucketed ANN (the scale path; same hyperplane family
+    //      reproduced in the oracle) ----
+    "q36_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshKnn(
+          emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+          k = 5, planes = 6, tables = 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- language-ID confusion matrix ----
+    "q37_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("pred", TextAnalysis.langId(col("text")))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
+    // ---- quality scoring ----
+    "q38_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .withColumn("q", TextAnalysis.qualityStruct(col("text")))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.mean_token_len").as("mean_token_len"),
+          col("q.punct_ratio").as("punct_ratio"),
+          col("q.stopword_ratio").as("stopword_ratio"),
+          col("q.quality_score").as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- token counting (whitespace + BPE-ish) per source ----
+    "q39_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("n_bpe", TextAnalysis.tokenCountBpeIsh(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tokens"),
+          sum("n_bpe").as("sum_bpe_tokens"),
+          round(avg("n_tok"), 4).as("avg_tokens"))
+        .orderBy("source")
+    }),
+
+    // ---- document fingerprint (md5 of normalized text) ----
+    "q40_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), textFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: binary payload byte stats ----
+    "q41_media_bytes" -> ((s, d) => {
+      val media = Multimodal.asMedia(
+        Tables.documents(s, d).filter(col("doc_id") < 20), "doc_id", "text", "text")
+      Multimodal.byteStats(media)
+        .select("media_id", "n_bytes", "payload_md5")
+        .orderBy("media_id")
+    }),
+
+    // ---- multimodal: stub feature extraction via mapPartitions ----
+    "q42_media_features" -> ((s, d) => {
+      val media = Multimodal.asMedia(
+        Tables.documents(s, d).filter(col("doc_id") < 20), "doc_id", "text", "text")
+      val feats = Multimodal.extractFeatures(media, dim = 4)
+      feats.select(
+          (col("media_id") +:
+            (0 until 4).map(i =>
+              round(element_at(col("features"), i + 1), 6).as(s"f$i"))): _*)
+        .orderBy("media_id")
+    }))
+
+  // DuckDB helper fragments (kept in sync with graft.functions):
+  //   hash h(i,s) = ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT
+  //   unsalted  h(s) = ('0x' || substr(md5(s), 1, 15))::BIGINT
+  val oracle: Map[String, String] = Map(
+    "q31_dedup_prefix_groups" ->
+      s"""SELECT md5(array_to_string(($Toks)[1:2], ' ')) AS fingerprint,
+          count(*) AS n_docs, min(doc_id) AS keep_id
+          FROM documents GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
+    "q32_dedup_minhash_lsh" ->
+      s"""WITH docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          pairs AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+          SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+            SELECT id_a, id_b,
+              CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                     len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+            FROM pairs)
+          WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    "q33_dedup_ngram_jaccard" ->
+      s"""WITH docs AS (
+            SELECT doc_id AS id, lang, n_chars // 50 AS len_bucket,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, lang, n_chars, $Toks AS t FROM documents))
+          SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+              CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                ELSE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
+            FROM docs a JOIN docs b
+              ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.id < b.id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+          WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    "q34_simhash" ->
+      s"""SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 16), b ->
+            CASE WHEN coalesce(list_sum(list_transform(toks, t ->
+                CASE WHEN (('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1 = 1
+                     THEN 1 ELSE -1 END)), 0) > 0
+                 THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
+          FROM (SELECT doc_id, list_distinct($Toks) AS toks FROM documents)
+          ORDER BY doc_id""",
+    "q35_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          scored AS (
+            SELECT query_id, neighbor_id,
+              list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cosine
+            FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+          SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q37_lang_id" ->
+      """SELECT lang, pred, count(*) AS n FROM (
+           SELECT lang,
+             CASE
+               WHEN s_de = best AND best > 0 THEN 'de'
+               WHEN s_en = best AND best > 0 THEN 'en'
+               WHEN s_es = best AND best > 0 THEN 'es'
+               WHEN s_fr = best AND best > 0 THEN 'fr'
+               ELSE 'und' END AS pred
+           FROM (
+             SELECT lang,
+               len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|zu)\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|es|una|para)\b')) AS s_es,
+               len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|une|dans)\b')) AS s_fr,
+               greatest(
+                 len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|zu)\b')),
+                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')),
+                 len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|es|una|para)\b')),
+                 len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|une|dans)\b'))) AS best
+             FROM documents))
+         GROUP BY lang, pred ORDER BY lang, pred""",
+    "q38_quality" ->
+      s"""SELECT doc_id,
+          length(text) AS n_chars,
+          len(toks) AS n_tokens,
+          round(CASE WHEN len(toks) > 0
+            THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+            ELSE 0.0 END, 4) AS mean_token_len,
+          round(pr, 4) AS punct_ratio,
+          round(sr, 4) AS stopword_ratio,
+          round(0.4 * lok + 0.3 * (1.0 - least(pr * 5, 1.0)) + 0.3 * least(sr * 4, 1.0), 6)
+            AS quality_score
+          FROM (
+            SELECT doc_id, text, toks,
+              CASE WHEN length(text) > 0 THEN
+                length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / length(text)
+                ELSE 0.0 END AS pr,
+              CASE WHEN len(toks) > 0 THEN
+                len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|to|is|in|a|that|it|der|die|und|le|la|et|el|de|que)\\b'))::DOUBLE
+                  / len(toks)
+                ELSE 0.0 END AS sr,
+              CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END AS lok
+            FROM (SELECT doc_id, text, $Toks AS toks FROM documents WHERE doc_id < 50))
+          ORDER BY doc_id""",
+    "q39_token_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+          CAST(sum(len(toks)) AS BIGINT) AS sum_tokens,
+          CAST(sum(
+            coalesce(list_sum(list_transform(toks, t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0)
+            + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))) AS BIGINT) AS sum_bpe_tokens,
+          round(avg(len(toks)), 4) AS avg_tokens
+          FROM (SELECT source, text, $Toks AS toks FROM documents)
+          GROUP BY source ORDER BY source""",
+    "q40_fingerprint" ->
+      """SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q41_media_bytes" ->
+      """SELECT doc_id AS media_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          md5(text) AS payload_md5
+          FROM documents WHERE doc_id < 20 ORDER BY media_id""",
+    "q42_media_features" ->
+      """SELECT doc_id AS media_id,
+          round(ascii(substr(text, ((0 * greatest(1, length(text) // 4)) % length(text)) + 1, 1)) / 255.0, 6) AS f0,
+          round(ascii(substr(text, ((1 * greatest(1, length(text) // 4)) % length(text)) + 1, 1)) / 255.0, 6) AS f1,
+          round(ascii(substr(text, ((2 * greatest(1, length(text) // 4)) % length(text)) + 1, 1)) / 255.0, 6) AS f2,
+          round(ascii(substr(text, ((3 * greatest(1, length(text) // 4)) % length(text)) + 1, 1)) / 255.0, 6) AS f3
+          FROM documents WHERE doc_id < 20 ORDER BY media_id""")
+}

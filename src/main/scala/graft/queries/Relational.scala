@@ -1,0 +1,490 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.operators.RangeJoin
+
+/** Relational operator surface (SURVEY.md §2.1–§2.8), expressed over the
+  * driver testdata. Each query has a DuckDB oracle in [[oracle]]; column
+  * names/aliases match exactly (the driver hash-compares by sorted
+  * column name).
+  *
+  * Determinism conventions shared by every query:
+  *   - explicit ORDER BY on output keys on both sides;
+  *   - double aggregates rounded (2dp for sums, 4dp for means) so
+  *     engine-specific fp accumulation order can't flip the hash;
+  *   - no rand(): pseudo-random choices derive from md5 (cross-engine).
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation core (A-*, P1): TPC-H Q1 shape ----
+    "q01_pricing_summary" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- F1 equality filter + P1 projection (pushdown) ----
+    "q02_filter_eq" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#13")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
+    // ---- F2 range + F5 conjunction ----
+    "q03_filter_range" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_quantity") >= 45 && col("l_quantity") <= 50 && col("l_discount") < 0.02)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- F3 IN-list ----
+    "q04_filter_in" -> ((s, d) => {
+      ord(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- J1 multi-way inner equi-join + agg (TPC-H Q5 shape);
+    //      nation/region are broadcast (small dims) ----
+    "q05_join_revenue_by_nation" -> ((s, d) => {
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+        .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---- J2 left outer join + null predicate ----
+    "q06_left_join_no_orders" -> ((s, d) => {
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .filter(col("o_orderkey").isNull)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- left-semi join (EXISTS) ----
+    "q07_semi_join_big_orders" -> ((s, d) => {
+      val big = ord(s, d).filter(col("o_totalprice") > 400000).select("o_orderkey")
+      li(s, d)
+        .join(big, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- left-anti join (NOT EXISTS) ----
+    "q08_anti_join_quiet_customers" -> ((s, d) => {
+      val active = ord(s, d).filter(col("o_totalprice") > 250000).select("o_custkey")
+      cust(s, d)
+        .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- J7 cross join ----
+    "q09_cross_join" -> ((s, d) => {
+      Tables.region(s, d).filter(col("r_regionkey") <= 2)
+        .crossJoin(Tables.nation(s, d).filter(col("n_nationkey") <= 5))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---- J6 union all + agg ----
+    "q10_union_entities" -> ((s, d) => {
+      val c = cust(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+        .withColumn("kind", lit("customer"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+        .withColumn("kind", lit("supplier"))
+      c.unionByName(su)
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n_entities"), countDistinct("kind").as("n_kinds"))
+        .orderBy("nationkey")
+    }),
+
+    // ---- A1 distinct ----
+    "q11_distinct_flags" -> ((s, d) => {
+      li(s, d).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- top-k (TakeOrderedAndProject) ----
+    "q12_topk_orders" -> ((s, d) => {
+      ord(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // ---- window: row_number, latest order per customer ----
+    "q13_window_latest_order" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      ord(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("last_order_date"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- window: running aggregate per customer ----
+    "q14_window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord(s, d)
+        .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- multi-stat aggregate ----
+    "q15_agg_stats" -> ((s, d) => {
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(stddev_samp("l_extendedprice"), 2).as("sd_price"),
+          countDistinct("l_partkey").as("n_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- rollup (grouping sets) ----
+    "q16_rollup" -> ((s, d) => {
+      li(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // ---- X9 pivot (long → wide) ----
+    "q17_pivot_returnflag" -> ((s, d) => {
+      li(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_linestatus")
+    }),
+
+    // ---- X7 unpivot (wide → long) ----
+    "q18_unpivot_measures" -> ((s, d) => {
+      val agg = li(s, d).agg(
+        round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("price"),
+        round(sum("l_discount"), 2).as("discount"),
+        round(sum("l_tax"), 2).as("tax"))
+      agg.unpivot(Array.empty, Array(col("qty"), col("price"), col("discount"), col("tax")),
+          "measure", "total")
+        .orderBy("measure")
+    }),
+
+    // ---- X1 fixed-width binning ----
+    "q19_price_histogram" -> ((s, d) => {
+      ord(s, d)
+        .withColumn("bin", floor(col("o_totalprice") / 50000).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("bin")
+    }),
+
+    // ---- C5-C8 string functions ----
+    "q20_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- C1/C4 gt2snp dosage recode (reference parity on synthesized GTs) ----
+    "q21_gt2snp_recode" -> ((s, d) => {
+      val gts = Seq("0/0", "0|0", "0/1", "1|0", "1/1", "1|1", "./.", "./1")
+      li(s, d)
+        .withColumn("gt_raw",
+          element_at(
+            array(gts.map(lit): _*),
+            (pmod(col("l_orderkey") * 10 + col("l_linenumber"), lit(8)) + 1).cast("int")))
+        .withColumn("dosage", coalesce(gt2snp(col("gt_raw")), lit(-1d)))
+        .groupBy("gt_raw", "dosage")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("gt_raw")
+    }),
+
+    // ---- C10/C11 null handling ----
+    "q22_null_handling" -> ((s, d) => {
+      ord(s, d)
+        .withColumn("status_or_null",
+          when(col("o_orderstatus") === "P", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("status_filled", coalesce(col("status_or_null"), lit("PENDING")))
+        .groupBy("status_filled")
+        .agg(count(lit(1)).as("n"),
+          count(col("status_or_null")).as("n_nonnull"))
+        .orderBy("status_filled")
+    }),
+
+    // ---- C9 casts ----
+    "q23_casts" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_orderkey").cast("string").as("okey_str"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          round(col("l_tax") * 100, 0).cast("int").as("tax_pct"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- A5 deterministic stratified sample (md5 order stands in for rand) ----
+    "q24_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(md5(col("o_orderkey").cast("string")).asc, col("o_orderkey").asc)
+      ord(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("o_orderpriority", "rn", "o_orderkey")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // ---- A4/X12 grouped collect (sorted, stringified for comparability) ----
+    "q25_collect_sorted" -> ((s, d) => {
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- §4.3 range-overlap join via binning decomposition ----
+    "q26_range_overlap_join" -> ((s, d) => {
+      val points = ord(s, d).select(
+        col("o_orderkey"),
+        col("o_totalprice").as("pstart"),
+        (col("o_totalprice") + 5000d).as("pend"))
+      val ranges = Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        (col("s_suppkey") * 40000d).as("rstart"),
+        (col("s_suppkey") * 40000d + 60000d).as("rend"))
+      RangeJoin.overlap(points, ranges, Seq.empty,
+          "pstart", "pend", "rstart", "rend", binWidth = 10000L)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("s_suppkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-30'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_eq" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         WHERE p_brand = 'Brand#13' ORDER BY p_partkey""",
+    "q03_filter_range" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         WHERE l_quantity >= 45 AND l_quantity <= 50 AND l_discount < 0.02
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q04_filter_in" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q05_join_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q06_left_join_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         WHERE o_orderkey IS NULL
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q07_semi_join_big_orders" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q08_anti_join_quiet_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer
+         WHERE NOT EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q09_cross_join" ->
+      """SELECT r_name, n_name
+         FROM (SELECT * FROM region WHERE r_regionkey <= 2) r
+         CROSS JOIN (SELECT * FROM nation WHERE n_nationkey <= 5) n
+         ORDER BY r_name, n_name""",
+    "q10_union_entities" ->
+      """SELECT nationkey, count(*) AS n_entities, count(DISTINCT kind) AS n_kinds
+         FROM (
+           SELECT CAST(c_nationkey AS INTEGER) AS nationkey, 'customer' AS kind FROM customer
+           UNION ALL
+           SELECT CAST(s_nationkey AS INTEGER) AS nationkey, 'supplier' AS kind FROM supplier)
+         GROUP BY nationkey ORDER BY nationkey""",
+    "q11_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q12_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q13_window_latest_order" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS last_order_date
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders)
+         WHERE rn = 1 ORDER BY o_custkey""",
+    "q14_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q15_agg_stats" ->
+      """SELECT l_returnflag,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(stddev_samp(l_extendedprice), 2) AS sd_price,
+         count(DISTINCT l_partkey) AS n_parts
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q17_pivot_returnflag" ->
+      """SELECT l_linestatus,
+         round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+         round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+         round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q18_unpivot_measures" ->
+      """SELECT measure, total FROM (
+           SELECT 'qty' AS measure, round(sum(l_quantity), 2) AS total FROM lineitem
+           UNION ALL
+           SELECT 'price', round(sum(l_extendedprice), 2) FROM lineitem
+           UNION ALL
+           SELECT 'discount', round(sum(l_discount), 2) FROM lineitem
+           UNION ALL
+           SELECT 'tax', round(sum(l_tax), 2) FROM lineitem)
+         ORDER BY measure""",
+    "q19_price_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+         count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY bin""",
+    "q20_string_funcs" ->
+      """SELECT p_partkey,
+         upper(p_brand) AS brand_u,
+         lower(p_type) AS type_l,
+         concat_ws('-', p_brand, p_type) AS brand_type,
+         regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+         substr(p_name, 1, 5) AS name_pfx,
+         length(p_name) AS name_len
+         FROM part ORDER BY p_partkey""",
+    "q21_gt2snp_recode" ->
+      """SELECT gt_raw,
+         CASE
+           WHEN regexp_matches(gt_raw, '0/\.|\./0|0/0|0\|0|^0$') THEN 0.0
+           WHEN regexp_matches(gt_raw, '0/1|1/0|0\|1|1\|0|\./1|1/\.|\.\|1|1\|\.|^1$') THEN 1.0
+           WHEN regexp_matches(gt_raw, '1/1|1\|1') THEN 2.0
+           ELSE -1.0
+         END AS dosage,
+         count(*) AS n
+         FROM (
+           SELECT (['0/0','0|0','0/1','1|0','1/1','1|1','./.','./1'])
+                  [CAST((l_orderkey * 10 + l_linenumber) % 8 AS INTEGER) + 1] AS gt_raw
+           FROM lineitem)
+         GROUP BY gt_raw, dosage ORDER BY gt_raw""",
+    "q22_null_handling" ->
+      """SELECT coalesce(status_or_null, 'PENDING') AS status_filled,
+         count(*) AS n, count(status_or_null) AS n_nonnull
+         FROM (SELECT nullif(o_orderstatus, 'P') AS status_or_null FROM orders)
+         GROUP BY 1 ORDER BY status_filled""",
+    "q23_casts" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS INTEGER) AS qty_int,
+         CAST(l_orderkey AS VARCHAR) AS okey_str,
+         CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(round(l_tax * 100, 0) AS INTEGER) AS tax_pct
+         FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""",
+    "q24_stratified_sample" ->
+      """SELECT o_orderpriority, rn, o_orderkey
+         FROM (SELECT o_orderpriority, o_orderkey,
+                 row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC, o_orderkey ASC) AS rn
+               FROM orders)
+         WHERE rn <= 5 ORDER BY o_orderpriority, rn""",
+    "q25_collect_sorted" ->
+      """SELECT l_returnflag,
+         string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q26_range_overlap_join" ->
+      """SELECT s_suppkey, count(*) AS n_orders
+         FROM (SELECT o_orderkey, o_totalprice AS pstart, o_totalprice + 5000 AS pend
+               FROM orders) p
+         JOIN (SELECT s_suppkey, s_suppkey * 40000.0 AS rstart,
+                      s_suppkey * 40000.0 + 60000 AS rend
+               FROM supplier) r
+           ON p.pstart <= r.rend AND p.pend >= r.rstart
+         GROUP BY s_suppkey ORDER BY s_suppkey""")
+}
