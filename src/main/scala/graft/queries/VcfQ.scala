@@ -1,13 +1,127 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.vcf.{ToyVcf, VcfApi, VcfBuild, VcfReader, VcfTables}
 
-/** VCF-domain queries: the reference engine's own data model (info /
-  * impact / geno), exercised on an embedded deterministic toy VCF and
-  * pinned by golden-row VALUES oracles. Populated with the
-  * `graft.vcf` subsystem.
+/** VCF-domain gate: the reference engine's own data model (info /
+  * impact / geno / gene_map, VCFdbR `README.md:70-100`) built by the
+  * full `graft.vcf` pipeline from the embedded [[graft.vcf.ToyVcf]]
+  * fixture, pinned by hand-computed golden-row VALUES oracles — the
+  * analog of the reference README's worked example used as a spec
+  * (SURVEY.md §5.3).
   */
 object VcfQ {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
-  val oracle: Map[String, String] = Map.empty
+
+  // Build once per JVM: the toy fixture is static, and every query
+  // reads a different derived table of the same build.
+  @volatile private var cached: VcfTables = _
+  private def tables(s: SparkSession): VcfTables = {
+    if (cached == null) synchronized {
+      if (cached == null) {
+        val vcf = VcfReader.fromLines(s, ToyVcf.lines)
+        VcfBuild.requireNormalized(vcf.df)
+        cached = VcfBuild.build(vcf)
+      }
+    }
+    cached
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_vcf_info" -> ((s, _) => {
+      tables(s).info
+        .select("variant_id", "chr", "start", "end", "ref", "alt",
+          "qual", "filter", "ac", "af", "dp", "vt")
+        .orderBy("variant_id")
+    }),
+    "q44_vcf_impact" -> ((s, _) => {
+      tables(s).impact.get
+        .select("variant_id", "consequence", "impact", "symbol", "gene",
+          "biotype", "intron", "is_lof", "is_splicing", "is_exonic", "is_intronic")
+        .orderBy("variant_id", "consequence")
+    }),
+    "q45_vcf_geno" -> ((s, _) => {
+      tables(s).geno
+        .select("variant_id", "sample", "gt", "gt_raw", "dp")
+        .orderBy("variant_id", "sample")
+    }),
+    "q46_vcf_gene_filter" -> ((s, _) => {
+      val t = tables(s)
+      VcfApi.filterByGene(t.impact.get, t.info, "GENE1", afMax = 0.6)
+        .select("variant_id", "symbol", "af")
+        .orderBy("variant_id")
+    }),
+    "q47_vcf_range_pull" -> ((s, _) => {
+      val t = tables(s)
+      VcfApi.pullByRange(t.info, "1", 150L, 350L)
+        .select("variant_id")
+        .join(t.geno, Seq("variant_id"))
+        .select("variant_id", "sample", "gt")
+        .orderBy("variant_id", "sample")
+    }),
+    "q48_vcf_gene_map" -> ((s, _) => {
+      tables(s).geneMap.get.orderBy("symbol")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q43_vcf_info" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), '1', CAST(100 AS BIGINT), CAST(100 AS BIGINT), 'A', 'G',  CAST(50 AS DOUBLE), 'PASS', CAST(1 AS BIGINT), CAST(0.25 AS DOUBLE), CAST(20 AS BIGINT), 'SNP'),
+          (2, '1', 200, 200, 'C', 'T',  99, 'PASS', 2, 0.5,  30, 'SNP'),
+          (3, '1', 300, 300, 'G', 'A',  10, 'q10',  1, 0.25, 5,  'SNP'),
+          (4, '2', 150, 150, 'T', 'C',  80, 'PASS', 3, 0.75, 40, 'SNP'),
+          (5, '2', 250, 250, 'G', 'GA', 60, 'PASS', 1, 0.25, 25, 'INDEL'),
+          (6, '2', 400, 400, 'A', 'C',  70, 'PASS', 4, 1.0,  35, 'SNP'))
+         t(variant_id, chr, start, "end", ref, alt, qual, filter, ac, af, dp, vt)
+         ORDER BY variant_id""",
+    "q44_vcf_impact" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'intron_variant', 'MODIFIER', 'GENE1', 'ENSG1', 'protein_coding', '1/4', false, false, false, true),
+          (1, 'missense_variant',      'MODERATE', 'GENE1', 'ENSG1', 'protein_coding',       '', false, false, false, false),
+          (2, 'splice_region_variant', 'HIGH',     'GENE1', 'ENSG1', 'protein_coding',       '', true,  true,  false, false),
+          (2, 'stop_gained',           'HIGH',     'GENE1', 'ENSG1', 'protein_coding',       '', true,  false, false, false),
+          (4, 'synonymous_variant',    'LOW',      'GENE2', 'ENSG2', 'protein_coding',       '', false, false, false, false),
+          (5, 'frameshift_variant',    'HIGH',     'GENE2', 'ENSG2', 'protein_coding',       '', true,  false, false, false),
+          (5, 'upstream_gene_variant', 'MODIFIER', 'GENE3', 'ENSG3', 'processed_pseudogene', '', false, false, false, false),
+          (6, 'missense_variant',      'MODERATE', 'GENE3', 'ENSG3', 'protein_coding',       '', false, false, false, false))
+         t(variant_id, consequence, impact, symbol, gene, biotype, intron,
+           is_lof, is_splicing, is_exonic, is_intronic)
+         ORDER BY variant_id, consequence""",
+    "q45_vcf_geno" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'S1', CAST(0 AS DOUBLE), '0|0', CAST(10 AS BIGINT)),
+          (1, 'S2', 1,    '0|1', 12),
+          (2, 'S1', 2,    '1|1', 15),
+          (2, 'S2', 0,    '0|0', 9),
+          (3, 'S1', NULL, './.', 0),
+          (3, 'S2', 1,    '0|1', 7),
+          (4, 'S1', 2,    '1|1', 20),
+          (4, 'S2', 1,    '1|0', 18),
+          (5, 'S1', 1,    '0|1', 11),
+          (5, 'S2', 0,    '0|0', 13),
+          (6, 'S1', 2,    '1|1', 22),
+          (6, 'S2', 2,    '1|1', 19))
+         t(variant_id, sample, gt, gt_raw, dp)
+         ORDER BY variant_id, sample""",
+    "q46_vcf_gene_filter" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'GENE1', CAST(0.25 AS DOUBLE)),
+          (2, 'GENE1', 0.5))
+         t(variant_id, symbol, af)
+         ORDER BY variant_id""",
+    "q47_vcf_range_pull" ->
+      """SELECT * FROM (VALUES
+          (CAST(2 AS BIGINT), 'S1', CAST(2 AS DOUBLE)),
+          (2, 'S2', 0),
+          (3, 'S1', NULL),
+          (3, 'S2', 1))
+         t(variant_id, sample, gt)
+         ORDER BY variant_id, sample""",
+    "q48_vcf_gene_map" ->
+      """SELECT * FROM (VALUES
+          ('GENE1', 'ENSG1'),
+          ('GENE2', 'ENSG2'),
+          ('GENE3', 'ENSG3'))
+         t(symbol, gene)
+         ORDER BY symbol""")
 }

@@ -1,0 +1,70 @@
+package graft.vcf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** The reference's read-query surface (VCFdbR
+  * `benchmarks/00-benchmark-functions.R:10-147`) as composable
+  * DataFrame functions. All are lazy plans; Catalyst composes them with
+  * caller filters exactly like dbplyr composed one SQL statement.
+  */
+object VcfApi {
+
+  /** Gene filter (`filter_test`, `00-benchmark-functions.R:68-102`):
+    * impact rows for `symbol` → distinct (variant_id, symbol) → inner
+    * join info with `af < afMax`.
+    *
+    * Physical shape at scale: the symbol filter hits parquet
+    * dictionary/stats (the analog of `idx_impact_symbol`), the filtered
+    * side is tiny ⇒ broadcast hash join, no shuffle of `info`.
+    */
+  def filterByGene(
+      impact: DataFrame, info: DataFrame,
+      symbol: String, afMax: Double = 0.01): DataFrame = {
+    val hits = impact
+      .filter(col("symbol") === symbol)
+      .select("variant_id", "symbol")
+      .distinct()
+    info.filter(col("af") < afMax)
+      .join(broadcast(hits), Seq("variant_id"))
+  }
+
+  /** Genotype pull by id set (`pull_vars_by_id`, `00:10-55`): a
+    * broadcast semi-join filter on the long geno table. The sorted
+    * `variant_id` parquet layout makes this a stats-pruned scan — the
+    * replacement for both the file-per-variant mode and the B-tree
+    * index mode.
+    */
+  def pullByIds(geno: DataFrame, ids: Seq[Long]): DataFrame =
+    if (ids.size <= 1000) geno.filter(col("variant_id").isin(ids: _*))
+    else {
+      val spark = geno.sparkSession
+      import spark.implicits._
+      geno.join(broadcast(ids.toDF("variant_id")), Seq("variant_id"), "left_semi")
+    }
+
+  /** Composed filter + pull (`pull_geno_test`, `00:105-147`). */
+  def pullByGene(
+      impact: DataFrame, info: DataFrame, geno: DataFrame,
+      symbol: String, afMax: Double = 0.01): DataFrame = {
+    val ids = filterByGene(impact, info, symbol, afMax).select("variant_id").distinct()
+    geno.join(broadcast(ids), Seq("variant_id"))
+  }
+
+  /** Interval-overlap variant lookup — the GRanges sidecar's role
+    * (`03-index-db.R:72-82`), as a distributed range join over the
+    * (chr, start, end) columns.
+    */
+  def pullByRange(info: DataFrame, chr: String, start: Long, end: Long): DataFrame =
+    info.filter(
+      col("chr") === chr && col("start") <= end && col("end") >= start)
+
+  /** Bulk interval-overlap join against an arbitrary regions table
+    * (columns: chr, start, end) — the scale path via binned equi-join.
+    */
+  def overlapJoin(info: DataFrame, regions: DataFrame, binWidth: Long = 100000L): DataFrame =
+    RangeJoin.overlap(
+      info, regions.withColumnRenamed("start", "rstart").withColumnRenamed("end", "rend"),
+      Seq("chr"), "start", "end", "rstart", "rend", binWidth)
+}

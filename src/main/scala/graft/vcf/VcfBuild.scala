@@ -1,0 +1,263 @@
+package graft.vcf
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{emptyToNull, gt2snp}
+
+/** Builders deriving the reference's relational model from a parsed VCF:
+  * `variant_info`, `variant_impact`, `variant_geno`, `gene_map`,
+  * `samples` (VCFdbR `pipeline/02-build-db.R`, `03-index-db.R`).
+  *
+  * Everything is one declarative plan per table; the only wide
+  * operation in the whole build is the global sort backing the
+  * deterministic `variant_id` assignment.
+  */
+object VcfBuild {
+
+  /** VEP consequence terms the reference flags as exonic
+    * (`02-build-db.R:192-211`).
+    */
+  val exonicImpacts: Seq[String] = Seq(
+    "stop_gained", "exon_variant", "stop_lost", "frameshift_variant",
+    "initiator_codon_variant", "inframe_deletion", "inframe_insertion",
+    "missense_variant", "protein_altering_variant",
+    "incomplete_terminal_codon_variant", "stop_retained_variant",
+    "5_prime_UTR_premature_start_codon_variant", "synonymous_variant",
+    "coding_sequence_variant", "5_prime_UTR_variant", "3_prime_UTR_variant",
+    "transcript_ablation", "transcript_amplification", "feature_elongation",
+    "feature_truncation")
+
+  /** CSQ sub-columns the impact table drops (`02-build-db.R:284`):
+    * population-frequency columns (`*_af`) and a fixed deny-list
+    * (clinvar fields re-enter separately from INFO).
+    */
+  private val impactDropList = Set(
+    "clin_sig", "pheno", "somatic", "pubmed",
+    "consequence_annotations_from_ensembl_vep__format__allele")
+
+  /** Deterministic contiguous `variant_id` (1-based): global sort on
+    * (chr, pos, ref, alt) — a stable total order — then a distributed
+    * ordinal via `zipWithIndex` (X4, `02-build-db.R:258-259`).
+    *
+    * Scale note: `zipWithIndex` costs one extra lightweight job to count
+    * partition sizes but never collapses to a single partition, unlike
+    * `row_number() OVER ()` with an empty window. The sort is the one
+    * unavoidable wide stage (range partitioner ⇒ balanced output).
+    */
+  def withVariantIds(parsed: DataFrame): DataFrame = {
+    val spark = parsed.sparkSession
+    val sorted = parsed.orderBy("chr", "pos", "ref", "alt")
+    val outSchema = StructType(
+      StructField("variant_id", LongType, nullable = false) +: sorted.schema.fields)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq((i + 1L) +: r.toSeq)
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** `variant_info`: one row per variant — genomic interval, fixed VCF
+    * fields, one column per single-valued INFO field. Multi-valued
+    * (Number=A/R/G) arrays are scalarized to their single element — the
+    * engine, like the reference, requires normalized (no-multiallelic)
+    * input, which it validates up front ([[requireNormalized]]); truly
+    * list-valued INFO (Number=. or n>1) stays a native array column
+    * (capability upgrade; the reference stringifies).
+    *
+    * `end = pos + length(ref) - 1` (GRanges closed-interval convention,
+    * `02-build-db.R:316-335`).
+    */
+  def variantInfo(ids: DataFrame, header: VcfHeaderInfo): DataFrame = {
+    val perAlt = Set("A", "R", "G")
+    val infoCols: Seq[Column] = header.infoDefs
+      .filterNot(_.id == "CSQ")
+      .map { d =>
+        val name = d.id.toLowerCase
+        if (perAlt.contains(d.number)) element_at(col(name), 1).as(name)
+        else col(name)
+      }
+    ids.select(
+      (Seq(col("variant_id"), col("chr"),
+        col("pos").as("start"),
+        (col("pos") + length(col("ref")) - 1).as("end"),
+        col("ref"), col("alt"), col("qual"), col("filter")) ++ infoCols): _*)
+  }
+
+  /** `variant_impact`: one row per variant × transcript × consequence
+    * term — the CSQ explode/split pipeline (X3+X5+X6,
+    * `02-build-db.R:269-306`) with the reference's derived flags:
+    *   is_lof      = impact == "HIGH" && biotype == "protein_coding"
+    *   is_splicing = consequence contains "splice"
+    *   is_exonic   = biotype ∈ exonicImpacts   (the reference tests the
+    *                 *biotype* column against consequence terms —
+    *                 `02-build-db.R:282` — reproduced verbatim for parity)
+    *   is_intronic = intron != ""
+    * then drops `*_af` and the fixed deny-list columns.
+    */
+  def variantImpact(ids: DataFrame, header: VcfHeaderInfo): DataFrame = {
+    val csqCols = header.csqColumns.getOrElse(
+      throw new IllegalArgumentException("VCF has no CSQ INFO field"))
+    val ann = ids
+      .where(col("csq").isNotNull)
+      .select(col("variant_id"), explode(col("csq")).as("_csq"))
+      .withColumn("_parts", split(col("_csq"), "\\|", csqCols.size))
+    val splitCols = csqCols.zipWithIndex.map { case (name, i) =>
+      coalesce(col("_parts").getItem(i), lit("")).as(name)
+    }
+    val wide0 = ann.select((col("variant_id") +: splitCols): _*)
+    val wide =
+      if (csqCols.contains("consequence"))
+        wide0.withColumn("consequence", explode(split(col("consequence"), "&")))
+      else wide0
+    def ifCols(needed: Seq[String], c: => Column): Column =
+      if (needed.forall(csqCols.contains)) c else lit(false)
+    val flagged = wide
+      .withColumn("is_lof",
+        ifCols(Seq("impact", "biotype"),
+          col("impact") === "HIGH" && col("biotype") === "protein_coding"))
+      .withColumn("is_splicing",
+        ifCols(Seq("consequence"), col("consequence").contains("splice")))
+      .withColumn("is_exonic",
+        ifCols(Seq("biotype"), col("biotype").isin(exonicImpacts: _*)))
+      .withColumn("is_intronic", ifCols(Seq("intron"), col("intron") =!= ""))
+    val keep = flagged.columns.filterNot(c =>
+      c.endsWith("_af") || impactDropList.contains(c))
+    flagged.select(keep.map(col): _*)
+  }
+
+  /** `variant_geno`: long layout, one row per variant × sample —
+    * `variant_id`, `sample`, `gt` (dosage recode), `gt_raw`, plus one
+    * typed column per FORMAT field (X7-X9 collapsed into a single
+    * posexplode — the melt/pivot dance of `02-build-db.R:368-424`
+    * disappears because each line is parsed once).
+    *
+    * FORMAT keys are resolved per row (`array_position` on the row's
+    * FORMAT column), so files with heterogeneous FORMAT are handled.
+    */
+  def variantGeno(ids: DataFrame, header: VcfHeaderInfo): DataFrame = {
+    val base = ids.select(
+      col("variant_id"), col("format"),
+      explode(col("genotypes")).as("g"))
+      .select(
+        col("variant_id"),
+        split(col("format"), ":").as("_fmt"),
+        col("g.sample").as("sample"),
+        split(col("g.raw"), ":").as("_vals"))
+
+    def fmtField(key: String): Column = {
+      val pos = array_position(col("_fmt"), key)
+      when(pos > 0, element_at(col("_vals"), pos.cast(IntegerType)))
+        .otherwise(lit(null).cast(StringType))
+    }
+
+    def typed(d: VcfFieldDef): Column = {
+      val raw = fmtField(d.id)
+      val nn = when(raw === ".", lit(null)).otherwise(raw)
+      val c = d.vcfType match {
+        case "Integer" => nn.cast(LongType)
+        case "Float" => nn.cast(DoubleType)
+        case _ => nn
+      }
+      c.as(d.id.toLowerCase)
+    }
+
+    val gtRaw = fmtField("GT").as("gt_raw")
+    val extra = header.formatDefs.filterNot(_.id == "GT").map(typed)
+    base.select(
+      (Seq(col("variant_id"), col("sample"),
+        gt2snp(fmtField("GT")).as("gt"), gtRaw) ++ extra): _*)
+  }
+
+  /** `gene_map` derived dimension (`03-index-db.R:86-101`): distinct
+    * gene-identity columns from the impact table, empty strings → NULL.
+    */
+  def geneMap(impact: DataFrame): DataFrame = {
+    val wanted = Seq("symbol", "symbol_source", "gene", "source", "feature",
+      "canonical", "ensp", "ccds", "motif_name", "feature_type")
+    val present = wanted.filter(impact.columns.contains)
+    impact.select(present.map(c => emptyToNull(col(c)).as(c)): _*).distinct()
+  }
+
+  /** `samples` index table (`02-build-db.R:130-136`). */
+  def samplesTable(spark: SparkSession, header: VcfHeaderInfo): DataFrame = {
+    import spark.implicits._
+    header.samples.zipWithIndex
+      .map { case (s, i) => (i + 1L, s) }.toDF("name", "value")
+  }
+
+  /** Header metadata tables (`02-build-db.R:113-127`): one DataFrame per
+    * section, `name`/`number`/`type`/`description`.
+    */
+  def metaTables(spark: SparkSession, header: VcfHeaderInfo): Map[String, DataFrame] = {
+    import spark.implicits._
+    def of(defs: Seq[VcfFieldDef]) =
+      defs.map(d => (d.id, d.number, d.vcfType, d.description))
+        .toDF("name", "number", "type", "description")
+    Map("info" -> of(header.infoDefs), "format" -> of(header.formatDefs),
+      "filter" -> of(header.filterDefs))
+  }
+
+  /** Multiallelic guard (`01-generate-variant-ranges-index.R:43-53`):
+    * the engine requires normalized input; offending sites are returned
+    * for reporting, and [[requireNormalized]] throws if any exist.
+    */
+  def multiallelicSites(parsed: DataFrame): DataFrame =
+    parsed.where(col("alt").contains(",")).select("chr", "pos", "ref", "alt")
+
+  def requireNormalized(parsed: DataFrame): Unit = {
+    val bad = multiallelicSites(parsed).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"multiallelic site found (e.g. ${bad(0)}); normalize the VCF first")
+  }
+
+  /** Build the full relational model. */
+  def build(vcf: VcfDataset): VcfTables = {
+    val spark = vcf.df.sparkSession
+    val ids = withVariantIds(vcf.df)
+    val impact =
+      if (vcf.header.csqColumns.isDefined) Some(variantImpact(ids, vcf.header))
+      else None
+    VcfTables(
+      info = variantInfo(ids, vcf.header),
+      impact = impact,
+      geno = variantGeno(ids, vcf.header),
+      geneMap = impact.map(geneMap),
+      samples = samplesTable(spark, vcf.header),
+      meta = metaTables(spark, vcf.header))
+  }
+}
+
+/** The reference's relational model, Spark-side. */
+final case class VcfTables(
+    info: DataFrame,
+    impact: Option[DataFrame],
+    geno: DataFrame,
+    geneMap: Option[DataFrame],
+    samples: DataFrame,
+    meta: Map[String, DataFrame]) {
+
+  /** Persist as partitioned parquet — the analog of the reference's
+    * SQLite load + index stage, replaced by columnar layout:
+    * `info`/`impact` partitioned by `chr`-free single dir but sorted by
+    * `variant_id` (min/max stats ⇒ id-range pruning ≈ the reference's
+    * B-tree indexes); `geno` repartitioned by range on `variant_id` and
+    * sorted within partitions by (`variant_id`, `sample`) — the write
+    * clustering of `02-build-db.R:463-465` — so id-predicate pulls
+    * touch few row groups.
+    */
+  def write(outDir: String): Unit = {
+    info.sortWithinPartitions("variant_id")
+      .write.mode("overwrite").parquet(s"$outDir/variant_info")
+    impact.foreach(_.sortWithinPartitions("variant_id")
+      .write.mode("overwrite").parquet(s"$outDir/variant_impact"))
+    geno.repartitionByRange(col("variant_id"))
+      .sortWithinPartitions("variant_id", "sample")
+      .write.mode("overwrite").parquet(s"$outDir/variant_geno")
+    geneMap.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$outDir/gene_map"))
+    samples.coalesce(1).write.mode("overwrite").parquet(s"$outDir/samples")
+    meta.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta_$name")
+    }
+  }
+}

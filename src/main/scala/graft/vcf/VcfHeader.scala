@@ -1,0 +1,90 @@
+package graft.vcf
+
+/** VCF header model + parser.
+  *
+  * Replaces the reference's header scan (VCFdbR `pipeline/02-build-db.R:113-136`,
+  * `scanVcfHeader`): `##INFO`/`##FORMAT`/`##FILTER`/`##contig` declarations
+  * drive the dynamic schema, the `#CHROM` line yields the sample list, and
+  * the CSQ INFO `Description` yields the VEP annotation column names
+  * (lowercased, `[ :.]` → `_`, split on `|` — `02-build-db.R:184-186`).
+  *
+  * Header parsing is driver-side by design: headers are a few KB, and the
+  * resulting schema must exist before distributed parsing starts.
+  */
+final case class VcfFieldDef(
+    id: String, number: String, vcfType: String, description: String)
+
+final case class VcfHeaderInfo(
+    infoDefs: Seq[VcfFieldDef],
+    formatDefs: Seq[VcfFieldDef],
+    filterDefs: Seq[VcfFieldDef],
+    contigs: Seq[String],
+    samples: Seq[String]) {
+
+  def infoDef(id: String): Option[VcfFieldDef] = infoDefs.find(_.id == id)
+
+  /** VEP CSQ sub-column names derived from the CSQ Description, with the
+    * reference's normalization (lowercase; space/colon/dot → underscore).
+    */
+  def csqColumns: Option[Seq[String]] =
+    infoDef("CSQ").map { d =>
+      val fmt = d.description.toLowerCase.replaceAll("[ :.]", "_")
+      fmt.split("\\|").toSeq
+    }
+}
+
+object VcfHeader {
+
+  private val FieldLine = """##(INFO|FORMAT|FILTER|contig)=<(.*)>""".r
+
+  /** Parse `ID=...,Number=...,Type=...,Description="..."` attribute lists
+    * (description may contain commas/pipes inside quotes).
+    */
+  private def attrs(body: String): Map[String, String] = {
+    val m = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < body.length) {
+      val eq = body.indexOf('=', i)
+      if (eq < 0) return m.toMap
+      val key = body.substring(i, eq)
+      if (eq + 1 < body.length && body.charAt(eq + 1) == '"') {
+        val end = body.indexOf('"', eq + 2)
+        m(key) = body.substring(eq + 2, if (end < 0) body.length else end)
+        i = (if (end < 0) body.length else end + 1) + 1 // skip quote + comma
+      } else {
+        var end = body.indexOf(',', eq + 1)
+        if (end < 0) end = body.length
+        m(key) = body.substring(eq + 1, end)
+        i = end + 1
+      }
+    }
+    m.toMap
+  }
+
+  def parse(headerLines: Seq[String]): VcfHeaderInfo = {
+    val info = Seq.newBuilder[VcfFieldDef]
+    val fmt = Seq.newBuilder[VcfFieldDef]
+    val filt = Seq.newBuilder[VcfFieldDef]
+    val contigs = Seq.newBuilder[String]
+    var samples: Seq[String] = Seq.empty
+
+    headerLines.foreach {
+      case FieldLine(kind, body) =>
+        val a = attrs(body)
+        val d = VcfFieldDef(
+          a.getOrElse("ID", ""), a.getOrElse("Number", "."),
+          a.getOrElse("Type", "String"), a.getOrElse("Description", ""))
+        kind match {
+          case "INFO" => info += d
+          case "FORMAT" => fmt += d
+          case "FILTER" => filt += d
+          case "contig" => contigs += d.id
+        }
+      case l if l.startsWith("#CHROM") =>
+        val cols = l.stripPrefix("#").split("\t")
+        samples = cols.drop(9).toSeq // CHROM..FORMAT are the first 9
+      case _ => ()
+    }
+    VcfHeaderInfo(info.result(), fmt.result(), filt.result(), contigs.result(), samples)
+  }
+}

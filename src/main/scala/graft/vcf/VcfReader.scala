@@ -1,0 +1,119 @@
+package graft.vcf
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed VCF parser: text lines → one nested DataFrame.
+  *
+  * Spark-first replacement for the reference's tabix-chunked scan
+  * (VCFdbR `pipeline/01-generate-variant-ranges-index.R`,
+  * `02-build-db.R:249-529`): instead of a driver-side loop over genomic
+  * range chunks, the file is read as distributed text (`spark.read.text`
+  * splits by HDFS block), every data line is parsed by codegen'd column
+  * expressions in one narrow pass, and all downstream "chunking" is
+  * ordinary Spark partitioning. Column pruning through the nested schema
+  * gives the reference's projection-pushdown scans (S2) for free.
+  *
+  * Output schema (per data line = one variant):
+  *   chr string, pos long, id string?, ref string, alt string,
+  *   qual double?, filter string?,
+  *   <one typed column per INFO def: scalar / array / flag boolean>,
+  *   csq array<string>?              (raw VEP strings, if CSQ declared)
+  *   genotypes array<struct<sample string, raw string>>  (FORMAT-encoded)
+  *   format string                   (per-row FORMAT key order)
+  *
+  * Multi-valued INFO/FORMAT fields become native `ArrayType` columns — a
+  * documented capability upgrade over the reference, which skips or
+  * stringifies them (`README.md:102-112`).
+  */
+object VcfReader {
+
+  /** Missing-value token in VCF bodies. */
+  private val Missing = "."
+
+  private def sqlType(vcfType: String): DataType = vcfType match {
+    case "Integer" => LongType
+    case "Float" => DoubleType
+    case "Flag" => BooleanType
+    case _ => StringType // String, Character
+  }
+
+  /** Read a VCF file: header parsed driver-side from the leading `#`
+    * lines, body parsed distributed.
+    */
+  def read(spark: SparkSession, path: String): VcfDataset = {
+    import spark.implicits._
+    val raw = spark.read.textFile(path)
+    // Headers are the leading few KB; `limit` keeps the driver fetch
+    // bounded (4096 header lines is far beyond any real VCF header).
+    val headerLines = raw.filter(_.startsWith("#")).limit(4096).collect().toSeq
+    val header = VcfHeader.parse(headerLines)
+    VcfDataset(parse(raw.filter(l => !l.startsWith("#")), header), header)
+  }
+
+  /** Parse in-memory lines (tests, embedded fixtures). */
+  def fromLines(spark: SparkSession, lines: Seq[String]): VcfDataset = {
+    import spark.implicits._
+    val header = VcfHeader.parse(lines.filter(_.startsWith("#")))
+    val body = spark.createDataset(lines.filterNot(_.startsWith("#")))
+    VcfDataset(parse(body, header), header)
+  }
+
+  /** The distributed line parse: pure column expressions, one pass. */
+  def parse(lines: Dataset[String], header: VcfHeaderInfo): DataFrame = {
+    val f = split(col("value"), "\t")
+
+    def nullable(c: Column): Column = when(c === Missing, lit(null)).otherwise(c)
+
+    // INFO "K=V;K2;K3=V3" → map; flag keys get a null value slot, so
+    // flag presence = map_contains_key.
+    val infoMap = expr("str_to_map(_info_raw, ';', '=')")
+
+    val fixed = lines.select(
+      f.getItem(0).as("chr"),
+      f.getItem(1).cast(LongType).as("pos"),
+      nullable(f.getItem(2)).as("id"),
+      f.getItem(3).as("ref"),
+      f.getItem(4).as("alt"),
+      nullable(f.getItem(5)).cast(DoubleType).as("qual"),
+      nullable(f.getItem(6)).as("filter"),
+      f.getItem(7).as("_info_raw"),
+      f.getItem(8).as("format"),
+      slice(f, 10, Int.MaxValue - 16).as("_samples_raw"))
+
+    val withInfo = fixed.withColumn("_info", infoMap)
+
+    // One typed column per INFO declaration (lowercased names — the
+    // reference lowercases all column names, 02-build-db.R:346).
+    val infoCols: Seq[Column] = header.infoDefs.map { d =>
+      val v = col("_info").getItem(d.id)
+      val c = d match {
+        case VcfFieldDef(_, _, "Flag", _) =>
+          map_contains_key(col("_info"), d.id)
+        case VcfFieldDef("CSQ", _, _, _) =>
+          split(v, ",")
+        case VcfFieldDef(_, "1", t, _) =>
+          when(v === Missing, lit(null)).otherwise(v).cast(sqlType(t))
+        case VcfFieldDef(_, _, t, _) => // A / R / G / . / n>1 → array
+          transform(split(v, ","),
+            e => when(e === Missing, lit(null)).otherwise(e).cast(sqlType(t)))
+      }
+      c.as(if (d.id == "CSQ") "csq" else d.id.toLowerCase)
+    }
+
+    // Per-sample struct array; sample names come from the header.
+    val genotypes = array(header.samples.zipWithIndex.map { case (s, i) =>
+      struct(lit(s).as("sample"), col("_samples_raw").getItem(i).as("raw"))
+    }: _*)
+
+    withInfo.select(
+      (Seq(col("chr"), col("pos"), col("id"), col("ref"), col("alt"),
+        col("qual"), col("filter")) ++
+        infoCols ++
+        Seq(genotypes.as("genotypes"), col("format"))): _*)
+  }
+}
+
+/** A parsed VCF: the nested DataFrame plus its header metadata. */
+final case class VcfDataset(df: DataFrame, header: VcfHeaderInfo)
