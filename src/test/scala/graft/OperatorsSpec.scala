@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RangeJoin.overlap ≡ naive theta join (randomized intervals)") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, if (rnd.nextBoolean()) "k1" else "k2", s, s + rnd.nextInt(500))
+    }.toDF("lid", "k", "ls", "le")
+    val right = (1 to 80).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, if (rnd.nextBoolean()) "k1" else "k2", s, s + rnd.nextInt(2000))
+    }.toDF("rid", "k", "rs", "re")
+
+    val got = RangeJoin.overlap(left, right, Seq("k"), "ls", "le", "rs", "re", 256L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = left.as("a").join(right.as("b"),
+        $"a.k" === $"b.k" && $"a.ls" <= $"b.re" && $"a.le" >= $"b.rs")
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("asofJoin: latest right row at-or-before each left ts, tolerance bound") {
+    val left = Seq((1L, 100L, "a"), (1L, 205L, "b"), (2L, 50L, "c"), (3L, 10L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 200L, 20.0), (2L, 60L, 6.0))
+      .toDF("k", "ts", "v")
+    val out = Events.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("tag", "asof_ts", "asof_v")
+      .as[(String, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("a", Some(100L), Some(10.0)), // equal ts matches (<= semantics)
+      ("b", Some(200L), Some(20.0)),
+      ("c", None, None),             // right row is later than left
+      ("d", None, None)))            // no right rows for key
+
+    val bounded = Events.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"),
+        toleranceNs = 4L)
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(bounded == Seq(
+      ("a", Some(10.0)), ("b", None), ("c", None), ("d", None)))
+  }
+
+  test("sessionize: gap starts new session") {
+    val df = Seq((1L, 0L), (1L, 10L), (1L, 1000L), (1L, 1005L), (2L, 5L))
+      .toDF("user_id", "ts")
+    val out = Events.sessionize(df, "user_id", "ts", gapNs = 100L)
+      .select("user_id", "ts", "session_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 1L), (1L, 10L, 1L), (1L, 1000L, 2L), (1L, 1005L, 2L), (2L, 5L, 1L)))
+  }
+
+  test("Dedup.exact keeps min id per duplicate text") {
+    val docs = Seq(
+      (1L, "Hello World"), (2L, "hello,  world!"), (3L, "unique doc"),
+      (4L, "HELLO WORLD"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L)) // 2,4 are normalized dups of 1
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id")
+    assert(groups.count() == 1)
+    assert(groups.select("n_dups").as[Long].head == 3)
+  }
+
+  test("minHashLsh finds a planted near-duplicate and skips distinct docs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("simHashNearPairs: near-dup within hamming ball, far docs out") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " extra"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearPairs(docs, "text", "doc_id", bits = 24, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("bruteForceKnn: exact ranks with deterministic tie-break") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)), (4L, Seq(1.0, 0.01)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceKnn(vecs, vecs.filter($"vec_id" === 1),
+        "embedding", "vec_id", k = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, 4L), (2, 2L)))
+  }
+
+  test("lshKnn results are a subset of brute-force candidates with same scores") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 50L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() - 0.5))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" <= 3)
+    val brute = Similarity.bruteForceKnn(vecs, queries, "embedding", "vec_id", 50)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val lsh = Similarity.lshKnn(vecs, queries, "embedding", "vec_id", 5,
+        planes = 4, tables = 2)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, n, c) =>
+      assert(math.abs(brute((q, n)) - c) < 1e-12)
+    }
+  }
+
+  test("multimodal: byteStats + stub features shape") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "text")
+    assert(media.schema.fieldNames.toSeq == Multimodal.mediaSchema.fieldNames.toSeq)
+    val stats = Multimodal.byteStats(media)
+      .select("media_id", "n_bytes").as[(Long, Long)].collect().toMap
+    assert(stats == Map(1L -> 8L, 2L -> 0L))
+    val feats = Multimodal.extractFeatures(media, dim = 4)
+      .select("media_id", "features").as[(Long, Seq[Double])].collect().toMap
+    assert(feats(1L).size == 4)
+    assert(feats(1L).head == 'a'.toInt / 255.0)
+    assert(feats(2L) == Seq(0d, 0d, 0d, 0d))
+  }
+
+  test("frameSamplePlan explodes deterministic frame times") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", "video")
+      .withColumn("duration_ms", lit(250L))
+    val frames = Multimodal.frameSamplePlan(media, everyMs = 100L)
+      .select("frame_ms").as[Long].collect().sorted.toSeq
+    assert(frames == Seq(0L, 100L, 200L))
+  }
+}

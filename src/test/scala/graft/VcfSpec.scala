@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vcf._
+
+class VcfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vcf = VcfReader.fromLines(spark, ToyVcf.lines)
+  private lazy val tables = VcfBuild.build(vcf)
+
+  test("header parse: defs, samples, csq columns") {
+    val h = vcf.header
+    assert(h.samples == Seq("S1", "S2"))
+    assert(h.infoDefs.map(_.id) == Seq("AC", "AF", "DP", "VT", "CSQ"))
+    assert(h.formatDefs.map(_.id) == Seq("GT", "DP"))
+    assert(h.contigs == Seq("1", "2"))
+    assert(h.infoDef("AF").get.vcfType == "Float")
+    // description with commas inside quotes parses intact
+    assert(h.infoDef("AC").get.description == "Allele count in genotypes")
+    assert(h.csqColumns.get == Seq(
+      "consequence_annotations_from_ensembl_vep__format__allele",
+      "consequence", "impact", "symbol", "gene", "biotype", "intron"))
+  }
+
+  test("parsed body: fixed fields, typed info, missing values") {
+    val df = vcf.df
+    assert(df.count() == 6)
+    val r = df.filter($"pos" === 300).select("id", "qual", "filter", "dp").head
+    assert(r.isNullAt(0)) // '.' id → null
+    assert(r.getDouble(1) == 10.0)
+    assert(r.getString(2) == "q10")
+    assert(r.getLong(3) == 5)
+    // Number=A arrays are native arrays pre-scalarization
+    assert(df.select($"ac").schema.head.dataType.typeName == "array")
+  }
+
+  test("variant ids are contiguous and (chr,pos)-ordered") {
+    val ids = tables.info.select("variant_id", "chr", "start")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(ids.map(_._1).toSeq == (1L to 6L))
+    assert(ids.map(t => (t._2, t._3)).toSeq ==
+      Seq(("1", 100L), ("1", 200L), ("1", 300L), ("2", 150L), ("2", 250L), ("2", 400L)))
+  }
+
+  test("README worked-example analog: one variant decomposes into 3 tables") {
+    // variant 2 (1:200 C>T): info row, 2 impact rows (term split), 2 geno rows
+    val info = tables.info.filter($"variant_id" === 2)
+    assert(info.count() == 1)
+    assert(info.select("ac", "af").as[(Long, Double)].head == ((2L, 0.5)))
+    val imp = tables.impact.get.filter($"variant_id" === 2)
+      .select("consequence", "is_lof", "is_splicing")
+      .as[(String, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(imp.toSeq == Seq(
+      ("splice_region_variant", true, true), ("stop_gained", true, false)))
+    val gen = tables.geno.filter($"variant_id" === 2)
+      .select("sample", "gt", "gt_raw").as[(String, Option[Double], String)]
+      .collect().sortBy(_._1)
+    assert(gen.toSeq == Seq(("S1", Some(2d), "1|1"), ("S2", Some(0d), "0|0")))
+  }
+
+  test("impact drops the allele column and keeps derived flags") {
+    val cols = tables.impact.get.columns.toSeq
+    assert(!cols.contains("consequence_annotations_from_ensembl_vep__format__allele"))
+    assert(Seq("is_lof", "is_splicing", "is_exonic", "is_intronic").forall(cols.contains))
+  }
+
+  test("gene_map: distinct identity columns, empty → null") {
+    val gm = tables.geneMap.get.as[(String, String)].collect().sorted
+    assert(gm.toSeq == Seq(("GENE1", "ENSG1"), ("GENE2", "ENSG2"), ("GENE3", "ENSG3")))
+  }
+
+  test("samples + meta tables") {
+    assert(tables.samples.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "S1"), (2L, "S2")))
+    assert(tables.meta("info").count() == 5)
+    assert(tables.meta("format").count() == 2)
+  }
+
+  test("multiallelic guard throws on unnormalized input") {
+    val bad = ToyVcf.lines.map(l =>
+      if (l.startsWith("1\t100")) l.replace("\tG\t", "\tG,C\t") else l)
+    val v = VcfReader.fromLines(spark, bad)
+    intercept[IllegalArgumentException](VcfBuild.requireNormalized(v.df))
+    assert(VcfBuild.multiallelicSites(v.df).count() == 1)
+  }
+
+  test("write + reread roundtrip with id pull") {
+    val dir = java.nio.file.Files.createTempDirectory("vcfdb").toString
+    tables.write(dir)
+    val geno = spark.read.parquet(s"$dir/variant_geno")
+    val pulled = VcfApi.pullByIds(geno, Seq(2L, 6L))
+    assert(pulled.select("variant_id").distinct().as[Long].collect().sorted.toSeq ==
+      Seq(2L, 6L))
+    val info = spark.read.parquet(s"$dir/variant_info")
+    val impact = spark.read.parquet(s"$dir/variant_impact")
+    val hits = VcfApi.filterByGene(impact, info, "GENE2", afMax = 0.8)
+    assert(hits.select("variant_id").as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+  }
+
+  test("pullByGene composes filter and genotype fetch") {
+    val g = VcfApi.pullByGene(tables.impact.get, tables.info, tables.geno,
+      "GENE1", afMax = 0.6)
+    assert(g.count() == 4) // variants 1,2 × 2 samples
+  }
+
+  test("overlapJoin matches naive interval predicate") {
+    val regions = Seq(("1", 150L, 350L), ("2", 100L, 260L), ("1", 90L, 105L))
+      .toDF("chr", "start", "end")
+    val got = VcfApi.overlapJoin(tables.info, regions, binWidth = 100L)
+      .select("variant_id", "rstart").as[(Long, Long)].collect().sorted.toSeq
+    val naive = tables.info.as("v")
+      .join(regions.as("r"),
+        $"v.chr" === $"r.chr" && $"v.start" <= $"r.end" && $"v.end" >= $"r.start")
+      .select($"variant_id", $"r.start").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive && got.nonEmpty)
+  }
+}
