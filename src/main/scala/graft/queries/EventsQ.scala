@@ -55,6 +55,21 @@ object EventsQ {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- Structured Streaming forms (AvailableNow over the static
+    //      table; must equal their batch counterparts exactly) ----
+    "q49_stream_tumbling" -> ((s, d) => {
+      graft.streaming.EventsStream.runTumblingOnce(s, d, HourNs)
+        .orderBy("window_start_ns", "event_type")
+    }),
+    "q50_stream_sessionize" -> ((s, d) => {
+      graft.streaming.EventsStream.runSessionizeOnce(s, d, GapNs)
+        .groupBy("user_id")
+        .agg(
+          max("session_id").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -99,5 +114,25 @@ object EventsQ {
     "q30_top_users" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
           FROM events GROUP BY user_id
-          ORDER BY n DESC, user_id ASC LIMIT 10""")
+          ORDER BY n DESC, user_id ASC LIMIT 10""",
+    "q49_stream_tumbling" ->
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $HourNs AS window_start_ns,
+          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY window_start_ns, event_type""",
+    "q50_stream_sessionize" ->
+      s"""SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+          FROM (
+            SELECT user_id,
+              sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (
+              SELECT user_id, ts,
+                CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) > $GapNs
+                     OR lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events))
+          GROUP BY user_id ORDER BY user_id""")
 }

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming counterparts of the batch event-time operators
+  * (`graft.operators.Events`). The reference engine has no streaming
+  * (SURVEY.md §2.9) — this is declared surplus capability, built the
+  * Spark-native way: `readStream` → watermarked windowed aggregation /
+  * `flatMapGroupsWithState` sessionization → sink.
+  *
+  * For deterministic local verification, [[runTumblingOnce]] drives the
+  * streaming query over the static events parquet with
+  * `Trigger.AvailableNow` into a memory sink and returns the result —
+  * the same plan a 24/7 cluster deployment would run against a file or
+  * Kafka source.
+  */
+object EventsStream {
+
+  /** Streaming tumbling-window count/sum per event type.
+    *
+    * `ts` arrives as int64 ns (see [[graft.Tables.events]]); the window
+    * is integer bucketing, identical to the batch form, so streaming
+    * results equal batch results once all data is processed.
+    */
+  def tumblingAgg(events: DataFrame, windowNs: Long): DataFrame =
+    events
+      .withColumn("window_start_ns", col("ts") - pmod(col("ts"), lit(windowNs)))
+      // watermark needs a time column; derive µs-precision timestamp
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("window_start_ns"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
+  /** Spark's file-stream source consumes directories; the testdata is a
+    * single parquet file — stage it (hardlink, else copy) into a temp
+    * dir once per (path, mtime).
+    */
+  private def stageDir(dir: String): String = {
+    import java.nio.file._
+    val src = Paths.get(dir, "events.parquet")
+    val staged = Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_${math.abs(dir.hashCode)}_${Files.getLastModifiedTime(src).toMillis}")
+    val target = staged.resolve("events.parquet")
+    if (!Files.exists(target)) {
+      Files.createDirectories(staged)
+      try Files.createLink(target, src)
+      catch { case _: Exception => Files.copy(src, target) }
+    }
+    staged.toString
+  }
+
+  /** Run the streaming aggregation once over the static events table
+    * (AvailableNow ⇒ processes the whole file set, then stops) and
+    * return the complete result as a batch DataFrame.
+    */
+  def runTumblingOnce(spark: SparkSession, dir: String, windowNs: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+    val agg = tumblingAgg(stream, windowNs)
+    val name = s"events_tumbling_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Per-user running session state for streaming sessionization. */
+  case class SessionState(lastTs: Long, sessionId: Long)
+  case class SessionizedEvent(user_id: Long, ts: Long, session_id: Long)
+
+  /** Streaming gap-based sessionization via mapGroupsWithState-style
+    * custom state: each user's group tracks (lastTs, sessionId).
+    * Within a single AvailableNow batch the group iterator is not
+    * time-ordered, so events are sorted per group — at true streaming
+    * scale state would instead be updated per micro-batch with
+    * watermark-based timeout (GroupStateTimeout.EventTimeTimeout).
+    */
+  def sessionize(events: DataFrame, gapNs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionizedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = sorted.map { ts =>
+            st =
+              if (st.sessionId == 0L || ts - st.lastTs > gapNs)
+                SessionState(ts, st.sessionId + 1)
+              else SessionState(ts, st.sessionId)
+            SessionizedEvent(user, ts, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
+  /** Drive streaming sessionization once over the static events table. */
+  def runSessionizeOnce(spark: SparkSession, dir: String, gapNs: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+    val out = sessionize(stream, gapNs)
+    val name = s"events_sessions_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
