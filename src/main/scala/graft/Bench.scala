@@ -1,24 +1,101 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.vcf.{SyntheticVcf, VcfApi, VcfBuild}
+
+/** Benchmark main. Emits ONE JSON line:
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Two parts:
+  *   1. every gated query from [[SparkEntry.queries]] on the SF dir,
+  *      warmed up first at sf0.001 (plan compilation + JIT), forced
+  *      with a noop sink (count() could let Catalyst prune work);
+  *   2. a VCF-domain benchmark mirroring BASELINE.md's published
+  *      metrics: build a synthetic VCF star schema, then
+  *        vcf_filter_per_gene_sec  — median filterByGene latency
+  *                                   (baseline: 0.053 s/gene exome)
+  *        vcf_pull_per_1k_sec      — genotype pull marginal cost
+  *                                   (baseline: 12.4→4.3 s/1k variants)
+  *        vcf_build_sec            — end-to-end ETL for the fixture.
+  */
 object Bench {
+
+  private def forceRun(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time[A](body: => A): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // Warmup at the smallest SF: pays codegen/JIT once so measured
+    // numbers reflect steady-state execution, like the reference's
+    // per-gene loops after the first gene.
+    names.foreach { n =>
+      try forceRun(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    names.foreach { n =>
+      results(n) =
+        try time(forceRun(SparkEntry.queries(n)(spark, sfDir)))
+        catch { case _: Throwable => -1.0 }
+    }
+
+    // ---- VCF-domain benchmark (BASELINE.md comparables) ----
+    try {
+      val nVariants = 50000L
+      val nSamples = 100
+      val nGenes = 200
+      val out = java.nio.file.Files.createTempDirectory("graft_vcf_bench").toString
+
+      val buildSec = time {
+        val tables = VcfBuild.build(SyntheticVcf.generate(spark, nVariants, nSamples, nGenes))
+        tables.write(out)
+      }
+      results("vcf_build_sec") = buildSec
+
+      val info = spark.read.parquet(s"$out/variant_info")
+      val impact = spark.read.parquet(s"$out/variant_impact")
+      val geno = spark.read.parquet(s"$out/variant_geno")
+
+      // warm the readers
+      VcfApi.filterByGene(impact, info, "GENE0", afMax = 0.05).count()
+
+      val genes = (1 until 21).map(i => s"GENE$i")
+      val perGene = genes.map(g =>
+        time(VcfApi.filterByGene(impact, info, g, afMax = 0.05).count()))
+      results("vcf_filter_per_gene_sec") = perGene.sorted.apply(perGene.size / 2)
+
+      val ids = (1L to 1000L).map(i => i * 37 % nVariants + 1)
+      val pullSec = time(VcfApi.pullByIds(geno, ids).count())
+      results("vcf_pull_per_1k_sec") = pullSec
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] vcf bench failed: $e")
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,34 +92,88 @@ package object functions {
     when(union === 0, lit(0d)).otherwise(inter / union)
   }
 
-  /** MinHash signature: for each of `k` salted hash functions, the
-    * minimum [[md5Long]] over the elements of `set`. Empty sets get
-    * Long.MaxValue sentinels (never collide with real hashes).
+  /** Jaccard for arrays already deduplicated (e.g. via array_distinct):
+    * |A∩B| / (|A|+|B|−|A∩B|) — one set operation instead of two.
     */
-  def minHashSignature(set: Column, k: Int): Column =
+  def jaccardDistinct(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val union = size(a) + size(b) - inter
+    when(union === 0, lit(0d)).otherwise(inter / union)
+  }
+
+  /** Deduplicated 60-bit hashes of a string set ([[md5Long]] per
+    * element): set operations over fixed-width longs are far cheaper
+    * than over strings, and |hashed set| = |set| up to md5 collisions
+    * (~2⁻⁶⁰ per pair — negligible at any corpus size).
+    */
+  def hashedSet(set: Column): Column =
+    array_distinct(transform(set, e => md5Long(e)))
+
+  /** MinHash hash-family parameters: h_i(x) = (a_i·x + b_i) mod P over
+    * a 28-bit md5 base hash. One md5 per element for the whole family
+    * (k salted md5s would dominate signature cost); all products stay
+    * < 2⁶⁰, so the arithmetic is overflow-free in any int64 engine —
+    * which is what makes the family reproducible in the DuckDB oracle.
+    */
+  val MinHashP = 2147483647L // 2^31 − 1
+  def minHashA(i: Int): Long = (i * 2654435761L) % (MinHashP - 1) + 1
+  def minHashB(i: Int): Long = (i * 40503L * 65537L) % MinHashP
+
+  /** 28-bit base hash: first 7 hex digits of md5.
+    * DuckDB: `('0x' || substr(md5(x), 1, 7))::BIGINT`.
+    */
+  def md5Base28(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 7), 16, 10).cast(LongType)
+
+  /** MinHash signature from a pre-hashed base column (see
+    * [[md5Base28]]): for each of `k` family members, the minimum of
+    * h_i(base) over the elements. Empty sets get Long.MaxValue
+    * sentinels (never collide with real hashes). Callers should stage
+    * `bases` as a materialized column — passing an expression tree here
+    * re-evaluates it per family member.
+    */
+  def minHashSignatureFromBases(bases: Column, k: Int): Column =
     array((0 until k).map { i =>
       coalesce(
-        array_min(transform(set, e => md5Long(e, i))),
+        array_min(transform(bases,
+          b => pmod(b * minHashA(i) + minHashB(i), lit(MinHashP)))),
         lit(Long.MaxValue))
     }: _*)
+
+  /** MinHash signature of a string set. Convenience form; prefer
+    * staging [[md5Base28]] bases first in hot paths.
+    */
+  def minHashSignature(set: Column, k: Int): Column =
+    minHashSignatureFromBases(transform(set, e => md5Base28(e)), k)
 
   /** SimHash fingerprint over `bits` bit positions (≤ 30): for each bit
     * b, sum ±1 over elements according to bit b of the element hash;
     * bit set iff the sum is positive. Returns an integer fingerprint.
     * Near-duplicate texts differ in few bits (small Hamming distance).
+    *
+    * The element hashes are computed once in a single fold that builds
+    * a per-bit vote array (not once per bit — md5 is the dominant cost).
     */
   def simHash(set: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 30, "simHash supports 1..30 bits")
-    val contrib = (0 until bits).map { b =>
-      val vote = aggregate(
-        set,
-        lit(0L),
-        (acc, e) =>
-          acc + when(shiftright(md5Long(e), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L)))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    contrib.reduce(_ + _)
+    simHashOfHashes(transform(set, e => md5Long(e)), bits)
+  }
+
+  /** SimHash from pre-hashed elements (see [[simHash]]). */
+  def simHashOfHashes(hashes: Column, bits: Int): Column = {
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), bits),
+      (acc, h) => {
+        val contrib = array((0 until bits).map { b =>
+          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+        }: _*)
+        zip_with(acc, contrib, (a, c) => a + c)
+      })
+    val weights = array((0 until bits).map(b => lit(1L << b)): _*)
+    aggregate(
+      zip_with(votes, weights, (v, w) => when(v > 0, w).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two long fingerprints. */

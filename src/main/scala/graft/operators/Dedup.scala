@@ -19,6 +19,16 @@ import graft.functions._
   */
 object Dedup {
 
+  /** CPU-heavy signature derivation parallelizes poorly when the input
+    * is a single small file (one parquet split ⇒ one task): spread it
+    * across the cluster first. A no-op at scale, where inputs already
+    * have ≥ parallelism splits.
+    */
+  private[operators] def parallelize(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, want / 2)) df.repartition(want) else df
+  }
+
   /** Exact deduplication on a canonical fingerprint of `textCol`:
     * keeps the row with the smallest `idCol` per fingerprint group.
     * One hash-aggregate shuffle; survivors are recovered with a
@@ -67,16 +77,36 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    val docs = df
-      .select(
-        col(idCol).as("id"),
-        array_distinct(wordShingles(tokens(col(textCol)), shingleSize)).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+    // Staged projections, not one nested expression: each stage's
+    // output is a materialized attribute, so the token/shingle arrays
+    // are computed once per row (expression trees referenced from
+    // lambda bodies are re-evaluated per reference — Catalyst's
+    // subexpression elimination cannot reach into them).
+    val docs = parallelize(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(wordShingles(col("toks"), shingleSize)).as("shingles"))
+      // one md5 pass per shingle; the k-member family is arithmetic
+      .select(col("id"), col("shingles"),
+        transform(col("shingles"), e => md5Base28(e)).as("bases"))
+      .select(col("id"), size(col("shingles")).as("n_sh"),
+        minHashSignatureFromBases(col("bases"), numHashes).as("sig"),
+        // verification operates on 60-bit hashed shingle sets: set ops
+        // over longs, not strings (identical Jaccard up to md5 collision)
+        hashedSet(col("shingles")).as("shash"))
+      // signature table is consumed by three plan branches (two banded
+      // sides + verification); persist it — it's the small derived
+      // table (ids + k longs + hashed set), never the corpus text.
+      // The emptiness filter applies ABOVE the cache boundary, so it
+      // cannot be pushed down into (and re-derive) the projection chain.
+      .persist()
+      .where(col("n_sh") > 0)
 
-    // band key = (band index, joined band slice of the signature)
+    // band key = (band index, joined band slice of the signature);
+    // candidate pairs travel as bare (id_a, id_b) — no array payloads
+    // through the join or the dedup
     val banded = docs.select(
-      col("id"), col("shingles"),
+      col("id"),
       explode(array((0 until bands).map { b =>
         struct(
           lit(b).as("band"),
@@ -86,17 +116,26 @@ object Dedup {
               h => h.cast("string")),
             "_").as("bucket"))
       }: _*)).as("bk"))
-      .select(col("id"), col("shingles"), col("bk.band"), col("bk.bucket"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
 
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // a pair may collide in several bands
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+
+    val sets = docs.select(col("id"), col("shash"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shash", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shash", "sh_b"), "id_b")
+      // intersect once per pair (projection stage), then pure arithmetic
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double").as("tot"))
+      .withColumn("jaccard",
+        when(col("tot") - col("inter") === 0, lit(0d))
+          .otherwise(col("inter") / (col("tot") - col("inter"))))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -107,9 +146,12 @@ object Dedup {
     */
   def simHashFingerprints(
       df: DataFrame, textCol: String, idCol: String, bits: Int = 24): DataFrame =
-    df.select(
-      col(idCol).as("id"),
-      simHash(array_distinct(tokens(col(textCol))), bits).as("simhash"))
+    parallelize(df).select(
+        col(idCol).as("id"),
+        // explicit projection boundary: element hashes computed once,
+        // then folded — not re-derived per bit
+        hashedSet(tokens(col(textCol))).as("h"))
+      .select(col("id"), simHashOfHashes(col("h"), bits).as("simhash"))
 
   /** Near-duplicate pairs by SimHash: block on fingerprint chunks
     * (pigeonhole: two fingerprints within Hamming distance d must agree
@@ -153,16 +195,24 @@ object Dedup {
       blockCols: Seq[String],
       shingleSize: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    val docs = df.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+
-        array_distinct(wordShingles(tokens(col(textCol)), shingleSize)).as("shingles"): _*)
-      .where(size(col("shingles")) > 0)
+    val docs = parallelize(df)
+      .select((col(idCol).as("id") +: blockCols.map(col)) :+
+        tokens(col(textCol)).as("toks"): _*)
+      .select((col("id") +: blockCols.map(col)) :+
+        hashedSet(wordShingles(col("toks"), shingleSize)).as("shash"): _*)
+      .persist() // consumed by both self-join sides
+      .where(size(col("shash")) > 0) // above the cache: no pushdown re-derivation
     val a = docs.as("a"); val b = docs.as("b")
     val blockPred = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     a.join(b, blockPred && col("a.id") < col("b.id"))
-      .withColumn("jaccard", jaccard(col("a.shingles"), col("b.shingles")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        size(array_intersect(col("a.shash"), col("b.shash"))).cast("double").as("inter"),
+        (size(col("a.shash")) + size(col("b.shash"))).cast("double").as("tot"))
+      .withColumn("jaccard",
+        when(col("tot") - col("inter") === 0, lit(0d))
+          .otherwise(col("inter") / (col("tot") - col("inter"))))
       .where(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Embedding cosine near-duplicate pairs, LSH-bucketed: block on
@@ -175,10 +225,11 @@ object Dedup {
       vecCol: String,
       idCol: String,
       threshold: Double = 0.95,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8,
+      dims: Int = 64): DataFrame = {
     val sigs = df.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.hyperplaneSignature(col(vecCol), planes).as("sig"))
+      Similarity.hyperplaneSignature(col(vecCol), planes, dims).as("sig"))
     val a = sigs.as("a"); val b = sigs.as("b")
     a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .withColumn("cosine", cosineSimilarity(col("a.vec"), col("b.vec")))

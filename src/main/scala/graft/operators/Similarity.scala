@@ -26,23 +26,41 @@ import graft.functions._
   */
 object Similarity {
 
-  /** Deterministic pseudo-random weight in [-1, 1] for (plane, dim). */
-  private def planeWeight(tag: String, plane: Column, dim: Column): Column =
-    (pmod(md5Long(concat_ws(":", lit(tag), plane, dim)), lit(2001L)) - 1000L) / 1000d
-
-  /** Sign-bit signature of `vec` against `planes` deterministic random
-    * hyperplanes; returns a compact integer bucket key.
+  /** Deterministic pseudo-random weight in [-1, 1] for (plane, dim):
+    * md5("tag:plane:dim") → first 15 hex digits → mod 2001, centered.
+    * Computed driver-side (it depends on constants only, never on
+    * data), so signatures cost zero per-row hashing; the identical
+    * formula is reproducible in any engine with md5
+    * (`('0x'||substr(md5(s),1,15))::BIGINT % 2001` in DuckDB).
     */
-  def hyperplaneSignature(vec: Column, planes: Int, tag: String = "hp"): Column = {
+  def planeWeight(tag: String, plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$plane:$dim".getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000d
+  }
+
+  /** Sign-bit signature of `vec` (fixed dimension `dims`) against
+    * `planes` deterministic random hyperplanes; returns a compact
+    * integer bucket key. Plane weights are literal arrays — the dot
+    * products are pure codegen'd arithmetic over the vector.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int, dims: Int, tag: String = "hp"): Column = {
     val bits = (0 until planes).map { p =>
+      val w = array((0 until dims).map(j => lit(planeWeight(tag, p, j))): _*)
       val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeWeight(tag, lit(p), i)),
+        zip_with(vec, w, (x, wj) => x.cast("double") * wj),
         lit(0d), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  /** Infer embedding dimensionality from the first row (cheap probe;
+    * pass `dims` explicitly to avoid the extra job).
+    */
+  private def inferDims(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 
   /** Exact cosine top-k: for each row of `queries`, the `k` most
     * similar rows of `corpus` (excluding identical ids when both sides
@@ -51,11 +69,17 @@ object Similarity {
   def bruteForceKnn(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms precomputed once per row, not once per scored pair
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", l2Norm(col("qv"))))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cnorm", l2Norm(col("cv")))
     val scored = c.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("cosine",
+        dotProduct(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -70,26 +94,32 @@ object Similarity {
   def lshKnn(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      planes: Int = 8, tables: Int = 2): DataFrame = {
+      planes: Int = 8, tables: Int = 2, dims: Int = -1): DataFrame = {
+
+    val dim = if (dims > 0) dims else inferDims(corpus, vecCol)
 
     def signed(df: DataFrame, id: String): DataFrame =
       df.select(
         col(idCol).as(id), col(vecCol).as(s"${id}_vec"),
+        l2Norm(col(vecCol)).as(s"${id}_norm"),
         explode(array((0 until tables).map { t =>
           struct(
             lit(t).as("table"),
-            hyperplaneSignature(col(vecCol), planes, s"hp$t").as("sig"))
+            hyperplaneSignature(col(vecCol), planes, dim, s"hp$t").as("sig"))
         }: _*)).as("bk"))
-        .select(col(id), col(s"${id}_vec"), col("bk.table"), col("bk.sig"))
+        .select(col(id), col(s"${id}_vec"), col(s"${id}_norm"),
+          col("bk.table"), col("bk.sig"))
 
     val c = signed(corpus, "neighbor_id")
     val q = broadcast(signed(queries, "query_id"))
     val candidates = c.join(q, Seq("table", "sig"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
+      .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec",
+        "query_id_norm", "neighbor_id_norm")
       .distinct() // collapse multi-table collisions
       .withColumn("cosine",
-        cosineSimilarity(col("query_id_vec"), col("neighbor_id_vec")))
+        dotProduct(col("query_id_vec"), col("neighbor_id_vec")) /
+          (col("query_id_norm") * col("neighbor_id_norm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates.withColumn("rank", row_number().over(w))

@@ -156,10 +156,15 @@ object Pipeline {
                 i -> t[i] || ' ' || t[i+1])) AS sh
             FROM (SELECT doc_id, $Toks AS t FROM documents)),
           sigs AS (
+            -- minhash family: h_i(x) = (a_i·base28(x) + b_i) mod (2^31−1),
+            -- a_i = (i·2654435761) mod (2^31−2) + 1, b_i = (i·40503·65537) mod (2^31−1),
+            -- base28 = first 7 md5 hex digits (matches graft.functions)
             SELECT id, sh,
               list_transform(range(0, 16), i ->
                 coalesce(list_min(list_transform(sh, s ->
-                  ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT)),
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
                   9223372036854775807)) AS sig
             FROM docs WHERE len(sh) > 0),
           banded AS (
