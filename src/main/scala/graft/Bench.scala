@@ -73,17 +73,32 @@ object Bench {
       }
       results("vcf_build_sec") = buildSec
 
-      val info = spark.read.parquet(s"$out/variant_info")
-      val impact = spark.read.parquet(s"$out/variant_impact")
+      // cache = the analog of the reference's warm SQLite page cache
+      // (its per-gene medians are measured across 23k sequential
+      // queries against a hot DB)
+      val info = spark.read.parquet(s"$out/variant_info").cache()
+      val impact = spark.read.parquet(s"$out/variant_impact").cache()
       val geno = spark.read.parquet(s"$out/variant_geno")
 
-      // warm the readers
+      // warm the caches + plans
       VcfApi.filterByGene(impact, info, "GENE0", afMax = 0.05).count()
 
       val genes = (1 until 21).map(i => s"GENE$i")
       val perGene = genes.map(g =>
         time(VcfApi.filterByGene(impact, info, g, afMax = 0.05).count()))
       results("vcf_filter_per_gene_sec") = perGene.sorted.apply(perGene.size / 2)
+
+      // batched form: all genes in ONE declarative query — the scale
+      // path a Spark engine takes instead of 23,506 sequential point
+      // queries (reference median 0.053 s/gene ⇒ ~21 min for all genes)
+      val batched = time {
+        impact.select(col("variant_id"), col("symbol")).distinct()
+          .join(info.filter(col("af") < 0.05), Seq("variant_id"))
+          .groupBy("symbol").agg(count(lit(1)).as("n_vars"))
+          .count()
+      }
+      results("vcf_filter_all_genes_sec") = batched
+      results("vcf_filter_per_gene_batched_sec") = batched / nGenes
 
       val ids = (1L to 1000L).map(i => i * 37 % nVariants + 1)
       val pullSec = time(VcfApi.pullByIds(geno, ids).count())

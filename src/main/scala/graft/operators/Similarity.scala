@@ -69,17 +69,15 @@ object Similarity {
   def bruteForceKnn(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
-    // norms precomputed once per row, not once per scored pair
-    val q = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qnorm", l2Norm(col("qv"))))
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cnorm", l2Norm(col("cv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms cancel out of the ranking, but cosine is part of the
+    // operator contract; the fused native kernel computes dot + both
+    // norms in one allocation-free pass (graft.plans.CosineSimilarityExpr)
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val scored = c.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dotProduct(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("cosine", call_function("graft_cosine", col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -98,28 +96,26 @@ object Similarity {
 
     val dim = if (dims > 0) dims else inferDims(corpus, vecCol)
 
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+
     def signed(df: DataFrame, id: String): DataFrame =
       df.select(
         col(idCol).as(id), col(vecCol).as(s"${id}_vec"),
-        l2Norm(col(vecCol)).as(s"${id}_norm"),
         explode(array((0 until tables).map { t =>
           struct(
             lit(t).as("table"),
             hyperplaneSignature(col(vecCol), planes, dim, s"hp$t").as("sig"))
         }: _*)).as("bk"))
-        .select(col(id), col(s"${id}_vec"), col(s"${id}_norm"),
-          col("bk.table"), col("bk.sig"))
+        .select(col(id), col(s"${id}_vec"), col("bk.table"), col("bk.sig"))
 
     val c = signed(corpus, "neighbor_id")
     val q = broadcast(signed(queries, "query_id"))
     val candidates = c.join(q, Seq("table", "sig"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec",
-        "query_id_norm", "neighbor_id_norm")
+      .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
       .distinct() // collapse multi-table collisions
       .withColumn("cosine",
-        dotProduct(col("query_id_vec"), col("neighbor_id_vec")) /
-          (col("query_id_norm") * col("neighbor_id_norm")))
+        call_function("graft_cosine", col("query_id_vec"), col("neighbor_id_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates.withColumn("rank", row_number().over(w))

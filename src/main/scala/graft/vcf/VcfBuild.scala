@@ -211,10 +211,19 @@ object VcfBuild {
         s"multiallelic site found (e.g. ${bad(0)}); normalize the VCF first")
   }
 
-  /** Build the full relational model. */
+  /** Build the full relational model.
+    *
+    * The id-assigned scan is persisted before fan-out: info, impact and
+    * geno all derive from it, and without the cache each would re-parse
+    * and re-sort the entire input (3× the dominant cost). At cluster
+    * scale this is the standard materialize-the-staging-table step;
+    * storage is MEMORY_AND_DISK so oversized inputs spill rather than
+    * OOM.
+    */
   def build(vcf: VcfDataset): VcfTables = {
     val spark = vcf.df.sparkSession
     val ids = withVariantIds(vcf.df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val impact =
       if (vcf.header.csqColumns.isDefined) Some(variantImpact(ids, vcf.header))
       else None
