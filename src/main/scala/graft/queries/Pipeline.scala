@@ -207,6 +207,34 @@ object Pipeline {
                  THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
           FROM (SELECT doc_id, list_distinct($Toks) AS toks FROM documents)
           ORDER BY doc_id""",
+    "q36_ann_lsh" ->
+      """WITH sig AS (
+            -- random-hyperplane signature, table 0 ("hp0"), 6 planes:
+            -- w(p,j) = (md5_60bit('hp0:p:j') % 2001 − 1000)/1000
+            SELECT vec_id, embedding,
+              list_sum(list_transform(range(0, 6), p ->
+                CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), j ->
+                  embedding[j]::DOUBLE *
+                    (((('0x' || substr(md5('hp0:' || p::VARCHAR || ':' || (j-1)::VARCHAR), 1, 15))::BIGINT
+                       % 2001) - 1000) / 1000.0))) >= 0
+                THEN 1 << p ELSE 0 END)) AS s
+            FROM embeddings),
+          cand AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              q.embedding AS qv, c.embedding AS cv
+            FROM sig q JOIN sig c ON q.s = c.s AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5),
+          scored AS (
+            SELECT query_id, neighbor_id,
+              list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cosine
+            FROM cand)
+          SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= 5 ORDER BY query_id, rank""",
     "q35_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
           c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
