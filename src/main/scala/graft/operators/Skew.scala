@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is pathological
+  * (one hot key swamping a single reducer — the classic 100 TB
+  * failure mode that small-scale tests never surface).
+  *
+  * [[saltedJoin]] implements explicit key salting: the skewed (left)
+  * side scatters each key across `salt` sub-keys by hashing a
+  * tie-break column; the build (right) side replicates each row to all
+  * `salt` sub-keys. The join then distributes a hot key over `salt`
+  * reducers. AQE's skew-join handles sort-merge cases adaptively;
+  * explicit salting remains the tool when AQE can't see the skew
+  * (e.g. pre-shuffle aggregations or non-SMJ plans), and is exposed
+  * here as a first-class operator.
+  */
+object Skew {
+
+  /** Inner equi-join of `left` (skewed, large) with `right` (small
+    * enough to replicate ×salt) on `keyCols`. Result equals the plain
+    * inner join, row for row.
+    *
+    * @param scatterCol left-side column whose hash spreads a hot key's
+    *                   rows across sub-keys (any reasonably-distributed
+    *                   column; a monotonic id works)
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      scatterCol: String, salt: Int = 16): DataFrame = {
+    require(salt > 0)
+    val l = left.withColumn("__salt", pmod(hash(col(scatterCol)), lit(salt)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1)).cast("array<int>")))
+    l.join(r, keyCols :+ "__salt").drop("__salt")
+  }
+
+  /** Per-key row counts with an approximate heavy-hitter flag — the
+    * diagnostic used to decide whether salting is warranted.
+    */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[String], hotFactor: Double = 10.0): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(avg("n").as("avg_n")).head()
+    val avgN = stats.getDouble(0)
+    counts.withColumn("is_hot", col("n") > lit(avgN * hotFactor))
+  }
+}

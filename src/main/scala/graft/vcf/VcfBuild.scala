@@ -255,6 +255,25 @@ final case class VcfTables(
     * clustering of `02-build-db.R:463-465` — so id-predicate pulls
     * touch few row groups.
     */
+  /** Persist as bucketed managed tables (`spark.sql.warehouse.dir`):
+    * `variant_info`, `variant_impact` and `variant_geno` are bucketed
+    * and sorted by `variant_id` into the same bucket count, so
+    * info⨝impact⨝geno joins on `variant_id` are co-located — zero
+    * Exchange in the join plan (verified in `VcfSpec`). This is the
+    * cluster-scale layout; [[write]] is the plain-directory variant.
+    */
+  def writeBucketed(prefix: String, buckets: Int = 32): Unit = {
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite")
+        .bucketBy(buckets, "variant_id")
+        .sortBy("variant_id")
+        .format("parquet")
+        .saveAsTable(s"${prefix}_$name")
+    save(info, "variant_info")
+    impact.foreach(save(_, "variant_impact"))
+    save(geno, "variant_geno")
+  }
+
   def write(outDir: String): Unit = {
     info.sortWithinPartitions("variant_id")
       .write.mode("overwrite").parquet(s"$outDir/variant_info")

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.vcf.{ToyVcf, VcfBuild, VcfReader}
+
+/** Specs for the scale techniques: salted skew joins and bucketed
+  * co-located joins.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin ≡ plain join on skewed keys") {
+    // one hot key with 5k rows, 50 cold keys
+    val left = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      (2 to 51).map(k => (k.toLong, k * 1000L))).toDF("k", "id")
+    val right = (1 to 51).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    val got = Skew.saltedJoin(left, right, Seq("k"), "id", salt = 8)
+      .select("k", "id", "name").as[(Long, Long, String)].collect().sorted.toSeq
+    val want = left.join(right, "k")
+      .select("k", "id", "name").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got == want && got.size == 5050)
+  }
+
+  test("keySkewProfile flags the hot key") {
+    val df = ((1 to 1000).map(_ => 1L) ++ (2 to 20).map(_.toLong)).toDF("k")
+    val hot = Skew.keySkewProfile(df, Seq("k"))
+      .filter($"is_hot").select("k").as[Long].collect().toSeq
+    assert(hot == Seq(1L))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val tables = VcfBuild.build(VcfReader.fromLines(spark, ToyVcf.lines))
+      tables.writeBucketed("toy", buckets = 4)
+      val info = spark.table("toy_variant_info")
+      val geno = spark.table("toy_variant_geno")
+      val joined = info.join(geno, "variant_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be co-located, got:\n$plan")
+      assert(joined.count() == 12)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS toy_variant_info")
+      spark.sql("DROP TABLE IF EXISTS toy_variant_impact")
+      spark.sql("DROP TABLE IF EXISTS toy_variant_geno")
+    }
+  }
+}
