@@ -299,6 +299,41 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // ---- exact percentiles (interpolated order statistics) ----
+    "q51_percentiles" -> ((s, d) => {
+      ord(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- cube (full grouping-set lattice) ----
+    "q52_cube" -> ((s, d) => {
+      li(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // ---- lead/lag window navigation ----
+    "q53_lead_lag" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      ord(s, d)
+        .withColumn("prev_price", round(lag("o_totalprice", 1).over(w), 2))
+        .withColumn("next_price", round(lead("o_totalprice", 1).over(w), 2))
+        .filter(col("o_custkey") < 50)
+        .select("o_custkey", "o_orderkey", "prev_price", "next_price")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ---- §4.3 range-overlap join via binning decomposition ----
     "q26_range_overlap_join" -> ((s, d) => {
       val points = ord(s, d).select(
@@ -478,6 +513,26 @@ object Relational {
          string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q51_percentiles" ->
+      """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+         count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q52_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q53_lead_lag" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey,
+             round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+             round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC))
+         WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""",
     "q26_range_overlap_join" ->
       """SELECT s_suppkey, count(*) AS n_orders
          FROM (SELECT o_orderkey, o_totalprice AS pstart, o_totalprice + 5000 AS pend

@@ -69,7 +69,7 @@ object VcfBuild {
     */
   def variantInfo(ids: DataFrame, header: VcfHeaderInfo): DataFrame = {
     val perAlt = Set("A", "R", "G")
-    val infoCols: Seq[Column] = header.infoDefs
+    val infoCols: Seq[Column] = header.dedupedInfoDefs
       .filterNot(_.id == "CSQ")
       .map { d =>
         val name = d.id.toLowerCase

@@ -23,6 +23,14 @@ final case class VcfHeaderInfo(
 
   def infoDef(id: String): Option[VcfFieldDef] = infoDefs.find(_.id == id)
 
+  /** INFO defs with later case-insensitive duplicates dropped — the
+    * reference's column dedupe (`02-build-db.R:348`); parser and table
+    * builders must agree on this set.
+    */
+  def dedupedInfoDefs: Seq[VcfFieldDef] =
+    infoDefs.groupBy(_.id.toLowerCase).map(_._2.head).toSeq
+      .sortBy(d => infoDefs.indexWhere(_.id == d.id))
+
   /** VEP CSQ sub-column names derived from the CSQ Description, with the
     * reference's normalization (lowercase; space/colon/dot → underscore).
     */

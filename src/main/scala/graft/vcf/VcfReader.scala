@@ -85,8 +85,9 @@ object VcfReader {
     val withInfo = fixed.withColumn("_info", infoMap)
 
     // One typed column per INFO declaration (lowercased names — the
-    // reference lowercases all column names, 02-build-db.R:346).
-    val infoCols: Seq[Column] = header.infoDefs.map { d =>
+    // reference lowercases all column names, 02-build-db.R:346 — and
+    // drops later duplicates after case folding, 02-build-db.R:348).
+    val infoCols: Seq[Column] = header.dedupedInfoDefs.map { d =>
       val v = col("_info").getItem(d.id)
       val c = d match {
         case VcfFieldDef(_, _, "Flag", _) =>
