@@ -77,6 +77,35 @@ class VcfSpec extends SparkSpec {
     assert(tables.meta("format").count() == 2)
   }
 
+  test("case-insensitive duplicate INFO declarations: first wins (X11)") {
+    val lines = Seq(
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",
+      "##INFO=<ID=dp,Number=1,Type=Float,Description=\"dup\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "1\t10\t.\tA\tG\t5\tPASS\tDP=7\tGT\t0|1")
+    val v = VcfReader.fromLines(spark, lines)
+    // exactly one dp column, typed from the first declaration (Integer)
+    assert(v.df.columns.count(_ == "dp") == 1)
+    assert(v.df.select("dp").head.getLong(0) == 7L)
+  }
+
+  test("heterogeneous per-row FORMAT resolves fields positionally") {
+    val lines = Seq(
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">",
+      "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"dp\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "1\t10\t.\tA\tG\t5\tPASS\t.\tGT:DP\t0|1:9",
+      "1\t20\t.\tC\tT\t5\tPASS\t.\tDP:GT\t8:1|1", // reversed key order
+      "1\t30\t.\tG\tA\t5\tPASS\t.\tGT\t0|0")      // DP absent
+    val v = VcfReader.fromLines(spark, lines)
+    val geno = VcfBuild.variantGeno(VcfBuild.withVariantIds(v.df), v.header)
+      .select("variant_id", "gt_raw", "dp")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(geno == Seq(
+      (1L, "0|1", Some(9L)), (2L, "1|1", Some(8L)), (3L, "0|0", None)))
+  }
+
   test("multiallelic guard throws on unnormalized input") {
     val bad = ToyVcf.lines.map(l =>
       if (l.startsWith("1\t100")) l.replace("\tG\t", "\tG,C\t") else l)
