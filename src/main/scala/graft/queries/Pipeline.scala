@@ -112,6 +112,13 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // ---- corpus token frequencies (explode → agg → top-k) ----
+    "q54_token_topk" -> ((s, d) => {
+      TextAnalysis.tokenFrequencies(Tables.documents(s, d), "text")
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // ---- document fingerprint (md5 of normalized text) ----
     "q40_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -304,6 +311,10 @@ object Pipeline {
           round(avg(len(toks)), 4) AS avg_tokens
           FROM (SELECT source, text, $Toks AS toks FROM documents)
           GROUP BY source ORDER BY source""",
+    "q54_token_topk" ->
+      s"""SELECT token, count(*) AS freq
+          FROM (SELECT unnest($Toks) AS token FROM documents)
+          GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20""",
     "q40_fingerprint" ->
       """SELECT doc_id,
           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint

@@ -49,10 +49,23 @@ object VcfPipeline {
 
   /** Parse → validate → build → write. Rerun-safe: every table write
     * is a deterministic overwrite.
+    *
+    * Validation parity with the reference's stage-1 guard
+    * (`01-generate-variant-ranges-index.R:43-53`): multiallelic sites
+    * are written to `<out>/multiallelic_sites` as TSV for inspection,
+    * then the build aborts.
     */
   def run(spark: SparkSession, vcfPath: String, outDir: String): VcfTables = {
     val vcf = VcfReader.read(spark, vcfPath)
-    VcfBuild.requireNormalized(vcf.df)
+    val bad = VcfBuild.multiallelicSites(vcf.df)
+    if (!bad.isEmpty) {
+      bad.coalesce(1).write.mode("overwrite")
+        .option("sep", "\t").option("header", "true")
+        .csv(s"$outDir/multiallelic_sites")
+      throw new IllegalArgumentException(
+        s"multiallelic sites found; report written to $outDir/multiallelic_sites — " +
+          "normalize the VCF (e.g. bcftools norm -m-) and rerun")
+    }
     val tables = VcfBuild.build(vcf)
     tables.write(outDir)
     tables

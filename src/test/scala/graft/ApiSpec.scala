@@ -1,0 +1,57 @@
+package graft
+
+import graft.vcf._
+
+/** Typed-model and pipeline-driver specs. */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tables = VcfBuild.build(VcfReader.fromLines(spark, ToyVcf.lines))
+
+  test("typed Dataset views of the fixed core") {
+    import VcfModel._
+    val core = VcfModel.coreOf(tables).collect().sortBy(_.variant_id)
+    assert(core.length == 6)
+    assert(core.head == VariantCore(1, "1", 100, 100, "A", "G", Some(50.0), Some("PASS")))
+    val g = VcfModel.genotypesOf(tables)
+      .filter(_.variant_id == 3).collect().sortBy(_.sample)
+    assert(g.map(_.gt).toSeq == Seq(None, Some(1.0)))
+    val imp = VcfModel.impactsOf(tables).get
+    assert(imp.filter(_.is_lof).map(_.variant_id).collect().distinct.sorted.toSeq ==
+      Seq(2L, 5L))
+  }
+
+  test("VcfPipeline.run: end-to-end from a file, rerun-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("vcfpipe").toString
+    val vcfFile = s"$dir/toy.vcf"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(vcfFile),
+      ToyVcf.lines.mkString("\n").getBytes("UTF-8"))
+    val out = s"$dir/db"
+    VcfPipeline.run(spark, vcfFile, out)
+    VcfPipeline.run(spark, vcfFile, out) // idempotent rerun
+    assert(spark.read.parquet(s"$out/variant_info").count() == 6)
+    assert(spark.read.parquet(s"$out/variant_geno").count() == 12)
+  }
+
+  test("VcfPipeline.run writes a multiallelic TSV report then aborts") {
+    val dir = java.nio.file.Files.createTempDirectory("vcfpipe2").toString
+    val bad = ToyVcf.lines.map(l =>
+      if (l.startsWith("1\t100")) l.replace("\tG\t", "\tG,C\t") else l)
+    val vcfFile = s"$dir/bad.vcf"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(vcfFile), bad.mkString("\n").getBytes("UTF-8"))
+    val out = s"$dir/db"
+    intercept[IllegalArgumentException](VcfPipeline.run(spark, vcfFile, out))
+    val report = spark.read.option("sep", "\t").option("header", "true")
+      .csv(s"$out/multiallelic_sites")
+    assert(report.count() == 1)
+    assert(report.select("alt").as[String].head == "G,C")
+  }
+
+  test("GraftSession.getOrCreate registers graft functions") {
+    val s = GraftSession.getOrCreate()
+    assert(s.sql("SELECT graft_cosine(array(1.0d), array(1.0d))")
+      .collect()(0).getDouble(0) == 1.0)
+  }
+}
