@@ -61,4 +61,33 @@ object RangeJoin {
           col("__bin") === firstSharedBin)
       .drop("__bin")
   }
+
+  /** Same join semantics through the custom physical operator
+    * ([[graft.plans.BroadcastIntervalJoinExec]]): the `right` side is
+    * broadcast as a per-key sorted interval table and each left row
+    * probes it with early exit — no explode, no shuffle, no
+    * BroadcastNestedLoop. Prefer when `right` fits in a broadcast;
+    * [[overlap]] is the all-sizes path.
+    */
+  def overlapExec(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import graft.plans.{IntervalJoinPlan, IntervalJoinStrategy}
+    val spark = left.sparkSession
+    GraftBridge.addStrategy(spark, IntervalJoinStrategy)
+    val lp = GraftBridge.logicalPlan(left)
+    val rp = GraftBridge.logicalPlan(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in ${p.output.map(_.name).mkString(",")}"))
+    GraftBridge.ofRows(spark, IntervalJoinPlan(
+      lp, rp,
+      keyCols.map(attr(lp, _)), keyCols.map(attr(rp, _)),
+      attr(lp, leftStart), attr(lp, leftEnd),
+      attr(rp, rightStart), attr(rp, rightEnd)))
+  }
 }

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions.call_function
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineFn)
+    e.injectPlannerStrategy(_ => IntervalJoinStrategy)
   }
 }
 

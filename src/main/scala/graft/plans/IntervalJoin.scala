@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.DoubleType
+
+/** Whole-operator Catalyst extension (SURVEY.md §4.3 preference order
+  * c): an interval-overlap join as a first-class logical node, planner
+  * strategy, and physical operator — the alternative execution path to
+  * the compositional binning decomposition in
+  * [[graft.operators.RangeJoin]].
+  *
+  * Physical algorithm (broadcast interval join): the build side is
+  * collected, grouped by key, sorted by interval start, and broadcast;
+  * each streamed row walks its key group in start order with
+  * early-exit once `build.start > stream.end`. No shuffle of the
+  * streamed side at all — versus the naive theta-join, which Spark
+  * executes as an O(|L|·|R|) BroadcastNestedLoop with a full pass per
+  * row, and versus binning, which pays an explode and a shuffle. Use
+  * when the regions side fits in a broadcast (the genomic
+  * sidecar-lookup case, `03-index-db.R:72-82`); at larger build sizes
+  * fall back to [[graft.operators.RangeJoin.overlap]].
+  */
+case class IntervalJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftStart: Expression, leftEnd: Expression,
+    rightStart: Expression, rightEnd: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: IntervalJoinPlan =>
+      BroadcastIntervalJoinExec(
+        planLater(j.left), planLater(j.right),
+        j.leftKeys, j.rightKeys,
+        j.leftStart, j.leftEnd, j.rightStart, j.rightEnd) :: Nil
+    case _ => Nil
+  }
+}
+
+case class BroadcastIntervalJoinExec(
+    streamed: SparkPlan, build: SparkPlan,
+    streamKeys: Seq[Expression], buildKeys: Seq[Expression],
+    sStart: Expression, sEnd: Expression,
+    bStart: Expression, bEnd: Expression)
+  extends BinaryExecNode {
+
+  override def left: SparkPlan = streamed
+  override def right: SparkPlan = build
+  override def output: Seq[Attribute] = streamed.output ++ build.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastIntervalJoinExec =
+    copy(streamed = newLeft, build = newRight)
+
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // ---- build phase (driver): group by key, sort by start ----
+    val bKeyProj = UnsafeProjection.create(buildKeys, build.output)
+    val bIvProj = UnsafeProjection.create(Seq(dbl(bStart), dbl(bEnd)), build.output)
+    val grouped = scala.collection.mutable.HashMap
+      .empty[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Double, Double, InternalRow)]]
+    build.executeCollect().foreach { row =>
+      val k = bKeyProj(row)
+      if (!k.anyNull) {
+        val iv = bIvProj(row)
+        if (!iv.isNullAt(0) && !iv.isNullAt(1)) {
+          grouped.getOrElseUpdate(k.copy(),
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((iv.getDouble(0), iv.getDouble(1), row.copy()))
+        }
+      }
+    }
+    val table: Map[UnsafeRow, Array[(Double, Double, InternalRow)]] =
+      grouped.map { case (k, v) => k -> v.sortBy(_._1).toArray }.toMap
+    val bcast = sparkContext.broadcast(table)
+
+    val sKeysLocal = streamKeys
+    val sIvLocal = Seq(dbl(sStart), dbl(sEnd))
+    val streamedOutput = streamed.output
+    val allOutput = output
+
+    streamed.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(sKeysLocal, streamedOutput)
+      val ivProj = UnsafeProjection.create(sIvLocal, streamedOutput)
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(allOutput, allOutput)
+      val lookup = bcast.value
+      iter.flatMap { row =>
+        val k = keyProj(row)
+        val iv = ivProj(row)
+        if (k.anyNull || iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
+        else lookup.get(k) match {
+          case None => Iterator.empty
+          case Some(ivs) =>
+            val s = iv.getDouble(0); val e = iv.getDouble(1)
+            ivs.iterator
+              .takeWhile(_._1 <= e)  // sorted by start ⇒ early exit
+              .filter(_._2 >= s)
+              .map(b => outProj(joined(row, b._3)))
+        }
+      }
+    }
+  }
+}

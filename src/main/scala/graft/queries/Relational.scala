@@ -334,6 +334,25 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- §4.3 range-overlap join via the custom Catalyst operator
+    //      (BroadcastIntervalJoinExec) — same oracle as the binned
+    //      decomposition, different physical path ----
+    "q55_range_join_exec" -> ((s, d) => {
+      val points = ord(s, d).select(
+        col("o_orderkey"),
+        col("o_totalprice").as("pstart"),
+        (col("o_totalprice") + 5000d).as("pend"))
+      val ranges = Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        (col("s_suppkey") * 40000d).as("rstart"),
+        (col("s_suppkey") * 40000d + 60000d).as("rend"))
+      RangeJoin.overlapExec(points, ranges, Seq.empty,
+          "pstart", "pend", "rstart", "rend")
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---- §4.3 range-overlap join via binning decomposition ----
     "q26_range_overlap_join" -> ((s, d) => {
       val points = ord(s, d).select(
@@ -533,6 +552,15 @@ object Relational {
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC))
          WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""",
+    "q55_range_join_exec" ->
+      """SELECT s_suppkey, count(*) AS n_orders
+         FROM (SELECT o_orderkey, o_totalprice AS pstart, o_totalprice + 5000 AS pend
+               FROM orders) p
+         JOIN (SELECT s_suppkey, s_suppkey * 40000.0 AS rstart,
+                      s_suppkey * 40000.0 + 60000 AS rend
+               FROM supplier) r
+           ON p.pstart <= r.rend AND p.pend >= r.rstart
+         GROUP BY s_suppkey ORDER BY s_suppkey""",
     "q26_range_overlap_join" ->
       """SELECT s_suppkey, count(*) AS n_orders
          FROM (SELECT o_orderkey, o_totalprice AS pstart, o_totalprice + 5000 AS pend

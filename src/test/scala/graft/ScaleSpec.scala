@@ -29,6 +29,34 @@ class ScaleSpec extends SparkSpec {
     assert(hot == Seq(1L))
   }
 
+  test("custom BroadcastIntervalJoinExec ≡ naive theta join, and is planned") {
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 400).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, if (rnd.nextBoolean()) "k1" else "k2", s, s + rnd.nextInt(400))
+    }.toDF("lid", "k", "ls", "le")
+    val right = (1 to 60).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, if (rnd.nextBoolean()) "k1" else "k2", s, s + rnd.nextInt(1500))
+    }.toDF("rid", "k", "rs", "re")
+
+    val execDf = operators.RangeJoin.overlapExec(
+      left, right, Seq("k"), "ls", "le", "rs", "re")
+    assert(execDf.queryExecution.executedPlan.toString
+      .contains("BroadcastIntervalJoin"))
+    val got = execDf.select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = left.as("a").join(right.as("b"),
+        $"a.k" === $"b.k" && $"a.ls" <= $"b.re" && $"a.le" >= $"b.rs")
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive && got.nonEmpty)
+
+    // empty key list ⇒ single group (pure interval join)
+    val noKey = operators.RangeJoin.overlapExec(
+      left, right, Seq.empty, "ls", "le", "rs", "re")
+    val naiveNoKey = left.join(right, $"ls" <= $"re" && $"le" >= $"rs").count()
+    assert(noKey.count() == naiveNoKey)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
