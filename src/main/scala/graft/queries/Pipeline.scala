@@ -76,6 +76,14 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- embedding cosine near-dup pairs (LSH-bucketed) ----
+    "q56_embedding_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "embedding", "vec_id",
+          threshold = 0.3, planes = 4, dims = 64)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- language-ID confusion matrix ----
     "q37_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
@@ -256,6 +264,26 @@ object Pipeline {
               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
             FROM scored)
           WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q56_embedding_neardup" ->
+      """WITH sig AS (
+            SELECT vec_id, embedding,
+              list_sum(list_transform(range(0, 4), p ->
+                CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), j ->
+                  embedding[j]::DOUBLE *
+                    (((('0x' || substr(md5('hp:' || p::VARCHAR || ':' || (j-1)::VARCHAR), 1, 15))::BIGINT
+                       % 2001) - 1000) / 1000.0))) >= 0
+                THEN 1 << p ELSE 0 END)) AS s
+            FROM embeddings)
+          SELECT id_a, id_b, round(cosine, 4) AS cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cosine
+            FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id)
+          WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
     "q37_lang_id" ->
       """SELECT lang, pred, count(*) AS n FROM (
            SELECT lang,

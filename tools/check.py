@@ -14,7 +14,7 @@ SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else 
 ARGS = sys.argv[2:] if len(sys.argv) > 1 else []
 SKIP = "--skip-verify" in ARGS
 ONLY = [a for a in ARGS if not a.startswith("--")]
-OUT = "/tmp/graft_verify"
+OUT = "/tmp/graft_verify_" + os.path.basename(SF.rstrip("/"))
 
 if not SKIP:
     r = subprocess.run(
