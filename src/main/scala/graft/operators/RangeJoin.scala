@@ -62,6 +62,27 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Adaptive entry point: picks the broadcast custom-operator path
+    * ([[overlapExec]]) when the regions side is small enough to
+    * broadcast (row-count probe ≤ `broadcastRows`), the shuffled
+    * binned decomposition ([[overlap]]) otherwise — mirroring
+    * Catalyst's own broadcast-vs-shuffle join choice for the operator
+    * it doesn't know about.
+    */
+  def overlapAuto(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      binWidth: Long = 100000L,
+      broadcastRows: Long = 1000000L): DataFrame = {
+    val rightRows = right.count()
+    if (rightRows <= broadcastRows)
+      overlapExec(left, right, keyCols, leftStart, leftEnd, rightStart, rightEnd)
+    else
+      overlap(left, right, keyCols, leftStart, leftEnd, rightStart, rightEnd, binWidth)
+  }
+
   /** Same join semantics through the custom physical operator
     * ([[graft.plans.BroadcastIntervalJoinExec]]): the `right` side is
     * broadcast as a per-key sorted interval table and each left row

@@ -274,9 +274,18 @@ final case class VcfTables(
     save(geno, "variant_geno")
   }
 
-  def write(outDir: String): Unit = {
-    info.sortWithinPartitions("variant_id")
-      .write.mode("overwrite").parquet(s"$outDir/variant_info")
+  def write(outDir: String, partitionByChr: Boolean = false): Unit = {
+    if (partitionByChr)
+      // genomic layout: hive-partition dirs on chr (directory pruning
+      // for range queries) + start-sorted files (min/max stats prune
+      // row groups within a chromosome) — the parquet replacement for
+      // the reference's tabix index (SURVEY §1.4, §4.2)
+      info.repartition(col("chr")).sortWithinPartitions("start")
+        .write.mode("overwrite").partitionBy("chr")
+        .parquet(s"$outDir/variant_info")
+    else
+      info.sortWithinPartitions("variant_id")
+        .write.mode("overwrite").parquet(s"$outDir/variant_info")
     impact.foreach(_.sortWithinPartitions("variant_id")
       .write.mode("overwrite").parquet(s"$outDir/variant_impact"))
     geno.repartitionByRange(col("variant_id"))

@@ -57,6 +57,31 @@ class ScaleSpec extends SparkSpec {
     assert(noKey.count() == naiveNoKey)
   }
 
+  test("overlapAuto picks exec for small builds, binned for large") {
+    val left = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("lid", "ls", "le")
+    val right = Seq((1L, 15L, 35L)).toDF("rid", "rs", "re")
+    val auto = operators.RangeJoin.overlapAuto(
+      left, right, Seq.empty, "ls", "le", "rs", "re")
+    assert(auto.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"))
+    assert(auto.count() == 2)
+    val binned = operators.RangeJoin.overlapAuto(
+      left, right, Seq.empty, "ls", "le", "rs", "re", broadcastRows = 0)
+    assert(!binned.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"))
+    assert(binned.count() == 2)
+  }
+
+  test("chr-partitioned info layout prunes directories for range pulls") {
+    val dir = java.nio.file.Files.createTempDirectory("vcfchr").toString
+    val tables = VcfBuild.build(VcfReader.fromLines(spark, ToyVcf.lines))
+    tables.write(dir, partitionByChr = true)
+    val info = spark.read.parquet(s"$dir/variant_info")
+    val pulled = graft.vcf.VcfApi.pullByRange(info, "1", 150L, 350L)
+    // partition filter reaches the scan: only the chr=1 directory read
+    val scan = pulled.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("chr"))
+    assert(pulled.select("variant_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
