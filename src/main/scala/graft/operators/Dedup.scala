@@ -227,12 +227,13 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 8,
       dims: Int = 64): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val sigs = df.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       Similarity.hyperplaneSignature(col(vecCol), planes, dims).as("sig"))
     val a = sigs.as("a"); val b = sigs.as("b")
     a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosineSimilarity(col("a.vec"), col("b.vec")))
+      .withColumn("cosine", call_function("graft_cosine", col("a.vec"), col("b.vec")))
       .where(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
