@@ -96,9 +96,10 @@ object RangeJoin {
       leftStart: String, leftEnd: String,
       rightStart: String, rightEnd: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    import graft.plans.{IntervalJoinPlan, IntervalJoinStrategy}
+    import graft.plans.{IntervalJoinPlan, IntervalJoinStrategy, PruneIntervalJoinColumns}
     val spark = left.sparkSession
     GraftBridge.addStrategy(spark, IntervalJoinStrategy)
+    GraftBridge.addOptimization(spark, PruneIntervalJoinColumns)
     val lp = GraftBridge.logicalPlan(left)
     val rp = GraftBridge.logicalPlan(right)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineFn)
     e.injectPlannerStrategy(_ => IntervalJoinStrategy)
+    e.injectOptimizerRule(_ => PruneIntervalJoinColumns)
   }
 }
 

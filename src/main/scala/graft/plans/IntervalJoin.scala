@@ -38,6 +38,36 @@ case class IntervalJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: column pruning through [[IntervalJoinPlan]].
+  *
+  * Catalyst's `ColumnPruning` stops at nodes it doesn't know, so a
+  * `select(few)` above the custom join would otherwise read every
+  * column of both scans. This rule pushes a Project onto each child
+  * keeping only the attributes the parent projection and the join
+  * condition reference. Fires only when it actually shrinks a child,
+  * so it reaches a fixed point.
+  */
+object PruneIntervalJoinColumns
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projectList, j: IntervalJoinPlan) =>
+      val needed = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet((j.leftKeys ++ j.rightKeys ++
+          Seq(j.leftStart, j.leftEnd, j.rightStart, j.rightEnd))
+          .flatMap(_.references))
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(needed.contains)
+        if (keep.size < child.output.size) Project(keep, child) else child
+      }
+      val (l, r) = (prune(j.left), prune(j.right))
+      if (l.eq(j.left) && r.eq(j.right)) p
+      else p.copy(child = j.copy(left = l, right = r))
+  }
+}
+
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: IntervalJoinPlan =>

@@ -22,4 +22,13 @@ object GraftBridge {
       exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
+
+  def addOptimization(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = classic.ClassicConversions.castToImpl(spark).experimental
+    if (!exp.extraOptimizations.contains(r)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
+  }
 }

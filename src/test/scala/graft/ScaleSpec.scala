@@ -57,6 +57,22 @@ class ScaleSpec extends SparkSpec {
     assert(noKey.count() == naiveNoKey)
   }
 
+  test("PruneIntervalJoinColumns pushes pruning through the custom join") {
+    val left = Seq((1L, 10L, 20L, "x", 1.0, "pad1"))
+      .toDF("lid", "ls", "le", "extra1", "extra2", "extra3")
+    val right = Seq((1L, 15L, 35L, "y", 2.0))
+      .toDF("rid", "rs", "re", "rextra1", "rextra2")
+    val joined = operators.RangeJoin.overlapExec(
+        left, right, Seq.empty, "ls", "le", "rs", "re")
+      .select("lid", "rid")
+    val widths = joined.queryExecution.optimizedPlan.collect {
+      case j: plans.IntervalJoinPlan => (j.left.output.size, j.right.output.size)
+    }
+    // pruned to join columns + projected ids: (lid, ls, le) and (rid, rs, re)
+    assert(widths == Seq((3, 3)), s"got $widths")
+    assert(joined.as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+  }
+
   test("overlapAuto picks exec for small builds, binned for large") {
     val left = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("lid", "ls", "le")
     val right = Seq((1L, 15L, 35L)).toDF("rid", "rs", "re")
