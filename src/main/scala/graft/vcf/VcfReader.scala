@@ -79,7 +79,9 @@ object VcfReader {
       nullable(f.getItem(5)).cast(DoubleType).as("qual"),
       nullable(f.getItem(6)).as("filter"),
       f.getItem(7).as("_info_raw"),
-      f.getItem(8).as("format"),
+      // sites-only VCFs stop after INFO: FORMAT/sample access must be
+      // null-tolerant (ANSI get(), not ordinal indexing)
+      get(f, lit(8)).as("format"),
       slice(f, 10, Int.MaxValue - 16).as("_samples_raw"))
 
     val withInfo = fixed.withColumn("_info", infoMap)
@@ -104,9 +106,15 @@ object VcfReader {
     }
 
     // Per-sample struct array; sample names come from the header.
-    val genotypes = array(header.samples.zipWithIndex.map { case (s, i) =>
-      struct(lit(s).as("sample"), col("_samples_raw").getItem(i).as("raw"))
-    }: _*)
+    // (Typed empty for sites-only files so downstream explode is a
+    // well-formed no-op.)
+    val genotypes =
+      if (header.samples.isEmpty)
+        array().cast("array<struct<sample:string,raw:string>>")
+      else
+        array(header.samples.zipWithIndex.map { case (s, i) =>
+          struct(lit(s).as("sample"), get(col("_samples_raw"), lit(i)).as("raw"))
+        }: _*)
 
     withInfo.select(
       (Seq(col("chr"), col("pos"), col("id"), col("ref"), col("alt"),

@@ -1,0 +1,33 @@
+package graft
+
+import graft.vcf._
+
+/** Edge-shape inputs: sites-only VCF (no samples), no-CSQ VCF. */
+class EdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sites-only VCF (no samples): info builds, geno is empty") {
+    val lines = Seq(
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+      "1\t10\t.\tA\tG\t5\tPASS\tDP=7",
+      "1\t20\t.\tC\tT\t9\tPASS\tDP=3")
+    val v = VcfReader.fromLines(spark, lines)
+    assert(v.header.samples.isEmpty)
+    val t = VcfBuild.build(v)
+    assert(t.info.count() == 2)
+    assert(t.geno.count() == 0)
+    assert(t.impact.isEmpty && t.geneMap.isEmpty)
+  }
+
+  test("no-CSQ VCF with samples: impact absent, geno present") {
+    val lines = Seq(
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "1\t10\t.\tA\tG\t5\tPASS\tDP=7\tGT\t0|1")
+    val t = VcfBuild.build(VcfReader.fromLines(spark, lines))
+    assert(t.impact.isEmpty)
+    assert(t.geno.select("gt").as[Option[Double]].head.contains(1.0))
+  }
+}
