@@ -92,6 +92,19 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint (md5 of normalized text). */
   def fingerprint(text: Column): Column = textFingerprint(text)
 
+  /** Training-data scrubbing: mask URLs, email addresses and long
+    * digit runs (phone/SSN-ish) with stable placeholder tokens.
+    * Pure regexp_replace chain — codegen'd, and reproducible in any
+    * engine with global regex replace.
+    */
+  def scrubPii(text: Column): Column = {
+    val noUrl = regexp_replace(text,
+      "(https?://|www\\.)[^\\s]+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "\\d{7,}", "<NUM>")
+  }
+
   /** Token frequency table over a corpus: (token, freq), descending. */
   def tokenFrequencies(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))

@@ -135,6 +135,18 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- PII/URL scrubbing (deterministic synthetic dirt so the
+    //      masking actually fires on the clean corpus) ----
+    "q57_scrub_pii" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .withColumn("dirty",
+          concat(col("text"), lit(" contact bob@example.com or "),
+            lit("https://example.com/x?id=1 tel 5551234567")))
+        .select(col("doc_id"), TextAnalysis.scrubPii(col("dirty")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: binary payload byte stats ----
     "q41_media_bytes" -> ((s, d) => {
       val media = Multimodal.asMedia(
@@ -347,6 +359,16 @@ object Pipeline {
       """SELECT doc_id,
           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
           FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q57_scrub_pii" ->
+      """SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                text || ' contact bob@example.com or https://example.com/x?id=1 tel 5551234567',
+                '(https?://|www\.)[^\s]+', '<URL>', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\d{7,}', '<NUM>', 'g') AS clean
+          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "q41_media_bytes" ->
       """SELECT doc_id AS media_id,
           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
