@@ -20,6 +20,23 @@ class EdgeSpec extends SparkSpec {
     assert(t.impact.isEmpty && t.geneMap.isEmpty)
   }
 
+  test("SyntheticVcf: distributed generation parses to consistent tables") {
+    val n = 500L
+    val t = VcfBuild.build(SyntheticVcf.generate(spark, n, nSamples = 4, nGenes = 10))
+    assert(t.info.count() == n)
+    assert(t.geno.count() == n * 4)
+    // ids contiguous after the global sort
+    val ids = t.info.select("variant_id").as[Long].collect().sorted
+    assert(ids.head == 1L && ids.last == n && ids.distinct.length == n)
+    // generator formula spot-check: row i=0 → chr 1, pos 1000, GENE0
+    val r0 = t.info.filter($"chr" === "1" && $"start" === 1000L).head
+    assert(r0.getAs[String]("ref") == "A" && r0.getAs[String]("alt") == "C")
+    val imp = t.impact.get
+    assert(imp.filter($"symbol" === "GENE0").count() > 0)
+    // every impact row carries a well-formed derived flag set
+    assert(imp.filter($"is_lof" && $"impact" =!= "HIGH").count() == 0)
+  }
+
   test("no-CSQ VCF with samples: impact absent, geno present") {
     val lines = Seq(
       "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",
