@@ -54,21 +54,28 @@ object Events {
       leftTs: String, rightTs: String,
       rightValCols: Seq[String], toleranceNs: Long = 0L): DataFrame = {
 
+    // the right row travels as ONE struct, so ts and value columns can
+    // never desync: last(..., ignoreNulls) skips left-side rows (whole
+    // struct null) but carries a right row even when some of its value
+    // fields are null
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType) +:
+        rightValCols.map(c => org.apache.spark.sql.types.StructField(
+          c, right.schema(c).dataType)))
+
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__rts", lit(null).cast("long"))
-      .withColumns(rightValCols.map(c => s"__r_$c" -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumn("__r", lit(null).cast(rStructType))
     val rTagged = right
-      .select((keyCols.map(col) :+ col(rightTs).as("__ts")) ++ rightValCols.map(col): _*)
+      .select(
+        (keyCols.map(col) :+ col(rightTs).as("__ts")) :+
+          struct((col(rightTs).cast("long").as("ts") +:
+            rightValCols.map(col)): _*).as("__r"): _*)
       .withColumn("__side", lit(0))
-      .withColumn("__rts", col("__ts"))
-      .withColumns(rightValCols.map(c => s"__r_$c" -> col(c)).toMap)
-      .drop(rightValCols: _*)
 
     val unioned = lTagged.select(
-      (keyCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__rts")) ++
-        rightValCols.map(c => col(s"__r_$c")) ++
+      (keyCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__r")) ++
         left.columns.filterNot(keyCols.contains).map(col): _*
     ).unionByName(rTagged, allowMissingColumns = true)
 
@@ -78,21 +85,20 @@ object Events {
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val carried = unioned
-      .withColumn("__asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
-      .withColumns(rightValCols.map(c =>
-        s"__asof_$c" -> last(col(s"__r_$c"), ignoreNulls = true).over(w)).toMap)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
 
     val bounded =
       if (toleranceNs > 0)
         carried.withColumn("__ok",
-          col("__asof_ts").isNotNull && (col("__ts") - col("__asof_ts") <= toleranceNs))
-      else carried.withColumn("__ok", col("__asof_ts").isNotNull)
+          col("__asof").isNotNull &&
+            (col("__ts") - col("__asof.ts") <= toleranceNs))
+      else carried.withColumn("__ok", col("__asof").isNotNull)
 
     bounded.where(col("__side") === 1)
       .select(
         (left.columns.map(col) :+
-          when(col("__ok"), col("__asof_ts")).otherwise(lit(null)).as("asof_ts")) ++
+          when(col("__ok"), col("__asof.ts")).otherwise(lit(null)).as("asof_ts")) ++
           rightValCols.map(c =>
-            when(col("__ok"), col(s"__asof_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
+            when(col("__ok"), col(s"__asof.$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
   }
 }

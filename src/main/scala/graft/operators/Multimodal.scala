@@ -85,7 +85,7 @@ object Multimodal {
     * actual frame grab is the decoder's job).
     */
   def frameSamplePlan(df: DataFrame, everyMs: Long): DataFrame =
-    df.where(col("duration_ms").isNotNull)
+    df.where(col("duration_ms").isNotNull && col("duration_ms") > 0)
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
 }

@@ -68,7 +68,8 @@ object Similarity {
     */
   def bruteForceKnn(
       corpus: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int): DataFrame = {
+      vecCol: String, idCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // norms cancel out of the ranking, but cosine is part of the
@@ -76,7 +77,9 @@ object Similarity {
     // norms in one allocation-free pass (graft.plans.CosineSimilarityExpr)
     graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val scored = c.crossJoin(q)
-      .where(col("neighbor_id") =!= col("query_id"))
+      // excludeSelf only applies when corpus and queries share an id
+      // space; pass false when they are unrelated tables
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cosine", call_function("graft_cosine", col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -92,7 +95,8 @@ object Similarity {
   def lshKnn(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      planes: Int = 8, tables: Int = 2, dims: Int = -1): DataFrame = {
+      planes: Int = 8, tables: Int = 2, dims: Int = -1,
+      excludeSelf: Boolean = true): DataFrame = {
 
     val dim = if (dims > 0) dims else inferDims(corpus, vecCol)
 
@@ -111,7 +115,7 @@ object Similarity {
     val c = signed(corpus, "neighbor_id")
     val q = broadcast(signed(queries, "query_id"))
     val candidates = c.join(q, Seq("table", "sig"))
-      .where(col("neighbor_id") =!= col("query_id"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
       .distinct() // collapse multi-table collisions
       .withColumn("cosine",

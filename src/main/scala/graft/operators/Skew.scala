@@ -42,7 +42,7 @@ object Skew {
   def keySkewProfile(df: DataFrame, keyCols: Seq[String], hotFactor: Double = 10.0): DataFrame = {
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
     val stats = counts.agg(avg("n").as("avg_n")).head()
-    val avgN = stats.getDouble(0)
+    val avgN = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0) // empty input
     counts.withColumn("is_hot", col("n") > lit(avgN * hotFactor))
   }
 }

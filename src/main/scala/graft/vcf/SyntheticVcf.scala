@@ -45,7 +45,7 @@ object SyntheticVcf {
       case 4 => "splice_region_variant&intron_variant"
       case _ => "intron_variant"
     }
-    val af = (i % 200 + 1) / 1000.0 // 0.0005 .. 0.1 — most pass af<0.01 filters rarely
+    val af = (i % 200 + 1) / 1000.0 // 0.001 .. 0.2; ~25% pass af < 0.05
     val ac = i % 7 + 1
     val csq = s"$alt|$consequence|$impact|$gene|ENSG${i % nGenes}|protein_coding|" +
       (if (consequence.contains("intron")) "1/3" else "")

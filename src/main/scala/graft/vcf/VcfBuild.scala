@@ -69,7 +69,10 @@ object VcfBuild {
     */
   def variantInfo(ids: DataFrame, header: VcfHeaderInfo): DataFrame = {
     val perAlt = Set("A", "R", "G")
-    val infoCols: Seq[Column] = header.dedupedInfoDefs
+    // fixed/derived columns win name collisions (e.g. the standard SV
+    // INFO field END vs the computed interval end): keep-first duplicate
+    // semantics, as in the reference's column dedupe (02-build-db.R:348)
+    val infoCols: Seq[Column] = header.usableInfoDefs
       .filterNot(_.id == "CSQ")
       .map { d =>
         val name = d.id.toLowerCase
@@ -146,7 +149,10 @@ object VcfBuild {
 
     def fmtField(key: String): Column = {
       val pos = array_position(col("_fmt"), key)
-      when(pos > 0, element_at(col("_vals"), pos.cast(IntegerType)))
+      // trailing FORMAT fields may be dropped per sample (VCF 4.2);
+      // the bounds guard keeps ANSI element_at from throwing on them
+      when(pos > 0 && pos <= size(col("_vals")),
+          element_at(col("_vals"), pos.cast(IntegerType)))
         .otherwise(lit(null).cast(StringType))
     }
 

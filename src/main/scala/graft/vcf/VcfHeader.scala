@@ -31,6 +31,15 @@ final case class VcfHeaderInfo(
     infoDefs.groupBy(_.id.toLowerCase).map(_._2.head).toSeq
       .sortBy(d => infoDefs.indexWhere(_.id == d.id))
 
+  /** [[dedupedInfoDefs]] minus ids that collide (case-insensitively)
+    * with fixed or derived engine columns — keep-first semantics, the
+    * fixed column wins (e.g. the standard SV INFO field `END` vs the
+    * computed interval end). Parser and every table builder use THIS
+    * set, so column references always resolve.
+    */
+  def usableInfoDefs: Seq[VcfFieldDef] =
+    dedupedInfoDefs.filterNot(d => VcfHeaderInfo.reservedNames(d.id.toLowerCase))
+
   /** VEP CSQ sub-column names derived from the CSQ Description, with the
     * reference's normalization (lowercase; space/colon/dot → underscore).
     */
@@ -39,6 +48,13 @@ final case class VcfHeaderInfo(
       val fmt = d.description.toLowerCase.replaceAll("[ :.]", "_")
       fmt.split("\\|").toSeq
     }
+}
+
+object VcfHeaderInfo {
+  /** Engine column names INFO fields must not shadow. */
+  val reservedNames: Set[String] = Set(
+    "variant_id", "chr", "pos", "start", "end", "id", "ref", "alt",
+    "qual", "filter", "format", "genotypes")
 }
 
 object VcfHeader {
@@ -56,9 +72,13 @@ object VcfHeader {
       if (eq < 0) return m.toMap
       val key = body.substring(i, eq)
       if (eq + 1 < body.length && body.charAt(eq + 1) == '"') {
-        val end = body.indexOf('"', eq + 2)
-        m(key) = body.substring(eq + 2, if (end < 0) body.length else end)
-        i = (if (end < 0) body.length else end + 1) + 1 // skip quote + comma
+        // closing quote search honors \" escapes (VCF 4.2 permits them)
+        var end = eq + 2
+        while (end < body.length &&
+          !(body.charAt(end) == '"' && body.charAt(end - 1) != '\\')) end += 1
+        m(key) = body.substring(eq + 2, math.min(end, body.length))
+          .replace("\\\"", "\"").replace("\\\\", "\\")
+        i = math.min(end, body.length) + 2 // skip quote + comma
       } else {
         var end = body.indexOf(',', eq + 1)
         if (end < 0) end = body.length

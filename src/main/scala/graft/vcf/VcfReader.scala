@@ -88,8 +88,9 @@ object VcfReader {
 
     // One typed column per INFO declaration (lowercased names — the
     // reference lowercases all column names, 02-build-db.R:346 — and
-    // drops later duplicates after case folding, 02-build-db.R:348).
-    val infoCols: Seq[Column] = header.dedupedInfoDefs.map { d =>
+    // drops later duplicates after case folding, 02-build-db.R:348;
+    // ids shadowing fixed/derived columns are dropped the same way).
+    val infoCols: Seq[Column] = header.usableInfoDefs.map { d =>
       val v = col("_info").getItem(d.id)
       val c = d match {
         case VcfFieldDef(_, _, "Flag", _) =>

@@ -37,6 +37,52 @@ class EdgeSpec extends SparkSpec {
     assert(imp.filter($"is_lof" && $"impact" =!= "HIGH").count() == 0)
   }
 
+  test("truncated trailing FORMAT fields parse as null (VCF 4.2)") {
+    val lines = Seq(
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">",
+      "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"dp\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "1\t10\t.\tA\tG\t5\tPASS\t.\tGT:DP\t0/1") // DP dropped for S1
+    val v = VcfReader.fromLines(spark, lines)
+    val g = VcfBuild.variantGeno(VcfBuild.withVariantIds(v.df), v.header)
+      .select("gt_raw", "dp").as[(String, Option[Long])].head
+    assert(g == (("0/1", None)))
+  }
+
+  test("INFO field shadowing a fixed/derived column is dropped (END vs end)") {
+    val lines = Seq(
+      "##INFO=<ID=END,Number=1,Type=Integer,Description=\"sv end\">",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+      "1\t10\t.\tAT\tA\t5\tPASS\tEND=999;DP=7")
+    val t = VcfBuild.build(VcfReader.fromLines(spark, lines))
+    assert(t.info.columns.count(_ == "end") == 1)
+    // the computed interval end wins (pos + len(ref) − 1 = 11, not 999)
+    assert(t.info.select("end").as[Long].head == 11L)
+    assert(t.info.select("dp").as[Long].head == 7L)
+  }
+
+  test("escaped quotes in header Description parse intact") {
+    val lines = Seq(
+      "##INFO=<ID=X,Number=1,Type=Integer,Description=\"says \\\"hi\\\" there\">",
+      "##INFO=<ID=Y,Number=1,Type=Float,Description=\"plain\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+      "1\t10\t.\tA\tG\t5\tPASS\tX=1;Y=0.5")
+    val h = VcfReader.fromLines(spark, lines).header
+    assert(h.infoDef("X").get.description == "says \"hi\" there")
+    assert(h.infoDef("Y").get.vcfType == "Float") // following attrs uncorrupted
+  }
+
+  test("asofJoin carries the matched row atomically when its value is null") {
+    val left = Seq((1L, 3L, "L")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 1L, Some(5.0)), (1L, 2L, None))
+      .toDF("k", "ts", "v")
+    val out = graft.operators.Events.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("asof_ts", "asof_v").as[(Option[Long], Option[Double])].head
+    // the as-of row IS (ts=2, v=null) — not a chimera of ts=2 with v=5
+    assert(out == ((Some(2L), None)))
+  }
+
   test("no-CSQ VCF with samples: impact absent, geno present") {
     val lines = Seq(
       "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",

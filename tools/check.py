@@ -10,8 +10,10 @@ a diff sample. Usage:
 """
 import sys, os, json, subprocess, hashlib
 
-SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.001"
-ARGS = sys.argv[2:] if len(sys.argv) > 1 else []
+if len(sys.argv) > 1 and not sys.argv[1].startswith("--"):
+    SF, ARGS = sys.argv[1], sys.argv[2:]
+else:
+    SF, ARGS = "/root/testdata/sf0.001", sys.argv[1:]
 SKIP = "--skip-verify" in ARGS
 ONLY = [a for a in ARGS if not a.startswith("--")]
 OUT = "/tmp/graft_verify_" + os.path.basename(SF.rstrip("/"))
