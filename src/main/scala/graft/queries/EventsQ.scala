@@ -84,8 +84,11 @@ object EventsQ {
       s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $HourNs AS window_start_ns,
           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY window_start_ns, event_type""",
+    // CAST AS BIGINT: session_id comes from sum(is_new) OVER ..., which
+    // DuckDB types HUGEINT (int128); the driver's hash bridge canonicalizes
+    // HUGEINT differently from BIGINT even when values are equal.
     "q28_sessionize" ->
-      s"""SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+      s"""SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
           FROM (
             SELECT user_id,
               sum(is_new) OVER (
@@ -120,7 +123,7 @@ object EventsQ {
           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY window_start_ns, event_type""",
     "q50_stream_sessionize" ->
-      s"""SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+      s"""SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
           FROM (
             SELECT user_id,
               sum(is_new) OVER (

@@ -495,12 +495,12 @@ object Relational {
          FROM part ORDER BY p_partkey""",
     "q21_gt2snp_recode" ->
       """SELECT gt_raw,
-         CASE
+         CAST(CASE
            WHEN regexp_matches(gt_raw, '0/\.|\./0|0/0|0\|0|^0$') THEN 0.0
            WHEN regexp_matches(gt_raw, '0/1|1/0|0\|1|1\|0|\./1|1/\.|\.\|1|1\|\.|^1$') THEN 1.0
            WHEN regexp_matches(gt_raw, '1/1|1\|1') THEN 2.0
            ELSE -1.0
-         END AS dosage,
+         END AS DOUBLE) AS dosage,
          count(*) AS n
          FROM (
            SELECT (['0/0','0|0','0/1','1|0','1/1','1|1','./.','./1'])

@@ -8,7 +8,7 @@ a diff sample. Usage:
 
     python3 tools/check.py [sfdir] [--skip-verify] [query ...]
 """
-import sys, os, json, subprocess, hashlib
+import sys, os, json, subprocess, hashlib, decimal
 
 if len(sys.argv) > 1 and not sys.argv[1].startswith("--"):
     SF, ARGS = sys.argv[1], sys.argv[2:]
@@ -38,17 +38,33 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
-def canon(v):
+def type_class(t):
+    """Coarse type class, tagged into the hash so oracle-side type drift
+    (e.g. DuckDB window sum -> HUGEINT vs Spark BIGINT) fails locally the
+    way it fails at the driver. <=64-bit ints are one class and
+    DECIMAL folds into float (the driver accepts both of those — r2
+    q21 DECIMAL-vs-DOUBLE passed); int128 is distinct (r2 q28 failed)."""
+    n = str(t).upper()
+    if n.startswith("DECIMAL"): return "f"
+    if n in ("UBIGINT", "HUGEINT", "UHUGEINT"): return "i128"
+    if n in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"): return "i"
+    if n in ("FLOAT", "DOUBLE"): return "f"
+    return "o"
+
+def canon(v, cls="o"):
     if v is None: return "NULL"
+    if isinstance(v, decimal.Decimal): v = float(v)
     if isinstance(v, float):
         if v != v: return "NaN"
-        return repr(round(v, 9))
-    return str(v)
+        return "f:" + repr(round(v, 9))
+    return f"{cls}:{v}"
 
-def table_hash(cols, rows):
+def table_hash(cols, types, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cls = [type_class(t) for t in types]
     h = hashlib.md5()
-    for row in sorted([tuple(canon(row[i]) for i in order) for row in rows]):
+    for row in sorted([tuple(canon(row[i], cls[i]) for i in order) for row in rows]):
         h.update("\x01".join(row).encode()); h.update(b"\x02")
     return h.hexdigest()
 
@@ -60,23 +76,26 @@ for name in names:
         print(f"FAIL {name}: no spark output"); fail += 1; continue
     try:
         got = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
-        gcols, grows = got.columns, got.fetchall()
+        gcols, gtypes, grows = got.columns, got.types, got.fetchall()
         exp = con.sql(oracle[name])
-        ecols, erows = exp.columns, exp.fetchall()
+        ecols, etypes, erows = exp.columns, exp.types, exp.fetchall()
     except Exception as e:
         print(f"FAIL {name}: {e}"); fail += 1; continue
     if sorted(map(str.lower, gcols)) != sorted(map(str.lower, ecols)):
         print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}"); fail += 1; continue
     if len(grows) != len(erows):
         print(f"FAIL {name}: rows {len(grows)} != {len(erows)}"); fail += 1; continue
-    gh, eh = table_hash(gcols, grows), table_hash(ecols, erows)
+    gh, eh = table_hash(gcols, gtypes, grows), table_hash(ecols, etypes, erows)
     if gh != eh:
         print(f"FAIL {name}: hash mismatch ({len(grows)} rows)")
-        gset = {tuple(canon(v) for v in r) for r in grows}
-        eset = {tuple(canon(v) for v in r) for r in erows}
+        gcls = [type_class(t) for t in gtypes]
+        ecls = [type_class(t) for t in etypes]
+        gset = {tuple(canon(v, c) for v, c in zip(r, gcls)) for r in grows}
+        eset = {tuple(canon(v, c) for v, c in zip(r, ecls)) for r in erows}
         print("  spark-only:", list(gset - eset)[:3])
         print("  duck-only :", list(eset - gset)[:3])
-        print("  cols spark:", gcols, " duck:", ecols)
+        print("  cols spark:", list(zip(gcols, map(str, gtypes))),
+              " duck:", list(zip(ecols, map(str, etypes))))
         fail += 1
     else:
         print(f"ok   {name} ({len(grows)} rows)"); ok += 1
