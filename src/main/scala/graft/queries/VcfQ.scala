@@ -27,6 +27,27 @@ object VcfQ {
     cached
   }
 
+  // Same fixture round-tripped through a bgzip file and the splittable
+  // BGZF scan — gates the compressed-input path (S1) against the same
+  // golden rows as the in-memory parse. Tiny blocks + tiny splits force
+  // a genuinely multi-partition compressed read even on the toy file.
+  @volatile private var cachedBgzf: VcfTables = _
+  private def tablesBgzf(s: SparkSession): VcfTables = {
+    if (cachedBgzf == null) synchronized {
+      if (cachedBgzf == null) {
+        val f = java.nio.file.Files
+          .createTempFile("graft_toy_bgzf", ".vcf.gz").toFile
+        f.deleteOnExit()
+        graft.vcf.Bgzf.writeLocalFile(f.getAbsolutePath, ToyVcf.lines, blockData = 200)
+        val vcf = VcfReader.read(s, f.getAbsolutePath, splitSize = Some(512L))
+        require(vcf.df.rdd.getNumPartitions > 1,
+          "BGZF scan must plan multiple input partitions")
+        cachedBgzf = VcfBuild.build(vcf)
+      }
+    }
+    cachedBgzf
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_vcf_info" -> ((s, _) => {
       tables(s).info
@@ -61,6 +82,12 @@ object VcfQ {
     }),
     "q48_vcf_gene_map" -> ((s, _) => {
       tables(s).geneMap.get.orderBy("symbol")
+    }),
+    "q59_vcf_bgzf_info" -> ((s, _) => {
+      tablesBgzf(s).info
+        .select("variant_id", "chr", "start", "end", "ref", "alt",
+          "qual", "filter", "ac", "af", "dp", "vt")
+        .orderBy("variant_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -123,5 +150,16 @@ object VcfQ {
           ('GENE2', 'ENSG2'),
           ('GENE3', 'ENSG3'))
          t(symbol, gene)
-         ORDER BY symbol""")
+         ORDER BY symbol""",
+    // identical golden rows to q43: the bgzf round-trip must be lossless
+    "q59_vcf_bgzf_info" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), '1', CAST(100 AS BIGINT), CAST(100 AS BIGINT), 'A', 'G',  CAST(50 AS DOUBLE), 'PASS', CAST(1 AS BIGINT), CAST(0.25 AS DOUBLE), CAST(20 AS BIGINT), 'SNP'),
+          (2, '1', 200, 200, 'C', 'T',  99, 'PASS', 2, 0.5,  30, 'SNP'),
+          (3, '1', 300, 300, 'G', 'A',  10, 'q10',  1, 0.25, 5,  'SNP'),
+          (4, '2', 150, 150, 'T', 'C',  80, 'PASS', 3, 0.75, 40, 'SNP'),
+          (5, '2', 250, 250, 'G', 'GA', 60, 'PASS', 1, 0.25, 25, 'INDEL'),
+          (6, '2', 400, 400, 'A', 'C',  70, 'PASS', 4, 1.0,  35, 'SNP'))
+         t(variant_id, chr, start, "end", ref, alt, qual, filter, ac, af, dp, vt)
+         ORDER BY variant_id""")
 }

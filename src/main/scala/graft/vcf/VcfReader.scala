@@ -41,15 +41,40 @@ object VcfReader {
 
   /** Read a VCF file: header parsed driver-side from the leading `#`
     * lines, body parsed distributed.
+    *
+    * Compression dispatch by content sniff, not extension:
+    *   - BGZF (bgzip/tabix output — virtually every real `.vcf.gz`) →
+    *     the splittable [[BgzfTextSource]] scan: the compressed file is
+    *     range-partitioned and each task decompresses its own blocks.
+    *   - plain text → `spark.read.text` (splits by file block).
+    *   - plain (non-block) gzip → `spark.read.text`'s gzip codec; this
+    *     is inherently one partition per file — re-bgzip for scale.
     */
-  def read(spark: SparkSession, path: String): VcfDataset = {
+  def read(spark: SparkSession, path: String,
+      splitSize: Option[Long] = None): VcfDataset = {
     import spark.implicits._
-    val raw = spark.read.textFile(path)
-    // Headers are the leading few KB; `limit` keeps the driver fetch
-    // bounded (4096 header lines is far beyond any real VCF header).
-    val headerLines = raw.filter(_.startsWith("#")).limit(4096).collect().toSeq
-    val header = VcfHeader.parse(headerLines)
-    VcfDataset(parse(raw.filter(l => !l.startsWith("#")), header), header)
+    val conf = spark.sessionState.newHadoopConf()
+    val first = BgzfTextSource.listFiles(path, conf).headOption
+    val isBgzf = first.exists(st =>
+      Bgzf.isBgzfFile(st.getPath.getFileSystem(conf), st.getPath))
+    if (isBgzf) {
+      val reader = spark.read.format("bgzf-text")
+      val withOpt = splitSize.fold(reader)(s => reader.option("splitSize", s))
+      val raw = withOpt.load(path).select("value").as[String]
+      // Header blocks sit at the file head: decompress them driver-side
+      // instead of filtering the distributed scan.
+      val headerLines = Bgzf.headLines(
+        first.get.getPath.getFileSystem(conf), first.get.getPath)
+      val header = VcfHeader.parse(headerLines)
+      VcfDataset(parse(raw.filter(l => !l.startsWith("#")), header), header)
+    } else {
+      val raw = spark.read.textFile(path)
+      // Headers are the leading few KB; `limit` keeps the driver fetch
+      // bounded (4096 header lines is far beyond any real VCF header).
+      val headerLines = raw.filter(_.startsWith("#")).limit(4096).collect().toSeq
+      val header = VcfHeader.parse(headerLines)
+      VcfDataset(parse(raw.filter(l => !l.startsWith("#")), header), header)
+    }
   }
 
   /** Parse in-memory lines (tests, embedded fixtures). */
