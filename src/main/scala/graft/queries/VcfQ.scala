@@ -27,6 +27,19 @@ object VcfQ {
     cached
   }
 
+  // Clinvar-annotated variant of the fixture: gates the INFO-side
+  // clinvar unnest + left-join onto impact (02-build-db.R:286-305).
+  @volatile private var cachedClinvar: VcfTables = _
+  private def tablesClinvar(s: SparkSession): VcfTables = {
+    if (cachedClinvar == null) synchronized {
+      if (cachedClinvar == null) {
+        val vcf = VcfReader.fromLines(s, ToyVcf.clinvarLines)
+        cachedClinvar = VcfBuild.build(vcf)
+      }
+    }
+    cachedClinvar
+  }
+
   // Same fixture round-tripped through a bgzip file and the splittable
   // BGZF scan — gates the compressed-input path (S1) against the same
   // golden rows as the in-memory parse. Tiny blocks + tiny splits force
@@ -82,6 +95,15 @@ object VcfQ {
     }),
     "q48_vcf_gene_map" -> ((s, _) => {
       tables(s).geneMap.get.orderBy("symbol")
+    }),
+    "q58_vcf_clinvar" -> ((s, _) => {
+      val t = tablesClinvar(s)
+      // info must NOT carry the clinvar INFO columns (they live on impact)
+      require(!t.info.columns.contains("clinvar_sig"),
+        "clinvar columns must be excluded from variant_info")
+      t.impact.get
+        .select("variant_id", "consequence", "clinvar_sig", "clinvar_disease_name")
+        .orderBy("variant_id", "consequence", "clinvar_sig")
     }),
     "q59_vcf_bgzf_info" -> ((s, _) => {
       tablesBgzf(s).info
@@ -151,6 +173,22 @@ object VcfQ {
           ('GENE3', 'ENSG3'))
          t(symbol, gene)
          ORDER BY symbol""",
+    // hand-computed: rs1's two sigs double its two impact rows; the
+    // un-annotated variants keep left-join NULLs
+    "q58_vcf_clinvar" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'intron_variant',        'likely_pathogenic', 'DiseaseA'),
+          (1, 'intron_variant',        'pathogenic',        'DiseaseA'),
+          (1, 'missense_variant',      'likely_pathogenic', 'DiseaseA'),
+          (1, 'missense_variant',      'pathogenic',        'DiseaseA'),
+          (2, 'splice_region_variant', 'benign',            'DiseaseB'),
+          (2, 'stop_gained',           'benign',            'DiseaseB'),
+          (4, 'synonymous_variant',    NULL, NULL),
+          (5, 'frameshift_variant',    NULL, NULL),
+          (5, 'upstream_gene_variant', NULL, NULL),
+          (6, 'missense_variant',      NULL, NULL))
+         t(variant_id, consequence, clinvar_sig, clinvar_disease_name)
+         ORDER BY variant_id, consequence, clinvar_sig""",
     // identical golden rows to q43: the bgzf round-trip must be lossless
     "q59_vcf_bgzf_info" ->
       """SELECT * FROM (VALUES

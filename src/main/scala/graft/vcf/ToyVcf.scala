@@ -43,4 +43,21 @@ object ToyVcf {
     t("2", "400", "rs5", "A", "C", "70", "PASS",
       "AC=4;AF=1;DP=35;VT=SNP;CSQ=C|missense_variant|MODERATE|GENE3|ENSG3|protein_coding|",
       "GT:DP", "1|1:22", "1|1:19"))
+
+  /** The same fixture with clinvar INFO annotations (the shape VCFdbR's
+    * clinvar re-join consumes, `02-build-db.R:286-305`): rs1 carries two
+    * significance values (exercising the unnest row multiplication), rs2
+    * one, and the rest none (left-join NULLs).
+    */
+  val clinvarLines: Seq[String] = lines.flatMap {
+    case l if l.startsWith("#CHROM") => Seq(
+      "##INFO=<ID=clinvar_sig,Number=.,Type=String,Description=\"ClinVar significance\">",
+      "##INFO=<ID=clinvar_disease_name,Number=.,Type=String,Description=\"ClinVar disease name\">",
+      l)
+    case l if l.contains("\trs1\t") => Seq(l.replace(";VT=SNP;",
+      ";VT=SNP;clinvar_sig=pathogenic,likely_pathogenic;clinvar_disease_name=DiseaseA;"))
+    case l if l.contains("\trs2\t") => Seq(l.replace(";VT=SNP;",
+      ";VT=SNP;clinvar_sig=benign;clinvar_disease_name=DiseaseB;"))
+    case l => Seq(l)
+  }
 }

@@ -36,6 +36,12 @@ object VcfBuild {
     "clin_sig", "pheno", "somatic", "pubmed",
     "consequence_annotations_from_ensembl_vep__format__allele")
 
+  /** INFO-side clinvar fields: excluded from `variant_info` and
+    * re-attached (unnested) onto `variant_impact`
+    * (`02-build-db.R:286-305`, `:318`).
+    */
+  private val clinvarInfoCols = Seq("clinvar_sig", "clinvar_disease_name")
+
   /** Deterministic contiguous `variant_id` (1-based): global sort on
     * (chr, pos, ref, alt) — a stable total order — then a distributed
     * ordinal via `zipWithIndex` (X4, `02-build-db.R:258-259`).
@@ -73,7 +79,7 @@ object VcfBuild {
     // INFO field END vs the computed interval end): keep-first duplicate
     // semantics, as in the reference's column dedupe (02-build-db.R:348)
     val infoCols: Seq[Column] = header.usableInfoDefs
-      .filterNot(_.id == "CSQ")
+      .filterNot(d => d.id == "CSQ" || clinvarInfoCols.contains(d.id.toLowerCase))
       .map { d =>
         val name = d.id.toLowerCase
         if (perAlt.contains(d.number)) element_at(col(name), 1).as(name)
@@ -125,7 +131,29 @@ object VcfBuild {
       .withColumn("is_intronic", ifCols(Seq("intron"), col("intron") =!= ""))
     val keep = flagged.columns.filterNot(c =>
       c.endsWith("_af") || impactDropList.contains(c))
-    flagged.select(keep.map(col): _*)
+    val base = flagged.select(keep.map(col): _*)
+
+    // Clinvar re-join (02-build-db.R:286-305): the VEP CSQ clin_sig
+    // column was dropped above; the INFO-side clinvar annotations come
+    // back as one left join per present field, each list UNNESTED first
+    // — so a variant with multiple sigs multiplies its impact rows
+    // (sig × disease cross product per variant), and variants without
+    // clinvar data keep NULLs, exactly as the reference's
+    // unnest-then-left_join does.
+    clinvarInfoCols.foldLeft(base) { (acc, name) =>
+      ids.schema.fields.find(_.name == name) match {
+        case None => acc
+        case Some(f) =>
+          val value = f.dataType match {
+            case _: ArrayType => explode(col(name)).as(name)
+            case _ => col(name).as(name)
+          }
+          // explode (not explode_outer): tidyr unnest drops NULL/empty
+          // lists, and the left join restores those variants with NULL
+          val side = ids.select(col("variant_id"), value)
+          acc.join(side, Seq("variant_id"), "left")
+      }
+    }
   }
 
   /** `variant_geno`: long layout, one row per variant × sample —

@@ -77,6 +77,29 @@ class VcfSpec extends SparkSpec {
     assert(tables.meta("format").count() == 2)
   }
 
+  test("clinvar re-join: unnested onto impact, excluded from info") {
+    val t = VcfBuild.build(VcfReader.fromLines(spark, ToyVcf.clinvarLines))
+    assert(!t.info.columns.contains("clinvar_sig"))
+    assert(!t.info.columns.contains("clinvar_disease_name"))
+    val imp = t.impact.get
+    assert(imp.columns.head == "variant_id")
+    // rs1: 2 consequences × 2 sigs = 4 rows; un-annotated keep NULLs
+    assert(imp.filter($"variant_id" === 1).count() == 4)
+    assert(imp.filter($"variant_id" === 6 && $"clinvar_sig".isNull).count() == 1)
+  }
+
+  test("scalar (Number=1) clinvar INFO joins without unnest") {
+    val lines = Seq(
+      "##INFO=<ID=clinvar_sig,Number=1,Type=String,Description=\"sig\">",
+      "##INFO=<ID=CSQ,Number=.,Type=String,Description=\"Consequence annotations from Ensembl VEP. Format: Allele|Consequence|IMPACT|SYMBOL|Gene|BIOTYPE|INTRON\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "1\t10\t.\tA\tG\t5\tPASS\tclinvar_sig=benign;CSQ=G|missense_variant|MODERATE|G1|E1|protein_coding|\tGT\t0|1")
+    val t = VcfBuild.build(VcfReader.fromLines(spark, lines))
+    val r = t.impact.get.select("clinvar_sig").head
+    assert(r.getString(0) == "benign")
+  }
+
   test("case-insensitive duplicate INFO declarations: first wins (X11)") {
     val lines = Seq(
       "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",
