@@ -51,6 +51,7 @@ object Bench {
     names.foreach { n =>
       try forceRun(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
+      graft.operators.Dedup.clearCaches()
     }
 
     // best-of-2: second run measures steady state (shuffle files,
@@ -64,6 +65,9 @@ object Bench {
           val t2 = time(forceRun(SparkEntry.queries(n)(spark, sfDir)))
           math.min(t1, t2)
         } catch { case _: Throwable => -1.0 }
+      // dedup signature caches are per-call; don't let 58 queries × 2
+      // runs accumulate cached tables in one JVM
+      graft.operators.Dedup.clearCaches()
     }
 
     // ---- VCF-domain benchmark (BASELINE.md comparables) ----

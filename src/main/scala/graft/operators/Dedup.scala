@@ -19,6 +19,32 @@ import graft.functions._
   */
 object Dedup {
 
+  /** Signature caches created by [[minHashLsh]] / [[ngramJaccardPairs]]
+    * must outlive plan construction (three plan branches read them), so
+    * the operators cannot unpersist before returning. They register
+    * here; a long-lived session (a 58-query bench, a shared cluster
+    * app) calls [[clearCaches]] once the returned plans are consumed.
+    */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    liveCaches.add(p)
+    p
+  }
+
+  /** Unpersist every signature cache registered so far (non-blocking)
+    * and return how many were released. Safe once the DataFrames
+    * returned by the dedup operators have been fully consumed; new
+    * operator calls re-cache as needed.
+    */
+  def clearCaches(): Int = {
+    var n = 0
+    var df = liveCaches.poll()
+    while (df != null) { df.unpersist(false); n += 1; df = liveCaches.poll() }
+    n
+  }
+
   /** CPU-heavy signature derivation parallelizes poorly when the input
     * is a single small file (one parquet split ⇒ one task): spread it
     * across the cluster first. A no-op at scale, where inputs already
@@ -82,7 +108,7 @@ object Dedup {
     // are computed once per row (expression trees referenced from
     // lambda bodies are re-evaluated per reference — Catalyst's
     // subexpression elimination cannot reach into them).
-    val docs = parallelize(df)
+    val docs = persistTracked(parallelize(df)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"),
         array_distinct(wordShingles(col("toks"), shingleSize)).as("shingles"))
@@ -93,13 +119,12 @@ object Dedup {
         minHashSignatureFromBases(col("bases"), numHashes).as("sig"),
         // verification operates on 60-bit hashed shingle sets: set ops
         // over longs, not strings (identical Jaccard up to md5 collision)
-        hashedSet(col("shingles")).as("shash"))
+        hashedSet(col("shingles")).as("shash")))
       // signature table is consumed by three plan branches (two banded
       // sides + verification); persist it — it's the small derived
       // table (ids + k longs + hashed set), never the corpus text.
       // The emptiness filter applies ABOVE the cache boundary, so it
       // cannot be pushed down into (and re-derive) the projection chain.
-      .persist()
       .where(col("n_sh") > 0)
 
     // band key = (band index, joined band slice of the signature);
@@ -195,13 +220,14 @@ object Dedup {
       blockCols: Seq[String],
       shingleSize: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    val docs = parallelize(df)
+    val docs = persistTracked(parallelize(df)
       .select((col(idCol).as("id") +: blockCols.map(col)) :+
         tokens(col(textCol)).as("toks"): _*)
       .select((col("id") +: blockCols.map(col)) :+
-        hashedSet(wordShingles(col("toks"), shingleSize)).as("shash"): _*)
-      .persist() // consumed by both self-join sides
-      .where(size(col("shash")) > 0) // above the cache: no pushdown re-derivation
+        hashedSet(wordShingles(col("toks"), shingleSize)).as("shash"): _*))
+      // persisted: consumed by both self-join sides; the emptiness
+      // filter stays above the cache so no pushdown re-derivation
+      .where(size(col("shash")) > 0)
     val a = docs.as("a"); val b = docs.as("b")
     val blockPred = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     a.join(b, blockPred && col("a.id") < col("b.id"))

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed percentile operators.
+  *
+  * Spark's built-in exact `percentile(...)` aggregate buffers every
+  * value of a group in executor memory — fine for small groups, fatal
+  * when a group holds billions of rows at the 100 TB scale point.
+  * [[exact]] computes the same interpolated order statistic (SQL type-7,
+  * = DuckDB `quantile_cont` = Spark `percentile`) with a window sort
+  * instead: the shuffle sort is Tungsten-managed (spills to disk),
+  * per-row state is O(1), the interpolation candidate rows are filtered
+  * out before a tiny final aggregate. One wide stage, bounded memory at
+  * any group size.
+  *
+  * [[approxWithBounds]] is the sketch path (`percentile_approx`,
+  * Greenwald-Khanna, rank error ≤ n/accuracy) with the exact rank-window
+  * bounds attached so callers — and the correctness gate — can assert
+  * the approximation honors its contract.
+  */
+object Percentiles {
+
+  /** Interpolated percentiles over the non-null values of `value`, one
+    * row per group: `keys*, <name per p>, n_values`. Groups with no
+    * non-null values are omitted (SQL aggregates would emit NULL).
+    */
+  def exact(df: DataFrame, keys: Seq[String], value: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val packed = rankCandidates(df, keys, value, ps, extraRanks = 0)
+    val outs = ps.map { case (p, name) =>
+      val h = hOf(p)
+      (col(s"_lo_$name") +
+        (col(s"_hi_$name") - col(s"_lo_$name")) * (h - floor(h))).as(name)
+    }
+    packed.select(keys.map(col) ++ outs :+ col("_n").as("n_values"): _*)
+  }
+
+  /** `percentile_approx` per group joined with exact order-statistic
+    * bounds at the sketch's guaranteed rank tolerance
+    * (`±(ceil(n/accuracy)+1)` ranks): output carries, per percentile,
+    * `<name>` (the sketch value) and `<name>_ok` (true iff the sketch
+    * honored its rank-error contract). The exact side reuses the
+    * window-sort plan; the sketch side is a plain partial-aggregable
+    * sketch merge — both scale-safe.
+    */
+  def approxWithBounds(df: DataFrame, keys: Seq[String], value: String,
+      ps: Seq[(Double, String)], accuracy: Int = 10000): DataFrame = {
+    val kcols = keys.map(col)
+    val approxAggs = ps.map { case (p, name) =>
+      percentile_approx(col(value), lit(p), lit(accuracy)).as(name)
+    }
+    val approx = df.groupBy(kcols: _*).agg(approxAggs.head, approxAggs.tail: _*)
+
+    val bounds = rankCandidates(df, keys, value, ps,
+      extraRanks = 1, accuracy = accuracy)
+      .select(kcols ++ ps.flatMap { case (_, name) =>
+        Seq(col(s"_lo_$name").as(s"_min_$name"), col(s"_hi_$name").as(s"_max_$name"))
+      } :+ col("_n"): _*)
+
+    val oks = ps.map { case (_, name) =>
+      col(name).between(col(s"_min_$name"), col(s"_max_$name")).as(s"${name}_ok")
+    }
+    approx.join(bounds, keys)
+      .select(kcols ++ ps.map { case (_, n) => col(n) } ++ oks
+        :+ col("_n").as("n_values"): _*)
+  }
+
+  /** 1-based interpolation rank h = 1 + (n-1)p (type-7). */
+  private def hOf(p: Double): Column = lit(1d) + (col("_n") - 1d) * lit(p)
+
+  /** Shared window-sort stage: rank the non-null values per group, keep
+    * only rows within `extraRanks` (+ sketch tolerance when `accuracy`
+    * is set) of an interpolation rank, and pack per-percentile lo/hi
+    * values with conditional aggregates. Output: `keys*, _lo_<name>,
+    * _hi_<name>..., _n`.
+    */
+  private def rankCandidates(df: DataFrame, keys: Seq[String], value: String,
+      ps: Seq[(Double, String)], extraRanks: Int,
+      accuracy: Int = 0): DataFrame = {
+    val kcols = keys.map(col)
+    val byKey = Window.partitionBy(kcols: _*)
+    val ranked = df.where(col(value).isNotNull)
+      .select(kcols :+ col(value).cast("double").as("_v"): _*)
+      .withColumn("_rn", row_number().over(byKey.orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(byKey))
+
+    // rank slack: 0 for exact; the GK sketch guarantee (±n/accuracy,
+    // rounded out) + extraRanks for the bounds variant
+    val k: Column =
+      if (accuracy > 0) ceil(col("_n") / lit(accuracy)) + lit(extraRanks)
+      else lit(extraRanks)
+
+    val needed = ps.map { case (p, _) =>
+      col("_rn").between(floor(hOf(p)) - k, ceil(hOf(p)) + k)
+    }.reduce(_ || _)
+
+    val aggs = ps.flatMap { case (p, name) =>
+      Seq(
+        min(when(col("_rn").between(floor(hOf(p)) - k, floor(hOf(p))), col("_v")))
+          .as(s"_lo_$name"),
+        max(when(col("_rn").between(ceil(hOf(p)), ceil(hOf(p)) + k), col("_v")))
+          .as(s"_hi_$name"))
+    } :+ max(col("_n")).as("_n")
+
+    ranked.where(needed).groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -300,13 +300,32 @@ object Relational {
     }),
 
     // ---- exact percentiles (interpolated order statistics) ----
+    // window-sort implementation, NOT the built-in percentile()
+    // aggregate: identical values, but bounded executor memory at any
+    // group size (the built-in buffers whole groups on the heap)
     "q51_percentiles" -> ((s, d) => {
-      ord(s, d)
-        .groupBy("o_orderpriority")
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          count(lit(1)).as("n"))
+      graft.operators.Percentiles.exact(
+          ord(s, d), Seq("o_orderpriority"), "o_totalprice",
+          Seq(0.5 -> "p50", 0.9 -> "p90"))
+        .select(col("o_orderpriority"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          col("n_values").as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- sketch percentiles, gated against their own rank contract ----
+    // percentile_approx (GK sketch) per group; the *_ok flags assert the
+    // sketch value sits within its guaranteed ±(n/accuracy) rank window
+    // of the exact order statistics, so the gate pins the contract, not
+    // a sketch-implementation-specific value
+    "q51b_approx_percentiles" -> ((s, d) => {
+      graft.operators.Percentiles.approxWithBounds(
+          ord(s, d), Seq("o_orderpriority"), "o_totalprice",
+          Seq(0.5 -> "p50", 0.9 -> "p90"))
+        .select(col("o_orderpriority"),
+          col("p50_ok"), col("p90_ok"),
+          col("n_values").as("n"))
         .orderBy("o_orderpriority")
     }),
 
@@ -537,6 +556,10 @@ object Relational {
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
          round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
          count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q51b_approx_percentiles" ->
+      """SELECT o_orderpriority,
+         true AS p50_ok, true AS p90_ok, count(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q52_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

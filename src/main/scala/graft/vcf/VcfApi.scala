@@ -63,10 +63,15 @@ object VcfApi {
       col("chr") === chr && col("start") <= end && col("end") >= start)
 
   /** Bulk interval-overlap join against an arbitrary regions table
-    * (columns: chr, start, end) — the scale path via binned equi-join.
+    * (columns: chr, start, end). Dispatches adaptively
+    * ([[graft.operators.RangeJoin.overlapAuto]]): a regions side small
+    * enough to broadcast takes the custom no-shuffle interval-probe
+    * operator; anything bigger takes the binned equi-join — callers get
+    * the right physical plan without choosing.
     */
-  def overlapJoin(info: DataFrame, regions: DataFrame, binWidth: Long = 100000L): DataFrame =
-    RangeJoin.overlap(
+  def overlapJoin(info: DataFrame, regions: DataFrame,
+      binWidth: Long = 100000L, broadcastRows: Long = 1000000L): DataFrame =
+    RangeJoin.overlapAuto(
       info, regions.withColumnRenamed("start", "rstart").withColumnRenamed("end", "rend"),
-      Seq("chr"), "start", "end", "rstart", "rend", binWidth)
+      Seq("chr"), "start", "end", "rstart", "rend", binWidth, broadcastRows)
 }

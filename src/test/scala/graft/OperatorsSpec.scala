@@ -6,6 +6,61 @@ import graft.operators._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Dedup.clearCaches releases signature caches after consumption") {
+    val docs = (1 to 60).map(i => (i.toLong, s"some text body number ${i % 20} with words"))
+      .toDF("id", "text")
+    Dedup.clearCaches() // drain anything left by other tests
+    Dedup.minHashLsh(docs, "text", "id").count()
+    Dedup.ngramJaccardPairs(docs.withColumn("b", lit(1)), "text", "id", Seq("b")).count()
+    // exactly the two signature caches were registered and released
+    // (global getPersistentRDDs is racy across parallel suites)
+    assert(Dedup.clearCaches() == 2)
+    assert(Dedup.clearCaches() == 0)
+  }
+
+  test("Percentiles.exact ≡ built-in percentile() (randomized groups)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 2000).map { i =>
+      (s"g${i % 7}", rnd.nextInt(100000) / 10.0)
+    } ++ Seq(("solo", 42.0)) // single-element group
+    val df = rows.toDF("k", "v")
+    val got = Percentiles.exact(df, Seq("k"), "v",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.0 -> "p0", 1.0 -> "p100"))
+      .orderBy("k")
+      .select("k", "p50", "p90", "p0", "p100")
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    val want = df.groupBy("k").agg(
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.9)").as("p90"),
+        expr("percentile(v, 0.0)").as("p0"),
+        expr("percentile(v, 1.0)").as("p100"))
+      .orderBy("k")
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._2 - w._2) < 1e-9 && math.abs(g._3 - w._3) < 1e-9 &&
+        g._4 == w._4 && g._5 == w._5, s"$g != $w")
+    }
+  }
+
+  test("Percentiles.exact ignores nulls; all-null group omitted") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None)).toDF("k", "v")
+    val r = Percentiles.exact(df, Seq("k"), "v", Seq(0.5 -> "p50"))
+      .as[(String, Double, Long)].collect().toSeq
+    assert(r == Seq(("a", 2.0, 2L)))
+  }
+
+  test("Percentiles.approxWithBounds: sketch honors its rank contract") {
+    val rnd = new scala.util.Random(29)
+    val df = (1 to 30000).map(i => (s"g${i % 3}", rnd.nextGaussian() * 100))
+      .toDF("k", "v")
+    val r = Percentiles.approxWithBounds(df, Seq("k"), "v",
+        Seq(0.5 -> "p50", 0.99 -> "p99"), accuracy = 1000)
+      .select("p50_ok", "p99_ok").as[(Boolean, Boolean)].collect()
+    assert(r.nonEmpty && r.forall(t => t._1 && t._2))
+  }
+
   test("RangeJoin.overlap ≡ naive theta join (randomized intervals)") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 300).map { i =>

@@ -86,6 +86,18 @@ class ScaleSpec extends SparkSpec {
     assert(binned.count() == 2)
   }
 
+  test("VcfApi.overlapJoin dispatches both branches through overlapAuto") {
+    val tables = VcfBuild.build(VcfReader.fromLines(spark, ToyVcf.lines))
+    val regions = Seq(("1", 150L, 350L), ("2", 100L, 200L)).toDF("chr", "start", "end")
+    val auto = graft.vcf.VcfApi.overlapJoin(tables.info, regions)
+    assert(auto.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"))
+    val ids = auto.select("variant_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 3L, 4L))
+    val binned = graft.vcf.VcfApi.overlapJoin(tables.info, regions, broadcastRows = 0)
+    assert(!binned.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"))
+    assert(binned.select("variant_id").as[Long].collect().sorted.toSeq == ids)
+  }
+
   test("chr-partitioned info layout prunes directories for range pulls") {
     val dir = java.nio.file.Files.createTempDirectory("vcfchr").toString
     val tables = VcfBuild.build(VcfReader.fromLines(spark, ToyVcf.lines))
