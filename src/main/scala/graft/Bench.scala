@@ -117,9 +117,22 @@ object Bench {
       System.err.println(s"[bench] vcf bench failed: $e")
     }
 
+    // ---- streaming throughput (rows/s through the tumbling agg) ----
+    try {
+      // short warmup run pays source/sink setup + codegen
+      graft.streaming.EventsStream.rateThroughput(spark, 100000L, minBatches = 2)
+      results("stream_tumbling_rows_per_sec") =
+        graft.streaming.EventsStream.rateThroughput(spark, 5000000L, minBatches = 8)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream bench failed: $e")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // total is seconds: rate metrics (rows/sec) don't belong in the sum
+    val total = results.collect {
+      case (k, v) if v >= 0 && !k.endsWith("_rows_per_sec") => v
+    }.sum
     println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

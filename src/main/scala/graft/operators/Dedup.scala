@@ -41,7 +41,12 @@ object Dedup {
   def clearCaches(): Int = {
     var n = 0
     var df = liveCaches.poll()
-    while (df != null) { df.unpersist(false); n += 1; df = liveCaches.poll() }
+    while (df != null) {
+      // best-effort: unpersist can race an already-stopping SparkContext
+      try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+      n += 1
+      df = liveCaches.poll()
+    }
     n
   }
 
@@ -87,8 +92,13 @@ object Dedup {
     * Scale: the only shuffles are (a) the groupBy-free explode+join on
     * (band, bandHash) — i.e. an equi-join on the LSH bucket key — and
     * (b) the final pair dedup. Bucket skew (a degenerate shingle set
-    * shared by millions of docs) is the known hazard; callers can
-    * pre-filter boilerplate or raise `bands` granularity.
+    * shared by millions of docs — boilerplate) is the known hazard:
+    * a bucket of n docs yields n² candidate pairs on ONE reducer.
+    * `saltHotBuckets > 0` routes the candidate self-join through
+    * [[Skew.saltedJoin]], spreading each bucket's pair generation
+    * across that many reducers (the banded table is slim — id + two
+    * key columns — so the ×salt replication of the build side is
+    * cheap); callers can also pre-filter boilerplate or raise `bands`.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair.
     */
@@ -99,7 +109,8 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      saltHotBuckets: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
@@ -143,12 +154,21 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct() // a pair may collide in several bands
+    val pairsRaw =
+      if (saltHotBuckets > 0)
+        Skew.saltedJoin(
+            banded,
+            banded.select(col("id").as("__id_b"), col("band"), col("bucket")),
+            Seq("band", "bucket"), scatterCol = "id", salt = saltHotBuckets)
+          .where(col("id") < col("__id_b"))
+          .select(col("id").as("id_a"), col("__id_b").as("id_b"))
+      else
+        banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candidates = pairsRaw.distinct() // a pair may collide in several bands
 
     val sets = docs.select(col("id"), col("shash"))
     candidates

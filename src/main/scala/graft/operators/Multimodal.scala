@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns travelling next to typed metadata.
   *
-  * The Spark-side mechanics — schema, batching, partition sizing,
-  * per-partition decode loops — are real and tested; the actual media
-  * decode is STUBBED (this environment has no image/audio libraries):
-  * [[decodeStub]] derives deterministic fake features from the bytes.
-  * Swapping in a real decoder changes only the body of the
-  * `mapPartitions` closure (or, in PySpark, a `mapInPandas` batch fn
-  * with the identical schema contract).
+  * IMAGE decode is REAL: [[decodeImage]]/[[decodeImages]] use the JDK's
+  * built-in `javax.imageio` codecs (PNG/JPEG/BMP/GIF — no external
+  * dependency) to produce dimensions and a normalized luminance
+  * histogram. Audio/video decode remains STUBBED (no codec libraries in
+  * this environment): [[decodeStub]] derives deterministic fake
+  * features from the bytes. Swapping in a real audio/video decoder
+  * changes only the body of the `mapPartitions` closure — the schema
+  * contract and partition-wise batching are the production shape,
+  * exactly as [[decodeImages]] demonstrates for images.
   */
 object Multimodal {
 
@@ -59,6 +61,64 @@ object Multimodal {
         (payload((i * stride) % payload.length) & 0xff) / 255.0
       }
     }
+  }
+
+  /** REAL image decode (JDK ImageIO): dimensions + `dim`-bin normalized
+    * luminance histogram (ITU-R 601 luma). Returns None for null,
+    * undecodable, or non-image payloads — the caller maps that to NULL
+    * columns, so corrupt files degrade instead of failing the job.
+    */
+  def decodeImage(dim: Int)(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val hist = new Array[Double](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum * dim / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      var i = 0
+      while (i < dim) { hist(i) /= n; i += 1 }
+      Some((w, h, hist))
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-wise real image decode: appends `img_width`,
+    * `img_height`, `img_features` (all NULL when the payload is not a
+    * decodable image). The per-partition seam disables ImageIO's
+    * temp-file cache once per task — the spot a heavier codec would be
+    * initialized.
+    */
+  def decodeImages(df: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("img_width", IntegerType, nullable = true),
+      StructField("img_height", IntegerType, nullable = true),
+      StructField("img_features", ArrayType(DoubleType), nullable = true)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per task
+      rows.map { r =>
+        decodeImage(dim)(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some((w, h, f)) => Row.fromSeq(r.toSeq ++ Seq(w, h, f.toSeq))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Feature extraction over the payload column via mapPartitions —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operator surface: dedup family, similarity
   * search, text analysis, multimodal plumbing — over `documents` and
@@ -166,6 +166,51 @@ object Pipeline {
             (0 until 4).map(i =>
               round(element_at(col("features"), i + 1), 6).as(s"f$i"))): _*)
         .orderBy("media_id")
+    }),
+
+    // ---- multimodal: REAL image decode (JDK ImageIO, no external
+    //      deps) over deterministic generated PNGs; undecodable payload
+    //      degrades to NULLs instead of failing the job ----
+    "q60_media_decode" -> ((s, _) => {
+      import java.awt.image.BufferedImage
+      def png(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val rows = Seq(
+        (1L, png(4, 4, (_, _) => 0x000000)), // black → luma bin 0
+        (2L, png(2, 3, (_, _) => 0xffffff)), // white → luma bin 3
+        (3L, png(2, 2, (x, _) => if (x == 0) 0x000000 else 0xffffff)),
+        (4L, png(3, 1, (_, _) => 0x808080)), // mid gray → luma bin 2
+        (5L, Array[Byte](1, 2, 3))) // not an image → NULL decode
+      import s.implicits._
+      val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "image")
+      Multimodal.decodeImages(media, dim = 4)
+        .select((Seq(col("media_id"), col("img_width"), col("img_height")) ++
+          (0 until 4).map(i =>
+            round(element_at(col("img_features"), i + 1), 6).as(s"f$i"))): _*)
+        .orderBy("media_id")
+    }),
+
+    // ---- real BPE: distributed merge learning + rank-greedy encode
+    //      (the classic Sennrich low/lower/newest/widest corpus; the
+    //      oracle pins the hand-derived merges and encodings) ----
+    "q61_bpe_tokens" -> ((s, _) => {
+      import s.implicits._
+      val corpus = Seq(
+        "low low low low low", "lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest").toDF("text")
+      val merges = Bpe.learn(corpus, "text", numMerges = 5)
+      val words = Seq("low", "lowest", "newest", "widest", "unknown").toDF("word")
+      Bpe.tokenize(words, "word", merges)
+        .select(col("word"),
+          array_join(col("bpe_tokens"), " ").as("toks"),
+          col("n_bpe_tokens").as("n"))
+        .orderBy("word")
     }))
 
   // DuckDB helper fragments (kept in sync with graft.functions):
@@ -380,5 +425,26 @@ object Pipeline {
           round(ascii(substr(text, ((1 * greatest(1, length(text) // 4)) % length(text)) + 1, 1)) / 255.0, 6) AS f1,
           round(ascii(substr(text, ((2 * greatest(1, length(text) // 4)) % length(text)) + 1, 1)) / 255.0, 6) AS f2,
           round(ascii(substr(text, ((3 * greatest(1, length(text) // 4)) % length(text)) + 1, 1)) / 255.0, 6) AS f3
-          FROM documents WHERE doc_id < 20 ORDER BY media_id""")
+          FROM documents WHERE doc_id < 20 ORDER BY media_id""",
+    // hand-computed luminance histograms of the generated fixtures
+    "q60_media_decode" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(4 AS INTEGER), CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+          (2, 2, 3, 0.0, 0.0, 0.0, 1.0),
+          (3, 2, 2, 0.5, 0.0, 0.0, 0.5),
+          (4, 3, 1, 0.0, 0.0, 1.0, 0.0),
+          (5, NULL, NULL, NULL, NULL, NULL, NULL))
+         t(media_id, img_width, img_height, f0, f1, f2, f3)
+         ORDER BY media_id""",
+    // merges after 5 rounds: (e,s)(es,t)(est,</w>)(l,o)(lo,w) — ties
+    // break by count desc then pair lexicographic
+    "q61_bpe_tokens" ->
+      """SELECT * FROM (VALUES
+          ('low',     'low </w>',          CAST(2 AS BIGINT)),
+          ('lowest',  'low est</w>',       2),
+          ('newest',  'n e w est</w>',     4),
+          ('unknown', 'u n k n o w n </w>', 8),
+          ('widest',  'w i d est</w>',     4))
+         t(word, toks, n)
+         ORDER BY word""")
 }

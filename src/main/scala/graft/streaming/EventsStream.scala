@@ -73,6 +73,49 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Streaming throughput probe: drive [[tumblingAgg]] from Spark's
+    * `rate` source until `minBatches` micro-batches complete (bounded by
+    * `maxWaitMillis`), then report engine rows/sec as
+    * (input rows) / (trigger-execution time), excluding the cold first
+    * batch. The rate source generates rows computationally and backfills
+    * when the engine lags, so with an aggressive `rowsPerSecond` the
+    * measured number reflects the aggregation pipeline, not the
+    * generator.
+    */
+  def rateThroughput(spark: SparkSession, rowsPerSecond: Long,
+      minBatches: Int = 4, maxWaitMillis: Long = 30000L,
+      windowNs: Long = 3600L * 1000 * 1000 * 1000): Double = {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", spark.sparkContext.defaultParallelism)
+      .load()
+      .select(
+        (col("value") * 1000000L).as("ts"), // 1 ms-spaced ns event times
+        concat(lit("t"), pmod(col("value"), lit(5))).as("event_type"),
+        (pmod(col("value"), lit(1000)) / 10.0).as("value"))
+    val agg = tumblingAgg(rate, windowNs)
+    val name = s"rate_bench_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    val deadline = System.currentTimeMillis() + maxWaitMillis
+    // need minBatches + 1 so a batch remains after dropping the cold one
+    while (q.recentProgress.count(_.numInputRows > 0) <= minBatches &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    q.stop()
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.numInputRows > 0).drop(1)
+    val rows = progress.map(_.numInputRows).sum
+    val secs = progress
+      .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+      .sum / 1000.0
+    spark.catalog.dropTempView(name)
+    if (secs > 0) rows / secs else 0.0
+  }
+
   /** Per-user running session state for streaming sessionization. */
   case class SessionState(lastTs: Long, sessionId: Long)
   case class SessionizedEvent(user_id: Long, ts: Long, session_id: Long)

@@ -6,6 +6,41 @@ import graft.operators._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Bpe.learnFromFreqs reproduces the classic merge sequence") {
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.learnFromFreqs(freqs, 5)
+    assert(merges == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encode("lowest", ranks) == Seq("low", "est</w>"))
+    assert(Bpe.encode("newest", ranks) == Seq("n", "e", "w", "est</w>"))
+    // out-of-vocab word degrades to characters, never fails
+    assert(Bpe.encode("xyz", ranks) == Seq("x", "y", "z", "</w>"))
+  }
+
+  test("Bpe.learn exhausts merges on a tiny corpus without looping") {
+    val corpus = Seq("aa aa ab").toDF("text")
+    val merges = Bpe.learn(corpus, "text", numMerges = 100)
+    assert(merges.nonEmpty && merges.size < 100) // stopped when dry
+    val toks = Bpe.tokenize(corpus, "text", merges)
+      .select("n_bpe_tokens").as[Long].head
+    assert(toks == 3L) // each word fully merged to one token
+  }
+
+  test("Multimodal.decodeImage: real PNG decode, corrupt bytes → None") {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((w, h, hist)) = Multimodal.decodeImage(4)(bos.toByteArray)
+    assert(w == 2 && h == 2)
+    assert(hist.toSeq == Seq(0.5, 0.0, 0.0, 0.5))
+    assert(Multimodal.decodeImage(4)(Array[Byte](9, 9, 9)).isEmpty)
+    assert(Multimodal.decodeImage(4)(null).isEmpty)
+  }
+
   test("Dedup.clearCaches releases signature caches after consumption") {
     val docs = (1 to 60).map(i => (i.toLong, s"some text body number ${i % 20} with words"))
       .toDF("id", "text")

@@ -22,6 +22,29 @@ class ScaleSpec extends SparkSpec {
     assert(got == want && got.size == 5050)
   }
 
+  test("minHashLsh salted candidate join ≡ plain on a boilerplate-hot bucket") {
+    // 150 near-identical boilerplate docs land in ONE LSH bucket per
+    // band (the pathological 100TB case: license headers); 30 distinct
+    // docs ride along. Salting must spread the bucket without changing
+    // the candidate/verified pair set.
+    val boiler = (1 to 150).map(i =>
+      (i.toLong, "this software is provided as is without warranty of any kind " +
+        s"express or implied marker$i"))
+    val distinct = (1 to 30).map(i =>
+      (1000L + i, s"unique document $i about topic ${i * 37} with words ${i * 13} and ${i * 7}"))
+    val docs = (boiler ++ distinct).toDF("id", "text")
+
+    val plain = operators.Dedup.minHashLsh(docs, "text", "id", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    val salted = operators.Dedup.minHashLsh(docs, "text", "id", threshold = 0.3,
+        saltHotBuckets = 8)
+    // the salted plan really shuffles on (band, bucket, __salt)
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+    val got = salted.select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == plain && got.size > 1000) // boilerplate pairs survive verify
+    operators.Dedup.clearCaches()
+  }
+
   test("keySkewProfile flags the hot key") {
     val df = ((1 to 1000).map(_ => 1L) ++ (2 to 20).map(_.toLong)).toDF("k")
     val hot = Skew.keySkewProfile(df, Seq("k"))
