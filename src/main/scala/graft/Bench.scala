@@ -117,6 +117,31 @@ object Bench {
       System.err.println(s"[bench] vcf bench failed: $e")
     }
 
+    // ---- splittable BGZF scan: parse a multi-block bgzipped VCF ----
+    // Guards the partition count (a regression to 1 partition means the
+    // source stopped splitting — the whole point of the BGZF codec) and
+    // gives the DSv2 scan a throughput signal.
+    try {
+      val nv = 20000L
+      val gz = java.nio.file.Files.createTempDirectory("graft_bgzf_bench")
+        .resolve("bench.vcf.gz").toString
+      val lines = graft.vcf.SyntheticVcf.header(8) ++
+        (0L until nv).map(i => graft.vcf.SyntheticVcf.line(i, 8, 50))
+      graft.vcf.Bgzf.writeLocalFile(gz, lines)
+      // warm (codegen + FS metadata), then measure the full parse
+      val warm = graft.vcf.VcfReader.read(spark, gz, splitSize = Some(256L << 10))
+      require(warm.df.rdd.getNumPartitions > 1,
+        s"BGZF scan not split: ${warm.df.rdd.getNumPartitions} partition(s)")
+      warm.df.count()
+      results("vcf_bgzf_scan_sec") = time {
+        val n = graft.vcf.VcfReader.read(spark, gz, splitSize = Some(256L << 10))
+          .df.count()
+        require(n == nv, s"BGZF scan returned $n rows, expected $nv")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bgzf bench failed: $e")
+    }
+
     // ---- streaming throughput (rows/s through the tumbling agg) ----
     try {
       // short warmup run pays source/sink setup + codegen
@@ -133,7 +158,21 @@ object Bench {
     val total = results.collect {
       case (k, v) if v >= 0 && !k.endsWith("_rows_per_sec") => v
     }.sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val metricLine =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // Sidecar copy: survives even if stdout capture is truncated.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+        (metricLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    // Stop Spark BEFORE printing the metric line: local-mode shutdown can
+    // spew scheduler stack traces that would push the JSON out of a
+    // bounded log tail (this blinded the r3 perf gate). Logs off first so
+    // shutdown noise never reaches the captured output at all.
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => () }
+    println(metricLine)
   }
 }

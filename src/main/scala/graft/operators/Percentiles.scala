@@ -60,12 +60,26 @@ object Percentiles {
         Seq(col(s"_lo_$name").as(s"_min_$name"), col(s"_hi_$name").as(s"_max_$name"))
       } :+ col("_n"): _*)
 
+    // Left join from the sketch side with null-safe key equality: a
+    // group whose key is NULL, or whose values are all NULL (no bounds
+    // row — rankCandidates drops null values), must still appear — like
+    // a plain percentile_approx aggregate — with NULL `_ok` flags and
+    // n_values = 0 rather than silently vanishing on an inner
+    // using-column join.
+    val boundsR = bounds.select(
+      keys.map(k => col(k).as(s"_bk_$k")) ++
+        ps.flatMap { case (_, n) => Seq(col(s"_min_$n"), col(s"_max_$n")) }
+        :+ col("_n"): _*)
+    val joined =
+      if (keys.isEmpty) approx.crossJoin(boundsR)
+      else approx.join(boundsR,
+        keys.map(k => col(k) <=> col(s"_bk_$k")).reduce(_ && _), "left")
     val oks = ps.map { case (_, name) =>
       col(name).between(col(s"_min_$name"), col(s"_max_$name")).as(s"${name}_ok")
     }
-    approx.join(bounds, keys)
-      .select(kcols ++ ps.map { case (_, n) => col(n) } ++ oks
-        :+ col("_n").as("n_values"): _*)
+    joined.select(keys.map(k => approx(k)) ++
+      ps.map { case (_, n) => approx(n) } ++ oks
+      :+ coalesce(col("_n"), lit(0L)).as("n_values"): _*)
   }
 
   /** 1-based interpolation rank h = 1 + (n-1)p (type-7). */

@@ -199,6 +199,11 @@ object Bgzf {
     val tail = off + bsize - 4
     val isize = (buf(tail) & 0xff) | ((buf(tail + 1) & 0xff) << 8) |
       ((buf(tail + 2) & 0xff) << 16) | ((buf(tail + 3) & 0xff) << 24)
+    // ISIZE comes from untrusted input: BGZF bounds uncompressed blocks
+    // at 64 KiB, so anything outside [0, 0x10000] is corruption — reject
+    // it here rather than let `new Array` throw (or allocate up to 2 GiB).
+    if (isize < 0 || isize > MaxBlockSize)
+      throw new IOException(s"corrupt BGZF block: ISIZE $isize out of [0, $MaxBlockSize]")
     val out = new Array[Byte](isize)
     if (isize == 0) return out
     val inf = new Inflater(true)

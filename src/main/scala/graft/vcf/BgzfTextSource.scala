@@ -37,16 +37,31 @@ class BgzfTextSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    if (schema != BgzfTextSource.Schema)
+      throw new IllegalArgumentException(
+        s"bgzf-text has a fixed schema ${BgzfTextSource.Schema.simpleString}; " +
+          s"user-supplied schema ${schema.simpleString} is not supported")
     val opts = new CaseInsensitiveStringMap(properties)
-    val path = Option(opts.get("path")).getOrElse(
-      throw new IllegalArgumentException("bgzf-text requires a path"))
-    new BgzfTextTable(path, Option(opts.get("splitSize")).map(_.toLong))
+    // `.load(p)` arrives as option "path"; `.load(p1, p2, ...)` arrives
+    // as option "paths" holding a JSON string array.
+    val paths = Option(opts.get("paths")).map(BgzfTextSource.parsePathsJson)
+      .getOrElse(Option(opts.get("path")).map(Seq(_)).getOrElse(
+        throw new IllegalArgumentException("bgzf-text requires a path")))
+    new BgzfTextTable(paths, Option(opts.get("splitSize")).map(_.toLong))
   }
 }
 
 object BgzfTextSource {
   val Schema: StructType =
     StructType(Seq(StructField("value", StringType, nullable = false)))
+
+  /** Spark encodes multi-path `.load(p1, p2)` as a JSON string array in
+    * the "paths" option; decode with the same Jackson Spark uses.
+    */
+  def parsePathsJson(json: String): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.readValue(json, classOf[Array[String]]).toSeq
+  }
 
   /** Non-hidden data files under a path/glob. */
   def listFiles(path: String, conf: Configuration): Seq[FileStatus] = {
@@ -64,26 +79,26 @@ object BgzfTextSource {
   }
 }
 
-private[vcf] class BgzfTextTable(path: String, splitSize: Option[Long])
+private[vcf] class BgzfTextTable(paths: Seq[String], splitSize: Option[Long])
   extends Table with SupportsRead {
 
-  override def name(): String = s"bgzf-text(`$path`)"
+  override def name(): String = s"bgzf-text(`${paths.mkString(",")}`)"
   override def schema(): StructType = BgzfTextSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new BgzfTextScan(path, splitSize)
+      override def build(): Scan = new BgzfTextScan(paths, splitSize)
     }
 }
 
-private[vcf] class BgzfTextScan(path: String, splitSizeOpt: Option[Long])
+private[vcf] class BgzfTextScan(paths: Seq[String], splitSizeOpt: Option[Long])
   extends Scan with Batch {
 
   override def readSchema(): StructType = BgzfTextSource.Schema
   override def toBatch: Batch = this
-  override def description(): String = s"bgzf-text $path"
+  override def description(): String = s"bgzf-text ${paths.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -94,7 +109,7 @@ private[vcf] class BgzfTextScan(path: String, splitSizeOpt: Option[Long])
     // start syncs past its end and emits nothing.
     val splitSize = splitSizeOpt.getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
     require(splitSize > 0, s"splitSize must be positive, got $splitSize")
-    BgzfTextSource.listFiles(path, conf).flatMap { st =>
+    paths.flatMap(p => BgzfTextSource.listFiles(p, conf)).flatMap { st =>
       val len = st.getLen
       (0L until len by splitSize).map { s =>
         BgzfSplit(st.getPath.toString, s, math.min(s + splitSize, len), len)

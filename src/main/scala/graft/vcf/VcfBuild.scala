@@ -78,8 +78,15 @@ object VcfBuild {
     // fixed/derived columns win name collisions (e.g. the standard SV
     // INFO field END vs the computed interval end): keep-first duplicate
     // semantics, as in the reference's column dedupe (02-build-db.R:348)
+    // clinvar INFO fields move onto variant_impact ONLY when a CSQ field
+    // exists (the impact table is built, and the re-join carries them);
+    // without CSQ the reference keeps them in variant_info — dropping
+    // them unconditionally would lose the columns from the whole model
+    // (02-build-db.R:286-305 runs inside the csq_exists branch).
+    val dropClinvar = header.csqColumns.isDefined
     val infoCols: Seq[Column] = header.usableInfoDefs
-      .filterNot(d => d.id == "CSQ" || clinvarInfoCols.contains(d.id.toLowerCase))
+      .filterNot(d => d.id == "CSQ" ||
+        (dropClinvar && clinvarInfoCols.contains(d.id.toLowerCase)))
       .map { d =>
         val name = d.id.toLowerCase
         if (perAlt.contains(d.number)) element_at(col(name), 1).as(name)

@@ -54,9 +54,24 @@ object VcfReader {
       splitSize: Option[Long] = None): VcfDataset = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
-    val first = BgzfTextSource.listFiles(path, conf).headOption
-    val isBgzf = first.exists(st =>
-      Bgzf.isBgzfFile(st.getPath.getFileSystem(conf), st.getPath))
+    val files = BgzfTextSource.listFiles(path, conf)
+    // Sniff EVERY listed file, not just the first: a directory mixing
+    // BGZF and plain-text shards must fail loudly here — routed through
+    // one codec path, the wrong half would throw mid-scan (plain text
+    // through the BGZF reader) or decode garbage (BGZF through
+    // spark.read.text).
+    val sniffed = files.map(st =>
+      st.getPath -> Bgzf.isBgzfFile(st.getPath.getFileSystem(conf), st.getPath))
+    if (sniffed.nonEmpty && sniffed.exists(_._2) && !sniffed.forall(_._2)) {
+      val (bgzf, plain) = sniffed.partition(_._2)
+      throw new IllegalArgumentException(
+        s"mixed-compression VCF input under $path: BGZF files " +
+          s"(${bgzf.map(_._1.getName).take(3).mkString(", ")}...) alongside " +
+          s"non-BGZF files (${plain.map(_._1.getName).take(3).mkString(", ")}...)" +
+          "; read them separately or re-bgzip the plain shards")
+    }
+    val first = files.headOption
+    val isBgzf = sniffed.nonEmpty && sniffed.forall(_._2)
     if (isBgzf) {
       val reader = spark.read.format("bgzf-text")
       val withOpt = splitSize.fold(reader)(s => reader.option("splitSize", s))

@@ -125,4 +125,38 @@ class BgzfSpec extends SparkSpec {
     assert(vcf.df.count() == n)
     assert(vcf.header.samples == Seq("S0", "S1", "S2", "S3"))
   }
+
+  test("corrupt ISIZE trailer raises IOException, not a wild allocation") {
+    val lines = (0 until 50).map(i => s"line$i")
+    val bytes = Bgzf.compress(lines.mkString("", "\n", "\n").getBytes("UTF-8"),
+      blockData = 128)
+    // find the first block's size, then smash its 4-byte ISIZE trailer
+    val bsize = Bgzf.headerBlockSize(bytes, 0, bytes.length)
+    assert(bsize > 0)
+    val evil = bytes.clone()
+    evil(bsize - 4) = 0xff.toByte; evil(bsize - 3) = 0xff.toByte
+    evil(bsize - 2) = 0xff.toByte; evil(bsize - 1) = 0x7f.toByte // ~2 GiB
+    val e = intercept[java.io.IOException] {
+      Bgzf.readBlock(new java.io.ByteArrayInputStream(evil))
+    }
+    assert(e.getMessage.contains("ISIZE"))
+  }
+
+  test("multi-path load reads all files; mixed compression rejected") {
+    val a = tmpFile((0 until 100).map(i => s"a$i"), blockData = 128)
+    val b = tmpFile((0 until 100).map(i => s"b$i"), blockData = 128)
+    val df = spark.read.format("bgzf-text").option("splitSize", 256).load(a, b)
+    assert(df.count() == 200)
+    assert(df.rdd.getNumPartitions > 2)
+
+    // a directory mixing a bgzf shard and a plain-text shard must fail fast
+    val dir = Files.createTempDirectory("graft_mixed")
+    Files.copy(java.nio.file.Paths.get(a), dir.resolve("part0.vcf.gz"))
+    Files.write(dir.resolve("part1.vcf"),
+      ToyVcf.lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      VcfReader.read(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("mixed-compression"))
+  }
 }

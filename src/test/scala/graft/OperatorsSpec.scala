@@ -96,6 +96,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r.nonEmpty && r.forall(t => t._1 && t._2))
   }
 
+  test("Percentiles.approxWithBounds keeps NULL-key and all-null groups") {
+    val df = Seq((Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
+      (None, Some(5.0)), (None, Some(7.0)), // NULL group key
+      (Some("b"), None)) // group with only null values
+      .toDF("k", "v")
+    val r = Percentiles.approxWithBounds(df, Seq("k"), "v", Seq(0.5 -> "p50"))
+      .select("k", "p50", "p50_ok", "n_values")
+      .as[(Option[String], Option[Double], Option[Boolean], Long)]
+      .collect().sortBy(_._1)
+    // plain percentile_approx emits all three groups; so must we
+    assert(r.length == 3)
+    val byKey = r.map(t => t._1 -> t).toMap
+    assert(byKey(None)._3.contains(true) && byKey(None)._4 == 2L)
+    assert(byKey(Some("a"))._3.contains(true) && byKey(Some("a"))._4 == 2L)
+    // all-null group: NULL sketch, NULL ok-flag, 0 values — present, not dropped
+    assert(byKey(Some("b"))._2.isEmpty && byKey(Some("b"))._3.isEmpty &&
+      byKey(Some("b"))._4 == 0L)
+  }
+
   test("RangeJoin.overlap ≡ naive theta join (randomized intervals)") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 300).map { i =>

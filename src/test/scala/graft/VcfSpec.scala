@@ -88,6 +88,20 @@ class VcfSpec extends SparkSpec {
     assert(imp.filter($"variant_id" === 6 && $"clinvar_sig".isNull).count() == 1)
   }
 
+  test("clinvar stays in variant_info when the VCF has no CSQ field") {
+    // without CSQ there is no impact table to carry the clinvar columns:
+    // the reference only relocates them inside its csq_exists branch
+    val lines = Seq(
+      "##INFO=<ID=clinvar_sig,Number=.,Type=String,Description=\"sig\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "1\t10\t.\tA\tG\t5\tPASS\tclinvar_sig=benign\tGT\t0|1")
+    val t = VcfBuild.build(VcfReader.fromLines(spark, lines))
+    assert(t.impact.isEmpty)
+    assert(t.info.columns.contains("clinvar_sig"))
+    assert(t.info.select(element_at($"clinvar_sig", 1)).head.getString(0) == "benign")
+  }
+
   test("scalar (Number=1) clinvar INFO joins without unnest") {
     val lines = Seq(
       "##INFO=<ID=clinvar_sig,Number=1,Type=String,Description=\"sig\">",
