@@ -110,6 +110,20 @@ object VcfQ {
         .select("variant_id", "chr", "start", "end", "ref", "alt",
           "qual", "filter", "ac", "af", "dp", "vt")
         .orderBy("variant_id")
+    }),
+    "q62_vcf_tabix_range" -> ((s, _) => {
+      // tabix-indexed pre-ETL range read on a bgzipped copy of the toy
+      // fixture: only index-selected blocks are planned, and the result
+      // must equal the full-scan + overlap-filter golden rows
+      val f = java.nio.file.Files
+        .createTempFile("graft_toy_tabix", ".vcf.gz").toFile
+      f.deleteOnExit()
+      graft.vcf.Bgzf.writeLocalFile(f.getAbsolutePath, ToyVcf.lines, blockData = 200)
+      val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+      graft.vcf.Tabix.build(p.getFileSystem(s.sessionState.newHadoopConf()), p)
+      VcfReader.readRange(s, f.getAbsolutePath, "1", 150L, 350L)
+        .df.select("chr", "pos", "id", "ref", "alt", "qual", "filter")
+        .orderBy("pos")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -199,5 +213,13 @@ object VcfQ {
           (5, '2', 250, 250, 'G', 'GA', 60, 'PASS', 1, 0.25, 25, 'INDEL'),
           (6, '2', 400, 400, 'A', 'C',  70, 'PASS', 4, 1.0,  35, 'SNP'))
          t(variant_id, chr, start, "end", ref, alt, qual, filter, ac, af, dp, vt)
-         ORDER BY variant_id""")
+         ORDER BY variant_id""",
+    // hand-computed: variants overlapping 1:150-350 are rs2 (200) and
+    // the id-less q10 site (300); rs1 (100) and all of chr 2 are pruned
+    "q62_vcf_tabix_range" ->
+      """SELECT * FROM (VALUES
+          ('1', CAST(200 AS BIGINT), 'rs2', 'C', 'T', CAST(99 AS DOUBLE), 'PASS'),
+          ('1', 300, NULL, 'G', 'A', 10, 'q10'))
+         t(chr, pos, id, ref, alt, qual, filter)
+         ORDER BY pos""")
 }

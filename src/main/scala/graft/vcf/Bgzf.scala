@@ -291,26 +291,41 @@ object Bgzf {
   *     (mirroring the unconditional discard done by the next split).
   *
   * Together these assign every line of the file to exactly one split.
+  *
+  * Two extensions support tabix-indexed region reads ([[Tabix]]):
+  *
+  *   - `uStart >= 0`: `start` is known to be an exact block boundary and
+  *     reading begins `uStart` uncompressed bytes into that block (a
+  *     tabix virtual offset) with NO first-line discard — the offset
+  *     points at a record start, not mid-line;
+  *   - `vEnd`: virtual-offset cap — no line may START at or after
+  *     `(blockOffset << 16) | inBlockOffset >= vEnd` (a chunk's
+  *     `cnk_end`). Lines that start before the cap still complete.
   */
 final class BgzfSplitLineIterator(
-    in: FSDataInputStream, start: Long, end: Long, fileLen: Long)
+    in: FSDataInputStream, start: Long, end: Long, fileLen: Long,
+    uStart: Int = -1, vEnd: Long = Long.MaxValue)
   extends Iterator[String] with java.io.Closeable {
 
   private var done = false
   private var pending: String = _
-  private var skipping = start > 0 // discard up to the first '\n'
+  private var skipping = start > 0 && uStart < 0 // discard up to the first '\n'
+  private var pendingUSkip = uStart
 
   private var chunk: Array[Byte] = Array.emptyByteArray
   private var cOff = 0
   private var chunkOwned = true
   private var firstNonOwnedChunk = false // `chunk` is the first block past `end`
   private var extraUsed = false
+  private var curBlockStart = 0L // compressed offset of the block in `chunk`
 
   private val line = new ByteArrayOutputStream(256)
   private var lineOpen = false
 
   private var nextBlockStart: Long = {
-    val s = if (start == 0L) 0L else Bgzf.sync(in, start, fileLen)
+    val s =
+      if (start == 0L || uStart >= 0) start // uStart ⇒ exact boundary, no sync
+      else Bgzf.sync(in, start, fileLen)
     if (s < 0 || s >= end) done = true else in.seek(s)
     s
   }
@@ -320,6 +335,7 @@ final class BgzfSplitLineIterator(
     while (true) {
       if (nextBlockStart >= fileLen) return false
       val owned = nextBlockStart < end
+      val blockStart = nextBlockStart
       Bgzf.readBlock(in) match {
         case None => return false
         case Some((data, csize)) =>
@@ -328,7 +344,10 @@ final class BgzfSplitLineIterator(
             firstNonOwnedChunk = !owned && chunkOwned
             chunkOwned = owned
             chunk = data
-            cOff = 0
+            curBlockStart = blockStart
+            cOff =
+              if (pendingUSkip >= 0) math.min(pendingUSkip, data.length) else 0
+            pendingUSkip = -1
             return true
           }
       }
@@ -353,7 +372,11 @@ final class BgzfSplitLineIterator(
         }
       }
       if (!lineOpen && !skipping) {
-        // a new line starts at chunk(cOff): decide whether this split emits it
+        // a new line starts at chunk(cOff): the virtual cap is checked
+        // first (a tabix chunk ends at an exact record boundary — the
+        // extra-line rule never applies past it) ...
+        if (((curBlockStart << 16) | cOff.toLong) >= vEnd) { done = true; return }
+        // ... then decide whether this split emits it
         val emits = chunkOwned ||
           (firstNonOwnedChunk && cOff == 0 && !extraUsed)
         if (!emits) { done = true; return }

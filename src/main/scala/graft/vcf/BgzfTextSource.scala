@@ -47,7 +47,8 @@ class BgzfTextSource extends TableProvider with DataSourceRegister {
     val paths = Option(opts.get("paths")).map(BgzfTextSource.parsePathsJson)
       .getOrElse(Option(opts.get("path")).map(Seq(_)).getOrElse(
         throw new IllegalArgumentException("bgzf-text requires a path")))
-    new BgzfTextTable(paths, Option(opts.get("splitSize")).map(_.toLong))
+    new BgzfTextTable(paths, Option(opts.get("splitSize")).map(_.toLong),
+      Option(opts.get("region")), Option(opts.get("index")))
   }
 }
 
@@ -61,6 +62,23 @@ object BgzfTextSource {
   def parsePathsJson(json: String): Seq[String] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     mapper.readValue(json, classOf[Array[String]]).toSeq
+  }
+
+  /** `"chr"` or `"chr:beg-end"` (1-based inclusive; commas tolerated in
+    * numbers, as in the tabix CLI) → (chr, beg, end).
+    */
+  def parseRegion(s: String): (String, Long, Long) = {
+    val colon = s.lastIndexOf(':')
+    if (colon < 0) (s, 1L, Long.MaxValue >> 17) // whole chromosome
+    else {
+      val range = s.substring(colon + 1).replace(",", "")
+      val dash = range.indexOf('-')
+      if (dash < 0)
+        throw new IllegalArgumentException(
+          s"bad region '$s': expected chr or chr:beg-end")
+      (s.substring(0, colon), range.substring(0, dash).toLong,
+        range.substring(dash + 1).toLong)
+    }
   }
 
   /** Non-hidden data files under a path/glob. */
@@ -79,7 +97,8 @@ object BgzfTextSource {
   }
 }
 
-private[vcf] class BgzfTextTable(paths: Seq[String], splitSize: Option[Long])
+private[vcf] class BgzfTextTable(paths: Seq[String], splitSize: Option[Long],
+    region: Option[String], index: Option[String])
   extends Table with SupportsRead {
 
   override def name(): String = s"bgzf-text(`${paths.mkString(",")}`)"
@@ -89,16 +108,18 @@ private[vcf] class BgzfTextTable(paths: Seq[String], splitSize: Option[Long])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new BgzfTextScan(paths, splitSize)
+      override def build(): Scan = new BgzfTextScan(paths, splitSize, region, index)
     }
 }
 
-private[vcf] class BgzfTextScan(paths: Seq[String], splitSizeOpt: Option[Long])
+private[vcf] class BgzfTextScan(paths: Seq[String], splitSizeOpt: Option[Long],
+    region: Option[String], index: Option[String])
   extends Scan with Batch {
 
   override def readSchema(): StructType = BgzfTextSource.Schema
   override def toBatch: Batch = this
-  override def description(): String = s"bgzf-text ${paths.mkString(",")}"
+  override def description(): String =
+    s"bgzf-text ${paths.mkString(",")}" + region.fold("")(r => s" region=$r")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -109,12 +130,46 @@ private[vcf] class BgzfTextScan(paths: Seq[String], splitSizeOpt: Option[Long])
     // start syncs past its end and emits nothing.
     val splitSize = splitSizeOpt.getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
     require(splitSize > 0, s"splitSize must be positive, got $splitSize")
-    paths.flatMap(p => BgzfTextSource.listFiles(p, conf)).flatMap { st =>
-      val len = st.getLen
-      (0L until len by splitSize).map { s =>
-        BgzfSplit(st.getPath.toString, s, math.min(s + splitSize, len), len)
-      }
-    }.toArray
+    val files = paths.flatMap(p => BgzfTextSource.listFiles(p, conf))
+    region match {
+      case None =>
+        files.flatMap { st =>
+          val len = st.getLen
+          (0L until len by splitSize).map { s =>
+            BgzfSplit(st.getPath.toString, s, math.min(s + splitSize, len), len)
+          }
+        }.toArray
+      case Some(r) =>
+        // Tabix-pruned scan: only the blocks whose virtual-offset chunks
+        // overlap the region are planned at all — the DSv2 analog of the
+        // reference's readVcf(param = chunk_ranges[i]). Big chunks (a
+        // whole-chromosome region) still split by `splitSize` for
+        // executor parallelism.
+        val (chr, beg, end) = BgzfTextSource.parseRegion(r)
+        if (index.isDefined && files.length > 1)
+          throw new IllegalArgumentException(
+            "explicit 'index' option requires a single input file; " +
+              "multi-file region reads use per-file <file>.tbi indexes")
+        files.flatMap { st =>
+          val fs = st.getPath.getFileSystem(conf)
+          val tbi = index.map(new Path(_)).getOrElse(st.getPath.suffix(".tbi"))
+          if (!fs.exists(tbi))
+            throw new IllegalArgumentException(
+              s"region read requires a tabix index at $tbi " +
+                "(build one with graft.vcf.Tabix.build)")
+          val len = st.getLen
+          Tabix.read(fs, tbi).query(chr, beg, end).flatMap { c =>
+            val cBeg = c.beg >>> 16
+            val cOwnEnd = (c.end >>> 16) + 1 // block holding vEnd is owned
+            val bounds = (cBeg until cOwnEnd by splitSize) :+ cOwnEnd
+            bounds.zip(bounds.tail).zipWithIndex.map { case ((s, e), i) =>
+              BgzfSplit(st.getPath.toString, s, e, len,
+                uStart = if (i == 0) (c.beg & 0xffff).toInt else -1,
+                vEnd = c.end)
+            }
+          }
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -125,7 +180,8 @@ private[vcf] class BgzfTextScan(paths: Seq[String], splitSizeOpt: Option[Long])
   }
 }
 
-private[vcf] case class BgzfSplit(path: String, start: Long, end: Long, fileLen: Long)
+private[vcf] case class BgzfSplit(path: String, start: Long, end: Long, fileLen: Long,
+    uStart: Int = -1, vEnd: Long = Long.MaxValue)
   extends InputPartition
 
 private[vcf] class BgzfReaderFactory(confEntries: Array[(String, String)])
@@ -137,7 +193,8 @@ private[vcf] class BgzfReaderFactory(confEntries: Array[(String, String)])
     confEntries.foreach { case (k, v) => conf.set(k, v) }
     val p = new Path(sp.path)
     val it = new BgzfSplitLineIterator(
-      p.getFileSystem(conf).open(p), sp.start, sp.end, sp.fileLen)
+      p.getFileSystem(conf).open(p), sp.start, sp.end, sp.fileLen,
+      sp.uStart, sp.vEnd)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean =

@@ -92,6 +92,42 @@ object VcfReader {
     }
   }
 
+  /** Tabix-indexed range read over a BGZF VCF: only the compressed
+    * blocks whose index chunks overlap `chr:[beg, end]` (1-based
+    * inclusive) are planned as input partitions — the pre-ETL analog of
+    * the reference's `readVcf(param = chunk_ranges[i])`
+    * (`02-build-db.R:256`). The index is conservative (bin granularity),
+    * so an exact interval-overlap filter is layered on top; Catalyst
+    * keeps it next to the scan.
+    *
+    * Requires `<path>.tbi` (or `indexPath`) — build one for the engine's
+    * own exports with [[Tabix.build]].
+    */
+  def readRange(spark: SparkSession, path: String, chr: String,
+      beg: Long, end: Long, splitSize: Option[Long] = None,
+      indexPath: Option[String] = None): VcfDataset = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val first = BgzfTextSource.listFiles(path, conf).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no input files under $path"))
+    require(Bgzf.isBgzfFile(first.getPath.getFileSystem(conf), first.getPath),
+      s"range reads need a BGZF (bgzip) file; $path is not one")
+    val reader = spark.read.format("bgzf-text")
+      .option("region", s"$chr:$beg-$end")
+    val withIdx = indexPath.fold(reader)(p => reader.option("index", p))
+    val raw = splitSize.fold(withIdx)(s => withIdx.option("splitSize", s))
+      .load(path).select("value").as[String]
+    val headerLines = Bgzf.headLines(
+      first.getPath.getFileSystem(conf), first.getPath)
+    val header = VcfHeader.parse(headerLines)
+    val parsed = parse(raw.filter(l => !l.startsWith("#")), header)
+      // tabix overlap semantics: record interval [pos, pos+len(ref)-1]
+      // intersects [beg, end]
+      .where(col("chr") === chr && col("pos") <= end &&
+        col("pos") + length(col("ref")) - 1 >= beg)
+    VcfDataset(parsed, header)
+  }
+
   /** Parse in-memory lines (tests, embedded fixtures). */
   def fromLines(spark: SparkSession, lines: Seq[String]): VcfDataset = {
     import spark.implicits._
