@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[decodeImage]]/[[decodeImages]] use the JDK's
   * built-in `javax.imageio` codecs (PNG/JPEG/BMP/GIF — no external
   * dependency) to produce dimensions and a normalized luminance
-  * histogram. Audio/video decode remains STUBBED (no codec libraries in
-  * this environment): [[decodeStub]] derives deterministic fake
-  * features from the bytes. Swapping in a real audio/video decoder
-  * changes only the body of the `mapPartitions` closure — the schema
-  * contract and partition-wise batching are the production shape,
-  * exactly as [[decodeImages]] demonstrates for images.
+  * histogram. AUDIO decode is REAL for the formats the JDK ships
+  * codecs for (WAV/PCM, AU, AIFF): [[decodeAudio]]/[[decodeAudios]]
+  * produce rate/channels/duration plus RMS and peak energy. Only VIDEO
+  * (and compressed audio like MP3) remains STUBBED — no codec libraries
+  * in this environment: [[decodeStub]] derives deterministic fake
+  * features from the bytes. Swapping in a real video decoder changes
+  * only the body of the `mapPartitions` closure — the schema contract
+  * and partition-wise batching are the production shape, exactly as
+  * [[decodeImages]]/[[decodeAudios]] demonstrate.
   */
 object Multimodal {
 
@@ -119,6 +122,120 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL audio decode (JDK `javax.sound.sampled` — WAV/PCM, AU, AIFF;
+    * no external codec libraries): sample rate, channel count, duration,
+    * and normalized RMS + peak amplitude, resampling whatever PCM
+    * sub-format arrives to signed 16-bit for the energy math. Returns
+    * None for null/undecodable payloads (compressed formats like MP3
+    * stay stubbed — the JDK has no codec for them).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Double, Int, Long, Double, Double)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+        val buf = new Array[Byte](8192)
+        var sumSq = 0d
+        var peak = 0d
+        var nSamples = 0L
+        var carry = -1 // low byte of a sample split across read()s
+        var r = pcm.read(buf)
+        while (r > 0) {
+          var i = 0
+          if (carry >= 0 && r >= 1) {
+            val s = ((carry & 0xff) | (buf(0) << 8)).toShort / 32768.0
+            sumSq += s * s; val a = math.abs(s); if (a > peak) peak = a
+            nSamples += 1; carry = -1; i = 1
+          }
+          while (i + 1 < r) {
+            val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort / 32768.0
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            nSamples += 1
+            i += 2
+          }
+          if (i < r) carry = buf(i) & 0xff
+          r = pcm.read(buf)
+        }
+        if (nSamples == 0) None
+        else {
+          val frames = nSamples / fmt.getChannels
+          val durMs = math.round(frames * 1000.0 / fmt.getSampleRate)
+          Some((src.getSampleRate.toDouble, src.getChannels, durMs,
+            math.sqrt(sumSq / nSamples), peak))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-wise real audio decode: appends `audio_sample_rate`,
+    * `audio_channels`, `audio_duration_ms`, `audio_rms`, `audio_peak`
+    * (all NULL when the payload is not decodable audio) — same seam as
+    * [[decodeImages]].
+    */
+  def decodeAudios(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("audio_sample_rate", DoubleType, nullable = true),
+      StructField("audio_channels", IntegerType, nullable = true),
+      StructField("audio_duration_ms", LongType, nullable = true),
+      StructField("audio_rms", DoubleType, nullable = true),
+      StructField("audio_peak", DoubleType, nullable = true)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAudio(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some((sr, ch, ms, rms, peak)) =>
+            // Seq[Any] stops Scala's numeric widening from turning the
+            // Int/Long fields into Doubles (schema mismatch at encode)
+            Row.fromSeq(r.toSeq ++ Seq[Any](sr, ch, ms, rms, peak))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthesize a 16-bit PCM WAV (mono or interleaved identical
+    * channels): deterministic fixture/self-test generator — sine at
+    * `freqHz` scaled by `amplitude`, `amplitude = 0` for silence.
+    */
+  def sineWav(freqHz: Double, durationMs: Int, sampleRate: Float = 8000f,
+      channels: Int = 1, amplitude: Double = 0.5): Array[Byte] = {
+    val frames = (sampleRate * durationMs / 1000).toInt
+    val data = new Array[Byte](frames * 2 * channels)
+    var f = 0
+    while (f < frames) {
+      val v = (amplitude * math.sin(2 * math.Pi * freqHz * f / sampleRate) *
+        32767).toInt.toShort
+      var c = 0
+      while (c < channels) {
+        val off = (f * channels + c) * 2
+        data(off) = (v & 0xff).toByte
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate, 16, channels, 2 * channels, sampleRate, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Feature extraction over the payload column via mapPartitions —

@@ -195,6 +195,25 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // ---- multimodal: REAL audio decode (JDK javax.sound.sampled —
+    //      WAV/PCM needs no external codec) over synthesized fixtures;
+    //      corrupt payloads degrade to NULLs ----
+    "q63_audio_decode" -> ((s, _) => {
+      import s.implicits._
+      val rows = Seq(
+        (1L, Multimodal.sineWav(440, 200, 8000f, 1, 0.5)),
+        (2L, Multimodal.sineWav(1000, 125, 16000f, 2, 0.25)),
+        (3L, Multimodal.sineWav(440, 300, 8000f, 1, 0.0)), // silence
+        (4L, Array[Byte](9, 9, 9))) // not audio → NULL decode
+      val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "audio")
+      Multimodal.decodeAudios(media)
+        .select(col("media_id"), col("audio_sample_rate"), col("audio_channels"),
+          col("audio_duration_ms"),
+          round(col("audio_rms"), 2).as("rms"),
+          round(col("audio_peak"), 2).as("peak"))
+        .orderBy("media_id")
+    }),
+
     // ---- real BPE: distributed merge learning + rank-greedy encode
     //      (the classic Sennrich low/lower/newest/widest corpus; the
     //      oracle pins the hand-derived merges and encodings) ----
@@ -435,6 +454,17 @@ object Pipeline {
           (4, 3, 1, 0.0, 0.0, 1.0, 0.0),
           (5, NULL, NULL, NULL, NULL, NULL, NULL))
          t(media_id, img_width, img_height, f0, f1, f2, f3)
+         ORDER BY media_id""",
+    // hand-computed: a sine of amplitude a has rms a/sqrt(2) and peak a
+    // (up to 16-bit quantization, absorbed by round(…, 2)); silence is
+    // all zeros; the 3-byte payload is not decodable audio
+    "q63_audio_decode" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(8000 AS DOUBLE), CAST(1 AS INTEGER), CAST(200 AS BIGINT), CAST(0.35 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+          (2, 16000, 2, 125, 0.18, 0.25),
+          (3, 8000, 1, 300, 0.0, 0.0),
+          (4, NULL, NULL, NULL, NULL, NULL))
+         t(media_id, audio_sample_rate, audio_channels, audio_duration_ms, rms, peak)
          ORDER BY media_id""",
     // merges after 5 rounds: (e,s)(es,t)(est,</w>)(l,o)(lo,w) — ties
     // break by count desc then pair lexicographic

@@ -41,6 +41,23 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeImage(4)(null).isEmpty)
   }
 
+  test("Multimodal.decodeAudio: real WAV decode, corrupt bytes → None") {
+    val wav = Multimodal.sineWav(440, 500, 8000f, 1, 0.5)
+    val Some((sr, ch, ms, rms, peak)) = Multimodal.decodeAudio(wav)
+    assert(sr == 8000.0 && ch == 1 && ms == 500L)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 1e-3, s"rms $rms")
+    assert(math.abs(peak - 0.5) < 1e-3, s"peak $peak")
+    // stereo carries both channels; silence has zero energy
+    val Some((sr2, ch2, ms2, _, _)) = Multimodal.decodeAudio(
+      Multimodal.sineWav(1000, 125, 16000f, 2, 0.25))
+    assert(sr2 == 16000.0 && ch2 == 2 && ms2 == 125L)
+    val Some((_, _, _, rms0, peak0)) = Multimodal.decodeAudio(
+      Multimodal.sineWav(440, 100, 8000f, 1, 0.0))
+    assert(rms0 == 0.0 && peak0 == 0.0)
+    assert(Multimodal.decodeAudio(Array[Byte](9, 9, 9)).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+  }
+
   test("Dedup.clearCaches releases signature caches after consumption") {
     val docs = (1 to 60).map(i => (i.toLong, s"some text body number ${i % 20} with words"))
       .toDF("id", "text")
