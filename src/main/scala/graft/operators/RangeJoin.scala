@@ -64,10 +64,15 @@ object RangeJoin {
 
   /** Adaptive entry point: picks the broadcast custom-operator path
     * ([[overlapExec]]) when the regions side is small enough to
-    * broadcast (row-count probe ≤ `broadcastRows`), the shuffled
-    * binned decomposition ([[overlap]]) otherwise — mirroring
-    * Catalyst's own broadcast-vs-shuffle join choice for the operator
-    * it doesn't know about.
+    * broadcast, the shuffled binned decomposition ([[overlap]])
+    * otherwise — mirroring Catalyst's own broadcast-vs-shuffle join
+    * choice for the operator it doesn't know about.
+    *
+    * The decision reads the optimized plan's STATISTICS (row count when
+    * available, size estimate otherwise) — no job runs, and an
+    * expensive derived `right` plan is not executed twice. Only when
+    * the size estimate is the unknown sentinel does it fall back to an
+    * actual count.
     */
   def overlapAuto(
       left: DataFrame, right: DataFrame,
@@ -75,9 +80,20 @@ object RangeJoin {
       leftStart: String, leftEnd: String,
       rightStart: String, rightEnd: String,
       binWidth: Long = 100000L,
-      broadcastRows: Long = 1000000L): DataFrame = {
-    val rightRows = right.count()
-    if (rightRows <= broadcastRows)
+      broadcastRows: Long = 1000000L,
+      broadcastBytes: Long = 64L << 20): DataFrame = {
+    val stats = right.queryExecution.optimizedPlan.stats
+    val broadcastable = stats.rowCount match {
+      case Some(n) => n <= broadcastRows
+      case None =>
+        val sz = stats.sizeInBytes
+        // Catalyst's unknown-size sentinel is defaultSizeInBytes
+        // (Long.MaxValue unless overridden); treat anything in that
+        // region as "no usable estimate"
+        if (sz >= 0 && sz < Long.MaxValue / 4) sz <= broadcastBytes
+        else right.count() <= broadcastRows
+    }
+    if (broadcastable)
       overlapExec(left, right, keyCols, leftStart, leftEnd, rightStart, rightEnd)
     else
       overlap(left, right, keyCols, leftStart, leftEnd, rightStart, rightEnd, binWidth)

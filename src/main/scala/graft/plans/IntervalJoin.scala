@@ -79,6 +79,16 @@ object IntervalJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Per-key broadcast payload: intervals sorted by start, plus the
+  * running prefix-max of ends — the classic augmentation that lets a
+  * probe binary-search to the first POSSIBLE candidate instead of
+  * scanning each key group from index 0 (a dense regions table would
+  * otherwise make every probe pay the full prefix).
+  */
+private[plans] final case class IntervalTable(
+    starts: Array[Double], ends: Array[Double],
+    maxEnds: Array[Double], rows: Array[InternalRow])
+
 case class BroadcastIntervalJoinExec(
     streamed: SparkPlan, build: SparkPlan,
     streamKeys: Seq[Expression], buildKeys: Seq[Expression],
@@ -86,9 +96,16 @@ case class BroadcastIntervalJoinExec(
     bStart: Expression, bEnd: Expression)
   extends BinaryExecNode {
 
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
   override def left: SparkPlan = streamed
   override def right: SparkPlan = build
   override def output: Seq[Attribute] = streamed.output ++ build.output
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "probeSteps" -> SQLMetrics.createMetric(sparkContext,
+      "build-side candidates examined"))
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastIntervalJoinExec =
@@ -113,14 +130,29 @@ case class BroadcastIntervalJoinExec(
         }
       }
     }
-    val table: Map[UnsafeRow, Array[(Double, Double, InternalRow)]] =
-      grouped.map { case (k, v) => k -> v.sortBy(_._1).toArray }.toMap
+    val table: Map[UnsafeRow, IntervalTable] =
+      grouped.map { case (k, v) =>
+        val sorted = v.sortBy(_._1).toArray
+        val starts = sorted.map(_._1)
+        val ends = sorted.map(_._2)
+        val maxEnds = new Array[Double](ends.length)
+        var run = Double.NegativeInfinity
+        var i = 0
+        while (i < ends.length) {
+          if (ends(i) > run) run = ends(i)
+          maxEnds(i) = run
+          i += 1
+        }
+        k -> IntervalTable(starts, ends, maxEnds, sorted.map(_._3))
+      }.toMap
     val bcast = sparkContext.broadcast(table)
 
     val sKeysLocal = streamKeys
     val sIvLocal = Seq(dbl(sStart), dbl(sEnd))
     val streamedOutput = streamed.output
     val allOutput = output
+    val outRows = longMetric("numOutputRows")
+    val steps = longMetric("probeSteps")
 
     streamed.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(sKeysLocal, streamedOutput)
@@ -134,12 +166,38 @@ case class BroadcastIntervalJoinExec(
         if (k.anyNull || iv.isNullAt(0) || iv.isNullAt(1)) Iterator.empty
         else lookup.get(k) match {
           case None => Iterator.empty
-          case Some(ivs) =>
+          case Some(t) =>
             val s = iv.getDouble(0); val e = iv.getDouble(1)
-            ivs.iterator
-              .takeWhile(_._1 <= e)  // sorted by start ⇒ early exit
-              .filter(_._2 >= s)
-              .map(b => outProj(joined(row, b._3)))
+            // first index whose prefix-max end reaches s: everything
+            // before it ends strictly left of the probe — binary search
+            // on the non-decreasing maxEnds
+            var lo = 0
+            var hi = t.starts.length
+            while (lo < hi) {
+              val m = (lo + hi) >>> 1
+              if (t.maxEnds(m) >= s) hi = m else lo = m + 1
+            }
+            val from = lo
+            new Iterator[InternalRow] {
+              private var i = from
+              private var nextRow: InternalRow = _
+              private def advance(): Unit = {
+                nextRow = null
+                while (nextRow == null && i < t.starts.length && t.starts(i) <= e) {
+                  steps += 1
+                  if (t.ends(i) >= s) nextRow = t.rows(i)
+                  i += 1
+                }
+              }
+              advance()
+              override def hasNext: Boolean = nextRow != null
+              override def next(): InternalRow = {
+                val b = nextRow
+                advance()
+                outRows += 1
+                outProj(joined(row, b))
+              }
+            }
         }
       }
     }

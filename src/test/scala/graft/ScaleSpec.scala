@@ -109,6 +109,57 @@ class ScaleSpec extends SparkSpec {
     assert(binned.count() == 2)
   }
 
+  test("overlapAuto dispatch is statistics-based: no job, no plan re-execution") {
+    val left = (1 to 200).map(i => (i.toLong, i * 10L, i * 10L + 5))
+      .toDF("lid", "ls", "le")
+    val right = (1 to 50).map(i => (i.toLong, i * 40L, i * 40L + 100))
+      .toDF("rid", "rs", "re")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // both dispatch decisions must come from plan statistics alone —
+      // the old implementation ran an eager right.count() job here
+      val auto = operators.RangeJoin.overlapAuto(
+        left, right, Seq.empty, "ls", "le", "rs", "re")
+      val binned = operators.RangeJoin.overlapAuto(
+        left, right, Seq.empty, "ls", "le", "rs", "re", broadcastRows = 0)
+      // listener delivery is async: give any submitted job's events a
+      // generous window to surface before asserting none did
+      val deadline = System.nanoTime() + 500L * 1000 * 1000
+      while (jobs == 0 && System.nanoTime() < deadline) Thread.sleep(25)
+      assert(jobs == 0, s"dispatch ran $jobs job(s); must be stats-only")
+      assert(auto.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"))
+      assert(!binned.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"))
+      assert(auto.count() == binned.count())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("interval probe binary-searches: sub-linear candidates on dense builds") {
+    val n = 5000
+    // dense single-key build side: n disjoint intervals sorted by start
+    val right = (0 until n).map(i => (i.toLong, i * 10L, i * 10L + 8))
+      .toDF("rid", "rs", "re")
+    // each probe overlaps exactly one build interval, spread across the range
+    val left = (0 until 100).map(i => (i.toLong, i * 490L, i * 490L + 3))
+      .toDF("lid", "ls", "le")
+    val df = operators.RangeJoin.overlapExec(
+      left, right, Seq.empty, "ls", "le", "rs", "re")
+    // collect() (not count()) so the metrics land on THIS plan instance
+    assert(df.collect().length == 100)
+    val exec = df.queryExecution.executedPlan.collectFirst {
+      case e: graft.plans.BroadcastIntervalJoinExec => e
+    }.get
+    val steps = exec.metrics("probeSteps").value
+    // a from-index-0 linear scan would examine ~ sum(position of match)
+    // ≈ 100 probes × n/2 = 250k candidates; binary search lands at the
+    // match so each probe examines O(1) from there
+    assert(steps > 0 && steps <= 100 * 4, s"probeSteps $steps not sub-linear")
+  }
+
   test("VcfApi.overlapJoin dispatches both branches through overlapAuto") {
     val tables = VcfBuild.build(VcfReader.fromLines(spark, ToyVcf.lines))
     val regions = Seq(("1", 150L, 350L), ("2", 100L, 200L)).toDF("chr", "start", "end")
