@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed percentile operators.
   *
@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * value of a group in executor memory — fine for small groups, fatal
   * when a group holds billions of rows at the 100 TB scale point.
   * [[exact]] computes the same interpolated order statistic (SQL type-7,
-  * = DuckDB `quantile_cont` = Spark `percentile`) with a window sort
-  * instead: the shuffle sort is Tungsten-managed (spills to disk),
-  * per-row state is O(1), the interpolation candidate rows are filtered
-  * out before a tiny final aggregate. One wide stage, bounded memory at
-  * any group size.
+  * = DuckDB `quantile_cont` = Spark `percentile`) from a
+  * RANGE-PARTITIONED GLOBAL SORT on (group key, value): the shuffle
+  * sort is Tungsten-managed (spills to disk), a single giant group
+  * spreads across many partitions instead of pinning one task (the
+  * limitation of a `partitionBy(key)` window sort), and per-group
+  * global ranks are reconstructed from per-partition offsets — the
+  * classic distributed order-statistic construction. The interpolation
+  * candidate rows are filtered out before a tiny final aggregate.
   *
   * [[approxWithBounds]] is the sketch path (`percentile_approx`,
   * Greenwald-Khanna, rank error ≤ n/accuracy) with the exact rank-window
@@ -22,6 +25,25 @@ import org.apache.spark.sql.functions._
   * the approximation honors its contract.
   */
 object Percentiles {
+
+  /** The global-sort stage persists its input (the stats pass and the
+    * rank pass both read it); caches register here and a long-lived
+    * session releases them once results are consumed — same discipline
+    * as [[Dedup.clearCaches]].
+    */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every sort cache registered so far; returns the count. */
+  def clearCaches(): Int = {
+    var n = 0
+    var df = liveCaches.poll()
+    while (df != null) {
+      try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+      n += 1
+      df = liveCaches.poll()
+    }
+    n
+  }
 
   /** Interpolated percentiles over the non-null values of `value`, one
     * row per group: `keys*, <name per p>, n_values`. Groups with no
@@ -43,8 +65,8 @@ object Percentiles {
     * (`±(ceil(n/accuracy)+1)` ranks): output carries, per percentile,
     * `<name>` (the sketch value) and `<name>_ok` (true iff the sketch
     * honored its rank-error contract). The exact side reuses the
-    * window-sort plan; the sketch side is a plain partial-aggregable
-    * sketch merge — both scale-safe.
+    * global-sort rank plan; the sketch side is a plain
+    * partial-aggregable sketch merge — both scale-safe.
     */
   def approxWithBounds(df: DataFrame, keys: Seq[String], value: String,
       ps: Seq[(Double, String)], accuracy: Int = 10000): DataFrame = {
@@ -85,21 +107,85 @@ object Percentiles {
   /** 1-based interpolation rank h = 1 + (n-1)p (type-7). */
   private def hOf(p: Double): Column = lit(1d) + (col("_n") - 1d) * lit(p)
 
-  /** Shared window-sort stage: rank the non-null values per group, keep
-    * only rows within `extraRanks` (+ sketch tolerance when `accuracy`
-    * is set) of an interpolation rank, and pack per-percentile lo/hi
-    * values with conditional aggregates. Output: `keys*, _lo_<name>,
-    * _hi_<name>..., _n`.
+  /** Global per-group ranks WITHOUT a per-group window: range-partition
+    * + sort the whole input on (keys, value) — one wide stage whose
+    * parallelism is independent of group count — then rebuild each
+    * row's rank inside its group as
+    * `offset(partition, group) + position within partition`, where the
+    * offsets come from a cheap per-(partition, group) count pass. The
+    * sorted layout keeps that stats table at O(#groups + #partitions)
+    * rows (each partition holds a contiguous (key, value) range).
+    * Output: input columns + `_rn` (1-based rank in group), `_n`
+    * (group size).
+    */
+  private[graft] def globalSortRanks(df: DataFrame, keys: Seq[String],
+      value: String): DataFrame = {
+    val spark = df.sparkSession
+    val kcols = keys.map(col)
+    val nKeys = keys.length
+    val base = df.where(col(value).isNotNull)
+      .select(kcols :+ col(value).cast("double").as("_v"): _*)
+      .orderBy(kcols :+ col("_v"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(base)
+
+    // stats pass: rows per (partition, group). The collect is bounded
+    // by #groups + #partitions (contiguous sorted ranges), i.e. small
+    // exactly when groups are large — the case this operator exists for.
+    val counts: Array[(Int, IndexedSeq[Any], Long)] = base
+      .withColumn("_pid", spark_partition_id())
+      .groupBy(col("_pid") +: kcols: _*).agg(count(lit(1)).as("_c"))
+      .collect()
+      .map(r => (r.getInt(0), (1 to nKeys).map(r.get).toIndexedSeq,
+        r.getLong(nKeys + 1)))
+    val totals: Map[IndexedSeq[Any], Long] =
+      counts.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
+    val offsets: Map[(Int, IndexedSeq[Any]), Long] =
+      counts.groupBy(_._2).iterator.flatMap { case (k, cs) =>
+        var acc = 0L
+        cs.sortBy(_._1).map { case (pid, _, c) =>
+          val entry = (pid, k) -> acc
+          acc += c
+          entry
+        }
+      }.toMap
+    val bc = spark.sparkContext.broadcast((offsets, totals))
+
+    val outSchema = StructType(base.schema.fields ++ Seq(
+      StructField("_rn", LongType, nullable = false),
+      StructField("_n", LongType, nullable = false)))
+    val rdd = base.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val (off, tot) = bc.value
+      var curKey: IndexedSeq[Any] = null
+      var started = false
+      var rank = 0L
+      var n = 0L
+      rows.map { r =>
+        val k = (0 until nKeys).map(r.get).toIndexedSeq
+        if (!started || k != curKey) {
+          started = true
+          curKey = k
+          rank = off.getOrElse((pid, k), 0L)
+          n = tot.getOrElse(k, 0L)
+        }
+        rank += 1
+        Row.fromSeq(r.toSeq :+ rank :+ n)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Shared rank stage: rank the non-null values per group via
+    * [[globalSortRanks]], keep only rows within `extraRanks` (+ sketch
+    * tolerance when `accuracy` is set) of an interpolation rank, and
+    * pack per-percentile lo/hi values with conditional aggregates.
+    * Output: `keys*, _lo_<name>, _hi_<name>..., _n`.
     */
   private def rankCandidates(df: DataFrame, keys: Seq[String], value: String,
       ps: Seq[(Double, String)], extraRanks: Int,
       accuracy: Int = 0): DataFrame = {
     val kcols = keys.map(col)
-    val byKey = Window.partitionBy(kcols: _*)
-    val ranked = df.where(col(value).isNotNull)
-      .select(kcols :+ col(value).cast("double").as("_v"): _*)
-      .withColumn("_rn", row_number().over(byKey.orderBy(col("_v"))))
-      .withColumn("_n", count(lit(1)).over(byKey))
+    val ranked = globalSortRanks(df, keys, value)
 
     // rank slack: 0 for exact; the GK sketch guarantee (±n/accuracy,
     // rounded out) + extraRanks for the bounds variant

@@ -113,6 +113,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r.nonEmpty && r.forall(t => t._1 && t._2))
   }
 
+  test("Percentiles.globalSortRanks: one giant group spans partitions, ranks exact") {
+    val n = 40000
+    val df = (1 to n).map(i => ("giant", (n - i).toDouble))
+      .toDF("k", "v").repartition(8)
+    val ranked = Percentiles.globalSortRanks(df, Seq("k"), "v")
+    // the whole point: a single group must NOT serialize onto one task
+    assert(ranked.rdd.getNumPartitions > 1,
+      s"single group pinned to ${ranked.rdd.getNumPartitions} partition(s)")
+    val rows = ranked.select("_v", "_rn", "_n").as[(Double, Long, Long)]
+      .collect().sortBy(_._2)
+    assert(rows.length == n)
+    // ranks are the exact 1..n order statistics of the sorted values
+    assert(rows.map(_._2).toSeq == (1L to n.toLong))
+    assert(rows.map(_._1).toSeq == (0 until n).map(_.toDouble))
+    assert(rows.forall(_._3 == n.toLong))
+    assert(Percentiles.clearCaches() >= 1)
+  }
+
   test("Percentiles.approxWithBounds keeps NULL-key and all-null groups") {
     val df = Seq((Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
       (None, Some(5.0)), (None, Some(7.0)), // NULL group key
