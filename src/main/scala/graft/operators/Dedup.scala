@@ -94,11 +94,15 @@ object Dedup {
     * (b) the final pair dedup. Bucket skew (a degenerate shingle set
     * shared by millions of docs — boilerplate) is the known hazard:
     * a bucket of n docs yields n² candidate pairs on ONE reducer.
-    * `saltHotBuckets > 0` routes the candidate self-join through
-    * [[Skew.saltedJoin]], spreading each bucket's pair generation
-    * across that many reducers (the banded table is slim — id + two
-    * key columns — so the ×salt replication of the build side is
-    * cheap); callers can also pre-filter boilerplate or raise `bands`.
+    * By default (`saltHotBuckets = -1`) the operator PROFILES the
+    * banded key distribution ([[Skew.keySkewProfile]] over the slim
+    * cached signature table) and routes the candidate self-join through
+    * [[Skew.saltedJoin]] automatically when a hot bucket is found,
+    * spreading each bucket's pair generation across many reducers (the
+    * banded table is slim — id + two key columns — so the ×salt
+    * replication of the build side is cheap). Pass a positive value to
+    * force that salt factor, or 0 to never salt; callers can also
+    * pre-filter boilerplate or raise `bands`.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair.
     */
@@ -110,7 +114,7 @@ object Dedup {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      saltHotBuckets: Int = 0): DataFrame = {
+      saltHotBuckets: Int = -1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
@@ -154,12 +158,25 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
 
+    // auto mode: profile the banded keys (one cheap aggregate over the
+    // persisted signature derivation) and salt only when a genuinely
+    // hot bucket exists — n² pair generation on one reducer starts to
+    // matter once a bucket holds tens of documents
+    val salt =
+      if (saltHotBuckets >= 0) saltHotBuckets
+      else {
+        val hot = Skew.keySkewProfile(banded, Seq("band", "bucket"))
+          .where(col("is_hot")).agg(max(col("n"))).head()
+        val maxHot = if (hot.isNullAt(0)) 0L else hot.getLong(0)
+        if (maxHot >= 32) 16 else 0
+      }
+
     val pairsRaw =
-      if (saltHotBuckets > 0)
+      if (salt > 0)
         Skew.saltedJoin(
             banded,
             banded.select(col("id").as("__id_b"), col("band"), col("bucket")),
-            Seq("band", "bucket"), scatterCol = "id", salt = saltHotBuckets)
+            Seq("band", "bucket"), scatterCol = "id", salt = salt)
           .where(col("id") < col("__id_b"))
           .select(col("id").as("id_a"), col("__id_b").as("id_b"))
       else

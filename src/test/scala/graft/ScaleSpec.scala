@@ -34,7 +34,8 @@ class ScaleSpec extends SparkSpec {
       (1000L + i, s"unique document $i about topic ${i * 37} with words ${i * 13} and ${i * 7}"))
     val docs = (boiler ++ distinct).toDF("id", "text")
 
-    val plain = operators.Dedup.minHashLsh(docs, "text", "id", threshold = 0.3)
+    val plain = operators.Dedup.minHashLsh(docs, "text", "id", threshold = 0.3,
+        saltHotBuckets = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
     val salted = operators.Dedup.minHashLsh(docs, "text", "id", threshold = 0.3,
         saltHotBuckets = 8)
@@ -42,6 +43,19 @@ class ScaleSpec extends SparkSpec {
     assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
     val got = salted.select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
     assert(got == plain && got.size > 1000) // boilerplate pairs survive verify
+
+    // DEFAULT parameters: the skew profile must detect the hot bucket
+    // and salt on its own — no caller knob
+    val auto = operators.Dedup.minHashLsh(docs, "text", "id", threshold = 0.3)
+    assert(auto.queryExecution.executedPlan.toString.contains("__salt"),
+      "auto mode must salt the boilerplate-hot bucket by itself")
+    assert(auto.select("id_a", "id_b").as[(Long, Long)]
+      .collect().sorted.toSeq == plain)
+    // and a uniform corpus must NOT pay the salting replication
+    val uniform = operators.Dedup.minHashLsh(
+      distinct.toDF("id", "text"), "text", "id", threshold = 0.3)
+    assert(!uniform.queryExecution.executedPlan.toString.contains("__salt"),
+      "auto mode must not salt a uniform key distribution")
     operators.Dedup.clearCaches()
   }
 

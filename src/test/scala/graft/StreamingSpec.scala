@@ -4,10 +4,61 @@ import graft.streaming.EventsStream
 
 /** Streaming-tier specs beyond the q49/q50 parity gate. */
 class StreamingSpec extends SparkSpec {
+  import spark.implicits._
 
   test("rateThroughput measures positive engine rows/sec") {
     val rps = EventsStream.rateThroughput(
       spark, rowsPerSecond = 20000L, minBatches = 2)
     assert(rps > 0.0, s"expected positive throughput, got $rps")
+  }
+
+  test("sessionize state carries across micro-batches (incremental, not batch)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // two parquet files = two micro-batches (maxFilesPerTrigger=1).
+    // user 1's session STARTS in file 1 and CONTINUES in file 2: only
+    // flatMapGroupsWithState state carry-over can keep it session 1 —
+    // a batch-style re-sessionization of file 2 alone would restart at 1
+    // and mis-number the later gap session.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    val gap = 1000L
+    val batch1 = Seq((1L, 100L), (1L, 200L), (2L, 150L))
+    val batch2 = Seq((1L, 250L), (1L, 5000L), (2L, 9000L))
+    def write(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
+      val p = dir.resolve(name)
+      rows.toDF("user_id", "ts").coalesce(1).write.parquet(p.toString)
+      // file-stream batches order by modification time: pin it
+      java.nio.file.Files.walk(p).forEach(f =>
+        f.toFile.setLastModified(mtime))
+    }
+    write(batch1, "b1.parquet", 1000000L)
+    write(batch2, "b2.parquet", 2000000L)
+
+    val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*.parquet")
+    val out = EventsStream.sessionize(stream, gap)
+    val name = s"sess_batches_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "fixture must process as more than one micro-batch")
+
+    val got = spark.table(name)
+      .select("user_id", "ts", "session_id")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val want = Seq(
+      (1L, 100L, 1L), (1L, 200L, 1L), // batch 1: session 1 opens
+      (1L, 250L, 1L),                 // batch 2: gap 50 < 1000 ⇒ SAME session
+      (1L, 5000L, 2L),                // gap 4750 ⇒ next session is 2, not 1
+      (2L, 150L, 1L),
+      (2L, 9000L, 2L)).sorted
+    assert(got == want, s"got $got")
+    spark.catalog.dropTempView(name)
   }
 }
