@@ -158,17 +158,20 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
 
-    // auto mode: profile the banded keys (one cheap aggregate over the
-    // persisted signature derivation) and salt only when a genuinely
+    // auto mode: profile the banded keys and salt only when a genuinely
     // hot bucket exists — n² pair generation on one reducer starts to
-    // matter once a bucket holds tens of documents
+    // matter once a bucket holds tens of documents. ONE job (count per
+    // bucket → max/avg in the same action) over the persisted signature
+    // derivation, so the probe costs a single slim aggregate.
     val salt =
       if (saltHotBuckets >= 0) saltHotBuckets
       else {
-        val hot = Skew.keySkewProfile(banded, Seq("band", "bucket"))
-          .where(col("is_hot")).agg(max(col("n"))).head()
-        val maxHot = if (hot.isNullAt(0)) 0L else hot.getLong(0)
-        if (maxHot >= 32) 16 else 0
+        val st = banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .agg(max(col("n")), avg(col("n"))).head()
+        val hot = !st.isNullAt(0) && st.getLong(0) >= 32 &&
+          st.getLong(0) > 10.0 * st.getDouble(1)
+        if (hot) 16 else 0
       }
 
     val pairsRaw =
