@@ -303,4 +303,31 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** End-to-end near-duplicate removal: LSH candidate pairs
+    * ([[minHashLsh]]) → transitive clusters
+    * ([[Graph.connectedComponents]]) → keep the minimum-id document of
+    * every cluster. Unlike pair-based filtering, this drops B AND C
+    * when A≈B and B≈C even if A and C never collide in a band — the
+    * semantics a corpus-dedup pass actually needs. Returns the
+    * surviving rows of `df` unchanged.
+    */
+  def nearDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLsh(df, textCol, idCol, numHashes, bands,
+      shingleSize, threshold)
+    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+    // non-representatives (label ≠ own id) are the rows to drop; the
+    // drop list is tiny relative to the corpus, so the anti-join
+    // broadcasts at any corpus size with a bounded duplicate fraction
+    val losers = comps.where(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

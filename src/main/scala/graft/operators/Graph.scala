@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph connectivity for dedup clustering.
+  *
+  * Near-duplicate detection emits PAIRS ([[Dedup.minHashLsh]],
+  * [[Dedup.simHashNearPairs]], …), but a training-data pipeline needs
+  * CLUSTERS — "keep one document per group of transitively-connected
+  * near-dups" (A≈B, B≈C ⇒ drop two of {A,B,C}, even when A and C never
+  * collide directly). The reference engine has no graph tier at all;
+  * this is declared surplus capability, built the Spark way.
+  *
+  * [[connectedComponents]] is iterative min-label propagation: every
+  * vertex starts labeled with its own id; each round every vertex takes
+  * the minimum label among itself and its neighbors; at fixpoint each
+  * component is labeled with its minimum member id — a deterministic,
+  * self-describing cluster id. Each round is ONE equi-join + aggregate
+  * (shuffle on vertex id), rounds needed = graph diameter. Dedup
+  * graphs are dense blobs with tiny diameters, so 3-5 rounds typically
+  * converge; `maxIter` bounds pathological chains. Per-round
+  * `localCheckpoint` truncates lineage so the plan doesn't grow with
+  * iterations (the classic iterative-Spark pitfall).
+  */
+object Graph {
+
+  /** Component label (= min member id) for every vertex appearing in
+    * `edges`. Output: `id`, `comp`. Edges are treated as undirected;
+    * self-loops and duplicate edges are fine. Ids must be castable to
+    * long and non-null.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val sym0 = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    // both directions once; dedup keeps each round's join slim
+    val undirected = sym0
+      .union(sym0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = undirected.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // min neighbor label per vertex (map-side combinable aggregate)
+      val viaNbr = undirected
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nbrComp"))
+      // keep the previous label alongside so convergence is read off
+      // the SAME materialization that next round starts from
+      val stepped = labels
+        .join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
+          col("comp").as("_prev"))
+        .localCheckpoint(true)
+      changed = stepped.where(col("comp") =!= col("_prev")).count()
+      labels = stepped.drop("_prev")
+      iter += 1
+    }
+    undirected.unpersist(false)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter")
+    labels
+  }
+
+  /** Components over an explicit vertex set: vertices absent from the
+    * edge list come back as singletons (`comp = id`). `vertices` needs
+    * one id column named `idCol`.
+    */
+  def componentsWithSingletons(vertices: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val comps = connectedComponents(edges, aCol, bCol, maxIter)
+    vertices.select(col(idCol).cast("long").as("id")).distinct()
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
-import graft.operators.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operator surface: dedup family, similarity
   * search, text analysis, multimodal plumbing — over `documents` and
@@ -212,6 +212,17 @@ object Pipeline {
           round(col("audio_rms"), 2).as("rms"),
           round(col("audio_peak"), 2).as("peak"))
         .orderBy("media_id")
+    }),
+
+    // ---- connected components: transitive near-dup clustering over a
+    //      deterministic edge list (the DuckDB oracle replays the same
+    //      closure with a recursive CTE) ----
+    "q64_components" -> ((s, d) => {
+      val edges = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(5)) < 2)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") + 1 + pmod(col("doc_id"), lit(3))).as("b"))
+      Graph.connectedComponents(edges, "a", "b").orderBy("id")
     }),
 
     // ---- real BPE: distributed merge learning + rank-greedy encode
@@ -455,6 +466,19 @@ object Pipeline {
           (5, NULL, NULL, NULL, NULL, NULL, NULL))
          t(media_id, img_width, img_height, f0, f1, f2, f3)
          ORDER BY media_id""",
+    // transitive closure via recursive CTE: reach(id, r) enumerates all
+    // vertices reachable from id; min over them = the component label
+    // (identical to converged min-label propagation)
+    "q64_components" ->
+      """WITH RECURSIVE
+          e AS (SELECT doc_id AS a, doc_id + 1 + (doc_id % 3) AS b
+                FROM documents WHERE doc_id % 5 < 2),
+          u AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+          reach(id, r) AS (
+            SELECT a AS id, a AS r FROM u
+            UNION
+            SELECT u.a AS id, reach.r AS r FROM u JOIN reach ON u.b = reach.id)
+         SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""",
     // hand-computed: a sine of amplitude a has rms a/sqrt(2) and peak a
     // (up to 16-bit quantization, absorbed by round(…, 2)); silence is
     // all zeros; the 3-byte payload is not decodable audio

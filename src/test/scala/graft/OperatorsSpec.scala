@@ -200,6 +200,59 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 10L, 1L), (1L, 1000L, 2L), (1L, 1005L, 2L), (2L, 5L, 1L)))
   }
 
+  test("Graph.connectedComponents ≡ union-find on random graphs") {
+    val rnd = new scala.util.Random(41)
+    val nV = 300
+    val edges = (1 to 350).map(_ => (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+    val got = operators.Graph.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+    // reference union-find
+    val parent = Array.tabulate(nV)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min member id per component, for vertices that touch an edge
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).filter(e => edges.exists(x =>
+      (x._1 == e || x._2 == e) && x._1 != x._2)).distinct
+    val byRoot = touched.groupBy(v => find(v.toInt))
+      .flatMap { case (_, vs) => val m = vs.min; vs.map(_ -> m) }
+    assert(got == byRoot, s"${got.size} vs ${byRoot.size} labeled vertices")
+  }
+
+  test("Graph.componentsWithSingletons labels isolated vertices with self") {
+    val vertices = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val got = operators.Graph.componentsWithSingletons(
+        vertices, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 7L, 10L -> 10L))
+  }
+
+  test("Dedup.nearDedup drops transitive near-dups, keeps min id + distinct docs") {
+    // A≈B (J=.58) and B≈C (J=.58) but A-C overlap (J=.31) is BELOW the
+    // verify threshold: C can only drop through the transitive cluster
+    // — pairwise-only filtering would keep it
+    val base = (1 to 40).map(w => s"w$w").mkString(" ")
+    val mid = (11 to 50).map(w => s"w$w").mkString(" ")
+    val far = (21 to 60).map(w => s"w$w").mkString(" ")
+    val unique = "completely different content about penguins and glaciers " +
+      "nothing shared with the chain at all"
+    val docs = Seq((1L, base), (2L, mid), (3L, far), (4L, unique)).toDF("id", "text")
+    // 16 bands × 1 row surfaces all three candidate pairs (verified:
+    // A-B .58, B-C .58 pass; A-C .31 fails the .4 threshold); the md5
+    // family is deterministic, so this outcome is fixed, not flaky
+    val kept = Dedup.nearDedup(docs, "text", "id",
+        numHashes = 16, bands = 16, threshold = 0.4)
+      .select("id").as[Long].collect().sorted.toSeq
+    Dedup.clearCaches()
+    assert(kept == Seq(1L, 4L), s"kept $kept")
+  }
+
   test("Dedup.exact keeps min id per duplicate text") {
     val docs = Seq(
       (1L, "Hello World"), (2L, "hello,  world!"), (3L, "unique doc"),
