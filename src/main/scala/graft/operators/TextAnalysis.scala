@@ -110,4 +110,61 @@ object TextAnalysis {
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token").asc)
+
+  /** Per-document top-`topK` terms by TF-IDF (tf × ln(N/df), N = corpus
+    * size, df = documents containing the term). Output: `doc_id, rank,
+    * term, tf, df, tfidf`.
+    *
+    * Plan shape: one shuffle to (doc, term) counts, one slim shuffle for
+    * document frequencies, a term-keyed join, then a per-document
+    * window (bounded by a document's distinct terms, never corpus
+    * size). The 1-row corpus count broadcasts. Scores are rounded to 6
+    * decimals BEFORE ranking so rank ties break on the term string
+    * identically in any engine (ulp-level ln() differences cannot flip
+    * an ordering).
+    */
+  def tfIdf(df: DataFrame, textCol: String, idCol: String,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+    val tf = docs.select(col("doc_id"), explode(col("_toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("_n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+  }
+
+  /** Deterministic dataset split assignment (train/val/test …):
+    * a 60-bit md5 of the id folds to a uniform bucket in [0, 1e6), and
+    * cumulative `weights` cut the bucket range into named splits. Pure
+    * column expression — the same id lands in the same split on any
+    * engine, any run, any partitioning (the property random() splits
+    * lack). Cuts are INTEGER bucket thresholds, so the comparison is
+    * exact cross-engine (a fractional cut like 0.8+0.1 accumulates
+    * float error and can flip boundary buckets between engines).
+    * DuckDB mirror: `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+    * ::BIGINT % 1000000` against the same thresholds.
+    */
+  def splitAssign(id: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = pmod(md5Long(id), lit(1000000L))
+    var acc = 0.0
+    val cuts = weights.map { case (name, wt) =>
+      acc += wt / total
+      (name, math.round(acc * 1000000).toLong)
+    }
+    cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, cut), els) =>
+      when(bucket < cut, lit(name)).otherwise(els)
+    }
+  }
 }

@@ -214,6 +214,24 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // ---- TF-IDF: per-document salient terms (corpus-global df/N) ----
+    "q65_tfidf" -> ((s, d) => {
+      TextAnalysis.tfIdf(Tables.documents(s, d), "text", "doc_id", topK = 3)
+        .where(col("doc_id") < 20)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // ---- deterministic train/val/test split (hash-stable) ----
+    "q66_dataset_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("split", TextAnalysis.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("split")
+    }),
+
     // ---- connected components: transitive near-dup clustering over a
     //      deterministic edge list (the DuckDB oracle replays the same
     //      closure with a recursive CTE) ----
@@ -466,6 +484,34 @@ object Pipeline {
           (5, NULL, NULL, NULL, NULL, NULL, NULL))
          t(media_id, img_width, img_height, f0, f1, f2, f3)
          ORDER BY media_id""",
+    "q65_tfidf" ->
+      s"""WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest($Toks) AS term FROM documents)
+            GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+              round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS tfidf
+            FROM tf JOIN dfq USING (term) CROSS JOIN n),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored)
+         SELECT doc_id, rank, term, tf, df, tfidf FROM ranked
+         WHERE rank <= 3 AND doc_id < 20 ORDER BY doc_id, rank""",
+    "q66_dataset_split" ->
+      """SELECT split, count(*) AS n_docs,
+          min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM (SELECT doc_id,
+            CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val'
+                 ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1000000 AS b
+             FROM documents))
+         GROUP BY split ORDER BY split""",
     // transitive closure via recursive CTE: reach(id, r) enumerates all
     // vertices reachable from id; min over them = the component label
     // (identical to converged min-label propagation)

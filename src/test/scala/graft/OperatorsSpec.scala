@@ -200,6 +200,40 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 10L, 1L), (1L, 1000L, 2L), (1L, 1005L, 2L), (2L, 5L, 1L)))
   }
 
+  test("TextAnalysis.tfIdf: hand-computed scores, deterministic ranks") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry date")).toDF("id", "text")
+    val r = operators.TextAnalysis.tfIdf(docs, "text", "id", topK = 2)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._6)).toMap
+    def s(tf: Int, df: Int) = math.rint(tf * math.log(3.0 / df) * 1e6) / 1e6
+    // doc 1: apple tf=2 df=1 → 2ln3; banana tf=1 df=2 → ln1.5
+    assert(r((1L, 1)) == ("apple", s(2, 1)))
+    assert(r((1L, 2)) == ("banana", s(1, 2)))
+    // doc 3: cherry tf=2 df=2; date tf=1 df=1 — ln3 > 2ln1.5
+    assert(r((3L, 1)) == ("date", s(1, 1)))
+    assert(r((3L, 2)) == ("cherry", s(2, 2)))
+    // doc 2: banana/cherry tie (tf=1, df=2) → term order breaks it
+    assert(r((2L, 1))._1 == "banana" && r((2L, 2))._1 == "cherry")
+  }
+
+  test("TextAnalysis.splitAssign: stable, complete, roughly proportional") {
+    val df = (1L to 2000L).toDF("id")
+    val split = operators.TextAnalysis.splitAssign(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = df.withColumn("s", split).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1400 && counts("val") > 100 && counts("test") > 100)
+    assert(counts.values.sum == 2000)
+    // same ids → same assignment on re-evaluation (pure function of id)
+    val again = df.withColumn("s", split).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   test("Graph.connectedComponents ≡ union-find on random graphs") {
     val rnd = new scala.util.Random(41)
     val nV = 300
