@@ -70,6 +70,15 @@ object EventsQ {
         .orderBy("user_id")
     }),
 
+    // ---- streaming in-flight dedup: a duplicated subset must collapse
+    //      back to the source's distinct events ----
+    "q67_stream_dedup" -> ((s, d) => {
+      graft.streaming.EventsStream.runDedupOnce(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+        .orderBy("event_type")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -137,5 +146,11 @@ object EventsQ {
                        PARTITION BY user_id ORDER BY ts) IS NULL
                      THEN 1 ELSE 0 END AS is_new
               FROM events))
-          GROUP BY user_id ORDER BY user_id""")
+          GROUP BY user_id ORDER BY user_id""",
+    // the streamed union injected duplicates for event_id % 7 = 0; the
+    // deduped output must equal the source's distinct rows exactly
+    "q67_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+            CAST(sum(event_id) AS BIGINT) AS sum_ids
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }

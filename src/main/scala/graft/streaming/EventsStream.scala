@@ -116,6 +116,43 @@ object EventsStream {
     if (secs > 0) rows / secs else 0.0
   }
 
+  /** Streaming in-flight deduplication: first occurrence of each
+    * `idCol` wins; duplicates arriving within the watermark horizon are
+    * dropped and key state is evicted once the watermark passes — the
+    * bounded-state form (`dropDuplicatesWithinWatermark`), so state size
+    * tracks the horizon, not the stream's lifetime key count.
+    */
+  def dedupeStream(events: DataFrame, idCol: String,
+      horizon: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Gate harness: duplicate a deterministic subset of the static
+    * events into the stream (union), then dedupe — the output must
+    * equal the ORIGINAL distinct events, proving duplicates really
+    * drop. Returns the deduped rows as a batch DataFrame.
+    */
+  def runDedupOnce(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+    val doubled = stream.union(stream.where(pmod(col("event_id"), lit(7)) === 0))
+    val out = dedupeStream(doubled, "event_id")
+      .select("event_id", "user_id", "event_type", "value")
+    val name = s"events_dedup_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Per-user running session state for streaming sessionization. */
   case class SessionState(lastTs: Long, sessionId: Long)
   case class SessionizedEvent(user_id: Long, ts: Long, session_id: Long)

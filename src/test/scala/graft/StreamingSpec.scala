@@ -12,6 +12,38 @@ class StreamingSpec extends SparkSpec {
     assert(rps > 0.0, s"expected positive throughput, got $rps")
   }
 
+  test("streaming dedup drops a duplicate arriving in a LATER micro-batch") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    // event_id 2 reappears in batch 2 (same event-time horizon): only
+    // carried dedup state can drop it
+    val batch1 = Seq((1L, 1000000000L, "a"), (2L, 2000000000L, "b"))
+    val batch2 = Seq((2L, 2000000000L, "b"), (3L, 3000000000L, "c"))
+    def write(rows: Seq[(Long, Long, String)], name: String, mtime: Long): Unit = {
+      val p = dir.resolve(name)
+      rows.toDF("event_id", "ts", "event_type").coalesce(1).write.parquet(p.toString)
+      java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+    }
+    write(batch1, "b1.parquet", 1000000L)
+    write(batch2, "b2.parquet", 2000000L)
+    val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*.parquet")
+    val out = EventsStream.dedupeStream(stream, "event_id")
+      .select("event_id", "event_type")
+    val name = s"dedup_batches_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val got = spark.table(name).as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")), s"got $got")
+    spark.catalog.dropTempView(name)
+  }
+
   test("sessionize state carries across micro-batches (incremental, not batch)") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // two parquet files = two micro-batches (maxFilesPerTrigger=1).
