@@ -126,4 +126,99 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  // -------------------------------------------------------------- IVF
+
+  /** Cosine of `vec` against each centroid literal, as an array of
+    * `(score, list)` structs — pure codegen'd arithmetic, no shuffle.
+    */
+  private def centroidScores(vec: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        call_function("graft_cosine",
+          vec.cast("array<double>"), typedLit(c.toSeq)).as("s"),
+        lit(i).as("list"))
+    }: _*)
+
+  /** The `nProbe` nearest centroid list-ids for `vec` (descending
+    * score, ties to the lower list id — deterministic).
+    */
+  def nearestLists(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column =
+    transform(
+      slice(
+        array_sort(centroidScores(vec, cents), (a, b) =>
+          when(a.getField("s") > b.getField("s"), -1)
+            .when(a.getField("s") < b.getField("s"), 1)
+            .otherwise(a.getField("list") - b.getField("list"))),
+        1, nProbe),
+      e => e.getField("list"))
+
+  /** Lloyd k-means over the embedding column, driver-looped:
+    * init = the vectors of the `nLists` smallest ids (deterministic),
+    * then `iters` rounds of {assign via codegen'd argmax over centroid
+    * literals; re-estimate via posexplode + per-(list, dim) avg —
+    * one narrow pass + one slim shuffle per round}. Centroids live on
+    * the driver (nLists × dims doubles — metadata scale); empty lists
+    * keep their previous centroid.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nLists: Int, iters: Int = 3, dims: Int = -1): Array[Array[Double]] = {
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val dim = if (dims > 0) dims else inferDims(corpus, vecCol)
+    var cents: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(nLists)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cents.length == nLists,
+      s"corpus has fewer rows (${cents.length}) than nLists=$nLists")
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(
+        element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      val means = assigned.groupBy("list", "pos").agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) ANN — the learned-partition scale path: a
+    * k-means coarse quantizer splits the corpus into `nLists` inverted
+    * lists; each query probes only its `nProbe` nearest lists and
+    * re-ranks candidates with exact cosine. Candidates travel through
+    * a plain equi-join on the list id (queries broadcast), so the scan
+    * touches |corpus|·nProbe/nLists rows per query in expectation —
+    * sub-linear like [[lshKnn]], but with data-adaptive partitions
+    * (learned centroids follow the embedding distribution; random
+    * hyperplanes don't). Recall < 1 by construction; raise `nProbe`
+    * to trade compute for recall.
+    */
+  def ivfKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 3, dims: Int = -1,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val dim = if (dims > 0) dims else inferDims(corpus, vecCol)
+    val cents = kmeansCentroids(corpus, vecCol, idCol, nLists, iters, dim)
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(nearestLists(col(vecCol), cents, nProbe)).as("list")))
+    val candidates = c.join(q, "list")
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("cosine", call_function("graft_cosine", col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -214,6 +214,19 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // ---- IVF ANN: k-means coarse quantizer + probed re-rank. No SQL
+    //      oracle (learned centroids aren't SQL-expressible) → the
+    //      driver records the weaker rows-only check; exact-recall
+    //      properties are pinned in OperatorsSpec against brute force ----
+    "q68_ivf_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, nLists = 8, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- TF-IDF: per-document salient terms (corpus-global df/N) ----
     "q65_tfidf" -> ((s, d) => {
       TextAnalysis.tfIdf(Tables.documents(s, d), "text", "doc_id", topK = 3)

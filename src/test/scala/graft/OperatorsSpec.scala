@@ -332,6 +332,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1, 4L), (2, 2L)))
   }
 
+  test("ivfKnn: scores exact, subset of corpus, decent recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val k = 5
+    val ivf = operators.Similarity.ivfKnn(emb, queries, "embedding", "vec_id",
+        k, nLists = 8, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    val brute = operators.Similarity.bruteForceKnn(emb, queries, "embedding",
+        "vec_id", k)
+      .as[(Long, Long, Double, Int)].collect()
+    // cosines must be EXACT (same kernel) wherever ivf found a pair
+    val bruteScore = brute.map(t => (t._1, t._2) -> t._3).toMap
+    val all = operators.Similarity.bruteForceKnn(emb, queries, "embedding",
+        "vec_id", 1000).as[(Long, Long, Double, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    ivf.foreach { t =>
+      assert(math.abs(all((t._1, t._2)) - t._3) < 1e-12, s"score drift at $t")
+    }
+    // per-query results are ranked and at most k
+    assert(ivf.groupBy(_._1).values.forall(g =>
+      g.length <= k && g.map(_._4).sorted.toSeq == (1 to g.length)))
+    // recall@5 against exact top-5: probing 3 of 8 lists must find a
+    // solid majority (generous margin over tie/float jitter)
+    val hit = ivf.count(t => bruteScore.contains((t._1, t._2)))
+    val recall = hit.toDouble / brute.length
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
   test("lshKnn results are a subset of brute-force candidates with same scores") {
     val rnd = new scala.util.Random(11)
     val vecs = (1L to 50L).map(i =>
