@@ -129,24 +129,44 @@ object Similarity {
 
   // -------------------------------------------------------------- IVF
 
-  /** Cosine of `vec` against each centroid literal, as an array of
-    * `(score, list)` structs — pure codegen'd arithmetic, no shuffle.
+  /** Unit-normalize a centroid (zero vectors pass through). */
+  private def normalize(c: Array[Double]): Array[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0d) c else c.map(_ / n)
+  }
+
+  /** Dot product of `vecD` (array<double>) against each pre-normalized
+    * centroid literal, as `(score, list)` structs. For NEAREST-centroid
+    * selection the row's own norm is constant across centroids, so
+    * dot-with-normalized-centroid ranks identically to cosine at half
+    * the arithmetic (and without a divide-by-zero hazard on zero
+    * vectors). Pure codegen'd arithmetic, no shuffle.
     */
-  private def centroidScores(vec: Column, cents: Array[Array[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
+  private def centroidScores(vecD: Column, cents: Array[Array[Double]]): Column = {
+    // ONE literal holding every centroid: an array<struct<cvec,list>>
+    // traversed with transform. Embedding each centroid as its own
+    // literal subtree multiplies analyzer/optimizer work by nLists ×
+    // |subtree| and made k-means planning-bound (seconds per round);
+    // a single literal keeps the expression tree tiny regardless of
+    // nLists. The cast pins struct field names (aliases on
+    // higher-order-function children are dropped in lambda resolution).
+    val centsLit = typedLit(
+      cents.zipWithIndex.map { case (c, i) => (normalize(c).toSeq, i) }.toSeq)
+      .cast("array<struct<cvec:array<double>,list:int>>")
+    transform(centsLit, c =>
       struct(
-        call_function("graft_cosine",
-          vec.cast("array<double>"), typedLit(c.toSeq)).as("s"),
-        lit(i).as("list"))
-    }: _*)
+        aggregate(zip_with(vecD, c.getField("cvec"), (x, w) => x * w),
+          lit(0d), (acc, v) => acc + v),
+        c.getField("list")).cast("struct<s:double,list:int>"))
+  }
 
   /** The `nProbe` nearest centroid list-ids for `vec` (descending
-    * score, ties to the lower list id — deterministic).
+    * cosine, ties to the lower list id — deterministic).
     */
   def nearestLists(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column =
     transform(
       slice(
-        array_sort(centroidScores(vec, cents), (a, b) =>
+        array_sort(centroidScores(vec.cast("array<double>"), cents), (a, b) =>
           when(a.getField("s") > b.getField("s"), -1)
             .when(a.getField("s") < b.getField("s"), 1)
             .otherwise(a.getField("list") - b.getField("list"))),
@@ -173,9 +193,14 @@ object Similarity {
     require(cents.length == nLists,
       s"corpus has fewer rows (${cents.length}) than nLists=$nLists")
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(
-        element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      // staged projection: the argmax assignment must materialize
+      // BELOW the generator — inlined next to posexplode it would be
+      // re-evaluated once per exploded dimension (64× the work)
+      val assigned = corpus
+        .select(
+          element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"),
+          col(vecCol).cast("array<double>").as("_vd"))
+        .select(col("list"), posexplode(col("_vd")).as(Seq("pos", "v")))
       val means = assigned.groupBy("list", "pos").agg(avg(col("v")).as("m"))
         .collect()
       val next = cents.map(_.clone())

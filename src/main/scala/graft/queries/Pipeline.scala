@@ -221,7 +221,7 @@ object Pipeline {
     "q68_ivf_knn" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5),
-          "embedding", "vec_id", k = 5, nLists = 8, nProbe = 3)
+          "embedding", "vec_id", k = 5, nLists = 8, nProbe = 3, iters = 2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")

@@ -21,6 +21,22 @@ class ApiSpec extends SparkSpec {
       Seq(2L, 5L))
   }
 
+  test("filterByGeneIndexed ≡ filterByGene (and empty for unknown genes)") {
+    val impact = tables.impact.get
+    val idx = VcfApi.buildGeneIndex(impact)
+    assert(idx.genes.toSet == Set("GENE1", "GENE2", "GENE3"))
+    for (g <- Seq("GENE1", "GENE2", "GENE3")) {
+      val a = VcfApi.filterByGene(impact, tables.info, g, afMax = 0.8)
+        .select("variant_id", "symbol", "af")
+        .collect().map(_.toString).sorted.toSeq
+      val b = VcfApi.filterByGeneIndexed(idx, tables.info, g, afMax = 0.8)
+        .select("variant_id", "symbol", "af")
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b && a.nonEmpty, s"$g: $a != $b")
+    }
+    assert(VcfApi.filterByGeneIndexed(idx, tables.info, "NOPE").count() == 0)
+  }
+
   test("VcfPipeline.run: end-to-end from a file, rerun-safe") {
     val dir = java.nio.file.Files.createTempDirectory("vcfpipe").toString
     val vcfFile = s"$dir/toy.vcf"
