@@ -214,6 +214,16 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // ---- end-to-end near-dedup: LSH pairs → transitive clusters →
+    //      keep min id per cluster; the oracle replays the full LSH +
+    //      a recursive-CTE closure ----
+    "q69_near_dedup" -> ((s, d) => {
+      Dedup.nearDedup(Tables.documents(s, d), "text", "doc_id",
+          numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- IVF ANN: k-means coarse quantizer + probed re-rank. No SQL
     //      oracle (learned centroids aren't SQL-expressible) → the
     //      driver records the weaker rows-only check; exact-recall
@@ -497,6 +507,54 @@ object Pipeline {
           (5, NULL, NULL, NULL, NULL, NULL, NULL))
          t(media_id, img_width, img_height, f0, f1, f2, f3)
          ORDER BY media_id""",
+    // same LSH derivation as q32, then undirected transitive closure
+    // and min-label clusters; survivors = docs that are their own
+    // cluster minimum (or in no cluster)
+    "q69_near_dedup" ->
+      s"""WITH RECURSIVE
+          docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          verified AS (
+            SELECT id_a, id_b FROM (
+              SELECT id_a, id_b,
+                CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                  ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                       len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+              FROM cand)
+            WHERE jac >= 0.5),
+          u AS (SELECT id_a AS a, id_b AS b FROM verified
+                UNION SELECT id_b AS a, id_a AS b FROM verified),
+          reach(id, r) AS (
+            SELECT a AS id, a AS r FROM u
+            UNION
+            SELECT u.a AS id, reach.r AS r FROM u JOIN reach ON u.b = reach.id),
+          losers AS (
+            SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+            WHERE comp <> id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY doc_id""",
     "q65_tfidf" ->
       s"""WITH tf AS (
             SELECT doc_id, term, count(*) AS tf
