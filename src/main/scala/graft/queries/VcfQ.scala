@@ -111,6 +111,20 @@ object VcfQ {
           "qual", "filter", "ac", "af", "dp", "vt")
         .orderBy("variant_id")
     }),
+    "q70_vcf_export_roundtrip" -> ((s, _) => {
+      // parse → BGZF export (parallel compress + tabix) → re-read →
+      // rebuild: the derived info table must equal the q43 golden rows
+      val f = java.nio.file.Files
+        .createTempFile("graft_toy_export", ".vcf.gz").toFile
+      f.deleteOnExit()
+      graft.vcf.VcfExport.exportVcf(
+        VcfReader.fromLines(s, ToyVcf.lines), f.getAbsolutePath, blockData = 256)
+      val back = VcfReader.read(s, f.getAbsolutePath, splitSize = Some(512L))
+      VcfBuild.build(back).info
+        .select("variant_id", "chr", "start", "end", "ref", "alt",
+          "qual", "filter", "ac", "af", "dp", "vt")
+        .orderBy("variant_id")
+    }),
     "q62_vcf_tabix_range" -> ((s, _) => {
       // tabix-indexed pre-ETL range read on a bgzipped copy of the toy
       // fixture: only index-selected blocks are planned, and the result
@@ -205,6 +219,17 @@ object VcfQ {
          ORDER BY variant_id, consequence, clinvar_sig""",
     // identical golden rows to q43: the bgzf round-trip must be lossless
     "q59_vcf_bgzf_info" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), '1', CAST(100 AS BIGINT), CAST(100 AS BIGINT), 'A', 'G',  CAST(50 AS DOUBLE), 'PASS', CAST(1 AS BIGINT), CAST(0.25 AS DOUBLE), CAST(20 AS BIGINT), 'SNP'),
+          (2, '1', 200, 200, 'C', 'T',  99, 'PASS', 2, 0.5,  30, 'SNP'),
+          (3, '1', 300, 300, 'G', 'A',  10, 'q10',  1, 0.25, 5,  'SNP'),
+          (4, '2', 150, 150, 'T', 'C',  80, 'PASS', 3, 0.75, 40, 'SNP'),
+          (5, '2', 250, 250, 'G', 'GA', 60, 'PASS', 1, 0.25, 25, 'INDEL'),
+          (6, '2', 400, 400, 'A', 'C',  70, 'PASS', 4, 1.0,  35, 'SNP'))
+         t(variant_id, chr, start, "end", ref, alt, qual, filter, ac, af, dp, vt)
+         ORDER BY variant_id""",
+    // identical golden rows to q43: the export → re-read loop is lossless
+    "q70_vcf_export_roundtrip" ->
       """SELECT * FROM (VALUES
           (CAST(1 AS BIGINT), '1', CAST(100 AS BIGINT), CAST(100 AS BIGINT), 'A', 'G',  CAST(50 AS DOUBLE), 'PASS', CAST(1 AS BIGINT), CAST(0.25 AS DOUBLE), CAST(20 AS BIGINT), 'SNP'),
           (2, '1', 200, 200, 'C', 'T',  99, 'PASS', 2, 0.5,  30, 'SNP'),
