@@ -141,11 +141,14 @@ private[vcf] class BgzfTextScan(paths: Seq[String], splitSizeOpt: Option[Long],
         }.toArray
       case Some(r) =>
         // Tabix-pruned scan: only the blocks whose virtual-offset chunks
-        // overlap the region are planned at all — the DSv2 analog of the
-        // reference's readVcf(param = chunk_ranges[i]). Big chunks (a
-        // whole-chromosome region) still split by `splitSize` for
-        // executor parallelism.
-        val (chr, beg, end) = BgzfTextSource.parseRegion(r)
+        // overlap the region(s) are planned at all — the DSv2 analog of
+        // the reference's readVcf(param = chunk_ranges[i]), including
+        // its MULTI-chunk form (';'-separated regions). Chunks from all
+        // regions merge before planning so a block shared by two nearby
+        // regions is read exactly once. Big chunks (a whole-chromosome
+        // region) still split by `splitSize` for executor parallelism.
+        val regions = r.split(';').toSeq.filter(_.nonEmpty)
+          .map(BgzfTextSource.parseRegion)
         if (index.isDefined && files.length > 1)
           throw new IllegalArgumentException(
             "explicit 'index' option requires a single input file; " +
@@ -158,7 +161,17 @@ private[vcf] class BgzfTextScan(paths: Seq[String], splitSizeOpt: Option[Long],
               s"region read requires a tabix index at $tbi " +
                 "(build one with graft.vcf.Tabix.build)")
           val len = st.getLen
-          Tabix.read(fs, tbi).query(chr, beg, end).flatMap { c =>
+          val idx = Tabix.read(fs, tbi)
+          val all = regions.flatMap { case (chr, beg, end) => idx.query(chr, beg, end) }
+            .sortBy(_.beg)
+          val merged = scala.collection.mutable.ArrayBuffer.empty[Tabix.Chunk]
+          all.foreach { c =>
+            if (merged.nonEmpty && c.beg <= merged.last.end)
+              merged(merged.length - 1) =
+                Tabix.Chunk(merged.last.beg, math.max(c.end, merged.last.end))
+            else merged += c
+          }
+          merged.flatMap { c =>
             val cBeg = c.beg >>> 16
             val cOwnEnd = (c.end >>> 16) + 1 // block holding vEnd is owned
             val bounds = (cBeg until cOwnEnd by splitSize) :+ cOwnEnd

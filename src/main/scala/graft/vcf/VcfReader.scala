@@ -105,26 +105,40 @@ object VcfReader {
     */
   def readRange(spark: SparkSession, path: String, chr: String,
       beg: Long, end: Long, splitSize: Option[Long] = None,
+      indexPath: Option[String] = None): VcfDataset =
+    readRegions(spark, path, Seq((chr, beg, end)), splitSize, indexPath)
+
+  /** Multi-region variant of [[readRange]] — the reference's chunked
+    * ETL reads a BATCH of ranges per call (`chunk_ranges[i]` holds many
+    * intervals); index chunks from all regions merge before planning,
+    * so blocks shared between nearby regions are read once.
+    */
+  def readRegions(spark: SparkSession, path: String,
+      regions: Seq[(String, Long, Long)], splitSize: Option[Long] = None,
       indexPath: Option[String] = None): VcfDataset = {
     import spark.implicits._
+    require(regions.nonEmpty, "need at least one region")
     val conf = spark.sessionState.newHadoopConf()
     val first = BgzfTextSource.listFiles(path, conf).headOption.getOrElse(
       throw new IllegalArgumentException(s"no input files under $path"))
     require(Bgzf.isBgzfFile(first.getPath.getFileSystem(conf), first.getPath),
       s"range reads need a BGZF (bgzip) file; $path is not one")
     val reader = spark.read.format("bgzf-text")
-      .option("region", s"$chr:$beg-$end")
+      .option("region",
+        regions.map { case (c, b, e) => s"$c:$b-$e" }.mkString(";"))
     val withIdx = indexPath.fold(reader)(p => reader.option("index", p))
     val raw = splitSize.fold(withIdx)(s => withIdx.option("splitSize", s))
       .load(path).select("value").as[String]
     val headerLines = Bgzf.headLines(
       first.getPath.getFileSystem(conf), first.getPath)
     val header = VcfHeader.parse(headerLines)
-    val parsed = parse(raw.filter(l => !l.startsWith("#")), header)
-      // tabix overlap semantics: record interval [pos, pos+len(ref)-1]
-      // intersects [beg, end]
-      .where(col("chr") === chr && col("pos") <= end &&
-        col("pos") + length(col("ref")) - 1 >= beg)
+    // tabix overlap semantics: record interval [pos, pos+len(ref)-1]
+    // intersects any requested region
+    val overlap = regions.map { case (c, b, e) =>
+      col("chr") === c && col("pos") <= e &&
+        col("pos") + length(col("ref")) - 1 >= b
+    }.reduce(_ || _)
+    val parsed = parse(raw.filter(l => !l.startsWith("#")), header).where(overlap)
     VcfDataset(parsed, header)
   }
 

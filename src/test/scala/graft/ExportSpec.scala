@@ -49,6 +49,30 @@ class ExportSpec extends SparkSpec {
     assert(chr7 == chr7.sorted && chr7.nonEmpty)
   }
 
+  test("export edge cases: Flag INFO, missing values, sites-only VCF") {
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=DB,Number=0,Type=Flag,Description=\"dbSNP membership\">",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">",
+      "##INFO=<ID=AC,Number=A,Type=Integer,Description=\"allele count\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+      "1\t100\t.\tA\tG\t.\t.\tDB;DP=7;AC=3", // flag set, no qual/filter
+      "1\t200\trs9\tC\tT\t5\tPASS\tDP=2", // flag absent, no AC
+      "2\t300\t.\tG\tA\t.\t.\t.") // no INFO at all
+    val orig = VcfReader.fromLines(spark, lines)
+    val out = Files.createTempDirectory("graft_export_edge")
+      .resolve("edge.vcf.gz").toString
+    VcfExport.exportVcf(orig, out, blockData = 128)
+    val back = VcfReader.read(spark, out)
+    assert(back.header == orig.header)
+    assert(parsedRows(back) == parsedRows(orig))
+    // flags must render by presence: line 1 carries DB, line 2 doesn't
+    val rendered = VcfExport.renderLines(orig).collect()
+    assert(rendered(0).contains("DB;DP=7;AC=3"))
+    assert(rendered(1).endsWith("\tDP=2"))
+    assert(rendered(2).endsWith("\t."))
+  }
+
   test("exportSharded: directory of shards re-reads without assembly") {
     val n = 2000
     val vcf = SyntheticVcf.generate(spark, n.toLong, 2, 10)

@@ -119,6 +119,22 @@ class TabixSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("multi-region read: union semantics, shared blocks read once") {
+    val (vcf, _) = fixture(3000, blockData = 512)
+    // two close regions on one chr (likely sharing index chunks) + one
+    // on another chr
+    val regions = Seq(("9", 1000L, 3000L), ("9", 3100L, 5000L), ("17", 2000L, 4000L))
+    val multi = VcfReader.readRegions(spark, vcf, regions, splitSize = Some(2048L))
+      .df.select("chr", "pos", "id").collect().map(_.toString).sorted.toSeq
+    val singles = regions.flatMap { case (c, b, e) =>
+      VcfReader.readRange(spark, vcf, c, b, e, splitSize = Some(2048L))
+        .df.select("chr", "pos", "id").collect().map(_.toString)
+    }.distinct.sorted
+    assert(multi == singles && multi.nonEmpty)
+    // no duplicates even when regions share chunks
+    assert(multi.distinct.size == multi.size)
+  }
+
   test("unsorted input rejected by the index builder") {
     val header = SyntheticVcf.header(1)
     val bad = Seq( // chr 1 positions descending
