@@ -142,6 +142,49 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf", "df", "tfidf")
   }
 
+  /** Per-document unigram-LM surprisal — the classic corpus-level
+    * quality signal (CCNet-style filtering uses LM perplexity; the
+    * unigram form is its engine-exact, SQL-replicable core): with
+    * corpus token probabilities p(t) = count(t)/total, a document
+    * scores avg(-ln p(t)) over its tokens. Repetitive/boilerplate
+    * docs score LOW (common tokens), gibberish scores HIGH (rare
+    * tokens) — both tails are filter targets. Output: `doc_id,
+    * n_tokens, surprisal` (rounded to 6; empty docs omitted).
+    *
+    * One shuffle for corpus counts (map-side combinable), a term-keyed
+    * join, one per-doc aggregate. The corpus total broadcasts.
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("_tot"))
+    toks.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c").cast("double") / col("_tot"))), 6).as("surprisal"))
+  }
+
+  /** Benchmark decontamination: flag documents sharing any word
+    * `n`-gram with a probe set (eval snippets, test questions — here
+    * any one-column DataFrame of probe text). Blocked equi-join on the
+    * shingle string: candidates only where an exact n-gram matches —
+    * never a cross product. Output: `doc_id, n_hits, first_hit`
+    * (lexicographically smallest matching shingle, for audit).
+    */
+  def contaminated(df: DataFrame, textCol: String, idCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int = 8): DataFrame = {
+    val docShingles = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(wordShingles(tokens(col(textCol)), n))).as("sh"))
+    val probeShingles = probes.select(
+      explode(array_distinct(wordShingles(tokens(col(probeTextCol)), n))).as("sh"))
+      .distinct()
+    docShingles.join(probeShingles, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("sh")).as("first_hit"))
+  }
+
   /** Deterministic dataset split assignment (train/val/test …):
     * a 60-bit md5 of the id folds to a uniform bucket in [0, 1e6), and
     * cumulative `weights` cut the bucket range into named splits. Pure

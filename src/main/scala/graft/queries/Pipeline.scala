@@ -214,6 +214,25 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // ---- corpus-LM surprisal quality scoring ----
+    "q71_surprisal" -> ((s, d) => {
+      TextAnalysis.unigramSurprisal(Tables.documents(s, d), "text", "doc_id")
+        .where(col("doc_id") < 30)
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark decontamination: docs sharing any 8-gram with the
+    //      probe set (docs with doc_id % 7 = 0 stand in for an eval
+    //      snippet list) ----
+    "q72_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("text").as("probe"))
+      TextAnalysis.contaminated(docs, "text", "doc_id", probes, "probe", n = 8)
+        .where(pmod(col("doc_id"), lit(7)) =!= 0) // probes match themselves
+        .orderBy("doc_id")
+    }),
+
     // ---- end-to-end near-dedup: LSH pairs → transitive clusters →
     //      keep min id per cluster; the oracle replays the full LSH +
     //      a recursive-CTE closure ----
@@ -507,6 +526,29 @@ object Pipeline {
           (5, NULL, NULL, NULL, NULL, NULL, NULL))
          t(media_id, img_width, img_height, f0, f1, f2, f3)
          ORDER BY media_id""",
+    "q71_surprisal" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($Toks) AS term FROM documents),
+          freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+          tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(c / t)), 6) AS surprisal
+         FROM tok JOIN freq USING (term) CROSS JOIN tot
+         WHERE doc_id < 30
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q72_decontaminate" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                i -> array_to_string(t[i:i+7], ' '))) AS shs
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          probes AS (
+            SELECT DISTINCT unnest(shs) AS sh FROM g WHERE doc_id % 7 = 0),
+          docsh AS (
+            SELECT doc_id, unnest(shs) AS sh FROM g WHERE doc_id % 7 <> 0)
+         SELECT doc_id, count(*) AS n_hits, min(sh) AS first_hit
+         FROM docsh JOIN probes USING (sh)
+         GROUP BY doc_id ORDER BY doc_id""",
     // same LSH derivation as q32, then undirected transitive closure
     // and min-label clusters; survivors = docs that are their own
     // cluster minimum (or in no cluster)
