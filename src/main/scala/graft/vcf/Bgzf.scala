@@ -246,6 +246,10 @@ object Bgzf {
       }
       o += 1
     }
+    // Scanned to EOF without finding a boundary: `start` sits inside the
+    // FINAL block's compressed tail (e.g. a split boundary landing in
+    // the 28-byte EOF marker) — a legitimate empty split, not corruption.
+    if (fileLen - start <= scanEnd) return -1L
     throw new IOException(
       s"no BGZF block boundary within ${MaxBlockSize + HeaderLen} bytes of offset $start")
   }

@@ -126,6 +126,27 @@ class BgzfSpec extends SparkSpec {
     assert(vcf.header.samples == Seq("S0", "S1", "S2", "S3"))
   }
 
+  test("randomized split sweep: any (blockData, splitSize) reconstructs exactly") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 6) {
+      // random line population: empty lines, long lines, unicode
+      val lines = (0 until 200 + rnd.nextInt(400)).map { i =>
+        rnd.nextInt(5) match {
+          case 0 => ""
+          case 1 => "x" * (rnd.nextInt(2000) + 1)
+          case 2 => s"üñïçø∂é-$i"
+          case _ => s"row $i ${"pad" * rnd.nextInt(20)}"
+        }
+      }
+      val blockData = 64 + rnd.nextInt(2000)
+      val splitSize = 64L + rnd.nextInt(4000)
+      val path = tmpFile(lines, blockData)
+      val (got, parts) = readLines(path, splitSize)
+      assert(got == lines,
+        s"trial $trial (block=$blockData split=$splitSize parts=$parts): mismatch")
+    }
+  }
+
   test("corrupt ISIZE trailer raises IOException, not a wild allocation") {
     val lines = (0 until 50).map(i => s"line$i")
     val bytes = Bgzf.compress(lines.mkString("", "\n", "\n").getBytes("UTF-8"),

@@ -119,6 +119,29 @@ class TabixSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("randomized region sweep equals full-scan filter") {
+    val (vcf, _) = fixture(2500, blockData = 384)
+    val full = spark.read.format("bgzf-text").option("splitSize", 1536).load(vcf)
+    val f = split(col("value"), "\t")
+    val parsedFull = full.where(!col("value").startsWith("#"))
+      .select(f.getItem(0).as("chr"), f.getItem(1).cast("long").as("pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 8) {
+      val chr = (rnd.nextInt(22) + 1).toString
+      val beg = 1000L + rnd.nextInt(8000)
+      val end = beg + rnd.nextInt(6000)
+      val pruned = spark.read.format("bgzf-text")
+        .option("splitSize", 1536).option("region", s"$chr:$beg-$end").load(vcf)
+      val got = pruned.where(!col("value").startsWith("#"))
+        .select(f.getItem(0).as("chr"), f.getItem(1).cast("long").as("pos"))
+        .where(col("chr") === chr && col("pos").between(beg, end))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      val want = parsedFull.filter(t => t._1 == chr && t._2 >= beg && t._2 <= end).sorted
+      assert(got == want, s"$chr:$beg-$end: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("multi-region read: union semantics, shared blocks read once") {
     val (vcf, _) = fixture(3000, blockData = 512)
     // two close regions on one chr (likely sharing index chunks) + one
