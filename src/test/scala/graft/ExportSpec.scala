@@ -73,6 +73,23 @@ class ExportSpec extends SparkSpec {
     assert(rendered(2).endsWith("\t."))
   }
 
+  test("randomized export roundtrip sweep") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val n = 50 + rnd.nextInt(200)
+      val nSamples = rnd.nextInt(4) // 0 = sites-only
+      val lines = SyntheticVcf.header(nSamples) ++
+        (0L until n.toLong).map(i => SyntheticVcf.line(i, nSamples, 10))
+      val orig = VcfReader.fromLines(spark, lines)
+      val out = Files.createTempDirectory(s"graft_export_rand$trial")
+        .resolve("r.vcf.gz").toString
+      VcfExport.exportVcf(orig, out, blockData = 128 + rnd.nextInt(4000))
+      val back = VcfReader.read(spark, out)
+      assert(back.header == orig.header, s"trial $trial header")
+      assert(parsedRows(back) == parsedRows(orig), s"trial $trial rows")
+    }
+  }
+
   test("exportSharded: directory of shards re-reads without assembly") {
     val n = 2000
     val vcf = SyntheticVcf.generate(spark, n.toLong, 2, 10)
