@@ -214,6 +214,13 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // ---- data profiling: per-column survey in one aggregation ----
+    "q73_profile" -> ((s, d) => {
+      graft.operators.Profile.profile(graft.Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy("column")
+    }),
+
     // ---- corpus-LM surprisal quality scoring ----
     "q71_surprisal" -> ((s, d) => {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d), "text", "doc_id")
@@ -526,6 +533,31 @@ object Pipeline {
           (5, NULL, NULL, NULL, NULL, NULL, NULL))
          t(media_id, img_width, img_height, f0, f1, f2, f3)
          ORDER BY media_id""",
+    "q73_profile" ->
+      """SELECT * FROM (
+          SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+            count(*) - count(l_orderkey) AS n_nulls,
+            count(DISTINCT l_orderkey) AS n_distinct,
+            CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+            CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+            count(DISTINCT l_quantity),
+            min(l_quantity), max(l_quantity), NULL, NULL
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+            count(DISTINCT l_returnflag),
+            NULL, NULL, min(l_returnflag), max(l_returnflag)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+            count(DISTINCT l_shipdate),
+            NULL, NULL, NULL, NULL
+          FROM lineitem)
+         ORDER BY "column"""",
     "q71_surprisal" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($Toks) AS term FROM documents),

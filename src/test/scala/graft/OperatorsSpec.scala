@@ -200,6 +200,25 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 10L, 1L), (1L, 1000L, 2L), (1L, 1005L, 2L), (2L, 5L, 1L)))
   }
 
+  test("Profile.profile: one job, typed extrema, nulls counted") {
+    val df = Seq((1L, Some(2.5), Some("b")), (2L, None, Some("a")),
+      (3L, Some(1.5), None), (3L, Some(2.5), Some("a")))
+      .toDF("id", "v", "s")
+    val p = operators.Profile.profile(df, Seq("id", "v", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 4 && p("id").getLong(2) == 0 &&
+      p("id").getLong(3) == 3 && p("id").getDouble(4) == 1.0 &&
+      p("id").getDouble(5) == 3.0)
+    assert(p("v").getLong(2) == 1 && p("v").getLong(3) == 2 &&
+      p("v").getDouble(4) == 1.5 && p("v").getDouble(5) == 2.5)
+    assert(p("s").getLong(2) == 1 && p("s").getString(6) == "a" &&
+      p("s").getString(7) == "b")
+    // approx mode still emits every column with plausible cardinalities
+    val ap = operators.Profile.profile(df, Seq("id", "v", "s"),
+      approxDistinct = true).collect()
+    assert(ap.length == 3 && ap.forall(_.getLong(3) > 0))
+  }
+
   test("TextAnalysis.tfIdf: hand-computed scores, deterministic ranks") {
     val docs = Seq(
       (1L, "apple banana apple"),
