@@ -24,6 +24,13 @@ object TextAnalysis {
   private def markerRegex(lang: String): String =
     markerWords(lang).mkString("\\b(", "|", ")\\b")
 
+  /** Every marker word (distinct, sorted) as one word-boundary regex —
+    * the language-agnostic "contains function words at all" signal
+    * used by [[qualityFlags]]; exposed so oracles can replay it.
+    */
+  val allMarkersRegex: String =
+    markerWords.values.flatten.toSeq.distinct.sorted.mkString("\\b(", "|", ")\\b")
+
   /** Per-language marker-word hit counts. */
   def langScores(text: Column): Seq[(String, Column)] =
     markerWords.keys.toSeq.sorted.map { lang =>
@@ -183,6 +190,133 @@ object TextAnalysis {
     docShingles.join(probeShingles, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), min(col("sh")).as("first_hit"))
+  }
+
+  /** Gopher-style repetition statistics — the published repetition
+    * filters (Rae et al. 2021 §A1.1) measure how much of a document is
+    * duplicated content: repetitive boilerplate (menus, SEO spam,
+    * `batch batch batch …`) shows a high duplicate-n-gram fraction and
+    * a single n-gram dominating the text. Output per document:
+    * `doc_id, n_tokens, dup_word_frac, n_bigrams, dup_bigram_frac,
+    * top_bigram_frac` (fractions rounded to 6; documents with no
+    * tokens are omitted, with <2 tokens carry NULL bigram stats).
+    *
+    * Shape: explode → per-(doc, gram) counts (map-side combinable) →
+    * per-doc aggregate — two shuffles on doc-bounded keys, never
+    * corpus-global state, so it scales with the corpus. Deliberately
+    * NOT the per-row `transform(array_distinct(...), filter(...))`
+    * form, which is O(distinct·n) per document and blows up on long
+    * documents.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+    val words = toks.select(col("doc_id"), explode(col("_t")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("_nd"))
+    val bigrams = toks
+      .select(col("doc_id"), explode(wordShingles(col("_t"), 2)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("_ndb"), max("c").as("_maxb"))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1d) - col("_nd").cast("double") / col("n_tokens"), 6)
+          .as("dup_word_frac"),
+        col("n_bigrams"),
+        round(lit(1d) - col("_ndb").cast("double") / col("n_bigrams"), 6)
+          .as("dup_bigram_frac"),
+        round(col("_maxb").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"))
+  }
+
+  /** C4/Gopher-style composite quality filter: each rule that FAILS
+    * contributes its tag to a comma-joined `reasons` string (fixed
+    * rule order, '' = clean); `keep` is true iff no rule fired. All
+    * row-local column arithmetic — no shuffle, fully codegen'd, the
+    * shape a 100 TB keep/drop pass must have.
+    *
+    * Rules (tags in emission order):
+    *   wc    word count outside [minTokens, maxTokens]
+    *   mwl   mean word length outside [2, 12]
+    *   rep   distinct-word ratio below minDistinctRatio (repetition)
+    *   stop  fewer than 2 function-word hits (gibberish signal)
+    *   sym   non-alphanumeric, non-space chars exceed 10% of text
+    */
+  def qualityFlags(text: Column, minTokens: Int = 15, maxTokens: Int = 100000,
+      minDistinctRatio: Double = 0.55): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val mwl = when(n > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / n)
+      .otherwise(lit(0d))
+    val distinctRatio = when(n > 0, size(array_distinct(toks)) / n).otherwise(lit(0d))
+    val stopHits = regexp_count(lower(text), lit(allMarkersRegex))
+    val symRatio = when(length(text) > 0,
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
+      .otherwise(lit(0d))
+    val reasons = concat_ws(",",
+      when(n < minTokens || n > maxTokens, lit("wc")),
+      when(mwl < 2d || mwl > 12d, lit("mwl")),
+      when(distinctRatio < minDistinctRatio, lit("rep")),
+      when(stopHits < 2, lit("stop")),
+      when(symRatio > 0.1, lit("sym")))
+    struct((reasons === "").as("keep"), reasons.as("reasons"))
+  }
+
+  /** Sliding-window document chunking — the training-context-window
+    * op: split each document's token stream into windows of `size`
+    * tokens advancing by `stride` (overlapping when stride < size).
+    * Output: `doc_id, chunk_idx, start_token (1-based), n_chunk_tokens,
+    * chunk_text`. Empty documents produce no chunks; documents shorter
+    * than `size` yield one short chunk; at most `stride − 1` trailing
+    * tokens past the last full window are dropped (the standard
+    * fixed-context convention).
+    *
+    * Row-local generate: `sequence` of window starts → posexplode →
+    * `slice` — no shuffle, output size ≈ input·(1/stride overlap
+    * factor), exactly how a context-window pass behaves at scale.
+    */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      size: Int = 512, stride: Int = 256): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .where(org.apache.spark.sql.functions.size(col("_t")) > 0)
+    val starts = sequence(lit(1),
+      greatest(org.apache.spark.sql.functions.size(col("_t")) - (size - 1), lit(1)),
+      lit(stride))
+    toks.select(col("doc_id"), col("_t"), posexplode(starts).as(Seq("chunk_idx", "st")))
+      .select(col("doc_id"), col("chunk_idx"), col("st").as("start_token"),
+        org.apache.spark.sql.functions.size(slice(col("_t"), col("st"), lit(size)))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("_t"), col("st"), lit(size)), " ").as("chunk_text"))
+  }
+
+  /** Corpus vocabulary coverage: build the top-`vocabSize` token
+    * vocabulary (by frequency, ties → lexicographic) and score each
+    * document's out-of-vocabulary fraction — the classic
+    * "is this text from the training distribution" signal. Output:
+    * `doc_id, n_tokens, n_oov, oov_frac` (rounded to 6).
+    *
+    * The vocabulary is a distributed TakeOrdered (per-partition top-K
+    * then merge — never a global sort materialization) and broadcasts
+    * to the membership join, so the corpus-side pass is one explode +
+    * one map-side-combined aggregate at any scale.
+    */
+  def oovStats(df: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int = 50): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in_vocab").isNull, lit(1))).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
   /** Deterministic dataset split assignment (train/val/test …):

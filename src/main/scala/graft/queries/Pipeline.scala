@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
-import graft.operators.{Bpe, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Graph, Mixture, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operator surface: dedup family, similarity
   * search, text analysis, multimodal plumbing — over `documents` and
@@ -290,6 +290,50 @@ object Pipeline {
         .select(col("doc_id").as("a"),
           (col("doc_id") + 1 + pmod(col("doc_id"), lit(3))).as("b"))
       Graph.connectedComponents(edges, "a", "b").orderBy("id")
+    }),
+
+    // ---- Gopher-style repetition stats (dup-word / dup-bigram /
+    //      top-bigram fractions) ----
+    "q74_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "text", "doc_id")
+        .where(col("doc_id") < 40)
+        .orderBy("doc_id")
+    }),
+
+    // ---- composite quality filter: keep/drop + failed-rule reasons ----
+    "q75_quality_filter" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("qf", TextAnalysis.qualityFlags(col("text")))
+        .select(col("doc_id"), col("qf.keep").as("keep"),
+          col("qf.reasons").as("reasons"))
+        .where(col("doc_id") < 60)
+        .orderBy("doc_id")
+    }),
+
+    // ---- sliding-window chunking (training context windows) ----
+    "q76_chunking" -> ((s, d) => {
+      TextAnalysis.chunk(Tables.documents(s, d), "text", "doc_id",
+          size = 8, stride = 4)
+        .where(col("doc_id") < 25)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- data-dependent mixture balancing: every source downsampled
+    //      to the smallest source's size, md5-deterministic ----
+    "q78_mixture_balance" -> ((s, d) => {
+      Mixture.balance(Tables.documents(s, d), "doc_id", "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("source")
+    }),
+
+    // ---- corpus vocabulary + per-doc out-of-vocabulary fraction ----
+    "q79_oov" -> ((s, d) => {
+      TextAnalysis.oovStats(Tables.documents(s, d), "text", "doc_id",
+          vocabSize = 30)
+        .where(col("doc_id") < 40)
+        .orderBy("doc_id")
     }),
 
     // ---- real BPE: distributed merge learning + rank-greedy encode
@@ -681,6 +725,90 @@ object Pipeline {
           (4, NULL, NULL, NULL, NULL, NULL))
          t(media_id, audio_sample_rate, audio_channels, audio_duration_ms, rms, peak)
          ORDER BY media_id""",
+    "q74_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
+          wc AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS nd
+            FROM (SELECT doc_id, w, count(*) AS c
+                  FROM (SELECT doc_id, unnest(t) AS w FROM d)
+                  GROUP BY doc_id, w)
+            GROUP BY doc_id),
+          bg AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              count(*) AS ndb, max(c) AS maxb
+            FROM (SELECT doc_id, b, count(*) AS c
+                  FROM (SELECT doc_id,
+                      unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                        i -> t[i] || ' ' || t[i+1])) AS b
+                    FROM d)
+                  GROUP BY doc_id, b)
+            GROUP BY doc_id)
+         SELECT wc.doc_id, n_tokens,
+           round(1 - nd / CAST(n_tokens AS DOUBLE), 6) AS dup_word_frac,
+           n_bigrams,
+           round(1 - ndb / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac,
+           round(maxb / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac
+         FROM wc LEFT JOIN bg ON wc.doc_id = bg.doc_id
+         WHERE wc.doc_id < 40 ORDER BY wc.doc_id""",
+    "q75_quality_filter" ->
+      s"""SELECT doc_id, reasons = '' AS keep, reasons FROM (
+            SELECT doc_id, concat_ws(',',
+              CASE WHEN n < 15 OR n > 100000 THEN 'wc' END,
+              CASE WHEN mwl < 2 OR mwl > 12 THEN 'mwl' END,
+              CASE WHEN dr < 0.55 THEN 'rep' END,
+              CASE WHEN stop < 2 THEN 'stop' END,
+              CASE WHEN sym > 0.1 THEN 'sym' END) AS reasons
+            FROM (
+              SELECT doc_id,
+                len(t)::DOUBLE AS n,
+                CASE WHEN len(t) > 0
+                  THEN list_sum(list_transform(t, w -> len(w)))::DOUBLE / len(t)
+                  ELSE 0.0 END AS mwl,
+                CASE WHEN len(t) > 0
+                  THEN len(list_distinct(t))::DOUBLE / len(t)
+                  ELSE 0.0 END AS dr,
+                len(regexp_extract_all(lower(text),
+                  '${TextAnalysis.allMarkersRegex}')) AS stop,
+                CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END AS sym
+              FROM (SELECT doc_id, text, $Toks AS t FROM documents
+                    WHERE doc_id < 60)))
+         ORDER BY doc_id""",
+    "q76_chunking" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
+          s AS (SELECT doc_id, t,
+              unnest(range(1, greatest(len(t) - 7, 1) + 1, 4)) AS st
+            FROM d WHERE len(t) > 0 AND doc_id < 25)
+         SELECT doc_id, (st - 1) // 4 AS chunk_idx, st AS start_token,
+           len(t[st:st + 7]) AS n_chunk_tokens,
+           array_to_string(t[st:st + 7], ' ') AS chunk_text
+         FROM s ORDER BY doc_id, chunk_idx""",
+    "q78_mixture_balance" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          m AS (SELECT min(n) AS mn FROM c),
+          thr AS (SELECT source,
+              CAST(floor(CAST(mn AS DOUBLE) / n * 1000000) AS BIGINT) AS thr
+            FROM c CROSS JOIN m)
+         SELECT source, count(*) AS n_kept,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents JOIN thr USING (source)
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 < thr
+         GROUP BY source ORDER BY source""",
+    "q79_oov" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+          v AS (SELECT term, 1 AS iv FROM (
+              SELECT term, count(*) AS freq FROM tok GROUP BY term
+              ORDER BY freq DESC, term ASC LIMIT 30))
+         SELECT doc_id, count(*) AS n_tokens,
+           count(CASE WHEN iv IS NULL THEN 1 END) AS n_oov,
+           round(count(CASE WHEN iv IS NULL THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS oov_frac
+         FROM tok LEFT JOIN v USING (term)
+         WHERE doc_id < 40
+         GROUP BY doc_id ORDER BY doc_id""",
     // merges after 5 rounds: (e,s)(es,t)(est,</w>)(l,o)(lo,w) — ties
     // break by count desc then pair lexicographic
     "q61_bpe_tokens" ->

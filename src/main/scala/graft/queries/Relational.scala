@@ -353,6 +353,29 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- set operations: INTERSECT / EXCEPT (distinct semantics) ----
+    "q77_set_ops" -> ((s, d) => {
+      val o = ord(s, d)
+      val y96 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y97 = o.where(year(col("o_orderdate")) === 1997).select("o_custkey")
+      y96.intersect(y97).withColumn("tag", lit("both"))
+        .unionAll(y96.except(y97).withColumn("tag", lit("only_1996")))
+        .orderBy("tag", "o_custkey")
+    }),
+
+    // ---- Z-order (Morton) clustering value — the multi-dimension
+    //      layout key (Layout.zorder sorts/writes by it; the pruning
+    //      property is pinned in ScaleSpec) ----
+    "q80_zorder" -> ((s, d) => {
+      cust(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          graft.operators.Layout.zValue(
+            pmod(col("c_custkey"), lit(256)),
+            pmod(col("c_nationkey"), lit(256)), bits = 8).as("zval"))
+        .where(col("c_custkey") < 200)
+        .orderBy("zval", "c_custkey")
+    }),
+
     // ---- §4.3 range-overlap join via the custom Catalyst operator
     //      (BroadcastIntervalJoinExec) — same oracle as the binned
     //      decomposition, different physical path ----
@@ -575,6 +598,21 @@ object Relational {
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC))
          WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""",
+    "q77_set_ops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+         UNION ALL
+         SELECT o_custkey, 'only_1996' AS tag FROM (
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+         ORDER BY tag, o_custkey""",
+    "q80_zorder" ->
+      s"""SELECT c_custkey, c_nationkey,
+           ${graft.operators.Layout.zValueSql("c_custkey % 256", "c_nationkey % 256", 8)} AS zval
+         FROM customer WHERE c_custkey < 200 ORDER BY zval, c_custkey""",
     "q55_range_join_exec" ->
       """SELECT s_suppkey, count(*) AS n_orders
          FROM (SELECT o_orderkey, o_totalprice AS pstart, o_totalprice + 5000 AS pend

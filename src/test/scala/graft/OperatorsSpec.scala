@@ -420,4 +420,103 @@ class OperatorsSpec extends SparkSpec {
       .select("frame_ms").as[Long].collect().sorted.toSeq
     assert(frames == Seq(0L, 100L, 200L))
   }
+
+  test("repetitionStats: hand-computed fractions, short/empty docs") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 5 toks 2 distinct; bigrams ab,ba,ab,ba
+      (2L, "x y z"),
+      (3L, "solo"), // no bigrams → NULL bigram stats
+      (4L, "")) // no tokens → omitted
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect()
+    assert(got.length == 3)
+    val r1 = got(0)
+    assert(r1.getLong(1) == 5L && r1.getDouble(2) == 0.6)
+    assert(r1.getLong(3) == 4L && r1.getDouble(4) == 0.5 && r1.getDouble(5) == 0.5)
+    val r2 = got(1)
+    assert(r2.getLong(1) == 3L && r2.getDouble(2) == 0.0)
+    assert(r2.getLong(3) == 2L && r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.5)
+    val r3 = got(2)
+    assert(r3.getLong(1) == 1L && r3.isNullAt(3) && r3.isNullAt(5))
+  }
+
+  test("qualityFlags: each rule fires on its pathology, clean doc keeps") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the hills is nice today indeed"),
+      (2L, "tiny text here"), // too short + no function words
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (4L, "@@@@ #### %%%% the is and of to in that it la le"))
+      .toDF("doc_id", "text")
+    val got = docs.withColumn("qf", TextAnalysis.qualityFlags(col("text")))
+      .select(col("doc_id"), col("qf.keep"), col("qf.reasons"))
+      .as[(Long, Boolean, String)].collect()
+      .map { case (k, v, r) => k -> ((v, r)) }.toMap
+    assert(got(1L) == ((true, "")))
+    assert(got(2L) == ((false, "wc,stop")))
+    assert(got(3L) == ((false, "rep,stop")))
+    assert(!got(4L)._1 && got(4L)._2.contains("sym"))
+  }
+
+  test("chunk: windows, stride overlap, short docs, drop-tail bound") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "text", "doc_id", size = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start_token", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 1, 3, "a b c"), (1L, 1, 3, 3, "c d e"), (1L, 2, 5, 3, "e f g"),
+      (2L, 0, 1, 2, "a b")))
+    // drop-tail bound: at most stride-1 trailing tokens uncovered
+    val long = Seq((9L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(long, "text", "doc_id", size = 8, stride = 5)
+      .select("start_token", "n_chunk_tokens").as[(Int, Int)].collect()
+    val covered = chunks.map { case (st, n) => st + n - 1 }.max
+    assert(covered >= 100 - (5 - 1) && covered <= 100)
+  }
+
+  test("oovStats: vocabulary cut + per-doc OOV fraction") {
+    val docs = Seq((1L, "a a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.oovStats(docs, "text", "doc_id", vocabSize = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_oov", "oov_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // vocab = {a (freq 4), b (freq 1, ties → lexicographic beats c)}
+    assert(got == Seq((1L, 4L, 0L, 0.0), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("Mixture.balance: smallest group survives whole, deterministic subset") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 110).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val kept = Mixture.balance(df, "id", "g")
+    val counts = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts("small") == 10L) // threshold = 1e6 → keep all
+    assert(counts.getOrElse("big", 0L) > 0 && counts("big") < 40L)
+    // determinism: exact same ids on a rerun
+    val ids1 = kept.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = Mixture.balance(df, "id", "g").select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("Mixture.sampleToMixture: weighted targets, unlisted group dropped") {
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 120).map(i => (i.toLong, "b")) ++
+      (121 to 130).map(i => (i.toLong, "c"))).toDF("id", "g")
+    val kept = Mixture.sampleToMixture(df, "id", "g",
+      Map("a" -> 0.5, "b" -> 0.5), targetRows = 40)
+    val counts = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("c")) // weight 0 → dropped
+    assert(counts("b") == 20L) // target 20 = group size → keep all
+    assert(counts("a") > 5 && counts("a") < 40) // ~20 of 100 kept
+  }
+
+  test("Layout.zValue: hand-computed Morton interleave") {
+    val got = Seq((3L, 1L), (2L, 3L), (0L, 0L), (1L, 0L), (0L, 1L))
+      .toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), bits = 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(11L, 13L, 0L, 2L, 1L))
+  }
 }

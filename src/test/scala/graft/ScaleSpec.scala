@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Skew
+import graft.operators.{Layout, Skew}
 import graft.vcf.{ToyVcf, VcfBuild, VcfReader}
 
 /** Specs for the scale techniques: salted skew joins and bucketed
@@ -217,5 +217,26 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS toy_variant_impact")
       spark.sql("DROP TABLE IF EXISTS toy_variant_geno")
     }
+  }
+
+  test("Layout.zorder clusters BOTH dimensions tighter than hash layout") {
+    import org.apache.spark.sql.functions.{col, max, min, spark_partition_id}
+    // 100×100 grid; a good 2-D layout keeps each output partition's
+    // x-range AND y-range compact, so min/max stats prune on either
+    val grid = spark.range(10000)
+      .select((col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"))
+    def avgSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .select("sx", "sy").as[(Long, Long)].collect()
+      (spans.map(_._1).sum.toDouble / spans.length,
+        spans.map(_._2).sum.toDouble / spans.length)
+    }
+    val (zx, zy) = avgSpans(Layout.zorder(grid, "x", "y", numFiles = 8, bits = 8))
+    val (hx, hy) = avgSpans(grid.repartition(8))
+    // hash layout spans ~the full 0..99 range in both dims; z-order
+    // bands must be materially tighter in BOTH
+    assert(zx < hx * 0.8 && zy < hy * 0.8, s"z spans ($zx,$zy) vs hash ($hx,$hy)")
   }
 }
