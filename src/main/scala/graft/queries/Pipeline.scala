@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
-import graft.operators.{Bpe, Dedup, Graph, Mixture, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, Graph, Mixture, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operator surface: dedup family, similarity
   * search, text analysis, multimodal plumbing — over `documents` and
@@ -326,6 +326,18 @@ object Pipeline {
         .agg(count(lit(1)).as("n_kept"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("source")
+    }),
+
+    // ---- end-to-end curation pipeline audit funnel: quality filter →
+    //      exact dedup → decontamination → mixture balance, per-stage
+    //      counts (probes = docs with doc_id % 7 = 0, as in q72) ----
+    "q81_curation_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("text").as("probe"))
+      Curation.funnel(docs, "text", "doc_id", "source", probes, "probe",
+          shingleN = 8)
+        .orderBy("stage_ord")
     }),
 
     // ---- corpus vocabulary + per-doc out-of-vocabulary fraction ----
@@ -797,6 +809,55 @@ object Pipeline {
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                % 1000000 < thr
          GROUP BY source ORDER BY source""",
+    "q81_curation_funnel" ->
+      s"""WITH base AS (SELECT doc_id, text, source, $Toks AS t FROM documents),
+          q AS (SELECT doc_id, text, source, t FROM (
+              SELECT *, len(t)::DOUBLE AS n,
+                CASE WHEN len(t) > 0
+                  THEN list_sum(list_transform(t, w -> len(w)))::DOUBLE / len(t)
+                  ELSE 0.0 END AS mwl,
+                CASE WHEN len(t) > 0
+                  THEN len(list_distinct(t))::DOUBLE / len(t)
+                  ELSE 0.0 END AS dr,
+                len(regexp_extract_all(lower(text),
+                  '${TextAnalysis.allMarkersRegex}')) AS stop,
+                CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END AS sym
+              FROM base)
+            WHERE n >= 15 AND n <= 100000 AND mwl >= 2 AND mwl <= 12
+              AND dr >= 0.55 AND stop >= 2 AND sym <= 0.1),
+          dd AS (SELECT q.* FROM q JOIN (
+              SELECT md5(array_to_string(t, ' ')) AS fp, min(doc_id) AS doc_id
+              FROM q GROUP BY 1) k USING (doc_id)),
+          probes AS (SELECT DISTINCT unnest(
+              list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                i -> array_to_string(t[i:i+7], ' ')))) AS sh
+            FROM base WHERE doc_id % 7 = 0),
+          contam AS (SELECT DISTINCT doc_id FROM (
+              SELECT doc_id, unnest(
+                  list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                    i -> array_to_string(t[i:i+7], ' ')))) AS sh
+              FROM dd) JOIN probes USING (sh)),
+          clean AS (SELECT * FROM dd
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+          c AS (SELECT source, count(*) AS cn FROM clean GROUP BY source),
+          m AS (SELECT min(cn) AS mn FROM c),
+          thr AS (SELECT source,
+              CAST(floor(CAST(mn AS DOUBLE) / cn * 1000000) AS BIGINT) AS thr
+            FROM c CROSS JOIN m),
+          bal AS (SELECT clean.* FROM clean JOIN thr USING (source)
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 < thr)
+         SELECT 0 AS stage_ord, 'input' AS stage, count(*) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM documents
+         UNION ALL SELECT 1, 'quality', count(*), min(doc_id), max(doc_id) FROM q
+         UNION ALL SELECT 2, 'dedup', count(*), min(doc_id), max(doc_id) FROM dd
+         UNION ALL SELECT 3, 'decontaminate', count(*), min(doc_id), max(doc_id)
+           FROM clean
+         UNION ALL SELECT 4, 'balance', count(*), min(doc_id), max(doc_id) FROM bal
+         ORDER BY stage_ord""",
     "q79_oov" ->
       s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
           v AS (SELECT term, 1 AS iv FROM (

@@ -512,6 +512,34 @@ class OperatorsSpec extends SparkSpec {
     assert(counts("a") > 5 && counts("a") < 40) // ~20 of 100 kept
   }
 
+  test("Curation: funnel is monotone, curate ≡ final stage, probes removed") {
+    val docs = Seq(
+      (0L, "the cat and the dog is in the house that it likes to be in every day", "s1"),
+      (1L, "the cat and the dog is in the house that it likes to be in every day", "s1"), // dup of 0
+      (2L, "short", "s1"), // fails quality (wc)
+      (3L, "one two three four five six seven eight the and of to is in that it", "s2"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta the and of to is in that it", "s2"),
+      (7L, "iota kappa lambda mu nu xi omicron pi the and of to is in that it", "s1"))
+      .toDF("doc_id", "text", "source")
+    // probes share doc 3's text verbatim → decontamination drops doc 3
+    val probes = Seq("one two three four five six seven eight the and of to is in that it")
+      .toDF("probe")
+    val funnel = Curation.funnel(docs, "text", "doc_id", "source", probes, "probe")
+      .orderBy("stage_ord")
+      .select("stage", "n_docs").as[(String, Long)].collect().toSeq
+    assert(funnel.map(_._1) ==
+      Seq("input", "quality", "dedup", "decontaminate", "balance"))
+    val counts = funnel.map(_._2)
+    assert(counts.head == 6L)
+    assert(counts.sliding(2).forall { case Seq(a, b) => b <= a }) // monotone
+    val kept = Curation.curate(docs, "text", "doc_id", "source", probes, "probe")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == counts.last)
+    assert(!kept.contains(1L)) // dup loses to min id
+    assert(!kept.contains(2L)) // quality-dropped
+    assert(!kept.contains(3L)) // contaminated
+  }
+
   test("Layout.zValue: hand-computed Morton interleave") {
     val got = Seq((3L, 1L), (2L, 3L), (0L, 0L), (1L, 0L), (0L, 1L))
       .toDF("x", "y")
