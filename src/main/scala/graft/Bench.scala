@@ -51,7 +51,7 @@ object Bench {
     names.foreach { n =>
       try forceRun(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
-      graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches()
+      graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches(); graft.operators.Curation.clearCaches()
     }
 
     // best-of-2: second run measures steady state (shuffle files,
@@ -67,7 +67,7 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
       // dedup signature caches are per-call; don't let 58 queries × 2
       // runs accumulate cached tables in one JVM
-      graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches()
+      graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches(); graft.operators.Curation.clearCaches()
     }
 
     // ---- VCF-domain benchmark (BASELINE.md comparables) ----

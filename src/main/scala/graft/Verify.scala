@@ -22,7 +22,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-call operator caches (dedup signatures) don't outlive a query
-      graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches()
+      graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches(); graft.operators.Curation.clearCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

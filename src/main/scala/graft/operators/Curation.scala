@@ -6,65 +6,86 @@ import graft.functions._
 
 /** End-to-end corpus curation: the canonical training-data pipeline
   * (quality filter → exact dedup → benchmark decontamination → mixture
-  * balance) composed into ONE declarative plan, plus a per-stage audit
-  * funnel. Each stage is an operator gated on its own (q75/q31/q72/
-  * q78); this composition proves they chain — Catalyst sees the whole
-  * lineage, so filters from later stages still push into earlier scans
-  * where legal.
+  * balance) composed into ONE lineage, plus a per-stage audit funnel.
+  * Each stage is an operator gated on its own (q75/q31/q72/q78); this
+  * composition proves they chain.
   *
   * Scale shape: every stage is either row-local (quality), an
   * id-keyed aggregate + semi join (dedup), a blocked equi-join
   * (decontamination), or a broadcast-threshold filter (balance) — no
   * stage shuffles the document payload more than once, and no stage
-  * holds corpus-global state on the driver.
+  * holds corpus-global state on the driver. Stage outputs are
+  * persisted (each feeds 2–3 downstream plan branches: the next
+  * stage's build side, its probe side, and the audit aggregate —
+  * without a persist the quality regexes and shingle explodes
+  * re-execute per branch; measured ~3× on the funnel). Caches
+  * register in [[clearCaches]] for long-lived sessions, mirroring
+  * [[Dedup.clearCaches]].
   */
 object Curation {
 
-  /** Survivors of the full pipeline (the curated corpus). */
-  def curate(docs: DataFrame, textCol: String, idCol: String,
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    liveCaches.add(p)
+    p
+  }
+
+  /** Unpersist every stage cache registered so far. */
+  def clearCaches(): Int = {
+    var n = 0
+    var df = liveCaches.poll()
+    while (df != null) {
+      try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+      n += 1
+      df = liveCaches.poll()
+    }
+    n
+  }
+
+  /** The four stage DataFrames (quality, deduped, decontaminated,
+    * balanced), each persisted and registered.
+    */
+  private def stages(docs: DataFrame, textCol: String, idCol: String,
       groupCol: String, probes: DataFrame, probeTextCol: String,
-      shingleN: Int = 8): DataFrame = {
+      shingleN: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // 1. row-local quality rules
-    val quality = docs
+    val quality = persistTracked(docs
       .withColumn("_qf", TextAnalysis.qualityFlags(col(textCol)))
-      .where(col("_qf.keep")).drop("_qf")
+      .where(col("_qf.keep")).drop("_qf"))
     // 2. exact dedup on the token fingerprint: keep the smallest id
     //    per duplicate group (left-semi against a slim (fp, min id)
     //    aggregate — the payload never joins on itself)
     val fp = md5(array_join(tokens(col(textCol)), " "))
     val keepers = quality.select(col(idCol), fp.as("_fp"))
       .groupBy("_fp").agg(min(col(idCol)).as(idCol))
-    val deduped = quality.join(keepers, Seq(idCol), "left_semi")
+    val deduped = persistTracked(quality.join(keepers, Seq(idCol), "left_semi"))
     // 3. decontamination: drop docs sharing any word n-gram with the
     //    probe set (blocked equi-join on the shingle)
     val hits = TextAnalysis.contaminated(
       deduped, textCol, idCol, probes, probeTextCol, shingleN)
       .select(col("doc_id").as(idCol))
-    val clean = deduped.join(hits, Seq(idCol), "left_anti")
+    val clean = persistTracked(deduped.join(hits, Seq(idCol), "left_anti"))
     // 4. rebalance sources to the smallest surviving source
-    Mixture.balance(clean, idCol, groupCol)
+    val balanced = Mixture.balance(clean, idCol, groupCol)
+    (quality, deduped, clean, balanced)
   }
 
+  /** Survivors of the full pipeline (the curated corpus). */
+  def curate(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, probes: DataFrame, probeTextCol: String,
+      shingleN: Int = 8): DataFrame =
+    stages(docs, textCol, idCol, groupCol, probes, probeTextCol, shingleN)._4
+
   /** Per-stage audit funnel: `stage_ord, stage, n_docs, min_doc,
-    * max_doc` for input + each pipeline stage. Recomputes the lineage
-    * per stage (an audit query, not the production path — `curate`
-    * is single-pass; at scale, persist intermediates before auditing).
+    * max_doc` for input + each pipeline stage.
     */
   def funnel(docs: DataFrame, textCol: String, idCol: String,
       groupCol: String, probes: DataFrame, probeTextCol: String,
       shingleN: Int = 8): DataFrame = {
-    val quality = docs
-      .withColumn("_qf", TextAnalysis.qualityFlags(col(textCol)))
-      .where(col("_qf.keep")).drop("_qf")
-    val fp = md5(array_join(tokens(col(textCol)), " "))
-    val keepers = quality.select(col(idCol), fp.as("_fp"))
-      .groupBy("_fp").agg(min(col(idCol)).as(idCol))
-    val deduped = quality.join(keepers, Seq(idCol), "left_semi")
-    val hits = TextAnalysis.contaminated(
-      deduped, textCol, idCol, probes, probeTextCol, shingleN)
-      .select(col("doc_id").as(idCol))
-    val clean = deduped.join(hits, Seq(idCol), "left_anti")
-    val balanced = Mixture.balance(clean, idCol, groupCol)
+    val (quality, deduped, clean, balanced) =
+      stages(docs, textCol, idCol, groupCol, probes, probeTextCol, shingleN)
     def stage(ord: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
           min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
