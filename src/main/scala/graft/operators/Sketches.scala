@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate sketches — the cardinality/frequency layer a 100 TB
+  * survey runs when exact answers would dominate the job. Everything
+  * here is MERGEABLE state: sketch once per group/partition/day,
+  * union the small sketch payloads for any rollup, never rescan the
+  * corpus. Uses Spark's built-in sketch aggregates (Apache
+  * DataSketches HLL, Spark's CountMinSketch) — codegen'd aggregation,
+  * zero UDFs in the distributed path.
+  */
+object Sketches {
+
+  /** Per-group HLL distinct sketches alongside the exact count:
+    * `group, n_exact, sketch`. The sketch column is the reusable
+    * artifact (store it; union it later); `n_exact` is the audit
+    * column for tolerance checks.
+    */
+  def hllByGroup(df: DataFrame, valueCol: String, groupCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCol).agg(
+      count_distinct(col(valueCol)).as("n_exact"),
+      hll_sketch_agg(col(valueCol), lgK).as("sketch"))
+
+  /** Distinct-count tolerance report: per group plus an `ALL` rollup
+    * row, each with the exact distinct count and whether the HLL
+    * estimate lands within `tol` (relative). The rollup row is the
+    * point of the exercise: its estimate comes from `hll_union_agg`
+    * over the per-group sketches — no second pass over the data —
+    * while its exact count needs a full re-aggregation.
+    */
+  def hllToleranceReport(df: DataFrame, valueCol: String, groupCol: String,
+      lgK: Int = 12, tol: Double = 0.05): DataFrame = {
+    val perGroup = hllByGroup(df, valueCol, groupCol, lgK)
+    def okCol(est: org.apache.spark.sql.Column) =
+      (abs(est - col("n_exact")) <= col("n_exact") * tol).as("hll_ok")
+    val groups = perGroup.select(col(groupCol), col("n_exact"),
+      okCol(hll_sketch_estimate(col("sketch"))))
+    val rollup = perGroup.agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("_est"))
+      .crossJoin(broadcast(df.agg(count_distinct(col(valueCol)).as("n_exact"))))
+      .select(lit("ALL").as(groupCol), col("n_exact"),
+        (abs(col("_est") - col("n_exact")) <= col("n_exact") * tol).as("hll_ok"))
+    groups.unionAll(rollup)
+  }
+
+  /** Count-min-sketch frequency estimates for a bounded candidate
+    * list: builds ONE distributed sketch (a few KB of mergeable
+    * state), reads it driver-side, and returns `(value, estimate)`
+    * rows. The CMS contract: estimates NEVER undercount, and
+    * overcount by at most `eps·N` with probability `confidence`.
+    * The candidate list must be driver-bounded (heavy-hitter probes,
+    * a watchlist) — the sketch itself answers point queries only.
+    */
+  def cmsEstimates(df: DataFrame, valueCol: String, candidates: Seq[String],
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate")
+    val bytes = df.agg(
+      count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("sk")).head().getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val session = df.sparkSession
+    import session.implicits._
+    candidates.map(c => (c, cms.estimateCount(c)))
+      .toDF(valueCol, "estimate")
+  }
+}

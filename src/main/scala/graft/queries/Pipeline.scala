@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
-import graft.operators.{Bpe, Curation, Dedup, Graph, Mixture, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, Graph, Mixture, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operator surface: dedup family, similarity
   * search, text analysis, multimodal plumbing — over `documents` and
@@ -338,6 +338,32 @@ object Pipeline {
       Curation.funnel(docs, "text", "doc_id", "source", probes, "probe",
           shingleN = 8)
         .orderBy("stage_ord")
+    }),
+
+    // ---- mergeable HLL distinct-token sketches: per-source + an ALL
+    //      rollup from hll_union_agg (no second corpus pass). The
+    //      oracle verifies the exact counts fully; `hll_ok` pins the
+    //      5% estimate contract the Spark side must satisfy ----
+    "q82_hll_distinct" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+      Sketches.hllToleranceReport(toks, "t", "source", lgK = 12, tol = 0.05)
+        .orderBy("source")
+    }),
+
+    // ---- count-min-sketch heavy-hitter estimates: one distributed
+    //      sketch, driver-side point reads; `cms_ok` pins the sketch's
+    //      never-undercount guarantee against exact counts ----
+    "q83_cms_heavyhitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+      val top = toks.groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t").asc).limit(5).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      Sketches.cmsEstimates(toks, "t", top.map(_._1).toSeq)
+        .join(s.createDataFrame(top.toSeq).toDF("t", "c"), "t")
+        .select(col("t").as("token"), (col("estimate") >= col("c")).as("cms_ok"))
+        .orderBy("token")
     }),
 
     // ---- corpus vocabulary + per-doc out-of-vocabulary fraction ----
@@ -858,6 +884,21 @@ object Pipeline {
            FROM clean
          UNION ALL SELECT 4, 'balance', count(*), min(doc_id), max(doc_id) FROM bal
          ORDER BY stage_ord""",
+    // exact sides fully verified; the boolean columns are the sketch
+    // tolerance/soundness contracts the Spark side must make true
+    "q82_hll_distinct" ->
+      s"""WITH tok AS (SELECT source, unnest($Toks) AS t FROM documents)
+         SELECT source, count(DISTINCT t) AS n_exact, true AS hll_ok
+         FROM tok GROUP BY source
+         UNION ALL
+         SELECT 'ALL', count(DISTINCT t), true FROM tok
+         ORDER BY source""",
+    "q83_cms_heavyhitters" ->
+      s"""SELECT t AS token, true AS cms_ok FROM (
+            SELECT t, count(*) AS c
+            FROM (SELECT unnest($Toks) AS t FROM documents)
+            GROUP BY t ORDER BY c DESC, t ASC LIMIT 5)
+         ORDER BY token""",
     "q79_oov" ->
       s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
           v AS (SELECT term, 1 AS iv FROM (

@@ -540,6 +540,38 @@ class OperatorsSpec extends SparkSpec {
     assert(!kept.contains(3L)) // contaminated
   }
 
+  test("Sketches.hllToleranceReport: groups + union rollup within tolerance") {
+    val df = (1 to 2000).map(i => (s"v${i % 700}", if (i % 2 == 0) "a" else "b"))
+      .toDF("v", "g")
+    val rep = Sketches.hllToleranceReport(df, "v", "g", lgK = 12, tol = 0.05)
+      .orderBy("g")
+      .select("g", "n_exact", "hll_ok").as[(String, Long, Boolean)].collect().toSeq
+    assert(rep.map(_._1) == Seq("ALL", "a", "b"))
+    assert(rep.find(_._1 == "ALL").get._2 == 700L)
+    assert(rep.forall(_._3), s"HLL estimate outside 5%: $rep")
+    // mergeability: union of per-group sketches ≈ sketch of the whole
+    // (not bit-exact — the union operator's target representation can
+    // differ from a directly-built sketch — but both estimate the same
+    // set, so they agree to well under 1%)
+    val whole = df.agg(hll_sketch_estimate(hll_sketch_agg(col("v"), 12))).as[Double].head
+    val merged = Sketches.hllByGroup(df, "v", "g")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))).as[Double].head
+    assert(math.abs(whole - merged) / whole < 0.01, s"whole $whole vs merged $merged")
+  }
+
+  test("Sketches.cmsEstimates: never undercounts, eps·N-tight at fixed seed") {
+    val n = 5000
+    val df = (1 to n).map(i => s"t${i % 50}").toDF("v") // each token ×100
+    val est = Sketches.cmsEstimates(df, "v", Seq("t0", "t7", "t49", "absent"),
+        eps = 0.001, confidence = 0.99, seed = 7)
+      .as[(String, Long)].collect().toMap
+    Seq("t0", "t7", "t49").foreach { t =>
+      assert(est(t) >= 100L && est(t) <= 100L + (0.001 * n).ceil.toLong * 3,
+        s"$t -> ${est(t)}")
+    }
+    assert(est("absent") <= (0.001 * n).ceil.toLong * 3)
+  }
+
   test("Layout.zValue: hand-computed Morton interleave") {
     val got = Seq((3L, 1L), (2L, 3L), (0L, 0L), (1L, 0L), (0L, 1L))
       .toDF("x", "y")
