@@ -72,6 +72,51 @@ object Graph {
     labels
   }
 
+  /** PageRank over a directed edge list — the corpus-quality ranking
+    * signal (host/page ranks over a link graph feed crawl filtering
+    * the way Common Crawl pipelines use them). Fixed `iters` rounds of
+    * the simplified update `r' = (1−d) + d·Σ_in r/outdeg` starting
+    * from `r = 1` (dangling mass is dropped, parallel edges count —
+    * the conventions stated so an oracle can replay them exactly).
+    * Output: `id, rank` (rounded to `roundTo` decimals so fp
+    * accumulation order can't flip a comparison).
+    *
+    * Each round is one shuffle: edges pre-joined with out-degrees once
+    * (persisted), contributions aggregate map-side-combinably on dst,
+    * then a left join back to the vertex set keeps rank-sinks. Lineage
+    * is truncated per round with `localCheckpoint` — the iterative-
+    * Spark pitfall [[connectedComponents]] already guards against.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85, roundTo: Int = 6): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(1 - damping) + lit(damping) * coalesce(col("s"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    nodes.unpersist(false)
+    withDeg.unpersist(false)
+    ranks.select(col("id"), round(col("rank"), roundTo).as("rank"))
+  }
+
   /** Components over an explicit vertex set: vertices absent from the
     * edge list come back as singletons (`comp = id`). `vertices` needs
     * one id column named `idCol`.

@@ -281,6 +281,22 @@ object Pipeline {
         .orderBy("split")
     }),
 
+    // ---- streaming curation: file-stream the documents, stateful
+    //      cross-batch exact dedup + quality flags + incremental
+    //      per-source counters (AvailableNow ⇒ batch-replayable) ----
+    "q85_stream_curation" -> ((s, d) => {
+      graft.streaming.DocsStream.runCurationOnce(s, d).orderBy("source")
+    }),
+
+    // ---- PageRank (3 unrollable iterations) over a deterministic
+    //      link graph — the corpus-quality ranking signal ----
+    "q84_pagerank" -> ((s, d) => {
+      val edges = Tables.documents(s, d).where(col("doc_id") < 300)
+        .select(pmod(col("doc_id"), lit(50)).as("a"),
+          pmod(col("doc_id") * 13 + 7, lit(50)).as("b"))
+      Graph.pageRank(edges, "a", "b", iters = 3).orderBy("id")
+    }),
+
     // ---- connected components: transitive near-dup clustering over a
     //      deterministic edge list (the DuckDB oracle replays the same
     //      closure with a recursive CTE) ----
@@ -739,6 +755,54 @@ object Pipeline {
                 % 1000000 AS b
              FROM documents))
          GROUP BY split ORDER BY split""",
+    "q85_stream_curation" ->
+      s"""SELECT source, count(*) AS n_unique,
+           count(CASE WHEN n >= 15 AND n <= 100000 AND mwl >= 2 AND mwl <= 12
+             AND dr >= 0.55 AND stop >= 2 AND sym <= 0.1 THEN 1 END) AS n_keep
+         FROM (
+           SELECT source,
+             len(t)::DOUBLE AS n,
+             CASE WHEN len(t) > 0
+               THEN list_sum(list_transform(t, w -> len(w)))::DOUBLE / len(t)
+               ELSE 0.0 END AS mwl,
+             CASE WHEN len(t) > 0
+               THEN len(list_distinct(t))::DOUBLE / len(t)
+               ELSE 0.0 END AS dr,
+             len(regexp_extract_all(lower(text),
+               '${TextAnalysis.allMarkersRegex}')) AS stop,
+             CASE WHEN length(text) > 0
+               THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                    / length(text)
+               ELSE 0.0 END AS sym
+           FROM (SELECT source, text, $Toks AS t
+                 FROM (SELECT DISTINCT source, text FROM documents)))
+         GROUP BY source ORDER BY source""",
+    // the three pageRank rounds unrolled as chained CTEs; conventions
+    // (r0 = 1, dangling mass dropped, parallel edges count) match the
+    // operator's documented update rule
+    "q84_pagerank" ->
+      """WITH e AS (SELECT doc_id % 50 AS src, (doc_id * 13 + 7) % 50 AS dst
+                    FROM documents WHERE doc_id < 300),
+          nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          e2 AS (SELECT src, dst, deg FROM e JOIN deg USING (src)),
+          r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes),
+          r1 AS (SELECT n.id, 0.15::DOUBLE + 0.85::DOUBLE * coalesce(s, 0) AS rank
+                 FROM nodes n LEFT JOIN (
+                   SELECT dst, sum(rank / deg) AS s
+                   FROM e2 JOIN r0 ON e2.src = r0.id GROUP BY dst) c
+                 ON n.id = c.dst),
+          r2 AS (SELECT n.id, 0.15::DOUBLE + 0.85::DOUBLE * coalesce(s, 0) AS rank
+                 FROM nodes n LEFT JOIN (
+                   SELECT dst, sum(rank / deg) AS s
+                   FROM e2 JOIN r1 ON e2.src = r1.id GROUP BY dst) c
+                 ON n.id = c.dst),
+          r3 AS (SELECT n.id, 0.15::DOUBLE + 0.85::DOUBLE * coalesce(s, 0) AS rank
+                 FROM nodes n LEFT JOIN (
+                   SELECT dst, sum(rank / deg) AS s
+                   FROM e2 JOIN r2 ON e2.src = r2.id GROUP BY dst) c
+                 ON n.id = c.dst)
+         SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id""",
     // transitive closure via recursive CTE: reach(id, r) enumerates all
     // vertices reachable from id; min over them = the component label
     // (identical to converged min-label propagation)

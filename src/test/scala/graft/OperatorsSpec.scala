@@ -512,6 +512,20 @@ class OperatorsSpec extends SparkSpec {
     assert(counts("a") > 5 && counts("a") < 40) // ~20 of 100 kept
   }
 
+  test("Graph.pageRank: hand-computed 2-iteration ranks, mass conserved") {
+    // 1→2, 1→3, 2→3, 3→1 (no dangling nodes → total rank conserved)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val got = Graph.pageRank(edges, "a", "b", iters = 2)
+      .select("id", "rank").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.36125, 2L -> 0.575, 3L -> 1.06375))
+    assert(math.abs(got.values.sum - 3.0) < 1e-9)
+    // dangling convention: 2 has no out-edges; its mass drops
+    val dangling = Seq((1L, 2L)).toDF("a", "b")
+    val g2 = Graph.pageRank(dangling, "a", "b", iters = 1)
+      .select("id", "rank").as[(Long, Double)].collect().toMap
+    assert(g2 == Map(1L -> 0.15, 2L -> 1.0))
+  }
+
   test("Curation: funnel is monotone, curate ≡ final stage, probes removed") {
     val docs = Seq(
       (0L, "the cat and the dog is in the house that it likes to be in every day", "s1"),

@@ -93,4 +93,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"got $got")
     spark.catalog.dropTempView(name)
   }
+
+  test("DocsStream: dedup state spans micro-batches; counters incremental") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    // the doc in batch 1 reappears in batch 2 under the same source —
+    // only carried state store contents can drop it; batch 2 also
+    // brings a genuinely new doc per source
+    val good = "the quick brown fox jumps over the lazy dog and runs to the hills is nice today indeed"
+    val batch1 = Seq((1L, good, "s1"), (2L, "tiny text here", "s2"))
+    val batch2 = Seq((3L, good, "s1"), (4L, good + " again", "s1"),
+      (5L, "tiny text here two", "s2"))
+    def write(rows: Seq[(Long, String, String)], name: String, mtime: Long): Unit = {
+      val p = dir.resolve(name)
+      rows.toDF("doc_id", "text", "source").coalesce(1).write.parquet(p.toString)
+      java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+    }
+    write(batch1, "b1.parquet", 1000000L)
+    write(batch2, "b2.parquet", 2000000L)
+    val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force one file per micro-batch
+      .parquet(dir.toString + "/*.parquet")
+    val name = s"docs_stream_spec_${System.nanoTime()}"
+    val q = graft.streaming.DocsStream.curationAgg(stream).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.lastProgress.batchId >= 1,
+      "expected multiple micro-batches; progress: " +
+        q.recentProgress.map(p => s"batch ${p.batchId}: ${p.numInputRows} rows")
+          .mkString("; "))
+    val got = spark.table(name)
+      .select("source", "n_unique", "n_keep")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    // s1: good (doc 3 deduped across batches) + "good again" → 2 unique,
+    // both pass quality; s2: two short docs, both fail
+    assert(got == Seq(("s1", 2L, 2L), ("s2", 2L, 0L)), s"got $got")
+    spark.catalog.dropTempView(name)
+  }
 }
