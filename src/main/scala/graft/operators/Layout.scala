@@ -38,6 +38,54 @@ object Layout {
       s"(((($x) >> $i) & 1) << ${2 * i + 1}) | (((($y) >> $i) & 1) << ${2 * i})"
     }.mkString("(", " | ", ")")
 
+  /** Report from [[compact]]: file counts and bytes before/after. */
+  final case class CompactionReport(
+      filesBefore: Int, filesAfter: Int, bytes: Long, rows: Long)
+
+  /** Small-file compaction — the table-maintenance pass every
+    * long-lived 100 TB warehouse needs: streaming ingest and
+    * fine-grained partitioning accumulate thousands of KB-scale
+    * parquet files whose per-file open/footer cost dominates scans.
+    * Rewrites a parquet directory into `ceil(bytes / targetBytes)`
+    * files (optionally sorted within files to restore clustering),
+    * then atomically swaps the rewrite into place (write to a sibling
+    * temp dir → rename old aside → rename new in → drop old).
+    * Coalesce, not repartition, when only merging: no shuffle.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L << 20,
+      sortWithinFiles: Seq[String] = Nil): CompactionReport = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(path).filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val shaped =
+      if (sortWithinFiles.nonEmpty)
+        df.repartition(nOut).sortWithinPartitions(
+          sortWithinFiles.head, sortWithinFiles.tail: _*)
+      else df.coalesce(nOut)
+    val tmp = new Path(dir + "__compact_tmp")
+    val old = new Path(dir + "__compact_old")
+    shaped.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back
+      throw new java.io.IOException(s"compact: cannot install $tmp")
+    }
+    fs.delete(old, true)
+    val after = fs.listStatus(path)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    CompactionReport(files.length, after, bytes, rows)
+  }
+
   /** Rewrite `df` into a Z-ordered layout over two dimension columns:
     * range-partition on the Z-value (balanced output files even when
     * the dimensions are skewed — range boundaries come from a sampled

@@ -353,6 +353,38 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- GROUPING SETS beyond rollup/cube: explicit set list ----
+    "q86_grouping_sets" -> ((s, d) => {
+      li(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // ---- higher-order array functions (transform/filter/aggregate/
+    //      zip_with) over the embedding vectors — the codegen'd
+    //      array-math layer the similarity tier builds on ----
+    "q87_array_hof" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .where(col("vec_id") < 20)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("_e"))
+        .select(col("vec_id"),
+          round(sqrt(aggregate(col("_e"), lit(0.0), (a, x) => a + x * x)), 4)
+            .as("l2_norm"),
+          size(filter(col("_e"), x => x > 0)).as("n_pos"),
+          round(array_max(transform(col("_e"), x => abs(x))), 4).as("max_abs"),
+          round(aggregate(zip_with(col("_e"), reverse(col("_e")), (a, b) => a * b),
+            lit(0.0), (a, x) => a + x), 4).as("rev_dot"))
+        .orderBy("vec_id")
+    }),
+
     // ---- set operations: INTERSECT / EXCEPT (distinct semantics) ----
     "q77_set_ops" -> ((s, d) => {
       val o = ord(s, d)
@@ -598,6 +630,24 @@ object Relational {
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC))
          WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""",
+    "q86_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY returnflag, linestatus""",
+    "q87_array_hof" ->
+      """SELECT vec_id,
+           round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2_norm,
+           len(list_filter(e, x -> x > 0)) AS n_pos,
+           round(list_max(list_transform(e, x -> abs(x))), 4) AS max_abs,
+           round(list_sum(list_transform(range(1, len(e) + 1),
+             i -> e[i] * e[len(e) - i + 1])), 4) AS rev_dot
+         FROM (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings WHERE vec_id < 20)
+         ORDER BY vec_id""",
     "q77_set_ops" ->
       """SELECT o_custkey, 'both' AS tag FROM (
             SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996

@@ -219,6 +219,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("Layout.compact merges a many-small-file table, contents intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(1000).selectExpr("id", "id % 7 AS k")
+      .repartition(20).write.parquet(dir) // 20 tiny files
+    val before = spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+    val rep = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(rep.filesBefore == 20 && rep.filesAfter == 1 && rep.rows == 1000L)
+    val after = spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+    assert(after == before)
+    // sorted variant restores clustering while compacting
+    val rep2 = Layout.compact(spark, dir, targetBytes = 10000L, sortWithinFiles = Seq("k"))
+    assert(rep2.filesAfter >= 1 && rep2.rows == 1000L)
+    val ks = spark.read.parquet(dir).select("k").as[Long].collect()
+    assert(ks.length == 1000)
+  }
+
   test("Layout.zorder clusters BOTH dimensions tighter than hash layout") {
     import org.apache.spark.sql.functions.{col, max, min, spark_partition_id}
     // 100×100 grid; a good 2-D layout keeps each output partition's
