@@ -353,6 +353,20 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- rank-family windows beyond row_number/lead/lag:
+    //      dense_rank / ntile / percent_rank / cume_dist ----
+    "q90_window_ranks" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      ord(s, d).where(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ---- GROUPING SETS beyond rollup/cube: explicit set list ----
     "q86_grouping_sets" -> ((s, d) => {
       li(s, d)
@@ -630,6 +644,16 @@ object Relational {
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC))
          WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""",
+    "q90_window_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+           dense_rank() OVER w AS drank,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist
+         FROM orders WHERE o_custkey < 30
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
     "q86_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -125,6 +125,13 @@ object VcfQ {
           "qual", "filter", "ac", "af", "dp", "vt")
         .orderBy("variant_id")
     }),
+    // ---- PLINK-style genotype QC over the long geno table ----
+    "q88_vcf_sample_qc" -> ((s, _) => {
+      VcfApi.sampleQc(tables(s).geno).orderBy("sample")
+    }),
+    "q89_vcf_variant_qc" -> ((s, _) => {
+      VcfApi.variantQc(tables(s).geno).orderBy("variant_id")
+    }),
     "q62_vcf_tabix_range" -> ((s, _) => {
       // tabix-indexed pre-ETL range read on a bgzipped copy of the toy
       // fixture: only index-selected blocks are planned, and the result
@@ -141,6 +148,26 @@ object VcfQ {
     }))
 
   val oracle: Map[String, String] = Map(
+    // hand-computed from the q45 genotype golden rows:
+    // S1 gts (0,2,∅,2,1,2) dp (10,15,0,20,11,22); S2 gts (1,0,1,1,0,2)
+    "q88_vcf_sample_qc" ->
+      """SELECT * FROM (VALUES
+          ('S1', CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(0.2 AS DOUBLE),
+            CAST(1.4 AS DOUBLE), CAST(13.0 AS DOUBLE)),
+          ('S2', 6, 0, 0.5, 0.8333, 13.0))
+         t(sample, n_calls, n_missing, het_rate, mean_gt, mean_dp)
+         ORDER BY sample""",
+    "q89_vcf_variant_qc" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1.0 AS DOUBLE),
+            CAST(0.25 AS DOUBLE), CAST(1 AS BIGINT)),
+          (2, 2, 1.0, 0.5,  0),
+          (3, 1, 0.5, 0.5,  1),
+          (4, 2, 1.0, 0.75, 1),
+          (5, 2, 1.0, 0.25, 1),
+          (6, 2, 1.0, 1.0,  0))
+         t(variant_id, n_called, call_rate, alt_af, n_het)
+         ORDER BY variant_id""",
     "q43_vcf_info" ->
       """SELECT * FROM (VALUES
           (CAST(1 AS BIGINT), '1', CAST(100 AS BIGINT), CAST(100 AS BIGINT), 'A', 'G',  CAST(50 AS DOUBLE), 'PASS', CAST(1 AS BIGINT), CAST(0.25 AS DOUBLE), CAST(20 AS BIGINT), 'SNP'),

@@ -93,6 +93,37 @@ object VcfApi {
     info.filter(
       col("chr") === chr && col("start") <= end && col("end") >= start)
 
+  /** Per-sample genotype QC — the PLINK-style `--missing`/`--het`
+    * survey over the long geno table: call/missing counts, het rate
+    * among calls, mean dosage, mean depth. One map-side-combinable
+    * aggregation keyed on sample (samples ≪ genotypes, so the shuffle
+    * payload is a handful of partial-agg rows per partition at any
+    * corpus size). Output: `sample, n_calls, n_missing, het_rate,
+    * mean_gt, mean_dp` (rates/means rounded to 4).
+    */
+  def sampleQc(geno: DataFrame): DataFrame =
+    geno.groupBy("sample")
+      .agg(
+        count(col("gt")).as("n_calls"),
+        count(when(col("gt").isNull, lit(1))).as("n_missing"),
+        round(count(when(col("gt") === 1d, lit(1))).cast("double") /
+          count(col("gt")), 4).as("het_rate"),
+        round(avg(col("gt")), 4).as("mean_gt"),
+        round(avg(col("dp")), 4).as("mean_dp"))
+
+  /** Per-variant genotype QC: call rate, alt-allele frequency from
+    * dosages (`Σgt / 2·calls`, the diploid convention), het count.
+    * Same single-aggregation shape keyed on variant_id. Output:
+    * `variant_id, n_called, call_rate, alt_af, n_het`.
+    */
+  def variantQc(geno: DataFrame): DataFrame =
+    geno.groupBy("variant_id")
+      .agg(
+        count(col("gt")).as("n_called"),
+        round(count(col("gt")).cast("double") / count(lit(1)), 4).as("call_rate"),
+        round(sum(col("gt")) / (count(col("gt")) * 2d), 4).as("alt_af"),
+        count(when(col("gt") === 1d, lit(1))).as("n_het"))
+
   /** Bulk interval-overlap join against an arbitrary regions table
     * (columns: chr, start, end). Dispatches adaptively
     * ([[graft.operators.RangeJoin.overlapAuto]]): a regions side small
