@@ -72,6 +72,29 @@ object Dedup {
     withFp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
 
+  /** Incremental-ingest dedup — the per-dump pattern corpus pipelines
+    * use (dedup each new crawl against everything already ingested,
+    * never re-shuffling the historical corpus): keep the rows of
+    * `newDocs` that are (a) novel within the batch (smallest id per
+    * fingerprint wins, as [[exact]]) and (b) absent from `seenFps`,
+    * a one-column DataFrame of historical fingerprints
+    * ([[graft.functions.textFingerprint]] values — store this slim
+    * sidecar at ingest time; it is the only state the next dump
+    * needs). Both checks are fingerprint-keyed anti/semi joins — the
+    * historical side ships only fingerprints, never payloads.
+    */
+  def ingestNovel(newDocs: DataFrame, textCol: String, idCol: String,
+      seenFps: DataFrame): DataFrame = {
+    val fpCol = seenFps.columns.head
+    val withFp = newDocs.withColumn("__fp", textFingerprint(col(textCol)))
+    val inBatch = withFp.join(
+      withFp.groupBy("__fp").agg(min(col(idCol)).as(idCol)),
+      Seq("__fp", idCol), "left_semi")
+    inBatch.join(
+        seenFps.select(col(fpCol).as("__fp")).distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Per-group duplicate statistics for exact dedup (group size ≥ 2). */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(textFingerprint(col(textCol)).as("fingerprint"))

@@ -72,18 +72,55 @@ object Layout {
           sortWithinFiles.head, sortWithinFiles.tail: _*)
       else df.coalesce(nOut)
     val tmp = new Path(dir + "__compact_tmp")
-    val old = new Path(dir + "__compact_old")
     shaped.write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(path, old))
-      throw new java.io.IOException(s"compact: cannot move $path aside")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back
-      throw new java.io.IOException(s"compact: cannot install $tmp")
-    }
-    fs.delete(old, true)
+    swapInPlace(fs, tmp, path)
     val after = fs.listStatus(path)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     CompactionReport(files.length, after, bytes, rows)
+  }
+
+  /** Install `tmp` at `path` atomically-ish: rename the old dir aside,
+    * rename the rewrite in, drop the old (rolling back on failure).
+    */
+  private def swapInPlace(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, path: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(path.toString + "__swap_old")
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"swap: cannot move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back
+      throw new java.io.IOException(s"swap: cannot install $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Rewrite-based upsert (MERGE) into a parquet directory: rows of
+    * `updates` replace existing rows sharing the same key, the rest
+    * insert — the slowly-changing-table maintenance op a plain
+    * parquet warehouse expresses as anti-join + union + swap (a table
+    * format does the same rewrite under a transaction log; the join
+    * shape — existing LEFT ANTI updates on the key — is identical).
+    * The updates side is usually tiny and broadcasts; the payload is
+    * rewritten once, never shuffled (anti join build side is the
+    * update keys). Returns (rowsBefore, rowsUpserted, rowsAfter).
+    */
+  def upsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+      updates: DataFrame, keyCols: Seq[String]): (Long, Long, Long) = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing = spark.read.parquet(dir)
+    val before = existing.count()
+    val nUp = updates.count()
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val merged = existing
+      .join(broadcast(keys), keyCols, "left_anti")
+      .unionByName(updates.select(existing.columns.map(col): _*))
+    val tmp = new Path(dir + "__upsert_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    swapInPlace(fs, tmp, path)
+    (before, nUp, spark.read.parquet(dir).count())
   }
 
   /** Rewrite `df` into a Z-ordered layout over two dimension columns:

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Layout, Skew}
+import graft.operators.{Dedup, Layout, Skew}
 import graft.vcf.{ToyVcf, VcfBuild, VcfReader}
 
 /** Specs for the scale techniques: salted skew joins and bucketed
@@ -233,6 +233,31 @@ class ScaleSpec extends SparkSpec {
     assert(rep2.filesAfter >= 1 && rep2.rows == 1000L)
     val ks = spark.read.parquet(dir).select("k").as[Long].collect()
     assert(ks.length == 1000)
+  }
+
+  test("Layout.upsert: updates replace by key, inserts append, swap intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "name", "v").write.parquet(dir)
+    val updates = Seq((2L, "B", 21), (4L, "d", 40)).toDF("k", "name", "v")
+    val (before, nUp, after) = Layout.upsert(spark, dir, updates, Seq("k"))
+    assert(before == 3L && nUp == 2L && after == 4L)
+    val got = spark.read.parquet(dir).orderBy("k")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq((1L, "a", 10), (2L, "B", 21), (3L, "c", 30), (4L, "d", 40)))
+  }
+
+  test("Dedup.ingestNovel: batch-internal dups and seen fingerprints drop") {
+    import graft.functions.textFingerprint
+    val seen = Seq((0L, "already ingested doc")).toDF("doc_id", "text")
+      .select(textFingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      (10L, "already ingested doc"), // seen historically → drop
+      (11L, "fresh doc one"), (12L, "fresh doc one"), // in-batch dup → keep min id
+      (13L, "fresh doc two")).toDF("doc_id", "text")
+    val got = Dedup.ingestNovel(batch, "text", "doc_id", seen)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L))
   }
 
   test("Layout.zorder clusters BOTH dimensions tighter than hash layout") {
