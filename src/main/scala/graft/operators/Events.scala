@@ -20,6 +20,29 @@ object Events {
       .groupBy((col("window_start_ns") +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Hopping (sliding) window aggregation: windows of `windowNs`
+    * advancing every `hopNs` (hopNs ≤ windowNs ⇒ each event lands in
+    * `windowNs / hopNs` windows). The event explodes to its member
+    * window starts row-locally (`sequence` over hop-aligned starts —
+    * the same expansion Structured Streaming's `window(col, len,
+    * slide)` plans), then aggregates exactly like tumbling. Integer ns
+    * arithmetic throughout — engine-exact.
+    */
+  def hoppingAgg(df: DataFrame, tsNs: String, windowNs: Long, hopNs: Long,
+      keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(hopNs > 0 && windowNs > 0 && windowNs % hopNs == 0,
+      "windowNs must be a positive multiple of hopNs")
+    val ts = col(tsNs)
+    // earliest window containing ts starts at the hop-aligned point
+    // > ts - windowNs; latest starts at the hop-aligned point <= ts
+    val first = ts - pmod(ts, lit(hopNs)) - lit(windowNs - hopNs)
+    val last = ts - pmod(ts, lit(hopNs))
+    df.withColumn("window_start_ns",
+        explode(sequence(first, last, lit(hopNs))))
+      .groupBy((col("window_start_ns") +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapNs`. Returns the input
     * plus `session_id` (per-user ordinal, starting at 1).

@@ -99,6 +99,61 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL image resize (JDK, explicit nearest-neighbor): target pixel
+    * `(x, y)` samples source pixel `(⌊x·sw/w⌋, ⌊y·sh/h⌋)` — spelled
+    * out rather than delegated to `Graphics2D` so the result is
+    * bit-deterministic across JVMs (interpolating scalers aren't
+    * pinned by spec). Re-encodes as PNG (lossless). None for
+    * undecodable payloads.
+    */
+  def resizeImage(w: Int, h: Int)(payload: Array[Byte]): Option[Array[Byte]] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (src == null || src.getWidth <= 0 || src.getHeight <= 0) return None
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val sy = y * src.getHeight / h
+        var x = 0
+        while (x < w) {
+          dst.setRGB(x, y, src.getRGB(x * src.getWidth / w, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-wise image resize: replaces `payload` with the resized
+    * PNG (NULL when undecodable) and stamps the new dimensions. Same
+    * mapPartitions seam as [[decodeImages]].
+    */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("img_width", IntegerType, nullable = true),
+      StructField("img_height", IntegerType, nullable = true)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        resizeImage(w, h)(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some(bytes) =>
+            Row.fromSeq(r.toSeq.updated(payloadIdx, bytes) ++
+              Seq(Int.box(w), Int.box(h)))
+          case None =>
+            Row.fromSeq(r.toSeq.updated(payloadIdx, null) ++ Seq(null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Partition-wise real image decode: appends `img_width`,
     * `img_height`, `img_features` (all NULL when the payload is not a
     * decodable image). The per-partition seam disables ImageIO's

@@ -28,6 +28,14 @@ object EventsQ {
         .orderBy("window_start_ns", "event_type")
     }),
 
+    // ---- hopping (sliding) windows: 1h windows every 30min ----
+    "q92_hopping_halfhour" -> ((s, d) => {
+      Events.hoppingAgg(
+          Tables.events(s, d), "ts", HourNs, HourNs / 2, Seq("event_type"),
+          Seq(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")))
+        .orderBy("window_start_ns", "event_type")
+    }),
+
     // ---- gap-based sessionization (lag + running sum windows) ----
     "q28_sessionize" -> ((s, d) => {
       Events.sessionize(Tables.events(s, d), "user_id", "ts", GapNs)
@@ -93,6 +101,16 @@ object EventsQ {
       s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $HourNs AS window_start_ns,
           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY window_start_ns, event_type""",
+    "q92_hopping_halfhour" ->
+      s"""SELECT window_start_ns, event_type, count(*) AS n,
+            round(sum(value), 2) AS sum_value
+          FROM (
+            SELECT unnest(generate_series(
+                tns - tns % ${HourNs / 2} - ${HourNs - HourNs / 2},
+                tns - tns % ${HourNs / 2}, ${HourNs / 2})) AS window_start_ns,
+              event_type, value
+            FROM (SELECT epoch_ns(ts) AS tns, event_type, value FROM events))
+          GROUP BY 1, 2 ORDER BY window_start_ns, event_type""",
     // CAST AS BIGINT: session_id comes from sum(is_new) OVER ..., which
     // DuckDB types HUGEINT (int128); the driver's hash bridge canonicalizes
     // HUGEINT differently from BIGINT even when values are equal.

@@ -281,6 +281,38 @@ object Pipeline {
         .orderBy("split")
     }),
 
+    // ---- real image resize (nearest-neighbor, mapPartitions seam):
+    //      resize → re-decode proves the payload is a valid image with
+    //      the sampled pixel content ----
+    "q91_media_resize" -> ((s, _) => {
+      import java.awt.image.BufferedImage
+      def png(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val rows = Seq(
+        // left half white, right half black: 2×2 NN samples cols 0,2 →
+        // white,black per row → luma histogram [0.5, 0, 0, 0.5]
+        (1L, png(4, 4, (x, _) => if (x < 2) 0xffffff else 0x000000)),
+        (2L, png(8, 2, (_, _) => 0x808080)), // gray stays gray → bin 2
+        (3L, Array[Byte](7, 7, 7))) // not an image → NULLs
+      import s.implicits._
+      val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "image")
+      val resized = Multimodal.resizeImages(media, 2, 2)
+        .select(col("media_id"), col("payload"), col("img_width"), col("img_height"))
+      Multimodal.decodeImages(
+          resized.withColumnRenamed("img_width", "rw")
+            .withColumnRenamed("img_height", "rh"), dim = 4)
+        .select((Seq(col("media_id"), col("rw"), col("rh"),
+          col("img_width").as("dw"), col("img_height").as("dh")) ++
+          (0 until 4).map(i =>
+            round(element_at(col("img_features"), i + 1), 6).as(s"f$i"))): _*)
+        .orderBy("media_id")
+    }),
+
     // ---- streaming curation: file-stream the documents, stateful
     //      cross-batch exact dedup + quality flags + incremental
     //      per-source counters (AvailableNow ⇒ batch-replayable) ----
@@ -755,6 +787,16 @@ object Pipeline {
                 % 1000000 AS b
              FROM documents))
          GROUP BY split ORDER BY split""",
+    "q91_media_resize" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(2 AS INTEGER), CAST(2 AS INTEGER),
+            CAST(2 AS INTEGER), CAST(2 AS INTEGER),
+            CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE),
+            CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+          (2, 2, 2, 2, 2, 0.0, 0.0, 1.0, 0.0),
+          (3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+         t(media_id, rw, rh, dw, dh, f0, f1, f2, f3)
+         ORDER BY media_id""",
     "q85_stream_curation" ->
       s"""SELECT source, count(*) AS n_unique,
            count(CASE WHEN n >= 15 AND n <= 100000 AND mwl >= 2 AND mwl <= 12

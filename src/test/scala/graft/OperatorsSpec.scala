@@ -512,6 +512,20 @@ class OperatorsSpec extends SparkSpec {
     assert(counts("a") > 5 && counts("a") < 40) // ~20 of 100 kept
   }
 
+  test("Events.hoppingAgg: every event lands in window/hop windows") {
+    val df = Seq((0L, "a", 1.0), (95L, "a", 2.0), (150L, "b", 3.0))
+      .toDF("ts", "event_type", "value")
+    val got = Events.hoppingAgg(df, "ts", windowNs = 100L, hopNs = 50L,
+        Seq("event_type"), Seq(count(lit(1)).as("n"), sum("value").as("s")))
+      .orderBy("window_start_ns", "event_type")
+      .select("window_start_ns", "event_type", "n", "s")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // ts 0 → windows [-50, 0]; ts 95 → [50, 0]? no: [0, 50]; ts 150 → [100, 150]
+    assert(got == Seq(
+      (-50L, "a", 1L, 1.0), (0L, "a", 2L, 3.0), (50L, "a", 1L, 2.0),
+      (100L, "b", 1L, 3.0), (150L, "b", 1L, 3.0)))
+  }
+
   test("Graph.pageRank: hand-computed 2-iteration ranks, mass conserved") {
     // 1→2, 1→3, 2→3, 3→1 (no dangling nodes → total rank conserved)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("a", "b")
