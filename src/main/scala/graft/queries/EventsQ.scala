@@ -28,6 +28,19 @@ object EventsQ {
         .orderBy("window_start_ns", "event_type")
     }),
 
+    // ---- semi-structured props: typed JSON extraction + aggregate ----
+    "q93_json_props" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+        .withColumn("k", col("j.k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"),
+          count(when(col("k") > 50, lit(1))).as("n_big"))
+        .orderBy("event_type")
+    }),
+
     // ---- hopping (sliding) windows: 1h windows every 30min ----
     "q92_hopping_halfhour" -> ((s, d) => {
       Events.hoppingAgg(
@@ -101,6 +114,12 @@ object EventsQ {
       s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $HourNs AS window_start_ns,
           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY window_start_ns, event_type""",
+    "q93_json_props" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+           count(CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 END) AS n_big
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q92_hopping_halfhour" ->
       s"""SELECT window_start_ns, event_type, count(*) AS n,
             round(sum(value), 2) AS sum_value

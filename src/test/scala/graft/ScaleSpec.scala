@@ -235,6 +235,37 @@ class ScaleSpec extends SparkSpec {
     assert(ks.length == 1000)
   }
 
+  test("runtime bloom filter injects on a selective dim join (SMJ path)") {
+    // the built-in scale path for selective joins too big to broadcast:
+    // Catalyst builds a bloom filter from the filtered dim side and
+    // pushes might_contain onto the fact scan — verify our parquet
+    // layout composes with it when thresholds make it legal
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    spark.range(200000).selectExpr("id", "id % 1000 AS fk")
+      .write.parquet(s"$dir/fact")
+    spark.range(1000).selectExpr("id AS k", "id % 10 AS grp")
+      .write.parquet(s"$dir/dim")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").where(col("grp") === 3)
+      val joined = fact.join(dim, fact("fk") === dim("k"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter in:\n$plan")
+      assert(joined.count() == 200000L / 10)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("Layout.upsert: updates replace by key, inserts append, swap intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
     Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
