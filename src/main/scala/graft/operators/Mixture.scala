@@ -54,7 +54,10 @@ object Mixture {
       .drop("_n", "_thr")
 
   /** Balance the corpus: downsample every group to the size of the
-    * smallest group (uniform mixture), deterministically. Equivalent
+    * smallest group (uniform mixture), deterministically. Rows with a
+    * NULL group are dropped (the equi-join on the group key is
+    * null-rejecting) — route unattributed rows to a sentinel group
+    * first if they must survive. Equivalent
     * to `sampleToMixture` with equal weights and `targetRows =
     * nGroups · min(count)`, but computed directly from the group
     * counts so no caller-side count is needed.

@@ -173,6 +173,34 @@ object TextAnalysis {
         round(avg(-log(col("c").cast("double") / col("_tot"))), 6).as("surprisal"))
   }
 
+  /** Bigram-LM surprisal — the conditional-probability upgrade of
+    * [[unigramSurprisal]]: with corpus bigram counts c(w₁w₂) and
+    * continuation totals c(w₁·) = Σ_w c(w₁w), a document scores
+    * avg(−ln c(w₁w₂)/c(w₁·)) over its bigrams. Formulaic text (every
+    * bigram predictable from its prefix) scores near 0; incoherent
+    * token soup scores high even when individual words are common —
+    * the signal unigram surprisal cannot see. No smoothing needed:
+    * the corpus contains the scored documents, so every document
+    * bigram has count ≥ 1. Output: `doc_id, n_bigrams, surprisal`
+    * (rounded to 6; documents with < 2 tokens are omitted).
+    *
+    * Two map-side-combinable count aggregations (bigrams; prefixes
+    * derived FROM the bigram table, never a second corpus pass), then
+    * bigram-keyed joins and one per-doc aggregate.
+    */
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bg = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"), explode(wordShingles(col("_t"), 2)).as("b"))
+    val c2 = bg.groupBy("b").agg(count(lit(1)).as("c"))
+    val c1 = c2.groupBy(substring_index(col("b"), " ", 1).as("w"))
+      .agg(sum("c").as("cp"))
+    bg.join(c2, "b")
+      .join(c1, substring_index(col("b"), " ", 1) === col("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("c").cast("double") / col("cp"))), 6).as("surprisal"))
+  }
+
   /** Benchmark decontamination: flag documents sharing any word
     * `n`-gram with a probe set (eval snippets, test questions — here
     * any one-column DataFrame of probe text). Blocked equi-join on the
@@ -248,8 +276,11 @@ object TextAnalysis {
     *   stop  fewer than 2 function-word hits (gibberish signal)
     *   sym   non-alphanumeric, non-space chars exceed 10% of text
     */
-  def qualityFlags(text: Column, minTokens: Int = 15, maxTokens: Int = 100000,
+  def qualityFlags(rawText: Column, minTokens: Int = 15, maxTokens: Int = 100000,
       minDistinctRatio: Double = 0.55): Column = {
+    // NULL text folds to empty: without this, every rule comparison is
+    // NULL, no `when` fires, and a NULL document silently KEEPS
+    val text = coalesce(rawText, lit(""))
     val toks = tokens(text)
     val n = size(toks).cast("double")
     val mwl = when(n > 0,

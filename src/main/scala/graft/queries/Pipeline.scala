@@ -228,6 +228,13 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- bigram-LM surprisal (conditional-probability quality) ----
+    "q94_bigram_surprisal" -> ((s, d) => {
+      TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
+        .where(col("doc_id") < 30)
+        .orderBy("doc_id")
+    }),
+
     // ---- benchmark decontamination: docs sharing any 8-gram with the
     //      probe set (docs with doc_id % 7 = 0 stand in for an eval
     //      snippet list) ----
@@ -696,6 +703,21 @@ object Pipeline {
          SELECT doc_id, count(*) AS n_tokens,
            round(avg(-ln(c / t)), 6) AS surprisal
          FROM tok JOIN freq USING (term) CROSS JOIN tot
+         WHERE doc_id < 30
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q94_bigram_surprisal" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
+          bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS b
+            FROM d),
+          c2 AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+          c1 AS (SELECT split_part(b, ' ', 1) AS w, sum(c) AS cp
+                 FROM c2 GROUP BY 1)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln(c / CAST(cp AS DOUBLE))), 6) AS surprisal
+         FROM bg JOIN c2 USING (b)
+           JOIN c1 ON split_part(b, ' ', 1) = c1.w
          WHERE doc_id < 30
          GROUP BY doc_id ORDER BY doc_id""",
     "q72_decontaminate" ->

@@ -459,6 +459,31 @@ class OperatorsSpec extends SparkSpec {
     assert(!got(4L)._1 && got(4L)._2.contains("sym"))
   }
 
+  test("qualityFlags: NULL text drops (does not silently keep)") {
+    val docs = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("doc_id", "text")
+    val got = docs.withColumn("qf", TextAnalysis.qualityFlags(col("text")))
+      .select(col("doc_id"), col("qf.keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(!got(1L) && !got(2L))
+  }
+
+  test("bigramSurprisal: hand-computed conditional surprisals") {
+    // corpus: "a b a b", "a c" → bigrams: ab×2, ba×1, ac×1
+    // prefixes: a·=3, b·=1 → p(ab)=2/3, p(ba)=1/1, p(ac)=1/3
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "surprisal")
+      .as[(Long, Long, Double)].collect().toSeq
+    val d1 = -(math.log(2.0 / 3) + math.log(1.0) + math.log(2.0 / 3)) / 3
+    val d2 = -math.log(1.0 / 3)
+    assert(got.map(_._1) == Seq(1L, 2L)) // "solo" has no bigrams
+    assert(got(0)._2 == 3L && math.abs(got(0)._3 - d1) < 1e-6)
+    assert(got(1)._2 == 1L && math.abs(got(1)._3 - d2) < 1e-6)
+  }
+
   test("chunk: windows, stride overlap, short docs, drop-tail bound") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b"), (3L, ""))
       .toDF("doc_id", "text")
