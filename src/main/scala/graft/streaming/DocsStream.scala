@@ -23,7 +23,7 @@ object DocsStream {
   /** Stage a single-file parquet table into a directory the file-stream
     * source can consume, keyed by (path, mtime) so edits re-stage.
     */
-  private[streaming] def stageDir(dir: String, table: String): String = {
+  private[graft] def stageDir(dir: String, table: String): String = {
     import java.nio.file._
     val src = Paths.get(dir, s"$table.parquet")
     val staged = Paths.get(

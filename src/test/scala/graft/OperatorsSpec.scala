@@ -502,6 +502,34 @@ class OperatorsSpec extends SparkSpec {
     assert(covered >= 100 - (5 - 1) && covered <= 100)
   }
 
+  test("chunk ≡ Scala sliding-window reference (randomized)") {
+    val rnd = new scala.util.Random(20260812)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(9)}").mkString(" "))
+    }
+    val size = 7; val stride = 3
+    val got = TextAnalysis.chunk(docs.toDF("doc_id", "text"), "text", "doc_id",
+        size, stride)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    val want = docs.flatMap { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.isEmpty) Seq.empty
+      else (1 to math.max(t.length - size + 1, 1) by stride).zipWithIndex.map {
+        case (st, idx) => (id, idx, t.slice(st - 1, st - 1 + size).mkString(" "))
+      }
+    }.sorted
+    assert(got == want)
+  }
+
+  test("Mixture.balance: invariant under input partitioning") {
+    val df = (1 to 500).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    val a = Mixture.balance(df, "id", "g").select("id").as[Long].collect().sorted.toSeq
+    val b = Mixture.balance(df.repartition(13), "id", "g")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("oovStats: vocabulary cut + per-doc OOV fraction") {
     val docs = Seq((1L, "a a a b"), (2L, "a c")).toDF("doc_id", "text")
     val got = TextAnalysis.oovStats(docs, "text", "doc_id", vocabSize = 2)

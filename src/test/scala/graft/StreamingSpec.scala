@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.streaming.EventsStream
 
 /** Streaming-tier specs beyond the q49/q50 parity gate. */
@@ -91,6 +92,33 @@ class StreamingSpec extends SparkSpec {
       (2L, 150L, 1L),
       (2L, 9000L, 2L)).sorted
     assert(got == want, s"got $got")
+    spark.catalog.dropTempView(name)
+  }
+
+  test("hopping windows run as a stream and match the batch operator") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.Events
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = graft.streaming.DocsStream.stageDir(dir, "events")
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+    val agg = Events.hoppingAgg(stream, "ts", hourNs, hourNs / 2,
+      Seq("event_type"), Seq(count(lit(1)).as("n"), round(sum("value"), 2).as("sv")))
+    val name = s"hop_stream_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .select("window_start_ns", "event_type", "n", "sv")
+      .as[(Long, String, Long, Double)].collect().sorted.toSeq
+    val batch = Events.hoppingAgg(Tables.events(spark, dir), "ts", hourNs, hourNs / 2,
+        Seq("event_type"), Seq(count(lit(1)).as("n"), round(sum("value"), 2).as("sv")))
+      .select("window_start_ns", "event_type", "n", "sv")
+      .as[(Long, String, Long, Double)].collect().sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
     spark.catalog.dropTempView(name)
   }
 
