@@ -70,7 +70,7 @@ object Pipeline {
       val emb = Tables.embeddings(s, d)
       Similarity.lshKnn(
           emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
-          k = 5, planes = 6, tables = 1)
+          k = 5, planes = 6, tables = 1, dims = 64)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "rank")
@@ -264,7 +264,8 @@ object Pipeline {
     "q68_ivf_knn" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5),
-          "embedding", "vec_id", k = 5, nLists = 8, nProbe = 3, iters = 2)
+          "embedding", "vec_id", k = 5, nLists = 8, nProbe = 3, iters = 2,
+          dims = 64)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")

@@ -39,28 +39,48 @@ object VcfApi {
     * from the impact table — ~#genes entries of id arrays, metadata
     * scale — and reused across point queries.
     */
-  final case class GeneIndex(ids: Map[String, Seq[Long]]) {
+  final case class GeneIndex(ids: Map[String, Array[Long]]) {
     def genes: Iterable[String] = ids.keys
   }
+
+  /** Above this many ids the point lookup switches from an IN-list
+    * predicate to a broadcast left-semi join: a 100k-element `isin`
+    * is a planning-time killer (one expression-tree node per id),
+    * while a broadcast of 100k longs is ~1 MB — trivially fine. Same
+    * threshold as [[pullByIds]].
+    */
+  private val InListMaxIds = 1000
 
   def buildGeneIndex(impact: DataFrame): GeneIndex =
     GeneIndex(impact.groupBy("symbol")
       .agg(collect_set(col("variant_id")).as("ids"))
       .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      // primitive Array[Long] storage: at genome scale (28k genes, up
+      // to 122k variants/gene) boxed Seq[Long] costs ~20× the heap
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
       .toMap)
 
   /** [[filterByGene]] through a prebuilt [[GeneIndex]]: the impact-side
     * scan+join disappears entirely — one pushed-predicate pass over
-    * `info`, the minimum work a point lookup can do on this engine.
-    * Results are identical to [[filterByGene]].
+    * `info` for typical genes (id list ≤ [[InListMaxIds]], pushed as an
+    * IN filter), a broadcast semi-join for giant genes. Results are
+    * identical to [[filterByGene]].
     */
   def filterByGeneIndexed(
       index: GeneIndex, info: DataFrame,
       symbol: String, afMax: Double = 0.01): DataFrame = {
-    val hit = index.ids.getOrElse(symbol, Seq.empty)
-    info.filter(col("af") < afMax && col("variant_id").isin(hit: _*))
-      .withColumn("symbol", lit(symbol))
+    val hit = index.ids.getOrElse(symbol, Array.empty[Long])
+    val base = info.filter(col("af") < afMax)
+    val matched =
+      if (hit.length <= InListMaxIds)
+        base.filter(col("variant_id").isin(hit.toSeq: _*))
+      else {
+        val spark = info.sparkSession
+        import spark.implicits._
+        base.join(broadcast(hit.toSeq.toDF("variant_id")),
+          Seq("variant_id"), "left_semi")
+      }
+    matched.withColumn("symbol", lit(symbol))
   }
 
   /** Genotype pull by id set (`pull_vars_by_id`, `00:10-55`): a

@@ -37,6 +37,33 @@ class ApiSpec extends SparkSpec {
     assert(VcfApi.filterByGeneIndexed(idx, tables.info, "NOPE").count() == 0)
   }
 
+  test("filterByGeneIndexed giant gene: semi-join fallback, no IN-list in plan") {
+    // a gene with >1k variant ids must NOT plan as an IN-list predicate
+    // (100k-node expression trees are a planning-time killer at genome
+    // scale) — it takes the broadcast left-semi path and stays ≡ to the
+    // join-based filterByGene
+    val n = 2500
+    val impact = (1 to n)
+      .map(i => (i.toLong, if (i <= 1500) "BIG" else s"G${i % 7}"))
+      .toDF("variant_id", "symbol")
+    val info = (1 to n).map(i => (i.toLong, (i % 100) / 100.0))
+      .toDF("variant_id", "af")
+    val idx = VcfApi.buildGeneIndex(impact)
+    assert(idx.ids("BIG").length == 1500)
+    val indexed = VcfApi.filterByGeneIndexed(idx, info, "BIG", afMax = 0.5)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join fallback:\n$plan")
+    assert(!plan.contains("INSET") && !plan.contains(" IN ("),
+      s"giant gene must not plan an IN-list:\n$plan")
+    val a = VcfApi.filterByGene(impact, info, "BIG", afMax = 0.5)
+      .select("variant_id").as[Long].collect().sorted.toSeq
+    val b = indexed.select("variant_id").as[Long].collect().sorted.toSeq
+    assert(a == b && b.nonEmpty)
+    // small gene keeps the IN-list point-lookup path (no join stages)
+    val small = VcfApi.filterByGeneIndexed(idx, info, "G3", afMax = 0.5)
+    assert(!small.queryExecution.executedPlan.toString.contains("LeftSemi"))
+  }
+
   test("VcfPipeline.run: end-to-end from a file, rerun-safe") {
     val dir = java.nio.file.Files.createTempDirectory("vcfpipe").toString
     val vcfFile = s"$dir/toy.vcf"
