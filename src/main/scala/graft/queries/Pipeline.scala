@@ -257,10 +257,11 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
-    // ---- IVF ANN: k-means coarse quantizer + probed re-rank. No SQL
-    //      oracle (learned centroids aren't SQL-expressible) → the
-    //      driver records the weaker rows-only check; exact-recall
-    //      properties are pinned in OperatorsSpec against brute force ----
+    // ---- IVF ANN: k-means coarse quantizer + probed re-rank. The
+    //      quantizer is deterministic (smallest-id init, fixed iters,
+    //      tie-to-lower-list), so the oracle unrolls the k-means rounds
+    //      as chained CTEs — the q84 PageRank pattern; exact-recall
+    //      properties are additionally pinned in OperatorsSpec ----
     "q68_ivf_knn" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5),
@@ -1040,6 +1041,81 @@ object Pipeline {
          FROM tok LEFT JOIN v USING (term)
          WHERE doc_id < 40
          GROUP BY doc_id ORDER BY doc_id""",
+    // the IVF quantizer unrolled (the q84 PageRank pattern): c0 = the
+    // vectors of the 8 smallest ids; each round = assignment (argmax of
+    // dot(v, c/||c||), ties to the lower list) + re-estimation
+    // (per-(list, dim) AVG; empty lists keep their previous centroid);
+    // after 2 rounds, corpus rows join their 1 nearest list, queries
+    // probe their 3 nearest, and exact cosine re-ranks to top-5
+    "q68_ivf_knn" ->
+      """WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS c
+            FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),
+          s1 AS (
+            SELECT e.vec_id, e.v, n.list,
+              CASE WHEN n.nrm = 0 THEN 0.0
+                ELSE list_sum(list_transform(range(1, 65), i -> e.v[i] * n.c[i])) / n.nrm END AS s
+            FROM emb e CROSS JOIN (
+              SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c0) n),
+          a1 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s1) WHERE rn = 1),
+          c1 AS (
+            SELECT c0.list, coalesce(nw.c, c0.c) AS c
+            FROM c0 LEFT JOIN (
+              SELECT list, list(m ORDER BY pos) AS c FROM (
+                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
+                FROM a1 a, range(1, 65) t(i)
+                GROUP BY a.list, t.i)
+              GROUP BY list) nw USING (list)),
+          s2 AS (
+            SELECT e.vec_id, e.v, n.list,
+              CASE WHEN n.nrm = 0 THEN 0.0
+                ELSE list_sum(list_transform(range(1, 65), i -> e.v[i] * n.c[i])) / n.nrm END AS s
+            FROM emb e CROSS JOIN (
+              SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c1) n),
+          a2 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s2) WHERE rn = 1),
+          c2 AS (
+            SELECT c1.list, coalesce(nw.c, c1.c) AS c
+            FROM c1 LEFT JOIN (
+              SELECT list, list(m ORDER BY pos) AS c FROM (
+                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
+                FROM a2 a, range(1, 65) t(i)
+                GROUP BY a.list, t.i)
+              GROUP BY list) nw USING (list)),
+          s3 AS (
+            SELECT e.vec_id, e.v, n.list,
+              CASE WHEN n.nrm = 0 THEN 0.0
+                ELSE list_sum(list_transform(range(1, 65), i -> e.v[i] * n.c[i])) / n.nrm END AS s
+            FROM emb e CROSS JOIN (
+              SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c2) n),
+          a3 AS (
+            SELECT vec_id AS neighbor_id, v AS cv, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s3) WHERE rn = 1),
+          p3 AS (
+            SELECT vec_id AS query_id, v AS qv, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s3 WHERE vec_id < 5) WHERE rn <= 3),
+          scored AS (
+            SELECT p.query_id, a.neighbor_id,
+              list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv[i])) /
+              (sqrt(list_sum(list_transform(p.qv, x -> x * x))) *
+               sqrt(list_sum(list_transform(a.cv, x -> x * x)))) AS cosine
+            FROM p3 p JOIN a3 a USING (list)
+            WHERE a.neighbor_id <> p.query_id)
+         SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // merges after 5 rounds: (e,s)(es,t)(est,</w>)(l,o)(lo,w) — ties
     // break by count desc then pair lexicographic
     "q61_bpe_tokens" ->
