@@ -12,13 +12,13 @@ import org.apache.spark.sql.types._
   * dependency) to produce dimensions and a normalized luminance
   * histogram. AUDIO decode is REAL for the formats the JDK ships
   * codecs for (WAV/PCM, AU, AIFF): [[decodeAudio]]/[[decodeAudios]]
-  * produce rate/channels/duration plus RMS and peak energy. Only VIDEO
-  * (and compressed audio like MP3) remains STUBBED — no codec libraries
-  * in this environment: [[decodeStub]] derives deterministic fake
-  * features from the bytes. Swapping in a real video decoder changes
-  * only the body of the `mapPartitions` closure — the schema contract
-  * and partition-wise batching are the production shape, exactly as
-  * [[decodeImages]]/[[decodeAudios]] demonstrate.
+  * produce rate/channels/duration plus RMS and peak energy. VIDEO
+  * decode is REAL for MJPEG-in-AVI ([[decodeVideos]] via
+  * [[MjpegAvi]] — RIFF container walk + JDK JPEG per frame), the one
+  * video format needing no external codec; formats whose codecs the
+  * JDK lacks (H.264, MP3, …) would swap in behind the same seams.
+  * [[decodeStub]] remains only as the generic byte-featurizer for
+  * [[extractFeatures]].
   */
 object Multimodal {
 
@@ -255,6 +255,37 @@ object Multimodal {
             // Int/Long fields into Doubles (schema mismatch at encode)
             Row.fromSeq(r.toSeq ++ Seq[Any](sr, ch, ms, rms, peak))
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Partition-wise real video decode (MJPEG-in-AVI, [[MjpegAvi]]):
+    * appends `video_width`, `video_height`, `video_n_frames`,
+    * `video_duration_ms`, `video_fps`, `video_mean_luma` (per-frame
+    * mean luminance series; all NULL when the payload is not a
+    * decodable AVI) — same mapPartitions seam as [[decodeImages]].
+    */
+  def decodeVideos(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("video_width", IntegerType, nullable = true),
+      StructField("video_height", IntegerType, nullable = true),
+      StructField("video_n_frames", IntegerType, nullable = true),
+      StructField("video_duration_ms", LongType, nullable = true),
+      StructField("video_fps", DoubleType, nullable = true),
+      StructField("video_mean_luma", ArrayType(DoubleType), nullable = true)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per task
+      rows.map { r =>
+        MjpegAvi.decode(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some(m) =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](m.width, m.height, m.nFrames,
+              m.durationMs, m.fps, m.meanLuma.toSeq))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null))
         }
       }
     }

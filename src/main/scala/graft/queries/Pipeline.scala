@@ -322,6 +322,33 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // ---- multimodal: REAL video decode (MJPEG-in-AVI — pure-JDK RIFF
+    //      walk + ImageIO per JPEG frame) over muxed fixtures; corrupt
+    //      payloads degrade to NULLs. try_element_at: the 2-frame video
+    //      yields NULL for the third luma slot, as in the oracle ----
+    "q95_video_decode" -> ((s, _) => {
+      import graft.operators.MjpegAvi
+      val v1 = MjpegAvi.encode(Seq(
+        MjpegAvi.jpegFrame(8, 8, (_, _) => 0x000000),
+        MjpegAvi.jpegFrame(8, 8, (_, _) => 0xffffff),
+        MjpegAvi.jpegFrame(8, 8, (_, _) => 0x808080)), 8, 8, 10)
+      val v2 = MjpegAvi.encode(Seq(
+        MjpegAvi.jpegFrame(16, 8, (x, _) => if (x < 8) 0x000000 else 0xffffff),
+        MjpegAvi.jpegFrame(16, 8, (x, _) => if (x < 8) 0xffffff else 0x000000)),
+        16, 8, 25)
+      val rows = Seq((1L, v1), (2L, v2), (3L, Array[Byte](9, 9, 9, 9)))
+      import s.implicits._
+      val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "video")
+      Multimodal.decodeVideos(media)
+        .select(col("media_id"), col("video_width"), col("video_height"),
+          col("video_n_frames"), col("video_duration_ms"),
+          round(col("video_fps"), 2).as("fps"),
+          round(try_element_at(col("video_mean_luma"), lit(1)), 4).as("l0"),
+          round(try_element_at(col("video_mean_luma"), lit(2)), 4).as("l1"),
+          round(try_element_at(col("video_mean_luma"), lit(3)), 4).as("l2"))
+        .orderBy("media_id")
+    }),
+
     // ---- streaming curation: file-stream the documents, stateful
     //      cross-batch exact dedup + quality flags + incremental
     //      per-source counters (AvailableNow ⇒ batch-replayable) ----
@@ -1041,6 +1068,20 @@ object Pipeline {
          FROM tok LEFT JOIN v USING (term)
          WHERE doc_id < 40
          GROUP BY doc_id ORDER BY doc_id""",
+    // hand-computed from the muxed fixtures: solid JPEG frames decode
+    // exactly (DC-only blocks), and the half/half frame splits on an
+    // 8-px JPEG block boundary — 0x808080 → 128/255 → round4 0.502;
+    // the 2-frame video has no third frame → NULL l2
+    "q95_video_decode" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(8 AS INTEGER), CAST(8 AS INTEGER),
+            CAST(3 AS INTEGER), CAST(300 AS BIGINT), CAST(10.0 AS DOUBLE),
+            CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0.502 AS DOUBLE)),
+          (2, 16, 8, 2, 80, 25.0, 0.5, 0.5, NULL),
+          (3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+         t(media_id, video_width, video_height, video_n_frames,
+           video_duration_ms, fps, l0, l1, l2)
+         ORDER BY media_id""",
     // the IVF quantizer unrolled (the q84 PageRank pattern): c0 = the
     // vectors of the 8 smallest ids; each round = assignment (argmax of
     // dot(v, c/||c||), ties to the lower list) + re-estimation

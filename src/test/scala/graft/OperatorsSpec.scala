@@ -58,6 +58,33 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(null).isEmpty)
   }
 
+  test("MjpegAvi: encode→decode round-trip, randomized gray frames") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 1 + rnd.nextInt(6)
+      val w = 8 * (1 + rnd.nextInt(3))
+      val h = 8 * (1 + rnd.nextInt(3))
+      val fps = 1 + rnd.nextInt(60)
+      val greys = Seq.fill(n)(rnd.nextInt(256))
+      val frames = greys.map(g =>
+        MjpegAvi.jpegFrame(w, h, (_, _) => (g << 16) | (g << 8) | g))
+      val m = MjpegAvi.decode(MjpegAvi.encode(frames, w, h, fps)).get
+      assert(m.width == w && m.height == h && m.nFrames == n)
+      assert(m.durationMs == n * (1000000L / fps) / 1000)
+      assert(math.abs(m.fps - 1e6 / (1000000L / fps)) < 1e-9)
+      // JPEG is lossy but solid frames stay within a hair of ideal
+      (m.meanLuma zip greys).foreach { case (l, g) =>
+        assert(math.abs(l - g / 255.0) < 0.02, s"luma $l vs gray $g") }
+    }
+    // corrupt/degenerate payloads degrade to None, never throw
+    assert(MjpegAvi.decode(null).isEmpty)
+    assert(MjpegAvi.decode(Array.empty[Byte]).isEmpty)
+    assert(MjpegAvi.decode(Array.fill(64)(0x41.toByte)).isEmpty)
+    val full = MjpegAvi.encode(
+      Seq(MjpegAvi.jpegFrame(8, 8, (_, _) => 0xffffff)), 8, 8, 5)
+    assert(MjpegAvi.decode(full.take(full.length / 2)).isEmpty)
+  }
+
   test("Dedup.clearCaches releases signature caches after consumption") {
     val docs = (1 to 60).map(i => (i.toLong, s"some text body number ${i % 20} with words"))
       .toDF("id", "text")
