@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through to stdout instead of routing
+// it through sbt's logger: the logger's "[info] " prefix made the
+// Bench/Verify metric JSON lines unparseable to line-oriented readers.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time" line so the last
+// stdout line of a bench run IS the compact metric JSON.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -196,7 +196,10 @@ object Bench {
             val t1 = time(forceRun(SparkEntry.queries(n)(spark, mid)))
             val t2 = time(forceRun(SparkEntry.queries(n)(spark, mid)))
             val tMid = math.min(t1, t2)
-            sweep(n) = (tMid, tBig, ratio, math.log(tBig / tMid) / math.log(ratio))
+            val e = math.log(tBig / tMid) / math.log(ratio)
+            // a ~0 mid timing yields a non-finite exponent, which would
+            // render as the bare token Infinity and break the JSON line
+            if (tMid > 0 && java.lang.Double.isFinite(e)) sweep(n) = (tMid, tBig, ratio, e)
           } catch { case _: Throwable => () }
           graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches(); graft.operators.Curation.clearCaches()
         }

@@ -45,9 +45,12 @@ object MjpegAvi {
         var off = start
         while (off + 8 <= end) {
           val id = fourcc(payload, off)
-          val size = u32(payload, off + 4).toInt
+          val sizeL = u32(payload, off + 4)
           val dataOff = off + 8
-          if (size < 0 || dataOff + size > end) return // truncated: stop
+          // bounds check in Long: a crafted size near Int.MaxValue would
+          // overflow an Int sum negative and slip past the guard
+          if (sizeL < 0 || dataOff.toLong + sizeL > end) return // truncated: stop
+          val size = sizeL.toInt
           if (id == "LIST" && size >= 4) {
             // only the lists that can contain headers/frames; 'rec '
             // groups interleaved frames in some muxers
@@ -62,7 +65,7 @@ object MjpegAvi {
           off = dataOff + size + (size & 1) // chunks are word-aligned
         }
       }
-      walk(12, math.min(payload.length, 8 + u32(payload, 4).toInt))
+      walk(12, math.min(payload.length.toLong, 8L + u32(payload, 4)).toInt)
       if (frames.isEmpty) return None
       var w = 0
       var h = 0

@@ -1097,10 +1097,10 @@ object Pipeline {
             FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),
           s1 AS (
             SELECT e.vec_id, e.v, n.list,
-              CASE WHEN n.nrm = 0 THEN 0.0
-                ELSE list_sum(list_transform(range(1, 65), i -> e.v[i] * n.c[i])) / n.nrm END AS s
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
             FROM emb e CROSS JOIN (
-              SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c0) n),
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c0)) n),
           a1 AS (
             SELECT vec_id, v, list FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
@@ -1115,10 +1115,10 @@ object Pipeline {
               GROUP BY list) nw USING (list)),
           s2 AS (
             SELECT e.vec_id, e.v, n.list,
-              CASE WHEN n.nrm = 0 THEN 0.0
-                ELSE list_sum(list_transform(range(1, 65), i -> e.v[i] * n.c[i])) / n.nrm END AS s
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
             FROM emb e CROSS JOIN (
-              SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c1) n),
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c1)) n),
           a2 AS (
             SELECT vec_id, v, list FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
@@ -1133,10 +1133,10 @@ object Pipeline {
               GROUP BY list) nw USING (list)),
           s3 AS (
             SELECT e.vec_id, e.v, n.list,
-              CASE WHEN n.nrm = 0 THEN 0.0
-                ELSE list_sum(list_transform(range(1, 65), i -> e.v[i] * n.c[i])) / n.nrm END AS s
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
             FROM emb e CROSS JOIN (
-              SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c2) n),
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c2)) n),
           a3 AS (
             SELECT vec_id AS neighbor_id, v AS cv, list FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
