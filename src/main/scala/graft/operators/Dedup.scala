@@ -353,4 +353,55 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Cross-document duplicate-span statistics — exact substring
+    * deduplication at n-gram granularity (the distributed shape of
+    * suffix-array span dedup from the "Deduplicating Training Data"
+    * line of work): an n-gram occurrence in document `d` is *removable*
+    * when the same n-gram also occurs in a document with a smaller id
+    * (keep-first semantics — the corpus retains exactly one copy of
+    * every span, in its first document). Overlapping removable n-grams
+    * merge into maximal spans via gaps-and-islands over start
+    * positions. Returns one row per affected document:
+    * (idCol, n_spans, dup_tokens, n_tokens, dup_ratio).
+    *
+    * Scale shape: grams travel as 60-bit [[graft.functions.md5Long]]
+    * hashes from the moment they are formed — the shuffle carries
+    * (hash, doc, pos), never gram text; first-occurrence resolution is
+    * one hash-keyed aggregate (map-side combinable) feeding a same-key
+    * equi-join (no second shuffle of the aggregate side); the island
+    * merge windows over one document's few hits, so no partition ever
+    * exceeds a single document's duplicated-gram count.
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = parallelize(docs)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val grams = toks
+      .select(col(idCol), posexplode(wordShingles(col("__toks"), n)))
+      .select(col(idCol), col("pos").as("__pos"), md5Long(col("col")).as("__gh"))
+    val first = grams.groupBy("__gh").agg(min(col(idCol)).as("__first"))
+    val removable = grams.join(first, "__gh")
+      .where(col(idCol) > col("__first"))
+      .select(col(idCol), col("__pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    // a gram at __pos covers tokens [__pos, __pos + n - 1]; a new island
+    // starts when it clears the running max end of everything before it
+    val prevEnd = max(col("__pos") + lit(n - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = removable
+      .withColumn("__new",
+        when(col("__pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("__pos").as("__s"), (max("__pos") + lit(n - 1)).as("__e"))
+    val summary = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s") + lit(1)).cast("long").as("dup_tokens"))
+    summary
+      .join(toks.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens")),
+        Seq(idCol))
+      .withColumn("dup_ratio", round(col("dup_tokens") / col("n_tokens"), 4))
+  }
 }

@@ -246,4 +246,34 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Per-group embedding outliers — the semantic-filtering signal a
+    * curation pipeline uses to spot mislabeled / off-distribution
+    * documents (the SemDeDup/centroid-distance family): the `k` rows
+    * of each group least similar (cosine) to their own group's mean
+    * vector. One narrow posexplode + per-(group, dim) avg builds the
+    * centroids (map-side combinable — the shuffle carries (group, dim,
+    * partial sums), never vectors); centroids are group-count-sized
+    * metadata, so the join back is a broadcast at any corpus scale.
+    */
+  def centroidOutliers(emb: DataFrame, vecCol: String, idCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol), col(groupCol),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = e.select(col(groupCol), posexplode(col("v")))
+      .groupBy(groupCol, "pos").agg(avg("col").as("m"))
+      .groupBy(groupCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"))
+    val scored = e.join(broadcast(cents), groupCol)
+      .withColumn("cosine", call_function("graft_cosine", col("v"), col("c")))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cosine").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col(idCol),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
 }

@@ -100,6 +100,13 @@ object EventsQ {
         .orderBy("event_type")
     }),
 
+    // ---- watermarked stream-stream interval join: purchases × the
+    //      same user's views in the preceding 24 h (bounded state) ----
+    "q98_stream_join" -> ((s, d) => {
+      graft.streaming.EventsStream.runJoinOnce(s, d)
+        .orderBy("purchase_id", "view_id")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -189,5 +196,18 @@ object EventsQ {
     "q67_stream_dedup" ->
       """SELECT event_type, count(*) AS n,
             CAST(sum(event_id) AS BIGINT) AS sum_ids
-         FROM events GROUP BY event_type ORDER BY event_type""")
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // µs-grain comparisons on both sides: the engine's watermark
+    // columns are ns-to-µs truncated timestamps, so the oracle must
+    // compare epoch_us, not raw ns timestamps
+    "q98_stream_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+            p.user_id AS user_id,
+            epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+         FROM events p JOIN events v
+           ON p.event_type = 'purchase' AND v.event_type = 'view'
+          AND p.user_id = v.user_id
+          AND epoch_us(v.ts) >= epoch_us(p.ts) - 86400000000
+          AND epoch_us(v.ts) < epoch_us(p.ts)
+         ORDER BY purchase_id, view_id""")
 }

@@ -349,6 +349,24 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // ---- cross-doc duplicate n-gram spans (exact-substring dedup,
+    //      keep-first: an 8-gram occurrence is removable when the same
+    //      8-gram occurs in a lower-id document; overlapping removable
+    //      grams merge into maximal spans) ----
+    "q96_dup_spans" -> ((s, d) => {
+      Dedup.duplicateSpans(Tables.documents(s, d), "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-label embedding outliers: the 3 vectors of each label
+    //      least similar to their own label's mean vector (semantic
+    //      filtering / mislabel detection) ----
+    "q99_centroid_outliers" -> ((s, d) => {
+      Similarity.centroidOutliers(Tables.embeddings(s, d),
+          "embedding", "vec_id", "label", k = 3)
+        .orderBy("label", "rank")
+    }),
+
     // ---- streaming curation: file-stream the documents, stateful
     //      cross-batch exact dedup + quality flags + incremental
     //      per-source counters (AvailableNow ⇒ batch-replayable) ----
@@ -1167,5 +1185,64 @@ object Pipeline {
           ('unknown', 'u n k n o w n </w>', 8),
           ('widest',  'w i d est</w>',     4))
          t(word, toks, n)
-         ORDER BY word""")
+         ORDER BY word""",
+    // keep-first duplicate 8-gram spans: gram hash = md5Long of the
+    // space-joined tokens; removable where a lower-id doc has the same
+    // gram; islands merge overlapping grams ([pos, pos+7] coverage)
+    "q96_dup_spans" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $Toks AS t FROM documents),
+          grams AS (
+            SELECT doc_id, u.i - 1 AS pos,
+              ('0x' || substr(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 15))::BIGINT AS gh
+            FROM toks, unnest(range(1, len(t) - 6)) u(i)),
+          firsts AS (SELECT gh, min(doc_id) AS first_doc FROM grams GROUP BY gh),
+          removable AS (
+            SELECT g.doc_id, g.pos FROM grams g JOIN firsts f USING (gh)
+            WHERE g.doc_id > f.first_doc),
+          flagged AS (
+            SELECT doc_id, pos,
+              CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+            FROM removable),
+          islands AS (
+            SELECT doc_id, pos,
+              sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM flagged),
+          spans AS (
+            SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+            FROM islands GROUP BY doc_id, island),
+          summary AS (
+            SELECT doc_id, count(*) AS n_spans,
+              CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id)
+         SELECT s.doc_id, s.n_spans, s.dup_tokens,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           round(s.dup_tokens * 1.0 / len(t.t), 4) AS dup_ratio
+         FROM summary s JOIN toks t USING (doc_id)
+         ORDER BY doc_id""",
+    // per-(label, dim) AVG centroid, cosine against own centroid,
+    // ascending rank (ties to lower vec_id)
+    "q99_centroid_outliers" ->
+      """WITH emb AS (
+            SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          cents AS (
+            SELECT label, list(m ORDER BY pos) AS c FROM (
+              SELECT label, t.i AS pos, avg(v[t.i]) AS m
+              FROM emb, range(1, 65) t(i) GROUP BY label, t.i)
+            GROUP BY label),
+          scored AS (
+            SELECT e.label, e.vec_id,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * c.c[i])) /
+              (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(c.c, x -> x * x)))) AS cos
+            FROM emb e JOIN cents c USING (label))
+         SELECT label, vec_id, round(cos, 4) AS cosine, rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY label, rank""")
 }

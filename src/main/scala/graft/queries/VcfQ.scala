@@ -145,6 +145,23 @@ object VcfQ {
       VcfReader.readRange(s, f.getAbsolutePath, "1", 150L, 350L)
         .df.select("chr", "pos", "id", "ref", "alt", "qual", "filter")
         .orderBy("pos")
+    }),
+
+    "q97_vcf_multi_region" -> ((s, _) => {
+      // batched multi-region tabix read (the reference's chunked-ETL
+      // access shape): chunks from BOTH regions merge before planning,
+      // shared blocks are read once, and the result equals the union of
+      // the per-region overlap filters
+      val f = java.nio.file.Files
+        .createTempFile("graft_toy_tabix_multi", ".vcf.gz").toFile
+      f.deleteOnExit()
+      graft.vcf.Bgzf.writeLocalFile(f.getAbsolutePath, ToyVcf.lines, blockData = 200)
+      val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+      graft.vcf.Tabix.build(p.getFileSystem(s.sessionState.newHadoopConf()), p)
+      VcfReader.readRegions(s, f.getAbsolutePath,
+          Seq(("1", 100L, 250L), ("2", 200L, 500L)))
+        .df.select("chr", "pos", "id", "ref", "alt", "qual", "filter")
+        .orderBy("chr", "pos")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -273,5 +290,15 @@ object VcfQ {
           ('1', CAST(200 AS BIGINT), 'rs2', 'C', 'T', CAST(99 AS DOUBLE), 'PASS'),
           ('1', 300, NULL, 'G', 'A', 10, 'q10'))
          t(chr, pos, id, ref, alt, qual, filter)
-         ORDER BY pos""")
+         ORDER BY pos""",
+    // union of the two region overlap filters: 1:100-250 hits rs1/rs2
+    // (pos 300 is out), 2:200-500 hits rs4/rs5 (pos 150 is out)
+    "q97_vcf_multi_region" ->
+      """SELECT * FROM (VALUES
+          ('1', CAST(100 AS BIGINT), 'rs1', 'A', 'G', CAST(50 AS DOUBLE), 'PASS'),
+          ('1', 200, 'rs2', 'C', 'T', 99, 'PASS'),
+          ('2', 250, 'rs4', 'G', 'GA', 60, 'PASS'),
+          ('2', 400, 'rs5', 'A', 'C', 70, 'PASS'))
+         t(chr, pos, id, ref, alt, qual, filter)
+         ORDER BY chr, pos""")
 }

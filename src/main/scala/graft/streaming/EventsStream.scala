@@ -153,6 +153,53 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Watermarked stream-stream interval join: every purchase pairs with
+    * the same user's views in the preceding `horizon` (event time, µs
+    * precision — the cross-engine comparable grain; see
+    * [[graft.Tables.events]] on ns timestamps). Both sides carry
+    * watermarks and the join predicate time-bounds `v_time` relative to
+    * `p_time`, so each side's buffered state is evicted as the
+    * watermark advances — state size tracks the horizon, not stream
+    * lifetime. Inner join ⇒ append-mode output; at AvailableNow replay
+    * the result equals the equivalent batch join.
+    */
+  def viewPurchaseJoin(events: DataFrame, horizon: String = "24 hours",
+      watermark: String = "1 hour"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        timestamp_micros(expr("ts div 1000")).as("v_time"))
+      .withWatermark("v_time", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("p_time"))
+      .withWatermark("p_time", watermark)
+    purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_time") >= col("p_time") - expr(s"INTERVAL $horizon") &&
+          col("v_time") < col("p_time"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("p_time")) - unix_micros(col("v_time"))).as("gap_us"))
+  }
+
+  /** Drive the stream-stream join once over the static events table. */
+  def runJoinOnce(spark: SparkSession, dir: String,
+      horizon: String = "24 hours"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+    val out = viewPurchaseJoin(stream, horizon)
+    val name = s"events_join_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Per-user running session state for streaming sessionization. */
   case class SessionState(lastTs: Long, sessionId: Long)
   case class SessionizedEvent(user_id: Long, ts: Long, session_id: Long)

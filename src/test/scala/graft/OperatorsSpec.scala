@@ -333,6 +333,27 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L), s"kept $kept")
   }
 
+  test("Dedup.duplicateSpans: keep-first, overlapping grams merge, intra-doc repeats exempt") {
+    val w12 = (1 to 12).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (0L, w12),                                            // first owner: never flagged
+      (1L, "u1 u2 " + (1 to 9).map("w" + _).mkString(" ") + " u3"), // 9-token run → 2 overlapping grams, 1 island
+      (2L, (1 to 10).map("x" + _).mkString(" ")),           // unique: absent
+      (3L, w12),                                            // whole-doc dup: one span = all 12 tokens
+      (4L, (1 to 8).map("w" + _).mkString(" ") + " " +      // two disjoint copies → 2 islands
+        (1 to 5).map("y" + _).mkString(" ") + " " +
+        (1 to 8).map("w" + _).mkString(" ")),
+      (5L, (1 to 8).map("z" + _).mkString(" ") + " " +      // intra-doc repeat only: absent
+        (1 to 8).map("z" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "text", "doc_id", n = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "dup_tokens", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 9L, 12L), (3L, 1L, 12L, 12L), (4L, 2L, 16L, 21L)),
+      s"got $got")
+  }
+
   test("Dedup.exact keeps min id per duplicate text") {
     val docs = Seq(
       (1L, "Hello World"), (2L, "hello,  world!"), (3L, "unique doc"),

@@ -45,6 +45,42 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("stream-stream join pairs a view from an EARLIER micro-batch") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft_join_stream")
+    val s = 1000000000L // 1 s in ns
+    // view 10 (user 1) arrives in batch 1; its purchase 20 arrives in
+    // batch 2 — only buffered join state can produce the pair. Purchase
+    // 21's view is 25 h earlier: outside the horizon, no pair.
+    val batch1 = Seq((10L, 1L, 100L * s, "view"), (11L, 2L, 90000L * s, "view"))
+    val batch2 = Seq((20L, 1L, 200L * s, "purchase"),
+      (21L, 2L, (90000L + 25 * 3600) * s, "purchase"))
+    def write(rows: Seq[(Long, Long, Long, String)], name: String, mtime: Long): Unit = {
+      val p = dir.resolve(name)
+      rows.toDF("event_id", "user_id", "ts", "event_type")
+        .coalesce(1).write.parquet(p.toString)
+      java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+    }
+    write(batch1, "b1.parquet", 1000000L)
+    write(batch2, "b2.parquet", 2000000L)
+    val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*.parquet")
+    val out = EventsStream.viewPurchaseJoin(stream)
+      .select("purchase_id", "view_id", "user_id", "gap_us")
+    val name = s"join_batches_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val got = spark.table(name).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((20L, 10L, 1L, 100000000L)), s"got $got")
+    spark.catalog.dropTempView(name)
+  }
+
   test("sessionize state carries across micro-batches (incremental, not batch)") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // two parquet files = two micro-batches (maxFilesPerTrigger=1).
