@@ -380,4 +380,38 @@ object TextAnalysis {
       when(bucket < cut, lit(name)).otherwise(els)
     }
   }
+
+  /** Sequence packing — concat-and-chunk: documents concatenate in id
+    * order and cut into fixed `seqLen`-token training sequences (the
+    * GPT-style pretraining layout; a document straddling a cut
+    * contributes to both sequences). Packing is per *bucket*
+    * (`idCol / bucketDocs`) the way sharded pipelines pack per output
+    * shard: every bucket packs independently and in parallel — the
+    * running token count windows over one bucket's docs, never a
+    * global single-partition cumsum. Output: one row per
+    * (bucket, seq): contributing doc count and token count (= seqLen
+    * except each bucket's tail sequence).
+    */
+  def sequencePack(df: DataFrame, textCol: String, idCol: String,
+      seqLen: Int = 512, bucketDocs: Int = 100): DataFrame = {
+    require(seqLen > 0 && bucketDocs > 0, "seqLen and bucketDocs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+        (col(idCol) / lit(bucketDocs)).cast("long").as("bucket"),
+        tokenCount(col(textCol)).cast("long").as("n"))
+      .where(col("n") > 0)
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    val spans = toks
+      .withColumn("end_cum", sum("n").over(w))
+      // this doc occupies tokens [end_cum - n, end_cum) of its bucket's
+      // concatenation ⇒ sequences [(end_cum - n) / L, (end_cum - 1) / L]
+      .withColumn("seq", explode(sequence(
+        ((col("end_cum") - col("n")) / lit(seqLen)).cast("long"),
+        ((col("end_cum") - lit(1)) / lit(seqLen)).cast("long"))))
+    spans.groupBy("bucket", "seq")
+      .agg(count(lit(1)).as("n_docs"),
+        // tail sequences hold whatever remains of the bucket's tokens
+        least(lit(seqLen.toLong), max(col("end_cum")) - col("seq") * lit(seqLen))
+          .as("n_tokens"))
+  }
 }

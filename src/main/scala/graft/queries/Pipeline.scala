@@ -358,6 +358,14 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence packing: concat-and-chunk per 100-doc bucket into
+    //      512-token training sequences (GPT-style pretraining layout) ----
+    "q100_sequence_pack" -> ((s, d) => {
+      TextAnalysis.sequencePack(Tables.documents(s, d), "text", "doc_id",
+          seqLen = 512, bucketDocs = 100)
+        .orderBy("bucket", "seq")
+    }),
+
     // ---- per-label embedding outliers: the 3 vectors of each label
     //      least similar to their own label's mean vector (semantic
     //      filtering / mislabel detection) ----
@@ -1244,5 +1252,26 @@ object Pipeline {
            SELECT *, row_number() OVER (
              PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rank
            FROM scored)
-         WHERE rank <= 3 ORDER BY label, rank""")
+         WHERE rank <= 3 ORDER BY label, rank""",
+    // window sum must CAST to BIGINT (DuckDB widens to HUGEINT); a doc
+    // covering bucket tokens [end_cum-n, end_cum) contributes to
+    // sequences [(end_cum-n)//512, (end_cum-1)//512]
+    "q100_sequence_pack" ->
+      s"""WITH toks AS (
+            SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS bucket,
+              CAST(len($Toks) AS BIGINT) AS n
+            FROM documents
+            WHERE len($Toks) > 0),
+          cum AS (
+            SELECT doc_id, bucket, n,
+              CAST(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_cum
+            FROM toks),
+          spans AS (
+            SELECT bucket, doc_id, end_cum,
+              unnest(range((end_cum - n) // 512, (end_cum - 1) // 512 + 1)) AS seq
+            FROM cum)
+         SELECT bucket, seq, count(*) AS n_docs,
+           least(512, max(end_cum) - seq * 512) AS n_tokens
+         FROM spans GROUP BY bucket, seq ORDER BY bucket, seq""")
 }

@@ -354,6 +354,33 @@ class OperatorsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("TextAnalysis.sequencePack: bucket-local concat-and-chunk, straddling docs count twice") {
+    def words(k: Int): String = (1 to k).map("w" + _).mkString(" ")
+    // bucket 0: docs of 6 + 8 tokens = 14 ⇒ seq0 full (10), seq1 tail (4);
+    // doc 1 straddles the cut so it contributes to BOTH sequences.
+    // bucket 1: one 25-token doc ⇒ 10 + 10 + 5.
+    val docs = Seq((0L, words(6)), (1L, words(8)), (2L, words(25)))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sequencePack(docs, "text", "doc_id",
+        seqLen = 10, bucketDocs = 2)
+      .orderBy("bucket", "seq")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 2L, 10L), (0L, 1L, 1L, 4L),
+      (1L, 0L, 1L, 10L), (1L, 1L, 1L, 10L), (1L, 2L, 1L, 5L)), s"got $got")
+  }
+
+  test("Similarity.centroidOutliers flags the planted off-distribution vector first") {
+    val rows = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(0f, 1f), 0), // planted outlier in label 0
+      (4L, Array(0f, 1f), 1), (5L, Array(0f, 1f), 1), (6L, Array(1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(rows, "embedding", "vec_id", "label", k = 1)
+      .orderBy("label")
+      .select("label", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((0, 3L), (1, 6L)), s"got $got")
+  }
+
   test("Dedup.exact keeps min id per duplicate text") {
     val docs = Seq(
       (1L, "Hello World"), (2L, "hello,  world!"), (3L, "unique doc"),
