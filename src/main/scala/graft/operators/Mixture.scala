@@ -73,4 +73,47 @@ object Mixture {
       .where(pmod(md5Long(col(idCol)), lit(Buckets)) < col("_thr"))
       .drop("_thr")
   }
+
+  /** Token-budget mixture sampling — the token-weighted form of
+    * [[sampleToMixture]]: per group, keep the deterministic
+    * priority-prefix of documents (ordered by `md5(id)`, ties by id)
+    * whose running token count starts below `budget` — i.e. fill each
+    * group's token budget greedily in a reproducible shuffle order,
+    * overshooting by at most one document.
+    *
+    * Scale shape: the prefix needs a per-group running sum, but a
+    * per-group window would serialize each group into one task (the
+    * r3 percentiles lesson). Instead the 60-bit priority is cut into
+    * `buckets` order-preserving ranges (high bits), so:
+    * (1) per-(group, bucket) token sums — one map-side-combinable
+    * aggregate producing a groups×buckets METADATA-scale table;
+    * (2) bucket start offsets — a window over that tiny table;
+    * (3) the within-bucket running sum — a window whose partitions are
+    * `group/buckets` sized. Fully declarative, no driver collect.
+    * Output: one row per kept document (original columns).
+    */
+  def sampleToTokenBudget(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, budget: Long, buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    import org.apache.spark.sql.expressions.Window
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val slim = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        size(tokens(col(textCol))).cast("long").as("_n"),
+        md5Long(col(idCol)).as("_prio"))
+      .withColumn("_bucket", shiftright(col("_prio"), shift))
+    // (2): exclusive prefix of bucket sums, per group — tiny table
+    val wb = Window.partitionBy("_g").orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = slim.groupBy("_g", "_bucket").agg(sum("_n").as("_bn"))
+      .withColumn("_off", coalesce(sum("_bn").over(wb), lit(0L)))
+      .drop("_bn")
+    // (3): within-bucket running sum + bucket offset = global start
+    val ww = Window.partitionBy("_g", "_bucket").orderBy("_prio", "_id")
+    val kept = slim.join(broadcast(offsets), Seq("_g", "_bucket"))
+      .withColumn("_start", col("_off") + sum("_n").over(ww) - col("_n"))
+      .where(col("_start") < budget)
+      .select(col("_g").as(groupCol), col("_id").as(idCol))
+    df.join(kept, Seq(groupCol, idCol), "left_semi")
+  }
 }

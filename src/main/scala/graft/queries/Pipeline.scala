@@ -366,6 +366,17 @@ object Pipeline {
         .orderBy("bucket", "seq")
     }),
 
+    // ---- token-budget mixture sampling: per source, keep the
+    //      md5-priority prefix of docs filling a 1000-token budget ----
+    "q101_token_budget" -> ((s, d) => {
+      Mixture.sampleToTokenBudget(Tables.documents(s, d), "text", "doc_id",
+          "source", budget = 1000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(size(tokens(col("text")))).cast("long").as("n_tokens_kept"))
+        .orderBy("source")
+    }),
+
     // ---- per-label embedding outliers: the 3 vectors of each label
     //      least similar to their own label's mean vector (semantic
     //      filtering / mislabel detection) ----
@@ -1273,5 +1284,20 @@ object Pipeline {
             FROM cum)
          SELECT bucket, seq, count(*) AS n_docs,
            least(512, max(end_cum) - seq * 512) AS n_tokens
-         FROM spans GROUP BY bucket, seq ORDER BY bucket, seq""")
+         FROM spans GROUP BY bucket, seq ORDER BY bucket, seq""",
+    // greedy priority-prefix per source: a doc is kept when the tokens
+    // STRICTLY BEFORE it (md5-priority order, ties by id) are under
+    // budget — the oracle replays it as one window cumsum
+    "q101_token_budget" ->
+      s"""WITH toks AS (
+            SELECT doc_id, source, CAST(len($Toks) AS BIGINT) AS n,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS prio
+            FROM documents),
+          cum AS (
+            SELECT *, CAST(sum(n) OVER (PARTITION BY source ORDER BY prio, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS start_cum
+            FROM toks)
+         SELECT source, count(*) AS n_docs_kept, CAST(sum(n) AS BIGINT) AS n_tokens_kept
+         FROM cum WHERE start_cum < 1000
+         GROUP BY source ORDER BY source""")
 }

@@ -369,6 +369,27 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, 1L, 10L), (1L, 1L, 1L, 10L), (1L, 2L, 1L, 5L)), s"got $got")
   }
 
+  test("Mixture.sampleToTokenBudget: bucketed decomposition equals the naive per-group prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"g${i % 3}", ("tok " * (i % 17 + 1)).trim)
+    }.toDF("doc_id", "source", "text")
+    val budget = 200L
+    val kept = Mixture.sampleToTokenBudget(docs, "text", "doc_id", "source", budget)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // naive: one window per group (fine at spec scale)
+    val w = Window.partitionBy("source")
+      .orderBy(graft.functions.md5Long(col("doc_id")), col("doc_id"))
+    val expected = docs
+      .withColumn("start_cum",
+        sum(size(graft.functions.tokens(col("text"))).cast("long")).over(w)
+          - size(graft.functions.tokens(col("text"))).cast("long"))
+      .where(col("start_cum") < budget)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == expected, s"bucketed ${kept.size} vs naive ${expected.size}")
+    assert(kept.nonEmpty && kept.size < 300) // budget actually binds
+  }
+
   test("Similarity.centroidOutliers flags the planted off-distribution vector first") {
     val rows = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
