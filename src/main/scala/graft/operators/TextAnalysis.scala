@@ -381,6 +381,43 @@ object TextAnalysis {
     }
   }
 
+  /** BM25 relevance of every document against a fixed bag of query
+    * terms (Robertson/Lucene formulation:
+    * idf = ln((N - df + ½)/(df + ½) + 1), tf saturation k1, length
+    * normalization b) — the retrieval scorer a curation pipeline uses
+    * for targeted corpus slicing. Top-`k` docs by score (ties → lower
+    * id).
+    *
+    * Scale shape: the explode filters to query terms immediately (the
+    * shuffle carries only matching (doc, term) pairs); per-term df and
+    * the (N, avgdl) row are broadcast; top-k is TakeOrdered, never a
+    * global sort materialization.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("_t")).cast("double")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), size(col("_t")).cast("double").as("dl"),
+        explode(col("_t")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), max("dl").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_s",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+          * col("tf") * lit(k1 + 1)
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("_s"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Sequence packing — concat-and-chunk: documents concatenate in id
     * order and cut into fixed `seqLen`-token training sequences (the
     * GPT-style pretraining layout; a document straddling a cut

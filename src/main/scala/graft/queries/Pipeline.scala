@@ -366,6 +366,12 @@ object Pipeline {
         .orderBy("bucket", "seq")
     }),
 
+    // ---- BM25 retrieval scoring against a fixed query bag ----
+    "q102_bm25" -> ((s, d) => {
+      TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
+        queryTerms = Seq("spark", "data", "query", "join"), k = 15)
+    }),
+
     // ---- token-budget mixture sampling: per source, keep the
     //      md5-priority prefix of docs filling a 1000-token budget ----
     "q101_token_budget" -> ((s, d) => {
@@ -1299,5 +1305,28 @@ object Pipeline {
             FROM toks)
          SELECT source, count(*) AS n_docs_kept, CAST(sum(n) AS BIGINT) AS n_tokens_kept
          FROM cum WHERE start_cum < 1000
-         GROUP BY source ORDER BY source""")
+         GROUP BY source ORDER BY source""",
+    // Lucene BM25: idf = ln((N - df + .5)/(df + .5) + 1), k1 = 1.2,
+    // b = 0.75; expression association mirrors the engine exactly
+    "q102_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+          dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+          terms AS (
+            SELECT doc_id, u.term FROM toks, unnest(t) AS u(term)
+            WHERE u.term IN ('spark', 'data', 'query', 'join')),
+          tf AS (
+            SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+            FROM terms GROUP BY doc_id, term),
+          dfreq AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+          scored AS (
+            SELECT t.doc_id,
+              ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) * t.tf * 2.2
+                / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
+            FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+            CROSS JOIN stats s)
+         SELECT doc_id, round(sum(s), 4) AS bm25 FROM scored
+         GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""")
 }
