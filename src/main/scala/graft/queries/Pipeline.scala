@@ -366,6 +366,21 @@ object Pipeline {
         .orderBy("bucket", "seq")
     }),
 
+    // ---- cross-source boilerplate overlap matrix: for every source
+    //      pair, how many distinct 5-token-prefix fingerprints they
+    //      share (template/content leakage between domains) ----
+    "q103_source_overlap" -> ((s, d) => {
+      val fps = Tables.documents(s, d)
+        .select(md5(array_join(slice(tokens(col("text")), 1, 5), " ")).as("fp"),
+          col("source"))
+        .distinct()
+      val a = fps.select(col("fp"), col("source").as("src_a"))
+      val b = fps.select(col("fp"), col("source").as("src_b"))
+      a.join(b, "fp").where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // ---- BM25 retrieval scoring against a fixed query bag ----
     "q102_bm25" -> ((s, d) => {
       TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
@@ -1328,5 +1343,13 @@ object Pipeline {
             FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
             CROSS JOIN stats s)
          SELECT doc_id, round(sum(s), 4) AS bm25 FROM scored
-         GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""")
+         GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""",
+    "q103_source_overlap" ->
+      s"""WITH fps AS (
+            SELECT DISTINCT md5(array_to_string(($Toks)[1:5], ' ')) AS fp, source
+            FROM documents)
+         SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         FROM fps a JOIN fps b USING (fp)
+         WHERE a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""")
 }
