@@ -369,6 +369,42 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, 1L, 10L), (1L, 1L, 1L, 10L), (1L, 2L, 1L, 5L)), s"got $got")
   }
 
+  test("Dedup.duplicateSpans matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "d") // 4^4 grams ⇒ collisions guaranteed
+    val n = 4
+    for (_ <- 1 to 3) {
+      val docs = (0L until 12L).map { id =>
+        val len = 5 + rnd.nextInt(20)
+        (id, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val firstOwner = scala.collection.mutable.Map[Seq[String], Long]()
+      for ((id, ts) <- toks.toSeq.sortBy(_._1); i <- 0 to ts.size - n) {
+        val g = ts.slice(i, i + n)
+        if (!firstOwner.contains(g)) firstOwner(g) = id
+      }
+      val expected = toks.toSeq.sortBy(_._1).flatMap { case (id, ts) =>
+        val ps = (0 to ts.size - n).filter(i => firstOwner(ts.slice(i, i + n)) < id)
+        if (ps.isEmpty) None
+        else {
+          var spans = List.empty[(Int, Int)]
+          for (p <- ps) spans = spans match {
+            case (s, e) :: rest if p <= e => (s, math.max(e, p + n - 1)) :: rest
+            case _ => (p, p + n - 1) :: spans
+          }
+          val dupTokens = spans.map { case (s, e) => e - s + 1 }.sum
+          Some((id, spans.size.toLong, dupTokens.toLong, ts.size.toLong))
+        }
+      }
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "text", "doc_id", n = n)
+        .orderBy("doc_id")
+        .select("doc_id", "n_spans", "dup_tokens", "n_tokens")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"got $got\nexpected $expected")
+    }
+  }
+
   test("Mixture.sampleToTokenBudget: bucketed decomposition equals the naive per-group prefix") {
     import org.apache.spark.sql.expressions.Window
     val docs = (0 until 300).map { i =>
