@@ -381,6 +381,32 @@ object TextAnalysis {
     }
   }
 
+  /** Term-distribution drift between two corpus snapshots (rows where
+    * `inOld` is true vs the rest): unigram probabilities on each side
+    * and the `k` terms with the largest absolute probability change —
+    * the monitoring signal a continuously-ingested corpus needs to
+    * catch domain shift between dumps. One explode + one combinable
+    * aggregate; the totals row broadcasts; top-k is TakeOrdered.
+    */
+  def termDrift(df: DataFrame, textCol: String, inOld: Column,
+      k: Int = 20): DataFrame = {
+    val counts = df
+      .select(inOld.as("_old"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("_old"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("_old"), 0L).otherwise(1L)).as("c_b"))
+    val totals = counts.agg(sum("c_a").cast("double").as("t_a"),
+      sum("c_b").cast("double").as("t_b"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("_drift", abs(col("c_a") / col("t_a") - col("c_b") / col("t_b")))
+      .orderBy(col("_drift").desc, col("term"))
+      .limit(k)
+      .select(col("term"),
+        round(col("c_a") / col("t_a"), 6).as("p_a"),
+        round(col("c_b") / col("t_b"), 6).as("p_b"),
+        round(col("_drift"), 6).as("drift"))
+  }
+
   /** BM25 relevance of every document against a fixed bag of query
     * terms (Robertson/Lucene formulation:
     * idf = ln((N - df + ½)/(df + ½) + 1), tf saturation k1, length

@@ -366,6 +366,13 @@ object Pipeline {
         .orderBy("bucket", "seq")
     }),
 
+    // ---- unigram drift between corpus halves (even vs odd doc_id —
+    //      the dump-over-dump domain-shift monitor) ----
+    "q104_term_drift" -> ((s, d) => {
+      TextAnalysis.termDrift(Tables.documents(s, d), "text",
+        col("doc_id") % 2 === 0, k = 20)
+    }),
+
     // ---- cross-source boilerplate overlap matrix: for every source
     //      pair, how many distinct 5-token-prefix fingerprints they
     //      share (template/content leakage between domains) ----
@@ -1351,5 +1358,24 @@ object Pipeline {
          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
          FROM fps a JOIN fps b USING (fp)
          WHERE a.source < b.source
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // ORDER BY the unrounded drift (both engines compute the same
+    // exact-int-over-double quotients), ties by term
+    "q104_term_drift" ->
+      s"""WITH terms AS (
+            SELECT s.doc_id % 2 = 0 AS old, u.term
+            FROM (SELECT doc_id, $Toks AS t FROM documents) s,
+              unnest(s.t) AS u(term)),
+          counts AS (
+            SELECT term,
+              CAST(sum(CASE WHEN old THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+              CAST(sum(CASE WHEN old THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+            FROM terms GROUP BY term),
+          totals AS (
+            SELECT CAST(sum(c_a) AS DOUBLE) AS t_a,
+              CAST(sum(c_b) AS DOUBLE) AS t_b FROM counts)
+         SELECT term, round(c_a / t_a, 6) AS p_a, round(c_b / t_b, 6) AS p_b,
+           round(abs(c_a / t_a - c_b / t_b), 6) AS drift
+         FROM counts CROSS JOIN totals
+         ORDER BY abs(c_a / t_a - c_b / t_b) DESC, term LIMIT 20""")
 }
