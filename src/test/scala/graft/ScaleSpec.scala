@@ -22,6 +22,24 @@ class ScaleSpec extends SparkSpec {
     assert(got == want && got.size == 5050)
   }
 
+  test("sampleToTokenBudget never windows over a bare group (skew-immune plan)") {
+    // one giant group next to small ones: the correctness is covered by
+    // the OperatorsSpec equivalence test; here we pin the PLAN — every
+    // window partitions on (group, priority-bucket), so no group can
+    // serialize into a single task at corpus scale
+    val docs = ((0 until 2000).map(i => (i.toLong, "big", "tok " * 5)) ++
+      (2000 until 2100).map(i => (i.toLong, s"s${i % 4}", "tok " * 3)))
+      .toDF("doc_id", "source", "text")
+    val out = operators.Mixture.sampleToTokenBudget(
+      docs, "text", "doc_id", "source", budget = 500L)
+    out.collect() // materialize so AQE finalizes the plan
+    val windows = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("_bucket")),
+      s"found a window not partitioned by priority bucket:\n${windows.mkString("\n")}")
+  }
+
   test("minHashLsh salted candidate join ≡ plain on a boilerplate-hot bucket") {
     // 150 near-identical boilerplate docs land in ONE LSH bucket per
     // band (the pathological 100TB case: license headers); 30 distinct
