@@ -43,7 +43,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = subset of query names (fast single-query timing)
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) allNames.filter(args.toSet) else allNames
 
     // Warmup at the smallest SF: pays codegen/JIT once so measured
     // numbers reflect steady-state execution, like the reference's
@@ -71,7 +73,7 @@ object Bench {
     }
 
     // ---- VCF-domain benchmark (BASELINE.md comparables) ----
-    try {
+    if (args.isEmpty) try {
       val nVariants = 50000L
       val nSamples = 100
       val nGenes = 200
@@ -177,7 +179,8 @@ object Bench {
     // events tables 10×, documents 10×, embeddings 4×).
     val sweep = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
     val midDir =
-      if (sfDir.endsWith("sf0.1")) Some(sfDir.stripSuffix("sf0.1") + "sf0.01")
+      if (args.isEmpty && sfDir.endsWith("sf0.1"))
+        Some(sfDir.stripSuffix("sf0.1") + "sf0.01")
       else None
     midDir.filter(d => new java.io.File(d).isDirectory).foreach { mid =>
       val sweepQs: Seq[(String, Double)] = Seq(

@@ -181,22 +181,35 @@ object EventsStream {
         (unix_micros(col("p_time")) - unix_micros(col("v_time"))).as("gap_us"))
   }
 
-  /** Drive the stream-stream join once over the static events table. */
+  /** Drive the stream-stream join once over the static events table.
+    *
+    * `statePartitions` sizes the join's state stores (a stream-stream
+    * join runs FOUR stores per partition, and each micro-batch commits
+    * every store — the dominant cost of a small local run). The
+    * partition count is pinned at FIRST start and kept by the
+    * checkpoint thereafter, exactly the knob a production deployment
+    * sets before going live; results are partition-count-invariant
+    * (the DuckDB hash gate runs the same join at whatever count).
+    */
   def runJoinOnce(spark: SparkSession, dir: String,
-      horizon: String = "24 hours"): DataFrame = {
+      horizon: String = "24 hours", statePartitions: Int = 8): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = stageDir(dir)
     val schema = spark.read.parquet(staged).schema
     val stream = spark.readStream.schema(schema).parquet(staged)
     val out = viewPurchaseJoin(stream, horizon)
     val name = s"events_join_${System.nanoTime()}"
-    val q = out.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
