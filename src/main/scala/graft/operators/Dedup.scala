@@ -354,6 +354,85 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
+    * a k-means coarse quantizer ([[Similarity.kmeansCentroids]] —
+    * deterministic init/ties, so any engine replays it) partitions the
+    * embedding space into `nLists` clusters; exact cosine runs only
+    * *inside* a cluster, and a vector is a semantic duplicate when a
+    * lower-id vector of the same cluster is ≥ `threshold` similar
+    * (keep-first, the house dedup convention). Returns one row per
+    * removed vector: (list, vec_id, keeper_id = its smallest qualifying
+    * lower id, cosine with that keeper).
+    *
+    * Scale shape: this is the quadratic-taming trick of the paper —
+    * pairwise cosine is O(n²/nLists) instead of O(n²), expressed as a
+    * self-equi-join on the cluster id (a shuffle-partitioned hash join;
+    * no cross join appears in the plan). Centroids are nLists × dims
+    * driver metadata; assignment is codegen'd argmax arithmetic, no
+    * shuffle. At corpus scale, grow `nLists` with n to hold the
+    * per-cluster candidate count flat.
+    */
+  def semDedup(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nLists: Int = 8,
+      iters: Int = 2,
+      threshold: Double = 0.3,
+      dims: Int = -1): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(emb.sparkSession)
+    val cents = Similarity.kmeansCentroids(emb, vecCol, idCol, nLists, iters, dims)
+    val assigned = persistTracked(emb.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      element_at(Similarity.nearestLists(col(vecCol), cents, 1), 1).as("list")))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    a.join(b, col("a.list") === col("b.list") && col("a.id") < col("b.id"))
+      .withColumn("cosine", call_function("graft_cosine", col("a.vec"), col("b.vec")))
+      .where(col("cosine") >= threshold)
+      .select(col("b.list").as("list"), col("b.id").as("vec_id"),
+        col("a.id").as("keeper"), col("cosine"))
+      // smallest qualifying keeper and its cosine in one min(struct):
+      // keeper is unique per pair row, so the struct order is total
+      .groupBy("list", "vec_id")
+      .agg(min(struct(col("keeper"), col("cosine"))).as("k"))
+      .select(col("list"), col("vec_id"), col("k.keeper").as("keeper_id"),
+        round(col("k.cosine"), 4).as("cosine"))
+  }
+
+  /** Fuzzy (edit-distance) near-duplicate pairs: block on the md5 of
+    * the first `blockTokens` tokens (the cheap prefix fingerprint that
+    * template-duplicated documents share), then verify candidates with
+    * full Levenshtein, keeping pairs whose distance normalized by the
+    * longer text is ≤ `maxNormDist`. The LSH family (minHash/simHash)
+    * catches *content* overlap; edit distance catches *character-level*
+    * mutations (OCR noise, boilerplate injection) that token-set
+    * measures miss.
+    *
+    * Scale shape: candidates come from an equi-join on the block key —
+    * never all-pairs — and the O(len²) Levenshtein kernel runs only on
+    * same-block pairs. Blocks are prefix-natural ⇒ a hot template
+    * prefix is exactly the skew the auto-salting in [[minHashLsh]]
+    * addresses; reuse that pattern if a block exceeds memory.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockTokens: Int = 2,
+      maxNormDist: Double = 0.05): DataFrame = {
+    val docs = persistTracked(parallelize(df).select(
+      col(idCol).as("id"), col(textCol).as("txt"),
+      md5(array_join(slice(tokens(col(textCol)), 1, blockTokens), " ")).as("blk")))
+    val a = docs.as("a"); val b = docs.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.txt"), col("b.txt")).as("dist"),
+        greatest(length(col("a.txt")), length(col("b.txt"))).as("mx"))
+      .withColumn("norm_dist", round(col("dist") / col("mx").cast("double"), 4))
+      .where(col("dist") <= col("mx").cast("double") * maxNormDist)
+      .select("id_a", "id_b", "dist", "norm_dist")
+  }
+
   /** Cross-document duplicate-span statistics — exact substring
     * deduplication at n-gram granularity (the distributed shape of
     * suffix-array span dedup from the "Deduplicating Training Data"

@@ -74,6 +74,40 @@ object Mixture {
       .drop("_thr")
   }
 
+  /** Temperature-scaled mixture weights (the multilingual-sampling /
+    * DoReMi-adjacent recipe): measure each group's token share
+    * `p_raw = tokens_g / Σ tokens`, flatten it with a temperature
+    * exponent `p_temp ∝ p_raw^alpha` (alpha < 1 upweights small
+    * sources, alpha = 1 is proportional), and report the implied
+    * epochs-per-source at a given token `budget`
+    * (`epochs = p_temp · budget / tokens_g` — how many times a source
+    * repeats if the sampler draws `budget` tokens from this mixture).
+    *
+    * Scale shape: one map-side-combinable token-count aggregate over
+    * the corpus; everything after operates on the groups-sized
+    * metadata table (a broadcast-joined pair of tiny aggregates). The
+    * payload is never shuffled.
+    */
+  def temperatureWeights(df: DataFrame, textCol: String, groupCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val counts = df.groupBy(groupCol)
+      .agg(sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val totals = counts.agg(
+      sum("n_tokens").cast("double").as("_tot"),
+      sum(pow(col("n_tokens").cast("double"), alpha)).as("_zn"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_raw", col("n_tokens") / col("_tot"))
+      // p_temp = p_raw^alpha / Σ p_raw^alpha; the Σ folds the 1/totᵅ
+      // factor out, so tokensᵅ / Σ tokensᵅ is the same quotient with
+      // fewer roundings — and the form the oracle replays
+      .withColumn("p_temp", pow(col("n_tokens").cast("double"), alpha) / col("_zn"))
+      .select(col(groupCol), col("n_tokens"),
+        round(col("p_raw"), 6).as("p_raw"),
+        round(col("p_temp"), 6).as("p_temp"),
+        round(col("p_temp") * budget / col("n_tokens"), 4).as("epochs"))
+  }
+
   /** Token-budget mixture sampling — the token-weighted form of
     * [[sampleToMixture]]: per group, keep the deterministic
     * priority-prefix of documents (ordered by `md5(id)`, ties by id)

@@ -421,7 +421,18 @@ object TextAnalysis {
     */
   def bm25(df: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(df, textCol, idCol, queryTerms, k1, b)
+      .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** Unrounded BM25 score per matching document — the full ranking
+    * [[bm25]] truncates and [[hybridRrf]] fuses. One row per document
+    * containing ≥ 1 query term, column `_bm25`.
+    */
+  def bm25Scores(df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
     val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -439,9 +450,55 @@ object TextAnalysis {
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
           * col("tf") * lit(k1 + 1)
           / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id").agg(round(sum("_s"), 4).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .groupBy("doc_id").agg(sum("_s").as("_bm25"))
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.):
+    * fuse a lexical BM25 ranking against `queryTerms` with a semantic
+    * cosine ranking against the embedding of `queryVecId`, scoring each
+    * document `Σ 1/(c + rank)` over the rankings it appears in (the
+    * standard c = 60 damps rank-1 dominance). Rankings join FULL OUTER
+    * on the shared id space — a doc ranked by only one signal still
+    * scores. Returns top-`k`: (doc_id, bm25_rank, cos_rank, rrf).
+    *
+    * Scale shape: each ranking truncates to its top `depth` FIRST via
+    * orderBy().limit() — a TakeOrdered (parallel per-partition top-k +
+    * driver merge), never a single-partition global sort — and only the
+    * ≤ depth survivors see the rank-assigning window, so the window's
+    * one partition holds `depth` rows (a constant) at any corpus size.
+    * The query embedding is a one-row broadcast feeding codegen'd
+    * cosine arithmetic, and the fusion join runs on two depth-sized
+    * (metadata-scale) inputs.
+    */
+  def hybridRrf(docs: DataFrame, textCol: String, idCol: String,
+      emb: DataFrame, vecCol: String, embIdCol: String,
+      queryTerms: Seq[String], queryVecId: Long, k: Int = 10,
+      depth: Int = 100, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val lexical = bm25Scores(docs, textCol, idCol, queryTerms)
+      .orderBy(col("_bm25").desc, col("doc_id").asc).limit(depth)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("_bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("bm25_rank"))
+    val qv = broadcast(emb.where(col(embIdCol) === queryVecId)
+      .select(col(vecCol).as("_qv")))
+    val semantic = emb.where(col(embIdCol) =!= queryVecId)
+      .crossJoin(qv) // one-row broadcast: a scan-shaped pass, not a blow-up
+      .withColumn("_cos", call_function("graft_cosine", col(vecCol), col("_qv")))
+      .select(col(embIdCol).as("doc_id"), col("_cos"))
+      .orderBy(col("_cos").desc, col("doc_id").asc).limit(depth)
+      .withColumn("cos_rank", row_number().over(
+        Window.orderBy(col("_cos").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("cos_rank"))
+    lexical.join(semantic, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("bm25_rank")), lit(0d)) +
+          coalesce(lit(1.0) / (lit(c) + col("cos_rank")), lit(0d)))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(k)
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        round(col("rrf"), 6).as("rrf"))
   }
 
   /** Sequence packing — concat-and-chunk: documents concatenate in id

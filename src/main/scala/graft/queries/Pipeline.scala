@@ -405,6 +405,42 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // ---- SemDeDup: k-means clusters (the q68 quantizer) bound the
+    //      pairwise cosine to within-cluster; a vector is a semantic
+    //      duplicate of its smallest ≥0.3-similar lower id ----
+    "q105_semdedup" -> ((s, d) => {
+      Dedup.semDedup(Tables.embeddings(s, d), "embedding", "vec_id",
+          nLists = 8, iters = 2, threshold = 0.3, dims = 64)
+        .orderBy("vec_id")
+    }),
+
+    // ---- fuzzy dedup: prefix-blocked candidates verified by
+    //      normalized Levenshtein (character-level near-dups the
+    //      token-set measures miss) ----
+    "q106_fuzzy_dedup" -> ((s, d) => {
+      Dedup.editDistancePairs(Tables.documents(s, d), "text", "doc_id",
+          blockTokens = 2, maxNormDist = 0.05)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- temperature-scaled mixture weights: per-source token share
+    //      flattened by alpha=0.5, implied epochs at a 100k budget ----
+    "q107_temperature_mix" -> ((s, d) => {
+      Mixture.temperatureWeights(Tables.documents(s, d), "text", "source",
+          alpha = 0.5, budget = 100000L)
+        .orderBy("source")
+    }),
+
+    // ---- hybrid retrieval: BM25 and embedding-cosine rankings fused
+    //      by reciprocal-rank fusion (c=60), top-15 ----
+    "q108_rrf_hybrid" -> ((s, d) => {
+      TextAnalysis.hybridRrf(Tables.documents(s, d), "text", "doc_id",
+          Tables.embeddings(s, d), "embedding", "vec_id",
+          queryTerms = Seq("spark", "data", "query", "join"),
+          queryVecId = 0L, k = 15, depth = 100)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // ---- per-label embedding outliers: the 3 vectors of each label
     //      least similar to their own label's mean vector (semantic
     //      filtering / mislabel detection) ----
@@ -1359,6 +1395,151 @@ object Pipeline {
          FROM fps a JOIN fps b USING (fp)
          WHERE a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // SemDeDup: the q68 k-means unroll (c0 → 2 rounds → final
+    // assignment), then within-cluster pairs with cosine >= 0.3; each
+    // removed vector reports its smallest qualifying keeper
+    "q105_semdedup" ->
+      """WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS c
+            FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),
+          s1 AS (
+            SELECT e.vec_id, e.v, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM emb e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c0)) n),
+          a1 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s1) WHERE rn = 1),
+          c1 AS (
+            SELECT c0.list, coalesce(nw.c, c0.c) AS c
+            FROM c0 LEFT JOIN (
+              SELECT list, list(m ORDER BY pos) AS c FROM (
+                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
+                FROM a1 a, range(1, 65) t(i)
+                GROUP BY a.list, t.i)
+              GROUP BY list) nw USING (list)),
+          s2 AS (
+            SELECT e.vec_id, e.v, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM emb e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c1)) n),
+          a2 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s2) WHERE rn = 1),
+          c2 AS (
+            SELECT c1.list, coalesce(nw.c, c1.c) AS c
+            FROM c1 LEFT JOIN (
+              SELECT list, list(m ORDER BY pos) AS c FROM (
+                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
+                FROM a2 a, range(1, 65) t(i)
+                GROUP BY a.list, t.i)
+              GROUP BY list) nw USING (list)),
+          s3 AS (
+            SELECT e.vec_id, e.v, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM emb e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c2)) n),
+          a3 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s3) WHERE rn = 1),
+          pairs AS (
+            SELECT a.list AS list, b.vec_id AS vec_id, a.vec_id AS keeper,
+              list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+            FROM a3 a JOIN a3 b ON a.list = b.list AND a.vec_id < b.vec_id)
+         SELECT list, vec_id, keeper AS keeper_id, round(cos, 4) AS cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY keeper) AS rn
+           FROM pairs WHERE cos >= 0.3)
+         WHERE rn = 1 ORDER BY vec_id""",
+    // prefix-blocked Levenshtein verify; the filter compares the raw
+    // distance against len * 0.05 (norm_dist is rounded for display
+    // only, so both engines filter on the unrounded quotient)
+    "q106_fuzzy_dedup" ->
+      s"""WITH t AS (
+            SELECT doc_id, text,
+              md5(array_to_string(($Toks)[1:2], ' ')) AS blk
+            FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS dist,
+           round(levenshtein(a.text, b.text)
+                 / CAST(greatest(len(a.text), len(b.text)) AS DOUBLE), 4) AS norm_dist
+         FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.text, b.text)
+               <= greatest(len(a.text), len(b.text)) * 0.05
+         ORDER BY id_a, id_b""",
+    // p_temp = tokens^alpha / sum(tokens^alpha) — the 1/tot^alpha
+    // factor cancels, so both engines compute the identical quotient
+    "q107_temperature_mix" ->
+      s"""WITH counts AS (
+            SELECT source, CAST(sum(len($Toks)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+          totals AS (
+            SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+              sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS zn
+            FROM counts)
+         SELECT source, n_tokens,
+           round(n_tokens / tot, 6) AS p_raw,
+           round(pow(CAST(n_tokens AS DOUBLE), 0.5) / zn, 6) AS p_temp,
+           round(pow(CAST(n_tokens AS DOUBLE), 0.5) / zn * 100000 / n_tokens, 4) AS epochs
+         FROM counts CROSS JOIN totals ORDER BY source""",
+    // RRF: both rankings truncate to their top-100 before fusing;
+    // a doc present in one ranking only scores from that side alone
+    "q108_rrf_hybrid" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+          dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+          terms AS (
+            SELECT doc_id, u.term FROM toks, unnest(t) AS u(term)
+            WHERE u.term IN ('spark', 'data', 'query', 'join')),
+          tf AS (
+            SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+            FROM terms GROUP BY doc_id, term),
+          dfreq AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+          bm AS (
+            SELECT t.doc_id,
+              sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) * t.tf * 2.2
+                / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS s
+            FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+            CROSS JOIN stats s GROUP BY t.doc_id),
+          lex AS (
+            SELECT doc_id, bm25_rank FROM (
+              SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS bm25_rank
+              FROM bm) WHERE bm25_rank <= 100),
+          emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          qv AS (SELECT v FROM emb WHERE vec_id = 0),
+          sem AS (
+            SELECT doc_id, cos_rank FROM (
+              SELECT vec_id AS doc_id,
+                row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS cos_rank
+              FROM (
+                SELECT e.vec_id,
+                  list_sum(list_transform(range(1, 65), i -> e.v[i] * q.v[i])) /
+                  (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                   sqrt(list_sum(list_transform(q.v, x -> x * x)))) AS cos
+                FROM emb e CROSS JOIN qv q WHERE e.vec_id <> 0))
+            WHERE cos_rank <= 100),
+          fused AS (
+            SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+              l.bm25_rank, m.cos_rank,
+              coalesce(1.0 / (60 + l.bm25_rank), 0) +
+              coalesce(1.0 / (60 + m.cos_rank), 0) AS rrf
+            FROM lex l FULL JOIN sem m ON l.doc_id = m.doc_id)
+         SELECT doc_id, bm25_rank, cos_rank, round(rrf, 6) AS rrf
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 15""",
     // ORDER BY the unrounded drift (both engines compute the same
     // exact-int-over-double quotients), ties by term
     "q104_term_drift" ->

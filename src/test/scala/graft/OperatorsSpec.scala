@@ -792,4 +792,72 @@ class OperatorsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(got == Seq(11L, 13L, 0L, 2L, 1L))
   }
+
+  test("Dedup.semDedup: within-cluster keep-first removal, hand-computed") {
+    // two orthogonal families; ids 0 and 1 seed the two k-means lists
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)), (4L, Seq(0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val removed = Dedup.semDedup(emb, "embedding", "vec_id",
+        nLists = 2, iters = 1, threshold = 0.99, dims = 2)
+      .orderBy("vec_id")
+      .select("vec_id", "keeper_id").as[(Long, Long)].collect().toSeq
+    // cos(0,2)=.9939, cos(0,4)=.9986, cos(1,3)=.9939 all ≥ .99;
+    // every removed vector keeps to the smallest qualifying lower id
+    assert(removed == Seq((2L, 0L), (3L, 1L), (4L, 0L)))
+    // cross-cluster near-ties are never compared: only 3 removals
+    Dedup.clearCaches()
+  }
+
+  test("Dedup.editDistancePairs: prefix-blocked Levenshtein verify") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delty epsilon zeta"), // 1 edit, same block
+      (2L, "alpha beta completely different words entirely unrelated"),
+      (3L, "other prefix gamma delta epsilon zeta")) // different block
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "text", "doc_id",
+        blockTokens = 2, maxNormDist = 0.05)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((0L, 1L, 1)))
+    Dedup.clearCaches()
+  }
+
+  test("Mixture.temperatureWeights: alpha=0.5 flattening, hand-computed") {
+    val docs = Seq(
+      (0L, "a b c d", "small"),
+      (1L, "a b c d e f g h i j k l m n o p", "large"))
+      .toDF("doc_id", "text", "source")
+    val got = Mixture.temperatureWeights(docs, "text", "source",
+        alpha = 0.5, budget = 20L)
+      .orderBy("source")
+      .select("source", "n_tokens", "p_raw", "p_temp", "epochs")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // sqrt(16)=4, sqrt(4)=2 → p_temp = 2/3 vs 1/3; epochs = p_temp·20/n
+    assert(got == Seq(
+      ("large", 16L, 0.8, 0.666667, 0.8333),
+      ("small", 4L, 0.2, 0.333333, 1.6667)))
+  }
+
+  test("TextAnalysis.hybridRrf: fusion math and one-sided rankings") {
+    val docs = Seq(
+      (0L, "spark spark spark"), (1L, "data"), (2L, "nothing here"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = TextAnalysis.hybridRrf(docs, "text", "doc_id",
+        emb, "embedding", "vec_id",
+        queryTerms = Seq("spark", "data"), queryVecId = 0L, k = 3, depth = 2)
+      .collect()
+    // doc1 ranks on both sides (bm25 #2, cos #1): 1/62 + 1/61
+    // doc0 is the vector query (excluded semantically): 1/61 + 0
+    // doc2 never matches a term: 0 + 1/62
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 0L, 2L))
+    val d1 = got(0)
+    assert(d1.getInt(1) == 2 && d1.getInt(2) == 1)
+    assert(math.abs(d1.getDouble(3) - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    assert(got(1).isNullAt(2) && got(2).isNullAt(1)) // one-sided ranks stay NULL
+  }
 }
