@@ -22,6 +22,50 @@ class ScaleSpec extends SparkSpec {
     assert(got == want && got.size == 5050)
   }
 
+  test("semDedup/editDistancePairs candidate joins are equi, never all-pairs") {
+    // the quadratic-taming claim IS the plan: the within-cluster /
+    // within-block self-joins must hash on the cluster/block key —
+    // a CartesianProduct or non-equi BroadcastNestedLoopJoin here
+    // means pairwise cosine/Levenshtein over the whole corpus
+    val emb = (0 until 64).map(i =>
+        (i.toLong, Seq.tabulate(4)(j => if (j == i % 4) 1f else 0.01f * i)))
+      .toDF("vec_id", "embedding")
+    val sem = Dedup.semDedup(emb, "embedding", "vec_id",
+      nLists = 4, iters = 1, threshold = 0.999, dims = 4)
+    sem.collect()
+    val semPlan = sem.queryExecution.executedPlan.toString
+    assert(!semPlan.contains("CartesianProduct") &&
+      !semPlan.contains("BroadcastNestedLoopJoin"), semPlan)
+
+    val docs = (0 until 50).map(i => (i.toLong, s"pfx${i % 5} common tail $i"))
+      .toDF("doc_id", "text")
+    val fuzzy = Dedup.editDistancePairs(docs, "text", "doc_id")
+    fuzzy.collect()
+    val fuzzyPlan = fuzzy.queryExecution.executedPlan.toString
+    assert(!fuzzyPlan.contains("CartesianProduct") &&
+      !fuzzyPlan.contains("BroadcastNestedLoopJoin"), fuzzyPlan)
+    Dedup.clearCaches()
+  }
+
+  test("hybridRrf truncates both rankings with TakeOrdered before windows") {
+    // the rank windows are constant-size (depth rows) because each
+    // ranking is TakeOrdered-truncated FIRST — a global-sort Exchange
+    // feeding a corpus-sized single-partition window would be the
+    // non-scalable shape
+    val docs = (0 until 300).map(i => (i.toLong, s"spark data term$i"))
+      .toDF("doc_id", "text")
+    val emb = (0 until 300).map(i =>
+        (i.toLong, Seq.tabulate(4)(j => (i * 7 % 13 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = operators.TextAnalysis.hybridRrf(docs, "text", "doc_id",
+      emb, "embedding", "vec_id", Seq("spark", "data"), 0L, k = 10, depth = 25)
+    assert(out.count() == 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // lexical + semantic truncations (the final top-k is a third)
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sampleToTokenBudget never windows over a bare group (skew-immune plan)") {
     // one giant group next to small ones: the correctness is covered by
     // the OperatorsSpec equivalence test; here we pin the PLAN — every
