@@ -84,6 +84,9 @@ object Bench {
         tables.write(out)
       }
       results("vcf_build_sec") = buildSec
+      // the staging cache served its build; everything after reads the
+      // written parquet, so free the memory before the pull metrics
+      graft.vcf.VcfBuild.clearCaches()
 
       // cache = the analog of the reference's warm SQLite page cache
       // (its per-gene medians are measured across 23k sequential

@@ -42,18 +42,39 @@ object VcfBuild {
     */
   private val clinvarInfoCols = Seq("clinvar_sig", "clinvar_disease_name")
 
+  private val trackedCaches =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Drop the staging caches [[withVariantIds]] registered (mirrors
+    * `Dedup.clearCaches`). Returns how many were released.
+    */
+  def clearCaches(): Int = trackedCaches.synchronized {
+    val n = trackedCaches.size
+    trackedCaches.foreach(_.unpersist(false))
+    trackedCaches.clear()
+    n
+  }
+
   /** Deterministic contiguous `variant_id` (1-based): global sort on
     * (chr, pos, ref, alt) — a stable total order — then a distributed
     * ordinal via `zipWithIndex` (X4, `02-build-db.R:258-259`).
     *
-    * Scale note: `zipWithIndex` costs one extra lightweight job to count
-    * partition sizes but never collapses to a single partition, unlike
-    * `row_number() OVER ()` with an empty window. The sort is the one
-    * unavoidable wide stage (range partitioner ⇒ balanced output).
+    * Scale notes: `zipWithIndex` never collapses to a single partition,
+    * unlike `row_number() OVER ()` with an empty window; the sort is the
+    * one unavoidable wide stage (range partitioner ⇒ balanced output).
+    * The SORTED scan is what gets persisted (tracked, see
+    * [[clearCaches]]): zipWithIndex fires an eager partition-offsets
+    * job, and without the cache that job would parse + sort the entire
+    * input once and throw the result away, then every downstream
+    * consumer would pay the same wide stage again — at cluster scale,
+    * two full input passes instead of one. With it, the offsets job
+    * materializes the cache and the zip map is a narrow re-read.
     */
   def withVariantIds(parsed: DataFrame): DataFrame = {
     val spark = parsed.sparkSession
     val sorted = parsed.orderBy("chr", "pos", "ref", "alt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches.synchronized { trackedCaches += sorted }
     val outSchema = StructType(
       StructField("variant_id", LongType, nullable = false) +: sorted.schema.fields)
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
@@ -254,17 +275,17 @@ object VcfBuild {
 
   /** Build the full relational model.
     *
-    * The id-assigned scan is persisted before fan-out: info, impact and
-    * geno all derive from it, and without the cache each would re-parse
-    * and re-sort the entire input (3× the dominant cost). At cluster
-    * scale this is the standard materialize-the-staging-table step;
-    * storage is MEMORY_AND_DISK so oversized inputs spill rather than
-    * OOM.
+    * The sorted scan is persisted inside [[withVariantIds]] before the
+    * fan-out: info, impact and geno all derive from it, and without the
+    * cache each would re-parse and re-sort the entire input (3× the
+    * dominant cost). At cluster scale this is the standard
+    * materialize-the-staging-table step; storage is MEMORY_AND_DISK so
+    * oversized inputs spill rather than OOM. Release with
+    * [[clearCaches]] when the build's outputs are written.
     */
   def build(vcf: VcfDataset): VcfTables = {
     val spark = vcf.df.sparkSession
     val ids = withVariantIds(vcf.df)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val impact =
       if (vcf.header.csqColumns.isDefined) Some(variantImpact(ids, vcf.header))
       else None
@@ -329,9 +350,16 @@ final case class VcfTables(
         .write.mode("overwrite").parquet(s"$outDir/variant_info")
     impact.foreach(_.sortWithinPartitions("variant_id")
       .write.mode("overwrite").parquet(s"$outDir/variant_impact"))
-    geno.repartitionByRange(col("variant_id"))
-      .sortWithinPartitions("variant_id", "sample")
-      .write.mode("overwrite").parquet(s"$outDir/variant_geno")
+    // geno needs NO shuffle here: it derives from the range-sorted ids
+    // scan by a generator (explode preserves row order), so its
+    // partitions are already contiguous variant_id ranges with
+    // (variant_id, sample) runs — exactly the clustering the dropped
+    // repartitionByRange + sort re-created, minus the range-sampling
+    // pass and a full shuffle of the widest table. Parquet min/max
+    // stats stay tight; cap oversized outputs with
+    // spark.sql.files.maxRecordsPerFile if nSamples inflates a
+    // partition past target file size.
+    geno.write.mode("overwrite").parquet(s"$outDir/variant_geno")
     geneMap.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$outDir/gene_map"))
     samples.coalesce(1).write.mode("overwrite").parquet(s"$outDir/samples")
     meta.foreach { case (name, df) =>
