@@ -73,7 +73,8 @@ object Bench {
     }
 
     // ---- VCF-domain benchmark (BASELINE.md comparables) ----
-    if (args.isEmpty) try {
+    // args subset skips the VCF section unless "vcf" is passed too
+    if (args.isEmpty || args.contains("vcf")) try {
       val nVariants = 50000L
       val nSamples = 100
       val nGenes = 200

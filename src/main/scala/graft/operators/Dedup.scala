@@ -327,6 +327,59 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** Semantic contamination report — the embedding-space analog of
+    * n-gram decontamination ([[TextAnalysis.contaminated]]): a training
+    * vector is contaminated when it is ≥ `threshold` cosine-similar to
+    * any probe (eval/benchmark) vector sharing its hyperplane-signature
+    * bucket. Returns one row per contaminated training vector:
+    * (train_id, probe_id = smallest matching probe, cosine with it,
+    * n_hits = how many probes matched).
+    *
+    * Scale shape: the probe set (an eval benchmark — thousands, not
+    * billions) broadcasts with its signatures; the corpus streams
+    * through one codegen'd signature + equi-join + cosine pass. No
+    * shuffle of the training side at any corpus size.
+    */
+  def semanticContaminated(
+      train: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.3,
+      planes: Int = 4,
+      dims: Int = 64): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(train.sparkSession)
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
+      Similarity.hyperplaneSignature(col(vecCol), planes, dims).as("sig"))
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      Similarity.hyperplaneSignature(col(vecCol), planes, dims).as("sig")))
+    t.join(p, "sig")
+      .withColumn("cosine", call_function("graft_cosine", col("tv"), col("pv")))
+      .where(col("cosine") >= threshold)
+      .groupBy("train_id")
+      .agg(min(struct(col("probe_id"), col("cosine"))).as("k"),
+        count(lit(1)).as("n_hits"))
+      .select(col("train_id"), col("k.probe_id").as("probe_id"),
+        round(col("k.cosine"), 4).as("cosine"), col("n_hits"))
+  }
+
+  /** Drop semantically contaminated rows: `train` minus
+    * [[semanticContaminated]] matches (broadcast anti-join on the
+    * contaminated-id list, which is probe-bounded and small).
+    */
+  def semanticDecontaminate(
+      train: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.3,
+      planes: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val dropped = semanticContaminated(train, probes, vecCol, idCol,
+      threshold, planes, dims).select(col("train_id").as(idCol))
+    train.join(broadcast(dropped), Seq(idCol), "left_anti")
+  }
+
   /** End-to-end near-duplicate removal: LSH candidate pairs
     * ([[minHashLsh]]) → transitive clusters
     * ([[Graph.connectedComponents]]) → keep the minimum-id document of

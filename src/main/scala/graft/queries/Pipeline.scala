@@ -441,6 +441,18 @@ object Pipeline {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // ---- semantic decontamination: training vectors ≥0.3-similar to
+    //      an eval probe (every 10th vec) in the same LSH bucket, with
+    //      their closest-by-id probe and hit count ----
+    "q109_semantic_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.semanticContaminated(
+          emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
+          emb.where(pmod(col("vec_id"), lit(10)) === 0),
+          "embedding", "vec_id", threshold = 0.3, planes = 4, dims = 64)
+        .orderBy("train_id")
+    }),
+
     // ---- per-label embedding outliers: the 3 vectors of each label
     //      least similar to their own label's mean vector (semantic
     //      filtering / mislabel detection) ----
@@ -1395,6 +1407,34 @@ object Pipeline {
          FROM fps a JOIN fps b USING (fp)
          WHERE a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same hyperplane family as q56; train = vec_id % 10 <> 0, probes
+    // = the rest; smallest matching probe + hit count per train vector
+    "q109_semantic_decontaminate" ->
+      """WITH sig AS (
+            SELECT vec_id, embedding,
+              list_sum(list_transform(range(0, 4), p ->
+                CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), j ->
+                  embedding[j]::DOUBLE *
+                    (((('0x' || substr(md5('hp:' || p::VARCHAR || ':' || (j-1)::VARCHAR), 1, 15))::BIGINT
+                       % 2001) - 1000) / 1000.0))) >= 0
+                THEN 1 << p ELSE 0 END)) AS s
+            FROM embeddings),
+          hits AS (
+            SELECT t.vec_id AS train_id, p.vec_id AS probe_id,
+              list_sum(list_transform(range(1, len(t.embedding) + 1),
+                i -> t.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, len(t.embedding) + 1),
+                i -> t.embedding[i]::DOUBLE * t.embedding[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, len(p.embedding) + 1),
+                i -> p.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE)))) AS cos
+            FROM sig t JOIN sig p ON t.s = p.s
+            WHERE t.vec_id % 10 <> 0 AND p.vec_id % 10 = 0)
+         SELECT train_id, probe_id, round(cos, 4) AS cosine, n_hits FROM (
+           SELECT train_id, probe_id, cos,
+             count(*) OVER (PARTITION BY train_id) AS n_hits,
+             row_number() OVER (PARTITION BY train_id ORDER BY probe_id) AS rn
+           FROM hits WHERE cos >= 0.3)
+         WHERE rn = 1 ORDER BY train_id""",
     // SemDeDup: the q68 k-means unroll (c0 → 2 rounds → final
     // assignment), then within-cluster pairs with cosine >= 0.3; each
     // removed vector reports its smallest qualifying keeper

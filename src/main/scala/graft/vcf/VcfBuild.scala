@@ -57,30 +57,48 @@ object VcfBuild {
 
   /** Deterministic contiguous `variant_id` (1-based): global sort on
     * (chr, pos, ref, alt) — a stable total order — then a distributed
-    * ordinal via `zipWithIndex` (X4, `02-build-db.R:258-259`).
+    * ordinal (X4, `02-build-db.R:258-259`) via the two-phase
+    * partition-offset pattern: per-partition counts (a partitions-sized
+    * metadata table) → exclusive-prefix offsets (window over that tiny
+    * table) → broadcast-joined back, id = offset + row_number within
+    * the partition. Equivalent to `rdd.zipWithIndex` but fully
+    * declarative and columnar: no eager offsets job (zipWithIndex fires
+    * one at call time, costing a thrown-away parse+sort of the whole
+    * input), no Row materialization (the RDD detour decodes every
+    * nested genotype struct into JVM objects once per consumer — GC
+    * amplification under a loaded heap), and never a single-partition
+    * window (the row_number partitions on the sort's own range
+    * partitions, which the range partitioner keeps balanced).
     *
-    * Scale notes: `zipWithIndex` never collapses to a single partition,
-    * unlike `row_number() OVER ()` with an empty window; the sort is the
-    * one unavoidable wide stage (range partitioner ⇒ balanced output).
-    * The SORTED scan is what gets persisted (tracked, see
-    * [[clearCaches]]): zipWithIndex fires an eager partition-offsets
-    * job, and without the cache that job would parse + sort the entire
-    * input once and throw the result away, then every downstream
-    * consumer would pay the same wide stage again — at cluster scale,
-    * two full input passes instead of one. With it, the offsets job
-    * materializes the cache and the zip map is a narrow re-read.
+    * The SORTED scan persists (tracked, see [[clearCaches]]): info,
+    * impact and geno all fan out from it, so the one unavoidable wide
+    * stage — parse + global sort — runs exactly once.
     */
   def withVariantIds(parsed: DataFrame): DataFrame = {
-    val spark = parsed.sparkSession
-    val sorted = parsed.orderBy("chr", "pos", "ref", "alt")
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("chr", "pos", "ref", "alt")
+    val sorted = parsed.orderBy(keys.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trackedCaches.synchronized { trackedCaches += sorted }
-    val outSchema = StructType(
-      StructField("variant_id", LongType, nullable = false) +: sorted.schema.fields)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq((i + 1L) +: r.toSeq)
-    }
-    spark.createDataFrame(rdd, outSchema)
+    // monotonically_increasing_id encodes (partition << 33 | position)
+    // over the pinned cache partitioning — order-consistent with the
+    // sort but non-contiguous; the offsets table re-bases each
+    // partition's positions to a contiguous 1-based ordinal. A window
+    // partitioned on a DERIVED partition id would not satisfy the
+    // range-partitioned cache's distribution and Catalyst would insert
+    // a second full shuffle — this shape never touches the wide rows
+    // with anything but a broadcast hash join.
+    val withMid = sorted.withColumn("_mid", monotonically_increasing_id())
+    val pid = shiftright(col("_mid"), 33)
+    val pos = col("_mid").bitwiseAND(lit((1L << 33) - 1))
+    val wOff = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withMid.groupBy(pid.as("_pid")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum("_n").over(wOff), lit(0L)))
+      .select("_pid", "_off")
+    withMid.join(broadcast(offsets), pid === col("_pid"))
+      .withColumn("variant_id", col("_off") + pos + lit(1L))
+      .select(col("variant_id") +: parsed.columns.map(col): _*)
   }
 
   /** `variant_info`: one row per variant — genomic interval, fixed VCF

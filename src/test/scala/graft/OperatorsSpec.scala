@@ -824,6 +824,26 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Dedup.semanticContaminated/Decontaminate: bucketed probe matches") {
+    // probe (1,0) lands in hyperplane bucket 11 (weights hand-derived
+    // from the md5 family); train 1 and 3 share it with cos ≥ .95,
+    // train 2 sits in bucket 10 and is never even compared
+    val train = Seq(
+      (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq((10L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val hits = Dedup.semanticContaminated(train, probes, "embedding", "vec_id",
+        threshold = 0.95, planes = 4, dims = 2)
+      .orderBy("train_id")
+      .select("train_id", "probe_id", "n_hits").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(hits == Seq((1L, 10L, 1L), (3L, 10L, 1L)))
+    val kept = Dedup.semanticDecontaminate(train, probes, "embedding", "vec_id",
+        threshold = 0.95, planes = 4, dims = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
   test("Mixture.temperatureWeights: alpha=0.5 flattening, hand-computed") {
     val docs = Seq(
       (0L, "a b c d", "small"),
