@@ -844,6 +844,76 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Seq(2L))
   }
 
+  test("Dedup.editDistancePairs matches a brute-force reference on random corpora") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    val words = Vector("aa", "ab", "ba", "bb") // 16 possible 2-token blocks
+    for (_ <- 1 to 3) {
+      val docs = (0L until 20L).map { id =>
+        (id, Seq.fill(4 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      val maxNorm = 0.4
+      val byBlock = docs.groupBy(_._2.split(" ").take(2).mkString(" "))
+      val expected = (for {
+        blk <- byBlock.values.toSeq
+        Seq((ia, ta), (ib, tb)) <- blk.sortBy(_._1).combinations(2).toSeq
+        d = lev(ta, tb)
+        if d <= math.max(ta.length, tb.length) * maxNorm
+      } yield (ia, ib, d)).sortBy(p => (p._1, p._2))
+      val got = Dedup.editDistancePairs(docs.toDF("doc_id", "text"), "text",
+          "doc_id", blockTokens = 2, maxNormDist = maxNorm)
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSeq
+      assert(got == expected, s"got $got\nexpected $expected")
+      Dedup.clearCaches()
+    }
+  }
+
+  test("Dedup.semDedup matches brute-force within-cluster pairs on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val dims = 6; val tau = 0.8
+    val emb = (0L until 40L).map { id =>
+      (id, Seq.fill(dims)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = emb.toDF("vec_id", "embedding")
+    // same quantizer the operator runs; assignment replayed through the
+    // operator's own argmax expression so the brute force differs ONLY
+    // in the pairwise stage
+    val cents = Similarity.kmeansCentroids(df, "embedding", "vec_id",
+      nLists = 4, iters = 2, dims = dims)
+    val assigned = df.select($"vec_id",
+        element_at(Similarity.nearestLists($"embedding", cents, 1), 1).as("list"))
+      .as[(Long, Int)].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d
+      for (i <- 0 until dims) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = emb.toMap
+    val expected = emb.map(_._1).flatMap { b =>
+      val keepers = emb.map(_._1).filter(a =>
+        a < b && assigned(a) == assigned(b) && cos(vecs(a), vecs(b)) >= tau)
+      if (keepers.isEmpty) None else Some((b, keepers.min))
+    }.sortBy(_._1)
+    val got = Dedup.semDedup(df, "embedding", "vec_id",
+        nLists = 4, iters = 2, threshold = tau, dims = dims)
+      .orderBy("vec_id")
+      .select("vec_id", "keeper_id").as[(Long, Long)].collect().toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    Dedup.clearCaches()
+  }
+
   test("Mixture.temperatureWeights: alpha=0.5 flattening, hand-computed") {
     val docs = Seq(
       (0L, "a b c d", "small"),
