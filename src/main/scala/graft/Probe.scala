@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.vcf.{SyntheticVcf, VcfBuild}
+import graft.operators.Dedup
 
 /** Scratch perf probe (not part of the driver contract). */
 object Probe {
@@ -20,15 +20,16 @@ object Probe {
       println(f"[probe] $tag%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
     }
 
-    // bench-shaped end-to-end, repeated; caches dropped between runs
-    for (i <- 1 to 4) {
-      val out = java.nio.file.Files.createTempDirectory(s"graft_probe_vcf$i").toString
-      time(s"end-to-end run $i") {
-        val t = VcfBuild.build(SyntheticVcf.generate(spark, 50000L, 100, 200))
-        t.write(out); "ok"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    for (i <- 1 to 3) {
+      time(s"editDistancePairs run $i") {
+        Dedup.editDistancePairs(docs, "text", "doc_id").count()
       }
-      VcfBuild.clearCaches()
+      Dedup.clearCaches()
     }
+    val out = Dedup.editDistancePairs(docs, "text", "doc_id")
+    out.collect()
+    println(out.queryExecution.executedPlan.toString.take(4000))
     spark.stop()
   }
 }

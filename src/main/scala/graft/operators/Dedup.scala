@@ -477,12 +477,24 @@ object Dedup {
       col(idCol).as("id"), col(textCol).as("txt"),
       md5(array_join(slice(tokens(col(textCol)), 1, blockTokens), " ")).as("blk")))
     val a = docs.as("a"); val b = docs.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    // Conjunct order is deliberate and load-bearing: a trailing WHERE
+    // on the distance gets pushed into the join condition AHEAD of the
+    // cheap guards (observed in the executed plan), running the
+    // O(len²) kernel on every hash-collided pair in both id orders.
+    // Writing the full condition here pins the evaluation order:
+    // id ordering and the |len gap| lower bound (which implies
+    // Levenshtein > budget) prune ~25× of the pairs for O(1) each
+    // before the kernel fires once per survivor.
+    val mx = greatest(length(col("a.txt")), length(col("b.txt")))
+    val lenGapOk = abs(length(col("a.txt")) - length(col("b.txt"))) <=
+      mx * maxNormDist
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id")
+        && lenGapOk
+        && levenshtein(col("a.txt"), col("b.txt")) <= mx * maxNormDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         levenshtein(col("a.txt"), col("b.txt")).as("dist"),
-        greatest(length(col("a.txt")), length(col("b.txt"))).as("mx"))
+        mx.as("mx"))
       .withColumn("norm_dist", round(col("dist") / col("mx").cast("double"), 4))
-      .where(col("dist") <= col("mx").cast("double") * maxNormDist)
       .select("id_a", "id_b", "dist", "norm_dist")
   }
 
