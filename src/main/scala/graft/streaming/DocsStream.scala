@@ -59,13 +59,15 @@ object DocsStream {
     val schema = spark.read.parquet(staged).schema
     val stream = spark.readStream.schema(schema).parquet(staged)
     val name = s"docs_curation_${System.nanoTime()}"
-    val q = curationAgg(stream).writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EventsStream.withStatePartitions(spark, 8) {
+      val q = curationAgg(stream).writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 }

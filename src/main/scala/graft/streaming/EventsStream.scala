@@ -52,6 +52,21 @@ object EventsStream {
     staged.toString
   }
 
+  /** Run `body` with the shuffle-partition count (= state-store count
+    * for a streaming query started inside) temporarily pinned. Every
+    * stateful operator commits one store per partition per micro-batch,
+    * so the local AvailableNow harnesses size it down from 32 — the
+    * same knob a deployment pins before a stateful query's first start
+    * (the count is frozen into the checkpoint). Results are
+    * partition-count invariant; the DuckDB gates re-verify that.
+    */
+  private[streaming] def withStatePartitions[A](spark: SparkSession, n: Int)
+      (body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run the streaming aggregation once over the static events table
     * (AvailableNow ⇒ processes the whole file set, then stops) and
     * return the complete result as a batch DataFrame.
@@ -63,13 +78,15 @@ object EventsStream {
     val stream = spark.readStream.schema(schema).parquet(staged)
     val agg = tumblingAgg(stream, windowNs)
     val name = s"events_tumbling_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -143,13 +160,15 @@ object EventsStream {
     val out = dedupeStream(doubled, "event_id")
       .select("event_id", "user_id", "event_type", "value")
     val name = s"events_dedup_${System.nanoTime()}"
-    val q = out.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -255,13 +274,15 @@ object EventsStream {
     val stream = spark.readStream.schema(schema).parquet(staged)
     val out = sessionize(stream, gapNs)
     val name = s"events_sessions_${System.nanoTime()}"
-    val q = out.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 }
