@@ -321,9 +321,10 @@ object Dedup {
       col(idCol).as("id"), col(vecCol).as("vec"),
       Similarity.hyperplaneSignature(col(vecCol), planes, dims).as("sig"))
     val a = sigs.as("a"); val b = sigs.as("b")
-    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+    // id-order guard pinned ahead of the cosine kernel (see semDedup)
+    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id")
+        && call_function("graft_cosine", col("a.vec"), col("b.vec")) >= threshold)
       .withColumn("cosine", call_function("graft_cosine", col("a.vec"), col("b.vec")))
-      .where(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
@@ -439,9 +440,13 @@ object Dedup {
       col(idCol).as("id"), col(vecCol).as("vec"),
       element_at(Similarity.nearestLists(col(vecCol), cents, 1), 1).as("list")))
     val a = assigned.as("a"); val b = assigned.as("b")
-    a.join(b, col("a.list") === col("b.list") && col("a.id") < col("b.id"))
+    // full condition written here so the id-order guard runs BEFORE the
+    // cosine kernel — a trailing WHERE gets pushed into the join
+    // condition ahead of it, doubling the cosine evaluations (the q106
+    // Levenshtein lesson, verified in the executed plan)
+    a.join(b, col("a.list") === col("b.list") && col("a.id") < col("b.id")
+        && call_function("graft_cosine", col("a.vec"), col("b.vec")) >= threshold)
       .withColumn("cosine", call_function("graft_cosine", col("a.vec"), col("b.vec")))
-      .where(col("cosine") >= threshold)
       .select(col("b.list").as("list"), col("b.id").as("vec_id"),
         col("a.id").as("keeper"), col("cosine"))
       // smallest qualifying keeper and its cosine in one min(struct):
