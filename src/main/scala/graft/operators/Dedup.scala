@@ -293,15 +293,14 @@ object Dedup {
       .where(size(col("shash")) > 0)
     val a = docs.as("a"); val b = docs.as("b")
     val blockPred = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    a.join(b, blockPred && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        size(array_intersect(col("a.shash"), col("b.shash"))).cast("double").as("inter"),
-        (size(col("a.shash")) + size(col("b.shash"))).cast("double").as("tot"))
-      .withColumn("jaccard",
-        when(col("tot") - col("inter") === 0, lit(0d))
-          .otherwise(col("inter") / (col("tot") - col("inter"))))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // id-order guard pinned ahead of the set-intersection kernel (a
+    // trailing WHERE on jaccard gets pushed into the join condition
+    // FIRST, running array_intersect on both id orders — see semDedup)
+    val inter = size(array_intersect(col("a.shash"), col("b.shash"))).cast("double")
+    val tot = (size(col("a.shash")) + size(col("b.shash"))).cast("double")
+    val jac = when(tot - inter === 0, lit(0d)).otherwise(inter / (tot - inter))
+    a.join(b, blockPred && col("a.id") < col("b.id") && jac >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), jac.as("jaccard"))
   }
 
   /** Embedding cosine near-duplicate pairs, LSH-bucketed: block on
