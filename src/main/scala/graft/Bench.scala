@@ -80,14 +80,20 @@ object Bench {
       val nGenes = 200
       val out = java.nio.file.Files.createTempDirectory("graft_vcf_bench").toString
 
-      val buildSec = time {
-        val tables = VcfBuild.build(SyntheticVcf.generate(spark, nVariants, nSamples, nGenes))
-        tables.write(out)
-      }
+      // best-of-2 like the query metrics: a single cold measurement of
+      // the build moved ±60% with ambient JVM/GC state across runs;
+      // the staging cache is dropped between runs so both measure the
+      // full parse+sort+write, and everything after reads the written
+      // parquet of the second run
+      val buildSec = (1 to 2).map { _ =>
+        val t = time {
+          val tables = VcfBuild.build(SyntheticVcf.generate(spark, nVariants, nSamples, nGenes))
+          tables.write(out)
+        }
+        graft.vcf.VcfBuild.clearCaches()
+        t
+      }.min
       results("vcf_build_sec") = buildSec
-      // the staging cache served its build; everything after reads the
-      // written parquet, so free the memory before the pull metrics
-      graft.vcf.VcfBuild.clearCaches()
 
       // cache = the analog of the reference's warm SQLite page cache
       // (its per-gene medians are measured across 23k sequential
