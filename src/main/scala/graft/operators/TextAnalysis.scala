@@ -381,6 +381,48 @@ object TextAnalysis {
     }
   }
 
+  /** Leakage-safe dataset splits: assign train/val/test at the
+    * *near-dup-cluster* grain, not the document grain. A plain
+    * per-document split ([[splitAssign]] on the doc id, q66) leaks
+    * near-duplicates across the boundary — the eval set then contains
+    * paraphrases of training documents; clustering first
+    * ([[Dedup.minHashLsh]] → [[Graph.connectedComponents]], the q69
+    * machinery) and hashing the CLUSTER id into the split keeps every
+    * duplicate family on one side. Singleton documents are their own
+    * cluster. Returns one row per split: (split, n_docs, n_clusters,
+    * min_doc, max_doc, clusters_spanning_splits) — the last column is
+    * the leakage count and is 0 by construction; it is computed from
+    * the data (not a literal) so the cross-engine gate actually
+    * re-proves it.
+    *
+    * Scale shape: LSH candidates and the iterative closure are
+    * dup-bounded (q69's analysis); the cluster map joins back
+    * broadcast; the split expression is row-local; the final aggregate
+    * has |splits| groups.
+    */
+  def leakageSafeSplit(df: DataFrame, textCol: String, idCol: String,
+      weights: Seq[(String, Double)],
+      numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minHashLsh(df, textCol, idCol,
+      numHashes, bands, shingleSize, threshold)
+    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val assigned = df.select(col(idCol))
+      .join(broadcast(comps), Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+      .withColumn("split", splitAssign(col("comp"), weights))
+    val spanning = assigned.groupBy("comp")
+      .agg(count_distinct(col("split")).as("_nsp"))
+      .agg(sum(when(col("_nsp") > 1, 1L).otherwise(0L))
+        .as("clusters_spanning_splits"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("comp")).as("n_clusters"),
+        min(idCol).as("min_doc"), max(idCol).as("max_doc"))
+      .crossJoin(broadcast(spanning))
+  }
+
   /** Term-distribution drift between two corpus snapshots (rows where
     * `inOld` is true vs the rest): unigram probabilities on each side
     * and the `k` terms with the largest absolute probability change —

@@ -441,6 +441,15 @@ object Pipeline {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // ---- leakage-safe splits: near-dup clusters (q69's LSH+closure)
+    //      hash into train/val/test atomically — no duplicate family
+    //      spans the eval boundary ----
+    "q110_leakage_safe_split" -> ((s, d) => {
+      TextAnalysis.leakageSafeSplit(Tables.documents(s, d), "text", "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("split")
+    }),
+
     // ---- semantic decontamination: training vectors ≥0.3-similar to
     //      an eval probe (every 10th vec) in the same LSH bucket, with
     //      their closest-by-id probe and hit count ----
@@ -1407,6 +1416,70 @@ object Pipeline {
          FROM fps a JOIN fps b USING (fp)
          WHERE a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q69's LSH + recursive-CTE closure, then q66's md5 split buckets
+    // keyed on the CLUSTER id; clusters_spanning_splits recomputed from
+    // the assignment (must be 0)
+    "q110_leakage_safe_split" ->
+      s"""WITH RECURSIVE
+          docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          verified AS (
+            SELECT id_a, id_b FROM (
+              SELECT id_a, id_b,
+                CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                  ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                       len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+              FROM cand)
+            WHERE jac >= 0.5),
+          u AS (SELECT id_a AS a, id_b AS b FROM verified
+                UNION SELECT id_b AS a, id_a AS b FROM verified),
+          reach(id, r) AS (
+            SELECT a AS id, a AS r FROM u
+            UNION
+            SELECT u.a AS id, reach.r AS r FROM u JOIN reach ON u.b = reach.id),
+          comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+          assigned AS (
+            SELECT doc_id, comp,
+              CASE WHEN b < 800000 THEN 'train'
+                   WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id, comp,
+                ('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 AS b
+              FROM (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+                    FROM documents d LEFT JOIN comps c ON d.doc_id = c.id))),
+          spanning AS (
+            SELECT CAST(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS clusters_spanning_splits
+            FROM (SELECT comp, count(DISTINCT split) AS nsp
+                  FROM assigned GROUP BY comp))
+         SELECT split, count(*) AS n_docs,
+           count(DISTINCT comp) AS n_clusters,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           clusters_spanning_splits
+         FROM assigned CROSS JOIN spanning
+         GROUP BY split, clusters_spanning_splits ORDER BY split""",
     // same hyperplane family as q56; train = vec_id % 10 <> 0, probes
     // = the rest; smallest matching probe + hit count per train vector
     "q109_semantic_decontaminate" ->

@@ -930,6 +930,35 @@ class OperatorsSpec extends SparkSpec {
       ("small", 4L, 0.2, 0.333333, 1.6667)))
   }
 
+  test("TextAnalysis.leakageSafeSplit keeps a dup family on one side") {
+    // doc ids 0 (train bucket) and 1 (test bucket) carry the same text:
+    // a doc-grain split WOULD put the pair on both sides of the eval
+    // boundary; the cluster-grain split hashes comp=0 for both
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, shared), (1L, shared),
+      (2L, "one two three four five six seven eight"),
+      (6L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (7L, "red orange yellow green blue indigo violet ultraviolet"))
+      .toDF("doc_id", "text")
+    // the naive assignment leaks: 0 → train but its dup 1 → test
+    val naive = docs.select($"doc_id",
+        TextAnalysis.splitAssign($"doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(naive(0L) == "train" && naive(1L) == "test")
+    val got = TextAnalysis.leakageSafeSplit(docs, "text", "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("split")
+      .select("split", "n_docs", "n_clusters", "clusters_spanning_splits")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("test", 1L, 1L, 0L),   // doc 6
+      ("train", 3L, 2L, 0L),  // docs 0, 1 (one cluster) + doc 2
+      ("val", 1L, 1L, 0L)))   // doc 7
+    Dedup.clearCaches()
+  }
+
   test("TextAnalysis.hybridRrf: fusion math and one-sided rankings") {
     val docs = Seq(
       (0L, "spark spark spark"), (1L, "data"), (2L, "nothing here"))
