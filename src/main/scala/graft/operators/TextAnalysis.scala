@@ -408,10 +408,13 @@ object TextAnalysis {
       numHashes, bands, shingleSize, threshold)
     val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", idCol)
-    val assigned = df.select(col(idCol))
+    // persisted (tracked in Dedup's cache registry): the spanning
+    // aggregate and the per-split aggregate both consume it, and
+    // without the cache each would replay the LSH + iterative closure
+    val assigned = Dedup.persistTracked(df.select(col(idCol))
       .join(broadcast(comps), Seq(idCol), "left")
       .withColumn("comp", coalesce(col("comp"), col(idCol)))
-      .withColumn("split", splitAssign(col("comp"), weights))
+      .withColumn("split", splitAssign(col("comp"), weights)))
     val spanning = assigned.groupBy("comp")
       .agg(count_distinct(col("split")).as("_nsp"))
       .agg(sum(when(col("_nsp") > 1, 1L).otherwise(0L))
