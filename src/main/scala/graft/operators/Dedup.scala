@@ -488,7 +488,12 @@ object Dedup {
     // Writing the full condition here pins the evaluation order:
     // id ordering and the |len gap| lower bound (which implies
     // Levenshtein > budget) prune ~25× of the pairs for O(1) each
-    // before the kernel fires once per survivor.
+    // before the kernel fires once per survivor. Known double-eval:
+    // the post-join projection re-computes the kernel to emit `dist`
+    // (same shape at the cosine emits in nearDupEmbedding/semDedup) —
+    // accepted, because survivors are a tiny fraction of candidates
+    // and a project-then-filter alternative gets collapsed back into
+    // the join by Catalyst, re-creating the unguarded order.
     val mx = greatest(length(col("a.txt")), length(col("b.txt")))
     val lenGapOk = abs(length(col("a.txt")) - length(col("b.txt"))) <=
       mx * maxNormDist

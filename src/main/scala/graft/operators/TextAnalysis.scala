@@ -397,8 +397,13 @@ object TextAnalysis {
     *
     * Scale shape: LSH candidates and the iterative closure are
     * dup-bounded (q69's analysis); the cluster map joins back
-    * broadcast; the split expression is row-local; the final aggregate
-    * has |splits| groups.
+    * UNHINTED — on a web corpus 30–50% of documents sit in some
+    * near-dup pair, so `comps` is corpus-bounded and a forced
+    * broadcast would OOM the driver. AQE broadcasts it when its
+    * runtime size is actually small (the sf0.1 case) and shuffles
+    * otherwise, same shape as [[Dedup.nearDedup]]'s anti-join. The
+    * split expression is row-local; the final aggregate has |splits|
+    * groups.
     */
   def leakageSafeSplit(df: DataFrame, textCol: String, idCol: String,
       weights: Seq[(String, Double)],
@@ -412,7 +417,7 @@ object TextAnalysis {
     // aggregate and the per-split aggregate both consume it, and
     // without the cache each would replay the LSH + iterative closure
     val assigned = Dedup.persistTracked(df.select(col(idCol))
-      .join(broadcast(comps), Seq(idCol), "left")
+      .join(comps, Seq(idCol), "left")
       .withColumn("comp", coalesce(col("comp"), col(idCol)))
       .withColumn("split", splitAssign(col("comp"), weights)))
     val spanning = assigned.groupBy("comp")

@@ -1651,8 +1651,10 @@ object Pipeline {
               coalesce(1.0 / (60 + l.bm25_rank), 0) +
               coalesce(1.0 / (60 + m.cos_rank), 0) AS rrf
             FROM lex l FULL JOIN sem m ON l.doc_id = m.doc_id)
-         SELECT doc_id, bm25_rank, cos_rank, round(rrf, 6) AS rrf
-         FROM fused ORDER BY rrf DESC, doc_id LIMIT 15""",
+         SELECT doc_id, bm25_rank, cos_rank, round(r, 6) AS rrf FROM (
+           SELECT doc_id, bm25_rank, cos_rank, rrf AS r FROM fused
+           ORDER BY r DESC, doc_id LIMIT 15)
+         ORDER BY r DESC, doc_id""",
     // ORDER BY the unrounded drift (both engines compute the same
     // exact-int-over-double quotients), ties by term
     "q104_term_drift" ->

@@ -47,6 +47,15 @@ object VcfBuild {
 
   /** Drop the staging caches [[withVariantIds]] registered (mirrors
     * `Dedup.clearCaches`). Returns how many were released.
+    *
+    * INVARIANT: only call after every output derived from the build
+    * (info/impact/geno writes, collects) has been materialized. The
+    * id assignment's offsets branch and probe branch must observe the
+    * IDENTICAL partition layout for `monotonically_increasing_id`;
+    * the tracked persist guarantees that. Unpersisting while derived
+    * plans are still lazy silently reverts them to two independent
+    * sort evaluations — safe today only because the range
+    * partitioning happens to be deterministic, and not a contract.
     */
   def clearCaches(): Int = trackedCaches.synchronized {
     val n = trackedCaches.size
@@ -326,15 +335,6 @@ final case class VcfTables(
     samples: DataFrame,
     meta: Map[String, DataFrame]) {
 
-  /** Persist as partitioned parquet — the analog of the reference's
-    * SQLite load + index stage, replaced by columnar layout:
-    * `info`/`impact` partitioned by `chr`-free single dir but sorted by
-    * `variant_id` (min/max stats ⇒ id-range pruning ≈ the reference's
-    * B-tree indexes); `geno` repartitioned by range on `variant_id` and
-    * sorted within partitions by (`variant_id`, `sample`) — the write
-    * clustering of `02-build-db.R:463-465` — so id-predicate pulls
-    * touch few row groups.
-    */
   /** Persist as bucketed managed tables (`spark.sql.warehouse.dir`):
     * `variant_info`, `variant_impact` and `variant_geno` are bucketed
     * and sorted by `variant_id` into the same bucket count, so

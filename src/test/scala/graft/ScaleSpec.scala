@@ -353,6 +353,34 @@ class ScaleSpec extends SparkSpec {
     assert(got == Seq(11L, 13L))
   }
 
+  test("leakageSafeSplit never force-broadcasts the corpus-bounded cluster map") {
+    // `comps` has one row per document in any near-dup pair — on a web
+    // corpus that is O(corpus) rows, so a broadcast() HINT on the
+    // join-back is a driver OOM at scale. The join must be unhinted:
+    // with auto-broadcast disabled it has to plan as a shuffled join
+    // (a hint would survive the -1 threshold and still produce a
+    // BroadcastHashJoin). The only legal broadcast in the q110 plan is
+    // the 1-row `spanning` crossing (BroadcastNestedLoopJoin).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (0 until 40).map(i =>
+          (i.toLong, if (i % 2 == 0) s"shared shingle body $i" else s"unique text $i here"))
+        .toDF("doc_id", "text")
+      val out = operators.TextAnalysis.leakageSafeSplit(docs, "text", "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"cluster-map join is force-broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled cluster-map join in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Dedup.clearCaches()
+    }
+  }
+
   test("Layout.zorder clusters BOTH dimensions tighter than hash layout") {
     import org.apache.spark.sql.functions.{col, max, min, spark_partition_id}
     // 100×100 grid; a good 2-D layout keeps each output partition's
