@@ -7,6 +7,10 @@ import graft.vcf.{SyntheticVcf, VcfApi, VcfBuild}
 /** Benchmark main. Emits ONE JSON line:
   *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   *
+  * Every line carries a `load_index` (max/min of a fixed reference op
+  * timed between sections): a self-diagnosis that distinguishes "the
+  * code got slower" from "the machine was starved during the run".
+  *
   * Two parts:
   *   1. every gated query from [[SparkEntry.queries]] on the SF dir,
   *      warmed up first at sf0.001 (plan compilation + JIT), forced
@@ -30,6 +34,39 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Best-of-2 with an outlier re-run: when the two timings disagree by
+    * more than `ratio`× one of them was noise (GC pause, CPU
+    * starvation), so a third run breaks the tie. The r6 driver bench
+    * recorded 59.8s for a sub-second groupBy under best-of-2 — a
+    * contended machine needs more than two samples before its minimum
+    * is believable.
+    */
+  private def bestOf(ratio: Double = 3.0)(body: => Unit): Double = {
+    val t1 = time(body)
+    val t2 = time(body)
+    val lo = math.min(t1, t2)
+    if (math.max(t1, t2) / math.max(lo, 1e-9) > ratio) math.min(lo, time(body))
+    else lo
+  }
+
+  /** Fixed reference op for the load index: a CPU-bound codegen'd
+    * aggregation whose cost is machine-state-only (no IO, no shuffle,
+    * nothing cached between calls). Timed at run start and after each
+    * bench section; the ratio max/min across the run is the run's
+    * `load_index` — ~1 on a quiet machine, large when the JVM was
+    * GC/CPU-starved while some sections ran. This makes a poisoned run
+    * self-labeling: r6's driver bench published 100× inflated timings
+    * with nothing in the JSON to show the machine (not the code) was
+    * sick.
+    */
+  private def loadProbe(spark: SparkSession): Double = {
+    // min-of-2 per sample point: single runs of even this fixed op
+    // jitter ±2× from scheduler wakeups alone; sustained contention
+    // inflates both runs, which is the signal load_index is after
+    def once = time(spark.range(50000000L).selectExpr("sum(id * 7)").collect())
+    math.min(once, once)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -47,6 +84,25 @@ object Bench {
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) allNames.filter(args.toSet) else allNames
 
+    // machine-state probes: sample at run start and after every
+    // section (see loadProbe). The probe op must be at C2 steady state
+    // before the baseline sample or JIT warm-up drift masquerades as a
+    // 3× "load" swing (observed: 0.19s start → 0.06s end with a single
+    // warm-up run), so burn it in until two consecutive runs agree
+    val probes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    locally {
+      var prev = loadProbe(spark)
+      var stable = 0
+      var i = 0
+      while (stable < 2 && i < 15) {
+        val t = loadProbe(spark)
+        if (math.max(t, prev) / math.max(math.min(t, prev), 1e-9) < 1.2) stable += 1
+        else stable = 0
+        prev = t; i += 1
+      }
+    }
+    probes("start") = loadProbe(spark)
+
     // Warmup at the smallest SF: pays codegen/JIT once so measured
     // numbers reflect steady-state execution, like the reference's
     // per-gene loops after the first gene.
@@ -56,21 +112,20 @@ object Bench {
       graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches(); graft.operators.Curation.clearCaches()
     }
 
-    // best-of-2: second run measures steady state (shuffle files,
-    // code cache, page cache warm) — the regime a long-lived cluster
-    // session actually operates in
+    // repeated runs measure steady state (shuffle files, code cache,
+    // page cache warm) — the regime a long-lived cluster session
+    // actually operates in; bestOf adds a third run when the first two
+    // disagree wildly (contended machine)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { n =>
       results(n) =
-        try {
-          val t1 = time(forceRun(SparkEntry.queries(n)(spark, sfDir)))
-          val t2 = time(forceRun(SparkEntry.queries(n)(spark, sfDir)))
-          math.min(t1, t2)
-        } catch { case _: Throwable => -1.0 }
-      // dedup signature caches are per-call; don't let 58 queries × 2
+        try bestOf()(forceRun(SparkEntry.queries(n)(spark, sfDir)))
+        catch { case _: Throwable => -1.0 }
+      // dedup signature caches are per-call; don't let 58 queries × N
       // runs accumulate cached tables in one JVM
       graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches(); graft.operators.Curation.clearCaches()
     }
+    probes("after_queries") = loadProbe(spark)
 
     // ---- VCF-domain benchmark (BASELINE.md comparables) ----
     // args subset skips the VCF section unless "vcf" is passed too
@@ -80,19 +135,16 @@ object Bench {
       val nGenes = 200
       val out = java.nio.file.Files.createTempDirectory("graft_vcf_bench").toString
 
-      // best-of-2 like the query metrics: a single cold measurement of
+      // best-of like the query metrics: a single cold measurement of
       // the build moved ±60% with ambient JVM/GC state across runs;
-      // the staging cache is dropped between runs so both measure the
+      // the staging cache is dropped between runs so each measures the
       // full parse+sort+write, and everything after reads the written
-      // parquet of the second run
-      val buildSec = (1 to 2).map { _ =>
-        val t = time {
-          val tables = VcfBuild.build(SyntheticVcf.generate(spark, nVariants, nSamples, nGenes))
-          tables.write(out)
-        }
+      // parquet of the last run
+      val buildSec = bestOf() {
+        val tables = VcfBuild.build(SyntheticVcf.generate(spark, nVariants, nSamples, nGenes))
+        tables.write(out)
         graft.vcf.VcfBuild.clearCaches()
-        t
-      }.min
+      }
       results("vcf_build_sec") = buildSec
 
       // cache = the analog of the reference's warm SQLite page cache
@@ -145,6 +197,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vcf bench failed: $e")
     }
+    probes("after_vcf") = loadProbe(spark)
 
     // ---- splittable BGZF scan: parse a multi-block bgzipped VCF ----
     // Guards the partition count (a regression to 1 partition means the
@@ -170,16 +223,31 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bgzf bench failed: $e")
     }
+    probes("after_bgzf") = loadProbe(spark)
 
     // ---- streaming throughput (rows/s through the tumbling agg) ----
+    // A starved run that produces no qualifying batches returns None:
+    // retry once with a 3× deadline, then OMIT the metric — the r6
+    // driver run published a literal 0.0 rows/s for a timed-out
+    // measurement, which read as a catastrophic result instead of a
+    // failed probe.
     try {
       // short warmup run pays source/sink setup + codegen
       graft.streaming.EventsStream.rateThroughput(spark, 100000L, minBatches = 2)
-      results("stream_tumbling_rows_per_sec") =
-        graft.streaming.EventsStream.rateThroughput(spark, 5000000L, minBatches = 8)
+      graft.streaming.EventsStream.rateThroughput(spark, 5000000L, minBatches = 8)
+        .orElse {
+          System.err.println("[bench] stream probe timed out; retrying with 90s deadline")
+          graft.streaming.EventsStream.rateThroughput(spark, 5000000L,
+            minBatches = 4, maxWaitMillis = 90000L)
+        } match {
+          case Some(r) => results("stream_tumbling_rows_per_sec") = r
+          case None => System.err.println(
+            "[bench] stream throughput unmeasurable on this machine; metric omitted")
+        }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream bench failed: $e")
     }
+    probes("after_stream") = loadProbe(spark)
 
     // ---- scale sweep: headline queries re-timed one SF down, scaling
     // exponent per query (t ≈ c·N^e ⇒ e = ln(t_big/t_mid)/ln(ratio)).
@@ -208,9 +276,7 @@ object Bench {
         val tBig = results.getOrElse(n, -1.0)
         if (tBig > 0) {
           try {
-            val t1 = time(forceRun(SparkEntry.queries(n)(spark, mid)))
-            val t2 = time(forceRun(SparkEntry.queries(n)(spark, mid)))
-            val tMid = math.min(t1, t2)
+            val tMid = bestOf()(forceRun(SparkEntry.queries(n)(spark, mid)))
             val e = math.log(tBig / tMid) / math.log(ratio)
             // a ~0 mid timing yields a non-finite exponent, which would
             // render as the bare token Infinity and break the JSON line
@@ -227,7 +293,19 @@ object Bench {
       case (n, (tMid, tBig, _, e)) if e > 1.15 && tMid >= 0.05 && tBig >= 0.5 => n
     }.toSeq
 
+    probes("end") = loadProbe(spark)
+    // load_index = worst/best probe across the run. Quiet runs land
+    // under ~2.5 (residual JIT drift); >3 means some section ran while
+    // the JVM was starved and the timings recorded there are machine
+    // noise, not plan cost. The absolute probe seconds (load_probes in
+    // the full line) carry the cross-run diagnosis even when the WHOLE
+    // run was contended: the op is fixed, so ~0.1s on this hardware
+    // quiet vs. multi-second starved.
+    val loadIndex = probes.values.max / math.max(probes.values.min, 1e-9)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val probesJson = probes.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val scalingJson = sweep.map { case (n, (tMid, tBig, ratio, e)) =>
       f""""$n":{"t_mid":$tMid%.4f,"t_big":$tBig%.4f,"ratio":$ratio%.1f,"exp":$e%.3f}"""
@@ -238,7 +316,7 @@ object Bench {
       case (k, v) if v >= 0 && !k.endsWith("_rows_per_sec") => v
     }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"scaling":$scalingJson,"scaling_flagged":$flaggedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"scaling":$scalingJson,"scaling_flagged":$flaggedJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
     // Compact totals-only line: the five BASELINE.md comparables plus the
     // sweep verdict. This is the line the driver's bounded tail capture
     // must survive — keep it short no matter how many queries exist.
@@ -248,7 +326,7 @@ object Bench {
     val compactQs = comparables.flatMap(k => results.get(k).map(v =>
       "\"" + k + "\":" + f"$v%.4f")).mkString("{", ",", "}")
     val compactLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$compactQs,"n_queries":${results.size},"scaling_flagged":$flaggedJson,"sf":"$sfDir","full":"/tmp/graft_bench_full.json"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$compactQs,"n_queries":${results.size},"scaling_flagged":$flaggedJson,"load_index":$loadIndex%.2f,"sf":"$sfDir","full":"/tmp/graft_bench_full.json"}"""
 
     // Sidecars: survive even if stdout capture is truncated.
     try {

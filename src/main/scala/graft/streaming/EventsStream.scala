@@ -98,10 +98,15 @@ object EventsStream {
     * when the engine lags, so with an aggressive `rowsPerSecond` the
     * measured number reflects the aggregation pipeline, not the
     * generator.
+    *
+    * Returns `None` when the run produced no qualifying batches inside
+    * the deadline (a starved/contended JVM) — a failed measurement must
+    * surface as "no measurement", never as a plausible-looking 0.0
+    * (which the r6 driver run published as if it were a real rate).
     */
   def rateThroughput(spark: SparkSession, rowsPerSecond: Long,
       minBatches: Int = 4, maxWaitMillis: Long = 30000L,
-      windowNs: Long = 3600L * 1000 * 1000 * 1000): Double = {
+      windowNs: Long = 3600L * 1000 * 1000 * 1000): Option[Double] = {
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond)
       .option("numPartitions", spark.sparkContext.defaultParallelism)
@@ -130,7 +135,7 @@ object EventsStream {
       .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
       .sum / 1000.0
     spark.catalog.dropTempView(name)
-    if (secs > 0) rows / secs else 0.0
+    if (rows > 0 && secs > 0) Some(rows / secs) else None
   }
 
   /** Streaming in-flight deduplication: first occurrence of each

@@ -10,7 +10,7 @@ class StreamingSpec extends SparkSpec {
   test("rateThroughput measures positive engine rows/sec") {
     val rps = EventsStream.rateThroughput(
       spark, rowsPerSecond = 20000L, minBatches = 2)
-    assert(rps > 0.0, s"expected positive throughput, got $rps")
+    assert(rps.exists(_ > 0.0), s"expected positive throughput, got $rps")
   }
 
   test("streaming dedup drops a duplicate arriving in a LATER micro-batch") {
