@@ -423,7 +423,10 @@ object Dedup {
     * no cross join appears in the plan). Centroids are nLists × dims
     * driver metadata; assignment is codegen'd argmax arithmetic, no
     * shuffle. At corpus scale, grow `nLists` with n to hold the
-    * per-cluster candidate count flat.
+    * per-cluster candidate count flat. The quantizer trains on a
+    * bounded md5-deterministic sample (`trainCap`, see
+    * [[Similarity.kmeansCentroids]]) so training never re-scans the
+    * full corpus per iteration; the corpus is assigned exactly once.
     */
   def semDedup(
       emb: DataFrame,
@@ -432,9 +435,11 @@ object Dedup {
       nLists: Int = 8,
       iters: Int = 2,
       threshold: Double = 0.3,
-      dims: Int = -1): DataFrame = {
+      dims: Int = -1,
+      trainCap: Int = 262144): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(emb.sparkSession)
-    val cents = Similarity.kmeansCentroids(emb, vecCol, idCol, nLists, iters, dims)
+    val cents = Similarity.kmeansCentroids(emb, vecCol, idCol, nLists, iters,
+      dims, trainCap)
     val assigned = persistTracked(emb.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       element_at(Similarity.nearestLists(col(vecCol), cents, 1), 1).as("list")))

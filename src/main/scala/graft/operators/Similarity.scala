@@ -180,36 +180,57 @@ object Similarity {
     * one narrow pass + one slim shuffle per round}. Centroids live on
     * the driver (nLists × dims doubles — metadata scale); empty lists
     * keep their previous centroid.
+    *
+    * The quantizer trains on a BOUNDED deterministic sample: the
+    * `trainCap` vectors with the smallest `md5("km:" || id)` — the
+    * standard IVF practice (FAISS trains its coarse quantizer on a
+    * fixed-size sample, not the corpus). Fitting 8–64 centroids needs
+    * thousands of vectors, not billions; training on the full corpus
+    * would cost `iters`+1 full scans per build at 100 TB. The sampled
+    * form costs ONE full-corpus pass (a TakeOrdered whose map-side
+    * top-k is `trainCap`-bounded), caches the sample, and iterates on
+    * it — corpus-pass count is independent of `iters`. The md5 rule is
+    * SQL-expressible, so the DuckDB oracles replay it exactly; when the
+    * corpus is at-or-under `trainCap` (every gate SF) the sample IS the
+    * corpus and the result is bit-identical to full-corpus training.
     */
   def kmeansCentroids(
       corpus: DataFrame, vecCol: String, idCol: String,
-      nLists: Int, iters: Int = 3, dims: Int = -1): Array[Array[Double]] = {
+      nLists: Int, iters: Int = 3, dims: Int = -1,
+      trainCap: Int = 262144): Array[Array[Double]] = {
     graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val dim = if (dims > 0) dims else inferDims(corpus, vecCol)
-    var cents: Array[Array[Double]] = corpus
-      .orderBy(col(idCol)).limit(nLists)
-      .select(col(vecCol).cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(cents.length == nLists,
-      s"corpus has fewer rows (${cents.length}) than nLists=$nLists")
-    for (_ <- 1 to iters) {
-      // staged projection: the argmax assignment must materialize
-      // BELOW the generator — inlined next to posexplode it would be
-      // re-evaluated once per exploded dimension (64× the work)
-      val assigned = corpus
-        .select(
-          element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"),
-          col(vecCol).cast("array<double>").as("_vd"))
-        .select(col("list"), posexplode(col("_vd")).as(Seq("pos", "v")))
-      val means = assigned.groupBy("list", "pos").agg(avg(col("v")).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    val train = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_vd"))
+      .orderBy(md5(concat_ws(":", lit("km"), col(idCol).cast("string"))))
+      .limit(trainCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Double]] = train
+        .orderBy(col(idCol)).limit(nLists)
+        .select(col("_vd")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(cents.length == nLists,
+        s"corpus has fewer rows (${cents.length}) than nLists=$nLists")
+      for (_ <- 1 to iters) {
+        // staged projection: the argmax assignment must materialize
+        // BELOW the generator — inlined next to posexplode it would be
+        // re-evaluated once per exploded dimension (64× the work)
+        val assigned = train
+          .select(
+            element_at(nearestLists(col("_vd"), cents, 1), 1).as("list"),
+            col("_vd"))
+          .select(col("list"), posexplode(col("_vd")).as(Seq("pos", "v")))
+        val means = assigned.groupBy("list", "pos").agg(avg(col("v")).as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
+        cents = next
       }
-      cents = next
-    }
-    cents
+      cents
+    } finally train.unpersist(false)
   }
 
   /** IVF (inverted-file) ANN — the learned-partition scale path: a
@@ -227,10 +248,11 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 3, dims: Int = -1,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, trainCap: Int = 262144): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val dim = if (dims > 0) dims else inferDims(corpus, vecCol)
-    val cents = kmeansCentroids(corpus, vecCol, idCol, nLists, iters, dim)
+    val cents = kmeansCentroids(corpus, vecCol, idCol, nLists, iters, dim,
+      trainCap)
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       element_at(nearestLists(col(vecCol), cents, 1), 1).as("list"))

@@ -259,9 +259,12 @@ object Pipeline {
 
     // ---- IVF ANN: k-means coarse quantizer + probed re-rank. The
     //      quantizer is deterministic (smallest-id init, fixed iters,
-    //      tie-to-lower-list), so the oracle unrolls the k-means rounds
-    //      as chained CTEs — the q84 PageRank pattern; exact-recall
-    //      properties are additionally pinned in OperatorsSpec ----
+    //      tie-to-lower-list) and trains on a bounded md5-sample
+    //      (mirrored as the oracle's `train` CTE; at gate SFs the cap
+    //      exceeds the corpus so train = emb), so the oracle unrolls
+    //      the k-means rounds as chained CTEs — the q84 PageRank
+    //      pattern; exact-recall properties are additionally pinned in
+    //      OperatorsSpec ----
     "q68_ivf_knn" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5),
@@ -1214,13 +1217,16 @@ object Pipeline {
       """WITH emb AS (
             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
             FROM embeddings),
+          train AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)) LIMIT 262144),
           c0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS c
-            FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),
+            FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT 8)),
           s1 AS (
             SELECT e.vec_id, e.v, n.list,
               list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
-            FROM emb e CROSS JOIN (
+            FROM train e CROSS JOIN (
               SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
               FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c0)) n),
           a1 AS (
@@ -1238,7 +1244,7 @@ object Pipeline {
           s2 AS (
             SELECT e.vec_id, e.v, n.list,
               list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
-            FROM emb e CROSS JOIN (
+            FROM train e CROSS JOIN (
               SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
               FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c1)) n),
           a2 AS (
@@ -1515,13 +1521,16 @@ object Pipeline {
       """WITH emb AS (
             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
             FROM embeddings),
+          train AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)) LIMIT 262144),
           c0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS c
-            FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),
+            FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT 8)),
           s1 AS (
             SELECT e.vec_id, e.v, n.list,
               list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
-            FROM emb e CROSS JOIN (
+            FROM train e CROSS JOIN (
               SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
               FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c0)) n),
           a1 AS (
@@ -1539,7 +1548,7 @@ object Pipeline {
           s2 AS (
             SELECT e.vec_id, e.v, n.list,
               list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
-            FROM emb e CROSS JOIN (
+            FROM train e CROSS JOIN (
               SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
               FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c1)) n),
           a2 AS (

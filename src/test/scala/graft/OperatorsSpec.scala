@@ -914,6 +914,35 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("kmeansCentroids trains on the bounded md5-sample only") {
+    val rnd = new scala.util.Random(7)
+    val dims = 4
+    val emb = (0L until 60L).map(id => (id, Seq.fill(dims)(rnd.nextFloat())))
+    val df = emb.toDF("vec_id", "embedding")
+    // the sample rule, replayed literally: smallest md5("km:" || id)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val cap = 20
+    val sampleIds = emb.map(_._1).sortBy(id => md5hex(s"km:$id")).take(cap).toSet
+    val sampleDf = df.where($"vec_id".isin(sampleIds.toSeq: _*))
+    // training the full corpus with trainCap=cap ≡ training the
+    // pre-materialized sample — proves nothing outside the sample
+    // reaches the quantizer
+    val fromFull = Similarity.kmeansCentroids(df, "embedding", "vec_id",
+      nLists = 3, iters = 2, dims = dims, trainCap = cap)
+    val fromSample = Similarity.kmeansCentroids(sampleDf, "embedding", "vec_id",
+      nLists = 3, iters = 2, dims = dims, trainCap = Int.MaxValue)
+    assert(fromFull.map(_.toSeq).toSeq == fromSample.map(_.toSeq).toSeq)
+    // and cap ≥ corpus is exactly full-corpus training (the gate-SF
+    // regime: oracles replay the same numbers with or without the rule)
+    val capAll = Similarity.kmeansCentroids(df, "embedding", "vec_id",
+      nLists = 3, iters = 2, dims = dims, trainCap = 60)
+    val unbounded = Similarity.kmeansCentroids(df, "embedding", "vec_id",
+      nLists = 3, iters = 2, dims = dims, trainCap = Int.MaxValue)
+    assert(capAll.map(_.toSeq).toSeq == unbounded.map(_.toSeq).toSeq)
+  }
+
   test("Mixture.temperatureWeights: alpha=0.5 flattening, hand-computed") {
     val docs = Seq(
       (0L, "a b c d", "small"),
