@@ -310,19 +310,29 @@ object VcfBuild {
     * oversized inputs spill rather than OOM. Release with
     * [[clearCaches]] when the build's outputs are written.
     */
-  def build(vcf: VcfDataset): VcfTables = {
-    val spark = vcf.df.sparkSession
-    val ids = withVariantIds(vcf.df)
+  def build(vcf: VcfDataset): VcfTables =
+    fromStaged(withVariantIds(vcf.df), vcf.header)
+
+  /** Derive the relational model from an id-assigned scan — either the
+    * in-memory staging cache ([[build]]) or a staging parquet read back
+    * by a resumed pipeline run ([[VcfPipeline.run]]). In the
+    * resumed-from-parquet case the ids are literal data, so none of the
+    * partition-layout determinism the in-memory id assignment relies on
+    * ([[clearCaches]]) is needed — every derived table is a plain
+    * narrow read of the staging table.
+    */
+  def fromStaged(ids: DataFrame, header: VcfHeaderInfo): VcfTables = {
+    val spark = ids.sparkSession
     val impact =
-      if (vcf.header.csqColumns.isDefined) Some(variantImpact(ids, vcf.header))
+      if (header.csqColumns.isDefined) Some(variantImpact(ids, header))
       else None
     VcfTables(
-      info = variantInfo(ids, vcf.header),
+      info = variantInfo(ids, header),
       impact = impact,
-      geno = variantGeno(ids, vcf.header),
+      geno = variantGeno(ids, header),
       geneMap = impact.map(geneMap),
-      samples = samplesTable(spark, vcf.header),
-      meta = metaTables(spark, vcf.header))
+      samples = samplesTable(spark, header),
+      meta = metaTables(spark, header))
   }
 }
 
@@ -354,20 +364,39 @@ final case class VcfTables(
     save(geno, "variant_geno")
   }
 
-  def write(outDir: String, partitionByChr: Boolean = false): Unit = {
-    if (partitionByChr)
-      // genomic layout: hive-partition dirs on chr (directory pruning
-      // for range queries) + start-sorted files (min/max stats prune
-      // row groups within a chromosome) — the parquet replacement for
-      // the reference's tabix index (SURVEY §1.4, §4.2)
-      info.repartition(col("chr")).sortWithinPartitions("start")
-        .write.mode("overwrite").partitionBy("chr")
-        .parquet(s"$outDir/variant_info")
-    else
-      info.sortWithinPartitions("variant_id")
-        .write.mode("overwrite").parquet(s"$outDir/variant_info")
-    impact.foreach(_.sortWithinPartitions("variant_id")
-      .write.mode("overwrite").parquet(s"$outDir/variant_impact"))
+  /** Write every table under `outDir`. With `skipComplete` each table
+    * whose directory already carries a `_SUCCESS` marker is left
+    * untouched — the resume contract of [[VcfPipeline.run]]: a build
+    * killed mid-write redoes only the tables that never committed
+    * (Spark writes `_SUCCESS` last, so a torn write never looks
+    * complete). Returns the names of the tables actually written.
+    */
+  def write(outDir: String, partitionByChr: Boolean = false,
+      skipComplete: Boolean = false): Seq[String] = {
+    val written = Seq.newBuilder[String]
+    def stage(name: String)(body: => Unit): Unit = {
+      if (!(skipComplete && VcfPipeline.isComplete(info.sparkSession, s"$outDir/$name"))) {
+        body
+        written += name
+      }
+    }
+    stage("variant_info") {
+      if (partitionByChr)
+        // genomic layout: hive-partition dirs on chr (directory pruning
+        // for range queries) + start-sorted files (min/max stats prune
+        // row groups within a chromosome) — the parquet replacement for
+        // the reference's tabix index (SURVEY §1.4, §4.2)
+        info.repartition(col("chr")).sortWithinPartitions("start")
+          .write.mode("overwrite").partitionBy("chr")
+          .parquet(s"$outDir/variant_info")
+      else
+        info.sortWithinPartitions("variant_id")
+          .write.mode("overwrite").parquet(s"$outDir/variant_info")
+    }
+    impact.foreach(i => stage("variant_impact") {
+      i.sortWithinPartitions("variant_id")
+        .write.mode("overwrite").parquet(s"$outDir/variant_impact")
+    })
     // geno needs NO shuffle here: it derives from the range-sorted ids
     // scan by a generator (explode preserves row order), so its
     // partitions are already contiguous variant_id ranges with
@@ -377,11 +406,20 @@ final case class VcfTables(
     // stats stay tight; cap oversized outputs with
     // spark.sql.files.maxRecordsPerFile if nSamples inflates a
     // partition past target file size.
-    geno.write.mode("overwrite").parquet(s"$outDir/variant_geno")
-    geneMap.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$outDir/gene_map"))
-    samples.coalesce(1).write.mode("overwrite").parquet(s"$outDir/samples")
-    meta.foreach { case (name, df) =>
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta_$name")
+    stage("variant_geno") {
+      geno.write.mode("overwrite").parquet(s"$outDir/variant_geno")
     }
+    geneMap.foreach(g => stage("gene_map") {
+      g.coalesce(1).write.mode("overwrite").parquet(s"$outDir/gene_map")
+    })
+    stage("samples") {
+      samples.coalesce(1).write.mode("overwrite").parquet(s"$outDir/samples")
+    }
+    meta.foreach { case (name, df) =>
+      stage(s"meta_$name") {
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta_$name")
+      }
+    }
+    written.result()
   }
 }

@@ -77,6 +77,64 @@ class ApiSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/variant_geno").count() == 12)
   }
 
+  test("VcfPipeline.run resumes from the last committed stage after a kill") {
+    import java.nio.file.{Files, Paths, Path}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("vcfresume").toString
+    val vcfFile = s"$dir/toy.vcf"
+    Files.write(Paths.get(vcfFile),
+      ToyVcf.lines.mkString("\n").getBytes("UTF-8"))
+    val out = s"$dir/db"
+    VcfPipeline.run(spark, vcfFile, out)
+    assert(VcfPipeline.isComplete(spark, s"$out/_staging/ids"))
+
+    // (relative name → (size, mtime)) + content digest: "skipped" must
+    // mean byte-identical files never touched, not rewritten-same
+    def files(sub: String): Map[String, (Long, Long)] = {
+      val root = Paths.get(s"$out/$sub")
+      Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString ->
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis)).toMap
+    }
+    def digest(sub: String): String = {
+      val root = Paths.get(s"$out/$sub")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_))
+        .toSeq.sortBy(_.toString)
+        .foreach(p => md.update(Files.readAllBytes(p)))
+      md.digest().map(b => f"$b%02x").mkString
+    }
+    val stagingSig = files("_staging/ids")
+    val infoSig = files("variant_info")
+    val infoMd5 = digest("variant_info")
+
+    // kill mid-geno-write: a torn output has no _SUCCESS marker (the
+    // committer writes it last); drop the marker and a data file
+    val genoDir = Paths.get(s"$out/variant_geno")
+    Files.delete(genoDir.resolve("_SUCCESS"))
+    Files.walk(genoDir).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-"))
+      .foreach(Files.delete)
+    VcfPipeline.run(spark, vcfFile, out)
+    // completed stages byte-identical and untouched; torn one recommitted
+    assert(files("_staging/ids") == stagingSig,
+      "resume re-ran the staging scan despite its commit marker")
+    assert(files("variant_info") == infoSig && digest("variant_info") == infoMd5,
+      "resume rewrote a committed table")
+    assert(Files.exists(genoDir.resolve("_SUCCESS")))
+    assert(spark.read.parquet(s"$out/variant_geno").count() == 12)
+
+    // kill during staging: no staging marker → the scan re-runs (and
+    // committed downstream tables still skip)
+    Files.delete(Paths.get(s"$out/_staging/ids/_SUCCESS"))
+    VcfPipeline.run(spark, vcfFile, out)
+    assert(VcfPipeline.isComplete(spark, s"$out/_staging/ids"))
+    assert(files("_staging/ids") != stagingSig, "staging was not rebuilt")
+    assert(files("variant_info") == infoSig,
+      "staging rebuild must not rewrite committed tables")
+    assert(spark.read.parquet(s"$out/variant_info").count() == 6)
+  }
+
   test("VcfPipeline.run writes a multiallelic TSV report then aborts") {
     val dir = java.nio.file.Files.createTempDirectory("vcfpipe2").toString
     val bad = ToyVcf.lines.map(l =>
