@@ -37,10 +37,26 @@ object VcfApi {
     * point-lookup latency depends on (`03-index-db.R` builds the SQL
     * indexes at ETL time; the benchmark queries a warm DB). Built once
     * from the impact table — ~#genes entries of id arrays, metadata
-    * scale — and reused across point queries.
+    * scale at exome size — and reused across point queries.
+    *
+    * Heap guard: the driver map holds every (gene, id) pair as a
+    * primitive long; at ~100× genome scale that is O(100M) longs of
+    * driver heap. [[buildGeneIndex]] therefore counts first and above
+    * `maxDriverIds` returns the SPILLED form — `ids` empty, `spill` a
+    * cached distinct (symbol, variant_id) DataFrame — and
+    * [[filterByGeneIndexed]] serves point lookups from it with a
+    * per-gene broadcast semi-join (cluster memory, executor-side
+    * filter; the per-gene subset is always gene-sized even when the
+    * whole index is not driver-sized).
     */
-  final case class GeneIndex(ids: Map[String, Array[Long]]) {
-    def genes: Iterable[String] = ids.keys
+  final case class GeneIndex(
+      ids: Map[String, Array[Long]],
+      spill: Option[DataFrame] = None) {
+    def genes: Iterable[String] = spill match {
+      case None => ids.keys
+      case Some(df) =>
+        df.select("symbol").distinct().collect().map(_.getString(0)).toSeq
+    }
   }
 
   /** Above this many ids the point lookup switches from an IN-list
@@ -51,14 +67,27 @@ object VcfApi {
     */
   private val InListMaxIds = 1000
 
-  def buildGeneIndex(impact: DataFrame): GeneIndex =
-    GeneIndex(impact.groupBy("symbol")
-      .agg(collect_set(col("variant_id")).as("ids"))
-      .collect()
-      // primitive Array[Long] storage: at genome scale (28k genes, up
-      // to 122k variants/gene) boxed Seq[Long] costs ~20× the heap
-      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
-      .toMap)
+  /** Build the index; above `maxDriverIds` total (gene, id) pairs the
+    * index spills to a cached DataFrame instead of driver heap (see
+    * [[GeneIndex]]). The pre-count is one distributed agg pass — cheap
+    * insurance against collecting an over-sized map onto the driver.
+    */
+  def buildGeneIndex(
+      impact: DataFrame, maxDriverIds: Long = 10000000L): GeneIndex = {
+    val pairs = impact.select(col("symbol"), col("variant_id")).distinct()
+    val total = pairs.count()
+    if (total <= maxDriverIds)
+      GeneIndex(impact.groupBy("symbol")
+        .agg(collect_set(col("variant_id")).as("ids"))
+        .collect()
+        // primitive Array[Long] storage: at genome scale (28k genes, up
+        // to 122k variants/gene) boxed Seq[Long] costs ~20× the heap
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+        .toMap)
+    else
+      GeneIndex(Map.empty, Some(
+        pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
 
   /** [[filterByGene]] through a prebuilt [[GeneIndex]]: the impact-side
     * scan+join disappears entirely — one pushed-predicate pass over
@@ -69,17 +98,26 @@ object VcfApi {
   def filterByGeneIndexed(
       index: GeneIndex, info: DataFrame,
       symbol: String, afMax: Double = 0.01): DataFrame = {
-    val hit = index.ids.getOrElse(symbol, Array.empty[Long])
     val base = info.filter(col("af") < afMax)
-    val matched =
-      if (hit.length <= InListMaxIds)
-        base.filter(col("variant_id").isin(hit.toSeq: _*))
-      else {
-        val spark = info.sparkSession
-        import spark.implicits._
-        base.join(broadcast(hit.toSeq.toDF("variant_id")),
+    val matched = index.spill match {
+      case Some(pairs) =>
+        // spilled index: the per-gene id set stays executor-side — a
+        // broadcast semi-join against the cached pairs filtered to the
+        // gene (gene-sized, broadcastable even when the index is not)
+        base.join(
+          broadcast(pairs.where(col("symbol") === symbol).select("variant_id")),
           Seq("variant_id"), "left_semi")
-      }
+      case None =>
+        val hit = index.ids.getOrElse(symbol, Array.empty[Long])
+        if (hit.length <= InListMaxIds)
+          base.filter(col("variant_id").isin(hit.toSeq: _*))
+        else {
+          val spark = info.sparkSession
+          import spark.implicits._
+          base.join(broadcast(hit.toSeq.toDF("variant_id")),
+            Seq("variant_id"), "left_semi")
+        }
+    }
     matched.withColumn("symbol", lit(symbol))
   }
 

@@ -64,6 +64,31 @@ class ApiSpec extends SparkSpec {
     assert(!small.queryExecution.executedPlan.toString.contains("LeftSemi"))
   }
 
+  test("buildGeneIndex spills to a DataFrame-backed index above the driver cap") {
+    val n = 2500
+    val impact = (1 to n)
+      .map(i => (i.toLong, if (i <= 1500) "BIG" else s"G${i % 7}"))
+      .toDF("variant_id", "symbol")
+    val info = (1 to n).map(i => (i.toLong, (i % 100) / 100.0))
+      .toDF("variant_id", "af")
+    // cap below the pair count → the driver map must stay empty and
+    // lookups serve from the cached (symbol, variant_id) DataFrame
+    val idx = VcfApi.buildGeneIndex(impact, maxDriverIds = 100L)
+    assert(idx.ids.isEmpty && idx.spill.isDefined)
+    // gene enumeration comes from the spill DataFrame
+    assert(idx.genes.toSet == (0 until 7).map(i => s"G$i").toSet + "BIG")
+    val a = VcfApi.filterByGene(impact, info, "BIG", afMax = 0.5)
+      .select("variant_id").as[Long].collect().sorted.toSeq
+    val b = VcfApi.filterByGeneIndexed(idx, info, "BIG", afMax = 0.5)
+      .select("variant_id").as[Long].collect().sorted.toSeq
+    assert(a == b && b.nonEmpty)
+    assert(VcfApi.filterByGeneIndexed(idx, info, "NOPE").count() == 0)
+    // same inputs under the cap still produce the driver-map form
+    val driver = VcfApi.buildGeneIndex(impact)
+    assert(driver.spill.isEmpty && driver.ids("BIG").length == 1500)
+    idx.spill.foreach(_.unpersist(false))
+  }
+
   test("VcfPipeline.run: end-to-end from a file, rerun-safe") {
     val dir = java.nio.file.Files.createTempDirectory("vcfpipe").toString
     val vcfFile = s"$dir/toy.vcf"
