@@ -584,4 +584,42 @@ object TextAnalysis {
         least(lit(seqLen.toLong), max(col("end_cum")) - col("seq") * lit(seqLen))
           .as("n_tokens"))
   }
+
+  /** PII pattern families for [[piiAudit]] — (name, regex, token).
+    * The curation step every public-web corpus runs before training
+    * (C4 strips lines with curse/PII markers; Dolma and RefinedWeb
+    * regex-redact emails/IPs/phones). Patterns deliberately use only
+    * the Java-regex ∩ RE2 common subset (no backrefs, no lookaround)
+    * so the DuckDB oracle replays them verbatim.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+
+  /** PII detection + redaction: per-document match counts for each
+    * family in [[piiPatterns]] (counted on the ORIGINAL text, so one
+    * family's replacement never hides another's count) and a scrubbed
+    * text with every match replaced by its family token. Purely
+    * row-local Column expressions — no shuffle, no UDF; at 100 TB this
+    * is a map-only pass that pipelines into whatever filter or write
+    * follows. Replacement applies families in [[piiPatterns]] order;
+    * families are disjoint by construction (the phone prefix `+d-`
+    * cannot re-match ssn/ipv4 digit runs, emails consume their match
+    * whole).
+    */
+  def piiAudit(df: DataFrame, textCol: String): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (acc, (name, re, _)) =>
+      acc.withColumn(s"pii_$name", regexp_count(col(textCol), lit(re)))
+    }
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    }
+    counted
+      .withColumn("text_scrubbed", scrubbed)
+      .withColumn("pii_total",
+        piiPatterns.map { case (n, _, _) => col(s"pii_$n") }
+          .reduce(_ + _))
+  }
 }

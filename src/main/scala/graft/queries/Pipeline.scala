@@ -453,6 +453,49 @@ object Pipeline {
         .orderBy("split")
     }),
 
+    // ---- PII scrub: per-source detection counts + redaction proof.
+    //      The synthetic corpus carries no PII, so the query injects
+    //      deterministic doc_id-derived PII first (identical
+    //      expressions in the oracle — both engines scrub the same
+    //      text); residual_matches re-runs detection on the scrubbed
+    //      text and must be 0, computed from the data ----
+    "q111_pii_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val injected = docs.withColumn("text_pii", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-0199"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" host 192.168."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+            pmod(col("doc_id") * 7, lit(256)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" id 123-45-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      val scrubbed = TextAnalysis.piiAudit(injected, "text_pii")
+      val residual = TextAnalysis.piiPatterns.map { case (_, re, _) =>
+        regexp_count(col("text_scrubbed"), lit(re)) }.reduce(_ + _)
+      scrubbed
+        .withColumn("residual", residual)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("pii_email").cast("long").as("emails"),
+          sum("pii_phone").cast("long").as("phones"),
+          sum("pii_ipv4").cast("long").as("ips"),
+          sum("pii_ssn").cast("long").as("ssns"),
+          sum(when(col("pii_total") > 0, 1L).otherwise(0L))
+            .cast("long").as("docs_with_pii"),
+          sum("residual").cast("long").as("residual_matches"))
+        .orderBy("source")
+    }),
+
     // ---- semantic decontamination: training vectors ≥0.3-similar to
     //      an eval probe (every 10th vec) in the same LSH bucket, with
     //      their closest-by-id probe and hit count ----
@@ -1422,6 +1465,48 @@ object Pipeline {
          FROM fps a JOIN fps b USING (fp)
          WHERE a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical injection expressions, the same Java∩RE2 patterns, and
+    // the residual recount on the scrubbed text (must be 0)
+    "q111_pii_audit" -> {
+      val Seq(em, ph, ip, sn) = TextAnalysis.piiPatterns.map(_._2)
+      val scrub = s"regexp_replace(regexp_replace(regexp_replace(" +
+        s"regexp_replace(t, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g')," +
+        s" '$ip', '<IP>', 'g'), '$sn', '<SSN>', 'g')"
+      s"""WITH inj AS (
+            SELECT source, doc_id,
+              text ||
+              CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
+                CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-' ||
+                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                ELSE '' END ||
+              CASE WHEN doc_id % 11 = 0 THEN ' host 192.168.' ||
+                CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END ||
+              CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-' ||
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+            FROM documents),
+          counts AS (
+            SELECT source,
+              len(regexp_extract_all(t, '$em')) AS e,
+              len(regexp_extract_all(t, '$ph')) AS p,
+              len(regexp_extract_all(t, '$ip')) AS i,
+              len(regexp_extract_all(t, '$sn')) AS s,
+              len(regexp_extract_all($scrub, '$em')) +
+              len(regexp_extract_all($scrub, '$ph')) +
+              len(regexp_extract_all($scrub, '$ip')) +
+              len(regexp_extract_all($scrub, '$sn')) AS resid
+            FROM inj)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e) AS BIGINT) AS emails,
+           CAST(sum(p) AS BIGINT) AS phones,
+           CAST(sum(i) AS BIGINT) AS ips,
+           CAST(sum(s) AS BIGINT) AS ssns,
+           CAST(sum(CASE WHEN e + p + i + s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(sum(resid) AS BIGINT) AS residual_matches
+         FROM counts GROUP BY source ORDER BY source"""
+    },
     // q69's LSH + recursive-CTE closure, then q66's md5 split buckets
     // keyed on the CLUSTER id; clusters_spanning_splits recomputed from
     // the assignment (must be 0)

@@ -914,6 +914,26 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("TextAnalysis.piiAudit counts on the original text and redacts all families") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "mail a.b+c@x-y.co or 10.0.0.1, ssn 123-45-6789, tel +1-415-555-0199"),
+      (1L, "no pii here at all"),
+      (2L, "two mails a@b.io c@d.org")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiAudit(docs, "text").orderBy("doc_id")
+      .select("pii_email", "pii_phone", "pii_ipv4", "pii_ssn", "pii_total",
+        "text_scrubbed").collect()
+    assert((0 to 4).map(got(0).getInt) == Seq(1, 1, 1, 1, 4))
+    val s0 = got(0).getString(5)
+    for (tok <- Seq("<EMAIL>", "<PHONE>", "<IP>", "<SSN>"))
+      assert(s0.contains(tok), s0)
+    // redaction proof: nothing detectable remains in the scrubbed text
+    TextAnalysis.piiPatterns.foreach { case (name, re, _) =>
+      assert(re.r.findFirstIn(s0).isEmpty, s"$name still matches: $s0") }
+    assert(got(1).getInt(4) == 0 && got(1).getString(5) == "no pii here at all")
+    assert(got(2).getInt(0) == 2 && got(2).getInt(4) == 2)
+  }
+
   test("kmeansCentroids trains on the bounded md5-sample only") {
     val rnd = new scala.util.Random(7)
     val dims = 4
