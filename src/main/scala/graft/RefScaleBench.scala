@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.vcf.{SyntheticVcf, VcfApi, VcfBuild, VcfPipeline}
+
+/** One-shot benchmark at the REFERENCE'S OWN SCALE: the exome DB
+  * behind every BASELINE.md number is ~1,417,043 variants × 1,000
+  * samples × 23,506 genes (`benchmarks/00-benchmark-functions.R:58`,
+  * `02-benchmark-variant-pull-genes.R:3-15`) — ~1.4B genotype rows.
+  * The nightly `Bench` fixture is 50k×100 for runtime reasons; this
+  * main exists so the "within 2× of the reference" claim is measured
+  * at the reference's data shape, not extrapolated from it.
+  *
+  * Usage:  SPARK_DRIVER_MEM=96g sbt "runMain graft.RefScaleBench"
+  *         [nVariants nSamples nGenes] override the exome shape.
+  * Emits one JSON line (metrics in seconds) and writes a sidecar to
+  * /tmp/graft_refscale.json.
+  */
+object RefScaleBench {
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nVariants = args.lift(0).map(_.toLong).getOrElse(1417043L)
+    val nSamples = args.lift(1).map(_.toInt).getOrElse(1000)
+    val nGenes = args.lift(2).map(_.toInt).getOrElse(23506)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // the sorted wide scan is ~40 KB/row at 1,000 samples; 256 sort
+      // partitions keep each under ~250 MB so the global sort and the
+      // staging write never build multi-GB partitions
+      .config("spark.sql.shuffle.partitions", "256")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/tmp/graft_refscale_spill")
+      // the staging cache must not build wide columnar batches on heap
+      // at this row width — first attempt at 1.4M×1000 GC-starved a
+      // 96 GB heap until the executor's heartbeats expired (local-mode
+      // self-exit after 60 misses). DISK_ONLY + GC-tolerant heartbeats.
+      .config("spark.graft.stagingStorage", "DISK_ONLY")
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val out = "/tmp/graft_refscale_db"
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results("n_variants") = nVariants.toDouble
+    results("n_samples") = nSamples.toDouble
+    results("n_genes") = nGenes.toDouble
+
+    // ---- build, the staged/resumable shape a corpus-scale ETL runs
+    //      (VcfPipeline.run over a generated scan): the one wide stage
+    //      commits to a staging parquet, derived tables re-read it ----
+    val gen = SyntheticVcf.generate(spark, nVariants, nSamples, nGenes)
+    val stagingDir = s"$out/_staging/ids"
+    val (_, stagingSec) = time {
+      if (!VcfPipeline.isComplete(spark, stagingDir)) {
+        VcfBuild.withVariantIds(gen.df)
+          .write.mode("overwrite").parquet(stagingDir)
+        VcfBuild.clearCaches()
+      }
+    }
+    val (_, deriveSec) = time {
+      VcfBuild.fromStaged(spark.read.parquet(stagingDir), gen.header)
+        .write(out, skipComplete = true)
+    }
+    results("build_staging_sec") = stagingSec
+    results("build_derive_sec") = deriveSec
+    results("build_sec") = stagingSec + deriveSec
+
+    // info/impact cached (the reference's per-gene medians are measured
+    // against a warm SQLite page cache over 23k sequential queries);
+    // geno (~1.4B rows) stays on parquet — only the OS page cache warms
+    val info = spark.read.parquet(s"$out/variant_info").coalesce(32).cache()
+    val impact = spark.read.parquet(s"$out/variant_impact").coalesce(32).cache()
+    info.count(); impact.count()
+    val geno = spark.read.parquet(s"$out/variant_geno")
+    results("geno_rows") = geno.count().toDouble
+
+    // ---- gene index (the ETL-time analog of the reference's B-tree) ----
+    val (geneIndex, idxSec) = time(VcfApi.buildGeneIndex(impact))
+    results("gene_index_build_sec") = idxSec
+
+    // ---- per-gene filter latency over 100 genes (baseline: median
+    //      0.053 s, mean 0.061, p95 0.108 across all 23,506 genes on a
+    //      warm DB; harness 00-benchmark-functions.R:68-102) ----
+    val genes = (0 until 100).map(k => s"GENE${(k * 233) % nGenes}")
+    VcfApi.filterByGeneIndexed(geneIndex, info, "GENE0", afMax = 0.05).count()
+    val perGene = genes.map(g =>
+      time(VcfApi.filterByGeneIndexed(geneIndex, info, g, afMax = 0.05).count())._2)
+    val sortedT = perGene.sorted
+    results("filter_per_gene_median_sec") = sortedT(perGene.size / 2)
+    results("filter_per_gene_mean_sec") = perGene.sum / perGene.size
+    results("filter_per_gene_p95_sec") = sortedT((perGene.size * 95) / 100)
+    results("filter_per_gene_max_sec") = sortedT.last
+
+    // index-free ad-hoc form for reference
+    val adHoc = (0 until 20).map(k => s"GENE${(k * 233) % nGenes}").map(g =>
+      time(VcfApi.filterByGene(impact, info, g, afMax = 0.05).count())._2)
+    results("filter_per_gene_noindex_median_sec") = adHoc.sorted.apply(adHoc.size / 2)
+
+    // batched: every gene in ONE query (the scale path; reference runs
+    // 23,506 sequential point queries ⇒ ~21 min at its median)
+    val (_, batchedSec) = time {
+      impact.select(col("variant_id"), col("symbol")).distinct()
+        .join(info.filter(col("af") < 0.05), Seq("variant_id"))
+        .groupBy("symbol").agg(count(lit(1)).as("n_vars")).count()
+    }
+    results("filter_all_genes_sec") = batchedSec
+    results("filter_per_gene_batched_sec") = batchedSec / nGenes
+
+    // ---- random-id genotype pull, marginal cost per 1k ids
+    //      (baseline exome table mode: 12.4 s/1k at 1 core → 4.3 at 16;
+    //      file mode: 1.8 → 0.46) ----
+    val ids1k = (1L to 1000L).map(i => i * 104729L % nVariants + 1)
+    VcfApi.pullByIds(geno, ids1k.take(50)).count() // warm
+    val (_, pullSec) = time(VcfApi.pullByIds(geno, ids1k).count())
+    results("pull_per_1k_sec") = pullSec
+    // 5k ids for the fitted-slope comparison (baseline grid 50–5,000)
+    val ids5k = (1L to 5000L).map(i => i * 104729L % nVariants + 1)
+    val (_, pull5kSec) = time(VcfApi.pullByIds(geno, ids5k).count())
+    results("pull_5k_sec") = pull5kSec
+
+    // ---- per-gene genotype pull (baseline: median 4.76 s across 58
+    //      genes ≤2,000 vars, 1,000 samples) ----
+    val pullGenes = (0 until 20).map(k => s"GENE${(k * 389) % nGenes}")
+    val perGenePull = pullGenes.map(g =>
+      time(VcfApi.pullByGene(impact, info, geno, g, afMax = 0.05).count())._2)
+    results("pull_per_gene_median_sec") =
+      perGenePull.sorted.apply(perGenePull.size / 2)
+
+    val line = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{\"metric\":\"refscale\",", ",", "}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_refscale.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => () }
+    println(line)
+  }
+}

@@ -269,6 +269,174 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  // --------------------------------------------------------------- PQ
+
+  /** Squared-L2 of the staged subvector `sv` against each codebook
+    * entry, as `(d, code)` structs. Same single-literal shape as
+    * [[centroidScores]] (one `array<struct>` literal traversed with
+    * `transform` keeps the expression tree ksub-independent). PQ
+    * assigns by L2 — the codebook minimizes reconstruction error, not
+    * angle — so no normalization is involved.
+    */
+  private def subCodeDists(sv: Column, cb: Array[Array[Double]]): Column = {
+    val cbLit = typedLit(cb.zipWithIndex.map { case (c, i) => (c.toSeq, i) }.toSeq)
+      .cast("array<struct<cvec:array<double>,code:int>>")
+    transform(cbLit, c =>
+      struct(
+        aggregate(zip_with(sv, c.getField("cvec"), (x, w) => (x - w) * (x - w)),
+          lit(0d), (acc, v) => acc + v),
+        c.getField("code")).cast("struct<d:double,code:int>"))
+  }
+
+  /** Nearest code id (ascending L2, ties to the lower code —
+    * deterministic, mirrored by the oracle's `ORDER BY d, code`).
+    */
+  private def argminCode(dists: Column): Column =
+    element_at(
+      array_sort(dists, (a, b) =>
+        when(a.getField("d") < b.getField("d"), -1)
+          .when(a.getField("d") > b.getField("d"), 1)
+          .otherwise(a.getField("code") - b.getField("code"))),
+      1).getField("code")
+
+  /** Product-quantization codebooks: the vector is split into `m`
+    * contiguous subspaces of `dims/m` dimensions; each subspace gets an
+    * independent `ksub`-centroid Lloyd k-means (squared-L2, the PQ
+    * objective). Returns `codebooks(j)(code)` = subvector centroid.
+    *
+    * Trains on the same bounded deterministic sample as
+    * [[kmeansCentroids]] (lowest `md5("km:" || id)`, `trainCap` rows),
+    * so corpus-pass count is independent of `iters` and the sample rule
+    * replays in SQL. All `m` subspaces assign + re-estimate in ONE pass
+    * per iteration: codes are staged as materialized attributes below
+    * the generator (lambda-CSE footgun), then a double explode fans out
+    * (subspace, code, pos, value) for a combinable per-cell avg — the
+    * shuffle carries m·ksub·dsub cells of partial sums, never vectors.
+    * Init mirrors the IVF unroll: the subvectors of the `ksub`
+    * smallest-id sample rows; empty cells keep their previous centroid.
+    */
+  def pqCodebooks(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iters: Int = 2, dims: Int = -1,
+      trainCap: Int = 262144): Array[Array[Array[Double]]] = {
+    val dim = if (dims > 0) dims else inferDims(corpus, vecCol)
+    require(dim % m == 0, s"dims=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val subCols = (0 until m).map(j => col(s"_s$j"))
+    val train = corpus
+      .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_vd"))
+      .orderBy(md5(concat_ws(":", lit("km"), col("_id").cast("string"))))
+      .limit(trainCap)
+      .select(col("_id") +: (0 until m).map(j =>
+        slice(col("_vd"), j * dsub + 1, dsub).as(s"_s$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = train.orderBy(col("_id")).limit(ksub)
+        .select(subCols: _*).collect()
+      require(init.length == ksub,
+        s"corpus has fewer rows (${init.length}) than ksub=$ksub")
+      var cbs: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
+        (j, c) => init(c).getSeq[Double](j).toArray
+      }
+      for (_ <- 1 to iters) {
+        val coded = train.select(subCols ++ (0 until m).map(j =>
+          argminCode(subCodeDists(col(s"_s$j"), cbs(j))).as(s"_c$j")): _*)
+        val cells = coded
+          .select(explode(array((0 until m).map(j =>
+            struct(lit(j).as("j"), col(s"_c$j").as("code"),
+              col(s"_s$j").as("sv"))): _*)).as("e"))
+          .select(col("e.j"), col("e.code"), posexplode(col("e.sv")))
+          .groupBy("j", "code", "pos").agg(avg(col("col")).as("mean"))
+          .collect()
+        val next = cbs.map(_.map(_.clone()))
+        cells.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        }
+        cbs = next
+      }
+      cbs
+    } finally train.unpersist(false)
+  }
+
+  /** PQ-encode: `m` codebook codes per vector (`array<int>`), staged
+    * through materialized subvector attributes. Map-only — the one
+    * full-corpus pass a PQ build needs.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+      cbs: Array[Array[Array[Double]]], outCol: String = "codes"): DataFrame = {
+    val m = cbs.length
+    val dsub = cbs.head.head.length
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("_vd"))
+      .select(col(idCol) +: (0 until m).map(j =>
+        slice(col("_vd"), j * dsub + 1, dsub).as(s"_s$j")): _*)
+      .select(col(idCol), array((0 until m).map(j =>
+        argminCode(subCodeDists(col(s"_s$j"), cbs(j)))): _*).as(outCol))
+  }
+
+  /** PQ/ADC ANN — the memory-bounded scale path: the corpus is encoded
+    * once to `m` small codes per vector (a map-only pass), and queries
+    * score candidates by asymmetric distance computation — the sum over
+    * subspaces of dot(query subvector, codebook centroid of the
+    * neighbor's code). The ranking scan reads only `(id, m codes)` —
+    * ~`4·m` bytes/row against `4·dims` for raw floats (16× less IO at
+    * m=4, dims=64), with codebooks as literals (m·ksub·dsub doubles —
+    * metadata at any corpus size), so a 100 TB float corpus becomes a
+    * ~6 TB code scan with zero shuffle on the corpus side (queries
+    * broadcast, ranking is a per-query window over TakeOrdered-style
+    * top-k). `refine > 0` re-ranks the top-`refine` ADC shortlist with
+    * exact cosine — the standard two-stage PQ search; the join back to
+    * raw vectors touches only `refine·|queries|` rows.
+    *
+    * Approximation note: ADC ranks by reconstructed inner product;
+    * recall < 1 by construction (quantization error), traded against
+    * `ksub`/`m` and recovered by `refine`.
+    */
+  def pqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      m: Int = 4, ksub: Int = 4, iters: Int = 2, dims: Int = -1,
+      excludeSelf: Boolean = true, refine: Int = 0,
+      trainCap: Int = 262144): DataFrame = {
+    val dim = if (dims > 0) dims else inferDims(corpus, vecCol)
+    val dsub = dim / m
+    val cbs = pqCodebooks(corpus, vecCol, idCol, m, ksub, iters, dim, trainCap)
+    val enc = pqEncode(corpus, vecCol, idCol, cbs)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val adc = (0 until m).map { j =>
+      val cbLitJ = typedLit(cbs(j).map(_.toSeq).toSeq).cast("array<array<double>>")
+      aggregate(
+        zip_with(slice(col("qv"), j * dsub + 1, dsub),
+          element_at(cbLitJ, element_at(col("codes"), j + 1) + 1),
+          (x, w) => x * w),
+        lit(0d), (acc, v) => acc + v)
+    }.reduce(_ + _)
+    val scored = enc.crossJoin(q)
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("adc", adc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    if (refine <= 0)
+      ranked.where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    else {
+      graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+      val shortlist = ranked.where(col("rank") <= math.max(k, refine))
+        .select("query_id", "qv", "neighbor_id", "adc")
+      val exact = shortlist
+        .join(corpus.select(col(idCol).as("neighbor_id"),
+          col(vecCol).as("cv")), "neighbor_id")
+        .withColumn("cosine", call_function("graft_cosine", col("qv"), col("cv")))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "cosine", "rank")
+    }
+  }
+
   /** Per-group embedding outliers — the semantic-filtering signal a
     * curation pipeline uses to spot mislabeled / off-distribution
     * documents (the SemDeDup/centroid-distance family): the `k` rows

@@ -275,6 +275,19 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- PQ/ADC ANN: 4 subspaces × 4-code L2 codebooks (2 Lloyd
+    //      rounds on the md5-bounded sample), corpus encoded to 4
+    //      codes/vector, queries rank by asymmetric distance ----
+    "q112_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqKnn(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, m = 4, ksub = 4, iters = 2,
+          dims = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc"), 4).as("adc"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- TF-IDF: per-document salient terms (corpus-global df/N) ----
     "q65_tfidf" -> ((s, d) => {
       TextAnalysis.tfIdf(Tables.documents(s, d), "text", "doc_id", topK = 3)
@@ -1328,6 +1341,75 @@ object Pipeline {
              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
            FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the q68 train sample + per-subspace k-means unrolls (2 rounds,
+    // squared-L2, ties to the lower code), encode over the full corpus,
+    // then ADC = sum of per-subspace dot(query slice, neighbor's
+    // centroid). CTE chains generated per subspace (m=4, ksub=4,
+    // dsub=16) — the SQL mirror of Similarity.pqCodebooks/pqKnn.
+    "q112_pq_adc" -> {
+      val m = 4; val ksub = 4; val dsub = 16
+      def d2(e: String, c: String) =
+        s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($e[i]-$c[i])*($e[i]-$c[i])))"
+      val subs = (0 until m).map { j =>
+        val a = j * dsub + 1; val b = (j + 1) * dsub
+        s"""sub$j AS (SELECT vec_id, v[$a:$b] AS sv FROM train),
+          c0_$j AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, sv AS c
+            FROM (SELECT vec_id, sv FROM sub$j ORDER BY vec_id LIMIT $ksub)),""" +
+          (1 to 2).map { t =>
+            s"""
+          s${t}_$j AS (
+            SELECT e.vec_id, e.sv, n.code, ${d2("e.sv", "n.c")} AS d
+            FROM sub$j e CROSS JOIN c${t - 1}_$j n),
+          a${t}_$j AS (
+            SELECT vec_id, sv, code FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d ASC, code ASC) AS rn
+              FROM s${t}_$j) WHERE rn = 1),
+          c${t}_$j AS (
+            SELECT p.code, coalesce(nw.c, p.c) AS c
+            FROM c${t - 1}_$j p LEFT JOIN (
+              SELECT code, list(mn ORDER BY pos) AS c FROM (
+                SELECT a.code, t.i AS pos, avg(a.sv[t.i]) AS mn
+                FROM a${t}_$j a, range(1, ${dsub + 1}) t(i)
+                GROUP BY a.code, t.i)
+              GROUP BY code) nw USING (code)),""" }.mkString +
+          s"""
+          enc$j AS (
+            SELECT vec_id, code FROM (
+              SELECT e.vec_id, n.code, row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY ${d2("e.sv", "n.c")} ASC, n.code ASC) AS rn
+              FROM (SELECT vec_id, v[$a:$b] AS sv FROM emb) e
+              CROSS JOIN c2_$j n) WHERE rn = 1)"""
+      }.mkString(",\n          ")
+      val adcSum = (0 until m).map { j =>
+        val off = if (j == 0) "" else s"${j * dsub} + "
+        s"list_sum(list_transform(range(1, ${dsub + 1}), i -> q.v[${off}i] * cb$j.c[i]))"
+      }.mkString(" + ")
+      val encJoins = (1 until m).map(j =>
+        s"JOIN enc$j n$j ON n$j.vec_id = n0.vec_id").mkString(" ")
+      val cbJoins = (0 until m).map(j =>
+        s"JOIN c2_$j cb$j ON cb$j.code = n$j.code").mkString(" ")
+      s"""WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          train AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)) LIMIT 262144),
+          $subs,
+          scored AS (
+            SELECT q.vec_id AS query_id, n0.vec_id AS neighbor_id,
+              $adcSum AS adc
+            FROM (SELECT vec_id, v FROM emb WHERE vec_id < 5) q
+            CROSS JOIN enc0 n0 $encJoins $cbJoins
+            WHERE n0.vec_id <> q.vec_id)
+         SELECT query_id, neighbor_id, round(adc, 4) AS adc, rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
     // merges after 5 rounds: (e,s)(es,t)(est,</w>)(l,o)(lo,w) — ties
     // break by count desc then pair lexicographic
     "q61_bpe_tokens" ->

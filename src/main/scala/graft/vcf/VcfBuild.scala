@@ -86,8 +86,18 @@ object VcfBuild {
   def withVariantIds(parsed: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = Seq("chr", "pos", "ref", "alt")
-    val sorted = parsed.orderBy(keys.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `spark.graft.stagingStorage` escapes to DISK_ONLY for giant
+    // builds: the wide sorted rows (one genotype struct per sample)
+    // columnar-cache at ~40 KB/row at 1,000 samples, and MEMORY_AND_DISK
+    // builds every in-flight partition's batches ON HEAP before it can
+    // decide to spill — at 1.4M×1000 that GC-starved a 96 GB driver
+    // until its own heartbeats expired. DISK_ONLY streams batches out
+    // and bounds heap by in-flight partitions only; the layout
+    // invariant below cares about partitioning, not residence.
+    val level = org.apache.spark.storage.StorageLevel.fromString(
+      parsed.sparkSession.conf.get("spark.graft.stagingStorage",
+        "MEMORY_AND_DISK"))
+    val sorted = parsed.orderBy(keys.map(col): _*).persist(level)
     trackedCaches.synchronized { trackedCaches += sorted }
     // monotonically_increasing_id encodes (partition << 33 | position)
     // over the pinned cache partitioning — order-consistent with the

@@ -963,6 +963,49 @@ class OperatorsSpec extends SparkSpec {
     assert(capAll.map(_.toSeq).toSeq == unbounded.map(_.toSeq).toSeq)
   }
 
+  test("Similarity.pqKnn: codes cluster, ADC is code-determined, refine recovers exact ranking") {
+    // 2 subspaces of 4 dims; sub0 clusters by id parity (≈1 vs ≈5),
+    // sub1 by id half (<4 ≈1, ≥4 ≈5); +0.01·id jitter keeps every
+    // vector distinct while the cluster structure stays obvious
+    val vecs = (0 until 8).map { i =>
+      val a = (if (i % 2 == 0) 1.0 else 5.0) + i * 0.01
+      val b = (if (i < 4) 1.0 else 5.0) + i * 0.01
+      (i.toLong, Seq.fill(4)(a) ++ Seq.fill(4)(b))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(df, "embedding", "vec_id",
+      m = 2, ksub = 2, iters = 2, dims = 8)
+    assert(cbs.length == 2 && cbs.forall(_.length == 2)
+      && cbs.forall(_.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(df, "embedding", "vec_id", cbs)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    // same-cluster rows share a code; cross-cluster rows differ
+    assert(codes(0)(0) == codes(2)(0) && codes(1)(0) == codes(3)(0)
+      && codes(0)(0) != codes(1)(0), codes.toSeq)
+    assert(codes(0)(1) == codes(1)(1) && codes(4)(1) == codes(5)(1)
+      && codes(0)(1) != codes(4)(1), codes.toSeq)
+    // ADC ranks by reconstructed INNER PRODUCT: for query 0 the
+    // (5,5)-cluster codes carry the largest centroid dots, and ids 5/7
+    // share those codes → identical ADC, tie to the lower id = 5
+    val adc = Similarity.pqKnn(df, df.where($"vec_id" === 0),
+      "embedding", "vec_id", k = 7, m = 2, ksub = 2, iters = 2, dims = 8)
+      .orderBy("rank").collect()
+    assert(adc.head.getLong(1) == 5L, adc.toSeq)
+    val byId = adc.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byId(5L) == byId(7L), "same codes must score identically")
+    // exact re-rank over the whole shortlist ≡ brute force (cosine
+    // tie-breaks and all)
+    val queries = df.where($"vec_id" < 2)
+    val exact = Similarity.bruteForceKnn(df, queries, "embedding", "vec_id", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val refined = Similarity.pqKnn(df, queries, "embedding", "vec_id",
+      k = 3, m = 2, ksub = 2, iters = 2, dims = 8, refine = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(refined == exact)
+  }
+
   test("Mixture.temperatureWeights: alpha=0.5 flattening, hand-computed") {
     val docs = Seq(
       (0L, "a b c d", "small"),
