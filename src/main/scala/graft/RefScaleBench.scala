@@ -46,12 +46,24 @@ object RefScaleBench {
       // 96 GB heap until the executor's heartbeats expired (local-mode
       // self-exit after 60 misses). DISK_ONLY + GC-tolerant heartbeats.
       .config("spark.graft.stagingStorage", "DISK_ONLY")
+      // DISK_ONLY persists serialize through JavaSerializer, and
+      // spark.rdd.compress defaults to FALSE — the first full-shape run
+      // wrote the ~56 GB wide sorted cache uncompressed and ENOSPC'd a
+      // 100 GB disk mid-build. lz4 on persisted blocks is a ~10× cut
+      // here (repetitive genotype strings) for a few % CPU.
+      .config("spark.rdd.compress", "true")
       .config("spark.executor.heartbeatInterval", "30s")
       .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val out = "/tmp/graft_refscale_db"
+    // a killed-by-ENOSPC run is silent until the stack trace — narrate
+    // section progress + free disk so a dead log is diagnosable
+    def mark(s: String): Unit = {
+      val free = new java.io.File("/tmp").getUsableSpace >> 30
+      System.err.println(s"[refscale] $s (free ${free} GiB)")
+    }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("n_variants") = nVariants.toDouble
     results("n_samples") = nSamples.toDouble
@@ -62,6 +74,7 @@ object RefScaleBench {
     //      commits to a staging parquet, derived tables re-read it ----
     val gen = SyntheticVcf.generate(spark, nVariants, nSamples, nGenes)
     val stagingDir = s"$out/_staging/ids"
+    mark(s"staging build ${nVariants}x$nSamples")
     val (_, stagingSec) = time {
       if (!VcfPipeline.isComplete(spark, stagingDir)) {
         VcfBuild.withVariantIds(gen.df)
@@ -69,10 +82,12 @@ object RefScaleBench {
         VcfBuild.clearCaches()
       }
     }
+    mark(f"staging done in $stagingSec%.1f s; deriving tables")
     val (_, deriveSec) = time {
       VcfBuild.fromStaged(spark.read.parquet(stagingDir), gen.header)
         .write(out, skipComplete = true)
     }
+    mark(f"derive done in $deriveSec%.1f s")
     results("build_staging_sec") = stagingSec
     results("build_derive_sec") = deriveSec
     results("build_sec") = stagingSec + deriveSec
@@ -86,6 +101,7 @@ object RefScaleBench {
     val geno = spark.read.parquet(s"$out/variant_geno")
     results("geno_rows") = geno.count().toDouble
 
+    mark(f"geno rows ${results("geno_rows")}%.0f; building gene index")
     // ---- gene index (the ETL-time analog of the reference's B-tree) ----
     val (geneIndex, idxSec) = time(VcfApi.buildGeneIndex(impact))
     results("gene_index_build_sec") = idxSec
@@ -103,6 +119,7 @@ object RefScaleBench {
     results("filter_per_gene_p95_sec") = sortedT((perGene.size * 95) / 100)
     results("filter_per_gene_max_sec") = sortedT.last
 
+    mark("per-gene filters done; ad-hoc + batched forms")
     // index-free ad-hoc form for reference
     val adHoc = (0 until 20).map(k => s"GENE${(k * 233) % nGenes}").map(g =>
       time(VcfApi.filterByGene(impact, info, g, afMax = 0.05).count())._2)
@@ -118,6 +135,7 @@ object RefScaleBench {
     results("filter_all_genes_sec") = batchedSec
     results("filter_per_gene_batched_sec") = batchedSec / nGenes
 
+    mark("gene filters done; genotype pulls")
     // ---- random-id genotype pull, marginal cost per 1k ids
     //      (baseline exome table mode: 12.4 s/1k at 1 core → 4.3 at 16;
     //      file mode: 1.8 → 0.46) ----

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
-import graft.operators.{Bpe, Curation, Dedup, Graph, Mixture, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, Graph, Layout, Mixture, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operator surface: dedup family, similarity
   * search, text analysis, multimodal plumbing — over `documents` and
@@ -507,6 +507,24 @@ object Pipeline {
             .cast("long").as("docs_with_pii"),
           sum("residual").cast("long").as("residual_matches"))
         .orderBy("source")
+    }),
+
+    // ---- snapshot diff: every id classified added/removed/changed/
+    //      unchanged between two dataset versions by null-safe md5
+    //      fingerprint — the "new" version is a deterministic mutation
+    //      of documents (drop %17=3, re-source %13=5, add shifted
+    //      copies of %29=1), replayed verbatim in the oracle ----
+    "q113_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newDf = docs.where(pmod(col("doc_id"), lit(17)) =!= 3)
+        .withColumn("source",
+          when(pmod(col("doc_id"), lit(13)) === 5,
+            concat(col("source"), lit("-v2"))).otherwise(col("source")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(29)) === 1)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      Layout.snapshotDiff(docs, newDf, "doc_id",
+          Seq("text", "lang", "source", "n_chars"))
+        .orderBy("id")
     }),
 
     // ---- semantic decontamination: training vectors ≥0.3-similar to
@@ -1588,6 +1606,34 @@ object Pipeline {
              AS docs_with_pii,
            CAST(sum(resid) AS BIGINT) AS residual_matches
          FROM counts GROUP BY source ORDER BY source"""
+    },
+    // the same mutation (drop %17=3, re-source %13=5, add shifted
+    // copies of %29=1) and the same null-safe fingerprint: md5 over
+    // chr(1)-joined columns with chr(0) standing in for NULL
+    "q113_snapshot_diff" -> {
+      def fp(as: String) = s"""md5(concat_ws(chr(1),
+              coalesce(CAST(text AS VARCHAR), chr(0)),
+              coalesce(CAST(lang AS VARCHAR), chr(0)),
+              coalesce(CAST(source AS VARCHAR), chr(0)),
+              coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS $as"""
+      s"""WITH newd AS (
+            SELECT doc_id, text, lang,
+              CASE WHEN doc_id % 13 = 5 THEN source || '-v2' ELSE source
+                END AS source,
+              n_chars
+            FROM documents WHERE doc_id % 17 <> 3
+            UNION ALL
+            SELECT doc_id + 10000000, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 29 = 1),
+          fpo AS (SELECT doc_id AS id, ${fp("fp_old")} FROM documents),
+          fpn AS (SELECT doc_id AS id, ${fp("fp_new")} FROM newd)
+         SELECT coalesce(fpo.id, fpn.id) AS id,
+           CASE WHEN fp_old IS NULL THEN 'added'
+                WHEN fp_new IS NULL THEN 'removed'
+                WHEN fp_old <> fp_new THEN 'changed'
+                ELSE 'unchanged' END AS change
+         FROM fpo FULL OUTER JOIN fpn ON fpo.id = fpn.id
+         ORDER BY id"""
     },
     // q69's LSH + recursive-CTE closure, then q66's md5 split buckets
     // keyed on the CLUSTER id; clusters_spanning_splits recomputed from

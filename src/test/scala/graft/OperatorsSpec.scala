@@ -793,6 +793,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(11L, 13L, 0L, 2L, 1L))
   }
 
+  test("Layout.snapshotDiff: add/remove/change classes, null-safe fingerprints") {
+    val oldDf = Seq(
+      (1L, Some("a"), Some("x")),   // unchanged
+      (2L, Some("a"), None),        // ("a",NULL) — vs ("a","") in new
+      (3L, Some("b"), Some("y")),   // changed payload
+      (4L, Some("c"), Some("z"))    // removed
+    ).toDF("id", "p", "q")
+    val newDf = Seq(
+      (1L, Some("a"), Some("x")),
+      (2L, Some("a"), Some("")),    // NULL→"" must register as changed
+      (3L, Some("b"), Some("y2")),
+      (5L, Some("d"), Some("w"))    // added
+    ).toDF("id", "p", "q")
+    val got = Layout.snapshotDiff(oldDf, newDf, "id", Seq("p", "q"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // separator safety: ("ab","c") and ("a","bc") are distinct
+    val s1 = Seq((9L, "ab", "c")).toDF("id", "p", "q")
+    val s2 = Seq((9L, "a", "bc")).toDF("id", "p", "q")
+    val cls = Layout.snapshotDiff(s1, s2, "id", Seq("p", "q"))
+      .as[(Long, String)].collect().head._2
+    assert(cls == "changed")
+  }
+
   test("Dedup.semDedup: within-cluster keep-first removal, hand-computed") {
     // two orthogonal families; ids 0 and 1 seed the two k-means lists
     val emb = Seq(

@@ -66,6 +66,26 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("pqKnn: queries broadcast over the code-only scan, ADC rank truncates map-side") {
+    val df = (0 until 400).map(i =>
+        (i.toLong, Seq.tabulate(8)(j => ((i * 7 + j) % 13).toDouble)))
+      .toDF("vec_id", "embedding")
+    val out = operators.Similarity.pqKnn(df, df.where($"vec_id" < 3),
+      "embedding", "vec_id", k = 5, m = 2, ksub = 4, iters = 1, dims = 8)
+    assert(out.count() == 15)
+    val plan = out.queryExecution.executedPlan.toString
+    // queries broadcast against the encoded corpus — never a shuffled
+    // cartesian over raw vectors
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // rank<=k pushes a partial WindowGroupLimit below the query_id
+    // exchange: per-partition top-k, so no query ever gathers the corpus
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the ONE shuffle is the rank exchange; encode + ADC scoring are
+    // map-only over the corpus
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("sampleToTokenBudget never windows over a bare group (skew-immune plan)") {
     // one giant group next to small ones: the correctness is covered by
     // the OperatorsSpec equivalence test; here we pin the PLAN — every
