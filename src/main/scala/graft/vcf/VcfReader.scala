@@ -198,14 +198,23 @@ object VcfReader {
 
     // Per-sample struct array; sample names come from the header.
     // (Typed empty for sites-only files so downstream explode is a
-    // well-formed no-op.)
+    // well-formed no-op.) The zip of names × raw fields MUST be a
+    // constant-size expression: the obvious
+    // `array(struct(lit(s_i), get(raw, i)) for every sample)` plants
+    // ~5 expression nodes PER SAMPLE in the plan, and at 1,000 samples
+    // Catalyst replans + regenerates + JIT-compiles that ~5k-node tree
+    // on every action — a 100k×1000 build spent ~30 min of
+    // single-threaded driver time there while executors idled. One
+    // array literal + one zip_with is O(1) in sample count; zip_with
+    // null-pads short genotype rows exactly like the old per-index
+    // ANSI get(). The cast names the lambda's struct fields.
     val genotypes =
       if (header.samples.isEmpty)
         array().cast("array<struct<sample:string,raw:string>>")
       else
-        array(header.samples.zipWithIndex.map { case (s, i) =>
-          struct(lit(s).as("sample"), get(col("_samples_raw"), lit(i)).as("raw"))
-        }: _*)
+        zip_with(typedLit(header.samples), col("_samples_raw"),
+            (n, v) => struct(n, v))
+          .cast("array<struct<sample:string,raw:string>>")
 
     withInfo.select(
       (Seq(col("chr"), col("pos"), col("id"), col("ref"), col("alt"),
