@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Layout, Skew}
-import graft.vcf.{ToyVcf, VcfBuild, VcfReader}
+import graft.vcf.{SyntheticVcf, ToyVcf, VcfBuild, VcfHeader, VcfReader}
 
 /** Specs for the scale techniques: salted skew joins and bucketed
   * co-located joins.
@@ -84,6 +84,26 @@ class ScaleSpec extends SparkSpec {
     // the ONE shuffle is the rank exchange; encode + ADC scoring are
     // map-only over the corpus
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("VcfReader.parse plan size is O(1) in sample count") {
+    // the genotype zip must not plant per-sample expression nodes: at
+    // 1,000 samples a per-sample array(struct(...)) tree made Catalyst
+    // replan + re-codegen ~5k nodes per action (30 min of driver time
+    // on a 100k-variant build). Pin: plan node count at 1,000 samples
+    // stays within a constant margin of the 3-sample plan.
+    def planNodes(n: Int): Int = {
+      val h = VcfHeader.parse(SyntheticVcf.header(n))
+      val df = VcfReader.parse(
+        spark.createDataset(Seq(SyntheticVcf.line(0, n, 10)))(
+          org.apache.spark.sql.Encoders.STRING), h)
+      df.queryExecution.analyzed
+        .collect { case p => p.expressions.map(_.collect { case _ => 1 }.sum).sum }
+        .sum
+    }
+    val small = planNodes(3)
+    val wide = planNodes(1000)
+    assert(wide <= small + 10, s"3 samples -> $small nodes, 1000 -> $wide")
   }
 
   test("sampleToTokenBudget never windows over a bare group (skew-immune plan)") {
