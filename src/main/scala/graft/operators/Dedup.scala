@@ -407,6 +407,72 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** One row per near-duplicate cluster with its QUALITY-chosen
+    * representative: the member with the highest `scoreCol` (ties to
+    * the lowest id) — the "keep longest / keep best" rule production
+    * dedup passes actually apply, vs [[nearDedup]]'s keep-min-id.
+    * Output: `comp` (cluster label = min member id), `keeper_id`,
+    * `keeper_score`, `n_members`. Only multi-member clusters appear
+    * (singletons trivially keep themselves).
+    *
+    * Scale shape: the cluster map covers only documents appearing in
+    * some verified pair — O(duplicate fraction), not O(corpus) — and
+    * the argmax is one combinable struct-min aggregate, no window. The
+    * score join is unhinted (AQE broadcasts it when small; shuffles
+    * when the dup fraction is web-scale — the q110 lesson).
+    */
+  def nearDupClusterKeepers(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      scoreCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLsh(df, textCol, idCol, numHashes, bands,
+      shingleSize, threshold)
+    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val members = comps.join(
+      df.select(col(idCol).cast("long").as("id"), col(scoreCol).as("score")),
+      Seq("id"))
+    // argmax by (score desc, id asc) as min(struct(-score, id)) — a
+    // partial-aggregable shape; count rides the same shuffle
+    members.groupBy("comp")
+      .agg(min(struct((-col("score")).as("ns"), col("id"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("comp"), col("k.id").as("keeper_id"),
+        (-col("k.ns")).as("keeper_score"), col("n_members"))
+  }
+
+  /** [[nearDedup]] with the [[nearDupClusterKeepers]] keep rule: the
+    * surviving rows of `df` where every near-dup cluster keeps its
+    * best-`scoreCol` member instead of its minimum id.
+    */
+  def nearDedupKeepBest(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      scoreCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLsh(df, textCol, idCol, numHashes, bands,
+      shingleSize, threshold)
+    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val members = comps.join(
+      df.select(col(idCol).cast("long").as("id"), col(scoreCol).as("score")),
+      Seq("id"))
+    val keepers = members.groupBy("comp")
+      .agg(min(struct((-col("score")).as("ns"), col("id"))).as("k"))
+      .select(col("comp"), col("k.id").as("keeper_id"))
+    val losers = members.join(keepers, Seq("comp"))
+      .where(col("id") =!= col("keeper_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
     * a k-means coarse quantizer ([[Similarity.kmeansCentroids]] —
     * deterministic init/ties, so any engine replays it) partitions the

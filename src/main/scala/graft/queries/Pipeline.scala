@@ -257,6 +257,17 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- near-dedup representative selection: LSH pairs → clusters →
+    //      keep the highest-quality member per cluster (longest text,
+    //      ties to the lowest id) — the production "keep best" rule;
+    //      oracle = the q69 closure + a per-cluster argmax ----
+    "q114_dedup_keep_best" -> ((s, d) => {
+      Dedup.nearDupClusterKeepers(Tables.documents(s, d), "text", "doc_id",
+          "n_chars", numHashes = 16, bands = 4, shingleSize = 2,
+          threshold = 0.5)
+        .orderBy("comp")
+    }),
+
     // ---- IVF ANN: k-means coarse quantizer + probed re-rank. The
     //      quantizer is deterministic (smallest-id init, fixed iters,
     //      tie-to-lower-list) and trains on a bounded md5-sample
@@ -1009,6 +1020,59 @@ object Pipeline {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id FROM losers)
          ORDER BY doc_id""",
+    // the q69 LSH + recursive closure verbatim, then per-cluster argmax
+    // by (n_chars DESC, id ASC) instead of keep-min-id
+    "q114_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+          docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          verified AS (
+            SELECT id_a, id_b FROM (
+              SELECT id_a, id_b,
+                CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                  ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                       len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+              FROM cand)
+            WHERE jac >= 0.5),
+          u AS (SELECT id_a AS a, id_b AS b FROM verified
+                UNION SELECT id_b AS a, id_a AS b FROM verified),
+          reach(id, r) AS (
+            SELECT a AS id, a AS r FROM u
+            UNION
+            SELECT u.a AS id, reach.r AS r FROM u JOIN reach ON u.b = reach.id),
+          comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+          scored AS (
+            SELECT c.comp, c.id, d.n_chars FROM comps c
+            JOIN documents d ON c.id = d.doc_id)
+         SELECT comp, id AS keeper_id, n_chars AS keeper_score, n_members
+         FROM (
+           SELECT comp, id, n_chars,
+             row_number() OVER (PARTITION BY comp
+               ORDER BY n_chars DESC, id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
+           FROM scored)
+         WHERE rn = 1 ORDER BY comp""",
     "q65_tfidf" ->
       s"""WITH tf AS (
             SELECT doc_id, term, count(*) AS tf

@@ -333,6 +333,30 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L), s"kept $kept")
   }
 
+  test("Dedup keep-best: highest score survives, min-id tiebreak, keepers consistent") {
+    // same transitive chain as the nearDedup spec (A≈B≈C, A-C below
+    // threshold) plus an unrelated doc; scores pick doc 3 — the keep
+    // rule must beat keep-min-id, and the cluster label stays min id
+    val base = (1 to 40).map(w => s"w$w").mkString(" ")
+    val mid = (11 to 50).map(w => s"w$w").mkString(" ")
+    val far = (21 to 60).map(w => s"w$w").mkString(" ")
+    val unique = "completely different content about penguins and glaciers " +
+      "nothing shared with the chain at all"
+    val docs = Seq((1L, base, 10L), (2L, mid, 25L), (3L, far, 25L),
+      (4L, unique, 99L)).toDF("id", "text", "score")
+    val keepers = Dedup.nearDupClusterKeepers(docs, "text", "id", "score",
+        numHashes = 16, bands = 16, threshold = 0.4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    Dedup.clearCaches()
+    // one cluster {1,2,3}: max score 25 is tied between 2 and 3 → min id 2
+    assert(keepers == Seq((1L, 2L, 25L, 3L)), s"keepers $keepers")
+    val kept = Dedup.nearDedupKeepBest(docs, "text", "id", "score",
+        numHashes = 16, bands = 16, threshold = 0.4)
+      .select("id").as[Long].collect().sorted.toSeq
+    Dedup.clearCaches()
+    assert(kept == Seq(2L, 4L), s"kept $kept")
+  }
+
   test("Dedup.duplicateSpans: keep-first, overlapping grams merge, intra-doc repeats exempt") {
     val w12 = (1 to 12).map("w" + _).mkString(" ")
     val docs = Seq(
