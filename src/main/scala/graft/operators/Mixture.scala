@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -106,6 +106,75 @@ object Mixture {
         round(col("p_raw"), 6).as("p_raw"),
         round(col("p_temp"), 6).as("p_temp"),
         round(col("p_temp") * budget / col("n_tokens"), 4).as("epochs"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, *Data Selection
+    * for Language Models via Importance Resampling*): score every raw
+    * document by how much more likely its bag of hashed n-gram
+    * features is under a target-domain model than under the raw-corpus
+    * model — `log w(x) = Σ_f c_f(x) · (log p_tgt(f) − log p_raw(f))`
+    * with unigram+bigram features hashed into `buckets` buckets and
+    * add-one-smoothed bucket probabilities `p(f) = (c_f+1)/(N+B)`.
+    * The hash is [[md5Long]], so any engine replays the bucketing.
+    * Output: one row per raw document with features —
+    * (`idCol`, `n_feats`, `log_weight`), log_weight unrounded.
+    *
+    * Scale shape: both bucket-count models are map-side-combinable
+    * aggregates collapsing to ≤`buckets` rows (metadata-scale,
+    * broadcast); the raw side aggregates per-(doc, bucket) first —
+    * bounded by `buckets` per doc — then joins the broadcast ratio
+    * table and folds to one row per doc. The corpus shuffles only
+    * doc-bucket counts, never text.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      textCol: String, idCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketed(df: DataFrame, id: Column): DataFrame =
+      df.select(id.as("_id"), tokens(col(textCol)).as("_t"))
+        .select(col("_id"),
+          concat(col("_t"), wordShingles(col("_t"), 2)).as("_g"))
+        .select(col("_id"), explode(col("_g")).as("_gram"))
+        .select(col("_id"),
+          pmod(md5Long(col("_gram")), lit(buckets.toLong)).as("_f"))
+    val docFeats = bucketed(raw, col(idCol).cast("long"))
+      .groupBy("_id", "_f").agg(count(lit(1)).cast("long").as("_c"))
+    val rawBuckets = docFeats.groupBy("_f")
+      .agg(sum("_c").as("_cr"))
+    val tgtBuckets = bucketed(target, lit(0L)).groupBy("_f")
+      .agg(count(lit(1)).cast("long").as("_ct"))
+    // the two models joined over buckets present on either side; the
+    // totals ride a 1-row broadcast cross (the termDrift shape)
+    val totals = rawBuckets.agg(sum("_cr").cast("double").as("_nr"))
+      .crossJoin(tgtBuckets.agg(sum("_ct").cast("double").as("_nt")))
+    val ratio = tgtBuckets.join(rawBuckets, Seq("_f"), "full")
+      .crossJoin(broadcast(totals))
+      .select(col("_f"),
+        (log((coalesce(col("_ct"), lit(0L)) + 1) / (col("_nt") + buckets)) -
+         log((coalesce(col("_cr"), lit(0L)) + 1) / (col("_nr") + buckets)))
+          .as("_lr"))
+    docFeats.join(broadcast(ratio), Seq("_f"))
+      .groupBy(col("_id").as(idCol))
+      .agg(sum("_c").cast("long").as("n_feats"),
+        sum(col("_c") * col("_lr")).as("log_weight"))
+  }
+
+  /** DSIR selection: the Gumbel-top-k over [[importanceWeights]] —
+    * sampling k docs ∝ their importance weights without replacement is
+    * exactly top-k by `log w(x) + Gumbel(0,1)` (the Gumbel-max trick,
+    * the paper's §2.2 sampling rule). The noise is md5-deterministic
+    * (`u = (md5(id) mod 1e6 + 0.5)/1e6`, `g = −ln(−ln u)`), so the
+    * draw replays on any engine. Output adds the perturbed `score`,
+    * ordered best-first, limited to `k` (top-k truncates map-side —
+    * TakeOrdered, no full sort at scale).
+    */
+  def dsirSample(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, k: Int, buckets: Int = 256): DataFrame = {
+    val u = (pmod(md5Long(col(idCol)), lit(Buckets)).cast("double") + 0.5) /
+      Buckets.toDouble
+    importanceWeights(raw, target, textCol, idCol, buckets)
+      .withColumn("score", col("log_weight") + -log(-log(u)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
   }
 
   /** Token-budget mixture sampling — the token-weighted form of

@@ -268,6 +268,22 @@ object Pipeline {
         .orderBy("comp")
     }),
 
+    // ---- DSIR importance resampling: hashed unigram+bigram bucket
+    //      models (256 buckets, add-one smoothing), raw docs scored by
+    //      the target/raw log-likelihood ratio, Gumbel-top-20 draw
+    //      with md5-deterministic noise; rounding only after the limit
+    //      (the q108 lesson) ----
+    "q115_dsir_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Mixture.dsirSample(
+          docs.where(!col("source").isin("src0", "src1")),
+          docs.where(col("source").isin("src0", "src1")),
+          "text", "doc_id", k = 20)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("log_weight"), 6).as("log_weight"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // ---- IVF ANN: k-means coarse quantizer + probed re-rank. The
     //      quantizer is deterministic (smallest-id init, fixed iters,
     //      tie-to-lower-list) and trains on a bounded md5-sample
@@ -1073,6 +1089,56 @@ object Pipeline {
              CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
            FROM scored)
          WHERE rn = 1 ORDER BY comp""",
+    // hashed-n-gram bucket models with add-one smoothing; the Gumbel
+    // draw replays via the md5-uniform; ORDER BY + LIMIT on the
+    // UNROUNDED score, rounding applied outside the limit
+    "q115_dsir_sample" ->
+      s"""WITH tgt AS (
+            SELECT text FROM documents WHERE source IN ('src0','src1')),
+          rawd AS (
+            SELECT doc_id, text FROM documents
+            WHERE source NOT IN ('src0','src1')),
+          tg AS (
+            SELECT unnest(list_concat(t,
+              list_transform(range(1, greatest(len(t)-1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1]))) AS g
+            FROM (SELECT $Toks AS t FROM tgt)),
+          rg AS (
+            SELECT doc_id, unnest(list_concat(t,
+              list_transform(range(1, greatest(len(t)-1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1]))) AS g
+            FROM (SELECT doc_id, $Toks AS t FROM rawd)),
+          tb AS (
+            SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS f,
+              count(*) AS c
+            FROM tg GROUP BY 1),
+          docf AS (
+            SELECT doc_id,
+              ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS f,
+              count(*) AS c
+            FROM rg GROUP BY 1, 2),
+          rb AS (SELECT f, sum(c) AS c FROM docf GROUP BY f),
+          n AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM tb) AS nt,
+                       (SELECT CAST(sum(c) AS DOUBLE) FROM rb) AS nr),
+          ratio AS (
+            SELECT coalesce(tb.f, rb.f) AS f,
+              ln((coalesce(tb.c, 0) + 1) / (nt + 256)) -
+              ln((coalesce(rb.c, 0) + 1) / (nr + 256)) AS lr
+            FROM tb FULL JOIN rb ON tb.f = rb.f CROSS JOIN n),
+          sc AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+              sum(c * lr) AS lw
+            FROM docf JOIN ratio USING (f) GROUP BY doc_id),
+          sel AS (
+            SELECT doc_id, n_feats, lw,
+              lw + -ln(-ln(
+                (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 + 0.5) / 1000000.0)) AS s
+            FROM sc)
+         SELECT doc_id, n_feats, round(lw, 6) AS log_weight,
+           round(s, 6) AS score
+         FROM (SELECT * FROM sel ORDER BY s DESC, doc_id LIMIT 20)
+         ORDER BY s DESC, doc_id""",
     "q65_tfidf" ->
       s"""WITH tf AS (
             SELECT doc_id, term, count(*) AS tf

@@ -450,6 +450,49 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < 300) // budget actually binds
   }
 
+  test("Mixture.importanceWeights matches a hand-rolled model; target-like docs score higher") {
+    // raw docs 0-3 are made of "cat"/"dog" grams, 4-7 of "xyz" grams;
+    // the target corpus speaks cat/dog — the DSIR ratio must separate
+    // them, and the values must equal a plain-Scala reimplementation
+    val raw = Seq(
+      (0L, "cat dog cat"), (1L, "dog cat dog dog"),
+      (2L, "cat cat"), (3L, "dog dog cat"),
+      (4L, "xyz qqq xyz"), (5L, "qqq xyz qqq qqq"),
+      (6L, "xyz xyz"), (7L, "qqq qqq xyz")).toDF("doc_id", "text")
+    val target = Seq("cat dog", "dog dog cat cat", "cat dog cat")
+      .toDF("text")
+    val B = 16
+    val got = Mixture.importanceWeights(raw, target, "text", "doc_id", B)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+
+    def toks(s: String) = s.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def grams(s: String) = { val t = toks(s); t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+    def h(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % B
+    }
+    val tgtC = Seq("cat dog", "dog dog cat cat", "cat dog cat")
+      .flatMap(grams).groupBy(h).view.mapValues(_.size.toLong).toMap
+    val rawDocs = Seq(0L -> "cat dog cat", 1L -> "dog cat dog dog",
+      2L -> "cat cat", 3L -> "dog dog cat", 4L -> "xyz qqq xyz",
+      5L -> "qqq xyz qqq qqq", 6L -> "xyz xyz", 7L -> "qqq qqq xyz")
+    val rawC = rawDocs.flatMap(d => grams(d._2)).groupBy(h)
+      .view.mapValues(_.size.toLong).toMap
+    val nt = tgtC.values.sum.toDouble; val nr = rawC.values.sum.toDouble
+    def lr(f: Long) = math.log((tgtC.getOrElse(f, 0L) + 1) / (nt + B)) -
+      math.log((rawC.getOrElse(f, 0L) + 1) / (nr + B))
+    rawDocs.foreach { case (id, text) =>
+      val fs = grams(text).map(h)
+      val exp = fs.groupBy(identity).map { case (f, g) => g.size * lr(f) }.sum
+      assert(math.abs(got(id)._2 - exp) < 1e-9, s"doc $id: ${got(id)._2} vs $exp")
+      assert(got(id)._1 == fs.size, s"doc $id n_feats")
+    }
+    val catDog = Seq(0L, 1L, 2L, 3L).map(got(_)._2).min
+    val offDomain = Seq(4L, 5L, 6L, 7L).map(got(_)._2).max
+    assert(catDog > offDomain, s"separation: $catDog vs $offDomain")
+  }
+
   test("Similarity.centroidOutliers flags the planted off-distribution vector first") {
     val rows = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
