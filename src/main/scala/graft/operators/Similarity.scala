@@ -88,6 +88,60 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Deterministic Rademacher sign (±1) for (output dim k, input dim
+    * j): parity of md5("tag:k:j"). Driver-side constant; DuckDB
+    * replays it as
+    * `CASE WHEN ('0x'||substr(md5(s),1,15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END`.
+    */
+  def rademacherSign(tag: String, k: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$k:$j".getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1d else -1d
+  }
+
+  /** Johnson–Lindenstrauss random projection: `dims` → `outDims` via a
+    * deterministic ±1 (Rademacher) sign matrix — `r_k = Σ_j v_j·s_kj`.
+    * The (unscaled) Rademacher projection preserves inner products in
+    * expectation (Achlioptas 2003 — database-friendly random
+    * projections); the 1/√outDims scale cancels out of cosine, so it
+    * is omitted. The sign matrix is ONE `typedLit` literal (the r4
+    * lesson: per-cell `lit()` subtrees multiply analyzer work), and
+    * the fold is sequential `aggregate`, bit-matching DuckDB's
+    * `list_sum(list_transform(...))`.
+    */
+  def randomProjection(vec: Column, dims: Int, outDims: Int,
+      tag: String = "rp"): Column = {
+    val signs = typedLit(
+      (0 until outDims).map(k => (0 until dims).map(j => rademacherSign(tag, k, j))))
+    transform(signs, srow =>
+      aggregate(zip_with(vec, srow, (x, s) => x.cast("double") * s),
+        lit(0d), (acc, v) => acc + v))
+  }
+
+  /** Random-projection ANN: cosine top-k in the `outDims`-dimensional
+    * JL-projected space — the cheap-filter tier of an ANN stack (a
+    * 64→16 projection cuts the per-pair arithmetic 4× at modest recall
+    * loss; chain with an exact re-rank when exactness matters).
+    * Returns (`query_id`, `neighbor_id`, `rp_cosine`, `rank`);
+    * `rp_cosine` is measured in the PROJECTED space.
+    *
+    * Scale shape: projection is a map-only codegen'd pass on both
+    * sides; ranking reuses [[bruteForceKnn]]'s broadcast-queries scan
+    * over vectors 4× narrower than the originals.
+    */
+  def rpKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      dims: Int, outDims: Int = 16,
+      excludeSelf: Boolean = true): DataFrame = {
+    def reduced(df: DataFrame) = df.select(col(idCol),
+      randomProjection(col(vecCol), dims, outDims).as("_rp"))
+    bruteForceKnn(reduced(corpus), reduced(queries), "_rp", idCol, k,
+        excludeSelf)
+      .withColumnRenamed("cosine", "rp_cosine")
+  }
+
   /** LSH-bucketed ANN: candidates = same (table, signature) bucket in
     * any of `tables` independent hyperplane sets; exact cosine ranks
     * candidates, top-k per query. Recall < 1 by construction.

@@ -284,6 +284,19 @@ object Pipeline {
           round(col("score"), 6).as("score"))
     }),
 
+    // ---- JL random-projection ANN: 64→16 Rademacher projection
+    //      (md5-parity signs, one typedLit matrix), cosine top-5 in
+    //      the projected space; the oracle recomputes the sign matrix
+    //      from the same md5 parity ----
+    "q116_rp_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.rpKnn(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, dims = 64, outDims = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("rp_cosine"), 4).as("rp_cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- IVF ANN: k-means coarse quantizer + probed re-rank. The
     //      quantizer is deterministic (smallest-id init, fixed iters,
     //      tie-to-lower-list) and trains on a bounded md5-sample
@@ -1139,6 +1152,33 @@ object Pipeline {
            round(s, 6) AS score
          FROM (SELECT * FROM sel ORDER BY s DESC, doc_id LIMIT 20)
          ORDER BY s DESC, doc_id""",
+    // the 16×64 Rademacher sign matrix recomputed from md5 parity;
+    // reduced components and cosine are sequential list_sum folds,
+    // bit-matching Spark's aggregate/graft_cosine order
+    "q116_rp_knn" ->
+      """WITH red AS (
+            SELECT vec_id, list_transform(range(0, 16), k ->
+              list_sum(list_transform(range(1, 65), j ->
+                embedding[j]::DOUBLE *
+                  (CASE WHEN ('0x' || substr(md5('rp:' || k::VARCHAR || ':'
+                      || (j-1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)))) AS r
+            FROM embeddings),
+          q AS (SELECT vec_id AS query_id, r AS qv FROM red WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, r AS cv FROM red),
+          scored AS (
+            SELECT query_id, neighbor_id,
+              list_sum(list_transform(range(1, 17), i -> qv[i] * cv[i])) /
+              (sqrt(list_sum(list_transform(range(1, 17), i -> qv[i] * qv[i]))) *
+               sqrt(list_sum(list_transform(range(1, 17), i -> cv[i] * cv[i]))))
+                AS cosine
+            FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+         SELECT query_id, neighbor_id, round(cosine, 4) AS rp_cosine, rank
+         FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q65_tfidf" ->
       s"""WITH tf AS (
             SELECT doc_id, term, count(*) AS tf

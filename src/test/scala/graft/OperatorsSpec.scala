@@ -493,6 +493,40 @@ class OperatorsSpec extends SparkSpec {
     assert(catDog > offDomain, s"separation: $catDog vs $offDomain")
   }
 
+  test("Similarity.rpKnn: projection preserves well-separated clusters; projection is linear") {
+    // three tight orthogonal-ish clusters in 8-dim: JL to 4 dims keeps
+    // them separated for THIS fixed md5 sign matrix (deterministic —
+    // passes once ⇒ passes always), so every query's top-2 neighbors
+    // are its own cluster mates
+    def v(base: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(base) = 1f; a((base + 1) % 8) = eps; a
+    }
+    val rows = Seq(
+      (0L, v(0, 0.01f)), (1L, v(0, 0.02f)), (2L, v(0, 0.03f)),
+      (3L, v(3, 0.01f)), (4L, v(3, 0.02f)), (5L, v(3, 0.03f)),
+      (6L, v(6, 0.01f)), (7L, v(6, 0.02f)), (8L, v(6, 0.03f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.rpKnn(rows, rows, "embedding", "vec_id",
+        k = 2, dims = 8, outDims = 4)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val cluster = (id: Long) => id / 3
+    (0L to 8L).foreach { q =>
+      assert(got(q).forall(n => cluster(n) == cluster(q)),
+        s"query $q got ${got(q)}")
+    }
+    // linearity: rp(a+b) = rp(a) + rp(b) (it's a fixed linear map)
+    val a = Array.fill(8)(0.25f); val b = Array.tabulate(8)(_ * 0.1f)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val three = Seq((1L, a), (2L, b), (3L, ab)).toDF("id", "v")
+      .select(col("id"), Similarity.randomProjection(col("v"), 8, 4).as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    three(1).zip(three(2)).zip(three(3)).foreach { case ((ra, rb), rab) =>
+      assert(math.abs(ra + rb - rab) < 1e-5, s"$ra + $rb != $rab")
+    }
+  }
+
   test("Similarity.centroidOutliers flags the planted off-distribution vector first") {
     val rows = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
