@@ -300,6 +300,39 @@ object TextAnalysis {
     struct((reasons === "").as("keep"), reasons.as("reasons"))
   }
 
+  /** Intra-document duplicate-sentence removal — the boilerplate
+    * de-repetition pass (repeated nav bars / disclaimers / chorus
+    * lines inside ONE document, vs [[graft.operators.Dedup]]'s
+    * cross-document ops). Sentences split on `.`+whitespace; equality
+    * is on a normalized key (lowercase, non-alphanumerics collapsed);
+    * the FIRST occurrence survives, order is preserved, and the
+    * cleaned text is reassembled with ". ". Output:
+    * `idCol, n_sent, n_unique, text_clean`.
+    *
+    * Scale shape: entirely row-local column expressions — zero
+    * shuffle, zero UDFs; the keep-filter is O(sentences²) per row via
+    * an exists-over-prefix (sentence counts are bounded; an engine at
+    * 100 TB runs this as a pure map stage). DuckDB replays it with
+    * `list_filter(range(...), i -> NOT list_contains(k[1:i-1], k[i]))`.
+    */
+  def dedupSentences(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sents = filter(split(col(textCol), "\\.\\s+"), s => length(s) > lit(0))
+    df.select(col(idCol), sents.as("_s"))
+      .select(col(idCol), col("_s"),
+        transform(col("_s"),
+          x => trim(regexp_replace(lower(x), "[^a-z0-9]+", " "))).as("_k"))
+      .select(col(idCol), col("_s"),
+        filter(sequence(lit(1), size(col("_k"))), i =>
+          !exists(slice(col("_k"), lit(1), i - 1),
+            p => p === element_at(col("_k"), i))).as("_keep"))
+      .select(col(idCol),
+        size(col("_s")).as("n_sent"),
+        size(col("_keep")).as("n_unique"),
+        array_join(
+          transform(col("_keep"), i => element_at(col("_s"), i)),
+          ". ").as("text_clean"))
+  }
+
   /** Sliding-window document chunking — the training-context-window
     * op: split each document's token stream into windows of `size`
     * tokens advancing by `stride` (overlapping when stride < size).

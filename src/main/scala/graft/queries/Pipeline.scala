@@ -297,6 +297,33 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- intra-document duplicate-sentence removal: docs are chunked
+    //      into 6-token "sentences" with deterministically injected
+    //      repeats (%3 → first sentence again, %5 → second twice — the
+    //      q113 mutation pattern), then the row-local de-repetition
+    //      pass keeps first occurrences and reassembles ----
+    "q117_dedup_sentences" -> ((s, d) => {
+      val base = Tables.documents(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id"), graft.functions.tokens(col("text")).as("_t"))
+        .select(col("doc_id"),
+          transform(
+            sequence(lit(1),
+              floor((size(col("_t")) + lit(5)) / lit(6)).cast("int")),
+            i => array_join(slice(col("_t"), (i - 1) * 6 + 1, lit(6)), " "))
+            .as("_s0"))
+        .select(col("doc_id"), concat(
+          col("_s0"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            array(element_at(col("_s0"), 1)))
+            .otherwise(array().cast("array<string>")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            array(element_at(col("_s0"), 2), element_at(col("_s0"), 2)))
+            .otherwise(array().cast("array<string>"))).as("_s"))
+        .select(col("doc_id"), array_join(col("_s"), ". ").as("text"))
+      TextAnalysis.dedupSentences(base, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- IVF ANN: k-means coarse quantizer + probed re-rank. The
     //      quantizer is deterministic (smallest-id init, fixed iters,
     //      tie-to-lower-list) and trains on a bounded md5-sample
@@ -1179,6 +1206,41 @@ object Pipeline {
              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
            FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // same 6-token sentence construction + injected repeats, then the
+    // keep-first filter as NOT list_contains over the key prefix
+    "q117_dedup_sentences" ->
+      s"""WITH base AS (
+            SELECT doc_id, $Toks AS t FROM documents WHERE doc_id < 100),
+          sent AS (
+            SELECT doc_id,
+              list_transform(range(1, CAST(floor((len(t)+5)/6) AS BIGINT) + 1),
+                i -> array_to_string(t[(i-1)*6+1:(i-1)*6+6], ' ')) AS s0
+            FROM base),
+          inj AS (
+            SELECT doc_id, list_concat(list_concat(s0,
+                CASE WHEN doc_id % 3 = 0 THEN [s0[1]] ELSE [] END),
+                CASE WHEN doc_id % 5 = 0 THEN [s0[2], s0[2]] ELSE [] END) AS s
+            FROM sent),
+          txt AS (SELECT doc_id, array_to_string(s, '. ') AS text FROM inj),
+          sp AS (
+            SELECT doc_id,
+              list_filter(string_split_regex(text, '\\.\\s+'),
+                x -> len(x) > 0) AS s
+            FROM txt),
+          keyed AS (
+            SELECT doc_id, s,
+              list_transform(s,
+                x -> trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'))) AS k
+            FROM sp),
+          kept AS (
+            SELECT doc_id, s, len(s) AS n_sent,
+              list_filter(range(1, len(k) + 1),
+                i -> NOT list_contains(k[1:i-1], k[i])) AS keep
+            FROM keyed)
+         SELECT doc_id, CAST(n_sent AS INTEGER) AS n_sent,
+           CAST(len(keep) AS INTEGER) AS n_unique,
+           array_to_string(list_transform(keep, i -> s[i]), '. ') AS text_clean
+         FROM kept ORDER BY doc_id""",
     "q65_tfidf" ->
       s"""WITH tf AS (
             SELECT doc_id, term, count(*) AS tf

@@ -527,6 +527,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextAnalysis.dedupSentences: keep-first, normalized keys, order preserved") {
+    val docs = Seq(
+      // dup via normalization ("Buy NOW!!" ≈ "buy now"), order kept
+      (1L, "alpha beta. Buy NOW. gamma. buy;;now. alpha beta. delta"),
+      (2L, "one two. one two. one two"),       // all same → 1 survivor
+      (3L, "unique one. unique two")           // nothing to drop
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupSentences(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6, 4, "alpha beta. Buy NOW. gamma. delta"),
+      (2L, 3, 1, "one two"),
+      (3L, 2, 2, "unique one. unique two")), s"got $got")
+  }
+
   test("Similarity.centroidOutliers flags the planted off-distribution vector first") {
     val rows = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
