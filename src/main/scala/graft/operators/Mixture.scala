@@ -136,12 +136,19 @@ object Mixture {
         .select(col("_id"), explode(col("_g")).as("_gram"))
         .select(col("_id"),
           pmod(md5Long(col("_gram")), lit(buckets.toLong)).as("_f"))
-    val docFeats = bucketed(raw, col(idCol).cast("long"))
-      .groupBy("_id", "_f").agg(count(lit(1)).cast("long").as("_c"))
+    // the per-doc bucket counts feed BOTH the raw model and the final
+    // scoring join — tracked persist (Dedup.clearCaches lifecycle) so
+    // the corpus is tokenized/exploded once, not twice
+    val docFeats = Dedup.persistTracked(
+      bucketed(raw, col(idCol).cast("long"))
+        .groupBy("_id", "_f").agg(count(lit(1)).cast("long").as("_c")))
     val rawBuckets = docFeats.groupBy("_f")
       .agg(sum("_c").as("_cr"))
-    val tgtBuckets = bucketed(target, lit(0L)).groupBy("_f")
-      .agg(count(lit(1)).cast("long").as("_ct"))
+    // ≤buckets rows, but building it costs a target-corpus pass and
+    // it feeds both the ratio join and the totals — persist likewise
+    val tgtBuckets = Dedup.persistTracked(
+      bucketed(target, lit(0L)).groupBy("_f")
+        .agg(count(lit(1)).cast("long").as("_ct")))
     // the two models joined over buckets present on either side; the
     // totals ride a 1-row broadcast cross (the termDrift shape)
     val totals = rawBuckets.agg(sum("_cr").cast("double").as("_nr"))
