@@ -137,7 +137,25 @@ object Dedup {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      saltHotBuckets: Int = -1): DataFrame = {
+      saltHotBuckets: Int = -1): DataFrame =
+    lshScoredCandidates(df, textCol, idCol, numHashes, bands, shingleSize,
+      saltHotBuckets)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** The LSH candidate pipeline shared by [[minHashLsh]] and
+    * [[contrastivePairs]]: banded signature collisions, deduped,
+    * scored with exact Jaccard over hashed shingle sets — UNfiltered,
+    * one row per candidate pair.
+    */
+  private def lshScoredCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      saltHotBuckets: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
@@ -224,9 +242,35 @@ object Dedup {
       .withColumn("jaccard",
         when(col("tot") - col("inter") === 0, lit(0d))
           .otherwise(col("inter") / (col("tot") - col("inter"))))
-      .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Contrastive training-pair mining from the LSH pipeline: every
+    * banded collision becomes a labeled pair — `positive` when the
+    * verified Jaccard clears `threshold` (a genuine near-dup, the
+    * anchor/positive of a retrieval-training pair), `hard_negative`
+    * below it (surface-similar enough to share an LSH bucket yet not a
+    * duplicate — exactly the hard negatives contrastive training
+    * wants; random negatives are trivially separable). Output:
+    * `id_a, id_b, jaccard, label` with `id_a < id_b`.
+    *
+    * Scale shape: identical to [[minHashLsh]] (same banded equi-join,
+    * same pre-deduped candidates); the label is a row-local CASE.
+    */
+  def contrastivePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      saltHotBuckets: Int = -1): DataFrame =
+    lshScoredCandidates(df, textCol, idCol, numHashes, bands, shingleSize,
+      saltHotBuckets)
+      .withColumn("label",
+        when(col("jaccard") >= threshold, lit("positive"))
+          .otherwise(lit("hard_negative")))
 
   /** SimHash fingerprints (per doc). Exact-fingerprint groups are
     * near-certain duplicates; Hamming-ball search over the fingerprints

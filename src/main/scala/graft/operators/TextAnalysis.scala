@@ -300,6 +300,44 @@ object TextAnalysis {
     struct((reasons === "").as("keep"), reasons.as("reasons"))
   }
 
+  /** Class-based TF-IDF (c-TF-IDF — the BERTopic cluster-labeling
+    * statistic, Grootendorst 2022): scores how much a term
+    * characterizes a CLASS of documents (a near-dup cluster, a source,
+    * a topic) rather than one document —
+    * `ctfidf(t,c) = tf_{t,c} · ln(1 + A / f_t)` with `tf_{t,c}` the
+    * term's occurrences inside class c, `f_t` its corpus-wide
+    * occurrences, and `A` the mean token count per class. Output: the
+    * top `k` terms of every class — `groupCol, rank, term, tf,
+    * ctfidf` — i.e. human-readable labels for document clusters.
+    *
+    * Scale shape: ONE corpus shuffle (the (class, term) count); `f_t`
+    * and `A` derive from that persisted aggregate, not from re-reading
+    * the corpus; the vocab join is unhinted (AQE broadcasts it while
+    * vocab is small); the per-class top-k is a row_number over a
+    * low-cardinality partition — Spark 4 plans a partial
+    * WindowGroupLimit below the exchange, so the top-k truncates
+    * map-side.
+    */
+  def classTfidf(df: DataFrame, textCol: String, groupCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Dedup.persistTracked(
+      df.select(col(groupCol).as("_g"), explode(tokens(col(textCol))).as("term"))
+        .groupBy("_g", "term").agg(count(lit(1)).cast("long").as("tf")))
+    val ft = tf.groupBy("term").agg(sum("tf").as("ft"))
+    val avgClass = tf.groupBy("_g").agg(sum("tf").as("_n"))
+      .agg(avg("_n").as("A"))
+    val w = Window.partitionBy("_g")
+      .orderBy(col("ctfidf").desc, col("term").asc)
+    tf.join(ft, Seq("term"))
+      .crossJoin(broadcast(avgClass))
+      .withColumn("ctfidf", col("tf") * log(lit(1d) + col("A") / col("ft")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("_g").as(groupCol), col("rank"), col("term"), col("tf"),
+        round(col("ctfidf"), 6).as("ctfidf"))
+  }
+
   /** Intra-document duplicate-sentence removal — the boilerplate
     * de-repetition pass (repeated nav bars / disclaimers / chorus
     * lines inside ONE document, vs [[graft.operators.Dedup]]'s

@@ -324,6 +324,24 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- c-TF-IDF cluster labeling (BERTopic statistic): top-5 terms
+    //      characterizing each source vs the corpus ----
+    "q118_class_tfidf" -> ((s, d) => {
+      TextAnalysis.classTfidf(Tables.documents(s, d), "text", "source", k = 5)
+        .orderBy("source", "rank")
+    }),
+
+    // ---- contrastive pair mining: every LSH band collision labeled
+    //      positive (verified near-dup) or hard_negative (bucket-
+    //      similar but below threshold) — retrieval-training pairs ----
+    "q119_contrastive_pairs" -> ((s, d) => {
+      Dedup.contrastivePairs(Tables.documents(s, d), "text", "doc_id",
+          numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 4).as("jaccard"), col("label"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- IVF ANN: k-means coarse quantizer + probed re-rank. The
     //      quantizer is deterministic (smallest-id init, fixed iters,
     //      tie-to-lower-list) and trains on a bounded md5-sample
@@ -1241,6 +1259,57 @@ object Pipeline {
            CAST(len(keep) AS INTEGER) AS n_unique,
            array_to_string(list_transform(keep, i -> s[i]), '. ') AS text_clean
          FROM kept ORDER BY doc_id""",
+    "q118_class_tfidf" ->
+      s"""WITH ex AS (
+            SELECT source AS g, unnest($Toks) AS term FROM documents),
+          tf AS (SELECT g, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+          ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+          a AS (SELECT avg(n) AS A FROM (
+            SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY g)),
+          sc AS (
+            SELECT g, term, CAST(tf AS BIGINT) AS tf,
+              tf * ln(1 + A / ft) AS ctfidf
+            FROM tf JOIN ft USING (term) CROSS JOIN a)
+         SELECT g AS source, rank, term, tf, round(ctfidf, 6) AS ctfidf
+         FROM (SELECT *, row_number() OVER (
+             PARTITION BY g ORDER BY ctfidf DESC, term ASC) AS rank
+           FROM sc)
+         WHERE rank <= 5 ORDER BY source, rank""",
+    // the q69 LSH candidates WITHOUT the threshold filter; label by
+    // the verified Jaccard
+    "q119_contrastive_pairs" ->
+      s"""WITH docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          scored AS (
+            SELECT id_a, id_b,
+              CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                     len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+            FROM cand)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard,
+           CASE WHEN jac >= 0.5 THEN 'positive' ELSE 'hard_negative' END AS label
+         FROM scored ORDER BY id_a, id_b""",
     "q65_tfidf" ->
       s"""WITH tf AS (
             SELECT doc_id, term, count(*) AS tf

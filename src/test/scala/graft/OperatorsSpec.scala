@@ -357,6 +357,41 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L), s"kept $kept")
   }
 
+  test("Dedup.contrastivePairs labels the sub-threshold collision hard_negative") {
+    // the nearDedup chain: A-B and B-C verify (J=.58), A-C collides in
+    // a band but fails the .4 threshold → exactly the hard negative
+    val base = (1 to 40).map(w => s"w$w").mkString(" ")
+    val mid = (11 to 50).map(w => s"w$w").mkString(" ")
+    val far = (21 to 60).map(w => s"w$w").mkString(" ")
+    val docs = Seq((1L, base), (2L, mid), (3L, far)).toDF("id", "text")
+    val got = Dedup.contrastivePairs(docs, "text", "id",
+        numHashes = 16, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b", "label").as[(Long, Long, String)]
+      .collect().sortBy(p => (p._1, p._2)).toSeq
+    Dedup.clearCaches()
+    assert(got == Seq((1L, 2L, "positive"), (1L, 3L, "hard_negative"),
+      (2L, 3L, "positive")), s"got $got")
+  }
+
+  test("TextAnalysis.classTfidf: discriminative terms rank above shared ones") {
+    // "spark" appears only in class a, "flink" only in b, "the" in
+    // both — ctfidf must rank the exclusive term first per class
+    val docs = Seq(
+      ("a", "the spark engine"), ("a", "the spark planner"),
+      ("b", "the flink engine"), ("b", "the flink runtime"))
+      .toDF("source", "text")
+    val got = TextAnalysis.classTfidf(docs, "text", "source", k = 1)
+      .select("source", "term", "tf").as[(String, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    Dedup.clearCaches()
+    assert(got == Seq(("a", "spark", 2L), ("b", "flink", 2L)), s"got $got")
+    // hand-check one value: tf=2, f_t=2, A = 12 tokens / 2 classes = 6
+    val full = TextAnalysis.classTfidf(docs, "text", "source", k = 10)
+      .where(col("term") === "spark").select("ctfidf").as[Double].head()
+    Dedup.clearCaches()
+    assert(math.abs(full - 2 * math.log(1 + 6.0 / 2)) < 1e-6, s"got $full")
+  }
+
   test("Dedup.duplicateSpans: keep-first, overlapping grams merge, intra-doc repeats exempt") {
     val w12 = (1 to 12).map("w" + _).mkString(" ")
     val docs = Seq(

@@ -421,6 +421,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("importanceWeights persists its bucket counts (one pass per corpus)") {
+    // docFeats feeds the raw model AND the scoring join; tgtBuckets
+    // feeds the ratio join AND the totals. Unpersisted, Catalyst
+    // re-tokenizes each corpus per consumer — at 100 TB that doubles
+    // the dominant cost. The executed plan must read both through the
+    // cache, and the only nested-loop joins are the 1-row totals
+    // crossings.
+    val raw = (0 until 30).map(i => (i.toLong, s"alpha beta w$i gamma"))
+      .toDF("doc_id", "text")
+    val tgt = Seq(Tuple1("alpha beta target"), Tuple1("gamma delta"))
+      .toDF("text")
+    val out = operators.Mixture.importanceWeights(raw, tgt, "text", "doc_id", 32)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"bucket counts not persisted:\n$plan")
+    Dedup.clearCaches()
+  }
+
   test("Layout.zorder clusters BOTH dimensions tighter than hash layout") {
     import org.apache.spark.sql.functions.{col, max, min, spark_partition_id}
     // 100×100 grid; a good 2-D layout keeps each output partition's
