@@ -269,7 +269,8 @@ object Bench {
         "q32_dedup_minhash_lsh" -> 10d, "q54_token_topk" -> 10d,
         "q65_tfidf" -> 10d, "q72_decontaminate" -> 10d,
         "q69_near_dedup" -> 10d, "q96_dup_spans" -> 10d,
-        "q106_fuzzy_dedup" -> 10d,
+        "q106_fuzzy_dedup" -> 10d, "q114_dedup_keep_best" -> 10d,
+        "q115_dsir_sample" -> 10d, "q119_contrastive_pairs" -> 10d,
         "q35_knn_cosine" -> 4d, "q36_ann_lsh" -> 4d,
         "q105_semdedup" -> 4d, "q109_semantic_decontaminate" -> 4d)
       sweepQs.foreach { case (n, ratio) =>
