@@ -61,6 +61,91 @@ object Events {
       .drop("__new")
   }
 
+  /** Funnel analysis: per-user earliest ordered completion of `stages`
+    * (each stage strictly after the previous one; stages ≥ 2 must land
+    * within `horizonNs` of the stage-1 time), then stage-level user
+    * counts and conversion from stage 1.
+    *
+    * The chained per-stage minima (t_i = earliest `stages(i)` event
+    * after t_{i-1}) are windows all partitioned by `userCol`: ONE
+    * exchange, k sequential Window operators over it, and the final
+    * per-user groupBy reuses the same hash partitioning — no second
+    * shuffle. The stage summary is a single-row combinable aggregate
+    * unpivoted row-locally with `stack`, so the whole funnel costs one
+    * shuffle regardless of corpus size or stage count.
+    */
+  def funnel(df: DataFrame, userCol: String, tsNs: String, typeCol: String,
+      stages: Seq[String], horizonNs: Long): DataFrame = {
+    require(stages.size >= 2, "funnel needs at least two stages")
+    val w = Window.partitionBy(userCol)
+    val staged = stages.zipWithIndex.foldLeft(df) { case (acc, (stage, i)) =>
+      val t =
+        if (i == 0) min(when(col(typeCol) === stage, col(tsNs))).over(w)
+        else min(when(col(typeCol) === stage &&
+          col(s"__t${i - 1}").isNotNull && col(tsNs) > col(s"__t${i - 1}") &&
+          col(tsNs) - col("__t0") <= horizonNs, col(tsNs))).over(w)
+      acc.withColumn(s"__t$i", t)
+    }
+    val perUser = staged.groupBy(col(userCol))
+      .agg(max(col("__t0")).as("__t0"),
+        stages.indices.drop(1).map(i => max(col(s"__t$i")).as(s"__t$i")): _*)
+    val counts = perUser.agg(
+      count(col("__t0")).as("__n0"),
+      stages.indices.drop(1).map(i => count(col(s"__t$i")).as(s"__n$i")): _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (s, i) => s"${i + 1}, '$s', __n$i" }.mkString(", ")
+    counts.select(expr(
+        s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_users)"))
+      .withColumn("conversion",
+        round(col("n_users") / first(col("n_users")).over(
+          Window.orderBy(col("stage_idx"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 4))
+      .orderBy("stage_idx")
+  }
+
+  /** Cohort retention: users bucketed by the epoch-aligned period of
+    * their first event (`cohort_start_ns`), activity counted as
+    * distinct users per (cohort, periods-since-cohort) cell.
+    *
+    * Scale: the first-event time is a window min over the same
+    * `userCol` partitioning the per-(user, cohort, offset) distinct
+    * reuses, so the heavy input shuffles once on user; the final cell
+    * aggregate runs over the already-deduped (users × periods) frame.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsNs: String,
+      periodNs: Long): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    df.withColumn("__first", min(col(tsNs)).over(w))
+      .select(col(userCol),
+        (col("__first") - pmod(col("__first"), lit(periodNs))).as("cohort_start_ns"),
+        ((col(tsNs) - pmod(col(tsNs), lit(periodNs))) -
+          (col("__first") - pmod(col("__first"), lit(periodNs)))).divide(periodNs)
+          .cast("long").as("period_offset"))
+      .distinct()
+      .groupBy("cohort_start_ns", "period_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order transition matrix: per user, consecutive event-type
+    * pairs in (ts, tie-break) order, counted per (from, to) with the
+    * row-conditional probability.
+    *
+    * Scale: one shuffle on user for the lead window; the (from, to)
+    * aggregate is combinable; the per-`from` probability window runs on
+    * the ≤ |types|² aggregated frame, so its low-cardinality partition
+    * skew is irrelevant.
+    */
+  def transitions(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsNs), col(tieBreak))
+    df.withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+  }
+
   /** As-of join: for each left row, the single most recent right row
     * with right.ts <= left.ts (per key), within `toleranceNs` (≤ 0
     * disables the bound).

@@ -107,6 +107,26 @@ object EventsQ {
         .orderBy("purchase_id", "view_id")
     }),
 
+    // ---- funnel: ordered view→click→purchase completion within 7d ----
+    "q120_funnel" -> ((s, d) => {
+      Events.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 7L * 24 * HourNs)
+    }),
+
+    // ---- weekly cohort retention matrix ----
+    "q121_cohort_retention" -> ((s, d) => {
+      Events.cohortRetention(Tables.events(s, d), "user_id", "ts",
+          7L * 24 * HourNs)
+        .orderBy("cohort_start_ns", "period_offset")
+    }),
+
+    // ---- first-order event-type transition matrix ----
+    "q122_transitions" -> ((s, d) => {
+      Events.transitions(Tables.events(s, d), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -171,6 +191,64 @@ object EventsQ {
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
           FROM events GROUP BY user_id
           ORDER BY n DESC, user_id ASC LIMIT 10""",
+    // chained per-stage minima as CTEs: t_i = earliest stage-i event
+    // strictly after t_{i-1} and within the horizon of t_1 — the same
+    // recurrence the engine's window chain computes
+    "q120_funnel" -> {
+      val h = 7L * 24 * HourNs
+      s"""WITH t1 AS (
+            SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          t2 AS (
+            SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t1.t1
+              AND epoch_ns(e.ts) - t1.t1 <= $h
+            GROUP BY e.user_id),
+          t3 AS (
+            SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+            FROM events e JOIN t2 ON e.user_id = t2.user_id
+            JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t2.t2
+              AND epoch_ns(e.ts) - t1.t1 <= $h
+            GROUP BY e.user_id),
+          n AS (SELECT (SELECT count(*) FROM t1) AS n1,
+                       (SELECT count(*) FROM t2) AS n2,
+                       (SELECT count(*) FROM t3) AS n3)
+          SELECT * FROM (
+            SELECT 1 AS stage_idx, 'view' AS stage, n1 AS n_users,
+              round(CAST(n1 AS DOUBLE) / n1, 4) AS conversion FROM n
+            UNION ALL SELECT 2, 'click', n2,
+              round(CAST(n2 AS DOUBLE) / n1, 4) FROM n
+            UNION ALL SELECT 3, 'purchase', n3,
+              round(CAST(n3 AS DOUBLE) / n1, 4) FROM n)
+          ORDER BY stage_idx""" },
+    "q121_cohort_retention" -> {
+      val w = 7L * 24 * HourNs
+      s"""WITH f AS (
+            SELECT user_id, min(epoch_ns(ts)) AS first_ns
+            FROM events GROUP BY user_id),
+          cells AS (
+            SELECT DISTINCT e.user_id,
+              f.first_ns - f.first_ns % $w AS cohort_start_ns,
+              ((epoch_ns(e.ts) - epoch_ns(e.ts) % $w) -
+               (f.first_ns - f.first_ns % $w)) // $w AS period_offset
+            FROM events e JOIN f ON e.user_id = f.user_id)
+          SELECT cohort_start_ns, CAST(period_offset AS BIGINT) AS period_offset,
+            count(*) AS n_users
+          FROM cells GROUP BY 1, 2 ORDER BY 1, 2""" },
+    "q122_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         agg AS (
+           SELECT from_type, to_type, count(*) AS n FROM seq
+           WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+         FROM agg ORDER BY from_type, to_type""",
     "q49_stream_tumbling" ->
       s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $HourNs AS window_start_ns,
           event_type, count(*) AS n, round(sum(value), 2) AS sum_value

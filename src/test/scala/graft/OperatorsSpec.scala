@@ -227,6 +227,55 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 10L, 1L), (1L, 1000L, 2L), (1L, 1005L, 2L), (2L, 5L, 1L)))
   }
 
+  test("Events.funnel: ordered stages, strict progression, horizon bound") {
+    // u1 completes all three; u2 reaches click (the click BEFORE its
+    // view must not count); u3's purchase precedes its view; u4 never
+    // views; u5's click lands beyond the horizon of its first view
+    val df = Seq(
+      (1L, 10L, "view", 1L), (1L, 20L, "click", 2L), (1L, 30L, "purchase", 3L),
+      (2L, 5L, "click", 4L), (2L, 10L, "view", 5L), (2L, 15L, "click", 6L),
+      (3L, 5L, "purchase", 7L), (3L, 10L, "view", 8L),
+      (4L, 50L, "purchase", 9L),
+      (5L, 0L, "view", 10L), (5L, 200L, "click", 11L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = Events.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), horizonNs = 100L)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1, "view", 4L, 1.0), (2, "click", 2L, 0.5), (3, "purchase", 1L, 0.25)))
+  }
+
+  test("Events.cohortRetention: epoch-aligned cohorts, distinct users per cell") {
+    // period 100: u1 (first 50 → cohort 0) active in periods 0,1,2 with
+    // a duplicate in period 1; u2 (first 150 → cohort 100) in 0 and 2;
+    // u3 (first 60 → cohort 0) only in its first period
+    val df = Seq(
+      (1L, 50L), (1L, 120L), (1L, 130L), (1L, 250L),
+      (2L, 150L), (2L, 350L),
+      (3L, 60L))
+      .toDF("user_id", "ts")
+    val out = Events.cohortRetention(df, "user_id", "ts", periodNs = 100L)
+      .orderBy("cohort_start_ns", "period_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (100L, 0L, 1L), (100L, 2L, 1L)))
+  }
+
+  test("Events.transitions: per-user consecutive pairs, tie-broken, row-conditional probs") {
+    // u1: a→b→a→c; u2: a→b; u3: equal-ts pair ordered by event_id → a→b
+    val df = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "a", 3L), (1L, 4L, "c", 4L),
+      (2L, 5L, "a", 5L), (2L, 6L, "b", 6L),
+      (3L, 5L, "a", 6L), (3L, 5L, "b", 7L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = Events.transitions(df, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 3L, 0.75), ("a", "c", 1L, 0.25), ("b", "a", 1L, 1.0)))
+  }
+
   test("Profile.profile: one job, typed extrema, nulls counted") {
     val df = Seq((1L, Some(2.5), Some("b")), (2L, None, Some("a")),
       (3L, Some(1.5), None), (3L, Some(2.5), Some("a")))
