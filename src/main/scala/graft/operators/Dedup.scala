@@ -672,4 +672,48 @@ object Dedup {
         Seq(idCol))
       .withColumn("dup_ratio", round(col("dup_tokens") / col("n_tokens"), 4))
   }
+
+  /** Cross-document boilerplate scrub (the C4/CCNet global sentence
+    * dedup): a sentence whose normalized form appears in ≥ `maxDocs`
+    * DISTINCT documents is boilerplate (nav bars, footers, legal
+    * lines) and is removed from EVERY document; sentences shorter than
+    * `minChars` normalized are never considered (too generic to mean
+    * anything). Sentence split and normalization follow
+    * [[graft.operators.TextAnalysis.dedupSentences]] (its intra-doc
+    * counterpart). Output: `doc_id, n_sent, n_kept, text_clean`
+    * (kept sentences rejoined with ". ", original order).
+    *
+    * Scale shape: explode → groupBy(sentence key) with a two-phase
+    * distinct-doc count → the surviving boilerplate key set is tiny
+    * (bounded by sentences that actually repeat across `maxDocs`
+    * docs), joined back UNHINTED on the key (AQE broadcasts it when
+    * small; a shuffled join stays correct when a pathological corpus
+    * makes it large) → per-doc reassembly groups on doc_id. Three
+    * sentence-keyed/doc-keyed shuffles, no corpus-sized broadcast, no
+    * driver materialization.
+    */
+  def boilerplateScrub(docs: DataFrame, textCol: String, idCol: String,
+      minChars: Int = 10, maxDocs: Long = 4): DataFrame = {
+    val sents = filter(split(col(textCol), "\\.\\s+"), s => length(s) > lit(0))
+    val ex = docs
+      .select(col(idCol).as("doc_id"), posexplode(sents).as(Seq("pos", "sent")))
+      .withColumn("__k",
+        trim(regexp_replace(lower(col("sent")), "[^a-z0-9]+", " ")))
+    val bp = ex.where(length(col("__k")) >= minChars)
+      .groupBy("__k").agg(count_distinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") >= maxDocs)
+      .select(col("__k"), lit(true).as("__bp"))
+    ex.join(bp, Seq("__k"), "left")
+      .withColumn("__drop", coalesce(col("__bp"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sent"),
+        count(when(!col("__drop"), lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("__drop"), struct(col("pos"), col("sent"))))),
+            s => s.getField("sent")),
+          ". ").as("text_clean"))
+  }
 }

@@ -324,6 +324,23 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- cross-document boilerplate scrub (C4-style global sentence
+    //      dedup): deterministic footer sentences injected into %4/%7
+    //      docs must be detected as boilerplate (≥4 distinct docs) and
+    //      scrubbed from every document; genuine body sentences stay ----
+    "q123_boilerplate_scrub" -> ((s, d) => {
+      val base = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit(". all rights reserved contact us for details"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(". subscribe to our newsletter today"))
+            .otherwise(lit(""))).as("text"))
+      Dedup.boilerplateScrub(base, "text", "doc_id", minChars = 10, maxDocs = 4)
+        .orderBy("doc_id")
+    }),
+
     // ---- c-TF-IDF cluster labeling (BERTopic statistic): top-5 terms
     //      characterizing each source vs the corpus ----
     "q118_class_tfidf" -> ((s, d) => {
@@ -1259,6 +1276,34 @@ object Pipeline {
            CAST(len(keep) AS INTEGER) AS n_unique,
            array_to_string(list_transform(keep, i -> s[i]), '. ') AS text_clean
          FROM kept ORDER BY doc_id""",
+    // boilerplate = normalized sentence (≥10 chars) in ≥4 distinct docs;
+    // string_agg skips the dropped (NULL) sentences, coalesce covers a
+    // fully-scrubbed doc (engine's array_join yields '')
+    "q123_boilerplate_scrub" ->
+      """WITH base AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 0
+               THEN '. all rights reserved contact us for details' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+               THEN '. subscribe to our newsletter today' ELSE '' END AS text
+           FROM documents WHERE doc_id < 200),
+         sp AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\.\s+'), x -> len(x) > 0) AS s
+           FROM base),
+         ex AS (
+           SELECT doc_id, i AS pos, s[i] AS sent,
+             trim(regexp_replace(lower(s[i]), '[^a-z0-9]+', ' ', 'g')) AS k
+           FROM sp, unnest(range(1, len(s) + 1)) AS t(i)),
+         bp AS (
+           SELECT k FROM ex WHERE len(k) >= 10
+           GROUP BY k HAVING count(DISTINCT doc_id) >= 4)
+         SELECT e.doc_id, count(*) AS n_sent,
+           count(CASE WHEN b.k IS NULL THEN 1 END) AS n_kept,
+           coalesce(string_agg(CASE WHEN b.k IS NULL THEN e.sent END,
+             '. ' ORDER BY e.pos), '') AS text_clean
+         FROM ex e LEFT JOIN bp b ON e.k = b.k
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
     "q118_class_tfidf" ->
       s"""WITH ex AS (
             SELECT source AS g, unnest($Toks) AS term FROM documents),

@@ -627,6 +627,28 @@ class OperatorsSpec extends SparkSpec {
       (3L, 2, 2, "unique one. unique two")), s"got $got")
   }
 
+  test("Dedup.boilerplateScrub: cross-doc repeats scrubbed everywhere, short keys immune") {
+    val docs = Seq(
+      (1L, "hello world today. the weather is nice. unique one"),
+      (2L, "Hello, WORLD today. something else entirely"), // dup via normalization
+      (3L, "hello world today. third body text here"),
+      (4L, "hello world today. fourth body line"),
+      (5L, "short. tiny"),                  // both under minChars → never boilerplate
+      (6L, "hello world today")             // fully scrubbed doc → empty text
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateScrub(docs, "text", "doc_id",
+        minChars = 10, maxDocs = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, "the weather is nice. unique one"),
+      (2L, 2L, 1L, "something else entirely"),
+      (3L, 2L, 1L, "third body text here"),
+      (4L, 2L, 1L, "fourth body line"),
+      (5L, 2L, 2L, "short. tiny"),
+      (6L, 1L, 0L, "")), s"got $got")
+  }
+
   test("Similarity.centroidOutliers flags the planted off-distribution vector first") {
     val rows = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
