@@ -693,4 +693,59 @@ object TextAnalysis {
         piiPatterns.map { case (n, _, _) => col(s"pii_$n") }
           .reduce(_ + _))
   }
+
+  /** Multinomial Naive Bayes over hashed bag-of-words features — the
+    * fastText-style quality/domain classifier a curation pipeline
+    * trains ON the corpus it filters. Tokens hash to `numFeatures`
+    * buckets ([[graft.functions.md5Long]] mod F, engine-replayable), so
+    * the MODEL is fixed-size no matter the corpus: |labels| × F rows of
+    * add-one-smoothed log-likelihoods, plus |labels| log-priors.
+    * Each document is then scored against every label
+    * (log-prior + Σ n_bucket · logp) and assigned the argmax (ties →
+    * lexicographically smaller label). Output:
+    * `doc_id, pred_label, score` (score rounded 4dp).
+    *
+    * Scale shape: training is two combinable aggregations (per-(label,
+    * bucket) counts, per-label totals) over one explode — map-side
+    * partial aggregation carries most of the weight. The dense grid
+    * (distinct buckets × labels) and the priors are model-sized, so
+    * their `broadcast` hints are size-safe BY CONSTRUCTION at any
+    * corpus size — scoring is a map-side join against per-doc bucket
+    * counts, one shuffle on doc_id, then a per-doc argmax window over
+    * |labels| rows.
+    */
+  def naiveBayes(df: DataFrame, textCol: String, idCol: String,
+      labelCol: String, numFeatures: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+      tokens(col(textCol)).as("__t"))
+    val tok = docs
+      .select(col("doc_id"), col("label"), explode(col("__t")).as("term"))
+      .withColumn("f", pmod(md5Long(col("term")), lit(numFeatures.toLong)))
+    val counts = tok.groupBy("label", "f").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("label").agg(sum("c").as("t"))
+    val labels = docs.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    val priors = labels.crossJoin(broadcast(nAll))
+      .select(col("label").as("m_label"),
+        log(col("n_docs") / col("n_all")).as("log_prior"))
+    val model = counts.select("f").distinct()
+      .crossJoin(labels.select("label"))
+      .join(counts, Seq("label", "f"), "left")
+      .join(totals, Seq("label"))
+      .select(col("label").as("m_label"), col("f"),
+        log((coalesce(col("c"), lit(0L)) + lit(1d)) /
+          (col("t") + lit(numFeatures))).as("logp"))
+    val docF = tok.groupBy("doc_id", "f").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("m_label").asc)
+    docF.join(broadcast(model), Seq("f"))
+      .groupBy("doc_id", "m_label").agg(sum(col("n") * col("logp")).as("ll"))
+      .join(broadcast(priors), Seq("m_label"))
+      .withColumn("score", col("ll") + col("log_prior"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("doc_id"), col("m_label").as("pred_label"),
+        round(col("score"), 4).as("score"))
+  }
 }

@@ -341,6 +341,15 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- hashed multinomial Naive Bayes: train a fixed-size
+    //      fastText-style source classifier on the corpus, score and
+    //      argmax-assign every document ----
+    "q124_naive_bayes" -> ((s, d) => {
+      TextAnalysis.naiveBayes(Tables.documents(s, d), "text", "doc_id",
+          "source", numFeatures = 512)
+        .orderBy("doc_id")
+    }),
+
     // ---- c-TF-IDF cluster labeling (BERTopic statistic): top-5 terms
     //      characterizing each source vs the corpus ----
     "q118_class_tfidf" -> ((s, d) => {
@@ -1304,6 +1313,40 @@ object Pipeline {
              '. ' ORDER BY e.pos), '') AS text_clean
          FROM ex e LEFT JOIN bp b ON e.k = b.k
          GROUP BY e.doc_id ORDER BY e.doc_id""",
+    // same hashing (md5 60-bit mod 512), same add-one smoothing, same
+    // argmax tie-break (score desc, label asc)
+    "q124_naive_bayes" ->
+      s"""WITH docs AS (
+            SELECT doc_id, source AS label, $Toks AS t FROM documents),
+          tok AS (
+            SELECT doc_id, label,
+              ('0x' || substr(md5(u.term), 1, 15))::BIGINT % 512 AS f
+            FROM docs, unnest(docs.t) AS u(term)),
+          counts AS (SELECT label, f, count(*) AS c FROM tok GROUP BY 1, 2),
+          totals AS (
+            SELECT label, CAST(sum(c) AS DOUBLE) AS tt FROM counts GROUP BY 1),
+          labels AS (SELECT label, count(*) AS n_docs FROM docs GROUP BY 1),
+          nall AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM docs),
+          model AS (
+            SELECT l.label, ft.f,
+              ln((coalesce(c.c, 0) + 1) / (t.tt + 512)) AS logp
+            FROM (SELECT DISTINCT f FROM counts) ft
+            CROSS JOIN labels l
+            LEFT JOIN counts c ON c.label = l.label AND c.f = ft.f
+            JOIN totals t ON t.label = l.label),
+          docf AS (SELECT doc_id, f, count(*) AS n FROM tok GROUP BY 1, 2),
+          scored AS (
+            SELECT d.doc_id, m.label, sum(d.n * m.logp) AS ll
+            FROM docf d JOIN model m ON d.f = m.f GROUP BY 1, 2),
+          final AS (
+            SELECT s.doc_id, s.label,
+              s.ll + ln(l.n_docs / n.n_all) AS score
+            FROM scored s JOIN labels l ON s.label = l.label CROSS JOIN nall n)
+         SELECT doc_id, label AS pred_label, round(score, 4) AS score
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+               FROM final)
+         WHERE rk = 1 ORDER BY doc_id""",
     "q118_class_tfidf" ->
       s"""WITH ex AS (
             SELECT source AS g, unnest($Toks) AS term FROM documents),

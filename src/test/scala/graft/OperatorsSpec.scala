@@ -649,6 +649,24 @@ class OperatorsSpec extends SparkSpec {
       (6L, 1L, 0L, "")), s"got $got")
   }
 
+  test("TextAnalysis.naiveBayes: learns source vocab, reassigns the off-label doc") {
+    // label a is cat/fish, label b is dog/bird; doc 5 carries label b
+    // but reads like a (cat-dominant) — the trained model must score it
+    // into a despite its training label
+    val docs = Seq(
+      (1L, "a", "cat cat fish fish cat fish"),
+      (2L, "a", "cat fish cat"),
+      (3L, "b", "dog bird dog bird dog"),
+      (4L, "b", "bird dog bird"),
+      (5L, "b", "cat cat cat cat fish")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.naiveBayes(docs, "text", "doc_id", "source")
+      .orderBy("doc_id")
+      .select("doc_id", "pred_label").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "a")), s"got $got")
+  }
+
   test("Similarity.centroidOutliers flags the planted off-distribution vector first") {
     val rows = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
