@@ -491,6 +491,69 @@ object Similarity {
     }
   }
 
+  /** Symmetric int8 scalar quantization + integer-dot ANN — the
+    * memory-tier companion to [[pqKnn]]: a single global scale
+    * S = max |component| over the corpus maps every component to
+    * round(x/S·127) ∈ [−127, 127], shrinking the index 4× (vs float32)
+    * while keeping ranking EXACT arithmetic: with one uniform scale the
+    * int32 dot product is order-isomorphic to the reconstructed inner
+    * product, so scores are integers and the ranking carries zero
+    * float-summation-order risk (unlike ADC). `refine > 0` re-ranks a
+    * `refine`-deep shortlist by exact cosine over the original vectors.
+    *
+    * Scale shape: S is ONE combinable aggregation (per-row max-abs,
+    * then global max — no explode); encoding is a pure map; scoring
+    * broadcasts the (small) query set against the encoded corpus and
+    * takes per-query top-k with a WindowGroupLimit. At 100 TB the
+    * natural composition is [[kmeansCentroids]]-style IVF pruning over
+    * the int8 codes — the quantization is orthogonal to candidate
+    * generation.
+    */
+  def sqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      excludeSelf: Boolean = true, refine: Int = 0): DataFrame = {
+    val e = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val s = e.select(max(aggregate(col("v"), lit(0d),
+      (acc, x) => greatest(acc, abs(x)))).as("s")).head.getDouble(0)
+    val scale = if (s > 0) s else 1d // all-zero corpus: codes all 0
+    def encode(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        transform(col(vecCol).cast("array<double>"),
+          x => round(x / lit(scale) * 127).cast("int")).as(s"c_$id"))
+    val enc = encode(e.withColumnRenamed("v", vecCol), "neighbor_id")
+    val q = broadcast(encode(queries, "query_id"))
+    val dot = aggregate(
+      zip_with(col("c_query_id"), col("c_neighbor_id"),
+        (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val scored = enc.crossJoin(q)
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("dot", dot)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    if (refine <= 0)
+      ranked.where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    else {
+      graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+      val shortlist = ranked.where(col("rank") <= math.max(k, refine))
+        .select("query_id", "neighbor_id", "dot")
+      val exact = shortlist
+        .join(broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).cast("array<double>").as("qv"))), "query_id")
+        .join(corpus.select(col(idCol).as("neighbor_id"),
+          col(vecCol).as("cv")), "neighbor_id")
+        .withColumn("cosine", call_function("graft_cosine", col("qv"), col("cv")))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "cosine", "rank")
+    }
+  }
+
   /** Per-group embedding outliers — the semantic-filtering signal a
     * curation pipeline uses to spot mislabeled / off-distribution
     * documents (the SemDeDup/centroid-distance family): the `k` rows

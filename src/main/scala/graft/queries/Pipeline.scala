@@ -399,6 +399,15 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- int8 scalar-quantized ANN: global-scale symmetric
+    //      quantization, integer-exact dot-product ranking ----
+    "q125_sq_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.sqKnn(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- TF-IDF: per-document salient terms (corpus-global df/N) ----
     "q65_tfidf" -> ((s, d) => {
       TextAnalysis.tfIdf(Tables.documents(s, d), "text", "doc_id", topK = 3)
@@ -1817,6 +1826,30 @@ object Pipeline {
            FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank"""
     },
+    // identical global max-abs scale, round-half-away int8 codes, and
+    // integer dot ranking — the score column is exact on both engines
+    "q125_sq_knn" ->
+      """WITH emb AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+         s AS (
+           SELECT CAST(max(list_max(list_transform(v, x -> abs(x)))) AS DOUBLE) AS sc
+           FROM emb),
+         enc AS (
+           SELECT vec_id,
+             list_transform(v, x -> CAST(round(x / sc * 127) AS INTEGER)) AS c
+           FROM emb CROSS JOIN s),
+         q AS (SELECT vec_id AS query_id, c AS qc FROM enc WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qc) + 1),
+               i -> CAST(qc[i] AS BIGINT) * e.c[i])) AS BIGINT) AS dot
+           FROM q CROSS JOIN enc e WHERE e.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, dot, rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // merges after 5 rounds: (e,s)(es,t)(est,</w>)(l,o)(lo,w) — ties
     // break by count desc then pair lexicographic
     "q61_bpe_tokens" ->

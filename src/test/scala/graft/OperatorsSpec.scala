@@ -667,6 +667,29 @@ class OperatorsSpec extends SparkSpec {
       (1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "a")), s"got $got")
   }
 
+  test("Similarity.sqKnn: int8 codes round half-away, integer dots rank exactly") {
+    // S = 1 → codes: (127,0), (64,64) [0.5·127 = 63.5 rounds up],
+    // (127,3) [0.02·127 = 2.54], (0,127); dots vs query 0:
+    // id2 = 127·127 = 16129, id1 = 127·64 = 8128, id3 = 0
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.5f, 0.5f)),
+      (2L, Array(1f, 0.02f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sqKnn(emb, emb.filter(col("vec_id") === 0),
+        "embedding", "vec_id", k = 3)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 16129L, 1), (0L, 1L, 8128L, 2), (0L, 3L, 0L, 3)), s"got $got")
+    // refine path re-ranks the shortlist by exact cosine — same order
+    // here, with the cosine column carried
+    val ref = Similarity.sqKnn(emb, emb.filter(col("vec_id") === 0),
+        "embedding", "vec_id", k = 2, refine = 3)
+      .orderBy("rank").select("neighbor_id", "rank")
+      .as[(Long, Int)].collect().toSeq
+    assert(ref == Seq((2L, 1), (1L, 2)), s"got $ref")
+  }
+
   test("Similarity.centroidOutliers flags the planted off-distribution vector first") {
     val rows = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
