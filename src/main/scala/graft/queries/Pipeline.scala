@@ -341,6 +341,20 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- Pareto-frontier document selection: skyline of
+    //      (total tokens, distinct tokens) — no doc beats a survivor
+    //      on both size and vocabulary richness ----
+    "q126_skyline" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(graft.functions.tokens(col("text"))).as("n_tokens"),
+          size(array_distinct(graft.functions.tokens(col("text"))))
+            .as("n_unique"))
+      graft.operators.Skyline.skyline2d(f, "n_tokens", "n_unique", "doc_id")
+        .select("doc_id", "n_tokens", "n_unique")
+        .orderBy("doc_id")
+    }),
+
     // ---- hashed multinomial Naive Bayes: train a fixed-size
     //      fastText-style source classifier on the corpus, score and
     //      argmax-assign every document ----
@@ -1322,6 +1336,19 @@ object Pipeline {
              '. ' ORDER BY e.pos), '') AS text_clean
          FROM ex e LEFT JOIN bp b ON e.k = b.k
          GROUP BY e.doc_id ORDER BY e.doc_id""",
+    // dominance by brute-force NOT EXISTS — the declarative spec the
+    // engine's two-pass bucketed sweep must reproduce exactly
+    "q126_skyline" ->
+      s"""WITH f AS (
+            SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+              CAST(len(list_distinct(t)) AS INTEGER) AS n_unique
+            FROM (SELECT doc_id, $Toks AS t FROM documents))
+         SELECT doc_id, n_tokens, n_unique FROM f p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM f q
+           WHERE q.n_tokens >= p.n_tokens AND q.n_unique >= p.n_unique
+             AND (q.n_tokens > p.n_tokens OR q.n_unique > p.n_unique))
+         ORDER BY doc_id""",
     // same hashing (md5 60-bit mod 512), same add-one smoothing, same
     // argmax tie-break (score desc, label asc)
     "q124_naive_bayes" ->

@@ -690,6 +690,30 @@ class OperatorsSpec extends SparkSpec {
     assert(ref == Seq((2L, 1), (1L, 2)), s"got $ref")
   }
 
+  test("Skyline.skyline2d: dominance with ties, duplicates survive, matches brute force") {
+    val pts = Seq(
+      (1L, 5, 5), (2L, 5, 5),   // exact duplicates — both survive
+      (3L, 6, 1), (4L, 1, 6),
+      (5L, 4, 4),               // dominated by (5,5)
+      (6L, 5, 4),               // dominated at equal x by (5,5)
+      (7L, 6, 0))               // dominated at equal x by (6,1)
+      .toDF("id", "x", "y")
+    val got = Skyline.skyline2d(pts, "x", "y", "id", nBuckets = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L), s"got $got")
+
+    // tie-heavy deterministic grid vs the quadratic definition
+    val many = (1 to 120).map(i => (i.toLong, i * 7 % 13, i * 11 % 17))
+    val df = many.toDF("id", "x", "y")
+    val expected = many.filter { case (_, px, py) =>
+      !many.exists { case (_, qx, qy) =>
+        qx >= px && qy >= py && (qx > px || qy > py) }
+    }.map(_._1).sorted
+    val got2 = Skyline.skyline2d(df, "x", "y", "id", nBuckets = 8)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got2 == expected, s"got $got2 expected $expected")
+  }
+
   test("Similarity.centroidOutliers flags the planted off-distribution vector first") {
     val rows = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
