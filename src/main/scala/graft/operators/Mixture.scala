@@ -226,4 +226,34 @@ object Mixture {
       .select(col("_g").as(groupCol), col("_id").as(idCol))
     df.join(kept, Seq(groupCol, idCol), "left_semi")
   }
+
+  /** Per-group weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): each row draws a deterministic
+    * pseudo-uniform u = md5("ws:" ‖ id)/2⁶⁰ and competes on the key
+    * ln(u)/w — taking the k LARGEST keys per group is distributionally
+    * identical to sequential weighted draws without replacement, but
+    * embarrassingly parallel. `rand()` would give an irreproducible
+    * sample; the md5 draw replays bit-for-bit on any engine.
+    *
+    * Scale: key computation is map-side; the per-group top-k is a
+    * `row_number ≤ k` window that Spark plans with a partial
+    * WindowGroupLimit BELOW the exchange, so the shuffle carries at
+    * most k rows per (partition, group) — the corpus never
+    * materializes sorted. Rows with non-positive weight are excluded
+    * (they'd get −∞/undefined keys).
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = md5Long(concat_ws(":", lit("ws"), col(idCol).cast("string")))
+      .cast("double") / lit(1152921504606846976.0d) // 2^60
+    val keyed = df.where(col(weightCol) > 0)
+      .withColumn("__key", log(u) / col(weightCol).cast("double"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__key").desc, col(idCol).asc)
+    keyed.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .withColumn("sample_key", round(col("__key"), 6))
+      .drop("__key")
+  }
 }

@@ -341,6 +341,15 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- Efraimidis–Spirakis weighted sampling without replacement:
+    //      top-5 docs per source by ln(u)/w keys, w = n_chars ----
+    "q127_weighted_sample" -> ((s, d) => {
+      Mixture.weightedSample(Tables.documents(s, d), "source", "doc_id",
+          "n_chars", k = 5)
+        .select("source", "doc_id", "rank", "sample_key")
+        .orderBy("source", "rank")
+    }),
+
     // ---- Pareto-frontier document selection: skyline of
     //      (total tokens, distinct tokens) — no doc beats a survivor
     //      on both size and vocabulary richness ----
@@ -1336,6 +1345,22 @@ object Pipeline {
              '. ' ORDER BY e.pos), '') AS text_clean
          FROM ex e LEFT JOIN bp b ON e.k = b.k
          GROUP BY e.doc_id ORDER BY e.doc_id""",
+    // same md5 draw (u = 60-bit md5("ws:"||id) / 2^60), same A-ES key
+    // ln(u)/w, same tie-break; ranking on the unrounded key. `+ 0`
+    // folds DuckDB's round(-1e-9,6) = -0.0 into +0.0 (Spark's
+    // BigDecimal round has no signed zero)
+    "q127_weighted_sample" ->
+      """WITH keyed AS (
+           SELECT source, doc_id,
+             ln(CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  AS DOUBLE) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS key
+           FROM documents WHERE n_chars > 0)
+         SELECT source, doc_id, rank, round(key, 6) + 0 AS sample_key
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY source ORDER BY key DESC, doc_id) AS rank
+               FROM keyed)
+         WHERE rank <= 5 ORDER BY source, rank""",
     // dominance by brute-force NOT EXISTS — the declarative spec the
     // engine's two-pass bucketed sweep must reproduce exactly
     "q126_skyline" ->

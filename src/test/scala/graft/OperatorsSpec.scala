@@ -690,6 +690,29 @@ class OperatorsSpec extends SparkSpec {
     assert(ref == Seq((2L, 1), (1L, 2)), s"got $ref")
   }
 
+  test("Mixture.weightedSample: A-ES keys match an independent md5 reimplementation") {
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ws:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      math.log(java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 60)) / w
+    }
+    val rows = Seq((1L, "g", 10.0), (2L, "g", 1.0), (3L, "g", 100.0),
+      (4L, "g", 5.0), (5L, "g", 50.0), (6L, "h", 1.0), (7L, "g", 0.0))
+    val expected = rows.filter(_._3 > 0).groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map(r => (g, r._1, key(r._1, r._3)))
+        .sortBy { case (_, id, k) => (-k, id) }.take(2).zipWithIndex
+        .map { case ((gr, id, k), i) => (gr, id, i + 1) }
+    }.toSeq.sortBy(r => (r._1, r._3))
+    val got = Mixture.weightedSample(
+        rows.toDF("doc_id", "source", "w"), "source", "doc_id", "w", k = 2)
+      .orderBy("source", "rank")
+      .select("source", "doc_id", "rank").as[(String, Long, Int)].collect().toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // zero-weight row 7 must never appear
+    assert(!got.exists(_._2 == 7L))
+  }
+
   test("Skyline.skyline2d: dominance with ties, duplicates survive, matches brute force") {
     val pts = Seq(
       (1L, 5, 5), (2L, 5, 5),   // exact duplicates — both survive
