@@ -554,6 +554,76 @@ object Similarity {
     }
   }
 
+  /** Binary (1-bit) quantization + Hamming-distance ANN — the extreme
+    * memory tier below [[sqKnn]]'s int8 (32× smaller than float32):
+    * each component collapses to its sign bit, packed 32 bits per
+    * 64-bit word (a 32-bit word per half keeps every packed value
+    * positive in BOTH engines — `1 << 63` would wrap a signed BIGINT),
+    * and candidate ranking is `popcount(xor)` over the words — pure
+    * integer arithmetic, zero float-order risk, SIMD-friendly on real
+    * hardware. For sign-distributed embeddings the Hamming distance is
+    * a monotone estimate of angular distance (the [[lshKnn]]
+    * hyperplane argument with the coordinate axes as planes), so a
+    * `refine`-deep exact-cosine re-rank recovers most of the recall —
+    * the standard binary-quantization retrieval design.
+    *
+    * Scale shape: encoding is a pure map (one aggregate fold per
+    * word); the query side broadcasts; per-query shortlists come from
+    * a `row_number ≤ shortlist` WindowGroupLimit (map-side top-k
+    * below the exchange); only shortlist rows pay the float cosine.
+    */
+  def binaryKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      excludeSelf: Boolean = true, refine: Int = 20): DataFrame = {
+    val dims = inferDims(corpus, vecCol)
+    val nWords = (dims + 31) / 32
+    def packWord(vec: Column, off: Int): Column =
+      aggregate(
+        sequence(lit(0), lit(math.min(31, dims - off - 1))),
+        lit(0L),
+        (acc, j) => acc + when(
+          element_at(vec, j + lit(off + 1)).cast("double") > lit(0d),
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    def encode(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        array((0 until nWords).map(w => packWord(
+          col(vecCol).cast("array<double>"), w * 32)): _*).as(s"c_$id"))
+    val enc = encode(corpus, "neighbor_id")
+    val q = broadcast(encode(queries, "query_id"))
+    val hamming = aggregate(
+      zip_with(col("c_query_id"), col("c_neighbor_id"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val scored = enc.crossJoin(q)
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("hamming", hamming)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val shortlist = scored.withColumn("hrank", row_number().over(w))
+      .where(col("hrank") <= math.max(k, refine))
+      .select("query_id", "neighbor_id", "hamming")
+    if (refine <= 0)
+      shortlist.withColumn("rank",
+          row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("hamming").asc, col("neighbor_id").asc)))
+        .where(col("rank") <= k)
+    else {
+      graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+      val exact = shortlist
+        .join(broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).cast("array<double>").as("qv"))), "query_id")
+        .join(corpus.select(col(idCol).as("neighbor_id"),
+          col(vecCol).as("cv")), "neighbor_id")
+        .withColumn("cosine", call_function("graft_cosine", col("qv"), col("cv")))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
+    }
+  }
+
   /** Per-group embedding outliers — the semantic-filtering signal a
     * curation pipeline uses to spot mislabeled / off-distribution
     * documents (the SemDeDup/centroid-distance family): the `k` rows

@@ -46,6 +46,53 @@ object Sketches {
     groups.unionAll(rollup)
   }
 
+  /** Approximate-quantile tolerance report (the [[hllToleranceReport]]
+    * pattern for order statistics): per group and probe probability,
+    * the EXACT interpolated quantile (the audit column — both engines
+    * compute the same linear interpolation at rank `p·(n−1)`) and
+    * whether the mergeable approx-percentile sketch's answer honors its
+    * rank-error contract. Spark's `approx_percentile` guarantees the
+    * returned value's rank is within `n/accuracy` of the target rank —
+    * that is the contract checked (`approx_ok`), NOT value distance,
+    * which has no bound on skewed data. Output:
+    * `(groupCol, p, n, q_exact, approx_ok)`.
+    *
+    * Scale shape: both aggregates are map-side-combinable single-pass
+    * (the approx side is the mergeable artifact — sketch per
+    * partition/day, merge for any rollup); the rank audit joins the
+    * |groups|·|probs|-row estimate table back (broadcast) and
+    * re-counts ranks in one more combinable pass. The exact quantile
+    * is the only non-mergeable piece, and it exists precisely to
+    * audit the sketch.
+    */
+  def quantileToleranceReport(df: DataFrame, valueCol: String,
+      groupCol: String, probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+      accuracy: Int = 1000): DataFrame = {
+    require(probs.nonEmpty, "need at least one probe probability")
+    val pArr = typedLit(probs)
+    val agg = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      percentile(col(valueCol), pArr).as("__ex"),
+      approx_percentile(col(valueCol), pArr, lit(accuracy)).as("__ap"))
+    val est = agg
+      .select(col(groupCol), col("n"), col("__ex"), col("__ap"),
+        posexplode(pArr).as(Seq("__i", "p")))
+      .select(col(groupCol), col("n"), col("p"),
+        element_at(col("__ex"), col("__i") + 1).as("q_exact"),
+        element_at(col("__ap"), col("__i") + 1).as("__est"))
+    // rank audit: rank(est) = #{x ≤ est} must sit within n/accuracy
+    // (+1 for interpolation slack) of the target rank p·n
+    val ranks = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .join(broadcast(est.select(col(groupCol), col("p"), col("__est"))), Seq(groupCol))
+      .groupBy(groupCol, "p")
+      .agg(count(when(col("__v") <= col("__est"), lit(1))).as("__rank"))
+    est.join(ranks, Seq(groupCol, "p"))
+      .select(col(groupCol), col("p"), col("n"),
+        round(col("q_exact"), 6).as("q_exact"),
+        (abs(col("__rank") - col("p") * col("n")) <=
+          col("n").cast("double") / accuracy + 1).as("approx_ok"))
+  }
+
   /** Count-min-sketch frequency estimates for a bounded candidate
     * list: builds ONE distributed sketch (a few KB of mergeable
     * state), reads it driver-side, and returns `(value, estimate)`

@@ -350,6 +350,22 @@ object Pipeline {
         .orderBy("source", "rank")
     }),
 
+    // ---- MOSS winnowing fingerprint overlap: shared window-min
+    //      5-gram hashes (w=4), boilerplate-docfreq-guarded ----
+    "q128_winnowing" -> ((s, d) => {
+      Dedup.winnowingOverlap(Tables.documents(s, d), "text", "doc_id",
+          k = 5, w = 4, maxDocFreq = 20, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- mergeable approx-quantile sketch vs exact interpolated
+    //      quantiles, rank-error contract audited ----
+    "q129_quantile_report" -> ((s, d) => {
+      Sketches.quantileToleranceReport(Tables.documents(s, d), "n_chars",
+          "source", probs = Seq(0.25, 0.5, 0.75, 0.9), accuracy = 1000)
+        .orderBy("source", "p")
+    }),
+
     // ---- Pareto-frontier document selection: skyline of
     //      (total tokens, distinct tokens) — no doc beats a survivor
     //      on both size and vocabulary richness ----
@@ -428,6 +444,17 @@ object Pipeline {
       val emb = Tables.embeddings(s, d)
       Similarity.sqKnn(emb, emb.filter(col("vec_id") < 5),
           "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- binary (sign-bit) quantized ANN: popcount(xor) Hamming
+    //      shortlist, exact-cosine re-rank ----
+    "q130_binary_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.binaryKnn(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, refine = 20)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -1361,6 +1388,59 @@ object Pipeline {
                  PARTITION BY source ORDER BY key DESC, doc_id) AS rank
                FROM keyed)
          WHERE rank <= 5 ORDER BY source, rank""",
+    // exact side fully verified (same p·(n−1) linear interpolation);
+    // approx_ok is the sketch's rank-error contract the Spark side
+    // must make true (the q82 HLL pattern for order statistics)
+    "q129_quantile_report" ->
+      """WITH q AS (
+           SELECT source, count(*) AS n,
+             quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9]) AS qs
+           FROM documents GROUP BY source)
+         SELECT source, u.p, n, round(qs[u.i], 6) AS q_exact,
+           true AS approx_ok
+         FROM q, (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p,
+                         unnest([1, 2, 3, 4]) AS i) u
+         ORDER BY source, p""",
+    // winnowing replayed declaratively: same 60-bit gram hashes, same
+    // forward-min / backward-max frame pair, same docfreq guard
+    "q128_winnowing" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+          grams AS (
+            SELECT doc_id, i - 1 AS pos,
+              ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+            FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)),
+          win AS (
+            SELECT doc_id, pos, gh,
+              count(*) OVER (PARTITION BY doc_id) AS n,
+              min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mfwd
+            FROM grams),
+          sel AS (
+            SELECT doc_id, gh FROM (
+              SELECT doc_id, pos, gh,
+                max(CASE WHEN pos <= greatest(0, n - 4) THEN mfwd END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS msel
+              FROM win)
+            WHERE msel = gh),
+          fps AS (SELECT DISTINCT doc_id AS id, gh FROM sel),
+          keep AS (
+            SELECT gh FROM (
+              SELECT gh, count(DISTINCT id) AS c FROM fps GROUP BY gh)
+            WHERE c <= 20),
+          kept AS (SELECT fps.* FROM fps JOIN keep USING (gh)),
+          sizes AS (SELECT id, count(*) AS nf FROM kept GROUP BY id),
+          pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+            FROM kept a JOIN kept b ON a.gh = b.gh AND a.id < b.id
+            GROUP BY 1, 2)
+         SELECT id_a, id_b, n_shared,
+           round(n_shared::DOUBLE / least(sa.nf, sb.nf), 4) AS overlap
+         FROM pairs
+         JOIN sizes sa ON sa.id = id_a
+         JOIN sizes sb ON sb.id = id_b
+         WHERE n_shared >= 2
+         ORDER BY id_a, id_b""",
     // dominance by brute-force NOT EXISTS — the declarative spec the
     // engine's two-pass bucketed sweep must reproduce exactly
     "q126_skyline" ->
@@ -1901,6 +1981,45 @@ object Pipeline {
            SELECT *, row_number() OVER (
              PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
            FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // sign bits packed 32-per-word (1<<63 would wrap signed BIGINT),
+    // Hamming = popcount(xor) per word, top-20 shortlist, cosine rerank
+    "q130_binary_knn" ->
+      """WITH emb AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+         enc AS (
+           SELECT vec_id, v,
+             list_transform(range(0, 2), w ->
+               CAST(list_sum(list_transform(range(0, 32), j ->
+                 CASE WHEN v[w * 32 + j + 1] > 0
+                      THEN CAST(1::BIGINT << j AS BIGINT) ELSE 0 END))
+               AS BIGINT)) AS c
+           FROM emb),
+         q AS (SELECT vec_id AS query_id, v AS qv, c AS qc
+               FROM enc WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.v AS cv,
+             CAST(list_sum(list_transform(range(1, 3),
+               i -> bit_count(xor(qc[i], e.c[i])))) AS BIGINT) AS hamming
+           FROM q CROSS JOIN enc e WHERE e.vec_id <> q.query_id),
+         short AS (
+           SELECT query_id, neighbor_id, hamming, qv, cv FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS hrank
+             FROM scored)
+           WHERE hrank <= 20),
+         rer AS (
+           SELECT query_id, neighbor_id, hamming,
+             list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) /
+             (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+              sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
+           FROM short)
+         SELECT query_id, neighbor_id, hamming, round(cos, 4) AS cosine, rank
+         FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM rer)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     // merges after 5 rounds: (e,s)(es,t)(est,</w>)(l,o)(lo,w) — ties
     // break by count desc then pair lexicographic

@@ -713,6 +713,119 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.exists(_._2 == 7L))
   }
 
+  test("Dedup.winnowingFingerprints matches a sequential reference winnower") {
+    val k = 3; val w = 4
+    def md5Long(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    // sequential reference: every valid window of w gram hashes (one
+    // clipped window for short docs) selects all argmin positions
+    def reference(text: String): Set[(Int, Long)] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val hs = toks.sliding(k).filter(_.length == k)
+        .map(g => md5Long(g.mkString(" "))).toArray
+      if (hs.isEmpty) Set.empty
+      else {
+        val starts = if (hs.length < w) Seq(0) else 0 to (hs.length - w)
+        starts.flatMap { i =>
+          val win = hs.slice(i, math.min(i + w, hs.length))
+          val m = win.min
+          win.zipWithIndex.collect { case (h, j) if h == m => (i + j, m) }
+        }.toSet
+      }
+    }
+    val docs = Seq(
+      (1L, "a b c d e f g h i j a b c d e f"), // repeated run
+      (2L, "z z z z z z z z"),                 // all-equal hashes (ties)
+      (3L, "one two three"),                   // exactly one gram (n < w)
+      (4L, "q w"),                             // shorter than k → no grams
+      (5L, "m n o p q r s t u v w x y"))
+    val got = Dedup.winnowingFingerprints(
+        docs.toDF("doc_id", "text"), "text", "doc_id", k, w)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    for ((id, text) <- docs) {
+      val want = reference(text)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id")
+    }
+    // density sanity: selected ≈ 2/(w+1) of grams on random-ish text
+    val longDoc = (1 to 400).map(i => s"t${i * 7919 % 997}").mkString(" ")
+    val sel = Dedup.winnowingFingerprints(
+        Seq((9L, longDoc)).toDF("doc_id", "text"), "text", "doc_id", k, w)
+      .count()
+    val nGrams = 400 - k + 1
+    assert(sel > nGrams / (w + 1) / 2 && sel < nGrams, s"density $sel/$nGrams")
+  }
+
+  test("Dedup.winnowingOverlap: shared-run guarantee and docfreq guard") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"intro text here $shared closing words one"),
+      (2L, s"totally different opening $shared and another tail"),
+      (3L, "no overlap with anything else at all whatsoever"))
+    val out = Dedup.winnowingOverlap(docs.toDF("doc_id", "text"),
+        "text", "doc_id", k = 3, w = 4, maxDocFreq = 20, minShared = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    // winnowing guarantee: a shared run of w+k-1 = 6 tokens MUST yield
+    // ≥1 shared fingerprint; docs 1,2 share 8 tokens
+    val p = out.filter(r => r._1 == 1L && r._2 == 2L)
+    assert(p.length == 1 && p.head._3 >= 1, s"got ${out.toSeq}")
+    assert(!out.exists(r => r._1 == 3L || r._2 == 3L))
+    // boilerplate guard: with a long identical body every selected
+    // body fingerprint lands in ALL 6 docs, so maxDocFreq = 5 drops
+    // them all; the doc-unique tail grams never match across docs
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val boiler = (1L to 6L).map(i => (i, s"$body unique$i"))
+    val open = Dedup.winnowingOverlap(boiler.toDF("doc_id", "text"),
+      "text", "doc_id", k = 3, w = 4, maxDocFreq = 20, minShared = 1)
+    assert(open.count() > 0, "guard test is vacuous: no shared fingerprint")
+    val guarded = Dedup.winnowingOverlap(boiler.toDF("doc_id", "text"),
+      "text", "doc_id", k = 3, w = 4, maxDocFreq = 5, minShared = 1)
+    assert(guarded.count() == 0)
+    Dedup.clearCaches()
+  }
+
+  test("Similarity.binaryKnn: sign packing, Hamming ranking, cosine rerank") {
+    // 4-dim vectors: sign patterns chosen so codes/Hammings are hand-checkable
+    val emb = Seq(
+      (0L, Seq(1f, -1f, 1f, -1f)),   // code 0b0101 = 5
+      (1L, Seq(1f, 1f, -1f, -1f)),   // code 0b0011 = 3, hamming to q=2
+      (2L, Seq(1f, -1f, 1f, -1f)),   // identical signs to q, hamming 0
+      (3L, Seq(-1f, 1f, -1f, 1f)))   // all bits flipped, hamming 4
+      .toDF("vec_id", "embedding")
+    val got = Similarity.binaryKnn(emb, emb.filter(col("vec_id") === 0),
+        "embedding", "vec_id", k = 3, refine = 0)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq.sortBy(_._4)
+    assert(got == Seq((0L, 2L, 0L, 1), (0L, 1L, 2L, 2), (0L, 3L, 4L, 3)),
+      s"got $got")
+    // refine path: exact cosine re-ranks the Hamming shortlist; vec 2
+    // is parallel to the query (cos 1) and must stay rank 1
+    val ref = Similarity.binaryKnn(emb, emb.filter(col("vec_id") === 0),
+        "embedding", "vec_id", k = 2, refine = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(ref.head == (2L, 1), s"got $ref")
+  }
+
+  test("Sketches.quantileToleranceReport: hand-computed quantiles, contract holds") {
+    val rows = (1 to 100).map(v => ("a", v)) ++ (1 to 10).map(v => ("b", v * 10))
+    val out = Sketches.quantileToleranceReport(
+        rows.toDF("g", "v"), "v", "g", probs = Seq(0.25, 0.5, 0.9),
+        accuracy = 1000)
+      .orderBy("g", "p")
+      .as[(String, Double, Long, Double, Boolean)].collect().toSeq
+    // linear interpolation at rank p·(n−1): a has 1..100 (n=100),
+    // b has 10..100 step 10 (n=10)
+    val expected = Seq(
+      ("a", 0.25, 100L, 25.75, true), ("a", 0.5, 100L, 50.5, true),
+      ("a", 0.9, 100L, 90.1, true),
+      ("b", 0.25, 10L, 32.5, true), ("b", 0.5, 10L, 55.0, true),
+      ("b", 0.9, 10L, 91.0, true))
+    assert(out == expected, s"got $out")
+  }
+
   test("Skyline.skyline2d: dominance with ties, duplicates survive, matches brute force") {
     val pts = Seq(
       (1L, 5, 5), (2L, 5, 5),   // exact duplicates — both survive
