@@ -117,6 +117,64 @@ object Graph {
     ranks.select(col("id"), round(col("rank"), roundTo).as("rank"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient — the
+    * cohesion statistic that separates a tight duplicate clique from a
+    * hub-and-spoke template family in a near-dup graph (a clique's
+    * members all close their wedges; a star's never do). Returns one
+    * row per vertex: `(id, degree, triangles, clustering)` with
+    * clustering = 2·T / (deg·(deg−1)), 0 when deg < 2.
+    *
+    * Scale shape: the classic degree-ordered node-iterator — edges
+    * canonicalize undirected, then orient from the (degree, id)-SMALLER
+    * endpoint so every wedge is enumerated exactly once at its
+    * lowest-degree vertex; the wedge self-join's fan-out per vertex is
+    * its OUT-degree, which the orientation bounds by O(√|E|) on any
+    * graph (the arboricity argument behind compact-forward counting) —
+    * a hub with 10⁶ neighbors contributes no wedges at itself, they
+    * all hang off its low-degree peers. Wedges close against the
+    * canonical edge set by an equi-join on the (min, max) pair key.
+    * Three shuffles total: degree agg, wedge join, closing join.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .where(col("u").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      // tracked (Dedup registry): three plan branches read the edge
+      // set, which may itself be an expensive LSH derivation; the
+      // session releases it via Dedup.clearCaches() once consumed
+      .transform(Dedup.persistTracked)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("degree").as("__du")), "u")
+      .join(deg.select(col("id").as("v"), col("degree").as("__dv")), "v")
+    val oriented = withDeg.select(
+      when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+        col("u")).otherwise(col("v")).as("src"),
+      when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+        col("v")).otherwise(col("u")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val triangles = wedges.join(und,
+      col("u") === least(col("b"), col("c")) &&
+        col("v") === greatest(col("b"), col("c")))
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          round(col("triangles") * 2d / (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0d)))
+    out
+  }
+
   /** Components over an explicit vertex set: vertices absent from the
     * edge list come back as singletons (`comp = id`). `vertices` needs
     * one id column named `idCol`.

@@ -227,6 +227,74 @@ object Mixture {
     df.join(kept, Seq(groupCol, idCol), "left_semi")
   }
 
+  /** Serpentine (boustrophedon) shard assignment — the static
+    * load-balancing pass that splits a corpus into `nShards` training
+    * shards with near-equal total weight (token counts, byte sizes):
+    * rows are ranked by (weight desc, id asc) and dealt in snaking
+    * rounds — round 0 deals shards 0..n−1, round 1 deals n−1..0, … —
+    * so every shard receives one row per round and the heavy/light
+    * alternation cancels the sorted drift (the classic
+    * sorted-greedy/LPT approximation, exact-deterministic instead of
+    * heap-driven). Returns the per-row assignment:
+    * `(idCol, weightCol, rank, shard)` with 0-based dense rank.
+    *
+    * Scale shape: the global rank is the two-phase distributed
+    * ordinal (range-repartition on the sort key → per-partition
+    * row_number + broadcast partition-count offsets) — NEVER a
+    * one-partition global window. The output rank depends only on
+    * the total order (weight desc, id), not on where the range
+    * partitioner happens to cut, so the assignment is deterministic
+    * on any cluster layout.
+    */
+  def serpentineShards(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, "need at least one shard")
+    val spark = df.sparkSession
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val sorted = df
+      .select(col(idCol), col(weightCol))
+      .repartitionByRange(parts, col(weightCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = sorted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__off")
+    val inPart = Window.partitionBy("__pid")
+      .orderBy(col(weightCol).desc, col(idCol).asc)
+    val ranked = sorted
+      .withColumn("__rn", row_number().over(inPart).cast("long") - 1L)
+      .join(broadcast(offsets), "__pid")
+      .withColumn("rank", col("__off") + col("__rn"))
+    val round = (col("rank") / nShards).cast("long")
+    val pos = col("rank") % nShards
+    ranked
+      .withColumn("shard",
+        when(round % 2 === 0, pos).otherwise(lit(nShards - 1) - pos).cast("int"))
+      .select(col(idCol), col(weightCol), col("rank"), col("shard"))
+  }
+
+  /** Per-shard manifest over [[serpentineShards]]: doc/weight totals
+    * and `balance` = shard weight / ideal (total/n) — the number a
+    * shard writer checks before declaring the layout fit to train on.
+    * One combinable aggregate over the assignment; the grand total
+    * rides a 1-row broadcast.
+    */
+  def shardManifest(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int): DataFrame = {
+    val assigned = serpentineShards(df, idCol, weightCol, nShards)
+    val perShard = assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("total_weight"))
+    val total = perShard.agg(sum("total_weight").cast("double").as("__t"))
+    perShard.crossJoin(broadcast(total))
+      .withColumn("balance",
+        round(col("total_weight") / (col("__t") / nShards), 4))
+      .select("shard", "n_docs", "total_weight", "balance")
+  }
+
   /** Per-group weighted sampling WITHOUT replacement
     * (Efraimidis–Spirakis A-ES): each row draws a deterministic
     * pseudo-uniform u = md5("ws:" ‖ id)/2⁶⁰ and competes on the key

@@ -201,6 +201,45 @@ object TextAnalysis {
         round(avg(-log(col("c").cast("double") / col("cp"))), 6).as("surprisal"))
   }
 
+  /** CCNet-style perplexity bucketing: within each `groupCol`
+    * (language, in CCNet; any stratum here) rank documents by
+    * [[unigramSurprisal]] and split them into `nBuckets` equal-count
+    * tiers — `head` (lowest perplexity ≈ cleanest), `middle`, `tail`
+    * for the canonical 3 (CCNet §4.3; the head/middle cut is what its
+    * released corpus ships as quality tiers), `b1..bN` otherwise.
+    * Output: one row per scoreable document —
+    * `(doc_id, groupCol, n_tokens, surprisal, bucket_ord, bucket)`.
+    *
+    * Bucketing is `ntile` over (surprisal, doc_id) — pure RANK
+    * arithmetic, so the cross-engine gate never compares floats at a
+    * bucket boundary (percentile-cutpoint bucketing would; the
+    * interpolated cut is a float equality hazard). Cost shape: the
+    * per-group sort is the price of exact equal-count tiers; at
+    * 100 TB swap the ntile for map-side comparison against sketch
+    * cutpoints ([[Sketches.quantileToleranceReport]]'s
+    * approx_percentile artifact) and accept ±n/accuracy tier-size
+    * slack — the filter downstream is threshold-based either way.
+    */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, "need at least two buckets")
+    val scored = df.select(col(idCol).as("doc_id"), col(groupCol))
+      .join(unigramSurprisal(df, textCol, idCol), "doc_id")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("surprisal").asc, col("doc_id").asc)
+    val ord = ntile(nBuckets).over(w)
+    val name =
+      if (nBuckets == 3)
+        when(col("bucket_ord") === 1, "head")
+          .when(col("bucket_ord") === 2, "middle")
+          .otherwise("tail")
+      else concat(lit("b"), col("bucket_ord"))
+    scored.withColumn("bucket_ord", ord)
+      .withColumn("bucket", name)
+      .select("doc_id", groupCol, "n_tokens", "surprisal", "bucket_ord", "bucket")
+  }
+
   /** Benchmark decontamination: flag documents sharing any word
     * `n`-gram with a probe set (eval snippets, test questions — here
     * any one-column DataFrame of probe text). Blocked equi-join on the

@@ -228,6 +228,31 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- triangle cohesion of the near-dup graph: clique vs star
+    //      duplicate families via local clustering coefficient ----
+    "q133_triangle_cohesion" -> ((s, d) => {
+      val pairs = Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id",
+        numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+      Graph.triangleCounts(pairs, "id_a", "id_b").orderBy("id")
+    }),
+
+    // ---- serpentine shard layout: snake-dealt by size rank into 8
+    //      near-equal-weight training shards ----
+    "q132_shard_manifest" -> ((s, d) => {
+      Mixture.shardManifest(Tables.documents(s, d), "doc_id", "n_chars",
+          nShards = 8)
+        .orderBy("shard")
+    }),
+
+    // ---- CCNet perplexity tiers: per-source surprisal ntiles,
+    //      head/middle/tail ----
+    "q131_perplexity_buckets" -> ((s, d) => {
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d), "text",
+          "doc_id", "source", nBuckets = 3)
+        .where(col("doc_id") < 60)
+        .orderBy("doc_id")
+    }),
+
     // ---- bigram-LM surprisal (conditional-probability quality) ----
     "q94_bigram_surprisal" -> ((s, d) => {
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
@@ -1103,6 +1128,104 @@ object Pipeline {
          FROM tok JOIN freq USING (term) CROSS JOIN tot
          WHERE doc_id < 30
          GROUP BY doc_id ORDER BY doc_id""",
+    // the q32 LSH pairs verbatim, then id-ordered triangle
+    // enumeration (a<b<c via two joins) — the declarative spec the
+    // engine's degree-oriented wedge counting must reproduce
+    "q133_triangle_cohesion" ->
+      s"""WITH docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          und AS (
+            SELECT id_a AS u, id_b AS v FROM (
+              SELECT id_a, id_b,
+                CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                  ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                       len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+              FROM cand)
+            WHERE jac >= 0.5),
+          deg AS (
+            SELECT id, count(*) AS degree FROM (
+              SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+            GROUP BY id),
+          tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+          pern AS (
+            SELECT id, count(*) AS triangles FROM (
+              SELECT unnest([a, b, c]) AS id FROM tri)
+            GROUP BY id)
+         SELECT d.id, d.degree,
+           coalesce(p.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+             THEN round(coalesce(p.triangles, 0) * 2.0
+                        / (d.degree * (d.degree - 1)), 4)
+             ELSE 0.0 END AS clustering
+         FROM deg d LEFT JOIN pern p USING (id)
+         ORDER BY id""",
+    // same total order (n_chars desc, doc_id), same snake deal; the
+    // engine's two-phase ordinal must reproduce this global rank
+    "q132_shard_manifest" ->
+      """WITH ranked AS (
+           SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS rank
+           FROM documents),
+         assigned AS (
+           SELECT n_chars,
+             CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+                  ELSE 7 - rank % 8 END AS shard
+           FROM ranked),
+         per AS (
+           SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_weight
+           FROM assigned GROUP BY shard),
+         tot AS (SELECT CAST(sum(total_weight) AS DOUBLE) AS t FROM per)
+         SELECT shard, n_docs, total_weight,
+           round(total_weight / (t / 8), 4) AS balance
+         FROM per CROSS JOIN tot ORDER BY shard""",
+    // q71's surprisal + per-source ntile(3) — rank arithmetic only at
+    // the tier boundaries (no float cutpoint comparison cross-engine)
+    "q131_perplexity_buckets" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($Toks) AS term FROM documents),
+          freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+          tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+          sur AS (
+            SELECT doc_id, count(*) AS n_tokens,
+              round(avg(-ln(c / t)), 6) AS surprisal
+            FROM tok JOIN freq USING (term) CROSS JOIN tot
+            GROUP BY doc_id),
+          b AS (
+            SELECT d.doc_id, d.source, s.n_tokens, s.surprisal,
+              ntile(3) OVER (
+                PARTITION BY d.source
+                ORDER BY s.surprisal, d.doc_id) AS bucket_ord
+            FROM documents d JOIN sur s USING (doc_id))
+         SELECT doc_id, source, n_tokens, surprisal, bucket_ord,
+           CASE bucket_ord WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM b WHERE doc_id < 60 ORDER BY doc_id""",
     "q94_bigram_surprisal" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
           bg AS (SELECT doc_id,

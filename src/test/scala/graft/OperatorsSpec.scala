@@ -787,6 +787,81 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Graph.triangleCounts: clique vs star, matches brute force on a random graph") {
+    // K4 clique (every node: deg 3, 3 triangles, clustering 1) + star
+    // (center 10: deg 3, 0 triangles) + a dangling edge
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(edges, "id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    for (id <- 1L to 4L) assert(got(id) == (id, 3L, 3L, 1.0), s"got ${got(id)}")
+    assert(got(10L) == (10L, 3L, 0L, 0.0))
+    assert(got(11L) == (11L, 1L, 0L, 0.0))
+    assert(got(20L) == (20L, 1L, 0L, 0.0))
+    // brute-force parity on a deterministic pseudo-random graph
+    // (duplicate + reversed edges exercise canonicalization)
+    val rnd = (0 until 120).map { i =>
+      val a = i * 7919 % 23; val b = (i * 104729 + 7) % 23
+      (a.toLong, b.toLong)
+    }.filter(e => e._1 != e._2)
+    val undirected = rnd.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    def adj(x: Long, y: Long) = undirected.contains((x min y, x max y))
+    val ids = undirected.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val want = ids.map { v =>
+      val nbrs = ids.filter(u => u != v && adj(u, v))
+      val t = nbrs.combinations(2).count { case Seq(x, y) => adj(x, y) }
+      v -> ((v, nbrs.size.toLong, t.toLong))
+    }.toMap
+    val got2 = Graph.triangleCounts(rnd.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got2.length == want.size)
+    got2.foreach { r =>
+      assert(want(r._1) == ((r._1, r._2, r._3)), s"node ${r._1}: got $r")
+    }
+    Dedup.clearCaches()
+  }
+
+  test("Mixture.serpentineShards: snake deal matches hand computation, balance near 1") {
+    // weights 8..1 into 3 shards: rounds deal 0,1,2 / 2,1,0 / 0,1
+    val rows = (1L to 8L).map(i => (i, (9 - i).toInt)) // id 1 → weight 8 (rank 0)
+    val got = Mixture.serpentineShards(rows.toDF("id", "w"), "id", "w", 3)
+      .select("id", "rank", "shard").as[(Long, Long, Int)].collect()
+      .sortBy(_._2)
+    assert(got.map(_._3).toSeq == Seq(0, 1, 2, 2, 1, 0, 0, 1), s"got ${got.toSeq}")
+    assert(got.map(_._1).toSeq == (1L to 8L), "rank must follow weight desc")
+    val manifest = Mixture.shardManifest(rows.toDF("id", "w"), "id", "w", 3)
+      .orderBy("shard").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(manifest.map(m => (m._1, m._3)) == Seq((0, 13L), (1, 12L), (2, 11L)),
+      s"got $manifest")
+    // big skewed corpus: serpentine balance stays within 1%
+    val skew = (1L to 5000L).map(i => (i, (i % 97 * i % 89 + 1).toInt))
+    val bal = Mixture.shardManifest(skew.toDF("id", "w"), "id", "w", 16)
+      .select("balance").as[Double].collect()
+    assert(bal.forall(b => b > 0.99 && b < 1.01), s"got ${bal.toSeq}")
+  }
+
+  test("TextAnalysis.perplexityBuckets: equal-count tiers, rarest text lands in tail") {
+    // 9 docs in one group: three share common words, three mixed, three rare
+    val docs = (1L to 9L).map { i =>
+      val text =
+        if (i <= 3) "the the the and and of"            // common → low surprisal
+        else if (i <= 6) s"the and rare$i word$i"       // mixed
+        else s"zzz$i qqq$i xxx$i www$i"                 // unique → high
+      (i, "s1", text)
+    }
+    val out = TextAnalysis.perplexityBuckets(
+        docs.toDF("doc_id", "source", "text"), "text", "doc_id", "source", 3)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 3L).forall(out(_) == "head"), s"got $out")
+    assert((7L to 9L).forall(out(_) == "tail"), s"got $out")
+    assert((4L to 6L).forall(out(_) == "middle"), s"got $out")
+    // equal-count contract: 3 per tier
+    assert(out.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+  }
+
   test("Similarity.binaryKnn: sign packing, Hamming ranking, cosine rerank") {
     // 4-dim vectors: sign patterns chosen so codes/Hammings are hand-checkable
     val emb = Seq(
