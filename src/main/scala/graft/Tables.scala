@@ -22,15 +22,33 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is nanosecond-precision parquet, which Spark cannot
-    * represent as TimestampType; read it as int64 nanoseconds instead
-    * (all graft event-time operators do integer ns arithmetic, which is
-    * exact and engine-independent).
+  /** All graft event-time operators do integer nanosecond arithmetic
+    * on `events.ts` — exact and engine-independent. The testdata has
+    * shipped `ts` both as nanosecond-precision parquet (Spark cannot
+    * represent ns as TimestampType → `nanosAsLong` reads int64 ns
+    * directly) and as µs TIMESTAMP/TIMESTAMP_NTZ; [[tsAsNanos]]
+    * normalizes either shape to the same int64 epoch-ns values DuckDB's
+    * `epoch_ns(ts)` sees (session timezone is UTC, so the NTZ
+    * wall-clock → epoch mapping is identity).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    tsAsNanos(load(spark, dir, "events"))
   }
+
+  /** Normalize an events frame's `ts` to int64 epoch-nanoseconds
+    * regardless of the on-disk type (int64-ns, TIMESTAMP, or
+    * TIMESTAMP_NTZ). Pure column expression — works on batch and
+    * streaming frames alike and stays inside whole-stage codegen.
+    */
+  def tsAsNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn(
+        "ts",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

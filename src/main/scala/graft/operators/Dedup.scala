@@ -238,11 +238,14 @@ object Dedup {
       // intersect once per pair (projection stage), then pure arithmetic
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
-        (size(col("sh_a")) + size(col("sh_b"))).cast("double").as("tot"))
+        size(col("sh_a")).cast("double").as("n_a"),
+        size(col("sh_b")).cast("double").as("n_b"))
       .withColumn("jaccard",
-        when(col("tot") - col("inter") === 0, lit(0d))
-          .otherwise(col("inter") / (col("tot") - col("inter"))))
-      .select("id_a", "id_b", "jaccard")
+        when(col("n_a") + col("n_b") - col("inter") === 0, lit(0d))
+          .otherwise(col("inter") / (col("n_a") + col("n_b") - col("inter"))))
+      // set sizes ride along for asymmetric kernels (containment); the
+      // set-valued columns do NOT — pairs stay slim past this point
+      .select("id_a", "id_b", "jaccard", "inter", "n_a", "n_b")
   }
 
   /** Contrastive training-pair mining from the LSH pipeline: every
@@ -271,6 +274,45 @@ object Dedup {
       .withColumn("label",
         when(col("jaccard") >= threshold, lit("positive"))
           .otherwise(lit("hard_negative")))
+      .select("id_a", "id_b", "jaccard", "label")
+
+  /** Asymmetric containment near-dup pairs from the LSH pipeline:
+    * containment C(a→b) = |sh_a ∩ sh_b| / |sh_a| — the signal Jaccard
+    * misses when a SMALL document is quoted inside a much larger one
+    * (their Jaccard is tiny, but the quote's containment is ~1). The
+    * classic use: find docs that embed a known license text, boilerplate
+    * block, or another doc wholesale. Emits one row per candidate pair
+    * with both directions' scores and the max, filtered on the max:
+    * `id_a, id_b, jaccard, cont_a, cont_b, containment`.
+    *
+    * Scale shape: identical to [[minHashLsh]] — same banded equi-join
+    * and pre-deduped slim candidates; set sizes ride out of the
+    * verification projection as two ints, the asymmetric scores are
+    * row-local arithmetic. Note LSH recall is tuned to JACCARD — a
+    * high-containment/low-Jaccard pair only collides when the small
+    * side dominates some band; production containment search hashes
+    * the small side's shingles only (the `maxDocFreq`-guarded
+    * [[winnowingOverlap]] is that variant).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      saltHotBuckets: Int = -1): DataFrame = {
+    lshScoredCandidates(df, textCol, idCol, numHashes, bands,
+      shingleSize, saltHotBuckets)
+      .withColumn("cont_a", when(col("n_a") === 0, lit(0d))
+        .otherwise(col("inter") / col("n_a")))
+      .withColumn("cont_b", when(col("n_b") === 0, lit(0d))
+        .otherwise(col("inter") / col("n_b")))
+      .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "jaccard", "cont_a", "cont_b", "containment")
+  }
 
   /** SimHash fingerprints (per doc). Exact-fingerprint groups are
     * near-certain duplicates; Hamming-ball search over the fingerprints

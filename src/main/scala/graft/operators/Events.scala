@@ -209,4 +209,34 @@ object Events {
           rightValCols.map(c =>
             when(col("__ok"), col(s"__asof.$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
   }
+
+  /** Exponential time-decay activity score per key — the recency
+    * weighting a freshness-aware sampler or engagement ranker applies:
+    * each event contributes `value · 2^(−age/halfLife)`, ages measured
+    * from the corpus' max timestamp (so the score is a pure function
+    * of the data, reproducible across runs and engines — no wall-clock
+    * `now()`). Emits `(keyCol, n_events, last_ts_us, decayed_value,
+    * decayed_count)` — `decayed_count` is the half-life-discounted
+    * event count (value ≡ 1).
+    *
+    * Scale shape: one 1-row max-ts aggregate broadcast-crossed in (the
+    * house pattern for corpus constants), then ONE combinable per-key
+    * aggregation — map-side partials, shuffle carries |keys| rows.
+    */
+  def decayedActivity(df: DataFrame, keyCol: String, tsNs: String,
+      valueCol: String, halfLifeNs: Long): DataFrame = {
+    val tmax = broadcast(df.agg(max(col(tsNs)).as("__tmax")))
+    val weighted = df.crossJoin(tmax)
+      .withColumn("__w",
+        pow(lit(0.5),
+          (col("__tmax") - col(tsNs)).cast("double") / halfLifeNs.toDouble))
+    weighted.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        // integer div — Column./ is double division, and an epoch-ns
+        // max (~1.7e18) exceeds a double's 2^53 exact-integer range
+        expr(s"cast(max($tsNs) as long) div 1000").as("last_ts_us"),
+        round(sum(col(valueCol) * col("__w")), 6).as("decayed_value"),
+        round(sum(col("__w")), 6).as("decayed_count"))
+  }
 }

@@ -653,4 +653,105 @@ object Similarity {
       .select(col(groupCol), col(idCol),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
+
+  /** Embedding covariance matrix — the d×d statistic behind whitening,
+    * PCA energy audits, and drift detection between corpus snapshots.
+    * Returns one row per (i, j) cell: `(i, j, cov)` with
+    * cov(i,j) = E[v_i·v_j] − E[v_i]·E[v_j] (population covariance,
+    * single pass).
+    *
+    * Scale shape: ONE corpus pass — posexplode by row index i (d×
+    * in-memory fan-out, never shuffled raw), then a d-group hash
+    * aggregate whose buffers carry (n, Σv_i, Σv_i·v_j for all j) —
+    * partial map-side combine means the shuffle moves
+    * O(d² · partitions) doubles, independent of corpus size. The
+    * per-dimension means are a d-row frame joined back broadcast.
+    * d is bounded (embedding width), so the d² output is metadata.
+    */
+  def covarianceMatrix(emb: DataFrame, vecCol: String,
+      dims: Int = 0): DataFrame = {
+    val d = if (dims > 0) dims else inferDims(emb, vecCol)
+    val v = emb.select(col(vecCol).cast("array<double>").as("v"))
+    val exploded = v.select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
+    val aggs = (0 until d).map(j => sum(col("vi") * col("v")(j)).as(s"s$j"))
+    val sums = exploded.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("vi")).as("si") +: aggs): _*)
+    val perCell = sums.select(
+      col("i"), col("n"), (col("si") / col("n")).as("mean_i"),
+      posexplode(array((0 until d).map(j => col(s"s$j")): _*)).as(Seq("j", "sij")))
+    val means = sums.select(col("i").as("j"), (col("si") / col("n")).as("mean_j"))
+    perCell.join(broadcast(means), Seq("j"))
+      .select(col("i"), col("j"),
+        // +0.0 collapses IEEE −0.0 (a tiny negative covariance rounded
+        // to zero keeps its sign bit) to +0.0, matching the oracle
+        (round(col("sij") / col("n") - col("mean_i") * col("mean_j"), 6)
+          + lit(0d)).as("cov"))
+  }
+
+  /** Maximal-marginal-relevance diverse top-k (Carbonell &
+    * Goldstein 1998): greedily select `k` rows maximizing
+    * λ·cos(query, v) − (1−λ)·max cos(v, selected) — the diversity-
+    * aware re-rank a retrieval pipeline applies after ANN so the
+    * context window isn't k near-copies of the same document. The
+    * first pick is the most relevant row (empty-set diversity term
+    * = 0). Returns `(rank, idCol, relevance, mmr)` — `mmr` is the
+    * score the row was selected AT, rounded after selection.
+    *
+    * Scale shape: relevance is a map-only broadcast-query cosine scan;
+    * the candidate pool is the TOP-`poolSize` rows (rank window under
+    * a `row_number <= poolSize` filter → map-side WindowGroupLimit),
+    * so the driver-side greedy loop touches a bounded poolSize×d
+    * matrix — metadata, same class as a k-means centroid collect. The
+    * greedy recurrence is inherently sequential in k; pool truncation
+    * is the standard production bound (MMR over an unbounded corpus is
+    * quadratic no matter the engine).
+    */
+  def mmrSelect(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, poolSize: Int,
+      lambda: Double): DataFrame = {
+    val spark = emb.sparkSession
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = broadcast(e.where(col("id") === queryId)
+      .select(col("v").as("qv")))
+    val scored = e.where(col("id") =!= queryId).crossJoin(q)
+      .withColumn("rel", call_function("graft_cosine", col("qv"), col("v")))
+    val w = Window.orderBy(col("rel").desc, col("id").asc)
+    val pool = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= poolSize)
+      .select("id", "rel", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0d || nb == 0d) 0d else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p): _*)
+    var rank = 1
+    while (rank <= math.min(k, pool.length)) {
+      // argmax (score desc, id asc); ids iterate in pool (rel) order
+      var best: (Long, Double, Double) = null
+      remaining.valuesIterator.foreach { case (id, rel, v) =>
+        val div = if (chosen.isEmpty) 0d else chosen.map(c => cosine(v, c)).max
+        val score = lambda * rel - (1 - lambda) * div
+        if (best == null || score > best._3 || (score == best._3 && id < best._1))
+          best = (id, rel, score)
+      }
+      selected += ((rank, best._1, best._2, best._3))
+      chosen += remaining(best._1)._3
+      remaining.remove(best._1)
+      rank += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("rank", "id", "rel", "mmr")
+      .select(col("rank"), col("id").as(idCol),
+        round(col("rel"), 6).as("relevance"), round(col("mmr"), 6).as("mmr"))
+  }
 }

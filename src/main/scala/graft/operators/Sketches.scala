@@ -80,17 +80,23 @@ object Sketches {
       .select(col(groupCol), col("n"), col("p"),
         element_at(col("__ex"), col("__i") + 1).as("q_exact"),
         element_at(col("__ap"), col("__i") + 1).as("__est"))
-    // rank audit: rank(est) = #{x ≤ est} must sit within n/accuracy
-    // (+1 for interpolation slack) of the target rank p·n
+    // rank audit: a tied estimate value occupies the rank INTERVAL
+    // [#{x < est}+1, #{x ≤ est}]; the contract is that this interval
+    // intersects the target window p·n ± (n/accuracy + 1 interpolation
+    // slack) — auditing the point rank #{x ≤ est} alone falsely fails
+    // an exact order statistic that sits inside a run of duplicates
     val ranks = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .join(broadcast(est.select(col(groupCol), col("p"), col("__est"))), Seq(groupCol))
       .groupBy(groupCol, "p")
-      .agg(count(when(col("__v") <= col("__est"), lit(1))).as("__rank"))
+      .agg(
+        (count(when(col("__v") < col("__est"), lit(1))) + 1).as("__lo"),
+        count(when(col("__v") <= col("__est"), lit(1))).as("__hi"))
+    val tol = col("n").cast("double") / accuracy + 1
     est.join(ranks, Seq(groupCol, "p"))
       .select(col(groupCol), col("p"), col("n"),
         round(col("q_exact"), 6).as("q_exact"),
-        (abs(col("__rank") - col("p") * col("n")) <=
-          col("n").cast("double") / accuracy + 1).as("approx_ok"))
+        (col("__lo") <= col("p") * col("n") + tol &&
+          col("__hi") >= col("p") * col("n") - tol).as("approx_ok"))
   }
 
   /** Count-min-sketch frequency estimates for a bounded candidate

@@ -787,4 +787,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("m_label").as("pred_label"),
         round(col("score"), 4).as("score"))
   }
+
+  /** Per-document character-class profile — the writing-system /
+    * formatting audit a curation pipeline runs before language-specific
+    * stages: counts and fractions of letters, digits, uppercase,
+    * whitespace, and symbol/punctuation characters, plus a dominant
+    * class. Mojibake, ASCII-art, minified code, and number tables all
+    * announce themselves here long before a model-based classifier
+    * would. Emits `(idCol, n_chars, n_letter, n_digit, n_upper,
+    * n_space, n_other, letter_frac, digit_frac, upper_frac,
+    * dominant)`.
+    *
+    * Scale shape: entirely row-local (`length` over codegen'd
+    * `regexp_replace` projections) — zero shuffle, zero UDFs, stays in
+    * one WholeStageCodegen span with the scan.
+    */
+  def charClassProfile(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def cnt(cls: String) =
+      length(regexp_replace(col(textCol), cls, ""))
+    val letters = cnt("[^a-zA-Z]")
+    val digits = cnt("[^0-9]")
+    val uppers = cnt("[^A-Z]")
+    val spaces = cnt("[^ \\t\\n\\r]")
+    val total = length(col(textCol))
+    // fracs reference the PROJECTED n_chars, not the source text (which
+    // the first select drops)
+    def frac(c: Column) =
+      when(col("n_chars") === 0, lit(0d))
+        .otherwise(round(c.cast("double") / col("n_chars"), 6))
+    df.select(col(idCol),
+        total.as("n_chars"),
+        letters.as("n_letter"), digits.as("n_digit"),
+        uppers.as("n_upper"), spaces.as("n_space"),
+        (total - letters - digits - spaces).as("n_other"))
+      .withColumn("letter_frac", frac(col("n_letter")))
+      .withColumn("digit_frac", frac(col("n_digit")))
+      .withColumn("upper_frac", frac(col("n_upper")))
+      .withColumn("dominant",
+        when(col("n_chars") === 0, lit("empty"))
+          .when(col("n_letter") >= greatest(col("n_digit"), col("n_space"), col("n_other")),
+            lit("letter"))
+          .when(col("n_digit") >= greatest(col("n_space"), col("n_other")), lit("digit"))
+          .when(col("n_space") >= col("n_other"), lit("space"))
+          .otherwise(lit("other")))
+  }
 }

@@ -127,6 +127,14 @@ object EventsQ {
         .orderBy("from_type", "to_type")
     }),
 
+    // ---- exponential time-decay activity score (recency weighting,
+    //      half-life 7 days, anchored at the corpus max ts) ----
+    "q138_decayed_activity" -> ((s, d) => {
+      Events.decayedActivity(Tables.events(s, d), "user_id", "ts", "value",
+          halfLifeNs = 7L * 24 * HourNs)
+        .orderBy("user_id")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -137,6 +145,19 @@ object EventsQ {
     }))
 
   val oracle: Map[String, String] = Map(
+    // same ns ages, same exact-double 0.5 base — power() and the
+    // weighted sums replay within the 6dp rounding
+    "q138_decayed_activity" ->
+      s"""WITH t AS (SELECT max(epoch_ns(ts)) AS tmax FROM events),
+          w AS (
+            SELECT user_id, value, epoch_ns(ts) AS tns,
+              power(0.5, (t.tmax - epoch_ns(ts))::DOUBLE / ${(7L * 24 * HourNs).toDouble}) AS w
+            FROM events CROSS JOIN t)
+         SELECT user_id, count(*) AS n_events,
+           CAST(max(tns) // 1000 AS BIGINT) AS last_ts_us,
+           round(sum(value * w), 6) AS decayed_value,
+           round(sum(w), 6) AS decayed_count
+         FROM w GROUP BY user_id ORDER BY user_id""",
     "q27_tumbling_hourly" ->
       s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $HourNs AS window_start_ns,
           event_type, count(*) AS n, round(sum(value), 2) AS sum_value

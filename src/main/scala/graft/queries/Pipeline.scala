@@ -253,6 +253,55 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- embedding covariance matrix (single-pass, d-group agg) ----
+    "q134_cov_matrix" -> ((s, d) => {
+      Similarity.covarianceMatrix(Tables.embeddings(s, d), "embedding")
+        .orderBy("i", "j")
+    }),
+
+    // ---- MMR diverse top-k re-rank over a bounded relevance pool ----
+    "q135_mmr_rerank" -> ((s, d) => {
+      Similarity.mmrSelect(Tables.embeddings(s, d), "embedding", "vec_id",
+          // λ = 0.5: both λ and 1−λ are exact binary doubles, so the
+          // greedy's score comparisons replay bit-identically in SQL
+          queryId = 0L, k = 5, poolSize = 15, lambda = 0.5)
+        .orderBy("rank")
+    }),
+
+    // ---- character-class profile (row-local formatting audit) ----
+    "q136_charclass" -> ((s, d) => {
+      TextAnalysis.charClassProfile(Tables.documents(s, d), "text", "doc_id")
+        .where(col("doc_id") < 60)
+        .orderBy("doc_id")
+    }),
+
+    // ---- asymmetric containment pairs (quote/embedding detection) ----
+    "q137_containment" -> ((s, d) => {
+      Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+          numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"),
+          round(col("cont_a"), 4).as("cont_a"), round(col("cont_b"), 4).as("cont_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- declarative data-quality expectation suite ----
+    "q139_expectations" -> ((s, d) => {
+      import graft.operators.Expectations._
+      suite(Seq(
+        expectNotNull(Tables.orders(s, d), "orders", "o_totalprice"),
+        expectUnique(Tables.documents(s, d), "documents", Seq("doc_id")),
+        expectBetween(Tables.lineitem(s, d), "lineitem", "l_quantity", 1, 50),
+        expectInSet(Tables.documents(s, d), "documents", "lang",
+          Seq("en", "de", "fr", "es", "zh")),
+        refIntegrity(Tables.lineitem(s, d), "lineitem", "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        refIntegrity(Tables.orders(s, d), "orders", "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        expectRowCount(Tables.region(s, d), "region", 5, 5)))
+        .orderBy("check_name")
+    }),
+
     // ---- bigram-LM surprisal (conditional-probability quality) ----
     "q94_bigram_surprisal" -> ((s, d) => {
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
@@ -1226,6 +1275,189 @@ object Pipeline {
            CASE bucket_ord WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                 ELSE 'tail' END AS bucket
          FROM b WHERE doc_id < 60 ORDER BY doc_id""",
+    // one (i,j) grid cross the corpus; identical E[xy]−E[x]E[y]
+    // arithmetic, 6dp absorbs partial-sum order
+    "q134_cov_matrix" ->
+      """WITH emb AS (
+           SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         ij AS (
+           SELECT a.i AS i, b.j AS j
+           FROM (SELECT unnest(range(0, 64)) AS i) a
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS j) b),
+         p AS (
+           SELECT i, j, count(*) AS n,
+             sum(e.v[CAST(i AS INT) + 1] * e.v[CAST(j AS INT) + 1]) AS sij,
+             sum(e.v[CAST(i AS INT) + 1]) AS si,
+             sum(e.v[CAST(j AS INT) + 1]) AS sj
+           FROM emb e CROSS JOIN ij GROUP BY i, j)
+         SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round(sij / n - (si / n) * (sj / n), 6) + 0.0 AS cov
+         FROM p ORDER BY i, j""",
+    // the greedy unrolled: pool of 15 by relevance, pairwise cosines,
+    // then 5 argmax steps as chained CTEs — λ = 1−λ = 0.5 exactly
+    "q135_mmr_rerank" -> {
+      val cosExpr = (a: String, b: String) =>
+        s"""list_sum(list_transform(range(1, 65), ix -> $a.v[ix] * $b.v[ix])) /
+            (sqrt(list_sum(list_transform($a.v, x -> x * x))) *
+             sqrt(list_sum(list_transform($b.v, x -> x * x))))"""
+      val steps = (2 to 5).map { t =>
+        s"""step$t AS (
+              SELECT p.id, p.rel, 0.5 * p.rel - 0.5 * max(pc.c) AS score
+              FROM pool p
+              JOIN pc ON pc.ia = p.id
+              JOIN sel${t - 1} s ON pc.ib = s.id
+              WHERE p.id NOT IN (SELECT id FROM sel${t - 1})
+              GROUP BY p.id, p.rel
+              ORDER BY score DESC, p.id LIMIT 1),
+            sel$t AS (SELECT id FROM sel${t - 1} UNION ALL SELECT id FROM step$t)"""
+      }.mkString(",\n")
+      val ranks = (1 to 5).map { t =>
+        s"""SELECT $t AS rank, id AS vec_id, round(rel, 6) AS relevance,
+              round(score, 6) AS mmr FROM step$t"""
+      }.mkString("\n UNION ALL\n")
+      s"""WITH emb AS (
+            SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          qv AS (SELECT v FROM emb WHERE id = 0),
+          pool AS (
+            SELECT e.id, ${cosExpr("e", "q")} AS rel, e.v
+            FROM emb e CROSS JOIN qv q WHERE e.id <> 0
+            ORDER BY rel DESC, e.id LIMIT 15),
+          pc AS (
+            SELECT a.id AS ia, b.id AS ib, ${cosExpr("a", "b")} AS c
+            FROM pool a JOIN pool b ON a.id <> b.id),
+          step1 AS (
+            SELECT id, rel, 0.5 * rel AS score FROM pool
+            ORDER BY score DESC, id LIMIT 1),
+          sel1 AS (SELECT id FROM step1),
+          $steps
+         SELECT rank, vec_id, relevance, mmr FROM (
+           $ranks) ORDER BY rank"""
+    },
+    // RE2 char classes mirror the engine's Java classes 1:1 on this
+    // ASCII corpus; both sides count code units of the same text
+    "q136_charclass" ->
+      """WITH c AS (
+           SELECT doc_id, len(text) AS n_chars,
+             len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_letter,
+             len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             len(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+             len(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS n_space
+           FROM documents WHERE doc_id < 60)
+         SELECT doc_id, n_chars, n_letter, n_digit, n_upper, n_space,
+           n_chars - n_letter - n_digit - n_space AS n_other,
+           CASE WHEN n_chars = 0 THEN 0.0
+                ELSE round(n_letter::DOUBLE / n_chars, 6) END AS letter_frac,
+           CASE WHEN n_chars = 0 THEN 0.0
+                ELSE round(n_digit::DOUBLE / n_chars, 6) END AS digit_frac,
+           CASE WHEN n_chars = 0 THEN 0.0
+                ELSE round(n_upper::DOUBLE / n_chars, 6) END AS upper_frac,
+           CASE WHEN n_chars = 0 THEN 'empty'
+                WHEN n_letter >= greatest(n_digit, n_space,
+                  n_chars - n_letter - n_digit - n_space) THEN 'letter'
+                WHEN n_digit >= greatest(n_space,
+                  n_chars - n_letter - n_digit - n_space) THEN 'digit'
+                WHEN n_space >= n_chars - n_letter - n_digit - n_space
+                  THEN 'space'
+                ELSE 'other' END AS dominant
+         FROM c ORDER BY doc_id""",
+    // the q32 LSH candidate chain verbatim, then the asymmetric
+    // containment kernels over the same verified shingle sets
+    "q137_containment" ->
+      s"""WITH docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          scored AS (
+            SELECT id_a, id_b,
+              len(list_intersect(sh_a, sh_b))::DOUBLE AS inter,
+              len(sh_a)::DOUBLE AS n_a, len(sh_b)::DOUBLE AS n_b
+            FROM cand),
+          f AS (
+            SELECT id_a, id_b,
+              CASE WHEN n_a + n_b - inter = 0 THEN 0.0
+                   ELSE inter / (n_a + n_b - inter) END AS jac,
+              CASE WHEN n_a = 0 THEN 0.0 ELSE inter / n_a END AS ca,
+              CASE WHEN n_b = 0 THEN 0.0 ELSE inter / n_b END AS cb
+            FROM scored)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard,
+           round(ca, 4) AS cont_a, round(cb, 4) AS cont_b,
+           round(greatest(ca, cb), 4) AS containment
+         FROM f WHERE greatest(ca, cb) >= 0.6
+         ORDER BY id_a, id_b""",
+    // each check replayed as its defining aggregate; names/status
+    // strings must match the engine's report() literals exactly
+    "q139_expectations" ->
+      """SELECT * FROM (
+           SELECT 'not_null(o_totalprice)' AS check_name, 'orders' AS table_name,
+             CAST(count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT) AS violations,
+             CASE WHEN count(CASE WHEN o_totalprice IS NULL THEN 1 END) = 0
+                  THEN 'pass' ELSE 'fail' END AS status
+           FROM orders
+           UNION ALL
+           SELECT 'unique(doc_id)', 'documents',
+             CAST(coalesce(sum(n - 1), 0) AS BIGINT),
+             CASE WHEN coalesce(sum(n - 1), 0) = 0 THEN 'pass' ELSE 'fail' END
+           FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id)
+           UNION ALL
+           SELECT 'between(l_quantity,1.0,50.0)', 'lineitem',
+             CAST(count(CASE WHEN l_quantity IS NOT NULL
+               AND (l_quantity < 1 OR l_quantity > 50) THEN 1 END) AS BIGINT),
+             CASE WHEN count(CASE WHEN l_quantity IS NOT NULL
+               AND (l_quantity < 1 OR l_quantity > 50) THEN 1 END) = 0
+                  THEN 'pass' ELSE 'fail' END
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_set(lang)', 'documents',
+             CAST(count(CASE WHEN lang IS NOT NULL
+               AND lang NOT IN ('en','de','fr','es','zh') THEN 1 END) AS BIGINT),
+             CASE WHEN count(CASE WHEN lang IS NOT NULL
+               AND lang NOT IN ('en','de','fr','es','zh') THEN 1 END) = 0
+                  THEN 'pass' ELSE 'fail' END
+           FROM documents
+           UNION ALL
+           SELECT 'ref(l_orderkey→o_orderkey)', 'lineitem',
+             CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT),
+             CASE WHEN count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) = 0
+                  THEN 'pass' ELSE 'fail' END
+           FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey
+           UNION ALL
+           SELECT 'ref(o_custkey→c_custkey)', 'orders',
+             CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT),
+             CASE WHEN count(CASE WHEN c.c_custkey IS NULL THEN 1 END) = 0
+                  THEN 'pass' ELSE 'fail' END
+           FROM orders ord
+           LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON ord.o_custkey = c.c_custkey
+           UNION ALL
+           SELECT 'row_count(5,5)', 'region',
+             CAST(CASE WHEN count(*) < 5 THEN 5 - count(*)
+                       WHEN count(*) > 5 THEN count(*) - 5
+                       ELSE 0 END AS BIGINT),
+             CASE WHEN count(*) BETWEEN 5 AND 5 THEN 'pass' ELSE 'fail' END
+           FROM region)
+         ORDER BY check_name""",
     "q94_bigram_surprisal" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
           bg AS (SELECT doc_id,

@@ -75,7 +75,7 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = stageDir(dir)
     val schema = spark.read.parquet(staged).schema
-    val stream = spark.readStream.schema(schema).parquet(staged)
+    val stream = graft.Tables.tsAsNanos(spark.readStream.schema(schema).parquet(staged))
     val agg = tumblingAgg(stream, windowNs)
     val name = s"events_tumbling_${System.nanoTime()}"
     withStatePartitions(spark, 8) {
@@ -160,7 +160,7 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = stageDir(dir)
     val schema = spark.read.parquet(staged).schema
-    val stream = spark.readStream.schema(schema).parquet(staged)
+    val stream = graft.Tables.tsAsNanos(spark.readStream.schema(schema).parquet(staged))
     val doubled = stream.union(stream.where(pmod(col("event_id"), lit(7)) === 0))
     val out = dedupeStream(doubled, "event_id")
       .select("event_id", "user_id", "event_type", "value")
@@ -220,7 +220,7 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = stageDir(dir)
     val schema = spark.read.parquet(staged).schema
-    val stream = spark.readStream.schema(schema).parquet(staged)
+    val stream = graft.Tables.tsAsNanos(spark.readStream.schema(schema).parquet(staged))
     val out = viewPurchaseJoin(stream, horizon)
     val name = s"events_join_${System.nanoTime()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -276,7 +276,7 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = stageDir(dir)
     val schema = spark.read.parquet(staged).schema
-    val stream = spark.readStream.schema(schema).parquet(staged)
+    val stream = graft.Tables.tsAsNanos(spark.readStream.schema(schema).parquet(staged))
     val out = sessionize(stream, gapNs)
     val name = s"events_sessions_${System.nanoTime()}"
     withStatePartitions(spark, 8) {

@@ -1595,4 +1595,113 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(d1.getDouble(3) - (1.0 / 62 + 1.0 / 61)) < 1e-6)
     assert(got(1).isNullAt(2) && got(2).isNullAt(1)) // one-sided ranks stay NULL
   }
+
+  test("Similarity.covarianceMatrix: hand-computed 2-d covariance, symmetric") {
+    val emb = Seq(Seq(1d, 2d), Seq(3d, 4d), Seq(5d, 6d)).toDF("embedding")
+    val got = Similarity.covarianceMatrix(emb, "embedding", dims = 2)
+      .orderBy("i", "j")
+      .as[(Int, Int, Double)].collect().toSeq
+    // E[x²]−E[x]² = 35/3−9 = 8/3 for every cell of this fixture
+    val c = math.rint(8d / 3 * 1e6) / 1e6
+    assert(got == Seq((0, 0, c), (0, 1, c), (1, 0, c), (1, 1, c)))
+    // symmetry on a less degenerate fixture
+    val emb2 = Seq(Seq(1d, 7d, 2d), Seq(4d, 1d, 9d), Seq(2d, 2d, 2d),
+      Seq(8d, 3d, 1d)).toDF("embedding")
+    val m = Similarity.covarianceMatrix(emb2, "embedding", dims = 3)
+      .as[(Int, Int, Double)].collect()
+      .map { case (i, j, v) => (i, j) -> v }.toMap
+    for (i <- 0 until 3; j <- 0 until 3) assert(m((i, j)) == m((j, i)))
+  }
+
+  test("Similarity.mmrSelect: greedy picks relevance then diversity") {
+    // q=[1,0]; v1 rel .8, v2 rel .6 but sim(v2,v1)=.96, v3 rel 0
+    val emb = Seq(
+      (0L, Seq(1d, 0d)), (1L, Seq(0.8, 0.6)), (2L, Seq(0.6, 0.8)),
+      (3L, Seq(0d, 1d)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb, "embedding", "vec_id",
+        queryId = 0L, k = 3, poolSize = 3, lambda = 0.5)
+      .orderBy("rank")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    // step1: v1 at λ·rel = .4; step2: v2 at .5·.6−.5·.96 = −.18
+    // (beats v3's 0−.5·.6 = −.3); step3: v3 at 0−.5·max(.6,.8) = −.4
+    assert(got == Seq(
+      (1, 1L, 0.8, 0.4), (2, 2L, 0.6, -0.18), (3, 3L, 0.0, -0.4)))
+  }
+
+  test("TextAnalysis.charClassProfile: hand-computed classes and dominant") {
+    val docs = Seq((1L, "Ab 12!"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.charClassProfile(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("n_chars", "n_letter", "n_digit", "n_upper", "n_space",
+        "n_other", "letter_frac", "dominant")
+      .collect()
+    val r = got(0)
+    assert(r.getInt(0) == 6 && r.getInt(1) == 2 && r.getInt(2) == 2 &&
+      r.getInt(3) == 1 && r.getInt(4) == 1 && r.getInt(5) == 1)
+    assert(r.getDouble(6) == 0.333333 && r.getString(7) == "letter")
+    assert(got(1).getString(7) == "empty")
+  }
+
+  test("Dedup.containmentPairs: full quote scores containment 1 at low-ish jaccard") {
+    // doc 1's shingles are a strict subset of doc 2's
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+    // 16 single-row bands: a candidate needs only ONE shared minhash,
+    // so the subset pair's collision is effectively certain (a 4-row
+    // band at jaccard .57 collides with P≈.11 — a flaky fixture)
+    val got = Dedup.containmentPairs(docs, "text", "doc_id",
+        numHashes = 16, bands = 16, shingleSize = 2, threshold = 0.9)
+      .select("id_a", "id_b", "jaccard", "cont_a", "cont_b", "containment")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got.size == 1)
+    val (a, b, jac, ca, cb, cont) = got.head
+    assert(a == 1L && b == 2L)
+    assert(ca == 1.0 && cont == 1.0)      // 1's 4 shingles all inside 2
+    assert(cb == 4d / 7 && jac == 4d / 7) // 2 has 7 shingles
+    Dedup.clearCaches()
+  }
+
+  test("Events.decayedActivity: half-life weighting anchored at max ts") {
+    val hl = 1000L * 1000 * 1000 // 1s half-life, ns
+    val ev = Seq(
+      (1L, 0L, 10d), (1L, hl, 10d), // ages hl, 0 → weights .5, 1
+      (2L, hl, 10d))                // single fresh event
+      .toDF("user_id", "ts", "value")
+    val got = Events.decayedActivity(ev, "user_id", "ts", "value", hl)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, hl / 1000, 15.0, 1.5),
+      (2L, 1L, hl / 1000, 10.0, 1.0)))
+  }
+
+  test("Expectations: injected violations fail their checks, clean data passes") {
+    import graft.operators.Expectations._
+    val parent = Seq(1L, 2L, 3L).toDF("id")
+    val child = Seq((10L, 1L), (11L, 2L), (12L, 99L)) // 99 is an orphan
+      .toDF("cid", "pid")
+    val vals = Seq[(java.lang.Long, String)](
+      (1L, "x"), (1L, "y"), (null, "z")) // dup key + a null
+      .toDF("k", "s")
+    val rep = suite(Seq(
+      expectNotNull(vals, "vals", "k"),
+      expectUnique(vals, "vals", Seq("k")),
+      expectBetween(child, "child", "pid", 1, 50),
+      expectInSet(vals, "vals", "s", Seq("x", "y", "z")),
+      refIntegrity(child, "child", "pid", parent, "id"),
+      expectRowCount(parent, "parent", 3, 3)))
+      .select("check_name", "violations", "status")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep("not_null(k)") == ((1L, "fail")))
+    assert(rep("unique(k)") == ((1L, "fail"))) // one row beyond first (nulls group too)
+    assert(rep("between(pid,1.0,50.0)") == ((1L, "fail"))) // 99
+    assert(rep("in_set(s)") == ((0L, "pass")))
+    assert(rep("ref(pid→id)") == ((1L, "fail")))
+    assert(rep("row_count(3,3)") == ((0L, "pass")))
+  }
 }

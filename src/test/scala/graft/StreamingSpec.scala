@@ -139,7 +139,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = graft.streaming.DocsStream.stageDir(dir, "events")
     val schema = spark.read.parquet(staged).schema
-    val stream = spark.readStream.schema(schema).parquet(staged)
+    val stream = Tables.tsAsNanos(spark.readStream.schema(schema).parquet(staged))
     val agg = Events.hoppingAgg(stream, "ts", hourNs, hourNs / 2,
       Seq("event_type"), Seq(count(lit(1)).as("n"), round(sum("value"), 2).as("sv")))
     val name = s"hop_stream_${System.nanoTime()}"
