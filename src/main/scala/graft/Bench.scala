@@ -127,6 +127,16 @@ object Bench {
     }
     probes("after_queries") = loadProbe(spark)
 
+    // Section barrier: the 140-query sweep leaves cached relations,
+    // shuffle files, and a fragmented old-gen behind; measured
+    // standalone the VCF build runs 5-6 s, inside a dirty JVM it has
+    // recorded 30 s. Clear every cache this process can reach and ask
+    // for a full GC so the BASELINE comparables measure the operators,
+    // not the preceding benchmark's garbage.
+    spark.catalog.clearCache()
+    graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches(); graft.operators.Curation.clearCaches()
+    System.gc(); Thread.sleep(500); System.gc()
+
     // ---- VCF-domain benchmark (BASELINE.md comparables) ----
     // args subset skips the VCF section unless "vcf" is passed too
     if (args.isEmpty || args.contains("vcf")) try {

@@ -207,4 +207,37 @@ object Percentiles {
 
     ranked.where(needed).groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-group winsorization report — clip a numeric column at the
+    * [pLo, pHi] exact interpolated quantiles and report the effect:
+    * `(groupCol, n, lo_cut, hi_cut, n_clipped_low, n_clipped_high,
+    * mean_before, mean_after)`. The outlier-taming step a
+    * quality-score or length feature gets before it feeds a sampler
+    * (a single 10⁹-char document otherwise owns a mean).
+    *
+    * Scale shape: one exact-percentile aggregation per group (sort-
+    * based, the auditable choice — swap [[approxWithBounds]] in when
+    * groups are corpus-sized), broadcast of the |groups|-row cut table
+    * back onto the scan, one combinable report aggregation.
+    */
+  def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val v = col(valueCol).cast("double")
+    val cuts = df.groupBy(groupCol).agg(
+      percentile(v, lit(pLo)).as("lo_cut"),
+      percentile(v, lit(pHi)).as("hi_cut"))
+    df.select(col(groupCol), v.as("__v"))
+      .join(broadcast(cuts), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("lo_cut")), 6).as("lo_cut"),
+        round(min(col("hi_cut")), 6).as("hi_cut"),
+        count(when(col("__v") < col("lo_cut"), lit(1))).as("n_clipped_low"),
+        count(when(col("__v") > col("hi_cut"), lit(1))).as("n_clipped_high"),
+        round(avg(col("__v")), 6).as("mean_before"),
+        round(avg(greatest(least(col("__v"), col("hi_cut")), col("lo_cut"))), 6)
+          .as("mean_after"))
+  }
 }

@@ -754,4 +754,37 @@ object Similarity {
       .select(col("rank"), col("id").as(idCol),
         round(col("rel"), 6).as("relevance"), round(col("mmr"), 6).as("mmr"))
   }
+
+  /** Embedding-column quality audit — the vector analogue of the
+    * [[graft.operators.Expectations]] checks, run per group before any
+    * similarity stage trusts the column: NaN contamination, zero-norm
+    * (cosine-undefined) vectors, wrong-width vectors, and the norm
+    * envelope. Emits one row per group: `(groupCol, n_vecs, n_nan,
+    * n_zero_norm, n_bad_dim, min_norm, max_norm, avg_norm)`.
+    *
+    * Scale shape: ONE combinable aggregation; the per-row kernels
+    * (`exists`, squared-sum `aggregate`) are row-local codegen'd
+    * higher-order functions — no explode, no shuffle beyond the
+    * |groups|-row agg.
+    */
+  def embeddingAudit(emb: DataFrame, vecCol: String, groupCol: String,
+      dims: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0d), (acc, x) => acc + x * x))
+    val hasNan = exists(v, x => isnan(x))
+    emb.select(col(groupCol), norm.as("__norm"), hasNan.as("__nan"),
+        (size(col(vecCol)) =!= dims).as("__bad"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        count(when(col("__nan"), lit(1))).as("n_nan"),
+        count(when(!col("__nan") && col("__norm") === 0d, lit(1)))
+          .as("n_zero_norm"),
+        count(when(col("__bad"), lit(1))).as("n_bad_dim"),
+        // norm envelope over CLEAN vectors only — one NaN would
+        // otherwise poison min/max/avg for the whole group
+        round(min(when(!col("__nan"), col("__norm"))), 6).as("min_norm"),
+        round(max(when(!col("__nan"), col("__norm"))), 6).as("max_norm"),
+        round(avg(when(!col("__nan"), col("__norm"))), 6).as("avg_norm"))
+  }
 }

@@ -832,4 +832,47 @@ object TextAnalysis {
           .when(col("n_space") >= col("n_other"), lit("space"))
           .otherwise(lit("other")))
   }
+
+  /** Blocklist screening — the categorized term-list filter (spam,
+    * adult, gambling, …) every production curation stack runs before
+    * anything model-based: per document, how many tokens hit the list,
+    * which categories, and a block verdict when the hit fraction
+    * clears `maxHitFrac`. Emits `(idCol, n_tokens, n_hits, hit_frac,
+    * categories, blocked)`; `categories` is the sorted comma-joined
+    * distinct set ('' when clean).
+    *
+    * Scale shape: the blocklist is a term→category dimension of at
+    * most a few 10⁵ rows — broadcast BY CONSTRUCTION; the corpus
+    * explodes to tokens, inner-joins the broadcast list (map-side),
+    * and re-aggregates on the doc id — hits only, not all tokens,
+    * travel through the shuffle. Docs with zero hits rejoin via a
+    * left join from the slim (id, n_tokens) projection.
+    */
+  def blocklistScreen(df: DataFrame, textCol: String, idCol: String,
+      blocklist: Seq[(String, String)],
+      maxHitFrac: Double = 0.02): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = broadcast(blocklist.toDF("__term", "__cat"))
+    val docs = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("n_tokens"), col("__t"))
+    val hits = docs
+      .select(col(idCol), explode(col("__t")).as("__term"))
+      .join(terms, Seq("__term"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"),
+        array_join(array_sort(collect_set(col("__cat"))), ",").as("categories"))
+    docs.drop("__t")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("categories"), lit("")).as("categories"))
+      .withColumn("hit_frac",
+        when(col("n_tokens") === 0, lit(0d))
+          .otherwise(round(col("n_hits").cast("double") / col("n_tokens"), 6)))
+      .withColumn("blocked",
+        col("n_hits") > 0 &&
+          col("n_hits").cast("double") / col("n_tokens") > maxHitFrac)
+  }
 }

@@ -302,6 +302,39 @@ object Pipeline {
         .orderBy("check_name")
     }),
 
+    // ---- HITS hub/authority over a deterministic citation graph ----
+    "q140_hits" -> ((s, d) => {
+      val edges = Tables.documents(s, d).where(col("doc_id") < 240)
+        .select(pmod(col("doc_id"), lit(40)).as("src"),
+          pmod(col("doc_id") * 17 + 3, lit(40)).as("dst"))
+        .where(col("src") =!= col("dst"))
+      Graph.hits(edges, "src", "dst", iters = 2).orderBy("id")
+    }),
+
+    // ---- categorized blocklist screening ----
+    "q141_blocklist" -> ((s, d) => {
+      TextAnalysis.blocklistScreen(Tables.documents(s, d), "text", "doc_id",
+          blocklist = Seq("slow" -> "perf", "fast" -> "perf",
+            "big" -> "size", "small" -> "size", "dup" -> "dupe"),
+          maxHitFrac = 0.05)
+        .where(col("doc_id") < 60)
+        .orderBy("doc_id")
+    }),
+
+    // ---- embedding-column quality audit per label ----
+    "q142_embedding_audit" -> ((s, d) => {
+      Similarity.embeddingAudit(Tables.embeddings(s, d), "embedding",
+          "label", dims = 64)
+        .orderBy("label")
+    }),
+
+    // ---- winsorization report: clip at per-group exact p01/p99 ----
+    "q143_winsorize" -> ((s, d) => {
+      graft.operators.Percentiles.winsorizeReport(Tables.lineitem(s, d),
+          "l_returnflag", "l_extendedprice", pLo = 0.01, pHi = 0.99)
+        .orderBy("l_returnflag")
+    }),
+
     // ---- bigram-LM surprisal (conditional-probability quality) ----
     "q94_bigram_surprisal" -> ((s, d) => {
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
@@ -1458,6 +1491,93 @@ object Pipeline {
              CASE WHEN count(*) BETWEEN 5 AND 5 THEN 'pass' ELSE 'fail' END
            FROM region)
          ORDER BY check_name""",
+    // the mutual half-steps unrolled; L1 normalization per half-step
+    // keeps every value a plain sum-and-divide both engines replay
+    "q140_hits" -> {
+      val iters = (1 to 2).map { t =>
+        s"""a${t}r AS (
+              SELECT e.dst AS id, sum(h${t - 1}n.hub) AS s
+              FROM e JOIN h${t - 1}n ON h${t - 1}n.id = e.src GROUP BY e.dst),
+            a$t AS (
+              SELECT n.id, coalesce(s, 0) AS v FROM n LEFT JOIN a${t}r USING (id)),
+            a${t}n AS (
+              SELECT id, CASE WHEN t.t > 0 THEN v / t.t ELSE 0 END AS auth
+              FROM a$t CROSS JOIN (SELECT sum(v) AS t FROM a$t) t),
+            h${t}r AS (
+              SELECT e.src AS id, sum(a${t}n.auth) AS s
+              FROM e JOIN a${t}n ON a${t}n.id = e.dst GROUP BY e.src),
+            h$t AS (
+              SELECT n.id, coalesce(s, 0) AS v FROM n LEFT JOIN h${t}r USING (id)),
+            h${t}n AS (
+              SELECT id, CASE WHEN t.t > 0 THEN v / t.t ELSE 0 END AS hub
+              FROM h$t CROSS JOIN (SELECT sum(v) AS t FROM h$t) t)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+            SELECT DISTINCT doc_id % 40 AS src, (doc_id * 17 + 3) % 40 AS dst
+            FROM documents
+            WHERE doc_id < 240 AND doc_id % 40 <> (doc_id * 17 + 3) % 40),
+          n AS (
+            SELECT DISTINCT id FROM (
+              SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+          h0n AS (SELECT id, 1.0 AS hub FROM n),
+          $iters
+         SELECT a2n.id, round(a2n.auth, 6) AS authority,
+           round(h2n.hub, 6) AS hub
+         FROM a2n JOIN h2n USING (id) ORDER BY id"""
+    },
+    "q141_blocklist" ->
+      s"""WITH bl(term, cat) AS (
+            SELECT * FROM (VALUES ('slow', 'perf'), ('fast', 'perf'),
+              ('big', 'size'), ('small', 'size'), ('dup', 'dupe'))),
+          docs AS (SELECT doc_id, $Toks AS t FROM documents WHERE doc_id < 60),
+          hits AS (
+            SELECT doc_id, count(*) AS n_hits,
+              array_to_string(list_sort(list_distinct(list(cat))), ',') AS categories
+            FROM (SELECT d.doc_id, u.term FROM docs d, unnest(d.t) AS u(term))
+            JOIN bl USING (term) GROUP BY doc_id)
+         SELECT d.doc_id, len(d.t) AS n_tokens,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.categories, '') AS categories,
+           CASE WHEN len(d.t) = 0 THEN 0.0
+                ELSE round(coalesce(h.n_hits, 0)::DOUBLE / len(d.t), 6)
+           END AS hit_frac,
+           coalesce(h.n_hits, 0) > 0 AND
+             coalesce(h.n_hits, 0)::DOUBLE / len(d.t) > 0.05 AS blocked
+         FROM docs d LEFT JOIN hits h USING (doc_id)
+         ORDER BY d.doc_id""",
+    "q142_embedding_audit" ->
+      """WITH v AS (
+           SELECT label, embedding,
+             list_transform(embedding, x -> x::DOUBLE) AS vd
+           FROM embeddings),
+         n AS (
+           SELECT label, embedding,
+             len(list_filter(vd, x -> isnan(x))) > 0 AS has_nan,
+             sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+           FROM v)
+         SELECT label, count(*) AS n_vecs,
+           count(CASE WHEN has_nan THEN 1 END) AS n_nan,
+           count(CASE WHEN NOT has_nan AND nrm = 0 THEN 1 END) AS n_zero_norm,
+           count(CASE WHEN len(embedding) <> 64 THEN 1 END) AS n_bad_dim,
+           round(min(CASE WHEN NOT has_nan THEN nrm END), 6) AS min_norm,
+           round(max(CASE WHEN NOT has_nan THEN nrm END), 6) AS max_norm,
+           round(avg(CASE WHEN NOT has_nan THEN nrm END), 6) AS avg_norm
+         FROM n GROUP BY label ORDER BY label""",
+    // quantile_cont interpolates at p·(n−1) like Spark's percentile
+    "q143_winsorize" ->
+      """WITH cuts AS (
+           SELECT l_returnflag, quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag, count(*) AS n,
+           round(min(c.lo), 6) AS lo_cut, round(min(c.hi), 6) AS hi_cut,
+           count(CASE WHEN l.l_extendedprice < c.lo THEN 1 END) AS n_clipped_low,
+           count(CASE WHEN l.l_extendedprice > c.hi THEN 1 END) AS n_clipped_high,
+           round(avg(l.l_extendedprice), 6) AS mean_before,
+           round(avg(greatest(least(l.l_extendedprice, c.hi), c.lo)), 6)
+             AS mean_after
+         FROM lineitem l JOIN cuts c USING (l_returnflag)
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
     "q94_bigram_surprisal" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
           bg AS (SELECT doc_id,

@@ -1704,4 +1704,54 @@ class OperatorsSpec extends SparkSpec {
     assert(rep("ref(pid→id)") == ((1L, "fail")))
     assert(rep("row_count(3,3)") == ((0L, "pass")))
   }
+
+  test("Graph.hits: hand-computed two-iteration hub/authority") {
+    // 1→2, 3→2, 2→4: node 2 is the authority, 1 and 3 are the hubs
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(edges, "src", "dst", iters = 2)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    // iter2 raw auth: {2: .8, 4: .2} (already L1); raw hub:
+    // {1: .8, 3: .8, 2: .2} → /1.8 = {.444444, .444444, .111111}
+    assert(got == Seq(
+      (1L, 0.0, 0.444444), (2L, 0.8, 0.111111),
+      (3L, 0.0, 0.444444), (4L, 0.2, 0.0)))
+  }
+
+  test("TextAnalysis.blocklistScreen: hits, categories, verdict") {
+    val docs = Seq((1L, "big big data fast"), (2L, "clean words only"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScreen(docs, "text", "doc_id",
+        Seq("big" -> "size", "fast" -> "perf"), maxHitFrac = 0.5)
+      .orderBy("doc_id")
+      .select("n_tokens", "n_hits", "hit_frac", "categories", "blocked")
+      .as[(Int, Long, Double, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (4, 3L, 0.75, "perf,size", true),
+      (3, 0L, 0.0, "", false)))
+  }
+
+  test("Similarity.embeddingAudit: NaN/zero/bad-dim counts, clean norm envelope") {
+    val emb = Seq(
+      ("a", Seq(3d, 4d)),                  // norm 5
+      ("a", Seq(0d, 0d)),                  // zero norm
+      ("a", Seq(Double.NaN, 1d)),          // NaN-contaminated
+      ("a", Seq(1d)))                      // wrong width, norm 1
+      .toDF("label", "embedding")
+    val got = Similarity.embeddingAudit(emb, "embedding", "label", dims = 2)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(("a", 4L, 1L, 1L, 1L, 0.0, 5.0, 2.0)))
+  }
+
+  test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
+    val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
+      .toDF("grp", "v")
+    val got = Percentiles.winsorizeReport(df, "grp", "v", 0.1, 0.9)
+      .as[(String, Long, Double, Double, Long, Long, Double, Double)]
+      .collect().toSeq
+    // cuts at rank p·(n−1): lo = sorted[1] = 2, hi = sorted[9] = 10;
+    // clipped sum = 2 + (2..10) + 10 = 66 → mean_after 6
+    assert(got == Seq(("g", 11L, 2.0, 10.0, 1L, 1L,
+      math.rint(1055d / 11 * 1e6) / 1e6, 6.0)))
+  }
 }
