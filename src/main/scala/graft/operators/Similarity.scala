@@ -755,6 +755,45 @@ object Similarity {
         round(col("rel"), 6).as("relevance"), round(col("mmr"), 6).as("mmr"))
   }
 
+  /** kNN label-consistency audit — the embedding-space mislabel
+    * detector: predict each query vector's label by majority vote of
+    * its `k` nearest neighbors (cosine, self excluded) and report
+    * per-label agreement. A label whose consistency collapses is
+    * either noisy or not separable in this embedding — either way not
+    * a label to train a classifier head on. Emits one row per label:
+    * `(label, n_queries, n_consistent, consistency)`. Vote ties break
+    * on the lexicographically smaller label (deterministic).
+    *
+    * Scale shape: ranking reuses [[bruteForceKnn]] (broadcast query
+    * set, corpus scanned once); the vote is a (query, label) count
+    * agg + one per-query argmax window over ≤k rows — all downstream
+    * of the top-k, so the expensive stage is the ANN scan, swappable
+    * for [[lshKnn]]/[[ivfKnn]] at corpus scale.
+    */
+  def labelConsistency(emb: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, k: Int, queries: DataFrame = null): DataFrame = {
+    val q = if (queries != null) queries else emb
+    val labels = emb.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val votes = bruteForceKnn(emb, q, vecCol, idCol, k)
+      .join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__votes").desc, col("__nl").asc)
+    val pred = votes.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("query_id"), col("__nl").as("pred_label"))
+    q.select(col(idCol).as("query_id"), col(labelCol).as("label"))
+      .join(pred, Seq("query_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_queries"),
+        count(when(col("pred_label") === col("label"), lit(1)))
+          .as("n_consistent"))
+      .withColumn("consistency",
+        round(col("n_consistent") / col("n_queries"), 6))
+  }
+
   /** Embedding-column quality audit — the vector analogue of the
     * [[graft.operators.Expectations]] checks, run per group before any
     * similarity stage trusts the column: NaN contamination, zero-norm

@@ -833,6 +833,89 @@ object TextAnalysis {
           .otherwise(lit("other")))
   }
 
+  /** Per-document token-distribution entropy — the "how repetitive is
+    * this text really" scalar: H = −Σ p·ln p over the doc's own token
+    * frequencies, plus the evenness ratio H / ln(n_distinct) in [0,1]
+    * (1 = every token distinct, → 0 = one token dominates). Catches
+    * keyword-stuffed and template documents that pass length checks.
+    * Emits `(idCol, n_tokens, n_distinct, entropy, evenness)`.
+    *
+    * Scale shape: explode → (doc, term) count agg → per-doc agg; two
+    * combinable aggregations keyed on the doc id, no corpus-global
+    * state at all.
+    */
+  def tokenEntropy(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(idCol, "__t").agg(count(lit(1)).as("__c"))
+    tf.groupBy(idCol)
+      .agg(sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c") * log(col("__c"))).as("__clogc"))
+      // H = ln N − (Σ c·ln c)/N (algebraic form of −Σ p ln p)
+      .withColumn("entropy",
+        round(log(col("n_tokens")) - col("__clogc") / col("n_tokens"), 6))
+      .withColumn("evenness",
+        when(col("n_distinct") <= 1, lit(0d))
+          .otherwise(round(
+            (log(col("n_tokens")) - col("__clogc") / col("n_tokens"))
+              / log(col("n_distinct")), 6)))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        col("entropy"), col("evenness"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the corpus-similarity matrix a mixture designer
+    * reads before weighting sources (two mirrors of the same crawl
+    * show JS≈0; code vs prose shows JS→ln 2). Natural-log JS in
+    * [0, ln 2]; emits `(source_a, source_b, js)` for `source_a <
+    * source_b`, rounded.
+    *
+    * Scale shape: one corpus pass builds (source, term, p); the
+    * pairwise part joins that slim distribution table WITH ITSELF ON
+    * TERM — fan-out per term row is |sources|, never |vocab|², and
+    * the aggregate is per-pair combinable. Terms present in only one
+    * side contribute exactly 0.5·p·ln 2 each, folded in analytically
+    * as 0.5·ln 2·(1 − overlap mass) per side — no full-outer join,
+    * no (source × vocab) densification.
+    */
+  def sourceJsDivergence(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val counts = df
+      .select(col(sourceCol).as("__s"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy("__s", "__t").agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy("__s").agg(sum("__c").as("__n"))
+    val dist = counts.join(broadcast(totals), Seq("__s"))
+      .select(col("__s"), col("__t"), (col("__c") / col("__n")).as("__p"))
+    val ln2 = math.log(2)
+    val overlap = dist.as("a")
+      .join(dist.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("source_a"), col("b.__s").as("source_b"))
+      .agg(
+        sum(lit(0.5) * col("a.__p")
+            * log(lit(2d) * col("a.__p") / (col("a.__p") + col("b.__p")))
+          + lit(0.5) * col("b.__p")
+            * log(lit(2d) * col("b.__p") / (col("a.__p") + col("b.__p"))))
+          .as("__overlap"),
+        sum(col("a.__p")).as("__pa"), sum(col("b.__p")).as("__pb"))
+    // pair scaffold: disjoint-vocabulary pairs have NO joined terms —
+    // without it they'd silently drop instead of scoring ln 2
+    val srcs = totals.select(col("__s"))
+    val allPairs = srcs.select(col("__s").as("source_a"))
+      .crossJoin(broadcast(srcs.select(col("__s").as("source_b"))))
+      .where(col("source_a") < col("source_b"))
+    allPairs.join(overlap, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        // +0.0: float error can leave a −1e-17 residue on identical
+        // distributions, which round() keeps as IEEE −0.0
+        (round(coalesce(col("__overlap"), lit(0d))
+          + lit(0.5 * ln2)
+            * ((lit(1d) - coalesce(col("__pa"), lit(0d)))
+              + (lit(1d) - coalesce(col("__pb"), lit(0d)))),
+          6) + lit(0d)).as("js"))
+  }
+
   /** Blocklist screening — the categorized term-list filter (spam,
     * adult, gambling, …) every production curation stack runs before
     * anything model-based: per document, how many tokens hit the list,

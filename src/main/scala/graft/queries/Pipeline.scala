@@ -335,6 +335,34 @@ object Pipeline {
         .orderBy("l_returnflag")
     }),
 
+    // ---- kNN label-consistency audit (mislabel detection) ----
+    "q144_label_consistency" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.labelConsistency(emb, "embedding", "vec_id", "label",
+          k = 5, queries = emb.filter(col("vec_id") < 100))
+        .orderBy("label")
+    }),
+
+    // ---- pairwise co-occurrence lift (market-basket level 2) ----
+    "q145_pair_lift" -> ((s, d) => {
+      graft.operators.Itemsets.pairLift(Tables.events(s, d),
+          "user_id", "event_type", minSupport = 2)
+        .orderBy("item_a", "item_b")
+    }),
+
+    // ---- per-doc token-distribution entropy / evenness ----
+    "q146_token_entropy" -> ((s, d) => {
+      TextAnalysis.tokenEntropy(Tables.documents(s, d), "text", "doc_id")
+        .where(col("doc_id") < 60)
+        .orderBy("doc_id")
+    }),
+
+    // ---- source-pair Jensen-Shannon divergence matrix ----
+    "q147_js_divergence" -> ((s, d) => {
+      TextAnalysis.sourceJsDivergence(Tables.documents(s, d), "text", "source")
+        .orderBy("source_a", "source_b")
+    }),
+
     // ---- bigram-LM surprisal (conditional-probability quality) ----
     "q94_bigram_surprisal" -> ((s, d) => {
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
@@ -1578,6 +1606,95 @@ object Pipeline {
              AS mean_after
          FROM lineitem l JOIN cuts c USING (l_returnflag)
          GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+    // same sequential-fold cosine, same (votes desc, label) argmax
+    "q144_label_consistency" ->
+      """WITH emb AS (
+           SELECT vec_id AS id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+         q AS (SELECT * FROM emb WHERE id < 100),
+         sc AS (
+           SELECT q.id AS qid, e.id AS nid, e.label AS nl,
+             list_sum(list_transform(range(1, 65), ix -> q.v[ix] * e.v[ix])) /
+             (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+              sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS c
+           FROM q JOIN emb e ON e.id <> q.id),
+         topk AS (
+           SELECT qid, nl FROM (
+             SELECT qid, nl,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+             FROM sc) WHERE rk <= 5),
+         votes AS (SELECT qid, nl, count(*) AS v FROM topk GROUP BY qid, nl),
+         pred AS (
+           SELECT qid, nl FROM (
+             SELECT qid, nl,
+               row_number() OVER (PARTITION BY qid ORDER BY v DESC, nl) AS rk
+             FROM votes) WHERE rk = 1)
+         SELECT q.label, count(*) AS n_queries,
+           count(CASE WHEN p.nl = q.label THEN 1 END) AS n_consistent,
+           round(count(CASE WHEN p.nl = q.label THEN 1 END)::DOUBLE
+             / count(*), 6) AS consistency
+         FROM q JOIN pred p ON p.qid = q.id
+         GROUP BY q.label ORDER BY label""",
+    "q145_pair_lift" ->
+      """WITH pairs AS (
+           SELECT DISTINCT user_id AS b, event_type AS i FROM events
+           WHERE event_type IS NOT NULL),
+         itemn AS (
+           SELECT i, count(*) AS n FROM pairs GROUP BY i
+           HAVING count(*) >= 2),
+         tot AS (SELECT count(DISTINCT b) AS total FROM pairs),
+         freq AS (SELECT p.b, p.i FROM pairs p JOIN itemn USING (i)),
+         co AS (
+           SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+           FROM freq a JOIN freq b ON a.b = b.b AND a.i < b.i
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT item_a, item_b, na.n AS n_a, nb.n AS n_b, n_ab,
+           round(n_ab::DOUBLE / t.total, 6) AS support,
+           round(n_ab::DOUBLE / na.n, 6) AS conf_a_b,
+           round(n_ab::DOUBLE / nb.n, 6) AS conf_b_a,
+           round(n_ab::DOUBLE * t.total / (na.n * nb.n), 6) AS lift
+         FROM co JOIN itemn na ON na.i = co.item_a
+         JOIN itemn nb ON nb.i = co.item_b
+         CROSS JOIN tot t ORDER BY item_a, item_b""",
+    // H = ln N − (Σ c·ln c)/N, the algebraic −Σ p ln p
+    "q146_token_entropy" ->
+      s"""WITH tf AS (
+            SELECT doc_id, term, count(*) AS c FROM (
+              SELECT doc_id, unnest($Toks) AS term FROM documents
+              WHERE doc_id < 60)
+            GROUP BY doc_id, term)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+           CASE WHEN count(*) <= 1 THEN 0.0
+                ELSE round((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                  / ln(count(*)), 6) END AS evenness
+         FROM tf GROUP BY doc_id ORDER BY doc_id""",
+    // inner join on term + analytic 0.5·ln2 mass for one-sided terms
+    "q147_js_divergence" ->
+      s"""WITH cts AS (
+            SELECT source AS s, term, count(*) AS c FROM (
+              SELECT source, unnest($Toks) AS term FROM documents)
+            GROUP BY s, term),
+          tot AS (SELECT s, CAST(sum(c) AS DOUBLE) AS n FROM cts GROUP BY s),
+          dist AS (SELECT cts.s, term, c / n AS p FROM cts JOIN tot USING (s)),
+          ov AS (
+            SELECT a.s AS source_a, b.s AS source_b,
+              sum(0.5 * a.p * ln(2 * a.p / (a.p + b.p))
+                + 0.5 * b.p * ln(2 * b.p / (a.p + b.p))) AS o,
+              sum(a.p) AS pa, sum(b.p) AS pb
+            FROM dist a JOIN dist b ON a.term = b.term AND a.s < b.s
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT a.s AS source_a, b.s AS source_b
+            FROM tot a CROSS JOIN tot b WHERE a.s < b.s)
+         SELECT p.source_a, p.source_b,
+           round(coalesce(o, 0)
+             + 0.5 * ln(2) * ((1 - coalesce(pa, 0)) + (1 - coalesce(pb, 0))),
+             6) + 0.0 AS js
+         FROM pairs p LEFT JOIN ov USING (source_a, source_b)
+         ORDER BY source_a, source_b""",
     "q94_bigram_surprisal" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
           bg AS (SELECT doc_id,

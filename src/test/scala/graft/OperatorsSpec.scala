@@ -1743,6 +1743,57 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(("a", 4L, 1L, 1L, 1L, 0.0, 5.0, 2.0)))
   }
 
+  test("Similarity.labelConsistency: mislabeled point drags its label's score") {
+    // cluster around [1,0] labeled x, cluster around [0,1] labeled y,
+    // plus one y-labeled point sitting inside the x cluster
+    val emb = Seq(
+      (1L, Seq(1d, 0d), "x"), (2L, Seq(0.99, 0.1), "x"), (3L, Seq(0.98, -0.1), "x"),
+      (4L, Seq(0d, 1d), "y"), (5L, Seq(0.1, 0.99), "y"), (6L, Seq(-0.1, 0.98), "y"),
+      (7L, Seq(0.97, 0.05), "y"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelConsistency(emb, "embedding", "vec_id", "label", k = 3)
+      .orderBy("label")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("x", 3L, 3L, 1.0), ("y", 4L, 3L, 0.75)))
+  }
+
+  test("Itemsets.pairLift: a-priori pruning and hand-computed lift") {
+    val baskets = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B"))
+      .toDF("basket", "item")
+    val got = Itemsets.pairLift(baskets, "basket", "item", minSupport = 2)
+      .as[(String, String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // C (support 1) is pruned before the join; (A,B) in 2 of 4 baskets
+    assert(got == Seq(("A", "B", 3L, 3L, 2L,
+      0.5, 0.666667, 0.666667, 0.888889)))
+  }
+
+  test("TextAnalysis.tokenEntropy: hand-computed entropy and evenness") {
+    val docs = Seq((1L, "a a b b"), (2L, "a a a"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 0.693147, 1.0),   // ln 2, perfectly even
+      (2L, 3L, 1L, 0.0, 0.0),        // degenerate distribution
+      (3L, 4L, 4L, 1.386294, 1.0)))  // ln 4, all distinct
+  }
+
+  test("TextAnalysis.sourceJsDivergence: identical → 0, disjoint → ln 2") {
+    val docs = Seq(
+      (1L, "alpha beta", "s1"), (2L, "alpha beta", "s2"),
+      (3L, "gamma delta", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceJsDivergence(docs, "text", "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Double)].collect().toSeq
+    assert(got == Seq(
+      ("s1", "s2", 0.0), ("s1", "s3", 0.693147), ("s2", "s3", 0.693147)))
+  }
+
   test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
       .toDF("grp", "v")
