@@ -314,6 +314,82 @@ object Dedup {
       .select("id_a", "id_b", "jaccard", "cont_a", "cont_b", "containment")
   }
 
+  /** LSH quality report — recall of the banded MinHash pipeline
+    * against brute-force ground truth on a BOUNDED sample: the number
+    * every LSH deployment must publish before its parameters
+    * (numHashes, bands) are trusted at corpus scale. Because
+    * [[minHashLsh]] verifies candidates with exact Jaccard, its
+    * precision is 1 by construction — the failure mode is MISSED pairs
+    * (no band collision), which only a quadratic check can count.
+    * Returns ONE row: `(n_docs, n_pairs_checked, n_true_pairs,
+    * n_found, recall, n_candidates, candidate_frac)` —
+    * `candidate_frac` is the pruning ratio (candidates / all pairs),
+    * the cost side of the recall trade.
+    *
+    * Scale shape: the O(n²) truth join restricts to whatever bounded
+    * `df` the caller samples (the standard eval protocol — measure on
+    * 10⁴ docs, deploy on 10¹⁰); the LSH side is the production
+    * pipeline unchanged. Both consume the persisted shingle-set
+    * derivation once.
+    */
+  def lshRecallReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val scored = persistTracked(lshScoredCandidates(df, textCol, idCol,
+      numHashes, bands, shingleSize, saltHotBuckets = 0))
+    val sets = persistTracked(parallelize(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(wordShingles(col("toks"), shingleSize)).as("shingles"))
+      .select(col("id"), hashedSet(col("shingles")).as("shash"))
+      .where(size(col("shash")) > 0))
+    val truth = sets.as("a")
+      .join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(
+        size(array_intersect(col("a.shash"), col("b.shash"))).cast("double").as("inter"),
+        size(col("a.shash")).cast("double").as("na"),
+        size(col("b.shash")).cast("double").as("nb"))
+      .where(col("na") + col("nb") - col("inter") > 0 &&
+        col("inter") / (col("na") + col("nb") - col("inter")) >= threshold)
+      .agg(count(lit(1)).as("n_true_pairs"))
+    val nDocs = sets.agg(count(lit(1)).as("n_docs"))
+    val found = scored.where(col("jaccard") >= threshold)
+      .agg(count(lit(1)).as("n_found"))
+    val cands = scored.agg(count(lit(1)).as("n_candidates"))
+    nDocs.crossJoin(truth).crossJoin(found).crossJoin(cands)
+      .select(col("n_docs"),
+        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long").as("n_pairs_checked"),
+        col("n_true_pairs"), col("n_found"),
+        when(col("n_true_pairs") === 0, lit(1d))
+          .otherwise(round(col("n_found") / col("n_true_pairs"), 6)).as("recall"),
+        col("n_candidates"),
+        when(col("n_docs") <= 1, lit(0d))
+          .otherwise(round(col("n_candidates")
+            / (col("n_docs") * (col("n_docs") - 1) / 2), 6)).as("candidate_frac"))
+  }
+
+  /** Per-group exact-duplicate rate — the dedup impact report a
+    * curation run publishes per source/dump/language before anyone
+    * decides which sources are worth near-dedup compute: `(groupCol,
+    * n_docs, n_unique, dup_rate)` with dup_rate = 1 − unique/n over
+    * md5 fingerprints of normalized text. ONE aggregation (count +
+    * exact count-distinct per group); fingerprints are 32-char
+    * strings, never the text, through the shuffle.
+    */
+  def dupRateByGroup(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol), textFingerprint(col(textCol)).as("__fp"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_unique"))
+      .withColumn("dup_rate",
+        round(lit(1d) - col("n_unique") / col("n_docs"), 6))
+
   /** SimHash fingerprints (per doc). Exact-fingerprint groups are
     * near-certain duplicates; Hamming-ball search over the fingerprints
     * finds near-duplicates (see [[simHashNearPairs]]).

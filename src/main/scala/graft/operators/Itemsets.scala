@@ -31,9 +31,14 @@ object Itemsets {
     */
   def pairLift(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2): DataFrame = {
-    val pairs = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .where(col("__i").isNotNull)
-      .distinct()
+    // the distinct (basket, item) projection feeds item counts, the
+    // basket total, AND both sides of the pair join — persist it
+    // (tracked; released by Dedup.clearCaches) or each consumer
+    // re-runs the distinct's shuffle over the raw table
+    val pairs = Dedup.persistTracked(
+      df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .where(col("__i").isNotNull)
+        .distinct())
     val itemN = pairs.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minSupport)
     val total = pairs.select(col("__b")).distinct()

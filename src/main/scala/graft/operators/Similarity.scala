@@ -674,9 +674,12 @@ object Similarity {
     val v = emb.select(col(vecCol).cast("array<double>").as("v"))
     val exploded = v.select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
     val aggs = (0 until d).map(j => sum(col("vi") * col("v")(j)).as(s"s$j"))
-    val sums = exploded.groupBy(col("i"))
+    // d-row aggregate consumed by TWO branches (cells + means) —
+    // persist it or each branch re-runs the corpus pass (tracked;
+    // released by Dedup.clearCaches)
+    val sums = Dedup.persistTracked(exploded.groupBy(col("i"))
       .agg(count(lit(1)).as("n"),
-        (sum(col("vi")).as("si") +: aggs): _*)
+        (sum(col("vi")).as("si") +: aggs): _*))
     val perCell = sums.select(
       col("i"), col("n"), (col("si") / col("n")).as("mean_i"),
       posexplode(array((0 until d).map(j => col(s"s$j")): _*)).as(Seq("j", "sij")))
@@ -792,6 +795,39 @@ object Similarity {
           .as("n_consistent"))
       .withColumn("consistency",
         round(col("n_consistent") / col("n_queries"), 6))
+  }
+
+  /** Per-dimension z-score standardization of an embedding column —
+    * the whitening-lite preprocessing ANN stacks and outlier detectors
+    * apply when dimensions carry wildly different scales: z_i =
+    * (v_i − μ_i)/σ_i (population σ; σ_i = 0 ⇒ 0). Returns
+    * `(idCol, <outCol> array<double>)`.
+    *
+    * Scale shape: two corpus passes by necessity (moments, then the
+    * transform — a streaming pipeline would snapshot the moments).
+    * Pass 1 is a narrow posexplode + per-dimension combinable agg; the
+    * d-row stats collapse into ONE row of two arrays crossed in
+    * broadcast, so pass 2 is a pure map inside whole-stage codegen —
+    * zero shuffle.
+    */
+  def standardizeEmbeddings(emb: DataFrame, vecCol: String, idCol: String,
+      outCol: String = "z"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val stats = emb.select(posexplode(v).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(avg("x").as("mu"), stddev_pop(col("x")).as("sd"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          s => s.getField("mu")).as("__mu"),
+        transform(array_sort(collect_list(struct(col("pos"), col("sd")))),
+          s => s.getField("sd")).as("__sd"))
+    emb.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        zip_with(
+          zip_with(v, col("__mu"), (x, m) => x - m),
+          col("__sd"),
+          (d, s) => when(s > 0, d / s).otherwise(lit(0d))).as(outCol))
   }
 
   /** Embedding-column quality audit — the vector analogue of the

@@ -864,6 +864,46 @@ object TextAnalysis {
         col("entropy"), col("evenness"))
   }
 
+  /** Span-level surprisal — [[unigramSurprisal]] at chunk granularity:
+    * score every sliding window of a document against the CORPUS
+    * unigram model, so a low-quality region (boilerplate block, pasted
+    * log dump) inside an otherwise-good document surfaces as a chunk
+    * whose surprisal deviates from the document's own mean. The
+    * span-level refinement of doc-level quality filtering: drop the
+    * span, keep the document. Emits `(doc_id, chunk_idx, start_token,
+    * n_tokens, surprisal, delta)` — `delta` is the chunk's surprisal
+    * minus its document's mean chunk surprisal.
+    *
+    * Scale shape: corpus model = one explode + combinable count agg,
+    * persisted (two consumers); chunks re-tokenize via [[chunk]]'s
+    * row-local slices (stride controls the blow-up factor), join the
+    * vocab-sized freq table (AQE broadcasts it), and aggregate per
+    * chunk; the delta window partitions by doc — bounded by a doc's
+    * chunk count.
+    */
+  def spanSurprisal(df: DataFrame, textCol: String, idCol: String,
+      size: Int = 32, stride: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Dedup.persistTracked(
+      df.select(explode(tokens(col(textCol))).as("__t"))
+        .groupBy("__t").agg(count(lit(1)).as("__c")))
+    val total = freq.agg(sum("__c").as("__tot"))
+    val ctoks = chunk(df, textCol, idCol, size, stride)
+      .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+        explode(tokens(col("chunk_text"))).as("__t"))
+    val perChunk = ctoks
+      .join(freq, Seq("__t"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "chunk_idx", "start_token")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log(col("__c") / col("__tot"))).as("__s"))
+    val w = Window.partitionBy("doc_id")
+    perChunk
+      .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+        col("n_tokens"), round(col("__s"), 6).as("surprisal"),
+        round(col("__s") - avg(col("__s")).over(w), 6).as("delta"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-source unigram
     * distributions — the corpus-similarity matrix a mixture designer
     * reads before weighting sources (two mirrors of the same crawl
@@ -881,9 +921,12 @@ object TextAnalysis {
     */
   def sourceJsDivergence(df: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
-    val counts = df
+    // (source, term, count) is model-sized but its lineage is the full
+    // corpus explode — persist it (tracked) since THREE branches read
+    // it (totals, and both sides of the pair self-join via dist)
+    val counts = Dedup.persistTracked(df
       .select(col(sourceCol).as("__s"), explode(tokens(col(textCol))).as("__t"))
-      .groupBy("__s", "__t").agg(count(lit(1)).as("__c"))
+      .groupBy("__s", "__t").agg(count(lit(1)).as("__c")))
     val totals = counts.groupBy("__s").agg(sum("__c").as("__n"))
     val dist = counts.join(broadcast(totals), Seq("__s"))
       .select(col("__s"), col("__t"), (col("__c") / col("__n")).as("__p"))

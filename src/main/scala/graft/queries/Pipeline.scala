@@ -363,6 +363,38 @@ object Pipeline {
         .orderBy("source_a", "source_b")
     }),
 
+    // ---- LSH recall audit vs brute-force truth on a bounded sample ----
+    "q148_lsh_recall" -> ((s, d) => {
+      Dedup.lshRecallReport(
+        Tables.documents(s, d).where(col("doc_id") < 80),
+        "text", "doc_id", numHashes = 16, bands = 4, shingleSize = 2,
+        threshold = 0.5)
+    }),
+
+    // ---- span-level surprisal (chunk quality inside documents) ----
+    "q149_span_surprisal" -> ((s, d) => {
+      TextAnalysis.spanSurprisal(Tables.documents(s, d), "text", "doc_id",
+          size = 32, stride = 16)
+        .where(col("doc_id") < 30)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- per-dimension z-score standardization (map-only pass 2) ----
+    "q150_standardize" -> ((s, d) => {
+      Similarity.standardizeEmbeddings(Tables.embeddings(s, d),
+          "embedding", "vec_id")
+        .where(col("vec_id") < 10)
+        .select(col("vec_id"), posexplode(col("z")).as(Seq("i", "zv")))
+        .select(col("vec_id"), col("i"), (round(col("zv"), 6) + lit(0d)).as("z"))
+        .orderBy("vec_id", "i")
+    }),
+
+    // ---- per-source exact-duplicate rate report ----
+    "q151_dup_rate" -> ((s, d) => {
+      Dedup.dupRateByGroup(Tables.documents(s, d), "text", "source")
+        .orderBy("source")
+    }),
+
     // ---- bigram-LM surprisal (conditional-probability quality) ----
     "q94_bigram_surprisal" -> ((s, d) => {
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
@@ -1695,6 +1727,104 @@ object Pipeline {
              6) + 0.0 AS js
          FROM pairs p LEFT JOIN ov USING (source_a, source_b)
          ORDER BY source_a, source_b""",
+    // the q137 LSH chain + a quadratic truth join on the same sets
+    "q148_lsh_recall" ->
+      s"""WITH docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents WHERE doc_id < 80)),
+          ne AS (SELECT id, sh FROM docs WHERE len(sh) > 0),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM ne),
+          banded AS (
+            SELECT id, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          jacs AS (
+            SELECT c.id_a, c.id_b,
+              CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
+                ELSE len(list_intersect(x.sh, y.sh))::DOUBLE /
+                     len(list_distinct(list_concat(x.sh, y.sh))) END AS jac
+            FROM cand c JOIN ne x ON x.id = c.id_a JOIN ne y ON y.id = c.id_b),
+          truth AS (
+            SELECT count(*) AS n_true FROM (
+              SELECT 1 FROM ne a JOIN ne b ON a.id < b.id
+              WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+                  THEN 0.0
+                  ELSE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.5)),
+          nd AS (SELECT count(*) AS n_docs FROM ne),
+          f AS (SELECT count(*) AS n_found FROM jacs WHERE jac >= 0.5),
+          cc AS (SELECT count(*) AS n_candidates FROM cand)
+         SELECT n_docs,
+           CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_pairs_checked,
+           n_true AS n_true_pairs, n_found,
+           CASE WHEN n_true = 0 THEN 1.0
+                ELSE round(n_found::DOUBLE / n_true, 6) END AS recall,
+           n_candidates,
+           CASE WHEN n_docs <= 1 THEN 0.0
+                ELSE round(n_candidates::DOUBLE
+                  / (n_docs * (n_docs - 1) / 2), 6) END AS candidate_frac
+         FROM nd, truth, f, cc""",
+    // q71's corpus model scored per q76-style chunk; delta vs the
+    // doc's mean chunk surprisal via a window
+    "q149_span_surprisal" ->
+      s"""WITH freq AS (
+            SELECT term, count(*) AS c FROM (
+              SELECT unnest($Toks) AS term FROM documents) GROUP BY term),
+          tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+          d AS (SELECT doc_id, $Toks AS t FROM documents),
+          s AS (SELECT doc_id, t,
+              unnest(range(1, greatest(len(t) - 31, 1) + 1, 16)) AS st
+            FROM d WHERE len(t) > 0),
+          ct AS (
+            SELECT doc_id, (st - 1) // 16 AS chunk_idx, st AS start_token,
+              unnest(t[st:st + 31]) AS term
+            FROM s),
+          per AS (
+            SELECT doc_id, chunk_idx, start_token,
+              count(*) AS n_tokens, avg(-ln(c / t.t)) AS sr
+            FROM ct JOIN freq USING (term) CROSS JOIN tot t
+            GROUP BY doc_id, chunk_idx, start_token)
+         SELECT doc_id, chunk_idx, start_token, n_tokens,
+           round(sr, 6) AS surprisal,
+           round(sr - avg(sr) OVER (PARTITION BY doc_id), 6) AS delta
+         FROM per WHERE doc_id < 30
+         ORDER BY doc_id, chunk_idx""",
+    "q150_standardize" ->
+      """WITH emb AS (
+           SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS vd
+           FROM embeddings),
+         x AS (
+           SELECT vec_id, ix.i, vd[ix.i] AS x
+           FROM emb CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix),
+         st AS (
+           SELECT i, avg(x) AS mu, stddev_pop(x) AS sd FROM x GROUP BY i)
+         SELECT x.vec_id, CAST(x.i - 1 AS INT) AS i,
+           round(CASE WHEN st.sd > 0 THEN (x.x - st.mu) / st.sd ELSE 0.0 END,
+             6) + 0.0 AS z
+         FROM x JOIN st USING (i) WHERE x.vec_id < 10
+         ORDER BY vec_id, i""",
+    "q151_dup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+             AS n_unique,
+           round(1 - count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))::DOUBLE
+             / count(*), 6) AS dup_rate
+         FROM documents GROUP BY source ORDER BY source""",
     "q94_bigram_surprisal" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
           bg AS (SELECT doc_id,

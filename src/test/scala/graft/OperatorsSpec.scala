@@ -1794,6 +1794,65 @@ class OperatorsSpec extends SparkSpec {
       ("s1", "s2", 0.0), ("s1", "s3", 0.693147), ("s2", "s3", 0.693147)))
   }
 
+  test("Dedup.lshRecallReport: perfect recall on an easy corpus, counts add up") {
+    // two exact near-dup pairs + noise; single-row bands make every
+    // true pair a candidate, so recall must be exactly 1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"), (4L, "epsilon zeta eta theta"),
+      (5L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshRecallReport(docs, "text", "doc_id",
+        numHashes = 16, bands = 16, shingleSize = 2, threshold = 0.5)
+      .as[(Long, Long, Long, Long, Double, Long, Double)].collect().head
+    val (nDocs, nPairs, nTrue, nFound, recall, nCand, candFrac) = got
+    assert(nDocs == 5L && nPairs == 10L)
+    assert(nTrue == 2L && nFound == 2L && recall == 1.0)
+    assert(nCand >= 2L && candFrac == nCand.toDouble / 10)
+    Dedup.clearCaches()
+  }
+
+  test("TextAnalysis.spanSurprisal: rare-token chunk scores above doc mean") {
+    // doc 1: three chunks (size 2, stride 2) — the middle one holds the
+    // corpus-rare tokens, so its delta must be positive
+    val docs = Seq(
+      (1L, "common common rare1 rare2 common common"),
+      (2L, "common common common common"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.spanSurprisal(docs, "text", "doc_id",
+        size = 2, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, Long, Double, Double)].collect().toSeq
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.size == 3)
+    assert(doc1(1)._6 > 0 && doc1(0)._6 < 0 && doc1(2)._6 < 0)
+    // deltas within a doc sum to ~0 (mean-centered)
+    assert(math.abs(doc1.map(_._6).sum) < 1e-5)
+    Dedup.clearCaches()
+  }
+
+  test("Similarity.standardizeEmbeddings: z-scores hand-computed, zero-variance dim → 0") {
+    val emb = Seq((1L, Seq(1d, 5d)), (2L, Seq(3d, 5d))).toDF("vec_id", "embedding")
+    val got = Similarity.standardizeEmbeddings(emb, "embedding", "vec_id")
+      .orderBy("vec_id")
+      .as[(Long, Seq[Double])].collect().toSeq
+    // dim 0: μ=2, σ=1 → z = −1, 1; dim 1 constant → 0
+    assert(got == Seq((1L, Seq(-1d, 0d)), (2L, Seq(1d, 0d))))
+  }
+
+  test("Dedup.dupRateByGroup: normalization-aware duplicate rates") {
+    val docs = Seq(
+      ("s1", "Hello World"), ("s1", "hello,  world!"), ("s1", "different"),
+      ("s2", "unique one"), ("s2", "unique two"))
+      .toDF("source", "text")
+    val got = Dedup.dupRateByGroup(docs, "text", "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // "Hello World" and "hello,  world!" normalize to the same
+    // fingerprint → s1 has 2 unique of 3
+    assert(got == Seq(("s1", 3L, 2L, 0.333333), ("s2", 2L, 2L, 0.0)))
+  }
+
   test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
       .toDF("grp", "v")

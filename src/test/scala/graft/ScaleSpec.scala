@@ -460,4 +460,61 @@ class ScaleSpec extends SparkSpec {
     // bands must be materially tighter in BOTH
     assert(zx < hx * 0.8 && zy < hy * 0.8, s"z spans ($zx,$zy) vs hash ($hx,$hy)")
   }
+
+  test("covarianceMatrix runs ONE corpus pass: d-row aggregate is persisted") {
+    // the d-group aggregate feeds both the cell explode and the means
+    // branch; unpersisted, each branch re-runs the 64× posexplode over
+    // the full corpus — at 100 TB that doubles the dominant cost
+    val emb = (0 until 50).map(i => Tuple1(Seq(i.toDouble, 2d * i, 1d)))
+      .toDF("embedding")
+    val out = operators.Similarity.covarianceMatrix(emb, "embedding", dims = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"per-dimension sums not persisted:\n$plan")
+    Dedup.clearCaches()
+  }
+
+  test("sourceJsDivergence persists (source,term,count): one corpus explode") {
+    // counts feeds totals AND both self-join sides via dist — three
+    // consumers of a full-corpus explode+agg without the persist
+    val docs = (0 until 30).map(i => (i.toLong, s"alpha beta w${i % 5}", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val out = operators.TextAnalysis.sourceJsDivergence(docs, "text", "source")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"term counts not persisted:\n$plan")
+    Dedup.clearCaches()
+  }
+
+  test("blocklistScreen keeps the term-dimension join broadcast under -1 threshold") {
+    // the blocklist is bounded BY CONSTRUCTION (a term list), so its
+    // join must carry an explicit broadcast hint that survives
+    // auto-broadcast being disabled — the exploded token stream must
+    // never shuffle on the term key
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (0 until 20).map(i => (i.toLong, s"big data w$i fast"))
+        .toDF("doc_id", "text")
+      val out = operators.TextAnalysis.blocklistScreen(docs, "text", "doc_id",
+        Seq("big" -> "size", "fast" -> "perf"))
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"blocklist join lost its broadcast hint:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("pairLift persists the distinct (basket,item) projection") {
+    val baskets = (0 until 40).map(i => (i.toLong % 10, s"item${i % 4}"))
+      .toDF("basket", "item")
+    val out = operators.Itemsets.pairLift(baskets, "basket", "item")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"(basket,item) projection not persisted:\n$plan")
+    Dedup.clearCaches()
+  }
 }
