@@ -91,4 +91,45 @@ object Profile {
           col("min_num"), col("max_num"), col("min_str"), col("max_str"))
     }
   }
+
+  /** Pairwise two-sample Kolmogorov–Smirnov distances between the
+    * per-group distributions of a numeric column — D = max |F_a(x) −
+    * F_b(x)| over the pooled value grid. The distribution-drift matrix
+    * a corpus monitor reads to spot a source whose length (or score)
+    * profile shifted between dumps; nonparametric, so it catches shape
+    * changes a mean/variance check misses. Emits `(group_a, group_b,
+    * ks)` for `group_a < group_b`, rounded.
+    *
+    * Scale shape: per-(group, value) counts are one combinable agg;
+    * the step CDFs densify over the DISTINCT-value grid (bounded for
+    * lengths/scores — never corpus-sized) via a groups × grid cross of
+    * two dimension tables, cumulative-sum windows partitioned by
+    * group. The CDF table is persisted (both sides of the pair join
+    * read it); the pair join fans out |groups| per grid row.
+    */
+  def ksMatrix(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val grid = counts.select("__v").distinct()
+    val groups = counts.select("__g").distinct()
+    val totals = counts.groupBy("__g").agg(sum("__c").as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cdf = Dedup.persistTracked(
+      groups.crossJoin(grid)
+        .join(counts, Seq("__g", "__v"), "left")
+        .withColumn("__c", coalesce(col("__c"), lit(0L)))
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .join(broadcast(totals), Seq("__g"))
+        .select(col("__g"), col("__v"), (col("__cum") / col("__n")).as("__f")))
+    cdf.as("a")
+      .join(cdf.as("b"),
+        col("a.__v") === col("b.__v") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(round(max(abs(col("a.__f") - col("b.__f"))), 6).as("ks"))
+  }
 }

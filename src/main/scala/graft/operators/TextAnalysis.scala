@@ -541,6 +541,74 @@ object TextAnalysis {
       .crossJoin(broadcast(spanning))
   }
 
+  /** Split-hygiene audit — how contaminated an EXISTING per-document
+    * split already is: count near-dup pairs whose members landed in
+    * different splits under the naive [[splitAssign]] hash. The
+    * before-picture that motivates [[leakageSafeSplit]], and the audit
+    * to run on any split inherited from an upstream pipeline. Emits
+    * one row per unordered split pair (`split_a <= split_b`):
+    * `(split_a, split_b, n_pairs, leak)` — `leak` marks cross-split
+    * rows; the same-split rows complete the denominator.
+    *
+    * Scale shape: the LSH pair pipeline unchanged; the split labels
+    * are row-local hashes attached to the slim (id_a, id_b) pairs by
+    * two joins against the (id, split) projection — at web scale that
+    * projection is corpus-sized, so the joins are UNHINTED (AQE
+    * broadcasts iff it actually fits), and the final agg has
+    * |splits|² groups.
+    */
+  def splitContamination(df: DataFrame, textCol: String, idCol: String,
+      weights: Seq[(String, Double)],
+      numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minHashLsh(df, textCol, idCol,
+      numHashes, bands, shingleSize, threshold)
+    val splits = df.select(col(idCol).cast("long").as("__id"),
+      splitAssign(col(idCol), weights).as("__sp"))
+    pairs
+      .join(splits.select(col("__id").as("id_a"), col("__sp").as("sa")), Seq("id_a"))
+      .join(splits.select(col("__id").as("id_b"), col("__sp").as("sb")), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leak", col("split_a") =!= col("split_b"))
+  }
+
+  /** Leakage-safe k-fold assignment — [[leakageSafeSplit]]'s
+    * cross-validation sibling: near-dup clusters hash atomically into
+    * `k` folds, so no fold's held-out set contains a paraphrase of
+    * another fold's training data. Returns one row per fold:
+    * `(fold, n_docs, n_clusters, clusters_spanning_folds)` — the last
+    * is computed from the data and is 0 by construction.
+    *
+    * Scale shape: identical to [[leakageSafeSplit]] (dup-bounded LSH +
+    * closure, unhinted cluster-map join, persisted assignment read by
+    * both aggregates); the fold is `md5(comp) mod k`, row-local.
+    */
+  def leakageSafeFolds(df: DataFrame, textCol: String, idCol: String,
+      k: Int,
+      numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    require(k >= 2, "need at least two folds")
+    val pairs = Dedup.minHashLsh(df, textCol, idCol,
+      numHashes, bands, shingleSize, threshold)
+    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val assigned = Dedup.persistTracked(df.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+      .withColumn("fold", pmod(md5Long(col("comp")), lit(k.toLong))))
+    val spanning = assigned.groupBy("comp")
+      .agg(count_distinct(col("fold")).as("_nf"))
+      .agg(sum(when(col("_nf") > 1, 1L).otherwise(0L))
+        .as("clusters_spanning_folds"))
+    assigned.groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("comp")).as("n_clusters"))
+      .crossJoin(broadcast(spanning))
+  }
+
   /** Term-distribution drift between two corpus snapshots (rows where
     * `inOld` is true vs the rest): unigram probabilities on each side
     * and the `k` terms with the largest absolute probability change —

@@ -395,6 +395,27 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // ---- KS length-distribution drift matrix between sources ----
+    "q152_ks_matrix" -> ((s, d) => {
+      graft.operators.Profile.ksMatrix(Tables.documents(s, d),
+          "source", "n_chars")
+        .orderBy("group_a", "group_b")
+    }),
+
+    // ---- split-hygiene audit: near-dup pairs crossing a naive split ----
+    "q153_split_contamination" -> ((s, d) => {
+      TextAnalysis.splitContamination(Tables.documents(s, d), "text", "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("split_a", "split_b")
+    }),
+
+    // ---- leakage-safe k-fold cross-validation assignment ----
+    "q154_leakage_safe_folds" -> ((s, d) => {
+      TextAnalysis.leakageSafeFolds(Tables.documents(s, d), "text", "doc_id",
+          k = 5)
+        .orderBy("fold")
+    }),
+
     // ---- bigram-LM surprisal (conditional-probability quality) ----
     "q94_bigram_surprisal" -> ((s, d) => {
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
@@ -1825,6 +1846,131 @@ object Pipeline {
            round(1 - count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))::DOUBLE
              / count(*), 6) AS dup_rate
          FROM documents GROUP BY source ORDER BY source""",
+    // step CDFs over the pooled distinct-value grid; integer cumsums
+    // divide by per-group totals identically in both engines
+    "q152_ks_matrix" ->
+      """WITH counts AS (
+           SELECT source AS g, CAST(n_chars AS DOUBLE) AS v, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         grid AS (SELECT DISTINCT v FROM counts),
+         grps AS (SELECT DISTINCT g FROM counts),
+         tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY g),
+         dense AS (
+           SELECT gr.g, gd.v, coalesce(c.c, 0) AS c
+           FROM grps gr CROSS JOIN grid gd
+           LEFT JOIN counts c ON c.g = gr.g AND c.v = gd.v),
+         cdf AS (
+           SELECT g, v,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS UNBOUNDED PRECEDING)::DOUBLE / n AS f
+           FROM dense JOIN tot USING (g))
+         SELECT a.g AS group_a, b.g AS group_b,
+           round(max(abs(a.f - b.f)), 6) AS ks
+         FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
+         GROUP BY 1, 2 ORDER BY group_a, group_b""",
+    // the q32 pair chain + the q66 naive split hash on each member
+    "q153_split_contamination" ->
+      s"""WITH docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          verified AS (
+            SELECT id_a, id_b FROM (
+              SELECT id_a, id_b,
+                CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                  ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                       len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+              FROM cand)
+            WHERE jac >= 0.5),
+          sp AS (
+            SELECT doc_id,
+              CASE WHEN b < 800000 THEN 'train'
+                   WHEN b < 900000 THEN 'val' ELSE 'test' END AS s
+            FROM (SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 AS b
+              FROM documents))
+         SELECT least(a.s, b.s) AS split_a, greatest(a.s, b.s) AS split_b,
+           count(*) AS n_pairs,
+           least(a.s, b.s) <> greatest(a.s, b.s) AS leak
+         FROM verified v JOIN sp a ON a.doc_id = v.id_a
+         JOIN sp b ON b.doc_id = v.id_b
+         GROUP BY 1, 2, 4 ORDER BY split_a, split_b""",
+    // the q110 closure, folds = md5(comp) mod 5
+    "q154_leakage_safe_folds" ->
+      s"""WITH RECURSIVE
+          docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          verified AS (
+            SELECT id_a, id_b FROM (
+              SELECT id_a, id_b,
+                CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                  ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                       len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+              FROM cand)
+            WHERE jac >= 0.5),
+          u AS (SELECT id_a AS a, id_b AS b FROM verified
+                UNION SELECT id_b AS a, id_a AS b FROM verified),
+          reach(id, r) AS (
+            SELECT a AS id, a AS r FROM u
+            UNION
+            SELECT u.a AS id, reach.r AS r FROM u JOIN reach ON u.b = reach.id),
+          comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+          assigned AS (
+            SELECT doc_id, comp,
+              ('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15))::BIGINT % 5
+                AS fold
+            FROM (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+                  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id)),
+          spanning AS (
+            SELECT CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS clusters_spanning_folds
+            FROM (SELECT comp, count(DISTINCT fold) AS nf
+                  FROM assigned GROUP BY comp))
+         SELECT fold, count(*) AS n_docs,
+           count(DISTINCT comp) AS n_clusters, clusters_spanning_folds
+         FROM assigned CROSS JOIN spanning
+         GROUP BY fold, clusters_spanning_folds ORDER BY fold""",
     "q94_bigram_surprisal" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
           bg AS (SELECT doc_id,

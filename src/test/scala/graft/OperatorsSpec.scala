@@ -1853,6 +1853,52 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(("s1", 3L, 2L, 0.333333), ("s2", 2L, 2L, 0.0)))
   }
 
+  test("Profile.ksMatrix: hand-computed step-CDF distance") {
+    val df = Seq(("A", 1), ("A", 2), ("B", 2), ("B", 3), ("C", 1), ("C", 2))
+      .toDF("g", "v")
+    val got = Profile.ksMatrix(df, "g", "v")
+      .orderBy("group_a", "group_b")
+      .as[(String, String, Double)].collect().toSeq
+    // F_A = (.5, 1, 1), F_B = (0, .5, 1) over grid {1,2,3} → D = .5;
+    // C is identical to A → D = 0
+    assert(got == Seq(("A", "B", 0.5), ("A", "C", 0.0), ("B", "C", 0.5)))
+    Dedup.clearCaches()
+  }
+
+  test("TextAnalysis.splitContamination: pair totals and leak flags consistent") {
+    // 5 near-dup pairs (i, i+100): identical texts guarantee LSH finds
+    // them; each pair's split classification must match splitAssign
+    val docs = (0 until 5).flatMap(i => Seq(
+      (i.toLong, s"shared text body number $i end"),
+      (i + 100L, s"shared text body number $i end"))).toDF("doc_id", "text")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = TextAnalysis.splitContamination(docs, "text", "doc_id", weights)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got.map(_._3).sum == 5L) // every injected pair classified
+    assert(got.forall(r => r._4 == (r._1 != r._2)))
+    val expected = docs.select(col("doc_id"),
+        TextAnalysis.splitAssign(col("doc_id"), weights).as("s"))
+      .as[(Long, String)].collect().toMap
+    val crossPairs = (0 until 5).count(i =>
+      expected(i.toLong) != expected(i + 100L)).toLong
+    assert(got.filter(_._4).map(_._3).sum == crossPairs)
+    Dedup.clearCaches()
+  }
+
+  test("TextAnalysis.leakageSafeFolds: clusters never span folds") {
+    val docs = ((0 until 20).map(i => (i.toLong, s"unique text $i")) ++
+      Seq((100L, "dup family alpha beta"), (101L, "dup family alpha beta"),
+        (102L, "dup family alpha beta"))).toDF("doc_id", "text")
+    val got = TextAnalysis.leakageSafeFolds(docs, "text", "doc_id", k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).sum == 23L)          // every doc in some fold
+    assert(got.forall(_._4 == 0L))            // no cluster spans folds
+    assert(got.forall(r => r._1 >= 0 && r._1 < 5))
+    // the dup family counts as ONE cluster in exactly one fold
+    assert(got.map(_._3).sum == 21L)
+    Dedup.clearCaches()
+  }
+
   test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
       .toDF("grp", "v")
