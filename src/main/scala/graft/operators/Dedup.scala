@@ -95,6 +95,99 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** MinHash signature sidecar for incremental NEAR-dedup: one row per
+    * doc with the banded-LSH signature and the 60-bit hashed shingle
+    * set — everything [[ingestNovelNear]] needs to match future dumps
+    * against this corpus without re-reading its text. The near-dup
+    * analogue of [[ingestNovel]]'s fingerprint sidecar (shingle hashes
+    * are ~token-count longs per doc vs the text's full bytes).
+    */
+  def nearSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
+    parallelize(df)
+      .select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(wordShingles(col("toks"), shingleSize)).as("shingles"))
+      .select(col("id"), col("shingles"),
+        transform(col("shingles"), e => md5Base28(e)).as("bases"))
+      .select(col("id"),
+        minHashSignatureFromBases(col("bases"), numHashes).as("sig"),
+        hashedSet(col("shingles")).as("shash"))
+      .where(size(col("shash")) > 0)
+
+  /** Band-bucket keys for a signature table — the join key of every
+    * banded-LSH collision stage, shared by the batch pipeline and the
+    * incremental ingest.
+    */
+  private def bandKeys(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          array_join(
+            transform(
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              h => h.cast("string")),
+            "_").as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+
+  /** Incremental NEAR-dedup ingest — the per-dump gate of a continuous
+    * crawl pipeline: drop new documents that near-duplicate (a) any
+    * document in the historical [[nearSignatures]] sidecar or (b) a
+    * smaller-id document of the same batch (pairwise greedy keep-min,
+    * matching [[ingestNovel]]'s batch rule). Returns the surviving
+    * novel rows of `newDocs`; append their [[nearSignatures]] to the
+    * sidecar for the next dump.
+    *
+    * Scale shape: the history's TEXT is never read — only its slim
+    * signature sidecar. Both directions are banded equi-joins
+    * (new×history and new×new) with candidates verified by exact
+    * Jaccard over the hashed shingle sets; survivors subtract via
+    * id-keyed anti-joins. Per dump, cost scales with the dump's
+    * size × collision rate, not with corpus history size.
+    */
+  def ingestNovelNear(newDocs: DataFrame, textCol: String, idCol: String,
+      historySigs: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    val newSigs = persistTracked(
+      nearSignatures(newDocs, textCol, idCol, numHashes, shingleSize))
+    val hist = persistTracked(historySigs)
+    def verified(cands: DataFrame, right: DataFrame): DataFrame =
+      cands
+        .join(newSigs.select(col("id").as("id_n"), col("shash").as("sh_n")), "id_n")
+        .join(right.select(col("id").as("id_o"), col("shash").as("sh_o")), "id_o")
+        .select(col("id_n"), col("id_o"),
+          size(array_intersect(col("sh_n"), col("sh_o"))).cast("double").as("inter"),
+          (size(col("sh_n")) + size(col("sh_o"))).cast("double").as("tot"))
+        .where(col("tot") - col("inter") > 0 &&
+          col("inter") / (col("tot") - col("inter")) >= threshold)
+    val newBands = bandKeys(newSigs, bands, rpb)
+    val histBands = bandKeys(hist, bands, rpb)
+    // (a) collides with history — any direction
+    val histHits = verified(
+      newBands.as("n")
+        .join(histBands.as("h"),
+          col("n.band") === col("h.band") && col("n.bucket") === col("h.bucket"))
+        .select(col("n.id").as("id_n"), col("h.id").as("id_o")).distinct(),
+      hist).select(col("id_n").as("id")).distinct()
+    // (b) dominated within the batch: a SMALLER new id near-dups it
+    val batchHits = verified(
+      newBands.as("a")
+        .join(newBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") > col("b.id"))
+        .select(col("a.id").as("id_n"), col("b.id").as("id_o")).distinct(),
+      newSigs).select(col("id_n").as("id")).distinct()
+    newDocs
+      .join(histHits.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .join(batchHits.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Per-group duplicate statistics for exact dedup (group size ≥ 2). */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(textFingerprint(col(textCol)).as("fingerprint"))

@@ -416,6 +416,19 @@ object Pipeline {
         .orderBy("fold")
     }),
 
+    // ---- incremental near-dedup ingest vs a signature sidecar ----
+    "q155_ingest_novel_near" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hist = Dedup.nearSignatures(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+        numHashes = 16, shingleSize = 2)
+      Dedup.ingestNovelNear(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id",
+          hist, numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- bigram-LM surprisal (conditional-probability quality) ----
     "q94_bigram_surprisal" -> ((s, d) => {
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
@@ -1971,6 +1984,50 @@ object Pipeline {
            count(DISTINCT comp) AS n_clusters, clusters_spanning_folds
          FROM assigned CROSS JOIN spanning
          GROUP BY fold, clusters_spanning_folds ORDER BY fold""",
+    // the full-corpus verified pairs classified by parity: a new
+    // (odd) doc drops on a history partner either direction, or a
+    // smaller new partner
+    "q155_ingest_novel_near" ->
+      s"""WITH docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          verified AS (
+            SELECT id_a, id_b FROM (
+              SELECT id_a, id_b,
+                CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                  ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                       len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+              FROM cand)
+            WHERE jac >= 0.5),
+          dropped AS (
+            SELECT id_a AS id FROM verified
+            WHERE id_a % 2 = 1 AND id_b % 2 = 0
+            UNION
+            SELECT id_b AS id FROM verified
+            WHERE id_b % 2 = 1)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM dropped)
+         ORDER BY doc_id""",
     "q94_bigram_surprisal" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
           bg AS (SELECT doc_id,

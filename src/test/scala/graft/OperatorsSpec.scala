@@ -1899,6 +1899,24 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Dedup.ingestNovelNear: history hits and batch-internal dominance drop") {
+    val hist = Seq((0L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val sidecar = Dedup.nearSignatures(hist, "text", "doc_id",
+      numHashes = 16, shingleSize = 2)
+    val newDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // = history → drop
+      (5L, "completely novel content here now"),
+      (7L, "twin texts in this batch today"),  // batch twin, smaller → keep
+      (9L, "twin texts in this batch today"))  // batch twin, larger → drop
+      .toDF("doc_id", "text")
+    val got = Dedup.ingestNovelNear(newDocs, "text", "doc_id", sidecar,
+        numHashes = 16, bands = 16, shingleSize = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(5L, 7L))
+    Dedup.clearCaches()
+  }
+
   test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
       .toDF("grp", "v")
