@@ -210,6 +210,63 @@ object Events {
             when(col("__ok"), col(s"__asof.$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
   }
 
+  /** Volume-anomaly detection over tumbling windows — the ops-monitor
+    * query that pages on a traffic spike or outage: per (key, window)
+    * counts z-scored against the key's own window-count distribution;
+    * windows with |z| ≥ `zThreshold` are anomalies. Returns the
+    * flagged windows: `(keys…, window_start_ns, n, z)`.
+    *
+    * Scale shape: one tumbling count agg (map-side combinable), one
+    * |keys|-group moments agg over the WINDOW COUNTS (window-count
+    * cardinality = time-range/window — bounded, not event-bounded),
+    * broadcast join back, row-local z.
+    */
+  def volumeAnomalies(df: DataFrame, tsNs: String, windowNs: Long,
+      keys: Seq[String], zThreshold: Double = 2.0): DataFrame = {
+    val counts = df
+      .withColumn("window_start_ns",
+        col(tsNs) - pmod(col(tsNs), lit(windowNs)))
+      .groupBy((keys.map(col) :+ col("window_start_ns")): _*)
+      .agg(count(lit(1)).as("n"))
+    val moments = counts.groupBy(keys.map(col): _*)
+      .agg(avg("n").as("__mu"), stddev_pop(col("n")).as("__sd"))
+    counts.join(broadcast(moments), keys)
+      .withColumn("z",
+        when(col("__sd") > 0, (col("n") - col("__mu")) / col("__sd"))
+          .otherwise(lit(0d)))
+      .where(abs(col("z")) >= zThreshold)
+      .select((keys.map(col) :+ col("window_start_ns") :+ col("n") :+
+        round(col("z"), 6).as("z")): _*)
+  }
+
+  /** Per-key inter-event-time statistics — cadence profiling: mean and
+    * (population) std of the gaps between consecutive events, plus the
+    * Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 = perfectly
+    * periodic, 0 = Poisson, →1 = bursty). Keys with fewer than two
+    * events have no gaps and drop out. Emits `(keyCol, n_gaps,
+    * mean_gap_s, std_gap_s, burstiness)`.
+    *
+    * Scale shape: one lag window partitioned by key (the sessionize
+    * shuffle), one combinable per-key agg.
+    */
+  def interEventStats(df: DataFrame, keyCol: String,
+      tsNs: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsNs))
+    val gaps = df
+      .withColumn("__gap",
+        (col(tsNs) - lag(col(tsNs), 1).over(w)).cast("double") / 1e9)
+      .where(col("__gap").isNotNull)
+    gaps.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        avg("__gap").as("__mu"), stddev_pop(col("__gap")).as("__sd"))
+      .select(col(keyCol), col("n_gaps"),
+        round(col("__mu"), 6).as("mean_gap_s"),
+        round(col("__sd"), 6).as("std_gap_s"),
+        when(col("__sd") + col("__mu") === 0, lit(0d))
+          .otherwise(round((col("__sd") - col("__mu"))
+            / (col("__sd") + col("__mu")), 6)).as("burstiness"))
+  }
+
   /** Exponential time-decay activity score per key — the recency
     * weighting a freshness-aware sampler or engagement ranker applies:
     * each event contributes `value · 2^(−age/halfLife)`, ages measured

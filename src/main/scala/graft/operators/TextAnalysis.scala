@@ -541,6 +541,41 @@ object TextAnalysis {
       .crossJoin(broadcast(spanning))
   }
 
+  /** Corpus token-coverage curve — the tokenizer-design statistic:
+    * what fraction of all token OCCURRENCES the top-k vocabulary
+    * types cover, at each probe size in `ks`. Read it before fixing a
+    * vocab size (the knee of this curve) or interpreting OOV rates.
+    * Emits `(k, n_terms, coverage)` — `n_terms` = min(k, vocab size).
+    *
+    * Scale shape: one explode + combinable frequency agg; the ranked
+    * cumulative mass is a window over the VOCAB (never the corpus);
+    * probe sizes cross in as a literal dimension. Rank ties break on
+    * the token string, so the curve is deterministic cross-engine.
+    */
+  def coverageCurve(df: DataFrame, textCol: String,
+      ks: Seq[Int] = Seq(5, 10, 20, 50)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "probe sizes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val freq = df.select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__c").desc, col("__t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = freq
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__c").desc, col("__t").asc)))
+      .withColumn("__cum", sum(col("__c")).over(w))
+    val total = broadcast(freq.agg(sum("__c").as("__tot")))
+    ranked.crossJoin(broadcast(ks.toDF("k")))
+      .where(col("__rk") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_terms"), max(col("__cum")).as("__mass"))
+      .crossJoin(total)
+      .select(col("k"), col("n_terms"),
+        round(col("__mass") / col("__tot"), 6).as("coverage"))
+  }
+
   /** Split-hygiene audit — how contaminated an EXISTING per-document
     * split already is: count near-dup pairs whose members landed in
     * different splits under the naive [[splitAssign]] hash. The

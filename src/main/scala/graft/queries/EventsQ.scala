@@ -135,6 +135,19 @@ object EventsQ {
         .orderBy("user_id")
     }),
 
+    // ---- hourly volume anomalies per event type (|z| >= 2) ----
+    "q156_volume_anomalies" -> ((s, d) => {
+      Events.volumeAnomalies(Tables.events(s, d), "ts", HourNs,
+          Seq("event_type"), zThreshold = 2.0)
+        .orderBy("event_type", "window_start_ns")
+    }),
+
+    // ---- inter-event cadence: mean/std gaps + burstiness ----
+    "q157_burstiness" -> ((s, d) => {
+      Events.interEventStats(Tables.events(s, d), "user_id", "ts")
+        .orderBy("user_id")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -145,6 +158,35 @@ object EventsQ {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q156_volume_anomalies" ->
+      s"""WITH c AS (
+            SELECT event_type,
+              epoch_ns(ts) - epoch_ns(ts) % $HourNs AS w, count(*) AS n
+            FROM events GROUP BY 1, 2),
+          m AS (
+            SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+            FROM c GROUP BY 1)
+         SELECT c.event_type, w AS window_start_ns, n,
+           round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END, 6) AS z
+         FROM c JOIN m USING (event_type)
+         WHERE abs(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END) >= 2
+         ORDER BY event_type, window_start_ns""",
+    // gaps are diffs of the per-user SORTED ts sequence, so their
+    // multiset is tie-order-invariant on both engines
+    "q157_burstiness" ->
+      """WITH g AS (
+           SELECT user_id,
+             (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts))::DOUBLE / 1e9 AS gap
+           FROM events)
+         SELECT user_id, count(*) AS n_gaps,
+           round(avg(gap), 6) AS mean_gap_s,
+           round(stddev_pop(gap), 6) AS std_gap_s,
+           CASE WHEN stddev_pop(gap) + avg(gap) = 0 THEN 0.0
+                ELSE round((stddev_pop(gap) - avg(gap))
+                  / (stddev_pop(gap) + avg(gap)), 6) END AS burstiness
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
     // same ns ages, same exact-double 0.5 base — power() and the
     // weighted sums replay within the 6dp rounding
     "q138_decayed_activity" ->

@@ -429,6 +429,13 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- token-coverage curve at probe vocab sizes ----
+    "q158_coverage_curve" -> ((s, d) => {
+      TextAnalysis.coverageCurve(Tables.documents(s, d), "text",
+          ks = Seq(5, 10, 20, 50))
+        .orderBy("k")
+    }),
+
     // ---- bigram-LM surprisal (conditional-probability quality) ----
     "q94_bigram_surprisal" -> ((s, d) => {
       TextAnalysis.bigramSurprisal(Tables.documents(s, d), "text", "doc_id")
@@ -2028,6 +2035,22 @@ object Pipeline {
          SELECT doc_id FROM documents
          WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM dropped)
          ORDER BY doc_id""",
+    "q158_coverage_curve" ->
+      s"""WITH freq AS (
+            SELECT term, count(*) AS c FROM (
+              SELECT unnest($Toks) AS term FROM documents) GROUP BY term),
+          r AS (
+            SELECT term, c,
+              row_number() OVER (ORDER BY c DESC, term) AS rk,
+              sum(c) OVER (ORDER BY c DESC, term
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM freq),
+          tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+          ks AS (SELECT unnest([5, 10, 20, 50]) AS k)
+         SELECT CAST(k AS INT) AS k, count(*) AS n_terms,
+           round(max(cum) / t.t, 6) AS coverage
+         FROM r JOIN ks ON r.rk <= ks.k CROSS JOIN tot t
+         GROUP BY k, t.t ORDER BY k""",
     "q94_bigram_surprisal" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
           bg AS (SELECT doc_id,

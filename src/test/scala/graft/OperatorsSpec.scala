@@ -1917,6 +1917,44 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Events.volumeAnomalies: the spike window flags, steady windows don't") {
+    // key A: counts 1,1,1,1,1,10 across 6 windows — for the
+    // (n−1)-equal + 1-outlier shape the outlier's z is exactly
+    // √(n−1) = √5 ≈ 2.236 regardless of spike size (and the steady
+    // windows sit at −1/√5); key B steady → σ=0 → no flags
+    val win = 1000L
+    val ev = ((0 until 5).map(w => (w * win + 1, "A")) ++
+      (0 until 10).map(i => (5 * win + i + 1, "A")) ++
+      (0 until 5).map(w => (w * win + 1, "B")))
+      .map { case (t, k) => (t.toLong, k) }.toDF("ts", "event_type")
+    val got = Events.volumeAnomalies(ev, "ts", win, Seq("event_type"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq(("A", 5 * win, 10L)))
+    assert(got.head._4 == math.rint(math.sqrt(5) * 1e6) / 1e6)
+  }
+
+  test("Events.interEventStats: hand-computed gaps and burstiness") {
+    val s = 1000L * 1000 * 1000
+    val ev = Seq((1L, 0L), (1L, 10 * s), (1L, 20 * s), // periodic: B = −1
+      (2L, 0L), (2L, 1 * s), (2L, 11 * s))             // gaps 1, 10
+      .toDF("user_id", "ts")
+    val got = Events.interEventStats(ev, "user_id", "ts")
+      .orderBy("user_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got(0) == ((1L, 2L, 10.0, 0.0, -1.0)))
+    // user 2: μ = 5.5, σ_pop = 4.5 → B = −1/10
+    assert(got(1) == ((2L, 2L, 5.5, 4.5, -0.1)))
+  }
+
+  test("TextAnalysis.coverageCurve: cumulative mass at probe sizes") {
+    // freqs: a×6, b×3, c×1 → top1 = .6, top2 = .9, top3 = 1.0
+    val docs = Seq(Tuple1("a a a a a a b b b c")).toDF("text")
+    val got = TextAnalysis.coverageCurve(docs, "text", ks = Seq(1, 2, 10))
+      .orderBy("k")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got == Seq((1, 1L, 0.6), (2, 2L, 0.9), (10, 3L, 1.0)))
+  }
+
   test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
       .toDF("grp", "v")
