@@ -558,6 +558,72 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), jac.as("jaccard"))
   }
 
+  /** EXACT Jaccard-threshold self-join by prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08) — the exact-result counterpart to [[minHashLsh]]: every
+    * pair of documents whose shingle-SET Jaccard is ≥ `threshold` is
+    * returned with NO false negatives (LSH trades recall for speed;
+    * this trades a rarest-shingle candidate join, and verification
+    * keeps precision at 1 either way).
+    *
+    * Candidate rule: order each document's distinct shingles by global
+    * document frequency ascending (rarest first, ties lexicographic —
+    * a total order both engines agree on). J(a,b) ≥ t implies
+    * |a∩b| ≥ ⌈t·|a|⌉, and two sets with overlap ≥ α under a shared
+    * total order must collide within their (|s|−α+1)-prefixes
+    * (pigeonhole), so equi-joining on prefix shingles is lossless;
+    * exact Jaccard then verifies each candidate once.
+    *
+    * Scale shape: the document-frequency table is shingle-vocab-sized
+    * (≪ corpus; AQE broadcasts it when small). Prefixes are short
+    * (≈ (1−t)·|s| + 1) and biased to RARE shingles, so candidate
+    * buckets stay small exactly where a naive shingle join explodes —
+    * boilerplate shingles sort to the suffix and never generate
+    * candidates. Two payload shuffles: the per-doc ordered-collect and
+    * the candidate equi-join; verification joins fetch only the two
+    * candidate sets per pair.
+    */
+  def setSimilarityJoin(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val docs = persistTracked(parallelize(df)
+      .select(col(idCol).as("id"),
+        array_distinct(wordShingles(tokens(col(textCol)), shingleSize)).as("sh"))
+      .where(size(col("sh")) > 0))
+    val dfreq = docs.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // Rarest-first ordering, then keep each doc's prefix. The ε guard
+    // on ceil: when t·|s| is mathematically integral but the double
+    // product rounds UP, ceil would overstate the overlap requirement
+    // and SHORTEN the prefix — a correctness (false-negative) bug; the
+    // subtraction can only lengthen it (extra candidates, still exact).
+    val prefixLen = (col("sz") -
+      ceil(col("sz") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+    val prefixes = docs
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
+      .join(dfreq, "tok")
+      .groupBy("id", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      .select(col("id"),
+        explode(transform(slice(col("ordered"), lit(1), prefixLen),
+          s => s.getField("tok"))).as("tok"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val withSets = cands
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb"))).cast("double")
+    withSets.select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Embedding cosine near-duplicate pairs, LSH-bucketed: block on
     * random-hyperplane sign signatures (deterministic md5-derived
     * planes, see [[Similarity.hyperplaneSignature]]), verify cosine ≥

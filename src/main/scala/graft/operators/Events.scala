@@ -280,6 +280,100 @@ object Events {
     * house pattern for corpus constants), then ONE combinable per-key
     * aggregation — map-side partials, shuffle carries |keys| rows.
     */
+  /** Rolling distinct-count per period — "7-day active users by day":
+    * for every trailing window of `periods` periods ending at period p,
+    * the EXACT distinct count of `keyCol`, plus the single-period
+    * count. Distinct-over-sliding-windows does not decompose into
+    * per-period distinct counts (unlike sums), so the exact path
+    * dedupes to (period, key) grain first — active-keys × periods
+    * rows, ≪ events — then explodes each pair to the `periods` report
+    * periods it participates in and re-aggregates. Partial trailing
+    * windows at the range start are suppressed (first full window =
+    * min period + periods − 1). For corpora where even (period, key)
+    * is too wide, [[Sketches.hllByGroup]] per period + window-merge is
+    * the sketch path; this operator is the exact gold standard it is
+    * audited against.
+    *
+    * Scale shape: shuffle 1 dedupes events to (period, key); the ×
+    * `periods` explode multiplies the DEDUPED grain only; shuffle 2 is
+    * the distinct re-count per report period. Bounds ride a 1-row
+    * broadcast.
+    */
+  def rollingDistinct(df: DataFrame, keyCol: String, tsNs: String,
+      periodNs: Long, periods: Int): DataFrame = {
+    require(periods >= 1, "periods must be >= 1")
+    val pairs = df
+      .select(expr(s"$tsNs div $periodNs").as("p"), col(keyCol).as("k"))
+      .distinct()
+    val bounds = broadcast(pairs.agg(min("p").as("__p0"), max("p").as("__p1")))
+    pairs
+      .withColumn("period", explode(sequence(col("p"), col("p") + lit(periods - 1L))))
+      .groupBy("period")
+      .agg(countDistinct(when(col("period") === col("p"), col("k"))).as("n_distinct_1"),
+        countDistinct(col("k")).as("n_distinct_w"))
+      .crossJoin(bounds)
+      .where(col("period").between(col("__p0") + lit(periods - 1L), col("__p1")))
+      .select(col("period"), (col("period") * periodNs).as("period_start_ns"),
+        col("n_distinct_1"), col("n_distinct_w"))
+  }
+
+  /** CUSUM change-point detection over per-key tumbling-window volumes
+    * (Page 1954) — detects SUSTAINED level shifts that
+    * [[volumeAnomalies]]' per-window z-test misses (ten consecutive
+    * windows at +1σ never trip a 2σ spike test but are decisive
+    * evidence of a shift). Counts are taken on a GAP-FILLED window
+    * grid (a silent window is evidence, not absence), standardized
+    * per key, then the one-sided CUSUM statistics
+    *   S⁺ᵢ = max(0, S⁺ᵢ₋₁ + zᵢ − slack)   (upward shifts)
+    *   S⁻ᵢ = max(0, S⁻ᵢ₋₁ − zᵢ − slack)   (downward shifts)
+    * are computed DECLARATIVELY via the running-minimum identity
+    * S⁺ᵢ = Cᵢ − min(0, min_{j≤i} Cⱼ) with Cᵢ = Σ_{k≤i}(z_k − slack) —
+    * two ordered windows instead of an inherently sequential loop.
+    * Emits one row per key: window count and the peak statistic +
+    * its window start for each direction (ties → earliest window).
+    *
+    * Scale shape: the grid is keys × (time-range / windowNs) —
+    * time-bounded, not event-bounded — so the per-key ordered windows
+    * run over series whose length is fixed by the observation window,
+    * independent of corpus size. One count shuffle at (key, window)
+    * grain, one key-partitioned window pass, one combinable argmax agg.
+    */
+  def cusumShifts(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long, slack: Double = 0.5): DataFrame = {
+    val counts = df
+      .select(col(keyCol).as("k"), expr(s"$tsNs div $windowNs").as("w"))
+      .groupBy("k", "w").agg(count(lit(1)).as("n"))
+    val bounds = broadcast(df.agg(
+      expr(s"min($tsNs) div $windowNs").as("__w0"),
+      expr(s"max($tsNs) div $windowNs").as("__w1")))
+    val grid = counts.select("k").distinct()
+      .crossJoin(bounds)
+      .select(col("k"), explode(sequence(col("__w0"), col("__w1"))).as("w"))
+    val filled = grid.join(counts, Seq("k", "w"), "left")
+      .select(col("k"), col("w"), coalesce(col("n"), lit(0L)).as("n"))
+    val moments = filled.groupBy("k")
+      .agg(avg("n").as("__mu"), stddev_pop(col("n")).as("__sd"))
+    val z = when(col("__sd") > 0,
+      (col("n") - col("__mu")) / col("__sd")).otherwise(lit(0d))
+    val cum = Window.partitionBy("k").orderBy("w")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scored = filled.join(broadcast(moments), "k")
+      .withColumn("__cp", sum(z - lit(slack)).over(cum))
+      .withColumn("__cn", sum(-z - lit(slack)).over(cum))
+      .withColumn("__sp", col("__cp") - least(lit(0d), min(col("__cp")).over(cum)))
+      .withColumn("__sn", col("__cn") - least(lit(0d), min(col("__cn")).over(cum)))
+    // struct-max argmax with −w: peak value first, EARLIEST window on ties
+    scored.groupBy("k")
+      .agg(count(lit(1)).as("n_windows"),
+        max(struct(col("__sp").as("s"), (-col("w")).as("nw"))).as("__mp"),
+        max(struct(col("__sn").as("s"), (-col("w")).as("nw"))).as("__mn"))
+      .select(col("k").as(keyCol), col("n_windows"),
+        round(col("__mp.s"), 4).as("max_shift_up"),
+        (-col("__mp.nw") * windowNs).as("window_up_ns"),
+        round(col("__mn.s"), 4).as("max_shift_down"),
+        (-col("__mn.nw") * windowNs).as("window_down_ns"))
+  }
+
   def decayedActivity(df: DataFrame, keyCol: String, tsNs: String,
       valueCol: String, halfLifeNs: Long): DataFrame = {
     val tmax = broadcast(df.agg(max(col(tsNs)).as("__tmax")))

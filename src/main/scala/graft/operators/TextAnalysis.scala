@@ -1104,4 +1104,49 @@ object TextAnalysis {
         col("n_hits") > 0 &&
           col("n_hits").cast("double") / col("n_tokens") > maxHitFrac)
   }
+
+  /** Dunning log-likelihood (G²) keyword saliency per group — "which
+    * terms characterize this source against the rest of the corpus"
+    * (Dunning 1993, the standard corpus-linguistics significance test;
+    * more robust than raw TF ratios for rare terms, and distinct from
+    * [[cTfIdfLabels]]'s frequency statistic). For term t in group s:
+    * with a = count(t in s), g = corpus count of t, c = tokens in s,
+    * N = corpus tokens, b = g−a:
+    *   G² = 2·[ a·ln(a/E₁) + b·ln(b/E₂) ],  E₁ = c·g/N, E₂ = (N−c)·g/N
+    * (the b-term vanishes when b = 0). Only OVER-represented terms
+    * (a/c > g/N) qualify; top-`topK` per group by G² (ties → term).
+    *
+    * Scale shape: one explode+agg pass builds the (group, term) count
+    * table — (groups × vocab)-bounded, persisted because three
+    * aggregates derive from it; group totals broadcast, term totals
+    * are a vocab-sized equi-join (AQE broadcasts), the grand total
+    * rides a 1-row cross join. The rank window partitions on group
+    * over vocab-sized input and plans a partial WindowGroupLimit.
+    */
+  def keywordSaliency(df: DataFrame, textCol: String, groupCol: String,
+      topK: Int = 5, minCount: Long = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = Dedup.persistTracked(
+      df.select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
+        .groupBy("grp", "term").agg(count(lit(1)).as("a")))
+    val grpTot = tc.groupBy("grp").agg(sum("a").as("c"))
+    val termTot = tc.groupBy("term").agg(sum("a").as("g"))
+    val grand = tc.agg(sum("a").as("n"))
+    val aD = col("a").cast("double"); val gD = col("g").cast("double")
+    val cD = col("c").cast("double"); val nD = col("n").cast("double")
+    val b = gD - aD
+    val g2 = lit(2d) * (aD * log(aD / (cD * gD / nD)) +
+      when(b > 0, b * log(b / ((nD - cD) * gD / nD))).otherwise(lit(0d)))
+    val w = Window.partitionBy("grp").orderBy(col("g2").desc, col("term").asc)
+    tc.join(broadcast(grpTot), "grp")
+      .join(termTot, "term")
+      .crossJoin(broadcast(grand))
+      .where(col("g") >= minCount && aD / cD > gD / nD)
+      .withColumn("g2", g2)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("grp").as(groupCol), col("rank"), col("term"),
+        col("a").as("n_in"), (col("g") - col("a")).as("n_out"),
+        round(col("g2"), 4).as("g2"))
+  }
 }

@@ -148,6 +148,20 @@ object EventsQ {
         .orderBy("user_id")
     }),
 
+    // ---- rolling 7-day distinct users by day (exact sliding distinct) ----
+    "q161_rolling_distinct" -> ((s, d) => {
+      Events.rollingDistinct(Tables.events(s, d), "user_id", "ts",
+          periodNs = 24 * HourNs, periods = 7)
+        .orderBy("period")
+    }),
+
+    // ---- CUSUM sustained-shift detection on hourly volumes ----
+    "q162_cusum_shifts" -> ((s, d) => {
+      Events.cusumShifts(Tables.events(s, d), "event_type", "ts",
+          windowNs = HourNs, slack = 0.5)
+        .orderBy("event_type")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -158,6 +172,71 @@ object EventsQ {
     }))
 
   val oracle: Map[String, String] = Map(
+    // (period, user) dedup first, then each pair feeds the 7 trailing
+    // report periods it participates in — sliding distinct does not
+    // decompose into per-period counts, so both engines re-count
+    "q161_rolling_distinct" ->
+      s"""WITH p AS (
+            SELECT DISTINCT epoch_ns(ts) // ${24 * HourNs} AS p, user_id AS k
+            FROM events),
+          b AS (SELECT min(p) AS p0, max(p) AS p1 FROM p),
+          e AS (
+            SELECT u.rp AS period, p.p, p.k
+            FROM p, unnest(range(p.p, p.p + 7)) AS u(rp)),
+          g AS (
+            SELECT period,
+              count(DISTINCT CASE WHEN period = p THEN k END) AS n_distinct_1,
+              count(DISTINCT k) AS n_distinct_w
+            FROM e GROUP BY period)
+         SELECT period, period * ${24 * HourNs} AS period_start_ns,
+           n_distinct_1, n_distinct_w
+         FROM g CROSS JOIN b
+         WHERE period BETWEEN b.p0 + 6 AND b.p1 ORDER BY period""",
+    // CUSUM via the running-minimum identity S_i = C_i − min(0, min C_j);
+    // cumsums are ordered sequential double folds — identical on both
+    // engines; struct-max with −w picks the earliest window on ties
+    "q162_cusum_shifts" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // $HourNs AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // $HourNs) AS w0,
+              max(epoch_ns(ts) // $HourNs) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          m AS (SELECT k, avg(n) AS mu, stddev_pop(n) AS sd FROM f GROUP BY k),
+          z AS (
+            SELECT f.k, f.w,
+              CASE WHEN m.sd > 0 THEN (f.n - m.mu) / m.sd ELSE 0.0 END AS z
+            FROM f JOIN m USING (k)),
+          cs AS (
+            SELECT k, w,
+              sum(z - 0.5) OVER win AS cp, sum(-z - 0.5) OVER win AS cn
+            FROM z WINDOW win AS (
+              PARTITION BY k ORDER BY w ROWS UNBOUNDED PRECEDING)),
+          s AS (
+            SELECT k, w,
+              cp - least(0, min(cp) OVER win) AS sp,
+              cn - least(0, min(cn) OVER win) AS sn
+            FROM cs WINDOW win AS (
+              PARTITION BY k ORDER BY w ROWS UNBOUNDED PRECEDING)),
+          agg AS (
+            SELECT k, count(*) AS n_windows,
+              max(struct_pack(s := sp, nw := -w)) AS mp,
+              max(struct_pack(s := sn, nw := -w)) AS mn
+            FROM s GROUP BY k)
+         SELECT k AS event_type, n_windows,
+           round(mp.s, 4) AS max_shift_up,
+           CAST(-mp.nw * $HourNs AS BIGINT) AS window_up_ns,
+           round(mn.s, 4) AS max_shift_down,
+           CAST(-mn.nw * $HourNs AS BIGINT) AS window_down_ns
+         FROM agg ORDER BY event_type""",
     "q156_volume_anomalies" ->
       s"""WITH c AS (
             SELECT event_type,

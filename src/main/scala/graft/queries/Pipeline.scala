@@ -47,6 +47,23 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- EXACT Jaccard-threshold join by prefix filtering (lossless
+    //      counterpart of q32's LSH; oracle = brute-force all-pairs,
+    //      so any false negative from the blocking fails the gate) ----
+    "q159_set_similarity_join" -> ((s, d) => {
+      Dedup.setSimilarityJoin(Tables.documents(s, d), "text", "doc_id",
+          shingleSize = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Dunning G² keyword saliency per source ----
+    "q160_keyword_saliency" -> ((s, d) => {
+      TextAnalysis.keywordSaliency(Tables.documents(s, d), "text", "source",
+          topK = 3, minCount = 5)
+        .orderBy("source", "rank")
+    }),
+
     // ---- SimHash fingerprints (16-bit) ----
     "q34_simhash" -> ((s, d) => {
       Dedup.simHashFingerprints(Tables.documents(s, d), "text", "doc_id", bits = 16)
@@ -1110,6 +1127,52 @@ object Pipeline {
               ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.id < b.id
             WHERE len(a.sh) > 0 AND len(b.sh) > 0)
           WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    // brute-force all-pairs truth: the Spark side must reproduce it
+    // EXACTLY (prefix filtering is lossless), so the oracle does not
+    // replay the blocking at all — the strongest possible gate
+    "q159_set_similarity_join" ->
+      s"""WITH docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+              len(list_intersect(a.sh, b.sh))::DOUBLE /
+                len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jac
+            FROM docs a JOIN docs b ON a.id < b.id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard
+         FROM pairs WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    // same G² formula, same double op order (a·ln(a/(c·g/n)) — products
+    // < 2^53 so int vs double association is exact); rank on unrounded g2
+    "q160_keyword_saliency" ->
+      s"""WITH tok AS (
+            SELECT source, u.t AS term
+            FROM (SELECT source, $Toks AS ts FROM documents), unnest(ts) AS u(t)),
+          tc AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS a
+            FROM tok GROUP BY 1, 2),
+          ct AS (SELECT source, CAST(sum(a) AS BIGINT) AS c FROM tc GROUP BY 1),
+          gt AS (SELECT term, CAST(sum(a) AS BIGINT) AS g FROM tc GROUP BY 1),
+          nn AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM tc),
+          sc AS (
+            SELECT tc.source, tc.term, tc.a, gt.g,
+              2.0 * (tc.a * ln(tc.a / (ct.c * gt.g / nn.n)) +
+                CASE WHEN gt.g - tc.a > 0
+                  THEN (gt.g - tc.a) *
+                    ln((gt.g - tc.a) / ((nn.n - ct.c) * gt.g / nn.n))
+                  ELSE 0.0 END) AS g2
+            FROM tc JOIN ct USING (source) JOIN gt USING (term) CROSS JOIN nn
+            WHERE gt.g >= 5 AND tc.a / ct.c > gt.g / nn.n),
+          rk AS (
+            SELECT source, term, a, g, g2,
+              row_number() OVER (
+                PARTITION BY source ORDER BY g2 DESC, term ASC) AS rank
+            FROM sc)
+         SELECT source, CAST(rank AS INTEGER) AS rank, term,
+           a AS n_in, g - a AS n_out, round(g2, 4) AS g2
+         FROM rk WHERE rank <= 3 ORDER BY source, rank""",
     "q34_simhash" ->
       s"""SELECT doc_id,
           CAST(list_sum(list_transform(range(0, 16), b ->

@@ -1955,6 +1955,90 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1, 1L, 0.6), (2, 2L, 0.9), (10, 3L, 1.0)))
   }
 
+  test("Dedup.setSimilarityJoin: exactly reproduces brute-force all-pairs") {
+    // three near-dup families + noise; the prefix filter must lose
+    // NOTHING vs the quadratic truth (the operator's whole contract)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "spark shuffles wide joins across many executors"),
+      (4L, "spark shuffles wide joins across many workers"),
+      (5L, "completely unrelated text about cooking pasta"),
+      (6L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.setSimilarityJoin(docs, "text", "doc_id",
+        shingleSize = 2, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sets = docs.select(col("doc_id"),
+        array_distinct(graft.functions.wordShingles(
+          graft.functions.tokens(col("text")), 2)).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size.toDouble
+      uni = sets(a).toSet.union(sets(b).toSet).size.toDouble
+      if inter / uni >= 0.4
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty && got == brute)
+    Dedup.clearCaches()
+  }
+
+  test("TextAnalysis.keywordSaliency: exclusive term tops its source, hand-checked G²") {
+    val docs = Seq(
+      ("s1", "spark spark spark spark spark common common common"),
+      ("s2", "flink flink flink flink flink common common common"))
+      .toDF("source", "text")
+    val got = TextAnalysis.keywordSaliency(docs, "text", "source",
+        topK = 1, minCount = 3)
+      .select("source", "term", "n_in", "n_out", "g2")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // a=5, g=5, c=8, N=16: E1 = 8·5/16 = 2.5, b = 0 →
+    // G² = 2·5·ln(2) ("common" is perfectly balanced → filtered out)
+    val exp = math.rint(2d * 5 * math.log(5d / 2.5) * 1e4) / 1e4
+    assert(got("s1") == (("s1", "spark", 5L, 0L, exp)))
+    assert(got("s2") == (("s2", "flink", 5L, 0L, exp)))
+    Dedup.clearCaches()
+  }
+
+  test("Events.rollingDistinct: hand-computed trailing-window distincts") {
+    val ev = Seq((0L, 1L), (3L, 2L), (12L, 1L), (31L, 3L))
+      .toDF("ts", "user_id") // periods 0,0,1,3 at periodNs = 10
+    val got = Events.rollingDistinct(ev, "user_id", "ts",
+        periodNs = 10L, periods = 3)
+      .select("period", "n_distinct_1", "n_distinct_w")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // first full window ends at period 2: {p0,p1,p2}={1,2}→2, p2 alone→0
+    // period 3: {p1,p2,p3}={1,3}→2, p3 alone→1
+    assert(got == Seq((2L, 0L, 2L), (3L, 1L, 2L)))
+  }
+
+  test("Events.cusumShifts: sustained level shift peaks where the regime ends") {
+    // counts per window: five at 5 then five at 9 → μ=7, σ_pop=2, z=±1;
+    // slack .5 ⇒ S⁺ climbs .5/window through the high regime (peak 2.5
+    // at w=9), S⁻ climbs through the low regime (peak 2.5 at w=4)
+    val ev = (0 until 10).flatMap { w =>
+      val c = if (w < 5) 5 else 9
+      (0 until c).map(i => (w * 1000L + i, "a"))
+    }.toDF("ts", "event_type")
+    val got = Events.cusumShifts(ev, "event_type", "ts",
+        windowNs = 1000L, slack = 0.5)
+      .as[(String, Long, Double, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(("a", 10L, 2.5, 9000L, 2.5, 4000L)))
+  }
+
+  test("Events.cusumShifts: silent windows are gap-filled, not skipped") {
+    // key "b" has events only in windows 0 and 9 — the 8 silent
+    // windows must enter the series as zeros (downward evidence)
+    val ev = (Seq((0L, "b"), (1L, "b"), (9000L, "b")) ++
+      (0 until 10).map(w => (w * 1000L, "a"))).toDF("ts", "event_type")
+    val got = Events.cusumShifts(ev, "event_type", "ts",
+        windowNs = 1000L, slack = 0.5)
+      .select("event_type", "n_windows")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 10L, "b" -> 10L))
+  }
+
   test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
       .toDF("grp", "v")
