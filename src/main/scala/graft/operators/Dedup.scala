@@ -742,6 +742,47 @@ object Dedup {
     * score join is unhinted (AQE broadcasts it when small; shuffles
     * when the dup fraction is web-scale — the q110 lesson).
     */
+  /** Cross-source syndication attribution — "who originated this text,
+    * who republished it": near-dup clusters ([[minHashLsh]] pairs →
+    * transitive closure) joined back to each member's source, reported
+    * one row per cluster with the ORIGIN (the member with the smallest
+    * id — ingestion order stands in for publication order) and the
+    * distinct syndicating sources. The per-source aggregate view of
+    * this is the provenance matrix a licensing / dedup-priority
+    * review starts from. Emits `(comp, n_members, n_sources,
+    * origin_id, origin_source, sources)` — `sources` is the sorted
+    * comma-joined distinct source set.
+    *
+    * Scale shape: everything downstream of the LSH closure operates
+    * on cluster MEMBERS (the duplicate fraction of the corpus, not
+    * the corpus); the source lookup is an equi-join on id; the report
+    * is one combinable aggregate keyed on the cluster label.
+    */
+  def syndicationReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sourceCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLsh(df, textCol, idCol, numHashes, bands,
+      shingleSize, threshold)
+    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val members = comps.join(
+      df.select(col(idCol).cast("long").as("id"), col(sourceCol).as("src")),
+      Seq("id"))
+    members.groupBy("comp")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("src")).as("n_sources"),
+        min(struct(col("id"), col("src"))).as("__o"),
+        array_join(array_sort(collect_set(col("src"))), ",").as("sources"))
+      .select(col("comp"), col("n_members"), col("n_sources"),
+        col("__o.id").as("origin_id"), col("__o.src").as("origin_source"),
+        col("sources"))
+  }
+
   def nearDupClusterKeepers(
       df: DataFrame,
       textCol: String,

@@ -654,6 +654,43 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Pairwise cosine similarity between per-group embedding CENTROIDS —
+    * "how semantically close are these sources/classes to each other":
+    * the inter-group companion of [[centroidOutliers]]' intra-group
+    * distance, and the embedding-space analog of
+    * [[TextAnalysis.sourceJsDivergence]]'s lexical matrix (near-1
+    * pairs are candidates for merging; near-0 pairs, for contrastive
+    * mixing). Emits one row per unordered pair (group_a < group_b):
+    * `(group_a, group_b, cosine)`.
+    *
+    * Scale shape: the corpus is touched ONCE by the per-(group, dim)
+    * combinable avg; everything after operates on the groups-sized
+    * centroid table (metadata), self-joined all-pairs — |groups|² is
+    * a report, not a data product. The cosine kernel is an ORDERED
+    * fold over the dim-sorted centroid arrays, so the float sum order
+    * is identical in any engine.
+    */
+  def centroidSimilarity(emb: DataFrame, vecCol: String,
+      groupCol: String): DataFrame = {
+    val e = emb.select(col(groupCol).as("g"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = e.select(col("g"), posexplode(col("v")))
+      .groupBy("g", "pos").agg(avg("col").as("m"))
+      .groupBy("g")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"))
+    val a = cents.as("a"); val b = cents.as("b")
+    val dot = aggregate(zip_with(col("a.c"), col("b.c"), (x, y) => x * y),
+      lit(0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col("a.c"), lit(0d), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("b.c"), lit(0d), (acc, x) => acc + x * x))
+    a.join(b, col("a.g") < col("b.g"))
+      .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
+        when(na * nb > 0, round(dot / (na * nb), 6)).otherwise(lit(0d))
+          .as("cosine"))
+  }
+
   /** Embedding covariance matrix — the d×d statistic behind whitening,
     * PCA energy audits, and drift detection between corpus snapshots.
     * Returns one row per (i, j) cell: `(i, j, cov)` with

@@ -264,6 +264,52 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"), min(col("sh")).as("first_hit"))
   }
 
+  /** Bloom-filter decontamination — [[contaminated]] with the
+    * candidate join replaced by a MAP-SIDE membership prescreen: the
+    * probe set's n-gram hashes build one Bloom sketch (Spark's native
+    * mergeable `BloomFilterAggregate`, re-exposed as
+    * `graft_bloom_agg`), which collects to a driver-bounded binary
+    * (`numBits/8` bytes — a metadata artifact like the BPE dict or
+    * k-means centroids) and is embedded as a LITERAL in a
+    * `graft_might_contain` filter. At 100 TB the shuffle for the
+    * verification join then carries only bloom survivors —
+    * ~(true hits + fpp·corpus grams) instead of every corpus n-gram;
+    * the exact equi-join after the prescreen removes the false
+    * positives, so results are IDENTICAL to [[contaminated]] (Bloom
+    * filters have no false negatives). Output: `doc_id, n_hits,
+    * first_hit`.
+    *
+    * An empty probe set yields a NULL sketch and an empty result —
+    * the same answer the exact join gives.
+    */
+  def bloomDecontaminate(df: DataFrame, textCol: String, idCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int = 8,
+      estimatedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    val probeShingles = Dedup.persistTracked(probes
+      .select(tokens(col(probeTextCol)).as("_t"))
+      .select(explode(array_distinct(wordShingles(col("_t"), n))).as("sh"))
+      .distinct())
+    val sketch = probeShingles
+      .agg(call_function("graft_bloom_agg", md5Long(col("sh")),
+        lit(estimatedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (sketch == null) {
+      // no probes: empty report with the contract schema
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_hits"),
+          lit("").as("first_hit")).limit(0)
+    }
+    val docShingles = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordShingles(col("_t"), n))).as("sh"))
+      .where(call_function("graft_might_contain", lit(sketch), md5Long(col("sh"))))
+    docShingles.join(probeShingles, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("sh")).as("first_hit"))
+  }
+
   /** Gopher-style repetition statistics — the published repetition
     * filters (Rae et al. 2021 §A1.1) measure how much of a document is
     * duplicated content: repetitive boilerplate (menus, SEO spam,
@@ -1103,6 +1149,40 @@ object TextAnalysis {
       .withColumn("blocked",
         col("n_hits") > 0 &&
           col("n_hits").cast("double") / col("n_tokens") > maxHitFrac)
+  }
+
+  /** Domain-level quality gating (the RefinedWeb/C4 "bad domain" rule
+    * applied data-dependently): a SOURCE is dropped when its mean
+    * document quality falls below `minSourceScore` — low-quality
+    * domains are overwhelmingly low-quality throughout, so the domain
+    * is the efficient unit of rejection — but an individually strong
+    * document (`doc_score ≥ keepDocScore`) survives its source's
+    * verdict. Emits per doc: `(idCol, groupCol, doc_score,
+    * source_score, keep, reason)` with reason ∈ ok / rescued /
+    * bad_source.
+    *
+    * Scale shape: doc scores are row-local ([[qualityStruct]]); the
+    * per-source mean is one combinable aggregate whose result is a
+    * sources-sized dimension — broadcast back; the verdict is
+    * map-side. No payload shuffle at any corpus size.
+    */
+  def sourceQualityGate(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, minSourceScore: Double,
+      keepDocScore: Double = 0.9): DataFrame = {
+    val scored = df.select(col(idCol), col(groupCol),
+      qualityStruct(col(textCol)).getField("quality_score").as("doc_score"))
+    val perSource = scored.groupBy(groupCol)
+      .agg(round(avg("doc_score"), 6).as("source_score"))
+    scored.join(broadcast(perSource), Seq(groupCol))
+      .withColumn("keep",
+        col("source_score") >= minSourceScore ||
+          col("doc_score") >= keepDocScore)
+      .withColumn("reason",
+        when(col("source_score") >= minSourceScore, lit("ok"))
+          .when(col("doc_score") >= keepDocScore, lit("rescued"))
+          .otherwise(lit("bad_source")))
+      .select(col(idCol), col(groupCol), col("doc_score"),
+        col("source_score"), col("keep"), col("reason"))
   }
 
   /** Dunning log-likelihood (G²) keyword saliency per group — "which

@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions.call_function
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineFn)
+    e.injectFunction(GraftExtensions.bloomAggFn)
+    e.injectFunction(GraftExtensions.mightContainFn)
     e.injectPlannerStrategy(_ => IntervalJoinStrategy)
     e.injectOptimizerRule(_ => PruneIntervalJoinColumns)
   }
@@ -36,12 +38,47 @@ object GraftExtensions {
       CosineSimilarityExpr(children.head, children(1))
     })
 
+  // Spark ships a codegen'd bloom filter pair (BloomFilterAggregate /
+  // BloomFilterMightContain) but registers them only for its internal
+  // runtime-filter rewrite — they are not SQL-callable. Re-expose them
+  // under graft names: the build side is a mergeable TypedImperative
+  // aggregate (map-side partials), the probe side a scalar predicate
+  // over a LITERAL sketch, so a corpus can be pre-filtered map-side
+  // against a driver-bounded membership artifact with zero shuffle.
+  private[plans] val bloomAggFn: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "graft_bloom_agg"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_bloom_agg(value, estimatedItems, numBits) takes three arguments")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children(0), children(1), children(2))
+    })
+
+  private[plans] val mightContainFn: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_might_contain"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_might_contain(bloom, value) takes two arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1))
+    })
+
   /** Idempotently register the functions on a live session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     import org.apache.spark.sql.classic.ClassicConversions.castToImpl
     val registry = castToImpl(spark).sessionState.functionRegistry
-    if (!registry.functionExists(cosineFn._1)) {
-      registry.registerFunction(cosineFn._1, cosineFn._2, cosineFn._3)
+    Seq(cosineFn, bloomAggFn, mightContainFn).foreach { fn =>
+      if (!registry.functionExists(fn._1)) {
+        registry.registerFunction(fn._1, fn._2, fn._3)
+      }
     }
   }
 

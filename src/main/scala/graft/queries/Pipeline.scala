@@ -64,6 +64,40 @@ object Pipeline {
         .orderBy("source", "rank")
     }),
 
+    // ---- Bloom-prescreened decontamination: identical answer to the
+    //      exact join (no false negatives), candidates pruned map-side
+    //      against a literal sketch; 6-grams, probes = doc_id % 11 ----
+    "q163_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("text").as("probe"))
+      TextAnalysis.bloomDecontaminate(docs, "text", "doc_id", probes, "probe",
+          n = 6, estimatedItems = 1L << 16, numBits = 1L << 19)
+        .where(pmod(col("doc_id"), lit(11)) =!= 0) // probes match themselves
+        .orderBy("doc_id")
+    }),
+
+    // ---- domain-level quality gate (RefinedWeb-style source drop
+    //      with per-doc rescue) ----
+    "q164_source_quality_gate" -> ((s, d) => {
+      TextAnalysis.sourceQualityGate(Tables.documents(s, d), "text", "doc_id",
+          "source", minSourceScore = 0.77, keepDocScore = 0.85)
+        .orderBy("doc_id")
+    }),
+
+    // ---- inter-class centroid cosine matrix over embeddings ----
+    "q165_centroid_similarity" -> ((s, d) => {
+      Similarity.centroidSimilarity(Tables.embeddings(s, d), "embedding", "label")
+        .orderBy("group_a", "group_b")
+    }),
+
+    // ---- cross-source syndication attribution over near-dup clusters ----
+    "q166_syndication" -> ((s, d) => {
+      Dedup.syndicationReport(Tables.documents(s, d), "text", "doc_id",
+          "source", numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+        .orderBy("comp")
+    }),
+
     // ---- SimHash fingerprints (16-bit) ----
     "q34_simhash" -> ((s, d) => {
       Dedup.simHashFingerprints(Tables.documents(s, d), "text", "doc_id", bits = 16)
@@ -1127,6 +1161,129 @@ object Pipeline {
               ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.id < b.id
             WHERE len(a.sh) > 0 AND len(b.sh) > 0)
           WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    // the Bloom prescreen is exact-equivalent to the plain n-gram join
+    // (no false negatives; FPs die in the verify join), so the oracle
+    // is the EXACT join — the gate proves the sketch path lossless
+    "q163_bloom_decontaminate" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 5, 0) + 1),
+                i -> array_to_string(t[i:i+5], ' '))) AS shs
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          probes AS (
+            SELECT DISTINCT unnest(shs) AS sh FROM g WHERE doc_id % 11 = 0),
+          docsh AS (
+            SELECT doc_id, unnest(shs) AS sh FROM g WHERE doc_id % 11 <> 0)
+         SELECT doc_id, count(*) AS n_hits, min(sh) AS first_hit
+         FROM docsh JOIN probes USING (sh)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // same quality_score formula as q38; source mean over the rounded
+    // doc scores (25–250 addends ⇒ sum-order noise ≪ the 6dp rounding)
+    "q164_source_quality_gate" ->
+      s"""WITH s AS (
+            SELECT doc_id, source,
+              round(0.4 * lok + 0.3 * (1.0 - least(pr * 5, 1.0))
+                + 0.3 * least(sr * 4, 1.0), 6) AS doc_score
+            FROM (
+              SELECT doc_id, source,
+                CASE WHEN length(text) > 0 THEN
+                  length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+                    / length(text)
+                  ELSE 0.0 END AS pr,
+                CASE WHEN len(toks) > 0 THEN
+                  len(regexp_extract_all(lower(text),
+                    '\\b(the|and|of|to|is|in|a|that|it|der|die|und|le|la|et|el|de|que)\\b'))::DOUBLE
+                    / len(toks)
+                  ELSE 0.0 END AS sr,
+                CASE WHEN len(toks) >= 5 AND len(toks) <= 100000
+                  THEN 1.0 ELSE 0.0 END AS lok
+              FROM (SELECT doc_id, source, text, $Toks AS toks FROM documents))),
+          ps AS (
+            SELECT source, round(avg(doc_score), 6) AS source_score
+            FROM s GROUP BY source)
+         SELECT s.doc_id, s.source, s.doc_score, ps.source_score,
+           ps.source_score >= 0.77 OR s.doc_score >= 0.85 AS keep,
+           CASE WHEN ps.source_score >= 0.77 THEN 'ok'
+                WHEN s.doc_score >= 0.85 THEN 'rescued'
+                ELSE 'bad_source' END AS reason
+         FROM s JOIN ps USING (source) ORDER BY s.doc_id""",
+    // centroid = per-(label, dim) avg; the cosine kernel is an ordered
+    // fold over the dim-sorted arrays on both engines
+    "q165_centroid_similarity" ->
+      """WITH e AS (
+            SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          d AS (
+            SELECT label, u.i AS i, avg(v[u.i]) AS m
+            FROM e, unnest(range(1, 65)) AS u(i) GROUP BY label, u.i),
+          c AS (SELECT label, list(m ORDER BY i) AS c FROM d GROUP BY label),
+          p AS (
+            SELECT a.label AS group_a, b.label AS group_b,
+              list_sum(list_transform(range(1, 65), i -> a.c[i] * b.c[i])) AS dot,
+              sqrt(list_sum(list_transform(a.c, x -> x * x))) AS na,
+              sqrt(list_sum(list_transform(b.c, x -> x * x))) AS nb
+            FROM c a JOIN c b ON a.label < b.label)
+         SELECT group_a, group_b,
+           CASE WHEN na * nb > 0 THEN round(dot / (na * nb), 6)
+                ELSE 0.0 END AS cosine
+         FROM p ORDER BY group_a, group_b""",
+    // q69's LSH + recursive closure, then per-cluster provenance:
+    // origin = smallest member id (arg_min src), sources = sorted
+    // distinct set
+    "q166_syndication" ->
+      s"""WITH RECURSIVE
+          docs AS (
+            SELECT doc_id AS id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          sigs AS (
+            SELECT id, sh,
+              list_transform(range(0, 16), i ->
+                coalesce(list_min(list_transform(sh, s ->
+                  (((i * 2654435761) % 2147483646 + 1)
+                     * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                   + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                  9223372036854775807)) AS sig
+            FROM docs WHERE len(sh) > 0),
+          banded AS (
+            SELECT id, sh, b.b AS band,
+              array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+                h -> CAST(h AS VARCHAR)), '_') AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+          cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+          verified AS (
+            SELECT id_a, id_b FROM (
+              SELECT id_a, id_b,
+                CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                  ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                       len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+              FROM cand)
+            WHERE jac >= 0.5),
+          u AS (SELECT id_a AS a, id_b AS b FROM verified
+                UNION SELECT id_b AS a, id_a AS b FROM verified),
+          reach(id, r) AS (
+            SELECT a AS id, a AS r FROM u
+            UNION
+            SELECT u.a AS id, reach.r AS r FROM u JOIN reach ON u.b = reach.id),
+          comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+          mem AS (
+            SELECT c.comp, c.id, d.source AS src
+            FROM comp c JOIN documents d ON d.doc_id = c.id),
+          agg1 AS (
+            SELECT comp, count(*) AS n_members,
+              count(DISTINCT src) AS n_sources,
+              min(id) AS origin_id, arg_min(src, id) AS origin_source
+            FROM mem GROUP BY comp),
+          srcs AS (
+            SELECT comp, array_to_string(list(src ORDER BY src), ',') AS sources
+            FROM (SELECT DISTINCT comp, src FROM mem) GROUP BY comp)
+         SELECT a.comp, a.n_members, a.n_sources, a.origin_id,
+           a.origin_source, s.sources
+         FROM agg1 a JOIN srcs s USING (comp) ORDER BY a.comp""",
     // brute-force all-pairs truth: the Spark side must reproduce it
     // EXACTLY (prefix filtering is lossless), so the oracle does not
     // replay the blocking at all — the strongest possible gate

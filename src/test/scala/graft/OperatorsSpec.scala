@@ -2039,6 +2039,70 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map("a" -> 10L, "b" -> 10L))
   }
 
+  test("TextAnalysis.bloomDecontaminate: identical to the exact join; empty probes -> empty") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta iota kappa"),
+      (3L, "totally different words with no shared grams here"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta trailing"))
+      .toDF("doc_id", "text")
+    val probes = docs.where(col("doc_id") === 1).select(col("text").as("p"))
+    val exact = TextAnalysis.contaminated(docs, "text", "doc_id", probes, "p", n = 6)
+      .as[(Long, Long, String)].collect().toSet
+    val bloom = TextAnalysis.bloomDecontaminate(docs, "text", "doc_id",
+        probes, "p", n = 6, estimatedItems = 1024, numBits = 1 << 14)
+      .as[(Long, Long, String)].collect().toSet
+    assert(exact.nonEmpty && bloom == exact)
+    val none = TextAnalysis.bloomDecontaminate(docs, "text", "doc_id",
+      probes.limit(0), "p", n = 6)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("doc_id", "n_hits", "first_hit"))
+    Dedup.clearCaches()
+  }
+
+  test("TextAnalysis.sourceQualityGate: bad source drops, strong doc rescued") {
+    val good = "the cat and the dog went to the park and it was sunny there today"
+    val junk = "%%% ### !!! @@@ $$$ ^^^ &&& *** ((( ))) ___"
+    val docs = Seq(
+      (1L, "g", good), (2L, "g", good),
+      (3L, "b", junk), (4L, "b", junk), (5L, "b", good))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceQualityGate(docs, "text", "doc_id", "source",
+        minSourceScore = 0.7, keepDocScore = 0.8)
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1) == ((true, "ok")) && got(2) == ((true, "ok")))
+    assert(got(3) == ((false, "bad_source")) && got(4) == ((false, "bad_source")))
+    assert(got(5) == ((true, "rescued"))) // strong doc survives its source
+  }
+
+  test("Similarity.centroidSimilarity: aligned groups -> 1, orthogonal -> 0") {
+    val emb = Seq(
+      ("a", Seq(1f, 0f, 0f, 0f)), ("a", Seq(1f, 0f, 0f, 0f)),
+      ("b", Seq(2f, 0f, 0f, 0f)),
+      ("c", Seq(0f, 0f, 3f, 0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.centroidSimilarity(emb, "embedding", "label")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", "b")) == 1.0 && got(("a", "c")) == 0.0 && got(("b", "c")) == 0.0)
+  }
+
+  test("Dedup.syndicationReport: origin is smallest id, sources sorted distinct") {
+    val dup = "spark shuffles wide joins across many executors in one stage always"
+    val docs = Seq(
+      (10L, "reuters", dup),
+      (11L, "blogspam", dup + " extra"),
+      (12L, "mirror", dup),
+      (20L, "reuters", "completely unrelated content about gardens and soil quality"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.syndicationReport(docs, "text", "doc_id", "source",
+        numHashes = 16, bands = 4, shingleSize = 1, threshold = 0.5)
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq((10L, 3L, 3L, 10L, "reuters", "blogspam,mirror,reuters")))
+    Dedup.clearCaches()
+  }
+
   test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
       .toDF("grp", "v")
