@@ -654,6 +654,91 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** IVF recall audit — the [[Dedup.lshRecallReport]] analog for the
+    * vector index: per query, how much of the exact top-k
+    * ([[bruteForceKnn]] truth) the probed IVF scan ([[ivfKnn]])
+    * recovered. THE parameter-tuning artifact for (nLists, nProbe):
+    * recall rises with nProbe, scan cost with nProbe/nLists — this
+    * report is the curve's y-axis. Emits per query:
+    * `(query_id, n_truth, n_hits, recall)`.
+    *
+    * Scale shape: at tuning time truth is computed for a BOUNDED
+    * query sample (the brute-force side is |queries|·|corpus| — a
+    * sample is the only honest way to measure recall at any scale);
+    * the overlap join is (queries·k)-sized metadata.
+    */
+  def ivfRecallReport(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      dims: Int = -1): DataFrame = {
+    val truth = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfKnn(corpus, queries, vecCol, idCol, k, nLists, nProbe,
+      iters, dims)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
+  }
+
+  /** Greedy k-center (farthest-point) coreset selection — Gonzalez'
+    * 2-approximation to the k-center cover, the classic diverse-subset
+    * rule for data pruning / active-learning seed sets: start from a
+    * deterministic seed (lowest md5), then `k−1` times add the point
+    * FARTHEST (max cosine distance) from its nearest already-selected
+    * center. Emits the selection order: `(rank, idCol, dist)` where
+    * `dist` is the point's cosine distance to the previous selection
+    * set (NULL for the seed) — monotonically non-increasing, and
+    * dist(k+1) would lower-bound the cover radius.
+    *
+    * Scale shape: each round is ONE corpus pass — the selected
+    * centers are a ≤k-row literal (driver metadata, the k-means
+    * centroid pattern), the per-point nearest-center score is a
+    * map-side fold, and the argmax is a combinable min(struct) — so
+    * cost is k scans total, no corpus shuffle in any round. Ordered
+    * folds keep every float cross-engine exact.
+    */
+  def kCenterSelect(df: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val seed = e
+      .withColumn("__pri", md5(concat(lit("kc:"), col("id").cast("string"))))
+      .orderBy(col("__pri"), col("id")).limit(1)
+      .select("id", "v").as[(Long, Seq[Double])].head()
+    def norm(c: Seq[Double]): Double =
+      math.sqrt(c.foldLeft(0d)((a, x) => a + x * x))
+    var selected = Vector((seed._1, seed._2, norm(seed._2)))
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, seed._1, None))
+    val nv = sqrt(aggregate(col("v"), lit(0d), (a, x) => a + x * x))
+    for (r <- 2 to k) {
+      // max cosine to the current centers; zero-norm guards on both sides
+      val cosCols = selected.map { case (_, c, nc) =>
+        val dot = aggregate(zip_with(col("v"), lit(c.toArray), (x, y) => x * y),
+          lit(0d), (a, x) => a + x)
+        when(nv > 0 && lit(nc) > 0, dot / (nv * lit(nc))).otherwise(lit(0d))
+      }
+      val mc = if (cosCols.size == 1) cosCols.head else greatest(cosCols: _*)
+      val pick = e.where(!col("id").isInCollection(selected.map(_._1)))
+        .agg(min(struct(mc.as("mc"), col("id"), col("v"))).as("p"))
+        .select(col("p.id"), col("p.v"), col("p.mc"))
+        .as[(Long, Seq[Double], Double)].head()
+      selected = selected :+ ((pick._1, pick._2, norm(pick._2)))
+      picks += ((r, pick._1, Some(1d - pick._3)))
+    }
+    // round inside the engine so half-way cases match the SQL oracle's
+    // round() semantics, not scala.math.rint's half-to-even
+    picks.toSeq.toDF("rank", idCol, "dist")
+      .select(col("rank"), col(idCol), round(col("dist"), 6).as("dist"))
+  }
+
   /** Pairwise cosine similarity between per-group embedding CENTROIDS —
     * "how semantically close are these sources/classes to each other":
     * the inter-group companion of [[centroidOutliers]]' intra-group

@@ -1151,6 +1151,36 @@ object TextAnalysis {
           col("n_hits").cast("double") / col("n_tokens") > maxHitFrac)
   }
 
+  /** Corpus saturation / novelty-by-ingestion-order — "is the next
+    * crawl still adding new text?": for each document (ids = ingestion
+    * order), the fraction of its distinct n-grams FIRST seen in that
+    * document (no smaller-id document contains them). Averaged over an
+    * id bucket this is the marginal-novelty curve a collection effort
+    * uses to decide when a source is mined out — the cross-document
+    * counterpart of [[coverageCurve]]'s static vocabulary view. Emits
+    * `(idCol, n_grams, n_novel, novelty)` per document with ≥1 gram.
+    *
+    * Scale shape: one explode + min-aggregate builds the gram →
+    * first-doc table (gram-vocab-sized); the join back is gram-keyed;
+    * the report is one combinable per-doc agg. Equivalent information
+    * to [[Dedup.duplicateSpans]] at set grain for a fraction of its
+    * cost — position reconstruction is what makes spans expensive.
+    */
+  def saturationReport(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = Dedup.persistTracked(df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("_t"))
+      .select(col("__id"),
+        explode(array_distinct(wordShingles(col("_t"), n))).as("g")))
+    val firstSeen = grams.groupBy("g").agg(min("__id").as("__first"))
+    grams.join(firstSeen, "g")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__first") === col("__id"), lit(1))).as("n_novel"))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Domain-level quality gating (the RefinedWeb/C4 "bad domain" rule
     * applied data-dependently): a SOURCE is dropped when its mean
     * document quality falls below `minSourceScore` — low-quality

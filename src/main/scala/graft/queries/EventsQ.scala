@@ -162,6 +162,14 @@ object EventsQ {
         .orderBy("event_type")
     }),
 
+    // ---- streaming daily-active users (cross-batch dedup state +
+    //      windowed count — the streaming DAU counter) ----
+    "q170_stream_daily_active" -> ((s, d) => {
+      graft.streaming.EventsStream.runDailyActiveOnce(s, d, "user_id",
+          periodNs = 24 * HourNs)
+        .orderBy("period_start_ns")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -172,6 +180,12 @@ object EventsQ {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the streaming dedup-then-count decomposition equals a plain
+    // DISTINCT count per period in batch
+    "q170_stream_daily_active" ->
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % ${24 * HourNs} AS period_start_ns,
+            count(DISTINCT user_id) AS n_active
+          FROM events GROUP BY 1 ORDER BY 1""",
     // (period, user) dedup first, then each pair feeds the 7 trailing
     // report periods it participates in — sliding distinct does not
     // decompose into per-period counts, so both engines re-count

@@ -98,6 +98,29 @@ object Pipeline {
         .orderBy("comp")
     }),
 
+    // ---- IVF recall audit: probed-scan top-k vs brute-force truth ----
+    "q167_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfRecallReport(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, nLists = 8, nProbe = 3, iters = 2,
+          dims = 64)
+        .orderBy("query_id")
+    }),
+
+    // ---- greedy k-center (farthest-point) coreset selection ----
+    "q168_kcenter_select" -> ((s, d) => {
+      Similarity.kCenterSelect(Tables.embeddings(s, d), "embedding", "vec_id",
+          k = 4)
+        .orderBy("rank")
+    }),
+
+    // ---- corpus saturation: first-occurrence novelty by ingestion order ----
+    "q169_saturation" -> ((s, d) => {
+      TextAnalysis.saturationReport(Tables.documents(s, d), "text", "doc_id",
+          n = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash fingerprints (16-bit) ----
     "q34_simhash" -> ((s, d) => {
       Dedup.simHashFingerprints(Tables.documents(s, d), "text", "doc_id", bits = 16)
@@ -1107,6 +1130,77 @@ object Pipeline {
   // DuckDB helper fragments (kept in sync with graft.functions):
   //   hash h(i,s) = ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT
   //   unsalted  h(s) = ('0x' || substr(md5(s), 1, 15))::BIGINT
+  // q68's IVF quantizer unrolled through the `scored` CTE (train
+  // sample, 2 k-means rounds, corpus assignment, 3-probe queries,
+  // exact cosine) — shared by the q68 gate and the q167 recall audit.
+  private val IvfScoredCtes: String =
+    """WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          train AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)) LIMIT 262144),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS c
+            FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT 8)),
+          s1 AS (
+            SELECT e.vec_id, e.v, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM train e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c0)) n),
+          a1 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s1) WHERE rn = 1),
+          c1 AS (
+            SELECT c0.list, coalesce(nw.c, c0.c) AS c
+            FROM c0 LEFT JOIN (
+              SELECT list, list(m ORDER BY pos) AS c FROM (
+                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
+                FROM a1 a, range(1, 65) t(i)
+                GROUP BY a.list, t.i)
+              GROUP BY list) nw USING (list)),
+          s2 AS (
+            SELECT e.vec_id, e.v, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM train e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c1)) n),
+          a2 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s2) WHERE rn = 1),
+          c2 AS (
+            SELECT c1.list, coalesce(nw.c, c1.c) AS c
+            FROM c1 LEFT JOIN (
+              SELECT list, list(m ORDER BY pos) AS c FROM (
+                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
+                FROM a2 a, range(1, 65) t(i)
+                GROUP BY a.list, t.i)
+              GROUP BY list) nw USING (list)),
+          s3 AS (
+            SELECT e.vec_id, e.v, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM emb e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c2)) n),
+          a3 AS (
+            SELECT vec_id AS neighbor_id, v AS cv, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s3) WHERE rn = 1),
+          p3 AS (
+            SELECT vec_id AS query_id, v AS qv, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s3 WHERE vec_id < 5) WHERE rn <= 3),
+          scored AS (
+            SELECT p.query_id, a.neighbor_id,
+              list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv[i])) /
+              (sqrt(list_sum(list_transform(p.qv, x -> x * x))) *
+               sqrt(list_sum(list_transform(a.cv, x -> x * x)))) AS cosine
+            FROM p3 p JOIN a3 a USING (list)
+            WHERE a.neighbor_id <> p.query_id)"""
+
   val oracle: Map[String, String] = Map(
     "q31_dedup_prefix_groups" ->
       s"""SELECT md5(array_to_string(($Toks)[1:2], ' ')) AS fingerprint,
@@ -1161,6 +1255,87 @@ object Pipeline {
               ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.id < b.id
             WHERE len(a.sh) > 0 AND len(b.sh) > 0)
           WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    // the shared IVF chain through `scored`, then both rankings: the
+    // probed-scan top-5 and the brute-force truth top-5; recall =
+    // |intersection| / |truth| per query
+    "q167_ivf_recall" ->
+      (IvfScoredCtes + """,
+          ivf AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5),
+          truth AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i])) /
+                  (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                   sqrt(list_sum(list_transform(e.v, x -> x * x)))) DESC,
+                  e.vec_id ASC) AS rank
+              FROM emb e CROSS JOIN (SELECT vec_id, v FROM emb WHERE vec_id < 5) q
+              WHERE e.vec_id <> q.vec_id)
+            WHERE rank <= 5)
+         SELECT t.query_id, count(*) AS n_truth,
+           count(i.neighbor_id) AS n_hits,
+           round(count(i.neighbor_id)::DOUBLE / count(*), 6) AS recall
+         FROM truth t LEFT JOIN ivf i USING (query_id, neighbor_id)
+         GROUP BY t.query_id ORDER BY t.query_id"""),
+    // greedy farthest-point unrolled: seed = lowest md5('kc:'||id);
+    // each round scores the remaining corpus against ALL selected
+    // centers (max cosine), picks the min (ties -> id), like the q84
+    // PageRank / q68 k-means unroll pattern
+    "q168_kcenter_select" -> {
+      val k = 4
+      def nrm(x: String) = s"sqrt(list_sum(list_transform($x, x -> x * x)))"
+      val dot = "list_sum(list_transform(range(1, 65), i -> e.v[i] * c.c[i]))"
+      val rounds = (2 to k).map { r =>
+        val cents = (1 until r).map(i => s"SELECT vec_id, v FROM sel$i")
+          .mkString(" UNION ALL ")
+        s"""cents$r AS ($cents),
+          sc$r AS (
+            SELECT e.vec_id, e.v,
+              max(CASE WHEN e.nv > 0 AND c.nc > 0
+                THEN $dot / (e.nv * c.nc) ELSE 0.0 END) AS mc
+            FROM (SELECT vec_id, v, ${nrm("v")} AS nv FROM emb
+                  WHERE vec_id NOT IN (SELECT vec_id FROM cents$r)) e
+            CROSS JOIN (SELECT vec_id AS cid, v AS c, ${nrm("v")} AS nc
+                        FROM cents$r) c
+            GROUP BY e.vec_id, e.v, e.nv),
+          sel$r AS (
+            SELECT vec_id, v, 1 - mc AS dist FROM sc$r
+            ORDER BY mc ASC, vec_id ASC LIMIT 1),"""
+      }.mkString("\n")
+      val finals = (2 to k).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS rank, vec_id, round(dist, 6) AS dist FROM sel$r")
+        .mkString("\n           UNION ALL ")
+      s"""WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          sel1 AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY md5('kc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+          $rounds
+          f AS (
+            SELECT CAST(1 AS INTEGER) AS rank, vec_id,
+              CAST(NULL AS DOUBLE) AS dist FROM sel1
+           UNION ALL $finals)
+         SELECT rank, vec_id, dist FROM f ORDER BY rank"""
+    },
+    "q169_saturation" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(t[i:i+2], ' ')))) AS g
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          f AS (SELECT g, min(doc_id) AS first FROM g GROUP BY g)
+         SELECT doc_id, count(*) AS n_grams,
+           count(CASE WHEN first = doc_id THEN 1 END) AS n_novel,
+           round(count(CASE WHEN first = doc_id THEN 1 END)::DOUBLE
+             / count(*), 6) AS novelty
+         FROM g JOIN f USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
     // the Bloom prescreen is exact-equivalent to the plain n-gram join
     // (no false negatives; FPs die in the verify join), so the oracle
     // is the EXACT join — the gate proves the sketch path lossless
@@ -2986,77 +3161,12 @@ object Pipeline {
     // after 2 rounds, corpus rows join their 1 nearest list, queries
     // probe their 3 nearest, and exact cosine re-ranks to top-5
     "q68_ivf_knn" ->
-      """WITH emb AS (
-            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-            FROM embeddings),
-          train AS (
-            SELECT vec_id, v FROM emb
-            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)) LIMIT 262144),
-          c0 AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS c
-            FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT 8)),
-          s1 AS (
-            SELECT e.vec_id, e.v, n.list,
-              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
-            FROM train e CROSS JOIN (
-              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
-              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c0)) n),
-          a1 AS (
-            SELECT vec_id, v, list FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
-              FROM s1) WHERE rn = 1),
-          c1 AS (
-            SELECT c0.list, coalesce(nw.c, c0.c) AS c
-            FROM c0 LEFT JOIN (
-              SELECT list, list(m ORDER BY pos) AS c FROM (
-                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
-                FROM a1 a, range(1, 65) t(i)
-                GROUP BY a.list, t.i)
-              GROUP BY list) nw USING (list)),
-          s2 AS (
-            SELECT e.vec_id, e.v, n.list,
-              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
-            FROM train e CROSS JOIN (
-              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
-              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c1)) n),
-          a2 AS (
-            SELECT vec_id, v, list FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
-              FROM s2) WHERE rn = 1),
-          c2 AS (
-            SELECT c1.list, coalesce(nw.c, c1.c) AS c
-            FROM c1 LEFT JOIN (
-              SELECT list, list(m ORDER BY pos) AS c FROM (
-                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
-                FROM a2 a, range(1, 65) t(i)
-                GROUP BY a.list, t.i)
-              GROUP BY list) nw USING (list)),
-          s3 AS (
-            SELECT e.vec_id, e.v, n.list,
-              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
-            FROM emb e CROSS JOIN (
-              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
-              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c2)) n),
-          a3 AS (
-            SELECT vec_id AS neighbor_id, v AS cv, list FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
-              FROM s3) WHERE rn = 1),
-          p3 AS (
-            SELECT vec_id AS query_id, v AS qv, list FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
-              FROM s3 WHERE vec_id < 5) WHERE rn <= 3),
-          scored AS (
-            SELECT p.query_id, a.neighbor_id,
-              list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv[i])) /
-              (sqrt(list_sum(list_transform(p.qv, x -> x * x))) *
-               sqrt(list_sum(list_transform(a.cv, x -> x * x)))) AS cosine
-            FROM p3 p JOIN a3 a USING (list)
-            WHERE a.neighbor_id <> p.query_id)
+      (IvfScoredCtes + """
          SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
            SELECT *, row_number() OVER (
              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
            FROM scored)
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
     // the q68 train sample + per-subspace k-means unrolls (2 rounds,
     // squared-L2, ties to the lower code), encode over the full corpus,
     // then ADC = sum of per-subspace dot(query slice, neighbor's

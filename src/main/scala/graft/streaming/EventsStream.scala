@@ -104,6 +104,47 @@ object EventsStream {
     * surface as "no measurement", never as a plausible-looking 0.0
     * (which the r6 driver run published as if it were a real rate).
     */
+  /** Streaming daily-active keys (the DAU counter): stateful
+    * cross-batch dedup on the (period, key) pair, then a per-period
+    * count — `count(DISTINCT)` is unsupported in streaming, and this
+    * dedup-state + plain-count decomposition is the standard
+    * replacement (the [[dedupeStream]] state keyed by the composite
+    * time bucket). Deterministic and batch-replayable: dedup survivors
+    * carry no payload, so micro-batch boundaries cannot change the
+    * result.
+    */
+  def dailyActiveAgg(events: DataFrame, keyCol: String,
+      periodNs: Long): DataFrame =
+    events
+      .select((col("ts") - pmod(col("ts"), lit(periodNs))).as("period_start_ns"),
+        col(keyCol).as("k"))
+      .dropDuplicates("period_start_ns", "k")
+      .groupBy("period_start_ns")
+      .agg(count(lit(1)).as("n_active"))
+
+  /** Run the streaming DAU counter once (AvailableNow) over the static
+    * events table; returns the final per-period counts.
+    */
+  def runDailyActiveOnce(spark: SparkSession, dir: String, keyCol: String,
+      periodNs: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.tsAsNanos(spark.readStream.schema(schema).parquet(staged))
+    val agg = dailyActiveAgg(stream, keyCol, periodNs)
+    val name = s"events_dau_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   def rateThroughput(spark: SparkSession, rowsPerSecond: Long,
       minBatches: Int = 4, maxWaitMillis: Long = 30000L,
       windowNs: Long = 3600L * 1000 * 1000 * 1000): Option[Double] = {

@@ -2103,6 +2103,42 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Similarity.ivfRecallReport: probing every list gives recall 1") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat - 5f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.ivfRecallReport(emb, emb.filter(col("vec_id") < 3),
+        "embedding", "vec_id", k = 4, nLists = 4, nProbe = 4, iters = 1, dims = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(0L, 1L, 2L))
+    assert(got.forall { case (_, nt, nh, r) => nt == 4L && nh == 4L && r == 1.0 })
+  }
+
+  test("Similarity.kCenterSelect: farthest-point picks orthogonals, skips duplicates") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(1f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(emb, "embedding", "vec_id", k = 3)
+      .as[(Int, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(1, 2, 3))
+    assert(got.head._3.isEmpty)                       // seed has no distance
+    assert(got.tail.forall(_._3.contains(1.0)))       // both picks orthogonal
+    // the seed's exact duplicate (cosine 1) is never selected
+    val ids = got.map(_._2).toSet
+    assert(!(ids.contains(1L) && ids.contains(2L)))
+  }
+
+  test("TextAnalysis.saturationReport: later duplicate has zero novelty") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.saturationReport(docs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 2L, 1.0)))
+    Dedup.clearCaches()
+  }
+
   test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
       .toDF("grp", "v")

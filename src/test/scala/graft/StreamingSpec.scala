@@ -45,6 +45,38 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("streaming daily actives dedup a user recurring in a LATER micro-batch") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dau_stream")
+    val day = 86400L * 1000000000L
+    // user 7 appears on day 0 in BOTH batches (count once) and on
+    // day 1 in batch 2 (counts again there)
+    val batch1 = Seq((1L, 1000L, 7L), (2L, 2000L, 8L))
+    val batch2 = Seq((3L, 3000L, 7L), (4L, day + 1000L, 7L))
+    def write(rows: Seq[(Long, Long, Long)], name: String, mtime: Long): Unit = {
+      val p = dir.resolve(name)
+      rows.toDF("event_id", "ts", "user_id").coalesce(1).write.parquet(p.toString)
+      java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+    }
+    write(batch1, "b1.parquet", 1000000L)
+    write(batch2, "b2.parquet", 2000000L)
+    val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*.parquet")
+    val out = EventsStream.dailyActiveAgg(stream, "user_id", day)
+    val name = s"dau_batches_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val got = spark.table(name).as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((0L, 2L), (day, 1L)), s"got $got")
+    spark.catalog.dropTempView(name)
+  }
+
   test("stream-stream join pairs a view from an EARLIER micro-batch") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val dir = java.nio.file.Files.createTempDirectory("graft_join_stream")
