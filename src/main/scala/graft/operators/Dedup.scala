@@ -742,6 +742,76 @@ object Dedup {
     * score join is unhinted (AQE broadcasts it when small; shuffles
     * when the dup fraction is web-scale — the q110 lesson).
     */
+  /** MinHash signature-quality audit: per verified near-dup pair, the
+    * SIGNATURE-estimated Jaccard (matching components / numHashes —
+    * the unbiased estimator the banding decision is actually made on)
+    * against the exact set Jaccard, with the absolute error. The
+    * report that justifies (or indicts) a numHashes choice: estimator
+    * std is √(J(1−J)/k), so k=16 at J≈0.5 means ±0.125 — visible here
+    * directly. Emits `(id_a, id_b, jaccard, est_jaccard, abs_err)`.
+    *
+    * Scale shape: rides the existing LSH candidate machinery; the
+    * signature comparison is a row-local zip over k-length arrays on
+    * the (tiny) verified-pair set.
+    */
+  def minHashEstimateAudit(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLsh(df, textCol, idCol, numHashes, bands,
+      shingleSize, threshold)
+    val sigs = nearSignatures(df, textCol, idCol, numHashes, shingleSize)
+      .select(col("id"), col("sig"))
+    val est = size(filter(zip_with(col("sa"), col("sb"),
+      (x, y) => x === y), b => b)).cast("double") / numHashes
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"),
+        round(est, 4).as("est_jaccard"),
+        round(abs(est - col("jaccard")), 4).as("abs_err"))
+  }
+
+  /** Source-pair duplication flow — the pair-grain aggregate of
+    * [[syndicationReport]]: how many verified near-dup pairs cross
+    * each (source, source) combination, with their mean similarity.
+    * The matrix that tells a crawl operator WHICH feeds duplicate
+    * each other (diagonal = intra-source duplication). Pair sources
+    * are ordered lexicographically so the matrix is upper-triangular.
+    *
+    * Scale shape: two id-keyed joins from the (tiny) verified-pair
+    * set to the source dimension, one combinable aggregate.
+    */
+  def dupFlowMatrix(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sourceCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLsh(df, textCol, idCol, numHashes, bands,
+      shingleSize, threshold)
+    val src = df.select(col(idCol).cast("long").as("id"),
+      col(sourceCol).as("src"))
+    pairs
+      .join(src.select(col("id").as("id_a"), col("src").as("__sa")), "id_a")
+      .join(src.select(col("id").as("id_b"), col("src").as("__sb")), "id_b")
+      .select(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+  }
+
   /** Cross-source syndication attribution — "who originated this text,
     * who republished it": near-dup clusters ([[minHashLsh]] pairs →
     * transitive closure) joined back to each member's source, reported

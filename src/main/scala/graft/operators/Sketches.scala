@@ -46,6 +46,34 @@ object Sketches {
     groups.unionAll(rollup)
   }
 
+  /** Rolling-distinct tolerance report — the SKETCH path promised by
+    * [[Events.rollingDistinct]]: one HLL sketch per period (one corpus
+    * pass), trailing windows answered by UNIONING the period sketches
+    * (periods-sized payloads — the corpus is never rescanned per
+    * window, which is the entire point of a mergeable sketch), audited
+    * against the exact sliding distinct count. Emits per full window:
+    * `(period, period_start_ns, n_distinct_1, n_distinct_w, hll_ok)`
+    * with `hll_ok` = estimate within `tol` relative of exact.
+    */
+  def rollingDistinctHll(df: DataFrame, keyCol: String, tsNs: String,
+      periodNs: Long, periods: Int, lgK: Int = 12,
+      tol: Double = 0.05): DataFrame = {
+    val exact = Events.rollingDistinct(df, keyCol, tsNs, periodNs, periods)
+    val perPeriod = df
+      .select(expr(s"$tsNs div $periodNs").as("p"), col(keyCol).as("k"))
+      .groupBy("p").agg(hll_sketch_agg(col("k"), lgK).as("sk"))
+    val est = perPeriod
+      .withColumn("period",
+        explode(sequence(col("p"), col("p") + lit(periods - 1L))))
+      .groupBy("period")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+    exact.join(est, "period")
+      .select(col("period"), col("period_start_ns"),
+        col("n_distinct_1"), col("n_distinct_w"),
+        (abs(col("__est") - col("n_distinct_w")) <=
+          col("n_distinct_w") * tol).as("hll_ok"))
+  }
+
   /** Approximate-quantile tolerance report (the [[hllToleranceReport]]
     * pattern for order statistics): per group and probe probability,
     * the EXACT interpolated quantile (the audit column — both engines

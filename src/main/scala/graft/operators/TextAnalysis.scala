@@ -1151,6 +1151,48 @@ object TextAnalysis {
           col("n_hits").cast("double") / col("n_tokens") > maxHitFrac)
   }
 
+  /** Per-source data card — the one-stop datasheet row a dataset
+    * release publishes per source: volume (docs, tokens, mean chars),
+    * exact-duplicate rate (normalized-text fingerprints), mean quality
+    * score, and the dominant language with its share. Composes the
+    * row-local scoring kernels into ONE projection pass; two
+    * combinable aggregates (main + language mix) derive from it.
+    *
+    * Scale shape: the projected base is persisted (two aggregate
+    * consumers — the Catalyst double-derive lesson); both aggregates
+    * shuffle only (group)- / (group, lang)-sized keys; the final join
+    * is dimension × dimension.
+    */
+  def dataCard(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, langCol: String): DataFrame = {
+    val base = Dedup.persistTracked(df.select(
+      col(groupCol).as("grp"), col(langCol).as("lang"),
+      textFingerprint(col(textCol)).as("fp"),
+      size(tokens(col(textCol))).cast("long").as("ntok"),
+      length(col(textCol)).cast("long").as("nch"),
+      qualityStruct(col(textCol)).getField("quality_score").as("q")))
+    val main = base.groupBy("grp").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("fp")).as("n_unique"),
+      sum("ntok").as("sum_tokens"),
+      round(avg("nch"), 4).as("avg_chars"),
+      round(avg("q"), 6).as("avg_quality"))
+    val langs = base.groupBy("grp", "lang")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("grp")
+      .agg(min(struct((-col("__n")).as("nn"), col("lang"))).as("__m"),
+        sum("__n").as("__tot"))
+      .select(col("grp"), col("__m.lang").as("main_lang"),
+        round((-col("__m.nn")).cast("double") / col("__tot"), 6)
+          .as("main_lang_frac"))
+    main.join(langs, "grp")
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_unique"),
+        round(lit(1d) - col("n_unique").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        col("sum_tokens"), col("avg_chars"), col("avg_quality"),
+        col("main_lang"), col("main_lang_frac"))
+  }
+
   /** Corpus saturation / novelty-by-ingestion-order — "is the next
     * crawl still adding new text?": for each document (ids = ingestion
     * order), the fraction of its distinct n-grams FIRST seen in that

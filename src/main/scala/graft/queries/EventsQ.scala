@@ -170,6 +170,13 @@ object EventsQ {
         .orderBy("period_start_ns")
     }),
 
+    // ---- rolling distinct via mergeable HLL sketches, audited ----
+    "q171_rolling_distinct_hll" -> ((s, d) => {
+      graft.operators.Sketches.rollingDistinctHll(Tables.events(s, d),
+          "user_id", "ts", periodNs = 24 * HourNs, periods = 7)
+        .orderBy("period")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -186,6 +193,25 @@ object EventsQ {
       s"""SELECT epoch_ns(ts) - epoch_ns(ts) % ${24 * HourNs} AS period_start_ns,
             count(DISTINCT user_id) AS n_active
           FROM events GROUP BY 1 ORDER BY 1""",
+    // exact sides replayed; the HLL estimate is audited only through
+    // its tolerance contract (q82 pattern) — the oracle pins ok = true
+    "q171_rolling_distinct_hll" ->
+      s"""WITH p AS (
+            SELECT DISTINCT epoch_ns(ts) // ${24 * HourNs} AS p, user_id AS k
+            FROM events),
+          b AS (SELECT min(p) AS p0, max(p) AS p1 FROM p),
+          e AS (
+            SELECT u.rp AS period, p.p, p.k
+            FROM p, unnest(range(p.p, p.p + 7)) AS u(rp)),
+          g AS (
+            SELECT period,
+              count(DISTINCT CASE WHEN period = p THEN k END) AS n_distinct_1,
+              count(DISTINCT k) AS n_distinct_w
+            FROM e GROUP BY period)
+         SELECT period, period * ${24 * HourNs} AS period_start_ns,
+           n_distinct_1, n_distinct_w, true AS hll_ok
+         FROM g CROSS JOIN b
+         WHERE period BETWEEN b.p0 + 6 AND b.p1 ORDER BY period""",
     // (period, user) dedup first, then each pair feeds the 7 trailing
     // report periods it participates in — sliding distinct does not
     // decompose into per-period counts, so both engines re-count

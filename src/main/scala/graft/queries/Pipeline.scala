@@ -121,6 +121,27 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- MinHash estimator-quality audit over verified pairs ----
+    "q172_minhash_estimate_audit" -> ((s, d) => {
+      Dedup.minHashEstimateAudit(Tables.documents(s, d), "text", "doc_id",
+          numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- per-source data card (datasheet row per source) ----
+    "q173_data_card" -> ((s, d) => {
+      TextAnalysis.dataCard(Tables.documents(s, d), "text", "doc_id",
+          "source", "lang")
+        .orderBy("source")
+    }),
+
+    // ---- source-pair duplication flow matrix ----
+    "q174_dup_flow_matrix" -> ((s, d) => {
+      Dedup.dupFlowMatrix(Tables.documents(s, d), "text", "doc_id", "source",
+          numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+        .orderBy("source_a", "source_b")
+    }),
+
     // ---- SimHash fingerprints (16-bit) ----
     "q34_simhash" -> ((s, d) => {
       Dedup.simHashFingerprints(Tables.documents(s, d), "text", "doc_id", bits = 16)
@@ -1201,7 +1222,113 @@ object Pipeline {
             FROM p3 p JOIN a3 a USING (list)
             WHERE a.neighbor_id <> p.query_id)"""
 
+  // q32's LSH derivation (bigram shingles, 16 hashes, 4 bands) through
+  // exact-Jaccard verification at threshold 0.5 — shared by the q172
+  // estimator audit and the q174 flow matrix (q32/q69/q166 predate the
+  // extraction and carry the same text inline).
+  private val LshVerifiedPairCtes: String =
+    s"""WITH docs AS (
+          SELECT doc_id AS id,
+            list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+              i -> t[i] || ' ' || t[i+1])) AS sh
+          FROM (SELECT doc_id, $Toks AS t FROM documents)),
+        sigs AS (
+          SELECT id, sh,
+            list_transform(range(0, 16), i ->
+              coalesce(list_min(list_transform(sh, s ->
+                (((i * 2654435761) % 2147483646 + 1)
+                   * (('0x' || substr(md5(s), 1, 7))::BIGINT)
+                 + (i * 40503 * 65537) % 2147483647) % 2147483647)),
+                9223372036854775807)) AS sig
+          FROM docs WHERE len(sh) > 0),
+        banded AS (
+          SELECT id, sh, sig, b.b AS band,
+            array_to_string(list_transform(sig[b.b*4+1:b.b*4+4],
+              h -> CAST(h AS VARCHAR)), '_') AS bucket
+          FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        vpairs AS (
+          SELECT id_a, id_b, jac FROM (
+            SELECT id_a, id_b,
+              CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+                ELSE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                     len(list_distinct(list_concat(sh_a, sh_b))) END AS jac
+            FROM cand)
+          WHERE jac >= 0.5)"""
+
   val oracle: Map[String, String] = Map(
+    // shared LSH chain + per-pair signature component-match estimate
+    "q172_minhash_estimate_audit" ->
+      (LshVerifiedPairCtes + """,
+          est AS (
+            SELECT p.id_a, p.id_b, p.jac,
+              len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+                / 16 AS est
+            FROM vpairs p
+            JOIN sigs sa ON sa.id = p.id_a
+            JOIN sigs sb ON sb.id = p.id_b)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard,
+           round(est, 4) AS est_jaccard, round(abs(est - jac), 4) AS abs_err
+         FROM est ORDER BY id_a, id_b"""),
+    // same quality/fingerprint kernels as q38/q151; dominant language
+    // via min(struct(-n, lang)) — lexicographic tie-break both engines
+    "q173_data_card" ->
+      s"""WITH base AS (
+            SELECT source, lang,
+              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+              len(toks) AS ntok, length(text) AS nch,
+              round(0.4 * lok + 0.3 * (1.0 - least(pr * 5, 1.0))
+                + 0.3 * least(sr * 4, 1.0), 6) AS q
+            FROM (
+              SELECT source, lang, text, toks,
+                CASE WHEN length(text) > 0 THEN
+                  length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+                    / length(text)
+                  ELSE 0.0 END AS pr,
+                CASE WHEN len(toks) > 0 THEN
+                  len(regexp_extract_all(lower(text),
+                    '\\b(the|and|of|to|is|in|a|that|it|der|die|und|le|la|et|el|de|que)\\b'))::DOUBLE
+                    / len(toks)
+                  ELSE 0.0 END AS sr,
+                CASE WHEN len(toks) >= 5 AND len(toks) <= 100000
+                  THEN 1.0 ELSE 0.0 END AS lok
+              FROM (SELECT source, lang, text, $Toks AS toks FROM documents))),
+          main AS (
+            SELECT source, count(*) AS n_docs,
+              count(DISTINCT fp) AS n_unique,
+              CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+              round(avg(nch), 4) AS avg_chars,
+              round(avg(q), 6) AS avg_quality
+            FROM base GROUP BY source),
+          lc AS (
+            SELECT source, lang, count(*) AS n FROM base GROUP BY 1, 2),
+          lm AS (
+            SELECT source,
+              min(struct_pack(nn := -n, lang := lang)) AS mx,
+              CAST(sum(n) AS BIGINT) AS tot
+            FROM lc GROUP BY source)
+         SELECT mn.source, mn.n_docs, mn.n_unique,
+           round(1 - mn.n_unique::DOUBLE / mn.n_docs, 6) AS dup_rate,
+           mn.sum_tokens, mn.avg_chars, mn.avg_quality,
+           (lm.mx).lang AS main_lang,
+           round((-(lm.mx).nn)::DOUBLE / lm.tot, 6) AS main_lang_frac
+         FROM main mn JOIN lm USING (source) ORDER BY mn.source""",
+    // shared LSH chain + source dimension joins; pair sources ordered
+    // lexicographically (upper-triangular matrix)
+    "q174_dup_flow_matrix" ->
+      (LshVerifiedPairCtes + """,
+          flow AS (
+            SELECT least(da.source, db.source) AS source_a,
+              greatest(da.source, db.source) AS source_b, p.jac
+            FROM vpairs p
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b)
+         SELECT source_a, source_b, count(*) AS n_pairs,
+           round(avg(jac), 4) AS avg_jaccard
+         FROM flow GROUP BY 1, 2 ORDER BY source_a, source_b"""),
     "q31_dedup_prefix_groups" ->
       s"""SELECT md5(array_to_string(($Toks)[1:2], ' ')) AS fingerprint,
           count(*) AS n_docs, min(doc_id) AS keep_id

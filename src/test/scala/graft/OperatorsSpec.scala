@@ -2139,6 +2139,64 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Sketches.rollingDistinctHll: estimates within tolerance, exact sides match") {
+    val ev = (0 until 8).flatMap(day =>
+      (0 until 20).map(u => (day * 1000L + u, (u % (day + 3)).toLong)))
+      .toDF("ts", "user_id")
+    val got = Sketches.rollingDistinctHll(ev, "user_id", "ts",
+      periodNs = 1000L, periods = 3, tol = 0.05)
+    val exact = Events.rollingDistinct(ev, "user_id", "ts", 1000L, 3)
+      .select("period", "n_distinct_w").as[(Long, Long)].collect().toMap
+    val rows = got.select("period", "n_distinct_w", "hll_ok")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (p, w, ok) => ok && exact(p) == w })
+  }
+
+  test("Dedup.minHashEstimateAudit: identical docs estimate 1.0 with zero error") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, t), (2L, t),
+      (3L, "other words entirely unrelated to those previous documents here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minHashEstimateAudit(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0, 1.0, 0.0)))
+    Dedup.clearCaches()
+  }
+
+  test("TextAnalysis.dataCard: counts, dup rate, and dominant language") {
+    val docs = Seq(
+      (1L, "s1", "en", "the cat sat on the mat and then it left"),
+      (2L, "s1", "en", "the cat sat on the mat and then it left"),
+      (3L, "s1", "de", "der hund und die katze sind nicht da heute"),
+      (4L, "s2", "fr", "le chat est dans la maison avec les autres"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = TextAnalysis.dataCard(docs, "text", "doc_id", "source", "lang")
+      .select("source", "n_docs", "n_unique", "dup_rate", "main_lang",
+        "main_lang_frac")
+      .as[(String, Long, Long, Double, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1") == (("s1", 3L, 2L, math.rint(1d / 3 * 1e6) / 1e6, "en", 0.666667)))
+    assert(got("s2") == (("s2", 1L, 1L, 0.0, "fr", 1.0)))
+    Dedup.clearCaches()
+  }
+
+  test("Dedup.dupFlowMatrix: pair sources ordered, intra-source on the diagonal") {
+    val dup = "spark shuffles wide joins across many executors in one stage always"
+    val docs = Seq(
+      (1L, "b_src", dup), (2L, "a_src", dup), (3L, "b_src", dup),
+      (4L, "a_src", "entirely different content about gardens and soil here"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.dupFlowMatrix(docs, "text", "doc_id", "source",
+        numHashes = 16, bands = 4, shingleSize = 1, threshold = 0.5)
+      .select("source_a", "source_b", "n_pairs")
+      .as[(String, String, Long)].collect().toSet
+    // pairs: (1,2) a_src-b_src, (1,3) b_src-b_src, (2,3) a_src-b_src
+    assert(got == Set(("a_src", "b_src", 2L), ("b_src", "b_src", 1L)))
+    Dedup.clearCaches()
+  }
+
   test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
       .toDF("grp", "v")
