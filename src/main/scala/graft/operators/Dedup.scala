@@ -812,6 +812,51 @@ object Dedup {
         round(avg(col("jaccard")), 4).as("avg_jaccard"))
   }
 
+  /** IDF-weighted Jaccard rescoring of verified near-dup pairs:
+    * wJ = Σ_{g∈a∩b} idf(g) / Σ_{g∈a∪b} idf(g) with idf = ln(N/df) —
+    * overlap on RARE shingles counts for more than overlap on
+    * boilerplate, so a pair sharing distinctive content outranks a
+    * pair sharing navigation chrome at equal set Jaccard. The
+    * re-ranking signal for prioritizing which near-dup clusters a
+    * human (or an LLM judge) reviews first. Emits
+    * `(id_a, id_b, jaccard, weighted_jaccard)`.
+    *
+    * Scale shape: the IDF table is shingle-vocab-bounded; the gram
+    * expansion runs only on the (tiny) verified-pair set.
+    */
+  def weightedJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLsh(df, textCol, idCol, numHashes, bands,
+      shingleSize, threshold)
+    val sets = persistTracked(parallelize(df)
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(wordShingles(tokens(col(textCol)), shingleSize)).as("sh"))
+      .where(size(col("sh")) > 0))
+    val n = sets.count()
+    val idf = sets.select(explode(col("sh")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("__df"))
+      .select(col("g"), log(lit(n.toDouble) / col("__df")).as("__idf"))
+    val grams = pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("__sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("__sa"), col("__sb"),
+        explode(array_union(col("__sa"), col("__sb"))).as("g"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("g"),
+        (array_contains(col("__sa"), col("g")) &&
+          array_contains(col("__sb"), col("g"))).as("__both"))
+      .join(idf, "g")
+    grams.groupBy("id_a", "id_b")
+      .agg(round(first(col("jaccard")), 4).as("jaccard"),
+        round(sum(when(col("__both"), col("__idf")).otherwise(lit(0d)))
+          / sum(col("__idf")), 4).as("weighted_jaccard"))
+  }
+
   /** Cross-source syndication attribution — "who originated this text,
     * who republished it": near-dup clusters ([[minHashLsh]] pairs →
     * transitive closure) joined back to each member's source, reported

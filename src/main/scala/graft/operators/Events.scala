@@ -338,8 +338,13 @@ object Events {
     * independent of corpus size. One count shuffle at (key, window)
     * grain, one key-partitioned window pass, one combinable argmax agg.
     */
-  def cusumShifts(df: DataFrame, keyCol: String, tsNs: String,
-      windowNs: Long, slack: Double = 0.5): DataFrame = {
+  /** Per-key tumbling counts on a gap-filled window grid, with the
+    * window re-indexed to 0 at the range start (`t`) — shared by the
+    * CUSUM / trend / diurnal family. A silent window enters as an
+    * explicit zero.
+    */
+  private def gridCounts(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long): DataFrame = {
     val counts = df
       .select(col(keyCol).as("k"), expr(s"$tsNs div $windowNs").as("w"))
       .groupBy("k", "w").agg(count(lit(1)).as("n"))
@@ -348,9 +353,77 @@ object Events {
       expr(s"max($tsNs) div $windowNs").as("__w1")))
     val grid = counts.select("k").distinct()
       .crossJoin(bounds)
-      .select(col("k"), explode(sequence(col("__w0"), col("__w1"))).as("w"))
-    val filled = grid.join(counts, Seq("k", "w"), "left")
-      .select(col("k"), col("w"), coalesce(col("n"), lit(0L)).as("n"))
+      .select(col("k"), explode(sequence(col("__w0"), col("__w1"))).as("w"),
+        col("__w0"))
+    grid.join(counts, Seq("k", "w"), "left")
+      .select(col("k"), col("w"), (col("w") - col("__w0")).as("t"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Per-key volume trend — ordinary-least-squares slope/intercept of
+    * window counts over time, the "is this source growing or dying"
+    * number a crawl scheduler ranks feeds by. Computed from the four
+    * classic sums with the window index re-based to t = 0..T:
+    *   slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)
+    * All sums are INTEGER (counts × window ordinals), so both engines
+    * reach the final division bit-identically — no float accumulation
+    * anywhere. Gap-filled grid (a silent window is a real zero —
+    * skipping it would bias the slope up). Emits `(keyCol, n_windows,
+    * total, slope, intercept)`; slope is per window.
+    *
+    * Scale shape: one (key, window) count shuffle, one combinable
+    * 4-sum aggregate per key. Series length is time-bounded.
+    */
+  def volumeTrend(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long): DataFrame = {
+    val g = gridCounts(df, keyCol, tsNs, windowNs)
+    val agg = g.groupBy("k").agg(
+      count(lit(1)).as("nw"),
+      sum("t").as("st"), sum("n").as("sy"),
+      sum(col("t") * col("n")).as("sty"),
+      sum(col("t") * col("t")).as("stt"))
+    val den = (col("nw") * col("stt") - col("st") * col("st")).cast("double")
+    val slope = when(den > 0,
+      (col("nw") * col("sty") - col("st") * col("sy")).cast("double") / den)
+      .otherwise(lit(0d))
+    agg.withColumn("__sl", slope)
+      .select(col("k").as(keyCol), col("nw").as("n_windows"),
+        col("sy").as("total"),
+        round(col("__sl"), 8).as("slope"),
+        round((col("sy").cast("double") - col("__sl") * col("st"))
+          / col("nw"), 6).as("intercept"))
+  }
+
+  /** Per-key diurnal (hour-of-day) activity profile: for each key and
+    * UTC hour-of-day, the mean window count across the observation
+    * range and its ratio to the key's overall mean — the seasonality
+    * fingerprint that separates "traffic doubled" from "it's noon".
+    * Gap-filled so quiet hours average in their zeros. Each mean is a
+    * SINGLE integer-sum ÷ count division — no float accumulation, so
+    * cross-engine exact before the rounding. Emits `(keyCol,
+    * hour_of_day, n_windows, avg_n, ratio)`.
+    */
+  def diurnalProfile(df: DataFrame, keyCol: String, tsNs: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val g = gridCounts(df, keyCol, tsNs, hourNs)
+    val byHod = g.withColumn("hour_of_day", pmod(col("w"), lit(24L)))
+      .groupBy("k", "hour_of_day")
+      .agg(count(lit(1)).as("n_windows"), sum("n").as("__s"))
+    val overall = g.groupBy("k")
+      .agg(sum("n").as("__st"), count(lit(1)).as("__nt"))
+    byHod.join(broadcast(overall), "k")
+      .select(col("k").as(keyCol), col("hour_of_day"), col("n_windows"),
+        round(col("__s").cast("double") / col("n_windows"), 6).as("avg_n"),
+        when(col("__st") > 0,
+          round((col("__s").cast("double") / col("n_windows"))
+            / (col("__st").cast("double") / col("__nt")), 6))
+          .otherwise(lit(0d)).as("ratio"))
+  }
+
+  def cusumShifts(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long, slack: Double = 0.5): DataFrame = {
+    val filled = gridCounts(df, keyCol, tsNs, windowNs)
+      .select("k", "w", "n")
     val moments = filled.groupBy("k")
       .agg(avg("n").as("__mu"), stddev_pop(col("n")).as("__sd"))
     val z = when(col("__sd") > 0,

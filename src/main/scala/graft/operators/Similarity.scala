@@ -739,6 +739,35 @@ object Similarity {
       .select(col("rank"), col(idCol), round(col("dist"), 6).as("dist"))
   }
 
+  /** PQ codebook distortion report — the quantization-quality audit
+    * FAISS users read before trusting an ADC scan: per subspace, the
+    * mean squared L2 between each corpus subvector and its NEAREST
+    * codebook centroid (exactly the error the encoder commits).
+    * Rising per-subspace MSE means the codebook under-fits that slice
+    * of the embedding — retrain with larger ksub or re-balance the
+    * subspace split. Emits `(subspace, n_vectors, mse)`.
+    *
+    * Scale shape: codebooks are driver metadata ([[pqCodebooks]] —
+    * sample-trained, passes independent of corpus size); the audit
+    * itself is ONE map-side pass (per-row nearest-centroid distance
+    * against m·ksub literals) plus an m-row combinable aggregate.
+    */
+  def pqDistortionReport(df: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iters: Int = 2, dims: Int = -1): DataFrame = {
+    val cbs = pqCodebooks(df, vecCol, idCol, m, ksub, iters, dims)
+    val dsub = cbs.head.head.length
+    val sub = df.select(col(vecCol).cast("array<double>").as("_vd"))
+      .select((0 until m).map(j =>
+        slice(col("_vd"), j * dsub + 1, dsub).as(s"_s$j")): _*)
+    sub.select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          array_min(subCodeDists(col(s"_s$j"), cbs(j)))
+            .getField("d").as("d"))): _*)).as("e"))
+      .select(col("e.j").as("subspace"), col("e.d").as("d"))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_vectors"), round(avg("d"), 6).as("mse"))
+  }
+
   /** Pairwise cosine similarity between per-group embedding CENTROIDS —
     * "how semantically close are these sources/classes to each other":
     * the inter-group companion of [[centroidOutliers]]' intra-group

@@ -177,6 +177,18 @@ object EventsQ {
         .orderBy("period")
     }),
 
+    // ---- per-type volume trend (integer-exact OLS over hourly counts) ----
+    "q176_volume_trend" -> ((s, d) => {
+      Events.volumeTrend(Tables.events(s, d), "event_type", "ts", HourNs)
+        .orderBy("event_type")
+    }),
+
+    // ---- per-type diurnal (hour-of-day) activity profile ----
+    "q177_diurnal_profile" -> ((s, d) => {
+      Events.diurnalProfile(Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type", "hour_of_day")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -193,6 +205,69 @@ object EventsQ {
       s"""SELECT epoch_ns(ts) - epoch_ns(ts) % ${24 * HourNs} AS period_start_ns,
             count(DISTINCT user_id) AS n_active
           FROM events GROUP BY 1 ORDER BY 1""",
+    // all four OLS sums are integer (re-based window ordinal × count),
+    // so both engines hit the final division bit-identically
+    "q176_volume_trend" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // $HourNs AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // $HourNs) AS w0,
+              max(epoch_ns(ts) // $HourNs) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w, b.w0 FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w - g.w0 AS t, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          a AS (
+            SELECT k, count(*) AS nw,
+              CAST(sum(t) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS sy,
+              CAST(sum(t * n) AS BIGINT) AS sty,
+              CAST(sum(t * t) AS BIGINT) AS stt
+            FROM f GROUP BY k),
+          s AS (
+            SELECT k, nw, sy,
+              CASE WHEN nw * stt - st * st > 0
+                THEN (nw * sty - st * sy)::DOUBLE / (nw * stt - st * st)
+                ELSE 0.0 END AS sl,
+              st
+            FROM a)
+         SELECT k AS event_type, nw AS n_windows, sy AS total,
+           round(sl, 8) AS slope,
+           round((sy::DOUBLE - sl * st) / nw, 6) AS intercept
+         FROM s ORDER BY event_type""",
+    // single integer-sum ÷ count divisions — no float accumulation
+    "q177_diurnal_profile" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // $HourNs AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // $HourNs) AS w0,
+              max(epoch_ns(ts) // $HourNs) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          h AS (
+            SELECT k, w % 24 AS hour_of_day, count(*) AS n_windows,
+              CAST(sum(n) AS BIGINT) AS s
+            FROM f GROUP BY 1, 2),
+          o AS (
+            SELECT k, CAST(sum(n) AS BIGINT) AS st, count(*) AS nt
+            FROM f GROUP BY k)
+         SELECT h.k AS event_type, h.hour_of_day, h.n_windows,
+           round(h.s::DOUBLE / h.n_windows, 6) AS avg_n,
+           CASE WHEN o.st > 0
+             THEN round((h.s::DOUBLE / h.n_windows) / (o.st::DOUBLE / o.nt), 6)
+             ELSE 0.0 END AS ratio
+         FROM h JOIN o USING (k) ORDER BY event_type, hour_of_day""",
     // exact sides replayed; the HLL estimate is audited only through
     // its tolerance contract (q82 pattern) — the oracle pins ok = true
     "q171_rolling_distinct_hll" ->

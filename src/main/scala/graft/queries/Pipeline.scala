@@ -142,6 +142,20 @@ object Pipeline {
         .orderBy("source_a", "source_b")
     }),
 
+    // ---- PQ codebook distortion audit (per-subspace encode MSE) ----
+    "q175_pq_distortion" -> ((s, d) => {
+      Similarity.pqDistortionReport(Tables.embeddings(s, d), "embedding",
+          "vec_id", m = 4, ksub = 4, iters = 2, dims = 64)
+        .orderBy("subspace")
+    }),
+
+    // ---- IDF-weighted Jaccard rescoring of near-dup pairs ----
+    "q178_weighted_jaccard" -> ((s, d) => {
+      Dedup.weightedJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- SimHash fingerprints (16-bit) ----
     "q34_simhash" -> ((s, d) => {
       Dedup.simHashFingerprints(Tables.documents(s, d), "text", "doc_id", bits = 16)
@@ -1259,7 +1273,100 @@ object Pipeline {
             FROM cand)
           WHERE jac >= 0.5)"""
 
+  // PQ chain (m=4 subspaces, ksub=4 codes, dsub=16 dims): per-subspace
+  // 2-round k-means on the md5 train sample + full-corpus encode —
+  // shared by the q112 ADC gate and the q175 distortion report.
+  private val PqM = 4
+  private val PqKsub = 4
+  private val PqDsub = 16
+  private def pqD2(e: String, c: String): String =
+    s"list_sum(list_transform(range(1, ${PqDsub + 1}), i -> ($e[i]-$c[i])*($e[i]-$c[i])))"
+  private val PqSubChainCtes: String = (0 until PqM).map { j =>
+    val a = j * PqDsub + 1; val b = (j + 1) * PqDsub
+    s"""sub$j AS (SELECT vec_id, v[$a:$b] AS sv FROM train),
+          c0_$j AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, sv AS c
+            FROM (SELECT vec_id, sv FROM sub$j ORDER BY vec_id LIMIT $PqKsub)),""" +
+      (1 to 2).map { t =>
+        s"""
+          s${t}_$j AS (
+            SELECT e.vec_id, e.sv, n.code, ${pqD2("e.sv", "n.c")} AS d
+            FROM sub$j e CROSS JOIN c${t - 1}_$j n),
+          a${t}_$j AS (
+            SELECT vec_id, sv, code FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d ASC, code ASC) AS rn
+              FROM s${t}_$j) WHERE rn = 1),
+          c${t}_$j AS (
+            SELECT p.code, coalesce(nw.c, p.c) AS c
+            FROM c${t - 1}_$j p LEFT JOIN (
+              SELECT code, list(mn ORDER BY pos) AS c FROM (
+                SELECT a.code, t.i AS pos, avg(a.sv[t.i]) AS mn
+                FROM a${t}_$j a, range(1, ${PqDsub + 1}) t(i)
+                GROUP BY a.code, t.i)
+              GROUP BY code) nw USING (code)),""" }.mkString +
+      s"""
+          enc$j AS (
+            SELECT vec_id, code FROM (
+              SELECT e.vec_id, n.code, row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY ${pqD2("e.sv", "n.c")} ASC, n.code ASC) AS rn
+              FROM (SELECT vec_id, v[$a:$b] AS sv FROM emb) e
+              CROSS JOIN c2_$j n) WHERE rn = 1)"""
+  }.mkString(",\n          ")
+
   val oracle: Map[String, String] = Map(
+    // shared PQ chain + per-subspace mean d² between each subvector
+    // and its encoded centroid
+    "q175_pq_distortion" -> {
+      val errs = (0 until PqM).map { j =>
+        val a = j * PqDsub + 1; val b = (j + 1) * PqDsub
+        s"""err$j AS (
+            SELECT CAST($j AS INTEGER) AS subspace,
+              count(*) AS n_vectors,
+              round(avg(${pqD2("e.sv", "cb.c")}), 6) AS mse
+            FROM (SELECT vec_id, v[$a:$b] AS sv FROM emb) e
+            JOIN enc$j n ON n.vec_id = e.vec_id
+            JOIN c2_$j cb ON cb.code = n.code)"""
+      }.mkString(",\n          ")
+      val sel = (0 until PqM).map(j => s"SELECT * FROM err$j")
+        .mkString("\n           UNION ALL ")
+      s"""WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          train AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)) LIMIT 262144),
+          $PqSubChainCtes,
+          $errs
+         SELECT subspace, n_vectors, mse FROM ($sel) ORDER BY subspace"""
+    },
+    // shared LSH chain + vocab IDF table + per-pair gram expansion;
+    // idf sums replay within the 4dp rounding
+    "q178_weighted_jaccard" ->
+      (LshVerifiedPairCtes + """,
+          sets AS (SELECT id, sh FROM docs WHERE len(sh) > 0),
+          nn AS (SELECT count(*) AS n FROM sets),
+          idf AS (
+            SELECT g, ln(nn.n::DOUBLE / cnt) AS idf FROM (
+              SELECT g, count(*) AS cnt FROM (
+                SELECT id, unnest(sh) AS g FROM sets) GROUP BY g)
+            CROSS JOIN nn),
+          pg AS (
+            SELECT p.id_a, p.id_b, p.jac, u.g,
+              list_contains(sa.sh, u.g) AND list_contains(sb.sh, u.g) AS both
+            FROM vpairs p
+            JOIN sets sa ON sa.id = p.id_a
+            JOIN sets sb ON sb.id = p.id_b,
+            unnest(list_distinct(list_concat(sa.sh, sb.sh))) AS u(g)),
+          wj AS (
+            SELECT pg.id_a, pg.id_b, pg.jac,
+              sum(CASE WHEN pg.both THEN i.idf ELSE 0 END) / sum(i.idf) AS w
+            FROM pg JOIN idf i USING (g)
+            GROUP BY pg.id_a, pg.id_b, pg.jac)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard,
+           round(w, 4) AS weighted_jaccard
+         FROM wj ORDER BY id_a, id_b"""),
     // shared LSH chain + per-pair signature component-match estimate
     "q172_minhash_estimate_audit" ->
       (LshVerifiedPairCtes + """,
@@ -3299,43 +3406,8 @@ object Pipeline {
     // then ADC = sum of per-subspace dot(query slice, neighbor's
     // centroid). CTE chains generated per subspace (m=4, ksub=4,
     // dsub=16) — the SQL mirror of Similarity.pqCodebooks/pqKnn.
-    "q112_pq_adc" -> {
-      val m = 4; val ksub = 4; val dsub = 16
-      def d2(e: String, c: String) =
-        s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($e[i]-$c[i])*($e[i]-$c[i])))"
-      val subs = (0 until m).map { j =>
-        val a = j * dsub + 1; val b = (j + 1) * dsub
-        s"""sub$j AS (SELECT vec_id, v[$a:$b] AS sv FROM train),
-          c0_$j AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, sv AS c
-            FROM (SELECT vec_id, sv FROM sub$j ORDER BY vec_id LIMIT $ksub)),""" +
-          (1 to 2).map { t =>
-            s"""
-          s${t}_$j AS (
-            SELECT e.vec_id, e.sv, n.code, ${d2("e.sv", "n.c")} AS d
-            FROM sub$j e CROSS JOIN c${t - 1}_$j n),
-          a${t}_$j AS (
-            SELECT vec_id, sv, code FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY d ASC, code ASC) AS rn
-              FROM s${t}_$j) WHERE rn = 1),
-          c${t}_$j AS (
-            SELECT p.code, coalesce(nw.c, p.c) AS c
-            FROM c${t - 1}_$j p LEFT JOIN (
-              SELECT code, list(mn ORDER BY pos) AS c FROM (
-                SELECT a.code, t.i AS pos, avg(a.sv[t.i]) AS mn
-                FROM a${t}_$j a, range(1, ${dsub + 1}) t(i)
-                GROUP BY a.code, t.i)
-              GROUP BY code) nw USING (code)),""" }.mkString +
-          s"""
-          enc$j AS (
-            SELECT vec_id, code FROM (
-              SELECT e.vec_id, n.code, row_number() OVER (
-                PARTITION BY e.vec_id
-                ORDER BY ${d2("e.sv", "n.c")} ASC, n.code ASC) AS rn
-              FROM (SELECT vec_id, v[$a:$b] AS sv FROM emb) e
-              CROSS JOIN c2_$j n) WHERE rn = 1)"""
-      }.mkString(",\n          ")
+        "q112_pq_adc" -> {
+      val m = PqM; val dsub = PqDsub
       val adcSum = (0 until m).map { j =>
         val off = if (j == 0) "" else s"${j * dsub} + "
         s"list_sum(list_transform(range(1, ${dsub + 1}), i -> q.v[${off}i] * cb$j.c[i]))"
@@ -3350,7 +3422,7 @@ object Pipeline {
           train AS (
             SELECT vec_id, v FROM emb
             ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)) LIMIT 262144),
-          $subs,
+          $PqSubChainCtes,
           scored AS (
             SELECT q.vec_id AS query_id, n0.vec_id AS neighbor_id,
               $adcSum AS adc

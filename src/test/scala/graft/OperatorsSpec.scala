@@ -2197,6 +2197,73 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Similarity.pqDistortionReport: centroid-coincident corpus has zero MSE") {
+    // 4 distinct subvector patterns, each repeated — k-means with
+    // ksub=4 lands centroids ON the points, so encode error is 0
+    val pats = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    // same pattern in both subspaces so the id-ordered k-means init
+    // (ids 0..3) already covers all four patterns in each subspace
+    val emb = (0L until 16L).map(i =>
+      (i, pats((i % 4).toInt) ++ pats((i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqDistortionReport(emb, "embedding", "vec_id",
+        m = 2, ksub = 4, iters = 2, dims = 8)
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0, 16L, 0.0), (1, 16L, 0.0)))
+  }
+
+  test("Events.volumeTrend: exact OLS on a hand-built ramp") {
+    // counts 1,2,3,4,5 per window -> slope 1, intercept 1
+    val ev = (0 until 5).flatMap(w => (0 to w).map(i => (w * 100L + i, "a")))
+      .toDF("ts", "event_type")
+    val got = Events.volumeTrend(ev, "event_type", "ts", windowNs = 100L)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 5L, 15L, 1.0, 1.0)))
+  }
+
+  test("Events.diurnalProfile: ratio reflects the hour-of-day mix") {
+    val hour = 3600L * 1000000000L
+    // two days: hour 0 gets 3 events/day, hour 1 gets 1 event/day;
+    // grid spans 25 hours (day1 hour0 included) -> hod 0 appears twice
+    val ev = (0 until 2).flatMap { d =>
+      (0 until 3).map(i => (d * 24 * hour + i, "a")) :+
+        ((d * 24 * hour + hour + 5, "a"))
+    }.toDF("ts", "event_type")
+    val got = Events.diurnalProfile(ev, "event_type", "ts")
+      .select("hour_of_day", "n_windows", "avg_n")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.head == ((0L, 2L, 3.0)))   // both days' hour-0 average 3
+    // the grid runs through day-1 hour-1 (the max event), so hod 1
+    // appears twice, averaging (1 + 1) / 2
+    assert(got(1) == ((1L, 2L, 1.0)))
+  }
+
+  test("Dedup.weightedJaccardPairs: rare-gram overlap outweighs boilerplate") {
+    // chrome tokens (home/about/contact) appear in ALL docs -> idf 0.
+    // Pair (1,2) shares all the rare content and differs only on
+    // chrome -> weighted score 1.0 beats its set Jaccard; a pair
+    // sharing only chrome would score 0.
+    val docs = Seq(
+      (1L, "home about contact quantum entanglement decoherence theory"),
+      (2L, "quantum entanglement decoherence theory"),
+      (3L, "home about contact apples bananas cherries dates elderberry"),
+      (4L, "home about contact figs grapes honeydew kiwis lemons"))
+      .toDF("doc_id", "text")
+    val got = Dedup.weightedJaccardPairs(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleSize = 1, threshold = 0.2)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // hand-check: rare grams df=2 -> ln 2 each (4 shared); chrome
+    // df=3 -> ln(4/3) each (3, unshared, doc1 side only)
+    // wJ = 4·ln2 / (4·ln2 + 3·ln(4/3)) ≈ 0.7626 > J = 4/7
+    val p12 = got((1L, 2L))
+    assert(p12._4 == 0.7626 && p12._4 > p12._3)
+    got.get((3L, 4L)).foreach(p => assert(p._4 < p._3))
+    Dedup.clearCaches()
+  }
+
   test("Percentiles.winsorizeReport: clip counts and means, hand-computed") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000d).map(("g", _))
       .toDF("grp", "v")
