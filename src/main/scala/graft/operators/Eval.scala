@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Evaluation metrics a curation / retrieval pipeline runs on itself:
+  * ranking quality (nDCG / MRR / precision@k) for the BM25 retriever,
+  * classifier discrimination (ROC AUC) and calibration (reliability
+  * bins + ECE) for the quality scorer. All statistics reduce to
+  * integer-count arithmetic wherever possible so the DuckDB oracles
+  * replay them exactly; the only floats are final ratios and the
+  * ln-discount terms of DCG (bounded sums of ≤ depth values, rounded).
+  */
+object Eval {
+
+  /** Multi-query BM25 ranking evaluation against term-derived graded
+    * relevance. For each `(query_id, terms)` pair, score the corpus
+    * with BM25 (Robertson idf, k1/b as [[TextAnalysis.bm25]]), rank
+    * the top `depth` docs, and grade relevance as
+    * `rel = (#distinct query terms present) − 1` clamped at 0 — a doc
+    * must hit ≥ 2 distinct terms to count as relevant, so the metrics
+    * are non-trivial even though every BM25 candidate matches ≥ 1.
+    *
+    * Emits one row per query:
+    * `(query_id, n_ranked, dcg, idcg, ndcg, mrr, precision_at_k)`.
+    * DCG uses the natural-log discount `(2^rel − 1)/ln(pos+1)`; nDCG
+    * is base-invariant, and dcg/idcg are reported in that base.
+    *
+    * Scale shape: ONE corpus pass — the token explode joins the
+    * broadcast (query_id, term) list immediately, so the shuffle
+    * carries only matching (query, doc, term) pairs; per-(query,term)
+    * document frequencies and the (N, avgdl) row broadcast back. The
+    * rank filter `rn ≤ depth` over the per-query window compiles to a
+    * partial WindowGroupLimit (map-side top-k below the exchange), so
+    * no executor ever sorts more than `depth` survivors per query.
+    * The ideal-DCG ranking never materializes a sort at all: graded
+    * relevance has ≤ 4 levels, so IDCG is reconstructed from per-grade
+    * counts, exploding only the ≤ k positions that contribute.
+    */
+  def rankingEval(df: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int = 10, depth: Int = 100,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one query with at least one term")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val qterms = broadcast(
+      queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+        .toDF("query_id", "term"))
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("_t"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("_t")).cast("double")).as("avgdl"))
+
+    // one corpus pass: explode → broadcast-join the query term list
+    val hits = toks
+      .select(col("doc_id"), size(col("_t")).cast("double").as("dl"),
+        explode(col("_t")).as("term"))
+      .join(qterms, "term")
+      .groupBy("query_id", "doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), max("dl").as("dl"))
+    val hitsP = Dedup.persistTracked(hits)
+
+    val dfreq = hitsP.groupBy("query_id", "term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = hitsP.join(broadcast(dfreq), Seq("query_id", "term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_s",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+          * col("tf") * lit(k1 + 1)
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("_s").as("_bm25"), count(lit(1)).cast("int").as("_nterms"))
+    val scoredP = Dedup.persistTracked(
+      scored.withColumn("rel", greatest(col("_nterms") - 1, lit(0))))
+
+    // ranked top-depth per query (partial WindowGroupLimit)
+    val ranked = scoredP
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("_bm25").desc, col("doc_id").asc)))
+      .where(col("rn") <= depth)
+    val gain = pow(lit(2d), col("rel")) - lit(1d)
+    val perQuery = ranked.groupBy("query_id").agg(
+      count(lit(1)).as("n_ranked"),
+      sum(when(col("rn") <= k, gain / log(col("rn") + lit(1d)))
+        .otherwise(lit(0d))).as("_dcg"),
+      min(when(col("rel") >= 1, col("rn"))).as("_first_rel"),
+      sum(when(col("rn") <= k && col("rel") >= 1, 1L).otherwise(0L)).as("_hits_k"))
+
+    // IDCG from corpus-wide grade counts: grade g occupies positions
+    // (cum_before, cum_before + n_g]; only positions ≤ k contribute
+    val gradeCounts = scoredP.where(col("rel") >= 1)
+      .groupBy("query_id", "rel").agg(count(lit(1)).as("ng"))
+    val cum = gradeCounts.withColumn("cum_before",
+      coalesce(sum("ng").over(Window.partitionBy("query_id")
+        .orderBy(col("rel").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ideal = cum
+      .where(col("cum_before") < k)
+      .select(col("query_id"), col("rel"),
+        explode(sequence(col("cum_before") + 1,
+          least(col("cum_before") + col("ng"), lit(k.toLong)))).as("pos"))
+      .groupBy("query_id")
+      .agg(sum((pow(lit(2d), col("rel")) - lit(1d))
+        / log(col("pos") + lit(1d))).as("_idcg"))
+
+    perQuery.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_ranked"),
+        round(col("_dcg"), 6).as("dcg"),
+        round(coalesce(col("_idcg"), lit(0d)), 6).as("idcg"),
+        round(when(coalesce(col("_idcg"), lit(0d)) > 0,
+          col("_dcg") / col("_idcg")).otherwise(lit(0d)), 6).as("ndcg"),
+        round(when(col("_first_rel").isNotNull,
+          lit(1d) / col("_first_rel")).otherwise(lit(0d)), 6).as("mrr"),
+        round(col("_hits_k").cast("double") / k, 6).as("precision_at_k"))
+  }
+
+  /** Per-group ROC AUC of a score column against a boolean label,
+    * computed EXACTLY from quantized-score counts — the Mann-Whitney
+    * statistic with the standard ½-credit tie correction:
+    *   AUC = Σ_s pos_s · (2·neg_below(s) + neg_s) / (2·P·N)
+    * over ascending distinct scores `s`. The numerator is a pure
+    * integer sum, so both engines hit the final division
+    * bit-identically — no rank windows over the raw rows and no float
+    * accumulation.
+    *
+    * `scoreQ` should be a quantized (bounded-cardinality) score
+    * expression — e.g. a 3-decimal rounding of a [0,1] score — which
+    * is what makes this scale: the shuffle carries one row per
+    * (group, distinct score), and the cumulative window runs over ≤
+    * |distinct scores| rows per group, never over the corpus.
+    * Emits `(groupCol, n_pos, n_neg, auc)`.
+    */
+  def rocAuc(df: DataFrame, groupCol: String, scoreQ: Column,
+      label: Column): DataFrame = {
+    val counts = df
+      .select(col(groupCol), scoreQ.as("_s"), label.cast("boolean").as("_y"))
+      .groupBy(groupCol, "_s")
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_pos"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_neg"))
+    val negBelow = coalesce(
+      sum("_neg").over(Window.partitionBy(groupCol).orderBy(col("_s").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    counts
+      .withColumn("_nb", negBelow)
+      .groupBy(groupCol)
+      .agg(sum("_pos").as("n_pos"), sum("_neg").as("n_neg"),
+        sum(col("_pos") * (lit(2L) * col("_nb") + col("_neg"))).as("_num"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("_num").cast("double")
+            / (lit(2d) * col("n_pos") * col("n_neg")))
+          .otherwise(lit(0d)), 6).as("auc"))
+  }
+
+  /** Calibration (reliability) report for a [0,1] score used as a
+    * probability: docs bucket into `bins` equal-width score bins, and
+    * each bin reports its size, mean predicted score and empirical
+    * positive rate; every row also carries the overall expected
+    * calibration error `ECE = Σ_b (n_b/N)·|mean_pred_b − frac_pos_b|`
+    * (the weighted reliability-diagram gap). The score is quantized to
+    * 6dp BEFORE summation so the per-bin mean is a sum of exact
+    * 1e-6-grid rationals — cross-engine identical given the engines
+    * agree on the quantized values, which the 6dp grid guarantees for
+    * scores computed by identical double expressions.
+    *
+    * Scale shape: one map-side-combined aggregate to `bins` rows; the
+    * ECE fold-up is over those `bins` rows and broadcasts back.
+    */
+  def calibration(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val sq = round(score, 6)
+    val bin = least(floor(sq * bins), lit(bins - 1d)).cast("int")
+    val perBin = df
+      .select(bin.as("bin"),
+        // explicit round before the cast: Spark's double→long cast
+        // truncates while DuckDB's rounds, so an un-rounded 433332.9999
+        // would bucket differently across engines
+        round(sq * 1000000).cast("long").as("_sq6"),
+        label.cast("boolean").as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum("_sq6").as("_ssum"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_npos"))
+      .withColumn("mean_pred",
+        col("_ssum").cast("double") / 1000000d / col("n"))
+      .withColumn("frac_pos", col("_npos").cast("double") / col("n"))
+    val ece = perBin
+      .agg((sum(col("n") * abs(col("mean_pred") - col("frac_pos")))
+        / sum("n")).as("_ece"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"),
+        round(col("mean_pred"), 6).as("mean_pred"),
+        round(col("frac_pos"), 6).as("frac_pos"),
+        round(col("_ece"), 6).as("ece"))
+  }
+
+  /** Poisson(1) cumulative thresholds on the integer 1e-6 grid:
+    * w(u) = #{k : cdf(k)·1e6 ≤ u} reproduces Poisson bootstrap weights
+    * from a uniform bucket u ∈ [0, 1e6) — capped at 8 (P ≈ 1e-5).
+    */
+  private val PoissonCuts: Seq[Long] =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L, 999990L)
+
+  /** DuckDB expression counting [[PoissonCuts]] thresholds ≤ `u` — the
+    * oracle-side mirror of the weight fold, kept here so the cut list
+    * exists in exactly one place.
+    */
+  def poissonCutsSql(u: String): String =
+    PoissonCuts.map(t => s"($u >= $t)::INT").mkString("(", " + ", ")")
+
+  /** Per-group bootstrap confidence interval for the mean of an
+    * INTEGER metric via the Poisson(1) bootstrap (the streaming/
+    * map-reduce resampling standard: each replicate reweights every
+    * row by an independent Poisson(1) draw, approximating multinomial
+    * resampling without materializing samples). Draws are
+    * md5-deterministic — replicate r weights row id by inverting the
+    * Poisson CDF at the uniform bucket `md5(r:id) mod 1e6` — so any
+    * engine replays the exact resample. Each replicate mean is a
+    * ratio of two integer sums (exact); the interval is the 2nd and
+    * `reps−1`-th order statistics of the `reps` replicate means
+    * (≈ 93.75% coverage at reps = 32). Emits one row per group:
+    * `(groupCol, n, mean, ci_lo, ci_hi)`.
+    *
+    * Scale shape: the rep-expansion is a row-local posexplode of a
+    * statically-unrolled `reps`-wide weight array feeding a map-side-
+    * combined aggregate — the shuffle carries |groups|·reps partial
+    * rows, not the corpus; the order statistics sort a `reps`-length
+    * array per group.
+    */
+  def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+      metric: Column, reps: Int = 32): DataFrame = {
+    require(reps >= 4, "need enough replicates for order-statistic bounds")
+    def weight(u: Column): Column =
+      PoissonCuts.foldLeft(lit(0L)) { (acc, t) =>
+        acc + when(u >= t, 1L).otherwise(0L)
+      }
+    val weights = array((0 until reps).map { r =>
+      weight(pmod(md5Long(col(idCol), r), lit(1000000L)))
+    }: _*)
+    val perRep = df
+      .select(col(groupCol), metric.cast("long").as("_v"),
+        posexplode(weights).as(Seq("rep", "_w")))
+      .groupBy(groupCol, "rep")
+      .agg(sum(col("_w") * col("_v")).as("_wv"), sum("_w").as("_w"))
+      .withColumn("_mean",
+        when(col("_w") > 0, col("_wv").cast("double") / col("_w"))
+          .otherwise(lit(null).cast("double")))
+    val base = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(metric.cast("long")).as("_sv"))
+    perRep.groupBy(groupCol)
+      .agg(sort_array(collect_list("_mean")).as("_means"))
+      .join(base, Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        round(col("_sv").cast("double") / col("n"), 6).as("mean"),
+        round(element_at(col("_means"), 2), 6).as("ci_lo"),
+        round(element_at(col("_means"), reps - 1), 6).as("ci_hi"))
+  }
+
+  /** Benford first-digit audit of a fixed-point currency column — the
+    * classic synthetic-data / fraud screen: compare the observed
+    * leading-digit distribution of `cents` (an exact integer amount,
+    * e.g. `round(price·100)`) against Benford's law
+    * `p_d = log10(1 + 1/d)` and report the χ² statistic. The leading
+    * digit comes from the INTEGER's decimal string, never from a
+    * float's formatting, so both engines bucket identically. Emits one
+    * row per digit 1-9: `(digit, n, obs_p, exp_p, chi2)` with the
+    * total χ² repeated on each row (broadcast fold-up of 9 rows).
+    *
+    * Scale shape: row-local digit extraction, one map-side-combined
+    * count to ≤ 9 rows.
+    */
+  def benfordAudit(df: DataFrame, cents: Column): DataFrame = {
+    val digit = substring(cents.cast("long").cast("string"), 1, 1).cast("int")
+    val counts = df.select(digit.as("digit"))
+      .where(col("digit") >= 1) // zero/negative amounts carry no leading digit
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").cast("double").as("_tot"))
+    val expP = log(lit(1d) + lit(1d) / col("digit")) / log(lit(10d))
+    val withP = counts.crossJoin(broadcast(total))
+      .withColumn("_exp_p", expP)
+      .withColumn("_obs_p", col("n") / col("_tot"))
+    val chi2 = withP
+      .agg(sum(pow(col("n") - col("_tot") * col("_exp_p"), 2d)
+        / (col("_tot") * col("_exp_p"))).as("_chi2"))
+    withP.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n"),
+        round(col("_obs_p"), 6).as("obs_p"),
+        round(col("_exp_p"), 6).as("exp_p"),
+        round(col("_chi2"), 6).as("chi2"))
+  }
+}

@@ -132,4 +132,41 @@ object Profile {
       .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
       .agg(round(max(abs(col("a.__f") - col("b.__f"))), 6).as("ks"))
   }
+
+  /** Gini coefficient of the per-key row-count distribution — the
+    * "how concentrated is this corpus on a few heavy keys" inequality
+    * number (0 = uniform, →1 = one key holds everything), e.g. docs
+    * per domain or events per user. Uses the exact sorted-rank
+    * formula G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ) with x ascending —
+    * but NEVER ranks individual keys: keys collapse to one row per
+    * DISTINCT count value, and each tie block's rank-weighted mass is
+    * the closed form x·(m·cum_before + m(m+1)/2) (every term within a
+    * block has the same x, so the block sum is order-free). The whole
+    * numerator is integer arithmetic — both engines reach the final
+    * division bit-identically. Emits one row:
+    * `(n_keys, total, gini)`.
+    *
+    * Scale shape: one combinable count per key, one count-of-counts
+    * agg (distinct-count-value-bounded, ≤ a few thousand rows for any
+    * real skew profile), a cumulative window over those rows, one
+    * fold. No global sort of keys at any size.
+    */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val byKey = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__x"))
+    val byCount = byKey.groupBy("__x").agg(count(lit(1)).as("__m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val blocks = byCount
+      .withColumn("__cb", coalesce(sum("__m").over(w), lit(0L)))
+      .agg(sum("__m").as("n_keys"),
+        sum(col("__x") * col("__m")).as("total"),
+        // m(m+1)/2 via shiftright: Spark's `/` is double division,
+        // which would break the integer-exact numerator
+        sum(col("__x") * (col("__m") * col("__cb")
+          + shiftright(col("__m") * (col("__m") + 1), 1))).as("__s1"))
+    blocks.select(col("n_keys"), col("total"),
+      round((lit(2d) * col("__s1") - (col("n_keys") + lit(1d)) * col("total"))
+        / (col("n_keys").cast("double") * col("total")), 6).as("gini"))
+  }
 }

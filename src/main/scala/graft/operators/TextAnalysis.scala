@@ -1301,4 +1301,89 @@ object TextAnalysis {
         col("a").as("n_in"), (col("g") - col("a")).as("n_out"),
         round(col("g2"), 4).as("g2"))
   }
+
+  /** Zipf's-law fit of the corpus term-frequency distribution: OLS of
+    * ln(freq) on ln(rank) over the top-`topN` terms (rank 1 = most
+    * frequent, ties → lexicographic). A healthy natural-language
+    * corpus fits slope ≈ −1 with high R²; synthetic/templated text
+    * shows up as a flat slope or a poor fit — a one-row corpus
+    * health check. Emits `(n_terms, slope, intercept, r2)`; intercept
+    * is ln-scale.
+    *
+    * Scale shape: one explode + map-side-combined term count, then a
+    * TakeOrdered top-`topN` (per-partition top-k + driver merge, never
+    * a global sort); the rank window and the 4-sum OLS fold run over
+    * `topN` rows — a constant — so the fit costs one corpus pass at
+    * any size.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2, "need at least two ranked terms to fit")
+    val freq = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(topN)
+    val xy = freq
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("freq").desc, col("term").asc)))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val a = xy.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    a.select(col("n").cast("long").as("n_terms"),
+      round(covN / varXN, 6).as("slope"),
+      round((col("sy") - covN / varXN * col("sx")) / col("n"), 6).as("intercept"),
+      round(when(varYN > 0, covN * covN / (varXN * varYN))
+        .otherwise(lit(0d)), 6).as("r2"))
+  }
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty): score(d) = Σ_t∈q ln(1 + tf_td/(μ·p_t)) +
+    * |q|·ln(μ/(dl_d + μ)), the rank-equivalent decomposition of
+    * Σ ln((tf + μ·p_t)/(dl + μ)) that touches only MATCHING (doc,
+    * term) pairs plus a row-local length term — the standard LM
+    * alternative to [[bm25]]. `p_t` is the corpus unigram probability
+    * cf_t/|C|. Top-`k` docs (ties → lower id).
+    *
+    * Scale shape: corpus stats (cf per query term, total token count)
+    * are one filtered explode + agg, broadcast back; every doc gets
+    * the row-local length prior, matching docs add their sparse term
+    * contributions via a left join against the (query-term-bounded)
+    * tf table; top-k is TakeOrdered.
+    */
+  def dirichletQl(df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], mu: Double = 2000d, k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("_t"))
+    val totalToks = toks.agg(
+      sum(size(col("_t"))).cast("double").as("n_corpus_tokens"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("_t")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val matchScore = tf.join(broadcast(cf), "term")
+      .crossJoin(broadcast(totalToks))
+      .withColumn("_m",
+        log(lit(1d) + col("tf")
+          / (lit(mu) * col("cf") / col("n_corpus_tokens"))))
+      .groupBy("doc_id").agg(sum("_m").as("_match"))
+    toks.select(col("doc_id"), size(col("_t")).cast("double").as("dl"))
+      .join(matchScore, Seq("doc_id"), "left")
+      .withColumn("_score",
+        coalesce(col("_match"), lit(0d))
+          + lit(queryTerms.distinct.size.toDouble)
+          * log(lit(mu) / (col("dl") + lit(mu))))
+      .orderBy(col("_score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), round(col("_score"), 4).as("ql_score"))
+  }
 }

@@ -189,6 +189,11 @@ object EventsQ {
         .orderBy("event_type", "hour_of_day")
     }),
 
+    // ---- Gini coefficient of per-user event concentration ----
+    "q184_gini_users" -> ((s, d) => {
+      graft.operators.Profile.giniConcentration(Tables.events(s, d), "user_id")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -448,6 +453,25 @@ object EventsQ {
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
           FROM events GROUP BY user_id
           ORDER BY n DESC, user_id ASC LIMIT 10""",
+    // tie blocks collapse to one row per distinct count value; the
+    // rank-weighted mass x·(m·cum_before + m(m+1)/2) keeps the whole
+    // numerator integer — same closed form as the engine
+    "q184_gini_users" ->
+      """WITH bk AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+          bc AS (SELECT x, count(*) AS m FROM bk GROUP BY 1),
+          cb AS (
+            SELECT x, m, coalesce(sum(m) OVER (ORDER BY x ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+            FROM bc),
+          s AS (
+            SELECT CAST(sum(m) AS BIGINT) AS n_keys,
+              CAST(sum(x * m) AS BIGINT) AS total,
+              CAST(sum(x * (m * c + (m * (m + 1)) // 2)) AS BIGINT) AS s1
+            FROM cb)
+         SELECT n_keys, total,
+           round((2.0 * s1 - (n_keys + 1.0) * total)
+             / (CAST(n_keys AS DOUBLE) * total), 6) AS gini
+         FROM s""",
     // chained per-stage minima as CTEs: t_i = earliest stage-i event
     // strictly after t_{i-1} and within the horizon of t_1 — the same
     // recurrence the engine's window chain computes

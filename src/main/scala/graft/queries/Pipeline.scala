@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
-import graft.operators.{Bpe, Curation, Dedup, Graph, Layout, Mixture, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, Eval, Graph, Layout, Mixture, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operator surface: dedup family, similarity
   * search, text analysis, multimodal plumbing — over `documents` and
@@ -154,6 +154,55 @@ object Pipeline {
       Dedup.weightedJaccardPairs(Tables.documents(s, d), "text", "doc_id",
           numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- retrieval ranking eval: nDCG@10 / MRR / P@10 per query,
+    //      graded relevance = (#distinct query terms present) − 1 ----
+    "q179_ndcg_mrr" -> ((s, d) => {
+      Eval.rankingEval(Tables.documents(s, d), "text", "doc_id",
+          queries = Seq(
+            1 -> Seq("spark", "data", "query", "join"),
+            2 -> Seq("hash", "merge", "sort"),
+            3 -> Seq("vector", "stream", "window", "filter")),
+          k = 10, depth = 100)
+        .orderBy("query_id")
+    }),
+
+    // ---- quality-scorer ROC AUC per source vs the lang=en label
+    //      (integer-exact Mann-Whitney over quantized scores) ----
+    "q180_roc_auc" -> ((s, d) => {
+      val q = TextAnalysis.qualityStruct(col("text")).getField("quality_score")
+      Eval.rocAuc(Tables.documents(s, d), "source",
+          round(q, 3), col("lang") === "en")
+        .orderBy("source")
+    }),
+
+    // ---- quality-scorer calibration: reliability bins + ECE ----
+    "q181_calibration" -> ((s, d) => {
+      val q = TextAnalysis.qualityStruct(col("text")).getField("quality_score")
+      Eval.calibration(Tables.documents(s, d), q, col("lang") === "en",
+          bins = 10)
+        .orderBy("bin")
+    }),
+
+    // ---- Zipf's-law fit: OLS of ln(freq) on ln(rank), top-200 ----
+    "q183_zipf_fit" -> ((s, d) => {
+      TextAnalysis.zipfFit(Tables.documents(s, d), "text", topN = 200)
+    }),
+
+    // ---- Poisson-bootstrap CI of mean chars/doc per source ----
+    "q185_bootstrap_ci" -> ((s, d) => {
+      Eval.bootstrapCi(Tables.documents(s, d), "source", "doc_id",
+          col("n_chars"), reps = 32)
+        .orderBy("source")
+    }),
+
+    // ---- Dirichlet-smoothed query-likelihood retrieval (LM scorer,
+    //      the probabilistic sibling of q102's BM25) ----
+    "q186_dirichlet_ql" -> ((s, d) => {
+      TextAnalysis.dirichletQl(Tables.documents(s, d), "text", "doc_id",
+          queryTerms = Seq("spark", "data", "query", "join"),
+          mu = 2000d, k = 15)
     }),
 
     // ---- SimHash fingerprints (16-bit) ----
@@ -1367,6 +1416,224 @@ object Pipeline {
          SELECT id_a, id_b, round(jac, 4) AS jaccard,
            round(w, 4) AS weighted_jaccard
          FROM wj ORDER BY id_a, id_b"""),
+    // multi-query BM25 (q102's kernel joined against a query-term
+    // VALUES list), graded rel = distinct-terms − 1; ideal DCG rebuilt
+    // from per-grade counts exactly like the Spark side, ln discounts
+    "q179_ndcg_mrr" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+          dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+          q(query_id, term) AS (VALUES
+            (1,'spark'),(1,'data'),(1,'query'),(1,'join'),
+            (2,'hash'),(2,'merge'),(2,'sort'),
+            (3,'vector'),(3,'stream'),(3,'window'),(3,'filter')),
+          hits AS (
+            SELECT q.query_id, s.doc_id, s.term, CAST(count(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, u.term FROM toks, unnest(t) AS u(term)) s
+            JOIN q ON q.term = s.term
+            GROUP BY 1, 2, 3),
+          dfreq AS (
+            SELECT query_id, term, CAST(count(*) AS DOUBLE) AS df
+            FROM hits GROUP BY 1, 2),
+          scored AS (
+            SELECT h.query_id, h.doc_id,
+              sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) * h.tf * 2.2
+                / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS bm25,
+              greatest(count(*) - 1, 0) AS rel
+            FROM hits h
+            JOIN dfreq d USING (query_id, term)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT * FROM (
+              SELECT query_id, doc_id, rel,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY bm25 DESC, doc_id ASC) AS rn
+              FROM scored)
+            WHERE rn <= 100),
+          perq AS (
+            SELECT query_id, count(*) AS n_ranked,
+              sum(CASE WHEN rn <= 10
+                THEN (pow(2, rel) - 1) / ln(rn + 1.0) ELSE 0 END) AS dcg,
+              min(CASE WHEN rel >= 1 THEN rn END) AS first_rel,
+              CAST(sum(CASE WHEN rn <= 10 AND rel >= 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_k
+            FROM ranked GROUP BY 1),
+          gc AS (
+            SELECT query_id, rel, count(*) AS ng
+            FROM scored WHERE rel >= 1 GROUP BY 1, 2),
+          cum AS (
+            SELECT query_id, rel, ng,
+              coalesce(sum(ng) OVER (PARTITION BY query_id ORDER BY rel DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM gc),
+          ideal AS (
+            SELECT query_id,
+              sum((pow(2, rel) - 1) / ln(u.pos + 1.0)) AS idcg
+            FROM cum, unnest(range(CAST(cb + 1 AS BIGINT),
+              CAST(least(cb + ng, 10) + 1 AS BIGINT))) AS u(pos)
+            WHERE cb < 10 GROUP BY 1)
+         SELECT p.query_id, p.n_ranked, round(p.dcg, 6) AS dcg,
+           round(coalesce(i.idcg, 0), 6) AS idcg,
+           round(CASE WHEN coalesce(i.idcg, 0) > 0
+             THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg,
+           round(CASE WHEN p.first_rel IS NOT NULL
+             THEN 1.0 / p.first_rel ELSE 0 END, 6) AS mrr,
+           round(p.hits_k / 10.0, 6) AS precision_at_k
+         FROM perq p LEFT JOIN ideal i USING (query_id)
+         ORDER BY p.query_id""",
+    // same quality kernel as q38 quantized to 3dp; AUC numerator is a
+    // pure integer rank-sum so the final division is bit-identical
+    "q180_roc_auc" ->
+      s"""WITH sc AS (
+            SELECT source,
+              round(round(0.4 * lok + 0.3 * (1.0 - least(pr * 5, 1.0))
+                + 0.3 * least(sr * 4, 1.0), 6), 3) AS s,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM (
+              SELECT source, lang,
+                CASE WHEN length(text) > 0 THEN
+                  length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+                    / length(text) ELSE 0.0 END AS pr,
+                CASE WHEN len(toks) > 0 THEN
+                  len(regexp_extract_all(lower(text),
+                    '\\b(the|and|of|to|is|in|a|that|it|der|die|und|le|la|et|el|de|que)\\b'))::DOUBLE
+                    / len(toks) ELSE 0.0 END AS sr,
+                CASE WHEN len(toks) >= 5 AND len(toks) <= 100000
+                  THEN 1.0 ELSE 0.0 END AS lok
+              FROM (SELECT source, lang, text, $Toks AS toks FROM documents))),
+          counts AS (
+            SELECT source, s,
+              CAST(sum(y) AS BIGINT) AS pos,
+              CAST(sum(1 - y) AS BIGINT) AS neg
+            FROM sc GROUP BY 1, 2),
+          c2 AS (
+            SELECT source, s, pos, neg,
+              coalesce(sum(neg) OVER (PARTITION BY source ORDER BY s ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+            FROM counts)
+         SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           round(CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+             THEN sum(pos * (2 * nb + neg))::DOUBLE
+               / (2.0 * sum(pos) * sum(neg))
+             ELSE 0.0 END, 6) AS auc
+         FROM c2 GROUP BY source ORDER BY source""",
+    // per-bin sums of 1e-6-grid integers (exact), ECE folded over the
+    // 10 bin rows and repeated on each
+    "q181_calibration" ->
+      s"""WITH sc AS (
+            SELECT round(0.4 * lok + 0.3 * (1.0 - least(pr * 5, 1.0))
+                + 0.3 * least(sr * 4, 1.0), 6) AS sq,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM (
+              SELECT lang,
+                CASE WHEN length(text) > 0 THEN
+                  length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+                    / length(text) ELSE 0.0 END AS pr,
+                CASE WHEN len(toks) > 0 THEN
+                  len(regexp_extract_all(lower(text),
+                    '\\b(the|and|of|to|is|in|a|that|it|der|die|und|le|la|et|el|de|que)\\b'))::DOUBLE
+                    / len(toks) ELSE 0.0 END AS sr,
+                CASE WHEN len(toks) >= 5 AND len(toks) <= 100000
+                  THEN 1.0 ELSE 0.0 END AS lok
+              FROM (SELECT lang, text, $Toks AS toks FROM documents))),
+          b AS (
+            SELECT CAST(least(floor(sq * 10), 9) AS INTEGER) AS bin,
+              CAST(round(sq * 1000000) AS BIGINT) AS sq6, y
+            FROM sc),
+          per AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              sum(sq6) AS ssum, sum(y) AS npos
+            FROM b GROUP BY 1),
+          w AS (
+            SELECT bin, n, ssum::DOUBLE / 1000000 / n AS mp,
+              npos::DOUBLE / n AS fp
+            FROM per),
+          e AS (SELECT sum(n * abs(mp - fp)) / sum(n) AS ece FROM w)
+         SELECT bin, n, round(mp, 6) AS mean_pred, round(fp, 6) AS frac_pos,
+           round(e.ece, 6) AS ece
+         FROM w CROSS JOIN e ORDER BY bin""",
+    // rank ties → lexicographic on both sides; the 6-sum OLS fold runs
+    // over the same 200 (ln rank, ln freq) points
+    "q183_zipf_fit" ->
+      s"""WITH freq AS (
+            SELECT term, count(*) AS freq FROM (
+              SELECT unnest($Toks) AS term FROM documents)
+            GROUP BY term ORDER BY freq DESC, term ASC LIMIT 200),
+          xy AS (
+            SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term ASC)
+              AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+            FROM freq),
+          a AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM xy)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(CASE WHEN n * syy - sy * sy > 0
+             THEN pow(n * sxy - sx * sy, 2)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             ELSE 0 END, 6) AS r2
+         FROM a""",
+    // md5-deterministic Poisson(1) draws on the 1e-6 integer grid;
+    // every replicate mean is a ratio of integer sums
+    "q185_bootstrap_ci" -> {
+      val wt = Eval.poissonCutsSql("u")
+      s"""WITH w AS (
+            SELECT source, doc_id, n_chars, r.r AS rep,
+              ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+                CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+            FROM documents, range(0, 32) r(r)),
+          pw AS (
+            SELECT source, rep, CAST($wt AS BIGINT) AS wt, n_chars FROM w),
+          reps AS (
+            SELECT source, rep,
+              CAST(sum(wt * n_chars) AS BIGINT) AS wv,
+              CAST(sum(wt) AS BIGINT) AS wsum
+            FROM pw GROUP BY 1, 2),
+          means AS (
+            SELECT source, CASE WHEN wsum > 0 THEN wv::DOUBLE / wsum END AS m
+            FROM reps),
+          arr AS (
+            SELECT source, list_sort(list(m)) AS ms
+            FROM means WHERE m IS NOT NULL GROUP BY source),
+          base AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS sv
+            FROM documents GROUP BY source)
+         SELECT b.source, b.n, round(b.sv::DOUBLE / b.n, 6) AS mean,
+           round(a.ms[2], 6) AS ci_lo, round(a.ms[31], 6) AS ci_hi
+         FROM base b JOIN arr a USING (source) ORDER BY b.source"""
+    },
+    // rank-equivalent sparse decomposition: matching terms add
+    // ln(1 + tf/(μ·p_t)), every doc carries the |q|·ln(μ/(dl+μ)) prior;
+    // ORDER/LIMIT on the unrounded score (q108's lesson)
+    "q186_dirichlet_ql" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+          tot AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS ct FROM toks),
+          tf AS (
+            SELECT doc_id, u.term, CAST(count(*) AS DOUBLE) AS tf
+            FROM toks, unnest(t) AS u(term)
+            WHERE u.term IN ('spark', 'data', 'query', 'join')
+            GROUP BY 1, 2),
+          cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+          m AS (
+            SELECT t.doc_id,
+              sum(ln(1 + t.tf / (2000.0 * c.cf / tt.ct))) AS mt
+            FROM tf t JOIN cf c USING (term) CROSS JOIN tot tt
+            GROUP BY 1),
+          s AS (
+            SELECT k.doc_id,
+              coalesce(m.mt, 0) + 4 * ln(2000.0 / (len(k.t) + 2000.0)) AS score
+            FROM toks k LEFT JOIN m USING (doc_id))
+         SELECT doc_id, round(score, 4) AS ql_score FROM (
+           SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 15)
+         ORDER BY score DESC, doc_id""",
     // shared LSH chain + per-pair signature component-match estimate
     "q172_minhash_estimate_audit" ->
       (LshVerifiedPairCtes + """,

@@ -224,6 +224,14 @@ object Relational {
         .orderBy("bin")
     }),
 
+    // ---- Benford first-digit audit of the price column (χ² data-
+    //      quality screen; digits from the exact cents INTEGER) ----
+    "q182_benford" -> ((s, d) => {
+      graft.operators.Eval.benfordAudit(li(s, d),
+          round(col("l_extendedprice") * 100).cast("long"))
+        .orderBy("digit")
+    }),
+
     // ---- C5-C8 string functions ----
     "q20_string_funcs" -> ((s, d) => {
       Tables.part(s, d)
@@ -572,6 +580,25 @@ object Relational {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
          count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY 1 ORDER BY bin""",
+    // leading digit from the exact cents integer's decimal string
+    // (never float formatting); expected p via ln ratios exactly as
+    // the Spark side computes log(10, ·)
+    "q182_benford" ->
+      """WITH d AS (
+            SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM lineitem),
+          c AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1 GROUP BY 1),
+          t AS (SELECT sum(n)::DOUBLE AS tot FROM c),
+          w AS (
+            SELECT digit, n, n / t.tot AS obs_p,
+              ln(1.0 + 1.0 / digit) / ln(10.0) AS exp_p, t.tot
+            FROM c CROSS JOIN t),
+          x AS (
+            SELECT sum(pow(n - tot * exp_p, 2) / (tot * exp_p)) AS chi2 FROM w)
+         SELECT digit, CAST(n AS BIGINT) AS n, round(obs_p, 6) AS obs_p,
+           round(exp_p, 6) AS exp_p, round(x.chi2, 6) AS chi2
+         FROM w CROSS JOIN x ORDER BY digit""",
     "q20_string_funcs" ->
       """SELECT p_partkey,
          upper(p_brand) AS brand_u,

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Eval
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankingEval: hand-computed nDCG/MRR/P@k on a 4-doc corpus") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana"),
+      (3L, "apple"),
+      (4L, "date fig")).toDF("doc_id", "text")
+    val out = Eval.rankingEval(docs, "text", "doc_id",
+      queries = Seq(1 -> Seq("apple", "banana", "cherry")), k = 10)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    // docs 1-3 match ≥1 term; rel = distinct-terms−1 ⇒ 2, 1, 0
+    assert(r.getAs[Long]("n_ranked") == 3)
+    // rarest-term idf dominance ranks doc 1 first ⇒ first relevant at 1
+    assert(r.getAs[Double]("mrr") == 1.0)
+    // 2 of the 10 cut-off slots hold a relevant doc
+    assert(r.getAs[Double]("precision_at_k") == 0.2)
+    // ideal ordering is rel 2 then rel 1: (2²−1)/ln2 + (2¹−1)/ln3
+    val idcg = BigDecimal(3d / math.log(2) + 1d / math.log(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("idcg") == idcg)
+    // the BM25 order IS the ideal order here, so nDCG is exactly 1
+    assert(r.getAs[Double]("ndcg") == 1.0)
+    assert(r.getAs[Double]("dcg") == r.getAs[Double]("idcg"))
+  }
+
+  test("rocAuc: perfect separation → 1, pure ties → 0.5, mixed hand case") {
+    val df = Seq(
+      // group a: positives strictly above negatives
+      ("a", 0.9, true), ("a", 0.8, true), ("a", 0.2, false), ("a", 0.1, false),
+      // group b: labels independent of the (all-tied) score
+      ("b", 0.5, true), ("b", 0.5, false), ("b", 0.5, true), ("b", 0.5, false),
+      // group c: one inversion among 2 pos / 2 neg ⇒ AUC = 3/4
+      ("c", 0.9, true), ("c", 0.8, false), ("c", 0.7, true), ("c", 0.1, false))
+      .toDF("g", "s", "y")
+    val out = Eval.rocAuc(df, "g", col("s"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"), r.getAs[Double]("auc")))
+      .toMap
+    assert(out("a") == ((2L, 2L, 1.0)))
+    assert(out("b") == ((2L, 2L, 0.5)))
+    assert(out("c") == ((2L, 2L, 0.75)))
+  }
+
+  test("calibration: bin edges, clamp at 1.0, exact ECE") {
+    val df = Seq(
+      (0.05, true), (0.05, false), // bin 0: mean 0.05, frac_pos 0.5
+      (0.95, true), // bin 9
+      (1.0, true) // exactly 1.0 clamps into bin 9, not a phantom bin 10
+    ).toDF("s", "y")
+    val rows = Eval.calibration(df, col("s"), col("y"), bins = 10)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == Seq(0, 9))
+    val b0 = rows(0); val b9 = rows(1)
+    assert(b0.getAs[Long]("n") == 2 && b0.getAs[Double]("mean_pred") == 0.05
+      && b0.getAs[Double]("frac_pos") == 0.5)
+    assert(b9.getAs[Long]("n") == 2 && b9.getAs[Double]("mean_pred") == 0.975
+      && b9.getAs[Double]("frac_pos") == 1.0)
+    // ECE = (2·|0.05−0.5| + 2·|0.975−1|)/4 = (0.9 + 0.05)/4
+    assert(b0.getAs[Double]("ece") == 0.2375)
+    assert(b9.getAs[Double]("ece") == 0.2375)
+  }
+
+  test("bootstrapCi: constant metric collapses the interval to the mean") {
+    val df = (1L to 40L).map(i => ("g", i, 7L)).toDF("src", "id", "v")
+    val r = Eval.bootstrapCi(df, "src", "id", col("v"), reps = 32).collect().head
+    assert(r.getAs[Long]("n") == 40)
+    assert(r.getAs[Double]("mean") == 7.0)
+    assert(r.getAs[Double]("ci_lo") == 7.0)
+    assert(r.getAs[Double]("ci_hi") == 7.0)
+  }
+
+  test("bootstrapCi: md5-deterministic (re-run identical) and ordered bounds") {
+    val df = (1L to 60L).map(i => ("g", i, i)).toDF("src", "id", "v")
+    val a = Eval.bootstrapCi(df, "src", "id", col("v"), reps = 32).collect().head
+    val b = Eval.bootstrapCi(df, "src", "id", col("v"), reps = 32).collect().head
+    assert(a == b)
+    assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("ci_hi"))
+    // the interval surrounds the point estimate for a symmetric metric
+    assert(a.getAs[Double]("ci_lo") < a.getAs[Double]("mean"))
+    assert(a.getAs[Double]("ci_hi") > a.getAs[Double]("mean"))
+  }
+
+  test("benfordAudit: digits from exact cents, χ² recomputed independently") {
+    val df = Seq(1.23, 0.19, 20.45, 9.99, 0.87, 19.00).toDF("price")
+    val out = Eval.benfordAudit(df, round(col("price") * 100).cast("long"))
+      .orderBy("digit").collect()
+    // cents 123, 19, 2045, 999, 87, 1900 → digits 1,1,2,9,8,1
+    assert(out.map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n")).toSeq ==
+      Seq(1 -> 3L, 2 -> 1L, 8 -> 1L, 9 -> 1L))
+    val n = Map(1 -> 3d, 2 -> 1d, 8 -> 1d, 9 -> 1d)
+    val chi2 = (1 to 9).map { d =>
+      val e = 6d * math.log10(1d + 1d / d)
+      val o = n.getOrElse(d, 0d)
+      math.pow(o - e, 2) / e
+    }.sum
+    // the audit's χ² only spans observed digits; unobserved digits
+    // contribute their expectation: χ²_full = χ²_observed + Σ_miss e
+    val missing = Seq(3, 4, 5, 6, 7).map(d => 6d * math.log10(1d + 1d / d)).sum
+    val got = out.head.getAs[Double]("chi2")
+    assert(math.abs(got - (chi2 - missing)) < 1e-6)
+  }
+}

@@ -2275,4 +2275,45 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(("g", 11L, 2.0, 10.0, 1L, 1L,
       math.rint(1055d / 11 * 1e6) / 1e6, 6.0)))
   }
+
+  test("TextAnalysis.zipfFit: exact power law fits slope −1, R² = 1") {
+    // freqs 12/6/4/3 = 12/rank: the log-log points are collinear
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = words.grouped(5).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = TextAnalysis.zipfFit(docs, "text").collect().head
+    assert(r.getAs[Long]("n_terms") == 4)
+    assert(r.getAs[Double]("slope") == -1.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    assert(r.getAs[Double]("intercept") ==
+      math.rint(math.log(12d) * 1e6) / 1e6)
+  }
+
+  test("Profile.giniConcentration: uniform → 0, hand case 0.25") {
+    val uniform = Seq(1, 2, 3, 4).flatMap(k => Seq.fill(3)(k)).toDF("k")
+    val u = Profile.giniConcentration(uniform, "k").collect().head
+    assert(u.getAs[Long]("n_keys") == 4 && u.getAs[Long]("total") == 12)
+    assert(u.getAs[Double]("gini") == 0.0)
+    // counts {1, 3}: G = Σ|xi−xj| / (2n²μ) = 4/16 = 0.25
+    val skewed = (Seq.fill(1)(10) ++ Seq.fill(3)(20)).toDF("k")
+    val s = Profile.giniConcentration(skewed, "k").collect().head
+    assert(s.getAs[Double]("gini") == 0.25)
+  }
+
+  test("TextAnalysis.dirichletQl: hand-computed LM scores, length prior ranks") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dirichletQl(docs, "text", "doc_id",
+      Seq("a"), mu = 2d, k = 3)
+      .as[(Long, Double)].collect().toMap
+    // p_a = 3/8 (only matching-term occurrences feed cf; |C| counts all)
+    def score(tf: Double, dl: Double): Double =
+      math.rint((math.log(1 + tf / (2d * 3d / 8d)) +
+        math.log(2d / (dl + 2d))) * 1e4) / 1e4
+    assert(got(1L) == score(2, 3))
+    assert(got(2L) == score(1, 2))
+    assert(got(3L) == score(0, 3))
+    // doc 2's single hit over a shorter length outranks doc 3's none
+    assert(got(2L) > got(3L) && got(1L) > got(2L))
+  }
 }

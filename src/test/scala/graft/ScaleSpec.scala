@@ -517,4 +517,32 @@ class ScaleSpec extends SparkSpec {
       s"(basket,item) projection not persisted:\n$plan")
     Dedup.clearCaches()
   }
+
+  test("rankingEval: rank cutoff plans a WindowGroupLimit, hits table persisted") {
+    // the per-query ranking must be a map-side top-`depth` (partial
+    // WindowGroupLimit below the query_id exchange), never a sort of
+    // every scored doc into one partition; and the (query,doc,term)
+    // hit table feeds both df-counts and scoring, so it must persist
+    // rather than re-explode the corpus
+    val docs = (0 until 200).map(i => (i.toLong,
+      s"alpha ${if (i % 3 == 0) "beta" else "x"} term$i"))
+      .toDF("doc_id", "text")
+    val out = operators.Eval.rankingEval(docs, "text", "doc_id",
+      Seq(1 -> Seq("alpha", "beta")), k = 5, depth = 20)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    Dedup.clearCaches()
+  }
+
+  test("zipfFit ranks via TakeOrdered, never a global-sort Exchange") {
+    val docs = (0 until 100).map(i => s"w${i % 17} w${i % 5} common")
+      .toDF("text")
+    val out = operators.TextAnalysis.zipfFit(docs, "text", topN = 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
 }
