@@ -394,6 +394,62 @@ object Events {
           / col("nw"), 6).as("intercept"))
   }
 
+  /** Per-key QUADRATIC volume trend — least-squares fit of
+    * y = a0 + a1·t + a2·t² to gap-filled window counts, the curvature
+    * companion of [[volumeTrend]] ("growing, but decelerating?"). The
+    * normal equations are solved in the CENTERED parametrization
+    * u = 2t − (W−1): the gap-filled grid is complete, so Σu = Σu³ = 0
+    * structurally and the 3×3 system collapses to a diagonal-plus-2×2
+    * solve with no matrix inversion. The eight per-key sums
+    * (Σt^j, Σt^j·y) are pure INTEGER aggregates; every derived
+    * quantity after them is the same fixed double expression in both
+    * engines, so results replay exactly. Emits
+    * `(keyCol, n_windows, total, a0, a1, a2)` with a1/a2 per window.
+    *
+    * Scale shape: identical to [[volumeTrend]] — one (key, window)
+    * count shuffle, one combinable 8-sum aggregate, row-local algebra
+    * after. Window ordinals are time-bounded; int64 exactness of the
+    * sums holds to ~100k windows (Σt⁴ < 2⁶³), far past any real
+    * monitoring horizon at sane window widths.
+    */
+  def volumeTrendQuadratic(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long): DataFrame = {
+    val g = gridCounts(df, keyCol, tsNs, windowNs)
+    val agg = g.groupBy("k").agg(
+      count(lit(1)).as("nw"),
+      sum("t").as("st"), sum(col("t") * col("t")).as("st2"),
+      sum(col("t") * col("t") * col("t")).as("st3"),
+      sum(col("t") * col("t") * col("t") * col("t")).as("st4"),
+      sum("n").as("t0"), sum(col("t") * col("n")).as("t1"),
+      sum(col("t") * col("t") * col("n")).as("t2"))
+    // centered sums from the raw ones (c = W−1, u = 2t−c):
+    //   Σu²  = 4Σt² − 4cΣt + c²W          Σu·y  = 2Σty − cΣy
+    //   Σu⁴  = 16Σt⁴ − 32cΣt³ + 24c²Σt² − 8c³Σt + c⁴W
+    //   Σu²y = 4Σt²y − 4cΣty + c²Σy
+    val W = col("nw").cast("double")
+    val c = W - lit(1d)
+    val st = col("st").cast("double"); val st2 = col("st2").cast("double")
+    val st3 = col("st3").cast("double"); val st4 = col("st4").cast("double")
+    val t0 = col("t0").cast("double"); val t1 = col("t1").cast("double")
+    val t2 = col("t2").cast("double")
+    val s2u = lit(4d) * st2 - lit(4d) * c * st + c * c * W
+    val s4u = lit(16d) * st4 - lit(32d) * c * st3 + lit(24d) * c * c * st2 -
+      lit(8d) * c * c * c * st + c * c * c * c * W
+    val t1u = lit(2d) * t1 - c * t0
+    val t2u = lit(4d) * t2 - lit(4d) * c * t1 + c * c * t0
+    val denA2 = W * s4u - s2u * s2u
+    val a2u = when(denA2 > 0, (W * t2u - s2u * t0) / denA2).otherwise(lit(0d))
+    val a1u = when(s2u > 0, t1u / s2u).otherwise(lit(0d))
+    agg
+      .withColumn("_a2u", a2u).withColumn("_a1u", a1u)
+      .withColumn("_a0u", (t0 - col("_a2u") * s2u) / W)
+      .select(col("k").as(keyCol), col("nw").as("n_windows"),
+        col("t0").as("total"),
+        round(col("_a0u") - col("_a1u") * c + col("_a2u") * c * c, 6).as("a0"),
+        round(lit(2d) * col("_a1u") - lit(4d) * col("_a2u") * c, 8).as("a1"),
+        round(lit(4d) * col("_a2u"), 8).as("a2"))
+  }
+
   /** Per-key diurnal (hour-of-day) activity profile: for each key and
     * UTC hour-of-day, the mean window count across the observation
     * range and its ratio to the key's overall mean — the seasonality

@@ -63,4 +63,64 @@ object Itemsets {
         round(col("n_ab") * col("__total") / (col("n_a") * col("n_b")), 6)
           .as("lift"))
   }
+
+  /** Level-3 frequent itemsets: triples of items co-occurring in
+    * `minSupport`+ baskets, with support and the 3-way lift
+    * `n_abc·N² / (n_a·n_b·n_c)` against full independence. Emits one
+    * row per ordered triple `item_a < item_b < item_c`:
+    * `(item_a, item_b, item_c, n_a, n_b, n_c, n_abc, support, lift)`.
+    *
+    * Scale shape: textbook a-priori level-wise generation — items
+    * below `minSupport` drop before the pair join, the materialized
+    * (basket, pair) rows are pruned to FREQUENT pairs before the
+    * third-item extension (every 2-subset of a frequent triple is
+    * frequent, so this discards no answers), and only then does the
+    * per-basket count run. The (basket, pair) table persists (it
+    * feeds both the pair counts and the extension); the frequent-pair
+    * filter join is unhinted — pair dimension tables are small in
+    * practice and AQE broadcasts them when they are. Per-basket
+    * fan-out is C(frequent items in basket, 3), the quantity the
+    * level-wise pruning exists to bound.
+    */
+  def tripleLift(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2): DataFrame = {
+    val rows = Dedup.persistTracked(
+      df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .where(col("__i").isNotNull)
+        .distinct())
+    val itemN = rows.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minSupport)
+    val total = rows.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__total"))
+    val frequent = rows.join(broadcast(itemN.select("__i")), Seq("__i"))
+    val pairRows = Dedup.persistTracked(
+      frequent.as("a")
+        .join(frequent.as("b"),
+          col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+        .select(col("a.__b").as("__b"),
+          col("a.__i").as("__ia"), col("b.__i").as("__ib")))
+    val pairN = pairRows.groupBy("__ia", "__ib").agg(count(lit(1)).as("__np"))
+      .where(col("__np") >= minSupport)
+    val tri = pairRows
+      .join(pairN.select("__ia", "__ib"), Seq("__ia", "__ib"))
+      .join(frequent.select(col("__b"), col("__i").as("__ic")), Seq("__b"))
+      .where(col("__ic") > col("__ib"))
+      .groupBy("__ia", "__ib", "__ic")
+      .agg(count(lit(1)).as("n_abc"))
+      .where(col("n_abc") >= minSupport)
+    def withN(suffix: String): DataFrame =
+      itemN.select(col("__i").as(s"__i$suffix"), col("__n").as(s"n_$suffix"))
+    tri
+      .join(broadcast(withN("a")), Seq("__ia"))
+      .join(broadcast(withN("b")), Seq("__ib"))
+      .join(broadcast(withN("c")), Seq("__ic"))
+      .crossJoin(broadcast(total))
+      .select(col("__ia").as("item_a"), col("__ib").as("item_b"),
+        col("__ic").as("item_c"), col("n_a"), col("n_b"), col("n_c"),
+        col("n_abc"),
+        round(col("n_abc") / col("__total"), 6).as("support"),
+        round(col("n_abc").cast("double") * col("__total") * col("__total")
+          / (col("n_a").cast("double") * col("n_b") * col("n_c")), 6)
+          .as("lift"))
+  }
 }

@@ -240,4 +240,52 @@ object Percentiles {
         round(avg(greatest(least(col("__v"), col("hi_cut")), col("lo_cut"))), 6)
           .as("mean_after"))
   }
+
+  /** Per-group vs global quantile alignment of a QUANTIZED score —
+    * the score-harmonization audit run before mixing heterogeneously
+    * scored sources: for each group and each decile d/10, the group's
+    * exact type-1 quantile (min score whose cumulative count reaches
+    * ⌈d·n/10⌉) next to the corpus-wide quantile and the gap. A source
+    * whose scorer runs hot/cold shows a systematic gap column. The
+    * rank threshold comparison is pure integers (`10·cum ≥ d·n`), so
+    * quantile selection is bit-identical cross-engine. Emits
+    * `(groupCol, decile, src_q, global_q, gap)` for deciles 1..9.
+    *
+    * `scoreQ` must be bounded-cardinality (e.g. a 3dp rounding):
+    * per-(group, score) counts are one combinable agg, the cumulative
+    * windows run over distinct scores per group (and over the global
+    * distinct grid), and the decile probe is a 9-row broadcast cross —
+    * nothing corpus-sized moves after the first aggregate.
+    */
+  def quantileAlign(df: DataFrame, groupCol: String,
+      scoreQ: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = Dedup.persistTracked(
+      df.select(col(groupCol).as("__g"), scoreQ.as("__s"))
+        .groupBy("__g", "__s").agg(count(lit(1)).as("__c")))
+    val dec = broadcast((1 to 9).toDF("decile"))
+    def quantiles(c: DataFrame, parts: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(parts.map(col): _*).orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = c.groupBy(parts.map(col): _*).agg(sum("__c").as("__n"))
+      val cums = c.withColumn("__cum", sum("__c").over(w))
+      val joined =
+        if (parts.isEmpty) cums.crossJoin(broadcast(tot))
+        else cums.join(broadcast(tot), parts)
+      joined.crossJoin(dec)
+        .where(col("__cum") * 10 >= col("decile") * col("__n"))
+        .groupBy((parts.map(col) :+ col("decile")): _*)
+        .agg(min("__s").as("__q"))
+    }
+    val src = quantiles(counts, Seq("__g"))
+    val glob = quantiles(
+      counts.groupBy("__s").agg(sum("__c").as("__c")), Seq.empty)
+    src.join(broadcast(glob.select(col("decile"), col("__q").as("__gq"))),
+        Seq("decile"))
+      .select(col("__g").as(groupCol), col("decile"),
+        col("__q").as("src_q"), col("__gq").as("global_q"),
+        round(col("__q") - col("__gq"), 6).as("gap"))
+  }
 }

@@ -194,6 +194,20 @@ object EventsQ {
       graft.operators.Profile.giniConcentration(Tables.events(s, d), "user_id")
     }),
 
+    // ---- quadratic volume trend (curvature: growing but slowing?) ----
+    "q187_quadratic_trend" -> ((s, d) => {
+      Events.volumeTrendQuadratic(Tables.events(s, d), "event_type", "ts",
+          HourNs)
+        .orderBy("event_type")
+    }),
+
+    // ---- frequent event-type triples per user basket (a-priori L3) ----
+    "q188_triple_lift" -> ((s, d) => {
+      graft.operators.Itemsets.tripleLift(Tables.events(s, d),
+          "user_id", "event_type", minSupport = 2)
+        .orderBy("item_a", "item_b", "item_c")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -472,6 +486,94 @@ object EventsQ {
            round((2.0 * s1 - (n_keys + 1.0) * total)
              / (CAST(n_keys AS DOUBLE) * total), 6) AS gini
          FROM s""",
+    // integer 8-sum aggregate, then the identical centered-u double
+    // algebra (u = 2t−c makes Σu = Σu³ = 0 on the complete grid)
+    "q187_quadratic_trend" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // $HourNs AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // $HourNs) AS w0,
+              max(epoch_ns(ts) // $HourNs) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w, b.w0 FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w - g.w0 AS t, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          a AS (
+            SELECT k, count(*) AS nw,
+              CAST(sum(t) AS BIGINT) AS st,
+              CAST(sum(t * t) AS BIGINT) AS st2,
+              CAST(sum(t * t * t) AS BIGINT) AS st3,
+              CAST(sum(t * t * t * t) AS BIGINT) AS st4,
+              CAST(sum(n) AS BIGINT) AS t0,
+              CAST(sum(t * n) AS BIGINT) AS t1,
+              CAST(sum(t * t * n) AS BIGINT) AS t2
+            FROM f GROUP BY k),
+          d1 AS (
+            SELECT k, nw, t0,
+              CAST(nw AS DOUBLE) AS w, CAST(nw AS DOUBLE) - 1 AS cc,
+              CAST(st AS DOUBLE) AS s1, CAST(st2 AS DOUBLE) AS s2,
+              CAST(st3 AS DOUBLE) AS s3, CAST(st4 AS DOUBLE) AS s4,
+              CAST(t0 AS DOUBLE) AS y0, CAST(t1 AS DOUBLE) AS y1,
+              CAST(t2 AS DOUBLE) AS y2
+            FROM a),
+          d2 AS (
+            SELECT *,
+              4 * s2 - 4 * cc * s1 + cc * cc * w AS s2u,
+              16 * s4 - 32 * cc * s3 + 24 * cc * cc * s2
+                - 8 * cc * cc * cc * s1 + cc * cc * cc * cc * w AS s4u,
+              2 * y1 - cc * y0 AS t1u,
+              4 * y2 - 4 * cc * y1 + cc * cc * y0 AS t2u
+            FROM d1),
+          d3 AS (
+            SELECT *,
+              CASE WHEN w * s4u - s2u * s2u > 0
+                THEN (w * t2u - s2u * y0) / (w * s4u - s2u * s2u)
+                ELSE 0 END AS a2u,
+              CASE WHEN s2u > 0 THEN t1u / s2u ELSE 0 END AS a1u
+            FROM d2),
+          d4 AS (SELECT *, (y0 - a2u * s2u) / w AS a0u FROM d3)
+         SELECT k AS event_type, nw AS n_windows, t0 AS total,
+           round(a0u - a1u * cc + a2u * cc * cc, 6) AS a0,
+           round(2 * a1u - 4 * a2u * cc, 8) AS a1,
+           round(4 * a2u, 8) AS a2
+         FROM d4 ORDER BY event_type""",
+    // a-priori level-3 replay: frequent items → (basket, frequent
+    // pair) rows → third-item extension → triple counts; 3-way lift
+    // against full independence
+    "q188_triple_lift" ->
+      """WITH r AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+          itemn AS (
+            SELECT i, CAST(count(*) AS BIGINT) AS n FROM r
+            GROUP BY 1 HAVING count(*) >= 2),
+          tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM r),
+          freq AS (SELECT r.b, r.i FROM r JOIN itemn USING (i)),
+          pairs AS (
+            SELECT a.b, a.i AS ia, b2.i AS ib
+            FROM freq a JOIN freq b2 ON a.b = b2.b AND a.i < b2.i),
+          pairn AS (
+            SELECT ia, ib FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2),
+          tri AS (
+            SELECT p.ia, p.ib, f.i AS ic, CAST(count(*) AS BIGINT) AS n_abc
+            FROM pairs p
+            JOIN pairn USING (ia, ib)
+            JOIN freq f ON f.b = p.b AND f.i > p.ib
+            GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         SELECT t.ia AS item_a, t.ib AS item_b, t.ic AS item_c,
+           na.n AS n_a, nb2.n AS n_b, nc.n AS n_c, t.n_abc,
+           round(t.n_abc / CAST(tot.nb AS DOUBLE), 6) AS support,
+           round(CAST(t.n_abc AS DOUBLE) * tot.nb * tot.nb
+             / (CAST(na.n AS DOUBLE) * nb2.n * nc.n), 6) AS lift
+         FROM tri t
+         JOIN itemn na ON na.i = t.ia
+         JOIN itemn nb2 ON nb2.i = t.ib
+         JOIN itemn nc ON nc.i = t.ic
+         CROSS JOIN tot
+         ORDER BY item_a, item_b, item_c""",
     // chained per-stage minima as CTEs: t_i = earliest stage-i event
     // strictly after t_{i-1} and within the horizon of t_1 — the same
     // recurrence the engine's window chain computes

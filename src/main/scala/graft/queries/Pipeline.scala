@@ -185,6 +185,14 @@ object Pipeline {
         .orderBy("bin")
     }),
 
+    // ---- per-source vs global quality-score quantile alignment ----
+    "q190_quantile_align" -> ((s, d) => {
+      val q = TextAnalysis.qualityStruct(col("text")).getField("quality_score")
+      graft.operators.Percentiles.quantileAlign(
+          Tables.documents(s, d), "source", round(q, 3))
+        .orderBy("source", "decile")
+    }),
+
     // ---- Zipf's-law fit: OLS of ln(freq) on ln(rank), top-200 ----
     "q183_zipf_fit" -> ((s, d) => {
       TextAnalysis.zipfFit(Tables.documents(s, d), "text", topN = 200)
@@ -1556,6 +1564,54 @@ object Pipeline {
          SELECT bin, n, round(mp, 6) AS mean_pred, round(fp, 6) AS frac_pos,
            round(e.ece, 6) AS ece
          FROM w CROSS JOIN e ORDER BY bin""",
+    // q180's quality kernel quantized to 3dp; type-1 quantile picked by
+    // the integer rank test 10·cum ≥ d·n on both sides
+    "q190_quantile_align" ->
+      s"""WITH sc AS (
+            SELECT source,
+              round(round(0.4 * lok + 0.3 * (1.0 - least(pr * 5, 1.0))
+                + 0.3 * least(sr * 4, 1.0), 6), 3) AS s
+            FROM (
+              SELECT source,
+                CASE WHEN length(text) > 0 THEN
+                  length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+                    / length(text) ELSE 0.0 END AS pr,
+                CASE WHEN len(toks) > 0 THEN
+                  len(regexp_extract_all(lower(text),
+                    '\\b(the|and|of|to|is|in|a|that|it|der|die|und|le|la|et|el|de|que)\\b'))::DOUBLE
+                    / len(toks) ELSE 0.0 END AS sr,
+                CASE WHEN len(toks) >= 5 AND len(toks) <= 100000
+                  THEN 1.0 ELSE 0.0 END AS lok
+              FROM (SELECT source, text, $Toks AS toks FROM documents))),
+          counts AS (SELECT source, s, count(*) AS c FROM sc GROUP BY 1, 2),
+          tot AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n
+            FROM counts GROUP BY 1),
+          cums AS (
+            SELECT source, s, sum(c) OVER (PARTITION BY source ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM counts),
+          dec AS (SELECT unnest(range(1, 10)) AS decile),
+          src AS (
+            SELECT c.source, d.decile, min(c.s) AS q
+            FROM cums c JOIN tot USING (source) CROSS JOIN dec d
+            WHERE c.cum * 10 >= d.decile * tot.n
+            GROUP BY 1, 2),
+          g1 AS (SELECT s, sum(c) AS c FROM counts GROUP BY 1),
+          gt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g1),
+          gc AS (
+            SELECT s, sum(c) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM g1),
+          gq AS (
+            SELECT d.decile, min(s) AS q
+            FROM gc CROSS JOIN gt CROSS JOIN dec d
+            WHERE gc.cum * 10 >= d.decile * gt.n
+            GROUP BY 1)
+         SELECT s2.source, s2.decile, s2.q AS src_q, gq.q AS global_q,
+           round(s2.q - gq.q, 6) AS gap
+         FROM src s2 JOIN gq USING (decile)
+         ORDER BY s2.source, s2.decile""",
     // rank ties → lexicographic on both sides; the 6-sum OLS fold runs
     // over the same 200 (ln rank, ln freq) points
     "q183_zipf_fit" ->

@@ -132,6 +132,9 @@ object VcfQ {
     "q89_vcf_variant_qc" -> ((s, _) => {
       VcfApi.variantQc(tables(s).geno).orderBy("variant_id")
     }),
+    "q189_vcf_hwe" -> ((s, _) => {
+      VcfApi.hweReport(tables(s).geno).orderBy("variant_id")
+    }),
     "q62_vcf_tabix_range" -> ((s, _) => {
       // tabix-indexed pre-ETL range read on a bgzipped copy of the toy
       // fixture: only index-selected blocks are planned, and the result
@@ -184,6 +187,21 @@ object VcfQ {
           (5, 2, 1.0, 0.25, 1),
           (6, 2, 1.0, 1.0,  0))
          t(variant_id, n_called, call_rate, alt_af, n_het)
+         ORDER BY variant_id""",
+    // hand-computed HWE from the q45 golden genotypes, e.g. v1 gts
+    // (0,1): p = 3/4, expected (1.125, 0.75, 0.125) ⇒ χ² = 2/9;
+    // monomorphic v6 (2,2): zero-expectation cells skipped ⇒ χ² = 0
+    "q189_vcf_hwe" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0.75 AS DOUBLE),
+            CAST(0.2222 AS DOUBLE)),
+          (2, 2, 1, 0, 1, 0.5,  2.0),
+          (3, 1, 0, 1, 0, 0.5,  1.0),
+          (4, 2, 0, 1, 1, 0.25, 0.2222),
+          (5, 2, 1, 1, 0, 0.75, 0.2222),
+          (6, 2, 0, 0, 2, 0.0,  0.0))
+         t(variant_id, n, n0, n1, n2, p_ref, hwe_chi2)
          ORDER BY variant_id""",
     "q43_vcf_info" ->
       """SELECT * FROM (VALUES

@@ -1,6 +1,6 @@
 package graft.vcf
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.RangeJoin
 
@@ -181,6 +181,44 @@ object VcfApi {
         round(count(col("gt")).cast("double") / count(lit(1)), 4).as("call_rate"),
         round(sum(col("gt")) / (count(col("gt")) * 2d), 4).as("alt_af"),
         count(when(col("gt") === 1d, lit(1))).as("n_het"))
+
+  /** Per-variant Hardy-Weinberg equilibrium χ² — the classic variant-
+    * QC screen a genotype store runs after [[variantQc]]: from the
+    * called-genotype counts (n0 hom-ref, n1 het, n2 hom-alt) derive
+    * the ref-allele frequency p = (2·n0 + n1)/(2n) and the χ²
+    * distance of the observed genotype counts from the p²/2pq/q²
+    * expectation; zero-expectation cells (monomorphic variants) are
+    * skipped per the standard convention, so a fixed site scores 0.
+    * Output: `variant_id, n, n0, n1, n2, p_ref, hwe_chi2` (p and χ²
+    * rounded to 4).
+    *
+    * Scale shape: ONE map-side-combinable aggregation keyed on
+    * variant_id over the long geno table — the same shape as
+    * [[variantQc]]; the χ² arithmetic is row-local on the aggregated
+    * counts. No joins, no windows.
+    */
+  def hweReport(geno: DataFrame): DataFrame = {
+    val agg = geno.groupBy("variant_id").agg(
+      count(col("gt")).as("n"),
+      count(when(col("gt") === 0d, lit(1))).as("n0"),
+      count(when(col("gt") === 1d, lit(1))).as("n1"),
+      count(when(col("gt") === 2d, lit(1))).as("n2"))
+    val nD = col("n").cast("double")
+    val p = (lit(2d) * col("n0") + col("n1")) / (lit(2d) * nD)
+    val q = lit(1d) - col("_p")
+    val e0 = col("_p") * col("_p") * nD
+    val e1 = lit(2d) * col("_p") * q * nD
+    val e2 = q * q * nD
+    def cell(o: Column, e: Column): Column =
+      when(e > 0, (o - e) * (o - e) / e).otherwise(lit(0d))
+    agg.where(col("n") > 0)
+      .withColumn("_p", p)
+      .withColumn("_chi2",
+        cell(col("n0"), e0) + cell(col("n1"), e1) + cell(col("n2"), e2))
+      .select(col("variant_id"), col("n"), col("n0"), col("n1"), col("n2"),
+        round(col("_p"), 4).as("p_ref"),
+        round(col("_chi2"), 4).as("hwe_chi2"))
+  }
 
   /** Bulk interval-overlap join against an arbitrary regions table
     * (columns: chr, start, end). Dispatches adaptively

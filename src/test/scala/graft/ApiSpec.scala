@@ -180,4 +180,20 @@ class ApiSpec extends SparkSpec {
     assert(s.sql("SELECT graft_cosine(array(1.0d), array(1.0d))")
       .collect()(0).getDouble(0) == 1.0)
   }
+
+  test("VcfApi.hweReport: equilibrium population scores χ² = 0") {
+    import spark.implicits._
+    // 25/50/25 at p = 0.5 is EXACTLY Hardy-Weinberg ⇒ χ² = 0; a
+    // het-depleted 40/20/40 departs
+    val eq = (Seq.fill(25)(0d) ++ Seq.fill(50)(1d) ++ Seq.fill(25)(2d))
+      .map((1L, "s", _)) ++
+      (Seq.fill(40)(0d) ++ Seq.fill(20)(1d) ++ Seq.fill(40)(2d))
+        .map((2L, "s", _))
+    val geno = eq.toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.hweReport(geno).orderBy("variant_id").collect()
+    assert(got(0).getAs[Double]("p_ref") == 0.5)
+    assert(got(0).getAs[Double]("hwe_chi2") == 0.0)
+    // 40/20/40: e = (25, 50, 25) ⇒ χ² = 9 + 18 + 9 = 36
+    assert(got(1).getAs[Double]("hwe_chi2") == 36.0)
+  }
 }

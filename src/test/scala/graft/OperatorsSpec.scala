@@ -2300,6 +2300,54 @@ class OperatorsSpec extends SparkSpec {
     assert(s.getAs[Double]("gini") == 0.25)
   }
 
+  test("Events.volumeTrendQuadratic recovers an exact quadratic series") {
+    // window t carries y = 2 + 3t + t² events (t = 0..4): a zero-
+    // residual fit must return the generating coefficients exactly
+    val rows = for {
+      t <- 0 to 4
+      i <- 0 until (2 + 3 * t + t * t)
+    } yield ("k", t * 1000L + i)
+    val df = rows.toDF("key", "ts")
+    val r = Events.volumeTrendQuadratic(df, "key", "ts", 1000L).collect().head
+    assert(r.getAs[Long]("n_windows") == 5)
+    assert(r.getAs[Long]("total") == 70)
+    assert(r.getAs[Double]("a0") == 2.0)
+    assert(r.getAs[Double]("a1") == 3.0)
+    assert(r.getAs[Double]("a2") == 1.0)
+  }
+
+  test("Itemsets.tripleLift: hand-computed support and 3-way lift") {
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, "y"),
+      (4L, "z")).toDF("b", "i")
+    val got = Itemsets.tripleLift(baskets, "b", "i", minSupport = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getAs[String]("item_a"), r.getAs[String]("item_b"),
+      r.getAs[String]("item_c")) == (("x", "y", "z")))
+    assert(r.getAs[Long]("n_abc") == 2)
+    assert(r.getAs[Double]("support") == 0.5)
+    // lift = n_abc·N² / (n_a·n_b·n_c) = 2·16/27
+    assert(r.getAs[Double]("lift") == math.rint(32d / 27 * 1e6) / 1e6)
+    Dedup.clearCaches()
+  }
+
+  test("Percentiles.quantileAlign: single group matches global, exact deciles") {
+    val df = (1 to 10).map(v => ("a", v / 10d)).toDF("g", "s")
+    val got = Percentiles.quantileAlign(df, "g", col("s"))
+      .orderBy("decile").collect()
+    assert(got.length == 9)
+    got.zipWithIndex.foreach { case (r, i) =>
+      // decile d over 0.1..1.0: min s with 10·cum ≥ d·10 ⇒ s = d/10
+      assert(r.getAs[Double]("src_q") == (i + 1) / 10d)
+      assert(r.getAs[Double]("global_q") == (i + 1) / 10d)
+      assert(r.getAs[Double]("gap") == 0.0)
+    }
+    Dedup.clearCaches()
+  }
+
   test("TextAnalysis.dirichletQl: hand-computed LM scores, length prior ranks") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
       .toDF("doc_id", "text")
