@@ -146,6 +146,50 @@ object Events {
         sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
   }
 
+  /** Next-event prediction evaluation — the simplest behavioral-model
+    * baseline, trained and scored entirely in-engine: learn the
+    * majority next event per current event on the TRAIN users
+    * (`md5(user) mod 2 = 0`, the cross-engine-stable split), predict
+    * on the held-out users, and report per-current-event accuracy.
+    * Majority ties break lexicographically. Emits one row per
+    * from-type observed in the test set:
+    * `(from_type, predicted, n_test, n_correct, accuracy)`; from-types
+    * unseen in training predict NULL and score 0 correct.
+    *
+    * Scale shape: the (user-partitioned) lead window builds
+    * transitions in one shuffle; the model is |types|² counts and
+    * broadcasts to the test join; accuracy is a combinable agg. Pure
+    * integer counts → exact replay.
+    */
+  def nextEventEval(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsNs), col(tieBreak))
+    // both the model and the test score read the transition pairs —
+    // persist (tracked) or the lead window re-shuffles the corpus twice
+    val pairs = Dedup.persistTracked(df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .withColumn("__train",
+        pmod(graft.functions.md5Long(col(userCol)), lit(2L)) === 0))
+    val model = pairs.where(col("__train"))
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("pred"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("from_type")
+        .orderBy(col("__n").desc, col("pred").asc)))
+      .where(col("__rn") === 1)
+      .select("from_type", "pred")
+    pairs.where(!col("__train"))
+      .select(col(typeCol).as("from_type"), col("__next"))
+      .join(broadcast(model), Seq("from_type"), "left")
+      .groupBy("from_type")
+      .agg(min("pred").as("predicted"), // constant per from_type
+        count(lit(1)).as("n_test"),
+        sum(when(col("__next") === col("pred"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_test"), 6))
+  }
+
   /** As-of join: for each left row, the single most recent right row
     * with right.ts <= left.ts (per key), within `toleranceNs` (≤ 0
     * disables the bound).

@@ -243,4 +243,55 @@ object Graph {
     e.unpersist(false); nodes.unpersist(false)
     out
   }
+
+  /** k-core decomposition (fixed k): iteratively peel vertices of
+    * degree < k until the survivor set is stable — the densest-region
+    * extractor that separates a genuinely interlinked duplicate/
+    * syndication cluster from chains of borderline pairs (every
+    * member of a k-core has ≥ k verified neighbors INSIDE the core).
+    * Returns the surviving vertices with their within-core degree:
+    * `(id, degree)`; an empty result means no k-core exists.
+    *
+    * Iteration is degree-filter → edge-filter per round, each one
+    * shuffle, with `localCheckpoint` truncating lineage (the
+    * [[connectedComponents]] discipline). Convergence is REQUIRED
+    * within `maxRounds` — the visible result is then identical to the
+    * `maxRounds`-unrolled computation (extra rounds past the fixpoint
+    * are no-ops), which is exactly what the oracle replays.
+    *
+    * Scale shape: peeling terminates in ≤ O(peeling depth) rounds
+    * (tiny for near-dup graphs: most vertices fall in round 1); each
+    * round's shuffles carry the shrinking survivor set only.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+      k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sym0 = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    var sym = sym0
+      .union(sym0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var prevEdges = -1L
+    var nEdges = sym.count()
+    var round = 0
+    while (nEdges != prevEdges && round < maxRounds) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k)
+        .select(col("src").as("__keep"))
+      sym = sym
+        .join(keep.withColumnRenamed("__keep", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      prevEdges = nEdges
+      nEdges = sym.count()
+      round += 1
+    }
+    if (nEdges != prevEdges)
+      throw new IllegalStateException(
+        s"kCore did not reach its fixpoint in $maxRounds rounds; " +
+          "raise maxRounds (the oracle unrolls the same bound)")
+    sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+  }
 }

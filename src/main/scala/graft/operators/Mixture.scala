@@ -324,4 +324,65 @@ object Mixture {
       .withColumn("sample_key", round(col("__key"), 6))
       .drop("__key")
   }
+
+  /** Water-filling token-budget allocation across sources: split a
+    * global token budget `B` proportionally to temperature weights
+    * `w_s = n_sᵅ` but never allocate a source more tokens than it HAS
+    * — the exact solve of `a_s = min(n_s, λ·w_s)` with `Σ a_s = B`,
+    * the allocation a mixture planner actually needs once small
+    * sources saturate (plain proportional weights over-assign them
+    * and silently under-fill the budget). Classic waterfill: sources
+    * sorted by saturation ratio `n_s/w_s` cap in prefix order; the
+    * level λ is determined by the largest prefix `j` whose ratio is
+    * under the level implied by capping that prefix —
+    * `n_j·(W − ΣW_j) ≤ w_j·(B − ΣN_j)` — and the remainder splits
+    * proportionally. If `B ≥ Σn` every source caps. Emits
+    * `(groupCol, n_tokens, weight, alloc, rate)`; Σ alloc = min(B, Σn)
+    * up to float rounding.
+    *
+    * Scale shape: one map-side-combinable token count per source;
+    * everything after (sort window, prefix sums, the λ fold, the
+    * final projection) runs on the |sources| metadata table.
+    */
+  def waterfillAllocation(df: DataFrame, textCol: String, groupCol: String,
+      budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget > 0 && alpha > 0, "budget and alpha must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(groupCol)
+      .agg(sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("__w", pow(col("n_tokens").cast("double"), alpha))
+    val totW = counts.agg(sum("__w").as("__totw"))
+    val w = Window.orderBy(
+      (col("n_tokens") / col("__w")).asc, col(groupCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = counts.crossJoin(broadcast(totW))
+      .withColumn("__rk", row_number().over(Window.orderBy(
+        (col("n_tokens") / col("__w")).asc, col(groupCol).asc)))
+      .withColumn("__cn", sum("n_tokens").over(w))
+      .withColumn("__cw", sum("__w").over(w))
+      .withColumn("__capped",
+        col("n_tokens") * (col("__totw") - col("__cw"))
+          <= col("__w") * (lit(budget.toDouble) - col("__cn")))
+    val level = ranked.agg(
+      max(when(col("__capped"), col("__rk"))).as("__jstar"),
+      max(when(col("__capped"), col("__cn"))).as("__cnj"),
+      max(when(col("__capped"), col("__cw"))).as("__cwj"),
+      max("__totw").as("__wtot"))
+      .select(coalesce(col("__jstar"), lit(0)).as("__jstar"),
+        // every source capped (B ≥ Σn) leaves a 0 denominator; λ is
+        // unused then, but ANSI mode still evaluates it — guard to 0
+        when(col("__wtot") - coalesce(col("__cwj"), lit(0d)) > 0,
+          (lit(budget.toDouble) - coalesce(col("__cnj"), lit(0L)))
+            / (col("__wtot") - coalesce(col("__cwj"), lit(0d))))
+          .otherwise(lit(0d)).as("__lambda"))
+    ranked.crossJoin(broadcast(level))
+      .withColumn("__alloc",
+        when(col("__rk") <= col("__jstar"), col("n_tokens").cast("double"))
+          .otherwise(col("__lambda") * col("__w")))
+      .select(col(groupCol), col("n_tokens"),
+        round(col("__w"), 6).as("weight"),
+        round(col("__alloc"), 4).as("alloc"),
+        round(col("__alloc") / col("n_tokens"), 6).as("rate"))
+  }
 }

@@ -1343,6 +1343,56 @@ object TextAnalysis {
         .otherwise(lit(0d)), 6).as("r2"))
   }
 
+  /** Burrows' Delta stylometric distance between groups (the
+    * authorship-attribution classic): over the corpus-wide top-
+    * `vocabSize` terms, z-score each group's relative term frequency
+    * against the across-group mean/std, and score each group pair by
+    * the mean absolute z difference. Low Delta = same "stylistic
+    * fingerprint" — in a curation pipeline, a signal that two sources
+    * are the same underlying site/template farm wearing different
+    * names. Emits `(source_a, source_b, n_terms, delta)` for
+    * `source_a < source_b`.
+    *
+    * Scale shape: one corpus explode (persisted — it feeds vocabulary,
+    * per-group counts AND group totals), a TakeOrdered vocabulary, and
+    * then everything is (groups × vocab)-bounded: the densified
+    * frequency grid, the per-term moment fold, the z table (persisted
+    * — both sides of the pair join read it), and the |groups|²/2 pair
+    * aggregate. Zero-variance terms drop from every pair's mean.
+    */
+  def burrowsDelta(df: DataFrame, textCol: String, groupCol: String,
+      vocabSize: Int = 30): DataFrame = {
+    val toks = Dedup.persistTracked(
+      df.select(col(groupCol).as("__g"), explode(tokens(col(textCol))).as("__t")))
+    val vocab = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t").asc)
+      .limit(vocabSize)
+      .select("__t")
+    val counts = toks.join(broadcast(vocab), Seq("__t"))
+      .groupBy("__g", "__t").agg(count(lit(1)).as("__c"))
+    val totals = toks.groupBy("__g").agg(count(lit(1)).as("__tok"))
+    val fGrid = totals.crossJoin(broadcast(vocab))
+      .join(counts, Seq("__g", "__t"), "left")
+      .withColumn("__f",
+        coalesce(col("__c"), lit(0L)).cast("double") / col("__tok"))
+    val stats = fGrid.groupBy("__t").agg(
+      avg("__f").as("__mu"),
+      count(lit(1)).cast("double").as("__s"),
+      sum(col("__f") * col("__f")).as("__sf2"))
+      .withColumn("__sigma",
+        sqrt(col("__sf2") / col("__s") - col("__mu") * col("__mu")))
+    val z = Dedup.persistTracked(
+      fGrid.join(broadcast(stats), Seq("__t"))
+        .where(col("__sigma") > 0)
+        .select(col("__g"), col("__t"),
+          ((col("__f") - col("__mu")) / col("__sigma")).as("__z")))
+    z.as("a")
+      .join(z.as("b"), col("a.__t") === col("b.__t") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("source_a"), col("b.__g").as("source_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(avg(abs(col("a.__z") - col("b.__z"))), 6).as("delta"))
+  }
+
   /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
     * Lafferty): score(d) = Σ_t∈q ln(1 + tf_td/(μ·p_t)) +
     * |q|·ln(μ/(dl_d + μ)), the rank-equivalent decomposition of

@@ -208,6 +208,14 @@ object EventsQ {
         .orderBy("item_a", "item_b", "item_c")
     }),
 
+    // ---- next-event majority predictor: train on even-hash users,
+    //      per-from-type accuracy on the held-out half ----
+    "q191_next_event_eval" -> ((s, d) => {
+      Events.nextEventEval(Tables.events(s, d), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy("from_type")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -542,6 +550,34 @@ object EventsQ {
            round(2 * a1u - 4 * a2u * cc, 8) AS a1,
            round(4 * a2u, 8) AS a2
          FROM d4 ORDER BY event_type""",
+    // same md5-parity user split, same majority model (ties →
+    // lexicographic min), pure integer accuracy counts
+    "q191_next_event_eval" ->
+      """WITH p AS (
+            SELECT user_id, event_type AS cur,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS nxt
+            FROM events),
+          pairs AS (
+            SELECT user_id, cur, nxt,
+              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                % 2 = 0 AS train
+            FROM p WHERE nxt IS NOT NULL),
+          model AS (
+            SELECT cur, nxt AS pred FROM (
+              SELECT cur, nxt, row_number() OVER (PARTITION BY cur
+                ORDER BY count(*) DESC, nxt ASC) AS rn
+              FROM pairs WHERE train GROUP BY cur, nxt)
+            WHERE rn = 1),
+          test AS (SELECT cur, nxt FROM pairs WHERE NOT train)
+         SELECT t.cur AS from_type, min(m.pred) AS predicted,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.nxt = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN t.nxt = m.pred THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS accuracy
+         FROM test t LEFT JOIN model m ON m.cur = t.cur
+         GROUP BY 1 ORDER BY 1""",
     // a-priori level-3 replay: frequent items → (basket, frequent
     // pair) rows → third-item extension → triple counts; 3-way lift
     // against full independence

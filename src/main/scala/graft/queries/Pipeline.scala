@@ -198,6 +198,48 @@ object Pipeline {
       TextAnalysis.zipfFit(Tables.documents(s, d), "text", topN = 200)
     }),
 
+    // ---- PMI collocations: document-level co-occurrence lift over
+    //      the top-50 vocabulary, mined with the a-priori pair kernel ----
+    "q192_collocations" -> ((s, d) => {
+      val toksD = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+      val vocab = toksD.groupBy("term").agg(count(lit(1)).as("__df"))
+        .orderBy(col("__df").desc, col("term").asc)
+        .limit(50)
+        .select("term")
+      val baskets = toksD.join(broadcast(vocab), Seq("term"))
+      graft.operators.Itemsets.pairLift(baskets, "doc_id", "term",
+          minSupport = 5)
+        .withColumn("pmi", round(log(col("lift")), 4))
+        .select(col("item_a"), col("item_b"), col("n_ab"), col("pmi"))
+        .orderBy(col("pmi").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
+    // ---- Burrows' Delta stylometric distance between sources ----
+    "q193_burrows_delta" -> ((s, d) => {
+      TextAnalysis.burrowsDelta(Tables.documents(s, d), "text", "source",
+          vocabSize = 30)
+        .orderBy("source_a", "source_b")
+    }),
+
+    // ---- waterfill token-budget allocation across sources ----
+    "q194_waterfill" -> ((s, d) => {
+      Mixture.waterfillAllocation(Tables.documents(s, d), "text", "source",
+          budget = 100000L, alpha = 0.5)
+        .orderBy("source")
+    }),
+
+    // ---- k-core of the verified near-dup graph (k = 2): genuinely
+    //      interlinked duplicate families vs borderline chains ----
+    "q195_kcore" -> ((s, d) => {
+      val pairs = Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id",
+          numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+      Graph.kCore(pairs, "id_a", "id_b", k = 2, maxRounds = 8)
+        .orderBy("id")
+    }),
+
     // ---- Poisson-bootstrap CI of mean chars/doc per source ----
     "q185_bootstrap_ci" -> ((s, d) => {
       Eval.bootstrapCi(Tables.documents(s, d), "source", "doc_id",
@@ -1612,6 +1654,127 @@ object Pipeline {
            round(s2.q - gq.q, 6) AS gap
          FROM src s2 JOIN gq USING (decile)
          ORDER BY s2.source, s2.decile""",
+    // the a-priori pair kernel replayed over the top-50 vocab, PMI as
+    // ln of the SAME 6dp-rounded lift (so ordering ties identically)
+    "q192_collocations" ->
+      s"""WITH toksd AS (
+            SELECT DISTINCT doc_id, u.term
+            FROM (SELECT doc_id, $Toks AS t FROM documents),
+              unnest(t) AS u(term)),
+          vocab AS (
+            SELECT term FROM (
+              SELECT term, count(*) AS df FROM toksd
+              GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 50)),
+          r AS (SELECT doc_id, term FROM toksd JOIN vocab USING (term)),
+          itemn AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS n FROM r
+            GROUP BY 1 HAVING count(*) >= 5),
+          tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nb FROM r),
+          freq AS (SELECT r.doc_id, r.term FROM r JOIN itemn USING (term)),
+          co AS (
+            SELECT a.term AS ia, b.term AS ib, CAST(count(*) AS BIGINT) AS n_ab
+            FROM freq a JOIN freq b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2 HAVING count(*) >= 5),
+          lifted AS (
+            SELECT co.ia, co.ib, co.n_ab,
+              round(ln(round(co.n_ab * tot.nb / (na.n * nb2.n), 6)), 4) AS pmi
+            FROM co
+            JOIN itemn na ON na.term = co.ia
+            JOIN itemn nb2 ON nb2.term = co.ib
+            CROSS JOIN tot)
+         SELECT ia AS item_a, ib AS item_b, n_ab, pmi FROM (
+           SELECT * FROM lifted ORDER BY pmi DESC, ia, ib LIMIT 20)
+         ORDER BY pmi DESC, item_a, item_b""",
+    // densified (source × vocab) frequency grid, across-source
+    // moments, zero-variance terms dropped from every pair's mean
+    "q193_burrows_delta" ->
+      s"""WITH toks AS (
+            SELECT source AS g, unnest($Toks) AS t FROM documents),
+          vocab AS (
+            SELECT t FROM (
+              SELECT t, count(*) AS c FROM toks
+              GROUP BY 1 ORDER BY c DESC, t ASC LIMIT 30)),
+          counts AS (
+            SELECT g, t, CAST(count(*) AS BIGINT) AS c
+            FROM toks JOIN vocab USING (t) GROUP BY 1, 2),
+          totals AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS tok FROM toks GROUP BY 1),
+          grid AS (SELECT tt.g, tt.tok, v.t FROM totals tt CROSS JOIN vocab v),
+          f AS (
+            SELECT grid.g, grid.t,
+              coalesce(c.c, 0)::DOUBLE / grid.tok AS f
+            FROM grid LEFT JOIN counts c ON c.g = grid.g AND c.t = grid.t),
+          stats AS (
+            SELECT t, avg(f) AS mu, CAST(count(*) AS DOUBLE) AS s,
+              sum(f * f) AS sf2
+            FROM f GROUP BY 1),
+          st2 AS (SELECT t, mu, sqrt(sf2 / s - mu * mu) AS sigma FROM stats),
+          z AS (
+            SELECT f.g, f.t, (f.f - st2.mu) / st2.sigma AS z
+            FROM f JOIN st2 USING (t) WHERE st2.sigma > 0)
+         SELECT a.g AS source_a, b.g AS source_b,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(avg(abs(a.z - b.z)), 6) AS delta
+         FROM z a JOIN z b ON a.t = b.t AND a.g < b.g
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // sorted-ratio prefix caps; the level test and λ use the identical
+    // double expressions, so the capped set matches bit-for-bit
+    "q194_waterfill" ->
+      s"""WITH tc AS (
+            SELECT source, CAST(sum(len($Toks)) AS BIGINT) AS n
+            FROM documents GROUP BY 1 HAVING sum(len($Toks)) > 0),
+          w1 AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM tc),
+          tw AS (SELECT sum(w) AS wtot FROM w1),
+          r1 AS (
+            SELECT *,
+              row_number() OVER (ORDER BY n / w ASC, source ASC) AS rk,
+              sum(n) OVER (ORDER BY n / w ASC, source ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+              sum(w) OVER (ORDER BY n / w ASC, source ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+            FROM w1 CROSS JOIN tw),
+          r2 AS (
+            SELECT *, n * (wtot - cw) <= w * (100000 - cn) AS capped
+            FROM r1),
+          lv AS (
+            SELECT coalesce(max(CASE WHEN capped THEN rk END), 0) AS jstar,
+              (100000 - coalesce(max(CASE WHEN capped THEN cn END), 0))::DOUBLE
+                / (max(wtot) - coalesce(max(CASE WHEN capped THEN cw END), 0.0))
+                AS lambda
+            FROM r2),
+          r3 AS (
+            SELECT r2.source, r2.n, r2.w,
+              CASE WHEN r2.rk <= lv.jstar THEN CAST(r2.n AS DOUBLE)
+                ELSE lv.lambda * r2.w END AS alloc_raw
+            FROM r2 CROSS JOIN lv)
+         SELECT source, n AS n_tokens, round(w, 6) AS weight,
+           round(alloc_raw, 4) AS alloc,
+           round(alloc_raw / n, 6) AS rate
+         FROM r3 ORDER BY source""",
+    // shared LSH chain; the peel unrolls to the operator's maxRounds
+    // bound — identical to the converged fixpoint the engine asserts
+    "q195_kcore" -> {
+      val rounds = 8
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+      // reference, and each round references the previous edge set
+      // three times — un-materialized, the unroll re-runs the whole
+      // LSH chain 3^rounds times and exhausts file handles
+      val chain = (1 to rounds).map { i =>
+        s""",
+          n$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
+            HAVING count(*) >= 2),
+          e$i AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e${i - 1} e
+            JOIN n$i a ON a.src = e.src
+            JOIN n$i b ON b.src = e.dst)"""
+      }.mkString
+      LshVerifiedPairCtes + """,
+          sym0 AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+            UNION SELECT id_b, id_a FROM vpairs),
+          e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym0)""" + chain + s"""
+         SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+         FROM e$rounds GROUP BY src ORDER BY id"""
+    },
     // rank ties → lexicographic on both sides; the 6-sum OLS fold runs
     // over the same 200 (ln rank, ln freq) points
     "q183_zipf_fit" ->

@@ -2348,6 +2348,73 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Events.nextEventEval: a deterministic grammar scores accuracy 1") {
+    // every user emits a→b→a→b, so the majority model (b after a,
+    // a after b) is perfect on any train/test split
+    val rows = for {
+      u <- 1L to 10L
+      (t, i) <- Seq("a", "b", "a", "b").zipWithIndex
+    } yield (u, i * 1000L, t, u * 10 + i)
+    val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.nextEventEval(df, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type").collect()
+    assert(got.map(_.getAs[String]("from_type")).toSeq == Seq("a", "b"))
+    got.foreach { r =>
+      assert(r.getAs[Double]("accuracy") == 1.0)
+      assert(r.getAs[Long]("n_test") > 0)
+    }
+    assert(got(0).getAs[String]("predicted") == "b")
+    assert(got(1).getAs[String]("predicted") == "a")
+    Dedup.clearCaches()
+  }
+
+  test("TextAnalysis.burrowsDelta: identical sources at distance 0") {
+    val docs = Seq(
+      ("A", "x x y"), ("B", "x x y"), ("C", "y y x"))
+      .toDF("src", "text")
+    val got = TextAnalysis.burrowsDelta(docs, "text", "src", vocabSize = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("delta"))).toMap
+    assert(got(("A", "B")) == ((2L, 0.0)))
+    assert(got(("A", "C"))._2 > 0 && got(("B", "C"))._2 > 0)
+    Dedup.clearCaches()
+  }
+
+  test("Mixture.waterfillAllocation: small source caps, rest splits by weight") {
+    // n = {a: 9, b: 400}, α = ½ ⇒ w = {3, 20}; B = 100 caps a at 9
+    // and levels b at λ·w = 91/20·20 = 91
+    val docs = Seq(
+      ("a", Seq.fill(9)("t").mkString(" ")),
+      ("b", Seq.fill(100)("t").mkString(" ")),
+      ("b", Seq.fill(100)("t").mkString(" ")),
+      ("b", Seq.fill(100)("t").mkString(" ")),
+      ("b", Seq.fill(100)("t").mkString(" "))).toDF("src", "text")
+    val got = Mixture.waterfillAllocation(docs, "text", "src", budget = 100L)
+      .orderBy("src").collect()
+    assert(got(0).getAs[Long]("n_tokens") == 9 &&
+      got(0).getAs[Double]("alloc") == 9.0 &&
+      got(0).getAs[Double]("rate") == 1.0)
+    assert(got(1).getAs[Long]("n_tokens") == 400 &&
+      got(1).getAs[Double]("alloc") == 91.0 &&
+      got(1).getAs[Double]("rate") == 0.2275)
+    // budget beyond supply: everything caps, λ unused (no div-by-zero)
+    val all = Mixture.waterfillAllocation(docs, "text", "src", budget = 10000L)
+      .orderBy("src").collect()
+    assert(all.map(_.getAs[Double]("alloc")).toSeq == Seq(9.0, 400.0))
+  }
+
+  test("Graph.kCore: triangle survives k=2, pendant chain peels away") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = Graph.kCore(edges, "a", "b", k = 2)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("degree")).toSeq
+    assert(got == Seq(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // no 3-core exists in this graph
+    assert(Graph.kCore(edges, "a", "b", k = 3).count() == 0)
+  }
+
   test("TextAnalysis.dirichletQl: hand-computed LM scores, length prior ranks") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
       .toDF("doc_id", "text")
