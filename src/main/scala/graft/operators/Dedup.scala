@@ -590,9 +590,13 @@ object Dedup {
       shingleSize: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // Everything downstream operates on the 60-bit hashed shingle set
+    // ([[hashedSet]]): ordering, joining and set-intersecting longs,
+    // never strings — identical Jaccard up to md5 collision, the same
+    // trade [[minHashLsh]]'s verifier makes.
     val docs = persistTracked(parallelize(df)
       .select(col(idCol).as("id"),
-        array_distinct(wordShingles(tokens(col(textCol)), shingleSize)).as("sh"))
+        hashedSet(wordShingles(tokens(col(textCol)), shingleSize)).as("sh"))
       .where(size(col("sh")) > 0))
     val dfreq = docs.select(explode(col("sh")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -608,11 +612,24 @@ object Dedup {
       .join(dfreq, "tok")
       .groupBy("id", "sz")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
-      .select(col("id"),
-        explode(transform(slice(col("ordered"), lit(1), prefixLen),
-          s => s.getField("tok"))).as("tok"))
+      .select(col("id"), col("sz"),
+        posexplode(transform(slice(col("ordered"), lit(1), prefixLen),
+          s => s.getField("tok"))).as(Seq("pos0", "tok")))
+    // PPJoin-family candidate pruning, both sides ε-guarded against
+    // float round-up (loosening only ever ADDS candidates):
+    //   length filter — J ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|);
+    //   positional filter — a collision at (1-based) positions pa, pb
+    //   caps the overlap at 1 + min(|a|−pa, |b|−pb), which must reach
+    //   the required α = ⌈t/(1+t)·(|a|+|b|)⌉.
+    val alpha = ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1 + threshold))
+      - lit(1e-9))
+    val overlapUb = lit(1) +
+      least(col("a.sz") - (col("a.pos0") + 1), col("b.sz") - (col("b.pos0") + 1))
     val cands = prefixes.as("a").join(prefixes.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
+          && col("a.sz") * lit(threshold) - lit(1e-9) <= col("b.sz")
+          && col("b.sz") * lit(threshold) - lit(1e-9) <= col("a.sz")
+          && overlapUb >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val withSets = cands
