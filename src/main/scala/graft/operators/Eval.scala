@@ -199,6 +199,92 @@ object Eval {
         round(col("_ece"), 6).as("ece"))
   }
 
+  /** Rank agreement between two retrieval rankings (e.g. BM25 vs a
+    * language-model scorer): join the two top-`depth` lists on doc id,
+    * re-rank each side 1..n WITHIN the intersection (the standard
+    * setup for comparing truncated lists), and report
+    *   Spearman ρ = 1 − 6·Σd²/(n(n²−1)),
+    *   Kendall τ-a = (C − D)/(n(n−1)/2),
+    * plus the raw overlap fraction `|∩|/depth`. Both statistics are
+    * pure INTEGER arithmetic until the final division — exact
+    * cross-engine. Emits one row:
+    * `(n_common, overlap_frac, spearman_rho, kendall_tau)`.
+    *
+    * Inputs are (id, rank) tables — build them with whatever scorer;
+    * ranks need not be dense, only order matters. Scale shape: the
+    * lists are depth-bounded (metadata-scale), so the re-rank windows,
+    * the d² fold and the O(n²) concordance self-join all run on ≤
+    * `depth` rows.
+    */
+  def rankCorrelation(a: DataFrame, b: DataFrame, idCol: String,
+      rankColA: String, rankColB: String, depth: Int): DataFrame = {
+    val joined = a.select(col(idCol).as("__id"), col(rankColA).as("__ra"))
+      .join(b.select(col(idCol).as("__id"), col(rankColB).as("__rb")), "__id")
+    val reranked = Dedup.persistTracked(joined
+      .withColumn("__xa", row_number().over(
+        Window.orderBy(col("__ra").asc, col("__id").asc)))
+      .withColumn("__xb", row_number().over(
+        Window.orderBy(col("__rb").asc, col("__id").asc))))
+    val spear = reranked.agg(
+      count(lit(1)).as("n_common"),
+      sum((col("__xa") - col("__xb")) * (col("__xa") - col("__xb"))).as("__d2"))
+    val conc = reranked.as("p").join(reranked.as("q"),
+        col("p.__xa") < col("q.__xa"))
+      .agg(sum(when(col("q.__xb") > col("p.__xb"), 1L).otherwise(-1L))
+        .as("__cd"))
+    val n = col("n_common").cast("double")
+    spear.crossJoin(conc)
+      .select(col("n_common"),
+        round(n / depth, 6).as("overlap_frac"),
+        round(when(col("n_common") >= 2,
+          lit(1d) - lit(6d) * col("__d2") / (n * (n * n - lit(1d))))
+          .otherwise(lit(0d)), 6).as("spearman_rho"),
+        round(when(col("n_common") >= 2,
+          col("__cd") / (n * (n - 1d) / 2d)).otherwise(lit(0d)), 6)
+          .as("kendall_tau"))
+  }
+
+  /** Quality-ordered selection curve — "keep the best k/10 of the
+    * corpus by score: how many tokens do I get?" For each decile k,
+    * the score cutoff (ties keep the whole block: the kept set is
+    * `score ≥ cutoff` where cutoff is the minimal score whose
+    * descending cumulative doc count reaches ⌈k·N/10⌉), the docs and
+    * `metric` mass kept, and both as fractions. Selection is decided
+    * by the integer test `10·cum ≥ k·N` — exact cross-engine. Emits
+    * one row per decile 1..10.
+    *
+    * Scale shape: one combinable (score → docs, metric) aggregate
+    * over the quantized score grid, a cumulative window over that
+    * bounded grid, a 10-row broadcast probe.
+    */
+  def selectionCurve(df: DataFrame, scoreQ: Column,
+      metric: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(scoreQ.as("__s"), metric.cast("long").as("__m"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__c"), sum("__m").as("__t"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.agg(sum("__c").as("__n"), sum("__t").as("__mt"))
+    val dec = broadcast((1 to 10).toDF("decile"))
+    counts
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__ctok", sum("__t").over(w))
+      .crossJoin(broadcast(tot))
+      .crossJoin(dec)
+      .where(col("__cum") * 10 >= col("decile") * col("__n"))
+      .groupBy("decile", "__n", "__mt")
+      .agg(min(struct(col("__cum"), col("__s"), col("__ctok"))).as("__blk"))
+      .select(col("decile"),
+        col("__blk.__s").as("cutoff_score"),
+        col("__blk.__cum").as("n_docs_kept"),
+        col("__blk.__ctok").as("n_tokens_kept"),
+        round(col("__blk.__cum").cast("double") / col("__n"), 6).as("doc_frac"),
+        round(col("__blk.__ctok").cast("double") / col("__mt"), 6)
+          .as("token_frac"))
+  }
+
   /** Poisson(1) cumulative thresholds on the integer 1e-6 grid:
     * w(u) = #{k : cdf(k)·1e6 ≤ u} reproduces Poisson bootstrap weights
     * from a uniform bucket u ∈ [0, 1e6) — capped at 8 (P ≈ 1e-5).

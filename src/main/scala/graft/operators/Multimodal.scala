@@ -351,4 +351,88 @@ object Multimodal {
     df.where(col("duration_ms").isNotNull && col("duration_ms") > 0)
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
+
+  /** 64-bit average-hash (aHash) of an image — the classic perceptual
+    * fingerprint: nearest-neighbor-sample an 8×8 luminance grid (the
+    * same `⌊g·src/8⌋` sampling rule as [[resizeImage]], so the grid is
+    * bit-deterministic), threshold each cell STRICTLY above the grid
+    * mean (integer-exact: `lum·64 > Σlum`), pack row-major from the
+    * MSB. A flat image hashes to 0. None for undecodable payloads.
+    */
+  def imageAHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      val cells = new Array[Long](64)
+      var sum = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val rgb = img.getRGB(gx * img.getWidth / 8, gy * img.getHeight / 8)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          cells(gy * 8 + gx) = lum
+          sum += lum
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        hash = (hash << 1) | (if (cells(i) * 64 > sum) 1L else 0L)
+        i += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: aHash every
+    * decodable payload, band the 64 bits into `bands` equal slices,
+    * equi-join colliding bands, verify Hamming distance ≤ `maxDist`.
+    * The banding is LOSSLESS for the returned distance range by
+    * pigeonhole — `maxDist < bands` differing bits cannot touch every
+    * band — which the signature enforces. Emits
+    * `(id_a, id_b, hamming)` for decodable pairs.
+    *
+    * Scale shape: the decode is the [[decodeImages]] mapPartitions
+    * seam reduced to one long per image; everything after runs on the
+    * (id, hash) table — banded equi-join candidates, XOR+bit_count
+    * verify — the [[Dedup.minHashLsh]] shape with a 64-bit signature.
+    */
+  def imageNearDupPairs(media: DataFrame, maxDist: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist < bands,
+      "recall guarantee needs maxDist < bands (pigeonhole)")
+    require(64 % bands == 0, "bands must divide 64")
+    val spark = media.sparkSession
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val hashSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val rdd = media.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        imageAHash(r.getAs[Array[Byte]](payloadIdx))
+          .map(h => Row(r.getLong(idIdx), h))
+      }
+    }
+    val hashed = Dedup.persistTracked(spark.createDataFrame(rdd, hashSchema))
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = hashed.select(col("id"), col("ahash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("ahash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
 }

@@ -217,6 +217,59 @@ object Pipeline {
         .limit(20)
     }),
 
+    // ---- rank agreement between the BM25 and Dirichlet-QL top-100
+    //      lists: Spearman ρ / Kendall τ over the intersection ----
+    "q196_rank_correlation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val terms = Seq("spark", "data", "query", "join")
+      val lex = TextAnalysis.bm25(docs, "text", "doc_id", terms, k = 100)
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      val sem = TextAnalysis.dirichletQl(docs, "text", "doc_id", terms,
+          mu = 2000d, k = 100)
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("ql_score").desc, col("doc_id").asc)))
+      Eval.rankCorrelation(lex, sem, "doc_id", "ra", "rb", depth = 100)
+    }),
+
+    // ---- quality-ordered selection curve: tokens captured per
+    //      kept-docs decile ----
+    "q197_selection_curve" -> ((s, d) => {
+      val q = TextAnalysis.qualityStruct(col("text")).getField("quality_score")
+      Eval.selectionCurve(Tables.documents(s, d),
+          round(q, 3), size(tokens(col("text"))))
+        .orderBy("decile")
+    }),
+
+    // ---- multimodal: perceptual-hash (aHash) image near-dup pairs
+    //      over real PNG fixtures; 8×8 grid = identity sampling, so
+    //      the expected hashes/distances are hand-computable ----
+    "q198_image_phash_neardup" -> ((s, _) => {
+      import java.awt.image.BufferedImage
+      def png(px: (Int, Int) => Int): Array[Byte] = {
+        val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, px(x, y))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val half: (Int, Int) => Int = (x, _) => if (x < 4) 0x000000 else 0xffffff
+      val rows = Seq(
+        (1L, png(half)),
+        (2L, png(half)), // identical → Hamming 0
+        (3L, png((x, y) =>
+          if (x == 0 && y == 0) 0xffffff else half(x, y))), // 1 cell off
+        (4L, png((x, _) => if (x < 4) 0xffffff else 0x000000)), // inverted: 64
+        (5L, png((_, _) => 0x000000)), // flat → hash 0, distance 32
+        (6L, Array[Byte](9, 9))) // undecodable → dropped
+      import s.implicits._
+      val media = Multimodal.asMedia(rows.toDF("id", "bytes"),
+        "id", "bytes", "image")
+      Multimodal.imageNearDupPairs(media, maxDist = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- Burrows' Delta stylometric distance between sources ----
     "q193_burrows_delta" -> ((s, d) => {
       TextAnalysis.burrowsDelta(Tables.documents(s, d), "text", "source",
@@ -1685,6 +1738,128 @@ object Pipeline {
          SELECT ia AS item_a, ib AS item_b, n_ab, pmi FROM (
            SELECT * FROM lifted ORDER BY pmi DESC, ia, ib LIMIT 20)
          ORDER BY pmi DESC, item_a, item_b""",
+    // hand-computed: ids 1/2 share the half-black hash (distance 0),
+    // id 3 flips exactly one grid cell (distance 1); the inverted,
+    // flat, and undecodable fixtures produce no pair within 3
+    "q198_image_phash_neardup" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS INTEGER)),
+          (1, 3, 1),
+          (2, 3, 1))
+         t(id_a, id_b, hamming)
+         ORDER BY id_a, id_b""",
+    // both rankings replayed (selection on the engines' own rounding
+    // conventions), re-ranked in the intersection; ρ and τ are integer
+    // sums until the final division
+    "q196_rank_correlation" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+          dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+          terms AS (
+            SELECT doc_id, u.term FROM toks, unnest(t) AS u(term)
+            WHERE u.term IN ('spark', 'data', 'query', 'join')),
+          tf AS (
+            SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+            FROM terms GROUP BY doc_id, term),
+          dfreq AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+          scored AS (
+            SELECT t.doc_id,
+              ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) * t.tf * 2.2
+                / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
+            FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+            CROSS JOIN stats s),
+          lex AS (
+            SELECT doc_id, row_number() OVER (ORDER BY b DESC, doc_id) AS ra
+            FROM (
+              SELECT doc_id, round(sum(s), 4) AS b FROM scored
+              GROUP BY doc_id ORDER BY b DESC, doc_id LIMIT 100)),
+          qtot AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS ct FROM toks),
+          cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+          mm AS (
+            SELECT t.doc_id,
+              sum(ln(1 + t.tf / (2000.0 * c.cf / tt.ct))) AS mt
+            FROM tf t JOIN cf c USING (term) CROSS JOIN qtot tt
+            GROUP BY 1),
+          qls AS (
+            SELECT k.doc_id,
+              coalesce(mm.mt, 0) + 4 * ln(2000.0 / (len(k.t) + 2000.0)) AS score
+            FROM toks k LEFT JOIN mm USING (doc_id)),
+          sem AS (
+            SELECT doc_id, row_number() OVER (ORDER BY qs DESC, doc_id) AS rb
+            FROM (
+              SELECT doc_id, round(score, 4) AS qs FROM qls
+              ORDER BY score DESC, doc_id LIMIT 100)),
+          j AS (
+            SELECT l.doc_id AS id, l.ra, m2.rb
+            FROM lex l JOIN sem m2 USING (doc_id)),
+          rr AS (
+            SELECT id,
+              row_number() OVER (ORDER BY ra, id) AS xa,
+              row_number() OVER (ORDER BY rb, id) AS xb
+            FROM j),
+          sp AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum((xa - xb) * (xa - xb)) AS BIGINT) AS d2
+            FROM rr),
+          kd AS (
+            SELECT CAST(sum(CASE WHEN q.xb > p.xb THEN 1 ELSE -1 END)
+              AS BIGINT) AS cd
+            FROM rr p JOIN rr q ON p.xa < q.xa)
+         SELECT sp.n AS n_common, round(sp.n / 100.0, 6) AS overlap_frac,
+           round(CASE WHEN sp.n >= 2
+             THEN 1.0 - 6.0 * sp.d2 / (sp.n::DOUBLE * (sp.n::DOUBLE * sp.n - 1))
+             ELSE 0 END, 6) AS spearman_rho,
+           round(CASE WHEN sp.n >= 2
+             THEN kd.cd / (sp.n::DOUBLE * (sp.n - 1) / 2)
+             ELSE 0 END, 6) AS kendall_tau
+         FROM sp CROSS JOIN kd""",
+    // descending cumulative over the quantized score grid; block
+    // selection by the integer test 10·cum ≥ k·N
+    "q197_selection_curve" ->
+      s"""WITH sc AS (
+            SELECT round(round(0.4 * lok + 0.3 * (1.0 - least(pr * 5, 1.0))
+                + 0.3 * least(sr * 4, 1.0), 6), 3) AS s,
+              len(toks) AS m
+            FROM (
+              SELECT toks,
+                CASE WHEN length(text) > 0 THEN
+                  length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+                    / length(text) ELSE 0.0 END AS pr,
+                CASE WHEN len(toks) > 0 THEN
+                  len(regexp_extract_all(lower(text),
+                    '\\b(the|and|of|to|is|in|a|that|it|der|die|und|le|la|et|el|de|que)\\b'))::DOUBLE
+                    / len(toks) ELSE 0.0 END AS sr,
+                CASE WHEN len(toks) >= 5 AND len(toks) <= 100000
+                  THEN 1.0 ELSE 0.0 END AS lok
+              FROM (SELECT text, $Toks AS toks FROM documents))),
+          counts AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(m) AS BIGINT) AS t
+            FROM sc GROUP BY 1),
+          tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS mt
+            FROM counts),
+          cums AS (
+            SELECT s,
+              sum(c) OVER (ORDER BY s DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              sum(t) OVER (ORDER BY s DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctok
+            FROM counts),
+          dec AS (SELECT unnest(range(1, 11)) AS decile),
+          blk AS (
+            SELECT d.decile, tot.n, tot.mt, min(cum) AS cum
+            FROM cums CROSS JOIN tot CROSS JOIN dec d
+            WHERE cum * 10 >= d.decile * tot.n
+            GROUP BY 1, 2, 3)
+         SELECT b.decile, c2.s AS cutoff_score,
+           CAST(b.cum AS BIGINT) AS n_docs_kept,
+           CAST(c2.ctok AS BIGINT) AS n_tokens_kept,
+           round(b.cum::DOUBLE / b.n, 6) AS doc_frac,
+           round(c2.ctok::DOUBLE / b.mt, 6) AS token_frac
+         FROM blk b JOIN cums c2 ON c2.cum = b.cum
+         ORDER BY b.decile""",
     // densified (source × vocab) frequency grid, across-source
     // moments, zero-variance terms dropped from every pair's mean
     "q193_burrows_delta" ->

@@ -69,6 +69,41 @@ class EvalSpec extends SparkSpec {
     assert(b9.getAs[Double]("ece") == 0.2375)
   }
 
+  test("rankCorrelation: identity → +1/+1, reversal → −1/−1") {
+    val a = (1L to 4L).map(i => (i, i)).toDF("id", "ra")
+    val bSame = (1L to 4L).map(i => (i, i)).toDF("id", "rb")
+    val bRev = (1L to 4L).map(i => (i, 5 - i)).toDF("id", "rb")
+    val same = Eval.rankCorrelation(a, bSame, "id", "ra", "rb", depth = 8)
+      .collect().head
+    assert(same.getAs[Long]("n_common") == 4)
+    assert(same.getAs[Double]("overlap_frac") == 0.5)
+    assert(same.getAs[Double]("spearman_rho") == 1.0)
+    assert(same.getAs[Double]("kendall_tau") == 1.0)
+    val rev = Eval.rankCorrelation(a, bRev, "id", "ra", "rb", depth = 8)
+      .collect().head
+    assert(rev.getAs[Double]("spearman_rho") == -1.0)
+    assert(rev.getAs[Double]("kendall_tau") == -1.0)
+    graft.operators.Dedup.clearCaches()
+  }
+
+  test("selectionCurve: tie blocks kept whole, hand-computed deciles") {
+    // scores 0.9×2 docs (10 tok), 0.5×3 (20 tok), 0.1×5 (2 tok)
+    val rows = Seq.fill(2)((0.9, 10L)) ++ Seq.fill(3)((0.5, 20L)) ++
+      Seq.fill(5)((0.1, 2L))
+    val df = rows.toDF("s", "m")
+    val got = Eval.selectionCurve(df, col("s"), col("m"))
+      .orderBy("decile").collect()
+      .map(r => (r.getAs[Int]("decile"), r.getAs[Double]("cutoff_score"),
+        r.getAs[Long]("n_docs_kept"), r.getAs[Long]("n_tokens_kept")))
+    assert(got.length == 10)
+    assert(got(0) == ((1, 0.9, 2L, 20L)))
+    assert(got(1) == ((2, 0.9, 2L, 20L)))
+    assert(got(2) == ((3, 0.5, 5L, 80L)))
+    assert(got(4) == ((5, 0.5, 5L, 80L)))
+    assert(got(5) == ((6, 0.1, 10L, 90L)))
+    assert(got(9) == ((10, 0.1, 10L, 90L)))
+  }
+
   test("bootstrapCi: constant metric collapses the interval to the mean") {
     val df = (1L to 40L).map(i => ("g", i, 7L)).toDF("src", "id", "v")
     val r = Eval.bootstrapCi(df, "src", "id", col("v"), reps = 32).collect().head

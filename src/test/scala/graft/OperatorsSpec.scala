@@ -41,6 +41,24 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeImage(4)(null).isEmpty)
   }
 
+  test("Multimodal.imageAHash: hand-computed bit patterns") {
+    def png(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // half-black/half-white: each row packs 00001111 → 0x0F bytes
+    val Some(half) = Multimodal.imageAHash(
+      png((x, _) => if (x < 4) 0x000000 else 0xffffff))
+    assert(half == 0x0F0F0F0F0F0F0F0FL)
+    // flat image: no cell strictly above the mean → 0
+    assert(Multimodal.imageAHash(png((_, _) => 0x808080)) == Some(0L))
+    assert(Multimodal.imageAHash(Array[Byte](1)).isEmpty)
+  }
+
   test("Multimodal.decodeAudio: real WAV decode, corrupt bytes → None") {
     val wav = Multimodal.sineWav(440, 500, 8000f, 1, 0.5)
     val Some((sr, ch, ms, rms, peak)) = Multimodal.decodeAudio(wav)
