@@ -641,6 +641,37 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Generic 64-bit-fingerprint near-duplicate pairs: band the hash
+    * into `bands` equal slices, equi-join colliding bands, verify
+    * Hamming ≤ `maxDist` by XOR + popcount. Lossless for the returned
+    * range by pigeonhole (`maxDist < bands` differing bits cannot
+    * touch every band) — enforced. The shared kernel under the
+    * perceptual image/audio near-dup operators
+    * ([[Multimodal.imageNearDupPairs]] / `audioNearDupPairs`).
+    * Emits `(id_a, id_b, hamming)`.
+    */
+  def hammingNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, bands: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < bands,
+      "recall guarantee needs maxDist < bands (pigeonhole)")
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val h = hashed.select(col(idCol).cast("long").as("id"),
+      col(hashCol).cast("long").as("hash"))
+    val banded = h.select(col("id"), col("hash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("hash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Embedding cosine near-duplicate pairs, LSH-bucketed: block on
     * random-hyperplane sign signatures (deterministic md5-derived
     * planes, see [[Similarity.hyperplaneSignature]]), verify cosine ≥

@@ -403,36 +403,142 @@ object Multimodal {
     * verify — the [[Dedup.minHashLsh]] shape with a 64-bit signature.
     */
   def imageNearDupPairs(media: DataFrame, maxDist: Int = 3,
-      bands: Int = 4): DataFrame = {
-    require(maxDist >= 0 && maxDist < bands,
-      "recall guarantee needs maxDist < bands (pigeonhole)")
-    require(64 % bands == 0, "bands must divide 64")
+      bands: Int = 4): DataFrame =
+    Dedup.hammingNearDupPairs(
+      fingerprint64(media, imageAHash), "id", "fp", maxDist, bands)
+
+  /** 64-bit audio energy fingerprint: decode (the [[decodeAudio]]
+    * PCM formats), split the mono-mixed sample stream into 64 equal
+    * windows, threshold each window's mean |amplitude| STRICTLY above
+    * the overall mean (integer-exact: all sums over int16 magnitudes),
+    * pack from the MSB — a loudness-envelope aHash, robust to level
+    * and codec-irrelevant detail the way aHash is for pixels. A
+    * constant-envelope signal hashes to 0. None when undecodable or
+    * shorter than 64 samples.
+    */
+  def audioEnergyHash(payload: Array[Byte]): Option[Long] = {
+    decodePcm16(payload).flatMap { case (_, channels, samples) =>
+      val frames = samples.length / channels
+      if (frames < 64) return None
+      // mono mix per frame, magnitudes as longs (overflow-free)
+      val mag = new Array[Long](frames)
+      var f = 0
+      while (f < frames) {
+        var s = 0L
+        var c = 0
+        while (c < channels) { s += samples(f * channels + c); c += 1 }
+        mag(f) = math.abs(s / channels)
+        f += 1
+      }
+      // 64 equal windows by frame index (last window takes the tail);
+      // compare window mean vs overall mean cross-multiplied so the
+      // test is pure integer arithmetic
+      val winSum = new Array[Long](64)
+      val winLen = new Array[Long](64)
+      var i = 0
+      while (i < frames) {
+        val w = math.min((i * 64L / frames).toInt, 63)
+        winSum(w) += mag(i); winLen(w) += 1
+        i += 1
+      }
+      val total = mag.sum
+      var hash = 0L
+      var w = 0
+      while (w < 64) {
+        val bit = winSum(w) * frames > total * winLen(w)
+        hash = (hash << 1) | (if (bit) 1L else 0L)
+        w += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Audio near-duplicate pairs by energy fingerprint — the audio
+    * sibling of [[imageNearDupPairs]], same banded Hamming kernel
+    * ([[Dedup.hammingNearDupPairs]]).
+    */
+  def audioNearDupPairs(media: DataFrame, maxDist: Int = 3,
+      bands: Int = 4): DataFrame =
+    Dedup.hammingNearDupPairs(
+      fingerprint64(media, audioEnergyHash), "id", "fp", maxDist, bands)
+
+  /** Partition-wise 64-bit fingerprint seam shared by the perceptual
+    * near-dup operators: one long per decodable payload, undecodable
+    * rows dropped. Persisted (tracked) — the banded join reads it
+    * from both sides.
+    */
+  private def fingerprint64(media: DataFrame,
+      hashFn: Array[Byte] => Option[Long]): DataFrame = {
     val spark = media.sparkSession
     val payloadIdx = media.schema.fieldIndex("payload")
     val idIdx = media.schema.fieldIndex("media_id")
-    val hashSchema = StructType(Seq(
+    val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
-      StructField("ahash", LongType, nullable = false)))
+      StructField("fp", LongType, nullable = false)))
     val rdd = media.rdd.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
-        imageAHash(r.getAs[Array[Byte]](payloadIdx))
+        hashFn(r.getAs[Array[Byte]](payloadIdx))
           .map(h => Row(r.getLong(idIdx), h))
       }
     }
-    val hashed = Dedup.persistTracked(spark.createDataFrame(rdd, hashSchema))
-    val width = 64 / bands
-    val mask = (1L << width) - 1
-    val banded = hashed.select(col("id"), col("ahash"),
-      posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("ahash"), b * width).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "key")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxDist)
+    Dedup.persistTracked(spark.createDataFrame(rdd, schema))
+  }
+
+  /** Decode a PCM payload to (sampleRate, channels, interleaved int16
+    * samples) — the shared front half of [[decodeAudio]] and
+    * [[audioEnergyHash]]. None for null/undecodable payloads.
+    */
+  private def decodePcm16(payload: Array[Byte]): Option[(Float, Int, Array[Short])] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val base = in.getFormat
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels,
+        base.getChannels * 2, base.getSampleRate, false)
+      val conv = AudioSystem.getAudioInputStream(fmt, in)
+      val bytes = conv.readAllBytes()
+      conv.close(); in.close()
+      val n = bytes.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      Some((fmt.getSampleRate, fmt.getChannels, samples))
+    } catch { case _: Exception => None }
+  }
+
+  /** Amplitude-pattern WAV generator (test/fixture aid): one sine
+    * segment per entry of `amps`, each `msPerSeg` long — the audio
+    * analog of the checkerboard PNG fixtures.
+    */
+  def patternWav(amps: Seq[Double], msPerSeg: Int = 8,
+      freqHz: Double = 440, sampleRate: Float = 8000f): Array[Byte] = {
+    val segFrames = (sampleRate * msPerSeg / 1000).toInt
+    val pcm = new Array[Byte](amps.length * segFrames * 2)
+    var i = 0
+    amps.zipWithIndex.foreach { case (a, s) =>
+      var f = 0
+      while (f < segFrames) {
+        val t = (s * segFrames + f).toDouble / sampleRate
+        val v = (a * math.sin(2 * math.Pi * freqHz * t) * 32767).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        f += 1; i += 1
+      }
+    }
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, amps.length.toLong * segFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 }

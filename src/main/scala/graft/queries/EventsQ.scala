@@ -216,6 +216,13 @@ object EventsQ {
         .orderBy("from_type")
     }),
 
+    // ---- ε-DP noisy count release (seeded two-sided geometric) ----
+    "q200_dp_noisy_counts" -> ((s, d) => {
+      graft.operators.Privacy.dpNoisyCounts(Tables.events(s, d),
+          "event_type", epsilon = 0.5)
+        .orderBy("event_type")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -475,6 +482,24 @@ object EventsQ {
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
           FROM events GROUP BY user_id
           ORDER BY n DESC, user_id ASC LIMIT 10""",
+    // identical seeded inverse-CDF geometric draws (α = e^−0.5)
+    "q200_dp_noisy_counts" ->
+      """WITH c AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1),
+          u AS (
+            SELECT event_type, n,
+              (('0x' || substr(md5('1:' || event_type), 1, 15))::BIGINT
+                % 1000000 + 0.5) / 1000000.0 AS u1,
+              (('0x' || substr(md5('2:' || event_type), 1, 15))::BIGINT
+                % 1000000 + 0.5) / 1000000.0 AS u2
+            FROM c)
+         SELECT event_type, n,
+           CAST(floor(ln(u1) / (-0.5)) - floor(ln(u2) / (-0.5)) AS BIGINT)
+             AS noise,
+           n + CAST(floor(ln(u1) / (-0.5)) - floor(ln(u2) / (-0.5)) AS BIGINT)
+             AS noisy_n
+         FROM u ORDER BY event_type""",
     // tie blocks collapse to one row per distinct count value; the
     // rank-weighted mass x·(m·cum_before + m(m+1)/2) keeps the whole
     // numerator integer — same closed form as the engine

@@ -270,6 +270,32 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- k-anonymity audit over (lang, source, size-bucket) ----
+    "q199_k_anonymity" -> ((s, d) => {
+      graft.operators.Privacy.kAnonymityAudit(Tables.documents(s, d),
+          Seq(col("lang"), col("source"), floor(col("n_chars") / 200)), k = 5)
+        .orderBy("class_size")
+    }),
+
+    // ---- multimodal: audio energy-fingerprint near-dup pairs over
+    //      amplitude-pattern WAV fixtures (segments = windows, so the
+    //      expected bits/distances are hand-computable) ----
+    "q201_audio_neardup" -> ((s, _) => {
+      val alt = Seq.tabulate(64)(i => if (i % 2 == 0) 0.8 else 0.1)
+      val rows = Seq(
+        (1L, Multimodal.patternWav(alt)),
+        (2L, Multimodal.patternWav(alt)), // identical → Hamming 0
+        (3L, Multimodal.patternWav(alt.updated(0, 0.1))), // 1 window off
+        (4L, Multimodal.patternWav(alt.map(a => 0.9 - a))), // inverted: 64
+        (5L, Multimodal.patternWav(Seq.fill(64)(0.5))), // flat envelope
+        (6L, Array[Byte](3, 1, 4))) // undecodable → dropped
+      import s.implicits._
+      val media = Multimodal.asMedia(rows.toDF("id", "bytes"),
+        "id", "bytes", "audio")
+      Multimodal.audioNearDupPairs(media, maxDist = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- Burrows' Delta stylometric distance between sources ----
     "q193_burrows_delta" -> ((s, d) => {
       TextAnalysis.burrowsDelta(Tables.documents(s, d), "text", "source",
@@ -1738,6 +1764,34 @@ object Pipeline {
          SELECT ia AS item_a, ib AS item_b, n_ab, pmi FROM (
            SELECT * FROM lifted ORDER BY pmi DESC, ia, ib LIMIT 20)
          ORDER BY pmi DESC, item_a, item_b""",
+    // exact class-size histogram; violating = size < k
+    "q199_k_anonymity" ->
+      """WITH cls AS (
+            SELECT lang, source, n_chars // 200 AS b, count(*) AS sz
+            FROM documents GROUP BY 1, 2, 3),
+          bs AS (
+            SELECT CAST(sz AS BIGINT) AS class_size,
+              CAST(count(*) AS BIGINT) AS n_classes
+            FROM cls GROUP BY 1),
+          bs2 AS (
+            SELECT class_size, n_classes,
+              class_size * n_classes AS n_rows
+            FROM bs),
+          t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM bs2)
+         SELECT class_size, n_classes, n_rows,
+           class_size < 5 AS violating,
+           round(n_rows::DOUBLE / t.total, 6) AS row_share
+         FROM bs2 CROSS JOIN t ORDER BY class_size""",
+    // hand-computed: 1/2 share the alternating-envelope fingerprint,
+    // 3 silences exactly one loud window; inverted/flat/undecodable
+    // fixtures pair with nothing inside distance 3
+    "q201_audio_neardup" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS INTEGER)),
+          (1, 3, 1),
+          (2, 3, 1))
+         t(id_a, id_b, hamming)
+         ORDER BY id_a, id_b""",
     // hand-computed: ids 1/2 share the half-black hash (distance 0),
     // id 3 flips exactly one grid cell (distance 1); the inverted,
     // flat, and undecodable fixtures produce no pair within 3
