@@ -1013,4 +1013,39 @@ object Similarity {
         round(max(when(!col("__nan"), col("__norm"))), 6).as("max_norm"),
         round(avg(when(!col("__nan"), col("__norm"))), 6).as("avg_norm"))
   }
+
+  /** Hubness audit of the embedding space (Radovanović et al.): over a
+    * deterministic md5-lowest query sample, build the exact kNN graph
+    * and histogram the neighbor IN-degrees — a high-dimensional space
+    * gone wrong concentrates retrieval onto a few "hub" points (huge
+    * in-degree) while most points become anti-hubs (in-degree 0,
+    * reported as the `in_degree = 0` row over the whole corpus). The
+    * skew of this histogram is the standard "is cosine retrieval
+    * degenerating" diagnostic. Emits `(in_degree, n_points)`.
+    *
+    * Scale shape: the query sample is a TakeOrdered of `sampleSize`
+    * rows broadcast into [[bruteForceKnn]]'s scan-shaped pass (one
+    * corpus sweep, map-side WindowGroupLimit top-k); the in-degree
+    * histogram is two tiny aggregates. Sampling makes the audit
+    * corpus-pass-bounded — the estimate converges fast because hubs
+    * are by definition hit by many queries.
+    */
+  def hubnessReport(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int = 5, sampleSize: Int = 100): DataFrame = {
+    val queries = emb
+      .orderBy(md5(concat(lit("hub:"), col(idCol).cast("string"))),
+        col(idCol).asc)
+      .limit(sampleSize)
+    val knn = bruteForceKnn(emb, queries, vecCol, idCol, k)
+    val indeg = knn.groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    val hist = indeg.groupBy("in_degree")
+      .agg(count(lit(1)).as("n_points"))
+    val total = emb.agg(count(lit(1)).as("__n"))
+    val touched = indeg.agg(count(lit(1)).as("__t"))
+    val antihubs = total.crossJoin(broadcast(touched))
+      .select(lit(0L).as("in_degree"),
+        (col("__n") - col("__t")).as("n_points"))
+    hist.unionAll(antihubs)
+  }
 }

@@ -1343,6 +1343,50 @@ object TextAnalysis {
         .otherwise(lit(0d)), 6).as("r2"))
   }
 
+  /** In-engine logistic-regression quality classifier trained by
+    * full-batch gradient descent: `iters` exact passes of
+    * `w ← w − η·avg(x·(σ(w·x) − y))` from `w = 0` over the given
+    * feature columns (an intercept is prepended). Deterministic —
+    * no shuffling, no minibatching — so the DuckDB oracle replays the
+    * identical trajectory as an unrolled CTE chain; each iteration is
+    * ONE map-side-combinable (k+1)-sum aggregate over the corpus, and
+    * the weight vector travels as collected literals (the k-means
+    * staging discipline). Emits one row:
+    * `(n, w_0 … w_k, accuracy)` — `w_0` the intercept, accuracy the
+    * training accuracy of the final weights at the 0.5 threshold.
+    *
+    * Quantize the feature expressions (e.g. 4dp rounds) so both
+    * engines aggregate the same grid values.
+    */
+  def logisticRegressionGd(df: DataFrame, features: Seq[Column],
+      label: Column, eta: Double = 5.0, iters: Int = 5): DataFrame = {
+    require(features.nonEmpty && iters >= 1, "need features and iterations")
+    val k = features.size
+    val cols = lit(1d).as("x0") +:
+      features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"x${i + 1}") }
+    val fts = Dedup.persistTracked(
+      df.select(cols :+ label.cast("boolean").cast("double").as("y"): _*))
+    var w = Array.fill(k + 1)(0d)
+    def z(weights: Array[Double]): Column =
+      (0 to k).map(j => lit(weights(j)) * col(s"x$j")).reduce(_ + _)
+    def sigma(zc: Column): Column = lit(1d) / (lit(1d) + exp(-zc))
+    for (_ <- 1 to iters) {
+      val p = sigma(z(w))
+      val grads = fts.agg(
+        avg((p - col("y")) * col("x0")).as("g0"),
+        (1 to k).map(j => avg((p - col("y")) * col(s"x$j")).as(s"g$j")): _*)
+        .collect().head
+      w = Array.tabulate(k + 1)(j => w(j) - eta * grads.getDouble(j))
+    }
+    val p = sigma(z(w))
+    val outCols =
+      Seq(count(lit(1)).as("n")) ++
+        (0 to k).map(j => round(lit(w(j)), 6).as(s"w_$j")) :+
+        round(avg(when((p >= 0.5) === col("y").cast("boolean"), 1d)
+          .otherwise(0d)), 6).as("accuracy")
+    fts.agg(outCols.head, outCols.tail: _*)
+  }
+
   /** Burrows' Delta stylometric distance between groups (the
     * authorship-attribution classic): over the corpus-wide top-
     * `vocabSize` terms, z-score each group's relative term frequency

@@ -216,6 +216,15 @@ object EventsQ {
         .orderBy("from_type")
     }),
 
+    // ---- streaming CUSUM alert monitor vs a known reference mean
+    //      (drift increments are exact multiples of 0.5 ⇒ the whole
+    //      recurrence is float-exact cross-engine) ----
+    "q202_stream_cusum" -> ((s, d) => {
+      graft.streaming.EventsStream.runCusumOnce(s, d, 6 * HourNs,
+          mu0 = 2.5, slack = 0.5, h = 20.0)
+        .orderBy("event_type", "window_start_ns")
+    }),
+
     // ---- ε-DP noisy count release (seeded two-sided geometric) ----
     "q200_dp_noisy_counts" -> ((s, d) => {
       graft.operators.Privacy.dpNoisyCounts(Tables.events(s, d),
@@ -482,6 +491,35 @@ object EventsQ {
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
           FROM events GROUP BY user_id
           ORDER BY n DESC, user_id ASC LIMIT 10""",
+    // batch replay of the streaming recurrence through the running-min
+    // identity S_i = P_i − min(0, min_{j≤i} P_j); per-key gap-filled
+    // grid over the key's own observed span
+    "q202_stream_cusum" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // ${6 * HourNs} AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (SELECT k, min(w) AS w0, max(w) AS w1 FROM c GROUP BY 1),
+          grid AS (
+            SELECT b.k, u.w FROM b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          p AS (
+            SELECT k, w, n,
+              sum(n - 3.0) OVER (PARTITION BY k ORDER BY w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+            FROM f),
+          m AS (
+            SELECT *,
+              least(min(pre) OVER (PARTITION BY k ORDER BY w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS mn
+            FROM p)
+         SELECT k AS event_type, w * ${6 * HourNs} AS window_start_ns,
+           CAST(n AS BIGINT) AS n,
+           round(pre - mn, 6) AS s_plus,
+           (pre - mn) > 20.0 AS alert
+         FROM m ORDER BY event_type, window_start_ns""",
     // identical seeded inverse-CDF geometric draws (α = e^−0.5)
     "q200_dp_noisy_counts" ->
       """WITH c AS (

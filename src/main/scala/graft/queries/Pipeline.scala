@@ -270,6 +270,23 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- in-engine logistic regression (full-batch GD, 5 exact
+    //      passes) predicting lang=en from quality ratios ----
+    "q203_logreg" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = TextAnalysis.qualityStruct(col("text"))
+      TextAnalysis.logisticRegressionGd(docs,
+        features = Seq(q.getField("punct_ratio"), q.getField("stopword_ratio")),
+        label = col("lang") === "en", eta = 5.0, iters = 5)
+    }),
+
+    // ---- embedding-space hubness audit (kNN in-degree histogram) ----
+    "q204_hubness" -> ((s, d) => {
+      graft.operators.Similarity.hubnessReport(Tables.embeddings(s, d),
+          "embedding", "vec_id", k = 5, sampleSize = 100)
+        .orderBy("in_degree")
+    }),
+
     // ---- k-anonymity audit over (lang, source, size-bucket) ----
     "q199_k_anonymity" -> ((s, d) => {
       graft.operators.Privacy.kAnonymityAudit(Tables.documents(s, d),
@@ -1764,6 +1781,76 @@ object Pipeline {
          SELECT ia AS item_a, ib AS item_b, n_ab, pmi FROM (
            SELECT * FROM lifted ORDER BY pmi DESC, ia, ib LIMIT 20)
          ORDER BY pmi DESC, item_a, item_b""",
+    // identical GD trajectory as an unrolled MATERIALIZED CTE chain
+    // (w travels as a 1-row table; min() lifts the constants through
+    // the aggregate exactly like the engine's collected literals)
+    "q203_logreg" -> {
+      def z(p: String) = s"($p.a * x0 + $p.b * x1) + $p.c * x2"
+      def sig(p: String) = s"1 / (1 + exp(-(${z(p)})))"
+      val chain = (1 to 5).map { t =>
+        val p = s"it${t - 1}"
+        s""",
+          it$t AS MATERIALIZED (
+            SELECT min($p.a) - 5.0 * avg((${sig(p)} - y) * x0) AS a,
+              min($p.b) - 5.0 * avg((${sig(p)} - y) * x1) AS b,
+              min($p.c) - 5.0 * avg((${sig(p)} - y) * x2) AS c
+            FROM feat CROSS JOIN $p)"""
+      }.mkString
+      s"""WITH feat AS MATERIALIZED (
+            SELECT 1.0 AS x0, round(pr, 4) AS x1, round(sr, 4) AS x2,
+              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM (
+              SELECT lang,
+                CASE WHEN length(text) > 0 THEN
+                  length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+                    / length(text) ELSE 0.0 END AS pr,
+                CASE WHEN len(toks) > 0 THEN
+                  len(regexp_extract_all(lower(text),
+                    '\\b(the|and|of|to|is|in|a|that|it|der|die|und|le|la|et|el|de|que)\\b'))::DOUBLE
+                    / len(toks) ELSE 0.0 END AS sr
+              FROM (SELECT lang, text, $Toks AS toks FROM documents))),
+          it0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)$chain
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           round(min(it5.a), 6) AS w_0,
+           round(min(it5.b), 6) AS w_1,
+           round(min(it5.c), 6) AS w_2,
+           round(avg(CASE WHEN (${sig("it5")} >= 0.5) = (y = 1.0)
+             THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+         FROM feat CROSS JOIN it5"""
+    },
+    // same md5-lowest query sample, same ordered-fold cosine ranking;
+    // the in_degree = 0 row counts the untouched corpus remainder
+    "q204_hubness" ->
+      """WITH q AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5('hub:' || CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 100),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              list_sum(list_transform(range(1, len(q.embedding) + 1),
+                i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                 i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                 i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cosine
+            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+          knn AS (
+            SELECT neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rn
+              FROM scored)
+            WHERE rn <= 5),
+          indeg AS (
+            SELECT neighbor_id, CAST(count(*) AS BIGINT) AS in_degree
+            FROM knn GROUP BY 1),
+          hist AS (
+            SELECT in_degree, CAST(count(*) AS BIGINT) AS n_points
+            FROM indeg GROUP BY 1)
+         SELECT * FROM hist
+         UNION ALL
+         SELECT CAST(0 AS BIGINT),
+           (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM indeg)
+         ORDER BY in_degree""",
     // exact class-size histogram; violating = size < k
     "q199_k_anonymity" ->
       """WITH cls AS (

@@ -331,4 +331,87 @@ object EventsStream {
     }
     spark.table(name)
   }
+
+  /** Per-key CUSUM carry state: last emitted window, the running
+    * drift prefix Σ(n − μ − slack), and its inclusive running minimum
+    * clamped at ≤ 0 (the running-min identity's denominator).
+    */
+  case class CusumCarry(lastW: Long, pre: Double, mn: Double)
+  case class CusumRow(event_type: String, window_start_ns: Long, n: Long,
+    s_plus: Double, alert: Boolean)
+
+  /** Streaming one-sided CUSUM monitor against a KNOWN reference mean
+    * `mu0` — the alerting form of the batch [[graft.operators.Events
+    * .cusumShifts]]: per key, tumbling-window counts feed Page's
+    * statistic `S = max(0, S + (n − μ₀ − slack))` and every window
+    * emits `(key, window, n, s_plus, alert = s_plus > h)`. The
+    * recurrence is maintained through the running-min identity
+    * `S_i = P_i − min(0, min_{j≤i} P_j)` so the carried state is two
+    * doubles + the last window ordinal; silent interior windows are
+    * real zeros (the gap is walked forward, bounded by the time
+    * horizon). Like [[sessionize]], the per-batch group iterator is
+    * sorted (at true scale: EventTimeTimeout + watermark finalization);
+    * the batch replay of the same recurrence is the DuckDB gate.
+    */
+  def cusumMonitor(events: DataFrame, windowNs: Long, mu0: Double,
+      slack: Double, h: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // integer window ordinal — a double division of an ~1e18 ns epoch
+    // would lose low bits beyond 2^53 and misbucket
+    events.select(col("event_type"), expr(s"ts div $windowNs").as("w"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumCarry, CusumRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[CusumCarry]) =>
+          val counts = scala.collection.mutable.LongMap.empty[Long]
+          rows.foreach(r => counts(r._2) = counts.getOrElse(r._2, 0L) + 1)
+          if (counts.isEmpty) Iterator.empty
+          else {
+            val lo = counts.keys.min
+            val hi = counts.keys.max
+            var st = state.getOption.getOrElse(
+              CusumCarry(lo - 1, 0d, 0d))
+            val out = Seq.newBuilder[CusumRow]
+            var w = math.min(st.lastW + 1, lo)
+            while (w <= hi) {
+              val n = counts.getOrElse(w, 0L)
+              val pre = st.pre + (n - mu0 - slack)
+              val mn = math.min(st.mn, math.min(pre, 0d))
+              val s = pre - mn
+              out += CusumRow(key, w * windowNs, n,
+                math.rint(s * 1e6) / 1e6, s > h)
+              st = CusumCarry(w, pre, mn)
+              w += 1
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** Drive the streaming CUSUM monitor once over the static events
+    * table (AvailableNow, memory sink — the [[runSessionizeOnce]]
+    * harness shape).
+    */
+  def runCusumOnce(spark: SparkSession, dir: String, windowNs: Long,
+      mu0: Double, slack: Double, h: Double): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.tsAsNanos(spark.readStream.schema(schema).parquet(staged))
+    val out = cusumMonitor(stream, windowNs, mu0, slack, h)
+    val name = s"events_cusum_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
 }

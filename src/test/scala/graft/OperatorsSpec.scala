@@ -2480,6 +2480,51 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.kCore(edges, "a", "b", k = 3).count() == 0)
   }
 
+  test("TextAnalysis.logisticRegressionGd: separable data learns the labels") {
+    // y = 1 iff x1 high — GD from 0 with enough signal classifies
+    // everything correctly within 5 full-batch steps
+    val docs = (Seq.fill(20)((0.9, 1.0)) ++ Seq.fill(20)((0.1, 0.0)))
+      .toDF("f", "yv")
+    val r = TextAnalysis.logisticRegressionGd(docs,
+      features = Seq(col("f")), label = col("yv") === 1.0,
+      eta = 5.0, iters = 5).collect().head
+    assert(r.getAs[Long]("n") == 40)
+    assert(r.getAs[Double]("accuracy") == 1.0)
+    // the feature weight must point toward the positive class
+    assert(r.getAs[Double]("w_1") > 0)
+    // determinism: the trajectory replays exactly
+    val r2 = TextAnalysis.logisticRegressionGd(docs,
+      features = Seq(col("f")), label = col("yv") === 1.0,
+      eta = 5.0, iters = 5).collect().head
+    assert(r == r2)
+    Dedup.clearCaches()
+  }
+
+  test("Similarity.hubnessReport: duplicated hub point dominates in-degree") {
+    // 20 scattered unit vectors + one direction duplicated 3× — the
+    // duplicated direction's members are everyone's nearest neighbors
+    val base = (0 until 20).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => math.cos(i * 0.7 + j).toFloat)))
+    val hubs = (20 until 23).map(i =>
+      (i.toLong, Seq(1f, 0f, 0f, 0f)))
+    val emb = (base ++ hubs).toDF("vec_id", "embedding")
+    val got = Similarity.hubnessReport(emb, "embedding", "vec_id",
+      k = 2, sampleSize = 23).collect()
+      .map(r => r.getAs[Long]("in_degree") -> r.getAs[Long]("n_points")).toMap
+    // histogram covers the whole corpus
+    assert(got.map { case (_, n) => n }.sum == 23)
+    // the three identical hub members soak up large in-degrees (each
+    // is at least the other two hub members' top-1 at cosine 1)
+    assert(got.keys.max >= 2)
+    // a 5-query sample emits ≤ 10 edges over 23 points — anti-hubs
+    // (in-degree 0) are forced structurally
+    val sampled = Similarity.hubnessReport(emb, "embedding", "vec_id",
+      k = 2, sampleSize = 5).collect()
+      .map(r => r.getAs[Long]("in_degree") -> r.getAs[Long]("n_points")).toMap
+    assert(sampled(0L) >= 13)
+    Dedup.clearCaches()
+  }
+
   test("TextAnalysis.dirichletQl: hand-computed LM scores, length prior ranks") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
       .toDF("doc_id", "text")

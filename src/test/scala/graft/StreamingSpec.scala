@@ -163,6 +163,51 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("cusumMonitor: state carries across micro-batches, gaps are zeros") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // windowNs = 100; μ0 + slack = 3. Batch 1 gives key "a" windows
+    // 0 (n=5 → drift +2) and 1 (n=4 → +1); batch 2 resumes at window 3
+    // — the silent window 2 must be emitted as a real zero (drift −3)
+    // BEFORE window 3's n=6 (+3): only carried state can do that.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum_stream")
+    val b1 = Seq.fill(5)(("a", 10L)) ++ Seq.fill(4)(("a", 110L))
+    val b2 = Seq.fill(6)(("a", 310L))
+    def write(rows: Seq[(String, Long)], name: String, mtime: Long): Unit = {
+      val p = dir.resolve(name)
+      rows.toDF("event_type", "ts").coalesce(1).write.parquet(p.toString)
+      java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+    }
+    write(b1, "b1.parquet", 1000000L)
+    write(b2, "b2.parquet", 2000000L)
+    val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*.parquet")
+    val out = EventsStream.cusumMonitor(stream, 100L,
+      mu0 = 2.5, slack = 0.5, h = 4.0)
+    val name = s"cusum_batches_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val got = spark.table(name)
+      .select("window_start_ns", "n", "s_plus", "alert")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // S: +2 → 3 (carry) → max(0, 3−3) = 0 → +3 = 3; alert at S=3? h=4 no;
+    // window 1: S = 2+1 = 3
+    val want = Seq(
+      (0L, 5L, 2.0, false),
+      (100L, 4L, 3.0, false),
+      (200L, 0L, 0.0, false),
+      (300L, 6L, 3.0, false))
+    assert(got == want, s"got $got")
+    spark.catalog.dropTempView(name)
+  }
+
   test("hopping windows run as a stream and match the batch operator") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.operators.Events
