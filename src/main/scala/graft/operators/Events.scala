@@ -494,6 +494,156 @@ object Events {
         round(lit(4d) * col("_a2u"), 8).as("a2"))
   }
 
+  /** Time-to-event durations for [[kaplanMeier]]: per user, windows
+    * from the FIRST event to the first event satisfying `eventPred`
+    * (e.g. the first purchase). Users who never trigger are CENSORED
+    * at the corpus' last timestamp — their duration is a lower bound,
+    * which is exactly what the KM estimator consumes. Emits
+    * `(duration, censored)`, one row per user.
+    */
+  def timeToEvent(df: DataFrame, userCol: String, tsNs: String,
+      eventPred: Column, windowNs: Long): DataFrame = {
+    val perUser = df.groupBy(col(userCol))
+      .agg(min(col(tsNs)).as("__first"),
+        min(when(eventPred, col(tsNs))).as("__hit"))
+    val horizon = broadcast(df.agg(max(col(tsNs)).as("__end")))
+    perUser.crossJoin(horizon)
+      .select(
+        expr(s"(coalesce(__hit, __end) - __first) div $windowNs")
+          .as("duration"),
+        col("__hit").isNull.as("censored"))
+  }
+
+  /** Kaplan-Meier survival curve over right-censored durations (one
+    * row per subject: how many windows until the event, and whether
+    * observation ended before the event — censored subjects carry a
+    * LOWER BOUND; dropping them biases survival down, counting them
+    * as events biases it up, KM uses them correctly). For each
+    * distinct uncensored duration t:
+    * `S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)` with `dᵢ` events at tᵢ and `nᵢ`
+    * subjects at risk (duration ≥ tᵢ, censored included). Emits one
+    * row per event time: `(duration, n_at_risk, n_events, survival)`.
+    *
+    * Scale shape: one count aggregate to the distinct-duration grid
+    * (time-bounded); the product is `exp` of a cumulative `ln` sum
+    * over that grid — no sequential loop. Counts are integers; only
+    * S(t) itself is float, rounded.
+    */
+  def kaplanMeier(durations: DataFrame, durationCol: String,
+      censoredCol: String): DataFrame = {
+    val lives = durations.select(col(durationCol).as("__life"),
+      col(censoredCol).as("__cens"))
+    val counts = lives.groupBy("__life")
+      .agg(sum(when(col("__cens"), 0L).otherwise(1L)).as("__d"),
+        count(lit(1)).as("__c"))
+    val total = counts.agg(sum("__c").as("__n"))
+    // at risk at t = total − #{lifetime < t} (cumulative EXCLUSIVE)
+    val w = Window.orderBy("__life")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wInc = Window.orderBy("__life")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts.crossJoin(broadcast(total))
+      .withColumn("__below", coalesce(sum("__c").over(w), lit(0L)))
+      .withColumn("__risk", col("__n") - col("__below"))
+      // d = n_at_risk (everyone left dies here) makes the factor 0;
+      // ln(0) is NULL in Spark and −inf elsewhere — carry it as an
+      // explicit extinction flag instead of a log
+      .withColumn("__lnS",
+        sum(when(col("__d") > 0 && col("__d") < col("__risk"),
+          log(lit(1d) - col("__d").cast("double") / col("__risk")))
+          .otherwise(lit(0d))).over(wInc))
+      .withColumn("__dead",
+        max(when(col("__d") === col("__risk"), 1).otherwise(0)).over(wInc))
+      .where(col("__d") > 0)
+      .select(col("__life").as("duration"), col("__risk").as("n_at_risk"),
+        col("__d").as("n_events"),
+        when(col("__dead") === 1, lit(0d))
+          .otherwise(round(exp(col("__lnS")), 6)).as("survival"))
+  }
+
+  /** Hour-of-day seasonality strength per key: the fraction of the
+    * gap-filled hourly-count variance explained by the hour-of-day
+    * profile — `SS_between/SS_total` (the η² of a one-way layout on
+    * hour-of-day). 0 = no diurnal pattern, →1 = volume is pure
+    * seasonality; the number that says whether [[diurnalProfile]]'s
+    * shape actually matters. Computed purely from integer sums
+    * (per-hour Σx and counts, global Σx, Σx²):
+    * `η² = (Σ_h s_h²/c_h − S²/N) / (Σx² − S²/N)`. Emits
+    * `(keyCol, n_windows, strength)`.
+    */
+  def seasonalityStrength(df: DataFrame, keyCol: String,
+      tsNs: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val g = gridCounts(df, keyCol, tsNs, hourNs)
+      .withColumn("__h", pmod(col("w"), lit(24L)))
+    val byHour = g.groupBy("k", "__h")
+      .agg(sum("n").as("__s"), count(lit(1)).as("__c"))
+    val byKey = g.groupBy("k")
+      .agg(sum("n").as("__S"), sum(col("n") * col("n")).as("__S2"),
+        count(lit(1)).as("__N"))
+    val between = byHour
+      .groupBy("k")
+      .agg(sum(col("__s").cast("double") * col("__s") / col("__c")).as("__b"))
+    byKey.join(between, Seq("k"))
+      .select(col("k").as(keyCol), col("__N").as("n_windows"),
+        round(
+          when(col("__S2").cast("double")
+            - col("__S").cast("double") * col("__S") / col("__N") > 0,
+            (col("__b") - col("__S").cast("double") * col("__S") / col("__N"))
+              / (col("__S2").cast("double")
+                - col("__S").cast("double") * col("__S") / col("__N")))
+            .otherwise(lit(0d)), 6).as("strength"))
+  }
+
+  /** SAX motif mining over a key's volume series (Lin/Keogh Symbolic
+    * Aggregate approXimation): gap-filled window counts are z-scored
+    * against the key's own series moments, averaged into PAA frames
+    * of `paa` windows, discretized to a 4-letter alphabet at the
+    * standard N(0,1) quartile breakpoints (±0.674489…, 0), and every
+    * sliding word of `wordLen` letters is counted — repeated motifs
+    * are the recurring volume shapes (daily ramps, batch-job spikes).
+    * Emits `(keyCol, motif, n)` for motifs occurring ≥ `minCount`
+    * times.
+    *
+    * Scale shape: after the (key, window) count shuffle everything is
+    * windows-bounded per key: moment fold, PAA aggregate (integer
+    * sums ÷ counts), one collect_list-free sliding explode via
+    * per-frame lead windows.
+    */
+  def saxMotifs(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long, paa: Int = 4, wordLen: Int = 3,
+      minCount: Long = 2): DataFrame = {
+    require(paa >= 1 && wordLen >= 2, "need paa >= 1 and wordLen >= 2")
+    val g = gridCounts(df, keyCol, tsNs, windowNs)
+    val moments = g.groupBy("k")
+      .agg(sum("n").as("__S"), sum(col("n") * col("n")).as("__S2"),
+        count(lit(1)).as("__N"))
+      .withColumn("__mu", col("__S").cast("double") / col("__N"))
+      .withColumn("__var",
+        col("__S2").cast("double") / col("__N") - col("__mu") * col("__mu"))
+    val frames = g.withColumn("__f", expr(s"t div $paa"))
+      .groupBy("k", "__f")
+      .agg(sum("n").as("__fs"), count(lit(1)).as("__fc"))
+    val bp = 0.6744897501960817d
+    val letter = {
+      val sd = when(col("__var") > 0, sqrt(col("__var"))).otherwise(lit(1d))
+      val z = (col("__fs").cast("double") / col("__fc") - col("__mu")) / sd
+      when(z < -bp, lit("a")).when(z < 0, lit("b"))
+        .when(z < bp, lit("c")).otherwise(lit("d"))
+    }
+    val lettered = frames.join(broadcast(moments), Seq("k"))
+      .select(col("k"), col("__f"), letter.as("__l"))
+    val wOrd = Window.partitionBy("k").orderBy("__f")
+    val words = lettered
+      .select(col("k"),
+        (0 until wordLen).map(i => lead(col("__l"), i).over(wOrd))
+          .reduce(concat(_, _)).as("motif"))
+      .where(length(col("motif")) === wordLen)
+    words.groupBy(col("k").as(keyCol), col("motif"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** Per-key diurnal (hour-of-day) activity profile: for each key and
     * UTC hour-of-day, the mean window count across the observation
     * range and its ratio to the key's overall mean — the seasonality

@@ -244,6 +244,45 @@ object Graph {
     out
   }
 
+  /** Degree assortativity of an undirected graph (Newman): the
+    * Pearson correlation of endpoint degrees over all directed edge
+    * instances. Positive = hubs link to hubs (a syndication ring);
+    * negative = hubs link to leaves (hub-and-spoke template reuse) —
+    * the one-number structure summary of a near-dup graph. All five
+    * correlation sums are INTEGERS (degrees × degrees over edges), so
+    * both engines reach the final expression bit-identically. Emits
+    * one row: `(m_edges, assortativity)` (m = undirected edge count;
+    * NULL assortativity when degenerate, e.g. a regular graph).
+    *
+    * Scale shape: one degree aggregate, two broadcast-friendly joins
+    * attaching endpoint degrees to the edge list, one 5-sum fold.
+    */
+  def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sym0 = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val sym = sym0
+      .union(sym0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("__d"))
+    val pairs = sym
+      .join(deg.select(col("src"), col("__d").as("__da")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("__d").as("__db")), Seq("dst"))
+    val a = pairs.agg(
+      count(lit(1)).as("__m2"),
+      sum("__da").as("__sx"), sum("__db").as("__sy"),
+      sum(col("__da") * col("__db")).as("__sxy"),
+      sum(col("__da") * col("__da")).as("__sxx"),
+      sum(col("__db") * col("__db")).as("__syy"))
+    val n = col("__m2").cast("double")
+    val cov = n * col("__sxy") - col("__sx").cast("double") * col("__sy")
+    val vx = n * col("__sxx") - col("__sx").cast("double") * col("__sx")
+    val vy = n * col("__syy") - col("__sy").cast("double") * col("__sy")
+    a.select((col("__m2") / 2).cast("long").as("m_edges"),
+      round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy))
+        .otherwise(lit(null).cast("double")), 6).as("assortativity"))
+  }
+
   /** k-core decomposition (fixed k): iteratively peel vertices of
     * degree < k until the survivor set is stable — the densest-region
     * extractor that separates a genuinely interlinked duplicate/

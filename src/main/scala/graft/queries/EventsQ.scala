@@ -225,6 +225,27 @@ object EventsQ {
         .orderBy("event_type", "window_start_ns")
     }),
 
+    // ---- Kaplan-Meier time-to-first-purchase survival curve ----
+    "q205_kaplan_meier" -> ((s, d) => {
+      val durations = Events.timeToEvent(Tables.events(s, d), "user_id",
+          "ts", col("event_type") === "purchase", windowNs = 24 * HourNs)
+      Events.kaplanMeier(durations, "duration", "censored")
+        .orderBy("duration")
+    }),
+
+    // ---- SAX motif mining over per-type volume series ----
+    "q206_sax_motifs" -> ((s, d) => {
+      Events.saxMotifs(Tables.events(s, d), "event_type", "ts", HourNs,
+          paa = 4, wordLen = 3, minCount = 2)
+        .orderBy("event_type", "motif")
+    }),
+
+    // ---- hour-of-day seasonality strength (η² of the diurnal layout) ----
+    "q207_seasonality_strength" -> ((s, d) => {
+      Events.seasonalityStrength(Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type")
+    }),
+
     // ---- ε-DP noisy count release (seeded two-sided geometric) ----
     "q200_dp_noisy_counts" -> ((s, d) => {
       graft.operators.Privacy.dpNoisyCounts(Tables.events(s, d),
@@ -520,6 +541,129 @@ object EventsQ {
            round(pre - mn, 6) AS s_plus,
            (pre - mn) > 20.0 AS alert
          FROM m ORDER BY event_type, window_start_ns""",
+    // at-risk from the exclusive cumulative; survival via exp-sum-ln
+    // with an explicit extinction flag (ln(0) is NULL in Spark, an
+    // error here — neither engine takes the log at d = risk)
+    "q205_kaplan_meier" -> {
+      val D = 24 * HourNs
+      s"""WITH pu AS (
+            SELECT user_id, min(epoch_ns(ts)) AS f,
+              min(CASE WHEN event_type = 'purchase'
+                THEN epoch_ns(ts) END) AS hit
+            FROM events GROUP BY 1),
+          e AS (SELECT max(epoch_ns(ts)) AS endts FROM events),
+          lives AS (
+            SELECT (coalesce(hit, e.endts) - f) // $D AS life,
+              hit IS NULL AS cens
+            FROM pu CROSS JOIN e),
+          c AS (
+            SELECT life,
+              CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS d,
+              CAST(count(*) AS BIGINT) AS cc
+            FROM lives GROUP BY 1),
+          t AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM c),
+          r AS (
+            SELECT c.life, c.d, c.cc,
+              t.n - coalesce(sum(cc) OVER (ORDER BY life
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS risk
+            FROM c CROSS JOIN t),
+          s AS (
+            SELECT *,
+              sum(CASE WHEN d > 0 AND d < risk
+                THEN ln(1 - d::DOUBLE / risk) ELSE 0 END)
+                OVER (ORDER BY life
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnS,
+              max(CASE WHEN d = risk THEN 1 ELSE 0 END)
+                OVER (ORDER BY life
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+            FROM r)
+         SELECT life AS duration, CAST(risk AS BIGINT) AS n_at_risk,
+           d AS n_events,
+           CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnS), 6) END AS survival
+         FROM s WHERE d > 0 ORDER BY duration"""
+    },
+    // same z-score → PAA → quartile-breakpoint letters → lead-window
+    // sliding words
+    "q206_sax_motifs" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // $HourNs AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // $HourNs) AS w0,
+              max(epoch_ns(ts) // $HourNs) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w, b.w0 FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w - g.w0 AS t, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          mo AS (
+            SELECT k, CAST(sum(n) AS BIGINT) AS S,
+              CAST(sum(n * n) AS BIGINT) AS S2, count(*) AS N
+            FROM f GROUP BY 1),
+          m2 AS (
+            SELECT k, S::DOUBLE / N AS mu,
+              S2::DOUBLE / N - (S::DOUBLE / N) * (S::DOUBLE / N) AS var
+            FROM mo),
+          fr AS (
+            SELECT k, t // 4 AS fidx,
+              CAST(sum(n) AS BIGINT) AS fs, count(*) AS fc
+            FROM f GROUP BY 1, 2),
+          lt AS (
+            SELECT zz.k, zz.fidx,
+              CASE
+                WHEN z < -0.6744897501960817 THEN 'a'
+                WHEN z < 0 THEN 'b'
+                WHEN z < 0.6744897501960817 THEN 'c'
+                ELSE 'd' END AS l
+            FROM (
+              SELECT fr.k, fr.fidx,
+                (fr.fs::DOUBLE / fr.fc - m2.mu)
+                  / (CASE WHEN m2.var > 0 THEN sqrt(m2.var) ELSE 1 END) AS z
+              FROM fr JOIN m2 USING (k)) zz),
+          words AS (
+            SELECT k,
+              l || lead(l, 1) OVER (PARTITION BY k ORDER BY fidx)
+                || lead(l, 2) OVER (PARTITION BY k ORDER BY fidx) AS motif
+            FROM lt)
+         SELECT k AS event_type, motif, CAST(count(*) AS BIGINT) AS n
+         FROM words WHERE length(motif) = 3
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY event_type, motif""",
+    // η² from pure integer sums: (Σ_h s²/c − S²/N)/(ΣX² − S²/N)
+    "q207_seasonality_strength" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // $HourNs AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // $HourNs) AS w0,
+              max(epoch_ns(ts) // $HourNs) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w % 24 AS h, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          byh AS (
+            SELECT k, h, CAST(sum(n) AS BIGINT) AS s, count(*) AS cc
+            FROM f GROUP BY 1, 2),
+          byk AS (
+            SELECT k, CAST(sum(n) AS BIGINT) AS S,
+              CAST(sum(n * n) AS BIGINT) AS S2,
+              CAST(count(*) AS BIGINT) AS N
+            FROM f GROUP BY 1),
+          bw AS (
+            SELECT k, sum(s::DOUBLE * s / cc) AS btw FROM byh GROUP BY 1)
+         SELECT byk.k AS event_type, byk.N AS n_windows,
+           round(CASE WHEN S2::DOUBLE - S::DOUBLE * S / N > 0
+             THEN (bw.btw - S::DOUBLE * S / N)
+               / (S2::DOUBLE - S::DOUBLE * S / N)
+             ELSE 0 END, 6) AS strength
+         FROM byk JOIN bw USING (k) ORDER BY event_type""",
     // identical seeded inverse-CDF geometric draws (α = e^−0.5)
     "q200_dp_noisy_counts" ->
       """WITH c AS (

@@ -287,6 +287,13 @@ object Pipeline {
         .orderBy("in_degree")
     }),
 
+    // ---- degree assortativity of the verified near-dup graph ----
+    "q208_assortativity" -> ((s, d) => {
+      val pairs = Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id",
+          numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+      Graph.assortativity(pairs, "id_a", "id_b")
+    }),
+
     // ---- k-anonymity audit over (lang, source, size-bucket) ----
     "q199_k_anonymity" -> ((s, d) => {
       graft.operators.Privacy.kAnonymityAudit(Tables.documents(s, d),
@@ -1851,6 +1858,33 @@ object Pipeline {
          SELECT CAST(0 AS BIGINT),
            (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM indeg)
          ORDER BY in_degree""",
+    // shared LSH chain; all five Pearson sums are integers
+    "q208_assortativity" ->
+      (LshVerifiedPairCtes + """,
+          sym AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT id_a AS src, id_b AS dst FROM vpairs
+              UNION ALL SELECT id_b, id_a FROM vpairs)),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+          p AS (
+            SELECT da.d AS x, db.d AS y FROM sym
+            JOIN deg da ON da.src = sym.src
+            JOIN deg db ON db.src = sym.dst),
+          a AS (
+            SELECT CAST(count(*) AS BIGINT) AS m2,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy
+            FROM p)
+         SELECT CAST(m2 / 2 AS BIGINT) AS m_edges,
+           round(CASE WHEN CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+               AND CAST(m2 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+             THEN (CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt((CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(m2 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             ELSE NULL END, 6) AS assortativity
+         FROM a"""),
     // exact class-size histogram; violating = size < k
     "q199_k_anonymity" ->
       """WITH cls AS (

@@ -2525,6 +2525,77 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Events.kaplanMeier: textbook worked example with censoring") {
+    // durations (+ = event, c = censored): 1, 2c, 3, 3, 4c
+    // t=1: n=5, d=1 → S = 4/5
+    // t=3: n=3, d=2 → S = 4/5 · 1/3 = 4/15
+    val durations = Seq((1L, false), (2L, true), (3L, false),
+      (3L, false), (4L, true)).toDF("duration", "censored")
+    val got = Events.kaplanMeier(durations, "duration", "censored")
+      .orderBy("duration").collect()
+      .map(r => (r.getAs[Long]("duration"), r.getAs[Long]("n_at_risk"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("survival")))
+    assert(got.length == 2)
+    assert(got(0) == ((1L, 5L, 1L, 0.8)))
+    assert(got(1) == ((3L, 3L, 2L,
+      math.rint(4d / 15 * 1e6) / 1e6)))
+    // total extinction pins survival to exactly 0 (no ln(0) anywhere)
+    val ext = Seq((1L, false), (2L, false)).toDF("duration", "censored")
+    val e = Events.kaplanMeier(ext, "duration", "censored")
+      .orderBy("duration").collect()
+    assert(e.last.getAs[Double]("survival") == 0.0)
+  }
+
+  test("Events.saxMotifs: alternating series yields alternating motifs") {
+    // windows 0..15 alternate 10/0 events; paa=1 keeps the alternation,
+    // so every length-3 word is cdc or dcd (c/d for the high windows
+    // depends only on the breakpoints; the two motifs must each
+    // repeat ≥ 6 times and no other motif may appear)
+    val rows = for {
+      w <- 0 until 16
+      i <- 0 until (if (w % 2 == 0) 10 else 0)
+    } yield ("k", w * 1000L + i)
+    val df = rows.toDF("key", "ts")
+    val got = Events.saxMotifs(df, "key", "ts", 1000L,
+      paa = 1, wordLen = 3, minCount = 2).collect()
+      .map(r => r.getAs[String]("motif") -> r.getAs[Long]("n")).toMap
+    assert(got.size == 2, got)
+    // the observed grid ends at the last NON-EMPTY window (w=14), so
+    // 15 frames → 13 sliding words
+    assert(got.values.sum == 13)
+    assert(got.keys.forall(m => m.toSet.size == 2), got)
+  }
+
+  test("Events.seasonalityStrength: pure diurnal pattern scores ~1, flat ~0") {
+    // key "a": volume depends only on hour-of-day (2-hour cycle proxy:
+    // exact 24h-periodic); key "b": constant
+    val rows = for {
+      day <- 0 until 4
+      h <- 0 until 24
+      i <- 0 until (if (h < 12) 5 else 1)
+    } yield ("a", (day * 24 + h) * 3600L * 1000 * 1000 * 1000 + i)
+    val flat = for {
+      day <- 0 until 4
+      h <- 0 until 24
+      i <- 0 until 3
+    } yield ("b", (day * 24 + h) * 3600L * 1000 * 1000 * 1000 + i)
+    val df = (rows ++ flat).toDF("key", "ts")
+    val got = Events.seasonalityStrength(df, "key", "ts").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(got("a") == 1.0) // volume is a pure function of hour-of-day
+    assert(got("b") == 0.0) // no between-hour variance at all
+  }
+
+  test("Graph.assortativity: star is strongly disassortative") {
+    val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val r = Graph.assortativity(star, "a", "b").collect().head
+    assert(r.getAs[Long]("m_edges") == 5)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+    // a clique is regular → zero variance → NULL by convention
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Graph.assortativity(tri, "a", "b").collect().head.isNullAt(1))
+  }
+
   test("TextAnalysis.dirichletQl: hand-computed LM scores, length prior ranks") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
       .toDF("doc_id", "text")
