@@ -199,6 +199,38 @@ object Eval {
         round(col("_ece"), 6).as("ece"))
   }
 
+  /** Two-proportion z-test between two user cohorts — the A/B
+    * readout: per user, `converted = ∃ row with convPred`; cohorts
+    * split by `groupPred` on the user grain; the pooled-variance
+    * statistic `z = (p_a − p_b)/√(p̂(1−p̂)(1/n_a + 1/n_b))`. All inputs
+    * to the final expression are integer counts. Emits one row:
+    * `(n_a, n_b, conv_a, conv_b, p_a, p_b, z)`.
+    *
+    * Scale shape: one per-user aggregate (map-side combined), one
+    * 4-sum fold over users.
+    */
+  def abTest(df: DataFrame, userCol: String, groupPred: Column,
+      convPred: Column): DataFrame = {
+    val perUser = df.groupBy(col(userCol))
+      .agg(max(when(convPred, 1L).otherwise(0L)).as("__conv"),
+        max(when(groupPred, 1L).otherwise(0L)).as("__a"))
+    val agg = perUser.agg(
+      sum(when(col("__a") === 1, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__a") === 0, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__a") === 1, col("__conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("__a") === 0, col("__conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double")
+      .divide(col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1d) - pp)
+      * (lit(1d) / col("n_a") + lit(1d) / col("n_b")))
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        (pa - pb) / se).otherwise(lit(0d)), 6).as("z"))
+  }
+
   /** Rank agreement between two retrieval rankings (e.g. BM25 vs a
     * language-model scorer): join the two top-`depth` lists on doc id,
     * re-rank each side 1..n WITHIN the intersection (the standard

@@ -644,6 +644,74 @@ object Events {
       .where(col("n") >= minCount)
   }
 
+  /** Mann-Kendall trend test per key — the NON-parametric "is this
+    * series trending" companion of [[volumeTrend]]'s OLS (robust to
+    * outliers and any monotone transform): over gap-filled window
+    * counts, `S = Σ_{i<j} sign(x_j − x_i)`, tie-corrected variance
+    * `Var·18 = W(W−1)(2W+5) − Σ_t t(t−1)(2t+5)`, and the
+    * continuity-corrected `z = (S − sign(S))/√Var`. S and 18·Var are
+    * pure integers. Emits `(keyCol, n_windows, s, z)`.
+    *
+    * Scale shape: the pair enumeration is a self-join of the
+    * per-key WINDOW grid (time-bounded, e.g. 30 daily windows → 435
+    * pairs/key), never of the events.
+    */
+  def mannKendall(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long): DataFrame = {
+    val g = Dedup.persistTracked(gridCounts(df, keyCol, tsNs, windowNs))
+    val s = g.as("a").join(g.as("b"),
+        col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+      .groupBy(col("a.k").as("k"))
+      .agg(sum(signum(col("b.n") - col("a.n")).cast("long")).as("__s"))
+    val ties = g.groupBy("k", "n").agg(count(lit(1)).as("__t"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("__dv"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as("__tt"),
+        sum("__t").as("__w"))
+    s.join(ties, Seq("k"))
+      .withColumn("__var18",
+        col("__w") * (col("__w") - 1) * (col("__w") * 2 + 5) - col("__tt"))
+      .select(col("k").as(keyCol), col("__w").as("n_windows"),
+        col("__s").as("s"),
+        round(when(col("__var18") > 0,
+          (col("__s") - signum(col("__s"))).cast("double")
+            / sqrt(col("__var18").cast("double") / 18d))
+          .otherwise(lit(0d)), 6).as("z"))
+  }
+
+  /** Theil-Sen slope per key — the robust median-of-pairwise-slopes
+    * trend estimator (breakdown point 29%, vs OLS's 0): over the
+    * gap-filled window grid, the exact median of
+    * `(x_j − x_i)/(j − i)` across all i < j pairs (even counts
+    * average the two central order statistics). Emits
+    * `(keyCol, n_pairs, slope)`.
+    *
+    * Scale shape: pairs come from the bounded window grid (435 pairs
+    * for 30 windows); the median is two order statistics off a
+    * per-key rank window over those pairs.
+    */
+  def theilSen(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long): DataFrame = {
+    val g = Dedup.persistTracked(gridCounts(df, keyCol, tsNs, windowNs))
+    val slopes = g.as("a").join(g.as("b"),
+        col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+      .select(col("a.k").as("k"),
+        ((col("b.n") - col("a.n")).cast("double")
+          / (col("b.t") - col("a.t"))).as("__sl"),
+        col("a.t").as("__i"), col("b.t").as("__j"))
+    val w = Window.partitionBy("k").orderBy(col("__sl").asc,
+      col("__i").asc, col("__j").asc)
+    val ranked = slopes.withColumn("__r", row_number().over(w))
+    val m = ranked.groupBy("k").agg(count(lit(1)).as("n_pairs"))
+    ranked.join(broadcast(m), Seq("k"))
+      // median ranks ⌊(m+1)/2⌋ / ⌊(m+2)/2⌋ (equal when m is odd);
+      // integer div — Spark's `/` would yield fractional doubles
+      .where(col("__r") === expr("(n_pairs + 1) div 2")
+        || col("__r") === expr("(n_pairs + 2) div 2"))
+      .groupBy(col("k").as(keyCol), col("n_pairs"))
+      .agg(round(avg("__sl"), 8).as("slope"))
+  }
+
   /** Per-key diurnal (hour-of-day) activity profile: for each key and
     * UTC hour-of-day, the mean window count across the observation
     * range and its ratio to the key's overall mean — the seasonality

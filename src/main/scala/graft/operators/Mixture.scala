@@ -325,6 +325,40 @@ object Mixture {
       .drop("__key")
   }
 
+  /** Neyman (optimal) sample-allocation across strata: for a total
+    * sample budget `B`, allocate `B·(N_h·σ_h)/Σ(N_h·σ_h)` to stratum
+    * `h` — the allocation minimizing the variance of the stratified
+    * mean estimator (big, heterogeneous strata get more samples;
+    * uniform strata need few however large). σ is the population sd
+    * of `metric` from integer sums (`Σx, Σx², n`). Emits
+    * `(groupCol, n_h, sd, alloc, rate)`.
+    *
+    * Scale shape: one combinable 3-sum aggregate per stratum; the
+    * Σ(N·σ) normalizer is a one-row broadcast.
+    */
+  def neymanAllocation(df: DataFrame, groupCol: String, metric: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val stats = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n_h"),
+      sum(metric.cast("long")).as("__s"),
+      sum(metric.cast("long") * metric.cast("long")).as("__s2"))
+      .withColumn("__mu", col("__s").cast("double") / col("n_h"))
+      .withColumn("__sd",
+        sqrt(greatest(col("__s2").cast("double") / col("n_h")
+          - col("__mu") * col("__mu"), lit(0d))))
+      .withColumn("__w", col("n_h") * col("__sd"))
+    val tot = stats.agg(sum("__w").as("__tw"))
+    stats.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_h"),
+        round(col("__sd"), 6).as("sd"),
+        round(when(col("__tw") > 0, lit(budget.toDouble) * col("__w") / col("__tw"))
+          .otherwise(lit(0d)), 4).as("alloc"),
+        round(when(col("__tw") > 0,
+          lit(budget.toDouble) * col("__w") / col("__tw") / col("n_h"))
+          .otherwise(lit(0d)), 6).as("rate"))
+  }
+
   /** Water-filling token-budget allocation across sources: split a
     * global token budget `B` proportionally to temperature weights
     * `w_s = n_sᵅ` but never allocate a source more tokens than it HAS

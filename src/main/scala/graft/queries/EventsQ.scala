@@ -225,6 +225,28 @@ object EventsQ {
         .orderBy("event_type", "window_start_ns")
     }),
 
+    // ---- A/B two-proportion z-test: purchase conversion across the
+    //      md5-parity user split ----
+    "q211_ab_test" -> ((s, d) => {
+      graft.operators.Eval.abTest(Tables.events(s, d), "user_id",
+          groupPred = pmod(graft.functions.md5Long(col("user_id")), lit(2L)) === 0,
+          convPred = col("event_type") === "purchase")
+    }),
+
+    // ---- Mann-Kendall non-parametric trend test (daily volumes) ----
+    "q212_mann_kendall" -> ((s, d) => {
+      Events.mannKendall(Tables.events(s, d), "event_type", "ts",
+          windowNs = 24 * HourNs)
+        .orderBy("event_type")
+    }),
+
+    // ---- Theil-Sen robust slope (median of pairwise slopes) ----
+    "q213_theil_sen" -> ((s, d) => {
+      Events.theilSen(Tables.events(s, d), "event_type", "ts",
+          windowNs = 24 * HourNs)
+        .orderBy("event_type")
+    }),
+
     // ---- Kaplan-Meier time-to-first-purchase survival curve ----
     "q205_kaplan_meier" -> ((s, d) => {
       val durations = Events.timeToEvent(Tables.events(s, d), "user_id",
@@ -541,6 +563,99 @@ object EventsQ {
            round(pre - mn, 6) AS s_plus,
            (pre - mn) > 20.0 AS alert
          FROM m ORDER BY event_type, window_start_ns""",
+    // integer conversion counts; identical pooled-variance expression
+    "q211_ab_test" ->
+      """WITH pu AS (
+            SELECT user_id,
+              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+              max(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                % 2 = 0 THEN 1 ELSE 0 END) AS a
+            FROM events GROUP BY 1),
+          g AS (
+            SELECT
+              CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN a = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+              CAST(sum(CASE WHEN a = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+            FROM pu),
+          z AS (
+            SELECT *,
+              conv_a::DOUBLE / n_a AS pa, conv_b::DOUBLE / n_b AS pb,
+              (conv_a + conv_b)::DOUBLE / (n_a + n_b) AS pp
+            FROM g)
+         SELECT n_a, n_b, conv_a, conv_b,
+           round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round(CASE WHEN n_a > 0 AND n_b > 0 AND
+               sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)) > 0
+             THEN (pa - pb) / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b))
+             ELSE 0 END, 6) AS z
+         FROM z""",
+    // S and 18·Var are integers; continuity-corrected z
+    "q212_mann_kendall" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // ${24 * HourNs} AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // ${24 * HourNs}) AS w0,
+              max(epoch_ns(ts) // ${24 * HourNs}) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w AS t, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          pr AS (
+            SELECT a.k,
+              CASE WHEN b2.n > a.n THEN 1 WHEN b2.n < a.n THEN -1
+                ELSE 0 END AS sg
+            FROM f a JOIN f b2 ON a.k = b2.k AND a.t < b2.t),
+          s AS (SELECT k, CAST(sum(sg) AS BIGINT) AS s FROM pr GROUP BY 1),
+          tg AS (SELECT k, n, CAST(count(*) AS BIGINT) AS t FROM f GROUP BY 1, 2),
+          ties AS (
+            SELECT k,
+              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt,
+              CAST(sum(t) AS BIGINT) AS w
+            FROM tg GROUP BY 1),
+          v AS (
+            SELECT s.k, s.s, ties.w,
+              ties.w * (ties.w - 1) * (2 * ties.w + 5) - ties.tt AS var18
+            FROM s JOIN ties USING (k))
+         SELECT k AS event_type, w AS n_windows, s,
+           round(CASE WHEN var18 > 0
+             THEN (s - sign(s))::DOUBLE / sqrt(var18::DOUBLE / 18)
+             ELSE 0 END, 6) AS z
+         FROM v ORDER BY event_type""",
+    // exact median (two central order statistics) of pairwise slopes
+    "q213_theil_sen" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // ${24 * HourNs} AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // ${24 * HourNs}) AS w0,
+              max(epoch_ns(ts) // ${24 * HourNs}) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w - (SELECT w0 FROM b) AS t, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          sl AS (
+            SELECT a.k, (b2.n - a.n)::DOUBLE / (b2.t - a.t) AS s,
+              a.t AS i, b2.t AS j
+            FROM f a JOIN f b2 ON a.k = b2.k AND a.t < b2.t),
+          r AS (
+            SELECT k, s,
+              row_number() OVER (PARTITION BY k ORDER BY s, i, j) AS rn
+            FROM sl),
+          m AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs FROM r GROUP BY 1)
+         SELECT r.k AS event_type, m.n_pairs, round(avg(r.s), 8) AS slope
+         FROM r JOIN m USING (k)
+         WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+         GROUP BY 1, 2 ORDER BY event_type""",
     // at-risk from the exclusive cumulative; survival via exp-sum-ln
     // with an explicit extinction flag (ln(0) is NULL in Spark, an
     // error here — neither engine takes the log at d = risk)

@@ -294,6 +294,13 @@ object Pipeline {
       Graph.assortativity(pairs, "id_a", "id_b")
     }),
 
+    // ---- Neyman optimal sample allocation across sources ----
+    "q210_neyman_allocation" -> ((s, d) => {
+      Mixture.neymanAllocation(Tables.documents(s, d), "source",
+          col("n_chars"), budget = 1000L)
+        .orderBy("source")
+    }),
+
     // ---- k-anonymity audit over (lang, source, size-bucket) ----
     "q199_k_anonymity" -> ((s, d) => {
       graft.operators.Privacy.kAnonymityAudit(Tables.documents(s, d),
@@ -1885,6 +1892,26 @@ object Pipeline {
                  * (CAST(m2 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
              ELSE NULL END, 6) AS assortativity
          FROM a"""),
+    // σ from integer sums; identical normalizer expressions
+    "q210_neyman_allocation" ->
+      """WITH s AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+              CAST(sum(n_chars) AS BIGINT) AS sx,
+              CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2
+            FROM documents GROUP BY 1),
+          s2 AS (
+            SELECT source, n_h,
+              sqrt(greatest(sx2::DOUBLE / n_h
+                - (sx::DOUBLE / n_h) * (sx::DOUBLE / n_h), 0)) AS sd
+            FROM s),
+          s3 AS (SELECT *, n_h * sd AS w FROM s2),
+          t AS (SELECT sum(w) AS tw FROM s3)
+         SELECT source, n_h, round(sd, 6) AS sd,
+           round(CASE WHEN t.tw > 0 THEN 1000.0 * w / t.tw ELSE 0 END, 4)
+             AS alloc,
+           round(CASE WHEN t.tw > 0 THEN 1000.0 * w / t.tw / n_h ELSE 0 END, 6)
+             AS rate
+         FROM s3 CROSS JOIN t ORDER BY source""",
     // exact class-size histogram; violating = size < k
     "q199_k_anonymity" ->
       """WITH cls AS (

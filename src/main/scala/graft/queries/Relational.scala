@@ -232,6 +232,23 @@ object Relational {
         .orderBy("digit")
     }),
 
+    // ---- CSV sink/source round-trip (K3): write documents as quoted
+    //      CSV, read back with the same schema — the identity oracle
+    //      proves quoting/escaping fidelity byte-for-byte ----
+    "q209_csv_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_csv_${math.abs(d.hashCode)}"
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(out)
+      s.read
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .schema(docs.schema)
+        .csv(out)
+        .orderBy("doc_id")
+    }),
+
     // ---- C5-C8 string functions ----
     "q20_string_funcs" -> ((s, d) => {
       Tables.part(s, d)
@@ -580,6 +597,10 @@ object Relational {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
          count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY 1 ORDER BY bin""",
+    // identity: the round-tripped CSV must reproduce the source table
+    "q209_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
     // leading digit from the exact cents integer's decimal string
     // (never float formatting); expected p via ln ratios exactly as
     // the Spark side computes log(10, ·)

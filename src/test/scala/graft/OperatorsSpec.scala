@@ -2596,6 +2596,65 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.assortativity(tri, "a", "b").collect().head.isNullAt(1))
   }
 
+  test("Events.mannKendall: strictly rising series, hand-computed S and z") {
+    // daily counts 1,2,3,4,5 → S = 10, no ties ⇒ 18·Var = 5·4·15 = 300
+    val rows = for {
+      d <- 0 until 5
+      i <- 0 to d
+    } yield ("k", d * 1000L + i)
+    val r = Events.mannKendall(rows.toDF("key", "ts"), "key", "ts", 1000L)
+      .collect().head
+    assert(r.getAs[Long]("n_windows") == 5)
+    assert(r.getAs[Long]("s") == 10)
+    val z = 9d / math.sqrt(300d / 18)
+    assert(r.getAs[Double]("z") == math.rint(z * 1e6) / 1e6)
+    Dedup.clearCaches()
+  }
+
+  test("Events.theilSen: outlier-immune where OLS is not") {
+    // counts 1,2,3,4,100: six of the ten pairwise slopes are exactly 1,
+    // so both central order statistics are 1 → slope 1.0
+    val counts = Seq(1, 2, 3, 4, 100)
+    val rows = for {
+      (c, d) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield ("k", d * 1000L + i)
+    val r = Events.theilSen(rows.toDF("key", "ts"), "key", "ts", 1000L)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 10)
+    assert(r.getAs[Double]("slope") == 1.0)
+    Dedup.clearCaches()
+  }
+
+  test("Eval.abTest: hand-computed two-proportion z") {
+    val df = Seq(
+      (1L, "purchase"), (1L, "view"), // b, converted
+      (2L, "purchase"), // a, converted
+      (3L, "purchase"), // b, converted
+      (4L, "view")) // a, not converted
+      .toDF("user_id", "event_type")
+    val r = Eval.abTest(df, "user_id",
+      groupPred = col("user_id") % 2 === 0,
+      convPred = col("event_type") === "purchase").collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("conv_a"), r.getAs[Long]("conv_b")) == ((2L, 2L, 1L, 2L)))
+    assert(r.getAs[Double]("p_a") == 0.5 && r.getAs[Double]("p_b") == 1.0)
+    // pp = 3/4; se = √(0.75·0.25·1); z = −0.5/se
+    val z = -0.5 / math.sqrt(0.1875)
+    assert(r.getAs[Double]("z") == math.rint(z * 1e6) / 1e6)
+  }
+
+  test("Mixture.neymanAllocation: zero-variance stratum gets nothing") {
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L))
+      .toDF("src", "v")
+    val got = graft.operators.Mixture.neymanAllocation(df, "src",
+      col("v"), budget = 1000L).orderBy("src").collect()
+    assert(got(0).getAs[Double]("sd") == 5.0 &&
+      got(0).getAs[Double]("alloc") == 1000.0)
+    assert(got(1).getAs[Double]("sd") == 0.0 &&
+      got(1).getAs[Double]("alloc") == 0.0)
+  }
+
   test("TextAnalysis.dirichletQl: hand-computed LM scores, length prior ranks") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
       .toDF("doc_id", "text")
