@@ -644,6 +644,37 @@ object Events {
       .where(col("n") >= minCount)
   }
 
+  /** Last-touch conversion attribution: each conversion event (type
+    * = `convType`) credits the user's most recent PRIOR non-conversion
+    * event's type — the standard marketing-attribution baseline.
+    * Emits one row per credited type:
+    * `(event_type, n_conversions, share)`; conversions with no prior
+    * touch are dropped (reported by the share denominator counting
+    * only attributed conversions).
+    *
+    * Scale shape: ONE user-partitioned window pass (`last(…, ignore
+    * nulls)` over the preceding frame) — no self-join — then a
+    * types-sized aggregate and a 1-row total broadcast.
+    */
+  def lastTouchAttribution(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, convType: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsNs), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val credited = df
+      .withColumn("__credit",
+        last(when(col(typeCol) =!= convType, col(typeCol)),
+          ignoreNulls = true).over(w))
+      .where(col(typeCol) === convType && col("__credit").isNotNull)
+      .groupBy(col("__credit").as("event_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+    val total = credited.agg(sum("n_conversions").as("__tot"))
+    credited.crossJoin(broadcast(total))
+      .select(col("event_type"), col("n_conversions"),
+        round(col("n_conversions").cast("double") / col("__tot"), 6)
+          .as("share"))
+  }
+
   /** Mann-Kendall trend test per key — the NON-parametric "is this
     * series trending" companion of [[volumeTrend]]'s OLS (robust to
     * outliers and any monotone transform): over gap-filled window

@@ -64,6 +64,44 @@ object Itemsets {
           .as("lift"))
   }
 
+  /** Item-item cosine similarity over basket count vectors — the
+    * classic collaborative-filtering item similarity: each item is
+    * the vector of its per-basket counts, and
+    * `cos(a,b) = Σ_u c_ua·c_ub / (‖a‖·‖b‖)`. Dot products and squared
+    * norms are pure INTEGER sums, so the final ratio is bit-identical
+    * cross-engine. Emits one row per co-occurring pair
+    * `item_a < item_b`: `(item_a, item_b, n_co, cosine)`.
+    *
+    * Scale shape: the (basket, item) count table persists (norms and
+    * both sides of the pair join read it); the self-join shuffles on
+    * the basket key with C(items-in-basket, 2) fan-out; norms are an
+    * item-dimension broadcast.
+    */
+  def itemItemCosine(df: DataFrame, basketCol: String,
+      itemCol: String): DataFrame = {
+    val counts = Dedup.persistTracked(
+      df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .where(col("__i").isNotNull)
+        .groupBy("__b", "__i").agg(count(lit(1)).as("__c")))
+    val norms = counts.groupBy(col("__i"))
+      .agg(sum(col("__c") * col("__c")).as("__n2"))
+    val pairs = counts.as("a")
+      .join(counts.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(sum(col("a.__c") * col("b.__c")).as("__dot"),
+        count(lit(1)).as("n_co"))
+    pairs
+      .join(broadcast(norms.select(col("__i").as("item_a"),
+        col("__n2").as("__na"))), Seq("item_a"))
+      .join(broadcast(norms.select(col("__i").as("item_b"),
+        col("__n2").as("__nb"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_co"),
+        round(col("__dot").cast("double")
+          / (sqrt(col("__na").cast("double"))
+            * sqrt(col("__nb").cast("double"))), 6).as("cosine"))
+  }
+
   /** Level-3 frequent itemsets: triples of items co-occurring in
     * `minSupport`+ baskets, with support and the 3-way lift
     * `n_abc·N² / (n_a·n_b·n_c)` against full independence. Emits one

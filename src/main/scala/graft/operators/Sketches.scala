@@ -46,6 +46,48 @@ object Sketches {
     groups.unionAll(rollup)
   }
 
+  /** Audience-overlap (intersection) audit via HLL inclusion-
+    * exclusion: for each group pair, `|A∩B| ≈ est(A) + est(B) −
+    * est(A∪B)` with the union answered by a SKETCH MERGE (the
+    * mergeable-sketch selling point — no second corpus pass), audited
+    * against the exact intersection. Inclusion-exclusion compounds
+    * the union's relative error onto a possibly-small intersection,
+    * so the tolerance is `tol` RELATIVE TO THE UNION — the honest
+    * bound for this estimator. Emits one row per pair:
+    * `(group_a, group_b, n_a, n_b, n_union, n_inter, hll_ok)` (exact
+    * counts; `hll_ok` certifies the sketch path).
+    *
+    * Scale shape: one sketch+exact pass per group; pair arithmetic on
+    * the groups-sized table; the exact intersection/union come from
+    * one distinct (group, value) self-join.
+    */
+  def hllIntersectionAudit(df: DataFrame, valueCol: String,
+      groupCol: String, lgK: Int = 12, tol: Double = 0.05): DataFrame = {
+    val perGroup = hllByGroup(df, valueCol, groupCol, lgK)
+    val pairsSk = perGroup.as("a").join(perGroup.as("b"),
+        col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .select(col(s"a.$groupCol").as("group_a"),
+        col(s"b.$groupCol").as("group_b"),
+        col("a.n_exact").as("n_a"), col("b.n_exact").as("n_b"),
+        hll_sketch_estimate(hll_union(col("a.sketch"), col("b.sketch")))
+          .as("__est_union"),
+        (hll_sketch_estimate(col("a.sketch"))
+          + hll_sketch_estimate(col("b.sketch"))).as("__est_sum"))
+    val dv = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .distinct()
+    val exactInter = dv.as("a").join(dv.as("b"),
+        col("a.__v") === col("b.__v") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairsSk.join(exactInter, Seq("group_a", "group_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_union"), col("n_inter"),
+        (abs(col("__est_sum") - col("__est_union") - col("n_inter"))
+          <= col("n_union") * tol + lit(1d)).as("hll_ok"))
+  }
+
   /** Rolling-distinct tolerance report — the SKETCH path promised by
     * [[Events.rollingDistinct]]: one HLL sketch per period (one corpus
     * pass), trailing windows answered by UNIONING the period sketches

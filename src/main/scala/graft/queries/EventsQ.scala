@@ -225,6 +225,27 @@ object EventsQ {
         .orderBy("event_type", "window_start_ns")
     }),
 
+    // ---- item-item CF cosine over user×event-type count vectors ----
+    "q214_item_item_cosine" -> ((s, d) => {
+      graft.operators.Itemsets.itemItemCosine(Tables.events(s, d),
+          "user_id", "event_type")
+        .orderBy("item_a", "item_b")
+    }),
+
+    // ---- HLL audience-overlap audit (inclusion-exclusion vs exact) ----
+    "q215_hll_overlap" -> ((s, d) => {
+      graft.operators.Sketches.hllIntersectionAudit(Tables.events(s, d),
+          "user_id", "event_type")
+        .orderBy("group_a", "group_b")
+    }),
+
+    // ---- last-touch purchase attribution ----
+    "q216_last_touch" -> ((s, d) => {
+      Events.lastTouchAttribution(Tables.events(s, d), "user_id", "ts",
+          "event_type", convType = "purchase", tieBreak = "event_id")
+        .orderBy("event_type")
+    }),
+
     // ---- A/B two-proportion z-test: purchase conversion across the
     //      md5-parity user split ----
     "q211_ab_test" -> ((s, d) => {
@@ -563,6 +584,60 @@ object EventsQ {
            round(pre - mn, 6) AS s_plus,
            (pre - mn) > 20.0 AS alert
          FROM m ORDER BY event_type, window_start_ns""",
+    // integer dot products and norms; one ratio at the end
+    "q214_item_item_cosine" ->
+      """WITH c AS (
+            SELECT user_id AS b, event_type AS i, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+          norms AS (SELECT i, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1),
+          p AS (
+            SELECT a.i AS item_a, b2.i AS item_b,
+              CAST(sum(a.c * b2.c) AS BIGINT) AS dot,
+              CAST(count(*) AS BIGINT) AS n_co
+            FROM c a JOIN c b2 ON a.b = b2.b AND a.i < b2.i
+            GROUP BY 1, 2)
+         SELECT p.item_a, p.item_b, p.n_co,
+           round(p.dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6)
+             AS cosine
+         FROM p
+         JOIN norms na ON na.i = p.item_a
+         JOIN norms nb ON nb.i = p.item_b
+         ORDER BY item_a, item_b""",
+    // exact counts; the sketch certification is the engine's claim —
+    // the oracle pins the exact fields and expects hll_ok = true
+    "q215_hll_overlap" ->
+      """WITH dv AS (SELECT DISTINCT event_type AS g, user_id AS v FROM events),
+          n AS (SELECT g, CAST(count(*) AS BIGINT) AS nd FROM dv GROUP BY 1),
+          inter AS (
+            SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS ni
+            FROM dv a JOIN dv b ON a.v = b.v AND a.g < b.g
+            GROUP BY 1, 2)
+         SELECT na.g AS group_a, nb.g AS group_b,
+           na.nd AS n_a, nb.nd AS n_b,
+           na.nd + nb.nd - coalesce(i.ni, 0) AS n_union,
+           coalesce(i.ni, 0) AS n_inter,
+           true AS hll_ok
+         FROM n na JOIN n nb ON na.g < nb.g
+         LEFT JOIN inter i ON i.ga = na.g AND i.gb = nb.g
+         ORDER BY group_a, group_b""",
+    // same ignore-nulls last-touch window
+    "q216_last_touch" ->
+      """WITH cr AS (
+            SELECT event_type,
+              last_value(CASE WHEN event_type <> 'purchase'
+                THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS credit
+            FROM events),
+          att AS (
+            SELECT credit AS event_type, CAST(count(*) AS BIGINT)
+              AS n_conversions
+            FROM cr WHERE event_type = 'purchase' AND credit IS NOT NULL
+            GROUP BY 1),
+          t AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS tot FROM att)
+         SELECT event_type, n_conversions,
+           round(n_conversions::DOUBLE / t.tot, 6) AS share
+         FROM att CROSS JOIN t ORDER BY event_type""",
     // integer conversion counts; identical pooled-variance expression
     "q211_ab_test" ->
       """WITH pu AS (

@@ -2655,6 +2655,51 @@ class OperatorsSpec extends SparkSpec {
       got(1).getAs[Double]("alloc") == 0.0)
   }
 
+  test("Itemsets.itemItemCosine: orthogonal and identical item vectors") {
+    // items x,y share no baskets (orthogonal ⇒ no pair row); y,z have
+    // identical count vectors ⇒ cosine 1
+    val df = Seq(
+      (1L, "x"), (1L, "x"),
+      (2L, "y"), (2L, "z"),
+      (3L, "y"), (3L, "y"), (3L, "z"), (3L, "z"))
+      .toDF("b", "i")
+    val got = Itemsets.itemItemCosine(df, "b", "i").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_co"), r.getAs[Double]("cosine"))).toMap
+    assert(!got.contains(("x", "y")) && !got.contains(("x", "z")))
+    assert(got(("y", "z")) == ((2L, 1.0)))
+    Dedup.clearCaches()
+  }
+
+  test("Sketches.hllIntersectionAudit: exact fields + certified sketch") {
+    // groups: A users {1,2,3}, B users {2,3,4}, C users {9}
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 3L),
+      ("B", 4L), ("C", 9L)).toDF("g", "u")
+    val got = Sketches.hllIntersectionAudit(df, "u", "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"),
+          r.getAs[Boolean]("hll_ok"))).toMap
+    assert(got(("A", "B")) == ((2L, 4L, true)))
+    assert(got(("A", "C")) == ((0L, 4L, true)))
+    assert(got(("B", "C")) == ((0L, 4L, true)))
+  }
+
+  test("Events.lastTouchAttribution: credits the latest prior touch") {
+    val df = Seq(
+      (1L, 100L, "view", 1L), (1L, 200L, "click", 2L),
+      (1L, 300L, "purchase", 3L), // credits click
+      (1L, 400L, "purchase", 4L), // still click (purchases don't touch)
+      (2L, 100L, "purchase", 5L), // no prior touch → dropped
+      (2L, 200L, "view", 6L), (2L, 300L, "purchase", 7L)) // credits view
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.lastTouchAttribution(df, "user_id", "ts",
+      "event_type", "purchase", "event_id").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Double]("share"))).toMap
+    assert(got("click") == ((2L, math.rint(2d / 3 * 1e6) / 1e6)))
+    assert(got("view") == ((1L, math.rint(1d / 3 * 1e6) / 1e6)))
+  }
+
   test("TextAnalysis.dirichletQl: hand-computed LM scores, length prior ranks") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
       .toDF("doc_id", "text")
