@@ -135,6 +135,25 @@ object VcfQ {
     "q189_vcf_hwe" -> ((s, _) => {
       VcfApi.hweReport(tables(s).geno).orderBy("variant_id")
     }),
+    // ---- sample-level Ts/Tv QC (alt-carrying SNP sites per sample) ----
+    "q217_vcf_tstv" -> ((s, _) => {
+      val t = tables(s)
+      VcfApi.tsTvReport(t.geno, t.info).orderBy("sample")
+    }),
+    // ---- windowed LD r² over dosage vectors (maxDist = 200 bp) ----
+    "q218_vcf_ld" -> ((s, _) => {
+      val t = tables(s)
+      VcfApi.ldReport(t.geno, t.info, maxDist = 200L)
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- pairwise IBS sample relatedness (PLINK --genome shape) ----
+    "q219_vcf_ibs" -> ((s, _) => {
+      VcfApi.ibsReport(tables(s).geno).orderBy("sample_a", "sample_b")
+    }),
+    // ---- folded allele-frequency spectrum ----
+    "q220_vcf_afs" -> ((s, _) => {
+      VcfApi.alleleFrequencySpectrum(tables(s).info).orderBy("bin")
+    }),
     "q62_vcf_tabix_range" -> ((s, _) => {
       // tabix-indexed pre-ETL range read on a bgzipped copy of the toy
       // fixture: only index-selected blocks are planned, and the result
@@ -203,6 +222,52 @@ object VcfQ {
           (6, 2, 0, 0, 2, 0.0,  0.0))
          t(variant_id, n, n0, n1, n2, p_ref, hwe_chi2)
          ORDER BY variant_id""",
+    // hand-computed from the q45 genotypes + q43 sites: transition
+    // sites are v1 A→G, v2 C→T, v3 G→A, v4 T→C; v6 A→C is the one
+    // transversion; v5 is an INDEL (excluded). S1 carries alt at
+    // v2,v4 (ts) and v6 (tv) ⇒ 2/1; S2 at v1,v3,v4 and v6 ⇒ 3/1.
+    "q217_vcf_tstv" ->
+      """SELECT * FROM (VALUES
+          ('S1', CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(2.0 AS DOUBLE)),
+          ('S2', 3, 1, 3.0))
+         t(sample, n_ts, n_tv, tstv)
+         ORDER BY sample""",
+    // hand-computed over the q45 dosage vectors (S1,S2): within-200bp
+    // same-chr pairs are (1,2),(1,3),(2,3) on chr1 and (4,5),(5,6) on
+    // chr2 ((4,6) is 250 bp apart). v3's S1 genotype is missing, so
+    // (1,3)/(2,3) have n=1 ⇒ zero variance ⇒ NULL r²; (5,6) has
+    // sb-variance 0 (v6 fixed hom-alt among shared samples) ⇒ NULL;
+    // (1,2): doses (0,1)/(2,0) ⇒ r = −1 ⇒ r² = 1; (4,5): (2,1)/(1,0)
+    // ⇒ r = 1 ⇒ r² = 1.
+    "q218_vcf_ld" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(100 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(1.0 AS DOUBLE)),
+          (1, 3, 200, 1, NULL),
+          (2, 3, 100, 1, NULL),
+          (4, 5, 100, 2, 1.0),
+          (5, 6, 150, 2, NULL))
+         t(id_a, id_b, dist, n, r2)
+         ORDER BY id_a, id_b""",
+    // hand-computed from the q45 genotypes: both-called variants for
+    // (S1,S2) are 1,2,4,5,6 (v3 misses S1); dosage gaps 1,2,1,1,0 ⇒
+    // ibs0=1 (v2), ibs1=3, ibs2=1 (v6); mean shared fraction
+    // (0.5+0+0.5+0.5+1)/5 = 0.5.
+    "q219_vcf_ibs" ->
+      """SELECT * FROM (VALUES
+          ('S1', 'S2', CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)))
+         t(sample_a, sample_b, n, ibs0, ibs1, ibs2, ibs_frac)
+         ORDER BY sample_a, sample_b""",
+    // hand-computed from the q43 af column (0.25,0.5,0.25,0.75,0.25,1.0):
+    // folded maf = (.25,.5,.25,.25,.25,0) ⇒ bins 2×4, 5×1, 0×1
+    "q220_vcf_afs" ->
+      """SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT)),
+          (2, 0.2, 4),
+          (5, 0.5, 1))
+         t(bin, maf_lo, n)
+         ORDER BY bin""",
     "q43_vcf_info" ->
       """SELECT * FROM (VALUES
           (CAST(1 AS BIGINT), '1', CAST(100 AS BIGINT), CAST(100 AS BIGINT), 'A', 'G',  CAST(50 AS DOUBLE), 'PASS', CAST(1 AS BIGINT), CAST(0.25 AS DOUBLE), CAST(20 AS BIGINT), 'SNP'),

@@ -220,6 +220,164 @@ object VcfApi {
         round(col("_chi2"), 4).as("hwe_chi2"))
   }
 
+  /** Per-sample transition/transversion ratio — the standard
+    * sample-level QC statistic after [[sampleQc]]: among the SNP sites
+    * where a sample carries at least one alt allele (gt > 0), count
+    * transition sites (A↔G, C↔T) vs transversion sites (everything
+    * else) and report their ratio (exome-wide expectation ≈ 3.0; a
+    * depressed ratio flags artifact calls). Output:
+    * `sample, n_ts, n_tv, tstv` (ratio rounded to 4, NULL when no
+    * transversions).
+    *
+    * Scale shape: classify each SNP site once from `info.ref/alt`
+    * (row-local CASE), equi-join the alt-carrying geno rows to the
+    * classification on variant_id (both sides keyed on the join
+    * column; AQE broadcasts the site side when small), then ONE
+    * map-side-combinable aggregation keyed on sample.
+    */
+  def tsTvReport(geno: DataFrame, info: DataFrame): DataFrame = {
+    val ts = Seq(("A", "G"), ("G", "A"), ("C", "T"), ("T", "C"))
+    val isTs = ts.map { case (r, a) => col("ref") === r && col("alt") === a }
+      .reduce(_ || _)
+    val sites = info.where(col("vt") === "SNP")
+      .select(col("variant_id"), isTs.as("is_ts"))
+    geno.where(col("gt") > 0)
+      .join(sites, Seq("variant_id"))
+      .groupBy("sample")
+      .agg(
+        count(when(col("is_ts"), lit(1))).as("n_ts"),
+        count(when(!col("is_ts"), lit(1))).as("n_tv"))
+      .withColumn("tstv",
+        when(col("n_tv") > 0,
+          round(col("n_ts") / col("n_tv").cast("double"), 4)))
+  }
+
+  /** Folded allele-frequency spectrum — the histogram of minor-allele
+    * frequencies over all variants, the population-genetics summary a
+    * cohort store reports per build (an excess of rare bins flags call
+    * artifacts; the folded form maf = min(af, 1−af) is ascertainment-
+    * neutral). Output: `bin, maf_lo, n` where bin = floor(maf·10)
+    * (maf exactly 0.5 lands in bin 5).
+    *
+    * Scale shape: one row-local projection + one 11-group aggregation
+    * over `info` — no joins, no windows.
+    */
+  def alleleFrequencySpectrum(info: DataFrame): DataFrame =
+    info
+      .select(least(col("af"), lit(1d) - col("af")).as("maf"))
+      .select(floor(col("maf") * 10).cast("bigint").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("maf_lo", round(col("bin") / 10d, 1))
+      .select("bin", "maf_lo", "n")
+
+  /** Pairwise linkage disequilibrium r² for variant pairs within
+    * `maxDist` bp on the same chromosome — the windowed LD scan behind
+    * pruning and tag-SNP selection. For each qualifying pair, r is the
+    * Pearson correlation of the two dosage vectors over the samples
+    * where BOTH genotypes are called; pairs where either side is
+    * monomorphic among shared samples get NULL r². Output:
+    * `id_a, id_b, dist, n, r2` (r² rounded to 4).
+    *
+    * Scale shape: genotypes are first packed into ONE sample-sorted
+    * dosage array per variant (a single variant-keyed aggregation),
+    * so the pair join moves one row per variant, not one per
+    * genotype. Pair candidates come from position-bucket blocking
+    * (bucket width = maxDist; each left row probes its own and the
+    * next bucket — every qualifying pair lands in exactly one probe
+    * because a.start < b.start ≤ a.start + maxDist spans at most two
+    * buckets), so candidates are bounded by local variant density,
+    * never all-pairs-per-chromosome. The correlation sums are
+    * row-local integer folds over the two bounded arrays
+    * (zip_with + aggregate — samples are the bounded dimension).
+    */
+  def ldReport(geno: DataFrame, info: DataFrame, maxDist: Long): DataFrame = {
+    val vecs = geno
+      .groupBy("variant_id")
+      .agg(sort_array(collect_list(
+        struct(col("sample"), col("gt")))).as("_sg"))
+      .select(col("variant_id"),
+        transform(col("_sg"), s => s("gt")).as("dose"))
+    val sites = info.select(col("variant_id"), col("chr"), col("start"))
+      .join(vecs, Seq("variant_id"))
+      .withColumn("bucket", floor(col("start") / maxDist))
+    val a = sites.select(col("variant_id").as("id_a"), col("chr"),
+      col("start").as("pos_a"), col("dose").as("da"), col("bucket"))
+    val probe = a.select(col("id_a"), col("chr"), col("pos_a"), col("da"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = sites.select(col("variant_id").as("id_b"), col("chr"),
+      col("start").as("pos_b"), col("dose").as("db"), col("bucket"))
+    val pairs = probe.join(b, Seq("chr", "bucket"))
+      .where(col("id_a") < col("id_b")
+        && col("pos_b") > col("pos_a")
+        && col("pos_b") - col("pos_a") <= maxDist)
+    // both-called mask once, then integer sums (gt ∈ {0,1,2}) —
+    // r and r² are derived row-locally from the six sums
+    val zipped = pairs.withColumn("_z",
+      filter(zip_with(col("da"), col("db"), (x, y) => struct(x.as("a"), y.as("b"))),
+        p => p("a").isNotNull && p("b").isNotNull))
+    def fsum(f: Column => Column): Column =
+      aggregate(col("_z"), lit(0L), (acc, p) => acc + f(p))
+    val sums = zipped.select(
+      col("id_a"), col("id_b"), (col("pos_b") - col("pos_a")).as("dist"),
+      size(col("_z")).cast("bigint").as("n"),
+      fsum(p => p("a").cast("long")).as("sa"),
+      fsum(p => p("b").cast("long")).as("sb"),
+      fsum(p => (p("a") * p("a")).cast("long")).as("saa"),
+      fsum(p => (p("b") * p("b")).cast("long")).as("sbb"),
+      fsum(p => (p("a") * p("b")).cast("long")).as("sab"))
+    val num = col("n") * col("sab") - col("sa") * col("sb")
+    val denA = col("n") * col("saa") - col("sa") * col("sa")
+    val denB = col("n") * col("sbb") - col("sb") * col("sb")
+    sums.select(col("id_a"), col("id_b"), col("dist"), col("n"),
+      when(denA > 0 && denB > 0,
+        round(num * num / (denA * denB).cast("double"), 4)).as("r2"))
+  }
+
+  /** Pairwise sample relatedness by identity-by-state — the
+    * PLINK-`--genome`-shaped audit that catches duplicates and
+    * unexpected relatives in a cohort: for each sample pair, over the
+    * variants where both are called, count sites sharing 0/1/2 alleles
+    * (|dosage gap| 2/1/0) and report the mean shared-allele fraction.
+    * Output: `sample_a, sample_b, n, ibs0, ibs1, ibs2, ibs_frac`
+    * (fraction rounded to 4).
+    *
+    * Scale shape: a geno self-join co-keyed on variant_id (no
+    * re-keying — both sides arrive partitioned by the join column)
+    * followed by ONE combinable aggregation on the sample pair. The
+    * pair blow-up is inherently O(variants · samples²); the standard
+    * production bound is `maxVariants`: an md5-lowest deterministic
+    * variant sample (the PLINK practice of estimating IBS on a pruned
+    * subset), keeping cost O(maxVariants · S²) independent of corpus
+    * size. 0 = no sampling.
+    */
+  def ibsReport(geno: DataFrame, maxVariants: Long = 0L): DataFrame = {
+    val called = geno.where(col("gt").isNotNull)
+      .select(col("variant_id"), col("sample"), col("gt").cast("int").as("g"))
+    val base =
+      if (maxVariants <= 0) called
+      else {
+        val keep = called.select("variant_id").distinct()
+          .orderBy(md5(concat(lit("ibs:"), col("variant_id"))), col("variant_id"))
+          .limit(maxVariants.toInt)
+        called.join(keep, Seq("variant_id"), "left_semi")
+      }
+    val a = base.select(col("variant_id"), col("sample").as("sample_a"),
+      col("g").as("ga"))
+    val b = base.select(col("variant_id"), col("sample").as("sample_b"),
+      col("g").as("gb"))
+    a.join(b, Seq("variant_id"))
+      .where(col("sample_a") < col("sample_b"))
+      .withColumn("_gap", abs(col("ga") - col("gb")))
+      .groupBy("sample_a", "sample_b")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("_gap") === 2, lit(1))).as("ibs0"),
+        count(when(col("_gap") === 1, lit(1))).as("ibs1"),
+        count(when(col("_gap") === 0, lit(1))).as("ibs2"),
+        round(avg(lit(2d) - col("_gap")) / 2d, 4).as("ibs_frac"))
+  }
+
   /** Bulk interval-overlap join against an arbitrary regions table
     * (columns: chr, start, end). Dispatches adaptively
     * ([[graft.operators.RangeJoin.overlapAuto]]): a regions side small

@@ -196,4 +196,88 @@ class ApiSpec extends SparkSpec {
     // 40/20/40: e = (25, 50, 25) ⇒ χ² = 9 + 18 + 9 = 36
     assert(got(1).getAs[Double]("hwe_chi2") == 36.0)
   }
+
+  test("VcfApi.tsTvReport: classifies sites, counts alt carriers only") {
+    import spark.implicits._
+    val info = Seq(
+      (1L, "1", 100L, "SNP", "A", "G", 0.5),   // transition
+      (2L, "1", 200L, "SNP", "C", "A", 0.5),   // transversion
+      (3L, "1", 300L, "INDEL", "G", "GA", 0.5) // excluded
+    ).toDF("variant_id", "chr", "start", "vt", "ref", "alt", "af")
+    val geno = Seq(
+      (1L, "s1", 2d), (1L, "s2", 1d),
+      (2L, "s1", 1d), (2L, "s2", 0d),
+      (3L, "s1", 2d), (3L, "s2", 2d)
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.tsTvReport(geno, info)
+      .orderBy("sample").collect()
+    // s1: ts at v1, tv at v2 ⇒ 1/1 = 1.0; s2: ts only ⇒ NULL ratio
+    // (no transversions); the INDEL site never counts for either
+    assert(got(0).getLong(1) == 1 && got(0).getLong(2) == 1 &&
+      got(0).getDouble(3) == 1.0)
+    assert(got(1).getLong(1) == 1 && got(1).getLong(2) == 0 &&
+      got(1).isNullAt(3))
+  }
+
+  test("VcfApi.ldReport: r² over shared-called samples, bucket probe") {
+    import spark.implicits._
+    val info = Seq(
+      (1L, "1", 100L), (2L, "1", 150L), (3L, "1", 260L), (4L, "1", 400L)
+    ).toDF("variant_id", "chr", "start")
+    def g(v: Long, doses: Seq[Option[Double]]) =
+      doses.zipWithIndex.map { case (d, i) => (v, s"s$i", d) }
+    val geno = (
+      g(1L, Seq(0d, 0d, 1d, 1d, 2d, 2d).map(Some(_))) ++
+      g(2L, Seq(0d, 0d, 1d, 1d, 2d, 2d).map(Some(_))) ++
+      g(3L, Seq(0d, 1d, 0d, 1d, 0d, 1d).map(Some(_))) ++
+      g(4L, Seq(Some(2d), Some(2d), None, None, Some(0d), Some(0d)))
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.ldReport(geno, info, maxDist = 200L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        if (r.isNullAt(4)) -1d else r.getDouble(4)))
+    // (1,2) perfect LD; (1,3)/(2,3) independent ⇒ 0 (v3 is in the NEXT
+    // 200-bp bucket — pins the neighbor-bucket probe); (3,4) n=4 over
+    // the shared-called mask ⇒ 0; (1,4)/(2,4) beyond maxDist: absent
+    assert(got.toSeq == Seq(
+      (1L, 2L, 6L, 1.0), (1L, 3L, 6L, 0.0), (2L, 3L, 6L, 0.0),
+      (3L, 4L, 4L, 0.0)))
+  }
+
+  test("VcfApi.ibsReport: gap histogram + deterministic variant cap") {
+    import spark.implicits._
+    val geno = Seq(
+      (1L, "a", 0d), (1L, "b", 2d), (1L, "c", 1d),
+      (2L, "a", 1d), (2L, "b", 1d), (2L, "c", 0d),
+      (3L, "a", 2d), (3L, "b", 2d), (3L, "c", 2d)
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.ibsReport(geno)
+      .orderBy("sample_a", "sample_b").collect()
+    // (a,b): gaps 2,0,0 ⇒ ibs0=1 ibs2=2, frac = (0+1+1)/3
+    assert(got(0).getLong(3) == 1 && got(0).getLong(5) == 2 &&
+      got(0).getAs[Double]("ibs_frac") == 0.6667)
+    // (a,c): gaps 1,1,0 ⇒ frac = (0.5+0.5+1)/3
+    assert(got(1).getAs[Double]("ibs_frac") == 0.6667)
+    // cap ≥ #variants is the identity; equal caps replay identically
+    val capped = graft.vcf.VcfApi.ibsReport(geno, maxVariants = 3L)
+      .orderBy("sample_a", "sample_b").collect()
+    assert(capped.toSeq == got.toSeq)
+    val s1 = graft.vcf.VcfApi.ibsReport(geno, maxVariants = 2L)
+      .orderBy("sample_a", "sample_b").collect()
+    val s2 = graft.vcf.VcfApi.ibsReport(geno, maxVariants = 2L)
+      .orderBy("sample_a", "sample_b").collect()
+    assert(s1.toSeq == s2.toSeq && s1.forall(_.getLong(2) == 2L))
+  }
+
+  test("VcfApi.alleleFrequencySpectrum: folded maf bins") {
+    import spark.implicits._
+    val info = Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0).map(Tuple1(_))
+      .toDF("af")
+    val got = graft.vcf.VcfApi.alleleFrequencySpectrum(info)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // maf: 0, .05, .25, .5, .25, .05, 0 ⇒ bin 0×4? no: 0,0.05→bin 0;
+    // 1.0,0.95 fold to 0,0.05→bin 0; 0.25×2→bin 2; 0.5→bin 5
+    assert(got.toSeq == Seq((0L, 0.0, 4L), (2L, 0.2, 2L), (5L, 0.5, 1L)))
+  }
 }
