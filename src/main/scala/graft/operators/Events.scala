@@ -812,4 +812,198 @@ object Events {
         round(sum(col(valueCol) * col("__w")), 6).as("decayed_value"),
         round(sum(col("__w")), 6).as("decayed_count"))
   }
+
+  /** Robust volume-outlier windows by median/MAD — the heavy-tail-safe
+    * companion of [[volumeAnomalies]] (whose mean/σ both move under the
+    * very outliers being hunted): flag windows whose modified z-score
+    * 0.6745·|n − median| / MAD exceeds `threshold` (Iglewicz–Hoaglin
+    * 3.5 default). A key whose MAD is 0 (over half its windows share
+    * one count) falls back to flagging any deviating window, with NULL
+    * robust_z. Output: `(keyCol, t, n, med, mad, robust_z)`.
+    *
+    * Exactness: window counts are integers and both engines use the
+    * same linearly-interpolated median (type-7), so med/MAD land on
+    * the exact half-integer grid — every comparison replays
+    * bit-identically. Scale shape: one (key, window) count shuffle,
+    * two per-key median aggregates over the time-bounded grid (the
+    * grid is persisted — two consumers), joins back on the bounded
+    * key dimension.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long, threshold: Double = 3.5): DataFrame = {
+    val g = Dedup.persistTracked(gridCounts(df, keyCol, tsNs, windowNs))
+    val med = g.groupBy("k").agg(expr("percentile(n, 0.5d)").as("med"))
+    val dev = Dedup.persistTracked(
+      g.join(med, Seq("k")).withColumn("dev", abs(col("n") - col("med"))))
+    val mad = dev.groupBy("k").agg(expr("percentile(dev, 0.5d)").as("mad"))
+    dev.join(mad, Seq("k"))
+      .where((col("mad") > 0
+          && lit(0.6745) * col("dev") / col("mad") > threshold)
+        || (col("mad") === 0 && col("dev") > 0))
+      .select(col("k").as(keyCol), col("t"), col("n"),
+        round(col("med"), 1).as("med"), round(col("mad"), 1).as("mad"),
+        when(col("mad") > 0,
+          round(lit(0.6745) * col("dev") / col("mad"), 4)).as("robust_z"))
+  }
+
+  /** Single best changepoint per key — the split s of the gap-filled
+    * window grid maximizing the between-segment sum-of-squares
+    * reduction gain(s) = (L·T − s·S)² / (s·(T−s)·T) (L = left prefix
+    * sum, S = total, T = windows; the standard binary-segmentation
+    * step statistic). Ties break to the EARLIEST split. Output:
+    * `(keyCol, split_t, n_windows, mean_left, mean_right, gain)` —
+    * split_t is the first window index of the right segment.
+    *
+    * Exactness: L·T − s·S is computed in int64 (exact to S·T < 2⁶³)
+    * and cast to double before the one square/division, so both
+    * engines perform the identical float ops. Scale shape: one
+    * (key, window) count shuffle, one key-partitioned prefix-sum
+    * window over the time-bounded grid, one combinable struct-max
+    * argmax per key.
+    */
+  def changepoint(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long): DataFrame = {
+    val g = gridCounts(df, keyCol, tsNs, windowNs)
+    val wAll = Window.partitionBy("k")
+    val wCum = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = g
+      .withColumn("__L", sum("n").over(wCum))
+      .withColumn("__tot", sum("n").over(wAll))
+      .withColumn("__T", count(lit(1)).over(wAll))
+      .withColumn("__s", col("t") + 1)
+      .where(col("__s") < col("__T"))
+    val num = (col("__L") * col("__T") - col("__s") * col("__tot"))
+      .cast("double")
+    val gain = num * num /
+      (col("__s") * (col("__T") - col("__s")) * col("__T")).cast("double")
+    val cand = p.select(col("k"),
+      struct(gain.as("g"), (-col("__s")).as("negs"), col("__L").as("l"),
+        col("__tot").as("ss"), col("__T").as("tt")).as("__c"))
+    cand.groupBy("k").agg(max("__c").as("b"))
+      .select(col("k").as(keyCol),
+        (-col("b.negs")).as("split_t"),
+        col("b.tt").as("n_windows"),
+        round(col("b.l").cast("double") / -col("b.negs"), 4).as("mean_left"),
+        round((col("b.ss") - col("b.l")).cast("double")
+          / (col("b.tt") + col("b.negs")), 4).as("mean_right"),
+        round(col("b.g"), 4).as("gain"))
+  }
+
+  /** Truncated-kernel EWMA spike detection: the one-step-ahead
+    * exponentially-weighted prediction of each window's count from its
+    * `lookback` predecessors (weights ∝ 0.5^age, renormalized over the
+    * lags that exist, so the series head is handled exactly), flagging
+    * windows where n > spikeFactor·max(pred, 1). The bounded kernel is
+    * what makes the recurrence declarative — an infinite-tail EWMA is
+    * inherently sequential, while 0.5-decay truncated at 16 lags
+    * carries < 0.003% of the dropped tail's weight. Output:
+    * `(keyCol, t, n, pred, ratio)` for flagged windows only.
+    *
+    * Exactness: weights are dyadic (0.5^j) and counts integer, so the
+    * weighted sums are exact in both engines regardless of fold order.
+    * Scale shape: one (key, window) count shuffle + ONE key-partitioned
+    * window operator evaluating all `lookback` lags over the
+    * time-bounded grid.
+    */
+  def ewmaSpikes(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long, lookback: Int = 16,
+      spikeFactor: Double = 3.0): DataFrame = {
+    val g = gridCounts(df, keyCol, tsNs, windowNs)
+    val w = Window.partitionBy("k").orderBy("t")
+    val terms = (1 to lookback).map { j =>
+      val x = lag(col("n"), j).over(w)
+      val c = lit(math.pow(0.5, j - 1))
+      (when(x.isNotNull, c * x).otherwise(lit(0d)),
+        when(x.isNotNull, c).otherwise(lit(0d)))
+    }
+    val den = terms.map(_._2).reduce(_ + _)
+    // series head (t = 0) has no lags: den = 0 ⇒ NULL pred, never
+    // NaN — 0/0 would flow as NaN through both engines' comparisons
+    // with DIFFERENT orderings
+    val pred = when(den > 0, terms.map(_._1).reduce(_ + _) / den)
+    g.withColumn("__pred", pred)
+      .where(col("__pred").isNotNull
+        && col("n") > lit(spikeFactor) * greatest(col("__pred"), lit(1d)))
+      .select(col("k").as(keyCol), col("t"), col("n"),
+        round(col("__pred"), 6).as("pred"),
+        round(col("n") / greatest(col("__pred"), lit(1d)), 4).as("ratio"))
+  }
+
+  /** RFM segmentation — the classic customer-value grid: per user,
+    * Recency (time from last conversion to the corpus max), Frequency
+    * (conversion count) and Monetary (cents total) are each scored
+    * 1–5 against the population's interpolated quintile cutpoints
+    * (score 5 = most recent / most frequent / highest spend; values
+    * beyond cutpoint i add/remove a point — the cutpoint rule, not
+    * ntile, so scoring is a broadcast row-local map instead of a
+    * global sort). Output: one row per populated (r, f, m) cell with
+    * user count and average spend.
+    *
+    * Exactness: recency is integer ns, frequency an integer count,
+    * monetary an exact integer cents sum (never a float-summed
+    * total), and both engines evaluate the identical interpolated-
+    * quantile formula on them. Scale shape: one user-keyed combinable
+    * aggregate, a 1-row quantile aggregate broadcast back, a
+    * row-local scoring map, and a ≤125-group final aggregate.
+    */
+  def rfmSegments(df: DataFrame, userCol: String, tsNs: String,
+      valueCol: String, typeCol: String,
+      convType: String = "purchase"): DataFrame = {
+    val purch = df.where(col(typeCol) === convType)
+    val tmax = broadcast(purch.agg(max(col(tsNs)).as("__tmax")))
+    // consumed by BOTH the cutpoint aggregate and the scoring pass —
+    // persist or the user-grain corpus aggregate runs twice
+    val users = Dedup.persistTracked(purch.groupBy(col(userCol))
+      .agg(max(col(tsNs)).as("__last"),
+        count(lit(1)).as("freq"),
+        sum(round(col(valueCol) * 100).cast("long")).as("cents"))
+      .crossJoin(tmax)
+      .withColumn("rec", col("__tmax") - col("__last")))
+    val cuts = broadcast(users.agg(
+      expr("percentile(rec, array(0.2d, 0.4d, 0.6d, 0.8d))").as("qr"),
+      expr("percentile(freq, array(0.2d, 0.4d, 0.6d, 0.8d))").as("qf"),
+      expr("percentile(cents, array(0.2d, 0.4d, 0.6d, 0.8d))").as("qm")))
+    def above(v: Column, cut: Column): Column =
+      (0 to 3).map(i => when(v > cut(i), 1).otherwise(0)).reduce(_ + _)
+    users.crossJoin(cuts)
+      .select(col(userCol), col("cents"),
+        (lit(5) - above(col("rec"), col("qr"))).as("r_score"),
+        (lit(1) + above(col("freq"), col("qf"))).as("f_score"),
+        (lit(1) + above(col("cents"), col("qm"))).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        // round to integer CENTS first: rounding an inexact x.xx5
+        // double at 2dp diverges across engines (decimal-string
+        // HALF_UP vs binary-value rounding); integer rounding is
+        // unambiguous, and cents/100 is then the same double in both
+        (round(sum(col("cents")).cast("double") / count(lit(1)))
+          / 100).as("avg_spend"))
+  }
+
+  /** Top session paths — the most common ordered event-type sequences
+    * per session (path mining's frequency table): sessions come from
+    * [[sessionize]], each session's first `maxLen` events (ordered by
+    * time, ties by `idCol` so the path string is deterministic) are
+    * joined into a `a>b>c` path, and the `topK` paths by session count
+    * are returned (ties by path string). Output: `(path, n_sessions)`.
+    *
+    * Scale shape: the sessionize window and the per-session pack
+    * aggregate share one user-keyed exchange; path counting is a
+    * combinable aggregate on the path string; the final top-k is a
+    * TakeOrdered, never a full sort.
+    */
+  def sessionPaths(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, idCol: String, gapNs: Long,
+      maxLen: Int = 5, topK: Int = 20): DataFrame = {
+    val sess = sessionize(df, userCol, tsNs, gapNs)
+    val paths = sess.groupBy(col(userCol), col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col(tsNs), col(idCol), col(typeCol).as("ty")))).as("__evs"))
+      .select(concat_ws(">",
+        slice(transform(col("__evs"), e => e("ty")), 1, maxLen)).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
 }

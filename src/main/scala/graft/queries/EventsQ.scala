@@ -296,6 +296,39 @@ object EventsQ {
         .orderBy("event_type")
     }),
 
+    // ---- RFM segmentation on quintile cutpoints ----
+    "q221_rfm" -> ((s, d) => {
+      Events.rfmSegments(Tables.events(s, d), "user_id", "ts", "value",
+          "event_type")
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
+    // ---- robust median/MAD volume outliers ----
+    "q222_mad_outliers" -> ((s, d) => {
+      Events.madOutliers(Tables.events(s, d), "event_type", "ts", HourNs,
+          threshold = 2.0)
+        .orderBy("event_type", "t")
+    }),
+
+    // ---- best single changepoint per key (binary-segmentation step) ----
+    "q223_changepoint" -> ((s, d) => {
+      Events.changepoint(Tables.events(s, d), "event_type", "ts", HourNs)
+        .orderBy("event_type")
+    }),
+
+    // ---- truncated-kernel EWMA spike windows ----
+    "q224_ewma_spikes" -> ((s, d) => {
+      Events.ewmaSpikes(Tables.events(s, d), "event_type", "ts", HourNs,
+          lookback = 16, spikeFactor = 1.5)
+        .orderBy("event_type", "t")
+    }),
+
+    // ---- top ordered session paths ----
+    "q225_session_paths" -> ((s, d) => {
+      Events.sessionPaths(Tables.events(s, d), "user_id", "ts",
+          "event_type", "event_id", GapNs, maxLen = 5, topK = 20)
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -305,7 +338,150 @@ object EventsQ {
         .limit(10)
     }))
 
+  // gap-filled hourly grid shared by the q222/q223/q224 oracles —
+  // replicates Events.gridCounts exactly (same CTEs as q176)
+  private val GridCte =
+    s"""c AS (
+            SELECT event_type AS k, epoch_ns(ts) // $HourNs AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // $HourNs) AS w0,
+              max(epoch_ns(ts) // $HourNs) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w, b.w0 FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w - g.w0 AS t, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (k, w))"""
+
+  // q224's 16 one-step lag terms, renormalized over the lags present —
+  // weights are exact dyadics so the sums replay bit-identically
+  private val EwmaNum = (1 to 16).map(j =>
+    s"CASE WHEN x$j IS NULL THEN 0 ELSE power(0.5, ${j - 1}) * x$j END")
+    .mkString(" + ")
+  private val EwmaDen = (1 to 16).map(j =>
+    s"CASE WHEN x$j IS NULL THEN 0 ELSE power(0.5, ${j - 1}) END")
+    .mkString(" + ")
+  private val EwmaLags = (1 to 16).map(j =>
+    s"lag(n, $j) OVER (PARTITION BY k ORDER BY t) AS x$j").mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    // quintile cutpoint scoring over exact integer R/F/M values
+    "q221_rfm" ->
+      """WITH p AS (
+            SELECT user_id, epoch_ns(ts) AS tns,
+              CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+          tm AS (SELECT max(tns) AS tmax FROM p),
+          u AS (
+            SELECT user_id, max(tns) AS last_ts, count(*) AS freq,
+              CAST(sum(cents) AS BIGINT) AS cents
+            FROM p GROUP BY 1),
+          ur AS (SELECT u.*, tm.tmax - u.last_ts AS rec FROM u CROSS JOIN tm),
+          cu AS (
+            SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS qr,
+              quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS qf,
+              quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS qm
+            FROM ur),
+          sc AS (
+            SELECT user_id, cents,
+              5 - ((rec > qr[1])::INT + (rec > qr[2])::INT
+                 + (rec > qr[3])::INT + (rec > qr[4])::INT) AS r_score,
+              1 + ((freq > qf[1])::INT + (freq > qf[2])::INT
+                 + (freq > qf[3])::INT + (freq > qf[4])::INT) AS f_score,
+              1 + ((cents > qm[1])::INT + (cents > qm[2])::INT
+                 + (cents > qm[3])::INT + (cents > qm[4])::INT) AS m_score
+            FROM ur CROSS JOIN cu)
+         SELECT r_score, f_score, m_score,
+           count(*) AS n_users,
+           round(CAST(sum(cents) AS BIGINT)::DOUBLE / count(*)) / 100
+             AS avg_spend
+         FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // interpolated medians land on the half-integer grid ⇒ exact
+    "q222_mad_outliers" ->
+      s"""WITH $GridCte,
+          m AS (SELECT k, quantile_cont(n, 0.5) AS med FROM f GROUP BY k),
+          d AS (
+            SELECT f.k, f.t, f.n, m.med, abs(f.n - m.med) AS dev
+            FROM f JOIN m USING (k)),
+          md AS (SELECT k, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY k)
+         SELECT d.k AS event_type, d.t, d.n,
+           round(d.med, 1) AS med, round(md.mad, 1) AS mad,
+           CASE WHEN md.mad > 0 THEN round(0.6745 * d.dev / md.mad, 4) END
+             AS robust_z
+         FROM d JOIN md USING (k)
+         WHERE (md.mad > 0 AND 0.6745 * d.dev / md.mad > 2.0)
+            OR (md.mad = 0 AND d.dev > 0)
+         ORDER BY event_type, t""",
+    // int64 prefix algebra, ONE double square/division per candidate —
+    // window sums CAST to BIGINT (DuckDB widens to HUGEINT)
+    "q223_changepoint" ->
+      s"""WITH $GridCte,
+          p AS (
+            SELECT k, t, n,
+              CAST(sum(n) OVER (PARTITION BY k ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS l,
+              CAST(sum(n) OVER (PARTITION BY k) AS BIGINT) AS s2,
+              count(*) OVER (PARTITION BY k) AS tt
+            FROM f),
+          cand AS (
+            SELECT k, t + 1 AS s, l, s2, tt,
+              CAST(l * tt - (t + 1) * s2 AS DOUBLE)
+                * CAST(l * tt - (t + 1) * s2 AS DOUBLE)
+                / CAST((t + 1) * (tt - (t + 1)) * tt AS DOUBLE) AS gain
+            FROM p WHERE t + 1 < tt),
+          r AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY k ORDER BY gain DESC, s ASC) AS rn
+            FROM cand)
+         SELECT k AS event_type, s AS split_t, tt AS n_windows,
+           round(l::DOUBLE / s, 4) AS mean_left,
+           round((s2 - l)::DOUBLE / (tt - s), 4) AS mean_right,
+           round(gain, 4) AS gain
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+    // dyadic weights ⇒ exact weighted sums on any fold order
+    "q224_ewma_spikes" ->
+      s"""WITH $GridCte,
+          lg AS (SELECT k, t, n, $EwmaLags FROM f),
+          pr AS (
+            SELECT k, t, n,
+              CASE WHEN ($EwmaDen) > 0
+                THEN ($EwmaNum) / ($EwmaDen) END AS pred
+            FROM lg)
+         SELECT k AS event_type, t, n,
+           round(pred, 6) AS pred,
+           round(n / greatest(pred, 1.0), 4) AS ratio
+         FROM pr
+         WHERE pred IS NOT NULL AND n > 1.5 * greatest(pred, 1.0)
+         ORDER BY event_type, t""",
+    // q28's sessionization + ordered list pack; deterministic tie order
+    // by event_id inside equal timestamps
+    "q225_session_paths" ->
+      s"""WITH sess AS (
+            SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type,
+              sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+            FROM (
+              SELECT *,
+                CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) > $GapNs
+                     OR lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events)),
+          paths AS (
+            SELECT array_to_string(
+              list_slice(list(event_type ORDER BY tns, event_id), 1, 5),
+              '>') AS path
+            FROM sess GROUP BY user_id, session_id),
+          c AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1)
+         SELECT path, n_sessions FROM c
+         ORDER BY n_sessions DESC, path ASC LIMIT 20""",
     // the streaming dedup-then-count decomposition equals a plain
     // DISTINCT count per period in batch
     "q170_stream_daily_active" ->

@@ -2716,4 +2716,76 @@ class OperatorsSpec extends SparkSpec {
     // doc 2's single hit over a shorter length outranks doc 3's none
     assert(got(2L) > got(3L) && got(1L) > got(2L))
   }
+
+  // one event per unit in window w of width 10 ⇒ count n in window w
+  private def volumeEvents(key: String, counts: Seq[Int]): Seq[(String, Long)] =
+    counts.zipWithIndex.flatMap { case (n, w) =>
+      (0 until n).map(i => (key, w * 10L + i % 10)) }
+
+  test("Events.madOutliers: modified z + MAD=0 fallback") {
+    val df = (volumeEvents("spread", Seq(1, 2, 3, 4, 100)) ++
+      volumeEvents("flat", Seq(1, 1, 1, 1, 10)))
+      .toDF("key", "ts")
+    val got = Events.madOutliers(df, "key", "ts", 10L, threshold = 2.0)
+      .orderBy("key", "t").collect()
+    // flat: med 1, MAD 0 ⇒ fallback flags every deviating window, NULL z
+    assert(got(0).getString(0) == "flat" && got(0).getLong(1) == 4 &&
+      got(0).isNullAt(5))
+    // spread: med 3, MAD 1 ⇒ only dev=97 crosses 2.0 (z = 0.6745·97)
+    assert(got(1).getString(0) == "spread" && got(1).getLong(1) == 4 &&
+      got(1).getDouble(5) == 65.4265)
+    assert(got.length == 2)
+  }
+
+  test("Events.changepoint: step series splits at the step") {
+    // the grid is anchored at the first event's window, so the quiet
+    // regime needs one event to exist on the grid at all
+    val df = volumeEvents("k", Seq(1, 0, 0, 6, 6, 6)).toDF("key", "ts")
+    val got = Events.changepoint(df, "key", "ts", 10L).collect()(0)
+    // s=3: gain = (1·6 − 3·19)²/(3·3·6) = 2601/54; means 1/3 and 6
+    assert(got.getLong(1) == 3 && got.getLong(2) == 6)
+    assert(got.getDouble(3) == 0.3333 && got.getDouble(4) == 6.0)
+    assert(got.getDouble(5) == math.rint(2601d / 54 * 1e4) / 1e4)
+  }
+
+  test("Events.ewmaSpikes: one-step prediction flags the spike only") {
+    val df = volumeEvents("k", Seq(4, 4, 4, 40)).toDF("key", "ts")
+    val got = Events.ewmaSpikes(df, "key", "ts", 10L,
+      lookback = 16, spikeFactor = 1.5).collect()
+    // t=3: pred = (40·? no) (1·4 + .5·4 + .25·4)/1.75 = 4 exactly
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 3 && got(0).getLong(2) == 40)
+    assert(got(0).getDouble(3) == 4.0 && got(0).getDouble(4) == 10.0)
+  }
+
+  test("Events.rfmSegments: quintile cutpoint scores on a known grid") {
+    // user i makes i purchases of 2.00 each, all ending at ts 1000 ⇒
+    // identical recency (r=5 for all), freq/monetary rank with i
+    val df = (1 to 5).flatMap { i =>
+      (1 to i).map(j => (s"u$i", 1000L - (i - j) * 10L, "purchase", 2.0))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val got = Events.rfmSegments(df, "user_id", "ts", "value", "event_type")
+      .orderBy("f_score").collect()
+    assert(got.length == 5)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == 5) // max recency score for everyone
+      assert(r.getInt(1) == i + 1 && r.getInt(2) == i + 1)
+      assert(r.getLong(3) == 1L)
+      assert(r.getDouble(4) == 2.0 * (i + 1))
+    }
+  }
+
+  test("Events.sessionPaths: ordered, truncated, counted") {
+    val gap = 100L
+    val df = Seq(
+      ("u1", 1L, "a", 1L), ("u1", 2L, "b", 2L), ("u1", 3L, "c", 3L),
+      ("u1", 500L, "d", 4L),
+      ("u2", 1L, "a", 5L), ("u2", 2L, "b", 6L), ("u2", 3L, "c", 7L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.sessionPaths(df, "user_id", "ts", "event_type",
+      "event_id", gap, maxLen = 2, topK = 10)
+      .as[(String, Long)].collect().toMap
+    // maxLen=2 truncates a>b>c to a>b; two users share it
+    assert(got == Map("a>b" -> 2L, "d" -> 1L))
+  }
 }
