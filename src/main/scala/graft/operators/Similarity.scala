@@ -1048,4 +1048,84 @@ object Similarity {
         (col("__n") - col("__t")).as("n_points"))
     hist.unionAll(antihubs)
   }
+
+  /** Round half away from zero at 12 dp — the quantization applied to
+    * the power-iteration vector after every step so the driver-side
+    * fold and a SQL replay (whose 64-term sums may differ in the last
+    * ulp by association order) stay on the identical grid. Matches
+    * `round(x, 12)` in both engines (floor(|x|·1e12 + 0.5) — the same
+    * double ops in the same order).
+    */
+  private def round12(x: Double): Double =
+    if (x >= 0) math.floor(x * 1e12 + 0.5) / 1e12
+    else -math.floor(-x * 1e12 + 0.5) / 1e12
+
+  /** Top principal component of the embedding covariance by power
+    * iteration: `iters` fixed rounds of v ← round₁₂(Mv / ‖Mv‖) from
+    * the uniform start v₀ = round₁₂(1/√d), sign-normalized so the
+    * first |loading| > 1e-6 entry is positive. Returns the loadings,
+    * the Rayleigh eigenvalue and the explained variance share —
+    * driver-side values for composition ([[pcaProject]] is the
+    * DataFrame surface).
+    *
+    * Scale shape: the corpus is touched ONCE (the single-pass
+    * [[covarianceMatrix]] aggregate); iteration runs on the collected
+    * d×d matrix — metadata scale, the same class as the k-means
+    * centroid collect, and independent of both corpus size and
+    * iteration count. The 6dp-rounded covariance cells are the
+    * engine-neutral starting point; per-step 12dp quantization keeps a
+    * SQL replay of the recurrence bit-identical.
+    */
+  def pcaTopComponent(emb: DataFrame, vecCol: String,
+      iters: Int = 8): (Array[Double], Double, Double) = {
+    val d = inferDims(emb, vecCol)
+    val m = Array.ofDim[Double](d, d)
+    covarianceMatrix(emb, vecCol, d).collect()
+      .foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var v = Array.fill(d)(round12(1d / math.sqrt(d.toDouble)))
+    def matvec(x: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * x(j)).sum)
+    for (_ <- 1 to iters) {
+      val w = matvec(v)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(x => round12(x / norm))
+    }
+    val flip = v.find(x => math.abs(x) > 1e-6).exists(_ < 0)
+    if (flip) v = v.map(x => -x)
+    val w = matvec(v)
+    val lambda = (0 until d).map(i => v(i) * w(i)).sum
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    (v, lambda, if (trace > 0) lambda / trace else 0d)
+  }
+
+  /** PC1 projection summary per label — the "how does the corpus
+    * spread along its main axis" audit (a 1-D PCA drift/separation
+    * view): every embedding is projected onto [[pcaTopComponent]]'s
+    * loadings and summarized per `labelCol`. Output:
+    * `(labelCol, n_vecs, mean_pc1, min_pc1, max_pc1,
+    * explained_share)`.
+    *
+    * Scale shape: one covariance pass + a map-only projection scan
+    * (loadings travel as a literal; the dot product is the in-order
+    * zip_with/aggregate fold both engines evaluate sequentially) and
+    * one combinable per-label aggregate. min/max are order-exact;
+    * the mean is rounded (4dp) like every float sum crossing the
+    * oracle boundary.
+    */
+  def pcaProject(emb: DataFrame, vecCol: String, labelCol: String,
+      iters: Int = 8): DataFrame = {
+    val (v, _, explained) = pcaTopComponent(emb, vecCol, iters)
+    val dot = aggregate(
+      zip_with(typedLit(v.toSeq), col(vecCol).cast("array<double>"),
+        (a, b) => a * b),
+      lit(0d), (acc, x) => acc + x)
+    emb.select(col(labelCol), dot.as("__p"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("__p")), 4).as("mean_pc1"),
+        round(min(col("__p")), 6).as("min_pc1"),
+        round(max(col("__p")), 6).as("max_pc1"))
+      .withColumn("explained_share",
+        lit(math.floor(explained * 1e6 + 0.5) / 1e6))
+  }
 }

@@ -577,6 +577,14 @@ object Pipeline {
         .orderBy("i", "j")
     }),
 
+    // ---- PC1 projection summary (power iteration on the collected
+    //      covariance; map-only projection scan) ----
+    "q226_pca_project" -> ((s, d) => {
+      Similarity.pcaProject(Tables.embeddings(s, d), "embedding", "label",
+          iters = 8)
+        .orderBy("label")
+    }),
+
     // ---- MMR diverse top-k re-rank over a bounded relevance pool ----
     "q135_mmr_rerank" -> ((s, d) => {
       Similarity.mmrSelect(Tables.embeddings(s, d), "embedding", "vec_id",
@@ -2919,6 +2927,71 @@ object Pipeline {
          SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
            round(sij / n - (si / n) * (sj / n), 6) + 0.0 AS cov
          FROM p ORDER BY i, j""",
+    // the q134 covariance cells (6dp-rounded — the engine-neutral
+    // start) power-iterated 8 rounds as MATERIALIZED CTEs; per-step
+    // round(·,12) keeps the matvec sums on the shared grid, then a
+    // sequential-fold projection scan per label
+    "q226_pca_project" -> {
+      val steps = (1 to 8).map { t =>
+        s"""w$t AS MATERIALIZED (
+              SELECT c.i, sum(c.cov * v.val) AS w
+              FROM cov c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
+            n$t AS (SELECT sqrt(sum(w * w)) AS nm FROM w$t),
+            v$t AS MATERIALIZED (
+              SELECT i, round(w / n$t.nm, 12) AS val
+              FROM w$t CROSS JOIN n$t)"""
+      }.mkString(",\n")
+      s"""WITH emb AS (
+           SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         ij AS (
+           SELECT a.i AS i, b.j AS j
+           FROM (SELECT unnest(range(0, 64)) AS i) a
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS j) b),
+         p AS (
+           SELECT i, j, count(*) AS n,
+             sum(e.v[CAST(i AS INT) + 1] * e.v[CAST(j AS INT) + 1]) AS sij,
+             sum(e.v[CAST(i AS INT) + 1]) AS si,
+             sum(e.v[CAST(j AS INT) + 1]) AS sj
+           FROM emb e CROSS JOIN ij GROUP BY i, j),
+         cov AS MATERIALIZED (
+           SELECT i, j, round(sij / n - (si / n) * (sj / n), 6) + 0.0 AS cov
+           FROM p),
+         v0 AS (
+           SELECT unnest(range(0, 64)) AS i, round(1 / sqrt(64), 12) AS val),
+         $steps,
+         fl AS (
+           SELECT CASE WHEN (SELECT val FROM v8 WHERE abs(val) > 1e-6
+                             ORDER BY i LIMIT 1) < 0
+                  THEN -1.0 ELSE 1.0 END AS f),
+         vf AS MATERIALIZED (
+           SELECT i, f * val AS val FROM v8 CROSS JOIN fl),
+         wf AS (
+           SELECT c.i, sum(c.cov * v.val) AS w
+           FROM cov c JOIN vf v ON c.j = v.i GROUP BY c.i),
+         lam AS (
+           SELECT sum(v.val * w.w) AS l
+           FROM vf v JOIN wf w ON v.i = w.i),
+         tr AS (SELECT sum(cov) AS t FROM cov WHERE i = j),
+         ex AS (
+           SELECT CASE WHEN t > 0 THEN l / t ELSE 0.0 END AS e
+           FROM lam CROSS JOIN tr),
+         varr AS (SELECT list(val ORDER BY i) AS vl FROM vf),
+         embl AS (
+           SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+         proj AS (
+           SELECT e2.label,
+             list_sum(list_transform(range(1, 65),
+               ix -> e2.v[ix] * va.vl[ix])) AS p
+           FROM embl e2 CROSS JOIN varr va)
+        SELECT label, count(*) AS n_vecs,
+          round(avg(p), 4) AS mean_pc1,
+          round(min(p), 6) AS min_pc1,
+          round(max(p), 6) AS max_pc1,
+          round((SELECT e FROM ex) * 1e6) / 1e6 AS explained_share
+        FROM proj GROUP BY label ORDER BY label"""
+    },
+
     // the greedy unrolled: pool of 15 by relevance, pairwise cosines,
     // then 5 argmax steps as chained CTEs — λ = 1−λ = 0.5 exactly
     "q135_mmr_rerank" -> {

@@ -249,6 +249,16 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // ---- JSON-lines sink/source round-trip: the semi-structured
+    //      sibling of q209 — newlines/quotes in text survive as JSON
+    //      string escapes; schema-on-read restores exact types ----
+    "q227_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_jsonl_${math.abs(d.hashCode)}"
+      docs.write.mode("overwrite").json(out)
+      s.read.schema(docs.schema).json(out).orderBy("doc_id")
+    }),
+
     // ---- C5-C8 string functions ----
     "q20_string_funcs" -> ((s, d) => {
       Tables.part(s, d)
@@ -599,6 +609,10 @@ object Relational {
          FROM orders GROUP BY 1 ORDER BY bin""",
     // identity: the round-tripped CSV must reproduce the source table
     "q209_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+    // identity: the round-tripped JSON lines must reproduce the source
+    "q227_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
     // leading digit from the exact cents integer's decimal string

@@ -20,7 +20,8 @@ OUT = "/tmp/graft_verify_" + os.path.basename(SF.rstrip("/"))
 
 if not SKIP:
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch",
+         f'runMain graft.Verify {SF} {OUT} ' + " ".join(ONLY)],
         capture_output=True, text=True, cwd="/root/repo",
         env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
     if r.returncode != 0:
