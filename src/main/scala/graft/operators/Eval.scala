@@ -411,4 +411,49 @@ object Eval {
         round(col("_exp_p"), 6).as("exp_p"),
         round(col("_chi2"), 6).as("chi2"))
   }
+
+  /** Cramér's V association between two categorical columns — the
+    * data-profiling "are these metadata fields redundant" number
+    * (e.g. does `source` fully determine `lang`). Only OBSERVED cells
+    * are materialized; a zero cell's χ² contribution is its expectation
+    * E = r·c/n, and Σ_all E = n, so the full χ² folds to
+    *   χ² = (1/n) · Σ_obs ((n·O − r·c)² − (r·c)²) / (r·c)  +  n
+    * — no dense cell grid ever built. The integer cores n·O and r·c
+    * are exact int64 (safe while n < ~3·10⁹; swap to DECIMAL beyond),
+    * squared in double so both engines run identical IEEE ops; only
+    * the cell-sum order varies (6dp rounding absorbs the ulps). Then
+    * V = √(χ²/(n·(min(cardA,cardB)−1))), computed from the ROUNDED χ²
+    * on both sides. Emits one row:
+    * `(n, card_a, card_b, dof, chi2, cramers_v)`.
+    *
+    * Scale shape: three combinable aggregates over the same scan
+    * (cells, row margins, column margins — Catalyst reuses the
+    * exchange), margin joins keyed on the low-cardinality categorical
+    * values, 1-row total crossed in. No window, no self-join.
+    */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val o = df.groupBy(colA, colB).agg(count(lit(1)).as("__o"))
+    val ra = df.groupBy(colA).agg(count(lit(1)).as("__ra"))
+    val cb = df.groupBy(colB).agg(count(lit(1)).as("__cb"))
+    val tot = df.agg(
+      count(lit(1)).as("__n"),
+      countDistinct(col(colA)).as("__ca"),
+      countDistinct(col(colB)).as("__cb2"))
+    val chi2 = o.join(ra, Seq(colA)).join(cb, Seq(colB))
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("__ca"), col("__cb2"),
+        ((pow((col("__n") * col("__o") - col("__ra") * col("__cb"))
+              .cast("double"), 2)
+            - pow((col("__ra") * col("__cb")).cast("double"), 2))
+          / (col("__ra") * col("__cb")).cast("double")).as("__t"))
+      .groupBy("__n", "__ca", "__cb2")
+      .agg(round(sum("__t") / col("__n") + col("__n"), 6).as("chi2"))
+    chi2.select(
+      col("__n").as("n"), col("__ca").as("card_a"), col("__cb2").as("card_b"),
+      ((col("__ca") - 1) * (col("__cb2") - 1)).as("dof"),
+      col("chi2"),
+      (floor(sqrt(col("chi2")
+          / (col("__n") * (least(col("__ca"), col("__cb2")) - 1))
+            .cast("double")) * 1e6 + 0.5) / 1e6).as("cramers_v"))
+  }
 }

@@ -1006,4 +1006,100 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path").asc)
       .limit(topK)
   }
+
+  /** Autocorrelation function of per-key window counts at lags
+    * 1..`maxLag` — the "does yesterday predict today" audit behind
+    * seasonality and burst scheduling. Over the gap-filled grid
+    * ([[gridCounts]]): with W windows and S = Σn per key, the W-scaled
+    * deviation `dev_t = W·n_t − S` is a pure INTEGER multiple of the
+    * mean-centered value, and
+    *   acf(k) = Σ_t dev_t·dev_{t+k} / Σ_t dev_t²
+    * (numerator over the W−k overlapping pairs, denominator over the
+    * full series — the standard biased estimator). Both sums are
+    * int64-exact, so each engine reaches the single final division
+    * bit-identically. Emits `(keyCol, lag, n_pairs, acf)`.
+    *
+    * Scale shape: one (key, window) count shuffle; everything after
+    * runs on the TIME-BOUNDED grid (keys × windows, independent of
+    * event count) — the lag join is a self-equi-join of that grid on
+    * (key, t+lag) with the lag list exploded from a literal. Int64
+    * headroom: sums bound by W·(W·n_max)², safe while W·n_max < ~3·10⁹
+    * (e.g. 90 daily windows × 30M events/day/key); beyond that swap
+    * the two sums to DECIMAL(38,0) — the algebra is unchanged.
+    */
+  def acf(df: DataFrame, keyCol: String, tsNs: String, windowNs: Long,
+      maxLag: Int): DataFrame = {
+    val g = Dedup.persistTracked(gridCounts(df, keyCol, tsNs, windowNs))
+    val stats = g.groupBy("k")
+      .agg(count(lit(1)).as("__w"), sum("n").as("__s"))
+    val dev = Dedup.persistTracked(
+      g.join(stats, Seq("k"))
+        .select(col("k"), col("t"),
+          (col("__w") * col("n") - col("__s")).as("d")))
+    val den = dev.groupBy("k").agg(sum(col("d") * col("d")).as("__den"))
+    val fan = dev.select(col("k"), col("t"), col("d"),
+      explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    val num = fan.as("a")
+      .join(dev.as("b"),
+        col("a.k") === col("b.k") && col("b.t") === col("a.t") + col("a.lag"))
+      .groupBy(col("a.k").as("k"), col("a.lag").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a.d") * col("b.d")).as("__num"))
+    // per-key aggregates are key-cardinality-bounded, not 1-row — no
+    // broadcast hint (AQE handles the small case)
+    num.join(den, Seq("k"))
+      .select(col("k").as(keyCol), col("lag"), col("n_pairs"),
+        when(col("__den") > 0,
+          round(col("__num").cast("double") / col("__den"), 6))
+          .otherwise(lit(0d)).as("acf"))
+  }
+
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * first/last-heavy credit split marketers contrast with
+    * [[lastTouchAttribution]]: for each conversion, the non-conversion
+    * touches since the user's previous conversion form the journey;
+    * the first and last touch get 0.4 each and the middles split the
+    * remaining 0.2 evenly (one touch → 1.0, two → 0.5/0.5). Journeys
+    * with no preceding touch are dropped (as in last-touch). Emits
+    * per-type `(event_type, n_touches, credit)` with credit rounded at
+    * 4dp — `round`, not the floor-grid used elsewhere: credit sums
+    * frequently land EXACTLY on the 1e-4 grid (integer sums when every
+    * journey has ≤ 2 touches), where floor(x·1e4 + 0.5) flips on a
+    * one-ulp-low sum while round() is stable; round's own danger zone
+    * (grid midpoints) is unreachable for these rationals.
+    *
+    * Scale shape: two user-partitioned window passes (running
+    * conversion index; journey position/extent), then one combinable
+    * per-type aggregate — no self-joins, state bounded by a user's
+    * events.
+    */
+  def positionAttribution(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, convType: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsNs), col(tieBreak))
+    val conv = when(col(typeCol) === convType, 1L).otherwise(0L)
+    // journey j = touches between conversion j-1 (exclusive) and j
+    val marked = df
+      .withColumn("__j", sum(conv).over(w) - conv + 1)
+      .where(col(typeCol) =!= convType)
+    val jw = Window.partitionBy(col(userCol), col("__j"))
+    val pos = marked
+      .withColumn("__rn",
+        row_number().over(jw.orderBy(col(tsNs), col(tieBreak))))
+      .withColumn("__m", count(lit(1)).over(jw))
+    // keep only journeys that END in a conversion: journey j exists
+    // iff the user has at least j conversions
+    val nConv = df.where(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(count(lit(1)).as("__nc"))
+    val credited = pos.join(nConv, Seq(userCol))
+      .where(col("__j") <= col("__nc"))
+      .withColumn("__credit",
+        when(col("__m") === 1, lit(1d))
+          .when(col("__m") === 2, lit(0.5))
+          .when(col("__rn") === 1 || col("__rn") === col("__m"), lit(0.4))
+          .otherwise(lit(0.2) / (col("__m") - 2)))
+    credited.groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("__credit")), 4).as("credit"))
+  }
 }

@@ -333,4 +333,43 @@ object Graph {
           "raise maxRounds (the oracle unrolls the same bound)")
     sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Link prediction over a bipartite (node, attribute) incidence —
+    * the classic common-neighbor / Adamic-Adar ranking ("users who
+    * share rare interests are likely the same cohort"): for node pairs
+    * sharing ≥ `minShared` attributes,
+    *   AA(a,b) = Σ_{shared attr i} 1 / ln(deg(i))
+    * where deg(i) = distinct nodes carrying attribute i. Rare shared
+    * attributes dominate (1/ln small-deg large); ubiquitous ones
+    * contribute nothing and are EXCLUDED by `maxAttrDeg` — which is
+    * also the scale guard: pair fan-out is Σ_i deg(i)² bounded by
+    * maxAttrDeg per attribute, never quadratic in the node count.
+    * Emits the top-`topK` pairs `(node_a, node_b, common, adamic_adar)`
+    * ordered by the 6dp-floor-rounded score (ids break ties — rank
+    * stability does not hinge on float ulps).
+    *
+    * Plan shape: dedup incidence → slim degree agg (broadcast back) →
+    * within-attribute pair join → one combinable pair aggregate →
+    * TakeOrdered(topK). deg ≥ 2 whenever a pair exists, so ln(deg)
+    * never divides by zero.
+    */
+  def adamicAdar(df: DataFrame, nodeCol: String, attrCol: String,
+      minShared: Int = 2, maxAttrDeg: Int = 1000, topK: Int = 50): DataFrame = {
+    val inc = df.select(col(nodeCol).as("u"), col(attrCol).as("i")).distinct()
+    val deg = inc.groupBy("i").agg(count(lit(1)).as("__deg"))
+    // no broadcast hint: attribute cardinality is corpus-bounded in
+    // general (AQE broadcasts the degree table when it is small)
+    val keyed = inc.join(deg, Seq("i"))
+      .where(col("__deg") >= 2 && col("__deg") <= maxAttrDeg)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.i") === col("b.i") && col("a.u") < col("b.u"))
+      .groupBy(col("a.u").as("node_a"), col("b.u").as("node_b"))
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1d) / log(col("a.__deg").cast("double"))).as("__aa"))
+      .where(col("common") >= minShared)
+      .select(col("node_a"), col("node_b"), col("common"),
+        (floor(col("__aa") * 1e6 + 0.5) / 1e6).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("node_a"), col("node_b"))
+      .limit(topK)
+  }
 }

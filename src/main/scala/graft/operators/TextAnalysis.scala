@@ -1480,4 +1480,44 @@ object TextAnalysis {
       .limit(k)
       .select(col("doc_id"), round(col("_score"), 4).as("ql_score"))
   }
+
+  /** Flesch reading-ease per document — the classic curation signal a
+    * children's-corpus / plain-language filter thresholds on. Fully
+    * deterministic surrogates: words = non-space runs, sentences =
+    * `[.!?]+` runs (min 1), syllables = per-word `[aeiouy]+` group
+    * count (min 1 per word). Score
+    *   206.835 − 1.015·(W/S) − 84.6·(Syll/W)
+    * is three integer-ratio terms combined left-to-right — the same
+    * IEEE ops in any engine — then floor-rounded at 4dp (never
+    * `round()`, whose half-handling differs across engines on doubles).
+    * Bands cut on the rounded score. Emits `(idCol, n_words,
+    * n_sentences, n_syllables, flesch, band)`.
+    *
+    * Scale shape: row-local (regexp counts + one array fold inside
+    * whole-stage codegen); no shuffle at all.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => length(w) > lit(0))
+    val base = df.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+        .as("n_sentences"),
+      aggregate(words, lit(0L), (acc, w) =>
+        acc + greatest(regexp_count(lower(w), lit("[aeiouy]+")), lit(1))
+          .cast("long")).as("n_syllables"))
+    val score = floor((lit(206.835)
+        - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+        - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+      * 1e4 + 0.5) / 1e4
+    base.withColumn("flesch",
+        when(col("n_words") > 0, score).otherwise(lit(null).cast("double")))
+      .withColumn("band",
+        when(col("flesch").isNull, lit("empty"))
+          .when(col("flesch") >= 90, lit("very_easy"))
+          .when(col("flesch") >= 70, lit("easy"))
+          .when(col("flesch") >= 50, lit("medium"))
+          .when(col("flesch") >= 30, lit("hard"))
+          .otherwise(lit("very_hard")))
+  }
 }

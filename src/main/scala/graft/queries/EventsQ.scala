@@ -329,6 +329,29 @@ object EventsQ {
           "event_type", "event_id", GapNs, maxLen = 5, topK = 20)
     }),
 
+    // ---- autocorrelation of daily volumes at lags 1..7 ----
+    "q230_acf" -> ((s, d) => {
+      Events.acf(Tables.events(s, d), "event_type", "ts",
+          windowNs = 24 * HourNs, maxLag = 7)
+        .orderBy("event_type", "lag")
+    }),
+
+    // ---- Adamic-Adar link prediction over the user × props.k
+    //      incidence ----
+    "q229_link_prediction" -> ((s, d) => {
+      val inc = Tables.events(s, d).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      graft.operators.Graph.adamicAdar(inc, "user_id", "item",
+        minShared = 2, maxAttrDeg = 1000, topK = 50)
+    }),
+
+    // ---- position-based (U-shaped) multi-touch attribution ----
+    "q233_position_attribution" -> ((s, d) => {
+      Events.positionAttribution(Tables.events(s, d), "user_id", "ts",
+          "event_type", convType = "purchase", tieBreak = "event_id")
+        .orderBy("event_type")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -482,6 +505,99 @@ object EventsQ {
           c AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1)
          SELECT path, n_sessions FROM c
          ORDER BY n_sessions DESC, path ASC LIMIT 20""",
+    // gap-filled grid (as q212), then the W-scaled integer deviations
+    // dev = W·n − S: numerator/denominator sums are int64-exact, one
+    // final double division per (key, lag)
+    "q230_acf" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // ${24 * HourNs} AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // ${24 * HourNs}) AS w0,
+              max(epoch_ns(ts) // ${24 * HourNs}) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, g.w AS t, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          st AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS wn,
+              CAST(sum(n) AS BIGINT) AS s
+            FROM f GROUP BY 1),
+          dv AS (
+            SELECT f.k, f.t, st.wn * f.n - st.s AS d0
+            FROM f JOIN st USING (k)),
+          den AS (
+            SELECT k, CAST(sum(d0 * d0) AS BIGINT) AS den
+            FROM dv GROUP BY 1),
+          lags AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
+          num AS (
+            SELECT a.k, l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(a.d0 * b2.d0) AS BIGINT) AS num
+            FROM dv a CROSS JOIN lags l
+            JOIN dv b2 ON a.k = b2.k AND b2.t = a.t + l.lag
+            GROUP BY 1, 2)
+         SELECT num.k AS event_type, num.lag, n_pairs,
+           CASE WHEN den.den > 0
+             THEN round(num.num::DOUBLE / den.den, 6) ELSE 0.0 END AS acf
+         FROM num JOIN den USING (k)
+         ORDER BY event_type, lag""",
+    // dedup incidence → attribute degrees → within-attribute pairs;
+    // identical 1/ln(deg) addends in both engines, 6dp floor-grid
+    "q229_link_prediction" ->
+      """WITH inc AS (
+           SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) AS i
+           FROM events),
+         deg AS (SELECT i, CAST(count(*) AS BIGINT) AS d FROM inc GROUP BY 1),
+         k AS (
+           SELECT inc.u, inc.i, deg.d FROM inc JOIN deg USING (i)
+           WHERE d BETWEEN 2 AND 1000),
+         p AS (
+           SELECT a.u AS node_a, b.u AS node_b,
+             CAST(count(*) AS BIGINT) AS common,
+             sum(1.0 / ln(CAST(a.d AS DOUBLE))) AS aa
+           FROM k a JOIN k b ON a.i = b.i AND a.u < b.u
+           GROUP BY 1, 2)
+        SELECT node_a, node_b, common,
+          floor(aa * 1e6 + 0.5) / 1e6 AS adamic_adar
+        FROM p WHERE common >= 2
+        ORDER BY adamic_adar DESC, node_a, node_b LIMIT 50""",
+    // journey = touches since the user's previous purchase; first/last
+    // 0.4 each, middles split 0.2 (1 touch → 1.0, 2 → 0.5/0.5); only
+    // journeys that end in a purchase are credited
+    "q233_position_attribution" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cv
+           FROM events),
+         j AS (
+           SELECT *,
+             sum(cv) OVER (PARTITION BY user_id ORDER BY tns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cv + 1 AS jid
+           FROM e),
+         t AS (
+           SELECT user_id, jid, event_type,
+             row_number() OVER (PARTITION BY user_id, jid
+               ORDER BY tns, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, jid) AS m
+           FROM j WHERE cv = 0),
+         nc AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS ncv
+           FROM e WHERE cv = 1 GROUP BY 1),
+         cr AS (
+           SELECT t.event_type,
+             CASE WHEN m = 1 THEN 1.0::DOUBLE
+                  WHEN m = 2 THEN 0.5::DOUBLE
+                  WHEN rn = 1 OR rn = m THEN 0.4::DOUBLE
+                  ELSE 0.2::DOUBLE / (m - 2) END AS credit
+           FROM t JOIN nc USING (user_id) WHERE t.jid <= nc.ncv)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+          round(sum(credit), 4) AS credit
+        FROM cr GROUP BY 1 ORDER BY event_type""",
     // the streaming dedup-then-count decomposition equals a plain
     // DISTINCT count per period in batch
     "q170_stream_daily_active" ->

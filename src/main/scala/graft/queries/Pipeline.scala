@@ -585,6 +585,17 @@ object Pipeline {
         .orderBy("label")
     }),
 
+    // ---- Flesch reading-ease per document (row-local, no shuffle) ----
+    "q228_readability" -> ((s, d) => {
+      TextAnalysis.readability(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Cramér's V association between lang and source ----
+    "q232_cramers_v" -> ((s, d) => {
+      Eval.cramersV(Tables.documents(s, d), "lang", "source")
+    }),
+
     // ---- MMR diverse top-k re-rank over a bounded relevance pool ----
     "q135_mmr_rerank" -> ((s, d) => {
       Similarity.mmrSelect(Tables.embeddings(s, d), "embedding", "vec_id",
@@ -2991,6 +3002,68 @@ object Pipeline {
           round((SELECT e FROM ex) * 1e6) / 1e6 AS explained_share
         FROM proj GROUP BY label ORDER BY label"""
     },
+
+    // words = non-space runs, sentences = [.!?]+ runs (min 1),
+    // syllables = per-word [aeiouy]+ groups (min 1); the score is one
+    // branch-free expression evaluated identically, 4dp floor-grid
+    "q228_readability" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0) AS ws,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words, n_sentences,
+             CAST(coalesce(list_sum(list_transform(ws, x ->
+               greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)
+             )), 0) AS BIGINT) AS n_syllables
+           FROM w)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+          CASE WHEN n_words > 0 THEN
+            floor((206.835
+              - 1.015 * (n_words::DOUBLE / n_sentences)
+              - 84.6 * (n_syllables::DOUBLE / n_words)) * 1e4 + 0.5) / 1e4
+          END AS flesch,
+          CASE WHEN n_words = 0 THEN 'empty'
+               WHEN flesch >= 90 THEN 'very_easy'
+               WHEN flesch >= 70 THEN 'easy'
+               WHEN flesch >= 50 THEN 'medium'
+               WHEN flesch >= 30 THEN 'hard'
+               ELSE 'very_hard' END AS band
+        FROM c ORDER BY doc_id""",
+
+    // zero cells contribute E and Σ_all E = n, so χ² over observed
+    // cells only is Σ((n·O−r·c)² − (r·c)²)/(r·c)/n + n; per-cell terms
+    // are identical IEEE doubles in both engines, the cell sum rounds
+    // at 6dp, and V is derived from the ROUNDED χ²
+    "q232_cramers_v" ->
+      """WITH o AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+         ra AS (SELECT lang, CAST(count(*) AS BIGINT) AS r
+                FROM documents GROUP BY 1),
+         cb AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1),
+         t AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS ca,
+             CAST(count(DISTINCT source) AS BIGINT) AS cb2
+           FROM documents),
+         chi AS (
+           SELECT t.n, t.ca, t.cb2,
+             round(sum((pow(CAST(t.n * o.o - ra.r * cb.c AS DOUBLE), 2)
+                 - pow(CAST(ra.r * cb.c AS DOUBLE), 2))
+               / CAST(ra.r * cb.c AS DOUBLE)) / t.n + t.n, 6) AS chi2
+           FROM o JOIN ra USING (lang) JOIN cb USING (source) CROSS JOIN t
+           GROUP BY t.n, t.ca, t.cb2)
+        SELECT n, ca AS card_a, cb2 AS card_b,
+          (ca - 1) * (cb2 - 1) AS dof, chi2,
+          floor(sqrt(chi2 / CAST(n * (least(ca, cb2) - 1) AS DOUBLE))
+            * 1e6 + 0.5) / 1e6 AS cramers_v
+        FROM chi""",
 
     // the greedy unrolled: pool of 15 by relevance, pairwise cosines,
     // then 5 argmax steps as chained CTEs — λ = 1−λ = 0.5 exactly

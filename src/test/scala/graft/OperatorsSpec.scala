@@ -2788,4 +2788,76 @@ class OperatorsSpec extends SparkSpec {
     // maxLen=2 truncates a>b>c to a>b; two users share it
     assert(got == Map("a>b" -> 2L, "d" -> 1L))
   }
+
+  test("Events.acf: hand-computed lags on counts 1,2,3,4") {
+    // W=4, S=10 ⇒ dev = 4n−10 = [−6,−2,2,6], den = 80;
+    // lag1: −6·−2 + −2·2 + 2·6 = 20 ⇒ 0.25; lag2: −24 ⇒ −0.3;
+    // lag3: −36 ⇒ −0.45
+    val rows = for { d <- 0 until 4; i <- 0 to d } yield ("k", d * 1000L + i)
+    val got = Events.acf(rows.toDF("key", "ts"), "key", "ts", 1000L, 3)
+      .orderBy("lag")
+      .select("lag", "n_pairs", "acf")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got == Seq((1, 3L, 0.25), (2, 2L, -0.3), (3, 1L, -0.45)))
+    Dedup.clearCaches()
+  }
+
+  test("Events.positionAttribution: U-shaped credits, open journey dropped") {
+    val df = Seq(
+      (1L, 1L, "view", 1L), (1L, 2L, "click", 2L), (1L, 3L, "view", 3L),
+      (1L, 4L, "purchase", 4L),
+      (1L, 5L, "ad", 5L), (1L, 6L, "purchase", 6L),
+      (1L, 7L, "email", 7L)) // after the last purchase → uncredited
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.positionAttribution(df, "user_id", "ts", "event_type",
+      "purchase", "event_id")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // journey 1 (m=3): view 0.4, click 0.2, view 0.4; journey 2 (m=1): ad 1.0
+    assert(got == Map(
+      "view" -> ((2L, 0.8)), "click" -> ((1L, 0.2)), "ad" -> ((1L, 1.0))))
+  }
+
+  test("Graph.adamicAdar: shared-attribute pairs, minShared filter, deg-1 ignored") {
+    val inc = Seq(
+      ("a", 1L), ("b", 1L), ("c", 1L), // deg 3
+      ("a", 2L), ("b", 2L), // deg 2
+      ("a", 3L), ("c", 3L), // deg 2
+      ("a", 4L)) // deg 1 — contributes nothing
+      .toDF("u", "i")
+    val got = Graph.adamicAdar(inc, "u", "i", minShared = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val aa = math.floor((1 / math.log(3) + 1 / math.log(2)) * 1e6 + 0.5) / 1e6
+    // (b,c) share only attr 1 → common=1 < minShared → dropped
+    assert(got == Seq(("a", "b", 2L, aa), ("a", "c", 2L, aa)))
+  }
+
+  test("TextAnalysis.readability: hand-computed Flesch on a toy doc") {
+    val df = Seq((1L, "The cat sat. The dog ran!")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_words") == 6)
+    assert(r.getAs[Long]("n_sentences") == 2)
+    assert(r.getAs[Long]("n_syllables") == 6)
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(r.getAs[Double]("flesch") == 119.19)
+    assert(r.getAs[String]("band") == "very_easy")
+  }
+
+  test("Eval.cramersV: perfect association gives V = 1 (zero cells folded in)") {
+    val df = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val r = Eval.cramersV(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Long]("dof") == 1)
+    assert(r.getAs[Double]("chi2") == 4.0) // = n for a perfect 2×2
+    assert(r.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("Eval.cramersV: independent columns give chi2 = 0") {
+    val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r = Eval.cramersV(df, "a", "b").collect().head
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Double]("cramers_v") == 0.0)
+  }
 }
