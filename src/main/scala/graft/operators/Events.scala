@@ -1102,4 +1102,113 @@ object Events {
       .agg(count(lit(1)).as("n_touches"),
         round(sum(col("__credit")), 4).as("credit"))
   }
+
+  /** Slowly-changing-dimension (type 2) history build from a change
+    * log — the warehouse "effective dating" operator: per entity,
+    * consecutive runs of the same `attrCol` value collapse into one
+    * version row with `[valid_from_ns, valid_to_ns)` validity (NULL
+    * valid_to = current version; an as-of join against the result is
+    * `valid_from ≤ t AND (t < valid_to OR valid_to IS NULL)`). Output:
+    * `(userCol, version, attrCol, valid_from_ns, valid_to_ns, n_events,
+    * is_current)`.
+    *
+    * Scale shape: one entity-partitioned window pass (change marking +
+    * running version number), one (entity, version) combinable
+    * aggregate, one second window over the VERSION grain (rows = number
+    * of changes, not events) for the interval close-off. No self-joins.
+    */
+  def scd2Intervals(df: DataFrame, userCol: String, tsNs: String,
+      attrCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsNs), col(tieBreak))
+    val prev = lag(col(attrCol), 1).over(w)
+    val marked = df
+      .withColumn("__chg",
+        when(prev.isNull || prev =!= col(attrCol), 1L).otherwise(0L))
+      .withColumn("version",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = marked.groupBy(col(userCol), col("version"), col(attrCol))
+      .agg(min(col(tsNs)).as("valid_from_ns"), count(lit(1)).as("n_events"))
+    val vw = Window.partitionBy(col(userCol)).orderBy(col("version"))
+    runs
+      .withColumn("valid_to_ns", lead(col("valid_from_ns"), 1).over(vw))
+      .withColumn("is_current", col("valid_to_ns").isNull)
+      .select(col(userCol), col("version"), col(attrCol),
+        col("valid_from_ns"), col("valid_to_ns"), col("n_events"),
+        col("is_current"))
+  }
+
+  /** Inter-arrival statistics per key — the Poisson-process health
+    * check behind capacity planning: consecutive-event gaps (ordered by
+    * time with `tieBreak`), their exact integer mean, the exponential
+    * MLE rate λ = 1/mean (per second), and the exact interpolated
+    * median gap. Output: `(keyCol, n_gaps, mean_gap_sec, lambda_per_sec,
+    * p50_gap_sec)`.
+    *
+    * Scale shape: one key-partitioned window pass for the gaps, one
+    * combinable sum/count aggregate; the median reuses
+    * [[Percentiles.exact]] (two shuffles at (key, value) grain). Gap
+    * sums are int64-exact, so both engines reach each division
+    * bit-identically.
+    */
+  def interArrival(df: DataFrame, keyCol: String, tsNs: String,
+      tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsNs), col(tieBreak))
+    val gaps = Dedup.persistTracked(df
+      .withColumn("__gap", col(tsNs) - lag(col(tsNs), 1).over(w))
+      .where(col("__gap").isNotNull)
+      .select(col(keyCol), col("__gap")))
+    val stats = gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"), sum("__gap").as("__sum"))
+    val med = Percentiles.exact(gaps, Seq(keyCol), "__gap",
+      Seq(0.5 -> "__p50"))
+    stats.join(med.select(col(keyCol), col("__p50")), Seq(keyCol))
+      .select(col(keyCol), col("n_gaps"),
+        round(col("__sum").cast("double") / col("n_gaps") / 1e9, 6)
+          .as("mean_gap_sec"),
+        round(col("n_gaps").cast("double") * 1e9 / col("__sum"), 6)
+          .as("lambda_per_sec"),
+        round(col("__p50") / 1e9, 6).as("p50_gap_sec"))
+  }
+
+  /** Session entry/exit audit — per entry event-type: session count,
+    * bounce rate (single-event sessions) and the modal exit type with
+    * its share. The landing-page report over [[sessionize]]'s output.
+    * Output: `(entry_type, n_sessions, n_bounces, bounce_rate,
+    * top_exit_type, top_exit_share)`.
+    *
+    * Scale shape: sessionize's one user-partitioned window, a
+    * (user, session) combinable pack into first/last/count, then two
+    * small aggregates at (entry, exit) grain with a rank window over
+    * the exit-type distribution (bounded by the type cardinality).
+    */
+  def sessionEntryExit(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, tieBreak: String, gapNs: Long): DataFrame = {
+    val sess = sessionize(df, userCol, tsNs, gapNs)
+    val packed = sess.groupBy(col(userCol), col("session_id"))
+      .agg(
+        min(struct(col(tsNs), col(tieBreak), col(typeCol))).as("__first"),
+        max(struct(col(tsNs), col(tieBreak), col(typeCol))).as("__last"),
+        count(lit(1)).as("__n"))
+      .select(col("__first")(typeCol).as("entry_type"),
+        col("__last")(typeCol).as("exit_type"), col("__n"))
+    val byPair = packed.groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("__np"),
+        count(when(col("__n") === 1, lit(1))).as("__nb"))
+    val byEntry = byPair.groupBy("entry_type")
+      .agg(sum("__np").as("n_sessions"), sum("__nb").as("n_bounces"))
+    val rw = Window.partitionBy(col("entry_type"))
+      .orderBy(col("__np").desc, col("exit_type").asc)
+    val topExit = byPair
+      .withColumn("__rk", row_number().over(rw))
+      .where(col("__rk") === 1)
+      .select(col("entry_type"), col("exit_type").as("top_exit_type"),
+        col("__np").as("__topn"))
+    byEntry.join(topExit, Seq("entry_type"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") / col("n_sessions"), 6)
+          .as("bounce_rate"),
+        col("top_exit_type"),
+        round(col("__topn").cast("double") / col("n_sessions"), 6)
+          .as("top_exit_share"))
+  }
 }

@@ -1496,6 +1496,72 @@ object TextAnalysis {
     * Scale shape: row-local (regexp counts + one array fold inside
     * whole-stage codegen); no shuffle at all.
     */
+  /** Heaps'-law vocabulary-growth fit — the "how fast does vocabulary
+    * grow with corpus size" audit (V ≈ k·N^β, β ≈ 0.5 for natural
+    * language; a β near 1 flags synthetic/ID-heavy text) that sizes
+    * tokenizer vocabularies. Docs are ordered by `idCol`; at each doc
+    * the cumulative token count N and cumulative distinct vocabulary V
+    * (terms whose FIRST occurrence is at or before the doc) give one
+    * (ln N, ln V) point, and the same 5-sum OLS as [[zipfFit]] fits
+    * ln V = ln k + β·ln N. Emits one row:
+    * `(n_docs, total_tokens, vocab, beta, k, r2)`.
+    *
+    * Scale shape: per-doc token counts are row-local; first
+    * occurrences are one term-keyed min-aggregate (the only
+    * corpus-grain shuffle); both running sums use the bucketed prefix
+    * decomposition (per-bucket partials + a bucket-count-sized window
+    * for offsets, the q101 discipline) — no global single-partition
+    * cumsum. The cumulative counts are integers, so each point's
+    * ln() inputs are engine-exact; only the 5-sum OLS fold is float
+    * (6dp rounding absorbs sum-order ulps, as in [[zipfFit]]).
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = df.select(col(idCol).as("__id"),
+      size(tokens(col(textCol))).cast("long").as("__nt"))
+    val firsts = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy("__t").agg(min("__id").as("__id"))
+      .groupBy("__id").agg(count(lit(1)).as("__nv"))
+    val base = perDoc.join(firsts, Seq("__id"), "left")
+      .select(col("__id"), col("__nt"), coalesce(col("__nv"), lit(0L)).as("__nv"))
+      .withColumn("__b", expr(s"__id div $bucketSize"))
+    val inBucket = Window.partitionBy("__b").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val partial = base
+      .withColumn("__ct", sum("__nt").over(inBucket))
+      .withColumn("__cv", sum("__nv").over(inBucket))
+    val offsets = base.groupBy("__b")
+      .agg(sum("__nt").as("__bt"), sum("__nv").as("__bv"))
+    val offW = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = offsets
+      .withColumn("__ot", coalesce(sum("__bt").over(offW), lit(0L)))
+      .withColumn("__ov", coalesce(sum("__bv").over(offW), lit(0L)))
+      .select("__b", "__ot", "__ov")
+    val pts = partial.join(withOff, Seq("__b"))
+      .select((col("__ct") + col("__ot")).as("__N"), (col("__cv") + col("__ov")).as("__V"))
+      .where(col("__N") > 0 && col("__V") > 0)
+      .select(log(col("__N").cast("double")).as("x"),
+        log(col("__V").cast("double")).as("y"),
+        col("__N"), col("__V"))
+    val a = pts.agg(count(lit(1)).as("n"),
+      max("__N").as("total_tokens"), max("__V").as("vocab"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy") - col("sx") * col("sy")
+    val varXN = nD * col("sxx") - col("sx") * col("sx")
+    val varYN = nD * col("syy") - col("sy") * col("sy")
+    a.select(col("n").as("n_docs"), col("total_tokens"), col("vocab"),
+      round(covN / varXN, 6).as("beta"),
+      round(exp((col("sy") - covN / varXN * col("sx")) / nD), 6).as("k"),
+      round(when(varYN > 0, covN * covN / (varXN * varYN))
+        .otherwise(lit(0d)), 6).as("r2"))
+  }
+
   def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val words = filter(split(t, "\\s+"), w => length(w) > lit(0))

@@ -352,6 +352,27 @@ object EventsQ {
         .orderBy("event_type")
     }),
 
+    // ---- SCD type-2 history build from the event change log ----
+    "q234_scd2" -> ((s, d) => {
+      Events.scd2Intervals(Tables.events(s, d), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy("user_id", "version")
+    }),
+
+    // ---- inter-arrival stats + exponential MLE per type ----
+    "q235_interarrival" -> ((s, d) => {
+      Events.interArrival(Tables.events(s, d), "event_type", "ts",
+          "event_id")
+        .orderBy("event_type")
+    }),
+
+    // ---- session entry/exit audit (bounce rate, modal exit) ----
+    "q236_entry_exit" -> ((s, d) => {
+      Events.sessionEntryExit(Tables.events(s, d), "user_id", "ts",
+          "event_type", "event_id", GapNs)
+        .orderBy("entry_type")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -598,6 +619,94 @@ object EventsQ {
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
           round(sum(credit), 4) AS credit
         FROM cr GROUP BY 1 ORDER BY event_type""",
+    // change marking + running version per user, run pack, interval
+    // close-off by lead over the version grain
+    "q234_scd2" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type
+           FROM events),
+         m AS (
+           SELECT *,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+         v AS (
+           SELECT *,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS version
+           FROM m),
+         runs AS (
+           SELECT user_id, version, event_type,
+             CAST(min(tns) AS BIGINT) AS valid_from_ns,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM v GROUP BY 1, 2, 3)
+        SELECT user_id, version, event_type, valid_from_ns,
+          lead(valid_from_ns) OVER uw AS valid_to_ns, n_events,
+          lead(valid_from_ns) OVER uw IS NULL AS is_current
+        FROM runs
+        WINDOW uw AS (PARTITION BY user_id ORDER BY version)
+        ORDER BY user_id, version""",
+    // integer gap sums → exact mean and MLE rate; quantile_cont is the
+    // same interpolated order statistic as Percentiles.exact
+    "q235_interarrival" ->
+      """WITH g AS (
+           SELECT event_type, epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+             PARTITION BY event_type ORDER BY epoch_ns(ts), event_id)
+             AS gap
+           FROM events),
+         f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+          round(CAST(sum(gap) AS DOUBLE) / count(*) / 1e9, 6)
+            AS mean_gap_sec,
+          round(CAST(count(*) AS DOUBLE) * 1e9 / sum(gap), 6)
+            AS lambda_per_sec,
+          round(quantile_cont(gap, 0.5) / 1e9, 6) AS p50_gap_sec
+        FROM f GROUP BY event_type ORDER BY event_type""",
+    // q28's sessionization, sessions packed to (entry, exit, n) by the
+    // same lexicographic (tns, event_id) order as the struct min/max
+    "q236_entry_exit" ->
+      s"""WITH sess AS (
+            SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type,
+              sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+            FROM (
+              SELECT *,
+                CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) > $GapNs
+                     OR lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events)),
+          pk AS (
+            SELECT user_id, session_id,
+              first(event_type ORDER BY tns, event_id) AS entry_type,
+              last(event_type ORDER BY tns, event_id) AS exit_type,
+              count(*) AS n
+            FROM sess GROUP BY 1, 2),
+          bp AS (
+            SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS np,
+              CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS nb
+            FROM pk GROUP BY 1, 2),
+          be AS (
+            SELECT entry_type, CAST(sum(np) AS BIGINT) AS n_sessions,
+              CAST(sum(nb) AS BIGINT) AS n_bounces
+            FROM bp GROUP BY 1),
+          te AS (
+            SELECT entry_type, exit_type AS top_exit_type, np,
+              row_number() OVER (
+                PARTITION BY entry_type ORDER BY np DESC, exit_type) AS rk
+            FROM bp)
+         SELECT be.entry_type, n_sessions, n_bounces,
+           round(CAST(n_bounces AS DOUBLE) / n_sessions, 6) AS bounce_rate,
+           te.top_exit_type,
+           round(CAST(np AS DOUBLE) / n_sessions, 6) AS top_exit_share
+         FROM be JOIN te USING (entry_type) WHERE rk = 1
+         ORDER BY entry_type""",
     // the streaming dedup-then-count decomposition equals a plain
     // DISTINCT count per period in batch
     "q170_stream_daily_active" ->

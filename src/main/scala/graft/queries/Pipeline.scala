@@ -596,6 +596,11 @@ object Pipeline {
       Eval.cramersV(Tables.documents(s, d), "lang", "source")
     }),
 
+    // ---- Heaps'-law vocabulary-growth fit over the doc_id order ----
+    "q237_heaps_fit" -> ((s, d) => {
+      TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")
+    }),
+
     // ---- MMR diverse top-k re-rank over a bounded relevance pool ----
     "q135_mmr_rerank" -> ((s, d) => {
       Similarity.mmrSelect(Tables.embeddings(s, d), "embedding", "vec_id",
@@ -3064,6 +3069,52 @@ object Pipeline {
           floor(sqrt(chi2 / CAST(n * (least(ca, cb2) - 1) AS DOUBLE))
             * 1e6 + 0.5) / 1e6 AS cramers_v
         FROM chi""",
+
+    // cumulative tokens N and first-occurrence vocabulary V per doc in
+    // doc_id order (plain window cumsum here; the Spark side's bucketed
+    // prefix decomposition yields identical integers), then zipf_fit's
+    // 5-sum OLS on (ln N, ln V)
+    "q237_heaps_fit" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $Toks AS ts FROM documents),
+          pd AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS nt FROM toks),
+          fo AS (
+            SELECT term, min(doc_id) AS fid FROM (
+              SELECT doc_id, unnest(ts) AS term FROM toks) u
+            GROUP BY 1),
+          nvt AS (
+            SELECT fid AS doc_id, CAST(count(*) AS BIGINT) AS nv
+            FROM fo GROUP BY 1),
+          base AS (
+            SELECT pd.doc_id, pd.nt, coalesce(nvt.nv, 0) AS nv
+            FROM pd LEFT JOIN nvt USING (doc_id)),
+          cum AS (
+            SELECT doc_id,
+              CAST(sum(nt) OVER cw AS BIGINT) AS cn,
+              CAST(sum(nv) OVER cw AS BIGINT) AS cv
+            FROM base
+            WINDOW cw AS (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          pts AS (
+            SELECT ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y,
+              cn, cv
+            FROM cum WHERE cn > 0 AND cv > 0),
+          a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(max(cn) AS BIGINT) AS total_tokens,
+              CAST(max(cv) AS BIGINT) AS vocab,
+              sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+              sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pts)
+         SELECT n AS n_docs, total_tokens, vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+           round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             / n), 6) AS k,
+           round(CASE WHEN (n * syy - sy * sy) > 0
+             THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             ELSE 0.0 END, 6) AS r2
+         FROM a""",
 
     // the greedy unrolled: pool of 15 by relevance, pairwise cosines,
     // then 5 argmax steps as chained CTEs — λ = 1−λ = 0.5 exactly

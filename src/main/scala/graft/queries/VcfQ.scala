@@ -154,6 +154,12 @@ object VcfQ {
     "q220_vcf_afs" -> ((s, _) => {
       VcfApi.alleleFrequencySpectrum(tables(s).info).orderBy("bin")
     }),
+    // ---- runs of homozygosity (gaps-and-islands over gt calls) ----
+    "q231_vcf_roh" -> ((s, _) => {
+      val t = tables(s)
+      VcfApi.rohReport(t.geno, t.info, minSites = 2)
+        .orderBy("sample", "chr", "start_pos")
+    }),
     "q62_vcf_tabix_range" -> ((s, _) => {
       // tabix-indexed pre-ETL range read on a bgzipped copy of the toy
       // fixture: only index-selected blocks are planned, and the result
@@ -268,6 +274,18 @@ object VcfQ {
           (5, 0.5, 1))
          t(bin, maf_lo, n)
          ORDER BY bin""",
+    // hand-derived from the q45 genotypes in q43 chromosome order:
+    // S1 chr1 = hom(v1),hom(v2),missing → run 100-200 ×2;
+    // S1 chr2 = hom,het,hom → two length-1 runs (dropped);
+    // S2 chr1 = het,hom,het → dropped;
+    // S2 chr2 = het,hom(v5),hom(v6) → run 250-400 ×2
+    "q231_vcf_roh" ->
+      """SELECT * FROM (VALUES
+          ('S1', '1', CAST(100 AS BIGINT), CAST(200 AS BIGINT),
+            CAST(2 AS BIGINT)),
+          ('S2', '2', 250, 400, 2))
+         t(sample, chr, start_pos, end_pos, n_sites)
+         ORDER BY sample, chr, start_pos""",
     "q43_vcf_info" ->
       """SELECT * FROM (VALUES
           (CAST(1 AS BIGINT), '1', CAST(100 AS BIGINT), CAST(100 AS BIGINT), 'A', 'G',  CAST(50 AS DOUBLE), 'PASS', CAST(1 AS BIGINT), CAST(0.25 AS DOUBLE), CAST(20 AS BIGINT), 'SNP'),

@@ -262,6 +262,39 @@ object VcfApi {
     * Scale shape: one row-local projection + one 11-group aggregation
     * over `info` — no joins, no windows.
     */
+  /** Runs of homozygosity per (sample, chromosome) — the inbreeding /
+    * autozygosity QC scan (long ROH flags consanguinity; per-sample ROH
+    * burden is a standard cohort report). Gaps-and-islands over a
+    * sample's calls in chromosome order: a heterozygous (gt = 1) or
+    * missing (gt NULL) call breaks the run; maximal runs of ≥ `minSites`
+    * consecutive homozygous sites (gt 0 or 2) are reported. Output:
+    * `sample, chr, start_pos, end_pos, n_sites`.
+    *
+    * Scale shape: one variant-keyed equi-join of geno onto site
+    * coordinates (AQE broadcasts the slim side when small), one
+    * (sample, chr) window pass — per-partition state bounded by one
+    * chromosome's sites for one sample — and one run-keyed combinable
+    * aggregate. No self-joins; the run id is a running break count, so
+    * a single ordered pass suffices.
+    */
+  def rohReport(geno: DataFrame, info: DataFrame,
+      minSites: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sites = info.select(col("variant_id"), col("chr"), col("start"))
+    val g = geno.join(sites, Seq("variant_id"))
+      .select(col("sample"), col("chr"), col("start"),
+        (col("gt").isNotNull && col("gt") =!= 1d).as("__hom"))
+    val w = Window.partitionBy("sample", "chr").orderBy("start")
+    g.withColumn("__brk", when(col("__hom"), 0L).otherwise(1L))
+      .withColumn("__run", sum(col("__brk")).over(w))
+      .where(col("__hom"))
+      .groupBy(col("sample"), col("chr"), col("__run"))
+      .agg(min("start").as("start_pos"), max("start").as("end_pos"),
+        count(lit(1)).as("n_sites"))
+      .where(col("n_sites") >= minSites)
+      .select("sample", "chr", "start_pos", "end_pos", "n_sites")
+  }
+
   def alleleFrequencySpectrum(info: DataFrame): DataFrame =
     info
       .select(least(col("af"), lit(1d) - col("af")).as("maf"))

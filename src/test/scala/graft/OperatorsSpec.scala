@@ -2853,6 +2853,74 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("cramers_v") == 1.0)
   }
 
+  test("Events.scd2Intervals: runs collapse, intervals chain, last is current") {
+    val df = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "a", 2L), (1L, 30L, "b", 3L),
+      (1L, 40L, "a", 4L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.scd2Intervals(df, "user_id", "ts", "event_type",
+      "event_id").orderBy("version")
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "a", 10L, Some(30L), 2L, false),
+      (1L, 2L, "b", 30L, Some(40L), 1L, false),
+      (1L, 3L, "a", 40L, None, 1L, true)))
+  }
+
+  test("Events.interArrival: exact mean, MLE rate and interpolated median") {
+    val df = Seq(("k", 0L, 1L), ("k", 1000000000L, 2L),
+      ("k", 3000000000L, 3L), ("k", 6000000000L, 4L))
+      .toDF("event_type", "ts", "event_id")
+    val r = Events.interArrival(df, "event_type", "ts", "event_id")
+      .collect().head
+    assert(r.getAs[Long]("n_gaps") == 3)
+    assert(r.getAs[Double]("mean_gap_sec") == 2.0)
+    assert(r.getAs[Double]("lambda_per_sec") == 0.5)
+    assert(r.getAs[Double]("p50_gap_sec") == 2.0)
+    Dedup.clearCaches(); Percentiles.clearCaches()
+  }
+
+  test("Events.sessionEntryExit: bounce and modal exit per entry type") {
+    val gap = 100L
+    val df = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), // one session a→b
+      (2L, 1L, "c", 3L)) // bounce
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.sessionEntryExit(df, "user_id", "ts", "event_type",
+      "event_id", gap)
+      .as[(String, Long, Long, Double, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 1L, 0L, 0.0, "b", 1.0)))
+    assert(got("c") == (("c", 1L, 1L, 1.0, "c", 1.0)))
+  }
+
+  test("TextAnalysis.heapsFit: two points fit exactly") {
+    val df = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_docs") == 2)
+    assert(r.getAs[Long]("total_tokens") == 4)
+    assert(r.getAs[Long]("vocab") == 3)
+    // slope through (ln2,ln2),(ln4,ln3) = ln(3/2)/ln2; k = 2/2^β = 4/3
+    assert(r.getAs[Double]("beta") ==
+      math.rint(math.log(1.5) / math.log(2) * 1e6) / 1e6)
+    assert(r.getAs[Double]("k") == 1.333333)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("VcfApi.rohReport: missing call breaks the run, short runs dropped") {
+    import graft.vcf.VcfApi
+    val geno = Seq(
+      (1L, "A", Some(0d)), (2L, "A", Some(2d)), (3L, "A", None),
+      (4L, "A", Some(2d)))
+      .toDF("variant_id", "sample", "gt")
+    val info = Seq((1L, "1", 10L), (2L, "1", 20L), (3L, "1", 30L),
+      (4L, "1", 40L)).toDF("variant_id", "chr", "start")
+    val got = VcfApi.rohReport(geno, info, minSites = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "1", 10L, 20L, 2L)))
+  }
+
   test("Eval.cramersV: independent columns give chi2 = 0") {
     val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")
