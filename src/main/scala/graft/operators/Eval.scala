@@ -412,6 +412,77 @@ object Eval {
         round(col("_chi2"), 6).as("chi2"))
   }
 
+  /** l-diversity audit of a quasi-identifier grouping — the
+    * k-anonymity companion: a group whose rows all share one sensitive
+    * value leaks it even when the group is large, so each
+    * quasi-identifier class reports its distinct-sensitive-value count
+    * l, the entropy of the sensitive distribution (entropy
+    * l-diversity: well-represented values, not just many), and whether
+    * it meets `minL`. Output per group:
+    * `(quasi…, n, l, entropy, meets_l)`.
+    *
+    * Scale shape: one (quasi…, sensitive) count aggregate, one
+    * (quasi…) roll-up — both combinable; the entropy terms
+    * −p·ln p are identical IEEE doubles in each engine (p = exact
+    * integer ratio), with the per-group sum order absorbed by 6dp
+    * rounding.
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+      minL: Int): DataFrame = {
+    val cells = df.groupBy((quasi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val gw = Window.partitionBy(quasi.map(col): _*)
+    cells
+      .withColumn("__n", sum("__c").over(gw))
+      .groupBy(quasi.map(col): _*)
+      .agg(first(col("__n")).as("n"),
+        count(lit(1)).as("l"),
+        // + 0.0 folds a single-value group's −0.0 to 0.0 in any engine
+        (round(sum(-(col("__c") / col("__n"))
+          * log(col("__c") / col("__n"))), 6) + lit(0d)).as("entropy"))
+      .withColumn("meets_l", col("l") >= minL)
+  }
+
+  /** Per-class precision/recall/F1 against a label column — the
+    * confusion-matrix report run on every in-engine classifier (e.g.
+    * [[TextAnalysis.langId]] vs the gold `lang`). Classes are the union
+    * of observed labels and predictions. Ratios divide exact integers;
+    * F1 composes the UNROUNDED precision/recall (rounding only at the
+    * boundary) in the same operation order in both engines. Output:
+    * `(clazz, n_true, n_pred, tp, precision, recall, f1)`.
+    *
+    * Scale shape: three combinable aggregates at class grain over one
+    * scan (Catalyst shares the exchange), two outer joins on the
+    * class-cardinality-bounded results.
+    */
+  def classificationReport(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val truth = df.groupBy(col(labelCol).as("clazz"))
+      .agg(count(lit(1)).as("n_true"))
+    val pred = df.groupBy(col(predCol).as("clazz"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = df.where(col(labelCol) === col(predCol))
+      .groupBy(col(labelCol).as("clazz"))
+      .agg(count(lit(1)).as("tp"))
+    val p = when(col("n_pred") > 0,
+      col("tp").cast("double") / col("n_pred")).otherwise(lit(0d))
+    val r = when(col("n_true") > 0,
+      col("tp").cast("double") / col("n_true")).otherwise(lit(0d))
+    truth.join(pred, Seq("clazz"), "full_outer")
+      .join(tp, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("__p", p).withColumn("__r", r)
+      .select(col("clazz"), col("n_true"), col("n_pred"), col("tp"),
+        round(col("__p"), 6).as("precision"),
+        round(col("__r"), 6).as("recall"),
+        round(when(col("__p") + col("__r") > 0,
+            lit(2d) * col("__p") * col("__r") / (col("__p") + col("__r")))
+          .otherwise(lit(0d)), 6).as("f1"))
+  }
+
   /** Cramér's V association between two categorical columns — the
     * data-profiling "are these metadata fields redundant" number
     * (e.g. does `source` fully determine `lang`). Only OBSERVED cells

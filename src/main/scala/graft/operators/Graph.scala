@@ -334,6 +334,50 @@ object Graph {
     sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Breadth-first hop distances from a seed set, bounded by
+    * `maxDepth` — the blast-radius query ("everything within k hops of
+    * these flagged nodes") behind contamination spread and abuse-ring
+    * expansion. Edges are undirected; unreached nodes are absent.
+    * Output: `(id, hops)` with hops = the minimum hop count (0 for
+    * seeds).
+    *
+    * Scale shape: classic frontier BFS — per round one frontier⨝edges
+    * equi-join plus one anti-join against the visited set, both
+    * shuffling only the FRONTIER (bounded by the reachable set), never
+    * all-pairs. Each round's result is `localCheckpoint`ed to cut the
+    * growing lineage (the [[connectedComponents]] discipline); the
+    * driver loop is bounded by `maxDepth` and exits early on an empty
+    * frontier.
+    */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, idCol: String, maxDepth: Int): DataFrame = {
+    val sym0 = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = sym0
+      .union(sym0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = seeds.select(col(idCol).cast("long").as("id"))
+      .distinct()
+      .select(col("id"), lit(0).as("hops"))
+      .localCheckpoint(true)
+    var frontier = visited.select("id")
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      frontier = frontier
+        .join(und, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .union(frontier.select(col("id"), lit(depth).as("hops")))
+        .localCheckpoint(true)
+    }
+    visited
+  }
+
   /** Link prediction over a bipartite (node, attribute) incidence —
     * the classic common-neighbor / Adamic-Adar ranking ("users who
     * share rare interests are likely the same cohort"): for node pairs

@@ -373,6 +373,30 @@ object EventsQ {
         .orderBy("entry_type")
     }),
 
+    // ---- entropy l-diversity of (event_type, day) vs user_id ----
+    "q239_l_diversity" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr(s"ts div ${24 * HourNs}"))
+      graft.operators.Eval.lDiversity(ev, Seq("event_type", "day"),
+          "user_id", minL = 5)
+        .orderBy("event_type", "day")
+    }),
+
+    // ---- point-in-time (as-of) read of the q234 SCD2 history at the
+    //      data-range midpoint ----
+    "q241_asof_snapshot" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val scd = Events.scd2Intervals(ev, "user_id", "ts", "event_type",
+        "event_id")
+      val t = ev.agg(expr("(min(ts) + max(ts)) div 2").as("__t"))
+      scd.crossJoin(broadcast(t))
+        .where(col("valid_from_ns") <= col("__t") &&
+          (col("valid_to_ns").isNull || col("__t") < col("valid_to_ns")))
+        .select("user_id", "version", "event_type", "valid_from_ns",
+          "n_events")
+        .orderBy("user_id")
+    }),
+
     // ---- heavy hitters ----
     "q30_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -707,6 +731,62 @@ object EventsQ {
            round(CAST(np AS DOUBLE) / n_sessions, 6) AS top_exit_share
          FROM be JOIN te USING (entry_type) WHERE rk = 1
          ORDER BY entry_type""",
+    // (quasi, sensitive) cell counts → per-group l and entropy from
+    // exact integer ratios
+    "q239_l_diversity" ->
+      s"""WITH cells AS (
+            SELECT event_type, epoch_ns(ts) // ${24 * HourNs} AS day,
+              user_id, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2, 3),
+          tot AS (
+            SELECT event_type, day, CAST(sum(c) AS BIGINT) AS n
+            FROM cells GROUP BY 1, 2),
+          e AS (
+            SELECT cells.event_type, cells.day, c, n
+            FROM cells JOIN tot USING (event_type, day))
+         SELECT event_type, day, n, CAST(count(*) AS BIGINT) AS l,
+           round(sum(-(CAST(c AS DOUBLE) / n)
+             * ln(CAST(c AS DOUBLE) / n)), 6) + 0.0 AS entropy,
+           count(*) >= 5 AS meets_l
+         FROM e GROUP BY event_type, day, n
+         ORDER BY event_type, day""",
+    // q234's history filtered to the version valid at the integer
+    // midpoint of the data range (valid_from ≤ T < valid_to)
+    "q241_asof_snapshot" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type
+           FROM events),
+         m AS (
+           SELECT *,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+         v AS (
+           SELECT *,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS version
+           FROM m),
+         runs AS (
+           SELECT user_id, version, event_type,
+             CAST(min(tns) AS BIGINT) AS valid_from_ns,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM v GROUP BY 1, 2, 3),
+         iv AS (
+           SELECT user_id, version, event_type, valid_from_ns,
+             lead(valid_from_ns) OVER (
+               PARTITION BY user_id ORDER BY version) AS valid_to_ns,
+             n_events
+           FROM runs),
+         tt AS (
+           SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS t
+           FROM events)
+        SELECT user_id, version, event_type, valid_from_ns, n_events
+        FROM iv CROSS JOIN tt
+        WHERE valid_from_ns <= t AND (valid_to_ns IS NULL OR t < valid_to_ns)
+        ORDER BY user_id""",
     // the streaming dedup-then-count decomposition equals a plain
     // DISTINCT count per period in batch
     "q170_stream_daily_active" ->

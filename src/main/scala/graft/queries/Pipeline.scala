@@ -601,6 +601,25 @@ object Pipeline {
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")
     }),
 
+    // ---- BFS hop distances from a seed set over a deterministic
+    //      functional graph (a → (7a+3) mod 600) ----
+    "q238_bfs_hops" -> ((s, d) => {
+      val edges = Tables.documents(s, d)
+        .select(col("doc_id").as("a"),
+          pmod(col("doc_id") * 7 + 3, lit(600)).as("b"))
+      val seeds = Tables.documents(s, d).where(col("doc_id") < 3)
+        .select(col("doc_id").as("id"))
+      Graph.bfsHops(edges, "a", "b", seeds, "id", maxDepth = 4)
+        .orderBy("id")
+    }),
+
+    // ---- per-class P/R/F1 of the in-engine langId vs gold lang ----
+    "q240_classification_report" -> ((s, d) => {
+      val preds = Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      Eval.classificationReport(preds, "lang", "pred").orderBy("clazz")
+    }),
+
     // ---- MMR diverse top-k re-rank over a bounded relevance pool ----
     "q135_mmr_rerank" -> ((s, d) => {
       Similarity.mmrSelect(Tables.embeddings(s, d), "embedding", "vec_id",
@@ -3115,6 +3134,73 @@ object Pipeline {
                / ((n * sxx - sx * sx) * (n * syy - sy * sy))
              ELSE 0.0 END, 6) AS r2
          FROM a""",
+
+    // depth-capped recursive closure; min(d) per node = the BFS hop
+    // distance (UNION-distinct keeps the state space (id, d) finite)
+    "q238_bfs_hops" ->
+      """WITH RECURSIVE und AS (
+           SELECT doc_id AS a, (doc_id * 7 + 3) % 600 AS b
+           FROM documents),
+         e2 AS (
+           SELECT a AS src, b AS dst FROM und WHERE a <> b
+           UNION
+           SELECT b AS src, a AS dst FROM und WHERE a <> b),
+         walk(id, d) AS (
+           SELECT doc_id, 0 FROM documents WHERE doc_id < 3
+           UNION
+           SELECT e2.dst, w.d + 1
+           FROM walk w JOIN e2 ON w.id = e2.src
+           WHERE w.d < 4)
+        SELECT id, CAST(min(d) AS INT) AS hops
+        FROM walk GROUP BY id ORDER BY id""",
+
+    // q37's prediction expression, then exact-integer P/R and F1 from
+    // the UNROUNDED ratios in the same operation order
+    "q240_classification_report" ->
+      """WITH pr AS (
+           SELECT lang,
+             CASE
+               WHEN s_de = best AND best > 0 THEN 'de'
+               WHEN s_en = best AND best > 0 THEN 'en'
+               WHEN s_es = best AND best > 0 THEN 'es'
+               WHEN s_fr = best AND best > 0 THEN 'fr'
+               ELSE 'und' END AS pred
+           FROM (
+             SELECT lang,
+               len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|zu)\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|es|una|para)\b')) AS s_es,
+               len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|une|dans)\b')) AS s_fr,
+               greatest(
+                 len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|zu)\b')),
+                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')),
+                 len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|es|una|para)\b')),
+                 len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|une|dans)\b'))) AS best
+             FROM documents)),
+         tr AS (SELECT lang AS clazz, CAST(count(*) AS BIGINT) AS n_true
+                FROM pr GROUP BY 1),
+         pd AS (SELECT pred AS clazz, CAST(count(*) AS BIGINT) AS n_pred
+                FROM pr GROUP BY 1),
+         tp AS (SELECT lang AS clazz, CAST(count(*) AS BIGINT) AS tp
+                FROM pr WHERE lang = pred GROUP BY 1),
+         j AS (
+           SELECT coalesce(tr.clazz, pd.clazz) AS clazz,
+             coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred
+           FROM tr FULL OUTER JOIN pd ON tr.clazz = pd.clazz),
+         f AS (
+           SELECT j.clazz, n_true, n_pred, coalesce(tp.tp, 0) AS tp,
+             CASE WHEN n_pred > 0
+               THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / n_pred
+               ELSE 0.0 END AS p,
+             CASE WHEN n_true > 0
+               THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / n_true
+               ELSE 0.0 END AS r
+           FROM j LEFT JOIN tp ON j.clazz = tp.clazz)
+        SELECT clazz, n_true, n_pred, tp,
+          round(p, 6) AS "precision", round(r, 6) AS recall,
+          round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+            ELSE 0.0 END, 6) AS f1
+        FROM f ORDER BY clazz""",
 
     // the greedy unrolled: pool of 15 by relevance, pairwise cosines,
     // then 5 argmax steps as chained CTEs — λ = 1−λ = 0.5 exactly

@@ -2921,6 +2921,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(("A", "1", 10L, 20L, 2L)))
   }
 
+  test("Graph.bfsHops: path graph distances, depth cap respected") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfsHops(edges, "a", "b", seeds, "id", maxDepth = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2)) // 4,5 beyond the cap
+  }
+
+  test("Eval.lDiversity: l, entropy and the minL flag per group") {
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "y"), // l=2, H = ln3 − (2/3)ln2
+      ("B", "z"), ("B", "z")) // l=1, H = 0
+      .toDF("g", "s")
+    val got = Eval.lDiversity(df, Seq("g"), "s", minL = 2)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val h = math.rint((-(2d / 3) * math.log(2d / 3)
+      - (1d / 3) * math.log(1d / 3)) * 1e6) / 1e6
+    assert(got("A") == (("A", 3L, 2L, h, true)))
+    assert(got("B") == (("B", 2L, 1L, 0.0, false)))
+  }
+
+  test("Eval.classificationReport: hand-computed P/R/F1, unseen class rows") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), // a: tp=2, fn=1
+      ("b", "a"), // b: fp for a
+      ("c", "c")) // exact
+      .toDF("label", "pred")
+    val got = Eval.classificationReport(df, "label", "pred")
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // a: n_true=3, n_pred=3, tp=2 → P=R=2/3, F1=2/3
+    assert(got("a") == (("a", 3L, 3L, 2L, 0.666667, 0.666667, 0.666667)))
+    // b: n_true=1, n_pred=1, tp=0 → all zero
+    assert(got("b") == (("b", 1L, 1L, 0L, 0.0, 0.0, 0.0)))
+    assert(got("c") == (("c", 1L, 1L, 1L, 1.0, 1.0, 1.0)))
+  }
+
   test("Eval.cramersV: independent columns give chi2 = 0") {
     val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")
