@@ -412,6 +412,70 @@ object Eval {
         round(col("_chi2"), 6).as("chi2"))
   }
 
+  /** Join-key skew audit — the pre-join planning report ("will this
+    * key shuffle hot-spot?") a pipeline runs before committing to a
+    * shuffle strategy: per-key frequencies bucketed by power of two,
+    * with the global max/mean frequency and their ratio (the skew
+    * factor AQE's skew-join threshold reasons about) carried on every
+    * row. Output: `(bucket, freq_lo, n_keys, n_rows, row_share,
+    * max_freq, skew)`.
+    *
+    * Scale shape: one key-count aggregate (combinable), one
+    * bucket-grain roll-up, a 1-row global crossed in — the histogram
+    * never materializes per-key output. The log2 bucket uses
+    * ln(f)/ln 2 + 1e-9 (the epsilon absorbs the libm ulp at exact
+    * powers of two; both engines evaluate the identical expression).
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val freq = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__f"))
+    val hist = freq
+      .withColumn("bucket",
+        floor(log(col("__f").cast("double")) / log(lit(2d)) + 1e-9)
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum("__f").as("n_rows"))
+    val glob = freq.agg(
+      max("__f").as("max_freq"),
+      sum("__f").as("__tot"),
+      count(lit(1)).as("__nk"))
+    hist.crossJoin(broadcast(glob))
+      .select(col("bucket"),
+        expr("CAST(1 AS BIGINT) << CAST(bucket AS INT)").as("freq_lo"),
+        col("n_keys"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__tot"), 6)
+          .as("row_share"),
+        col("max_freq"),
+        round(col("max_freq").cast("double") * col("__nk") / col("__tot"), 4)
+          .as("skew"))
+  }
+
+  /** Functional-dependency discovery for candidate column pairs — the
+    * schema-profiling question "does A determine B" answered by
+    * counting violations: for determinant value a with n_a rows whose
+    * modal dependent value covers m_a of them, the violation count is
+    * Σ_a (n_a − m_a); zero ⇔ the FD holds exactly. Output one row per
+    * direction: `(determinant, dependent, n_groups, n_rows, violations,
+    * fd_holds)`.
+    *
+    * Scale shape per pair: one (a, b) count aggregate, one max/sum
+    * roll-up to the determinant grain, one final 1-row fold — all
+    * combinable, no windows over raw rows.
+    */
+  def functionalDeps(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    pairs.map { case (a, b) =>
+      val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("__c"))
+      val perDet = cells.groupBy(col(a))
+        .agg(sum("__c").as("__n"), max("__c").as("__m"))
+      perDet.agg(
+        lit(a).as("determinant"), lit(b).as("dependent"),
+        count(lit(1)).as("n_groups"),
+        sum("__n").as("n_rows"),
+        sum(col("__n") - col("__m")).as("violations"))
+        .withColumn("fd_holds", col("violations") === 0L)
+    }.reduce(_.unionAll(_))
+  }
+
   /** l-diversity audit of a quasi-identifier grouping — the
     * k-anonymity companion: a group whose rows all share one sensitive
     * value leaks it even when the group is large, so each

@@ -288,4 +288,36 @@ object Percentiles {
         col("__q").as("src_q"), col("__gq").as("global_q"),
         round(col("__q") - col("__gq"), 6).as("gap"))
   }
+
+  /** Weighted quantiles per group — the revenue-weighted latency /
+    * quantity-weighted price statistic `quantile_cont` can't express:
+    * the p-quantile is the smallest value whose CUMULATIVE weight
+    * reaches p·W (inverse-CDF convention, no interpolation — the
+    * returned value always occurs in the data). Ties in the value
+    * column cannot change the answer (the threshold crossing lands
+    * inside the tie block, and the block shares one value). Exactness:
+    * integer-valued weights sum exactly in doubles below 2^53, so the
+    * `cum ≥ p·W` comparison is engine-exact. Output:
+    * `(keys…, w_total, one column per requested quantile)`.
+    *
+    * Scale shape: one key-partitioned ordered window for the running
+    * weight (per-partition state bounded by a group's rows), the total
+    * from the same exchange, then one combinable min-aggregate per
+    * quantile. No collect, no interpolation join.
+    */
+  def weightedQuantiles(df: DataFrame, keys: Seq[String], value: String,
+      weight: String, ps: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(keys.map(col): _*)
+    val w = part.orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = df
+      .withColumn("__cw", sum(col(weight)).over(w))
+      .withColumn("__tw", sum(col(weight)).over(part))
+    val outs = ps.map { case (p, name) =>
+      min(when(col("__cw") >= lit(p) * col("__tw"), col(value))).as(name)
+    }
+    cum.groupBy(keys.map(col): _*)
+      .agg(first(col("__tw")).as("w_total"), outs: _*)
+  }
 }

@@ -1049,6 +1049,50 @@ object Similarity {
     hist.unionAll(antihubs)
   }
 
+  /** Centroid-based silhouette per k-means list — the clustering
+    * quality score behind "is nLists right for this corpus": with unit
+    * centroids, a vector's cosine to its own centroid (c₁) and to the
+    * best other centroid (c₂) give the simplified silhouette
+    *   s = ((1−c₂) − (1−c₁)) / (1−c₂) = (c₁−c₂)/(1−c₂)
+    * (the full silhouette's pairwise a(i) replaced by the own-centroid
+    * distance — the standard O(n·k) surrogate; the exact form is
+    * O(n²/k)). Emits `(list, n_vecs, mean_sil)` — mean_sil near 1 =
+    * tight separated clusters, near 0 = overlapping.
+    *
+    * Scale shape: training is [[kmeansCentroids]]'s bounded sample;
+    * scoring is ONE map-only corpus pass (centroids travel as a single
+    * literal, the top-2 scores come from an in-row array_sort over
+    * nLists entries) plus one combinable per-list aggregate.
+    */
+  def silhouetteReport(corpus: DataFrame, vecCol: String, idCol: String,
+      nLists: Int, iters: Int = 2, dims: Int = -1): DataFrame = {
+    val cents = kmeansCentroids(corpus, vecCol, idCol, nLists, iters, dims)
+    val vd = col("_vd")
+    val sorted = array_sort(centroidScores(vd, cents), (a, b) =>
+      when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1)
+        .otherwise(a.getField("list") - b.getField("list")))
+    val scored = corpus
+      .select(col(vecCol).cast("array<double>").as("_vd"))
+      .select(sorted.as("_sc"),
+        sqrt(aggregate(vd, lit(0d), (acc, x) => acc + x * x)).as("_n"))
+      .select(
+        element_at(col("_sc"), 1).getField("list").as("list"),
+        when(col("_n") > 0,
+          element_at(col("_sc"), 1).getField("s") / col("_n"))
+          .otherwise(lit(0d)).as("_c1"),
+        when(col("_n") > 0,
+          element_at(col("_sc"), 2).getField("s") / col("_n"))
+          .otherwise(lit(0d)).as("_c2"))
+    scored
+      .withColumn("_s",
+        when(lit(1d) - col("_c2") > 0,
+          (col("_c1") - col("_c2")) / (lit(1d) - col("_c2")))
+          .otherwise(lit(0d)))
+      .groupBy("list")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("_s"), 4).as("mean_sil"))
+  }
+
   /** Round half away from zero at 12 dp — the quantization applied to
     * the power-iteration vector after every step so the driver-side
     * fold and a SQL replay (whose 64-term sums may differ in the last

@@ -613,6 +613,20 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // ---- centroid-silhouette quality of the 8-list k-means ----
+    "q243_silhouette" -> ((s, d) => {
+      Similarity.silhouetteReport(Tables.embeddings(s, d), "embedding",
+          "vec_id", nLists = 8, iters = 2, dims = 64)
+        .orderBy("list")
+    }),
+
+    // ---- functional-dependency discovery over documents metadata ----
+    "q245_functional_deps" -> ((s, d) => {
+      Eval.functionalDeps(Tables.documents(s, d),
+          Seq("lang" -> "source", "source" -> "lang", "doc_id" -> "lang"))
+        .orderBy("determinant", "dependent")
+    }),
+
     // ---- per-class P/R/F1 of the in-engine langId vs gold lang ----
     "q240_classification_report" -> ((s, d) => {
       val preds = Tables.documents(s, d)
@@ -3201,6 +3215,108 @@ object Pipeline {
           round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
             ELSE 0.0 END, 6) AS f1
         FROM f ORDER BY clazz""",
+
+    // q105's two-round k-means replay, then the centroid silhouette
+    // (c1−c2)/(1−c2) from each vector's top-2 centroid cosines
+    "q243_silhouette" ->
+      """WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          train AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)) LIMIT 262144),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS c
+            FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT 8)),
+          s1 AS (
+            SELECT e.vec_id, e.v, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM train e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c0)) n),
+          a1 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s1) WHERE rn = 1),
+          c1 AS (
+            SELECT c0.list, coalesce(nw.c, c0.c) AS c
+            FROM c0 LEFT JOIN (
+              SELECT list, list(m ORDER BY pos) AS c FROM (
+                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
+                FROM a1 a, range(1, 65) t(i)
+                GROUP BY a.list, t.i)
+              GROUP BY list) nw USING (list)),
+          s2 AS (
+            SELECT e.vec_id, e.v, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM train e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c1)) n),
+          a2 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s2) WHERE rn = 1),
+          c2 AS (
+            SELECT c1.list, coalesce(nw.c, c1.c) AS c
+            FROM c1 LEFT JOIN (
+              SELECT list, list(m ORDER BY pos) AS c FROM (
+                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
+                FROM a2 a, range(1, 65) t(i)
+                GROUP BY a.list, t.i)
+              GROUP BY list) nw USING (list)),
+          s3 AS (
+            SELECT e.vec_id, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s,
+              sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nv
+            FROM emb e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c2)) n),
+          rk AS (
+            SELECT vec_id, list, s, nv,
+              row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+            FROM s3),
+          tv AS (
+            SELECT a.vec_id, a.list,
+              CASE WHEN a.nv > 0 THEN a.s / a.nv ELSE 0.0 END AS c1s,
+              CASE WHEN a.nv > 0 THEN b.s / a.nv ELSE 0.0 END AS c2s
+            FROM rk a JOIN rk b
+              ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+          sil AS (
+            SELECT list,
+              CASE WHEN 1.0 - c2s > 0 THEN (c1s - c2s) / (1.0 - c2s)
+                ELSE 0.0 END AS s
+            FROM tv)
+         SELECT list, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(s), 4) AS mean_sil
+         FROM sil GROUP BY list ORDER BY list""",
+
+    // per-determinant modal coverage; violations = Σ (n_a − m_a)
+    "q245_functional_deps" ->
+      """WITH p1 AS (
+           SELECT 'lang' AS determinant, 'source' AS dependent, lang AS a,
+             source AS b FROM documents),
+         p2 AS (
+           SELECT 'source', 'lang', source, lang FROM documents),
+         p3 AS (
+           SELECT 'doc_id', 'lang', CAST(doc_id AS VARCHAR), lang
+           FROM documents),
+         u AS (
+           SELECT * FROM p1 UNION ALL SELECT * FROM p2
+           UNION ALL SELECT * FROM p3),
+         cells AS (
+           SELECT determinant, dependent, a, b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM u GROUP BY 1, 2, 3, 4),
+         det AS (
+           SELECT determinant, dependent, a, CAST(sum(c) AS BIGINT) AS n,
+             CAST(max(c) AS BIGINT) AS m
+           FROM cells GROUP BY 1, 2, 3)
+        SELECT determinant, dependent, CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(n) AS BIGINT) AS n_rows,
+          CAST(sum(n - m) AS BIGINT) AS violations,
+          sum(n - m) = 0 AS fd_holds
+        FROM det GROUP BY determinant, dependent
+        ORDER BY determinant, dependent""",
 
     // the greedy unrolled: pool of 15 by relevance, pairwise cosines,
     // then 5 argmax steps as chained CTEs — λ = 1−λ = 0.5 exactly

@@ -338,6 +338,20 @@ object Relational {
     // window-sort implementation, NOT the built-in percentile()
     // aggregate: identical values, but bounded executor memory at any
     // group size (the built-in buffers whole groups on the heap)
+    // ---- quantity-weighted price quantiles (inverse-CDF, exact) ----
+    "q242_weighted_median" -> ((s, d) => {
+      graft.operators.Percentiles.weightedQuantiles(
+          Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+          "l_quantity", Seq(0.5 -> "wp50", 0.9 -> "wp90"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- join-key skew audit on orders.o_custkey ----
+    "q244_key_skew" -> ((s, d) => {
+      graft.operators.Eval.keySkew(Tables.orders(s, d), "o_custkey")
+        .orderBy("bucket")
+    }),
+
     "q51_percentiles" -> ((s, d) => {
       graft.operators.Percentiles.exact(
           ord(s, d), Seq("o_orderpriority"), "o_totalprice",
@@ -682,6 +696,43 @@ object Relational {
          string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // running weight in price order; a tie block shares one value, so
+    // intra-tie window order cannot change the picked quantile
+    "q242_weighted_median" ->
+      """WITH c AS (
+           SELECT l_returnflag AS k, l_extendedprice AS v,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+           FROM lineitem)
+        SELECT k AS l_returnflag, min(tw) AS w_total,
+          min(CASE WHEN cw >= 0.5 * tw THEN v END) AS wp50,
+          min(CASE WHEN cw >= 0.9 * tw THEN v END) AS wp90
+        FROM c GROUP BY k ORDER BY l_returnflag""",
+    // per-key counts → power-of-two histogram; the 1e-9 epsilon absorbs
+    // the libm ulp of ln(f)/ln 2 at exact powers of two
+    "q244_key_skew" ->
+      """WITH f AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS f
+           FROM orders GROUP BY 1),
+         h AS (
+           SELECT CAST(floor(ln(CAST(f AS DOUBLE)) / ln(2.0) + 1e-9)
+               AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(f) AS BIGINT) AS n_rows
+           FROM f GROUP BY 1),
+         g AS (
+           SELECT CAST(max(f) AS BIGINT) AS max_freq,
+             CAST(sum(f) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS nk
+           FROM f)
+        SELECT bucket, CAST(1 AS BIGINT) << bucket AS freq_lo,
+          n_keys, n_rows,
+          round(CAST(n_rows AS DOUBLE) / tot, 6) AS row_share,
+          max_freq,
+          round(CAST(max_freq AS DOUBLE) * nk / tot, 4) AS skew
+        FROM h CROSS JOIN g ORDER BY bucket""",
     "q51_percentiles" ->
       """SELECT o_orderpriority,
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -2959,6 +2959,62 @@ class OperatorsSpec extends SparkSpec {
     assert(got("c") == (("c", 1L, 1L, 1L, 1.0, 1.0, 1.0)))
   }
 
+  test("Percentiles.weightedQuantiles: inverse-CDF picks the crossing value") {
+    // values 1,2,3 with weights 1,1,8: W=10, p50 threshold 5 → cum
+    // reaches 5 inside the value-3 block; p90 → 3 as well; p10 → 1
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 8.0))
+      .toDF("k", "v", "w")
+    val r = Percentiles.weightedQuantiles(df, Seq("k"), "v", "w",
+      Seq(0.1 -> "p10", 0.5 -> "p50", 0.9 -> "p90")).collect().head
+    assert(r.getAs[Double]("w_total") == 10.0)
+    assert(r.getAs[Double]("p10") == 1.0)
+    assert(r.getAs[Double]("p50") == 3.0)
+    assert(r.getAs[Double]("p90") == 3.0)
+  }
+
+  test("Eval.keySkew: buckets at exact powers of two, skew = max/mean") {
+    // keys: a×1, b×2, c×4, d×1 → buckets 0(two keys),1,2; mean=2, max=4
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(1)("d")).toDF("k")
+    val got = Eval.keySkew(df, "k").orderBy("bucket")
+      .as[(Long, Long, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 2L, 2L, 0.25, 4L, 2.0),
+      (1L, 2L, 1L, 2L, 0.25, 4L, 2.0),
+      (2L, 4L, 1L, 4L, 0.5, 4L, 2.0)))
+  }
+
+  test("Eval.functionalDeps: held and violated dependencies") {
+    val df = Seq(("en", "web"), ("en", "web"), ("en", "book"),
+      ("de", "web")).toDF("lang", "source")
+    val got = Eval.functionalDeps(df,
+      Seq("lang" -> "source", "source" -> "lang"))
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // lang→source: en covers 2/3 modal → 1 violation; de exact
+    assert(got(("lang", "source")) == (("lang", "source", 2L, 4L, 1L, false)))
+    // source→lang: web modal en 2/3 → 1 violation; book exact
+    assert(got(("source", "lang")) == (("source", "lang", 2L, 4L, 1L, false)))
+  }
+
+  test("Similarity.silhouetteReport: two tight clusters score near 1") {
+    val a = Array.fill(4)(0f); a(0) = 1f
+    val b = Array.fill(4)(0f); b(1) = 1f
+    val rows = (0 until 8).map { i =>
+      val base = if (i % 2 == 0) a else b
+      // tiny deterministic jitter keeps vectors distinct but clustered
+      (i.toLong, base.zipWithIndex.map { case (x, j) =>
+        x + (if (j == 3) 0.01f * (i % 3) else 0f) })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.silhouetteReport(df, "embedding", "vec_id",
+      nLists = 2, iters = 2, dims = 4)
+      .as[(Int, Long, Double)].collect()
+      .map { case (l, n, s) => l -> ((n, s)) }.toMap
+    assert(got.values.map(_._1).sum == 8)
+    assert(got.values.forall(_._2 > 0.9)) // orthogonal clusters separate
+  }
+
   test("Eval.cramersV: independent columns give chi2 = 0") {
     val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")
