@@ -412,6 +412,54 @@ object Eval {
         round(col("_chi2"), 6).as("chi2"))
   }
 
+  /** Difference-in-differences — the quasi-experimental "did the
+    * change move the metric" estimate when randomization isn't
+    * available: with a treated-group predicate and a post-period
+    * predicate, DiD = (μ_treated,post − μ_treated,pre) −
+    * (μ_control,post − μ_control,pre), its standard error from pooled
+    * per-cell variances, and t = DiD/SE. The four cell means round at
+    * 6dp and DiD/t derive from the ROUNDED values, so both engines
+    * agree bit-for-bit past the single float-sum per cell. One row:
+    * `(n_cp, n_ct, n_pp, n_pt, mean_cp, mean_ct, mean_pp, mean_pt,
+    * did, se, t_stat)` (c/p = pre/post, p/t = control/treated).
+    *
+    * Scale shape: ONE combinable conditional-aggregate pass — twelve
+    * sums over a single scan, no joins, no shuffle beyond the 1-row
+    * final combine.
+    */
+  def diffInDiff(df: DataFrame, treatedPred: Column, postPred: Column,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      count(when(treatedPred === t && postPred === p, lit(1)))
+        .as(s"n_$suffix"),
+      sum(when(treatedPred === t && postPred === p, v)).as(s"__s_$suffix"),
+      sum(when(treatedPred === t && postPred === p, v * v))
+        .as(s"__q_$suffix"))
+    val aggs = cell(false, false, "cp") ++ cell(false, true, "pp") ++
+      cell(true, false, "ct") ++ cell(true, true, "pt")
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    def mean(s: String) = round(col(s"__s_$s") / col(s"n_$s"), 6)
+    def varTerm(s: String) =
+      when(col(s"n_$s") > 1,
+        (col(s"__q_$s") - col(s"__s_$s") * col(s"__s_$s") / col(s"n_$s"))
+          / (col(s"n_$s") - 1) / col(s"n_$s"))
+        .otherwise(lit(0d))
+    a.select(col("n_cp"), col("n_ct"), col("n_pp"), col("n_pt"),
+        mean("cp").as("mean_cp"), mean("ct").as("mean_ct"),
+        mean("pp").as("mean_pp"), mean("pt").as("mean_pt"),
+        round(varTerm("cp") + varTerm("ct") + varTerm("pp") + varTerm("pt"),
+          6).as("__v"))
+      .withColumn("did",
+        round((col("mean_pt") - col("mean_ct"))
+          - (col("mean_pp") - col("mean_cp")), 6))
+      .withColumn("se", round(sqrt(col("__v")), 6))
+      .withColumn("t_stat",
+        when(col("se") > 0, round(col("did") / col("se"), 4))
+          .otherwise(lit(null).cast("double")))
+      .drop("__v")
+  }
+
   /** Join-key skew audit — the pre-join planning report ("will this
     * key shuffle hot-spot?") a pipeline runs before committing to a
     * shuffle strategy: per-key frequencies bucketed by power of two,

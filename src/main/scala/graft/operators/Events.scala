@@ -1103,6 +1103,35 @@ object Events {
         round(sum(col("__credit")), 4).as("credit"))
   }
 
+  /** Index of dispersion (variance-to-mean ratio) of per-key window
+    * counts — the Poisson overdispersion test ("is this traffic bursty
+    * beyond chance"): over the gap-filled grid with W windows,
+    * S = Σn and Q = Σn², the unbiased D = s²/x̄ =
+    * (W·Q − S²) / ((W−1)·S). Everything is int64 until the single
+    * division, and the overdispersion verdict compares the INTEGER
+    * numerator against the integer denominator — engine-exact. Emits
+    * `(keyCol, n_windows, mean_rate, dispersion, overdispersed)`.
+    *
+    * Scale shape: one (key, window) count shuffle, one combinable
+    * 3-sum aggregate over the time-bounded grid.
+    */
+  def dispersionIndex(df: DataFrame, keyCol: String, tsNs: String,
+      windowNs: Long): DataFrame = {
+    val g = Dedup.persistTracked(gridCounts(df, keyCol, tsNs, windowNs))
+    g.groupBy("k")
+      .agg(count(lit(1)).as("__w"), sum("n").as("__s"),
+        sum(col("n") * col("n")).as("__q"))
+      .select(col("k").as(keyCol), col("__w").as("n_windows"),
+        round(col("__s").cast("double") / col("__w"), 6).as("mean_rate"),
+        when(col("__w") > 1 && col("__s") > 0,
+          round((col("__w") * col("__q") - col("__s") * col("__s"))
+              .cast("double")
+            / ((col("__w") - 1) * col("__s")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("dispersion"),
+        ((col("__w") * col("__q") - col("__s") * col("__s"))
+          > (col("__w") - 1) * col("__s")).as("overdispersed"))
+  }
+
   /** Slowly-changing-dimension (type 2) history build from a change
     * log — the warehouse "effective dating" operator: per entity,
     * consecutive runs of the same `attrCol` value collapse into one

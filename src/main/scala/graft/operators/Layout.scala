@@ -168,4 +168,31 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  /** Bucketed co-located join — the shuffle-elimination layout for a
+    * join both sides of which are re-read many times (fact⨝fact on a
+    * shared key): each side is written ONCE as a bucketed+sorted table
+    * (`bucketBy(buckets, key).sortBy(key)`), after which every join on
+    * that key plans as a SortMergeJoin with NO Exchange and NO Sort on
+    * either side — the shuffle was paid at write time, amortized over
+    * every subsequent join. This is the generic-table sibling of the
+    * geno write's variant_id bucketing (`VcfBuild`), and the layout a
+    * 100 TB star-schema pipeline uses for its recurring fact joins.
+    * `ScaleSpec` pins the exchange-free plan.
+    *
+    * Both writes are idempotent overwrites into the session catalog
+    * (tables `name_l`/`name_r`); re-invocation replaces them.
+    */
+  def bucketedCoLocatedJoin(left: DataFrame, right: DataFrame,
+      key: String, buckets: Int, name: String): DataFrame = {
+    val spark = left.sparkSession
+    def save(df: DataFrame, t: String): DataFrame = {
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", s"${spark.conf.get("spark.sql.warehouse.dir")}/$t")
+        .format("parquet").saveAsTable(t)
+      spark.table(t)
+    }
+    save(left, s"${name}_l").join(save(right, s"${name}_r"), Seq(key))
+  }
 }

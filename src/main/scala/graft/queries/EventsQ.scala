@@ -373,6 +373,23 @@ object EventsQ {
         .orderBy("entry_type")
     }),
 
+    // ---- difference-in-differences: md5-parity treatment × pre/post
+    //      at the data-range midpoint, on event value ----
+    "q246_diff_in_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(expr("(min(ts) + max(ts)) div 2").as("__mid"))
+      graft.operators.Eval.diffInDiff(ev.crossJoin(broadcast(mid)),
+        pmod(graft.functions.md5Long(col("user_id")), lit(2L)) === 1,
+        col("ts") >= col("__mid"), "value")
+    }),
+
+    // ---- Poisson overdispersion (index of dispersion) per type ----
+    "q247_dispersion" -> ((s, d) => {
+      Events.dispersionIndex(Tables.events(s, d), "event_type", "ts",
+          windowNs = 24 * HourNs)
+        .orderBy("event_type")
+    }),
+
     // ---- entropy l-diversity of (event_type, day) vs user_id ----
     "q239_l_diversity" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -731,6 +748,90 @@ object EventsQ {
            round(CAST(np AS DOUBLE) / n_sessions, 6) AS top_exit_share
          FROM be JOIN te USING (entry_type) WHERE rk = 1
          ORDER BY entry_type""",
+    // one conditional-aggregate pass; DiD and t derive from the
+    // 6dp-ROUNDED cell means on both sides
+    "q246_diff_in_diff" ->
+      """WITH m AS (
+           SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS mid
+           FROM events),
+         e AS (
+           SELECT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 = 1 AS tr,
+             epoch_ns(ts) >= m.mid AS post,
+             CAST(value AS DOUBLE) AS v
+           FROM events CROSS JOIN m),
+         a AS (
+           SELECT
+             CAST(count(CASE WHEN NOT tr AND NOT post THEN 1 END) AS BIGINT) AS n_cp,
+             CAST(count(CASE WHEN tr AND NOT post THEN 1 END) AS BIGINT) AS n_ct,
+             CAST(count(CASE WHEN NOT tr AND post THEN 1 END) AS BIGINT) AS n_pp,
+             CAST(count(CASE WHEN tr AND post THEN 1 END) AS BIGINT) AS n_pt,
+             sum(CASE WHEN NOT tr AND NOT post THEN v END) AS s_cp,
+             sum(CASE WHEN tr AND NOT post THEN v END) AS s_ct,
+             sum(CASE WHEN NOT tr AND post THEN v END) AS s_pp,
+             sum(CASE WHEN tr AND post THEN v END) AS s_pt,
+             sum(CASE WHEN NOT tr AND NOT post THEN v * v END) AS q_cp,
+             sum(CASE WHEN tr AND NOT post THEN v * v END) AS q_ct,
+             sum(CASE WHEN NOT tr AND post THEN v * v END) AS q_pp,
+             sum(CASE WHEN tr AND post THEN v * v END) AS q_pt
+           FROM e),
+         b AS (
+           SELECT n_cp, n_ct, n_pp, n_pt,
+             round(s_cp / n_cp, 6) AS mean_cp,
+             round(s_ct / n_ct, 6) AS mean_ct,
+             round(s_pp / n_pp, 6) AS mean_pp,
+             round(s_pt / n_pt, 6) AS mean_pt,
+             round(
+               (CASE WHEN n_cp > 1
+                 THEN (q_cp - s_cp * s_cp / n_cp) / (n_cp - 1) / n_cp
+                 ELSE 0.0 END)
+               + (CASE WHEN n_ct > 1
+                 THEN (q_ct - s_ct * s_ct / n_ct) / (n_ct - 1) / n_ct
+                 ELSE 0.0 END)
+               + (CASE WHEN n_pp > 1
+                 THEN (q_pp - s_pp * s_pp / n_pp) / (n_pp - 1) / n_pp
+                 ELSE 0.0 END)
+               + (CASE WHEN n_pt > 1
+                 THEN (q_pt - s_pt * s_pt / n_pt) / (n_pt - 1) / n_pt
+                 ELSE 0.0 END), 6) AS vv
+           FROM a)
+        SELECT n_cp, n_ct, n_pp, n_pt, mean_cp, mean_ct, mean_pp, mean_pt,
+          round((mean_pt - mean_ct) - (mean_pp - mean_cp), 6) AS did,
+          round(sqrt(vv), 6) AS se,
+          CASE WHEN round(sqrt(vv), 6) > 0
+            THEN round(round((mean_pt - mean_ct) - (mean_pp - mean_cp), 6)
+              / round(sqrt(vv), 6), 4) END AS t_stat
+        FROM b""",
+    // gap-filled grid (as q212); D = (W·Q − S²)/((W−1)·S), all int64
+    // until the single division; the verdict compares integers
+    "q247_dispersion" ->
+      s"""WITH c AS (
+            SELECT event_type AS k, epoch_ns(ts) // ${24 * HourNs} AS w,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          b AS (
+            SELECT min(epoch_ns(ts) // ${24 * HourNs}) AS w0,
+              max(epoch_ns(ts) // ${24 * HourNs}) AS w1
+            FROM events),
+          grid AS (
+            SELECT k, u.w FROM (SELECT DISTINCT k FROM c)
+            CROSS JOIN b, unnest(range(b.w0, b.w1 + 1)) AS u(w)),
+          f AS (
+            SELECT g.k, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM grid g LEFT JOIN c USING (k, w)),
+          a AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS w,
+              CAST(sum(n) AS BIGINT) AS s,
+              CAST(sum(n * n) AS BIGINT) AS q
+            FROM f GROUP BY 1)
+         SELECT k AS event_type, w AS n_windows,
+           round(CAST(s AS DOUBLE) / w, 6) AS mean_rate,
+           CASE WHEN w > 1 AND s > 0
+             THEN round(CAST(w * q - s * s AS DOUBLE)
+               / CAST((w - 1) * s AS DOUBLE), 6) END AS dispersion,
+           w * q - s * s > (w - 1) * s AS overdispersed
+         FROM a ORDER BY event_type""",
     // (quasi, sensitive) cell counts → per-group l and entropy from
     // exact integer ratios
     "q239_l_diversity" ->

@@ -352,6 +352,21 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // ---- bucketed co-located fact⨝fact join (shuffle paid at write
+    //      time; ScaleSpec pins the exchange-free plan) ----
+    "q248_bucketed_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      graft.operators.Layout.bucketedCoLocatedJoin(o, l, "k", 8,
+          s"graft_blj_${math.abs(d.hashCode)}")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("rev"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q51_percentiles" -> ((s, d) => {
       graft.operators.Percentiles.exact(
           ord(s, d), Seq("o_orderpriority"), "o_totalprice",
@@ -710,6 +725,13 @@ object Relational {
           min(CASE WHEN cw >= 0.5 * tw THEN v END) AS wp50,
           min(CASE WHEN cw >= 0.9 * tw THEN v END) AS wp90
         FROM c GROUP BY k ORDER BY l_returnflag""",
+    // layout cannot change join semantics: the bucketed tables hold the
+    // same rows, so the plain join is the oracle
+    "q248_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
     // per-key counts → power-of-two histogram; the 1e-9 epsilon absorbs
     // the libm ulp of ln(f)/ln 2 at exact powers of two
     "q244_key_skew" ->

@@ -3015,6 +3015,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.forall(_._2 > 0.9)) // orthogonal clusters separate
   }
 
+  test("Eval.diffInDiff: hand-computed 2x2 cells, DiD = 3, t = 1.5") {
+    // control pre (1,3) post (2,4); treated pre (1,3) post (5,7):
+    // DiD = (6−2) − (3−2) = 3; each cell var=2, n=2 → SE = √4 = 2
+    val df = Seq(
+      (false, false, 1.0), (false, false, 3.0),
+      (false, true, 2.0), (false, true, 4.0),
+      (true, false, 1.0), (true, false, 3.0),
+      (true, true, 5.0), (true, true, 7.0))
+      .toDF("tr", "post", "v")
+    val r = Eval.diffInDiff(df, col("tr"), col("post"), "v").collect().head
+    assert(r.getAs[Double]("mean_pt") == 6.0)
+    assert(r.getAs[Double]("did") == 3.0)
+    assert(r.getAs[Double]("se") == 2.0)
+    assert(r.getAs[Double]("t_stat") == 1.5)
+  }
+
+  test("Events.dispersionIndex: under- and over-dispersed series") {
+    // steady 1,2,3 → D = (3·14−36)/(2·6) = 0.5; bursty 0,0,6 → D = 6
+    val rows =
+      (for { d <- 0 until 3; i <- 0 to d } yield ("steady", d * 10L + i)) ++
+        (0 until 6).map(i => ("bursty", 20L + i))
+    val got = Events.dispersionIndex(rows.toDF("k", "ts"), "k", "ts", 10L)
+      .as[(String, Long, Double, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("steady") == (("steady", 3L, 2.0, Some(0.5), false)))
+    assert(got("bursty") == (("bursty", 3L, 2.0, Some(6.0), true)))
+    Dedup.clearCaches()
+  }
+
   test("Eval.cramersV: independent columns give chi2 = 0") {
     val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")

@@ -421,6 +421,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketedCoLocatedJoin plans with NO exchange on either side") {
+    // the layout's whole point: the shuffle is paid at write time, so
+    // the join must be a SortMergeJoin reading bucketed scans with no
+    // Exchange. autoBroadcast is disabled so a small side can't dodge
+    // the assertion via BroadcastHashJoin.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = (1 to 100).map(i => (i.toLong, s"o$i")).toDF("k", "a")
+      val right = (1 to 300).map(i => ((i % 100 + 1).toLong, i.toLong))
+        .toDF("k", "b")
+      val joined = Layout.bucketedCoLocatedJoin(left, right, "k", 4,
+        "scalespec_blj")
+      val rows = joined.collect()
+      assert(rows.length == 300)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("importanceWeights persists its bucket counts (one pass per corpus)") {
     // docFeats feeds the raw model AND the scoring join; tgtBuckets
     // feeds the ratio join AND the totals. Unpersisted, Catalyst
