@@ -399,12 +399,16 @@ object Graph {
     */
   def adamicAdar(df: DataFrame, nodeCol: String, attrCol: String,
       minShared: Int = 2, maxAttrDeg: Int = 1000, topK: Int = 50): DataFrame = {
-    val inc = df.select(col(nodeCol).as("u"), col(attrCol).as("i")).distinct()
+    // the incidence may be an expensive derivation (tokenize + explode
+    // + distinct); it feeds the degree count AND both join sides, so
+    // pay it once (tracked persist — released by Dedup.clearCaches)
+    val inc = Dedup.persistTracked(
+      df.select(col(nodeCol).as("u"), col(attrCol).as("i")).distinct())
     val deg = inc.groupBy("i").agg(count(lit(1)).as("__deg"))
     // no broadcast hint: attribute cardinality is corpus-bounded in
     // general (AQE broadcasts the degree table when it is small)
-    val keyed = inc.join(deg, Seq("i"))
-      .where(col("__deg") >= 2 && col("__deg") <= maxAttrDeg)
+    val keyed = Dedup.persistTracked(inc.join(deg, Seq("i"))
+      .where(col("__deg") >= 2 && col("__deg") <= maxAttrDeg))
     keyed.as("a").join(keyed.as("b"),
         col("a.i") === col("b.i") && col("a.u") < col("b.u"))
       .groupBy(col("a.u").as("node_a"), col("b.u").as("node_b"))

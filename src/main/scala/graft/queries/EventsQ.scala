@@ -336,15 +336,6 @@ object EventsQ {
         .orderBy("event_type", "lag")
     }),
 
-    // ---- Adamic-Adar link prediction over the user × props.k
-    //      incidence ----
-    "q229_link_prediction" -> ((s, d) => {
-      val inc = Tables.events(s, d).select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
-      graft.operators.Graph.adamicAdar(inc, "user_id", "item",
-        minShared = 2, maxAttrDeg = 1000, topK = 50)
-    }),
-
     // ---- position-based (U-shaped) multi-touch attribution ----
     "q233_position_attribution" -> ((s, d) => {
       Events.positionAttribution(Tables.events(s, d), "user_id", "ts",
@@ -607,26 +598,6 @@ object EventsQ {
              THEN round(num.num::DOUBLE / den.den, 6) ELSE 0.0 END AS acf
          FROM num JOIN den USING (k)
          ORDER BY event_type, lag""",
-    // dedup incidence → attribute degrees → within-attribute pairs;
-    // identical 1/ln(deg) addends in both engines, 6dp floor-grid
-    "q229_link_prediction" ->
-      """WITH inc AS (
-           SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) AS i
-           FROM events),
-         deg AS (SELECT i, CAST(count(*) AS BIGINT) AS d FROM inc GROUP BY 1),
-         k AS (
-           SELECT inc.u, inc.i, deg.d FROM inc JOIN deg USING (i)
-           WHERE d BETWEEN 2 AND 1000),
-         p AS (
-           SELECT a.u AS node_a, b.u AS node_b,
-             CAST(count(*) AS BIGINT) AS common,
-             sum(1.0 / ln(CAST(a.d AS DOUBLE))) AS aa
-           FROM k a JOIN k b ON a.i = b.i AND a.u < b.u
-           GROUP BY 1, 2)
-        SELECT node_a, node_b, common,
-          floor(aa * 1e6 + 0.5) / 1e6 AS adamic_adar
-        FROM p WHERE common >= 2
-        ORDER BY adamic_adar DESC, node_a, node_b LIMIT 50""",
     // journey = touches since the user's previous purchase; first/last
     // 0.4 each, middles split 0.2 (1 touch → 1.0, 2 → 0.5/0.5); only
     // journeys that end in a purchase are credited

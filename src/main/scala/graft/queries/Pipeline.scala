@@ -601,6 +601,18 @@ object Pipeline {
       TextAnalysis.heapsFit(Tables.documents(s, d), "doc_id", "text")
     }),
 
+    // ---- Adamic-Adar link prediction: documents sharing RARE 3-gram
+    //      shingles (the degree guard IS the rarity filter — common
+    //      shingles carry no signal and are dropped, which also bounds
+    //      the pair fan-out) ----
+    "q229_link_prediction" -> ((s, d) => {
+      val inc = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(wordShingles(tokens(col("text")), 3)).as("shingle"))
+      graft.operators.Graph.adamicAdar(inc, "doc_id", "shingle",
+        minShared = 2, maxAttrDeg = 20, topK = 50)
+    }),
+
     // ---- BFS hop distances from a seed set over a deterministic
     //      functional graph (a → (7a+3) mod 600) ----
     "q238_bfs_hops" -> ((s, d) => {
@@ -3148,6 +3160,31 @@ object Pipeline {
                / ((n * sxx - sx * sx) * (n * syy - sy * sy))
              ELSE 0.0 END, 6) AS r2
          FROM a""",
+
+    // dedup (doc, 3-gram) incidence → shingle degrees (the [2,20] band
+    // = the rarity filter) → within-shingle pairs; identical 1/ln(deg)
+    // addends in both engines, 6dp floor-grid, id tie-break
+    "q229_link_prediction" ->
+      s"""WITH inc AS (
+            SELECT DISTINCT doc_id AS u, s.s AS i
+            FROM (SELECT doc_id, $Toks AS t FROM documents),
+              unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                ix -> t[ix] || ' ' || t[ix+1] || ' ' || t[ix+2])) AS s(s)),
+          deg AS (
+            SELECT i, CAST(count(*) AS BIGINT) AS d FROM inc GROUP BY 1),
+          k AS (
+            SELECT inc.u, inc.i, deg.d FROM inc JOIN deg USING (i)
+            WHERE d BETWEEN 2 AND 20),
+          p AS (
+            SELECT a.u AS node_a, b.u AS node_b,
+              CAST(count(*) AS BIGINT) AS common,
+              sum(1.0 / ln(CAST(a.d AS DOUBLE))) AS aa
+            FROM k a JOIN k b ON a.i = b.i AND a.u < b.u
+            GROUP BY 1, 2)
+         SELECT node_a, node_b, common,
+           floor(aa * 1e6 + 0.5) / 1e6 AS adamic_adar
+         FROM p WHERE common >= 2
+         ORDER BY adamic_adar DESC, node_a, node_b LIMIT 50""",
 
     // depth-capped recursive closure; min(d) per node = the BFS hop
     // distance (UNION-distinct keeps the state space (id, d) finite)
