@@ -1132,6 +1132,83 @@ object Events {
           > (col("__w") - 1) * col("__s")).as("overdispersed"))
   }
 
+  /** First-seen growth curve — daily (or any window) NEW-entity counts
+    * and the cumulative total, the "user growth" chart every product
+    * dashboard opens with. Periods are gap-filled (a day with no new
+    * users is a real zero, and the cumulative line stays flat through
+    * it). Output: `(period, new_users, cum_users)` with period = the
+    * window ordinal (ts div windowNs).
+    *
+    * Scale shape: one user-grain min-aggregate (first touch), one slim
+    * (period) count, a gap-filled grid from the 1-row bounds
+    * broadcast, and one cumulative window over the TIME-BOUNDED period
+    * axis (never over raw events).
+    */
+  def firstSeenGrowth(df: DataFrame, userCol: String, tsNs: String,
+      windowNs: Long): DataFrame = {
+    val firsts = df.groupBy(col(userCol))
+      .agg(expr(s"min($tsNs) div $windowNs").as("p"))
+      .groupBy("p").agg(count(lit(1)).as("new_users"))
+    val bounds = broadcast(df.agg(
+      expr(s"min($tsNs) div $windowNs").as("__p0"),
+      expr(s"max($tsNs) div $windowNs").as("__p1")))
+    val grid = bounds
+      .select(explode(sequence(col("__p0"), col("__p1"))).as("p"))
+    val w = Window.orderBy("period")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(firsts, Seq("p"), "left")
+      .select(col("p").as("period"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+  }
+
+  /** Growth accounting (the new/retained/resurrected/churned MAU
+    * decomposition): per period, active entities classify by their
+    * previous active period — never seen (new), active last period
+    * (retained), active before a gap (resurrected) — and an entity
+    * churns at p+1 when its next active period is not p+1. Output per
+    * period on the gap-filled grid: `(period, n_active, n_new,
+    * n_retained, n_resurrected, n_churned)`; identities
+    * `n_active = n_new + n_retained + n_resurrected` and
+    * `churned(p) = active(p−1) − retained(p)` hold by construction.
+    *
+    * Scale shape: one distinct to (entity, period) grain, one
+    * entity-partitioned lag/lead window (state bounded by an entity's
+    * active periods), two slim period-grain aggregates joined on the
+    * time-bounded grid. All counts integer — engine-exact.
+    */
+  def userStateAccounting(df: DataFrame, userCol: String, tsNs: String,
+      windowNs: Long): DataFrame = {
+    val acts = df
+      .select(col(userCol).as("u"), expr(s"$tsNs div $windowNs").as("p"))
+      .distinct()
+    val w = Window.partitionBy("u").orderBy("p")
+    val marked = acts
+      .withColumn("__prev", lag(col("p"), 1).over(w))
+      .withColumn("__next", lead(col("p"), 1).over(w))
+    val states = marked.groupBy(col("p"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("__prev").isNull, lit(1))).as("n_new"),
+        count(when(col("__prev") === col("p") - 1, lit(1))).as("n_retained"),
+        count(when(col("__prev").isNotNull && col("__prev") < col("p") - 1,
+          lit(1))).as("n_resurrected"))
+    val bounds = broadcast(acts.agg(min("p").as("__p0"), max("p").as("__p1")))
+    val churn = marked.crossJoin(bounds)
+      .where(col("p") < col("__p1") &&
+        (col("__next").isNull || col("__next") > col("p") + 1))
+      .groupBy((col("p") + 1).as("p"))
+      .agg(count(lit(1)).as("n_churned"))
+    val grid = bounds
+      .select(explode(sequence(col("__p0"), col("__p1"))).as("p"))
+    grid.join(states, Seq("p"), "left").join(churn, Seq("p"), "left")
+      .select(col("p").as("period"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** Slowly-changing-dimension (type 2) history build from a change
     * log — the warehouse "effective dating" operator: per entity,
     * consecutive runs of the same `attrCol` value collapse into one

@@ -381,6 +381,20 @@ object EventsQ {
         .orderBy("event_type")
     }),
 
+    // ---- daily first-seen growth curve (new + cumulative users) ----
+    "q249_growth_accounting" -> ((s, d) => {
+      Events.firstSeenGrowth(Tables.events(s, d), "user_id", "ts",
+          24 * HourNs)
+        .orderBy("period")
+    }),
+
+    // ---- weekly growth accounting: new/retained/resurrected/churned ----
+    "q250_user_states" -> ((s, d) => {
+      Events.userStateAccounting(Tables.events(s, d), "user_id", "ts",
+          7 * 24 * HourNs)
+        .orderBy("period")
+    }),
+
     // ---- entropy l-diversity of (event_type, day) vs user_id ----
     "q239_l_diversity" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -719,6 +733,61 @@ object EventsQ {
            round(CAST(np AS DOUBLE) / n_sessions, 6) AS top_exit_share
          FROM be JOIN te USING (entry_type) WHERE rk = 1
          ORDER BY entry_type""",
+    // first-touch period per user, gap-filled day grid, one cumsum
+    // over the bounded period axis
+    "q249_growth_accounting" ->
+      s"""WITH f AS (
+            SELECT user_id, min(epoch_ns(ts)) // ${24 * HourNs} AS p
+            FROM events GROUP BY 1),
+          n AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS new_users
+            FROM f GROUP BY 1),
+          b AS (
+            SELECT min(epoch_ns(ts)) // ${24 * HourNs} AS p0,
+              max(epoch_ns(ts)) // ${24 * HourNs} AS p1
+            FROM events),
+          g AS (SELECT unnest(range(b.p0, b.p1 + 1)) AS p FROM b)
+         SELECT g.p AS period,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY g.p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+         FROM g LEFT JOIN n USING (p) ORDER BY period""",
+    // (user, week) activity grid → lag/lead classification; churn
+    // attaches to the period AFTER the last active one
+    "q250_user_states" ->
+      s"""WITH a AS (
+            SELECT DISTINCT user_id AS u,
+              epoch_ns(ts) // ${7 * 24 * HourNs} AS p
+            FROM events),
+          m AS (
+            SELECT u, p, lag(p) OVER (PARTITION BY u ORDER BY p) AS prev,
+              lead(p) OVER (PARTITION BY u ORDER BY p) AS nxt
+            FROM a),
+          st AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS n_active,
+              CAST(count(CASE WHEN prev IS NULL THEN 1 END) AS BIGINT)
+                AS n_new,
+              CAST(count(CASE WHEN prev = p - 1 THEN 1 END) AS BIGINT)
+                AS n_retained,
+              CAST(count(CASE WHEN prev IS NOT NULL AND prev < p - 1
+                THEN 1 END) AS BIGINT) AS n_resurrected
+            FROM m GROUP BY 1),
+          b AS (SELECT min(p) AS p0, max(p) AS p1 FROM a),
+          ch AS (
+            SELECT p + 1 AS p, CAST(count(*) AS BIGINT) AS n_churned
+            FROM m CROSS JOIN b
+            WHERE p < b.p1 AND (nxt IS NULL OR nxt > p + 1)
+            GROUP BY 1),
+          g AS (SELECT unnest(range(b.p0, b.p1 + 1)) AS p FROM b)
+         SELECT g.p AS period,
+           CAST(coalesce(n_active, 0) AS BIGINT) AS n_active,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+           CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+         FROM g LEFT JOIN st USING (p) LEFT JOIN ch USING (p)
+         ORDER BY period""",
     // one conditional-aggregate pass; DiD and t derive from the
     // 6dp-ROUNDED cell means on both sides
     "q246_diff_in_diff" ->

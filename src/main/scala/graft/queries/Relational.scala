@@ -338,6 +338,24 @@ object Relational {
     // window-sort implementation, NOT the built-in percentile()
     // aggregate: identical values, but bounded executor memory at any
     // group size (the built-in buffers whole groups on the heap)
+    // ---- calendar revenue rollup with month-over-month delta ----
+    "q251_ship_calendar" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).as("yr"),
+          month(col("l_shipdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("revenue"))
+      // bounded window: one row per calendar month
+      val w = Window.orderBy("yr", "mo")
+      base
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("mom_delta",
+          round(col("revenue") - col("prev_revenue"), 2))
+        .orderBy("yr", "mo")
+    }),
+
     // ---- quantity-weighted price quantiles (inverse-CDF, exact) ----
     "q242_weighted_median" -> ((s, d) => {
       graft.operators.Percentiles.weightedQuantiles(
@@ -725,6 +743,18 @@ object Relational {
           min(CASE WHEN cw >= 0.5 * tw THEN v END) AS wp50,
           min(CASE WHEN cw >= 0.9 * tw THEN v END) AS wp90
         FROM c GROUP BY k ORDER BY l_returnflag""",
+    // month grain rollup; the MoM delta subtracts the ROUNDED revenues
+    "q251_ship_calendar" ->
+      """WITH m AS (
+           SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM lineitem GROUP BY 1, 2)
+        SELECT yr, mo, n, revenue,
+          lag(revenue) OVER (ORDER BY yr, mo) AS prev_revenue,
+          round(revenue - lag(revenue) OVER (ORDER BY yr, mo), 2)
+            AS mom_delta
+        FROM m ORDER BY yr, mo""",
     // layout cannot change join semantics: the bucketed tables hold the
     // same rows, so the plain join is the oracle
     "q248_bucketed_join" ->

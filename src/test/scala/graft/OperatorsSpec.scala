@@ -3044,6 +3044,30 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Events.firstSeenGrowth: gap-filled new/cumulative curve") {
+    val df = Seq(("A", 0L), ("A", 15L), ("B", 12L), ("A", 35L))
+      .toDF("user_id", "ts")
+    val got = Events.firstSeenGrowth(df, "user_id", "ts", 10L)
+      .orderBy("period").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 0L, 2L),
+      (3L, 0L, 2L)))
+  }
+
+  test("Events.userStateAccounting: new/retained/resurrected/churned identities") {
+    // A active periods 0,1,3; B active 1 only. p2: both churn;
+    // p3: A resurrects. active = new + retained + resurrected holds.
+    val df = Seq(("A", 0L), ("A", 15L), ("B", 12L), ("A", 35L))
+      .toDF("user_id", "ts")
+    val got = Events.userStateAccounting(df, "user_id", "ts", 10L)
+      .orderBy("period")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, 0L, 0L, 0L),
+      (1L, 2L, 1L, 1L, 0L, 0L),
+      (2L, 0L, 0L, 0L, 0L, 2L),
+      (3L, 1L, 0L, 0L, 1L, 0L)))
+  }
+
   test("Eval.cramersV: independent columns give chi2 = 0") {
     val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")
