@@ -388,6 +388,14 @@ object EventsQ {
         .orderBy("period")
     }),
 
+    // ---- streaming first-seen state (Complete-mode min agg) + batch
+    //      growth report; must equal batch q249 exactly ----
+    "q252_stream_first_seen" -> ((s, d) => {
+      graft.streaming.EventsStream.runFirstSeenOnce(s, d, "user_id",
+          24 * HourNs)
+        .orderBy("period")
+    }),
+
     // ---- weekly growth accounting: new/retained/resurrected/churned ----
     "q250_user_states" -> ((s, d) => {
       Events.userStateAccounting(Tables.events(s, d), "user_id", "ts",
@@ -736,6 +744,26 @@ object EventsQ {
     // first-touch period per user, gap-filled day grid, one cumsum
     // over the bounded period axis
     "q249_growth_accounting" ->
+      s"""WITH f AS (
+            SELECT user_id, min(epoch_ns(ts)) // ${24 * HourNs} AS p
+            FROM events GROUP BY 1),
+          n AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS new_users
+            FROM f GROUP BY 1),
+          b AS (
+            SELECT min(epoch_ns(ts)) // ${24 * HourNs} AS p0,
+              max(epoch_ns(ts)) // ${24 * HourNs} AS p1
+            FROM events),
+          g AS (SELECT unnest(range(b.p0, b.p1 + 1)) AS p FROM b)
+         SELECT g.p AS period,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY g.p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+         FROM g LEFT JOIN n USING (p) ORDER BY period""",
+    // the streaming min-state decomposition equals the batch
+    // first-seen curve (min is micro-batch-order-insensitive)
+    "q252_stream_first_seen" ->
       s"""WITH f AS (
             SELECT user_id, min(epoch_ns(ts)) // ${24 * HourNs} AS p
             FROM events GROUP BY 1),

@@ -160,6 +160,12 @@ object VcfQ {
       VcfApi.rohReport(t.geno, t.info, minSites = 2)
         .orderBy("sample", "chr", "start_pos")
     }),
+    // ---- rare-variant burden per (sample, gene) at af < 0.3 ----
+    "q253_vcf_burden" -> ((s, _) => {
+      val t = tables(s)
+      VcfApi.burdenReport(t.geno, t.impact.get, t.info, afMax = 0.3)
+        .orderBy("sample", "symbol")
+    }),
     "q62_vcf_tabix_range" -> ((s, _) => {
       // tabix-indexed pre-ETL range read on a bgzipped copy of the toy
       // fixture: only index-selected blocks are planned, and the result
@@ -286,6 +292,15 @@ object VcfQ {
           ('S2', '2', 250, 400, 2))
          t(sample, chr, start_pos, end_pos, n_sites)
          ORDER BY sample, chr, start_pos""",
+    // hand-derived: rare sites (af<0.3) = v1 (GENE1), v5 (GENE2+GENE3);
+    // carriers: v1→S2 (gt 1), v5→S1 (gt 1)
+    "q253_vcf_burden" ->
+      """SELECT * FROM (VALUES
+          ('S1', 'GENE2', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+          ('S1', 'GENE3', 1, 1),
+          ('S2', 'GENE1', 1, 1))
+         t(sample, symbol, n_sites, n_alleles)
+         ORDER BY sample, symbol""",
     "q43_vcf_info" ->
       """SELECT * FROM (VALUES
           (CAST(1 AS BIGINT), '1', CAST(100 AS BIGINT), CAST(100 AS BIGINT), 'A', 'G',  CAST(50 AS DOUBLE), 'PASS', CAST(1 AS BIGINT), CAST(0.25 AS DOUBLE), CAST(20 AS BIGINT), 'SNP'),

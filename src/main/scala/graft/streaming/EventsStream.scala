@@ -145,6 +145,54 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Streaming first-seen state + batch growth report: the stream
+    * maintains each entity's earliest period as Complete-mode
+    * min-aggregate state (min is commutative, so micro-batch order
+    * cannot change the final state — the determinism argument), and
+    * the growth curve (new + cumulative per period over the gap-filled
+    * grid) is a batch read of that state table. This is the streaming
+    * form of [[graft.operators.Events.firstSeenGrowth]]; the two-level
+    * aggregate (per-user min → per-period count) cannot run as one
+    * streaming query (chained aggregations are unsupported), so the
+    * period roll-up reads the final state — the standard
+    * state-plus-report decomposition. Output matches q249.
+    */
+  def runFirstSeenOnce(spark: SparkSession, dir: String, keyCol: String,
+      periodNs: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.tsAsNanos(
+      spark.readStream.schema(schema).parquet(staged))
+    val firstSeen = stream
+      .groupBy(col(keyCol).as("u"))
+      .agg(expr(s"min(ts div $periodNs)").as("p"))
+    val name = s"events_firstseen_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = firstSeen.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val state = spark.table(name)
+    val news = state.groupBy("p").agg(count(lit(1)).as("new_users"))
+    val bounds = broadcast(spark.read.parquet(staged)
+      .transform(graft.Tables.tsAsNanos)
+      .agg(expr(s"min(ts div $periodNs)").as("__p0"),
+        expr(s"max(ts div $periodNs)").as("__p1")))
+    val grid = bounds
+      .select(explode(sequence(col("__p0"), col("__p1"))).as("p"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("period")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(news, Seq("p"), "left")
+      .select(col("p").as("period"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+  }
+
   def rateThroughput(spark: SparkSession, rowsPerSecond: Long,
       minBatches: Int = 4, maxWaitMillis: Long = 30000L,
       windowNs: Long = 3600L * 1000 * 1000 * 1000): Option[Double] = {

@@ -262,6 +262,31 @@ object VcfApi {
     * Scale shape: one row-local projection + one 11-group aggregation
     * over `info` — no joins, no windows.
     */
+  /** Rare-variant burden per (sample, gene) — the collapsing-test
+    * input table of gene-based association studies (SKAT/burden
+    * pipelines): for every sample, the count of distinct rare
+    * (`af < afMax`) sites in each gene where the sample carries at
+    * least one alt allele, plus the total alt-allele count. Output:
+    * `sample, symbol, n_sites, n_alleles`.
+    *
+    * Scale shape: the af filter prunes `info` first (slim semi-join
+    * side), impact deduplicates to (variant, symbol) — a variant with
+    * many consequence rows counts once — and the alt-carrying geno
+    * rows equi-join on variant_id (AQE broadcasts the site side when
+    * small). One combinable aggregate; no windows.
+    */
+  def burdenReport(geno: DataFrame, impact: DataFrame, info: DataFrame,
+      afMax: Double): DataFrame = {
+    val rare = info.where(col("af") < afMax).select("variant_id")
+    val sites = impact.select("variant_id", "symbol").distinct()
+      .join(rare, Seq("variant_id"), "left_semi")
+    geno.where(col("gt") > 0)
+      .join(sites, Seq("variant_id"))
+      .groupBy(col("sample"), col("symbol"))
+      .agg(countDistinct(col("variant_id")).as("n_sites"),
+        sum(col("gt")).cast("long").as("n_alleles"))
+  }
+
   /** Runs of homozygosity per (sample, chromosome) — the inbreeding /
     * autozygosity QC scan (long ROH flags consanguinity; per-sample ROH
     * burden is a standard cohort report). Gaps-and-islands over a

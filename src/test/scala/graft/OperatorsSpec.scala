@@ -2908,6 +2908,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("r2") == 1.0)
   }
 
+  test("VcfApi.burdenReport: rare filter, consequence dedup, allele sums") {
+    import graft.vcf.VcfApi
+    val info = Seq((1L, 0.1), (2L, 0.5), (3L, 0.2))
+      .toDF("variant_id", "af")
+    // variant 1 carries TWO consequence rows for the same gene — must
+    // count once; variant 2 is common and excluded
+    val impact = Seq((1L, "G1"), (1L, "G1"), (2L, "G1"), (3L, "G1"))
+      .toDF("variant_id", "symbol")
+    val geno = Seq((1L, "S1", 2d), (1L, "S2", 0d), (2L, "S1", 1d),
+      (3L, "S1", 1d)).toDF("variant_id", "sample", "gt")
+    val got = VcfApi.burdenReport(geno, impact, info, afMax = 0.3)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("S1", "G1", 2L, 3L))) // sites {1,3}, alleles 2+1
+  }
+
   test("VcfApi.rohReport: missing call breaks the run, short runs dropped") {
     import graft.vcf.VcfApi
     val geno = Seq(
