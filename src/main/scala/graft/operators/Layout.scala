@@ -169,6 +169,24 @@ object Layout {
       .drop("_z")
   }
 
+  /** Incremental aggregate maintenance — merge a new batch's PARTIAL
+    * aggregate into the existing aggregate state without touching the
+    * historical corpus: for algebraic aggregates (count/sum/min/max —
+    * anything with a combine), state ⊎ partial(batch) re-grouped on the
+    * keys IS the full recompute. This is how a 100 TB rollup absorbs a
+    * daily partition: cost is O(batch + |state|), not O(corpus); the
+    * q256 gate proves merged ≡ full-recompute against the oracle.
+    * `sums` are the columns combined by SUM (counts are sums of
+    * partial counts).
+    */
+  def mergeAggState(state: DataFrame, batchPartial: DataFrame,
+      keys: Seq[String], sums: Seq[String]): DataFrame = {
+    val aggs = sums.map(c => sum(col(c)).as(c))
+    state.unionByName(batchPartial)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Bucketed co-located join — the shuffle-elimination layout for a
     * join both sides of which are re-read many times (fact⨝fact on a
     * shared key): each side is written ONCE as a bucketed+sorted table

@@ -338,6 +338,64 @@ object Relational {
     // window-sort implementation, NOT the built-in percentile()
     // aggregate: identical values, but bounded executor memory at any
     // group size (the built-in buffers whole groups on the heap)
+    // ---- five-table star join: nation revenue share within
+    //      (region, year); bounded dims broadcast ----
+    "q254_market_share" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"),
+          col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+      // share of the (region, year) total, from the ROUNDED revenues
+      val w = Window.partitionBy("r_name", "yr")
+      rev.withColumn("share",
+          round(col("revenue") / sum("revenue").over(w), 6))
+        .orderBy("r_name", "yr", "n_name")
+    }),
+
+    // ---- correlated scalar subquery: customers above their nation's
+    //      average spend (exercises spark.sql + decorrelation) ----
+    "q255_above_avg" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        WITH spend AS (
+          SELECT o_custkey, sum(o_totalprice) AS sp
+          FROM orders_v GROUP BY o_custkey),
+        cs AS (
+          SELECT c_custkey, c_nationkey, sp
+          FROM customer_v JOIN spend ON c_custkey = o_custkey)
+        SELECT cs.c_custkey, n_name, round(sp, 2) AS spend
+        FROM cs JOIN nation_v ON n_nationkey = c_nationkey
+        WHERE sp > (SELECT avg(sp) FROM cs cs2
+                    WHERE cs2.c_nationkey = cs.c_nationkey)
+        ORDER BY n_name, c_custkey""")
+    }),
+
+    // ---- incremental aggregate maintenance: state ⊎ partial(batch)
+    //      must equal the full recompute (the oracle IS the full) ----
+    "q256_incremental_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      val state = partial(ev.where(pmod(col("event_id"), lit(2)) === 0))
+      val batch = partial(ev.where(pmod(col("event_id"), lit(2)) === 1))
+      graft.operators.Layout
+        .mergeAggState(state, batch, Seq("event_type"), Seq("n", "sum_value"))
+        .select(col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // ---- calendar revenue rollup with month-over-month delta ----
     "q251_ship_calendar" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -743,6 +801,41 @@ object Relational {
           min(CASE WHEN cw >= 0.5 * tw THEN v END) AS wp50,
           min(CASE WHEN cw >= 0.9 * tw THEN v END) AS wp90
         FROM c GROUP BY k ORDER BY l_returnflag""",
+    // identical two-stage rounding: revenue rounds at 2dp, the share
+    // divides the rounded values
+    "q254_market_share" ->
+      """WITH rev AS (
+           SELECT r_name, year(o_orderdate) AS yr, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2, 3)
+        SELECT r_name, yr, n_name, revenue,
+          round(revenue / sum(revenue) OVER (PARTITION BY r_name, yr), 6)
+            AS share
+        FROM rev ORDER BY r_name, yr, n_name""",
+    // the same correlated scalar subquery, same decorrelation target
+    "q255_above_avg" ->
+      """WITH spend AS (
+           SELECT o_custkey, sum(o_totalprice) AS sp
+           FROM orders GROUP BY o_custkey),
+         cs AS (
+           SELECT c_custkey, c_nationkey, sp
+           FROM customer JOIN spend ON c_custkey = o_custkey)
+        SELECT cs.c_custkey, n_name, round(sp, 2) AS spend
+        FROM cs JOIN nation ON n_nationkey = c_nationkey
+        WHERE sp > (SELECT avg(sp) FROM cs cs2
+                    WHERE cs2.c_nationkey = cs.c_nationkey)
+        ORDER BY n_name, c_custkey""",
+    // the whole point: the incremental merge must equal the full
+    // recompute, so the FULL aggregate is the oracle
+    "q256_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
     // month grain rollup; the MoM delta subtracts the ROUNDED revenues
     "q251_ship_calendar" ->
       """WITH m AS (

@@ -3083,6 +3083,19 @@ class OperatorsSpec extends SparkSpec {
       (3L, 1L, 0L, 0L, 1L, 0L)))
   }
 
+  test("Layout.mergeAggState: incremental merge equals full recompute") {
+    val all = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0))
+      .toDF("k", "v")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val merged = Layout.mergeAggState(
+      partial(all.where(col("v") <= 2)), partial(all.where(col("v") > 2)),
+      Seq("k"), Seq("n", "s"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(merged == Map("a" -> ((3L, 7.0)), "b" -> ((1L, 3.0))))
+  }
+
   test("Eval.cramersV: independent columns give chi2 = 0") {
     val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")
