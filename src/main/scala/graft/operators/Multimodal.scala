@@ -541,4 +541,31 @@ object Multimodal {
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
+
+  /** Keyframe (scene-change) selection over [[decodeVideos]] output —
+    * the frame-sampling curation step a video-training pipeline runs
+    * instead of "take every Nth frame": the keyframe is the frame
+    * whose mean-luma jump from its predecessor is largest (ties to the
+    * EARLIEST frame via lexicographic struct max on (Δ, −idx)).
+    * Emits `(media_id, n_frames, keyframe_idx, keyframe_delta)` —
+    * idx 1-based, NULL for undecodable or single-frame payloads.
+    *
+    * Scale shape: pure row-local array expressions over the
+    * already-decoded luma series (no second decode pass, no explode,
+    * no shuffle).
+    */
+  def keyframeSelect(decoded: DataFrame): DataFrame = {
+    val lum = col("video_mean_luma")
+    val deltas = transform(sequence(lit(2), size(lum)),
+      i => abs(element_at(lum, i) - element_at(lum, i - 1)))
+    val pairs = zip_with(deltas, sequence(lit(2), size(lum)),
+      (d, i) => struct(d.as("d"), (-i).as("ni")))
+    val best = array_max(pairs)
+    decoded.select(col("media_id"),
+      col("video_n_frames").as("n_frames"),
+      when(lum.isNotNull && size(lum) >= 2, -best.getField("ni"))
+        .otherwise(lit(null).cast("int")).as("keyframe_idx"),
+      when(lum.isNotNull && size(lum) >= 2, round(best.getField("d"), 4))
+        .otherwise(lit(null).cast("double")).as("keyframe_delta"))
+  }
 }

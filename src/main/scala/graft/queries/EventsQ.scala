@@ -388,6 +388,12 @@ object EventsQ {
         .orderBy("period")
     }),
 
+    // ---- streaming heavy-hitter state + top-k report (q30's
+    //      streaming form) ----
+    "q257_stream_topk" -> ((s, d) => {
+      graft.streaming.EventsStream.runTopKeysOnce(s, d, "user_id", k = 10)
+    }),
+
     // ---- streaming first-seen state (Complete-mode min agg) + batch
     //      growth report; must equal batch q249 exactly ----
     "q252_stream_first_seen" -> ((s, d) => {
@@ -761,6 +767,12 @@ object EventsQ {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS cum_users
          FROM g LEFT JOIN n USING (p) ORDER BY period""",
+    // commutative count/sum state ⇒ the streaming top-k equals batch
+    "q257_stream_topk" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+         FROM events GROUP BY user_id
+         ORDER BY n DESC, user_id ASC LIMIT 10""",
     // the streaming min-state decomposition equals the batch
     // first-seen curve (min is micro-batch-order-insensitive)
     "q252_stream_first_seen" ->

@@ -1130,6 +1130,25 @@ object Pipeline {
         .orderBy("media_id")
     }),
 
+    // ---- keyframe (scene-change) selection over decoded video ----
+    "q258_keyframes" -> ((s, _) => {
+      import graft.operators.MjpegAvi
+      val v1 = MjpegAvi.encode(Seq(
+        MjpegAvi.jpegFrame(8, 8, (_, _) => 0x000000),
+        MjpegAvi.jpegFrame(8, 8, (_, _) => 0xffffff),
+        MjpegAvi.jpegFrame(8, 8, (_, _) => 0x808080)), 8, 8, 10)
+      val v2 = MjpegAvi.encode(Seq(
+        MjpegAvi.jpegFrame(16, 8, (x, _) => if (x < 8) 0x000000 else 0xffffff),
+        MjpegAvi.jpegFrame(16, 8, (x, _) => if (x < 8) 0xffffff else 0x000000)),
+        16, 8, 25)
+      val rows = Seq((1L, v1), (2L, v2), (3L, Array[Byte](9, 9, 9, 9)))
+      import s.implicits._
+      val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id",
+        "bytes", "video")
+      Multimodal.keyframeSelect(Multimodal.decodeVideos(media))
+        .orderBy("media_id")
+    }),
+
     // ---- cross-doc duplicate n-gram spans (exact-substring dedup,
     //      keep-first: an 8-gram occurrence is removable when the same
     //      8-gram occurs in a lower-id document; overlapping removable
@@ -4677,6 +4696,17 @@ object Pipeline {
     // exactly (DC-only blocks), and the half/half frame splits on an
     // 8-px JPEG block boundary — 0x808080 → 128/255 → round4 0.502;
     // the 2-frame video has no third frame → NULL l2
+    // pinned from the deterministic decode: v1 lumas (0, 1, 0.502) →
+    // jump 1.0 at frame 2; v2's mirrored frames have equal means →
+    // delta exactly 0.0, earliest tie = frame 2; v3 undecodable
+    "q258_keyframes" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(3 AS INTEGER), CAST(2 AS INTEGER),
+            CAST(1.0 AS DOUBLE)),
+          (2, 2, 2, 0.0),
+          (3, NULL, NULL, NULL))
+         t(media_id, n_frames, keyframe_idx, keyframe_delta)
+         ORDER BY media_id""",
     "q95_video_decode" ->
       """SELECT * FROM (VALUES
           (CAST(1 AS BIGINT), CAST(8 AS INTEGER), CAST(8 AS INTEGER),

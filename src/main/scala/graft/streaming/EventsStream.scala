@@ -193,6 +193,38 @@ object EventsStream {
       .withColumn("cum_users", sum("new_users").over(w))
   }
 
+  /** Streaming heavy-hitters state + batch top-k report: the stream
+    * maintains per-key counts and value sums as Complete-mode
+    * aggregate state (both commutative — micro-batch order cannot
+    * change the final state) and the top-k read is a TakeOrdered over
+    * the key-cardinality-bounded state table. Streaming form of the
+    * q30 batch top-k.
+    */
+  def runTopKeysOnce(spark: SparkSession, dir: String, keyCol: String,
+      k: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.tsAsNanos(
+      spark.readStream.schema(schema).parquet(staged))
+    val counts = stream.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("__sv"))
+    val name = s"events_topk_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = counts.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(col(keyCol), col("n"), round(col("__sv"), 2).as("sum_value"))
+      .orderBy(col("n").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   def rateThroughput(spark: SparkSession, rowsPerSecond: Long,
       minBatches: Int = 4, maxWaitMillis: Long = 30000L,
       windowNs: Long = 3600L * 1000 * 1000 * 1000): Option[Double] = {
