@@ -396,6 +396,39 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // ---- schema evolution: two writer generations (the second adds a
+    //      column), one mergeSchema read; missing values surface as
+    //      NULLs and aggregates stay consistent ----
+    "q259_schema_evolution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_schevo_${math.abs(d.hashCode)}"
+      // generation 1: original schema (no props); generation 2 adds it
+      ev.where(pmod(col("event_id"), lit(2)) === 0)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$out/g=1")
+      ev.where(pmod(col("event_id"), lit(2)) === 1)
+        .select("event_id", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$out/g=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("props")).as("n_with_props"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // ---- idempotent re-ingest: a replayed overlap batch collapses
+    //      under event_id dedup, so counts equal the pristine source ----
+    "q260_idempotent_ingest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val replayed = ev.unionByName(
+        ev.where(pmod(col("event_id"), lit(3)) === 0)) // 1/3 re-delivered
+      replayed.dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // ---- calendar revenue rollup with month-over-month delta ----
     "q251_ship_calendar" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -833,6 +866,20 @@ object Relational {
     // the whole point: the incremental merge must equal the full
     // recompute, so the FULL aggregate is the oracle
     "q256_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // the merged read must see generation-1 rows with NULL props and
+    // generation-2 rows intact — equal to this direct computation
+    "q259_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN event_id % 2 = 1 THEN props END) AS BIGINT)
+             AS n_with_props,
+           round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // replayed duplicates are exact copies, so dedup restores the
+    // pristine source
+    "q260_idempotent_ingest" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
