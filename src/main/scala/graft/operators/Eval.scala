@@ -460,6 +460,41 @@ object Eval {
       .drop("__v")
   }
 
+  /** CUPED variance reduction — the experiment-sensitivity workhorse:
+    * with a pre-period covariate x and post-period metric y per unit,
+    * the adjusted metric y − θ(x − x̄) with θ = cov(x,y)/var(x) keeps
+    * the mean and shrinks the variance by exactly corr(x,y)² — which is
+    * what this reports (how much smaller the experiment could be).
+    * Emits one row: `(n_units, theta, var_reduction, mean_metric)` —
+    * var_reduction = corr², mean_metric the (unchanged) post mean.
+    *
+    * Scale shape: one unit-grain conditional aggregate, then one 5-sum
+    * combinable fold (the [[TextAnalysis.zipfFit]] OLS shape); only
+    * the final ratios are float (6dp-rounded).
+    */
+  def cuped(df: DataFrame, unitCol: String, prePred: Column,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val per = df.groupBy(col(unitCol))
+      .agg(coalesce(sum(when(prePred, v)), lit(0d)).as("x"),
+        coalesce(sum(when(!prePred, v)), lit(0d)).as("y"))
+    val a = per.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy") - col("sx") * col("sy")
+    val varXN = nD * col("sxx") - col("sx") * col("sx")
+    val varYN = nD * col("syy") - col("sy") * col("sy")
+    a.select(col("n").as("n_units"),
+      round(when(varXN > 0, covN / varXN).otherwise(lit(0d)), 6)
+        .as("theta"),
+      round(when(varXN > 0 && varYN > 0, covN * covN / (varXN * varYN))
+        .otherwise(lit(0d)), 6).as("var_reduction"),
+      round(col("sy") / nD, 6).as("mean_metric"))
+  }
+
   /** Join-key skew audit — the pre-join planning report ("will this
     * key shuffle hot-spot?") a pipeline runs before committing to a
     * shuffle strategy: per-key frequencies bucketed by power of two,

@@ -684,6 +684,35 @@ object Similarity {
         round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
   }
 
+  /** Matryoshka (MRL) truncation audit — recall@k of the
+    * first-`prefixDims` embedding prefix against the full-vector
+    * ground truth: the go/no-go measurement before serving truncated
+    * embeddings (matryoshka-trained models hold recall near 1 at 4×
+    * truncation; a model NOT trained that way degrades sharply, and
+    * this report is how you find out). Emits per query:
+    * `(query_id, n_truth, n_hits, recall)`.
+    *
+    * Scale shape: two [[bruteForceKnn]] passes (queries broadcast,
+    * corpus scanned; the prefix pass folds over `prefixDims` of the
+    * vector — proportionally cheaper) and one query-grain join.
+    */
+  def matryoshkaRecallReport(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, prefixDims: Int): DataFrame = {
+    val truth = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def trunc(df: DataFrame) =
+      df.withColumn(vecCol, slice(col(vecCol), 1, prefixDims))
+    val approx = bruteForceKnn(trunc(corpus), trunc(queries), vecCol,
+      idCol, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 6)
+          .as("recall"))
+  }
+
   /** Greedy k-center (farthest-point) coreset selection — Gonzalez'
     * 2-approximation to the k-center cover, the classic diverse-subset
     * rule for data pruning / active-learning seed sets: start from a

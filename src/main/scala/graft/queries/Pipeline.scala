@@ -625,6 +625,16 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // ---- matryoshka truncation audit: recall@5 of the 16-dim prefix
+    //      vs the full 64-dim ground truth ----
+    "q262_matryoshka_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.matryoshkaRecallReport(emb,
+          emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 5,
+          prefixDims = 16)
+        .orderBy("query_id")
+    }),
+
     // ---- centroid-silhouette quality of the 8-list k-means ----
     "q243_silhouette" -> ((s, d) => {
       Similarity.silhouetteReport(Tables.embeddings(s, d), "embedding",
@@ -3271,6 +3281,52 @@ object Pipeline {
           round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
             ELSE 0.0 END, 6) AS f1
         FROM f ORDER BY clazz""",
+
+    // full-dim truth knn vs 16-dim-prefix knn (identical sequential
+    // cosine folds), joined at (query, neighbor) for recall@5
+    "q262_matryoshka_recall" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+               FROM embeddings),
+         tru AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+               AS rank
+             FROM (
+               SELECT query_id, neighbor_id,
+                 list_sum(list_transform(range(1, len(qv) + 1),
+                   i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+                 (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+                  sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                    i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cosine
+               FROM c CROSS JOIN q WHERE neighbor_id <> query_id))
+           WHERE rank <= 5),
+         apx AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+               AS rank
+             FROM (
+               SELECT query_id, neighbor_id,
+                 list_sum(list_transform(range(1, 17),
+                   i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+                 (sqrt(list_sum(list_transform(range(1, 17),
+                    i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+                  sqrt(list_sum(list_transform(range(1, 17),
+                    i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cosine
+               FROM c CROSS JOIN q WHERE neighbor_id <> query_id))
+           WHERE rank <= 5)
+        SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+          CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+          round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+            AS recall
+        FROM tru t LEFT JOIN apx a
+          USING (query_id, neighbor_id)
+        GROUP BY t.query_id ORDER BY query_id""",
 
     // q105's two-round k-means replay, then the centroid silhouette
     // (c1−c2)/(1−c2) from each vector's top-2 centroid cosines

@@ -396,6 +396,33 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // ---- referential-integrity audit (orphan rows per FK edge) ----
+    "q261_fk_audit" -> ((s, d) => {
+      val lo = Tables.lineitem(s, d).select("l_orderkey")
+        .join(Tables.orders(s, d).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("lineitem_rows"),
+          count(when(col("o_orderkey").isNull, lit(1)))
+            .as("lineitem_orphans"))
+      val oc = Tables.orders(s, d).select("o_custkey")
+        .join(Tables.customer(s, d).select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("orders_rows"),
+          count(when(col("c_custkey").isNull, lit(1)))
+            .as("orders_orphans"))
+      lo.crossJoin(oc)
+        .withColumn("fk_lineitem_ok", col("lineitem_orphans") === 0L)
+        .withColumn("fk_orders_ok", col("orders_orphans") === 0L)
+    }),
+
+    // ---- CUPED variance reduction on per-user event value ----
+    "q263_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(expr("(min(ts) + max(ts)) div 2").as("__mid"))
+      graft.operators.Eval.cuped(ev.crossJoin(broadcast(mid)), "user_id",
+        col("ts") < col("__mid"), "value")
+    }),
+
     // ---- schema evolution: two writer generations (the second adds a
     //      column), one mergeSchema read; missing values surface as
     //      NULLs and aggregates stay consistent ----
@@ -869,6 +896,52 @@ object Relational {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    // orphan counts via left joins; TPC-H data satisfies both FKs
+    "q261_fk_audit" ->
+      """WITH lo AS (
+           SELECT CAST(count(*) AS BIGINT) AS lineitem_rows,
+             CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+               AS BIGINT) AS lineitem_orphans
+           FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey),
+         oc AS (
+           SELECT CAST(count(*) AS BIGINT) AS orders_rows,
+             CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+               AS BIGINT) AS orders_orphans
+           FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey)
+        SELECT lineitem_rows, lineitem_orphans, orders_rows, orders_orphans,
+          lineitem_orphans = 0 AS fk_lineitem_ok,
+          orders_orphans = 0 AS fk_orders_ok
+        FROM lo CROSS JOIN oc""",
+    // per-user pre/post sums → the zipf-fit 5-sum shape; θ and the
+    // variance reduction (= corr²) from the identical ratios
+    "q263_cuped" ->
+      """WITH m AS (
+           SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS mid
+           FROM events),
+         per AS (
+           SELECT user_id,
+             coalesce(sum(CASE WHEN epoch_ns(ts) < m.mid
+               THEN CAST(value AS DOUBLE) END), 0.0) AS x,
+             coalesce(sum(CASE WHEN NOT (epoch_ns(ts) < m.mid)
+               THEN CAST(value AS DOUBLE) END), 0.0) AS y
+           FROM events CROSS JOIN m GROUP BY user_id),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM per)
+        SELECT n AS n_units,
+          round(CASE WHEN n * sxx - sx * sx > 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            ELSE 0.0 END, 6) AS theta,
+          round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+              / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ELSE 0.0 END, 6) AS var_reduction,
+          round(sy / n, 6) AS mean_metric
+        FROM a""",
     // the merged read must see generation-1 rows with NULL props and
     // generation-2 rows intact — equal to this direct computation
     "q259_schema_evolution" ->

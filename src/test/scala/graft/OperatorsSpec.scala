@@ -3096,6 +3096,32 @@ class OperatorsSpec extends SparkSpec {
     assert(merged == Map("a" -> ((3L, 7.0)), "b" -> ((1L, 3.0))))
   }
 
+  test("Eval.cuped: perfectly correlated covariate gives full reduction") {
+    // y = 2x exactly → θ = 2, var_reduction = corr² = 1
+    val df = Seq((1L, true, 1.0), (1L, false, 2.0), (2L, true, 2.0),
+      (2L, false, 4.0), (3L, true, 3.0), (3L, false, 6.0))
+      .toDF("u", "pre", "v")
+    val r = Eval.cuped(df, "u", col("pre"), "v").collect().head
+    assert(r.getAs[Long]("n_units") == 3)
+    assert(r.getAs[Double]("theta") == 2.0)
+    assert(r.getAs[Double]("var_reduction") == 1.0)
+    assert(r.getAs[Double]("mean_metric") == 4.0)
+  }
+
+  test("Similarity.matryoshkaRecallReport: identical-prefix corpus recalls 1") {
+    // vectors whose information lives entirely in the first 4 dims:
+    // truncation to 4 dims cannot change the ranking
+    val rows = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        if (j < 4) math.sin(i * 13 + j).toFloat else 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecallReport(df,
+      df.filter(col("vec_id") < 3), "embedding", "vec_id", k = 3,
+      prefixDims = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.forall(r => r._4 == 1.0))
+  }
+
   test("Eval.cramersV: independent columns give chi2 = 0") {
     val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")
