@@ -812,8 +812,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val pairs = minHashLsh(df, textCol, idCol, numHashes, bands,
       shingleSize, threshold)
-    val sigs = nearSignatures(df, textCol, idCol, numHashes, shingleSize)
-      .select(col("id"), col("sig"))
+    // the signature scan feeds BOTH sides of the pair join — persist
+    // or the tokenize+shingle+minhash pass runs twice
+    val sigs = persistTracked(
+      nearSignatures(df, textCol, idCol, numHashes, shingleSize)
+        .select(col("id"), col("sig")))
     val est = size(filter(zip_with(col("sa"), col("sb"),
       (x, y) => x === y), b => b)).cast("double") / numHashes
     pairs
