@@ -460,6 +460,29 @@ object Eval {
       .drop("__v")
   }
 
+  /** Smoothed target encoding — the category→number feature transform
+    * tabular ML leans on: encoded(c) = (Σ_c t + m·prior)/(n_c + m),
+    * the Bayesian shrink of a category's target mean toward the global
+    * prior (rare categories get the prior, popular ones their own
+    * mean). Emits `(category, n, raw_mean, encoded)`, 6dp.
+    *
+    * Scale shape: one category-grain combinable aggregate + a 1-row
+    * global crossed in; identical operation order in both engines past
+    * the per-group float sums.
+    */
+  def targetEncode(df: DataFrame, catCol: String, target: Column,
+      m: Double): DataFrame = {
+    val per = df.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"), sum(target.cast("double")).as("__s"))
+    val glob = per.agg(
+      (sum("__s") / sum("n")).as("__prior"))
+    per.crossJoin(broadcast(glob))
+      .select(col("category"), col("n"),
+        round(col("__s") / col("n"), 6).as("raw_mean"),
+        round((col("__s") + lit(m) * col("__prior")) / (col("n") + lit(m)),
+          6).as("encoded"))
+  }
+
   /** CUPED variance reduction — the experiment-sensitivity workhorse:
     * with a pre-period covariate x and post-period metric y per unit,
     * the adjusted metric y − θ(x − x̄) with θ = cov(x,y)/var(x) keeps

@@ -1496,6 +1496,67 @@ object TextAnalysis {
     * Scale shape: row-local (regexp counts + one array fold inside
     * whole-stage codegen); no shuffle at all.
     */
+  /** Feature-hashing (hashing-trick) collision audit — before fixing a
+    * hashed feature width, measure what it destroys: distinct n-gram
+    * types hash into `buckets` via md5, and the report is the
+    * count-of-counts histogram of bucket load plus the summary
+    * (types, used buckets, collision rate = 1 − used/types) carried on
+    * every row. Emits `(load, n_buckets, n_types, buckets_used,
+    * collision_rate)`.
+    *
+    * Scale shape: explode → distinct type set (the only corpus-grain
+    * shuffle), one bucket count, one count-of-counts roll-up, a 1-row
+    * summary crossed in.
+    */
+  def featureHashAudit(df: DataFrame, textCol: String, n: Int,
+      buckets: Int): DataFrame = {
+    val types = df
+      .select(explode(wordShingles(tokens(col(textCol)), n)).as("t"))
+      .distinct()
+    // the bucket-load relation feeds BOTH the histogram and the
+    // summary — persist or the corpus explode+distinct runs twice
+    val load = Dedup.persistTracked(types
+      .select(pmod(graft.functions.md5Long(col("t")), lit(buckets.toLong))
+        .as("b"))
+      .groupBy("b").agg(count(lit(1)).as("load")))
+    val hist = load.groupBy("load").agg(count(lit(1)).as("n_buckets"))
+    val summary = load.agg(sum("load").as("n_types"),
+      count(lit(1)).as("buckets_used"))
+    hist.crossJoin(broadcast(summary))
+      .select(col("load"), col("n_buckets"), col("n_types"),
+        col("buckets_used"),
+        round(lit(1d) - col("buckets_used").cast("double") / col("n_types"),
+          6).as("collision_rate"))
+  }
+
+  /** Unseen-vocabulary estimate — Good-Turing unseen mass and the
+    * Chao1 richness estimator over n-gram types: V₁/N (the probability
+    * the NEXT n-gram is novel) and V + V₁²/(2·V₂) (how many types
+    * exist including unseen ones) — the "is this corpus big enough"
+    * numbers for tokenizer and dedup planning. All counts integer, so
+    * both engines reach the two final divisions bit-identically. One
+    * row: `(n_tokens, vocab, v1, v2, unseen_mass, chao1)`.
+    *
+    * Scale shape: one type-count shuffle, one count-of-counts
+    * aggregate, a 1-row fold.
+    */
+  def unseenVocabEstimate(df: DataFrame, textCol: String,
+      n: Int): DataFrame = {
+    val freq = df
+      .select(explode(wordShingles(tokens(col(textCol)), n)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("__f"))
+    freq.agg(sum("__f").as("n_tokens"), count(lit(1)).as("vocab"),
+        count(when(col("__f") === 1, lit(1))).as("v1"),
+        count(when(col("__f") === 2, lit(1))).as("v2"))
+      .select(col("n_tokens"), col("vocab"), col("v1"), col("v2"),
+        round(col("v1").cast("double") / col("n_tokens"), 6)
+          .as("unseen_mass"),
+        round(col("vocab")
+          + when(col("v2") > 0,
+              col("v1").cast("double") * col("v1") / (lit(2L) * col("v2")))
+            .otherwise(col("v1") * (col("v1") - 1) / 2d), 2).as("chao1"))
+  }
+
   /** Heaps'-law vocabulary-growth fit — the "how fast does vocabulary
     * grow with corpus size" audit (V ≈ k·N^β, β ≈ 0.5 for natural
     * language; a β near 1 flags synthetic/ID-heavy text) that sizes

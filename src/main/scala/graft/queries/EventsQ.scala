@@ -374,6 +374,13 @@ object EventsQ {
         col("ts") >= col("__mid"), "value")
     }),
 
+    // ---- smoothed target encoding of event_type on value ----
+    "q265_target_encoding" -> ((s, d) => {
+      graft.operators.Eval.targetEncode(Tables.events(s, d),
+          "event_type", col("value"), m = 20.0)
+        .orderBy("category")
+    }),
+
     // ---- Poisson overdispersion (index of dispersion) per type ----
     "q247_dispersion" -> ((s, d) => {
       Events.dispersionIndex(Tables.events(s, d), "event_type", "ts",
@@ -883,6 +890,17 @@ object EventsQ {
             THEN round(round((mean_pt - mean_ct) - (mean_pp - mean_cp), 6)
               / round(sqrt(vv), 6), 4) END AS t_stat
         FROM b""",
+    // per-category sums + 1-row prior; identical (s + m·prior)/(n + m)
+    "q265_target_encoding" ->
+      """WITH per AS (
+           SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DOUBLE)) AS s
+           FROM events GROUP BY 1),
+         g AS (SELECT sum(s) / sum(n) AS prior FROM per)
+        SELECT category, n, round(s / n, 6) AS raw_mean,
+          round((s + 20.0::DOUBLE * prior) / (n + 20.0::DOUBLE), 6)
+            AS encoded
+        FROM per CROSS JOIN g ORDER BY category""",
     // gap-filled grid (as q212); D = (W·Q − S²)/((W−1)·S), all int64
     // until the single division; the verdict compares integers
     "q247_dispersion" ->

@@ -625,6 +625,20 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // ---- feature-hashing collision audit (3-gram types → 256
+    //      buckets) ----
+    "q266_feature_hash_audit" -> ((s, d) => {
+      TextAnalysis.featureHashAudit(Tables.documents(s, d), "text",
+          n = 3, buckets = 256)
+        .orderBy("load")
+    }),
+
+    // ---- Good-Turing unseen mass + Chao1 richness over 3-grams ----
+    "q267_chao1_unseen" -> ((s, d) => {
+      TextAnalysis.unseenVocabEstimate(Tables.documents(s, d), "text",
+        n = 3)
+    }),
+
     // ---- matryoshka truncation audit: recall@5 of the 16-dim prefix
     //      vs the full 64-dim ground truth ----
     "q262_matryoshka_recall" -> ((s, d) => {
@@ -3281,6 +3295,50 @@ object Pipeline {
           round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
             ELSE 0.0 END, 6) AS f1
         FROM f ORDER BY clazz""",
+
+    // distinct 3-gram types → md5 buckets → count-of-counts + summary
+    "q266_feature_hash_audit" ->
+      s"""WITH ty AS (
+            SELECT DISTINCT s.s AS t
+            FROM (SELECT $Toks AS tk FROM documents),
+              unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                ix -> tk[ix] || ' ' || tk[ix+1] || ' ' || tk[ix+2])) AS s(s)),
+          ld AS (
+            SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b,
+              CAST(count(*) AS BIGINT) AS load
+            FROM ty GROUP BY 1),
+          hist AS (
+            SELECT load, CAST(count(*) AS BIGINT) AS n_buckets
+            FROM ld GROUP BY 1),
+          sm AS (
+            SELECT CAST(sum(load) AS BIGINT) AS n_types,
+              CAST(count(*) AS BIGINT) AS buckets_used
+            FROM ld)
+         SELECT load, n_buckets, n_types, buckets_used,
+           round(1.0 - CAST(buckets_used AS DOUBLE) / n_types, 6)
+             AS collision_rate
+         FROM hist CROSS JOIN sm ORDER BY load""",
+    // type-frequency count-of-counts: V₁/N and V + V₁²/(2V₂), all
+    // integer until the two final divisions
+    "q267_chao1_unseen" ->
+      s"""WITH f AS (
+            SELECT s.s AS t, CAST(count(*) AS BIGINT) AS f
+            FROM (SELECT $Toks AS tk FROM documents),
+              unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                ix -> tk[ix] || ' ' || tk[ix+1] || ' ' || tk[ix+2])) AS s(s)
+            GROUP BY 1),
+          a AS (
+            SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS vocab,
+              CAST(count(CASE WHEN f = 1 THEN 1 END) AS BIGINT) AS v1,
+              CAST(count(CASE WHEN f = 2 THEN 1 END) AS BIGINT) AS v2
+            FROM f)
+         SELECT n_tokens, vocab, v1, v2,
+           round(CAST(v1 AS DOUBLE) / n_tokens, 6) AS unseen_mass,
+           round(vocab + CASE WHEN v2 > 0
+             THEN CAST(v1 AS DOUBLE) * v1 / (2 * v2)
+             ELSE v1 * (v1 - 1) / 2.0::DOUBLE END, 2) AS chao1
+         FROM a""",
 
     // full-dim truth knn vs 16-dim-prefix knn (identical sequential
     // cosine folds), joined at (query, neighbor) for recall@5

@@ -3122,6 +3122,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall(r => r._4 == 1.0))
   }
 
+  test("Eval.targetEncode: shrink toward the prior by m") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("c", "v")
+    val got = Eval.targetEncode(df, "c", col("v"), m = 1.0)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // prior = 9/3 = 3: a → (4+3)/3 = 2.333333, b → (5+3)/2 = 4
+    assert(got("a") == (("a", 2L, 2.0, 2.333333)))
+    assert(got("b") == (("b", 1L, 5.0, 4.0)))
+  }
+
+  test("TextAnalysis.unseenVocabEstimate: hand-computed Good-Turing/Chao1") {
+    val df = Seq((1L, "a b a"), (2L, "c b")).toDF("doc_id", "text")
+    val r = TextAnalysis.unseenVocabEstimate(df, "text", n = 1)
+      .collect().head
+    // freqs a=2 b=2 c=1 → N=5 V=3 V1=1 V2=2
+    assert(r.getAs[Long]("n_tokens") == 5)
+    assert(r.getAs[Long]("vocab") == 3)
+    assert(r.getAs[Double]("unseen_mass") == 0.2)
+    assert(r.getAs[Double]("chao1") == 3.25)
+  }
+
+  test("TextAnalysis.featureHashAudit: count-of-counts invariants") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.featureHashAudit(df, "text", n = 1, buckets = 8)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val nTypes = got.head._3
+    assert(nTypes == 16)
+    assert(got.map(r => r._1 * r._2).sum == nTypes) // Σ load·buckets = types
+    val used = got.head._4
+    assert(got.head._5 == math.rint((1.0 - used.toDouble / 16) * 1e6) / 1e6)
+    Dedup.clearCaches()
+  }
+
   test("Eval.cramersV: independent columns give chi2 = 0") {
     val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")
