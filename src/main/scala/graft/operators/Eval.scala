@@ -460,6 +460,41 @@ object Eval {
       .drop("__v")
   }
 
+  /** Rank-biased overlap (lower bound at `depth`) between two rankings
+    * — the top-weighted list-similarity measure (Webber et al.) that
+    * plain overlap@k and rank correlation both miss: agreement at rank
+    * 1 counts far more than at rank 50.
+    *   RBO_min = (1−p) · Σ_{d=1..depth} p^{d−1} · |A_d ∩ B_d| / d,
+    * where |A_d ∩ B_d| = #{items with max(rankA, rankB) ≤ d}. Inputs
+    * are two (id, rank) tables (1-based, deterministic). Emits one
+    * row: `(depth, p, overlap_at_depth, rbo_min)`.
+    *
+    * Scale shape: an id-keyed join of the two DEPTH-TRUNCATED rankings
+    * (≤ depth rows each), a depth×depth fan-out over constants, one
+    * fold. Corpus size never appears.
+    */
+  def rankBiasedOverlap(ranksA: DataFrame, ranksB: DataFrame,
+      idCol: String, rankCol: String, depth: Int, p: Double): DataFrame = {
+    val a = ranksA.where(col(rankCol) <= depth)
+      .select(col(idCol).as("id"), col(rankCol).as("ra"))
+    val b = ranksB.where(col(rankCol) <= depth)
+      .select(col(idCol).as("id"), col(rankCol).as("rb"))
+    val m = a.join(b, Seq("id"))
+      .select(greatest(col("ra"), col("rb")).as("m"))
+    val xd = m.select(col("m"), explode(sequence(lit(1), lit(depth)))
+        .as("d"))
+      .where(col("m") <= col("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    xd.agg(
+        coalesce(sum(when(col("d") === depth, col("x"))), lit(0L))
+          .as("overlap_at_depth"),
+        coalesce(sum(pow(lit(p), col("d") - 1) * col("x") / col("d")),
+          lit(0d)).as("__s"))
+      .select(lit(depth).as("depth"), lit(p).as("p"),
+        col("overlap_at_depth"),
+        round(lit(1d - p) * col("__s"), 6).as("rbo_min"))
+  }
+
   /** Smoothed target encoding — the category→number feature transform
     * tabular ML leans on: encoded(c) = (Σ_c t + m·prior)/(n_c + m),
     * the Bayesian shrink of a category's target mean toward the global

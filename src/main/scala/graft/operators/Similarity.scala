@@ -684,6 +684,39 @@ object Similarity {
         round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
   }
 
+  /** Embedding-space geometry audit — the pairwise-cosine histogram of
+    * a bounded deterministic sample: collapsed/anisotropic embedding
+    * spaces (all cosines ≈ 1) and healthy spread ones look completely
+    * different here, and this is the 5-minute check before trusting
+    * any cosine threshold. The sample is the `sampleN` lowest
+    * `md5("pd:"||id)` vectors; all sample pairs are scored and binned
+    * at 0.1 width. Emits `(bin, cos_lo, n_pairs, share)`.
+    *
+    * Scale shape: ONE corpus pass (TakeOrdered to the sample), then
+    * all-pairs ONLY within the fixed-size sample (sampleN²/2 — a
+    * constant), one bin aggregate.
+    */
+  def pairDistanceHistogram(emb: DataFrame, vecCol: String, idCol: String,
+      sampleN: Int = 100): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(emb.sparkSession)
+    val sample = Dedup.persistTracked(emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(md5(concat_ws(":", lit("pd"), col("id").cast("string"))))
+      .limit(sampleN))
+    val pairs = sample.as("a").join(sample.as("b"),
+        col("a.id") < col("b.id"))
+      .select(call_function("graft_cosine", col("a.v"), col("b.v"))
+        .as("cos"))
+    val binned = pairs
+      .select(floor(col("cos") * 10).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val tot = binned.agg(sum("n_pairs").as("__t"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), round(col("bin") / 10d, 1).as("cos_lo"),
+        col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("__t"), 6).as("share"))
+  }
+
   /** Matryoshka (MRL) truncation audit — recall@k of the
     * first-`prefixDims` embedding prefix against the full-vector
     * ground truth: the go/no-go measurement before serving truncated

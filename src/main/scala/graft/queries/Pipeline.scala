@@ -625,6 +625,53 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // ---- embedding-space geometry: pairwise-cosine histogram over
+    //      the md5-lowest 100 sample ----
+    "q268_pairdist_histogram" -> ((s, d) => {
+      Similarity.pairDistanceHistogram(Tables.embeddings(s, d),
+          "embedding", "vec_id", sampleN = 100)
+        .orderBy("bin")
+    }),
+
+    // ---- rank-biased overlap between the length and token-count
+    //      rankings (top-weighted list agreement) ----
+    "q269_rbo" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      def top50(key: org.apache.spark.sql.Column) = docs
+        .select(col("doc_id"), key.as("__k"))
+        .orderBy(col("__k").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("__k").desc, col("doc_id"))))
+      graft.operators.Eval.rankBiasedOverlap(
+        top50(col("n_chars")), top50(size(tokens(col("text")))),
+        "doc_id", "rank", depth = 50, p = 0.9)
+    }),
+
+    // ---- Wilson 95% interval on the q72 contamination rate ----
+    "q270_wilson_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("text").as("probe"))
+      val k = TextAnalysis.contaminated(docs, "text", "doc_id", probes,
+          "probe", n = 8)
+        .where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .agg(count(lit(1)).as("k"))
+      val tot = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .agg(count(lit(1)).as("n"))
+      val z = lit(1.96)
+      val nD = col("n").cast("double")
+      val p = col("k").cast("double") / nD
+      val z2 = z * z
+      val den = lit(1d) + z2 / nD
+      val half = z * sqrt(p * (lit(1d) - p) / nD
+        + z2 / (lit(4d) * nD * nD))
+      k.crossJoin(broadcast(tot))
+        .select(col("n"), col("k"), round(p, 6).as("rate"),
+          round((p + z2 / (lit(2d) * nD) - half) / den, 6).as("wilson_lo"),
+          round((p + z2 / (lit(2d) * nD) + half) / den, 6).as("wilson_hi"))
+    }),
+
     // ---- feature-hashing collision audit (3-gram types → 256
     //      buckets) ----
     "q266_feature_hash_audit" -> ((s, d) => {
@@ -3296,6 +3343,92 @@ object Pipeline {
             ELSE 0.0 END, 6) AS f1
         FROM f ORDER BY clazz""",
 
+    // md5-lowest-100 sample, all sample pairs, identical sequential
+    // cosine folds, 0.1-wide bins
+    "q268_pairdist_histogram" ->
+      """WITH s AS (
+           SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE)
+             AS v
+           FROM embeddings
+           ORDER BY md5('pd:' || CAST(vec_id AS VARCHAR)) LIMIT 100),
+         p AS (
+           SELECT list_sum(list_transform(range(1, len(a.v) + 1),
+               i -> a.v[i] * b.v[i])) /
+             (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+              sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+           FROM s a JOIN s b ON a.id < b.id),
+         bins AS (
+           SELECT CAST(floor(cos * 10) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM p GROUP BY 1),
+         t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tt FROM bins)
+        SELECT bin, round(bin / 10.0::DOUBLE, 1) AS cos_lo, n_pairs,
+          round(CAST(n_pairs AS DOUBLE) / tt, 6) AS share
+        FROM bins CROSS JOIN t ORDER BY bin""",
+    // depth-truncated rankings joined at the id; X_d counts pairs with
+    // max rank ≤ d; the 50-term weighted fold rounds at 6dp
+    "q269_rbo" ->
+      s"""WITH a AS (
+            SELECT doc_id, rank FROM (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY n_chars DESC, doc_id) AS rank
+              FROM documents) WHERE rank <= 50),
+          b AS (
+            SELECT doc_id, rank FROM (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY len($Toks) DESC, doc_id) AS rank
+              FROM documents) WHERE rank <= 50),
+          m AS (
+            SELECT greatest(a.rank, b.rank) AS m
+            FROM a JOIN b USING (doc_id)),
+          xd AS (
+            SELECT d.d, CAST(count(*) AS BIGINT) AS x
+            FROM m, unnest(range(1, 51)) AS d(d)
+            WHERE m.m <= d.d GROUP BY 1)
+         SELECT CAST(50 AS INT) AS depth, 0.9::DOUBLE AS p,
+           CAST(coalesce(sum(CASE WHEN d = 50 THEN x END), 0) AS BIGINT)
+             AS overlap_at_depth,
+           round((1.0::DOUBLE - 0.9::DOUBLE)
+             * coalesce(sum(pow(0.9::DOUBLE, d - 1) * x / d), 0.0), 6)
+             AS rbo_min
+         FROM xd""",
+    // q72's 8-gram probe hit set reduced to a count, then the closed-
+    // form Wilson 95% bounds in the identical operation order
+    "q270_wilson_contamination" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                i -> array_to_string(t[i:i+7], ' '))) AS shs
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          probes AS (
+            SELECT DISTINCT unnest(shs) AS sh FROM g WHERE doc_id % 7 = 0),
+          docsh AS (
+            SELECT doc_id, unnest(shs) AS sh FROM g WHERE doc_id % 7 <> 0),
+          kk AS (
+            SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS k
+            FROM docsh JOIN probes USING (sh)),
+          nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n
+            FROM documents WHERE doc_id % 7 <> 0)
+         SELECT n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS rate,
+           round((CAST(k AS DOUBLE) / n
+               + (1.96::DOUBLE * 1.96::DOUBLE) / (2.0::DOUBLE * n)
+               - 1.96::DOUBLE * sqrt(
+                   (CAST(k AS DOUBLE) / n) * (1.0::DOUBLE - CAST(k AS DOUBLE) / n) / n
+                   + (1.96::DOUBLE * 1.96::DOUBLE)
+                     / (4.0::DOUBLE * n * n)))
+             / (1.0::DOUBLE + (1.96::DOUBLE * 1.96::DOUBLE) / n), 6)
+             AS wilson_lo,
+           round((CAST(k AS DOUBLE) / n
+               + (1.96::DOUBLE * 1.96::DOUBLE) / (2.0::DOUBLE * n)
+               + 1.96::DOUBLE * sqrt(
+                   (CAST(k AS DOUBLE) / n) * (1.0::DOUBLE - CAST(k AS DOUBLE) / n) / n
+                   + (1.96::DOUBLE * 1.96::DOUBLE)
+                     / (4.0::DOUBLE * n * n)))
+             / (1.0::DOUBLE + (1.96::DOUBLE * 1.96::DOUBLE) / n), 6)
+             AS wilson_hi
+         FROM kk CROSS JOIN nn""",
     // distinct 3-gram types → md5 buckets → count-of-counts + summary
     "q266_feature_hash_audit" ->
       s"""WITH ty AS (

@@ -3156,6 +3156,31 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Eval.rankBiasedOverlap: identical lists saturate, disjoint score 0") {
+    val a = (1 to 50).map(i => (i.toLong, i)).toDF("id", "rank")
+    val same = Eval.rankBiasedOverlap(a, a, "id", "rank", 50, 0.9)
+      .collect().head
+    // identical rankings: X_d = d ⇒ rbo_min = 1 − 0.9^50
+    assert(same.getAs[Long]("overlap_at_depth") == 50)
+    assert(same.getAs[Double]("rbo_min") ==
+      math.rint((1 - math.pow(0.9, 50)) * 1e6) / 1e6)
+    val b = (1 to 50).map(i => (i.toLong + 1000, i)).toDF("id", "rank")
+    val disj = Eval.rankBiasedOverlap(a, b, "id", "rank", 50, 0.9)
+      .collect().head
+    assert(disj.getAs[Long]("overlap_at_depth") == 0)
+    assert(disj.getAs[Double]("rbo_min") == 0.0)
+  }
+
+  test("Similarity.pairDistanceHistogram: orthogonal sample lands in one bin") {
+    val rows = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i) 1f else 0f)))
+    val got = Similarity.pairDistanceHistogram(rows.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", sampleN = 8)
+      .as[(Long, Double, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 0.0, 28L, 1.0))) // all 28 pairs at cos 0
+    Dedup.clearCaches()
+  }
+
   test("Eval.cramersV: independent columns give chi2 = 0") {
     val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")
