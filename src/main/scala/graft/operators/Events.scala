@@ -1132,6 +1132,37 @@ object Events {
           > (col("__w") - 1) * col("__s")).as("overdispersed"))
   }
 
+  /** Floor-clamped running balance — the inventory/credit-ledger
+    * computation that LOOKS inherently sequential (balance never drops
+    * below zero; a blocked withdrawal is lost, not deferred) made
+    * declarative by the running-min identity:
+    *   clamped_t = prefix_t − min(0, min_{s≤t} prefix_s)
+    * — the same trick as the CUSUM monitor, two ordered windows over
+    * one exchange instead of a stateful fold. Deltas are integer cents
+    * (round(value·100)), so every engine agrees exactly. Emits one row
+    * per entity: `(userCol, n_events, final_balance_cents,
+    * lost_to_floor_cents)` — lost = −min(0, min prefix) (how much the
+    * clamp absorbed).
+    */
+  def clampedBalance(df: DataFrame, userCol: String, tsNs: String,
+      tieBreak: String, delta: Column): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsNs), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cents = round(delta * 100).cast("long")
+    df.withColumn("__d", cents)
+      .withColumn("__p", sum("__d").over(w))
+      .withColumn("__rm", min("__p").over(w))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col(tsNs), col(tieBreak),
+          (col("__p") - least(col("__rm"), lit(0L))).as("bal"))).as("__last"),
+        (-least(min("__rm"), lit(0L))).as("lost_to_floor_cents"))
+      .select(col(userCol), col("n_events"),
+        col("__last.bal").as("final_balance_cents"),
+        col("lost_to_floor_cents"))
+  }
+
   /** First-seen growth curve — daily (or any window) NEW-entity counts
     * and the cumulative total, the "user growth" chart every product
     * dashboard opens with. Periods are gap-filled (a day with no new

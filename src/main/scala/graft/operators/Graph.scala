@@ -334,6 +334,86 @@ object Graph {
     sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Newman modularity of a community assignment — the "is this
+    * clustering better than chance" score for [[connectedComponents]] /
+    * [[labelPropagation]] output: with m undirected edges, within-
+    * community edge counts l_c and community degree sums d_c,
+    *   Q·4m² = Σ_c (4m·l_c − d_c²)
+    * — a pure int64 sum, divided once at the end. Emits one row:
+    * `(m_edges, n_communities, modularity)`.
+    *
+    * Scale shape: two endpoint→community joins on the node-keyed
+    * assignment, two combinable aggregates. Int64-safe while
+    * 4m·l_c < 9·10¹⁸ (m < ~1.5·10⁹ edges; swap to DECIMAL beyond).
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+      comms: DataFrame, idCol: String, commCol: String): DataFrame = {
+    val und = edges.select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val asg = comms.select(col(idCol).as("__id"), col(commCol).as("__c"))
+    val tagged = Dedup.persistTracked(und
+      .join(asg.select(col("__id").as("u"), col("__c").as("cu")), Seq("u"))
+      .join(asg.select(col("__id").as("v"), col("__c").as("cv")), Seq("v")))
+    val m = tagged.agg(count(lit(1)).as("__m"))
+    val lc = tagged.where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("__l"))
+    val dc = tagged
+      .select(explode(array(col("cu"), col("cv"))).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("__d"))
+    dc.join(lc, Seq("c"), "left")
+      .select(col("c"), coalesce(col("__l"), lit(0L)).as("__l"), col("__d"))
+      .crossJoin(broadcast(m))
+      .agg(first(col("__m")).as("m_edges"),
+        count(lit(1)).as("n_communities"),
+        sum(lit(4L) * col("__m") * col("__l") - col("__d") * col("__d"))
+          .as("__num"))
+      .select(col("m_edges"), col("n_communities"),
+        round(col("__num").cast("double")
+          / (lit(4d) * col("m_edges") * col("m_edges")), 6)
+          .as("modularity"))
+  }
+
+  /** Synchronous min-tie label propagation — community detection for
+    * graphs where [[connectedComponents]] is too coarse (one giant
+    * component) : every round, each node adopts its neighbors' most
+    * frequent label (ties to the SMALLEST label — fully deterministic,
+    * so the oracle replays the identical trajectory as unrolled CTEs);
+    * isolated nodes keep their own id. Exactly `rounds` synchronous
+    * rounds from labels = ids. Emits `(id, label)`.
+    *
+    * Scale shape per round: one labels⨝edges equi-join, one
+    * (node, label) count, one per-node argmax (combinable min on the
+    * (-count, label) struct) — and a localCheckpoint to cut lineage.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    val sym0 = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = sym0
+      .union(sym0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val nodes = sym.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val freq = sym
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+      val best = freq
+        .groupBy(col("src"))
+        .agg(min(struct((-col("__n")).as("nn"), col("label").as("l")))
+          .as("__b"))
+        .select(col("src").as("id"), col("__b.l").as("label"))
+      labels = nodes.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Breadth-first hop distances from a seed set, bounded by
     * `maxDepth` — the blast-radius query ("everything within k hops of
     * these flagged nodes") behind contamination spread and abuse-ring

@@ -374,6 +374,16 @@ object EventsQ {
         col("ts") >= col("__mid"), "value")
     }),
 
+    // ---- floor-clamped running balance via the running-min identity
+    //      (purchases debit, everything else credits) ----
+    "q273_clamped_balance" -> ((s, d) => {
+      Events.clampedBalance(Tables.events(s, d), "user_id", "ts",
+          "event_id",
+          when(col("event_type") === "purchase", -col("value"))
+            .otherwise(col("value")))
+        .orderBy("user_id")
+    }),
+
     // ---- smoothed target encoding of event_type on value ----
     "q265_target_encoding" -> ((s, d) => {
       graft.operators.Eval.targetEncode(Tables.events(s, d),
@@ -890,6 +900,31 @@ object EventsQ {
             THEN round(round((mean_pt - mean_ct) - (mean_pp - mean_cp), 6)
               / round(sqrt(vv), 6), 4) END AS t_stat
         FROM b""",
+    // Lindley identity: clamped_t = prefix_t − min(0, runmin_t); all
+    // integer cents, last row via ordered aggregate
+    "q273_clamped_balance" ->
+      """WITH d AS (
+           SELECT user_id, epoch_ns(ts) AS tns, event_id,
+             CAST(round((CASE WHEN event_type = 'purchase'
+               THEN -value ELSE value END) * 100) AS BIGINT) AS dd
+           FROM events),
+         w1 AS (
+           SELECT *, CAST(sum(dd) OVER (PARTITION BY user_id
+             ORDER BY tns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS p
+           FROM d),
+         w2 AS (
+           SELECT *, CAST(min(p) OVER (PARTITION BY user_id
+             ORDER BY tns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rm
+           FROM w1)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(last(p - least(rm, 0) ORDER BY tns, event_id) AS BIGINT)
+            AS final_balance_cents,
+          CAST(-least(min(rm), 0) AS BIGINT) AS lost_to_floor_cents
+        FROM w2 GROUP BY user_id ORDER BY user_id""",
     // per-category sums + 1-row prior; identical (s + m·prior)/(n + m)
     "q265_target_encoding" ->
       """WITH per AS (

@@ -625,6 +625,25 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // ---- Newman modularity of the q64 component assignment ----
+    "q271_modularity" -> ((s, d) => {
+      val edges = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(5)) < 2)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") + 1 + pmod(col("doc_id"), lit(3))).as("b"))
+      val comms = Graph.connectedComponents(edges, "a", "b")
+      Graph.modularity(edges, "a", "b", comms, "id", "comp")
+    }),
+
+    // ---- synchronous min-tie label propagation (3 rounds) over the
+    //      functional graph ----
+    "q272_label_propagation" -> ((s, d) => {
+      val edges = Tables.documents(s, d)
+        .select(col("doc_id").as("a"),
+          pmod(col("doc_id") * 7 + 3, lit(600)).as("b"))
+      Graph.labelPropagation(edges, "a", "b", rounds = 3).orderBy("id")
+    }),
+
     // ---- embedding-space geometry: pairwise-cosine histogram over
     //      the md5-lowest 100 sample ----
     "q268_pairdist_histogram" -> ((s, d) => {
@@ -3343,6 +3362,70 @@ object Pipeline {
             ELSE 0.0 END, 6) AS f1
         FROM f ORDER BY clazz""",
 
+    // q64's recursive closure for the assignment, then the integer
+    // modularity core Σ(4m·l_c − d_c²) / 4m²
+    "q271_modularity" ->
+      """WITH RECURSIVE
+          e AS (SELECT doc_id AS a, doc_id + 1 + (doc_id % 3) AS b
+                FROM documents WHERE doc_id % 5 < 2),
+          und AS (
+            SELECT least(a, b) AS u, greatest(a, b) AS v
+            FROM e WHERE a <> b GROUP BY 1, 2),
+          u2 AS (SELECT u AS a, v AS b FROM und
+                 UNION SELECT v, u FROM und),
+          reach(id, r) AS (
+            SELECT a AS id, a AS r FROM u2
+            UNION
+            SELECT u2.a AS id, reach.r AS r
+            FROM u2 JOIN reach ON u2.b = reach.id),
+          comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+          tagged AS (
+            SELECT und.u, und.v, cu.c AS cu, cv.c AS cv
+            FROM und JOIN comp cu ON und.u = cu.id
+                     JOIN comp cv ON und.v = cv.id),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM tagged),
+          lc AS (
+            SELECT cu AS c, CAST(count(*) AS BIGINT) AS l
+            FROM tagged WHERE cu = cv GROUP BY 1),
+          dc AS (
+            SELECT c, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT cu AS c FROM tagged
+              UNION ALL SELECT cv FROM tagged)
+            GROUP BY 1)
+         SELECT m.mm AS m_edges, CAST(count(*) AS BIGINT) AS n_communities,
+           round(CAST(sum(4 * m.mm * coalesce(lc.l, 0) - dc.d * dc.d)
+               AS DOUBLE)
+             / (4.0::DOUBLE * m.mm * m.mm), 6) AS modularity
+         FROM dc LEFT JOIN lc USING (c) CROSS JOIN m
+         GROUP BY m.mm""",
+    // three synchronous rounds unrolled; argmax = (count DESC, label
+    // ASC) row_number, the exact mirror of the struct-min
+    "q272_label_propagation" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""f$t AS MATERIALIZED (
+              SELECT s.src, l.label, CAST(count(*) AS BIGINT) AS n
+              FROM sym s JOIN l${t - 1} l ON s.dst = l.id
+              GROUP BY 1, 2),
+            b$t AS (
+              SELECT src AS id, label FROM (
+                SELECT src, label, row_number() OVER (
+                  PARTITION BY src ORDER BY n DESC, label ASC) AS rn
+                FROM f$t) WHERE rn = 1),
+            l$t AS MATERIALIZED (
+              SELECT nodes.id, coalesce(b$t.label, nodes.id) AS label
+              FROM nodes LEFT JOIN b$t USING (id))"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+            SELECT doc_id AS a, (doc_id * 7 + 3) % 600 AS b
+            FROM documents),
+          sym AS (
+            SELECT a AS src, b AS dst FROM e WHERE a <> b
+            UNION SELECT b, a FROM e WHERE a <> b),
+          nodes AS (SELECT DISTINCT src AS id FROM sym),
+          l0 AS (SELECT id, id AS label FROM nodes),
+          $rounds
+         SELECT id, label FROM l3 ORDER BY id"""
+    },
     // md5-lowest-100 sample, all sample pairs, identical sequential
     // cosine folds, 0.1-wide bins
     "q268_pairdist_histogram" ->

@@ -3181,6 +3181,43 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Graph.modularity: two disjoint triangles score exactly 0.5") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val comms = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "comp")
+    val r = Graph.modularity(edges, "a", "b", comms, "id", "comp")
+      .collect().head
+    assert(r.getAs[Long]("m_edges") == 6)
+    assert(r.getAs[Long]("n_communities") == 2)
+    assert(r.getAs[Double]("modularity") == 0.5)
+    Dedup.clearCaches()
+  }
+
+  test("Graph.labelPropagation: triangle converges, 2-node pair oscillates deterministically") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    // the isolated pair swaps labels every round: after 3 (odd) rounds
+    // each carries the other's id — deterministic, hence gate-stable
+    assert(got(4L) == 5L && got(5L) == 4L)
+  }
+
+  test("Events.clampedBalance: Lindley identity matches the sequential fold") {
+    // deltas +500, −800, +300 cents → clamped 500, 0, 300; lost 300
+    val df = Seq(
+      (1L, 1L, "refill", 5.0, 1L), (1L, 2L, "purchase", 8.0, 2L),
+      (1L, 3L, "refill", 3.0, 3L))
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+    val r = Events.clampedBalance(df, "user_id", "ts", "event_id",
+      when(col("event_type") === "purchase", -col("value"))
+        .otherwise(col("value"))).collect().head
+    assert(r.getAs[Long]("n_events") == 3)
+    assert(r.getAs[Long]("final_balance_cents") == 300)
+    assert(r.getAs[Long]("lost_to_floor_cents") == 300)
+  }
+
   test("Eval.cramersV: independent columns give chi2 = 0") {
     val df = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
       .toDF("a", "b")
