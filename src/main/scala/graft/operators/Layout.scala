@@ -169,6 +169,47 @@ object Layout {
       .drop("_z")
   }
 
+  /** Consistent-hash ring resize audit — how many keys MOVE when the
+    * shard ring grows from `nBefore` to `nBefore`+1 nodes (theory:
+    * ~1/(n+1); naive mod-N hashing moves ~n/(n+1) — this report is the
+    * argument for ring placement in any shard/cache layout). Ring
+    * positions are md5 of "node:i", key positions md5 of "key:"||key
+    * — both SQL-replayable; a key lands on the clockwise successor.
+    * One row: `(n_keys, moved, moved_frac, expected_frac)`.
+    *
+    * Scale shape: key dedup is the only corpus-grain shuffle; both
+    * ring assignments are row-local folds over an (n+1)-entry literal.
+    */
+  def consistentHashMovement(df: DataFrame, keyCol: String,
+      nBefore: Int): DataFrame = {
+    def pos(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def ringLit(n: Int) = typedLit(
+      (0 until n).map(i => (pos(s"node:$i"), i)).sortBy(_._1))
+      .cast("array<struct<p:bigint,node:int>>")
+    def assign(ring: Column, kp: Column): Column = {
+      val ge = filter(ring, s => s.getField("p") >= kp)
+      when(size(ge) > 0, element_at(ge, 1).getField("node"))
+        .otherwise(element_at(ring, 1).getField("node"))
+    }
+    val keys = df.select(col(keyCol).as("k")).distinct()
+      .withColumn("__kp", graft.functions.md5Long(
+        concat_ws(":", lit("key"), col("k").cast("string"))))
+    keys
+      .select(
+        assign(ringLit(nBefore), col("__kp")).as("__nb"),
+        assign(ringLit(nBefore + 1), col("__kp")).as("__na"))
+      .agg(count(lit(1)).as("n_keys"),
+        count(when(col("__nb") =!= col("__na"), lit(1))).as("moved"))
+      .select(col("n_keys"), col("moved"),
+        round(col("moved").cast("double") / col("n_keys"), 6)
+          .as("moved_frac"),
+        round(lit(1d) / (nBefore + 1), 6).as("expected_frac"))
+  }
+
   /** Incremental aggregate maintenance — merge a new batch's PARTIAL
     * aggregate into the existing aggregate state without touching the
     * historical corpus: for algebraic aggregates (count/sum/min/max —

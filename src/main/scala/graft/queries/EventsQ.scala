@@ -374,6 +374,22 @@ object EventsQ {
         col("ts") >= col("__mid"), "value")
     }),
 
+    // ---- the STATEFUL streaming twin of q273: per-user sequential
+    //      fold in flatMapGroupsWithState, same oracle ----
+    "q274_stream_ledger" -> ((s, d) => {
+      graft.streaming.EventsStream.runLedgerOnce(s, d,
+          when(col("event_type") === "purchase", -col("value"))
+            .otherwise(col("value")))
+        .orderBy("user_id")
+    }),
+
+    // ---- consistent-hash ring resize: 8 → 9 nodes over customer
+    //      keys ----
+    "q275_consistent_hash" -> ((s, d) => {
+      graft.operators.Layout.consistentHashMovement(Tables.orders(s, d),
+        "o_custkey", nBefore = 8)
+    }),
+
     // ---- floor-clamped running balance via the running-min identity
     //      (purchases debit, everything else credits) ----
     "q273_clamped_balance" -> ((s, d) => {
@@ -900,6 +916,63 @@ object EventsQ {
             THEN round(round((mean_pt - mean_ct) - (mean_pp - mean_cp), 6)
               / round(sqrt(vv), 6), 4) END AS t_stat
         FROM b""",
+    // the stateful streaming fold must equal the batch identity —
+    // same oracle as q273
+    "q274_stream_ledger" ->
+      """WITH d AS (
+           SELECT user_id, epoch_ns(ts) AS tns, event_id,
+             CAST(round((CASE WHEN event_type = 'purchase'
+               THEN -value ELSE value END) * 100) AS BIGINT) AS dd
+           FROM events),
+         w1 AS (
+           SELECT *, CAST(sum(dd) OVER (PARTITION BY user_id
+             ORDER BY tns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS p
+           FROM d),
+         w2 AS (
+           SELECT *, CAST(min(p) OVER (PARTITION BY user_id
+             ORDER BY tns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rm
+           FROM w1)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(last(p - least(rm, 0) ORDER BY tns, event_id) AS BIGINT)
+            AS final_balance_cents,
+          CAST(-least(min(rm), 0) AS BIGINT) AS lost_to_floor_cents
+        FROM w2 GROUP BY user_id ORDER BY user_id""",
+    // ring successors over md5 positions; movement vs the 1/(n+1)
+    // theory
+    "q275_consistent_hash" ->
+      """WITH r8 AS (
+           SELECT ('0x' || substr(md5('node:' || CAST(i.i AS VARCHAR)),
+               1, 15))::BIGINT AS p,
+             CAST(i.i AS INT) AS node
+           FROM (SELECT unnest(range(0, 8)) AS i) i),
+         r9 AS (
+           SELECT ('0x' || substr(md5('node:' || CAST(i.i AS VARCHAR)),
+               1, 15))::BIGINT AS p,
+             CAST(i.i AS INT) AS node
+           FROM (SELECT unnest(range(0, 9)) AS i) i),
+         keys AS (
+           SELECT DISTINCT o_custkey AS k FROM orders),
+         kp AS (
+           SELECT k, ('0x' || substr(md5('key:' || CAST(k AS VARCHAR)),
+               1, 15))::BIGINT AS kp
+           FROM keys),
+         a AS (
+           SELECT k,
+             coalesce((SELECT arg_min(node, p) FROM r8 WHERE p >= kp),
+               (SELECT arg_min(node, p) FROM r8)) AS nb,
+             coalesce((SELECT arg_min(node, p) FROM r9 WHERE p >= kp),
+               (SELECT arg_min(node, p) FROM r9)) AS na
+           FROM kp)
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(count(CASE WHEN nb <> na THEN 1 END) AS BIGINT) AS moved,
+          round(CAST(count(CASE WHEN nb <> na THEN 1 END) AS DOUBLE)
+            / count(*), 6) AS moved_frac,
+          round(1.0::DOUBLE / 9, 6) AS expected_frac
+        FROM a""",
     // Lindley identity: clamped_t = prefix_t − min(0, runmin_t); all
     // integer cents, last row via ordered aggregate
     "q273_clamped_balance" ->

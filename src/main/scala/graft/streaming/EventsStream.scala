@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -410,6 +410,78 @@ object EventsStream {
       q.awaitTermination()
     }
     spark.table(name)
+  }
+
+  /** Per-user ledger carry: clamped balance, cumulative floor
+    * absorption, events seen. */
+  case class LedgerCarry(balance: Long, lost: Long, n: Long)
+  case class LedgerRow(user_id: Long, n_events: Long,
+    final_balance_cents: Long, lost_to_floor_cents: Long)
+
+  /** Streaming floor-clamped ledger — the STATEFUL sequential fold
+    * (`b ← max(0, b + d)`) whose declarative batch twin is
+    * [[graft.operators.Events.clampedBalance]]'s running-min identity;
+    * gating both against the same oracle proves the identity end to
+    * end. Carry per user is three longs; each micro-batch sorts its
+    * own slice by (ts, event_id) (cross-batch order holds because the
+    * staged source is time-ordered per file, as in [[sessionize]]),
+    * emits the cumulative row, and the report keeps each user's row
+    * with the highest event count.
+    */
+  /** The per-user clamped-ledger fold on a typed
+    * (user, ts, tieBreak, deltaCents) stream — exposed so the
+    * multi-batch carry spec can drive it over a hand-staged source.
+    */
+  def ledgerFold(typed: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)]): DataFrame = {
+    import typed.sparkSession.implicits._
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LedgerCarry, LedgerRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[LedgerCarry]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(LedgerCarry(0L, 0L, 0L))
+          sorted.foreach { r =>
+            val nb = st.balance + r._4
+            st =
+              if (nb < 0) LedgerCarry(0L, st.lost - nb, st.n + 1)
+              else LedgerCarry(nb, st.lost, st.n + 1)
+          }
+          state.update(st)
+          Iterator(LedgerRow(user, st.n, st.balance, st.lost))
+      }.toDF()
+  }
+
+  def runLedgerOnce(spark: SparkSession, dir: String,
+      delta: Column): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.tsAsNanos(
+      spark.readStream.schema(schema).parquet(staged))
+    import spark.implicits._
+    val typed = stream.select(col("user_id").cast("long"),
+        col("ts").cast("long"), col("event_id").cast("long"),
+        round(delta * 100).cast("long"))
+      .as[(Long, Long, Long, Long)]
+    val out = ledgerFold(typed)
+    val name = s"events_ledger_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // final row per user = the one with the full event count
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("final_balance_cents"),
+        col("lost_to_floor_cents"))).as("__f"))
+      .select(col("user_id"), col("__f.n_events").as("n_events"),
+        col("__f.final_balance_cents").as("final_balance_cents"),
+        col("__f.lost_to_floor_cents").as("lost_to_floor_cents"))
   }
 
   /** Per-key CUSUM carry state: last emitted window, the running

@@ -45,6 +45,41 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("streaming ledger carries the clamp state across micro-batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger_stream")
+    // batch 1: +500, −800 → balance 0, lost 300 (clamp fires in b1);
+    // batch 2: +200 → final 200 ONLY if the carried state is 0/300
+    val b1 = Seq((1L, 10L, 1L, 500L), (1L, 20L, 2L, -800L))
+    val b2 = Seq((1L, 30L, 3L, 200L))
+    def write(rows: Seq[(Long, Long, Long, Long)], name: String,
+        mtime: Long): Unit = {
+      val p = dir.resolve(name)
+      rows.toDF("user_id", "ts", "event_id", "d").coalesce(1)
+        .write.parquet(p.toString)
+      java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+    }
+    write(b1, "b1.parquet", 1000000L)
+    write(b2, "b2.parquet", 2000000L)
+    val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*.parquet")
+      .as[(Long, Long, Long, Long)]
+    val out = EventsStream.ledgerFold(stream)
+    val name = s"ledger_batches_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val fin = spark.table(name).orderBy(org.apache.spark.sql.functions.col("n_events").desc)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(fin == ((1L, 3L, 200L, 300L)), s"got $fin")
+    spark.catalog.dropTempView(name)
+  }
+
   test("streaming daily actives dedup a user recurring in a LATER micro-batch") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val dir = java.nio.file.Files.createTempDirectory("graft_dau_stream")
