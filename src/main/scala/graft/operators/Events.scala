@@ -1132,6 +1132,67 @@ object Events {
           > (col("__w") - 1) * col("__s")).as("overdispersed"))
   }
 
+  /** Transition latency — [[q122-style transition counts]] with TIME:
+    * for each consecutive event-type pair inside a user's stream, the
+    * count and the exact integer mean gap plus min/max — the
+    * "how long after a view does the purchase come" table funnels
+    * quote. Emits `(from_type, to_type, n, mean_gap_sec, min_gap_sec,
+    * max_gap_sec)`.
+    *
+    * Scale shape: one user-partitioned lag window, one combinable
+    * pair aggregate; int64 gap sums → single division.
+    */
+  def transitionLatency(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsNs), col(tieBreak))
+    df.withColumn("__pt", lag(col(typeCol), 1).over(w))
+      .withColumn("__gap", col(tsNs) - lag(col(tsNs), 1).over(w))
+      .where(col("__pt").isNotNull)
+      .groupBy(col("__pt").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"), sum("__gap").as("__s"),
+        min("__gap").as("__mn"), max("__gap").as("__mx"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("__s").cast("double") / col("n") / 1e9, 4)
+          .as("mean_gap_sec"),
+        round(col("__mn") / 1e9, 4).as("min_gap_sec"),
+        round(col("__mx") / 1e9, 4).as("max_gap_sec"))
+  }
+
+  /** Per-entity inter-event regularity — the coefficient of variation
+    * of an entity's gaps between events of one type (CV ≈ 1 Poisson,
+    * ≪ 1 subscription-like periodic, ≫ 1 bursty): the churn-model
+    * feature behind "is this customer on a schedule". Gaps are floored
+    * to integer SECONDS before squaring (an ns² would overflow int64
+    * past ~107 days), and CV = √(n·Σg² − (Σg)²) / Σg uses one sqrt
+    * over the integer core. Emits `(userCol, n_gaps, mean_gap_sec,
+    * cv)` for entities with ≥ `minGaps` gaps.
+    *
+    * Scale shape: one filtered user-partitioned lag window, one
+    * combinable 3-sum aggregate. Int64-safe while n·g_sec² < 9·10¹⁸
+    * (gaps to ~95k years).
+    */
+  def interEventRegularity(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, ofType: String, tieBreak: String,
+      minGaps: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsNs), col(tieBreak))
+    val gaps = df.where(col(typeCol) === ofType)
+      .withColumn("__gap",
+        expr(s"($tsNs - lag($tsNs, 1) OVER (PARTITION BY $userCol " +
+          s"ORDER BY $tsNs, $tieBreak)) div 1000000000"))
+      .where(col("__gap").isNotNull)
+    gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"), sum("__gap").as("__s"),
+        sum(col("__gap") * col("__gap")).as("__q"))
+      .where(col("n_gaps") >= minGaps)
+      .select(col(userCol), col("n_gaps"),
+        round(col("__s").cast("double") / col("n_gaps"), 4)
+          .as("mean_gap_sec"),
+        when(col("__s") > 0,
+          round(sqrt((col("n_gaps") * col("__q") - col("__s") * col("__s"))
+            .cast("double")) / col("__s"), 6))
+          .otherwise(lit(null).cast("double")).as("cv"))
+  }
+
   /** Floor-clamped running balance — the inventory/credit-ledger
     * computation that LOOKS inherently sequential (balance never drops
     * below zero; a blocked withdrawal is lost, not deferred) made

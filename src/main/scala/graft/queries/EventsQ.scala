@@ -374,6 +374,21 @@ object EventsQ {
         col("ts") >= col("__mid"), "value")
     }),
 
+    // ---- consecutive-pair transition latency table ----
+    "q277_transition_latency" -> ((s, d) => {
+      Events.transitionLatency(Tables.events(s, d), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    }),
+
+    // ---- per-user purchase regularity (gap CV) ----
+    "q278_purchase_regularity" -> ((s, d) => {
+      Events.interEventRegularity(Tables.events(s, d), "user_id", "ts",
+          "event_type", ofType = "purchase", tieBreak = "event_id",
+          minGaps = 3)
+        .orderBy("user_id")
+    }),
+
     // ---- the STATEFUL streaming twin of q273: per-user sequential
     //      fold in flatMapGroupsWithState, same oracle ----
     "q274_stream_ledger" -> ((s, d) => {
@@ -916,6 +931,44 @@ object EventsQ {
             THEN round(round((mean_pt - mean_ct) - (mean_pp - mean_cp), 6)
               / round(sqrt(vv), 6), 4) END AS t_stat
         FROM b""",
+    // one lag window; integer gap sums → exact mean, min/max
+    "q277_transition_latency" ->
+      """WITH g AS (
+           SELECT user_id,
+             lag(event_type) OVER w AS from_type, event_type AS to_type,
+             epoch_ns(ts) - lag(epoch_ns(ts)) OVER w AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY epoch_ns(ts), event_id))
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+          round(CAST(sum(gap) AS DOUBLE) / count(*) / 1e9, 4)
+            AS mean_gap_sec,
+          round(CAST(min(gap) AS BIGINT) / 1e9, 4) AS min_gap_sec,
+          round(CAST(max(gap) AS BIGINT) / 1e9, 4) AS max_gap_sec
+        FROM g WHERE from_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    // per-user purchase gaps; CV = √(n·Σg² − (Σg)²)/Σg from the
+    // integer core
+    "q278_purchase_regularity" ->
+      """WITH p AS (
+           SELECT user_id, epoch_ns(ts) AS tns, event_id
+           FROM events WHERE event_type = 'purchase'),
+         g AS (
+           SELECT user_id,
+             (tns - lag(tns) OVER (PARTITION BY user_id
+               ORDER BY tns, event_id)) // 1000000000 AS gap
+           FROM p),
+         a AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS s,
+             CAST(sum(gap * gap) AS BIGINT) AS q
+           FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT user_id, n_gaps,
+          round(CAST(s AS DOUBLE) / n_gaps, 4) AS mean_gap_sec,
+          CASE WHEN s > 0
+            THEN round(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) / s, 6)
+          END AS cv
+        FROM a WHERE n_gaps >= 3 ORDER BY user_id""",
     // the stateful streaming fold must equal the batch identity —
     // same oracle as q273
     "q274_stream_ledger" ->

@@ -160,6 +160,10 @@ object VcfQ {
       VcfApi.rohReport(t.geno, t.info, minSites = 2)
         .orderBy("sample", "chr", "start_pos")
     }),
+    // ---- per-sample missingness / call-rate QC ----
+    "q276_vcf_missingness" -> ((s, _) => {
+      VcfApi.missingnessReport(tables(s).geno).orderBy("sample")
+    }),
     // ---- rare-variant burden per (sample, gene) at af < 0.3 ----
     "q253_vcf_burden" -> ((s, _) => {
       val t = tables(s)
@@ -292,6 +296,14 @@ object VcfQ {
           ('S2', '2', 250, 400, 2))
          t(sample, chr, start_pos, end_pos, n_sites)
          ORDER BY sample, chr, start_pos""",
+    // hand-derived: S1 misses the v3 call (./.), S2 calls all six
+    "q276_vcf_missingness" ->
+      """SELECT * FROM (VALUES
+          ('S1', CAST(6 AS BIGINT), CAST(5 AS BIGINT),
+            CAST(0.8333 AS DOUBLE)),
+          ('S2', 6, 6, 1.0))
+         t(sample, n_sites, n_called, call_rate)
+         ORDER BY sample""",
     // hand-derived: rare sites (af<0.3) = v1 (GENE1), v5 (GENE2+GENE3);
     // carriers: v1→S2 (gt 1), v5→S1 (gt 1)
     "q253_vcf_burden" ->

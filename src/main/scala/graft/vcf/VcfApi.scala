@@ -262,6 +262,21 @@ object VcfApi {
     * Scale shape: one row-local projection + one 11-group aggregation
     * over `info` — no joins, no windows.
     */
+  /** Per-sample missingness (call-rate) report — the first QC gate of
+    * any genotype pipeline (plink `--missing`): for each sample the
+    * total sites, called sites (gt non-null) and call rate. Output:
+    * `sample, n_sites, n_called, call_rate` (4dp — an exact integer
+    * ratio).
+    *
+    * Scale shape: one combinable per-sample aggregate over geno; no
+    * joins.
+    */
+  def missingnessReport(geno: DataFrame): DataFrame =
+    geno.groupBy(col("sample"))
+      .agg(count(lit(1)).as("n_sites"), count(col("gt")).as("n_called"))
+      .withColumn("call_rate",
+        round(col("n_called").cast("double") / col("n_sites"), 4))
+
   /** Rare-variant burden per (sample, gene) — the collapsing-test
     * input table of gene-based association studies (SKAT/burden
     * pipelines): for every sample, the count of distinct rare
