@@ -684,6 +684,55 @@ object Similarity {
         round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
   }
 
+  /** External clustering evaluation — purity and NMI of the k-means
+    * assignment against gold labels: purity = Σ_k max_l n_kl / N (what
+    * fraction lands in its cluster's majority class) and normalized
+    * mutual information I(K;L)/√(H_K·H_L) (penalizes trivially many
+    * clusters the way purity doesn't). The pair every clustering paper
+    * reports; here it grades the IVF quantizer against the `label`
+    * column. One row: `(n, n_lists, n_labels, purity, nmi)`.
+    *
+    * Scale shape: sampled training ([[kmeansCentroids]]), ONE map-only
+    * assignment pass, then all statistics from the
+    * (nLists × nLabels)-cell contingency — margins join back on the
+    * cell grain, floats only in the ≤ cells-count entropy sums
+    * (6dp-rounded).
+    */
+  def clusterLabelAgreement(emb: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, nLists: Int, iters: Int = 2,
+      dims: Int = -1): DataFrame = {
+    val cents = kmeansCentroids(emb, vecCol, idCol, nLists, iters, dims)
+    val assigned = emb.select(col(labelCol).as("lbl"),
+      element_at(
+        nearestLists(col(vecCol).cast("array<double>"), cents, 1), 1)
+        .as("list"))
+    val cells = Dedup.persistTracked(
+      assigned.groupBy("list", "lbl").agg(count(lit(1)).as("c")))
+    val rk = cells.groupBy("list").agg(sum("c").as("nk"), max("c").as("mk"))
+    val rl = cells.groupBy("lbl").agg(sum("c").as("nl"))
+    val n1 = broadcast(cells.agg(sum("c").as("nn")))
+    val mi = cells.join(rk.select("list", "nk"), Seq("list"))
+      .join(rl, Seq("lbl")).crossJoin(n1)
+      .agg(sum((col("c") / col("nn"))
+        * log(col("nn") * col("c") / (col("nk") * col("nl")))).as("__mi"))
+    val kside = rk.crossJoin(n1).agg(
+      first(col("nn")).as("n"),
+      count(lit(1)).as("n_lists"),
+      sum("mk").as("__summax"),
+      (-sum((col("nk") / col("nn")) * log(col("nk") / col("nn"))))
+        .as("__hk"))
+    val lside = rl.crossJoin(n1).agg(
+      count(lit(1)).as("n_labels"),
+      (-sum((col("nl") / col("nn")) * log(col("nl") / col("nn"))))
+        .as("__hl"))
+    kside.crossJoin(broadcast(mi)).crossJoin(broadcast(lside))
+      .select(col("n"), col("n_lists"), col("n_labels"),
+        round(col("__summax").cast("double") / col("n"), 6).as("purity"),
+        round(when(col("__hk") > 0 && col("__hl") > 0,
+            col("__mi") / sqrt(col("__hk") * col("__hl")))
+          .otherwise(lit(0d)), 6).as("nmi"))
+  }
+
   /** Embedding-space geometry audit — the pairwise-cosine histogram of
     * a bounded deterministic sample: collapsed/anisotropic embedding
     * spaces (all cosines ≈ 1) and healthy spread ones look completely

@@ -625,6 +625,13 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // ---- external clustering eval: purity + NMI of the 8-list
+    //      k-means vs the gold label ----
+    "q279_cluster_purity" -> ((s, d) => {
+      Similarity.clusterLabelAgreement(Tables.embeddings(s, d),
+        "embedding", "vec_id", "label", nLists = 8, iters = 2, dims = 64)
+    }),
+
     // ---- Newman modularity of the q64 component assignment ----
     "q271_modularity" -> ((s, d) => {
       val edges = Tables.documents(s, d)
@@ -3602,6 +3609,95 @@ object Pipeline {
           USING (query_id, neighbor_id)
         GROUP BY t.query_id ORDER BY query_id""",
 
+    // q105's two-round k-means replay to the full assignment, then the
+    // contingency-table purity and NMI from integer counts
+    "q279_cluster_purity" ->
+      """WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          train AS (
+            SELECT vec_id, v FROM emb
+            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)) LIMIT 262144),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS c
+            FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT 8)),
+          s1 AS (
+            SELECT e.vec_id, e.v, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM train e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c0)) n),
+          a1 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s1) WHERE rn = 1),
+          c1 AS (
+            SELECT c0.list, coalesce(nw.c, c0.c) AS c
+            FROM c0 LEFT JOIN (
+              SELECT list, list(m ORDER BY pos) AS c FROM (
+                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
+                FROM a1 a, range(1, 65) t(i)
+                GROUP BY a.list, t.i)
+              GROUP BY list) nw USING (list)),
+          s2 AS (
+            SELECT e.vec_id, e.v, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM train e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c1)) n),
+          a2 AS (
+            SELECT vec_id, v, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s2) WHERE rn = 1),
+          c2 AS (
+            SELECT c1.list, coalesce(nw.c, c1.c) AS c
+            FROM c1 LEFT JOIN (
+              SELECT list, list(m ORDER BY pos) AS c FROM (
+                SELECT a.list AS list, t.i AS pos, avg(a.v[t.i]) AS m
+                FROM a2 a, range(1, 65) t(i)
+                GROUP BY a.list, t.i)
+              GROUP BY list) nw USING (list)),
+          s3 AS (
+            SELECT e.vec_id, n.list,
+              list_sum(list_transform(range(1, 65), i -> e.v[i] * n.cn[i])) AS s
+            FROM emb e CROSS JOIN (
+              SELECT list, CASE WHEN nrm = 0 THEN c ELSE list_transform(c, x -> x / nrm) END AS cn
+              FROM (SELECT list, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM c2)) n),
+          a3 AS (
+            SELECT vec_id, list FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS rn
+              FROM s3) WHERE rn = 1),
+          cells AS MATERIALIZED (
+            SELECT a3.list, e2.label AS lbl, CAST(count(*) AS BIGINT) AS c
+            FROM a3 JOIN embeddings e2 USING (vec_id)
+            GROUP BY 1, 2),
+          rk AS (
+            SELECT list, CAST(sum(c) AS BIGINT) AS nk,
+              CAST(max(c) AS BIGINT) AS mk
+            FROM cells GROUP BY 1),
+          rl AS (
+            SELECT lbl, CAST(sum(c) AS BIGINT) AS nl
+            FROM cells GROUP BY 1),
+          n1 AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+          mi AS (
+            SELECT sum((c / nn) * ln(nn * c / (nk * nl))) AS mi
+            FROM cells JOIN rk USING (list) JOIN rl USING (lbl)
+            CROSS JOIN n1),
+          ks AS (
+            SELECT CAST(min(nn) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS n_lists,
+              CAST(sum(mk) AS BIGINT) AS summax,
+              -sum((nk / nn) * ln(nk / nn)) AS hk
+            FROM rk CROSS JOIN n1),
+          ls AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_labels,
+              -sum((nl / nn) * ln(nl / nn)) AS hl
+            FROM rl CROSS JOIN n1)
+         SELECT n, n_lists, n_labels,
+           round(CAST(summax AS DOUBLE) / n, 6) AS purity,
+           round(CASE WHEN hk > 0 AND hl > 0
+             THEN mi / sqrt(hk * hl) ELSE 0.0 END, 6) AS nmi
+         FROM ks CROSS JOIN mi CROSS JOIN ls""",
     // q105's two-round k-means replay, then the centroid silhouette
     // (c1−c2)/(1−c2) from each vector's top-2 centroid cosines
     "q243_silhouette" ->
