@@ -1496,6 +1496,39 @@ object TextAnalysis {
     * Scale shape: row-local (regexp counts + one array fold inside
     * whole-stage codegen); no shuffle at all.
     */
+  /** Code-switching (intra-document language-mix) audit — documents
+    * whose CHUNKS disagree on language are multilingual or boilerplate
+    * collages, which single-label [[langId]] silently mislabels: the
+    * text splits into fixed `chunkTokens`-token chunks, each chunk is
+    * language-identified, and the doc reports its chunk count, distinct
+    * chunk languages and majority-language share. Output:
+    * `(idCol, doc_lang, n_chunks, n_langs, majority_share)`.
+    *
+    * Scale shape: row-local chunking (array slices re-joined) + one
+    * explode bounded by chunks-per-doc, one doc-grain aggregate.
+    */
+  def codeSwitching(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val chunks = transform(
+      sequence(lit(0), ((size(toks) - 1) / chunkTokens).cast("int")),
+      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    val perChunk = df
+      .select(col(idCol), langId(col(textCol)).as("doc_lang"),
+        explode(chunks).as("__chunk"))
+      .where(length(col("__chunk")) > 0)
+      .select(col(idCol), col("doc_lang"), langId(col("__chunk")).as("__cl"))
+    val counts = perChunk
+      .groupBy(col(idCol), col("doc_lang"), col("__cl"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(idCol), col("doc_lang"))
+      .agg(sum("__c").as("n_chunks"), count(lit(1)).as("n_langs"),
+        max("__c").as("__m"))
+      .select(col(idCol), col("doc_lang"), col("n_chunks"), col("n_langs"),
+        round(col("__m").cast("double") / col("n_chunks"), 4)
+          .as("majority_share"))
+  }
+
   /** Feature-hashing (hashing-trick) collision audit — before fixing a
     * hashed feature width, measure what it destroys: distinct n-gram
     * types hash into `buckets` via md5, and the report is the

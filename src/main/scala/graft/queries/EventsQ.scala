@@ -374,6 +374,22 @@ object EventsQ {
         col("ts") >= col("__mid"), "value")
     }),
 
+    // ---- sampling-error audit: md5 10% sample estimates vs exact ----
+    "q282_sample_estimate_audit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val est = ev
+        .where(pmod(graft.functions.md5Long(col("event_id")), lit(10L)) === 0)
+        .groupBy("event_type")
+        .agg((count(lit(1)) * 10).as("est"))
+      exact.join(est, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"),
+          coalesce(col("est"), lit(0L)).as("est_n"),
+          round(abs(coalesce(col("est"), lit(0L)) - col("n"))
+            .cast("double") / col("n"), 6).as("rel_err"))
+        .orderBy("event_type")
+    }),
+
     // ---- consecutive-pair transition latency table ----
     "q277_transition_latency" -> ((s, d) => {
       Events.transitionLatency(Tables.events(s, d), "user_id", "ts",
@@ -931,6 +947,23 @@ object EventsQ {
             THEN round(round((mean_pt - mean_ct) - (mean_pp - mean_cp), 6)
               / round(sqrt(vv), 6), 4) END AS t_stat
         FROM b""",
+    // the md5 10% sample scaled ×10 vs the exact counts
+    "q282_sample_estimate_audit" ->
+      """WITH exact AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         est AS (
+           SELECT event_type, CAST(count(*) * 10 AS BIGINT) AS est
+           FROM events
+           WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+             % 10 = 0
+           GROUP BY 1)
+        SELECT exact.event_type, n,
+          CAST(coalesce(est, 0) AS BIGINT) AS est_n,
+          round(CAST(abs(coalesce(est, 0) - n) AS DOUBLE) / n, 6)
+            AS rel_err
+        FROM exact LEFT JOIN est USING (event_type)
+        ORDER BY event_type""",
     // one lag window; integer gap sums → exact mean, min/max
     "q277_transition_latency" ->
       """WITH g AS (

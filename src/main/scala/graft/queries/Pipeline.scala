@@ -16,6 +16,27 @@ import graft.operators.{Bpe, Curation, Dedup, Eval, Graph, Layout, Mixture, Mult
   */
 object Pipeline {
 
+  // the q37 langId heuristic rendered over an arbitrary SQL text
+  // expression (shared by q37-family oracles and the q280 chunk form)
+  private def langCaseSql(e: String): String = {
+    def hits(re: String) =
+      s"len(regexp_extract_all(lower($e), '$re'))"
+    val de = hits("\\b(der|die|und|das|ist|nicht|ein|zu)\\b")
+    val en = hits("\\b(the|and|of|to|is|in|that|it)\\b")
+    val es = hits("\\b(el|la|de|que|los|es|una|para)\\b")
+    val fr = hits("\\b(le|la|et|les|des|est|une|dans)\\b")
+    s"""CASE
+          WHEN $de = greatest($de, $en, $es, $fr)
+               AND greatest($de, $en, $es, $fr) > 0 THEN 'de'
+          WHEN $en = greatest($de, $en, $es, $fr)
+               AND greatest($de, $en, $es, $fr) > 0 THEN 'en'
+          WHEN $es = greatest($de, $en, $es, $fr)
+               AND greatest($de, $en, $es, $fr) > 0 THEN 'es'
+          WHEN $fr = greatest($de, $en, $es, $fr)
+               AND greatest($de, $en, $es, $fr) > 0 THEN 'fr'
+          ELSE 'und' END"""
+  }
+
   private val Toks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
 
@@ -623,6 +644,29 @@ object Pipeline {
         .select(col("doc_id").as("id"))
       Graph.bfsHops(edges, "a", "b", seeds, "id", maxDepth = 4)
         .orderBy("id")
+    }),
+
+    // ---- code-switching audit: chunk-level language agreement ----
+    "q280_code_switching" -> ((s, d) => {
+      TextAnalysis.codeSwitching(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 32)
+        .orderBy("doc_id")
+    }),
+
+    // ---- Wasserstein-1 drift between source length distributions
+    //      (decile-grid approximation over exact quantiles) ----
+    "q281_wasserstein_drift" -> ((s, d) => {
+      val decs = graft.operators.Percentiles.exact(
+        Tables.documents(s, d).select("source", "n_chars"),
+        Seq("source"), "n_chars", (1 to 9).map(i => i / 10.0 -> s"p$i"))
+      val a = decs.as("a"); val b = decs.as("b")
+      val w1 = (1 to 9).map(i =>
+        abs(col(s"a.p$i") - col(s"b.p$i"))).reduce(_ + _) / 9
+      a.join(b, col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"),
+          col("b.source").as("source_b"),
+          round(w1, 4).as("w1_chars"))
+        .orderBy("source_a", "source_b")
     }),
 
     // ---- external clustering eval: purity + NMI of the 8-list
@@ -3609,6 +3653,41 @@ object Pipeline {
           USING (query_id, neighbor_id)
         GROUP BY t.query_id ORDER BY query_id""",
 
+    // fixed-width token chunks rebuilt with single spaces, the q37
+    // language CASE per chunk, doc-grain agreement
+    "q280_code_switching" ->
+      s"""WITH d AS (
+            SELECT doc_id, text, $Toks AS t FROM documents),
+          ch AS (
+            SELECT doc_id, ${langCaseSql("text")} AS doc_lang,
+              array_to_string(t[i.i * 32 + 1 : i.i * 32 + 32], ' ') AS chunk
+            FROM d, unnest(range(0, greatest((len(t) - 1) // 32, 0) + 1))
+              AS i(i)),
+          cl AS (
+            SELECT doc_id, doc_lang, ${langCaseSql("chunk")} AS chl
+            FROM ch WHERE len(chunk) > 0),
+          counts AS (
+            SELECT doc_id, doc_lang, chl, CAST(count(*) AS BIGINT) AS c
+            FROM cl GROUP BY 1, 2, 3)
+         SELECT doc_id, doc_lang,
+           CAST(sum(c) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS majority_share
+         FROM counts GROUP BY doc_id, doc_lang ORDER BY doc_id""",
+    // per-source exact deciles (quantile_cont ≡ Percentiles.exact),
+    // W1 ≈ mean |q_a(i) − q_b(i)| over the 9-point grid — a fixed
+    // expression, no float aggregation
+    "q281_wasserstein_drift" -> {
+      val qs = (1 to 9).map(i =>
+        s"quantile_cont(n_chars, 0.$i) AS p$i").mkString(", ")
+      val terms = (1 to 9).map(i => s"abs(a.p$i - b.p$i)").mkString(" + ")
+      s"""WITH decs AS (
+            SELECT source, $qs FROM documents GROUP BY source)
+         SELECT a.source AS source_a, b.source AS source_b,
+           round(($terms) / 9, 4) AS w1_chars
+         FROM decs a JOIN decs b ON a.source < b.source
+         ORDER BY source_a, source_b"""
+    },
     // q105's two-round k-means replay to the full assignment, then the
     // contingency-table purity and NMI from integer counts
     "q279_cluster_purity" ->
