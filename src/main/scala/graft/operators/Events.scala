@@ -1132,6 +1132,38 @@ object Events {
           > (col("__w") - 1) * col("__s")).as("overdispersed"))
   }
 
+  /** Circular peak-hour statistics per key — the time-of-day mean done
+    * RIGHT: averaging 23:00 and 01:00 must give midnight, not noon, so
+    * each event maps to an angle θ = 2π·(ts mod day)/day and the key
+    * reports the circular mean hour atan2(Σsin, Σcos) and the resultant
+    * length R = |Σe^{iθ}|/n ∈ [0,1] (1 = all events at one instant,
+    * 0 = uniform around the clock — the concentration score q177's
+    * per-hour histogram doesn't summarize). Output:
+    * `(keyCol, n, peak_hour, concentration)`.
+    *
+    * Determinism: the two float sums round at 6dp BEFORE atan2/sqrt,
+    * so both engines feed the transcendentals identical doubles.
+    *
+    * Scale shape: one combinable 3-sum aggregate; row-local
+    * trigonometry.
+    */
+  def circularPeakHour(df: DataFrame, keyCol: String,
+      tsNs: String): DataFrame = {
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val theta = pmod(col(tsNs), lit(dayNs)).cast("double")
+      .divide(lit(dayNs.toDouble)).multiply(lit(2 * math.Pi))
+    df.withColumn("__th", theta)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(cos(col("__th"))), 6).as("__c"),
+        round(sum(sin(col("__th"))), 6).as("__s"))
+      .select(col(keyCol), col("n"),
+        round(pmod(atan2(col("__s"), col("__c")) / (2 * math.Pi) * 24
+          + 24, lit(24d)), 4).as("peak_hour"),
+        round(sqrt(col("__c") * col("__c") + col("__s") * col("__s"))
+          / col("n"), 6).as("concentration"))
+  }
+
   /** Transition latency — [[q122-style transition counts]] with TIME:
     * for each consecutive event-type pair inside a user's stream, the
     * count and the exact integer mean gap plus min/max — the

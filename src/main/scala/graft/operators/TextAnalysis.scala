@@ -1496,6 +1496,33 @@ object TextAnalysis {
     * Scale shape: row-local (regexp counts + one array fold inside
     * whole-stage codegen); no shuffle at all.
     */
+  /** Marginal-novelty rate per document — the data-pruning score "how
+    * much does this doc add that the corpus prefix hasn't seen": in
+    * `idCol` order, the fraction of a doc's distinct n-grams whose
+    * FIRST corpus occurrence is in that doc. Near-zero = fully
+    * redundant with earlier data (prune first); the doc-grain
+    * attribution [[heapsFit]]'s corpus curve aggregates away. Output:
+    * `(idCol, n_grams, n_new, novelty_rate)`.
+    *
+    * Scale shape: one (doc, gram) distinct, one gram-grain min
+    * aggregate, one gram-keyed join back, one doc-grain combinable
+    * aggregate.
+    */
+  def noveltyRate(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = Dedup.persistTracked(df
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(wordShingles(tokens(col(textCol)), n)))
+          .as("__g")))
+    val firsts = grams.groupBy("__g").agg(min("__id").as("__first"))
+    grams.join(firsts, Seq("__g"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__first") === col("__id"), lit(1))).as("n_new"))
+      .withColumn("novelty_rate",
+        round(col("n_new").cast("double") / col("n_grams"), 4))
+  }
+
   /** Code-switching (intra-document language-mix) audit — documents
     * whose CHUNKS disagree on language are multilingual or boilerplate
     * collages, which single-label [[langId]] silently mislabels: the

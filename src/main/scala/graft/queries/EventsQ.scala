@@ -374,6 +374,12 @@ object EventsQ {
         col("ts") >= col("__mid"), "value")
     }),
 
+    // ---- circular peak hour + concentration per type ----
+    "q284_circular_peak" -> ((s, d) => {
+      Events.circularPeakHour(Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type")
+    }),
+
     // ---- sampling-error audit: md5 10% sample estimates vs exact ----
     "q282_sample_estimate_audit" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -947,6 +953,21 @@ object EventsQ {
             THEN round(round((mean_pt - mean_ct) - (mean_pp - mean_cp), 6)
               / round(sqrt(vv), 6), 4) END AS t_stat
         FROM b""",
+    // the two float sums round at 6dp BEFORE atan2/sqrt, so both
+    // engines feed the transcendentals identical doubles
+    "q284_circular_peak" ->
+      """WITH a AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(cos(CAST(epoch_ns(ts) % 86400000000000 AS DOUBLE)
+               / 86400000000000 * (2 * pi()))), 6) AS c,
+             round(sum(sin(CAST(epoch_ns(ts) % 86400000000000 AS DOUBLE)
+               / 86400000000000 * (2 * pi()))), 6) AS s
+           FROM events GROUP BY 1)
+        SELECT event_type, n,
+          round((atan2(s, c) / (2 * pi()) * 24 + 24) % 24.0, 4)
+            AS peak_hour,
+          round(sqrt(c * c + s * s) / n, 6) AS concentration
+        FROM a ORDER BY event_type""",
     // the md5 10% sample scaled ×10 vs the exact counts
     "q282_sample_estimate_audit" ->
       """WITH exact AS (

@@ -646,6 +646,13 @@ object Pipeline {
         .orderBy("id")
     }),
 
+    // ---- marginal novelty per doc (first-occurrence 8-gram share) ----
+    "q283_novelty_rate" -> ((s, d) => {
+      TextAnalysis.noveltyRate(Tables.documents(s, d), "doc_id", "text",
+          n = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- code-switching audit: chunk-level language agreement ----
     "q280_code_switching" -> ((s, d) => {
       TextAnalysis.codeSwitching(Tables.documents(s, d), "doc_id", "text",
@@ -3653,6 +3660,22 @@ object Pipeline {
           USING (query_id, neighbor_id)
         GROUP BY t.query_id ORDER BY query_id""",
 
+    // (doc, 8-gram) distinct → gram-grain min(doc) → doc-grain share
+    "q283_novelty_rate" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                range(1, greatest(len(t) - 7, 0) + 1),
+                i -> array_to_string(t[i:i+7], ' ')))) AS gram
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          f AS (SELECT gram, min(doc_id) AS fid FROM g GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(CASE WHEN fid = doc_id THEN 1 END) AS BIGINT)
+             AS n_new,
+           round(CAST(count(CASE WHEN fid = doc_id THEN 1 END) AS DOUBLE)
+             / count(*), 4) AS novelty_rate
+         FROM g JOIN f USING (gram)
+         GROUP BY doc_id ORDER BY doc_id""",
     // fixed-width token chunks rebuilt with single spaces, the q37
     // language CASE per chunk, doc-grain agreement
     "q280_code_switching" ->
