@@ -239,12 +239,18 @@ object Layout {
     * 100 TB star-schema pipeline uses for its recurring fact joins.
     * `ScaleSpec` pins the exchange-free plan.
     *
-    * Both writes are idempotent overwrites into the session catalog
-    * (tables `name_l`/`name_r`); re-invocation replaces them.
+    * Both writes are idempotent overwrites into the session catalog;
+    * re-invocation within the same driver replaces them. The table
+    * names (and their warehouse paths) carry the driver's sanitized
+    * `applicationId`, so two CONCURRENT drivers invoking the same
+    * logical `name` write disjoint tables/paths instead of racing on a
+    * shared one; [[dropBucketedTables]] removes a pair once its join
+    * result has been consumed.
     */
   def bucketedCoLocatedJoin(left: DataFrame, right: DataFrame,
       key: String, buckets: Int, name: String): DataFrame = {
     val spark = left.sparkSession
+    val uniq = tableSuffix(spark)
     def save(df: DataFrame, t: String): DataFrame = {
       df.write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
@@ -252,6 +258,37 @@ object Layout {
         .format("parquet").saveAsTable(t)
       spark.table(t)
     }
-    save(left, s"${name}_l").join(save(right, s"${name}_r"), Seq(key))
+    save(left, s"${name}_${uniq}_l")
+      .join(save(right, s"${name}_${uniq}_r"), Seq(key))
   }
+
+  /** Drop the catalog tables (and their files) a
+    * [[bucketedCoLocatedJoin]] invocation of `name` created in THIS
+    * driver, once the returned DataFrame has been fully consumed —
+    * the cleanup half of the per-driver-unique naming contract.
+    */
+  def dropBucketedTables(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val uniq = tableSuffix(spark)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Seq(s"${name}_${uniq}_l", s"${name}_${uniq}_r").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val p = new java.io.File(new java.net.URI(
+        if (wh.contains(":/")) s"$wh/$t" else s"file:$wh/$t"))
+      if (p.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(p)
+      }
+    }
+  }
+
+  /** Per-driver-unique, catalog-identifier-safe suffix derived from
+    * the Spark `applicationId` (e.g. `local-1700000000001` →
+    * `local_1700000000001`) — stable within a driver (so re-invocation
+    * stays an idempotent overwrite), distinct across concurrent ones.
+    */
+  private def tableSuffix(spark: org.apache.spark.sql.SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
 }

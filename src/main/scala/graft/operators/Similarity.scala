@@ -1240,10 +1240,16 @@ object Similarity {
     var v = Array.fill(d)(round12(1d / math.sqrt(d.toDouble)))
     def matvec(x: Array[Double]): Array[Double] =
       Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * x(j)).sum)
-    for (_ <- 1 to iters) {
+    // zero-variance guard (constant corpus ⇒ all-zero covariance ⇒
+    // ||Mv|| = 0): keep the current v instead of dividing by zero and
+    // report explained_share 0 — mirroring the zero-variance fallbacks
+    // in saxMotifs / cuped, so NaN never reaches pcaProject's columns
+    var converged = true
+    for (_ <- 1 to iters if converged) {
       val w = matvec(v)
       val norm = math.sqrt(w.map(x => x * x).sum)
-      v = w.map(x => round12(x / norm))
+      if (norm == 0d) converged = false
+      else v = w.map(x => round12(x / norm))
     }
     val flip = v.find(x => math.abs(x) > 1e-6).exists(_ < 0)
     if (flip) v = v.map(x => -x)

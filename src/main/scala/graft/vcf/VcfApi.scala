@@ -352,25 +352,29 @@ object VcfApi {
     * monomorphic among shared samples get NULL r². Output:
     * `id_a, id_b, dist, n, r2` (r² rounded to 4).
     *
-    * Scale shape: genotypes are first packed into ONE sample-sorted
-    * dosage array per variant (a single variant-keyed aggregation),
+    * Scale shape: genotypes are first packed into ONE sample-keyed
+    * dosage map per variant (a single variant-keyed aggregation),
     * so the pair join moves one row per variant, not one per
-    * genotype. Pair candidates come from position-bucket blocking
+    * genotype — and the pair-local correlation aligns the two sides
+    * BY SAMPLE KEY (map lookup), so a sparse geno relation (absent
+    * rows, not just NULL gt) can never silently correlate different
+    * samples. Pair candidates come from position-bucket blocking
     * (bucket width = maxDist; each left row probes its own and the
     * next bucket — every qualifying pair lands in exactly one probe
-    * because a.start < b.start ≤ a.start + maxDist spans at most two
+    * because a.start ≤ b.start ≤ a.start + maxDist spans at most two
     * buckets), so candidates are bounded by local variant density,
-    * never all-pairs-per-chromosome. The correlation sums are
-    * row-local integer folds over the two bounded arrays
-    * (zip_with + aggregate — samples are the bounded dimension).
+    * never all-pairs-per-chromosome. Pair ordering is keyed on
+    * (position, id) — NOT on id order agreeing with position order —
+    * so shared-position variants (split multiallelics) and
+    * non-monotone id assignments still emit every qualifying pair
+    * exactly once. The correlation sums are row-local integer folds
+    * over the bounded per-pair sample intersection.
     */
   def ldReport(geno: DataFrame, info: DataFrame, maxDist: Long): DataFrame = {
     val vecs = geno
       .groupBy("variant_id")
-      .agg(sort_array(collect_list(
-        struct(col("sample"), col("gt")))).as("_sg"))
-      .select(col("variant_id"),
-        transform(col("_sg"), s => s("gt")).as("dose"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("sample"), col("gt"))))).as("dose"))
     val sites = info.select(col("variant_id"), col("chr"), col("start"))
       .join(vecs, Seq("variant_id"))
       .withColumn("bucket", floor(col("start") / maxDist))
@@ -381,13 +385,17 @@ object VcfApi {
     val b = sites.select(col("variant_id").as("id_b"), col("chr"),
       col("start").as("pos_b"), col("dose").as("db"), col("bucket"))
     val pairs = probe.join(b, Seq("chr", "bucket"))
-      .where(col("id_a") < col("id_b")
-        && col("pos_b") > col("pos_a")
+      .where((col("pos_b") > col("pos_a")
+          || (col("pos_b") === col("pos_a") && col("id_b") > col("id_a")))
         && col("pos_b") - col("pos_a") <= maxDist)
-    // both-called mask once, then integer sums (gt ∈ {0,1,2}) —
-    // r and r² are derived row-locally from the six sums
+    // align by sample key (try_element_at returns NULL for a sample
+    // absent on the other side), keep the both-called mask, then
+    // integer sums (gt ∈ {0,1,2}) — r and r² are derived row-locally
+    // from the six sums
     val zipped = pairs.withColumn("_z",
-      filter(zip_with(col("da"), col("db"), (x, y) => struct(x.as("a"), y.as("b"))),
+      filter(transform(map_keys(col("da")),
+          k => struct(try_element_at(col("da"), k).as("a"),
+            try_element_at(col("db"), k).as("b"))),
         p => p("a").isNotNull && p("b").isNotNull))
     def fsum(f: Column => Column): Column =
       aggregate(col("_z"), lit(0L), (acc, p) => acc + f(p))

@@ -440,6 +440,16 @@ class ScaleSpec extends SparkSpec {
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join still shuffles:\n$plan")
+      // cleanup half of the per-driver-unique naming contract: after
+      // the result is consumed, dropBucketedTables removes both
+      // catalog tables (no stale graft_blj-style tables accumulate)
+      val before = spark.catalog.listTables().collect()
+        .count(_.name.startsWith("scalespec_blj"))
+      assert(before == 2, s"expected 2 bucketed tables, saw $before")
+      Layout.dropBucketedTables(spark, "scalespec_blj")
+      val after = spark.catalog.listTables().collect()
+        .count(_.name.startsWith("scalespec_blj"))
+      assert(after == 0, s"bucketed tables survived drop: $after")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
