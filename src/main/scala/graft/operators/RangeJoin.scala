@@ -105,6 +105,17 @@ object RangeJoin {
     * probes it with early exit — no explode, no shuffle, no
     * BroadcastNestedLoop. Prefer when `right` fits in a broadcast;
     * [[overlap]] is the all-sizes path.
+    *
+    * Two-layer size protection: when Catalyst's plan statistics
+    * already PROVE the build side exceeds the configured broadcast
+    * bound (`spark.graft.intervalJoin.maxBuildRows` /
+    * `...maxBuildBytes`), this falls back to the binned [[overlap]]
+    * decomposition up front — same results, shuffle-based plan. When
+    * stats are unknown, the physical operator itself still enforces
+    * the bound at runtime (streaming the build side
+    * partition-at-a-time and aborting with a pointer here), so a
+    * too-large build side can never OOM the driver regardless of how
+    * the plan was constructed.
     */
   def overlapExec(
       left: DataFrame, right: DataFrame,
@@ -114,6 +125,19 @@ object RangeJoin {
     import org.apache.spark.sql.GraftBridge
     import graft.plans.{IntervalJoinPlan, IntervalJoinStrategy, PruneIntervalJoinColumns}
     val spark = left.sparkSession
+    val maxRows = spark.conf.get(
+      graft.plans.BroadcastIntervalJoinExec.MaxBuildRowsKey, "4000000").toLong
+    val maxBytes = spark.conf.get(
+      graft.plans.BroadcastIntervalJoinExec.MaxBuildBytesKey,
+      (256L << 20).toString).toLong
+    val stats = right.queryExecution.optimizedPlan.stats
+    val provedTooBig = stats.rowCount.exists(_ > maxRows) || {
+      val sz = stats.sizeInBytes
+      sz >= 0 && sz < Long.MaxValue / 4 && sz > maxBytes
+    }
+    if (provedTooBig)
+      return overlap(left, right, keyCols, leftStart, leftEnd,
+        rightStart, rightEnd)
     GraftBridge.addStrategy(spark, IntervalJoinStrategy)
     GraftBridge.addOptimization(spark, PruneIntervalJoinColumns)
     val lp = GraftBridge.logicalPlan(left)

@@ -89,6 +89,14 @@ private[plans] final case class IntervalTable(
     starts: Array[Double], ends: Array[Double],
     maxEnds: Array[Double], rows: Array[InternalRow])
 
+object BroadcastIntervalJoinExec {
+  /** Build-side row bound before [[BroadcastIntervalJoinExec]] refuses
+    * and points at the shuffle-based `RangeJoin.overlap` fallback. */
+  val MaxBuildRowsKey = "spark.graft.intervalJoin.maxBuildRows"
+  /** Build-side byte bound (UnsafeRow payload) — same contract. */
+  val MaxBuildBytesKey = "spark.graft.intervalJoin.maxBuildBytes"
+}
+
 case class BroadcastIntervalJoinExec(
     streamed: SparkPlan, build: SparkPlan,
     streamKeys: Seq[Expression], buildKeys: Seq[Expression],
@@ -115,11 +123,39 @@ case class BroadcastIntervalJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     // ---- build phase (driver): group by key, sort by start ----
+    // Hard size guard INSIDE the operator (not just caller discipline
+    // in RangeJoin.overlapAuto): the build side streams to the driver
+    // partition-at-a-time (executeToIterator, never an all-at-once
+    // executeCollect) and the collection aborts with a pointer to the
+    // shuffle-based fallback the moment the row/byte bound is crossed
+    // — the same self-protection Spark's own broadcast exchange
+    // enforces. Bounds are configurable for tests and tuning.
+    val maxRows = conf.getConfString(
+      BroadcastIntervalJoinExec.MaxBuildRowsKey, "4000000").toLong
+    val maxBytes = conf.getConfString(
+      BroadcastIntervalJoinExec.MaxBuildBytesKey, (256L << 20).toString).toLong
     val bKeyProj = UnsafeProjection.create(buildKeys, build.output)
     val bIvProj = UnsafeProjection.create(Seq(dbl(bStart), dbl(bEnd)), build.output)
     val grouped = scala.collection.mutable.HashMap
       .empty[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Double, Double, InternalRow)]]
-    build.executeCollect().foreach { row =>
+    var nRows = 0L
+    var nBytes = 0L
+    val buildIter = build.executeToIterator()
+    while (buildIter.hasNext) {
+      val row = buildIter.next()
+      nRows += 1
+      row match {
+        case u: UnsafeRow => nBytes += u.getSizeInBytes
+        case _ => ()
+      }
+      if (nRows > maxRows || nBytes > maxBytes)
+        throw new IllegalStateException(
+          s"BroadcastIntervalJoinExec build side exceeds the broadcast " +
+            s"bound ($nRows rows / $nBytes bytes; limits " +
+            s"${BroadcastIntervalJoinExec.MaxBuildRowsKey}=$maxRows, " +
+            s"${BroadcastIntervalJoinExec.MaxBuildBytesKey}=$maxBytes). " +
+            "Use graft.operators.RangeJoin.overlap (binned shuffle " +
+            "decomposition) or RangeJoin.overlapAuto for this size.")
       val k = bKeyProj(row)
       if (!k.anyNull) {
         val iv = bIvProj(row)

@@ -225,6 +225,68 @@ class ScaleSpec extends SparkSpec {
     assert(binned.count() == 2)
   }
 
+  test("overlapExec falls back to the binned plan above the build bound") {
+    // the two-layer guard's upper layer: when plan statistics prove
+    // the build side exceeds spark.graft.intervalJoin.maxBuild*,
+    // overlapExec must return the binned decomposition — same rows,
+    // no BroadcastIntervalJoin node — instead of trusting the caller
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, s, s + rnd.nextInt(300))
+    }.toDF("lid", "ls", "le")
+    val right = (1 to 120).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, s, s + rnd.nextInt(900))
+    }.toDF("rid", "rs", "re")
+    val key = plans.BroadcastIntervalJoinExec.MaxBuildBytesKey
+    spark.conf.set(key, "64")
+    try {
+      val guarded = operators.RangeJoin.overlapExec(
+        left, right, Seq.empty, "ls", "le", "rs", "re")
+      assert(!guarded.queryExecution.executedPlan.toString
+        .contains("BroadcastIntervalJoin"),
+        "fallback did not engage — custom node still planned")
+      // plan equivalence: the fallback's rows == the broadcast path's
+      val got = guarded.select("lid", "rid")
+        .as[(Long, Long)].collect().sorted.toSeq
+      spark.conf.unset(key)
+      val want = operators.RangeJoin.overlapExec(
+          left, right, Seq.empty, "ls", "le", "rs", "re")
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want && got.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
+  test("BroadcastIntervalJoinExec refuses an over-bound build at runtime") {
+    // the lower layer: a caller constructing IntervalJoinPlan directly
+    // (bypassing overlapExec's stats check) must hit the in-operator
+    // row guard with a pointer to RangeJoin.overlap — never an
+    // unbounded driver collect
+    import org.apache.spark.sql.GraftBridge
+    val left = Seq((1L, 10L, 20L)).toDF("lid", "ls", "le")
+    val right = (1 to 500).map(i => (i.toLong, 10L, 30L))
+      .toDF("rid", "rs", "re")
+    GraftBridge.addStrategy(spark, plans.IntervalJoinStrategy)
+    val lp = GraftBridge.logicalPlan(left)
+    val rp = GraftBridge.logicalPlan(right)
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).get
+    val df = GraftBridge.ofRows(spark, plans.IntervalJoinPlan(
+      lp, rp, Nil, Nil, a(lp, "ls"), a(lp, "le"), a(rp, "rs"), a(rp, "re")))
+    val key = plans.BroadcastIntervalJoinExec.MaxBuildRowsKey
+    spark.conf.set(key, "100")
+    try {
+      val ex = intercept[Exception](df.count())
+      def rootMsg(t: Throwable): String =
+        (Option(t.getMessage).getOrElse("")) +
+          Option(t.getCause).map(rootMsg).getOrElse("")
+      assert(rootMsg(ex).contains("RangeJoin.overlap"), rootMsg(ex))
+    } finally spark.conf.unset(key)
+    // and with the default bound the same plan runs fine
+    assert(df.count() == 500)
+  }
+
   test("overlapAuto dispatch is statistics-based: no job, no plan re-execution") {
     val left = (1 to 200).map(i => (i.toLong, i * 10L, i * 10L + 5))
       .toDF("lid", "ls", "le")
