@@ -12,16 +12,21 @@ import org.apache.spark.sql.functions._
   * collide directly). The reference engine has no graph tier at all;
   * this is declared surplus capability, built the Spark way.
   *
-  * [[connectedComponents]] is iterative min-label propagation: every
-  * vertex starts labeled with its own id; each round every vertex takes
-  * the minimum label among itself and its neighbors; at fixpoint each
-  * component is labeled with its minimum member id — a deterministic,
-  * self-describing cluster id. Each round is ONE equi-join + aggregate
-  * (shuffle on vertex id), rounds needed = graph diameter. Dedup
-  * graphs are dense blobs with tiny diameters, so 3-5 rounds typically
-  * converge; `maxIter` bounds pathological chains. Per-round
-  * `localCheckpoint` truncates lineage so the plan doesn't grow with
-  * iterations (the classic iterative-Spark pitfall).
+  * [[connectedComponents]] is alternating large-star/small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14): each round rewires every vertex's strictly-larger
+  * neighbors to its neighborhood minimum (large-star), then rewires
+  * every vertex's smaller neighbors — and itself — to that minimum
+  * (small-star). At fixpoint the edge set is a forest of stars, each
+  * rooted at its component's minimum member id — a deterministic,
+  * self-describing cluster id. Each half-round is ONE equi-join +
+  * aggregate (shuffle on vertex id), and convergence takes
+  * **O(log n) rounds regardless of graph diameter** — the property
+  * plain min-label propagation (O(diameter) rounds) lacks, so a
+  * pathological chain graph converges in a dozen rounds instead of
+  * hitting `maxIter`. Per-round `localCheckpoint` truncates lineage so
+  * the plan doesn't grow with iterations (the classic iterative-Spark
+  * pitfall).
   */
 object Graph {
 
@@ -32,44 +37,60 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
-    val sym0 = edges
+    val init = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
-    // both directions once; dedup keeps each round's join slim
-    val undirected = sym0
-      .union(sym0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var labels = undirected.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
+    // large-star: center u over BOTH directions of each edge; every
+    // strictly larger neighbor re-attaches to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src")
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      sym.join(m, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star: orient each edge large→small, center the larger
+    // endpoint; its smaller neighbors and itself re-attach to the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val m = oriented.groupBy("src").agg(min(col("dst")).as("m"))
+      oriented.join(m, "src")
+        .select(explode(array(
+          struct(col("dst").as("src"), col("m").as("dst")),
+          struct(col("src"), col("m").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var cur = init.localCheckpoint(true)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // min neighbor label per vertex (map-side combinable aggregate)
-      val viaNbr = undirected
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("comp")).as("nbrComp"))
-      // keep the previous label alongside so convergence is read off
-      // the SAME materialization that next round starts from
-      val stepped = labels
-        .join(viaNbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
-          col("comp").as("_prev"))
-        .localCheckpoint(true)
-      changed = stepped.where(col("comp") =!= col("_prev")).count()
-      labels = stepped.drop("_prev")
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // both sides are distinct edge sets: unchanged ⇔ same count and
+      // nothing new (left-anti); read off the materialization the next
+      // round starts from
+      converged = next.count() == cur.count() &&
+        next.join(cur, Seq("src", "dst"), "left_anti").isEmpty
+      cur = next
       iter += 1
     }
-    undirected.unpersist(false)
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          "(graph diameter exceeds maxIter); raise maxIter")
-    labels
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "raise maxIter")
+    // fixpoint edges are (member, root) stars; roots label themselves
+    cur.select(col("src").as("id"), col("dst").as("comp"))
+      .union(cur.select(col("dst").as("id"), col("dst").as("comp")))
+      .distinct()
   }
 
   /** PageRank over a directed edge list — the corpus-quality ranking

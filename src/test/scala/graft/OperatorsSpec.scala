@@ -417,6 +417,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got == byRoot, s"${got.size} vs ${byRoot.size} labeled vertices")
   }
 
+  test("Graph.connectedComponents converges in O(log n) on a chain graph") {
+    // a 400-vertex path has diameter 399: min-label propagation needs
+    // ~400 rounds and would blow a maxIter of 20; large-star/small-star
+    // contraction must finish well inside it (O(log n) ≈ 9 rounds)
+    val chain = (0L until 399L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = operators.Graph.connectedComponents(chain, "a", "b",
+        maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 400)
+    assert(got.values.forall(_ == 0L), "chain must collapse to root 0")
+  }
+
   test("Graph.componentsWithSingletons labels isolated vertices with self") {
     val vertices = (1L to 10L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
