@@ -50,6 +50,24 @@ object Dedup {
     n
   }
 
+  /** 64-bucket counting sketch of a token array, 8-bit lanes packed
+    * into 8 longs (bucket = murmur3 mod 64, low lane first). Counts
+    * are exact for sets of ≤255 tokens (a lane can't saturate when the
+    * whole set fits one lane's range); [[setSimilarityJoin]] disables
+    * the derived L1 filter above that. One pass per output long over
+    * the array — O(8·|set|) per row, map-side only.
+    */
+  private[operators] def packedCountSketch(sh: Column): Column =
+    array((0 until 8).map { j =>
+      aggregate(sh, lit(0L), (acc, t) => {
+        val b = pmod(hash(t), lit(64))
+        acc + when(b >= j * 8 && b < (j + 1) * 8,
+          call_function("shiftleft", lit(1L),
+            ((b - lit(j * 8)) * 8).cast("int")))
+          .otherwise(lit(0L))
+      })
+    }: _*)
+
   /** CPU-heavy signature derivation parallelizes poorly when the input
     * is a single small file (one parquet split ⇒ one task): spread it
     * across the cluster first. A no-op at scale, where inputs already
@@ -590,47 +608,94 @@ object Dedup {
       shingleSize: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     // Everything downstream operates on the 60-bit hashed shingle set
     // ([[hashedSet]]): ordering, joining and set-intersecting longs,
     // never strings — identical Jaccard up to md5 collision, the same
-    // trade [[minHashLsh]]'s verifier makes.
+    // trade [[minHashLsh]]'s verifier makes. `sk` is a 64-bucket
+    // counting sketch of the shingle set (8-bit lanes packed into 8
+    // longs): bucket counts under-merge distinct tokens, so the
+    // lane-wise L1 between two sketches LOWER-bounds |A Δ B| — the
+    // deterministic refutation the candidate join prunes with.
     val docs = persistTracked(parallelize(df)
       .select(col(idCol).as("id"),
         hashedSet(wordShingles(tokens(col(textCol)), shingleSize)).as("sh"))
-      .where(size(col("sh")) > 0))
+      .where(size(col("sh")) > 0)
+      .withColumn("sk", packedCountSketch(col("sh"))))
     val dfreq = docs.select(explode(col("sh")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    // Rarest-first ordering, then keep each doc's prefix. The ε guard
-    // on ceil: when t·|s| is mathematically integral but the double
-    // product rounds UP, ceil would overstate the overlap requirement
-    // and SHORTEN the prefix — a correctness (false-negative) bug; the
-    // subtraction can only lengthen it (extra candidates, still exact).
-    val prefixLen = (col("sz") -
-      ceil(col("sz") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
-    val prefixes = docs
+    // Rarest-first ordering ONCE per document; the two prefix
+    // relations below are slices of the same ordered array. The ε
+    // guard on ceil: when t·|s| is mathematically integral but the
+    // double product rounds UP, ceil would overstate the overlap
+    // requirement and SHORTEN the prefix — a correctness
+    // (false-negative) bug; the subtraction can only lengthen it
+    // (extra candidates, still exact).
+    // persisted: BOTH prefix slices below read it, and the two slices
+    // are no longer the identical subplan Spark's ReusedExchange would
+    // have deduplicated for free
+    val ordered = persistTracked(docs
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
       .join(dfreq, "tok")
       .groupBy("id", "sz")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
-      .select(col("id"), col("sz"),
-        posexplode(transform(slice(col("ordered"), lit(1), prefixLen),
-          s => s.getField("tok"))).as(Seq("pos0", "tok")))
-    // PPJoin-family candidate pruning, both sides ε-guarded against
-    // float round-up (loosening only ever ADDS candidates):
-    //   length filter — J ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|);
-    //   positional filter — a collision at (1-based) positions pa, pb
-    //   caps the overlap at 1 + min(|a|−pa, |b|−pb), which must reach
-    //   the required α = ⌈t/(1+t)·(|a|+|b|)⌉.
+      .join(docs.select(col("id"), col("sk")), "id"))
+    // AllPairs index reduction (Bayardo et al. WWW'07 §3.1, the
+    // candidate-volume lever): order every pair canonically by
+    // (|set|, id). The LARGER side must collide within its t-prefix
+    // (its overlap with any valid partner is ≥ ⌈t·|s|⌉), but the
+    // SMALLER side only within its 2t/(1+t)-prefix (its worst-case
+    // partner is its own size, forcing overlap ≥ ⌈2t/(1+t)·|s|⌉) —
+    // at t=0.5 the indexed side shrinks from |s|/2 to |s|/3, and the
+    // per-token candidate product shrinks with it. Lossless: the
+    // required overlap α = ⌈t/(1+t)(|a|+|b|)⌉ satisfies
+    // α ≥ ⌈2t/(1+t)·|a|⌉ (|b| ≥ |a|) and α ≥ ⌈t·|b|⌉ (length filter),
+    // and two sets with overlap ≥ α under a shared total order must
+    // collide within their (|s|−α+1)-prefixes (pigeonhole).
+    def prefixOf(minOverlap: Column => Column) = ordered.select(
+      col("id"), col("sz"), col("sk"),
+      posexplode(transform(
+        slice(col("ordered"), lit(1),
+          (col("sz") - minOverlap(col("sz")) + lit(1)).cast("int")),
+        s => s.getField("tok"))).as(Seq("pos0", "tok")))
+    val probe = prefixOf(sz => ceil(sz * lit(threshold) - lit(1e-9)))
+    val idx = prefixOf(sz =>
+      ceil(sz * lit(2 * threshold / (1 + threshold)) - lit(1e-9)))
+    // Candidate pairs: equi-join on the prefix token under the
+    // canonical order (idx side strictly smaller), with THREE
+    // exactness-preserving per-collision-row filters, ε-guarded so
+    // float round-up only ever ADDS candidates:
+    //   length filter — J ≥ t forces t·|b| ≤ |a|;
+    //   positional filter (Xiao et al. WWW'08) — sound row-wise via
+    //   the first-collision argument: every common token other than
+    //   the FIRST collision w1 sorts after w1 in BOTH arrays
+    //   (anything earlier would itself be a prefix collision), so
+    //   overlap ≤ 1 + min(suffix remaining after w1) — and w1's row,
+    //   having the minimal positions, carries the pair's maximal
+    //   bound, so a valid pair always survives;
+    //   counting-sketch filter — |AΔB| ≥ graft_packed_l1(skA, skB)
+    //   (codegen'd native kernel), and J ≥ t forces
+    //   |AΔB| ≤ |a|+|b|−2α; this is the volume killer on corpora
+    //   where token-level prefixes stop being rare (small shared
+    //   vocabularies): a token collision says "one shingle shared",
+    //   the sketch refutes on the whole-set shape. Disabled above
+    //   255 tokens/set, where an 8-bit lane could saturate.
     val alpha = ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1 + threshold))
       - lit(1e-9))
     val overlapUb = lit(1) +
       least(col("a.sz") - (col("a.pos0") + 1), col("b.sz") - (col("b.pos0") + 1))
-    val cands = prefixes.as("a").join(prefixes.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
-          && col("a.sz") * lit(threshold) - lit(1e-9) <= col("b.sz")
+    val sketchOk = when(col("a.sz") > 255 || col("b.sz") > 255, lit(true))
+      .otherwise(call_function("graft_packed_l1", col("a.sk"), col("b.sk"))
+        <= col("a.sz") + col("b.sz") - lit(2) * alpha)
+    val cands = idx.as("a").join(probe.as("b"),
+        col("a.tok") === col("b.tok")
+          && (col("a.sz") < col("b.sz")
+            || (col("a.sz") === col("b.sz") && col("a.id") < col("b.id")))
           && col("b.sz") * lit(threshold) - lit(1e-9) <= col("a.sz")
-          && overlapUb >= alpha)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          && overlapUb >= alpha
+          && sketchOk)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
     val withSets = cands
       .join(docs.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")

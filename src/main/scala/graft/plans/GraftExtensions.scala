@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions.call_function
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineFn)
+    e.injectFunction(GraftExtensions.packedL1Fn)
     e.injectFunction(GraftExtensions.bloomAggFn)
     e.injectFunction(GraftExtensions.mightContainFn)
     e.injectPlannerStrategy(_ => IntervalJoinStrategy)
@@ -36,6 +37,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_cosine(a, b) takes two arguments")
       CosineSimilarityExpr(children.head, children(1))
+    })
+
+  private[plans] val packedL1Fn: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_packed_l1"),
+    new ExpressionInfo(classOf[PackedCountL1Expr].getName, "graft_packed_l1"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_packed_l1(a, b) takes two arguments")
+      PackedCountL1Expr(children.head, children(1))
     })
 
   // Spark ships a codegen'd bloom filter pair (BloomFilterAggregate /
@@ -75,7 +85,7 @@ object GraftExtensions {
   def ensureRegistered(spark: SparkSession): Unit = {
     import org.apache.spark.sql.classic.ClassicConversions.castToImpl
     val registry = castToImpl(spark).sessionState.functionRegistry
-    Seq(cosineFn, bloomAggFn, mightContainFn).foreach { fn =>
+    Seq(cosineFn, packedL1Fn, bloomAggFn, mightContainFn).foreach { fn =>
       if (!registry.functionExists(fn._1)) {
         registry.registerFunction(fn._1, fn._2, fn._3)
       }

@@ -2060,6 +2060,79 @@ class OperatorsSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("Dedup.setSimilarityJoin: lossless on a randomized shared-vocab corpus") {
+    // adversarial shape for prefix filtering (the q159 corpus shape):
+    // a SMALL vocabulary, so "rare" prefix tokens collide corpus-wide
+    // and the counting-sketch filter carries the pruning. 120 docs of
+    // 12-token texts over a 40-word vocab, with planted near-dup pairs
+    // straddling the threshold — the result must equal brute force
+    // exactly (every filter is exactness-preserving by construction).
+    val rnd = new scala.util.Random(97)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val base = (1 to 80).map { i =>
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val planted = (1 to 40).map { i =>
+      val src = base(rnd.nextInt(base.size))._2.split(" ").toSeq
+      val k = rnd.nextInt(4) // 0-3 token edits: J from 1.0 down past t
+      val mut = src.zipWithIndex.map { case (w, j) =>
+        if (j < k) vocab(rnd.nextInt(vocab.size)) else w }
+      ((100 + i).toLong, mut.mkString(" "))
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.setSimilarityJoin(docs, "text", "doc_id",
+        shingleSize = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sets = docs.select(col("doc_id"),
+        array_distinct(graft.functions.wordShingles(
+          graft.functions.tokens(col("text")), 2)).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size.toDouble
+      uni = sets(a).toSet.union(sets(b).toSet).size.toDouble
+      if uni > 0 && inter / uni >= 0.5
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture must plant at least one real pair")
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    Dedup.clearCaches()
+  }
+
+  test("graft_packed_l1: codegen kernel == interpreted, lower-bounds |AΔB|") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(60) + 1)(rnd.nextInt(300).toLong).distinct
+      val b = Seq.fill(rnd.nextInt(60) + 1)(rnd.nextInt(300).toLong).distinct
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    def sk(c: org.apache.spark.sql.Column) =
+      array((0 until 8).map { j =>
+        aggregate(c, lit(0L), (acc, t) => {
+          val bk = pmod(hash(t), lit(64))
+          acc + when(bk >= j * 8 && bk < (j + 1) * 8,
+            call_function("shiftleft", lit(1L),
+              ((bk - lit(j * 8)) * 8).cast("int"))).otherwise(lit(0L))
+        })
+      }: _*)
+    val got = df.select(col("i"),
+        call_function("graft_packed_l1", sk(col("a")), sk(col("b"))).as("l1"),
+        (size(array_union(col("a"), col("b"))) -
+          size(array_intersect(col("a"), col("b")))).as("symdiff"))
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 200)
+    got.foreach { case (i, l1, sd) =>
+      assert(l1 <= sd, s"row $i: L1 $l1 must lower-bound |AΔB| $sd")
+    }
+    // identical sets ⇒ L1 = 0; disjoint same-bucket-free sets ⇒ = |AΔB|
+    val self = df.select(
+        call_function("graft_packed_l1", sk(col("a")), sk(col("a"))))
+      .as[Long].collect()
+    assert(self.forall(_ == 0L))
+  }
+
   test("TextAnalysis.keywordSaliency: exclusive term tops its source, hand-checked G²") {
     val docs = Seq(
       ("s1", "spark spark spark spark spark common common common"),
