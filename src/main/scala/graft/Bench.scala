@@ -233,6 +233,35 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bgzf bench failed: $e")
     }
+
+    // ---- physical skip-parse: positions-only vs full-width scan ----
+    // S2 at the byte level (ScanVcfParam(info=NA, samples=NA)): a
+    // positions-only projection keeps only the prefix-limited split,
+    // never tokenizing the 200-sample genotype tail; the full-width
+    // scan pays the whole line. The ratio is the measured value of
+    // the skip — expected well above 2× at this width.
+    try {
+      val nv = 20000L
+      val wide = 200
+      val gz = java.nio.file.Files.createTempDirectory("graft_skip_bench")
+        .resolve("wide.vcf.gz").toString
+      val lines = graft.vcf.SyntheticVcf.header(wide) ++
+        (0L until nv).map(i => graft.vcf.SyntheticVcf.line(i, wide, 50))
+      graft.vcf.Bgzf.writeLocalFile(gz, lines)
+      def scan() = graft.vcf.VcfReader.read(spark, gz,
+        splitSize = Some(512L << 10)).df
+      // warm both plans
+      scan().select("chr", "pos").agg(max("pos")).collect()
+      scan().agg(sum(size(col("genotypes"))), max("pos")).collect()
+      results("vcf_scan_positions_sec") = time {
+        scan().select("chr", "pos").agg(max("pos")).collect()
+      }
+      results("vcf_scan_full_sec") = time {
+        scan().agg(sum(size(col("genotypes"))), max("pos")).collect()
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] skip-parse bench failed: $e")
+    }
     probes("after_bgzf") = loadProbe(spark)
 
     // ---- streaming throughput (rows/s through the tumbling agg) ----

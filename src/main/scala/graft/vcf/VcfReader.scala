@@ -150,9 +150,27 @@ object VcfReader {
     VcfDataset(parse(body, header), header)
   }
 
-  /** The distributed line parse: pure column expressions, one pass. */
+  /** The distributed line parse: pure column expressions, one pass.
+    *
+    * PHYSICAL skip-parse (the reference's
+    * `ScanVcfParam(fixed="ALT", info=NA, samples=NA)` byte-level
+    * behavior, 01-generate-variant-ranges-index.R:37-40): the fixed
+    * fields and INFO read from a PREFIX-ONLY tokenization
+    * (`split(value, "\t", 9)` stops splitting before the sample tail
+    * — the 9th element is one untokenized remainder), while FORMAT
+    * and the per-sample fields are the only expressions referencing
+    * the full split. Catalyst's column pruning therefore decides the
+    * physical parse cost: a positions-only scan keeps only
+    * prefix-split expressions and never tokenizes the genotype tail —
+    * which at 1,000+ samples is ~40× the bytes of the fields it
+    * needs. (`str_to_map` on INFO was already pruned logically when
+    * no info column survives.)
+    */
   def parse(lines: Dataset[String], header: VcfHeaderInfo): DataFrame = {
+    // full tokenization: referenced ONLY by FORMAT + sample columns
     val f = split(col("value"), "\t")
+    // prefix tokenization: fixed fields + INFO; stops before the tail
+    val p = split(col("value"), "\t", 9)
 
     def nullable(c: Column): Column = when(c === Missing, lit(null)).otherwise(c)
 
@@ -161,14 +179,18 @@ object VcfReader {
     val infoMap = expr("str_to_map(_info_raw, ';', '=')")
 
     val fixed = lines.select(
-      f.getItem(0).as("chr"),
-      f.getItem(1).cast(LongType).as("pos"),
-      nullable(f.getItem(2)).as("id"),
-      f.getItem(3).as("ref"),
-      f.getItem(4).as("alt"),
-      nullable(f.getItem(5)).cast(DoubleType).as("qual"),
-      nullable(f.getItem(6)).as("filter"),
-      f.getItem(7).as("_info_raw"),
+      p.getItem(0).as("chr"),
+      p.getItem(1).cast(LongType).as("pos"),
+      nullable(p.getItem(2)).as("id"),
+      p.getItem(3).as("ref"),
+      p.getItem(4).as("alt"),
+      nullable(p.getItem(5)).cast(DoubleType).as("qual"),
+      nullable(p.getItem(6)).as("filter"),
+      // a sites-only line has exactly 8 fields, so the prefix split's
+      // item 7 is the complete INFO field either way; with samples
+      // present it is still exact because the limit-9 split keeps
+      // fields 0-7 intact and only leaves the tail unsplit in item 8
+      p.getItem(7).as("_info_raw"),
       // sites-only VCFs stop after INFO: FORMAT/sample access must be
       // null-tolerant (ANSI get(), not ordinal indexing)
       get(f, lit(8)).as("format"),

@@ -35,6 +35,31 @@ class VcfSpec extends SparkSpec {
     assert(df.select($"ac").schema.head.dataType.typeName == "array")
   }
 
+  test("positions-only scan physically skips the sample-tail tokenization") {
+    // S2 at the byte level: a chr/pos projection must keep only the
+    // prefix-limited split (limit 9, stops before the genotype tail)
+    // and reference NEITHER the full split NOR str_to_map — the
+    // reference's ScanVcfParam(info=NA, samples=NA) behavior
+    // RDD-backed lines: a LocalRelation input would be constant-folded
+    // away before the projection shape could be observed
+    import spark.implicits._
+    val header = VcfHeader.parse(ToyVcf.lines.filter(_.startsWith("#")))
+    val body = spark.createDataset(spark.sparkContext.parallelize(
+      ToyVcf.lines.filterNot(_.startsWith("#"))))
+    val parsed = VcfReader.parse(body, header)
+    val narrow = parsed.select("chr", "pos")
+    val plan = narrow.queryExecution.optimizedPlan.toString
+    assert(plan.contains("split(value"), plan)
+    assert(plan.contains(", 9)"), s"prefix-limited split missing:\n$plan")
+    assert(!plan.contains(", -1)"),
+      s"positions-only scan still tokenizes the full line:\n$plan")
+    assert(!plan.contains("str_to_map"),
+      s"positions-only scan still parses INFO:\n$plan")
+    // and the wide read is unchanged
+    assert(parsed.select("chr", "pos", "genotypes").queryExecution
+      .optimizedPlan.toString.contains(", -1)"))
+  }
+
   test("variant ids are contiguous and (chr,pos)-ordered") {
     val ids = tables.info.select("variant_id", "chr", "start")
       .as[(Long, String, Long)].collect().sortBy(_._1)
