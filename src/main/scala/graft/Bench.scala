@@ -286,6 +286,25 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream bench failed: $e")
     }
+
+    // ---- stateful throughput: default (HDFS-backed heap) state store
+    //      vs RocksDB (off-heap SST state — the 100 TB state path) ----
+    try {
+      val rocks =
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      graft.streaming.EventsStream.statefulThroughput(spark, 100000L,
+        minBatches = 2) // warm
+      graft.streaming.EventsStream.statefulThroughput(spark, 2000000L,
+        minBatches = 6).foreach(r =>
+        results("stream_state_rows_per_sec_hdfs") = r)
+      graft.streaming.EventsStream.statefulThroughput(spark, 100000L,
+        providerClass = Some(rocks), minBatches = 2) // warm rocksdb path
+      graft.streaming.EventsStream.statefulThroughput(spark, 2000000L,
+        providerClass = Some(rocks), minBatches = 6).foreach(r =>
+        results("stream_state_rows_per_sec_rocksdb") = r)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] state-store bench failed: $e")
+    }
     probes("after_stream") = loadProbe(spark)
 
     // ---- scale sweep: headline queries re-timed one SF down, scaling

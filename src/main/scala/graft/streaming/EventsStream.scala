@@ -259,6 +259,60 @@ object EventsStream {
     if (rows > 0 && secs > 0) Some(rows / secs) else None
   }
 
+  /** Stateful-operator throughput (rows/s through
+    * [[dedupeStream]]'s keyed dedup state) under a chosen state store
+    * provider — the probe that sizes the streaming tier's state
+    * backend. Every rate-source row is a DISTINCT key, so per-batch
+    * state grows with the horizon: the worst case for a heap-resident
+    * store and exactly where RocksDB
+    * (`spark.sql.streaming.stateStore.providerClass=
+    * ...state.RocksDBStateStoreProvider`, spilling state off-heap to
+    * local SST files) keeps working after the default HDFS-backed
+    * store's executor-heap ceiling — the 100 TB path for the
+    * ledger/first-seen/sessionize operators. `providerClass` None
+    * measures the session default; the conf is restored afterwards.
+    */
+  def statefulThroughput(spark: SparkSession, rowsPerSecond: Long,
+      providerClass: Option[String] = None,
+      minBatches: Int = 4, maxWaitMillis: Long = 30000L): Option[Double] = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    providerClass.foreach(spark.conf.set(key, _))
+    try {
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond)
+        .option("numPartitions", spark.sparkContext.defaultParallelism)
+        .load()
+        .select((col("value") * 1000000L).as("ts"),
+          col("value").as("event_id"))
+      val deduped = dedupeStream(rate, "event_id")
+      val name = s"state_bench_${System.nanoTime()}"
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.ProcessingTime("250 milliseconds"))
+        .start()
+      val deadline = System.currentTimeMillis() + maxWaitMillis
+      while (q.recentProgress.count(_.numInputRows > 0) <= minBatches &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      q.stop()
+      q.awaitTermination()
+      val progress = q.recentProgress.filter(_.numInputRows > 0).drop(1)
+      val rows = progress.map(_.numInputRows).sum
+      val secs = progress
+        .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+        .sum / 1000.0
+      spark.catalog.dropTempView(name)
+      if (rows > 0 && secs > 0) Some(rows / secs) else None
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Streaming in-flight deduplication: first occurrence of each
     * `idCol` wins; duplicates arriving within the watermark horizon are
     * dropped and key state is evicted once the watermark passes — the

@@ -80,6 +80,102 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("stateful operators run on the RocksDB state store (100 TB state path)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // same cross-micro-batch dedup + ledger scenarios as above, but
+    // under spark.sql.streaming.stateStore.providerClass=RocksDB...:
+    // identical results AND the progress metrics must prove the
+    // RocksDB provider actually carried the state (rocksdb* custom
+    // metrics only exist on that provider)
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rocks_stream")
+      def write(rows: Seq[(Long, Long, String)], name: String, mtime: Long): Unit = {
+        val p = dir.resolve(name)
+        rows.toDF("event_id", "ts", "event_type").coalesce(1)
+          .write.parquet(p.toString)
+        java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+      }
+      write(Seq((1L, 1000000000L, "a"), (2L, 2000000000L, "b")), "b1.parquet", 1000000L)
+      write(Seq((2L, 2000000000L, "b"), (3L, 3000000000L, "c")), "b2.parquet", 2000000L)
+      val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString + "/*.parquet")
+      val out = EventsStream.dedupeStream(stream, "event_id")
+        .select("event_id", "event_type")
+      val name = s"rocks_dedup_${System.nanoTime()}"
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table(name).as[(Long, String)].collect().sorted.toSeq
+      assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")), s"got $got")
+      val stateOps = q.recentProgress.flatMap(_.stateOperators)
+      assert(stateOps.nonEmpty, "no state operators reported")
+      val metricKeys = stateOps.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metricKeys.exists(_.startsWith("rocksdb")),
+        s"RocksDB provider not engaged; custom metrics: ${metricKeys.toSet}")
+      spark.catalog.dropTempView(name)
+
+      // ledger (flatMapGroupsWithState) under RocksDB: same final fold
+      val ldir = java.nio.file.Files.createTempDirectory("graft_rocks_ledger")
+      def writeL(rows: Seq[(Long, Long, Long, Long)], n: String, mtime: Long): Unit = {
+        val p = ldir.resolve(n)
+        rows.toDF("user_id", "ts", "event_id", "d").coalesce(1)
+          .write.parquet(p.toString)
+        java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+      }
+      writeL(Seq((1L, 10L, 1L, 500L), (1L, 20L, 2L, -800L)), "b1.parquet", 1000000L)
+      writeL(Seq((1L, 30L, 3L, 200L)), "b2.parquet", 2000000L)
+      val lschema = spark.read.parquet(ldir.toString + "/b1.parquet").schema
+      val lstream = spark.readStream.schema(lschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ldir.toString + "/*.parquet")
+        .as[(Long, Long, Long, Long)]
+      val lname = s"rocks_ledger_${System.nanoTime()}"
+      val lq = EventsStream.ledgerFold(lstream).writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(lname)
+        .trigger(Trigger.AvailableNow()).start()
+      lq.awaitTermination()
+      val fin = spark.table(lname)
+        .orderBy(org.apache.spark.sql.functions.col("n_events").desc)
+        .as[(Long, Long, Long, Long)].collect().head
+      assert(fin == ((1L, 3L, 200L, 300L)), s"got $fin")
+      val lKeys = lq.recentProgress.flatMap(_.stateOperators).flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(lKeys.exists(_.startsWith("rocksdb")),
+        s"RocksDB provider not engaged for ledger: ${lKeys.toSet}")
+      spark.catalog.dropTempView(lname)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
+  test("statefulThroughput measures the state-store path, both providers") {
+    val hdfs = EventsStream.statefulThroughput(spark, 20000L, minBatches = 2)
+    assert(hdfs.exists(_ > 0.0), s"default-provider throughput: $hdfs")
+    val rocks = EventsStream.statefulThroughput(spark, 20000L,
+      providerClass = Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      minBatches = 2)
+    assert(rocks.exists(_ > 0.0), s"rocksdb throughput: $rocks")
+    // the conf must be restored
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").isEmpty ||
+      !spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+  }
+
   test("streaming daily actives dedup a user recurring in a LATER micro-batch") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val dir = java.nio.file.Files.createTempDirectory("graft_dau_stream")
