@@ -330,6 +330,7 @@ object Bench {
         "q106_fuzzy_dedup" -> 10d, "q114_dedup_keep_best" -> 10d,
         "q115_dsir_sample" -> 10d, "q119_contrastive_pairs" -> 10d,
         "q159_set_similarity_join" -> 10d, "q163_bloom_decontaminate" -> 10d,
+        "q285_skewed_join" -> 10d,
         "q166_syndication" -> 10d, "q169_saturation" -> 10d,
         "q35_knn_cosine" -> 4d, "q36_ann_lsh" -> 4d,
         "q105_semdedup" -> 4d, "q109_semantic_decontaminate" -> 4d)

@@ -36,6 +36,38 @@ object Skew {
     l.join(r, keyCols :+ "__salt").drop("__salt")
   }
 
+  /** ONE-aggregate skew probe: returns the salt factor to use (0 = no
+    * salting warranted). A key is "hot" when the max per-key row count
+    * is both ≥ `minHotRows` (absolute floor — tiny groups never need
+    * salting) and > `hotFactor`× the mean (relative skew). The probe
+    * is a single slim aggregate over the join key — cheap enough to
+    * run before any recurring production join; the same decision rule
+    * the LSH band join uses for its hot-bucket auto-salting.
+    */
+  def probeSalt(left: DataFrame, keyCols: Seq[String],
+      hotFactor: Double = 10.0, minHotRows: Long = 32L,
+      salt: Int = 16): Int = {
+    val st = left.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")), avg(col("n"))).head()
+    val hot = !st.isNullAt(0) && st.getLong(0) >= minHotRows &&
+      st.getLong(0) > hotFactor * st.getDouble(1)
+    if (hot) salt else 0
+  }
+
+  /** [[saltedJoin]] with the salt decision made by [[probeSalt]]:
+    * salts only when the probe finds a genuinely hot key, otherwise
+    * plans the plain equi-join (no ×salt replication of `right` paid
+    * for uniform keys). Result equals the plain inner join either way.
+    */
+  def saltedJoinAuto(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      scatterCol: String, hotFactor: Double = 10.0,
+      minHotRows: Long = 32L, salt: Int = 16): DataFrame = {
+    val s = probeSalt(left, keyCols, hotFactor, minHotRows, salt)
+    if (s > 0) saltedJoin(left, right, keyCols, scatterCol, s)
+    else left.join(right, keyCols)
+  }
+
   /** Per-key row counts with an approximate heavy-hitter flag — the
     * diagnostic used to decide whether salting is warranted.
     */

@@ -503,6 +503,24 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- deliberately Zipfian join key at bench scale: ~90% of
+    //      lineitem rows collapse onto key 0; the auto probe must fire
+    //      and the salted plan must still equal the plain join the
+    //      oracle computes (ScaleSpec pins the probe decision) ----
+    "q285_skewed_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(
+        when(pmod(col("l_orderkey"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"),
+        col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val dim = s.range(0, 1000).select(col("id").as("k"),
+        concat(lit("seg"), pmod(col("id"), lit(7)).cast("string")).as("segment"))
+      graft.operators.Skew.saltedJoinAuto(l, dim, Seq("k"), "l_orderkey")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), round(sum("rev"), 2).as("revenue"))
+        .orderBy("segment")
+    }),
+
     "q51_percentiles" -> ((s, d) => {
       graft.operators.Percentiles.exact(
           ord(s, d), Seq("o_orderpriority"), "o_totalprice",
@@ -975,6 +993,21 @@ object Relational {
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1 ORDER BY 1""",
+    // salting cannot change join semantics: the plain join over the
+    // same derived Zipfian key is the oracle
+    "q285_skewed_join" ->
+      """WITH l AS (
+           SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+                  ELSE l_orderkey % 1000 END AS k,
+             l_extendedprice * (1 - l_discount) AS rev
+           FROM lineitem),
+         dim AS (
+           SELECT i AS k, 'seg' || CAST(i % 7 AS VARCHAR) AS segment
+           FROM range(0, 1000) t(i))
+         SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(rev), 2) AS revenue
+         FROM l JOIN dim USING (k)
+         GROUP BY segment ORDER BY segment""",
     // per-key counts → power-of-two histogram; the 1e-9 epsilon absorbs
     // the libm ulp of ln(f)/ln 2 at exact powers of two
     "q244_key_skew" ->

@@ -22,6 +22,30 @@ class ScaleSpec extends SparkSpec {
     assert(got == want && got.size == 5050)
   }
 
+  test("saltedJoinAuto: probe fires on a Zipfian key, stays off on uniform") {
+    // the q285 contract: a hot key (90% of rows) must trip the
+    // one-aggregate probe and the salted plan must equal the plain
+    // join; a uniform key must NOT pay the ×salt replication
+    // hot key 0 carries 90% of rows; the cold tail spreads over ~200
+    // distinct keys so the max/mean ratio actually reflects the skew
+    val zipf = (1 to 2000).map(i =>
+      (if (i % 10 < 9) 0L else i.toLong, i.toLong)).toDF("k", "id")
+    val uniform = (1 to 2000).map(i => ((i % 50).toLong, i.toLong)).toDF("k", "id")
+    val dim = (0 until 2001).map(k => (k.toLong, s"d$k")).toDF("k", "name")
+    assert(Skew.probeSalt(zipf, Seq("k")) > 0, "probe must fire on the hot key")
+    assert(Skew.probeSalt(uniform, Seq("k")) == 0,
+      "probe must stay off on a uniform key")
+    val got = Skew.saltedJoinAuto(zipf, dim, Seq("k"), "id")
+      .select("k", "id", "name").as[(Long, Long, String)].collect().sorted.toSeq
+    val want = zipf.join(dim, "k")
+      .select("k", "id", "name").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got == want && got.size == 2000)
+    // uniform path plans the plain join — no __salt column anywhere
+    val plainPlan = Skew.saltedJoinAuto(uniform, dim, Seq("k"), "id")
+      .queryExecution.optimizedPlan.toString
+    assert(!plainPlan.contains("__salt"), plainPlan)
+  }
+
   test("semDedup/editDistancePairs candidate joins are equi, never all-pairs") {
     // the quadratic-taming claim IS the plan: the within-cluster /
     // within-block self-joins must hash on the cluster/block key —
