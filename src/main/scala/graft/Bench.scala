@@ -204,6 +204,28 @@ object Bench {
       val ids = (1L to 1000L).map(i => i * 37 % nVariants + 1)
       val pullSec = time(VcfApi.pullByIds(geno, ids).count())
       results("vcf_pull_per_1k_sec") = pullSec
+
+      // ---- genome-WIDTH pull: the reference's headline pull pain is
+      // the 2,504-sample genotype row (BASELINE.md genome mode,
+      // 02-pull-benchmark-genome.csv: 11.0 s/1k table mode). Fewer
+      // variants, full cohort width — so a regression in the wide
+      // geno path surfaces in the driver's record, not only in
+      // RefScaleBench runs.
+      val wideOut = java.nio.file.Files
+        .createTempDirectory("graft_vcf_wide_bench").toString
+      val nVarWide = 5000L
+      val wideBuild = time {
+        val t = VcfBuild.build(
+          SyntheticVcf.generate(spark, nVarWide, 2504, nGenes))
+        t.write(wideOut)
+        graft.vcf.VcfBuild.clearCaches()
+      }
+      results("vcf_build_wide_sec") = wideBuild
+      val genoWide = spark.read.parquet(s"$wideOut/variant_geno")
+      val wideIds = (1L to 1000L).map(i => i * 37 % nVarWide + 1)
+      VcfApi.pullByIds(genoWide, wideIds.take(10)).count() // warm plan
+      results("vcf_pull_wide_per_1k_sec") =
+        time(VcfApi.pullByIds(genoWide, wideIds).count())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vcf bench failed: $e")
     }
@@ -384,7 +406,9 @@ object Bench {
     // must survive — keep it short no matter how many queries exist.
     val comparables = Seq("vcf_build_sec", "vcf_filter_per_gene_sec",
       "vcf_filter_per_gene_noindex_sec", "vcf_filter_per_gene_batched_sec",
-      "vcf_pull_per_1k_sec", "stream_tumbling_rows_per_sec")
+      "vcf_pull_per_1k_sec", "vcf_pull_wide_per_1k_sec",
+      "vcf_scan_positions_sec", "vcf_scan_full_sec",
+      "stream_tumbling_rows_per_sec", "stream_state_rows_per_sec_rocksdb")
     val compactQs = comparables.flatMap(k => results.get(k).map(v =>
       "\"" + k + "\":" + f"$v%.4f")).mkString("{", ",", "}")
     val compactLine =
