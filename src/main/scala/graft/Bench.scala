@@ -340,8 +340,7 @@ object Bench {
       if (args.isEmpty && sfDir.endsWith("sf0.1"))
         Some(sfDir.stripSuffix("sf0.1") + "sf0.01")
       else None
-    midDir.filter(d => new java.io.File(d).isDirectory).foreach { mid =>
-      val sweepQs: Seq[(String, Double)] = Seq(
+    val sweepQs: Seq[(String, Double)] = Seq(
         "q01_pricing_summary" -> 10d, "q05_join_revenue_by_nation" -> 10d,
         "q13_window_latest_order" -> 10d, "q14_window_running_sum" -> 10d,
         "q27_tumbling_hourly" -> 10d, "q29_asof_purchase_view" -> 10d,
@@ -356,6 +355,7 @@ object Bench {
         "q166_syndication" -> 10d, "q169_saturation" -> 10d,
         "q35_knn_cosine" -> 4d, "q36_ann_lsh" -> 4d,
         "q105_semdedup" -> 4d, "q109_semantic_decontaminate" -> 4d)
+    midDir.filter(d => new java.io.File(d).isDirectory).foreach { mid =>
       sweepQs.foreach { case (n, ratio) =>
         val tBig = results.getOrElse(n, -1.0)
         if (tBig > 0) {
@@ -370,11 +370,44 @@ object Bench {
         }
       }
     }
+
+    // ---- decade-HIGHER sweep: sf0.1 → a synthetic 10× tier
+    // (ScaleUp.ensure), so the exponents are measured across THREE
+    // decades (sf0.01 → sf0.1 → 10×sf0.1), not extrapolated from one
+    // ratio. Every replica is key-shifted and content-decorrelated, so
+    // join/group/similarity structure scales the way a genuinely
+    // bigger corpus would. Same flag rule, reported separately. ----
+    val sweepHuge = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
+    if (args.isEmpty && sfDir.endsWith("sf0.1")) {
+      try {
+        val hugeDir = ScaleUp.ensure(spark, sfDir, "/tmp/graft_sf1_synth", 10)
+        sweepQs.foreach { case (n, _) =>
+          val tBig = results.getOrElse(n, -1.0)
+          if (tBig > 0) {
+            try {
+              // replica tiering scales every driving table 10×, so the
+              // huge-tier ratio is 10 for every query (unlike the
+              // driver corpus, where embeddings grow 4× per SF decade)
+              val tHuge = bestOf()(forceRun(SparkEntry.queries(n)(spark, hugeDir)))
+              val e = math.log(tHuge / tBig) / math.log(10d)
+              if (tHuge > 0 && java.lang.Double.isFinite(e))
+                sweepHuge(n) = (tBig, tHuge, 10d, e)
+            } catch { case _: Throwable => () }
+            graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches(); graft.operators.Curation.clearCaches()
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] huge-tier sweep failed: $e")
+      }
+    }
     // flag only when the signal is real: sub-50 ms mid times are harness
     // noise, and a "super-linear" query still under half a second at the
     // big SF isn't a scaling hazard worth a red flag
     val flagged = sweep.collect {
       case (n, (tMid, tBig, _, e)) if e > 1.15 && tMid >= 0.05 && tBig >= 0.5 => n
+    }.toSeq ++ sweepHuge.collect {
+      case (n, (tBig, tHuge, _, e)) if e > 1.15 && tBig >= 0.05 && tHuge >= 0.5 =>
+        s"$n@10x"
     }.toSeq
 
     probes("end") = loadProbe(spark)
@@ -394,13 +427,16 @@ object Bench {
     val scalingJson = sweep.map { case (n, (tMid, tBig, ratio, e)) =>
       f""""$n":{"t_mid":$tMid%.4f,"t_big":$tBig%.4f,"ratio":$ratio%.1f,"exp":$e%.3f}"""
     }.mkString("{", ",", "}")
+    val scalingHugeJson = sweepHuge.map { case (n, (tBig, tHuge, ratio, e)) =>
+      f""""$n":{"t_big":$tBig%.4f,"t_10x":$tHuge%.4f,"ratio":$ratio%.1f,"exp":$e%.3f}"""
+    }.mkString("{", ",", "}")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total is seconds: rate metrics (rows/sec) don't belong in the sum
     val total = results.collect {
       case (k, v) if v >= 0 && !k.endsWith("_rows_per_sec") => v
     }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"scaling":$scalingJson,"scaling_flagged":$flaggedJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_flagged":$flaggedJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
     // Compact totals-only line: the five BASELINE.md comparables plus the
     // sweep verdict. This is the line the driver's bounded tail capture
     // must survive — keep it short no matter how many queries exist.
