@@ -586,20 +586,29 @@ object Dedup {
     *
     * Candidate rule: order each document's distinct shingles by global
     * document frequency ascending (rarest first, ties lexicographic —
-    * a total order both engines agree on). J(a,b) ≥ t implies
-    * |a∩b| ≥ ⌈t·|a|⌉, and two sets with overlap ≥ α under a shared
-    * total order must collide within their (|s|−α+1)-prefixes
-    * (pigeonhole), so equi-joining on prefix shingles is lossless;
-    * exact Jaccard then verifies each candidate once.
+    * a total order both engines agree on). Two sets with overlap ≥ α
+    * under a shared total order must collide within their
+    * (|s|−α+1)-prefixes (pigeonhole), so equi-joining on prefix
+    * shingles is lossless; pairs are ordered canonically by
+    * (|set|, id) so the smaller side indexes only its shorter
+    * 2t/(1+t)-prefix (AllPairs index reduction) while the larger
+    * probes with its t-prefix. Exact Jaccard then verifies each
+    * candidate once.
     *
     * Scale shape: the document-frequency table is shingle-vocab-sized
     * (≪ corpus; AQE broadcasts it when small). Prefixes are short
-    * (≈ (1−t)·|s| + 1) and biased to RARE shingles, so candidate
-    * buckets stay small exactly where a naive shingle join explodes —
-    * boilerplate shingles sort to the suffix and never generate
-    * candidates. Two payload shuffles: the per-doc ordered-collect and
-    * the candidate equi-join; verification joins fetch only the two
-    * candidate sets per pair.
+    * (≈ (1−t)·|s| + 1 probe side, ≈ (1−t)/(1+t)·|s| + 1 index side)
+    * and biased to RARE shingles, so candidate buckets stay small
+    * where a naive shingle join explodes. Where prefix rarity itself
+    * saturates (small shared vocabularies make even rare shingles
+    * collide corpus-wide), the per-document 64-bucket counting sketch
+    * takes over: its lane-wise L1 lower-bounds |AΔB| (evaluated by the
+    * codegen'd [[graft.plans.PackedCountL1Expr]] kernel inside the
+    * join condition), refuting candidates on whole-set shape before
+    * they reach verification. Three payload shuffles: the per-doc
+    * ordered-collect, the candidate equi-join, and the candidate
+    * distinct; verification joins fetch only the two candidate sets
+    * per pair.
     */
   def setSimilarityJoin(
       df: DataFrame,
