@@ -285,12 +285,16 @@ object EventsStream {
         .load()
         .select((col("value") * 1000000L).as("ts"),
           col("value").as("event_id"))
-      val deduped = dedupeStream(rate, "event_id")
-      val name = s"state_bench_${System.nanoTime()}"
+      // 5-minute horizon: event time advances 1 ms per row, so live
+      // state is bounded at ~300k keys regardless of how long the
+      // probe runs — the measurement stresses the store's put/evict
+      // path, not the probe JVM's heap. Output goes to the noop sink:
+      // every input row is distinct, so a memory sink would buffer the
+      // ENTIRE stream on the driver (measured OOM at 2M rows/s).
+      val deduped = dedupeStream(rate, "event_id", horizon = "5 minutes")
       val q = deduped.writeStream
         .outputMode(OutputMode.Append())
-        .format("memory")
-        .queryName(name)
+        .format("noop")
         .trigger(Trigger.ProcessingTime("250 milliseconds"))
         .start()
       val deadline = System.currentTimeMillis() + maxWaitMillis
@@ -303,7 +307,6 @@ object EventsStream {
       val secs = progress
         .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
         .sum / 1000.0
-      spark.catalog.dropTempView(name)
       if (rows > 0 && secs > 0) Some(rows / secs) else None
     } finally {
       prev match {
