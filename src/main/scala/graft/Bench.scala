@@ -431,9 +431,11 @@ object Bench {
       f""""$n":{"t_big":$tBig%.4f,"t_10x":$tHuge%.4f,"ratio":$ratio%.1f,"exp":$e%.3f}"""
     }.mkString("{", ",", "}")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // total is seconds: rate metrics (rows/sec) don't belong in the sum
+    // total is seconds: rate metrics (rows/sec) don't belong in the sum.
+    // Match by substring, not suffix - the state-store variants carry a
+    // backend tag after the unit (stream_state_rows_per_sec_rocksdb).
     val total = results.collect {
-      case (k, v) if v >= 0 && !k.endsWith("_rows_per_sec") => v
+      case (k, v) if v >= 0 && !k.contains("_rows_per_sec") => v
     }.sum
     val fullLine =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_flagged":$flaggedJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
