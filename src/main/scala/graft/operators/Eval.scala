@@ -732,4 +732,46 @@ object Eval {
           / (col("__n") * (least(col("__ca"), col("__cb2")) - 1))
             .cast("double")) * 1e6 + 0.5) / 1e6).as("cramers_v"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two raters
+    * over the same items (Cohen 1960), the standard label-quality
+    * number for a double-annotated subset of a training corpus:
+    * `κ = (p_o − p_e)/(1 − p_e)` with observed agreement
+    * `p_o = N_agree/N` and chance agreement
+    * `p_e = Σ_c nA_c·nB_c / N²` from the raters' marginal class
+    * counts. Rows where either rating is NULL (item not
+    * double-annotated) are excluded. Emits one row
+    * `(n, n_agree, po, pe, kappa)`; `kappa` is NULL when a rater is
+    * constant AND both agree everywhere (`p_e = 1`, κ undefined).
+    *
+    * Scale shape: the whole statistic reduces to three combinable
+    * aggregates — one (agree, total) count pair and two per-class
+    * marginal count vectors whose inner product is the p_e numerator.
+    * Everything after the first pass runs on |classes|-bounded rows;
+    * integer arithmetic until the three final divisions.
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val pairs = df.select(raterA.as("__ra"), raterB.as("__rb"))
+      .where(col("__ra").isNotNull && col("__rb").isNotNull)
+    val persisted = Dedup.persistTracked(pairs)
+    val tot = persisted.agg(count(lit(1)).as("__n"),
+      sum(when(col("__ra") === col("__rb"), lit(1L)).otherwise(lit(0L)))
+        .as("__agree"))
+    val margA = persisted.groupBy(col("__ra").as("__c"))
+      .agg(count(lit(1)).as("__na"))
+    val margB = persisted.groupBy(col("__rb").as("__c"))
+      .agg(count(lit(1)).as("__nb"))
+    val peNum = margA.join(margB, Seq("__c"))
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__pe_num"))
+    tot.crossJoin(broadcast(peNum))
+      .select(col("__n"), col("__agree"),
+        (col("__agree").cast("double") / col("__n")).as("__po"),
+        (col("__pe_num").cast("double") / (col("__n") * col("__n")))
+          .as("__pe"))
+      .select(col("__n").as("n"), col("__agree").as("n_agree"),
+        round(col("__po"), 6).as("po"), round(col("__pe"), 6).as("pe"),
+        when(col("__pe") < 1d,
+          round((col("__po") - col("__pe")) / (lit(1d) - col("__pe")), 6))
+          .as("kappa"))
+  }
 }

@@ -419,4 +419,59 @@ object Mixture {
         round(col("__alloc"), 4).as("alloc"),
         round(col("__alloc") / col("n_tokens"), 6).as("rate"))
   }
+
+  /** UniMax epoch-capped budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): split a training budget
+    * `B = budgetFrac · Σ n_g` uniformly across groups (languages),
+    * except no group may be sampled past `maxEpochs` passes over its
+    * own data. The closed form is a uniform waterfill against caps
+    * `c_g = maxEpochs · n_g`: processing groups by ascending cap,
+    * group i (of k) is capped iff `c_i·(k−i+1) + Σ_{j<i} c_j ≤ B`
+    * (capped groups form a prefix — once the uniform share exceeds a
+    * cap it exceeds every smaller cap), and the uncapped remainder
+    * splits the leftover budget evenly. The head language ends up
+    * UNDER one epoch while tail languages repeat up to the cap — the
+    * UniMax shape, vs [[waterfillAllocation]]'s α-power-weighted
+    * shares capped at one epoch. If `B ≥ Σc` every group caps and the
+    * surplus budget goes unallocated (there is nothing left to
+    * sample). Emits `(groupCol, n_weight, capped, alloc, epochs)`.
+    *
+    * Scale shape: one map-side-combinable weight sum per group; the
+    * rank/prefix windows and the capped-prefix fold all run on the
+    * |groups| metadata relation (unpartitioned windows are bounded by
+    * group cardinality, never corpus rows).
+    */
+  def unimaxAllocation(df: DataFrame, groupCol: String, weight: Column,
+      budgetFrac: Double, maxEpochs: Double): DataFrame = {
+    require(budgetFrac > 0 && maxEpochs > 0,
+      "budgetFrac and maxEpochs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(groupCol)
+      .agg(sum(weight.cast("long")).as("n_weight"))
+      .where(col("n_weight") > 0)
+    val tot = sizes.agg(sum("n_weight").as("__tot"),
+      count(lit(1)).as("__k"))
+    val ord = Window.orderBy(col("__cap").asc, col(groupCol).asc)
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = sizes.crossJoin(broadcast(tot))
+      .withColumn("__cap", col("n_weight") * lit(maxEpochs))
+      .withColumn("__budget", col("__tot") * lit(budgetFrac))
+      .withColumn("__i", row_number().over(ord))
+      .withColumn("__pre", coalesce(sum("__cap").over(pre), lit(0d)))
+      .withColumn("__capped",
+        col("__cap") * (col("__k") - col("__i") + 1) + col("__pre")
+          <= col("__budget"))
+    val level = ranked.agg(
+      coalesce(sum(when(col("__capped"), col("__cap"))), lit(0d)).as("__csum"),
+      sum(when(col("__capped"), lit(1L)).otherwise(lit(0L))).as("__m"))
+    ranked.crossJoin(broadcast(level))
+      .withColumn("__alloc",
+        when(col("__capped"), col("__cap"))
+          .otherwise((col("__budget") - col("__csum"))
+            / (col("__k") - col("__m"))))
+      .select(col(groupCol), col("n_weight"), col("__capped").as("capped"),
+        round(col("__alloc"), 4).as("alloc"),
+        round(col("__alloc") / col("n_weight"), 6).as("epochs"))
+  }
 }

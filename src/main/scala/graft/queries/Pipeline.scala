@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
-import graft.operators.{Bpe, Curation, Dedup, Eval, Graph, Layout, Mixture, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, Eval, Graph, Layout, Mixture, Multimodal, Profile, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operator surface: dedup family, similarity
   * search, text analysis, multimodal plumbing — over `documents` and
@@ -674,6 +674,35 @@ object Pipeline {
           col("b.source").as("source_b"),
           round(w1, 4).as("w1_chars"))
         .orderBy("source_a", "source_b")
+    }),
+
+    // ---- UniMax epoch-capped language sampling (Chung et al. 2023):
+    //      budget 1.2× corpus chars, 1.5-epoch cap — the tail
+    //      languages cap at 1.5 epochs, the head language (en, ~2.7×
+    //      the others) absorbs the remainder under one epoch ----
+    "q286_unimax" -> ((s, d) => {
+      Mixture.unimaxAllocation(Tables.documents(s, d), "lang",
+          col("n_chars"), budgetFrac = 1.2, maxEpochs = 1.5)
+        .orderBy("lang")
+    }),
+
+    // ---- Cohen's kappa label-quality audit on a synthetic double
+    //      annotation: rater A = gold label, rater B disagrees
+    //      (+1 mod 10) on the md5-chosen ~20% of items ----
+    "q287_cohens_kappa" -> ((s, d) => {
+      val rated = Tables.embeddings(s, d).select(
+        col("label").as("ra"),
+        when(pmod(md5Long(col("vec_id"), 7), lit(5)) === 0,
+          pmod(col("label") + 1, lit(10))).otherwise(col("label")).as("rb"))
+      Eval.cohensKappa(rated, col("ra"), col("rb"))
+    }),
+
+    // ---- PSI drift: each source's length distribution vs the pooled
+    //      corpus over the corpus decile grid (0.1/0.25 alert bands) ----
+    "q288_psi_drift" -> ((s, d) => {
+      Profile.populationStability(Tables.documents(s, d), "source", "n_chars")
+        .select(col("group").as("source"), col("n"), col("psi"))
+        .orderBy("source")
     }),
 
     // ---- external clustering eval: purity + NMI of the 8-list
@@ -3710,6 +3739,93 @@ object Pipeline {
            round(($terms) / 9, 4) AS w1_chars
          FROM decs a JOIN decs b ON a.source < b.source
          ORDER BY source_a, source_b"""
+    },
+    // uniform waterfill against caps 1.5·n: capped groups are the
+    // ascending-cap prefix where cap·(k−i+1)+prefix ≤ budget; the
+    // uncapped remainder splits the leftover evenly. Caps are exact
+    // multiples of 0.5 ⇒ every float sum here is exact and
+    // order-independent.
+    "q286_unimax" ->
+      """WITH g AS (
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_weight
+            FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+          t AS (SELECT CAST(sum(n_weight) AS BIGINT) AS tot,
+            count(*) AS k FROM g),
+          r AS (
+            SELECT lang, n_weight, n_weight * 1.5 AS cap,
+              tot * 1.2 AS budget, k,
+              row_number() OVER (ORDER BY n_weight * 1.5 ASC, lang ASC) AS i,
+              coalesce(sum(n_weight * 1.5) OVER (
+                ORDER BY n_weight * 1.5 ASC, lang ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+            FROM g CROSS JOIN t),
+          c AS (SELECT *, cap * (k - i + 1) + pre <= budget AS capped FROM r),
+          s AS (SELECT *,
+              coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0) AS csum,
+              sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS m
+            FROM c)
+         SELECT lang, n_weight, capped,
+           round(CASE WHEN capped THEN cap
+             ELSE (budget - csum) / (k - m) END, 4) AS alloc,
+           round((CASE WHEN capped THEN cap
+             ELSE (budget - csum) / (k - m) END) / n_weight, 6) AS epochs
+         FROM s ORDER BY lang""",
+    // κ = (p_o − p_e)/(1 − p_e); p_e from the marginal inner product.
+    // Integer counts until the two final divisions, identical order
+    // both engines.
+    "q287_cohens_kappa" ->
+      """WITH r AS (
+            SELECT label AS ra,
+              CASE WHEN ('0x' || substr(md5('7:' || CAST(vec_id AS VARCHAR)),
+                    1, 15))::BIGINT % 5 = 0
+                THEN (label + 1) % 10 ELSE label END AS rb
+            FROM embeddings),
+          tot AS (SELECT count(*) AS n,
+            CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+            FROM r),
+          ma AS (SELECT ra AS c, count(*) AS na FROM r GROUP BY 1),
+          mb AS (SELECT rb AS c, count(*) AS nb FROM r GROUP BY 1),
+          pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pe_num
+            FROM ma JOIN mb USING (c)),
+          f AS (SELECT n, agree,
+              CAST(agree AS DOUBLE) / n AS po,
+              CAST(pe_num AS DOUBLE) / (n * n) AS pev
+            FROM tot CROSS JOIN pe)
+         SELECT n, agree AS n_agree, round(po, 6) AS po,
+           round(pev, 6) AS pe,
+           CASE WHEN pev < 1 THEN round((po - pev) / (1 - pev), 6) END AS kappa
+         FROM f""",
+    // PSI over the corpus decile grid, +0.5 Laplace smoothing per bin
+    // (10 bins ⇒ +5 per denominator) so empty bins contribute their
+    // log-odds penalty instead of ±∞
+    "q288_psi_drift" -> {
+      val qs = (1 to 9).map(i =>
+        s"quantile_cont(x, 0.$i) AS p$i").mkString(", ")
+      val bin = (1 to 9).map(i =>
+        s"CASE WHEN x > p$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH v AS (
+            SELECT source AS g, CAST(n_chars AS DOUBLE) AS x
+            FROM documents WHERE n_chars IS NOT NULL),
+          cuts AS (SELECT $qs FROM v),
+          binned AS (SELECT g, ($bin) AS bin FROM v CROSS JOIN cuts),
+          gb AS (SELECT g, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+          gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM gb GROUP BY 1),
+          bt AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM gb GROUP BY 1),
+          tt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM gb),
+          grid AS (SELECT g, n, u.b AS bin
+            FROM gt, unnest(range(0, 10)) AS u(b)),
+          j AS (
+            SELECT grid.g, grid.n, coalesce(gb.c, 0) AS c,
+              coalesce(bt.cb, 0) AS cb, nn
+            FROM grid
+            LEFT JOIN gb ON gb.g = grid.g AND gb.bin = grid.bin
+            LEFT JOIN bt ON bt.bin = grid.bin
+            CROSS JOIN tt)
+         SELECT g AS source, n,
+           round(sum(((c + 0.5) / (n + 5.0) - (cb + 0.5) / (nn + 5.0))
+             * ln(((c + 0.5) / (n + 5.0)) / ((cb + 0.5) / (nn + 5.0)))), 6)
+             AS psi
+         FROM j GROUP BY 1, 2 ORDER BY 1"""
     },
     // q105's two-round k-means replay to the full assignment, then the
     // contingency-table purity and NMI from integer counts

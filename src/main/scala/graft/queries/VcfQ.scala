@@ -150,6 +150,10 @@ object VcfQ {
     "q219_vcf_ibs" -> ((s, _) => {
       VcfApi.ibsReport(tables(s).geno).orderBy("sample_a", "sample_b")
     }),
+    // ---- KING-robust kinship (Manichaikul 2010 / plink2 --make-king) ----
+    "q289_vcf_king" -> ((s, _) => {
+      VcfApi.kingReport(tables(s).geno).orderBy("sample_a", "sample_b")
+    }),
     // ---- folded allele-frequency spectrum ----
     "q220_vcf_afs" -> ((s, _) => {
       VcfApi.alleleFrequencySpectrum(tables(s).info).orderBy("bin")
@@ -274,6 +278,19 @@ object VcfQ {
           ('S1', 'S2', CAST(5 AS BIGINT), CAST(1 AS BIGINT),
             CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)))
          t(sample_a, sample_b, n, ibs0, ibs1, ibs2, ibs_frac)
+         ORDER BY sample_a, sample_b""",
+    // hand-computed from the q45 genotypes: shared sites (1,2,4,5,6)
+    // with dosage pairs (0,1),(2,0),(2,1),(1,0),(2,2) ⇒ both-het 0,
+    // opposite-homozygote 1 (v2), S1 het at v5, S2 het at v1,v4;
+    // φ = (0 − 2·1)/(1 + 2) = −2/3 ⇒ −0.6667 (negative = unrelated
+    // under the toy's two-sample "population structure")
+    "q289_vcf_king" ->
+      """SELECT * FROM (VALUES
+          ('S1', 'S2', CAST(5 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+            CAST(-0.6667 AS DOUBLE)))
+         t(sample_a, sample_b, n_shared, n_het_het, n_opp_homo,
+           n_het_a, n_het_b, phi)
          ORDER BY sample_a, sample_b""",
     // hand-computed from the q43 af column (0.25,0.5,0.25,0.75,0.25,1.0):
     // folded maf = (.25,.5,.25,.25,.25,0) ⇒ bins 2×4, 5×1, 0×1

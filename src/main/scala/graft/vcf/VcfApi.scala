@@ -459,6 +459,57 @@ object VcfApi {
         round(avg(lit(2d) - col("_gap")) / 2d, 4).as("ibs_frac"))
   }
 
+  /** Pairwise KING-robust kinship (Manichaikul et al. 2010, the
+    * estimator behind `king --kinship` / `plink2 --make-king`):
+    * `φ̂ = (N_Aa,Aa − 2·N_AA,aa) / (N_Aa,i + N_Aa,j)` over the sites
+    * where both samples are called — N_Aa,Aa = both heterozygous,
+    * N_AA,aa = opposite homozygotes, N_Aa,i = sample i's het count on
+    * the shared sites. Unlike [[ibsReport]]'s raw sharing fractions,
+    * φ̂ is allele-frequency-free and robust to population structure:
+    * duplicates/MZ twins → 0.5, parent-offspring → 0.25, unrelated →
+    * ≈ 0 (negative under structure). Output: `sample_a, sample_b,
+    * n_shared, n_het_het, n_opp_homo, n_het_a, n_het_b, phi` (phi
+    * rounded to 4; NULL when neither sample has a het site — the
+    * estimator is undefined on het-free pairs).
+    *
+    * Scale shape: identical to [[ibsReport]] — a geno self-join
+    * co-keyed on variant_id, ONE combinable sample-pair aggregation,
+    * integer counts until the final division, and the same
+    * `maxVariants` md5-deterministic pruned-subset bound on the
+    * O(variants · samples²) pair volume. 0 = no sampling.
+    */
+  def kingReport(geno: DataFrame, maxVariants: Long = 0L): DataFrame = {
+    val called = geno.where(col("gt").isNotNull)
+      .select(col("variant_id"), col("sample"), col("gt").cast("int").as("g"))
+    val base =
+      if (maxVariants <= 0) called
+      else {
+        val keep = called.select("variant_id").distinct()
+          .orderBy(md5(concat(lit("king:"), col("variant_id"))), col("variant_id"))
+          .limit(maxVariants.toInt)
+        called.join(keep, Seq("variant_id"), "left_semi")
+      }
+    val a = base.select(col("variant_id"), col("sample").as("sample_a"),
+      col("g").as("ga"))
+    val b = base.select(col("variant_id"), col("sample").as("sample_b"),
+      col("g").as("gb"))
+    a.join(b, Seq("variant_id"))
+      .where(col("sample_a") < col("sample_b"))
+      .groupBy("sample_a", "sample_b")
+      .agg(
+        count(lit(1)).as("n_shared"),
+        count(when(col("ga") === 1 && col("gb") === 1, lit(1)))
+          .as("n_het_het"),
+        count(when(abs(col("ga") - col("gb")) === 2, lit(1)))
+          .as("n_opp_homo"),
+        count(when(col("ga") === 1, lit(1))).as("n_het_a"),
+        count(when(col("gb") === 1, lit(1))).as("n_het_b"))
+      .withColumn("phi",
+        when(col("n_het_a") + col("n_het_b") > 0,
+          round((col("n_het_het") - lit(2) * col("n_opp_homo")).cast("double")
+            / (col("n_het_a") + col("n_het_b")), 4)))
+  }
+
   /** Bulk interval-overlap join against an arbitrary regions table
     * (columns: chr, start, end). Dispatches adaptively
     * ([[graft.operators.RangeJoin.overlapAuto]]): a regions side small

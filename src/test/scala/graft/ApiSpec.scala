@@ -280,4 +280,33 @@ class ApiSpec extends SparkSpec {
     // 1.0,0.95 fold to 0,0.05→bin 0; 0.25×2→bin 2; 0.5→bin 5
     assert(got.toSeq == Seq((0L, 0.0, 4L), (2L, 0.2, 2L), (5L, 0.5, 1L)))
   }
+
+  test("VcfApi.kingReport: duplicates score φ = 0.5, het-free pairs NULL") {
+    import spark.implicits._
+    // b duplicates a; c is a het-free constant hom-alt
+    val geno = Seq(
+      (1L, "a", 0d), (1L, "b", 0d), (1L, "c", 2d),
+      (2L, "a", 1d), (2L, "b", 1d), (2L, "c", 2d),
+      (3L, "a", 1d), (3L, "b", 1d), (3L, "c", 2d),
+      (4L, "a", 2d), (4L, "b", 2d), (4L, "c", 2d)
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.kingReport(geno)
+      .orderBy("sample_a", "sample_b").collect()
+    // (a,b) duplicates: N_Aa,Aa=2, opp-homo 0, hets 2+2 ⇒ φ = 2/4
+    assert(got(0).getAs[Double]("phi") == 0.5)
+    assert(got(0).getAs[Long]("n_het_het") == 2 &&
+      got(0).getAs[Long]("n_opp_homo") == 0)
+    // (a,c): opp-homo at v1 ⇒ φ = (0 − 2)/(2 + 0) = −1
+    assert(got(1).getAs[Double]("phi") == -1.0)
+    // (b,c) same by symmetry; and a het-free pair is undefined
+    val homOnly = geno.where($"gt" =!= 1d)
+    val nulls = graft.vcf.VcfApi.kingReport(homOnly)
+      .where($"sample_a" === "a" && $"sample_b" === "b")
+      .collect().head
+    assert(nulls.isNullAt(nulls.fieldIndex("phi")))
+    // the md5-deterministic variant cap replays identically
+    val s1 = graft.vcf.VcfApi.kingReport(geno, maxVariants = 2L).collect()
+    val s2 = graft.vcf.VcfApi.kingReport(geno, maxVariants = 2L).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+  }
 }

@@ -3310,4 +3310,65 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("chi2") == 0.0)
     assert(r.getAs[Double]("cramers_v") == 0.0)
   }
+
+  test("Mixture.unimaxAllocation: tail groups cap, head splits the rest") {
+    // caps at 2 epochs: a=20, b=20, c=160; budget = 1.0·Σn = 100.
+    // Ascending caps: a capped (20·3 ≤ 100), b capped (20·2+20 ≤ 100),
+    // c uncapped → (100 − 40)/1 = 60 → 0.75 epochs.
+    val df = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(80)("c"))
+      .toDF("g")
+    val got = Mixture.unimaxAllocation(df, "g", lit(1L),
+        budgetFrac = 1.0, maxEpochs = 2.0)
+      .orderBy("g").as[(String, Long, Boolean, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 10L, true, 20.0, 2.0),
+      ("b", 10L, true, 20.0, 2.0),
+      ("c", 80L, false, 60.0, 0.75)))
+    // Σ alloc = budget when any group is uncapped
+    assert(got.map(_._4).sum == 100.0)
+    // budget beyond total capacity: every group caps, surplus unallocated
+    val all = Mixture.unimaxAllocation(df, "g", lit(1L),
+        budgetFrac = 5.0, maxEpochs = 2.0)
+      .as[(String, Long, Boolean, Double, Double)].collect()
+    assert(all.forall(_._3) && all.map(_._4).sum == 200.0)
+  }
+
+  test("Eval.cohensKappa: perfect, chance-level, and partial agreement") {
+    val perfect = Seq((0, 0), (1, 1), (2, 2)).toDF("ra", "rb")
+    val p = Eval.cohensKappa(perfect, col("ra"), col("rb")).collect().head
+    assert(p.getAs[Long]("n_agree") == 3 && p.getAs[Double]("kappa") == 1.0)
+    // independent raters: po = pe = 0.5 ⇒ κ = 0
+    val chance = Seq((0, 0), (0, 1), (1, 0), (1, 1)).toDF("ra", "rb")
+    val c = Eval.cohensKappa(chance, col("ra"), col("rb")).collect().head
+    assert(c.getAs[Double]("po") == 0.5 && c.getAs[Double]("pe") == 0.5)
+    assert(c.getAs[Double]("kappa") == 0.0)
+    // constant raters in full agreement: pe = 1, κ undefined ⇒ NULL
+    val const = Seq((1, 1), (1, 1)).toDF("ra", "rb")
+    val k = Eval.cohensKappa(const, col("ra"), col("rb")).collect().head
+    assert(k.isNullAt(k.fieldIndex("kappa")))
+    // NULL ratings (single-annotated items) are excluded
+    val withNulls = Seq((Some(1), Some(1)), (Some(1), None), (None, Some(0)))
+      .toDF("ra", "rb")
+    val w = Eval.cohensKappa(withNulls, col("ra"), col("rb")).collect().head
+    assert(w.getAs[Long]("n") == 1)
+  }
+
+  test("Profile.populationStability: shifted group scores far above in-family") {
+    // g1/g2 dominate the pool and share its shape; the small g3 sits
+    // entirely in the top tail (PSI is vs the POOLED corpus, so a big
+    // shifted group would drag the reference deciles with it)
+    val rows = (1 to 100).map(i => ("g1", i)) ++
+      (1 to 100).map(i => ("g2", i)) ++
+      (1 to 10).map(i => ("g3", 1000 + i))
+    val got = Profile.populationStability(rows.toDF("g", "v"), "g", "v")
+      .orderBy("group").as[(String, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("g1", "g2", "g3"))
+    assert(got.map(_._2) == Seq(100L, 100L, 10L))
+    val Seq(psi1, psi2, psi3) = got.map(_._3)
+    assert(psi1 == psi2)  // identical distributions, identical score
+    assert(psi1 < 0.1)    // in-family: below the first alert band
+    assert(psi3 > 1.0)    // wholesale shift blows past the 0.25 band
+    assert(psi3 > 10 * psi1)
+  }
 }
