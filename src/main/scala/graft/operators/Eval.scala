@@ -774,4 +774,68 @@ object Eval {
           round((col("__po") - col("__pe")) / (lit(1d) - col("__pe")), 6))
           .as("kappa"))
   }
+
+  /** Split-conformal prediction audit (Vovk; Lei et al. 2018): fit a
+    * closed-form OLS line `y ~ x` on an md5-deterministic calibration
+    * half, take the conformal quantile `q̂` = the
+    * `⌈(n_cal+1)(1−α)⌉`-th smallest absolute residual on that half,
+    * and measure empirical coverage `P(|resid| ≤ q̂)` on the held-out
+    * half — the finite-sample ≥ 1−α marginal-coverage guarantee,
+    * checked on real data. Emits one row
+    * `(n_cal, n_test, qhat, coverage, ok)` with `ok` = coverage
+    * within ±tol of 1−α.
+    *
+    * Cross-engine determinism: x and y must be integer-valued (cents,
+    * counts) — the OLS sums are then exact in double regardless of
+    * summation order, so slope/intercept/residuals are bit-identical
+    * in any engine; q̂ is an exact order statistic (rank-selected, no
+    * interpolation).
+    *
+    * Scale shape: one combinable moment aggregate for the fit, one
+    * broadcast of the 1-row coefficients, and the same
+    * range-partitioned global-rank machinery as [[Percentiles]] for
+    * the order statistic — no full sort materializes on the driver,
+    * no per-group buffering.
+    */
+  def conformalAudit(df: DataFrame, id: Column, x: Column, y: Column,
+      alpha: Double = 0.1, tol: Double = 0.02,
+      salt: Int = 11): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val base = Dedup.persistTracked(df.select(
+        (pmod(md5Long(id, salt), lit(2)) === 0).as("__cal"),
+        x.cast("double").as("__x"), y.cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull))
+    val fit = base.where(col("__cal")).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val co = fit.select(col("__n"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          / (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+          .as("__slope"), col("__sx"), col("__sy"))
+      .select(col("__n"), col("__slope"),
+        ((col("__sy") - col("__slope") * col("__sx")) / col("__n"))
+          .as("__itc"))
+    val scored = Dedup.persistTracked(base.crossJoin(broadcast(co))
+      .select(col("__cal"), col("__n"),
+        abs(col("__y") - (col("__slope") * col("__x") + col("__itc")))
+          .as("__s")))
+    val ranked = Percentiles.globalSortRanks(
+      scored.where(col("__cal")).select("__s"), Seq.empty, "__s")
+    val qhat = ranked.where(col("_rn") ===
+        least(ceil((col("_n") + 1) * lit(1 - alpha)), col("_n")))
+      .agg(min("_v").as("__qhat"))
+    scored.where(!col("__cal")).crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__s") <= col("__qhat"), lit(1L)).otherwise(lit(0L)))
+          .as("__covered"),
+        max("__n").as("__ncal"), max("__qhat").as("__q"))
+      .select(col("__ncal").cast("long").as("n_cal"),
+        col("n_test"), round(col("__q"), 6).as("qhat"),
+        round(col("__covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+      .withColumn("ok",
+        abs(col("coverage") - lit(1 - alpha)) <= lit(tol))
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.md5Long
 
 /** Approximate sketches — the cardinality/frequency layer a 100 TB
   * survey runs when exact answers would dominate the job. Everything
@@ -190,5 +191,48 @@ object Sketches {
     import session.implicits._
     candidates.map(c => (c, cms.estimateCount(c)))
       .toDF(valueCol, "estimate")
+  }
+
+  /** Count-min inner-product join-size estimation audit (Cormode &
+    * Muthukrishnan 2005 §4.2): the equi-join cardinality
+    * `|A ⋈_k B| = Σ_k a_k·b_k` is upper-bounded by
+    * `min_d Σ_w cmsA[d][w]·cmsB[d][w]` — the row-wise inner product
+    * of the two sides' count-min sketches. This is the classic
+    * sketch a distributed optimizer consults BEFORE committing to a
+    * join strategy: the estimate never undercounts, and overcounts by
+    * ≤ N_a·N_b/width per row with high probability. Emits one audit
+    * row `(exact_size, est_size, rel_err, never_under)` — exact from
+    * the per-key count join, estimate from the sketches.
+    *
+    * Scale shape: each side collapses to a depth×width cell table in
+    * ONE pass (a row-local ×depth explode feeding a combinable
+    * count) — the shuffle payload IS the sketch (`depth·width` rows,
+    * metadata-scale, independent of corpus size). The exact reference
+    * is itself key-count-bounded (per-key counts, then a counts-join),
+    * never a materialized join. Hash family: [[graft.functions.md5Long]]
+    * salted by depth, cross-engine deterministic.
+    */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    def cells(df: DataFrame, key: String, out: String): DataFrame =
+      df.select(explode(array((0 until depth).map(d =>
+          struct(lit(d).as("d"),
+            pmod(md5Long(col(key), d), lit(width)).as("w"))): _*)).as("cell"))
+        .groupBy(col("cell.d").as("d"), col("cell.w").as("w"))
+        .agg(count(lit(1)).as(out))
+    val est = cells(a, aKey, "c_a").join(cells(b, bKey, "c_b"), Seq("d", "w"))
+      .groupBy("d").agg(sum(col("c_a") * col("c_b")).as("__est_d"))
+      .agg(min("__est_d").as("est_size"))
+    val exact = a.groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__na"))
+      .join(b.groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__nb")),
+        Seq("__k"))
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("exact_size"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_size"), col("est_size"),
+        when(col("exact_size") > 0,
+          round((col("est_size") - col("exact_size")).cast("double")
+            / col("exact_size"), 6)).as("rel_err"),
+        (col("est_size") >= col("exact_size")).as("never_under"))
   }
 }

@@ -521,6 +521,27 @@ object Relational {
         .orderBy("segment")
     }),
 
+    // ---- CMS inner-product join-size estimate vs the exact equi-join
+    //      cardinality: the sketch an optimizer consults before
+    //      committing to a join strategy; never undercounts ----
+    "q290_cms_join_size" -> ((s, d) => {
+      graft.operators.Sketches.cmsJoinSize(
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", depth = 4, width = 512)
+    }),
+
+    // ---- split-conformal coverage audit: OLS price ~ quantity on the
+    //      md5 calibration half, conformal quantile of |residual|,
+    //      ≥ 90% held-out coverage (integer cents keep the fit exact
+    //      cross-engine) ----
+    "q291_conformal" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.operators.Eval.conformalAudit(li,
+        concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+        round(col("l_quantity")),
+        round(col("l_extendedprice") * 100))
+    }),
+
     "q51_percentiles" -> ((s, d) => {
       graft.operators.Percentiles.exact(
           ord(s, d), Seq("o_orderpriority"), "o_totalprice",
@@ -1008,6 +1029,75 @@ object Relational {
            round(sum(rev), 2) AS revenue
          FROM l JOIN dim USING (k)
          GROUP BY segment ORDER BY segment""",
+    // two depth×width CMS cell tables (md5 salted by depth), row-wise
+    // inner product, min over depths; exact from the per-key count join
+    "q290_cms_join_size" ->
+      """WITH depths AS (SELECT unnest(range(0, 4)) AS d),
+          ac AS (
+            SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 512 AS w,
+              count(*) AS c_a
+            FROM orders CROSS JOIN depths GROUP BY 1, 2),
+          bc AS (
+            SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 512 AS w,
+              count(*) AS c_b
+            FROM customer CROSS JOIN depths GROUP BY 1, 2),
+          est AS (
+            SELECT CAST(min(s) AS BIGINT) AS est_size FROM (
+              SELECT d, sum(c_a * c_b) AS s
+              FROM ac JOIN bc USING (d, w) GROUP BY d)),
+          ex AS (
+            SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_size
+            FROM (SELECT o_custkey AS k, count(*) AS na
+                  FROM orders GROUP BY 1) a
+            JOIN (SELECT c_custkey AS k, count(*) AS nb
+                  FROM customer GROUP BY 1) b USING (k))
+         SELECT exact_size, est_size,
+           CASE WHEN exact_size > 0 THEN
+             round((est_size - exact_size) / CAST(exact_size AS DOUBLE), 6)
+           END AS rel_err,
+           est_size >= exact_size AS never_under
+         FROM ex CROSS JOIN est""",
+    // OLS on the md5 calibration half (integer-valued cents/counts ⇒
+    // exact sums), conformal quantile = rank-⌈(n+1)·0.9⌉ |residual|,
+    // coverage on the held-out half
+    "q291_conformal" ->
+      """WITH base AS (
+            SELECT ('0x' || substr(md5('11:' || CAST(l_orderkey AS VARCHAR)
+                || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                % 2 = 0 AS is_cal,
+              CAST(round(l_quantity) AS DOUBLE) AS x,
+              CAST(round(l_extendedprice * 100) AS DOUBLE) AS y
+            FROM lineitem),
+          f AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+              sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM base WHERE is_cal),
+          co AS (
+            SELECT n, slope, (sy - slope * sx) / n AS itc FROM (
+              SELECT n, sx, sy,
+                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+              FROM f)),
+          scored AS (
+            SELECT is_cal, abs(y - (slope * x + itc)) AS s
+            FROM base CROSS JOIN co),
+          cal AS (
+            SELECT s, row_number() OVER (ORDER BY s) AS rn
+            FROM scored WHERE is_cal),
+          q AS (
+            SELECT min(s) AS qhat FROM cal CROSS JOIN co
+            WHERE rn = least(ceil((n + 1) * 0.9), n)),
+          t AS (
+            SELECT count(*) AS n_test,
+              CAST(sum(CASE WHEN s <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+                AS covered
+            FROM scored CROSS JOIN q WHERE NOT is_cal)
+         SELECT CAST(n AS BIGINT) AS n_cal, n_test,
+           round(qhat, 6) AS qhat,
+           round(CAST(covered AS DOUBLE) / n_test, 6) AS coverage,
+           abs(round(CAST(covered AS DOUBLE) / n_test, 6) - 0.9) <= 0.02 AS ok
+         FROM co CROSS JOIN q CROSS JOIN t""",
     // per-key counts → power-of-two histogram; the 1e-9 epsilon absorbs
     // the libm ulp of ln(f)/ln 2 at exact powers of two
     "q244_key_skew" ->

@@ -3354,6 +3354,43 @@ class OperatorsSpec extends SparkSpec {
     assert(w.getAs[Long]("n") == 1)
   }
 
+  test("Sketches.cmsJoinSize: single-key inner product is exact, never under") {
+    val a = Seq.fill(3)("k").toDF("ka")
+    val b = Seq.fill(4)("k").toDF("kb")
+    val r = Sketches.cmsJoinSize(a, "ka", b, "kb").collect().head
+    // one key per side ⇒ every depth's inner product is exactly 3·4
+    assert(r.getAs[Long]("exact_size") == 12L)
+    assert(r.getAs[Long]("est_size") == 12L)
+    assert(r.getAs[Double]("rel_err") == 0.0)
+    assert(r.getAs[Boolean]("never_under"))
+    // multi-key: estimate bounded below by exact (CMS contract)
+    val ma = (1 to 50).map(i => s"u${i % 7}").toDF("ka")
+    val mb = (1 to 80).map(i => s"u${i % 11}").toDF("kb")
+    val m = Sketches.cmsJoinSize(ma, "ka", mb, "kb").collect().head
+    assert(m.getAs[Boolean]("never_under"))
+    assert(m.getAs[Long]("est_size") >= m.getAs[Long]("exact_size"))
+    // disjoint key spaces: exact 0, rel_err undefined ⇒ NULL
+    val d = Sketches.cmsJoinSize(
+      Seq("x").toDF("ka"), "ka", Seq("y").toDF("kb"), "kb").collect().head
+    assert(d.getAs[Long]("exact_size") == 0L)
+    assert(d.isNullAt(d.fieldIndex("rel_err")))
+  }
+
+  test("Eval.conformalAudit: perfect fit covers everything, halves partition") {
+    val df = (1 to 400).map(i => (i.toLong, i.toLong, 2L * i)).toDF("id", "x", "y")
+    val r = Eval.conformalAudit(df, col("id"), col("x"), col("y"))
+      .collect().head
+    // exact linear relation ⇒ zero residuals everywhere
+    assert(r.getAs[Double]("qhat") == 0.0)
+    assert(r.getAs[Double]("coverage") == 1.0)
+    assert(!r.getAs[Boolean]("ok")) // 100% ≠ 90% ± 2% — over-covers
+    assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") == 400L)
+    // the md5 split is deterministic: same inputs, same halves
+    val r2 = Eval.conformalAudit(df, col("id"), col("x"), col("y"))
+      .collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("Profile.populationStability: shifted group scores far above in-family") {
     // g1/g2 dominate the pool and share its shape; the small g3 sits
     // entirely in the top tail (PSI is vs the POOLED corpus, so a big
