@@ -154,6 +154,14 @@ object VcfQ {
     "q289_vcf_king" -> ((s, _) => {
       VcfApi.kingReport(tables(s).geno).orderBy("sample_a", "sample_b")
     }),
+    // ---- genetic relationship matrix (GCTA --make-grm shape) ----
+    "q292_vcf_grm" -> ((s, _) => {
+      VcfApi.grmReport(tables(s).geno).orderBy("sample_a", "sample_b")
+    }),
+    // ---- per-sample heterozygosity / inbreeding F (plink --het) ----
+    "q293_vcf_het" -> ((s, _) => {
+      VcfApi.hetReport(tables(s).geno).orderBy("sample")
+    }),
     // ---- folded allele-frequency spectrum ----
     "q220_vcf_afs" -> ((s, _) => {
       VcfApi.alleleFrequencySpectrum(tables(s).info).orderBy("bin")
@@ -292,6 +300,29 @@ object VcfQ {
          t(sample_a, sample_b, n_shared, n_het_het, n_opp_homo,
            n_het_a, n_het_b, phi)
          ORDER BY sample_a, sample_b""",
+    // hand-computed: cohort p̂ = (.25,.5,.5,.75,.25,1); v6 monomorphic
+    // excluded, v3 missing for S1. Standardized products
+    // (g−2p)(g'−2p)/(2p(1−p)): S1·S1 = (.667+2+.667+.667)/4 = 1;
+    // S1·S2 = (−.667−2−.667−.667)/4 = −1;
+    // S2·S2 = (.667+2+0+.667+.667)/5 = 0.8
+    "q292_vcf_grm" ->
+      """SELECT * FROM (VALUES
+          ('S1', 'S1', CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE)),
+          ('S1', 'S2', 4, -1.0),
+          ('S2', 'S2', 5, 0.8))
+         t(sample_a, sample_b, m_variants, grm)
+         ORDER BY sample_a, sample_b""",
+    // hand-computed: polymorphic sites per sample — S1: v1,v2,v4,v5,
+    // hom at v1,v2,v4 ⇒ O=3, E = .625+.5+.625+.625 = 2.375,
+    // F = (3−2.375)/(4−2.375) = 0.3846; S2: v1–v5, hom at v2,v5 ⇒
+    // O=2, E = 2.875, F = (2−2.875)/(5−2.875) = −0.4118
+    "q293_vcf_het" ->
+      """SELECT * FROM (VALUES
+          ('S1', CAST(4 AS BIGINT), CAST(3 AS BIGINT),
+            CAST(2.375 AS DOUBLE), CAST(0.3846 AS DOUBLE)),
+          ('S2', 5, 2, 2.875, -0.4118))
+         t(sample, m_sites, o_hom, e_hom, f)
+         ORDER BY sample""",
     // hand-computed from the q43 af column (0.25,0.5,0.25,0.75,0.25,1.0):
     // folded maf = (.25,.5,.25,.25,.25,0) ⇒ bins 2×4, 5×1, 0×1
     "q220_vcf_afs" ->

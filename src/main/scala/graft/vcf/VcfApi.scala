@@ -510,6 +510,86 @@ object VcfApi {
             / (col("n_het_a") + col("n_het_b")), 4)))
   }
 
+  /** Genetic relationship matrix, GCTA/VanRaden per-marker-standardized
+    * form (`gcta --make-grm` / `plink --make-rel`): for samples i, j,
+    * `G_ij = (1/M_ij) Σ_m (g_im − 2p_m)(g_jm − 2p_m) / (2p_m(1−p_m))`
+    * over the markers where both are called, with `p̂_m` = cohort
+    * allele frequency (mean dosage / 2 over called samples) and
+    * monomorphic sites (p̂ ∈ {0, 1}) excluded — the matrix GWAS mixed
+    * models and PCA-based ancestry analyses consume. Includes the
+    * diagonal (`sample_a = sample_b`, the 1+F self-relationship).
+    * Output: `sample_a, sample_b, m_variants, grm` (rounded to 4).
+    *
+    * Scale shape: the allele-frequency pass is one combinable
+    * per-variant aggregate joined back on the variant key (both sides
+    * already partitioned by it — no re-key); then the same co-keyed
+    * self-join + ONE combinable pair aggregation as [[ibsReport]],
+    * with the identical `maxVariants` md5-pruned bound on the
+    * O(variants · samples²) pair volume. 0 = no sampling.
+    */
+  def grmReport(geno: DataFrame, maxVariants: Long = 0L): DataFrame = {
+    val called = geno.where(col("gt").isNotNull)
+      .select(col("variant_id"), col("sample"),
+        col("gt").cast("double").as("g"))
+    val base =
+      if (maxVariants <= 0) called
+      else {
+        val keep = called.select("variant_id").distinct()
+          .orderBy(md5(concat(lit("grm:"), col("variant_id"))), col("variant_id"))
+          .limit(maxVariants.toInt)
+        called.join(keep, Seq("variant_id"), "left_semi")
+      }
+    val af = base.groupBy("variant_id")
+      .agg((avg("g") / 2d).as("p"))
+      .where(col("p") > 0d && col("p") < 1d)
+    val std = base.join(af, Seq("variant_id"))
+      .select(col("variant_id"), col("sample"),
+        (col("g") - lit(2d) * col("p")).as("z"),
+        (lit(2d) * col("p") * (lit(1d) - col("p"))).as("d"))
+    val a = std.select(col("variant_id"), col("sample").as("sample_a"),
+      col("z").as("za"), col("d"))
+    val b = std.select(col("variant_id"), col("sample").as("sample_b"),
+      col("z").as("zb"))
+    a.join(b, Seq("variant_id"))
+      .where(col("sample_a") <= col("sample_b"))
+      .groupBy("sample_a", "sample_b")
+      .agg(count(lit(1)).as("m_variants"),
+        round(sum(col("za") * col("zb") / col("d")) / count(lit(1)), 4)
+          .as("grm"))
+  }
+
+  /** Per-sample heterozygosity / inbreeding coefficient (plink
+    * `--het`): over the polymorphic sites where the sample is called,
+    * `F = (O_hom − E_hom)/(M − E_hom)` with observed homozygote count
+    * `O_hom = #{g ∈ {0, 2}}` and the HWE expectation
+    * `E_hom = Σ_m (1 − 2p̂_m(1−p̂_m))` from cohort allele frequencies
+    * (no small-sample correction; monomorphic sites excluded). The
+    * per-sample QC that flags sample contamination (F ≪ 0, excess
+    * hets) and consanguinity (F ≫ 0). Output:
+    * `sample, m_sites, o_hom, e_hom, f` (e_hom/f rounded to 4).
+    *
+    * Scale shape: one per-variant frequency aggregate, one co-keyed
+    * join back, ONE combinable per-sample aggregation — linear in
+    * geno rows, no pair blow-up.
+    */
+  def hetReport(geno: DataFrame): DataFrame = {
+    val called = geno.where(col("gt").isNotNull)
+      .select(col("variant_id"), col("sample"),
+        col("gt").cast("double").as("g"))
+    val af = called.groupBy("variant_id")
+      .agg((avg("g") / 2d).as("p"))
+      .where(col("p") > 0d && col("p") < 1d)
+    called.join(af, Seq("variant_id"))
+      .groupBy("sample")
+      .agg(count(lit(1)).as("m_sites"),
+        count(when(col("g") === 0d || col("g") === 2d, lit(1))).as("o_hom"),
+        sum(lit(1d) - lit(2d) * col("p") * (lit(1d) - col("p"))).as("__e"))
+      .select(col("sample"), col("m_sites"), col("o_hom"),
+        round(col("__e"), 4).as("e_hom"),
+        round((col("o_hom") - col("__e"))
+          / (col("m_sites") - col("__e")), 4).as("f"))
+  }
+
   /** Bulk interval-overlap join against an arbitrary regions table
     * (columns: chr, start, end). Dispatches adaptively
     * ([[graft.operators.RangeJoin.overlapAuto]]): a regions side small

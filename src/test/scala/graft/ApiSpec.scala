@@ -309,4 +309,34 @@ class ApiSpec extends SparkSpec {
     val s2 = graft.vcf.VcfApi.kingReport(geno, maxVariants = 2L).collect()
     assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
   }
+
+  test("VcfApi.grmReport: standardized products, monomorphic sites excluded") {
+    import spark.implicits._
+    // v1 is polymorphic (p = 0.5); v2 is monomorphic hom-alt (excluded)
+    val geno = Seq(
+      (1L, "a", 0d), (1L, "b", 2d),
+      (2L, "a", 2d), (2L, "b", 2d)
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.grmReport(geno)
+      .orderBy("sample_a", "sample_b").collect()
+    // only v1 contributes: (g−1)²/0.5 diag = 2; cross = (−1·1)/0.5 = −2
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getAs[Double]("grm"))).toSeq == Seq(
+      ("a", "a", 1L, 2.0), ("a", "b", 1L, -2.0), ("b", "b", 1L, 2.0)))
+  }
+
+  test("VcfApi.hetReport: an all-het cohort scores F = −1") {
+    import spark.implicits._
+    val geno = Seq(
+      (1L, "a", 1d), (1L, "b", 1d),
+      (2L, "a", 1d), (2L, "b", 1d)
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.hetReport(geno).orderBy("sample").collect()
+    // p̂ = 0.5 at both sites ⇒ E_hom = 0.5·2 = 1; O_hom = 0 ⇒ F = −1
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("m_sites") == 2 && r.getAs[Long]("o_hom") == 0)
+      assert(r.getAs[Double]("e_hom") == 1.0 && r.getAs[Double]("f") == -1.0)
+    }
+  }
 }
