@@ -590,6 +590,80 @@ object VcfApi {
           / (col("m_sites") - col("__e")), 4).as("f"))
   }
 
+  /** Mendelian-inheritance error check (plink `--mendel`): for each
+    * trio and biallelic site where father, mother and child are all
+    * called, the child's dosage must be reachable as one transmitted
+    * allele per parent — a parent with dosage 0/1/2 can transmit
+    * {0}/{0,1}/{1} — so the feasible range is
+    * `[⌊f/2⌋·? ...]`: `c_min = [f=2] + [m=2]`, `c_max = 2 − [f=0] −
+    * [m=0]`, and `c ∉ [c_min, c_max]` is a Mendel error (covers the
+    * classic codes: 0×0→het/hom-alt child, 2×2→non-hom child,
+    * 0×2→non-het child, hom×het→opposite-hom child). Emits one row
+    * per trio: `(father, mother, child, n_tested, n_errors, error_rate)`
+    * (rate rounded to 4; trios with no jointly-called site are
+    * omitted). The de-novo/genotyping-error QC every family cohort
+    * runs before association analysis.
+    *
+    * Scale shape: the trio list is a dimension table (broadcast);
+    * three co-keyed variant joins pull each member's dosage without
+    * re-partitioning geno, then ONE combinable per-trio aggregation.
+    * Cost O(sites · trios), linear in geno rows for disjoint trios.
+    */
+  def mendelReport(geno: DataFrame, trios: DataFrame): DataFrame = {
+    val called = geno.where(col("gt").isNotNull)
+      .select(col("variant_id"), col("sample"), col("gt").cast("int").as("g"))
+    def side(role: String) = called
+      .select(col("variant_id"), col("sample").as(role),
+        col("g").as(s"g_$role"))
+    val fm = side("father").join(side("mother"), Seq("variant_id"))
+    val fmc = broadcast(trios).join(fm, Seq("father", "mother"))
+      .join(side("child"), Seq("variant_id", "child"))
+    val cMin = (col("g_father") === 2).cast("int") +
+      (col("g_mother") === 2).cast("int")
+    val cMax = lit(2) - (col("g_father") === 0).cast("int") -
+      (col("g_mother") === 0).cast("int")
+    fmc.withColumn("__err",
+        (col("g_child") < cMin || col("g_child") > cMax).cast("long"))
+      .groupBy("father", "mother", "child")
+      .agg(count(lit(1)).as("n_tested"), sum("__err").as("n_errors"))
+      .withColumn("error_rate",
+        round(col("n_errors").cast("double") / col("n_tested"), 4))
+  }
+
+  /** Polygenic score (plink `--score` with mean imputation): per
+    * sample, `PRS = Σ_m w_m·g_m`, substituting the cohort mean dosage
+    * `2p̂_m` when the sample's call is missing (plink's
+    * `--score ... no-mean-imputation` OFF default) — the summary
+    * statistic precision-medicine pipelines compute for every sample
+    * against published GWAS weights. Emits
+    * `(sample, n_used, n_imputed, score)` (score rounded to 4).
+    * Weight rows for variants absent from geno contribute nothing.
+    *
+    * Scale shape: the weights join is co-keyed on the variant id
+    * (weights tables are ≤ a few million rows — broadcastable; the
+    * hint is left to AQE since published scores range from 10² to
+    * 10⁷ variants), missing calls come from the SAME join (a full
+    * per-(variant, sample) grid is never materialized — geno is
+    * dense per contract, NULL gt = missing call), and the score is
+    * ONE combinable per-sample aggregation.
+    */
+  def prsReport(geno: DataFrame, weights: DataFrame): DataFrame = {
+    val af = geno.where(col("gt").isNotNull)
+      .groupBy("variant_id")
+      .agg((avg(col("gt").cast("double")) / 2d).as("__p"))
+    geno.join(weights, Seq("variant_id"))
+      .join(af, Seq("variant_id"), "left")
+      .select(col("sample"),
+        col("gt").isNotNull.as("__called"),
+        when(col("gt").isNotNull, col("weight") * col("gt"))
+          .otherwise(col("weight") * (lit(2d) * coalesce(col("__p"), lit(0d))))
+          .as("__term"))
+      .groupBy("sample")
+      .agg(count(when(col("__called"), lit(1))).as("n_used"),
+        count(when(!col("__called"), lit(1))).as("n_imputed"),
+        round(sum("__term"), 4).as("score"))
+  }
+
   /** Bulk interval-overlap join against an arbitrary regions table
     * (columns: chr, start, end). Dispatches adaptively
     * ([[graft.operators.RangeJoin.overlapAuto]]): a regions side small
