@@ -273,14 +273,21 @@ object Layout {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     Seq(s"${name}_${uniq}_l", s"${name}_${uniq}_r").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val p = new java.io.File(new java.net.URI(
-        if (wh.contains(":/")) s"$wh/$t" else s"file:$wh/$t"))
-      if (p.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      // [[bucketedCoLocatedJoin]] writes through an explicit `path`
+      // option (external table), so DROP TABLE removes only the catalog
+      // entry — the files need this sweep. Hadoop FileSystem (not
+      // java.io.File) so any warehouse scheme — file://, hdfs://,
+      // s3a:// — works; both the as-written casing and the catalog's
+      // lowercased form are tried. Best-effort per table: a sweep
+      // failure must not leave the OTHER table undropped.
+      try {
+        val conf = spark.sessionState.newHadoopConf()
+        Seq(t, t.toLowerCase(java.util.Locale.ROOT)).distinct.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(wh, d)
+          val fs = p.getFileSystem(conf)
+          if (fs.exists(p)) { fs.delete(p, true); () }
         }
-        rm(p)
-      }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -162,6 +162,43 @@ object VcfQ {
     "q293_vcf_het" -> ((s, _) => {
       VcfApi.hetReport(tables(s).geno).orderBy("sample")
     }),
+    // ---- Mendelian-error trio check (plink --mendel): a family
+    //      fixture exercising every feasible-range edge — 0×0, 2×2,
+    //      0×2 and hom×het violations, a missing-call exclusion, two
+    //      trios sharing parents, and a non-family sample that must
+    //      never enter the join ----
+    "q294_vcf_mendel" -> ((s, _) => {
+      import s.implicits._
+      val geno = Seq(
+        // (variant, sample, gt): F1×M1 parents, children C1/C2, X1 loose
+        (1L, "F1", Some(0d)), (1L, "M1", Some(0d)), (1L, "C1", Some(1d)),
+        (1L, "C2", Some(0d)), (1L, "X1", Some(1d)),
+        (2L, "F1", Some(2d)), (2L, "M1", Some(2d)), (2L, "C1", Some(1d)),
+        (2L, "C2", Some(2d)), (2L, "X1", Some(1d)),
+        (3L, "F1", Some(0d)), (3L, "M1", Some(2d)), (3L, "C1", Some(0d)),
+        (3L, "C2", Some(1d)), (3L, "X1", Some(1d)),
+        (4L, "F1", Some(2d)), (4L, "M1", Some(1d)), (4L, "C1", Some(0d)),
+        (4L, "C2", Some(1d)), (4L, "X1", Some(1d)),
+        (5L, "F1", Some(1d)), (5L, "M1", Some(1d)), (5L, "C1", Some(2d)),
+        (5L, "C2", Some(1d)), (5L, "X1", Some(1d)),
+        (6L, "F1", Some(0d)), (6L, "M1", Some(2d)), (6L, "C1", Some(1d)),
+        (6L, "C2", Some(2d)), (6L, "X1", Some(1d)),
+        (7L, "F1", Some(2d)), (7L, "M1", None), (7L, "C1", Some(1d)),
+        (7L, "C2", Some(2d)), (7L, "X1", Some(1d))
+      ).toDF("variant_id", "sample", "gt")
+      val trios = Seq(("F1", "M1", "C1"), ("F1", "M1", "C2"))
+        .toDF("father", "mother", "child")
+      VcfApi.mendelReport(geno, trios).orderBy("father", "mother", "child")
+    }),
+    // ---- polygenic score (plink --score 'sum' + mean imputation)
+    //      over the toy geno: S1's missing v3 call imputes to 2p̂,
+    //      weight rows for a variant absent from geno (id 7) vanish ----
+    "q295_vcf_prs" -> ((s, _) => {
+      import s.implicits._
+      val weights = Seq((1L, 0.5), (3L, -1.0), (5L, 2.0), (7L, 10.0))
+        .toDF("variant_id", "weight")
+      VcfApi.prsReport(tables(s).geno, weights).orderBy("sample")
+    }),
     // ---- folded allele-frequency spectrum ----
     "q220_vcf_afs" -> ((s, _) => {
       VcfApi.alleleFrequencySpectrum(tables(s).info).orderBy("bin")
@@ -322,6 +359,30 @@ object VcfQ {
             CAST(2.375 AS DOUBLE), CAST(0.3846 AS DOUBLE)),
           ('S2', 5, 2, 2.875, -0.4118))
          t(sample, m_sites, o_hom, e_hom, f)
+         ORDER BY sample""",
+    // hand-computed per trio over jointly-called sites 1-6 (v7 drops —
+    // M1 uncalled): C1 errs at v1 (0×0→het), v2 (2×2→het),
+    // v3 (0×2→hom-ref), v4 (2×1→opposite hom) and passes v5 (het×het
+    // is unconstrained) and v6 (0×2→het) ⇒ 4/6; C2's only err is v6
+    // (0×2→hom-alt) ⇒ 1/6
+    "q294_vcf_mendel" ->
+      """SELECT * FROM (VALUES
+          ('F1', 'M1', 'C1', CAST(6 AS BIGINT), CAST(4 AS BIGINT),
+            CAST(0.6667 AS DOUBLE)),
+          ('F1', 'M1', 'C2', 6, 1, 0.1667))
+         t(father, mother, child, n_tested, n_errors, error_rate)
+         ORDER BY father, mother, child""",
+    // hand-computed from the q45 genotypes: weighted variants present
+    // in geno are 1, 3, 5 (w = .5, −1, 2; id 7 contributes nothing).
+    // S1: .5·0 + (−1)·(2p̂₃ = 1.0, imputed — v3 call missing) + 2·1
+    // = 1.0 with 2 used / 1 imputed; S2 (all called): .5·1 − 1·1 + 2·0
+    // = −0.5
+    "q295_vcf_prs" ->
+      """SELECT * FROM (VALUES
+          ('S1', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(1.0 AS DOUBLE)),
+          ('S2', 3, 0, -0.5))
+         t(sample, n_used, n_imputed, score)
          ORDER BY sample""",
     // hand-computed from the q43 af column (0.25,0.5,0.25,0.75,0.25,1.0):
     // folded maf = (.25,.5,.25,.25,.25,0) ⇒ bins 2×4, 5×1, 0×1

@@ -430,9 +430,50 @@ object VcfApi {
     * production bound is `maxVariants`: an md5-lowest deterministic
     * variant sample (the PLINK practice of estimating IBS on a pruned
     * subset), keeping cost O(maxVariants · S²) independent of corpus
-    * size. 0 = no sampling.
+    * size. 0 = no sampling. `sampleBlocks` > 1 additionally
+    * grid-partitions the pair space ([[samplePairGrid]], the KING
+    * `--parallel` decomposition) so no single task ever materializes
+    * more than ⌈S/B⌉² pairs of a variant — the knob that keeps biobank
+    * sample width (100k+) from turning the self-join into one
+    * S²-sized straggler partition.
     */
-  def ibsReport(geno: DataFrame, maxVariants: Long = 0L): DataFrame = {
+  /** Grid-blocked sample-pair self-join shared by [[ibsReport]],
+    * [[kingReport]] and [[grmReport]] — the KING `--parallel`
+    * decomposition. `a`/`b` carry (variant_id, sample_a/sample_b,
+    * payload…). With `sampleBlocks` ≤ 1 this is the plain variant-keyed
+    * self-join: total pair volume O(variants·S²), but every pair of a
+    * variant lands in ONE task — a straggler (and a single shuffle
+    * partition of S² rows) at biobank sample width. With B > 1 each
+    * sample hashes to a block and each row is replicated across the
+    * opposing block axis, so the join key becomes
+    * (variant_id, block_a, block_b): every pair still appears exactly
+    * once, but a task's pair volume is bounded by ⌈S/B⌉² per variant —
+    * B² grid cells that schedule independently. Input inflation is B×
+    * per side, asymptotically free while B ≪ S (the pair OUTPUT, which
+    * is unchanged, dominates). Keeps `_ba`/`_bb` for the scale spec;
+    * public callers drop them.
+    */
+  private[graft] def samplePairGrid(a: DataFrame, b: DataFrame,
+      includeDiagonal: Boolean, sampleBlocks: Int): DataFrame = {
+    val pairPred =
+      if (includeDiagonal) col("sample_a") <= col("sample_b")
+      else col("sample_a") < col("sample_b")
+    if (sampleBlocks <= 1)
+      a.join(b, Seq("variant_id")).where(pairPred)
+        .withColumn("_ba", lit(0)).withColumn("_bb", lit(0))
+    else {
+      val nB = sampleBlocks
+      def blockOf(c: Column) = pmod(xxhash64(c), lit(nB.toLong)).cast("int")
+      val aExp = a.withColumn("_ba", blockOf(col("sample_a")))
+        .withColumn("_bb", explode(sequence(lit(0), lit(nB - 1))))
+      val bExp = b.withColumn("_bb", blockOf(col("sample_b")))
+        .withColumn("_ba", explode(sequence(lit(0), lit(nB - 1))))
+      aExp.join(bExp, Seq("variant_id", "_ba", "_bb")).where(pairPred)
+    }
+  }
+
+  def ibsReport(geno: DataFrame, maxVariants: Long = 0L,
+      sampleBlocks: Int = 1): DataFrame = {
     val called = geno.where(col("gt").isNotNull)
       .select(col("variant_id"), col("sample"), col("gt").cast("int").as("g"))
     val base =
@@ -447,8 +488,7 @@ object VcfApi {
       col("g").as("ga"))
     val b = base.select(col("variant_id"), col("sample").as("sample_b"),
       col("g").as("gb"))
-    a.join(b, Seq("variant_id"))
-      .where(col("sample_a") < col("sample_b"))
+    samplePairGrid(a, b, includeDiagonal = false, sampleBlocks)
       .withColumn("_gap", abs(col("ga") - col("gb")))
       .groupBy("sample_a", "sample_b")
       .agg(
@@ -476,9 +516,11 @@ object VcfApi {
     * co-keyed on variant_id, ONE combinable sample-pair aggregation,
     * integer counts until the final division, and the same
     * `maxVariants` md5-deterministic pruned-subset bound on the
-    * O(variants · samples²) pair volume. 0 = no sampling.
+    * O(variants · samples²) pair volume (0 = no sampling) and the same
+    * `sampleBlocks` grid decomposition for biobank sample width.
     */
-  def kingReport(geno: DataFrame, maxVariants: Long = 0L): DataFrame = {
+  def kingReport(geno: DataFrame, maxVariants: Long = 0L,
+      sampleBlocks: Int = 1): DataFrame = {
     val called = geno.where(col("gt").isNotNull)
       .select(col("variant_id"), col("sample"), col("gt").cast("int").as("g"))
     val base =
@@ -493,8 +535,7 @@ object VcfApi {
       col("g").as("ga"))
     val b = base.select(col("variant_id"), col("sample").as("sample_b"),
       col("g").as("gb"))
-    a.join(b, Seq("variant_id"))
-      .where(col("sample_a") < col("sample_b"))
+    samplePairGrid(a, b, includeDiagonal = false, sampleBlocks)
       .groupBy("sample_a", "sample_b")
       .agg(
         count(lit(1)).as("n_shared"),
@@ -525,9 +566,11 @@ object VcfApi {
     * already partitioned by it — no re-key); then the same co-keyed
     * self-join + ONE combinable pair aggregation as [[ibsReport]],
     * with the identical `maxVariants` md5-pruned bound on the
-    * O(variants · samples²) pair volume. 0 = no sampling.
+    * O(variants · samples²) pair volume (0 = no sampling) and the same
+    * `sampleBlocks` grid decomposition for biobank sample width.
     */
-  def grmReport(geno: DataFrame, maxVariants: Long = 0L): DataFrame = {
+  def grmReport(geno: DataFrame, maxVariants: Long = 0L,
+      sampleBlocks: Int = 1): DataFrame = {
     val called = geno.where(col("gt").isNotNull)
       .select(col("variant_id"), col("sample"),
         col("gt").cast("double").as("g"))
@@ -550,8 +593,7 @@ object VcfApi {
       col("z").as("za"), col("d"))
     val b = std.select(col("variant_id"), col("sample").as("sample_b"),
       col("z").as("zb"))
-    a.join(b, Seq("variant_id"))
-      .where(col("sample_a") <= col("sample_b"))
+    samplePairGrid(a, b, includeDiagonal = true, sampleBlocks)
       .groupBy("sample_a", "sample_b")
       .agg(count(lit(1)).as("m_variants"),
         round(sum(col("za") * col("zb") / col("d")) / count(lit(1)), 4)
@@ -604,19 +646,29 @@ object VcfApi {
     * omitted). The de-novo/genotyping-error QC every family cohort
     * runs before association analysis.
     *
-    * Scale shape: the trio list is a dimension table (broadcast);
-    * three co-keyed variant joins pull each member's dosage without
-    * re-partitioning geno, then ONE combinable per-trio aggregation.
-    * Cost O(sites · trios), linear in geno rows for disjoint trios.
+    * Scale shape: the trio list is a dimension table (broadcast), and
+    * it attaches to the FATHER side BEFORE any variant-keyed join —
+    * each (site, father) row expands only to that father's trios, and
+    * the mother/child dosages arrive through plain equi-joins on
+    * (variant_id, member). Each side is also semi-filtered to the
+    * samples actually playing that role, so non-family cohort samples
+    * never enter the join at all. The per-variant intermediate is
+    * therefore one row per (site, trio) — never the called-samples ×
+    * called-samples grid a variant-keyed parent self-join would build
+    * (≈6.3M pairs/variant at 2,504 samples). Cost O(sites · trios),
+    * then ONE combinable per-trio aggregation.
     */
   def mendelReport(geno: DataFrame, trios: DataFrame): DataFrame = {
     val called = geno.where(col("gt").isNotNull)
       .select(col("variant_id"), col("sample"), col("gt").cast("int").as("g"))
     def side(role: String) = called
+      .join(broadcast(trios.select(col(role).as("sample")).distinct()),
+        Seq("sample"), "left_semi")
       .select(col("variant_id"), col("sample").as(role),
         col("g").as(s"g_$role"))
-    val fm = side("father").join(side("mother"), Seq("variant_id"))
-    val fmc = broadcast(trios).join(fm, Seq("father", "mother"))
+    val fmc = side("father")
+      .join(broadcast(trios), Seq("father"))
+      .join(side("mother"), Seq("variant_id", "mother"))
       .join(side("child"), Seq("variant_id", "child"))
     val cMin = (col("g_father") === 2).cast("int") +
       (col("g_mother") === 2).cast("int")
@@ -630,12 +682,13 @@ object VcfApi {
         round(col("n_errors").cast("double") / col("n_tested"), 4))
   }
 
-  /** Polygenic score (plink `--score` with mean imputation): per
-    * sample, `PRS = Σ_m w_m·g_m`, substituting the cohort mean dosage
-    * `2p̂_m` when the sample's call is missing (plink's
-    * `--score ... no-mean-imputation` OFF default) — the summary
-    * statistic precision-medicine pipelines compute for every sample
-    * against published GWAS weights. Emits
+  /** Polygenic score, the plink `--score ... sum` form: per sample,
+    * `PRS = Σ_m w_m·g_m`, substituting the cohort mean dosage `2p̂_m`
+    * when the sample's call is missing (mean imputation, plink's
+    * behavior when `no-mean-imputation` is NOT given). Note plink's
+    * `--score` DEFAULT divides by the allele-observation count and
+    * reports a per-variant average — this is the `sum` modifier's
+    * semantics, the form PRS meta-analyses typically exchange. Emits
     * `(sample, n_used, n_imputed, score)` (score rounded to 4).
     * Weight rows for variants absent from geno contribute nothing.
     *

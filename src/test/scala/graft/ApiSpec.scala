@@ -325,6 +325,56 @@ class ApiSpec extends SparkSpec {
       ("a", "a", 1L, 2.0), ("a", "b", 1L, -2.0), ("b", "b", 1L, 2.0)))
   }
 
+  test("VcfApi.mendelReport: feasible-range edges, missing calls, trio scope") {
+    import spark.implicits._
+    // one site per classic error code plus the passes that bracket it
+    val geno = Seq(
+      (1L, "F", Some(0d)), (1L, "M", Some(0d)), (1L, "C", Some(2d)), // 0×0→hom-alt: err
+      (2L, "F", Some(0d)), (2L, "M", Some(0d)), (2L, "C", Some(0d)), // 0×0→hom-ref: ok
+      (3L, "F", Some(2d)), (3L, "M", Some(2d)), (3L, "C", Some(0d)), // 2×2→hom-ref: err
+      (4L, "F", Some(0d)), (4L, "M", Some(2d)), (4L, "C", Some(1d)), // 0×2→het: ok
+      (5L, "F", Some(0d)), (5L, "M", Some(2d)), (5L, "C", Some(2d)), // 0×2→hom: err
+      (6L, "F", Some(2d)), (6L, "M", Some(1d)), (6L, "C", Some(0d)), // hom×het→opp hom: err
+      (7L, "F", Some(2d)), (7L, "M", Some(1d)), (7L, "C", Some(1d)), // hom×het→het: ok
+      (8L, "F", None), (8L, "M", Some(1d)), (8L, "C", Some(2d)), // father uncalled: drop
+      // a non-family sample must never produce a trio row
+      (1L, "Z", Some(1d)), (3L, "Z", Some(1d))
+    ).toDF("variant_id", "sample", "gt")
+    val trios = Seq(("F", "M", "C")).toDF("father", "mother", "child")
+    val got = graft.vcf.VcfApi.mendelReport(geno, trios).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == (("F", "M", "C")))
+    assert(r.getAs[Long]("n_tested") == 7 && r.getAs[Long]("n_errors") == 4)
+    assert(r.getAs[Double]("error_rate") == 0.5714)
+    // a trio with no jointly-called site is omitted, not zero-row'd
+    val none = graft.vcf.VcfApi.mendelReport(
+      geno.where($"variant_id" === 8L), trios).collect()
+    assert(none.isEmpty)
+  }
+
+  test("VcfApi.prsReport: mean imputation, absent weights drop, sum semantics") {
+    import spark.implicits._
+    // v1: a called 2, b missing — p̂ = 1 ⇒ b imputes dosage 2p̂ = 2
+    // v2: both called; v9 weighted but absent from geno
+    val geno = Seq(
+      (1L, "a", Some(2d)), (1L, "b", None),
+      (2L, "a", Some(1d)), (2L, "b", Some(0d))
+    ).toDF("variant_id", "sample", "gt")
+    val w = Seq((1L, 1.0), (2L, 3.0), (9L, 100.0)).toDF("variant_id", "weight")
+    val got = graft.vcf.VcfApi.prsReport(geno, w).orderBy("sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("score"))).toSeq
+    // a: 1·2 + 3·1 = 5 (2 used); b: 1·(2·1.0) + 3·0 = 2 (1 used, 1 imputed)
+    assert(got == Seq(("a", 2L, 0L, 5.0), ("b", 1L, 1L, 2.0)))
+    // an ALL-missing variant imputes to dosage 0 (p̂ undefined → 0)
+    val allMiss = Seq((1L, "a", None: Option[Double]), (1L, "b", None))
+      .toDF("variant_id", "sample", "gt")
+    val g2 = graft.vcf.VcfApi.prsReport(allMiss, Seq((1L, 5.0))
+      .toDF("variant_id", "weight")).orderBy("sample").collect()
+    assert(g2.forall(_.getAs[Double]("score") == 0.0))
+  }
+
   test("VcfApi.hetReport: an all-het cohort scores F = −1") {
     import spark.implicits._
     val geno = Seq(

@@ -654,6 +654,44 @@ class ScaleSpec extends SparkSpec {
     Dedup.clearCaches()
   }
 
+  test("sample-blocked kinship ≡ unblocked, per-cell pair volume ≤ ⌈S/B⌉²") {
+    // 14 samples × 9 variants with a deterministic genotype mix and a
+    // couple of missing calls; blocked (B = 4) IBS / KING / GRM must be
+    // row-identical to the plain variant-keyed self-join, and no grid
+    // cell of the decomposition may hold more than ⌈S/B⌉² pairs of one
+    // variant — the bound that keeps biobank-width kinship from
+    // stragglering on a single S² task
+    val geno = (for {
+      v <- 1 to 9; s <- 0 until 14
+      g = (v * 7 + s * 3) % 4 match {
+        case 3 => None; case d => Some(d.toDouble)
+      }
+    } yield (v.toLong, f"S$s%02d", g)).toDF("variant_id", "sample", "gt")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val cols = df.columns.sorted.map(col)
+      df.select(cols.toIndexedSeq: _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+    }
+    assert(canon(graft.vcf.VcfApi.ibsReport(geno, sampleBlocks = 4)) ==
+      canon(graft.vcf.VcfApi.ibsReport(geno)))
+    assert(canon(graft.vcf.VcfApi.kingReport(geno, sampleBlocks = 4)) ==
+      canon(graft.vcf.VcfApi.kingReport(geno)))
+    assert(canon(graft.vcf.VcfApi.grmReport(geno, sampleBlocks = 4)) ==
+      canon(graft.vcf.VcfApi.grmReport(geno)))
+    // cell-volume bound straight off the shared grid join
+    val base = geno.where($"gt".isNotNull)
+      .select($"variant_id", $"sample", $"gt".as("g"))
+    val a = base.select($"variant_id", $"sample".as("sample_a"), $"g".as("ga"))
+    val b = base.select($"variant_id", $"sample".as("sample_b"), $"g".as("gb"))
+    val cells = graft.vcf.VcfApi.samplePairGrid(a, b,
+        includeDiagonal = false, sampleBlocks = 4)
+      .groupBy("variant_id", "_ba", "_bb").count()
+      .agg(max("count")).as[Long].head()
+    val bound = math.ceil(14 / 4.0).toLong // ⌈S/B⌉²
+    assert(cells <= bound * bound,
+      s"cell volume $cells exceeds ${bound * bound}")
+  }
+
   test("zipfFit ranks via TakeOrdered, never a global-sort Exchange") {
     val docs = (0 until 100).map(i => s"w${i % 17} w${i % 5} common")
       .toDF("text")
