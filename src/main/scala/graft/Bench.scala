@@ -324,6 +324,15 @@ object Bench {
       graft.streaming.EventsStream.statefulThroughput(spark, 2000000L,
         providerClass = Some(rocks), minBatches = 6).foreach(r =>
         results("stream_state_rows_per_sec_rocksdb") = r)
+      // changelog checkpointing: per-batch deltas instead of full SST
+      // snapshot uploads — the commit-latency knob for large state.
+      // Measured against the full-snapshot row above as a delta pair.
+      graft.streaming.EventsStream.statefulThroughput(spark, 2000000L,
+        providerClass = Some(rocks), minBatches = 6,
+        extraConfs = Map(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+            -> "true")).foreach(r =>
+        results("stream_state_rows_per_sec_rocksdb_changelog") = r)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] state-store bench failed: $e")
     }

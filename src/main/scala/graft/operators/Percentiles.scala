@@ -107,6 +107,15 @@ object Percentiles {
   /** 1-based interpolation rank h = 1 + (n-1)p (type-7). */
   private def hOf(p: Double): Column = lit(1d) + (col("_n") - 1d) * lit(p)
 
+  /** Above this many (partition, group) stats rows the rank stage
+    * dispatches to the per-group window plan instead of collecting
+    * offsets to the driver — overridable via
+    * `spark.graft.percentiles.maxDriverStats`. 200k rows of small
+    * tuples is a few tens of MB of driver heap; the same guard shape
+    * as `VcfApi.buildGeneIndex`'s `maxDriverIds`.
+    */
+  private val DefaultMaxDriverStats = 200000L
+
   /** Global per-group ranks WITHOUT a per-group window: range-partition
     * + sort the whole input on (keys, value) — one wide stage whose
     * parallelism is independent of group count — then rebuild each
@@ -114,7 +123,13 @@ object Percentiles {
     * `offset(partition, group) + position within partition`, where the
     * offsets come from a cheap per-(partition, group) count pass. The
     * sorted layout keeps that stats table at O(#groups + #partitions)
-    * rows (each partition holds a contiguous (key, value) range).
+    * rows (each partition holds a contiguous (key, value) range) —
+    * small exactly when groups are FEW and huge, the shape this plan
+    * exists for. A HIGH-cardinality group key inverts the trade: the
+    * stats table would bloat the driver, but each group is small, so
+    * the classic hash-partitioned per-group window is the right plan —
+    * the stats row count (measured distributed, one tiny agg job over
+    * the already-persisted sort) dispatches between them.
     * Output: input columns + `_rn` (1-based rank in group), `_n`
     * (group size).
     */
@@ -129,12 +144,22 @@ object Percentiles {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveCaches.add(base)
 
-    // stats pass: rows per (partition, group). The collect is bounded
-    // by #groups + #partitions (contiguous sorted ranges), i.e. small
-    // exactly when groups are large — the case this operator exists for.
-    val counts: Array[(Int, IndexedSeq[Any], Long)] = base
+    // stats pass: rows per (partition, group), with a pre-count gating
+    // the driver-side collect (cardinality dispatch, see scaladoc)
+    val statsDf = base
       .withColumn("_pid", spark_partition_id())
       .groupBy(col("_pid") +: kcols: _*).agg(count(lit(1)).as("_c"))
+    val maxStats = spark.conf.getOption("spark.graft.percentiles.maxDriverStats")
+      .map(_.toLong).getOrElse(DefaultMaxDriverStats)
+    if (keys.nonEmpty && statsDf.count() > maxStats) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(kcols: _*).orderBy(col("_v"))
+      return base
+        .withColumn("_rn", row_number().over(w).cast("long"))
+        .withColumn("_n",
+          count(lit(1)).over(Window.partitionBy(kcols: _*)))
+    }
+    val counts: Array[(Int, IndexedSeq[Any], Long)] = statsDf
       .collect()
       .map(r => (r.getInt(0), (1 to nKeys).map(r.get).toIndexedSeq,
         r.getLong(nKeys + 1)))

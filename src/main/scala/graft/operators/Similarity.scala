@@ -970,7 +970,12 @@ object Similarity {
     * matrix — metadata, same class as a k-means centroid collect. The
     * greedy recurrence is inherently sequential in k; pool truncation
     * is the standard production bound (MMR over an unbounded corpus is
-    * quadratic no matter the engine).
+    * quadratic no matter the engine). The pool collect is GUARDED:
+    * poolSize×dims×8 bytes must stay under
+    * `spark.graft.mmr.maxPoolBytes` (default 256 MB) or the call fails
+    * fast with the bounded alternative named (chunked re-rank: run MMR
+    * over the top-N of several relevance shards and merge), instead of
+    * silently OOMing the driver.
     */
   def mmrSelect(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, poolSize: Int,
@@ -981,6 +986,19 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val q = broadcast(e.where(col("id") === queryId)
       .select(col("v").as("qv")))
+    // driver-heap guard on the pool collect (see scaladoc)
+    val maxPoolBytes = spark.conf
+      .getOption("spark.graft.mmr.maxPoolBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val dims = e.where(col("id") === queryId)
+      .select(size(col("v"))).head().getInt(0)
+    val estBytes = poolSize.toLong * dims * 8L
+    require(estBytes <= maxPoolBytes,
+      s"mmrSelect would collect ~$estBytes bytes (poolSize=$poolSize x " +
+        s"dims=$dims x 8) of pool vectors onto the driver, above " +
+        s"spark.graft.mmr.maxPoolBytes=$maxPoolBytes. Lower poolSize " +
+        "(chunked re-rank: MMR over the top-N of several relevance " +
+        "shards, then merge) or raise the cap.")
     val scored = e.where(col("id") =!= queryId).crossJoin(q)
       .withColumn("rel", call_function("graft_cosine", col("qv"), col("v")))
     val w = Window.orderBy(col("rel").desc, col("id").asc)

@@ -270,14 +270,19 @@ object EventsStream {
     * local SST files) keeps working after the default HDFS-backed
     * store's executor-heap ceiling — the 100 TB path for the
     * ledger/first-seen/sessionize operators. `providerClass` None
-    * measures the session default; the conf is restored afterwards.
+    * measures the session default; `extraConfs` lets a caller measure
+    * provider variants (e.g. RocksDB changelog checkpointing, which
+    * uploads per-batch deltas instead of full SST snapshots). All
+    * touched confs are restored afterwards.
     */
   def statefulThroughput(spark: SparkSession, rowsPerSecond: Long,
       providerClass: Option[String] = None,
-      minBatches: Int = 4, maxWaitMillis: Long = 30000L): Option[Double] = {
+      minBatches: Int = 4, maxWaitMillis: Long = 30000L,
+      extraConfs: Map[String, String] = Map.empty): Option[Double] = {
     val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    providerClass.foreach(spark.conf.set(key, _))
+    val allConfs = extraConfs ++ providerClass.map(key -> _)
+    val prevs = allConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    allConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val rate = spark.readStream.format("rate")
         .option("rowsPerSecond", rowsPerSecond)
@@ -309,9 +314,9 @@ object EventsStream {
         .sum / 1000.0
       if (rows > 0 && secs > 0) Some(rows / secs) else None
     } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      prevs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }

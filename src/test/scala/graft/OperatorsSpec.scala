@@ -195,6 +195,40 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Seq(("a", 2.0, 2L)))
   }
 
+  test("Percentiles.exact dispatches a high-cardinality key to the window plan") {
+    // force the guard with a tiny stats budget: 500 groups of ≤4 rows
+    // must take the hash-partitioned window path (no driver offset
+    // collect), and the answers must be bit-identical to the built-in
+    val confKey = "spark.graft.percentiles.maxDriverStats"
+    spark.conf.set(confKey, "50")
+    try {
+      val df = (1 to 2000).map(i => (s"g${i % 500}", (i * 37 % 1000) / 4.0))
+        .toDF("k", "v")
+      val got = Percentiles.exact(df, Seq("k"), "v",
+          Seq(0.5 -> "p50", 0.9 -> "p90"))
+        .orderBy("k").select("k", "p50", "p90")
+        .as[(String, Double, Double)].collect().toSeq
+      val want = df.groupBy("k").agg(
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.9)").as("p90"))
+        .orderBy("k").as[(String, Double, Double)].collect().toSeq
+      assert(got.size == 500 && got.map(_._1) == want.map(_._1))
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g._2 - w._2) < 1e-9 && math.abs(g._3 - w._3) < 1e-9,
+          s"$g != $w")
+      }
+      // and the dispatched rank plan really is window-shaped: a Window
+      // node present, no stats collect (can't observe directly — but the
+      // plan string must show the per-group window)
+      val ranked = Percentiles.globalSortRanks(df, Seq("k"), "v")
+      assert(ranked.queryExecution.executedPlan.toString.contains("Window"),
+        "expected the window-plan dispatch above maxDriverStats")
+    } finally {
+      spark.conf.unset(confKey)
+      Percentiles.clearCaches()
+    }
+  }
+
   test("Percentiles.approxWithBounds: sketch honors its rank contract") {
     val rnd = new scala.util.Random(29)
     val df = (1 to 30000).map(i => (s"g${i % 3}", rnd.nextGaussian() * 100))
@@ -1704,6 +1738,25 @@ class OperatorsSpec extends SparkSpec {
     // (beats v3's 0−.5·.6 = −.3); step3: v3 at 0−.5·max(.6,.8) = −.4
     assert(got == Seq(
       (1, 1L, 0.8, 0.4), (2, 2L, 0.6, -0.18), (3, 3L, 0.0, -0.4)))
+  }
+
+  test("Similarity.mmrSelect: oversized pool fails fast at the driver guard") {
+    val emb = Seq((0L, Seq(1d, 0d)), (1L, Seq(0.8, 0.6)), (2L, Seq(0d, 1d)))
+      .toDF("vec_id", "embedding")
+    val confKey = "spark.graft.mmr.maxPoolBytes"
+    spark.conf.set(confKey, "16") // 2 dims × 8 bytes: poolSize 1 is the cap
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.mmrSelect(emb, "embedding", "vec_id",
+          queryId = 0L, k = 2, poolSize = 2, lambda = 0.5).collect()
+      }
+      assert(e.getMessage.contains("maxPoolBytes") &&
+        e.getMessage.contains("chunked re-rank"))
+      // at the cap it still runs
+      val ok = Similarity.mmrSelect(emb, "embedding", "vec_id",
+        queryId = 0L, k = 1, poolSize = 1, lambda = 0.5).collect()
+      assert(ok.length == 1)
+    } finally spark.conf.unset(confKey)
   }
 
   test("TextAnalysis.charClassProfile: hand-computed classes and dominant") {

@@ -161,6 +161,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB changelog checkpointing: killed query resumes with ledger state intact") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // the restart-durability proof for the 100 TB state path: process
+    // batch 1 under RocksDB + changelog checkpointing, STOP the query
+    // (the stream is interrupted mid-corpus), then start a NEW query
+    // from the same checkpoint over new data. The final fold is only
+    // correct if the clamp state (balance 0 / lost 300 / n 2) was
+    // restored from the changelog-checkpointed store — a fresh fold
+    // over batch 2 alone would emit (1, 1, 200, 0).
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prevs = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_chlog_src")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_chlog_ckpt")
+      val sink = java.nio.file.Files.createTempDirectory("graft_chlog_out")
+      def write(rows: Seq[(Long, Long, Long, Long)], name: String,
+          mtime: Long): Unit = {
+        val p = dir.resolve(name)
+        rows.toDF("user_id", "ts", "event_id", "d").coalesce(1)
+          .write.parquet(p.toString)
+        java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+      }
+      // memory sinks can't recover from a checkpoint — the restart
+      // proof needs a durable (parquet) sink, like production would
+      def run() = {
+        val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir.toString + "/*.parquet")
+          .as[(Long, Long, Long, Long)]
+        val q = EventsStream.ledgerFold(stream).writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt.toString)
+          .format("parquet").option("path", sink.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q
+      }
+      write(Seq((1L, 10L, 1L, 500L), (1L, 20L, 2L, -800L)), "b1.parquet", 1000000L)
+      run() // processes b1, then the query is GONE
+      // new data lands while no query is running
+      write(Seq((1L, 30L, 3L, 200L)), "b2.parquet", 2000000L)
+      val q2 = run()
+      // run 2 must process ONLY b2 (source checkpoint) and fold onto the
+      // restored carry: its appended row is (user 1, n 3, balance 200,
+      // lost 300) — a fresh fold over b2 alone would emit (1, 1, 200, 0)
+      val got = spark.read.parquet(sink.toString)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == Seq((1L, 2L, 0L, 300L), (1L, 3L, 200L, 300L)),
+        s"got $got")
+      // the provider really was RocksDB…
+      val keys = q2.recentProgress.flatMap(_.stateOperators).flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(keys.exists(_.startsWith("rocksdb")),
+        s"RocksDB provider not engaged: ${keys.toSet}")
+      // …and the checkpoint really is changelog-based: version-N state
+      // commits wrote .changelog files (full-snapshot mode writes only
+      // .zip snapshots)
+      val changelogs = java.nio.file.Files.walk(ckpt)
+        .filter(p => p.toString.endsWith(".changelog")).count()
+      assert(changelogs > 0, "no .changelog files under the checkpoint")
+    } finally prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("statefulThroughput measures the state-store path, both providers") {
     val hdfs = EventsStream.statefulThroughput(spark, 20000L, minBatches = 2)
     assert(hdfs.exists(_ > 0.0), s"default-provider throughput: $hdfs")
