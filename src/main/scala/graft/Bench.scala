@@ -409,6 +409,77 @@ object Bench {
         System.err.println(s"[bench] huge-tier sweep failed: $e")
       }
     }
+    // ---- century tier: 100× documents/embeddings for the five queries
+    // whose 10× exponents sit closest to the flag bar (q106 0.93, q169
+    // 0.78, q105 0.68) plus the two headline similarity joins — THREE
+    // decades above the gate SF decides whether their candidate volume
+    // is genuinely bounded. Seconds alone can't tell "bounded" from
+    // "absorbed": each entry also records the CANDIDATE count per tier
+    // (observed in-plan for the LSH/set-similarity joins; analytic
+    // volume companions for the ops whose kernel sits inside the join
+    // condition) and its growth exponent. Single timed run per query —
+    // at 30 s/query a best-of re-run buys little precision for double
+    // the wall cost; the candidate counts carry the structural verdict.
+    val sweep100 = scala.collection.mutable.LinkedHashMap[
+      String, (Double, Double, Double, Long, Long, Double)]()
+    if (args.isEmpty && sfDir.endsWith("sf0.1")) {
+      try {
+        val centuryQs = Seq("q32_dedup_minhash_lsh", "q105_semdedup",
+          "q106_fuzzy_dedup", "q159_set_similarity_join", "q169_saturation")
+        val centuryDir = ScaleUp.ensure(spark, sfDir, "/tmp/graft_sf10_synth",
+          100, only = Seq("documents", "embeddings"))
+        import graft.operators.{Dedup, Telemetry}
+        import graft.operators.TextAnalysis
+        def clearAll(): Unit = {
+          Dedup.clearCaches(); graft.operators.Percentiles.clearCaches()
+          graft.operators.Curation.clearCaches()
+        }
+        def candCounts(dir: String): Map[String, Long] = {
+          val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+          Telemetry.enable(spark); Telemetry.reset()
+          try {
+            forceRun(SparkEntry.queries("q32_dedup_minhash_lsh")(spark, dir))
+            Telemetry.await("lsh_candidates")
+              .foreach(m("q32_dedup_minhash_lsh") = _)
+            clearAll()
+            forceRun(SparkEntry.queries("q159_set_similarity_join")(spark, dir))
+            Telemetry.await("ssj_candidates")
+              .foreach(m("q159_set_similarity_join") = _)
+          } finally { Telemetry.disable(); Telemetry.reset(); clearAll() }
+          m("q106_fuzzy_dedup") = Dedup.editDistanceCandidateVolume(
+            Tables.documents(spark, dir), "text", "doc_id", blockTokens = 2)
+          m("q105_semdedup") = Dedup.semDedupCandidateVolume(
+            Tables.embeddings(spark, dir), "embedding", "vec_id",
+            nLists = 8, iters = 2, dims = 64)
+          m("q169_saturation") = TextAnalysis.saturationVolume(
+            Tables.documents(spark, dir), "text", n = 3)
+          clearAll()
+          m.toMap
+        }
+        val candsBase = candCounts(sfDir)
+        val cands100 = candCounts(centuryDir)
+        centuryQs.foreach { n =>
+          val tBig = results.getOrElse(n, -1.0)
+          if (tBig > 0) {
+            try {
+              val t100 = time(forceRun(SparkEntry.queries(n)(spark, centuryDir)))
+              val e = math.log(t100 / tBig) / math.log(100d)
+              val cB = candsBase.getOrElse(n, -1L)
+              val c1 = cands100.getOrElse(n, -1L)
+              val ce =
+                if (cB > 0 && c1 > 0) math.log(c1.toDouble / cB) / math.log(100d)
+                else Double.NaN
+              if (t100 > 0 && java.lang.Double.isFinite(e))
+                sweep100(n) = (tBig, t100, e, cB, c1, ce)
+            } catch { case _: Throwable => () }
+            clearAll()
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] century-tier sweep failed: $e")
+      }
+    }
+
     // flag only when the signal is real: sub-50 ms mid times are harness
     // noise, and a "super-linear" query still under half a second at the
     // big SF isn't a scaling hazard worth a red flag
@@ -417,6 +488,14 @@ object Bench {
     }.toSeq ++ sweepHuge.collect {
       case (n, (tBig, tHuge, _, e)) if e > 1.15 && tBig >= 0.05 && tHuge >= 0.5 =>
         s"$n@10x"
+    }.toSeq ++ sweep100.collect {
+      // two ways to earn the century flag: super-linear seconds, or
+      // super-linear CANDIDATES (structure blowing up even if the
+      // machine absorbed it this run)
+      case (n, (tBig, t100, e, _, _, _)) if e > 1.15 && tBig >= 0.05 && t100 >= 0.5 =>
+        s"$n@100x"
+      case (n, (_, _, _, cB, c100, ce)) if ce > 1.15 && cB >= 1000 && c100 >= 100000 =>
+        s"$n@100x_cands"
     }.toSeq
 
     probes("end") = loadProbe(spark)
@@ -439,6 +518,13 @@ object Bench {
     val scalingHugeJson = sweepHuge.map { case (n, (tBig, tHuge, ratio, e)) =>
       f""""$n":{"t_big":$tBig%.4f,"t_10x":$tHuge%.4f,"ratio":$ratio%.1f,"exp":$e%.3f}"""
     }.mkString("{", ",", "}")
+    val scaling100Json = sweep100.map { case (n, (tBig, t100, e, cB, c100, ce)) =>
+      val candPart =
+        if (cB >= 0 && c100 >= 0 && java.lang.Double.isFinite(ce))
+          f""","cands_big":$cB,"cands_100x":$c100,"cand_exp":$ce%.3f"""
+        else ""
+      f""""$n":{"t_big":$tBig%.4f,"t_100x":$t100%.4f,"ratio":100.0,"exp":$e%.3f$candPart}"""
+    }.mkString("{", ",", "}")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total is seconds: rate metrics (rows/sec) don't belong in the sum.
     // Match by substring, not suffix - the state-store variants carry a
@@ -447,7 +533,7 @@ object Bench {
       case (k, v) if v >= 0 && !k.contains("_rows_per_sec") => v
     }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_flagged":$flaggedJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_100x":$scaling100Json,"scaling_flagged":$flaggedJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
     // Compact totals-only line: the five BASELINE.md comparables plus the
     // sweep verdict. This is the line the driver's bounded tail capture
     // must survive — keep it short no matter how many queries exist.

@@ -34,14 +34,25 @@ object ScaleUp {
   private val B = 1000000000L // bigint key offset per replica
   private val I = 1000000 // int key offset per replica
 
-  /** All tables scaled; returns `outDir` ready for `Tables.*` reads. */
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** All (or `only` the named) tables scaled; returns `outDir` ready
+    * for `Tables.*` reads of the generated tables. `only` exists for
+    * the deep tiers (e.g. the 100× century tier drives five
+    * documents/embeddings queries — replicating lineitem 100× would
+    * cost gigabytes of parquet nothing reads).
+    */
   def ensure(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int = 10): String = {
+      factor: Int = 10, only: Seq[String] = Nil): String = {
     require(factor >= 1)
+    val tables = if (only.isEmpty) AllTables else {
+      val bad = only.filterNot(AllTables.contains)
+      require(bad.isEmpty, s"unknown tables: $bad")
+      AllTables.filter(only.contains)
+    }
     val meta = new java.io.File(outDir, "_GRAFT_SCALEUP")
-    val want = s"src=$srcDir factor=$factor v2"
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+    val want = s"src=$srcDir factor=$factor v2 tables=${tables.mkString(",")}"
     val complete = meta.isFile &&
       new String(java.nio.file.Files.readAllBytes(meta.toPath)) == want &&
       tables.forall(t => new java.io.File(s"$outDir/$t.parquet/_SUCCESS").isFile)
@@ -51,12 +62,13 @@ object ScaleUp {
     def shiftL(c: String, r: Int): Column = col(c) + lit(r.toLong * B)
     def shiftI(c: String, r: Int): Column = col(c) + lit(r * I)
 
-    def replicate(t: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
-      val base = src(t)
-      (0 until factor).map(r => tx(base, r))
-        .reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-    }
+    def replicate(t: String)(tx: (DataFrame, Int) => DataFrame): Unit =
+      if (tables.contains(t)) {
+        val base = src(t)
+        (0 until factor).map(r => tx(base, r))
+          .reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
 
     replicate("region") { (d, r) =>
       d.withColumn("r_regionkey", shiftI("r_regionkey", r))

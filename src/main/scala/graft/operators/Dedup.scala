@@ -340,7 +340,8 @@ object Dedup {
             col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
               col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val candidates = pairsRaw.distinct() // a pair may collide in several bands
+    val candidates = // a pair may collide in several bands
+      Telemetry.mark(pairsRaw.distinct(), "lsh_candidates")
 
     val sets = docs.select(col("id"), col("shash"))
     candidates
@@ -706,7 +707,8 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
-    val withSets = cands
+    val candsObserved = Telemetry.mark(cands, "ssj_candidates")
+    val withSets = candsObserved
       .join(docs.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
     val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
@@ -1129,6 +1131,26 @@ object Dedup {
         round(col("k.cosine"), 4).as("cosine"))
   }
 
+  /** Candidate-pair volume of [[semDedup]]'s clustering stage: Σ over
+    * k-means lists of C(n,2) — the exact number of within-list pairs
+    * the cosine kernel evaluates (the kernel sits inside the join
+    * condition, so no candidate relation exists to observe). Runs the
+    * same quantizer + assignment, then one list-count aggregate.
+    */
+  def semDedupCandidateVolume(
+      emb: DataFrame, vecCol: String, idCol: String,
+      nLists: Int = 8, iters: Int = 2, dims: Int = -1,
+      trainCap: Int = 262144): Long = {
+    val cents = Similarity.kmeansCentroids(emb, vecCol, idCol, nLists, iters,
+      dims, trainCap)
+    emb.select(
+        element_at(Similarity.nearestLists(col(vecCol), cents, 1), 1).as("list"))
+      .groupBy("list").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - lit(1)) / lit(2)), lit(0L))
+        .cast("long"))
+      .head().getLong(0)
+  }
+
   /** Fuzzy (edit-distance) near-duplicate pairs: block on the md5 of
     * the first `blockTokens` tokens (the cheap prefix fingerprint that
     * template-duplicated documents share), then verify candidates with
@@ -1179,6 +1201,24 @@ object Dedup {
       .withColumn("norm_dist", round(col("dist") / col("mx").cast("double"), 4))
       .select("id_a", "id_b", "dist", "norm_dist")
   }
+
+  /** Candidate-pair volume of [[editDistancePairs]]'s blocking stage:
+    * Σ over blocks of C(n,2) — the exact number of id-ordered pairs the
+    * join generates before the O(1) guards and the Levenshtein kernel.
+    * The operator pins verification INSIDE the join condition (no
+    * separate candidate relation exists to observe), so the scaling
+    * sweep measures its candidate growth with this one-aggregate
+    * companion instead: same blocking expression, block-count shuffle
+    * only, no pair is ever materialized.
+    */
+  def editDistanceCandidateVolume(df: DataFrame, textCol: String,
+      idCol: String, blockTokens: Int = 2): Long =
+    df.select(md5(array_join(
+        slice(tokens(col(textCol)), 1, blockTokens), " ")).as("blk"))
+      .groupBy("blk").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - lit(1)) / lit(2)), lit(0L))
+        .cast("long"))
+      .head().getLong(0)
 
   /** Cross-document duplicate-span statistics — exact substring
     * deduplication at n-gram granularity (the distributed shape of

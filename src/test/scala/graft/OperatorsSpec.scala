@@ -3461,4 +3461,95 @@ class OperatorsSpec extends SparkSpec {
     assert(psi3 > 1.0)    // wholesale shift blows past the 0.25 band
     assert(psi3 > 10 * psi1)
   }
+
+  // a corpus with genuine near-dup structure for the telemetry tests:
+  // 3 template families × 8 mutated copies + 6 unrelated docs
+  private def telemetryDocs = {
+    val fam = for (f <- 0 until 3; i <- 0 until 8) yield
+      (f * 100L + i,
+        s"family$f shared body alpha beta gamma delta epsilon zeta " +
+          s"eta theta iota kappa copy$i")
+    val solo = (0 until 6).map(i =>
+      (1000L + i, s"unique$i totally distinct content piece number $i " +
+        s"with words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    (fam ++ solo).toDF("doc_id", "text")
+  }
+
+  test("Telemetry.mark is the identity when disabled") {
+    val df = telemetryDocs
+    assert(Telemetry.mark(df, "x") eq df)
+  }
+
+  test("Telemetry: observed LSH candidate count matches lshRecallReport") {
+    val docs = telemetryDocs
+    Telemetry.enable(spark)
+    Telemetry.reset()
+    try {
+      Dedup.minHashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+        .write.format("noop").mode("overwrite").save()
+      val observed = Telemetry.await("lsh_candidates")
+      assert(observed.nonEmpty, "listener never delivered the metric")
+      // same params through the audit path: its n_candidates is the
+      // same distinct banded-collision pair count, counted by a
+      // separate aggregate — the in-plan observation must agree
+      val expected = Dedup.lshRecallReport(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+        .select("n_candidates").head().getLong(0)
+      assert(observed.get == expected)
+      assert(expected >= 3 * 8 * 7 / 2) // every within-family pair collides
+    } finally { Telemetry.disable(); Telemetry.reset(); Dedup.clearCaches() }
+  }
+
+  test("Telemetry: observed set-similarity candidates bound the survivors") {
+    val docs = telemetryDocs
+    Telemetry.enable(spark)
+    Telemetry.reset()
+    try {
+      val survivors = Dedup.setSimilarityJoin(docs, "text", "doc_id",
+        shingleSize = 2, threshold = 0.5).count()
+      val observed = Telemetry.await("ssj_candidates")
+      assert(observed.nonEmpty, "listener never delivered the metric")
+      // exactness: every surviving pair was a candidate; the family
+      // structure guarantees survivors exist so the bound is non-vacuous
+      assert(survivors > 0)
+      assert(observed.get >= survivors)
+    } finally { Telemetry.disable(); Telemetry.reset(); Dedup.clearCaches() }
+  }
+
+  test("Dedup.editDistanceCandidateVolume: exact block-pair count") {
+    val docs = telemetryDocs
+    val volume = Dedup.editDistanceCandidateVolume(docs, "text", "doc_id",
+      blockTokens = 2)
+    // brute-force the same blocking in Scala: first-2-token prefix
+    val blocks = docs.collect().map { r =>
+      r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .take(2).mkString(" ")
+    }
+    val expected = blocks.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(volume == expected)
+    assert(volume == 3L * 8 * 7 / 2) // only family blocks collide
+  }
+
+  test("Dedup.semDedupCandidateVolume: single list = all pairs, more lists prune") {
+    val emb = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val all = Dedup.semDedupCandidateVolume(emb, "embedding", "vec_id",
+      nLists = 1, iters = 1, dims = 8)
+    assert(all == 20L * 19 / 2) // one list ⇒ the full pair set
+    val pruned = Dedup.semDedupCandidateVolume(emb, "embedding", "vec_id",
+      nLists = 4, iters = 2, dims = 8)
+    assert(pruned <= all && pruned >= 0)
+  }
+
+  test("TextAnalysis.saturationVolume equals the report's gram total") {
+    val docs = telemetryDocs
+    val volume = TextAnalysis.saturationVolume(docs, "text", n = 3)
+    val fromReport = TextAnalysis.saturationReport(docs, "text", "doc_id", n = 3)
+      .agg(sum("n_grams")).head().getLong(0)
+    assert(volume == fromReport)
+    assert(volume > 0)
+  }
 }
