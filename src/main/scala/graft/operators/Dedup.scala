@@ -1151,6 +1151,50 @@ object Dedup {
       .head().getLong(0)
   }
 
+  /** Soft deduplication: DOWN-WEIGHT common documents instead of
+    * dropping them (the SoftDedup line of work — reweighting preserves
+    * the corpus distribution's support while removing the effective
+    * over-count that hard near-dedup deletes outright). A document's
+    * commonness is the geometric mean of its distinct n-grams' document
+    * frequencies (as a fraction of the corpus):
+    * `c_d = exp(mean_g ln(df_g / n_docs))`; its sampling weight is
+    * `c_d^(-alpha)` normalized to mean 1 over the corpus, so the total
+    * token budget is unchanged and only the allocation shifts from
+    * boilerplate-heavy documents to novel ones. Emits
+    * `(idCol, n_grams, commonness, weight)`; documents with fewer than
+    * `n` tokens have no n-grams and are omitted (no evidence either
+    * way). alpha = 0 is the identity (all weights 1); alpha = 1 weights
+    * by inverse commonness.
+    *
+    * Scale shape: one distinct-gram explode (grams travel hashed-free —
+    * the gram string is the groupBy key exactly once), one df
+    * aggregate, one per-doc aggregate, and a 1-row normalization
+    * constant broadcast back. No pairwise stage exists at any corpus
+    * size — the structural advantage soft dedup has over pair-forming
+    * near-dedup.
+    */
+  def softDedupWeights(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, alpha: Double = 1.0): DataFrame = {
+    val grams = persistTracked(df
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(wordShingles(tokens(col(textCol)), n))).as("g")))
+    val nDocs = grams.select(countDistinct(col("__id")).as("__n_docs"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val perDoc = persistTracked(grams.join(dfreq, "g")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_grams"),
+        exp(avg(log(col("df").cast("double") / col("__n_docs"))))
+          .as("commonness")))
+    val norm = perDoc.select(avg(pow(col("commonness"), lit(-alpha)))
+      .as("__mean_raw"))
+    perDoc.crossJoin(broadcast(norm))
+      .select(col("__id").as(idCol), col("n_grams"),
+        round(col("commonness"), 6).as("commonness"),
+        round(pow(col("commonness"), lit(-alpha)) / col("__mean_raw"), 6)
+          .as("weight"))
+  }
+
   /** Fuzzy (edit-distance) near-duplicate pairs: block on the md5 of
     * the first `blockTokens` tokens (the cheap prefix fingerprint that
     * template-duplicated documents share), then verify candidates with

@@ -323,6 +323,87 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** A persisted IVF index: the coarse-quantizer centroids (driver-side,
+    * nLists × dims doubles — the ONLY driver state) plus the inverted
+    * file itself — `(id, vec, list)` — as a DataFrame. The
+    * build-once/query-many lifecycle a production ANN corpus runs:
+    * training k-means over 100 TB of embeddings costs a full corpus
+    * pass, so the index is built by the ETL stage, written as parquet
+    * sidecars, and every query session [[readIvfIndex]]s it back
+    * instead of re-clustering.
+    */
+  final case class IvfIndex(
+      centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Build the inverted file once (same quantizer as [[ivfKnn]]). */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      nLists: Int = 16, iters: Int = 3, dims: Int = -1,
+      trainCap: Int = 262144): IvfIndex = {
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val dim = if (dims > 0) dims else inferDims(corpus, vecCol)
+    val cents = kmeansCentroids(corpus, vecCol, idCol, nLists, iters, dim,
+      trainCap)
+    IvfIndex(cents, corpus.select(
+      col(idCol).as("id"), col(vecCol).cast("array<float>").as("vec"),
+      element_at(nearestLists(col(vecCol), cents, 1), 1).as("list")))
+  }
+
+  /** Write the index as two parquet sidecars: `centroids` (list, pos,
+    * v — long format, engine-portable) and `assigned` (the inverted
+    * file, written partitioned-by-list so a probe reads only its
+    * lists' directories: partition pruning IS the inverted-file seek).
+    */
+  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .flatMap { case (c, l) => c.zipWithIndex.map { case (v, p) => (l, p, v) } }
+      .toSeq.toDF("list", "pos", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assigned.write.mode("overwrite").partitionBy("list")
+      .parquet(s"$dir/assigned")
+  }
+
+  /** Load a persisted index. Centroids are collected to the driver
+    * (nLists × dims — broadcast-sized by construction); the inverted
+    * file stays a lazy partitioned scan.
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex = {
+    val centRows = spark.read.parquet(s"$dir/centroids")
+      .select("list", "pos", "v").collect()
+    val nLists = centRows.map(_.getInt(0)).max + 1
+    val dims = centRows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Double](nLists, dims)
+    centRows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    IvfIndex(cents, spark.read.parquet(s"$dir/assigned")
+      .select(col("id"), col("vec"), col("list").cast("int").as("list")))
+  }
+
+  /** [[ivfKnn]]'s probe stage against a prebuilt [[IvfIndex]] — no
+    * training pass; with `nProbe` = nLists the probe is exhaustive and
+    * the result is EXACT brute-force top-k (the oracle-checkable
+    * setting; production uses nProbe ≪ nLists for the sub-linear scan).
+    */
+  def ivfKnnIndexed(index: IvfIndex, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(queries.sparkSession)
+    val c = index.assigned.select(
+      col("id").as("neighbor_id"), col("vec").as("cv"), col("list"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(nearestLists(col(vecCol), index.centroids, nProbe)).as("list")))
+    val candidates = c.join(q, "list")
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("cosine", call_function("graft_cosine", col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   // --------------------------------------------------------------- PQ
 
   /** Squared-L2 of the staged subvector `sv` against each codebook

@@ -1400,6 +1400,34 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- soft dedup: commonness-based REWEIGHTING instead of removal
+    //      (weight = inverse geometric-mean n-gram document frequency,
+    //      normalized to mean 1 — the token budget is unchanged, its
+    //      allocation shifts from boilerplate to novel documents) ----
+    "q296_softdedup_weights" -> ((s, d) => {
+      Dedup.softDedupWeights(Tables.documents(s, d), "text", "doc_id",
+          n = 3, alpha = 1.0)
+        .orderBy("doc_id")
+    }),
+
+    // ---- IVF index lifecycle: build → write parquet sidecars (inverted
+    //      file partitioned by list) → load → query. nProbe = nLists ⇒
+    //      the probe is exhaustive and EXACT, so the brute-force oracle
+    //      checks the entire persisted round-trip ----
+    "q299_ivf_persist" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_${math.abs(d.hashCode)}"
+      val idx = Similarity.buildIvfIndex(emb, "embedding", "vec_id",
+        nLists = 8, iters = 2, dims = 64)
+      Similarity.writeIvfIndex(idx, dir)
+      val loaded = Similarity.readIvfIndex(s, dir)
+      Similarity.ivfKnnIndexed(loaded, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, nProbe = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- temperature-scaled mixture weights: per-source token share
     //      flattened by alpha=0.5, implied epochs at a 100k budget ----
     "q107_temperature_mix" -> ((s, d) => {
@@ -5855,6 +5883,43 @@ object Pipeline {
          WHERE levenshtein(a.text, b.text)
                <= greatest(len(a.text), len(b.text)) * 0.05
          ORDER BY id_a, id_b""",
+    // commonness = exp(mean ln(df/N)) over the doc's distinct 3-grams;
+    // weight = (1/commonness) / corpus mean of (1/commonness) at α=1
+    "q296_softdedup_weights" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(t[i:i+2], ' ')))) AS g
+            FROM (SELECT doc_id, $Toks AS t FROM documents)),
+          nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM g),
+          f AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+          per AS (
+            SELECT doc_id, count(*) AS n_grams,
+              exp(avg(ln(df::DOUBLE / n_docs))) AS commonness
+            FROM g JOIN f USING (g) CROSS JOIN nd
+            GROUP BY doc_id),
+          nrm AS (SELECT avg(1.0 / commonness) AS mean_raw FROM per)
+         SELECT doc_id, n_grams, round(commonness, 6) AS commonness,
+           round((1.0 / commonness) / mean_raw, 6) AS weight
+         FROM per CROSS JOIN nrm ORDER BY doc_id""",
+
+    // exhaustive probe (nProbe = nLists) ⇒ the persisted-index query IS
+    // brute-force top-k — same oracle as q35
+    "q299_ivf_persist" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          scored AS (
+            SELECT query_id, neighbor_id,
+              list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS cosine
+            FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+          SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+
     // p_temp = tokens^alpha / sum(tokens^alpha) — the 1/tot^alpha
     // factor cancels, so both engines compute the identical quotient
     "q107_temperature_mix" ->

@@ -259,6 +259,33 @@ object Relational {
       s.read.schema(docs.schema).json(out).orderBy("doc_id")
     }),
 
+    // ---- ORC sink/source round-trip: the Hive-ecosystem columnar
+    //      sibling of parquet — stripe stats, predicate pushdown and
+    //      schema-on-read come with Spark's built-in orc source ----
+    "q297_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_orc_${math.abs(d.hashCode)}"
+      docs.write.mode("overwrite").orc(out)
+      s.read.schema(docs.schema).orc(out).orderBy("doc_id")
+    }),
+
+    // ---- hive-partitioned layout + pruned read: events written
+    //      partitioned by event_type, ONE partition read back — the
+    //      scan lists only that directory (the layout lever that turns
+    //      a 100 TB full scan into a per-key seek; OperatorsSpec pins
+    //      the inputFiles set to the single partition) ----
+    "q298_partition_prune" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_part_${math.abs(d.hashCode)}"
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // ---- C5-C8 string functions ----
     "q20_string_funcs" -> ((s, d) => {
       Tables.part(s, d)
@@ -819,6 +846,16 @@ object Relational {
     "q227_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+    // identity: the ORC round-trip must reproduce the source exactly
+    "q297_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+    // the pruned-partition read must equal a plain filtered aggregate
+    "q298_partition_prune" ->
+      """SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
     // leading digit from the exact cents integer's decimal string
     // (never float formatting); expected p via ln ratios exactly as
     // the Spark side computes log(10, ·)

@@ -3552,4 +3552,90 @@ class OperatorsSpec extends SparkSpec {
     assert(volume == fromReport)
     assert(volume > 0)
   }
+
+  test("Dedup.softDedupWeights: hand-computed commonness and weights") {
+    // unigrams (n=1): A and B share {x, y} (df 2 each), C has {z, w}
+    // (df 1 each), N = 3 docs.
+    //   commonness A = B = exp(mean ln(2/3)) = 2/3; C = 1/3
+    //   raw = 1/c: 1.5, 1.5, 3 → mean 2 → weights 0.75, 0.75, 1.5
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z w"))
+      .toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(docs, "text", "doc_id", n = 1, alpha = 1.0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 0.666667, 0.75),
+      (2L, 2L, 0.666667, 0.75),
+      (3L, 2L, 0.333333, 1.5)))
+    // alpha = 0 is the identity: every weight exactly 1
+    val flat = Dedup.softDedupWeights(docs, "text", "doc_id", n = 1, alpha = 0.0)
+      .select("weight").as[Double].collect()
+    assert(flat.toSeq == Seq(1.0, 1.0, 1.0))
+    // weights are a reallocation, not a budget change: mean stays 1
+    val fam = Dedup.softDedupWeights(telemetryDocs, "text", "doc_id", n = 3)
+    val meanW = fam.agg(avg("weight")).head().getDouble(0)
+    assert(math.abs(meanW - 1.0) < 1e-4)
+    // the 8-copy template families are more common than the solo docs
+    val byKind = fam.withColumn("kind",
+        when(col("doc_id") >= 1000L, "solo").otherwise("family"))
+      .groupBy("kind").agg(avg("weight").as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byKind("solo") > byKind("family"))
+  }
+
+  test("Similarity IVF index: write/read round-trip preserves the index") {
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 1.3 + d * 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    val idx = Similarity.buildIvfIndex(emb, "embedding", "vec_id",
+      nLists = 4, iters = 2, dims = 8)
+    Similarity.writeIvfIndex(idx, dir)
+    val loaded = Similarity.readIvfIndex(spark, dir)
+    // centroids survive bit-exactly (long-format parquet, no rounding)
+    assert(loaded.centroids.length == 4)
+    assert(loaded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    // the inverted file: same (id → list) assignment
+    val a0 = idx.assigned.select("id", "list").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a1 = loaded.assigned.select("id", "list").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a0)
+    // exhaustive probe on the LOADED index = exact brute-force top-k
+    val queries = emb.filter(col("vec_id") < 3)
+    val viaIndex = Similarity.ivfKnnIndexed(loaded, queries,
+        "embedding", "vec_id", k = 5, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Similarity.bruteForceKnn(emb, queries, "embedding", "vec_id",
+        k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaIndex == brute)
+  }
+
+  test("partitioned layout: a filtered read scans ONLY its partition dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
+    Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0))
+      .toDF("id", "kind", "v")
+      .coalesce(1) // one file per partition dir: 3 files total
+      .write.mode("overwrite").partitionBy("kind").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("kind") === "b")
+    // execute THIS dataset (a .select would spawn a fresh
+    // QueryExecution and leave pruned's scan metrics untouched)
+    val rows = pruned.collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    // the executed scan's numFiles metric is the files it actually
+    // opened — 1 of the 3 proves directory-level pruning (inputFiles
+    // would lie here: it lists the relation BEFORE partition pruning)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(pruned.queryExecution.executedPlan).head
+    assert(scan.metrics("numFiles").value == 1L)
+  }
 }
