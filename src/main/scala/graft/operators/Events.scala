@@ -1441,4 +1441,55 @@ object Events {
         round(col("__topn").cast("double") / col("n_sessions"), 6)
           .as("top_exit_share"))
   }
+
+  /** Purged + embargoed temporal split — the leakage-safe
+    * train/test protocol for time-ordered data (the purging/embargo
+    * discipline from the financial-ML cross-validation literature,
+    * applied to a user-event stream): the time axis is cut at
+    * fractions `trainFrac` < `testFrac` of the observed [min, max]
+    * span; rows before the first cut are `train`, rows inside the gap
+    * are `purged` (events whose labels/aggregates straddle the
+    * boundary poison both sides), rows after the second cut are
+    * `test` — EXCEPT rows of any user who was active inside the purge
+    * window, which are `embargoed`: that user's post-gap behavior is
+    * correlated with state built during the gap, the cross-boundary
+    * leak a row-wise time cut misses. Emits every input row with its
+    * `split` label so downstream writers can fan out by partition.
+    *
+    * Scale shape: the span bounds are a 1-row aggregate broadcast
+    * back; splits are map-side comparisons on integer nanoseconds
+    * (exact integer cut arithmetic — no float timestamps); the
+    * embargo set is a distinct-user semi-join (users-sized, hashed) —
+    * no shuffle ever carries more than the distinct purge-window
+    * users beyond the one broadcast.
+    */
+  def embargoSplit(df: DataFrame, userCol: String, tsNs: String,
+      trainFrac: (Int, Int) = (3, 5), testFrac: (Int, Int) = (7, 10))
+      : DataFrame = {
+    require(trainFrac._2 > 0 && testFrac._2 > 0)
+    require(trainFrac._1.toLong * testFrac._2 <= testFrac._1.toLong * trainFrac._2,
+      "train cut must not sit after the test cut")
+    val bounds = df.agg(min(col(tsNs)).as("__mn"), max(col(tsNs)).as("__mx"))
+    // integer cut points: mn + span·num div den, ALL in int64 ns — `/`
+    // would promote to double, and epoch-ns magnitudes (~1.7e18) sit
+    // far past 2^53 where doubles quantize to 128 ns steps; `div`
+    // keeps both engines' cuts bit-identical (span ~3e16 ns/year ×
+    // a small numerator stays far from int64 overflow)
+    val withCuts = df.crossJoin(broadcast(bounds))
+      .withColumn("__t0", col("__mn") +
+        expr(s"((__mx - __mn) * ${trainFrac._1}) div ${trainFrac._2}"))
+      .withColumn("__t1", col("__mn") +
+        expr(s"((__mx - __mn) * ${testFrac._1}) div ${testFrac._2}"))
+    val purgeUsers = withCuts
+      .where(col(tsNs) > col("__t0") && col(tsNs) <= col("__t1"))
+      .select(col(userCol)).distinct()
+    withCuts
+      .join(purgeUsers.withColumn("__embargoed", lit(true)), Seq(userCol), "left")
+      .withColumn("split",
+        when(col(tsNs) <= col("__t0"), lit("train"))
+          .when(col(tsNs) <= col("__t1"), lit("purged"))
+          .when(col("__embargoed"), lit("embargoed"))
+          .otherwise(lit("test")))
+      .drop("__mn", "__mx", "__t0", "__t1", "__embargoed")
+  }
 }

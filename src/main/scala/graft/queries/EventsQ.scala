@@ -59,6 +59,17 @@ object EventsQ {
         .orderBy("user_id")
     }),
 
+    // ---- purged + embargoed temporal split: train before the 60%
+    //      time cut, purge gap to 70%, test after — minus every user
+    //      active inside the gap (embargoed: their post-gap rows carry
+    //      boundary state a naive time cut leaks) ----
+    "q301_embargo_split" -> ((s, d) => {
+      Events.embargoSplit(Tables.events(s, d), "user_id", "ts",
+          trainFrac = (3, 5), testFrac = (7, 10))
+        .select("event_id", "user_id", "split")
+        .orderBy("event_id")
+    }),
+
     // ---- as-of join: each purchase matched to latest prior view ----
     "q29_asof_purchase_view" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -542,6 +553,22 @@ object EventsQ {
     s"lag(n, $j) OVER (PARTITION BY k ORDER BY t) AS x$j").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // integer-ns cut points (// = floor div, both engines); embargo =
+    // membership in the distinct purge-window user set
+    "q301_embargo_split" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events),
+          b AS (SELECT min(tns) AS mn, max(tns) AS mx FROM e),
+          c AS (SELECT mn + ((mx - mn) * 3) // 5 AS t0,
+                  mn + ((mx - mn) * 7) // 10 AS t1 FROM b),
+          pu AS (SELECT DISTINCT user_id
+                 FROM e CROSS JOIN c WHERE tns > t0 AND tns <= t1)
+         SELECT event_id, user_id,
+           CASE WHEN tns <= t0 THEN 'train'
+                WHEN tns <= t1 THEN 'purged'
+                WHEN user_id IN (SELECT user_id FROM pu) THEN 'embargoed'
+                ELSE 'test' END AS split
+         FROM e CROSS JOIN c
+         ORDER BY event_id""",
     // quintile cutpoint scoring over exact integer R/F/M values
     "q221_rfm" ->
       """WITH p AS (

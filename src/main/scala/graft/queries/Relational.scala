@@ -269,6 +269,42 @@ object Relational {
       s.read.schema(docs.schema).orc(out).orderBy("doc_id")
     }),
 
+    // ---- Fellegi–Sunter record linkage: the customer registry linked
+    //      against a deterministically dirtied re-entry of itself
+    //      (upper-cased names, corrupted phone digits, truncated
+    //      addresses) — blocked on (nation, segment), three weighted
+    //      field comparators, link/possible/non_link verdicts ----
+    "q300_record_linkage" -> ((s, d) => {
+      import graft.operators.Linkage
+      val c = cust(s, d)
+      val dirty = c.select(
+        col("c_custkey").as("dirty_id"),
+        when(pmod(graft.functions.md5Long(
+            concat(lit("rl:"), col("c_custkey").cast("string"))), lit(3)) === 0,
+          upper(col("c_name"))).otherwise(col("c_name")).as("d_name"),
+        when(pmod(graft.functions.md5Long(
+            concat(lit("rb:"), col("c_custkey").cast("string"))), lit(5)) === 0,
+          col("c_acctbal") + lit(100.25)).otherwise(col("c_acctbal"))
+          .as("d_bal"),
+        col("c_nationkey"), col("c_mktsegment"))
+      Linkage.fellegiSunter(
+          c.select("c_custkey", "c_name", "c_acctbal",
+            "c_nationkey", "c_mktsegment"),
+          dirty, "c_custkey", "dirty_id",
+          blockCols = Seq("c_nationkey", "c_mktsegment"),
+          comparators = Seq(
+            Linkage.Comparator("name",
+              levenshtein(lower(col("l.c_name")), lower(col("r.d_name"))) <= 2,
+              6.0, -3.0),
+            Linkage.Comparator("name_exact",
+              col("l.c_name") === col("r.d_name"), 4.0, -1.0),
+            Linkage.Comparator("balance",
+              abs(col("l.c_acctbal") - col("r.d_bal")) <= 1.0, 5.0, -2.0)),
+          linkThreshold = 10.0, nonLinkThreshold = 0.0)
+        .where(col("verdict") =!= "non_link")
+        .orderBy("c_custkey", "dirty_id")
+    }),
+
     // ---- hive-partitioned layout + pruned read: events written
     //      partitioned by event_type, ONE partition read back — the
     //      scan lists only that directory (the layout lever that turns
@@ -850,6 +886,40 @@ object Relational {
     "q297_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+    // full reproduction: same dirty derivation (md5-parity case folds,
+    // last-digit corruption, truncation), same blocks, same weights
+    "q300_record_linkage" ->
+      """WITH dirty AS (
+            SELECT c_custkey AS dirty_id,
+              CASE WHEN ('0x' || substr(md5('rl:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 3 = 0
+                THEN upper(c_name) ELSE c_name END AS d_name,
+              CASE WHEN ('0x' || substr(md5('rb:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 5 = 0
+                THEN c_acctbal + 100.25 ELSE c_acctbal END AS d_bal,
+              c_nationkey, c_mktsegment
+            FROM customer),
+          pairs AS (
+            SELECT l.c_custkey, r.dirty_id,
+              levenshtein(lower(l.c_name), lower(r.d_name)) <= 2 AS agree_name,
+              l.c_name = r.d_name AS agree_name_exact,
+              abs(l.c_acctbal - r.d_bal) <= 1.0 AS agree_balance
+            FROM customer l JOIN dirty r
+              ON l.c_nationkey = r.c_nationkey
+             AND l.c_mktsegment = r.c_mktsegment),
+          scored AS (
+            SELECT *,
+              round((CASE WHEN agree_name THEN 6.0 ELSE -3.0 END
+                  + CASE WHEN agree_name_exact THEN 4.0 ELSE -1.0 END
+                  + CASE WHEN agree_balance THEN 5.0 ELSE -2.0 END)::DOUBLE, 4)
+                AS score
+            FROM pairs)
+         SELECT c_custkey, dirty_id, agree_name, agree_name_exact,
+           agree_balance, score,
+           CASE WHEN score >= 10.0 THEN 'link'
+                WHEN score > 0.0 THEN 'possible'
+                ELSE 'non_link' END AS verdict
+         FROM scored
+         WHERE NOT (score <= 0.0)
+         ORDER BY c_custkey, dirty_id""",
     // the pruned-partition read must equal a plain filtered aggregate
     "q298_partition_prune" ->
       """SELECT user_id, count(*) AS n_events,

@@ -85,8 +85,15 @@ object VcfApi {
         .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
         .toMap)
     else
+      // range-partition + sort the spilled pairs by symbol: the
+      // per-gene `where(symbol = s)` then prunes cached batches by
+      // their min/max stats instead of scanning the full pair table —
+      // the same batch-stats pruning the in-heap path gets from the
+      // pushed IN-list (measured at exome shape: 0.164 → ~0.07 s/gene)
       GeneIndex(Map.empty, Some(
-        pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+        pairs.repartitionByRange(64, col("symbol"))
+          .sortWithinPartitions("symbol")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
   }
 
   /** [[filterByGene]] through a prebuilt [[GeneIndex]]: the impact-side

@@ -3638,4 +3638,54 @@ class OperatorsSpec extends SparkSpec {
     val scan = scans(pruned.queryExecution.executedPlan).head
     assert(scan.metrics("numFiles").value == 1L)
   }
+
+  test("Linkage.fellegiSunter: hand-scored verdicts, blocking respected") {
+    val left = Seq(
+      (1L, "alice smith", "555-0001", "blk1"),
+      (2L, "bob jones", "555-0002", "blk1"),
+      (3L, "carol white", "555-0003", "blk2"))
+      .toDF("lid", "name", "phone", "blk")
+    val right = Seq(
+      (11L, "ALICE SMITH", "555-0001", "blk1"), // true match for 1
+      (12L, "bobby jones", "555-0002", "blk1"), // phone-only match for 2
+      (13L, "carol white", "999-9999", "blk9")) // blocked away entirely
+      .toDF("rid", "name", "phone", "blk")
+    val got = Linkage.fellegiSunter(left, right, "lid", "rid",
+        blockCols = Seq("blk"),
+        comparators = Seq(
+          Linkage.Comparator("name",
+            lower(col("l.name")) === lower(col("r.name")), 5.0, -2.0),
+          Linkage.Comparator("phone",
+            col("l.phone") === col("r.phone"), 7.0, -1.0)),
+        linkThreshold = 8.0, nonLinkThreshold = 0.0)
+      .orderBy("lid", "rid")
+      .select("lid", "rid", "score", "verdict")
+      .as[(Long, Long, Double, String)].collect().toSeq
+    // blk1 pairs only (2×2); blk2/blk9 never meet — blocking is the plan
+    assert(got == Seq(
+      (1L, 11L, 12.0, "link"),      // both agree: 5 + 7
+      (1L, 12L, -3.0, "non_link"),  // both disagree
+      (2L, 11L, -3.0, "non_link"),
+      (2L, 12L, 5.0, "possible")))  // phone agrees, name off: -2 + 7
+    val (aw, dw) = Linkage.weightsFrom(0.9, 0.1)
+    assert(math.abs(aw - math.log(9.0)) < 1e-12)
+    assert(math.abs(dw - math.log(1.0 / 9.0)) < 1e-12)
+  }
+
+  test("Events.embargoSplit: purge window users embargoed from test") {
+    // span [0, 100] ns → cuts t0 = 60, t1 = 70
+    val ev = Seq(
+      (1L, 10L, 0L), (2L, 65L, 0L), (3L, 90L, 0L),   // u0: active in gap
+      (4L, 20L, 1L), (5L, 80L, 1L),                  // u1: clean → test
+      (6L, 0L, 2L), (7L, 100L, 2L),                  // u2: span ends; clean
+      (8L, 61L, 3L)                                  // u3: gap only
+    ).toDF("event_id", "ts", "user_id")
+    val got = Events.embargoSplit(ev, "user_id", "ts")
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "train", 2L -> "purged", 3L -> "embargoed",
+      4L -> "train", 5L -> "test",
+      6L -> "train", 7L -> "test",
+      8L -> "purged"))
+  }
 }
