@@ -93,6 +93,47 @@ object Graph {
       .distinct()
   }
 
+  /** Incremental connected-components maintenance: fold a batch of NEW
+    * edges into an existing `(id, comp)` assignment without re-running
+    * CC over the full graph — the cluster-maintenance step an
+    * incremental near-dedup ingest ([[Dedup.ingestNovelNear]]) needs
+    * once clusters are materialized. Only components TOUCHED by a new
+    * edge are re-solved: each prior component is already a star
+    * (member → min-id root), so re-solving = CC over the touched
+    * stars ∪ the new edges; every untouched assignment row passes
+    * through verbatim. Labels stay "min member id", so the output is
+    * IDENTICAL to a from-scratch CC over old ∪ new edges — but the
+    * work is `O(|touched components| + |new edges|)`, not corpus-sized:
+    * at 100 TB an ingest batch touches thousands of clusters, not the
+    * billions that exist.
+    *
+    * `assign` rows are (vertex, component-root); vertices unseen in
+    * `assign` but present in `newEdges` are new arrivals and get
+    * labeled by the re-solve. One distinct-endpoint semi-join finds
+    * the touched set; the CC rounds run on the touched subgraph only.
+    */
+  def incrementalComponents(assign: DataFrame, idCol: String,
+      compCol: String, newEdges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val a = assign.select(col(idCol).cast("long").as("id"),
+      col(compCol).cast("long").as("comp"))
+    val e = newEdges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+    val endpoints = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val touched = a.join(endpoints, Seq("id"), "left_semi")
+      .select("comp").distinct()
+    val touchedStars = a.join(touched, Seq("comp"), "left_semi")
+    val solved = connectedComponents(
+      touchedStars.select(col("id").as("a"), col("comp").as("b"))
+        .union(e.select(col("src").as("a"), col("dst").as("b"))),
+      "a", "b", maxIter)
+    a.join(touched, Seq("comp"), "left_anti").select("id", "comp")
+      .union(solved.select("id", "comp"))
+  }
+
   /** PageRank over a directed edge list — the corpus-quality ranking
     * signal (host/page ranks over a link graph feed crawl filtering
     * the way Common Crawl pipelines use them). Fixed `iters` rounds of

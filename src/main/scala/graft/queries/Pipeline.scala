@@ -1564,6 +1564,24 @@ object Pipeline {
       Graph.connectedComponents(edges, "a", "b").orderBy("id")
     }),
 
+    // ---- incremental CC maintenance: q64's graph split into a
+    //      "history" batch (solved to an assignment first) and a
+    //      "new" batch folded in via incrementalComponents — the
+    //      result must equal from-scratch CC over the whole graph
+    //      (same oracle as q64), while only touched components
+    //      were re-solved ----
+    "q302_incremental_components" -> ((s, d) => {
+      val edges = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(5)) < 2)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") + 1 + pmod(col("doc_id"), lit(3))).as("b"))
+      val oldE = edges.where(pmod(col("a"), lit(7)) =!= 0)
+      val newE = edges.where(pmod(col("a"), lit(7)) === 0)
+      val assign = Graph.connectedComponents(oldE, "a", "b")
+      Graph.incrementalComponents(assign, "id", "comp", newE, "a", "b")
+        .orderBy("id")
+    }),
+
     // ---- Gopher-style repetition stats (dup-word / dup-bigram /
     //      top-bigram fractions) ----
     "q74_repetition" -> ((s, d) => {
@@ -5196,6 +5214,18 @@ object Pipeline {
     // vertices reachable from id; min over them = the component label
     // (identical to converged min-label propagation)
     "q64_components" ->
+      """WITH RECURSIVE
+          e AS (SELECT doc_id AS a, doc_id + 1 + (doc_id % 3) AS b
+                FROM documents WHERE doc_id % 5 < 2),
+          u AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+          reach(id, r) AS (
+            SELECT a AS id, a AS r FROM u
+            UNION
+            SELECT u.a AS id, reach.r AS r FROM u JOIN reach ON u.b = reach.id)
+         SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""",
+    // the incremental fold must land exactly where from-scratch CC
+    // over the FULL edge set lands — q64's closure, unchanged
+    "q302_incremental_components" ->
       """WITH RECURSIVE
           e AS (SELECT doc_id AS a, doc_id + 1 + (doc_id % 3) AS b
                 FROM documents WHERE doc_id % 5 < 2),

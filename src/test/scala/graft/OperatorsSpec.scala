@@ -3672,6 +3672,30 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(dw - math.log(1.0 / 9.0)) < 1e-12)
   }
 
+  test("Graph.incrementalComponents: equals from-scratch CC, touched-only work") {
+    // old graph: {1-2-3}, {10-11}, {20-21}; new edges: 3-10 (merges two
+    // comps) and 30-31 (brand-new vertices)
+    val oldE = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val newE = Seq((3L, 10L), (30L, 31L)).toDF("a", "b")
+    val assign = Graph.connectedComponents(oldE, "a", "b")
+    val got = Graph.incrementalComponents(assign, "id", "comp", newE, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val full = Graph.connectedComponents(oldE.union(newE), "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == full)
+    assert(got.toMap == Map(1L -> 1, 2L -> 1, 3L -> 1, 10L -> 1, 11L -> 1,
+      20L -> 20, 21L -> 20, 30L -> 30, 31L -> 30))
+    // pass-through proof: an untouched component's rows survive
+    // VERBATIM — label 99 is not a min-id (a re-solve would rewrite it
+    // to 10), so its presence proves the untouched path never ran CC
+    val fake = Seq((10L, 99L), (11L, 99L), (1L, 1L), (2L, 1L))
+      .toDF("id", "comp")
+    val kept = Graph.incrementalComponents(fake, "id", "comp",
+        Seq((2L, 5L)).toDF("a", "b"), "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(kept == Seq((1L, 1L), (2L, 1L), (5L, 1L), (10L, 99L), (11L, 99L)))
+  }
+
   test("Events.embargoSplit: purge window users embargoed from test") {
     // span [0, 100] ns → cuts t0 = 60, t1 = 70
     val ev = Seq(
