@@ -123,6 +123,45 @@ object Layout {
     (before, nUp, spark.read.parquet(dir).count())
   }
 
+  /** Apply a CDC change log to a base snapshot — the lakehouse MERGE
+    * that [[upsert]] (insert/replace only) doesn't cover: `changes`
+    * carries the base's payload columns plus an op column
+    * (`I`/`U`/`D`) and a monotone sequence column (LSN, commit ts).
+    * Per key, the highest-sequence change wins (ties broken by op
+    * descending — `U` over `I` over `D` is impossible to hit with a
+    * well-formed log, but the rule keeps the operator deterministic on
+    * malformed input); a winning `D` removes the key, a winning
+    * `I`/`U` replaces-or-inserts the payload, and untouched base rows
+    * pass through. Exactly Delta/Iceberg `MERGE`
+    * `WHEN MATCHED [AND op='D'] DELETE / UPDATE / WHEN NOT MATCHED
+    * INSERT` semantics, computed as a plain DataFrame.
+    *
+    * Scale shape: the per-key latest-change reduction is a
+    * `row_number` window over the CHANGE LOG only (a day's deltas, not
+    * the snapshot), with its `rank = 1` filter running map-side as a
+    * partial WindowGroupLimit; the base is touched by one left-anti
+    * equi-join on the (typically broadcastable — AQE decides) distinct
+    * changed-key set plus a union. The 100 TB snapshot is never
+    * shuffled on anything but the join key, and only its changed keys
+    * move.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    base
+      .join(latest.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+      .unionByName(
+        latest.where(col(opCol) =!= "D")
+          .select(base.columns.map(col): _*))
+  }
+
   /** Row-level diff between two versions of a dataset — the curation-
     * iteration primitive next to [[upsert]]: every id classified as
     * `added` / `removed` / `changed` / `unchanged`, where "changed"

@@ -65,4 +65,35 @@ object Linkage {
           .when(col("score") > nonLinkThreshold, lit("possible"))
           .otherwise(lit("non_link")))
   }
+
+  /** Reciprocal-best-match 1:1 assignment over scored candidate pairs
+    * — the deduplicating step after [[fellegiSunter]]: a pair survives
+    * iff it is simultaneously the best-scoring partner for its LEFT id
+    * and for its RIGHT id (ties broken deterministically by ascending
+    * partner id), so no id appears twice in the output. This is the
+    * standard mutual-best heuristic (Splink's
+    * `unique matching`-style post-pass, reciprocal best hits in
+    * bioinformatics): greedy-stable, deterministic, and one pass —
+    * not a maximum-weight matching (which is inherently sequential);
+    * unmatched ids simply emit no row.
+    *
+    * Scale shape: two `row_number` windows over the pair set, keyed by
+    * either id. The `rank = 1` filters push a partial WindowGroupLimit
+    * below each exchange (Spark 4), so each shuffle moves only
+    * per-key top rows, and the pair set itself is already
+    * blocking-bounded.
+    */
+  def oneToOne(pairs: DataFrame, leftId: String, rightId: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy(leftId)
+      .orderBy(col(scoreCol).desc, col(rightId).asc)
+    val wr = Window.partitionBy(rightId)
+      .orderBy(col(scoreCol).desc, col(leftId).asc)
+    pairs
+      .withColumn("__rl", row_number().over(wl))
+      .withColumn("__rr", row_number().over(wr))
+      .where(col("__rl") === 1 && col("__rr") === 1)
+      .drop("__rl", "__rr")
+  }
 }

@@ -227,6 +227,82 @@ object Mixture {
     df.join(kept, Seq(groupCol, idCol), "left_semi")
   }
 
+  /** Exact-count stratified split: within every stratum, allocate rows
+    * to the named splits in EXACTLY the proportions `num_i / den`
+    * (integer rational, Σ num_i = den) using largest-remainder
+    * (Hamilton) apportionment — `base_i = ⌊n·num_i/den⌋`, and the
+    * `n − Σ base_i` leftover rows go to the splits with the largest
+    * remainders (ties by declaration order). Rows are then dealt by
+    * their deterministic md5 rank within the stratum, so the
+    * assignment is reproducible on any engine and the split sizes are
+    * exact integers, not hash expectations — the eval-set contract
+    * ([[graft.operators.TextAnalysis.splitAssign]] / q66 only promises
+    * proportions in expectation; a 500-doc test set that comes out 463
+    * is a real problem at eval time). Emits `(idCol, stratumCol,
+    * split)`.
+    *
+    * Scale shape: the apportionment runs on the strata × splits
+    * metadata table (windows over k rows per stratum). The per-stratum
+    * data rank is the bucketed-prefix decomposition (the
+    * [[sampleToTokenBudget]] idiom): md5-high-bit buckets →
+    * per-(stratum, bucket) counts → exclusive prefix over the TINY
+    * bucket table → within-bucket `row_number` — never a monolithic
+    * per-stratum window, so a giant stratum parallelizes across
+    * `buckets` tasks. Assignment is an equi-join on the stratum
+    * against the k-rows-per-stratum bounds table (AQE broadcasts it
+    * when strata cardinality keeps it small) plus a row-local range
+    * test.
+    */
+  def exactStratifiedSplit(df: DataFrame, idCol: String, stratumCol: String,
+      splits: Seq[(String, Long)], den: Long, buckets: Int = 256): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      "split shares must be non-negative")
+    require(splits.map(_._2).sum == den,
+      s"split shares ${splits.map(_._2)} must sum to den=$den")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val slim = df.select(col(stratumCol).as("_g"), col(idCol).as("_id"),
+        md5Long(col(idCol)).as("_prio"))
+      .withColumn("_bucket", shiftright(col("_prio"), shift))
+    // ---- apportionment on the metadata table ----
+    val counts = slim.groupBy("_g").agg(count(lit(1)).as("_n"))
+    val splitsDf = splits.zipWithIndex
+      .map { case ((name, num), i) => (i, name, num) }
+      .toDF("_i", "split", "_num")
+    val wRem = Window.partitionBy("_g")
+      .orderBy(col("_rem").desc, col("_i").asc)
+    val wCum = Window.partitionBy("_g").orderBy("_i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = counts.crossJoin(broadcast(splitsDf))
+      .withColumn("_base", expr(s"(_n * _num) div $den"))
+      .withColumn("_rem", pmod(col("_n") * col("_num"), lit(den)))
+      .withColumn("_extra",
+        expr(s"(sum(_rem) over (partition by _g)) div $den"))
+      .withColumn("_alloc",
+        col("_base") +
+          when(row_number().over(wRem) <= col("_extra"), 1L).otherwise(0L))
+      .withColumn("_hi", sum("_alloc").over(wCum))
+      .select(col("_g"), col("split"),
+        (col("_hi") - col("_alloc")).as("_lo"), col("_hi"))
+    // ---- bucketed-prefix per-stratum rank (0-based) ----
+    val wb = Window.partitionBy("_g").orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = slim.groupBy("_g", "_bucket")
+      .agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(sum("_bn").over(wb), lit(0L)))
+      .drop("_bn")
+    val ww = Window.partitionBy("_g", "_bucket").orderBy("_prio", "_id")
+    val ranked = slim.join(broadcast(offsets), Seq("_g", "_bucket"))
+      .withColumn("_r", col("_off") + row_number().over(ww) - 1)
+    ranked.join(bounds, Seq("_g"))
+      .where(col("_r") >= col("_lo") && col("_r") < col("_hi"))
+      .select(col("_id").as(idCol), col("_g").as(stratumCol), col("split"))
+  }
+
   /** Serpentine (boustrophedon) shard assignment — the static
     * load-balancing pass that splits a corpus into `nShards` training
     * shards with near-equal total weight (token counts, byte sizes):

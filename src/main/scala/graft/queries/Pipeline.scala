@@ -41,6 +41,16 @@ object Pipeline {
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact-count stratified split: largest-remainder 8/1/1 per
+    //      lang, rows dealt by md5 rank — sizes are exact integers,
+    //      not hash expectations ----
+    "q308_exact_stratified_split" -> ((s, d) => {
+      Mixture.exactStratifiedSplit(
+          Tables.documents(s, d), "doc_id", "lang",
+          Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), den = 10L)
+        .orderBy("doc_id")
+    }),
+
     // ---- exact dedup on a derived boilerplate key (2-token prefix) ----
     "q31_dedup_prefix_groups" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1836,6 +1846,47 @@ object Pipeline {
   }.mkString(",\n          ")
 
   val oracle: Map[String, String] = Map(
+    // largest-remainder (Hamilton) apportionment per lang over the
+    // k=3 split rows, then rows dealt by (md5 prio, doc_id) rank —
+    // the bucketed Spark rank equals this plain per-stratum
+    // row_number because the bucket id is the prio's high-bit prefix
+    "q308_exact_stratified_split" ->
+      """WITH slim AS (
+            SELECT doc_id, lang,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                AS prio
+            FROM documents),
+          counts AS (SELECT lang, count(*) AS n FROM slim GROUP BY lang),
+          splits(i, split, num) AS (
+            VALUES (0, 'train', 8), (1, 'val', 1), (2, 'test', 1)),
+          alloc0 AS (
+            SELECT lang, n, i, split, num,
+              (n * num) // 10 AS base, (n * num) % 10 AS rem
+            FROM counts CROSS JOIN splits),
+          alloc1 AS (
+            SELECT *,
+              (sum(rem) OVER (PARTITION BY lang)) // 10 AS extra,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY rem DESC, i) AS rn
+            FROM alloc0),
+          alloc AS (
+            SELECT lang, i, split,
+              base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS cnt
+            FROM alloc1),
+          bounds AS (
+            SELECT lang, split,
+              sum(cnt) OVER (PARTITION BY lang ORDER BY i) - cnt AS lo,
+              sum(cnt) OVER (PARTITION BY lang ORDER BY i) AS hi
+            FROM alloc),
+          ranked AS (
+            SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY prio, doc_id) - 1 AS r
+            FROM slim)
+         SELECT r.doc_id, r.lang, b.split
+         FROM ranked r JOIN bounds b
+           ON r.lang = b.lang AND r.r >= b.lo AND r.r < b.hi
+         ORDER BY r.doc_id""",
     // shared PQ chain + per-subspace mean d² between each subvector
     // and its encoded centroid
     "q175_pq_distortion" -> {

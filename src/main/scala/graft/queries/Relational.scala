@@ -20,6 +20,38 @@ import graft.operators.RangeJoin
   */
 object Relational {
 
+  /** q300/q306 shared stage: Fellegi–Sunter-scored candidate pairs
+    * between customer and a deterministically-dirtied copy of itself.
+    */
+  private def linkageScored(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Linkage
+    val c = cust(s, d)
+    val dirty = c.select(
+      col("c_custkey").as("dirty_id"),
+      when(pmod(graft.functions.md5Long(
+          concat(lit("rl:"), col("c_custkey").cast("string"))), lit(3)) === 0,
+        upper(col("c_name"))).otherwise(col("c_name")).as("d_name"),
+      when(pmod(graft.functions.md5Long(
+          concat(lit("rb:"), col("c_custkey").cast("string"))), lit(5)) === 0,
+        col("c_acctbal") + lit(100.25)).otherwise(col("c_acctbal"))
+        .as("d_bal"),
+      col("c_nationkey"), col("c_mktsegment"))
+    Linkage.fellegiSunter(
+      c.select("c_custkey", "c_name", "c_acctbal",
+        "c_nationkey", "c_mktsegment"),
+      dirty, "c_custkey", "dirty_id",
+      blockCols = Seq("c_nationkey", "c_mktsegment"),
+      comparators = Seq(
+        Linkage.Comparator("name",
+          levenshtein(lower(col("l.c_name")), lower(col("r.d_name"))) <= 2,
+          6.0, -3.0),
+        Linkage.Comparator("name_exact",
+          col("l.c_name") === col("r.d_name"), 4.0, -1.0),
+        Linkage.Comparator("balance",
+          abs(col("l.c_acctbal") - col("r.d_bal")) <= 1.0, 5.0, -2.0)),
+      linkThreshold = 10.0, nonLinkThreshold = 0.0)
+  }
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
@@ -275,34 +307,52 @@ object Relational {
     //      addresses) — blocked on (nation, segment), three weighted
     //      field comparators, link/possible/non_link verdicts ----
     "q300_record_linkage" -> ((s, d) => {
-      import graft.operators.Linkage
-      val c = cust(s, d)
-      val dirty = c.select(
-        col("c_custkey").as("dirty_id"),
-        when(pmod(graft.functions.md5Long(
-            concat(lit("rl:"), col("c_custkey").cast("string"))), lit(3)) === 0,
-          upper(col("c_name"))).otherwise(col("c_name")).as("d_name"),
-        when(pmod(graft.functions.md5Long(
-            concat(lit("rb:"), col("c_custkey").cast("string"))), lit(5)) === 0,
-          col("c_acctbal") + lit(100.25)).otherwise(col("c_acctbal"))
-          .as("d_bal"),
-        col("c_nationkey"), col("c_mktsegment"))
-      Linkage.fellegiSunter(
-          c.select("c_custkey", "c_name", "c_acctbal",
-            "c_nationkey", "c_mktsegment"),
-          dirty, "c_custkey", "dirty_id",
-          blockCols = Seq("c_nationkey", "c_mktsegment"),
-          comparators = Seq(
-            Linkage.Comparator("name",
-              levenshtein(lower(col("l.c_name")), lower(col("r.d_name"))) <= 2,
-              6.0, -3.0),
-            Linkage.Comparator("name_exact",
-              col("l.c_name") === col("r.d_name"), 4.0, -1.0),
-            Linkage.Comparator("balance",
-              abs(col("l.c_acctbal") - col("r.d_bal")) <= 1.0, 5.0, -2.0)),
-          linkThreshold = 10.0, nonLinkThreshold = 0.0)
+      linkageScored(s, d)
         .where(col("verdict") =!= "non_link")
         .orderBy("c_custkey", "dirty_id")
+    }),
+
+    // ---- reciprocal-best-match 1:1 assignment over the q300 scored
+    //      pairs: a pair survives iff best for BOTH its ids (ties by
+    //      ascending partner id) — no id appears twice ----
+    "q306_linkage_one_to_one" -> ((s, d) => {
+      graft.operators.Linkage.oneToOne(
+          linkageScored(s, d).where(col("verdict") =!= "non_link"),
+          "c_custkey", "dirty_id", "score")
+        .select("c_custkey", "dirty_id", "score")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- CDC MERGE apply: latest-per-key change log (U/D/I, two
+    //      sequence waves — a seq-2 U overrides and can resurrect a
+    //      seq-1 D) applied to the orders snapshot ----
+    "q307_cdc_apply" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val h = graft.functions.md5Long(
+        concat(lit("cdc:"), col("o_orderkey").cast("string")))
+      val touched = base.where(pmod(h, lit(10)) === 0)
+      val wave1 = touched.select(
+        col("o_orderkey"), lit(1L).as("seq"),
+        when(pmod(h, lit(3)) === 0, lit("D")).otherwise(lit("U")).as("op"),
+        lit("X").as("o_orderstatus"),
+        round(col("o_totalprice") + 1000d, 2).as("o_totalprice"))
+      val wave2 = touched.where(pmod(h, lit(20)) === 0).select(
+        col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        lit("Y").as("o_orderstatus"),
+        round(col("o_totalprice") + 2000d, 2).as("o_totalprice"))
+      val inserts = base.where(pmod(h, lit(17)) === 0).select(
+        (col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(1L).as("seq"), lit("I").as("op"),
+        lit("N").as("o_orderstatus"), lit(1.5d).as("o_totalprice"))
+      val changes = wave1.unionByName(wave2).unionByName(inserts)
+      graft.operators.Layout.cdcApply(
+          base, changes, Seq("o_orderkey"), "seq", "op")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("sum_price"),
+          sum("o_orderkey").as("sum_key"))
+        .orderBy("o_orderstatus")
     }),
 
     // ---- hive-partitioned layout + pruned read: events written
@@ -920,6 +970,87 @@ object Relational {
          FROM scored
          WHERE NOT (score <= 0.0)
          ORDER BY c_custkey, dirty_id""",
+    // the q300 chain + two mutual-best row_number windows
+    "q306_linkage_one_to_one" ->
+      """WITH dirty AS (
+            SELECT c_custkey AS dirty_id,
+              CASE WHEN ('0x' || substr(md5('rl:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 3 = 0
+                THEN upper(c_name) ELSE c_name END AS d_name,
+              CASE WHEN ('0x' || substr(md5('rb:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 5 = 0
+                THEN c_acctbal + 100.25 ELSE c_acctbal END AS d_bal,
+              c_nationkey, c_mktsegment
+            FROM customer),
+          pairs AS (
+            SELECT l.c_custkey, r.dirty_id,
+              levenshtein(lower(l.c_name), lower(r.d_name)) <= 2 AS agree_name,
+              l.c_name = r.d_name AS agree_name_exact,
+              abs(l.c_acctbal - r.d_bal) <= 1.0 AS agree_balance
+            FROM customer l JOIN dirty r
+              ON l.c_nationkey = r.c_nationkey
+             AND l.c_mktsegment = r.c_mktsegment),
+          scored AS (
+            SELECT c_custkey, dirty_id,
+              round((CASE WHEN agree_name THEN 6.0 ELSE -3.0 END
+                  + CASE WHEN agree_name_exact THEN 4.0 ELSE -1.0 END
+                  + CASE WHEN agree_balance THEN 5.0 ELSE -2.0 END)::DOUBLE, 4)
+                AS score
+            FROM pairs),
+          kept AS (SELECT * FROM scored WHERE NOT (score <= 0.0)),
+          rk AS (
+            SELECT *,
+              row_number() OVER (PARTITION BY c_custkey
+                ORDER BY score DESC, dirty_id) AS rl,
+              row_number() OVER (PARTITION BY dirty_id
+                ORDER BY score DESC, c_custkey) AS rr
+            FROM kept)
+         SELECT c_custkey, dirty_id, score FROM rk
+         WHERE rl = 1 AND rr = 1
+         ORDER BY c_custkey""",
+    // MERGE replay: latest change per key (seq desc, op desc), D
+    // deletes, U/I replace-or-insert, untouched base rows pass
+    "q307_cdc_apply" ->
+      """WITH h AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+              ('0x' || substr(md5('cdc:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+            FROM orders),
+          wave1 AS (
+            SELECT o_orderkey, CAST(1 AS BIGINT) AS seq,
+              CASE WHEN hv % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+              'X' AS o_orderstatus,
+              round(o_totalprice + 1000, 2) AS o_totalprice
+            FROM h WHERE hv % 10 = 0),
+          wave2 AS (
+            SELECT o_orderkey, CAST(2 AS BIGINT) AS seq, 'U' AS op,
+              'Y' AS o_orderstatus,
+              round(o_totalprice + 2000, 2) AS o_totalprice
+            FROM h WHERE hv % 20 = 0),
+          ins AS (
+            SELECT o_orderkey + 100000000 AS o_orderkey,
+              CAST(1 AS BIGINT) AS seq, 'I' AS op,
+              'N' AS o_orderstatus, CAST(1.5 AS DOUBLE) AS o_totalprice
+            FROM h WHERE hv % 17 = 0),
+          changes AS (
+            SELECT * FROM wave1 UNION ALL
+            SELECT * FROM wave2 UNION ALL
+            SELECT * FROM ins),
+          latest AS (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
+              ORDER BY seq DESC, op DESC) AS rn
+            FROM changes),
+          l1 AS (SELECT * FROM latest WHERE rn = 1),
+          merged AS (
+            SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+            FROM orders b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM l1 WHERE l1.o_orderkey = b.o_orderkey)
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM l1 WHERE op <> 'D')
+         SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         FROM merged GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
     // the pruned-partition read must equal a plain filtered aggregate
     "q298_partition_prune" ->
       """SELECT user_id, count(*) AS n_events,

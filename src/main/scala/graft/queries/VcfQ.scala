@@ -61,6 +61,33 @@ object VcfQ {
     cachedBgzf
   }
 
+  /** Trio fixture shared by q294 (Mendel errors) and q303 (TDT):
+    * F1×M1 parents, children C1/C2, X1 a non-family sample that must
+    * never enter the joins; v7 has a missing mother call.
+    */
+  private def familyFixture(s: SparkSession): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val geno = Seq(
+      (1L, "F1", Some(0d)), (1L, "M1", Some(0d)), (1L, "C1", Some(1d)),
+      (1L, "C2", Some(0d)), (1L, "X1", Some(1d)),
+      (2L, "F1", Some(2d)), (2L, "M1", Some(2d)), (2L, "C1", Some(1d)),
+      (2L, "C2", Some(2d)), (2L, "X1", Some(1d)),
+      (3L, "F1", Some(0d)), (3L, "M1", Some(2d)), (3L, "C1", Some(0d)),
+      (3L, "C2", Some(1d)), (3L, "X1", Some(1d)),
+      (4L, "F1", Some(2d)), (4L, "M1", Some(1d)), (4L, "C1", Some(0d)),
+      (4L, "C2", Some(1d)), (4L, "X1", Some(1d)),
+      (5L, "F1", Some(1d)), (5L, "M1", Some(1d)), (5L, "C1", Some(2d)),
+      (5L, "C2", Some(1d)), (5L, "X1", Some(1d)),
+      (6L, "F1", Some(0d)), (6L, "M1", Some(2d)), (6L, "C1", Some(1d)),
+      (6L, "C2", Some(2d)), (6L, "X1", Some(1d)),
+      (7L, "F1", Some(2d)), (7L, "M1", None), (7L, "C1", Some(1d)),
+      (7L, "C2", Some(2d)), (7L, "X1", Some(1d))
+    ).toDF("variant_id", "sample", "gt")
+    val trios = Seq(("F1", "M1", "C1"), ("F1", "M1", "C2"))
+      .toDF("father", "mother", "child")
+    (geno, trios)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_vcf_info" -> ((s, _) => {
       tables(s).info
@@ -168,27 +195,54 @@ object VcfQ {
     //      trios sharing parents, and a non-family sample that must
     //      never enter the join ----
     "q294_vcf_mendel" -> ((s, _) => {
-      import s.implicits._
-      val geno = Seq(
-        // (variant, sample, gt): F1×M1 parents, children C1/C2, X1 loose
-        (1L, "F1", Some(0d)), (1L, "M1", Some(0d)), (1L, "C1", Some(1d)),
-        (1L, "C2", Some(0d)), (1L, "X1", Some(1d)),
-        (2L, "F1", Some(2d)), (2L, "M1", Some(2d)), (2L, "C1", Some(1d)),
-        (2L, "C2", Some(2d)), (2L, "X1", Some(1d)),
-        (3L, "F1", Some(0d)), (3L, "M1", Some(2d)), (3L, "C1", Some(0d)),
-        (3L, "C2", Some(1d)), (3L, "X1", Some(1d)),
-        (4L, "F1", Some(2d)), (4L, "M1", Some(1d)), (4L, "C1", Some(0d)),
-        (4L, "C2", Some(1d)), (4L, "X1", Some(1d)),
-        (5L, "F1", Some(1d)), (5L, "M1", Some(1d)), (5L, "C1", Some(2d)),
-        (5L, "C2", Some(1d)), (5L, "X1", Some(1d)),
-        (6L, "F1", Some(0d)), (6L, "M1", Some(2d)), (6L, "C1", Some(1d)),
-        (6L, "C2", Some(2d)), (6L, "X1", Some(1d)),
-        (7L, "F1", Some(2d)), (7L, "M1", None), (7L, "C1", Some(1d)),
-        (7L, "C2", Some(2d)), (7L, "X1", Some(1d))
-      ).toDF("variant_id", "sample", "gt")
-      val trios = Seq(("F1", "M1", "C1"), ("F1", "M1", "C2"))
-        .toDF("father", "mother", "child")
+      val (geno, trios) = familyFixture(s)
       VcfApi.mendelReport(geno, trios).orderBy("father", "mother", "child")
+    }),
+    // ---- transmission disequilibrium test (plink --tdt) over the
+    //      same family fixture: v4 (het mother, u=1 from C2; C1 is a
+    //      Mendel error, excluded), v5 (double-het parents, C1
+    //      transmits alt twice, C2 once each way), all other sites
+    //      uninformative (no het parent) or excluded ----
+    "q303_vcf_tdt" -> ((s, _) => {
+      val (geno, trios) = familyFixture(s)
+      VcfApi.tdtReport(geno, trios).orderBy("variant_id")
+    }),
+    // ---- two-callset genotype concordance (picard shape): B flips
+    //      S1's v2, misses S1's v5 + S2's v2, adds calls A lacks ----
+    "q304_vcf_concordance" -> ((s, _) => {
+      import s.implicits._
+      val a = Seq(
+        (1L, "S1", Some(0d)), (2L, "S1", Some(1d)), (3L, "S1", Some(2d)),
+        (4L, "S1", None), (5L, "S1", Some(1d)),
+        (1L, "S2", Some(1d)), (2L, "S2", Some(1d)), (3L, "S2", Some(0d)),
+        (4L, "S2", Some(2d)), (5L, "S2", None)
+      ).toDF("variant_id", "sample", "gt")
+      val b = Seq(
+        (1L, "S1", Some(0d)), (2L, "S1", Some(2d)), (3L, "S1", Some(2d)),
+        (4L, "S1", Some(1d)), (5L, "S1", None),
+        (1L, "S2", Some(1d)), (2L, "S2", None), (3L, "S2", Some(0d)),
+        (4L, "S2", Some(2d)), (5L, "S2", Some(0d))
+      ).toDF("variant_id", "sample", "gt")
+      VcfApi.concordanceReport(a, b).orderBy("sample")
+    }),
+    // ---- LD pruning (plink --indep-pairwise, position-greedy):
+    //      v1↔v2 and v2↔v3 conflict (r²=0.6667 > 0.5), v1↔v3 don't
+    //      (0.1111) ⇒ keep v1, drop v2, keep v3 (the 2-round chain);
+    //      v4/v5 sit past the 500bp window and correlate only 0.25 ----
+    "q305_vcf_ldprune" -> ((s, _) => {
+      import s.implicits._
+      val dose = Map(
+        1L -> Seq(0, 0, 0, 2, 2, 2), 2L -> Seq(0, 0, 1, 2, 2, 1),
+        3L -> Seq(0, 0, 2, 2, 2, 0), 4L -> Seq(0, 1, 2, 0, 1, 2),
+        5L -> Seq(0, 2, 1, 1, 0, 2))
+      val geno = dose.toSeq.flatMap { case (v, gs) =>
+        gs.zipWithIndex.map { case (g, i) => (v, s"s$i", g.toDouble) }
+      }.toDF("variant_id", "sample", "gt")
+      val info = Seq((1L, "1", 100L), (2L, "1", 200L), (3L, "1", 300L),
+        (4L, "1", 5000L), (5L, "1", 5100L))
+        .toDF("variant_id", "chr", "start")
+      VcfApi.ldPrune(geno, info, maxDist = 500L, r2Max = 0.5)
+        .orderBy("variant_id")
     }),
     // ---- polygenic score (plink --score 'sum' + mean imputation)
     //      over the toy geno: S1's missing v3 call imputes to 2p̂,
@@ -372,6 +426,42 @@ object VcfQ {
           ('F1', 'M1', 'C2', 6, 1, 0.1667))
          t(father, mother, child, n_tested, n_errors, error_rate)
          ORDER BY father, mother, child""",
+    // hand-computed: v4 (F=2 hom, M=1 het) — C1 g=0 is a Mendel error
+    // (excluded), C2 g=1 ⇒ het mother transmitted ref ⇒ t=0,u=1;
+    // v5 (both parents het) — C1 g=2 ⇒ both transmitted alt (t+=2),
+    // C2 g=1 ⇒ one each (t+=1,u+=1) ⇒ t=3,u=1,chisq=(3−1)²/4=1;
+    // v1/v2/v3/v6 have no het parent, v7's mother is uncalled
+    "q303_vcf_tdt" ->
+      """SELECT * FROM (VALUES
+          (CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
+          (5, 2, 3, 1, 1.0))
+         t(variant_id, n_informative, t, u, chisq)
+         ORDER BY variant_id""",
+    // hand-computed: S1 both-called {v1 (0,0) ✓, v2 (1,2) ✗, v3 (2,2)
+    // ✓}, a-only v5, b-only v4; non-ref cells {v2, v3} with one match;
+    // S2 both-called {v1, v3, v4} all match, a-only v2, b-only v5
+    "q304_vcf_concordance" ->
+      """SELECT * FROM (VALUES
+          ('S1', CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0.6667 AS DOUBLE),
+            CAST(0.5 AS DOUBLE)),
+          ('S2', 3, 3, 0, 1, 1, 1.0, 1.0))
+         t(sample, n_both, n_match, n_mismatch, n_a_only, n_b_only,
+           concordance, nonref_concordance)
+         ORDER BY sample""",
+    // hand-computed greedy by position (window 500bp, r² > 0.5):
+    // v1 kept (first), v2 conflicts kept-v1 ⇒ dropped, v3 conflicts
+    // only dropped-v2 ⇒ kept, v4/v5 out of window / r²=0.25 ⇒ kept
+    "q305_vcf_ldprune" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), '1', CAST(100 AS BIGINT), true),
+          (2, '1', 200, false),
+          (3, '1', 300, true),
+          (4, '1', 5000, true),
+          (5, '1', 5100, true))
+         t(variant_id, chr, pos, kept)
+         ORDER BY variant_id""",
     // hand-computed from the q45 genotypes: weighted variants present
     // in geno are 1, 3, 5 (w = .5, −1, 2; id 7 contributes nothing).
     // S1: .5·0 + (−1)·(2p̂₃ = 1.0, imputed — v3 call missing) + 2·1

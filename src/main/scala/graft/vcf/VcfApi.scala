@@ -666,17 +666,7 @@ object VcfApi {
     * then ONE combinable per-trio aggregation.
     */
   def mendelReport(geno: DataFrame, trios: DataFrame): DataFrame = {
-    val called = geno.where(col("gt").isNotNull)
-      .select(col("variant_id"), col("sample"), col("gt").cast("int").as("g"))
-    def side(role: String) = called
-      .join(broadcast(trios.select(col(role).as("sample")).distinct()),
-        Seq("sample"), "left_semi")
-      .select(col("variant_id"), col("sample").as(role),
-        col("g").as(s"g_$role"))
-    val fmc = side("father")
-      .join(broadcast(trios), Seq("father"))
-      .join(side("mother"), Seq("variant_id", "mother"))
-      .join(side("child"), Seq("variant_id", "child"))
+    val fmc = trioDosages(geno, trios)
     val cMin = (col("g_father") === 2).cast("int") +
       (col("g_mother") === 2).cast("int")
     val cMax = lit(2) - (col("g_father") === 0).cast("int") -
@@ -687,6 +677,69 @@ object VcfApi {
       .agg(count(lit(1)).as("n_tested"), sum("__err").as("n_errors"))
       .withColumn("error_rate",
         round(col("n_errors").cast("double") / col("n_tested"), 4))
+  }
+
+  /** The jointly-called (site, trio) dosage grid shared by
+    * [[mendelReport]] and [[tdtReport]]: one row per (variant, trio)
+    * where father, mother and child are all called, with integer
+    * dosages `g_father`/`g_mother`/`g_child`.
+    *
+    * Scale shape (the reason both reports go through here): the trio
+    * list is a broadcast dimension attached to the FATHER side before
+    * any variant-keyed join, and each parent/child side is
+    * semi-filtered to the samples actually playing that role — the
+    * intermediate is O(sites · trios), never the called-samples²
+    * grid a variant-keyed self-join would build.
+    */
+  private def trioDosages(geno: DataFrame, trios: DataFrame): DataFrame = {
+    val called = geno.where(col("gt").isNotNull)
+      .select(col("variant_id"), col("sample"), col("gt").cast("int").as("g"))
+    def side(role: String) = called
+      .join(broadcast(trios.select(col(role).as("sample")).distinct()),
+        Seq("sample"), "left_semi")
+      .select(col("variant_id"), col("sample").as(role),
+        col("g").as(s"g_$role"))
+    side("father")
+      .join(broadcast(trios), Seq("father"))
+      .join(side("mother"), Seq("variant_id", "mother"))
+      .join(side("child"), Seq("variant_id", "child"))
+  }
+
+  /** Transmission disequilibrium test (plink `--tdt`, Spielman 1993):
+    * per biallelic site, over jointly-called Mendel-CONSISTENT trios
+    * with at least one heterozygous parent, count alt alleles
+    * transmitted (`t`) vs untransmitted (`u`) by het parents and test
+    * `chisq = (t−u)²/(t+u)` (McNemar). Under dosage coding both
+    * counts are fully determined — no phase needed: hom parents'
+    * transmissions are forced (`0` or `1` alt), so the het parents'
+    * joint alt transmission is `x = g_child − [f=2] − [m=2]`, giving
+    * `t += x`, `u += (#het parents) − x`. Mendel-inconsistent trios
+    * (x outside [0, #het]) are excluded, matching plink's
+    * error-filtered default; uninformative sites (t+u = 0) are
+    * omitted. Emits `(variant_id, n_informative, t, u, chisq)` with
+    * chisq rounded to 4.
+    *
+    * Scale shape: the [[trioDosages]] grid is O(sites · trios), the
+    * per-trio transmission math is row-local, and the site rollup is
+    * ONE combinable aggregation keyed by variant — the family-cohort
+    * association scan stays a single shuffle at biobank scale.
+    */
+  def tdtReport(geno: DataFrame, trios: DataFrame): DataFrame = {
+    val fmc = trioDosages(geno, trios)
+    val nHet = (col("g_father") === 1).cast("int") +
+      (col("g_mother") === 1).cast("int")
+    val x = col("g_child") - (col("g_father") === 2).cast("int") -
+      (col("g_mother") === 2).cast("int")
+    fmc.select(col("variant_id"), nHet.as("__h"), x.as("__x"))
+      .where(col("__h") > 0 && col("__x") >= 0 && col("__x") <= col("__h"))
+      .groupBy("variant_id")
+      .agg(count(lit(1)).as("n_informative"),
+        sum("__x").as("t"),
+        sum(col("__h") - col("__x")).as("u"))
+      .where(col("t") + col("u") > 0)
+      .withColumn("chisq",
+        round((col("t") - col("u")).cast("double") *
+          (col("t") - col("u")) / (col("t") + col("u")), 4))
   }
 
   /** Polygenic score, the plink `--score ... sum` form: per sample,
@@ -722,6 +775,129 @@ object VcfApi {
       .agg(count(when(col("__called"), lit(1))).as("n_used"),
         count(when(!col("__called"), lit(1))).as("n_imputed"),
         round(sum("__term"), 4).as("score"))
+  }
+
+  /** Two-callset genotype concordance (picard `GenotypeConcordance` /
+    * bcftools `gtcheck` shape): per sample, over the (variant, sample)
+    * cells called in either callset, count both-called /
+    * matching / mismatching / one-sided cells and report overall and
+    * non-reference concordance (agreement restricted to cells where
+    * either side is non-ref — the metric that isn't inflated by the
+    * hom-ref majority). A NULL `gt` is a missing call, identical to
+    * the row being absent. `nonref_concordance` is NULL when no
+    * non-ref both-called cell exists. Rates rounded to 4.
+    *
+    * Scale shape: one full-outer equi-join co-keyed on
+    * (variant_id, sample) — both sides shuffle-partition on the same
+    * composite key, no re-keying — then ONE combinable per-sample
+    * aggregation. The sequencing-pipeline regression gate (new caller
+    * version vs truth set) at cohort scale.
+    */
+  def concordanceReport(genoA: DataFrame, genoB: DataFrame): DataFrame = {
+    def called(df: DataFrame, g: String) = df.where(col("gt").isNotNull)
+      .select(col("variant_id"), col("sample"), col("gt").cast("int").as(g))
+    val bothCalled = col("g_a").isNotNull && col("g_b").isNotNull
+    val nonref = bothCalled && (col("g_a") =!= 0 || col("g_b") =!= 0)
+    called(genoA, "g_a")
+      .join(called(genoB, "g_b"), Seq("variant_id", "sample"), "full_outer")
+      .groupBy("sample")
+      .agg(
+        count(when(bothCalled, lit(1))).as("n_both"),
+        count(when(col("g_a") === col("g_b"), lit(1))).as("n_match"),
+        count(when(bothCalled && col("g_a") =!= col("g_b"), lit(1)))
+          .as("n_mismatch"),
+        count(when(col("g_b").isNull, lit(1))).as("n_a_only"),
+        count(when(col("g_a").isNull, lit(1))).as("n_b_only"),
+        count(when(nonref, lit(1))).as("__nr_both"),
+        count(when(col("g_a") === col("g_b") && col("g_a") =!= 0, lit(1)))
+          .as("__nr_match"))
+      .select(col("sample"), col("n_both"), col("n_match"),
+        col("n_mismatch"), col("n_a_only"), col("n_b_only"),
+        when(col("n_both") > 0,
+          round(col("n_match").cast("double") / col("n_both"), 4))
+          .as("concordance"),
+        when(col("__nr_both") > 0,
+          round(col("__nr_match").cast("double") / col("__nr_both"), 4))
+          .as("nonref_concordance"))
+  }
+
+  /** LD pruning (plink `--indep-pairwise` semantics, deterministic
+    * position-greedy tie rule): scan variants in (chr, pos) order and
+    * KEEP a variant iff no already-kept variant within `maxDist` bp
+    * upstream has r² > `r2Max` with it — the standard pre-PCA /
+    * pre-kinship thinning pass. Conflict edges come from
+    * [[ldReport]] (same windowed-bucket pair kernel, integer-sum r²).
+    * Emits one row per variant: `(variant_id, chr, pos, kept)`.
+    *
+    * The greedy recurrence `kept(v) = ∀ upstream conflict u:
+    * ¬kept(u)` is well-founded (edges point strictly down-position)
+    * and is solved by topological rounds: each round decides every
+    * variant whose upstream conflicts are all decided. Rounds needed =
+    * longest conflict CHAIN within a window — in real panels a handful
+    * (conflict chains break at every window boundary and every kept
+    * variant) — and the fixpoint is REQUIRED within `maxRounds`
+    * (q195's k-core rule): undecided variants after the cap throw
+    * rather than silently mis-prune.
+    *
+    * Scale shape: the edge set is the ldReport pair volume (window
+    * occupancy², position-bucketed — never all-pairs); each round is
+    * two broadcast-scale anti/semi-joins on the shrinking undecided
+    * set, and per-round state (decided ids + flag) is slim and
+    * persisted. No driver-side collect anywhere.
+    */
+  def ldPrune(geno: DataFrame, info: DataFrame, maxDist: Long,
+      r2Max: Double, maxRounds: Int = 16): DataFrame = {
+    val spark = geno.sparkSession
+    val sites = info.select(col("variant_id"), col("chr"),
+      col("start").as("pos"))
+    val edges = ldReport(geno, info, maxDist)
+      .where(col("r2") > r2Max)
+      .select(col("id_a").as("up"), col("id_b").as("down"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var undecided = sites.select(col("variant_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var decided = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "variant_id BIGINT, kept BOOLEAN"))
+    var rounds = 0
+    var undecidedCount = undecided.count()
+    while (undecidedCount > 0 && rounds < maxRounds) {
+      // decidable: every upstream conflict already decided
+      val blocked = edges
+        .join(undecided.select(col("variant_id").as("up")), Seq("up"),
+          "left_semi")
+        .select(col("down").as("variant_id")).distinct()
+      val decidable = undecided.join(blocked, Seq("variant_id"), "left_anti")
+      // kept unless some upstream conflict was kept
+      val keptUp = edges
+        .join(decided.where(col("kept")).select(
+          col("variant_id").as("up")), Seq("up"), "left_semi")
+        .select(col("down").as("variant_id")).distinct()
+      val newly = decidable
+        .join(keptUp.withColumn("__k", lit(false)), Seq("variant_id"), "left")
+        .select(col("variant_id"), coalesce(col("__k"), lit(true)).as("kept"))
+      val nextDecided = decided.union(newly)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextUndecided = undecided
+        .join(newly.select("variant_id"), Seq("variant_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextCount = nextUndecided.count()
+      require(nextCount < undecidedCount,
+        s"ldPrune made no progress at round $rounds — conflict graph " +
+          "has an upstream cycle (corrupt positions?)")
+      undecided.unpersist(); undecided = nextUndecided
+      decided = nextDecided
+      undecidedCount = nextCount
+      rounds += 1
+    }
+    require(undecidedCount == 0,
+      s"ldPrune fixpoint not reached within $maxRounds rounds " +
+        s"($undecidedCount variants undecided) — raise maxRounds")
+    edges.unpersist()
+    sites.join(decided, Seq("variant_id"), "left")
+      .select(col("variant_id"), col("chr"), col("pos"),
+        coalesce(col("kept"), lit(true)).as("kept"))
   }
 
   /** Bulk interval-overlap join against an arbitrary regions table

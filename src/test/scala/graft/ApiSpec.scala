@@ -375,6 +375,83 @@ class ApiSpec extends SparkSpec {
     assert(g2.forall(_.getAs[Double]("score") == 0.0))
   }
 
+  test("VcfApi.tdtReport: transmission counts, error exclusion, informativeness") {
+    import spark.implicits._
+    val geno = Seq(
+      // v1 double-het, child hom-alt: both het parents transmit alt
+      (1L, "F", Some(1d)), (1L, "M", Some(1d)), (1L, "C", Some(2d)),
+      // v2 double-het, child het: one alt, one ref
+      (2L, "F", Some(1d)), (2L, "M", Some(1d)), (2L, "C", Some(1d)),
+      // v3 het×hom-alt, child het: het father transmitted ref
+      (3L, "F", Some(1d)), (3L, "M", Some(2d)), (3L, "C", Some(1d)),
+      // v4 hom×hom: uninformative, no row
+      (4L, "F", Some(0d)), (4L, "M", Some(2d)), (4L, "C", Some(1d)),
+      // v5 Mendel error (0×0→het child): excluded, no row
+      (5L, "F", Some(0d)), (5L, "M", Some(0d)), (5L, "C", Some(1d)),
+      // v6 het×hom-ref but child uncalled: trio cell dropped
+      (6L, "F", Some(1d)), (6L, "M", Some(0d)), (6L, "C", None)
+    ).toDF("variant_id", "sample", "gt")
+    val trios = Seq(("F", "M", "C")).toDF("father", "mother", "child")
+    val got = graft.vcf.VcfApi.tdtReport(geno, trios).orderBy("variant_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_informative"),
+        r.getAs[Long]("t"), r.getAs[Long]("u"), r.getAs[Double]("chisq")))
+      .toSeq
+    assert(got == Seq((1L, 1L, 2L, 0L, 2.0), (2L, 1L, 1L, 1L, 0.0),
+      (3L, 1L, 0L, 1L, 1.0)))
+  }
+
+  test("VcfApi.concordanceReport: one-sided calls, nonref restriction, NULL rate") {
+    import spark.implicits._
+    val a = Seq((1L, "x", Some(0d)), (2L, "x", Some(1d)), (3L, "x", None))
+      .toDF("variant_id", "sample", "gt")
+    val b = Seq((1L, "x", Some(0d)), (2L, "x", Some(2d)), (3L, "x", Some(1d)))
+      .toDF("variant_id", "sample", "gt")
+    val r = graft.vcf.VcfApi.concordanceReport(a, b).collect().head
+    // both-called: v1 (0,0) match, v2 (1,2) mismatch; v3 b-only (A's
+    // NULL gt ≡ absent); nonref cell = v2 only, 0 matches
+    assert(r.getAs[Long]("n_both") == 2 && r.getAs[Long]("n_match") == 1)
+    assert(r.getAs[Long]("n_mismatch") == 1 && r.getAs[Long]("n_a_only") == 0)
+    assert(r.getAs[Long]("n_b_only") == 1)
+    assert(r.getAs[Double]("concordance") == 0.5)
+    assert(r.getAs[Double]("nonref_concordance") == 0.0)
+    // an all-hom-ref concordant pair has NO nonref cells → NULL rate
+    val hr = Seq((1L, "x", Some(0d))).toDF("variant_id", "sample", "gt")
+    val r2 = graft.vcf.VcfApi.concordanceReport(hr, hr).collect().head
+    assert(r2.getAs[Double]("concordance") == 1.0)
+    assert(r2.isNullAt(r2.fieldIndex("nonref_concordance")))
+  }
+
+  test("VcfApi.ldPrune: greedy chain needs one round per link; cap throws") {
+    import spark.implicits._
+    // four perfectly-correlated variants in one window: the greedy
+    // keep/drop alternates down the chain (keep 100, drop 200+300+400
+    // — all conflict with kept v1 since r²=1 pairwise)
+    val dup = Seq(0d, 0d, 1d, 1d, 2d, 2d)
+    val geno = (1 to 4).flatMap(v => dup.zipWithIndex.map {
+      case (g, i) => (v.toLong, s"s$i", g)
+    }).toDF("variant_id", "sample", "gt")
+    val info = (1 to 4).map(v => (v.toLong, "1", v * 100L))
+      .toDF("variant_id", "chr", "start")
+    val got = graft.vcf.VcfApi.ldPrune(geno, info, 1000L, 0.5)
+      .orderBy("variant_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("kept"))).toSeq
+    assert(got == Seq((1L, true), (2L, false), (3L, false), (4L, false)))
+    // an anti-chain (alternating keep) needs chain-length rounds:
+    // a 1-round cap must throw the REQUIRED-fixpoint error, not
+    // silently emit partial decisions
+    val e = intercept[IllegalArgumentException] {
+      graft.vcf.VcfApi.ldPrune(geno, info, 150L, 0.5, maxRounds = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // window 150: only adjacent pairs conflict ⇒ keep 1, drop 2,
+    // keep 3 (its only conflict v2 is dropped), drop 4
+    val alt = graft.vcf.VcfApi.ldPrune(geno, info, 150L, 0.5)
+      .orderBy("variant_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("kept"))).toSeq
+    assert(alt == Seq((1L, true), (2L, false), (3L, true), (4L, false)))
+  }
+
   test("VcfApi.hetReport: an all-het cohort scores F = −1") {
     import spark.implicits._
     val geno = Seq(

@@ -3696,6 +3696,62 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Seq((1L, 1L), (2L, 1L), (5L, 1L), (10L, 99L), (11L, 99L)))
   }
 
+  test("Linkage.oneToOne: mutual-best only, deterministic tie-break") {
+    import graft.operators.Linkage
+    val pairs = Seq(
+      // L1's best is R1 (5.0) and R1's best is L1 → mutual, kept
+      ("L1", "R1", 5.0), ("L1", "R2", 3.0),
+      // L2's best is also R1 (4.0 > its R2 3.5) but R1 prefers L1 →
+      // L2 unmatched; R2's best is L2 but L2's best is R1 → R2
+      // unmatched too (strict single-pass mutual-best, no re-pairing)
+      ("L2", "R1", 4.0), ("L2", "R2", 3.5),
+      // L3/L4 tie on R3 at 2.0: ascending-left-id tie-break → L3
+      ("L3", "R3", 2.0), ("L4", "R3", 2.0)
+    ).toDF("lid", "rid", "score")
+    val got = Linkage.oneToOne(pairs, "lid", "rid", "score")
+      .select("lid", "rid").as[(String, String)].collect().toSet
+    assert(got == Set(("L1", "R1"), ("L3", "R3")))
+  }
+
+  test("Layout.cdcApply: latest-wins, delete, insert, resurrect") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (1L, 1L, "U", "a2"),          // update k1
+      (2L, 1L, "D", "-"),           // delete k2
+      (3L, 1L, "D", "-"), (3L, 2L, "U", "c2"), // delete then resurrect
+      (4L, 1L, "I", "d")            // insert new k4
+    ).toDF("k", "seq", "op", "v")
+    val got = graft.operators.Layout
+      .cdcApply(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (3L, "c2"), (4L, "d"), (9L, "z")))
+  }
+
+  test("Mixture.exactStratifiedSplit: exact largest-remainder counts, bucket-invariant") {
+    // stratum A: 12 rows → 8/1/1 of 10 ⇒ bases 9/1/1, remainders
+    // 6/2/2, one leftover → train gets it ⇒ 10/1/1;
+    // stratum B: 20 rows divide exactly ⇒ 16/2/2
+    val df = ((1 to 12).map(i => (i.toLong, "A")) ++
+      (101 to 120).map(i => (i.toLong, "B"))).toDF("id", "g")
+    val splits = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)
+    val got = Mixture.exactStratifiedSplit(df, "id", "g", splits, 10L)
+    val counts = got.groupBy("g", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (g, sp, n) => (g, sp) -> n }.toMap
+    assert(counts == Map(
+      ("A", "train") -> 10L, ("A", "val") -> 1L, ("A", "test") -> 1L,
+      ("B", "train") -> 16L, ("B", "val") -> 2L, ("B", "test") -> 2L))
+    // every row assigned exactly once
+    assert(got.count() == 32 && got.select("id").distinct().count() == 32)
+    // the bucketed rank is an implementation detail: a different
+    // bucket count must produce the IDENTICAL assignment
+    val alt = Mixture.exactStratifiedSplit(df, "id", "g", splits, 10L,
+      buckets = 4)
+    assert(got.as[(Long, String, String)].collect().toSet ==
+      alt.as[(Long, String, String)].collect().toSet)
+  }
+
   test("Events.embargoSplit: purge window users embargoed from test") {
     // span [0, 100] ns → cuts t0 = 60, t1 = 70
     val ev = Seq(
