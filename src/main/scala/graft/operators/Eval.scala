@@ -518,6 +518,40 @@ object Eval {
           6).as("encoded"))
   }
 
+  /** Weight-of-evidence encoding + information value — the
+    * credit-scoring / feature-screening standard (Siddiqi 2006) next
+    * to [[targetEncode]]: per category `i`,
+    * `WOE_i = ln(dist1_i / dist0_i)` with the Laplace-smoothed
+    * distributions `dist_c = (n_c,i + α) / (N_c + k·α)` (k =
+    * category count, so zero cells stay finite and the smoothed
+    * distributions still sum to 1), and the per-category information
+    * value term `IV_i = (dist1_i − dist0_i)·WOE_i` (total IV = Σ —
+    * the conventional <0.02 useless / >0.3 strong screening scale).
+    * Label is any 0/1 expression. Emits
+    * `(category, n0, n1, woe, iv_term)`, 6dp.
+    *
+    * Scale shape: one category-grain combinable aggregate; totals and
+    * the category count cross in as a broadcast single row; the
+    * ln/ratio algebra is row-local on integer-derived inputs.
+    */
+  def woeEncode(df: DataFrame, catCol: String, label: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive (zero cells blow up WOE)")
+    val per = df.groupBy(col(catCol).as("category"))
+      .agg(count(when(label === 0, lit(1))).as("n0"),
+        count(when(label === 1, lit(1))).as("n1"))
+    val tot = per.agg(sum("n0").as("__t0"), sum("n1").as("__t1"),
+      count(lit(1)).as("__k"))
+    val dist0 = (col("n0") + lit(alpha)) /
+      (col("__t0") + col("__k") * lit(alpha))
+    val dist1 = (col("n1") + lit(alpha)) /
+      (col("__t1") + col("__k") * lit(alpha))
+    per.crossJoin(broadcast(tot))
+      .select(col("category"), col("n0"), col("n1"),
+        round(log(dist1 / dist0), 6).as("woe"),
+        round((dist1 - dist0) * log(dist1 / dist0), 6).as("iv_term"))
+  }
+
   /** CUPED variance reduction — the experiment-sensitivity workhorse:
     * with a pre-period covariate x and post-period metric y per unit,
     * the adjusted metric y − θ(x − x̄) with θ = cov(x,y)/var(x) keeps

@@ -66,6 +66,99 @@ object Linkage {
           .otherwise(lit("non_link")))
   }
 
+  /** Round half away from zero at `s` decimals — the per-iteration
+    * quantization contract shared with the SQL oracle replay (same
+    * convention as `Similarity.round12`: `floor(|x|·10^s + 0.5)` with
+    * the same double ops in the same order as both engines' `round`).
+    */
+  private def roundAt(x: Double, scale: Double): Double =
+    if (x >= 0) math.floor(x * scale + 0.5) / scale
+    else -math.floor(-x * scale + 0.5) / scale
+
+  /** Unsupervised estimation of the Fellegi–Sunter parameters by EM
+    * (Winkler 1988; the learning step behind Splink's
+    * `estimate_parameters_using_expectation_maximisation`): treat the
+    * blocked pairs as a two-component mixture — matches (share λ,
+    * per-field agreement probabilities m_i) vs non-matches (u_i) —
+    * and iterate E (per-pair match responsibility from the current
+    * parameters, which depends only on the pair's agreement PATTERN)
+    * / M (count-weighted parameter re-estimates). Returns one row per
+    * comparator: `(comparator, m, u, agree_weight, disagree_weight,
+    * lam)` with the final log-likelihood-ratio weights (`ln(m/u)`,
+    * `ln((1−m)/(1−u))`, rounded to 6) ready to feed [[fellegiSunter]].
+    *
+    * Determinism/replayability: the E-step responsibility is computed
+    * once per distinct agreement pattern (≤ 2^k rows); it is
+    * quantized to an INTEGER micro-weight `W = ⌊w·10¹² + ½⌋` and all
+    * M-step sums run over exact integers (BigInt here, HUGEINT in a
+    * SQL replay) — order-free — so a single float division, 12-dp
+    * rounding and an [1e-6, 1−1e-6] clamp per parameter per iteration
+    * reproduce bit-identically in any engine. A degenerate collapse
+    * (all W rounding to 0) would NaN out; the clamp on λ and sane
+    * starts make this unreachable on non-empty input.
+    *
+    * Scale shape: ONE combinable aggregation over the blocked pairs
+    * (groupBy the k agreement flags) reduces the corpus to ≤ 2^k
+    * pattern counts; the EM loop is driver-side arithmetic on that
+    * metadata — the same bounded-collect contract as k-means
+    * centroids. The pair table is scanned exactly once regardless of
+    * `iters`.
+    */
+  def estimateMU(pairs: DataFrame, agreeCols: Seq[String], iters: Int,
+      lambda0: Double = 0.1, m0: Double = 0.9, u0: Double = 0.1)
+      : DataFrame = {
+    require(agreeCols.nonEmpty && agreeCols.size <= 12,
+      "1..12 comparator columns (pattern space is 2^k)")
+    require(iters >= 1, "need at least one EM iteration")
+    val k = agreeCols.size
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pats = pairs
+      .groupBy(agreeCols.map(c =>
+        coalesce(col(c).cast("boolean"), lit(false))): _*)
+      .count().collect()
+      .map(r => (Array.tabulate(k)(i => r.getBoolean(i)), r.getLong(k)))
+    require(pats.nonEmpty, "no candidate pairs")
+    val eps = 1e-6
+    def clamp(x: Double) = math.min(math.max(x, eps), 1 - eps)
+    var lam = lambda0
+    val m = Array.fill(k)(m0)
+    val u = Array.fill(k)(u0)
+    for (_ <- 0 until iters) {
+      // E: integer micro-responsibility per pattern
+      val withW = pats.map { case (g, c) =>
+        var pm = lam
+        var pu = 1 - lam
+        var i = 0
+        while (i < k) {
+          pm *= (if (g(i)) m(i) else 1 - m(i))
+          pu *= (if (g(i)) u(i) else 1 - u(i))
+          i += 1
+        }
+        (g, c, math.floor(pm / (pm + pu) * 1e12 + 0.5).toLong)
+      }
+      // M: exact integer sums, then one float division per parameter
+      val sumC = withW.map(p => BigInt(p._2)).sum
+      val sumCW = withW.map(p => BigInt(p._2) * p._3).sum
+      val sumCnW = withW.map(p => BigInt(p._2) * (1000000000000L - p._3)).sum
+      lam = clamp(roundAt(
+        sumCW.toDouble / (sumC.toDouble * 1e12), 1e12))
+      for (i <- 0 until k) {
+        val cwg = withW.filter(_._1(i)).map(p => BigInt(p._2) * p._3).sum
+        val cnwg = withW.filter(_._1(i))
+          .map(p => BigInt(p._2) * (1000000000000L - p._3)).sum
+        m(i) = clamp(roundAt(cwg.toDouble / sumCW.toDouble, 1e12))
+        u(i) = clamp(roundAt(cnwg.toDouble / sumCnW.toDouble, 1e12))
+      }
+    }
+    agreeCols.zipWithIndex.map { case (c, i) =>
+      (c, m(i), u(i),
+        roundAt(math.log(m(i) / u(i)), 1e6),
+        roundAt(math.log((1 - m(i)) / (1 - u(i))), 1e6),
+        lam)
+    }.toDF("comparator", "m", "u", "agree_weight", "disagree_weight", "lam")
+  }
+
   /** Reciprocal-best-match 1:1 assignment over scored candidate pairs
     * — the deduplicating step after [[fellegiSunter]]: a pair survives
     * iff it is simultaneously the best-scoring partner for its LEFT id

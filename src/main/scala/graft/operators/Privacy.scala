@@ -66,4 +66,41 @@ object Privacy {
       .withColumn("noise", (geom(1) - geom(2)).cast("long"))
       .withColumn("noisy_n", col("n") + col("noise"))
   }
+
+  /** ε-DP noisy SUM release — [[dpNoisyCounts]]' real-valued sibling
+    * (the Laplace mechanism with contribution clipping, the standard
+    * recipe for DP aggregates over unbounded user values): each row's
+    * value is clipped to `[lo, hi]` — which CAPS the query's
+    * sensitivity at `Δ = max(|lo|, |hi|)` instead of leaving it
+    * unbounded — then each group's clipped sum is perturbed by
+    * `Laplace(Δ/ε)` noise, drawn by inverse CDF
+    * (`−(Δ/ε)·sgn(u−½)·ln(1−2|u−½|)`) from the same md5-seeded
+    * uniform as the count mechanism (reproducible and
+    * oracle-replayable; swap that one expression for a secure RNG in
+    * production). Emits `(groupCol, n, clipped_sum, noise,
+    * noisy_sum)` (4dp) — the raw columns stay so the gate can audit
+    * the mechanism; a real release drops them.
+    *
+    * Scale shape: clipping is map-side row-local; one combinable sum
+    * per group; noise is row-local arithmetic on the group key.
+    */
+  def dpNoisySums(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, epsilon: Double): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    require(lo < hi, "need a non-empty clip range")
+    val delta = math.max(math.abs(lo), math.abs(hi))
+    val clipped = least(greatest(col(valueCol).cast("double"), lit(lo)),
+      lit(hi))
+    val u = (pmod(md5Long(col(groupCol), 3), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000d)
+    val centered = u - lit(0.5)
+    val lap = lit(-delta / epsilon) * signum(centered) *
+      log(lit(1d) - lit(2d) * abs(centered))
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(clipped).as("__s"))
+      .select(col(groupCol), col("n"),
+        round(col("__s"), 4).as("clipped_sum"),
+        round(lap, 4).as("noise"),
+        round(col("__s") + lap, 4).as("noisy_sum"))
+  }
 }

@@ -118,6 +118,15 @@ object EventsQ {
         .orderBy("purchase_id", "view_id")
     }),
 
+    // ---- LEFT OUTER stream-stream join: view-less purchases emit
+    //      NULL rows on watermark-driven state eviction (a sentinel
+    //      flush row drains the tail) — result equals the batch
+    //      left join ----
+    "q311_stream_outer_join" -> ((s, d) => {
+      graft.streaming.EventsStream.runOuterJoinOnce(s, d)
+        .orderBy("purchase_id", "view_id")
+    }),
+
     // ---- funnel: ordered view→click→purchase completion within 7d ----
     "q120_funnel" -> ((s, d) => {
       Events.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
@@ -2023,6 +2032,18 @@ object EventsQ {
          FROM events p JOIN events v
            ON p.event_type = 'purchase' AND v.event_type = 'view'
           AND p.user_id = v.user_id
+          AND epoch_us(v.ts) >= epoch_us(p.ts) - 86400000000
+          AND epoch_us(v.ts) < epoch_us(p.ts)
+         ORDER BY purchase_id, view_id""",
+    // the streaming left-outer result (with the watermark flushed
+    // past every event) must equal the plain batch left join
+    "q311_stream_outer_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+            p.user_id AS user_id,
+            epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id
           AND epoch_us(v.ts) >= epoch_us(p.ts) - 86400000000
           AND epoch_us(v.ts) < epoch_us(p.ts)
          ORDER BY purchase_id, view_id""")

@@ -20,6 +20,87 @@ import graft.operators.RangeJoin
   */
 object Relational {
 
+  /** q300/q306/q310 shared oracle prefix: the dirtied-registry and
+    * blocked-candidate-pair CTEs, verbatim.
+    */
+  private val LinkagePairsCte: String =
+    """dirty AS (
+            SELECT c_custkey AS dirty_id,
+              CASE WHEN ('0x' || substr(md5('rl:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 3 = 0
+                THEN upper(c_name) ELSE c_name END AS d_name,
+              CASE WHEN ('0x' || substr(md5('rb:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 5 = 0
+                THEN c_acctbal + 100.25 ELSE c_acctbal END AS d_bal,
+              c_nationkey, c_mktsegment
+            FROM customer),
+          pairs AS (
+            SELECT l.c_custkey, r.dirty_id,
+              levenshtein(lower(l.c_name), lower(r.d_name)) <= 2 AS agree_name,
+              l.c_name = r.d_name AS agree_name_exact,
+              abs(l.c_acctbal - r.d_bal) <= 1.0 AS agree_balance
+            FROM customer l JOIN dirty r
+              ON l.c_nationkey = r.c_nationkey
+             AND l.c_mktsegment = r.c_mktsegment)"""
+
+  /** q310's EM oracle: the exact integer-micro-weight EM replay
+    * ([[graft.operators.Linkage.estimateMU]]'s determinism contract)
+    * unrolled as one MATERIALIZED CTE per iteration.
+    */
+  private def linkageEmSql(iters: Int): String = {
+    val k = 3
+    def caseProd(p: String, pref: String) = (0 until k).map(i =>
+      s"(CASE WHEN g$i THEN $p.$pref$i ELSE 1 - $p.$pref$i END)")
+      .mkString(" * ")
+    def clamp(x: String) =
+      s"least(greatest(round($x, 12), 1e-6), 1 - 1e-6)"
+    val its = (1 to iters).map { t =>
+      val prev = s"it${t - 1}"
+      val ms = (0 until k).map(i => clamp(
+        s"CAST(sum(CASE WHEN g$i THEN c * W ELSE 0 END) AS DOUBLE) / CAST(sum(c * W) AS DOUBLE)") +
+        s" AS m$i").mkString(",\n              ")
+      val us = (0 until k).map(i => clamp(
+        s"CAST(sum(CASE WHEN g$i THEN c * (1000000000000 - W) ELSE 0 END) AS DOUBLE) / CAST(sum(c * (1000000000000 - W)) AS DOUBLE)") +
+        s" AS u$i").mkString(",\n              ")
+      s"""it$t AS MATERIALIZED (
+            SELECT
+              ${clamp("CAST(sum(c * W) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * 1e12)")} AS lam,
+              $ms,
+              $us
+            FROM (
+              SELECT g0, g1, g2, c,
+                CAST(floor(pm / (pm + pu) * 1e12 + 0.5) AS BIGINT) AS W
+              FROM (
+                SELECT g0, g1, g2, c,
+                  p.lam * ${caseProd("p", "m")} AS pm,
+                  (1 - p.lam) * ${caseProd("p", "u")} AS pu
+                FROM pats, $prev p)))"""
+    }.mkString(",\n          ")
+    val names = Seq("agree_name", "agree_name_exact", "agree_balance")
+    val finalSel = names.zipWithIndex.map { case (n, i) =>
+      s"""SELECT '$n' AS comparator, m$i AS m, u$i AS u,
+             round(ln(m$i / u$i), 6) AS agree_weight,
+             round(ln((1 - m$i) / (1 - u$i)), 6) AS disagree_weight,
+             lam
+           FROM it$iters"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH $LinkagePairsCte,
+          pats AS MATERIALIZED (
+            SELECT coalesce(agree_name, false) AS g0,
+              coalesce(agree_name_exact, false) AS g1,
+              coalesce(agree_balance, false) AS g2,
+              count(*) AS c
+            FROM pairs GROUP BY 1, 2, 3),
+          it0 AS (
+            SELECT CAST(0.1 AS DOUBLE) AS lam,
+              CAST(0.9 AS DOUBLE) AS m0, CAST(0.9 AS DOUBLE) AS m1,
+              CAST(0.9 AS DOUBLE) AS m2,
+              CAST(0.1 AS DOUBLE) AS u0, CAST(0.1 AS DOUBLE) AS u1,
+              CAST(0.1 AS DOUBLE) AS u2),
+          $its
+         SELECT * FROM (
+           $finalSel)
+         ORDER BY comparator"""
+  }
+
   /** q300/q306 shared stage: Fellegi–Sunter-scored candidate pairs
     * between customer and a deterministically-dirtied copy of itself.
     */
@@ -321,6 +402,34 @@ object Relational {
           "c_custkey", "dirty_id", "score")
         .select("c_custkey", "dirty_id", "score")
         .orderBy("c_custkey")
+    }),
+
+    // ---- weight-of-evidence encoding + IV terms of event_type
+    //      against the high-value label ----
+    "q312_woe_encoding" -> ((s, d) => {
+      graft.operators.Eval.woeEncode(
+          Tables.events(s, d), "event_type",
+          (col("value") > 50).cast("int"))
+        .orderBy("category")
+    }),
+
+    // ---- ε-DP noisy per-type value sums (clipped Laplace) ----
+    "q313_dp_noisy_sums" -> ((s, d) => {
+      graft.operators.Privacy.dpNoisySums(
+          Tables.events(s, d), "event_type", "value",
+          lo = 0d, hi = 100d, epsilon = 0.5)
+        .orderBy("event_type")
+    }),
+
+    // ---- EM estimation of the Fellegi–Sunter m/u/λ parameters over
+    //      the q300 blocked pairs (10 iterations, integer
+    //      micro-weight determinism contract) ----
+    "q310_linkage_em" -> ((s, d) => {
+      graft.operators.Linkage.estimateMU(
+          linkageScored(s, d),
+          Seq("agree_name", "agree_name_exact", "agree_balance"),
+          iters = 10)
+        .orderBy("comparator")
     }),
 
     // ---- CDC MERGE apply: latest-per-key change log (U/D/I, two
@@ -1006,6 +1115,51 @@ object Relational {
          SELECT c_custkey, dirty_id, score FROM rk
          WHERE rl = 1 AND rr = 1
          ORDER BY c_custkey""",
+    // exact EM replay: integer micro-weights, 12dp/clamp per step
+    "q310_linkage_em" -> linkageEmSql(10),
+    // Laplace-smoothed WOE/IV: identical division structure per side
+    "q312_woe_encoding" ->
+      """WITH per AS (
+            SELECT event_type AS category,
+              count(*) FILTER (WHERE NOT (value > 50)) AS n0,
+              count(*) FILTER (WHERE value > 50) AS n1
+            FROM events GROUP BY 1),
+          tot AS (
+            SELECT CAST(sum(n0) AS BIGINT) AS t0,
+              CAST(sum(n1) AS BIGINT) AS t1, count(*) AS k
+            FROM per)
+         SELECT category, n0, n1,
+           round(ln(((n1 + CAST(0.5 AS DOUBLE)) / (t1 + k * CAST(0.5 AS DOUBLE)))
+               / ((n0 + CAST(0.5 AS DOUBLE)) / (t0 + k * CAST(0.5 AS DOUBLE)))), 6) AS woe,
+           round((((n1 + CAST(0.5 AS DOUBLE)) / (t1 + k * CAST(0.5 AS DOUBLE)))
+               - ((n0 + CAST(0.5 AS DOUBLE)) / (t0 + k * CAST(0.5 AS DOUBLE))))
+             * ln(((n1 + CAST(0.5 AS DOUBLE)) / (t1 + k * CAST(0.5 AS DOUBLE)))
+               / ((n0 + CAST(0.5 AS DOUBLE)) / (t0 + k * CAST(0.5 AS DOUBLE)))), 6)
+             AS iv_term
+         FROM per CROSS JOIN tot
+         ORDER BY category""",
+    // clipped-Laplace DP sums: md5-seeded inverse CDF, Δ/ε = 200
+    "q313_dp_noisy_sums" ->
+      """WITH per AS (
+            SELECT event_type, count(*) AS n,
+              sum(least(greatest(value, CAST(0 AS DOUBLE)),
+                CAST(100 AS DOUBLE))) AS s,
+              ('0x' || substr(md5('3:' || event_type), 1, 15))::BIGINT
+                % 1000000 AS m
+            FROM events GROUP BY event_type),
+          lap AS (
+            SELECT event_type, n, s,
+              CAST(-200 AS DOUBLE)
+                * CAST(sign((CAST(m AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / CAST(1000000 AS DOUBLE) - CAST(0.5 AS DOUBLE)) AS DOUBLE)
+                * ln(1 - 2 * abs((CAST(m AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / CAST(1000000 AS DOUBLE) - CAST(0.5 AS DOUBLE)))
+                AS noise_raw
+            FROM per)
+         SELECT event_type, n, round(s, 4) AS clipped_sum,
+           round(noise_raw, 4) AS noise,
+           round(s + noise_raw, 4) AS noisy_sum
+         FROM lap ORDER BY event_type""",
     // MERGE replay: latest change per key (seq desc, op desc), D
     // deletes, U/I replace-or-insert, untouched base rows pass
     "q307_cdc_apply" ->

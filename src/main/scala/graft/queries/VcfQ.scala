@@ -207,6 +207,37 @@ object VcfQ {
       val (geno, trios) = familyFixture(s)
       VcfApi.tdtReport(geno, trios).orderBy("variant_id")
     }),
+    // ---- most-severe consequence per variant (VEP --most_severe
+    //      collapse) over the toy impact table ----
+    "q314_vcf_worst_csq" -> ((s, _) => {
+      VcfApi.severestConsequence(tables(s).impact.get, Seq(
+          "frameshift_variant", "stop_gained", "splice_region_variant",
+          "missense_variant", "synonymous_variant",
+          "upstream_gene_variant", "intron_variant"))
+        .orderBy("variant_id")
+    }),
+    // ---- Hudson Fst between two populations: fixed (v1), balanced
+    //      het (v2, negative estimate kept), one-sided (v3), a
+    //      missing call shrinking n1 to 2 (v4), pop1 fully missing
+    //      (v5, excluded), plus a sample outside both pops ----
+    "q309_vcf_fst" -> ((s, _) => {
+      import s.implicits._
+      val geno = Seq(
+        (1L, "a", Some(0d)), (1L, "b", Some(0d)), (1L, "c", Some(2d)),
+        (1L, "d", Some(2d)), (1L, "z", Some(1d)),
+        (2L, "a", Some(1d)), (2L, "b", Some(1d)), (2L, "c", Some(1d)),
+        (2L, "d", Some(1d)), (2L, "z", Some(0d)),
+        (3L, "a", Some(0d)), (3L, "b", Some(2d)), (3L, "c", Some(0d)),
+        (3L, "d", Some(0d)), (3L, "z", Some(2d)),
+        (4L, "a", Some(0d)), (4L, "b", None), (4L, "c", Some(1d)),
+        (4L, "d", Some(2d)), (4L, "z", Some(1d)),
+        (5L, "a", None), (5L, "b", None), (5L, "c", Some(1d)),
+        (5L, "d", Some(1d)), (5L, "z", Some(1d))
+      ).toDF("variant_id", "sample", "gt")
+      val pops = Seq(("a", "P1"), ("b", "P1"), ("c", "P2"), ("d", "P2"))
+        .toDF("sample", "pop")
+      VcfApi.fstReport(geno, pops, "P1", "P2").orderBy("variant_id")
+    }),
     // ---- two-callset genotype concordance (picard shape): B flips
     //      S1's v2, misses S1's v5 + S2's v2, adds calls A lacks ----
     "q304_vcf_concordance" -> ((s, _) => {
@@ -437,6 +468,32 @@ object VcfQ {
             CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
           (5, 2, 3, 1, 1.0))
          t(variant_id, n_informative, t, u, chisq)
+         ORDER BY variant_id""",
+    // hand-computed from the q44 impact rows: v1 missense beats
+    // intron, v2 stop_gained beats splice_region, v5 frameshift
+    // beats upstream; v4/v6 single-row
+    "q314_vcf_worst_csq" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'missense_variant', 'MODERATE', 'GENE1'),
+          (2, 'stop_gained', 'HIGH', 'GENE1'),
+          (4, 'synonymous_variant', 'LOW', 'GENE2'),
+          (5, 'frameshift_variant', 'HIGH', 'GENE2'),
+          (6, 'missense_variant', 'MODERATE', 'GENE3'))
+         t(variant_id, consequence, impact, symbol)
+         ORDER BY variant_id""",
+    // hand-computed Hudson estimates: v1 fixed difference (fst 1);
+    // v2 p=.5 both ⇒ num = −2·(.25/3), den .5 ⇒ −1/3; v3 .5 vs 0 ⇒
+    // (1/4 − 1/12)/(1/2) = 1/3; v4 n1=2 (term drops), (9/16 − 1/16)
+    // / (3/4) = 2/3; v5 pop1 uncalled ⇒ omitted
+    "q309_vcf_fst" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+            CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+            CAST(1.0 AS DOUBLE)),
+          (2, 4, 4, 0.5, 0.5, -0.3333),
+          (3, 4, 4, 0.5, 0.0, 0.3333),
+          (4, 2, 4, 0.0, 0.75, 0.6667))
+         t(variant_id, n1, n2, p1, p2, fst)
          ORDER BY variant_id""",
     // hand-computed: S1 both-called {v1 (0,0) ✓, v2 (1,2) ✗, v3 (2,2)
     // ✓}, a-only v5, b-only v4; non-ref cells {v2, v3} with one match;

@@ -371,7 +371,7 @@ object EventsStream {
     * the result equals the equivalent batch join.
     */
   def viewPurchaseJoin(events: DataFrame, horizon: String = "24 hours",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val views = events.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         timestamp_micros(expr("ts div 1000")).as("v_time"))
@@ -383,7 +383,8 @@ object EventsStream {
     purchases.join(views,
         col("user_id") === col("v_user") &&
           col("v_time") >= col("p_time") - expr(s"INTERVAL $horizon") &&
-          col("v_time") < col("p_time"))
+          col("v_time") < col("p_time"),
+        joinType)
       .select(col("purchase_id"), col("view_id"), col("user_id"),
         (unix_micros(col("p_time")) - unix_micros(col("v_time"))).as("gap_us"))
   }
@@ -418,6 +419,81 @@ object EventsStream {
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
+  }
+
+  /** Drive the LEFT OUTER stream-stream join once over the static
+    * events table — the variant [[runJoinOnce]] can't express: a
+    * purchase with no prior-day view must still emit (with NULL view
+    * columns), and in a stream that row can only be released when the
+    * WATERMARK proves no matching view can still arrive (state
+    * eviction, not batch completion — Spark holds an unmatched left
+    * row until `watermark > p_time`, since a view with
+    * `v_time < p_time` is late but admissible until then).
+    *
+    * Under `AvailableNow` the final watermark stops `delay` short of
+    * the max event time, which would withhold the tail purchases'
+    * NULL rows and break batch equivalence — so the staged source
+    * appends one far-future sentinel row per side (user −1, filtered
+    * from the output) to push the final watermark past every real
+    * event: the production "flush record" pattern for draining outer
+    * joins in finite tests. With the flush, streaming output ==
+    * the batch LEFT JOIN, and the DuckDB oracle gates exactly that.
+    */
+  def runOuterJoinOnce(spark: SparkSession, dir: String,
+      horizon: String = "24 hours", statePartitions: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageOuterDir(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.tsAsNanos(
+      spark.readStream.schema(schema).parquet(staged))
+    // NOTE: the sentinel filter must NOT go into the streaming plan —
+    // Catalyst pushes `user_id >= 0` through the join BELOW the
+    // EventTimeWatermark nodes (user_id is not the event-time column,
+    // so the pushdown is legal), which removes the flush rows before
+    // they can advance the watermark and silently re-breaks the tail
+    // drain. Filter on the sink table instead.
+    val out = viewPurchaseJoin(stream, horizon, joinType = "left_outer")
+    val name = s"events_outer_join_${System.nanoTime()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).where(col("user_id") >= 0)
+  }
+
+  /** Stage the events table as int64-ns parquet plus the two
+    * watermark-flush sentinels (one per join side, user_id −1, ts =
+    * max + 3 days), once per (path, mtime).
+    */
+  private def stageOuterDir(spark: SparkSession, dir: String): String = {
+    import java.nio.file._
+    val src = Paths.get(dir, "events.parquet")
+    val staged = Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_outer_${math.abs(dir.hashCode)}_${Files.getLastModifiedTime(src).toMillis}")
+    if (!Files.exists(staged.resolve("_SUCCESS"))) {
+      val ev = graft.Tables.events(spark, dir)
+      val maxNs = ev.agg(max("ts")).head().getLong(0)
+      val flushNs = maxNs + 3L * 24 * 3600 * 1000 * 1000 * 1000
+      val sentinels = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, flushNs, -1L, "view", 0.0, null),
+          org.apache.spark.sql.Row(-2L, flushNs, -1L, "purchase", 0.0, null)),
+        ev.select("event_id", "ts", "user_id", "event_type", "value",
+          "props").schema)
+      ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .unionByName(sentinels)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    staged.toString
   }
 
   /** Per-user running session state for streaming sessionization. */

@@ -777,6 +777,84 @@ object VcfApi {
         round(sum("__term"), 4).as("score"))
   }
 
+  /** Most-severe consequence per variant — the VEP
+    * `--most_severe` / bcftools `+split-vep -s worst` collapse every
+    * annotation pipeline runs before variant prioritization: rank each
+    * impact row by the position of its `consequence` in the caller's
+    * severity order (most severe first; unknown terms rank after all
+    * known ones), and keep one row per variant with deterministic
+    * tie-breaks (consequence, then symbol — two transcripts of the
+    * same worst term pick the alphabetically-first gene).
+    *
+    * Scale shape: the severity order is a broadcast literal dimension;
+    * the per-variant pick is a `row_number` window whose `rank = 1`
+    * filter runs map-side as a partial WindowGroupLimit — one shuffle
+    * of the (already slim) impact table at any scale.
+    */
+  def severestConsequence(impact: DataFrame,
+      severity: Seq[String]): DataFrame = {
+    require(severity.nonEmpty, "need a severity order")
+    val spark = impact.sparkSession
+    import spark.implicits._
+    val sev = severity.zipWithIndex.toDF("consequence", "__rank")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("variant_id")
+      .orderBy(col("__rank").asc, col("consequence").asc,
+        col("symbol").asc)
+    impact.join(broadcast(sev), Seq("consequence"), "left")
+      .withColumn("__rank",
+        coalesce(col("__rank"), lit(severity.size)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select("variant_id", "consequence", "impact", "symbol")
+  }
+
+  /** Per-variant fixation index between two sample populations —
+    * Hudson's Fst estimator (Hudson/Slatkin/Maddison 1992 as
+    * formulated in Bhatia et al., Genome Res 2013, the estimator
+    * plink2 `--fst` defaults to for two populations):
+    * with sample allele frequencies `p̂₁, p̂₂` over `n₁, n₂` called
+    * ALLELES (2 × called samples),
+    * `num = (p̂₁−p̂₂)² − p̂₁(1−p̂₁)/(n₁−1) − p̂₂(1−p̂₂)/(n₂−1)` (the
+    * within-population sampling-noise correction) and
+    * `den = p̂₁(1−p̂₂) + p̂₂(1−p̂₁)`; `fst = num/den`. Sites with fewer
+    * than two called alleles in either population or a monomorphic
+    * `den = 0` are omitted (plink's convention); negative estimates
+    * are kept (they average out across sites — truncating biases
+    * genome-wide means). Emits
+    * `(variant_id, n1, n2, p1, p2, fst)`, p's and fst rounded to 4.
+    *
+    * Scale shape: one combinable (variant, pop) aggregation over the
+    * population-tagged calls (the pops map is a broadcast dimension),
+    * then a slim two-sided equi-join on variant_id and row-local
+    * algebra. The population-structure scan stays a single data
+    * shuffle at biobank scale.
+    */
+  def fstReport(geno: DataFrame, pops: DataFrame,
+      popA: String, popB: String): DataFrame = {
+    val per = geno.where(col("gt").isNotNull)
+      .join(broadcast(pops), Seq("sample"))
+      .where(col("pop").isin(popA, popB))
+      .groupBy("variant_id", "pop")
+      .agg(sum(col("gt").cast("long")).as("__s"),
+        (count(lit(1)) * 2L).as("__n"))
+    def side(p: String, sfx: String) = per.where(col("pop") === p)
+      .select(col("variant_id"),
+        col("__n").as(s"n$sfx"),
+        (col("__s").cast("double") / col("__n")).as(s"p$sfx"))
+    val j = side(popA, "1").join(side(popB, "2"), Seq("variant_id"))
+      .where(col("n1") > 1 && col("n2") > 1)
+    val num = (col("p1") - col("p2")) * (col("p1") - col("p2")) -
+      col("p1") * (lit(1d) - col("p1")) / (col("n1") - 1) -
+      col("p2") * (lit(1d) - col("p2")) / (col("n2") - 1)
+    val den = col("p1") * (lit(1d) - col("p2")) +
+      col("p2") * (lit(1d) - col("p1"))
+    j.where(den > 0d)
+      .select(col("variant_id"), col("n1"), col("n2"),
+        round(col("p1"), 4).as("p1"), round(col("p2"), 4).as("p2"),
+        round(num / den, 4).as("fst"))
+  }
+
   /** Two-callset genotype concordance (picard `GenotypeConcordance` /
     * bcftools `gtcheck` shape): per sample, over the (variant, sample)
     * cells called in either callset, count both-called /

@@ -452,6 +452,49 @@ class ApiSpec extends SparkSpec {
     assert(alt == Seq((1L, true), (2L, false), (3L, true), (4L, false)))
   }
 
+  test("VcfApi.severestConsequence: severity order, unknown-term rank, tie-breaks") {
+    import spark.implicits._
+    val impact = Seq(
+      (1L, "stop_gained", "HIGH", "B"), (1L, "missense_variant", "MODERATE", "A"),
+      // v2: two rows of the SAME worst term → alphabetically-first symbol
+      (2L, "missense_variant", "MODERATE", "Z"),
+      (2L, "missense_variant", "MODERATE", "A"),
+      // v3: only an unknown term → still emitted (ranks last, alone)
+      (3L, "weird_novel_term", "MODIFIER", "C")
+    ).toDF("variant_id", "consequence", "impact", "symbol")
+    val got = graft.vcf.VcfApi.severestConsequence(impact,
+        Seq("stop_gained", "missense_variant"))
+      .orderBy("variant_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq
+    assert(got == Seq((1L, "stop_gained", "B"),
+      (2L, "missense_variant", "A"), (3L, "weird_novel_term", "C")))
+  }
+
+  test("VcfApi.fstReport: Hudson estimator, exclusions, out-of-pop samples") {
+    import spark.implicits._
+    val geno = Seq(
+      // v1: pop1 (0,1,2) ⇒ p=.5 n=6; pop2 (0,0) ⇒ p=0 n=4
+      (1L, "a", Some(0d)), (1L, "b", Some(1d)), (1L, "c", Some(2d)),
+      (1L, "d", Some(0d)), (1L, "e", Some(0d)), (1L, "z", Some(2d)),
+      // v2: monomorphic both ⇒ den=0, omitted
+      (2L, "a", Some(0d)), (2L, "b", Some(0d)), (2L, "c", Some(0d)),
+      (2L, "d", Some(0d)), (2L, "e", Some(0d)),
+      // v3: pop2 fully missing ⇒ omitted (no inner-join row)
+      (3L, "a", Some(1d)), (3L, "b", Some(1d)), (3L, "c", Some(1d)),
+      (3L, "d", None), (3L, "e", None)
+    ).toDF("variant_id", "sample", "gt")
+    val pops = Seq(("a", "P1"), ("b", "P1"), ("c", "P1"),
+      ("d", "P2"), ("e", "P2")).toDF("sample", "pop")
+    val got = graft.vcf.VcfApi.fstReport(geno, pops, "P1", "P2").collect()
+    assert(got.length == 1)
+    val r = got.head
+    // num = .25 − (.5·.5)/5 − 0 = .2; den = .5 ⇒ fst = .4
+    assert(r.getLong(0) == 1L)
+    assert(r.getAs[Long]("n1") == 6 && r.getAs[Long]("n2") == 4)
+    assert(r.getAs[Double]("p1") == 0.5 && r.getAs[Double]("p2") == 0.0)
+    assert(r.getAs[Double]("fst") == 0.4)
+  }
+
   test("VcfApi.hetReport: an all-het cohort scores F = −1") {
     import spark.implicits._
     val geno = Seq(

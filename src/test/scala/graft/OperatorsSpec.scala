@@ -3713,6 +3713,84 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set(("L1", "R1"), ("L3", "R3")))
   }
 
+  test("Eval.woeEncode: hand-computed smoothed WOE/IV, zero cell stays finite") {
+    import graft.operators.Eval
+    // cat A: 3 pos / 1 neg; cat B: 1 pos / 3 neg; cat C: 0 pos / 2 neg
+    val df = (Seq.fill(3)(("A", 1)) ++ Seq(("A", 0)) ++
+      Seq(("B", 1)) ++ Seq.fill(3)(("B", 0)) ++ Seq.fill(2)(("C", 0)))
+      .toDF("cat", "y")
+    val got = Eval.woeEncode(df, "cat", col("y"))
+      .orderBy("category").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("woe"), r.getAs[Double]("iv_term")))
+    // k=3, α=.5: dist1 = (n1+.5)/5.5, dist0 = (n0+.5)/7.5
+    def woe(n0: Long, n1: Long) =
+      math.log(((n1 + 0.5) / 5.5) / ((n0 + 0.5) / 7.5))
+    def iv(n0: Long, n1: Long) =
+      (((n1 + 0.5) / 5.5) - ((n0 + 0.5) / 7.5)) * woe(n0, n1)
+    def r6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    assert(got.toSeq == Seq(
+      ("A", 1L, 3L, r6(woe(1, 3)), r6(iv(1, 3))),
+      ("B", 3L, 1L, r6(woe(3, 1)), r6(iv(3, 1))),
+      ("C", 2L, 0L, r6(woe(2, 0)), r6(iv(2, 0)))))
+    // the zero-positive cell is finite and negative
+    assert(got(2)._4 < 0 && !got(2)._4.isInfinite)
+  }
+
+  test("Privacy.dpNoisySums: clipping caps sensitivity, noise is the seeded Laplace") {
+    import graft.operators.Privacy
+    val df = Seq(("g1", -50.0), ("g1", 30.0), ("g1", 500.0),
+      ("g2", 10.0)).toDF("g", "v")
+    val got = Privacy.dpNoisySums(df, "g", "v", lo = 0d, hi = 100d,
+        epsilon = 1.0)
+      .orderBy("g").collect()
+    // g1 clips to 0 + 30 + 100 = 130
+    val g1 = got(0)
+    assert(g1.getAs[Double]("clipped_sum") == 130.0)
+    assert(g1.getAs[Long]("n") == 3)
+    // noisy_sum − clipped_sum == noise (4dp arithmetic)
+    got.foreach { r =>
+      val d = r.getAs[Double]("noisy_sum") - r.getAs[Double]("clipped_sum")
+      assert(math.abs(d - r.getAs[Double]("noise")) < 1e-3)
+    }
+    // deterministic: same seed, same release
+    val again = Privacy.dpNoisySums(df, "g", "v", 0d, 100d, 1.0)
+      .orderBy("g").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("Linkage.estimateMU: separates a planted match component, weights consistent") {
+    import graft.operators.Linkage
+    // 60 planted matches agree on both fields; 940 non-matches agree
+    // only by 5% / 20% chance — EM must recover m ≫ u on both
+    def md5ish(i: Int, salt: Int) = ((i * 2654435761L + salt) >>> 8) % 100
+    val pairs = ((1 to 60).map(i => (true, md5ish(i, 7) < 95)) ++
+      (1 to 940).map(i => (md5ish(i, 1) < 5, md5ish(i, 2) < 20)))
+      .toDF("agree_a", "agree_b")
+    val got = Linkage.estimateMU(pairs, Seq("agree_a", "agree_b"), iters = 25)
+      .orderBy("comparator").collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val (m, u) = (r.getAs[Double]("m"), r.getAs[Double]("u"))
+      assert(m > u, s"${r.getString(0)}: m=$m u=$u")
+      // reported weights are exactly the ln-ratios of the reported m/u
+      def r6(x: Double) =
+        if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+        else -math.floor(-x * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("agree_weight") == r6(math.log(m / u)))
+      assert(r.getAs[Double]("disagree_weight") ==
+        r6(math.log((1 - m) / (1 - u))))
+      val lam = r.getAs[Double]("lam")
+      assert(lam > 0.01 && lam < 0.5, s"lam=$lam")
+    }
+    // deterministic: a second run is bit-identical
+    val again = Linkage.estimateMU(pairs, Seq("agree_a", "agree_b"), iters = 25)
+      .orderBy("comparator").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("Layout.cdcApply: latest-wins, delete, insert, resurrect") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
       .toDF("k", "v")

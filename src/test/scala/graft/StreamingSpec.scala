@@ -316,6 +316,37 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("left-outer stream-stream join drains ALL null rows, including the max-ts tail") {
+    // end-to-end through runOuterJoinOnce: purchase 20 (user 2) and 22
+    // (user 3) have no prior view — their NULL rows only exist if the
+    // watermark passes them. 22 is the LATEST real event: its null row
+    // requires the sentinel flush, and would vanish again if the
+    // sentinel filter were pushed below the watermark (the Catalyst
+    // pushdown regression this spec pins).
+    val dir = java.nio.file.Files.createTempDirectory("graft_outer_e2e")
+    val s = 1000000000L
+    Seq(
+      (10L, 100L * s, 1L, "view", 1.0, null: String),
+      (20L, 200L * s, 2L, "purchase", 5.0, null: String),
+      (21L, 300L * s, 1L, "purchase", 7.0, null: String),
+      (22L, 400L * s, 3L, "purchase", 9.0, null: String)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir.resolve("events.parquet").toString)
+    // the staged source dir is keyed by (path, mtime) — a fresh temp
+    // dir never collides
+    val got = EventsStream.runOuterJoinOnce(spark, dir.toString)
+      .select("purchase_id", "view_id", "user_id", "gap_us")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set(
+      (21L, 10L, 1L, 200000000L),
+      (20L, -1L, 2L, -1L),
+      (22L, -1L, 3L, -1L)), s"got $got")
+  }
+
   test("sessionize state carries across micro-batches (incremental, not batch)") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // two parquet files = two micro-batches (maxFilesPerTrigger=1).
