@@ -1719,4 +1719,90 @@ object TextAnalysis {
           .when(col("flesch") >= 30, lit("hard"))
           .otherwise(lit("very_hard")))
   }
+
+  /** Stupid-backoff bigram language-model score per document (Brants
+    * et al., EMNLP 2007 — the count-based LM Google built for exactly
+    * this regime: web-scale corpora where smoothing-free backoff with
+    * a fixed penalty `α` matches Kneser–Ney at a fraction of the
+    * cost). The model trains on the `trainFilter` slice and scores
+    * EVERY document — the held-out shape a perplexity-based quality
+    * filter (CCNet-style) actually runs, and the reason the backoff
+    * and OOV paths are live rather than trivially unreachable.
+    *
+    * Per token position: the first token scores `u(w)`, later tokens
+    * score `C₂(prev,w)/C₁(prev)` when the bigram was seen, else
+    * `α·u(w)`, where `u(w) = C₁(w)/T` for in-vocabulary tokens and
+    * `α/T` for OOV (T = train token count). Per doc:
+    * `avg_logp = mean ln(score)` and `pseudo_ppl = e^(−avg_logp)`.
+    * Each position's log is quantized to integer MICROS
+    * (`⌊x·10⁶+0.5⌋`) before summing, so the per-doc sum is int64 —
+    * exact under any partition order and engine (the float-sum
+    * footgun this repo keeps re-learning). Emits `(idCol, n_tokens,
+    * n_oov, n_backoff, avg_logp, pseudo_ppl)`; `avg_logp` 6dp,
+    * `pseudo_ppl` 4dp.
+    *
+    * Scale shape: unigram/bigram models are vocabulary-bounded
+    * aggregates of the train slice; scoring is one posexplode (the
+    * corpus token stream — the irreducible data size) plus three
+    * equi-joins against the model tables (AQE broadcasts them while
+    * they fit; co-keyed shuffle joins above that) and ONE combinable
+    * per-doc aggregation. No windows, no driver state.
+    */
+  def backoffLmScore(df: DataFrame, textCol: String, idCol: String,
+      trainFilter: Column, alpha: Double = 0.4): DataFrame = {
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    val train = base.where(trainFilter)
+    val uni = train
+      .select(explode(col("__toks")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c1"))
+    val tot = uni.agg(sum("__c1").as("__T"))
+    val bi = train
+      .select(col("__toks"), posexplode(col("__toks")))
+      .where(col("pos") >= 1)
+      .select(element_at(col("__toks"), col("pos")).as("__prev"),
+        col("col").as("__cur"))
+      .groupBy("__prev", "__cur").agg(count(lit(1)).as("__c2"))
+    val pos = base
+      .select(col(idCol), col("__toks"), posexplode(col("__toks")))
+      .select(col(idCol),
+        when(col("pos") >= 1, element_at(col("__toks"), col("pos")))
+          .as("__prev"),
+        col("col").as("__cur"))
+    val joined = pos
+      .join(uni.select(col("__w").as("__cur"), col("__c1").as("__ccur")),
+        Seq("__cur"), "left")
+      .join(uni.select(col("__w").as("__prev"), col("__c1").as("__cprev")),
+        Seq("__prev"), "left")
+      .join(bi, Seq("__prev", "__cur"), "left")
+      .crossJoin(broadcast(tot))
+    val u = when(col("__ccur").isNull, lit(alpha) / col("__T"))
+      .otherwise(col("__ccur").cast("double") / col("__T"))
+    val score = when(col("__prev").isNull, u)
+      .when(col("__c2").isNotNull,
+        col("__c2").cast("double") / col("__cprev"))
+      .otherwise(lit(alpha) * u)
+    joined
+      .select(col(idCol),
+        floor(log(score) * 1e6 + 0.5).cast("long").as("__lnq"),
+        col("__ccur").isNull.cast("long").as("__oov"),
+        (col("__prev").isNotNull && col("__c2").isNull)
+          .cast("long").as("__backoff"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("__oov").as("n_oov"),
+        sum("__backoff").as("n_backoff"),
+        sum("__lnq").as("__s"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"), col("n_backoff"),
+        // stay ON the micro grid: s/n is IEEE-exact division of
+        // identical integers (same double in any engine), so
+        // floor(s/n + ½)/10⁶ is bit-identical — unlike round(·, 6),
+        // which diverges across engines when s/n lands exactly on a
+        // half-micro (expected ~1 doc per 500 at corpus token counts)
+        (floor(col("__s").cast("double") / col("n_tokens") + 0.5) / 1e6)
+          .as("avg_logp"),
+        round(exp(-floor(col("__s").cast("double") / col("n_tokens") + 0.5)
+          / 1e6), 4).as("pseudo_ppl"))
+  }
 }

@@ -127,6 +127,13 @@ object EventsQ {
         .orderBy("purchase_id", "view_id")
     }),
 
+    // ---- stream-static dimension enrichment: events stream ⨝
+    //      broadcast user-tier dim, Complete-mode aggregate ----
+    "q318_stream_static_enrich" -> ((s, d) => {
+      graft.streaming.EventsStream.runStreamStaticOnce(s, d)
+        .orderBy("tier", "event_type")
+    }),
+
     // ---- funnel: ordered view→click→purchase completion within 7d ----
     "q120_funnel" -> ((s, d) => {
       Events.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
@@ -2037,6 +2044,21 @@ object EventsQ {
          ORDER BY purchase_id, view_id""",
     // the streaming left-outer result (with the watermark flushed
     // past every event) must equal the plain batch left join
+    // stream-static join ≡ the batch join once all data is processed
+    "q318_stream_static_enrich" ->
+      """WITH dim AS (
+            SELECT user_id,
+              CASE WHEN s >= 500 THEN 'high'
+                   WHEN s >= 100 THEN 'mid'
+                   ELSE 'low' END AS tier
+            FROM (SELECT user_id,
+                    sum(CASE WHEN event_type = 'purchase' THEN value
+                        ELSE CAST(0 AS DOUBLE) END) AS s
+                  FROM events GROUP BY user_id))
+         SELECT d.tier, e.event_type, count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+         FROM events e JOIN dim d USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q311_stream_outer_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
             p.user_id AS user_id,

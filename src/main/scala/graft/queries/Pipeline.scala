@@ -51,6 +51,15 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- stupid-backoff bigram LM quality score: train on even
+    //      doc_ids, score all (held-out shape keeps the backoff and
+    //      OOV paths live) ----
+    "q316_backoff_lm" -> ((s, d) => {
+      TextAnalysis.backoffLmScore(Tables.documents(s, d), "text", "doc_id",
+          trainFilter = col("doc_id") % 2 === 0)
+        .orderBy("doc_id")
+    }),
+
     // ---- exact dedup on a derived boilerplate key (2-token prefix) ----
     "q31_dedup_prefix_groups" -> ((s, d) => {
       Tables.documents(s, d)
@@ -2274,6 +2283,55 @@ object Pipeline {
            round(CASE WHEN t.tw > 0 THEN 1000.0 * w / t.tw / n_h ELSE 0 END, 6)
              AS rate
          FROM s3 CROSS JOIN t ORDER BY source""",
+    // full stupid-backoff replay: per-position ln scores quantized to
+    // integer micros before the per-doc sum (order-free exactness)
+    "q316_backoff_lm" ->
+      s"""WITH base AS (
+            SELECT doc_id, $Toks AS t FROM documents
+            WHERE len($Toks) > 0),
+          train AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+          uni AS (
+            SELECT w, count(*) AS c1
+            FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS T FROM uni),
+          bi AS (
+            SELECT prev, cur, count(*) AS c2
+            FROM (SELECT t[i-1] AS prev, t[i] AS cur
+                  FROM (SELECT t, unnest(range(2, len(t)+1)) AS i
+                        FROM train))
+            GROUP BY prev, cur),
+          pos AS (
+            SELECT doc_id,
+              CASE WHEN i > 1 THEN t[i-1] END AS prev, t[i] AS cur
+            FROM (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i
+                  FROM base)),
+          scored AS (
+            SELECT p.doc_id,
+              u.c1 IS NULL AS oov,
+              p.prev IS NOT NULL AND b.c2 IS NULL AS backoff,
+              CAST(floor(ln(
+                CASE WHEN p.prev IS NULL THEN
+                    CASE WHEN u.c1 IS NULL THEN 0.4::DOUBLE / tot.T
+                         ELSE CAST(u.c1 AS DOUBLE) / tot.T END
+                  WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / up.c1
+                  ELSE 0.4::DOUBLE *
+                    CASE WHEN u.c1 IS NULL THEN 0.4::DOUBLE / tot.T
+                         ELSE CAST(u.c1 AS DOUBLE) / tot.T END END
+                ) * 1e6 + 0.5) AS BIGINT) AS lnq
+            FROM pos p
+            LEFT JOIN uni u ON u.w = p.cur
+            LEFT JOIN uni up ON up.w = p.prev
+            LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+            CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(count(CASE WHEN oov THEN 1 END) AS BIGINT) AS n_oov,
+           CAST(count(CASE WHEN backoff THEN 1 END) AS BIGINT)
+             AS n_backoff,
+           floor(CAST(CAST(sum(lnq) AS BIGINT) AS DOUBLE)
+             / count(*) + 0.5) / 1e6 AS avg_logp,
+           round(exp(-floor(CAST(CAST(sum(lnq) AS BIGINT) AS DOUBLE)
+             / count(*) + 0.5) / 1e6), 4) AS pseudo_ppl
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     // exact class-size histogram; violating = size < k
     "q199_k_anonymity" ->
       """WITH cls AS (

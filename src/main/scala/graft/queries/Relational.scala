@@ -413,6 +413,15 @@ object Relational {
         .orderBy("category")
     }),
 
+    // ---- t-closeness audit: (segment, nation) classes vs the global
+    //      2k-binned balance distribution (ordered EMD) ----
+    "q317_t_closeness" -> ((s, d) => {
+      graft.operators.Privacy.tClosenessAudit(
+          Tables.customer(s, d), Seq("c_mktsegment", "c_nationkey"),
+          floor(col("c_acctbal") / 2000d).cast("long"), t = 0.3)
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
     // ---- ε-DP noisy per-type value sums (clipped Laplace) ----
     "q313_dp_noisy_sums" -> ((s, d) => {
       graft.operators.Privacy.dpNoisySums(
@@ -1138,6 +1147,47 @@ object Relational {
              AS iv_term
          FROM per CROSS JOIN tot
          ORDER BY category""",
+    // ordered-EMD t-closeness: integer cumulative differences
+    // cnt·N − g·class_n, one division at the end
+    "q317_t_closeness" ->
+      """WITH rws AS (
+            SELECT c_mktsegment, c_nationkey,
+              CAST(floor(c_acctbal / 2000) AS BIGINT) AS v
+            FROM customer WHERE c_acctbal IS NOT NULL),
+          cells AS (
+            SELECT c_mktsegment, c_nationkey, v, count(*) AS cnt
+            FROM rws GROUP BY 1, 2, 3),
+          classes AS (
+            SELECT c_mktsegment, c_nationkey, count(*) AS class_n
+            FROM rws GROUP BY 1, 2),
+          vals AS (SELECT v, count(*) AS g FROM rws GROUP BY v),
+          tot AS (
+            SELECT CAST(sum(g) AS BIGINT) AS N,
+              CAST(count(*) AS BIGINT) AS m FROM vals),
+          grid AS (
+            SELECT c.c_mktsegment, c.c_nationkey, c.class_n, va.v,
+              (coalesce(ce.cnt, 0) * t.N - va.g * c.class_n) AS diff,
+              t.m, t.N
+            FROM classes c CROSS JOIN vals va CROSS JOIN tot t
+            LEFT JOIN cells ce ON ce.c_mktsegment = c.c_mktsegment
+              AND ce.c_nationkey = c.c_nationkey AND ce.v = va.v),
+          cum AS (
+            SELECT c_mktsegment, c_nationkey, class_n, m, N,
+              CAST(sum(diff) OVER (
+                PARTITION BY c_mktsegment, c_nationkey
+                ORDER BY v) AS BIGINT) AS cumv
+            FROM grid),
+          agg AS (
+            SELECT c_mktsegment, c_nationkey, class_n,
+              CASE WHEN m > 1 THEN
+                round(CAST(CAST(sum(abs(cumv)) AS BIGINT) AS DOUBLE)
+                  / (CAST(class_n AS DOUBLE) * CAST(N AS DOUBLE)
+                    * CAST(m - 1 AS DOUBLE)), 6)
+                ELSE CAST(0 AS DOUBLE) END AS t_closeness
+            FROM cum GROUP BY c_mktsegment, c_nationkey, class_n, m, N)
+         SELECT c_mktsegment, c_nationkey, class_n, t_closeness,
+           t_closeness > 0.3 AS violating
+         FROM agg ORDER BY c_mktsegment, c_nationkey""",
     // clipped-Laplace DP sums: md5-seeded inverse CDF, Δ/ε = 200
     "q313_dp_noisy_sums" ->
       """WITH per AS (

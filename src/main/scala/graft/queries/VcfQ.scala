@@ -220,6 +220,31 @@ object VcfQ {
     //      het (v2, negative estimate kept), one-sided (v3), a
     //      missing call shrinking n1 to 2 (v4), pop1 fully missing
     //      (v5, excluded), plus a sample outside both pops ----
+    // ---- Tajima's D neutrality test: 4 samples (n=8 alleles), six
+    //      fully-called sites (v5 part-called + v8 uncalled excluded),
+    //      S=4 segregating (v3 all-ref + v4 all-alt invariant),
+    //      integer pi numerator 2·a·(n−a) summed = 110 ----
+    "q315_vcf_tajima_d" -> ((s, _) => {
+      import s.implicits._
+      val geno = Seq(
+        (1L, "a", Some(0d)), (1L, "b", Some(0d)), (1L, "c", Some(1d)),
+        (1L, "d", Some(2d)),
+        (2L, "a", Some(1d)), (2L, "b", Some(1d)), (2L, "c", Some(1d)),
+        (2L, "d", Some(1d)),
+        (3L, "a", Some(0d)), (3L, "b", Some(0d)), (3L, "c", Some(0d)),
+        (3L, "d", Some(0d)),
+        (4L, "a", Some(2d)), (4L, "b", Some(2d)), (4L, "c", Some(2d)),
+        (4L, "d", Some(2d)),
+        (5L, "a", Some(0d)), (5L, "b", Some(1d)), (5L, "c", None),
+        (5L, "d", Some(2d)),
+        (6L, "a", Some(2d)), (6L, "b", Some(0d)), (6L, "c", Some(0d)),
+        (6L, "d", Some(0d)),
+        (7L, "a", Some(1d)), (7L, "b", Some(0d)), (7L, "c", Some(0d)),
+        (7L, "d", Some(1d)),
+        (8L, "a", None), (8L, "b", None), (8L, "c", None), (8L, "d", None)
+      ).toDF("variant_id", "sample", "gt")
+      VcfApi.tajimaD(geno)
+    }),
     "q309_vcf_fst" -> ((s, _) => {
       import s.implicits._
       val geno = Seq(
@@ -485,6 +510,15 @@ object VcfQ {
     // v2 p=.5 both ⇒ num = −2·(.25/3), den .5 ⇒ −1/3; v3 .5 vs 0 ⇒
     // (1/4 − 1/12)/(1/2) = 1/3; v4 n1=2 (term drops), (9/16 − 1/16)
     // / (3/4) = 2/3; v5 pop1 uncalled ⇒ omitted
+    // hand-computed (Tajima 1989, n=8): a1=Σ1/i (i≤7)=2.592857…,
+    // pi=110/56=1.964286, theta_w=4/a1=1.5427, D=1.192205
+    "q315_vcf_tajima_d" ->
+      """SELECT CAST(4 AS BIGINT) AS n_samples,
+            CAST(6 AS BIGINT) AS n_sites,
+            CAST(4 AS BIGINT) AS s_segregating,
+            CAST(1.964286 AS DOUBLE) AS pi,
+            CAST(1.5427 AS DOUBLE) AS theta_w,
+            CAST(1.192205 AS DOUBLE) AS tajima_d""",
     "q309_vcf_fst" ->
       """SELECT * FROM (VALUES
           (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT),

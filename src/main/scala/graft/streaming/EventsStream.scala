@@ -468,6 +468,55 @@ object EventsStream {
     spark.table(name).where(col("user_id") >= 0)
   }
 
+  /** Batch user-tier dimension for [[runStreamStaticOnce]]: per user,
+    * lifetime purchase spend bucketed into `high` (≥ 500) / `mid`
+    * (≥ 100) / `low` tiers. Users with no purchases are `low` (spend
+    * 0) — every user keeps a dimension row so the stream-side join
+    * can stay INNER without dropping events.
+    */
+  def userTierDim(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0d))).as("__spend"))
+      .select(col("user_id"),
+        when(col("__spend") >= 500d, lit("high"))
+          .when(col("__spend") >= 100d, lit("mid"))
+          .otherwise(lit("low")).as("tier"))
+
+  /** Streaming aggregation over a stream-static join — the dimension-
+    * enrichment shape every production event pipeline runs (stream
+    * facts ⨝ slowly-changing dimension, then aggregate): the events
+    * STREAM joins the broadcast [[userTierDim]] STATIC table on
+    * `user_id` (stateless — stream-static inner joins keep no state;
+    * the static side is re-planned per micro-batch, which is exactly
+    * how dimension refresh reaches a 24/7 query) and aggregates
+    * `(tier, event_type)` counts/sums in Complete mode. Emits
+    * `(tier, event_type, n, sum_value)` (2dp).
+    */
+  def runStreamStaticOnce(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val dim = userTierDim(spark.read.parquet(staged))
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+    val out = stream
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("tier", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val name = s"events_stream_static_${System.nanoTime()}"
+    withStatePartitions(spark, statePartitions) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   /** Stage the events table as int64-ns parquet plus the two
     * watermark-flush sentinels (one per join side, user_id −1, ts =
     * max + 3 days), once per (path, mtime).

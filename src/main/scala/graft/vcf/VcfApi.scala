@@ -978,6 +978,72 @@ object VcfApi {
         coalesce(col("kept"), lit(true)).as("kept"))
   }
 
+  /** Tajima's D over the fully-called biallelic sites of a genotype
+    * table — the classic neutrality test (Tajima, Genetics 1989; the
+    * statistic vcftools `--TajimaD` emits per window, computed here
+    * over the whole input so callers window by pre-filtering):
+    * with `n` sampled ALLELES (2 × samples — the 1989 constants assume
+    * constant `n`, so sites with ANY missing call are excluded, the
+    * same restriction vcftools documents),
+    * `π = Σ_sites 2·a·(n−a) / (n·(n−1))` (mean pairwise diversity;
+    * the numerator is summed as an INTEGER so partition order can't
+    * perturb the float), `θ_W = S / a₁` (Watterson's estimator over
+    * the `S` segregating sites), and
+    * `D = (π − θ_W) / √(e₁·S + e₂·S·(S−1))` with the published
+    * `a₁ a₂ b₁ b₂ c₁ c₂ e₁ e₂` constants computed from `n` (harmonic
+    * sums folded ascending — deterministic double order). `D` is NULL
+    * when `S = 0` (the statistic is undefined on invariant data).
+    * Emits one row `(n_samples, n_sites, s_segregating, pi, theta_w,
+    * tajima_d)` (6dp).
+    *
+    * Scale shape: one combinable per-variant aggregation (the only
+    * data-sized shuffle), a metadata-row broadcast of the sample
+    * count, then a single-row reduction — the per-site integer
+    * numerator keeps the reduction exact at any partitioning.
+    */
+  def tajimaD(geno: DataFrame): DataFrame = {
+    val nSamples = geno.select(
+      countDistinct("sample").cast("long").as("__ns"))
+    val perSite = geno
+      .groupBy("variant_id")
+      .agg(sum(col("gt").cast("long")).as("__a"),
+        count(col("gt")).as("__called"))
+    val full = perSite.crossJoin(broadcast(nSamples))
+      .where(col("__called") === col("__ns"))
+      .select(col("__ns"),
+        (lit(2L) * col("__ns")).as("__n"),
+        col("__a"),
+        (col("__a") > 0L && col("__a") < lit(2L) * col("__ns"))
+          .cast("long").as("__seg"),
+        (lit(2L) * col("__a") * (lit(2L) * col("__ns") - col("__a")))
+          .as("__h"))
+    val agg = full.groupBy("__ns", "__n")
+      .agg(count(lit(1)).as("n_sites"),
+        sum("__seg").as("s_segregating"),
+        sum("__h").as("__hsum"))
+    // harmonic constants from n, folded ascending over 1..n−1
+    val a1 = aggregate(sequence(lit(1L), col("__n") - 1L), lit(0d),
+      (acc, i) => acc + lit(1d) / i.cast("double"))
+    val a2 = aggregate(sequence(lit(1L), col("__n") - 1L), lit(0d),
+      (acc, i) => acc + lit(1d) / (i * i).cast("double"))
+    val n = col("__n").cast("double")
+    val b1 = (n + 1d) / (lit(3d) * (n - 1d))
+    val b2 = lit(2d) * (n * n + n + 3d) / (lit(9d) * n * (n - 1d))
+    val c1 = b1 - lit(1d) / a1
+    val c2 = b2 - (n + 2d) / (a1 * n) + a2 / (a1 * a1)
+    val e1 = c1 / a1
+    val e2 = c2 / (a1 * a1 + a2)
+    val s = col("s_segregating").cast("double")
+    val pi = col("__hsum").cast("double") / (n * (n - 1d))
+    agg.select(col("__ns").as("n_samples"), col("n_sites"),
+        col("s_segregating"),
+        round(pi, 6).as("pi"),
+        when(col("s_segregating") > 0L, round(s / a1, 6)).as("theta_w"),
+        when(col("s_segregating") > 0L,
+          round((pi - s / a1) / sqrt(e1 * s + e2 * s * (s - 1d)), 6))
+          .as("tajima_d"))
+  }
+
   /** Bulk interval-overlap join against an arbitrary regions table
     * (columns: chr, start, end). Dispatches adaptively
     * ([[graft.operators.RangeJoin.overlapAuto]]): a regions side small

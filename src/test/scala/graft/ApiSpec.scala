@@ -495,6 +495,28 @@ class ApiSpec extends SparkSpec {
     assert(r.getAs[Double]("fst") == 0.4)
   }
 
+  test("VcfApi.tajimaD: hand case n=4; invariant-only input → NULL D") {
+    import spark.implicits._
+    // v1 segregating (0,1), v2 invariant, v3 part-called → excluded
+    val geno = Seq(
+      (1L, "a", Some(0d)), (1L, "b", Some(1d)),
+      (2L, "a", Some(0d)), (2L, "b", Some(0d)),
+      (3L, "a", Some(1d)), (3L, "b", None)
+    ).toDF("variant_id", "sample", "gt")
+    val r = graft.vcf.VcfApi.tajimaD(geno).collect().head
+    // n=4: π = 2·1·3/12 = 0.5; a1 = 1+½+⅓; θ = 1/a1; D hand-computed
+    assert(r.getAs[Long]("n_samples") == 2 && r.getAs[Long]("n_sites") == 2)
+    assert(r.getAs[Long]("s_segregating") == 1)
+    assert(r.getAs[Double]("pi") == 0.5)
+    assert(r.getAs[Double]("theta_w") == 0.545455)
+    assert(r.getAs[Double]("tajima_d") == -0.612372)
+    // invariant-only: S=0 ⇒ θ_W/D NULL, π = 0
+    val inv = Seq((1L, "a", Some(0d)), (1L, "b", Some(0d)))
+      .toDF("variant_id", "sample", "gt")
+    val r2 = graft.vcf.VcfApi.tajimaD(inv).collect().head
+    assert(r2.getAs[Double]("pi") == 0.0 && r2.isNullAt(4) && r2.isNullAt(5))
+  }
+
   test("VcfApi.hetReport: an all-het cohort scores F = −1") {
     import spark.implicits._
     val geno = Seq(

@@ -3846,4 +3846,31 @@ class OperatorsSpec extends SparkSpec {
       6L -> "train", 7L -> "test",
       8L -> "purged"))
   }
+
+  test("TextAnalysis.backoffLmScore: seen-bigram / backoff / OOV paths") {
+    // train = doc 0 ("a b a b"): uni a:2 b:2, T=4; bi (a,b):2 (b,a):1
+    val docs = Seq((0L, "a b a b"), (1L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.backoffLmScore(docs, "text", "doc_id",
+        trainFilter = col("doc_id") % 2 === 0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // doc 0: u(a)=.5, S(b|a)=1, S(a|b)=.5, S(b|a)=1 → micros
+    //   −693147·2 ⇒ avg −0.346573 (half-micro floors toward +inf)
+    // doc 1: u(a)=.5; (a,c) unseen ⇒ backoff α·u(c), c OOV ⇒ α²/T=.04
+    assert(got == Seq(
+      (0L, 4L, 0L, 0L, -0.346573, 1.4142),
+      (1L, 2L, 1L, 1L, -1.956011, 7.0711)), s"got $got")
+  }
+
+  test("Privacy.tClosenessAudit: concentrated class 0.5, global-match 0") {
+    // X all v0 (4 rows), Y all v1 (4), Z one of each ⇒ global 5/5
+    val df = (Seq.fill(4)(("X", 0L)) ++ Seq.fill(4)(("Y", 1L)) ++
+      Seq(("Z", 0L), ("Z", 1L))).toDF("cls", "bal")
+    val got = Privacy.tClosenessAudit(df, Seq("cls"), col("bal"), t = 0.3)
+      .orderBy("cls")
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    // X: |4·10−5·4|=20 ⇒ 20/(4·10·1)=0.5; Z: 1·10−5·2=0 ⇒ 0
+    assert(got == Seq(("X", 4L, 0.5, true), ("Y", 4L, 0.5, true),
+      ("Z", 2L, 0.0, false)), s"got $got")
+  }
 }

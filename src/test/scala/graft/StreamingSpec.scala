@@ -508,4 +508,18 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("s1", 2L, 2L), ("s2", 2L, 0L)), s"got $got")
     spark.catalog.dropTempView(name)
   }
+
+  test("EventsStream.userTierDim: tier cutoffs, non-purchasers low") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "purchase", 600d), (2L, "purchase", 150d),
+      (3L, "view", 900d), // views never count toward spend
+      (4L, "purchase", 100d), // boundary: ≥ 100 is mid
+      (4L, "view", 5d)
+    ).toDF("user_id", "event_type", "value")
+    val got = graft.streaming.EventsStream.userTierDim(events)
+      .orderBy("user_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "high"), (2L, "mid"), (3L, "low"),
+      (4L, "mid")), s"got $got")
+  }
 }
