@@ -872,4 +872,58 @@ object Eval {
       .withColumn("ok",
         abs(col("coverage") - lit(1 - alpha)) <= lit(tol))
   }
+
+  /** Huber robust location per group via IRLS (Huber 1964; the
+    * M-estimator's standard iteratively-reweighted fixed-point form):
+    * starting from the plain mean, repeat `iters` times
+    * `μ ← Σwᵢxᵢ/Σwᵢ` with `wᵢ = min(1, k/|xᵢ−μ|)` — outliers beyond
+    * `k` dollars of the current center get down-weighted
+    * proportionally instead of either dominating (mean) or being
+    * ignored entirely (trimming). Deterministic across engines by the
+    * repo's integer-grid contract: values are CENTS (int64), weights
+    * are quantized to the 10⁻⁶ grid (`⌊w·10⁶+½⌋`), so every per-group
+    * sum is int64 (exact under any partition order) and each
+    * iteration's `μ` is one IEEE division of identical integers.
+    * Output means land on the 10⁻⁴-dollar grid via `floor(x+½)` —
+    * floor of identical doubles can't diverge, unlike `round`. Emits
+    * `(groupCol, n, mean, huber_mean)` (4dp). Int64 bounds:
+    * `Σ w·x ≤ 10⁶ · max|cents| · rows` — fine to ~10⁹ rows of
+    * ≤ $10⁷ values; shard groups above that.
+    *
+    * Scale shape: one grouped count/sum, then per iteration ONE
+    * broadcast join of the group-cardinality μ table and ONE
+    * combinable re-aggregation — `iters` passes over the data, no
+    * windows, no driver state.
+    */
+  def huberMean(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double, iters: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(iters >= 1 && iters <= 8, "iters in [1, 8]")
+    val kc = k * 100d // threshold in cents
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__x"))
+    val agg0 = base.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum("__x").as("__sx"))
+    var mu = agg0.select(col(groupCol),
+      (col("__sx").cast("double") / col("n")).as("__mu"))
+    for (_ <- 1 to iters) {
+      val d = abs(col("__x").cast("double") - col("__mu"))
+      val w = when(d <= kc, lit(1000000L))
+        .otherwise(floor(lit(kc) * 1e6 / d + 0.5).cast("long"))
+      mu = base.join(broadcast(mu), Seq(groupCol))
+        .select(col(groupCol), col("__x"), w.as("__w"))
+        .groupBy(groupCol)
+        .agg(sum(col("__w") * col("__x")).as("__swx"),
+          sum("__w").as("__sw"))
+        .select(col(groupCol),
+          (col("__swx").cast("double") / col("__sw")).as("__mu"))
+    }
+    agg0.join(mu, Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        (floor(col("__sx").cast("double") * 100d / col("n") + 0.5) / 1e4)
+          .as("mean"),
+        (floor(col("__mu") * 100d + 0.5) / 1e4).as("huber_mean"))
+  }
 }

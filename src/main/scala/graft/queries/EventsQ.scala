@@ -134,6 +134,21 @@ object EventsQ {
         .orderBy("tier", "event_type")
     }),
 
+    // ---- native session_window streaming agg (30-min gap) vs the
+    //      batch gaps-and-islands oracle ----
+    "q320_stream_session_window" -> ((s, d) => {
+      graft.streaming.EventsStream.runSessionWindowOnce(s, d)
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // ---- Huber robust mean per event type (IRLS ×3, k = $20) next
+    //      to the plain mean it robustifies ----
+    "q322_huber_mean" -> ((s, d) => {
+      graft.operators.Eval.huberMean(
+          Tables.events(s, d), "event_type", "value", k = 20.0)
+        .orderBy("event_type")
+    }),
+
     // ---- funnel: ordered view→click→purchase completion within 7d ----
     "q120_funnel" -> ((s, d) => {
       Events.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
@@ -2044,6 +2059,77 @@ object EventsQ {
          ORDER BY purchase_id, view_id""",
     // the streaming left-outer result (with the watermark flushed
     // past every event) must equal the plain batch left join
+    // native session_window ≡ batch gaps-and-islands (break at Δt ≥
+    // gap; end = last event + gap)
+    "q320_stream_session_window" ->
+      """WITH e AS (
+            SELECT user_id, epoch_us(ts) AS t, value FROM events),
+          m AS (
+            SELECT user_id, t, value,
+              CASE WHEN lag(t) OVER w IS NULL
+                     OR t - lag(t) OVER w >= 1800000000 THEN 1
+                   ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+          s AS (
+            SELECT user_id, t, value,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM m)
+         SELECT user_id, min(t) AS session_start_us,
+           max(t) + 1800000000 AS session_end_us,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start_us""",
+    // IRLS Huber mean: integer cents, 1e-6-grid weights, three
+    // unrolled fixed-point iterations, floor-grid output
+    "q322_huber_mean" ->
+      """WITH b AS (
+            SELECT event_type,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL),
+          a0 AS MATERIALIZED (
+            SELECT event_type, count(*) AS n,
+              CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(x) AS BIGINT) * 1.0 / count(*) AS mu
+            FROM b GROUP BY event_type),
+          it1 AS MATERIALIZED (
+            SELECT event_type,
+              CAST(sum(w * x) AS BIGINT) * 1.0
+                / CAST(sum(w) AS BIGINT) AS mu
+            FROM (
+              SELECT b.event_type, b.x,
+                CASE WHEN abs(b.x - p.mu) <= 2000.0 THEN 1000000
+                     ELSE CAST(floor(2000.0 * 1e6 / abs(b.x - p.mu) + 0.5)
+                       AS BIGINT) END AS w
+              FROM b JOIN a0 p USING (event_type))
+            GROUP BY event_type),
+          it2 AS MATERIALIZED (
+            SELECT event_type,
+              CAST(sum(w * x) AS BIGINT) * 1.0
+                / CAST(sum(w) AS BIGINT) AS mu
+            FROM (
+              SELECT b.event_type, b.x,
+                CASE WHEN abs(b.x - p.mu) <= 2000.0 THEN 1000000
+                     ELSE CAST(floor(2000.0 * 1e6 / abs(b.x - p.mu) + 0.5)
+                       AS BIGINT) END AS w
+              FROM b JOIN it1 p USING (event_type))
+            GROUP BY event_type),
+          it3 AS MATERIALIZED (
+            SELECT event_type,
+              CAST(sum(w * x) AS BIGINT) * 1.0
+                / CAST(sum(w) AS BIGINT) AS mu
+            FROM (
+              SELECT b.event_type, b.x,
+                CASE WHEN abs(b.x - p.mu) <= 2000.0 THEN 1000000
+                     ELSE CAST(floor(2000.0 * 1e6 / abs(b.x - p.mu) + 0.5)
+                       AS BIGINT) END AS w
+              FROM b JOIN it2 p USING (event_type))
+            GROUP BY event_type)
+         SELECT a0.event_type, a0.n,
+           floor(a0.sx * 100.0 / a0.n + 0.5) / 1e4 AS mean,
+           floor(it3.mu * 100.0 + 0.5) / 1e4 AS huber_mean
+         FROM a0 JOIN it3 USING (event_type)
+         ORDER BY event_type""",
     // stream-static join ≡ the batch join once all data is processed
     "q318_stream_static_enrich" ->
       """WITH dim AS (

@@ -104,10 +104,11 @@ object Relational {
   /** q300/q306 shared stage: Fellegi–Sunter-scored candidate pairs
     * between customer and a deterministically-dirtied copy of itself.
     */
-  private def linkageScored(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Linkage
-    val c = cust(s, d)
-    val dirty = c.select(
+  /** The deterministically-dirtied customer copy shared by the
+    * linkage-tier gates (q300/q306/q310/q321).
+    */
+  private def linkageDirty(s: SparkSession, d: String): DataFrame =
+    cust(s, d).select(
       col("c_custkey").as("dirty_id"),
       when(pmod(graft.functions.md5Long(
           concat(lit("rl:"), col("c_custkey").cast("string"))), lit(3)) === 0,
@@ -117,6 +118,11 @@ object Relational {
         col("c_acctbal") + lit(100.25)).otherwise(col("c_acctbal"))
         .as("d_bal"),
       col("c_nationkey"), col("c_mktsegment"))
+
+  private def linkageScored(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Linkage
+    val c = cust(s, d)
+    val dirty = linkageDirty(s, d)
     Linkage.fellegiSunter(
       c.select("c_custkey", "c_name", "c_acctbal",
         "c_nationkey", "c_mktsegment"),
@@ -411,6 +417,16 @@ object Relational {
           Tables.events(s, d), "event_type",
           (col("value") > 50).cast("int"))
         .orderBy("category")
+    }),
+
+    // ---- blocking-quality report for the q300 linkage blocking:
+    //      RR from block-count statistics (no pair materialization),
+    //      PC = 1 since dirtying never touches the block keys ----
+    "q321_blocking_quality" -> ((s, d) => {
+      graft.operators.Linkage.blockingQuality(
+        cust(s, d).select("c_custkey", "c_nationkey", "c_mktsegment"),
+        linkageDirty(s, d),
+        Seq("c_nationkey", "c_mktsegment"), "c_custkey", "dirty_id")
     }),
 
     // ---- t-closeness audit: (segment, nation) classes vs the global
@@ -1147,6 +1163,40 @@ object Relational {
              AS iv_term
          FROM per CROSS JOIN tot
          ORDER BY category""",
+    // RR/PC from block stats; truth = custkey identity
+    "q321_blocking_quality" ->
+      """WITH dirty AS (
+            SELECT c_custkey AS dirty_id, c_nationkey, c_mktsegment
+            FROM customer),
+          ls AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS nl
+            FROM customer GROUP BY 1, 2),
+          rs AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS nr
+            FROM dirty GROUP BY 1, 2),
+          cand AS (
+            SELECT CAST(coalesce(sum(nl * nr), 0) AS BIGINT)
+              AS n_candidates
+            FROM ls JOIN rs USING (c_nationkey, c_mktsegment)),
+          sides AS (
+            SELECT (SELECT count(*) FROM customer) AS n_left,
+              (SELECT count(*) FROM dirty) AS n_right),
+          tr AS (
+            SELECT count(*) AS n_true,
+              CAST(coalesce(sum(CASE WHEN l.c_nationkey IS NOT DISTINCT
+                  FROM r.c_nationkey AND l.c_mktsegment IS NOT DISTINCT
+                  FROM r.c_mktsegment THEN 1 ELSE 0 END), 0) AS BIGINT)
+                AS n_retained
+            FROM customer l JOIN dirty r ON l.c_custkey = r.dirty_id)
+         SELECT n_left, n_right, n_candidates,
+           round(1 - CAST(n_candidates AS DOUBLE)
+             / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)), 6)
+             AS reduction_ratio,
+           n_true, n_retained,
+           CASE WHEN n_true > 0 THEN
+             round(CAST(n_retained AS DOUBLE) / n_true, 6) END
+             AS pair_completeness
+         FROM sides, cand, tr""",
     // ordered-EMD t-closeness: integer cumulative differences
     // cnt·N − g·class_n, one division at the end
     "q317_t_closeness" ->

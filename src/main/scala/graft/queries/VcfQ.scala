@@ -220,6 +220,26 @@ object VcfQ {
     //      het (v2, negative estimate kept), one-sided (v3), a
     //      missing call shrinking n1 to 2 (v4), pop1 fully missing
     //      (v5, excluded), plus a sample outside both pops ----
+    // ---- compound-het candidates: sa hets {1,2} in G1, sc {1,2,3} in
+    //      G1, sb {4,5} in G2; single hets and hom calls never pair;
+    //      duplicate (v1,G1) impact rows count once ----
+    "q319_vcf_comphet" -> ((s, _) => {
+      import s.implicits._
+      val geno = Seq(
+        (1L, "sa", Some(1d)), (2L, "sa", Some(1d)), (3L, "sa", Some(0d)),
+        (4L, "sa", Some(1d)), (5L, "sa", Some(0d)),
+        (1L, "sb", Some(1d)), (2L, "sb", Some(2d)), (3L, "sb", None),
+        (4L, "sb", Some(1d)), (5L, "sb", Some(1d)),
+        (1L, "sc", Some(1d)), (2L, "sc", Some(1d)), (3L, "sc", Some(1d)),
+        (4L, "sc", Some(0d)), (5L, "sc", Some(2d))
+      ).toDF("variant_id", "sample", "gt")
+      val impact = Seq(
+        (1L, "missense_variant", "G1"), (1L, "intron_variant", "G1"),
+        (2L, "stop_gained", "G1"), (3L, "missense_variant", "G1"),
+        (4L, "frameshift_variant", "G2"), (5L, "missense_variant", "G2")
+      ).toDF("variant_id", "consequence", "symbol")
+      VcfApi.compHetCandidates(geno, impact).orderBy("symbol", "sample")
+    }),
     // ---- Tajima's D neutrality test: 4 samples (n=8 alleles), six
     //      fully-called sites (v5 part-called + v8 uncalled excluded),
     //      S=4 segregating (v3 all-ref + v4 all-alt invariant),
@@ -510,6 +530,14 @@ object VcfQ {
     // v2 p=.5 both ⇒ num = −2·(.25/3), den .5 ⇒ −1/3; v3 .5 vs 0 ⇒
     // (1/4 − 1/12)/(1/2) = 1/3; v4 n1=2 (term drops), (9/16 − 1/16)
     // / (3/4) = 2/3; v5 pop1 uncalled ⇒ omitted
+    // hand-derived: phase-unaware het-pair candidates per (gene,sample)
+    "q319_vcf_comphet" ->
+      """SELECT * FROM (VALUES
+          ('G1', 'sa', CAST(2 AS BIGINT), '1,2'),
+          ('G1', 'sc', 3, '1,2,3'),
+          ('G2', 'sb', 2, '4,5'))
+         t(symbol, sample, n_het, het_variants)
+         ORDER BY symbol, sample""",
     // hand-computed (Tajima 1989, n=8): a1=Σ1/i (i≤7)=2.592857…,
     // pi=110/56=1.964286, theta_w=4/a1=1.5427, D=1.192205
     "q315_vcf_tajima_d" ->

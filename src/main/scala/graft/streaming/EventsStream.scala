@@ -521,6 +521,82 @@ object EventsStream {
     * watermark-flush sentinels (one per join side, user_id −1, ts =
     * max + 3 days), once per (path, mtime).
     */
+  /** Native `session_window` streaming aggregation — the BUILT-IN
+    * gap-session operator (Spark 3.2+ `session_window(ts, gap)`:
+    * state-store-backed windows that EXTEND while events keep arriving
+    * within `gap` and merge when late data bridges two of them) next
+    * to this module's `flatMapGroupsWithState` sessionization, which
+    * pins the same semantics through custom state. Window end = last
+    * event + gap (the operator's definition), so the batch oracle is
+    * the classic gaps-and-islands form with `break when Δt ≥ gap`.
+    * Emits `(user_id, session_start_us, session_end_us, n, sum_value)`.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n"), col("sum_value"))
+
+  /** Drive [[sessionWindowAgg]] once (AvailableNow, Append mode). A
+    * session only emits once the WATERMARK passes its end, and
+    * AvailableNow's final watermark stops `delay` short of the max
+    * event time — so the staged source carries one far-future flush
+    * sentinel (user −1, filtered at the sink — same pattern as
+    * [[runOuterJoinOnce]]) to drain the tail sessions and make the
+    * streaming output equal the batch gaps-and-islands form.
+    */
+  def runSessionWindowOnce(spark: SparkSession, dir: String,
+      gap: String = "30 minutes", statePartitions: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageSessionDir(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.tsAsNanos(
+      spark.readStream.schema(schema).parquet(staged))
+    val out = sessionWindowAgg(stream, gap)
+    val name = s"events_session_window_${System.nanoTime()}"
+    withStatePartitions(spark, statePartitions) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // sentinel filtered at the SINK — a source-side filter would be
+    // pushed below the watermark node and un-drain the tail (see
+    // runOuterJoinOnce's NOTE)
+    spark.table(name).where(col("user_id") >= 0)
+  }
+
+  private def stageSessionDir(spark: SparkSession, dir: String): String = {
+    import java.nio.file._
+    val src = Paths.get(dir, "events.parquet")
+    val staged = Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_session_${math.abs(dir.hashCode)}_${Files.getLastModifiedTime(src).toMillis}")
+    if (!Files.exists(staged.resolve("_SUCCESS"))) {
+      val ev = graft.Tables.events(spark, dir)
+      val maxNs = ev.agg(max("ts")).head().getLong(0)
+      val flushNs = maxNs + 3L * 24 * 3600 * 1000 * 1000 * 1000
+      val sentinel = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, flushNs, -1L, "view", 0.0, null)),
+        ev.select("event_id", "ts", "user_id", "event_type", "value",
+          "props").schema)
+      ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .unionByName(sentinel)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    staged.toString
+  }
+
   private def stageOuterDir(spark: SparkSession, dir: String): String = {
     import java.nio.file._
     val src = Paths.get(dir, "events.parquet")

@@ -1044,6 +1044,36 @@ object VcfApi {
           .as("tajima_d"))
   }
 
+  /** Compound-heterozygous candidate report — the recessive-disease
+    * screen every clinical annotation pipeline runs after the
+    * per-variant filters (GATK/VEP workflows; phase-UNAWARE form, the
+    * screen's standard first pass — true compound het additionally
+    * needs the two hets in trans, which takes parental phasing):
+    * per (gene, sample), collect the HETEROZYGOUS calls (`gt = 1`);
+    * a sample carrying ≥ 2 het variants in the same gene is a
+    * candidate. Variant→gene mapping comes from the impact table's
+    * distinct `(variant_id, symbol)` pairs (a variant annotated with
+    * several consequences in one gene counts once). Emits
+    * `(symbol, sample, n_het, het_variants)` with the variant ids
+    * ascending comma-joined — candidates only.
+    *
+    * Scale shape: the het filter prunes before any join; the gene map
+    * is a slim broadcastable dimension; ONE combinable per-(gene,
+    * sample) aggregation whose collect_list is bounded by the per-gene
+    * variant count (thousands at worst — genes are finite).
+    */
+  def compHetCandidates(geno: DataFrame, impact: DataFrame): DataFrame = {
+    val genes = impact.select("variant_id", "symbol").distinct()
+    geno.where(col("gt") === 1d)
+      .join(genes, Seq("variant_id"))
+      .groupBy("symbol", "sample")
+      .agg(count(lit(1)).as("n_het"),
+        array_join(
+          transform(sort_array(collect_list(col("variant_id"))),
+            v => v.cast("string")), ",").as("het_variants"))
+      .where(col("n_het") >= 2L)
+  }
+
   /** Bulk interval-overlap join against an arbitrary regions table
     * (columns: chr, start, end). Dispatches adaptively
     * ([[graft.operators.RangeJoin.overlapAuto]]): a regions side small

@@ -517,6 +517,19 @@ class ApiSpec extends SparkSpec {
     assert(r2.getAs[Double]("pi") == 0.0 && r2.isNullAt(4) && r2.isNullAt(5))
   }
 
+  test("VcfApi.compHetCandidates: hets must share a GENE, homs excluded") {
+    import spark.implicits._
+    // sx: het in G1(v1) and G2(v2) — two genes, never a candidate;
+    // sy: het v1 + HOM-ALT v3 in G1 — homs don't pair
+    val geno = Seq(
+      (1L, "sx", Some(1d)), (2L, "sx", Some(1d)), (3L, "sx", Some(0d)),
+      (1L, "sy", Some(1d)), (2L, "sy", Some(0d)), (3L, "sy", Some(2d))
+    ).toDF("variant_id", "sample", "gt")
+    val impact = Seq((1L, "c1", "G1"), (3L, "c3", "G1"), (2L, "c2", "G2"))
+      .toDF("variant_id", "consequence", "symbol")
+    assert(graft.vcf.VcfApi.compHetCandidates(geno, impact).count() == 0)
+  }
+
   test("VcfApi.hetReport: an all-het cohort scores F = −1") {
     import spark.implicits._
     val geno = Seq(

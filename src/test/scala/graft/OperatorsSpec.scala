@@ -3862,6 +3862,33 @@ class OperatorsSpec extends SparkSpec {
       (1L, 2L, 1L, 1L, -1.956011, 7.0711)), s"got $got")
   }
 
+  test("Linkage.blockingQuality: RR from block stats, PC counts drops") {
+    // left ids 1..4 blocked by k; right = same ids but id 4's block
+    // key drifted ⇒ its true pair falls outside the blocking
+    val left = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("lid", "k")
+    val right = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("rid", "k")
+    val r = Linkage.blockingQuality(left, right, Seq("k"), "lid", "rid")
+      .collect().head
+    // candidates: block a 2·2 + block b 2·1 = 6 of 16 ⇒ RR = 0.625
+    assert(r.getAs[Long]("n_candidates") == 6L)
+    assert(r.getAs[Double]("reduction_ratio") == 0.625)
+    assert(r.getAs[Long]("n_true") == 4L &&
+      r.getAs[Long]("n_retained") == 3L)
+    assert(r.getAs[Double]("pair_completeness") == 0.75)
+  }
+
+  test("Eval.huberMean: outlier down-weighted toward the bulk") {
+    val df = Seq(("g", 0d), ("g", 0d), ("g", 0d), ("g", 100d))
+      .toDF("grp", "v")
+    val r = Eval.huberMean(df, "grp", "v", k = 10.0).collect().head
+    // mean dragged to 25; three IRLS rounds pull the center to ~3.34
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("mean") == 25.0)
+    assert(r.getAs[Double]("huber_mean") == 3.3413, s"got $r")
+  }
+
   test("Privacy.tClosenessAudit: concentrated class 0.5, global-match 0") {
     // X all v0 (4 rows), Y all v1 (4), Z one of each ⇒ global 5/5
     val df = (Seq.fill(4)(("X", 0L)) ++ Seq.fill(4)(("Y", 1L)) ++

@@ -509,6 +509,26 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("EventsStream.sessionWindowAgg: gap splits, end = last + gap") {
+    import spark.implicits._
+    val m = 60L * 1000000000L // one minute in ns
+    // user 1: events at 0m, 10m (one session), 50m (new: Δ=40 ≥ 30);
+    // user 2: single event
+    val events = Seq(
+      (1L, 0L * m, 1.0), (1L, 10L * m, 2.0), (1L, 50L * m, 4.0),
+      (2L, 5L * m, 8.0)
+    ).toDF("user_id", "ts", "value")
+    // session_window works identically in batch (watermark is a no-op)
+    val got = graft.streaming.EventsStream.sessionWindowAgg(events, "30 minutes")
+      .orderBy("user_id", "session_start_us")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val us = 60L * 1000000L
+    assert(got == Seq(
+      (1L, 0L, 10 * us + 30 * us, 2L, 3.0),
+      (1L, 50 * us, 80 * us, 1L, 4.0),
+      (2L, 5 * us, 35 * us, 1L, 8.0)), s"got $got")
+  }
+
   test("EventsStream.userTierDim: tier cutoffs, non-purchasers low") {
     import spark.implicits._
     val events = Seq(
