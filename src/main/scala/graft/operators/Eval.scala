@@ -895,6 +895,104 @@ object Eval {
     * combinable re-aggregation — `iters` passes over the data, no
     * windows, no driver state.
     */
+  /** Kruskal–Wallis H test — the rank-based one-way ANOVA ("do these
+    * groups draw from the same distribution?", Kruskal & Wallis 1952)
+    * with the standard tie correction: over all `N` values pooled,
+    * `H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)` with `R_g` the
+    * group's rank sum (average ranks at ties), and
+    * `H_adj = H / (1 − Σ(t³−t)/(N³−N))` over the tie-run sizes `t`.
+    * Deterministic across engines by construction: values quantize to
+    * CENTS, average ranks live on the ½ grid (`2·R` stays int64), the
+    * tie sum is integer, and the ~k-term float reduction over groups
+    * folds in SORTED group order (sequential `aggregate`, matching
+    * the oracle's ordered `list_sum`). Emits one row `(k_groups, n,
+    * h, tie_correction, h_adj)` — h's on the 10⁻⁴ floor grid,
+    * correction on 10⁻⁶. `h_adj` NULL when every value ties (C = 0).
+    *
+    * Scale shape: ranks come from the DISTINCT-CENTS grid (one
+    * ordered window over the grid, the q152 KS precedent — bounded by
+    * value cardinality, never by row count); everything row-sized is
+    * a combinable aggregation.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val b = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__x"))
+    val grid = b.groupBy("__x").agg(count(lit(1)).as("__t"))
+    val w = Window.orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rk = grid.withColumn("__rank2",
+      lit(2L) * coalesce(sum("__t").over(w), lit(0L)) + col("__t") + 1L)
+    val cells = b.groupBy("__g", "__x").agg(count(lit(1)).as("__cnt"))
+    val pg = cells.join(rk, Seq("__x"))
+      .groupBy("__g")
+      .agg(sum(col("__cnt") * col("__rank2")).as("__rg2"),
+        sum("__cnt").as("__ng"))
+    val folded = pg.agg(count(lit(1)).as("k_groups"),
+      aggregate(
+        sort_array(collect_list(struct(col("__g"), col("__rg2"),
+          col("__ng")))),
+        lit(0d),
+        (acc, s) => acc +
+          (s.getField("__rg2").cast("double") / 2d) *
+          (s.getField("__rg2").cast("double") / 2d) /
+          s.getField("__ng")).as("__s"))
+    val totals = b.agg(count(lit(1)).as("__N"))
+    val ties = grid.agg(
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ts"))
+    val nD = col("__N").cast("double")
+    val hRaw = lit(12d) / (nD * (nD + 1d)) * col("__s") -
+      lit(3d) * (nD + 1d)
+    val c = lit(1d) - col("__ts").cast("double") /
+      (col("__N") * col("__N") * col("__N") - col("__N"))
+    folded.crossJoin(broadcast(totals)).crossJoin(broadcast(ties))
+      .select(col("k_groups"), col("__N").as("n"),
+        (floor(hRaw * 1e4 + 0.5) / 1e4).as("h"),
+        (floor(c * 1e6 + 0.5) / 1e6).as("tie_correction"),
+        when(c > 0d, floor(hRaw / c * 1e4 + 0.5) / 1e4).as("h_adj"))
+  }
+
+  /** Benjamini–Hochberg FDR control (JRSS-B 1995 — the multiple-
+    * testing correction every genome-wide or metric-sweep report
+    * needs before calling per-test significance): rank the `m`
+    * p-values ascending, find the largest rank with
+    * `p_(i) ≤ i·α/m`, reject everything at or below it, and report
+    * the monotone q-values `q_(i) = min_{j≥i} m·p_(j)/j`. Ties rank
+    * deterministically by `idCol`. The q-value running min is a
+    * MIN of identical doubles — order-free, so the whole report
+    * replays exactly in any engine. Emits
+    * `(idCol, p, rank, q_value, significant)` (q floor-gridded 6dp).
+    *
+    * Scale shape: one global rank window over the TEST table (tests
+    * number thousands-to-millions — metadata-grain next to the data
+    * that produced the p-values; the q152/q51 bounded-window class),
+    * one 1-row max broadcast back. No data-sized shuffle.
+    */
+  def fdrBH(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    val m = df.agg(count(lit(1)).as("__m"))
+    val wAsc = Window.orderBy(col("p").asc, col(idCol).asc)
+    val wDesc = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df.select(col(idCol), col(pCol).cast("double").as("p"))
+      .withColumn("rank", row_number().over(wAsc))
+      .crossJoin(broadcast(m))
+      .withColumn("__q_raw",
+        min(col("__m").cast("double") * col("p") / col("rank")).over(wDesc))
+      .withColumn("__pass",
+        col("p") <= col("rank").cast("double") * alpha / col("__m"))
+    val cut = ranked.agg(
+      coalesce(max(when(col("__pass"), col("rank"))), lit(0)).as("__cut"))
+    ranked.crossJoin(broadcast(cut))
+      .select(col(idCol), col("p"), col("rank"),
+        (floor(least(col("__q_raw"), lit(1d)) * 1e6 + 0.5) / 1e6)
+          .as("q_value"),
+        (col("rank") <= col("__cut")).as("significant"))
+  }
+
   def huberMean(df: DataFrame, groupCol: String, valueCol: String,
       k: Double, iters: Int = 3): DataFrame = {
     require(k > 0, "k must be positive")

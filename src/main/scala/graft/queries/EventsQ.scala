@@ -141,6 +141,13 @@ object EventsQ {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // ---- Kruskal–Wallis H: do event types draw value from the same
+    //      distribution? (tie-corrected, grid-exact ranks) ----
+    "q324_kruskal_wallis" -> ((s, d) => {
+      graft.operators.Eval.kruskalWallis(
+        Tables.events(s, d), "event_type", "value")
+    }),
+
     // ---- Huber robust mean per event type (IRLS ×3, k = $20) next
     //      to the plain mean it robustifies ----
     "q322_huber_mean" -> ((s, d) => {
@@ -2080,6 +2087,40 @@ object EventsQ {
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start_us""",
+    // KW over the distinct-cents grid: 2·avg-rank integers, ordered
+    // list_sum matches Spark's sorted sequential fold
+    "q324_kruskal_wallis" ->
+      """WITH b AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL),
+          grid AS (SELECT x, count(*) AS t FROM b GROUP BY x),
+          rk AS (SELECT x, t,
+              2 * CAST(coalesce(sum(t) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) + t + 1 AS rank2
+            FROM grid),
+          cells AS (SELECT g, x, count(*) AS cnt FROM b GROUP BY g, x),
+          pg AS (SELECT g, CAST(sum(cnt * rank2) AS BIGINT) AS rg2,
+              CAST(sum(cnt) AS BIGINT) AS ng
+            FROM cells JOIN rk USING (x) GROUP BY g),
+          folded AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+              list_sum(list((rg2 / 2.0) * (rg2 / 2.0) / ng ORDER BY g))
+                AS s
+            FROM pg),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM b),
+          ties AS (SELECT CAST(sum(t*t*t - t) AS BIGINT) AS ts FROM grid)
+         SELECT k_groups, N AS n,
+           floor((12.0 / (N * (N + 1.0)) * s - 3.0 * (N + 1.0)) * 1e4
+             + 0.5) / 1e4 AS h,
+           floor((1.0 - CAST(ts AS DOUBLE) / (N*N*N - N)) * 1e6 + 0.5)
+             / 1e6 AS tie_correction,
+           CASE WHEN 1.0 - CAST(ts AS DOUBLE) / (N*N*N - N) > 0 THEN
+             floor((12.0 / (N * (N + 1.0)) * s - 3.0 * (N + 1.0))
+               / (1.0 - CAST(ts AS DOUBLE) / (N*N*N - N)) * 1e4 + 0.5)
+               / 1e4
+           END AS h_adj
+         FROM folded, nn, ties""",
     // IRLS Huber mean: integer cents, 1e-6-grid weights, three
     // unrolled fixed-point iterations, floor-grid output
     "q322_huber_mean" ->

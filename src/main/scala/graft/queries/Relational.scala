@@ -419,6 +419,53 @@ object Relational {
         .orderBy("category")
     }),
 
+    // ---- PERMISSIVE corrupt-record ingest audit: the dirty-CSV
+    //      behavior a 100 TB web-scrape ingest depends on — malformed
+    //      rows land in _corrupt_record instead of failing the job ----
+    "q325_csv_corrupt_audit" -> ((s, _) => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_corrupt_csv"
+      val lines = Seq(
+        "id,qty,name",
+        "1,10,alpha",
+        "2,notanum,beta", // unparseable INT → corrupt
+        "3,30,gamma",
+        "4,40", // missing trailing column
+        "5,50,delta,extra", // extra column → corrupt
+        "6,60,zeta")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part.csv"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id INT, qty INT, name STRING, _corrupt_record STRING")
+      // Spark disallows referencing ONLY the corrupt column of a raw
+      // scan — cache() materializes the full rows first (the
+      // documented workaround)
+      val df = s.read.option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema).csv(dir).cache()
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("qty")))
+          .cast("long").as("qty_clean_sum"),
+        count(when(col("_corrupt_record").isNull && col("id").isNotNull,
+          lit(1))).as("n_clean"))
+    }),
+
+    // ---- Benjamini–Hochberg FDR over md5-derived p-values (u³ —
+    //      skewed toward 0 so the rejection region is non-trivial) ----
+    "q326_fdr_bh" -> ((s, d) => {
+      val u = (pmod(graft.functions.md5Long(
+          concat(lit("bh:"), col("c_custkey").cast("string"))),
+        lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000d)
+      graft.operators.Eval.fdrBH(
+          cust(s, d).withColumn("p_raw", u * u * u)
+            .select("c_custkey", "p_raw"),
+          "c_custkey", "p_raw", alpha = 0.05)
+        .orderBy("rank")
+    }),
+
     // ---- blocking-quality report for the q300 linkage blocking:
     //      RR from block-count statistics (no pair materialization),
     //      PC = 1 since dirtying never touches the block keys ----
@@ -1163,6 +1210,37 @@ object Relational {
              AS iv_term
          FROM per CROSS JOIN tot
          ORDER BY category""",
+    // pinned PERMISSIVE semantics: bad-type, under-length and
+    // over-length rows all corrupt; clean qty = 10+30+60
+    "q325_csv_corrupt_audit" ->
+      """SELECT CAST(6 AS BIGINT) AS n_rows, CAST(3 AS BIGINT) AS n_corrupt,
+            CAST(100 AS BIGINT) AS qty_clean_sum,
+            CAST(3 AS BIGINT) AS n_clean""",
+    // BH step-up replay: rank window + bottom-up running-min q-values
+    "q326_fdr_bh" ->
+      """WITH t AS (
+            SELECT c_custkey AS id,
+              ((('0x' || substr(md5('bh:' || CAST(c_custkey AS VARCHAR)),
+                  1, 15))::BIGINT % 1000000 + 0.5) / 1000000.0) AS u
+            FROM customer),
+          t2 AS (SELECT id, u * u * u AS p FROM t),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM t2),
+          r AS (SELECT id, p,
+              CAST(row_number() OVER (ORDER BY p, id) AS INTEGER) AS rank
+            FROM t2),
+          r2 AS (SELECT id, p, rank,
+              min(CAST(m.m AS DOUBLE) * p / rank) OVER (
+                ORDER BY rank DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS qraw,
+              p <= rank * 0.05 / m.m AS pass
+            FROM r, mm m),
+          cut AS (SELECT coalesce(max(CASE WHEN pass THEN rank END), 0)
+              AS c FROM r2)
+         SELECT id AS c_custkey, p, rank,
+           floor(least(qraw, 1.0) * 1e6 + 0.5) / 1e6 AS q_value,
+           rank <= cut.c AS significant
+         FROM r2, cut ORDER BY rank""",
     // RR/PC from block stats; truth = custkey identity
     "q321_blocking_quality" ->
       """WITH dirty AS (

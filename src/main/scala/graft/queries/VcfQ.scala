@@ -220,6 +220,25 @@ object VcfQ {
     //      het (v2, negative estimate kept), one-sided (v3), a
     //      missing call shrinking n1 to 2 (v4), pop1 fully missing
     //      (v5, excluded), plus a sample outside both pops ----
+    // ---- CMH stratified association: v1 case-enriched in both
+    //      strata (χ²=2.7391, OR_MH=13); v2 all-ref controls ⇒ OR
+    //      denominator 0 ⇒ NULL, χ² still defined ----
+    "q323_vcf_cmh" -> ((s, _) => {
+      import s.implicits._
+      val geno = Seq(
+        (1L, "sa", 2d), (1L, "sb", 1d), (1L, "sc", 0d), (1L, "sd", 1d),
+        (1L, "se", 1d), (1L, "sf", 0d), (1L, "sg", 0d), (1L, "sh", 0d),
+        (2L, "sa", 2d), (2L, "sb", 2d), (2L, "sc", 0d), (2L, "sd", 0d),
+        (2L, "se", 1d), (2L, "sf", 2d), (2L, "sg", 0d), (2L, "sh", 0d)
+      ).toDF("variant_id", "sample", "gt")
+      val phenos = Seq(
+        ("sa", true, "s1"), ("sb", true, "s1"),
+        ("sc", false, "s1"), ("sd", false, "s1"),
+        ("se", true, "s2"), ("sf", true, "s2"),
+        ("sg", false, "s2"), ("sh", false, "s2")
+      ).toDF("sample", "is_case", "stratum")
+      VcfApi.cmhReport(geno, phenos).orderBy("variant_id")
+    }),
     // ---- compound-het candidates: sa hets {1,2} in G1, sc {1,2,3} in
     //      G1, sb {4,5} in G2; single hets and hom calls never pair;
     //      duplicate (v1,G1) impact rows count once ----
@@ -530,6 +549,14 @@ object VcfQ {
     // v2 p=.5 both ⇒ num = −2·(.25/3), den .5 ⇒ −1/3; v3 .5 vs 0 ⇒
     // (1/4 − 1/12)/(1/2) = 1/3; v4 n1=2 (term drops), (9/16 − 1/16)
     // / (3/4) = 2/3; v5 pop1 uncalled ⇒ omitted
+    // hand-computed via the 1e-9-quantized per-stratum terms
+    "q323_vcf_cmh" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+            CAST(2.7391 AS DOUBLE), CAST(13.0 AS DOUBLE)),
+          (2, 2, 11.0645, NULL))
+         t(variant_id, k_strata, chisq, or_mh)
+         ORDER BY variant_id""",
     // hand-derived: phase-unaware het-pair candidates per (gene,sample)
     "q319_vcf_comphet" ->
       """SELECT * FROM (VALUES

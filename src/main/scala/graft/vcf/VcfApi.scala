@@ -1044,6 +1044,68 @@ object VcfApi {
           .as("tajima_d"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified case/control association —
+    * plink's `--mh` (the 2×2×K allele-count test that controls for
+    * population structure by stratifying, Mantel & Haenszel 1959):
+    * per variant, each stratum contributes a case/control × alt/ref
+    * allele table `(a, b; c, d)` with margins `r1 r0 m1 m0` and total
+    * `n`; `χ²_CMH = (Σ_k (a_k − r1·m1/n))² / Σ_k r1·r0·m1·m0 /
+    * (n²(n−1))` and the pooled odds ratio
+    * `OR_MH = Σ(a·d/n) / Σ(b·c/n)`. Strata with `n < 2` are skipped
+    * (their variance term is undefined); `or_mh` is NULL when the
+    * denominator is 0 (no discordant control-alt mass), `chisq` NULL
+    * when the variance sum is 0. Per-stratum terms are quantized to
+    * the 10⁻⁹ grid before the cross-strata sums, so the reduction is
+    * int64-exact under any partition order. Emits
+    * `(variant_id, k_strata, chisq, or_mh)` (4dp).
+    *
+    * Scale shape: one combinable (variant, stratum) aggregation over
+    * the phenotype-tagged calls (phenos — `(sample, is_case,
+    * stratum)` — is a broadcast dimension), then one combinable
+    * per-variant reduction of integer-quantized terms. Two shuffles
+    * of slim keyed rows at any cohort size.
+    */
+  def cmhReport(geno: DataFrame, phenos: DataFrame): DataFrame = {
+    def q9(c: Column): Column = floor(c * 1e9 + 0.5).cast("long")
+    val per = geno.where(col("gt").isNotNull)
+      .join(broadcast(phenos), Seq("sample"))
+      .groupBy("variant_id", "stratum")
+      .agg(
+        sum(when(col("is_case"), col("gt"))).cast("long").as("__a"),
+        (count(when(col("is_case"), lit(1))) * 2L).as("__r1"),
+        sum(when(!col("is_case"), col("gt"))).cast("long").as("__c"),
+        (count(when(!col("is_case"), lit(1))) * 2L).as("__r0"))
+      .select(col("variant_id"),
+        coalesce(col("__a"), lit(0L)).as("a"),
+        col("__r1").as("r1"),
+        coalesce(col("__c"), lit(0L)).as("c"),
+        col("__r0").as("r0"))
+      .withColumn("b", col("r1") - col("a"))
+      .withColumn("d", col("r0") - col("c"))
+      .withColumn("n", col("r1") + col("r0"))
+      .withColumn("m1", col("a") + col("c"))
+      .withColumn("m0", col("b") + col("d"))
+      .where(col("n") >= 2L)
+    val nD = col("n").cast("double")
+    val terms = per.select(col("variant_id"),
+      q9(col("a").cast("double") -
+        col("r1").cast("double") * col("m1") / nD).as("__num"),
+      q9(col("r1").cast("double") * col("r0") * col("m1") * col("m0") /
+        (nD * nD * (nD - 1d))).as("__var"),
+      q9(col("a").cast("double") * col("d") / nD).as("__orn"),
+      q9(col("b").cast("double") * col("c") / nD).as("__ord"))
+    terms.groupBy("variant_id")
+      .agg(count(lit(1)).as("k_strata"),
+        sum("__num").as("__sn"), sum("__var").as("__sv"),
+        sum("__orn").as("__so"), sum("__ord").as("__sd"))
+      .select(col("variant_id"), col("k_strata"),
+        when(col("__sv") > 0L,
+          round((col("__sn") / 1e9) * (col("__sn") / 1e9) /
+            (col("__sv") / 1e9), 4)).as("chisq"),
+        when(col("__sd") > 0L,
+          round(col("__so").cast("double") / col("__sd"), 4)).as("or_mh"))
+  }
+
   /** Compound-heterozygous candidate report — the recessive-disease
     * screen every clinical annotation pipeline runs after the
     * per-variant filters (GATK/VEP workflows; phase-UNAWARE form, the

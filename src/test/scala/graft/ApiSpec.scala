@@ -517,6 +517,25 @@ class ApiSpec extends SparkSpec {
     assert(r2.getAs[Double]("pi") == 0.0 && r2.isNullAt(4) && r2.isNullAt(5))
   }
 
+  test("VcfApi.cmhReport: no within-stratum association ⇒ χ²=0, OR=1") {
+    import spark.implicits._
+    // both strata have IDENTICAL case and control allele frequencies
+    val geno = Seq(
+      (1L, "a", 2d), (1L, "b", 1d), (1L, "c", 2d), (1L, "d", 1d),
+      (1L, "e", 0d), (1L, "f", 1d), (1L, "g", 0d), (1L, "h", 1d)
+    ).toDF("variant_id", "sample", "gt")
+    val ph = Seq(
+      ("a", true, "s1"), ("b", true, "s1"),
+      ("c", false, "s1"), ("d", false, "s1"),
+      ("e", true, "s2"), ("f", true, "s2"),
+      ("g", false, "s2"), ("h", false, "s2")
+    ).toDF("sample", "is_case", "stratum")
+    val r = graft.vcf.VcfApi.cmhReport(geno, ph).collect().head
+    assert(r.getAs[Long]("k_strata") == 2L)
+    assert(r.getAs[Double]("chisq") == 0.0)
+    assert(r.getAs[Double]("or_mh") == 1.0)
+  }
+
   test("VcfApi.compHetCandidates: hets must share a GENE, homs excluded") {
     import spark.implicits._
     // sx: het in G1(v1) and G2(v2) — two genes, never a candidate;

@@ -3879,6 +3879,32 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("pair_completeness") == 0.75)
   }
 
+  test("Eval.kruskalWallis: textbook no-tie case H = 2.4") {
+    // A = {1, 2}, B = {3, 4} dollars → ranks 1..4, R_A=3 R_B=7:
+    // H = 12/20·(9/2 + 49/2) − 15 = 2.4; no ties ⇒ C = 1
+    val df = Seq(("A", 1d), ("A", 2d), ("B", 3d), ("B", 4d))
+      .toDF("g", "v")
+    val r = Eval.kruskalWallis(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("h") == 2.4)
+    assert(r.getAs[Double]("tie_correction") == 1.0)
+    assert(r.getAs[Double]("h_adj") == 2.4)
+  }
+
+  test("Eval.fdrBH: step-up cut and monotone q-values") {
+    val df = Seq((1L, 0.01), (2L, 0.02), (3L, 0.2), (4L, 0.9))
+      .toDF("id", "p")
+    val got = Eval.fdrBH(df, "id", "p", alpha = 0.25)
+      .orderBy("rank")
+      .as[(Long, Double, Int, Double, Boolean)].collect().toSeq
+    // thresholds .0625/.125/.1875/.25 → ranks 1–2 pass; q-values are
+    // bottom-up running mins of m·p/i
+    assert(got == Seq(
+      (1L, 0.01, 1, 0.04, true), (2L, 0.02, 2, 0.04, true),
+      (3L, 0.2, 3, 0.266667, false), (4L, 0.9, 4, 0.9, false)),
+      s"got $got")
+  }
+
   test("Eval.huberMean: outlier down-weighted toward the bulk") {
     val df = Seq(("g", 0d), ("g", 0d), ("g", 0d), ("g", 100d))
       .toDF("grp", "v")
