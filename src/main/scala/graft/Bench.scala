@@ -450,7 +450,7 @@ object Bench {
             Tables.documents(spark, dir), "text", "doc_id", blockTokens = 2)
           m("q105_semdedup") = Dedup.semDedupCandidateVolume(
             Tables.embeddings(spark, dir), "embedding", "vec_id",
-            nLists = 8, iters = 2, dims = 64)
+            nLists = 0, iters = 2, dims = 64)
           m("q169_saturation") = TextAnalysis.saturationVolume(
             Tables.documents(spark, dir), "text", n = 3)
           clearAll()

@@ -1098,6 +1098,46 @@ object Dedup {
     * [[Similarity.kmeansCentroids]]) so training never re-scans the
     * full corpus per iteration; the corpus is assigned exactly once.
     */
+  /** Cluster-id assignment shared by [[semDedup]] and
+    * [[semDedupCandidateVolume]]. `nLists = 0` means AUTO: grow the
+    * list count with the corpus — `k = max(8, ⌈n/targetListSize⌉)` —
+    * so the per-list candidate volume stays BOUNDED instead of
+    * quadratic (the SemDeDup paper's own k-selection rule: cluster
+    * count scales with corpus, cluster size doesn't). Auto `k ≤ 64`
+    * (every gate-scale corpus) takes the flat exact quantizer —
+    * byte-identical to an explicit `nLists = k` — while larger `k`
+    * switches to [[Similarity.twoLevelCentroids]], whose per-row
+    * quantization cost is O(√k) instead of O(k), keeping the WHOLE
+    * pipeline (train + assign + pairs) sub-quadratic as n grows.
+    */
+  private def semLists(emb: DataFrame, vecCol: String, idCol: String,
+      nLists: Int, iters: Int, dims: Int, trainCap: Int,
+      targetListSize: Int): DataFrame = {
+    val k = if (nLists > 0) nLists
+      else math.max(8,
+        math.ceil(emb.count().toDouble / targetListSize).toInt)
+    if (nLists > 0 || k <= 64) {
+      val cents = Similarity.kmeansCentroids(emb, vecCol, idCol, k, iters,
+        dims, trainCap)
+      emb.select(
+        col(idCol).as("id"), col(vecCol).as("vec"),
+        element_at(Similarity.nearestLists(col(vecCol), cents, 1), 1)
+          .cast("long").as("list"))
+    } else {
+      val (coarse, subs) = Similarity.twoLevelCentroids(emb, vecCol, idCol,
+        k, iters, dims, trainCap)
+      val k2 = subs(0).length.toLong
+      emb.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("vec"),
+          element_at(Similarity.nearestLists(col(vecCol), coarse, 1), 1)
+            .as("__c"))
+        .select(col("id"), col("vec"),
+          (col("__c").cast("long") * k2 +
+            Similarity.nearestSubList(col("vec"), col("__c"), subs)
+              .cast("long")).as("list"))
+    }
+  }
+
   def semDedup(
       emb: DataFrame,
       vecCol: String,
@@ -1106,13 +1146,12 @@ object Dedup {
       iters: Int = 2,
       threshold: Double = 0.3,
       dims: Int = -1,
-      trainCap: Int = 262144): DataFrame = {
+      trainCap: Int = 262144,
+      targetListSize: Int = 256): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(emb.sparkSession)
-    val cents = Similarity.kmeansCentroids(emb, vecCol, idCol, nLists, iters,
-      dims, trainCap)
-    val assigned = persistTracked(emb.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      element_at(Similarity.nearestLists(col(vecCol), cents, 1), 1).as("list")))
+    val assigned = persistTracked(
+      semLists(emb, vecCol, idCol, nLists, iters, dims, trainCap,
+        targetListSize))
     val a = assigned.as("a"); val b = assigned.as("b")
     // full condition written here so the id-order guard runs BEFORE the
     // cosine kernel — a trailing WHERE gets pushed into the join
@@ -1140,11 +1179,9 @@ object Dedup {
   def semDedupCandidateVolume(
       emb: DataFrame, vecCol: String, idCol: String,
       nLists: Int = 8, iters: Int = 2, dims: Int = -1,
-      trainCap: Int = 262144): Long = {
-    val cents = Similarity.kmeansCentroids(emb, vecCol, idCol, nLists, iters,
-      dims, trainCap)
-    emb.select(
-        element_at(Similarity.nearestLists(col(vecCol), cents, 1), 1).as("list"))
+      trainCap: Int = 262144, targetListSize: Int = 256): Long = {
+    semLists(emb, vecCol, idCol, nLists, iters, dims, trainCap,
+        targetListSize)
       .groupBy("list").agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(col("n") * (col("n") - lit(1)) / lit(2)), lit(0L))
         .cast("long"))

@@ -562,4 +562,68 @@ object Graph {
       .orderBy(col("adamic_adar").desc, col("node_a"), col("node_b"))
       .limit(topK)
   }
+
+  /** Maximal independent set via Luby's algorithm (Luby, STOC 1985 —
+    * THE parallel MIS construction; the shape plink2's `--king-cutoff`
+    * unrelated-sample selection and "pick mutually-non-duplicate
+    * representatives" both reduce to): each round every undecided
+    * vertex draws a deterministic md5 priority (fresh salt per round);
+    * a vertex whose priority is STRICTLY below all of its undecided
+    * neighbors' joins the set, and its neighbors leave the game. The
+    * result is independent (no edge inside) and maximal (every outside
+    * vertex has a neighbor inside). Expected O(log n) rounds; the
+    * fixpoint is REQUIRED within `maxRounds` (the k-core/ldPrune
+    * discipline — an oracle can then replay the identical unrolled
+    * trajectory, with exhausted rounds as no-ops). Isolated vertices
+    * never appear in the edge list and are trivially independent —
+    * callers union them in. Emits `(id)`.
+    *
+    * Scale shape: per round, the adjacency restricted to undecided
+    * vertices (two semi-joins), one per-vertex min aggregation, and
+    * a frontier-sized anti-join — every join is equi-keyed on vertex
+    * ids, every round `localCheckpoint`ed to cut lineage. All-integer
+    * priorities: no float anywhere.
+    */
+  def maximalIndependentSet(edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 12): DataFrame = {
+    import graft.functions.md5Long
+    val sym0 = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = sym0
+      .union(sym0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val nodes = sym.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    var undecided = nodes
+    var mis = nodes.where(lit(false))
+    var round = 0
+    var done = undecided.isEmpty
+    while (round < maxRounds && !done) {
+      round += 1
+      val prio = md5Long(
+        concat(lit(s"mis$round:"), col("id").cast("string")))
+      val u = undecided.select(col("id"), prio.as("__p"))
+        .localCheckpoint(true)
+      val nmin = sym
+        .join(u.select(col("id").as("src")), Seq("src"))
+        .join(u.select(col("id").as("dst"), col("__p").as("__pd")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("__pd").as("__nm"))
+      val winners = u.join(nmin, Seq("id"), "left")
+        .where(col("__nm").isNull || col("__p") < col("__nm"))
+        .select("id").localCheckpoint(true)
+      val wNbrs = sym
+        .join(winners.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+      mis = mis.union(winners).localCheckpoint(true)
+      undecided = undecided
+        .join(winners.union(wNbrs).distinct(), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      done = undecided.isEmpty
+    }
+    require(done,
+      s"MIS did not stabilize within $maxRounds rounds — raise maxRounds")
+    mis
+  }
 }

@@ -287,6 +287,92 @@ object Similarity {
     } finally train.unpersist(false)
   }
 
+  /** Two-level (coarse → fine) k-means quantizer — the IVF practice
+    * that keeps quantization LINEAR-ish when the list count must grow
+    * with the corpus (FAISS's IMI/two-level recipe): train `k1 ≈ √k`
+    * coarse centroids with plain Lloyd, partition the train sample by
+    * coarse cell, then train `k2 = ⌈k/k1⌉` fine centroids INSIDE each
+    * cell (grouped Lloyd: one argmax pass against a single
+    * array<struct> literal of all fine centroids, filtered per row to
+    * its own cell — k1 integer predicates + k2 dot products per row
+    * instead of k). Per-row assignment cost drops from O(k) to
+    * O(√k); with k ∝ corpus/targetListSize that turns the quadratic
+    * n·k quantization into n·√k. Assignment is approximate in the
+    * standard IVF sense (nearest-coarse-then-nearest-fine can miss
+    * the global nearest list) — identical vectors still always land
+    * in the same list. Empty init slots fall back to the cell's
+    * coarse centroid, so list ids are stable. Global list id =
+    * `coarse·k2 + sub`. Returns (coarse, subs[k1][k2]).
+    */
+  def twoLevelCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+      nLists: Int, iters: Int = 2, dims: Int = -1,
+      trainCap: Int = 262144)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val k1 = math.ceil(math.sqrt(nLists.toDouble)).toInt
+    val k2 = math.ceil(nLists.toDouble / k1).toInt
+    val coarse = kmeansCentroids(corpus, vecCol, idCol, k1, iters, dims,
+      trainCap)
+    val train = corpus
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("_vd"))
+      .orderBy(md5(concat_ws(":", lit("km"), col("__id").cast("string"))))
+      .limit(trainCap)
+      .select(col("__id"), col("_vd"),
+        element_at(nearestLists(col("_vd"), coarse, 1), 1).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Window.partitionBy("__c").orderBy("__id")
+      val initRows = train.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= k2)
+        .select(col("__c"), (col("__rn") - 1).as("__s"), col("_vd"))
+        .collect()
+      var cur = Array.tabulate(k1, k2)((c, _) => coarse(c).clone())
+      initRows.foreach { r =>
+        cur(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      for (_ <- 1 to iters) {
+        // stage the argmax BELOW the generator (the kmeansCentroids
+        // discipline — inlined beside posexplode it re-runs per dim)
+        val assigned = train
+          .select(col("__c"), col("_vd"),
+            nearestSubList(col("_vd"), col("__c"), cur).as("__s"))
+          .select(col("__c"), col("__s"),
+            posexplode(col("_vd")).as(Seq("pos", "v")))
+        val means = assigned.groupBy("__c", "__s", "pos")
+          .agg(avg(col("v")).as("m")).collect()
+        val next = cur.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        }
+        cur = next
+      }
+      (coarse, cur)
+    } finally train.unpersist(false)
+  }
+
+  /** Fine-list argmax for [[twoLevelCentroids]]: per row, filter the
+    * single all-fine-centroid literal down to the row's coarse cell
+    * (integer predicate — no dot product spent on other cells), score
+    * the ≤ k2 survivors, take the max. Ties break toward the LARGER
+    * sub id (array_max lexicographic) — a fixed deterministic rule.
+    */
+  def nearestSubList(vecD: Column, coarseCol: Column,
+      subs: Array[Array[Array[Double]]]): Column = {
+    val subsLit = typedLit(
+      (for {
+        c <- subs.indices
+        s <- subs(c).indices
+      } yield (c, s, normalize(subs(c)(s)).toSeq)).toSeq)
+      .cast("array<struct<c:int,sid:int,cvec:array<double>>>")
+    array_max(transform(
+      filter(subsLit, e => e.getField("c") === coarseCol),
+      e => struct(
+        aggregate(zip_with(vecD, e.getField("cvec"), (x, w) => x * w),
+          lit(0d), (a, v) => a + v),
+        e.getField("sid")).cast("struct<score:double,sid:int>")))
+      .getField("sid")
+  }
+
   /** IVF (inverted-file) ANN — the learned-partition scale path: a
     * k-means coarse quantizer splits the corpus into `nLists` inverted
     * lists; each query probes only its `nProbe` nearest lists and

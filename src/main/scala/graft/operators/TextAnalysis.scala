@@ -1749,7 +1749,31 @@ object TextAnalysis {
     * per-doc aggregation. No windows, no driver state.
     */
   def backoffLmScore(df: DataFrame, textCol: String, idCol: String,
-      trainFilter: Column, alpha: Double = 0.4): DataFrame = {
+      trainFilter: Column, alpha: Double = 0.4): DataFrame =
+    scoredLmPositions(df, textCol, idCol, trainFilter, alpha)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("__oov").as("n_oov"),
+        sum("__backoff").as("n_backoff"),
+        sum("__lnq").as("__s"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"), col("n_backoff"),
+        // stay ON the micro grid: s/n is IEEE-exact division of
+        // identical integers (same double in any engine), so
+        // floor(s/n + ½)/10⁶ is bit-identical — unlike round(·, 6),
+        // which diverges across engines when s/n lands exactly on a
+        // half-micro (expected ~1 doc per 500 at corpus token counts)
+        (floor(col("__s").cast("double") / col("n_tokens") + 0.5) / 1e6)
+          .as("avg_logp"),
+        round(exp(-floor(col("__s").cast("double") / col("n_tokens") + 0.5)
+          / 1e6), 4).as("pseudo_ppl"))
+
+  /** The per-position scored token stream both LM reports aggregate:
+    * `(idCol, __lnq, __oov, __backoff)` with `__lnq` the
+    * integer-micro-quantized ln of the stupid-backoff score (see
+    * [[backoffLmScore]] for the model).
+    */
+  private def scoredLmPositions(df: DataFrame, textCol: String,
+      idCol: String, trainFilter: Column, alpha: Double): DataFrame = {
     val base = df
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
@@ -1789,20 +1813,40 @@ object TextAnalysis {
         col("__ccur").isNull.cast("long").as("__oov"),
         (col("__prev").isNotNull && col("__c2").isNull)
           .cast("long").as("__backoff"))
+  }
+
+  /** Min-k% probability memorization probe (Shi et al. 2023, the
+    * membership-inference detector "Detecting Pretraining Data from
+    * Large Language Models" — the governance question a training-data
+    * store gets asked about eval sets and copyrighted text): a
+    * document the model has effectively memorized has NO very-
+    * improbable tokens, so score each doc by the mean log-probability
+    * of its bottom k% positions under the [[backoffLmScore]] model —
+    * high (close to 0) min-k scores flag suspicious familiarity.
+    * `n_bottom = max(1, ⌊n·k/100⌋)` positions (integer arithmetic);
+    * the per-doc sort runs over the row-local collected micro-ln
+    * array (bounded by doc length), and the mean stays on the micro
+    * grid. Emits `(idCol, n_tokens, n_bottom, mink_avg_logp)`.
+    *
+    * Scale shape: shares the scored-position stage (vocabulary-
+    * bounded model joins + one posexplode); adds one combinable
+    * per-doc collect whose payload is the doc's own token count —
+    * the same row-local-sort class as the chunking/dup-span ops.
+    */
+  def minKProbScore(df: DataFrame, textCol: String, idCol: String,
+      trainFilter: Column, alpha: Double = 0.4,
+      kPct: Int = 20): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, "kPct in [1, 100]")
+    scoredLmPositions(df, textCol, idCol, trainFilter, alpha)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
-        sum("__oov").as("n_oov"),
-        sum("__backoff").as("n_backoff"),
-        sum("__lnq").as("__s"))
-      .select(col(idCol), col("n_tokens"), col("n_oov"), col("n_backoff"),
-        // stay ON the micro grid: s/n is IEEE-exact division of
-        // identical integers (same double in any engine), so
-        // floor(s/n + ½)/10⁶ is bit-identical — unlike round(·, 6),
-        // which diverges across engines when s/n lands exactly on a
-        // half-micro (expected ~1 doc per 500 at corpus token counts)
-        (floor(col("__s").cast("double") / col("n_tokens") + 0.5) / 1e6)
-          .as("avg_logp"),
-        round(exp(-floor(col("__s").cast("double") / col("n_tokens") + 0.5)
-          / 1e6), 4).as("pseudo_ppl"))
+        sort_array(collect_list(col("__lnq"))).as("__sorted"))
+      .withColumn("n_bottom",
+        greatest(lit(1L), expr(s"n_tokens * $kPct div 100")))
+      .select(col(idCol), col("n_tokens"), col("n_bottom"),
+        (floor(
+          aggregate(slice(col("__sorted"), lit(1), col("n_bottom").cast("int")),
+            lit(0L), (acc, v) => acc + v).cast("double")
+            / col("n_bottom") + 0.5) / 1e6).as("mink_avg_logp"))
   }
 }

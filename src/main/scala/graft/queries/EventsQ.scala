@@ -141,6 +141,23 @@ object EventsQ {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // ---- event-time RANGE window frame: per-user rolling 7-day spend
+    //      (RANGE BETWEEN 6 days PRECEDING — peers at equal ts all
+    //      included, integer cents ⇒ exact) ----
+    "q328_rolling_range_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-6L * 86400L * 1000000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value").cast("double") * 100d + 0.5).cast("long")
+            .as("__c"))
+        .withColumn("rolling_7d_cents", sum("__c").over(w))
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("rolling_7d_cents"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // ---- Kruskal–Wallis H: do event types draw value from the same
     //      distribution? (tie-corrected, grid-exact ranks) ----
     "q324_kruskal_wallis" -> ((s, d) => {
@@ -2087,6 +2104,15 @@ object EventsQ {
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start_us""",
+    // RANGE frame on the ns event-time key, CAST against HUGEINT
+    "q328_rolling_range_window" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 518400000000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rolling_7d_cents
+         FROM events
+         ORDER BY user_id, ts_us, event_id""",
     // KW over the distinct-cents grid: 2·avg-rank integers, ordered
     // list_sum matches Spark's sorted sequential fold
     "q324_kruskal_wallis" ->

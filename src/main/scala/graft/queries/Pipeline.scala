@@ -40,6 +40,49 @@ object Pipeline {
   private val Toks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
 
+  /** q316/q327 shared oracle prefix: the stupid-backoff scored token
+    * stream (train slice, unigram/bigram models, per-position
+    * integer-micro ln scores), verbatim.
+    */
+  private val BackoffScoredCte: String =
+    s"""base AS (
+            SELECT doc_id, $Toks AS t FROM documents
+            WHERE len($Toks) > 0),
+          train AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+          uni AS (
+            SELECT w, count(*) AS c1
+            FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS T FROM uni),
+          bi AS (
+            SELECT prev, cur, count(*) AS c2
+            FROM (SELECT t[i-1] AS prev, t[i] AS cur
+                  FROM (SELECT t, unnest(range(2, len(t)+1)) AS i
+                        FROM train))
+            GROUP BY prev, cur),
+          pos AS (
+            SELECT doc_id,
+              CASE WHEN i > 1 THEN t[i-1] END AS prev, t[i] AS cur
+            FROM (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i
+                  FROM base)),
+          scored AS (
+            SELECT p.doc_id,
+              u.c1 IS NULL AS oov,
+              p.prev IS NOT NULL AND b.c2 IS NULL AS backoff,
+              CAST(floor(ln(
+                CASE WHEN p.prev IS NULL THEN
+                    CASE WHEN u.c1 IS NULL THEN 0.4::DOUBLE / tot.T
+                         ELSE CAST(u.c1 AS DOUBLE) / tot.T END
+                  WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / up.c1
+                  ELSE 0.4::DOUBLE *
+                    CASE WHEN u.c1 IS NULL THEN 0.4::DOUBLE / tot.T
+                         ELSE CAST(u.c1 AS DOUBLE) / tot.T END END
+                ) * 1e6 + 0.5) AS BIGINT) AS lnq
+            FROM pos p
+            LEFT JOIN uni u ON u.w = p.cur
+            LEFT JOIN uni up ON up.w = p.prev
+            LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+            CROSS JOIN tot)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact-count stratified split: largest-remainder 8/1/1 per
     //      lang, rows dealt by md5 rank — sizes are exact integers,
@@ -56,6 +99,14 @@ object Pipeline {
     //      OOV paths live) ----
     "q316_backoff_lm" -> ((s, d) => {
       TextAnalysis.backoffLmScore(Tables.documents(s, d), "text", "doc_id",
+          trainFilter = col("doc_id") % 2 === 0)
+        .orderBy("doc_id")
+    }),
+
+    // ---- min-k% prob memorization probe over the q316 LM: mean of
+    //      each doc's bottom-20% token log-probs ----
+    "q327_mink_prob" -> ((s, d) => {
+      TextAnalysis.minKProbScore(Tables.documents(s, d), "text", "doc_id",
           trainFilter = col("doc_id") % 2 === 0)
         .orderBy("doc_id")
     }),
@@ -1405,8 +1456,12 @@ object Pipeline {
     //      pairwise cosine to within-cluster; a vector is a semantic
     //      duplicate of its smallest ≥0.3-similar lower id ----
     "q105_semdedup" -> ((s, d) => {
+      // nLists = 0 (AUTO): k = max(8, ⌈n/256⌉) — resolves to the flat
+      // k = 8 quantizer at every gate corpus (the oracle's replay),
+      // and to the two-level O(√k) quantizer on the synthetic scale
+      // tiers where a fixed k would make the pair volume quadratic
       Dedup.semDedup(Tables.embeddings(s, d), "embedding", "vec_id",
-          nLists = 8, iters = 2, threshold = 0.3, dims = 64)
+          nLists = 0, iters = 2, threshold = 0.3, dims = 64)
         .orderBy("vec_id")
     }),
 
@@ -2286,43 +2341,7 @@ object Pipeline {
     // full stupid-backoff replay: per-position ln scores quantized to
     // integer micros before the per-doc sum (order-free exactness)
     "q316_backoff_lm" ->
-      s"""WITH base AS (
-            SELECT doc_id, $Toks AS t FROM documents
-            WHERE len($Toks) > 0),
-          train AS (SELECT * FROM base WHERE doc_id % 2 = 0),
-          uni AS (
-            SELECT w, count(*) AS c1
-            FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
-          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS T FROM uni),
-          bi AS (
-            SELECT prev, cur, count(*) AS c2
-            FROM (SELECT t[i-1] AS prev, t[i] AS cur
-                  FROM (SELECT t, unnest(range(2, len(t)+1)) AS i
-                        FROM train))
-            GROUP BY prev, cur),
-          pos AS (
-            SELECT doc_id,
-              CASE WHEN i > 1 THEN t[i-1] END AS prev, t[i] AS cur
-            FROM (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i
-                  FROM base)),
-          scored AS (
-            SELECT p.doc_id,
-              u.c1 IS NULL AS oov,
-              p.prev IS NOT NULL AND b.c2 IS NULL AS backoff,
-              CAST(floor(ln(
-                CASE WHEN p.prev IS NULL THEN
-                    CASE WHEN u.c1 IS NULL THEN 0.4::DOUBLE / tot.T
-                         ELSE CAST(u.c1 AS DOUBLE) / tot.T END
-                  WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / up.c1
-                  ELSE 0.4::DOUBLE *
-                    CASE WHEN u.c1 IS NULL THEN 0.4::DOUBLE / tot.T
-                         ELSE CAST(u.c1 AS DOUBLE) / tot.T END END
-                ) * 1e6 + 0.5) AS BIGINT) AS lnq
-            FROM pos p
-            LEFT JOIN uni u ON u.w = p.cur
-            LEFT JOIN uni up ON up.w = p.prev
-            LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
-            CROSS JOIN tot)
+      s"""WITH $BackoffScoredCte
          SELECT doc_id, count(*) AS n_tokens,
            CAST(count(CASE WHEN oov THEN 1 END) AS BIGINT) AS n_oov,
            CAST(count(CASE WHEN backoff THEN 1 END) AS BIGINT)
@@ -2332,6 +2351,21 @@ object Pipeline {
            round(exp(-floor(CAST(CAST(sum(lnq) AS BIGINT) AS DOUBLE)
              / count(*) + 0.5) / 1e6), 4) AS pseudo_ppl
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // min-k%: sorted bottom slice of the shared scored stream
+    "q327_mink_prob" ->
+      s"""WITH $BackoffScoredCte,
+          sel AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              list(lnq ORDER BY lnq) AS l
+            FROM scored GROUP BY doc_id),
+          sel2 AS (
+            SELECT doc_id, n_tokens,
+              greatest(1, n_tokens * 20 // 100) AS n_bottom, l
+            FROM sel)
+         SELECT doc_id, n_tokens, n_bottom,
+           floor(CAST(list_sum(l[1:n_bottom]) AS DOUBLE) / n_bottom
+             + 0.5) / 1e6 AS mink_avg_logp
+         FROM sel2 ORDER BY doc_id""",
     // exact class-size histogram; violating = size < k
     "q199_k_anonymity" ->
       """WITH cls AS (

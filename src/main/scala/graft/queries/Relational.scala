@@ -139,6 +139,52 @@ object Relational {
       linkThreshold = 10.0, nonLinkThreshold = 0.0)
   }
 
+  /** q330's oracle: Luby MIS unrolled round by round over the
+    * consecutive-custkey chain graph — winners across rounds are
+    * disjoint, exhausted rounds are empty no-ops (the fixpoint-within-
+    * maxRounds contract [[graft.operators.Graph.maximalIndependentSet]]
+    * enforces).
+    */
+  private def misSql(rounds: Int): String = {
+    def p(src: String, salt: String) =
+      s"('0x' || substr(md5('$salt:' || CAST($src AS VARCHAR)), 1, 15))::BIGINT"
+    val its = (1 to rounds).map { k =>
+      val prev = s"u${k - 1}"
+      s"""p$k AS MATERIALIZED (
+            SELECT id, ${p("id", s"mis$k")} AS p FROM $prev),
+          n$k AS MATERIALIZED (
+            SELECT s.src AS id, min(pd.p) AS nm
+            FROM sym s
+            JOIN p$k ps ON ps.id = s.src
+            JOIN p$k pd ON pd.id = s.dst
+            GROUP BY s.src),
+          w$k AS MATERIALIZED (
+            SELECT u.id FROM p$k u LEFT JOIN n$k n USING (id)
+            WHERE n.nm IS NULL OR u.p < n.nm),
+          d$k AS MATERIALIZED (
+            SELECT id FROM w$k
+            UNION
+            SELECT s.dst AS id FROM sym s JOIN w$k w ON w.id = s.src),
+          u$k AS MATERIALIZED (
+            SELECT id FROM $prev EXCEPT SELECT id FROM d$k)"""
+    }.mkString(",\n          ")
+    val unionAll = (1 to rounds).map(k => s"SELECT id FROM w$k")
+      .mkString("\n           UNION ALL\n           ")
+    s"""WITH hit AS (
+            SELECT c_custkey AS k FROM customer
+            WHERE ${p("c_custkey", "mise")} % 3 = 0),
+          e0 AS (
+            SELECT h.k AS src, h.k + 1 AS dst FROM hit h
+            JOIN customer c ON c.c_custkey = h.k + 1),
+          sym AS MATERIALIZED (
+            SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          u0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+          $its
+         SELECT id FROM (
+           $unionAll)
+         ORDER BY id"""
+  }
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
@@ -417,6 +463,36 @@ object Relational {
           Tables.events(s, d), "event_type",
           (col("value") > 50).cast("int"))
         .orderBy("category")
+    }),
+
+    // ---- bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep the
+    //      per-customer order MULTIPLICITY q77's set forms collapse ----
+    "q329_set_ops_all" -> ((s, d) => {
+      val o = ord(s, d)
+      val y96 = o.where(year(col("o_orderdate")) === 1996)
+        .select("o_custkey")
+      val y97 = o.where(year(col("o_orderdate")) === 1997)
+        .select("o_custkey")
+      y96.intersectAll(y97).withColumn("tag", lit("both"))
+        .unionAll(y96.exceptAll(y97).withColumn("tag", lit("only_1996")))
+        .groupBy("tag", "o_custkey")
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy("tag", "o_custkey")
+    }),
+
+    // ---- Luby maximal independent set over the consecutive-custkey
+    //      chain graph: the "mutually unrelated / non-duplicate
+    //      representative set" selection, all-integer priorities ----
+    "q330_mis" -> ((s, d) => {
+      val keys = cust(s, d).select(col("c_custkey"))
+      val hit = keys.where(pmod(graft.functions.md5Long(
+        concat(lit("mise:"), col("c_custkey").cast("string"))),
+        lit(3)) === 0)
+      val e = hit.select(col("c_custkey").as("a"),
+          (col("c_custkey") + 1L).as("b"))
+        .join(keys.select(col("c_custkey").as("b")), Seq("b"), "left_semi")
+      graft.operators.Graph.maximalIndependentSet(e, "a", "b",
+        maxRounds = 8).orderBy("id")
     }),
 
     // ---- PERMISSIVE corrupt-record ingest audit: the dirty-CSV
@@ -1210,6 +1286,27 @@ object Relational {
              AS iv_term
          FROM per CROSS JOIN tot
          ORDER BY category""",
+    // bag-semantics multiplicities
+    "q329_set_ops_all" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1996),
+          y97 AS (SELECT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1997),
+          u AS (
+            SELECT 'both' AS tag, o_custkey FROM (
+              SELECT o_custkey FROM y96
+              INTERSECT ALL
+              SELECT o_custkey FROM y97)
+            UNION ALL
+            SELECT 'only_1996' AS tag, o_custkey FROM (
+              SELECT o_custkey FROM y96
+              EXCEPT ALL
+              SELECT o_custkey FROM y97))
+         SELECT tag, o_custkey, count(*) AS multiplicity
+         FROM u GROUP BY tag, o_custkey
+         ORDER BY tag, o_custkey""",
+    // Luby MIS unrolled 8 rounds (winners disjoint per round)
+    "q330_mis" -> misSql(8),
     // pinned PERMISSIVE semantics: bad-type, under-length and
     // over-length rows all corrupt; clean qty = 10+30+60
     "q325_csv_corrupt_audit" ->

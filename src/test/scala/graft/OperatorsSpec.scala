@@ -3915,6 +3915,83 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("huber_mean") == 3.3413, s"got $r")
   }
 
+  test("Dedup.semDedup auto: gate-scale ≡ explicit k; two-level finds dups") {
+    import graft.operators.Similarity
+    // deterministic 8-dim corpus with a planted EXACT duplicate pair
+    def vec(i: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(i * 1.37 + d * 0.61) + (i % 5) * 0.2)
+    val emb = ((0 until 60).map(i => (i.toLong, vec(i))) :+
+      (60L, vec(7))) // 60 duplicates 7 exactly
+      .toDF("vec_id", "embedding")
+    // small corpus: auto k = max(8, ceil(61/256)) = 8 ⇒ flat path,
+    // byte-identical to explicit nLists = 8
+    val auto = Dedup.semDedup(emb, "embedding", "vec_id", nLists = 0,
+      threshold = 0.95, dims = 8).orderBy("vec_id").collect().toSeq
+    val flat = Dedup.semDedup(emb, "embedding", "vec_id", nLists = 8,
+      threshold = 0.95, dims = 8).orderBy("vec_id").collect().toSeq
+    assert(auto == flat, s"auto=$auto flat=$flat")
+    // structural two-level checks: shape, co-listing of identical
+    // vectors, list ids in range
+    val (coarse, subs) = Similarity.twoLevelCentroids(
+      emb, "embedding", "vec_id", nLists = 81, iters = 2, dims = 8)
+    assert(coarse.length == 9 && subs.length == 9 &&
+      subs.forall(_.length == 9))
+    val assigned = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        element_at(Similarity.nearestLists(
+          col("embedding"), coarse, 1), 1).as("c"))
+      .select(col("vec_id"), (col("c").cast("long") * 9L +
+        Similarity.nearestSubList(col("v"), col("c"), subs).cast("long"))
+        .as("list"))
+      .as[(Long, Long)].collect().toMap
+    // identical vectors land in the same list under ANY quantizer
+    assert(assigned(7L) == assigned(60L), s"got $assigned")
+    assert(assigned.values.forall(l => l >= 0 && l < 81))
+    // end-to-end through semDedup's genuine two-level path: 200
+    // vectors at targetListSize = 2 ⇒ auto k = 100 > 64 ⇒ two-level;
+    // the planted exact duplicate must still be reported
+    val emb2 = ((0 until 199).map(i => (i.toLong, vec(i))) :+
+      (199L, vec(7))).toDF("vec_id", "embedding")
+    val tl = Dedup.semDedup(emb2, "embedding", "vec_id", nLists = 0,
+        threshold = 0.999, dims = 8, targetListSize = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(tl.exists(r => r._2 == 199L && r._3 == 7L && r._4 >= 0.999),
+      s"got $tl")
+  }
+
+  test("TextAnalysis.minKProbScore: bottom-slice floor and OOV tail") {
+    // same corpus as the backoff spec; 20% of 4 tokens floors to 0 →
+    // n_bottom = max(1, 0) = 1 ⇒ the single worst position
+    val docs = Seq((0L, "a b a b"), (1L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.minKProbScore(docs, "text", "doc_id",
+        trainFilter = col("doc_id") % 2 === 0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 0 worst = ln .5 → −0.693147; doc 1 worst = ln .04 → −3.218876
+    assert(got == Seq(
+      (0L, 4L, 1L, -0.693147),
+      (1L, 2L, 1L, -3.218876)), s"got $got")
+  }
+
+  test("Graph.maximalIndependentSet: independent, maximal, stabilizes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))
+      .toDF("a", "b")
+    val mis = Graph.maximalIndependentSet(edges, "a", "b", maxRounds = 6)
+      .as[Long].collect().toSet
+    val adj = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L)
+      .flatMap { case (x, y) => Seq(x -> y, y -> x) }
+    // independence: no edge inside the set
+    assert(!adj.exists { case (x, y) => mis(x) && mis(y) }, s"mis=$mis")
+    // maximality: every outside vertex has a neighbor inside
+    val all = Set(1L, 2L, 3L, 4L, 5L)
+    (all -- mis).foreach { v =>
+      assert(adj.exists { case (x, y) => x == v && mis(y) },
+        s"$v has no MIS neighbor; mis=$mis")
+    }
+    // a triangle yields exactly one member
+    assert(Set(1L, 2L, 3L).count(mis) == 1)
+  }
+
   test("Privacy.tClosenessAudit: concentrated class 0.5, global-match 0") {
     // X all v0 (4 rows), Y all v1 (4), Z one of each ⇒ global 5/5
     val df = (Seq.fill(4)(("X", 0L)) ++ Seq.fill(4)(("Y", 1L)) ++
