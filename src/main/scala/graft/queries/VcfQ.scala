@@ -220,6 +220,20 @@ object VcfQ {
     //      het (v2, negative estimate kept), one-sided (v3), a
     //      missing call shrinking n1 to 2 (v4), pop1 fully missing
     //      (v5, excluded), plus a sample outside both pops ----
+    // ---- unrelated-set selection (--king-cutoff): {a,b,c} mutually
+    //      identical (φ=0.5 triangle), {d,e} identical pair, f
+    //      unrelated to everyone; Luby keeps c (triangle), e (pair),
+    //      f (isolated) under the md5 round-1 priorities ----
+    "q331_vcf_unrelated_set" -> ((s, _) => {
+      import s.implicits._
+      val pat = Map("a" -> Seq(1, 0, 1, 2, 1), "b" -> Seq(1, 0, 1, 2, 1),
+        "c" -> Seq(1, 0, 1, 2, 1), "d" -> Seq(1, 1, 0, 0, 2),
+        "e" -> Seq(1, 1, 0, 0, 2), "f" -> Seq(0, 2, 2, 0, 0))
+      val geno = pat.toSeq.sortBy(_._1).flatMap { case (smp, gs) =>
+        gs.zipWithIndex.map { case (g, i) => ((i + 1).toLong, smp, g.toDouble) }
+      }.toDF("variant_id", "sample", "gt")
+      VcfApi.unrelatedSet(geno, phiCutoff = 0.4).orderBy("sample")
+    }),
     // ---- CMH stratified association: v1 case-enriched in both
     //      strata (χ²=2.7391, OR_MH=13); v2 all-ref controls ⇒ OR
     //      denominator 0 ⇒ NULL, χ² still defined ----
@@ -549,6 +563,13 @@ object VcfQ {
     // v2 p=.5 both ⇒ num = −2·(.25/3), den .5 ⇒ −1/3; v3 .5 vs 0 ⇒
     // (1/4 − 1/12)/(1/2) = 1/3; v4 n1=2 (term drops), (9/16 − 1/16)
     // / (3/4) = 2/3; v5 pop1 uncalled ⇒ omitted
+    // md5-replayed Luby winners: c (triangle), e (pair), f isolated
+    "q331_vcf_unrelated_set" ->
+      """SELECT * FROM (VALUES
+          ('a', false), ('b', false), ('c', true),
+          ('d', false), ('e', true), ('f', true))
+         t(sample, kept)
+         ORDER BY sample""",
     // hand-computed via the 1e-9-quantized per-stratum terms
     "q323_vcf_cmh" ->
       """SELECT * FROM (VALUES

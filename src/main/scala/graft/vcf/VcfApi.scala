@@ -558,6 +558,43 @@ object VcfApi {
             / (col("n_het_a") + col("n_het_b")), 4)))
   }
 
+  /** Unrelated-sample selection — the plink2 `--king-cutoff` step a
+    * GWAS runs after [[kingReport]]: build the relatedness-conflict
+    * graph (pairs with `phi > phiCutoff`) and keep a MAXIMAL
+    * INDEPENDENT SET of it ([[graft.operators.Graph
+    * .maximalIndependentSet]], Luby — the parallel analog of plink's
+    * sequential greedy removal; both return a maximal unrelated set,
+    * membership differs only in tie choices). Samples outside every
+    * conflict pair are trivially kept. Vertices are 60-bit md5 hashes
+    * of the sample names (collision ~2⁻⁶⁰). Emits `(sample, kept)`.
+    *
+    * Scale shape: [[kingReport]]'s blocked pair grid dominates; the
+    * MIS runs on the CONFLICT pairs only (biobank cohorts: ≪ the pair
+    * grid) in O(log n) equi-join rounds.
+    */
+  def unrelatedSet(geno: DataFrame, phiCutoff: Double,
+      maxVariants: Long = 0L, sampleBlocks: Int = 1,
+      maxRounds: Int = 12): DataFrame = {
+    import graft.functions.md5Long
+    val related = kingReport(geno, maxVariants, sampleBlocks)
+      .where(col("phi") > phiCutoff)
+      .select(col("sample_a"), col("sample_b"))
+    val edges = related.select(
+      md5Long(col("sample_a")).as("a"), md5Long(col("sample_b")).as("b"))
+    val kept = graft.operators.Graph
+      .maximalIndependentSet(edges, "a", "b", maxRounds)
+      .withColumn("__mis", lit(true))
+    val inConflict = related.select(col("sample_a").as("sample"))
+      .union(related.select(col("sample_b").as("sample"))).distinct()
+      .withColumn("__conf", lit(true))
+    geno.select(col("sample")).distinct()
+      .join(inConflict, Seq("sample"), "left")
+      .withColumn("id", md5Long(col("sample")))
+      .join(kept, Seq("id"), "left")
+      .select(col("sample"),
+        (col("__conf").isNull || col("__mis").isNotNull).as("kept"))
+  }
+
   /** Genetic relationship matrix, GCTA/VanRaden per-marker-standardized
     * form (`gcta --make-grm` / `plink --make-rel`): for samples i, j,
     * `G_ij = (1/M_ij) Σ_m (g_im − 2p_m)(g_jm − 2p_m) / (2p_m(1−p_m))`

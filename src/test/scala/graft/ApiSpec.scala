@@ -517,6 +517,23 @@ class ApiSpec extends SparkSpec {
     assert(r2.getAs[Double]("pi") == 0.0 && r2.isNullAt(4) && r2.isNullAt(5))
   }
 
+  test("VcfApi.unrelatedSet: kept set is unrelated and maximal") {
+    import spark.implicits._
+    // two identical trios of samples ⇒ two conflict triangles
+    val pat = Map("p" -> Seq(1, 0, 1), "q" -> Seq(1, 0, 1),
+      "r" -> Seq(1, 0, 1), "x" -> Seq(0, 1, 2), "y" -> Seq(0, 1, 2),
+      "z" -> Seq(0, 1, 2))
+    val geno = pat.toSeq.flatMap { case (smp, gs) =>
+      gs.zipWithIndex.map { case (g, i) => ((i + 1).toLong, smp, g.toDouble) }
+    }.toDF("variant_id", "sample", "gt")
+    val kept = graft.vcf.VcfApi.unrelatedSet(geno, phiCutoff = 0.4)
+      .as[(String, Boolean)].collect().toMap
+    assert(kept.size == 6)
+    // exactly one survivor per identical-triple conflict triangle
+    assert(Seq("p", "q", "r").count(kept) == 1, s"got $kept")
+    assert(Seq("x", "y", "z").count(kept) == 1, s"got $kept")
+  }
+
   test("VcfApi.cmhReport: no within-stratum association ⇒ χ²=0, OR=1") {
     import spark.implicits._
     // both strata have IDENTICAL case and control allele frequencies
