@@ -54,12 +54,19 @@ object Linkage {
       "link threshold must not sit below the non-link threshold")
     val joined = left.as("l").join(right.as("r"), blockCols)
     val flags = comparators.map(c => c.agree.as(s"agree_${c.name}"))
+    // flags staged in their own projection: the score consumes the
+    // BOOLEAN attributes, so each comparator kernel (levenshtein et
+    // al.) runs once per pair — inlining it into the score's `when`
+    // would evaluate it twice (CollapseProject declines to merge
+    // multi-referenced non-cheap expressions, keeping the stage)
+    val staged = joined.select(
+      (Seq(col(s"l.$leftId"), col(s"r.$rightId")) ++ flags): _*)
     val score = comparators.map(c =>
-      when(c.agree, lit(c.agreeWeight)).otherwise(lit(c.disagreeWeight)))
+      when(col(s"agree_${c.name}"), lit(c.agreeWeight))
+        .otherwise(lit(c.disagreeWeight)))
       .reduce(_ + _)
-    joined.select(
-      (Seq(col(s"l.$leftId"), col(s"r.$rightId")) ++ flags :+
-        round(score, 4).as("score")): _*)
+    staged
+      .withColumn("score", round(score, 4))
       .withColumn("verdict",
         when(col("score") >= linkThreshold, lit("link"))
           .when(col("score") > nonLinkThreshold, lit("possible"))

@@ -124,13 +124,20 @@ object Relational {
     val c = cust(s, d)
     val dirty = linkageDirty(s, d)
     Linkage.fellegiSunter(
-      c.select("c_custkey", "c_name", "c_acctbal",
-        "c_nationkey", "c_mktsegment"),
-      dirty, "c_custkey", "dirty_id",
+      // lower() staged per ROW — inside the comparator it would run
+      // once per blocked PAIR (×|block| string allocations)
+      c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"), col("c_mktsegment"),
+        lower(col("c_name")).as("c_lname")),
+      dirty.withColumn("d_lname", lower(col("d_name"))),
+      "c_custkey", "dirty_id",
       blockCols = Seq("c_nationkey", "c_mktsegment"),
       comparators = Seq(
         Linkage.Comparator("name",
-          levenshtein(lower(col("l.c_name")), lower(col("r.d_name"))) <= 2,
+          // bounded form: O(k·n) with early exit, returns −1 above the
+          // threshold — ≥ 0 ⇔ distance ≤ 2, same verdict as the
+          // oracle's unbounded levenshtein(...) <= 2
+          levenshtein(col("l.c_lname"), col("r.d_lname"), 2) >= 0,
           6.0, -3.0),
         Linkage.Comparator("name_exact",
           col("l.c_name") === col("r.d_name"), 4.0, -1.0),
