@@ -296,19 +296,33 @@ object Events {
   def interEventStats(df: DataFrame, keyCol: String,
       tsNs: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsNs))
+    // moments from EXACT integer sums — float avg/stddev_pop
+    // accumulate in engine- and partition-order-dependent ways, and
+    // the r9 sf0.1 full gate caught exactly one user landing on a 6dp
+    // rounding boundary because of it. Σgap (int64: per-key Σ ≤ the
+    // corpus time span) and Σgap² (decimal(38,0): (30 days in ns)² ≈
+    // 7·10³⁰ ≪ 10³⁸) reduce exactly under any order; the mean/variance
+    // algebra then runs on identical doubles in both engines, and the
+    // outputs land on a floor-grid (floor of identical doubles can't
+    // diverge, unlike round).
     val gaps = df
-      .withColumn("__gap",
-        (col(tsNs) - lag(col(tsNs), 1).over(w)).cast("double") / 1e9)
-      .where(col("__gap").isNotNull)
-    gaps.groupBy(keyCol)
+      .withColumn("__gap_ns", col(tsNs) - lag(col(tsNs), 1).over(w))
+      .where(col("__gap_ns").isNotNull)
+    val agg = gaps.groupBy(keyCol)
       .agg(count(lit(1)).as("n_gaps"),
-        avg("__gap").as("__mu"), stddev_pop(col("__gap")).as("__sd"))
-      .select(col(keyCol), col("n_gaps"),
-        round(col("__mu"), 6).as("mean_gap_s"),
-        round(col("__sd"), 6).as("std_gap_s"),
-        when(col("__sd") + col("__mu") === 0, lit(0d))
-          .otherwise(round((col("__sd") - col("__mu"))
-            / (col("__sd") + col("__mu")), 6)).as("burstiness"))
+        sum("__gap_ns").as("__s1"),
+        sum(col("__gap_ns").cast("decimal(38,0)") *
+          col("__gap_ns").cast("decimal(38,0)")).as("__s2"))
+    val n = col("n_gaps").cast("double")
+    val mu = col("__s1").cast("double") / n // ns
+    val sd = sqrt(greatest(
+      col("__s2").cast("double") / n - mu * mu, lit(0d))) // ns
+    def grid6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    agg.select(col(keyCol), col("n_gaps"),
+      grid6(mu / 1e9).as("mean_gap_s"),
+      grid6(sd / 1e9).as("std_gap_s"),
+      when(sd + mu === 0d, lit(0d))
+        .otherwise(grid6((sd - mu) / (sd + mu))).as("burstiness"))
   }
 
   /** Exponential time-decay activity score per key — the recency

@@ -1451,20 +1451,33 @@ object EventsQ {
          ORDER BY event_type, window_start_ns""",
     // gaps are diffs of the per-user SORTED ts sequence, so their
     // multiset is tie-order-invariant on both engines
+    // exact integer moments (Σgap int64, Σgap² HUGEINT) then identical
+    // double algebra + floor-grid — float avg/stddev diverged at sf0.1
     "q157_burstiness" ->
       """WITH g AS (
            SELECT user_id,
-             (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts))::DOUBLE / 1e9 AS gap
-           FROM events)
-         SELECT user_id, count(*) AS n_gaps,
-           round(avg(gap), 6) AS mean_gap_s,
-           round(stddev_pop(gap), 6) AS std_gap_s,
-           CASE WHEN stddev_pop(gap) + avg(gap) = 0 THEN 0.0
-                ELSE round((stddev_pop(gap) - avg(gap))
-                  / (stddev_pop(gap) + avg(gap)), 6) END AS burstiness
-         FROM g WHERE gap IS NOT NULL
-         GROUP BY user_id ORDER BY user_id""",
+             epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts) AS gap
+           FROM events),
+          a AS (
+           SELECT user_id, count(*) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS s1,
+             sum(CAST(gap AS HUGEINT) * gap) AS s2
+           FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+          m AS (
+           SELECT user_id, n_gaps,
+             CAST(s1 AS DOUBLE) / n_gaps AS mu,
+             sqrt(greatest(CAST(s2 AS DOUBLE) / n_gaps
+               - (CAST(s1 AS DOUBLE) / n_gaps)
+                 * (CAST(s1 AS DOUBLE) / n_gaps), 0.0)) AS sd
+           FROM a)
+         SELECT user_id, n_gaps,
+           floor(mu / 1e9 * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+           floor(sd / 1e9 * 1e6 + 0.5) / 1e6 AS std_gap_s,
+           CASE WHEN sd + mu = 0 THEN 0.0
+                ELSE floor((sd - mu) / (sd + mu) * 1e6 + 0.5) / 1e6
+           END AS burstiness
+         FROM m ORDER BY user_id""",
     // same ns ages, same exact-double 0.5 base — power() and the
     // weighted sums replay within the 6dp rounding
     "q138_decayed_activity" ->
