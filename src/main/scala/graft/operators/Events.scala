@@ -293,6 +293,39 @@ object Events {
     * Scale shape: one lag window partitioned by key (the sessionize
     * shuffle), one combinable per-key agg.
     */
+  /** Time-weighted average value per key (TWAP — the
+    * finance/metrics average that weights each observation by how
+    * long it REMAINED the current value, not by its count):
+    * `Σ vᵢ·(tᵢ₊₁ − tᵢ) / Σ (tᵢ₊₁ − tᵢ)` over the key's time-ordered
+    * events (ties broken by `event_id`; the last observation carries
+    * no interval). Values quantize to integer CENTS and intervals to
+    * integer MILLISECONDS, so both sums are int64-exact under any
+    * partition order (cents·ms ≤ 10⁵·span_ms ≪ 2⁶³); the output is
+    * the floor-grid 4dp dollar ratio of the two exact integers. NULL
+    * when the key has no positive-length interval.
+    *
+    * Scale shape: one per-key lead window + ONE combinable
+    * aggregation — the standard event-time window class.
+    */
+  def twap(df: DataFrame, keyCol: String, tsNs: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsNs), col("event_id"))
+    df.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col("event_id"), col(tsNs),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c"))
+      .withColumn("__dt_ns", lead(col(tsNs), 1).over(w) - col(tsNs))
+      .withColumn("__dt_ms", expr("__dt_ns div 1000000"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__c") * col("__dt_ms")).as("__swc"),
+        sum("__dt_ms").as("__sdt"))
+      .select(col(keyCol), col("n_events"),
+        when(col("__sdt") > 0L,
+          floor(col("__swc").cast("double") / col("__sdt") / 100d * 1e4
+            + 0.5) / 1e4).as("twap"))
+  }
+
   def interEventStats(df: DataFrame, keyCol: String,
       tsNs: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsNs))

@@ -141,6 +141,13 @@ object EventsQ {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // ---- time-weighted average value per user (TWAP): interval-
+    //      weighted, integer cents × integer ms ⇒ exact ----
+    "q333_twap" -> ((s, d) => {
+      Events.twap(Tables.events(s, d), "user_id", "ts", "value")
+        .orderBy("user_id")
+    }),
+
     // ---- event-time RANGE window frame: per-user rolling 7-day spend
     //      (RANGE BETWEEN 6 days PRECEDING — peers at equal ts all
     //      included, integer cents ⇒ exact) ----
@@ -2117,6 +2124,23 @@ object EventsQ {
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start_us""",
+    // interval-weighted cents·ms integer sums, floor-grid ratio
+    "q333_twap" ->
+      """WITH b AS (
+            SELECT user_id, event_id, epoch_ns(ts) AS t,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL),
+          d AS (
+            SELECT user_id, c,
+              (lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                - t) // 1000000 AS dt
+            FROM b)
+         SELECT user_id, count(*) AS n_events,
+           CASE WHEN CAST(sum(dt) AS BIGINT) > 0 THEN
+             floor(CAST(CAST(sum(c * dt) AS BIGINT) AS DOUBLE)
+               / CAST(sum(dt) AS BIGINT) / 100 * 1e4 + 0.5) / 1e4
+           END AS twap
+         FROM d GROUP BY user_id ORDER BY user_id""",
     // RANGE frame on the ns event-time key, CAST against HUGEINT
     "q328_rolling_range_window" ->
       """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,

@@ -472,6 +472,22 @@ object Relational {
         .orderBy("category")
     }),
 
+    // ---- schema-evolving union: unionByName(allowMissingColumns) —
+    //      the heterogeneous-batch append every long-lived ingest
+    //      pipeline needs (absent columns NULL-padded by NAME) ----
+    "q332_union_by_name" -> ((s, d) => {
+      val a = cust(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .where(col("c_custkey") % 7 === 0)
+        .withColumn("src", lit("a"))
+      val b = cust(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .where(col("c_custkey") % 11 === 0)
+        .withColumn("src", lit("b"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("c_custkey", "src")
+    }),
+
     // ---- bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep the
     //      per-customer order MULTIPLICITY q77's set forms collapse ----
     "q329_set_ops_all" -> ((s, d) => {
@@ -1293,6 +1309,15 @@ object Relational {
              AS iv_term
          FROM per CROSS JOIN tot
          ORDER BY category""",
+    // NULL-padded by-name union
+    "q332_union_by_name" ->
+      """SELECT * FROM (
+           SELECT c_custkey, c_name, c_acctbal, 'a' AS src
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL BY NAME
+           SELECT c_custkey, c_mktsegment, 'b' AS src
+           FROM customer WHERE c_custkey % 11 = 0)
+         ORDER BY c_custkey, src""",
     // bag-semantics multiplicities
     "q329_set_ops_all" ->
       """WITH y96 AS (SELECT o_custkey FROM orders

@@ -2063,6 +2063,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got.head._4 == math.rint(math.sqrt(5) * 1e6) / 1e6)
   }
 
+  test("Events.twap: interval weights, last row carries none") {
+    val ms = 1000000L
+    // user 1: value 10 held 2 ms, 20 held 1 ms, 40 final (no weight)
+    //   ⇒ (1000·2 + 2000·1)/3 cents = 1333.33… ⇒ 13.3333 dollars
+    // user 2: single event ⇒ no interval ⇒ NULL
+    val ev = Seq(
+      (1L, 1L, 0L * ms, 10.0), (1L, 2L, 2L * ms, 20.0),
+      (1L, 3L, 3L * ms, 40.0),
+      (2L, 4L, 0L * ms, 99.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = Events.twap(ev, "user_id", "ts", "value")
+      .orderBy("user_id").collect().toSeq
+    assert(got(0).getLong(1) == 3L && got(0).getDouble(2) == 13.3333,
+      s"got $got")
+    assert(got(1).getLong(1) == 1L && got(1).isNullAt(2), s"got $got")
+  }
+
   test("Events.interEventStats: hand-computed gaps and burstiness") {
     val s = 1000L * 1000 * 1000
     val ev = Seq((1L, 0L), (1L, 10 * s), (1L, 20 * s), // periodic: B = −1
