@@ -1183,7 +1183,10 @@ object Dedup {
     semLists(emb, vecCol, idCol, nLists, iters, dims, trainCap,
         targetListSize)
       .groupBy("list").agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum(col("n") * (col("n") - lit(1)) / lit(2)), lit(0L))
+      // n·(n−1) is always even, so `div` is exact — `/` would be
+      // DOUBLE division and lose integer exactness past ~2^27-row
+      // blocks, i.e. exactly the blow-up regime this count detects
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
         .cast("long"))
       .head().getLong(0)
   }
@@ -1297,7 +1300,9 @@ object Dedup {
     df.select(md5(array_join(
         slice(tokens(col(textCol)), 1, blockTokens), " ")).as("blk"))
       .groupBy("blk").agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum(col("n") * (col("n") - lit(1)) / lit(2)), lit(0L))
+      // integer `div`: n·(n−1) is even, and DOUBLE division would
+      // quantize above 2^53 — the regime the telemetry exists for
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
         .cast("long"))
       .head().getLong(0)
 

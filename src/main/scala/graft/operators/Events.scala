@@ -297,7 +297,8 @@ object Events {
     * finance/metrics average that weights each observation by how
     * long it REMAINED the current value, not by its count):
     * `Σ vᵢ·(tᵢ₊₁ − tᵢ) / Σ (tᵢ₊₁ − tᵢ)` over the key's time-ordered
-    * events (ties broken by `event_id`; the last observation carries
+    * events (ties broken by `idCol`, default `event_id`; the last
+    * observation carries
     * no interval). Values quantize to integer CENTS and intervals to
     * integer MILLISECONDS, so both sums are int64-exact under any
     * partition order (cents·ms ≤ 10⁵·span_ms ≪ 2⁶³); the output is
@@ -308,10 +309,10 @@ object Events {
     * aggregation — the standard event-time window class.
     */
   def twap(df: DataFrame, keyCol: String, tsNs: String,
-      valueCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col(tsNs), col("event_id"))
+      valueCol: String, idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsNs), col(idCol))
     df.where(col(valueCol).isNotNull)
-      .select(col(keyCol), col("event_id"), col(tsNs),
+      .select(col(keyCol), col(idCol), col(tsNs),
         floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
           .as("__c"))
       .withColumn("__dt_ns", lead(col(tsNs), 1).over(w) - col(tsNs))

@@ -70,17 +70,38 @@ object Graph {
         .distinct()
     }
 
-    var cur = init.localCheckpoint(true)
+    // ONE job per round: a LAZY localCheckpoint is materialized by the
+    // fingerprint aggregate itself (count + order-independent XOR of
+    // per-edge hashes), so the round's shuffle work runs exactly once
+    // and the convergence signal rides it for free. The fingerprint is
+    // a FAST-PATH test only — when it matches, the exact left-anti
+    // check confirms set equality (both sides are distinct sets, so
+    // equal count + next⊆cur ⇔ equal), which normally runs on just the
+    // final round instead of every round (the r9 bench's ~4 jobs/round
+    // made q64 the single most expensive metric).
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      // scaling telemetry: Σ per-round edge-set sizes = the total
+      // volume the CC rounds shuffle — the "candidate count" of this
+      // operator (free: read off the fingerprint the loop already has)
+      Telemetry.add("cc_edges", r.getLong(0))
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = init.localCheckpoint(false)
+    var curFp = fingerprint(cur)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      // both sides are distinct edge sets: unchanged ⇔ same count and
-      // nothing new (left-anti); read off the materialization the next
-      // round starts from
-      converged = next.count() == cur.count() &&
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val nextFp = fingerprint(next)
+      // XOR-hash collisions (~2⁻⁶⁴/round) can only cost one extra
+      // confirm job, never a wrong answer — equality is re-proven
+      // exactly before the loop may exit
+      converged = nextFp == curFp &&
         next.join(cur, Seq("src", "dst"), "left_anti").isEmpty
       cur = next
+      curFp = nextFp
       iter += 1
     }
     if (!converged)

@@ -36,7 +36,12 @@ object Telemetry {
   @volatile private var active = false
   private val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private val seq = new java.util.concurrent.atomic.AtomicLong()
-  @volatile private var registered = false
+  // registration is per-SparkSession, not per-JVM: a stopped session
+  // takes its listener bus with it, so a later session must register
+  // its own copy or await() silently times out (r9 ADVICE)
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   private val listener = new org.apache.spark.sql.util.QueryExecutionListener {
     override def onSuccess(funcName: String,
@@ -54,7 +59,9 @@ object Telemetry {
   }
 
   def enable(spark: SparkSession): Unit = synchronized {
-    if (!registered) { spark.listenerManager.register(listener); registered = true }
+    if (registeredSessions.add(spark)) {
+      spark.listenerManager.register(listener)
+    }
     active = true
   }
 
@@ -77,6 +84,15 @@ object Telemetry {
       Thread.sleep(50)
     if (counts.containsKey(label)) Some(counts.get(label)) else None
   }
+
+  /** Manual accumulation for DRIVER-LOOPED operators (CC rounds, LD
+    * decide rounds) whose per-round sizes the driver already knows —
+    * no observe node needed, values SUM across calls (unlike observed
+    * re-executions, which keep the max): the loop's total processed
+    * volume is the scaling signal. No-op when disabled.
+    */
+  def add(label: String, n: Long): Unit =
+    if (active) counts.merge(label, n, (a: Long, b: Long) => a + b)
 
   /** Identity when disabled; an observed pass-through when enabled.
     * The `##seq` suffix keeps observe names unique when one query tree

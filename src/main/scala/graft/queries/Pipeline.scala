@@ -1460,7 +1460,16 @@ object Pipeline {
       // k = 8 quantizer at every gate corpus (the oracle's replay),
       // and to the two-level O(√k) quantizer on the synthetic scale
       // tiers where a fixed k would make the pair volume quadratic
-      Dedup.semDedup(Tables.embeddings(s, d), "embedding", "vec_id",
+      val emb = Tables.embeddings(s, d)
+      // the oracle replays a k = 8 CTE chain; sf0.1 sits at n = 2000
+      // (k = 8 holds up to n = 2048), so fixture growth must fail HERE
+      // with the auto rule named, not as an unexplained hash mismatch
+      val n = emb.count()
+      val k = math.max(8, math.ceil(n / 256.0).toInt)
+      require(k == 8, s"q105 AUTO quantizer resolved k=$k (n=$n, rule " +
+        "max(8, ceil(n/256))) but the DuckDB oracle replays k=8 — " +
+        "regenerate the oracle's k-means CTE chain for the new k")
+      Dedup.semDedup(emb, "embedding", "vec_id",
           nLists = 0, iters = 2, threshold = 0.3, dims = 64)
         .orderBy("vec_id")
     }),

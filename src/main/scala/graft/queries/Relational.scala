@@ -54,15 +54,19 @@ object Relational {
       s"least(greatest(round($x, 12), 1e-6), 1 - 1e-6)"
     val its = (1 to iters).map { t =>
       val prev = s"it${t - 1}"
+      // c is cast to HUGEINT BEFORE the multiply: c·W is otherwise
+      // evaluated in BIGINT ahead of DuckDB's HUGEINT sum, and with W
+      // up to 1e12 any pattern count above ~9.2e6 pairs overflows —
+      // the Spark side uses BigInt for exactly this (r9 ADVICE)
       val ms = (0 until k).map(i => clamp(
-        s"CAST(sum(CASE WHEN g$i THEN c * W ELSE 0 END) AS DOUBLE) / CAST(sum(c * W) AS DOUBLE)") +
+        s"CAST(sum(CASE WHEN g$i THEN CAST(c AS HUGEINT) * W ELSE 0 END) AS DOUBLE) / CAST(sum(CAST(c AS HUGEINT) * W) AS DOUBLE)") +
         s" AS m$i").mkString(",\n              ")
       val us = (0 until k).map(i => clamp(
-        s"CAST(sum(CASE WHEN g$i THEN c * (1000000000000 - W) ELSE 0 END) AS DOUBLE) / CAST(sum(c * (1000000000000 - W)) AS DOUBLE)") +
+        s"CAST(sum(CASE WHEN g$i THEN CAST(c AS HUGEINT) * (1000000000000 - W) ELSE 0 END) AS DOUBLE) / CAST(sum(CAST(c AS HUGEINT) * (1000000000000 - W)) AS DOUBLE)") +
         s" AS u$i").mkString(",\n              ")
       s"""it$t AS MATERIALIZED (
             SELECT
-              ${clamp("CAST(sum(c * W) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * 1e12)")} AS lam,
+              ${clamp("CAST(sum(CAST(c AS HUGEINT) * W) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * 1e12)")} AS lam,
               $ms,
               $us
             FROM (

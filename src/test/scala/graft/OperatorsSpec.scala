@@ -2080,6 +2080,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1).getLong(1) == 1L && got(1).isNullAt(2), s"got $got")
   }
 
+  test("Events.twap: custom idCol on a frame without event_id") {
+    val ms = 1000000L
+    // same user-1 series as above, but the tie-break column is named
+    // obs_id — r9 ADVICE: the hardcoded event_id failed analysis on
+    // any frame lacking that exact name
+    val ev = Seq(
+      (1L, 1L, 0L * ms, 10.0), (1L, 2L, 2L * ms, 20.0),
+      (1L, 3L, 3L * ms, 40.0)
+    ).toDF("user_id", "obs_id", "ts", "value")
+    val got = Events.twap(ev, "user_id", "ts", "value", idCol = "obs_id")
+      .collect().toSeq
+    assert(got.size == 1 && got(0).getDouble(2) == 13.3333, s"got $got")
+  }
+
   test("Events.interEventStats: hand-computed gaps and burstiness") {
     val s = 1000L * 1000 * 1000
     val ev = Seq((1L, 0L), (1L, 10 * s), (1L, 20 * s), // periodic: B = −1
