@@ -49,6 +49,63 @@ object Bench {
     else lo
   }
 
+  /** Fork `graft.streaming.StateBench <probes…>` as a child JVM with
+    * this JVM's own flags/classpath, parse its `metric=… value=…`
+    * lines, and hard-kill it past the deadline. A child segfault (the
+    * RocksDB JNI logger crash) surfaces as a nonzero exit with the
+    * already-printed probes intact — the parent never dies with it.
+    */
+  private def forkStateBench(probes: Seq[String], cpus: String,
+      timeoutSec: Long = 300L): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"),
+        "graft.streaming.StateBench") ++ probes).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val proc = pb.start()
+    val out = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // stdout drained on a daemon thread so the deadline below can kill
+    // a HUNG child (readLine alone would block past any deadline)
+    val drain = new Thread(() => {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      try {
+        var l = reader.readLine()
+        while (l != null) {
+          val s = l.trim
+          if (s.startsWith("metric=")) {
+            val parts = s.split("\\s+value=")
+            if (parts.length == 2)
+              try out.put(parts(0).stripPrefix("metric="), parts(1).toDouble)
+              catch { case _: NumberFormatException => () }
+          }
+          l = reader.readLine()
+        }
+      } catch { case _: Throwable => () }
+      finally { try reader.close() catch { case _: Throwable => () } }
+    }, "statebench-drain")
+    drain.setDaemon(true)
+    drain.start()
+    if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+      System.err.println(
+        s"[bench] StateBench child hung past ${timeoutSec}s; killing it")
+      proc.destroyForcibly()
+      proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+    } else if (proc.exitValue() != 0)
+      System.err.println(
+        s"[bench] StateBench child exited ${proc.exitValue()} after " +
+          s"${out.size}/${probes.size} probes")
+    drain.join(5000)
+    out.asScala.toMap
+  }
+
   /** Fixed reference op for the load index: a CPU-bound codegen'd
     * aggregation whose cost is machine-state-only (no IO, no shuffle,
     * nothing cached between calls). Timed at run start and after each
@@ -68,6 +125,14 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // --isolate: measure every metric from a pinned-clean JVM state
+    // (cache clear + full GC between metrics). Slower wall-clock, but
+    // each number then reflects the operator alone instead of the
+    // preceding section's heap/page-cache residue — the A/B mode that
+    // attributes a cross-round regression to load vs. code.
+    val flagArgs = args.filter(_.startsWith("--")).toSet
+    val posArgs = args.filterNot(_.startsWith("--"))
+    val isolate = flagArgs.contains("--isolate")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
@@ -80,9 +145,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    def clearAllCaches(): Unit = {
+      graft.operators.Dedup.clearCaches()
+      graft.operators.Percentiles.clearCaches()
+      graft.operators.Curation.clearCaches()
+    }
+    def isoBarrier(): Unit = if (isolate) {
+      spark.catalog.clearCache()
+      clearAllCaches()
+      System.gc(); Thread.sleep(200); System.gc()
+    }
+
     // optional args = subset of query names (fast single-query timing)
     val allNames = SparkEntry.queries.keys.toSeq.sorted
-    val names = if (args.nonEmpty) allNames.filter(args.toSet) else allNames
+    val names = if (posArgs.nonEmpty) allNames.filter(posArgs.toSet) else allNames
 
     // machine-state probes: sample at run start and after every
     // section (see loadProbe). The probe op must be at C2 steady state
@@ -118,12 +194,13 @@ object Bench {
     // disagree wildly (contended machine)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { n =>
+      isoBarrier()
       results(n) =
         try bestOf()(forceRun(SparkEntry.queries(n)(spark, sfDir)))
         catch { case _: Throwable => -1.0 }
       // dedup signature caches are per-call; don't let 58 queries × N
       // runs accumulate cached tables in one JVM
-      graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches(); graft.operators.Curation.clearCaches()
+      clearAllCaches()
     }
     probes("after_queries") = loadProbe(spark)
 
@@ -134,12 +211,12 @@ object Bench {
     // for a full GC so the BASELINE comparables measure the operators,
     // not the preceding benchmark's garbage.
     spark.catalog.clearCache()
-    graft.operators.Dedup.clearCaches(); graft.operators.Percentiles.clearCaches(); graft.operators.Curation.clearCaches()
+    clearAllCaches()
     System.gc(); Thread.sleep(500); System.gc()
 
     // ---- VCF-domain benchmark (BASELINE.md comparables) ----
     // args subset skips the VCF section unless "vcf" is passed too
-    if (args.isEmpty || args.contains("vcf")) try {
+    if (posArgs.isEmpty || posArgs.contains("vcf")) try {
       val nVariants = 50000L
       val nSamples = 100
       val nGenes = 200
@@ -150,12 +227,14 @@ object Bench {
       // the staging cache is dropped between runs so each measures the
       // full parse+sort+write, and everything after reads the written
       // parquet of the last run
+      isoBarrier()
       val buildSec = bestOf() {
         val tables = VcfBuild.build(SyntheticVcf.generate(spark, nVariants, nSamples, nGenes))
         tables.write(out)
         graft.vcf.VcfBuild.clearCaches()
       }
       results("vcf_build_sec") = buildSec
+      isoBarrier()
 
       // cache = the analog of the reference's warm SQLite page cache
       // (its per-gene medians are measured across 23k sequential
@@ -201,6 +280,9 @@ object Bench {
       results("vcf_filter_all_genes_sec") = batched
       results("vcf_filter_per_gene_batched_sec") = batched / nGenes
 
+      // deliberate caches (info/impact) are consumed above; from here
+      // each metric reads fresh parquet, so isolation may clear freely
+      isoBarrier()
       val ids = (1L to 1000L).map(i => i * 37 % nVariants + 1)
       val pullSec = time(VcfApi.pullByIds(geno, ids).count())
       results("vcf_pull_per_1k_sec") = pullSec
@@ -211,6 +293,7 @@ object Bench {
       // variants, full cohort width — so a regression in the wide
       // geno path surfaces in the driver's record, not only in
       // RefScaleBench runs.
+      isoBarrier()
       val wideOut = java.nio.file.Files
         .createTempDirectory("graft_vcf_wide_bench").toString
       val nVarWide = 5000L
@@ -223,6 +306,7 @@ object Bench {
       results("vcf_build_wide_sec") = wideBuild
       val genoWide = spark.read.parquet(s"$wideOut/variant_geno")
       val wideIds = (1L to 1000L).map(i => i * 37 % nVarWide + 1)
+      isoBarrier()
       VcfApi.pullByIds(genoWide, wideIds.take(10)).count() // warm plan
       results("vcf_pull_wide_per_1k_sec") =
         time(VcfApi.pullByIds(genoWide, wideIds).count())
@@ -311,28 +395,24 @@ object Bench {
 
     // ---- stateful throughput: default (HDFS-backed heap) state store
     //      vs RocksDB (off-heap SST state — the 100 TB state path) ----
+    // Run in a FORKED child JVM (graft.streaming.StateBench): the
+    // RocksDB JNI logger can SIGSEGV on a native flush thread during
+    // DB close (r10's hs_err_pid842 killed the whole bench and lost
+    // every state metric). The child prints one line per completed
+    // probe, so even a crash AFTER a measurement loses nothing; probes
+    // that do go missing are retried once in a fresh child.
     try {
-      val rocks =
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-      graft.streaming.EventsStream.statefulThroughput(spark, 100000L,
-        minBatches = 2) // warm
-      graft.streaming.EventsStream.statefulThroughput(spark, 2000000L,
-        minBatches = 6).foreach(r =>
-        results("stream_state_rows_per_sec_hdfs") = r)
-      graft.streaming.EventsStream.statefulThroughput(spark, 100000L,
-        providerClass = Some(rocks), minBatches = 2) // warm rocksdb path
-      graft.streaming.EventsStream.statefulThroughput(spark, 2000000L,
-        providerClass = Some(rocks), minBatches = 6).foreach(r =>
-        results("stream_state_rows_per_sec_rocksdb") = r)
-      // changelog checkpointing: per-batch deltas instead of full SST
-      // snapshot uploads — the commit-latency knob for large state.
-      // Measured against the full-snapshot row above as a delta pair.
-      graft.streaming.EventsStream.statefulThroughput(spark, 2000000L,
-        providerClass = Some(rocks), minBatches = 6,
-        extraConfs = Map(
-          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-            -> "true")).foreach(r =>
-        results("stream_state_rows_per_sec_rocksdb_changelog") = r)
+      val stateProbes = Seq("hdfs", "rocksdb", "rocksdb_changelog")
+      var got = forkStateBench(stateProbes, cpus)
+      val missing = stateProbes.filterNot(p =>
+        got.contains(graft.streaming.StateBench.metricName(p)))
+      if (missing.nonEmpty) {
+        System.err.println(
+          s"[bench] state probes ${missing.mkString(",")} missing " +
+            "(child crash?); retrying once in a fresh child")
+        got = got ++ forkStateBench(missing, cpus)
+      }
+      got.foreach { case (k, v) => results(k) = v }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] state-store bench failed: $e")
     }
@@ -346,7 +426,7 @@ object Bench {
     // events tables 10×, documents 10×, embeddings 4×).
     val sweep = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
     val midDir =
-      if (args.isEmpty && sfDir.endsWith("sf0.1"))
+      if (posArgs.isEmpty && sfDir.endsWith("sf0.1"))
         Some(sfDir.stripSuffix("sf0.1") + "sf0.01")
       else None
     val sweepQs: Seq[(String, Double)] = Seq(
@@ -387,7 +467,7 @@ object Bench {
     // join/group/similarity structure scales the way a genuinely
     // bigger corpus would. Same flag rule, reported separately. ----
     val sweepHuge = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
-    if (args.isEmpty && sfDir.endsWith("sf0.1")) {
+    if (posArgs.isEmpty && sfDir.endsWith("sf0.1")) {
       try {
         val hugeDir = ScaleUp.ensure(spark, sfDir, "/tmp/graft_sf1_synth", 10)
         sweepQs.foreach { case (n, _) =>
@@ -422,7 +502,7 @@ object Bench {
     // the wall cost; the candidate counts carry the structural verdict.
     val sweep100 = scala.collection.mutable.LinkedHashMap[
       String, (Double, Double, Double, Long, Long, Double)]()
-    if (args.isEmpty && sfDir.endsWith("sf0.1")) {
+    if (posArgs.isEmpty && sfDir.endsWith("sf0.1")) {
       try {
         val centuryQs = Seq("q32_dedup_minhash_lsh", "q105_semdedup",
           "q106_fuzzy_dedup", "q159_set_similarity_join", "q169_saturation")
@@ -480,6 +560,91 @@ object Bench {
       }
     }
 
+    // ---- linkage / graph / LD century rows: the blocked-join family
+    // whose candidate volume rides the blocking-key quality rather
+    // than an LSH design parameter. Each row re-times BOTH tiers with
+    // telemetry on (consistent measurement overhead), recording the
+    // operator's own candidate counter: linkage pairs (observe on the
+    // scored pair set), CC per-round edge volume (driver-summed), LD
+    // window pairs (observe on the bucket join). q305's gate is a toy
+    // fixture, so its tiers are synthesized at CONSTANT variant
+    // density (bigger corpus = longer genome, the realistic axis);
+    // density sensitivity itself is occupancy² by design — plink's
+    // own window semantics — and is documented in PERF.md, not here.
+    if (posArgs.isEmpty && sfDir.endsWith("sf0.1")) {
+      import graft.operators.Telemetry
+      def timedWithCand(body: => Unit, label: String): (Double, Long) = {
+        Telemetry.enable(spark); Telemetry.reset()
+        try {
+          val t = time(body)
+          (t, Telemetry.await(label).getOrElse(-1L))
+        } finally {
+          Telemetry.disable(); Telemetry.reset()
+          graft.operators.Dedup.clearCaches()
+        }
+      }
+      try {
+        val custDir = ScaleUp.ensure(spark, sfDir, "/tmp/graft_sf10_linkage",
+          100, only = Seq("customer"))
+        val docDir = ScaleUp.ensure(spark, sfDir, "/tmp/graft_sf10_synth",
+          100, only = Seq("documents", "embeddings"))
+        Seq(
+          ("q300_record_linkage", custDir, "linkage_candidates"),
+          ("q306_linkage_one_to_one", custDir, "linkage_candidates"),
+          ("q302_incremental_components", docDir, "cc_edges")
+        ).foreach { case (n, dir, label) =>
+          if (results.getOrElse(n, -1.0) > 0) {
+            try {
+              val (tB, cB) = timedWithCand(
+                forceRun(SparkEntry.queries(n)(spark, sfDir)), label)
+              val (t1, c1) = timedWithCand(
+                forceRun(SparkEntry.queries(n)(spark, dir)), label)
+              val e = math.log(t1 / tB) / math.log(100d)
+              val ce =
+                if (cB > 0 && c1 > 0) math.log(c1.toDouble / cB) / math.log(100d)
+                else Double.NaN
+              if (tB > 0 && t1 > 0 && java.lang.Double.isFinite(e))
+                sweep100(n) = (tB, t1, e, cB, c1, ce)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] century row $n failed: $e") }
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] linkage century tier failed: $e")
+      }
+      // LD pair kernel at constant density: ~75 bp spacing, 1 kb
+      // window (≈13 candidates per variant either tier), 24 samples.
+      try {
+        def ldTier(nVariants: Long): (Double, Long) = {
+          val info = spark.range(1L, nVariants + 1).select(
+            col("id").as("variant_id"), lit("1").as("chr"),
+            (col("id") * 75L + pmod(xxhash64(col("id")), lit(50L))).as("start"))
+          val geno = spark.range(1L, nVariants + 1)
+            .select(col("id").as("variant_id"))
+            .crossJoin(spark.range(0L, 24L).select(col("id").as("__s")))
+            .select(col("variant_id"),
+              concat(lit("s"), col("__s")).as("sample"),
+              pmod(xxhash64(col("variant_id"), col("__s")), lit(3L))
+                .cast("double").as("gt"))
+          timedWithCand(
+            { val n = VcfApi.ldPrune(geno, info, maxDist = 1000L,
+                r2Max = 0.5).count()
+              require(n == nVariants, s"ldPrune emitted $n of $nVariants") },
+            "ld_candidates")
+        }
+        val (tB, cB) = ldTier(20000L)
+        val (t1, c1) = ldTier(2000000L)
+        val e = math.log(t1 / tB) / math.log(100d)
+        val ce =
+          if (cB > 0 && c1 > 0) math.log(c1.toDouble / cB) / math.log(100d)
+          else Double.NaN
+        if (tB > 0 && t1 > 0 && java.lang.Double.isFinite(e))
+          sweep100("q305_vcf_ldprune") = (tB, t1, e, cB, c1, ce)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] LD century tier failed: $e")
+      }
+    }
+
     // flag only when the signal is real: sub-50 ms mid times are harness
     // noise, and a "super-linear" query still under half a second at the
     // big SF isn't a scaling hazard worth a red flag
@@ -532,8 +697,33 @@ object Bench {
     val total = results.collect {
       case (k, v) if v >= 0 && !k.contains("_rows_per_sec") => v
     }.sum
+    // record-completeness check: a metric key that VANISHES round-over-
+    // round (the r10 RocksDB segfault ate three state metrics and only
+    // a manual r9/r10 diff caught it) must flag itself in the record.
+    // Empty on a clean full run; subset runs expect only what they ask.
+    val expectedMetrics: Seq[String] =
+      if (posArgs.nonEmpty) names
+      else SparkEntry.queries.keys.toSeq.sorted ++ Seq(
+        "vcf_build_sec", "vcf_filter_per_gene_noindex_sec",
+        "vcf_gene_index_build_sec", "vcf_filter_per_gene_sec",
+        "vcf_filter_all_genes_sec", "vcf_filter_per_gene_batched_sec",
+        "vcf_pull_per_1k_sec", "vcf_build_wide_sec",
+        "vcf_pull_wide_per_1k_sec", "vcf_bgzf_scan_sec",
+        "vcf_scan_positions_sec", "vcf_scan_full_sec",
+        "stream_tumbling_rows_per_sec",
+        "stream_state_rows_per_sec_hdfs",
+        "stream_state_rows_per_sec_rocksdb",
+        "stream_state_rows_per_sec_rocksdb_changelog")
+    val missingMetrics =
+      expectedMetrics.filterNot(k => results.get(k).exists(_ >= 0))
+    val missingJson =
+      missingMetrics.map("\"" + _ + "\"").mkString("[", ",", "]")
+    if (missingMetrics.nonEmpty)
+      System.err.println(
+        s"[bench] MISSING metrics this run: ${missingMetrics.mkString(", ")}")
+    val isolateJson = if (isolate) "true" else "false"
     val fullLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_100x":$scaling100Json,"scaling_flagged":$flaggedJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_100x":$scaling100Json,"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
     // Compact totals-only line: the five BASELINE.md comparables plus the
     // sweep verdict. This is the line the driver's bounded tail capture
     // must survive — keep it short no matter how many queries exist.
@@ -545,7 +735,7 @@ object Bench {
     val compactQs = comparables.flatMap(k => results.get(k).map(v =>
       "\"" + k + "\":" + f"$v%.4f")).mkString("{", ",", "}")
     val compactLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$compactQs,"n_queries":${results.size},"scaling_flagged":$flaggedJson,"load_index":$loadIndex%.2f,"sf":"$sfDir","full":"/tmp/graft_bench_full.json"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$compactQs,"n_queries":${results.size},"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"load_index":$loadIndex%.2f,"sf":"$sfDir","full":"/tmp/graft_bench_full.json"}"""
 
     // Sidecars: survive even if stdout capture is truncated.
     try {

@@ -1110,12 +1110,33 @@ object Dedup {
     * quantization cost is O(√k) instead of O(k), keeping the WHOLE
     * pipeline (train + assign + pairs) sub-quadratic as n grows.
     */
+  /** The AUTO list-count rule, shared between [[semLists]] and any
+    * caller that must assert which k an AUTO-mode run will resolve to
+    * (the q105 gate's oracle replays a fixed-k CTE chain): one rule,
+    * one place — a guard can't silently drift from the operator.
+    */
+  def autoListCount(n: Long, targetListSize: Int = 256): Int =
+    math.max(8, math.ceil(n.toDouble / targetListSize).toInt)
+
+  /** `(n, k)` resolved by the most recent AUTO-mode [[semLists]] call
+    * in this JVM — lets a gate assert the resolved k WITHOUT paying a
+    * second corpus count (the count already ran inside the operator).
+    * Gates run operators sequentially, so last-write-wins is the
+    * correct read; concurrent benchmark code must not rely on this.
+    */
+  @volatile private var lastAutoKState: Option[(Long, Int)] = None
+  def lastAutoK: Option[(Long, Int)] = lastAutoKState
+
   private def semLists(emb: DataFrame, vecCol: String, idCol: String,
       nLists: Int, iters: Int, dims: Int, trainCap: Int,
       targetListSize: Int): DataFrame = {
     val k = if (nLists > 0) nLists
-      else math.max(8,
-        math.ceil(emb.count().toDouble / targetListSize).toInt)
+      else {
+        val n = emb.count()
+        val auto = autoListCount(n, targetListSize)
+        lastAutoKState = Some((n, auto))
+        auto
+      }
     if (nLists > 0 || k <= 64) {
       val cents = Similarity.kmeansCentroids(emb, vecCol, idCol, k, iters,
         dims, trainCap)

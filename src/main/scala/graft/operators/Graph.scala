@@ -30,6 +30,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Drop the cached blocks behind a lazily-localCheckpointed plan.
+    * `Dataset.localCheckpoint` persists its internal RDD (that's the
+    * lineage truncation); once a later round supersedes the frame,
+    * those blocks are dead weight in executor storage. The RDD handle
+    * lives on the plan's `LogicalRDD` leaf.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    // match ONLY a frame that is itself the checkpoint root: a derived
+    // frame (select/filter over a checkpoint) shares a LIVE ancestor's
+    // blocks, which must not be dropped from under it
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Component label (= min member id) for every vertex appearing in
     * `edges`. Output: `id`, `comp`. Edges are treated as undirected;
     * self-loops and duplicate edges are fine. Ids must be castable to
@@ -100,6 +116,11 @@ object Graph {
       // exactly before the loop may exit
       converged = nextFp == curFp &&
         next.join(cur, Seq("src", "dst"), "left_anti").isEmpty
+      // the fingerprint materialized `next` and the convergence check
+      // no longer needs the PREVIOUS round's checkpointed blocks —
+      // drop them now, or every round's edge set stays in executor
+      // storage for the life of the session
+      unpersistCheckpoint(cur)
       cur = next
       curFp = nextFp
       iter += 1
@@ -188,12 +209,16 @@ object Graph {
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
+      val prev = ranks
       ranks = nodes
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           (lit(1 - damping) + lit(damping) * coalesce(col("s"), lit(0.0)))
             .as("rank"))
         .localCheckpoint(true)
+      // the eager checkpoint above just materialized the new ranks —
+      // the superseded round's blocks are dead weight from here on
+      unpersistCheckpoint(prev)
     }
     nodes.unpersist(false)
     withDeg.unpersist(false)
@@ -307,6 +332,8 @@ object Graph {
     var hubs = nodes.withColumn("hub", lit(1.0)).localCheckpoint(true)
     var auths = nodes.withColumn("auth", lit(1.0)).localCheckpoint(true)
     for (_ <- 1 to iters) {
+      val prevAuths = auths
+      val prevHubs = hubs
       val auth1 = nodes.join(
           e.join(hubs.withColumnRenamed("id", "src"), "src")
             .groupBy(col("dst").as("id")).agg(sum("hub").as("auth")),
@@ -319,6 +346,10 @@ object Graph {
           Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0d)).as("hub"))
       hubs = l1Normalize(hub1, "hub").localCheckpoint(true)
+      // both replacement rounds are materialized (eager checkpoints);
+      // release the superseded rounds' blocks
+      unpersistCheckpoint(prevAuths)
+      unpersistCheckpoint(prevHubs)
     }
     val out = auths.join(hubs, Seq("id"))
       .select(col("id"), round(col("auth"), roundTo).as("authority"),
@@ -402,10 +433,12 @@ object Graph {
       val keep = sym.groupBy("src").agg(count(lit(1)).as("__d"))
         .where(col("__d") >= k)
         .select(col("src").as("__keep"))
+      val prevSym = sym
       sym = sym
         .join(keep.withColumnRenamed("__keep", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint(true)
+      unpersistCheckpoint(prevSym)
       prevEdges = nEdges
       nEdges = sym.count()
       round += 1
@@ -490,9 +523,13 @@ object Graph {
         .agg(min(struct((-col("__n")).as("nn"), col("label").as("l")))
           .as("__b"))
         .select(col("src").as("id"), col("__b.l").as("label"))
+      val prevLabels = labels
       labels = nodes.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
         .localCheckpoint(true)
+      // no-op on round 1 (the seed labels are a projection over nodes,
+      // not their own checkpoint); drops superseded rounds after that
+      unpersistCheckpoint(prevLabels)
     }
     labels
   }
@@ -529,6 +566,8 @@ object Graph {
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
+      val prevFrontier = frontier
+      val prevVisited = visited
       frontier = frontier
         .join(und, col("id") === col("src"))
         .select(col("dst").as("id")).distinct()
@@ -537,6 +576,8 @@ object Graph {
       visited = visited
         .union(frontier.select(col("id"), lit(depth).as("hops")))
         .localCheckpoint(true)
+      unpersistCheckpoint(prevFrontier)
+      unpersistCheckpoint(prevVisited)
     }
     visited
   }
@@ -637,10 +678,19 @@ object Graph {
       val wNbrs = sym
         .join(winners.select(col("id").as("src")), Seq("src"))
         .select(col("dst").as("id")).distinct()
+      val prevMis = mis
+      val prevUndecided = undecided
       mis = mis.union(winners).localCheckpoint(true)
       undecided = undecided
         .join(winners.union(wNbrs).distinct(), Seq("id"), "left_anti")
         .localCheckpoint(true)
+      // new mis/undecided are materialized; the round's temporaries and
+      // the superseded frames can release their blocks (round 1's
+      // prevs are projections over `nodes`, where this is a no-op)
+      unpersistCheckpoint(u)
+      unpersistCheckpoint(winners)
+      unpersistCheckpoint(prevMis)
+      unpersistCheckpoint(prevUndecided)
       done = undecided.isEmpty
     }
     require(done,

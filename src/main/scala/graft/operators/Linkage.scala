@@ -38,39 +38,124 @@ object Linkage {
     (math.log(m / u), math.log((1 - m) / (1 - u)))
   }
 
+  /** Hard ceiling on one block's pair volume before the guard salts
+    * it. 2²² ≈ 4.2M pairs keeps a single hot block's comparator work
+    * around a second per core — past that, one reducer owning the
+    * whole block is the 100 TB straggler this guard exists to break.
+    */
+  val DefaultMaxBlockPairs: Long = 1L << 22
+
   /** Score all blocked candidate pairs. `left` is aliased `l`, `right`
     * `r`; `blockCols` must exist on both sides under the same names.
     * Emits the two ids, one `agree_<name>` flag per comparator, the
     * summed `score` (rounded to 4), and the `verdict`.
+    *
+    * Skew/size guard: blocking bounds the pair volume only as well as
+    * its worst block — a single degenerate key (NULL-heavy column, a
+    * "city = London" block) re-creates the quadratic straggler that
+    * blocking was supposed to prevent, and AQE cannot help because the
+    * blow-up happens in the join OUTPUT, not the shuffled input. So
+    * before planning the pair join, ONE slim aggregate per side probes
+    * per-block counts ([[Skew.probeSalt]]'s pattern, joined to get
+    * |L_b|·|R_b|). Blocks past `maxBlockPairs` are warned about and
+    * SALTED: their left rows scatter across `salt` sub-keys (hashed on
+    * the left id), their right rows replicate ×`salt`, so the hot
+    * block's pairs spread over `salt` reducers — same pair set, same
+    * scores, row for row. Cold blocks keep the plain equi-join (no
+    * replication paid where keys are healthy). The probe costs two
+    * grouped counts of the INPUTS (never the pair set) and a bounded
+    * collect of hot keys.
     */
   def fellegiSunter(
       left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
       blockCols: Seq[String],
       comparators: Seq[Comparator],
-      linkThreshold: Double, nonLinkThreshold: Double): DataFrame = {
+      linkThreshold: Double, nonLinkThreshold: Double,
+      maxBlockPairs: Long = DefaultMaxBlockPairs,
+      salt: Int = 16): DataFrame = {
     require(comparators.nonEmpty, "need at least one comparator")
     require(linkThreshold >= nonLinkThreshold,
       "link threshold must not sit below the non-link threshold")
-    val joined = left.as("l").join(right.as("r"), blockCols)
-    val flags = comparators.map(c => c.agree.as(s"agree_${c.name}"))
-    // flags staged in their own projection: the score consumes the
-    // BOOLEAN attributes, so each comparator kernel (levenshtein et
-    // al.) runs once per pair — inlining it into the score's `when`
-    // would evaluate it twice (CollapseProject declines to merge
-    // multi-referenced non-cheap expressions, keeping the stage)
-    val staged = joined.select(
-      (Seq(col(s"l.$leftId"), col(s"r.$rightId")) ++ flags): _*)
-    val score = comparators.map(c =>
-      when(col(s"agree_${c.name}"), lit(c.agreeWeight))
-        .otherwise(lit(c.disagreeWeight)))
-      .reduce(_ + _)
-    staged
-      .withColumn("score", round(score, 4))
-      .withColumn("verdict",
-        when(col("score") >= linkThreshold, lit("link"))
-          .when(col("score") > nonLinkThreshold, lit("possible"))
-          .otherwise(lit("non_link")))
+
+    def score(joined: DataFrame): DataFrame = {
+      val flags = comparators.map(c => c.agree.as(s"agree_${c.name}"))
+      // flags staged in their own projection: the score consumes the
+      // BOOLEAN attributes, so each comparator kernel (levenshtein et
+      // al.) runs once per pair — inlining it into the score's `when`
+      // would evaluate it twice (CollapseProject declines to merge
+      // multi-referenced non-cheap expressions, keeping the stage)
+      val staged = joined.select(
+        (Seq(col(s"l.$leftId"), col(s"r.$rightId")) ++ flags): _*)
+      val s = comparators.map(c =>
+        when(col(s"agree_${c.name}"), lit(c.agreeWeight))
+          .otherwise(lit(c.disagreeWeight)))
+        .reduce(_ + _)
+      staged
+        .withColumn("score", round(s, 4))
+        .withColumn("verdict",
+          when(col("score") >= linkThreshold, lit("link"))
+            .when(col("score") > nonLinkThreshold, lit("possible"))
+            .otherwise(lit("non_link")))
+    }
+
+    // skew probe: per-block pair volume from input-side counts only
+    val lStats = left.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__nl"))
+    val rStats = right.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__nr"))
+    // bounded collect: past ~1000 hot blocks the blocking scheme itself
+    // is broken and per-key special-casing stops being the answer —
+    // salt everything uniformly instead of collecting an unbounded set
+    val hotRows = lStats.join(rStats, blockCols)
+      .where(col("__nl") * col("__nr") > maxBlockPairs)
+      .select(blockCols.map(col): _*)
+      .limit(1001).collect()
+
+    val scored =
+      if (hotRows.isEmpty) score(left.as("l").join(right.as("r"), blockCols))
+      else if (hotRows.length > 1000) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"fellegiSunter: >1000 blocks exceed $maxBlockPairs pairs — " +
+            s"blocking key is degenerate; salting ALL blocks x$salt")
+        score(saltJoin(left, right, blockCols, leftId, salt))
+      } else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"fellegiSunter: ${hotRows.length} hot block(s) exceed " +
+            s"$maxBlockPairs candidate pairs; salting them x$salt " +
+            s"(first: ${hotRows.head})")
+        val spark = left.sparkSession
+        val hotKeys = broadcast(
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(hotRows.toSeq, 1),
+            org.apache.spark.sql.types.StructType(
+              blockCols.map(c => lStats.schema(c)))))
+        val cold = score(
+          left.join(hotKeys, blockCols, "left_anti").as("l")
+            .join(right.join(hotKeys, blockCols, "left_anti").as("r"),
+              blockCols))
+        val hot = score(saltJoin(
+          left.join(hotKeys, blockCols, "left_semi"),
+          right.join(hotKeys, blockCols, "left_semi"),
+          blockCols, leftId, salt))
+        cold.unionByName(hot)
+      }
+    // 1:1 with candidate pairs — the scaling sweep's volume signal
+    Telemetry.mark(scored, "linkage_candidates")
+  }
+
+  /** Salted within-block pair join: left rows scatter on
+    * `hash(leftId) % salt`, right rows replicate to every sub-key —
+    * the full L_b×R_b pair set spread over `salt` reducers. Aliases
+    * `l`/`r` for the comparator expressions, like the plain join.
+    */
+  private def saltJoin(left: DataFrame, right: DataFrame,
+      blockCols: Seq[String], leftId: String, salt: Int): DataFrame = {
+    val l = left.withColumn("__fs_salt",
+      pmod(hash(col(leftId)), lit(salt))).as("l")
+    val r = right.withColumn("__fs_salt",
+      explode(sequence(lit(0), lit(salt - 1)))).as("r")
+    l.join(r, blockCols :+ "__fs_salt").drop("__fs_salt")
   }
 
   /** Round half away from zero at `s` decimals — the per-iteration

@@ -1463,15 +1463,18 @@ object Pipeline {
       val emb = Tables.embeddings(s, d)
       // the oracle replays a k = 8 CTE chain; sf0.1 sits at n = 2000
       // (k = 8 holds up to n = 2048), so fixture growth must fail HERE
-      // with the auto rule named, not as an unexplained hash mismatch
-      val n = emb.count()
-      val k = math.max(8, math.ceil(n / 256.0).toInt)
+      // with the auto rule named, not as an unexplained hash mismatch.
+      // The resolved (n, k) is read back from the operator's own AUTO
+      // count — semDedup's quantizer construction is eager — so the
+      // guard costs zero extra jobs and can't drift from the rule.
+      val out = Dedup.semDedup(emb, "embedding", "vec_id",
+        nLists = 0, iters = 2, threshold = 0.3, dims = 64)
+      val (n, k) = Dedup.lastAutoK.getOrElse(
+        sys.error("q105: semDedup AUTO mode did not record its resolved k"))
       require(k == 8, s"q105 AUTO quantizer resolved k=$k (n=$n, rule " +
         "max(8, ceil(n/256))) but the DuckDB oracle replays k=8 — " +
         "regenerate the oracle's k-means CTE chain for the new k")
-      Dedup.semDedup(emb, "embedding", "vec_id",
-          nLists = 0, iters = 2, threshold = 0.3, dims = 64)
-        .orderBy("vec_id")
+      out.orderBy("vec_id")
     }),
 
     // ---- fuzzy dedup: prefix-blocked candidates verified by

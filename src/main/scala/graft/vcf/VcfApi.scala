@@ -391,10 +391,15 @@ object VcfApi {
       explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
     val b = sites.select(col("variant_id").as("id_b"), col("chr"),
       col("start").as("pos_b"), col("dose").as("db"), col("bucket"))
-    val pairs = probe.join(b, Seq("chr", "bucket"))
-      .where((col("pos_b") > col("pos_a")
-          || (col("pos_b") === col("pos_a") && col("id_b") > col("id_a")))
-        && col("pos_b") - col("pos_a") <= maxDist)
+    // telemetry is 1:1 with the qualifying window pairs — the volume
+    // the scaling sweep tracks against variant density (identity when
+    // telemetry is disabled, which is every gate/spec run)
+    val pairs = graft.operators.Telemetry.mark(
+      probe.join(b, Seq("chr", "bucket"))
+        .where((col("pos_b") > col("pos_a")
+            || (col("pos_b") === col("pos_a") && col("id_b") > col("id_a")))
+          && col("pos_b") - col("pos_a") <= maxDist),
+      "ld_candidates")
     // align by sample key (try_element_at returns NULL for a sample
     // absent on the other side), keep the both-called mask, then
     // integer sums (gt ∈ {0,1,2}) — r and r² are derived row-locally

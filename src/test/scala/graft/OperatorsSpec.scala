@@ -3703,6 +3703,36 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(dw - math.log(1.0 / 9.0)) < 1e-12)
   }
 
+  test("Linkage.fellegiSunter: hot-block salting preserves the pair set exactly") {
+    import graft.operators.{Linkage, Telemetry}
+    // planted hot block: 40×40 = 1600 pairs, far past the 100-pair
+    // ceiling; cold block 3×3 = 9 pairs stays on the plain join path
+    val left = ((1L to 40L).map(i => (i, s"name$i", "hot")) ++
+      (101L to 103L).map(i => (i, s"name$i", "cold"))).toDF("lid", "name", "blk")
+    val right = ((1L to 40L).map(i => (i + 1000L, s"name$i", "hot")) ++
+      (101L to 103L).map(i => (i + 1000L, s"name${i + 1}", "cold")))
+      .toDF("rid", "name", "blk")
+    val comparators = Seq(Linkage.Comparator("name",
+      col("l.name") === col("r.name"), 4.0, -2.0))
+    def run(maxPairs: Long) = Linkage.fellegiSunter(left, right, "lid", "rid",
+        Seq("blk"), comparators, linkThreshold = 3.0, nonLinkThreshold = 0.0,
+        maxBlockPairs = maxPairs, salt = 4)
+      .orderBy("lid", "rid").select("lid", "rid", "score", "verdict")
+      .as[(Long, Long, Double, String)].collect().toSeq
+    val plain = run(Long.MaxValue) // guard never fires
+    val salted = run(100L)         // hot block salted ×4
+    assert(salted == plain, "salted pair set must equal the plain join's")
+    assert(plain.size == 1609 && plain.count(_._4 == "link") == 42)
+    // the telemetry mark counts every candidate pair across both paths
+    Telemetry.enable(spark); Telemetry.reset()
+    try {
+      Linkage.fellegiSunter(left, right, "lid", "rid", Seq("blk"),
+        comparators, 3.0, 0.0, maxBlockPairs = 100L, salt = 4)
+        .write.format("noop").mode("overwrite").save()
+      assert(Telemetry.await("linkage_candidates").contains(1609L))
+    } finally { Telemetry.disable(); Telemetry.reset() }
+  }
+
   test("Graph.incrementalComponents: equals from-scratch CC, touched-only work") {
     // old graph: {1-2-3}, {10-11}, {20-21}; new edges: 3-10 (merges two
     // comps) and 30-31 (brand-new vertices)

@@ -233,6 +233,157 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB changelog: killed stream-stream outer join resumes with buffered state intact") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // q311's restart-durability proof: batch 1 buffers a VIEW in the
+    // join state, the query is killed, and batch 2's PURCHASE (same
+    // user) can only pair with that view if the RocksDB+changelog
+    // checkpoint restored the buffered side. The view-less purchase's
+    // NULL row additionally proves watermark state survived (it is
+    // only released once the restored watermark passes it).
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prevs = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ojr_src")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ojr_ckpt")
+      val sink = java.nio.file.Files.createTempDirectory("graft_ojr_out")
+      val s = 1000000000L // 1 s in ns
+      def write(rows: Seq[(Long, Long, Long, String)], name: String,
+          mtime: Long): Unit = {
+        val p = dir.resolve(name)
+        rows.toDF("event_id", "ts", "user_id", "event_type").coalesce(1)
+          .write.parquet(p.toString)
+        java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+      }
+      def run() = {
+        val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir.toString + "/*.parquet")
+        val q = EventsStream.viewPurchaseJoin(stream, joinType = "left_outer")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt.toString)
+          .format("parquet").option("path", sink.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q
+      }
+      // b1: view 10 (user 1) — join state; purchase 20 (user 2) — no
+      // view, must surface as a NULL row once the watermark passes it
+      write(Seq((10L, 100L * s, 1L, "view"), (20L, 200L * s, 2L, "purchase")),
+        "b1.parquet", 1000000L)
+      run() // buffers state, emits nothing (watermark still below 0)
+      // new data lands while no query runs: purchase 21 pairs with the
+      // RESTORED view 10; far-future sentinels (one per side, user −1)
+      // drive the final watermark past every real event (the flush
+      // pattern runOuterJoinOnce stages)
+      val flush = 3L * 24 * 3600 * s
+      write(Seq(
+        (21L, 300L * s, 1L, "purchase"),
+        (98L, flush, -1L, "view"), (99L, flush + s, -1L, "purchase")),
+        "b2.parquet", 2000000L)
+      val q2 = run()
+      val got = spark.read.parquet(sink.toString)
+        .where(col("user_id") >= 0)
+        .select("purchase_id", "view_id", "user_id", "gap_us")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      // a fresh (state-lost) run over b2 alone would pair purchase 21
+      // with NOTHING — (21, -1, 1, -1) here is the failure signature
+      assert(got == Set(
+        (21L, 10L, 1L, 200000000L),
+        (20L, -1L, 2L, -1L)), s"got $got")
+      val keys = q2.recentProgress.flatMap(_.stateOperators).flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(keys.exists(_.startsWith("rocksdb")),
+        s"RocksDB provider not engaged: ${keys.toSet}")
+      val changelogs = java.nio.file.Files.walk(ckpt)
+        .filter(p => p.toString.endsWith(".changelog")).count()
+      assert(changelogs > 0, "no .changelog files under the checkpoint")
+    } finally prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("RocksDB changelog: killed session_window stream resumes and MERGES the open session") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // q320's restart-durability proof: user 1's session is OPEN (events
+    // at 0m/10m) when the query dies; batch 2's event at 20m is within
+    // the 30m gap, so the restored session-window state must EXTEND the
+    // session to one merged (0 → 50m, n=3) window — a state-lost rerun
+    // would emit a lone (20m → 50m, n=1) session instead.
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prevs = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_swr_src")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_swr_ckpt")
+      val sink = java.nio.file.Files.createTempDirectory("graft_swr_out")
+      val m = 60L * 1000000000L // one minute in ns
+      def write(rows: Seq[(Long, Long, Double)], name: String,
+          mtime: Long): Unit = {
+        val p = dir.resolve(name)
+        rows.toDF("user_id", "ts", "value").coalesce(1)
+          .write.parquet(p.toString)
+        java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+      }
+      def run() = {
+        val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir.toString + "/*.parquet")
+        val q = EventsStream.sessionWindowAgg(stream, "30 minutes")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt.toString)
+          .format("parquet").option("path", sink.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q
+      }
+      write(Seq((1L, 0L * m, 1.0), (1L, 10L * m, 2.0), (2L, 5L * m, 8.0)),
+        "b1.parquet", 1000000L)
+      run() // sessions open in state; nothing emitted yet
+      // 20m − 10m = 10m < 30m gap ⇒ must merge into the restored
+      // session; the user −1 sentinel drains every session at the end
+      write(Seq((1L, 20L * m, 4.0), (-1L, 3L * 24 * 60 * m, 0.0)),
+        "b2.parquet", 2000000L)
+      val q2 = run()
+      val us = 60L * 1000000L // one minute in µs
+      val got = spark.read.parquet(sink.toString)
+        .where(col("user_id") >= 0)
+        .select("user_id", "session_start_us", "session_end_us", "n", "sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(got == Seq(
+        (1L, 0L, 50L * us, 3L, 7.0),
+        (2L, 5L * us, 35L * us, 1L, 8.0)), s"got $got")
+      val keys = q2.recentProgress.flatMap(_.stateOperators).flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(keys.exists(_.startsWith("rocksdb")),
+        s"RocksDB provider not engaged: ${keys.toSet}")
+      val changelogs = java.nio.file.Files.walk(ckpt)
+        .filter(p => p.toString.endsWith(".changelog")).count()
+      assert(changelogs > 0, "no .changelog files under the checkpoint")
+    } finally prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("statefulThroughput measures the state-store path, both providers") {
     val hdfs = EventsStream.statefulThroughput(spark, 20000L, minBatches = 2)
     assert(hdfs.exists(_ > 0.0), s"default-provider throughput: $hdfs")
