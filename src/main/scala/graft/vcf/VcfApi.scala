@@ -359,16 +359,25 @@ object VcfApi {
     * monomorphic among shared samples get NULL r². Output:
     * `id_a, id_b, dist, n, r2` (r² rounded to 4).
     *
-    * Scale shape: genotypes are first packed into ONE sample-keyed
-    * dosage map per variant (a single variant-keyed aggregation),
-    * so the pair join moves one row per variant, not one per
-    * genotype — and the pair-local correlation aligns the two sides
-    * BY SAMPLE KEY (map lookup), so a sparse geno relation (absent
-    * rows, not just NULL gt) can never silently correlate different
-    * samples. Pair candidates come from position-bucket blocking
-    * (bucket width = maxDist; each left row probes its own and the
-    * next bucket — every qualifying pair lands in exactly one probe
-    * because a.start ≤ b.start ≤ a.start + maxDist spans at most two
+    * Scale shape: genotypes are first packed into ONE dosage vector
+    * per variant (a single variant-keyed aggregation), so the pair
+    * join moves one row per variant, not one per genotype. Alignment
+    * between the two sides is POSITIONAL over a shared sample-ordinal
+    * dictionary (built once, one slim shuffle): the pair-local
+    * correlation is a `zip_with` over two equal-length dense arrays —
+    * O(S) integer/double ops per pair. The first version aligned by
+    * sample-keyed MAP lookups instead; profiling the 2M-variant tier
+    * showed every core pinned in `GetMapValueUtil`'s linear scan
+    * (O(S²) UTF8 comparisons per pair) — dense ordinals remove the
+    * string compares and the quadratic scan both. Inputs that are
+    * SPARSE (a (variant, sample) row entirely absent, not just NULL
+    * gt) are detected by a one-aggregate completeness probe and take
+    * a densify step through an int-keyed map, so they still correlate
+    * sample-to-sample, never position-to-wrong-position. Pair
+    * candidates come from position-bucket blocking (bucket width =
+    * maxDist; each left row probes its own and the next bucket —
+    * every qualifying pair lands in exactly one probe because
+    * a.start ≤ b.start ≤ a.start + maxDist spans at most two
     * buckets), so candidates are bounded by local variant density,
     * never all-pairs-per-chromosome. Pair ordering is keyed on
     * (position, id) — NOT on id order agreeing with position order —
@@ -378,10 +387,35 @@ object VcfApi {
     * over the bounded per-pair sample intersection.
     */
   def ldReport(geno: DataFrame, info: DataFrame, maxDist: Long): DataFrame = {
-    val vecs = geno
-      .groupBy("variant_id")
-      .agg(map_from_entries(sort_array(collect_list(
-        struct(col("sample"), col("gt"))))).as("dose"))
+    import org.apache.spark.sql.expressions.Window
+    // sample → dense ordinal; S distinct samples through one
+    // single-partition window (S ≪ corpus; ~100k rows at biobank width)
+    val idx = geno.select(col("sample")).distinct()
+      .withColumn("__si",
+        (row_number().over(Window.orderBy("sample")) - 1).cast("int"))
+    val nS = idx.count()
+    val g = geno.join(broadcast(idx), Seq("sample"))
+    // completeness probe: every variant carrying exactly S gt rows
+    // (missing CALLS as NULL gt) sorts densely by ordinal — the shape
+    // every VCF-derived geno table has
+    val mm = g.groupBy("variant_id").agg(count(lit(1)).as("__n"))
+      .agg(min("__n"), max("__n")).head()
+    val complete = !mm.isNullAt(0) && mm.getLong(0) == nS && mm.getLong(1) == nS
+    val vecs =
+      if (complete)
+        g.groupBy("variant_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("__si"), col("gt").as("g")))),
+            e => e("g")).as("dose"))
+      else
+        // sparse fallback: densify through an int-keyed map (integer
+        // compares, once per VARIANT — never inside the pair kernel)
+        g.groupBy("variant_id")
+          .agg(map_from_entries(collect_list(
+            struct(col("__si"), col("gt")))).as("__m"))
+          .select(col("variant_id"),
+            transform(sequence(lit(0), lit(math.max(nS - 1, 0).toInt)),
+              i => try_element_at(col("__m"), i)).as("dose"))
     val sites = info.select(col("variant_id"), col("chr"), col("start"))
       .join(vecs, Seq("variant_id"))
       .withColumn("bucket", floor(col("start") / maxDist))
@@ -400,25 +434,37 @@ object VcfApi {
             || (col("pos_b") === col("pos_a") && col("id_b") > col("id_a")))
           && col("pos_b") - col("pos_a") <= maxDist),
       "ld_candidates")
-    // align by sample key (try_element_at returns NULL for a sample
-    // absent on the other side), keep the both-called mask, then
-    // integer sums (gt ∈ {0,1,2}) — r and r² are derived row-locally
-    // from the six sums
-    val zipped = pairs.withColumn("_z",
-      filter(transform(map_keys(col("da")),
-          k => struct(try_element_at(col("da"), k).as("a"),
-            try_element_at(col("db"), k).as("b"))),
-        p => p("a").isNotNull && p("b").isNotNull))
-    def fsum(f: Column => Column): Column =
-      aggregate(col("_z"), lit(0L), (acc, p) => acc + f(p))
-    val sums = zipped.select(
-      col("id_a"), col("id_b"), (col("pos_b") - col("pos_a")).as("dist"),
-      size(col("_z")).cast("bigint").as("n"),
-      fsum(p => p("a").cast("long")).as("sa"),
-      fsum(p => p("b").cast("long")).as("sb"),
-      fsum(p => (p("a") * p("a")).cast("long")).as("saa"),
-      fsum(p => (p("b") * p("b")).cast("long")).as("sbb"),
-      fsum(p => (p("a") * p("b")).cast("long")).as("sab"))
+    // positional alignment over the shared ordinal dictionary: each
+    // pair's left vector posexplodes (codegen'd generator) and the
+    // right side is an O(1) element_at by INDEX, then ONE combinable
+    // hash aggregation folds the six integer sums (gt ∈ {0,1,2}) —
+    // r and r² derive row-locally from them. Higher-order array
+    // functions (zip_with/filter/aggregate) would express this without
+    // the explode, but they evaluate INTERPRETED (per-pair struct
+    // allocation, no whole-stage codegen — profiled as the kernel
+    // ceiling at the 2M-variant tier); the generator + hash-agg plan
+    // keeps everything inside codegen, with map-side partial
+    // aggregation collapsing each pair's S rows before the exchange.
+    // Conditional sums (not a WHERE) keep zero-overlap pairs emitting
+    // their n = 0 row, exactly like the array form did.
+    val both = col("__a").isNotNull && col("__b").isNotNull
+    def csum(c: Column): Column =
+      sum(when(both, c.cast("long")).otherwise(0L))
+    val sums = pairs
+      .select(col("id_a"), col("id_b"),
+        (col("pos_b") - col("pos_a")).as("dist"), col("db"),
+        posexplode(col("da")))
+      .select(col("id_a"), col("id_b"), col("dist"),
+        col("col").as("__a"),
+        element_at(col("db"), col("pos") + 1).as("__b"))
+      .groupBy("id_a", "id_b", "dist")
+      .agg(
+        sum(when(both, 1L).otherwise(0L)).as("n"),
+        csum(col("__a")).as("sa"),
+        csum(col("__b")).as("sb"),
+        csum(col("__a") * col("__a")).as("saa"),
+        csum(col("__b") * col("__b")).as("sbb"),
+        csum(col("__a") * col("__b")).as("sab"))
     val num = col("n") * col("sab") - col("sa") * col("sb")
     val denA = col("n") * col("saa") - col("sa") * col("sa")
     val denB = col("n") * col("sbb") - col("sb") * col("sb")

@@ -692,6 +692,41 @@ class ScaleSpec extends SparkSpec {
       s"cell volume $cells exceeds ${bound * bound}")
   }
 
+  test("64×64 kinship grid: per-cell bound holds, KING identical to unblocked") {
+    // the EXACT grid the 50k-sample RefScaleBench row runs (B = 64):
+    // 200 samples → no cell may exceed ⌈200/64⌉² = 16 pairs of one
+    // variant, and the blocked KING stays row-identical
+    val geno = (for {
+      v <- 1 to 2; s <- 0 until 200
+    } yield (v.toLong, f"S$s%03d", ((v * 13 + s * 7) % 3).toDouble))
+      .toDF("variant_id", "sample", "gt")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val cols = df.columns.sorted.map(col)
+      df.select(cols.toIndexedSeq: _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+    }
+    assert(canon(graft.vcf.VcfApi.kingReport(geno, sampleBlocks = 64)) ==
+      canon(graft.vcf.VcfApi.kingReport(geno)))
+    val a = geno.select($"variant_id", $"sample".as("sample_a"), $"gt".as("ga"))
+    val b = geno.select($"variant_id", $"sample".as("sample_b"), $"gt".as("gb"))
+    val cells = graft.vcf.VcfApi.samplePairGrid(a, b,
+        includeDiagonal = false, sampleBlocks = 64)
+      .groupBy("variant_id", "_ba", "_bb").count()
+      .agg(max("count")).as[Long].head()
+    // the exact per-cell ceiling is (largest hash block)² — ⌈S/B⌉² only
+    // under perfectly balanced hashing, and at S/B ≈ 3 the binomial
+    // spread is material (it vanishes at the 50k-row run's S/B ≈ 781)
+    val maxBlock = geno.select($"sample").distinct()
+      .select(pmod(xxhash64($"sample"), lit(64L)).as("b"))
+      .groupBy("b").count().agg(max("count")).as[Long].head()
+    assert(cells <= maxBlock * maxBlock,
+      s"cell volume $cells exceeds block ceiling ${maxBlock * maxBlock}")
+    // hash balance sanity: no block hoards a straggler's worth of
+    // samples (≤ 4× the balanced share at this tiny S/B ratio)
+    assert(maxBlock <= 4 * math.ceil(200 / 64.0).toLong,
+      s"xxhash block skew: max block $maxBlock samples")
+  }
+
   test("zipfFit ranks via TakeOrdered, never a global-sort Exchange") {
     val docs = (0 until 100).map(i => s"w${i % 17} w${i % 5} common")
       .toDF("text")
