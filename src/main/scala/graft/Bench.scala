@@ -721,9 +721,28 @@ object Bench {
     if (missingMetrics.nonEmpty)
       System.err.println(
         s"[bench] MISSING metrics this run: ${missingMetrics.mkString(", ")}")
+    // throughput floors: an order of magnitude under every recorded
+    // healthy run (r9: tumbling 4.7M, hdfs-state ~1M, rocksdb 568k
+    // rows/s). A breach means the streaming tier is broken or the
+    // machine was starved — either way the record must say so itself
+    // instead of relying on a human diffing rounds.
+    val floors = Map(
+      "stream_tumbling_rows_per_sec" -> 500000d,
+      "stream_state_rows_per_sec_hdfs" -> 100000d,
+      "stream_state_rows_per_sec_rocksdb" -> 50000d,
+      "stream_state_rows_per_sec_rocksdb_changelog" -> 50000d)
+    val throughputFlags = floors.toSeq.sorted.collect {
+      case (k, floor) if results.get(k).exists(v => v >= 0 && v < floor) =>
+        f"$k@${results(k)}%.0f<$floor%.0f"
+    }
+    val throughputJson =
+      throughputFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    if (throughputFlags.nonEmpty)
+      System.err.println(
+        s"[bench] throughput FLOOR breach: ${throughputFlags.mkString(", ")}")
     val isolateJson = if (isolate) "true" else "false"
     val fullLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_100x":$scaling100Json,"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_100x":$scaling100Json,"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"throughput_flags":$throughputJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
     // Compact totals-only line: the five BASELINE.md comparables plus the
     // sweep verdict. This is the line the driver's bounded tail capture
     // must survive — keep it short no matter how many queries exist.
@@ -735,7 +754,7 @@ object Bench {
     val compactQs = comparables.flatMap(k => results.get(k).map(v =>
       "\"" + k + "\":" + f"$v%.4f")).mkString("{", ",", "}")
     val compactLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$compactQs,"n_queries":${results.size},"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"load_index":$loadIndex%.2f,"sf":"$sfDir","full":"/tmp/graft_bench_full.json"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$compactQs,"n_queries":${results.size},"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"throughput_flags":$throughputJson,"load_index":$loadIndex%.2f,"sf":"$sfDir","full":"/tmp/graft_bench_full.json"}"""
 
     // Sidecars: survive even if stdout capture is truncated.
     try {

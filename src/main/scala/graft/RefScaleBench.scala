@@ -44,7 +44,10 @@ object RefScaleBench {
     results("n_variants") = nVariants.toDouble
     results("sample_blocks") = blocks.toDouble
     System.err.println(s"[refscale] kinship $nVariants x $nSamples, B=$blocks")
-    val out = "/tmp/graft_refscale_kinship_db"
+    // shape-keyed path: skipComplete would otherwise silently reuse a
+    // PRIOR run's differently-shaped DB (the r11 50k run first measured
+    // r9's 10k×32 parquet because both wrote one fixed path)
+    val out = s"/tmp/graft_refscale_kinship_db_${nSamples}x$nVariants"
     val tables = VcfBuild.build(
       SyntheticVcf.generate(spark, nVariants, nSamples, nGenes = 10))
     tables.write(out, skipComplete = true)

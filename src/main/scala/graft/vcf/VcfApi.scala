@@ -526,7 +526,22 @@ object VcfApi {
         .withColumn("_bb", explode(sequence(lit(0), lit(nB - 1))))
       val bExp = b.withColumn("_bb", blockOf(col("sample_b")))
         .withColumn("_ba", explode(sequence(lit(0), lit(nB - 1))))
-      aExp.join(bExp, Seq("variant_id", "_ba", "_bb")).where(pairPred)
+      // EXPLICIT-count repartition on the exact join key: AQE sizes
+      // post-shuffle partitions by INPUT bytes, and this join's inputs
+      // are B× the (slim) geno while its OUTPUT is the C(S,2) pair
+      // explosion — observed at 50k samples, AQE coalesced the 64×64
+      // grid onto TWO straggler tasks, undoing the decomposition this
+      // operator exists for. A user-specified numPartitions is exempt
+      // from AQE coalescing, and the join reuses the partitioning (no
+      // extra exchange), so the grid's parallelism is load-bearing
+      // again no matter how small the input bytes look.
+      val parts = math.max(
+        a.sparkSession.sessionState.conf.numShufflePartitions,
+        math.min(nB * nB, 4096))
+      aExp.repartition(parts, col("variant_id"), col("_ba"), col("_bb"))
+        .join(bExp.repartition(parts, col("variant_id"), col("_ba"), col("_bb")),
+          Seq("variant_id", "_ba", "_bb"))
+        .where(pairPred)
     }
   }
 
