@@ -357,12 +357,20 @@ object Eval {
       PoissonCuts.foldLeft(lit(0L)) { (acc, t) =>
         acc + when(u >= t, 1L).otherwise(0L)
       }
-    val weights = array((0 until reps).map { r =>
-      weight(pmod(md5Long(col(idCol), r), lit(1000000L)))
+    // explode the UNIFORM draws and fold the 8 Poisson cuts ONCE after
+    // the generator — inlining weight() into the array put reps×cuts
+    // when-branches inside Generate's doConsume, which overflowed the
+    // JVM's 64 KB method limit at reps = 32 and silently dropped the
+    // whole stage to interpreted eval ("Code grows beyond 64 KB" in
+    // the r11 bench log); post-explode the chain appears once
+    val draws = array((0 until reps).map { r =>
+      pmod(md5Long(col(idCol), r), lit(1000000L))
     }: _*)
     val perRep = df
       .select(col(groupCol), metric.cast("long").as("_v"),
-        posexplode(weights).as(Seq("rep", "_w")))
+        posexplode(draws).as(Seq("rep", "_u")))
+      .select(col(groupCol), col("_v"), col("rep"),
+        weight(col("_u")).as("_w"))
       .groupBy(groupCol, "rep")
       .agg(sum(col("_w") * col("_v")).as("_wv"), sum("_w").as("_w"))
       .withColumn("_mean",
