@@ -3733,6 +3733,26 @@ class OperatorsSpec extends SparkSpec {
     } finally { Telemetry.disable(); Telemetry.reset() }
   }
 
+  test("Linkage.fellegiSunter: degenerate blocking (>1000 hot blocks) salts everything, same pairs") {
+    import graft.operators.Linkage
+    // 1100 blocks, 2×2 rows each — with maxBlockPairs = 1 every block
+    // is hot and the bounded hot-key collect overflows, taking the
+    // salt-everything branch; the pair set must still be exact
+    val left = (0L until 2200L).map(i => (i, s"n${i % 7}", s"b${i % 1100}"))
+      .toDF("lid", "name", "blk")
+    val right = (0L until 2200L).map(i =>
+      (i + 10000L, s"n${(i + 1) % 7}", s"b${i % 1100}")).toDF("rid", "name", "blk")
+    val comparators = Seq(Linkage.Comparator("name",
+      col("l.name") === col("r.name"), 4.0, -2.0))
+    def run(maxPairs: Long) = Linkage.fellegiSunter(left, right, "lid", "rid",
+        Seq("blk"), comparators, 3.0, 0.0, maxBlockPairs = maxPairs, salt = 3)
+      .orderBy("lid", "rid").select("lid", "rid", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    val plain = run(Long.MaxValue)
+    val salted = run(1L)
+    assert(plain.size == 2200 * 2 && salted == plain)
+  }
+
   test("Graph.incrementalComponents: equals from-scratch CC, touched-only work") {
     // old graph: {1-2-3}, {10-11}, {20-21}; new edges: 3-10 (merges two
     // comps) and 30-31 (brand-new vertices)
