@@ -118,6 +118,81 @@ object Bpe {
     learnFromFreqs(freqs, numMerges)
   }
 
+  /** Fully-distributed BPE merge learning — the 100-TB path.
+    *
+    * [[learn]] collects a `topWords`-capped dictionary to the driver;
+    * this variant never does: the vocabulary stays a DataFrame and each
+    * round is (a) one map-side-combined pair count over it and (b) a
+    * broadcast-literal merge applied as a string `replace`. Only the
+    * single argmax row crosses to the driver per round, so vocabulary
+    * size is unbounded.
+    *
+    * Representation: a word's token sequence is one string with every
+    * token pipe-wrapped and space-separated — `quick` →
+    * `|q| |u| |i| |c| |k|`. Merging pair (a, b) is then the plain
+    * non-overlapping left-to-right `replace("|a| |b|", "|ab|")`, which
+    * is exactly BPE's merge order ("a a a a" → "aa aa", "a a a" →
+    * "aa a"): the wrapping pipes anchor whole tokens (no token contains
+    * `|`), and because the pattern consumes no delimiter OUTSIDE the
+    * two tokens, adjacent occurrences never share consumed characters.
+    * Identical semantics in any engine with standard `replace` — the
+    * oracle replays every round in SQL.
+    *
+    * Tokenization differs from [[learn]] deliberately: `[a-z0-9]+` runs
+    * (the house [[graft.functions.tokens]] alphabet, no end-marker) so
+    * token characters can never collide with the `|`/space delimiters.
+    *
+    * Tie-break per round: highest weighted count, then lexicographically
+    * smallest (left, right) — deterministic, same as [[learnFromFreqs]].
+    *
+    * @return one row per learned merge:
+    *         `round, left_tok, right_tok, merged, pair_count`
+    */
+  def learnDistributed(df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      // '|a| |b| ... ' then rtrim the trailing space
+      .select(col("f"),
+        rtrim(regexp_replace(col("word"), "(.)", "|$1| ")).as("w"))
+      .persist() // materialized by round 1's argmax job
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var vocab = words
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val best = vocab
+        .select(col("f"),
+          expr("split(trim(BOTH '|' FROM w), '\\\\| \\\\|')").as("l"))
+        .filter(size(col("l")) > 1)
+        .select(col("f"), explode(expr(
+          """transform(sequence(1, size(l) - 1),
+               i -> named_struct('a', element_at(l, i),
+                                 'b', element_at(l, i + 1)))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, a + b, cnt))
+        // tokens are [a-z0-9]+ concatenations — no quoting hazards
+        vocab = vocab.withColumn("w",
+          expr(s"replace(w, '|$a| |$b|', '|$a$b|')"))
+        r += 1
+      }
+    }
+    val out = merges.result()
+      .toDF("round", "left_tok", "right_tok", "merged", "pair_count")
+    words.unpersist()
+    out
+  }
+
   /** Tokenize `textCol` with the given merges: appends `bpe_tokens`
     * (flattened across the text's words) and `n_bpe_tokens`. Merge
     * ranks are broadcast; encoding runs per partition.

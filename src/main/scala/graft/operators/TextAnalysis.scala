@@ -1849,4 +1849,137 @@ object TextAnalysis {
             lit(0L), (acc, v) => acc + v).cast("double")
             / col("n_bottom") + 0.5) / 1e6).as("mink_avg_logp"))
   }
+
+  /** Tokenizer fertility / compression audit per group (typically the
+    * language column): how many subword tokens the BPE-ish tokenizer
+    * spends per word, character, and byte. The standard multilingual
+    * token-budget report — high fertility languages are under-served by
+    * the tokenizer and overpay their token budget.
+    *
+    * One row-local projection + one combinable aggregate; ratios are
+    * ratios of exact integer sums, emitted on the 1e-6 floor grid.
+    * Emits `(groupCol, n_docs, sum_words, sum_bpe_tokens, sum_chars,
+    * sum_bytes, fertility, chars_per_token, bytes_per_token)`.
+    */
+  def fertilityReport(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val t = col(textCol)
+    def grid6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    df.select(col(groupCol),
+        size(tokens(t)).cast("long").as("__w"),
+        tokenCountBpeIsh(t).as("__b"),
+        length(t).cast("long").as("__c"),
+        octet_length(t).cast("long").as("__o"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__w").as("sum_words"),
+        sum("__b").as("sum_bpe_tokens"),
+        sum("__c").as("sum_chars"),
+        sum("__o").as("sum_bytes"))
+      .select(col(groupCol), col("n_docs"), col("sum_words"),
+        col("sum_bpe_tokens"), col("sum_chars"), col("sum_bytes"),
+        grid6(col("sum_bpe_tokens").cast("double") / col("sum_words"))
+          .as("fertility"),
+        grid6(col("sum_chars").cast("double") / col("sum_bpe_tokens"))
+          .as("chars_per_token"),
+        grid6(col("sum_bytes").cast("double") / col("sum_bpe_tokens"))
+          .as("bytes_per_token"))
+  }
+
+  /** Good–Turing frequency re-estimation over the corpus word
+    * `n`-gram histogram (Gale & Sampson's Turing estimator, unsmoothed
+    * tail):
+    * for each observed count r ≤ `maxR`, r* = (r+1)·N_{r+1}/N_r, and
+    * the probability mass GT assigns to the whole count class,
+    * p_mass = N_r·r⋆/N. Row r = 0 carries the unseen-event mass
+    * N_1/N (the LM-smoothing companion of the Chao1 unseen-vocabulary
+    * estimate, which predicts unseen SPECIES instead).
+    *
+    * Everything derives from integer token counts: one explode+count,
+    * one count-of-counts aggregate (frequency-of-frequencies is tiny),
+    * a self-join on r+1, double ratios on the 1e-6/1e-8 floor grids.
+    * Emits `(r, n_r, r_star, p_mass)` ordered by r.
+    */
+  def goodTuring(df: DataFrame, textCol: String,
+      n: Int = 2, maxR: Int = 10): DataFrame = {
+    val counts = df
+      .select(explode(wordShingles(tokens(col(textCol)), n)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("r"))
+    val freqOfFreq = Dedup.persistTracked(
+      counts.groupBy("r").agg(count(lit(1)).as("n_r")))
+    val total = counts.agg(sum("r").as("__N"))
+    val nextF = freqOfFreq.select((col("r") - 1).as("r"),
+      col("n_r").as("__n_next"))
+    val seen = freqOfFreq.filter(col("r") <= maxR)
+      .join(nextF, Seq("r"), "left")
+      .na.fill(0L, Seq("__n_next"))
+      .crossJoin(total)
+      .select(col("r"), col("n_r"),
+        when(col("__n_next") > 0,
+          floor((col("r") + 1).cast("double") * col("__n_next")
+            / col("n_r") * 1e6 + 0.5) / 1e6).as("r_star"),
+        when(col("__n_next") > 0,
+          floor((col("r") + 1).cast("double") * col("__n_next")
+            / col("__N") * 1e8 + 0.5) / 1e8).as("p_mass"))
+    val unseen = freqOfFreq.filter(col("r") === 1)
+      .crossJoin(total)
+      .select(lit(0L).as("r"), lit(0L).as("n_r"),
+        lit(null).cast("double").as("r_star"),
+        (floor(col("n_r").cast("double") / col("__N") * 1e8 + 0.5) / 1e8)
+          .as("p_mass"))
+    unseen.unionByName(seen).orderBy("r")
+  }
+
+  /** Distinctive-term analysis: log-odds ratio with an informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words")
+    * of each source's usage of the corpus-wide top-`topV` terms vs the
+    * REST of the corpus. The standard corpus-comparison statistic —
+    * unlike raw TF-IDF it is variance-stabilized, so rare-but-noisy
+    * terms don't dominate.
+    *
+    *   δ_iw = ln[(y_iw + α_w)/(n_i + α_0 − y_iw − α_w)]
+    *        − ln[(y_jw + α_w)/(n_j + α_0 − y_jw − α_w)]
+    *   σ²   ≈ 1/(y_iw + α_w) + 1/(y_jw + α_w),  z = δ/σ
+    *
+    * with α_w = α_0·y_w/N (prior proportional to corpus usage) and j =
+    * all other sources pooled. A dense source×term scaffold keeps
+    * zero-usage cells present (the q147 lesson: an inner join silently
+    * drops exactly the most distinctive absences).
+    *
+    * Counts are exact integers; each ln argument is rounded to the 1e-6
+    * grid BEFORE the log (the PMI pattern — engines' libm may differ at
+    * ulp scale) and δ/z land on the 1e-4 floor grid. Emits
+    * `(source, term, y_iw, delta, z)`.
+    */
+  def logOddsTerms(df: DataFrame, textCol: String, groupCol: String,
+      topV: Int = 50, alpha0: Double = 100.0): DataFrame = {
+    val docTok = Dedup.persistTracked(
+      df.select(col(groupCol).as("src"),
+          explode(tokens(col(textCol))).as("w"))
+        .groupBy("src", "w").agg(count(lit(1)).as("y_iw")))
+    val corpus = docTok.groupBy("w").agg(sum("y_iw").as("y_w"))
+    val top = corpus.orderBy(col("y_w").desc, col("w").asc).limit(topV)
+    val totals = docTok.groupBy("src").agg(sum("y_iw").as("n_i"))
+    val grandN = docTok.agg(sum("y_iw").as("__N"))
+    // dense scaffold: every (source, top term) cell, zero-filled
+    val cells = totals.crossJoin(broadcast(top))
+      .join(docTok, Seq("src", "w"), "left")
+      .na.fill(0L, Seq("y_iw"))
+      .crossJoin(grandN)
+    def grid6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    def grid4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+    val aw = lit(alpha0) * col("y_w") / col("__N")
+    val yj = col("y_w") - col("y_iw")
+    val nj = col("__N") - col("n_i")
+    val d1 = log(grid6((col("y_iw") + aw)
+      / (col("n_i") + lit(alpha0) - col("y_iw") - aw)))
+    val d2 = log(grid6((yj + aw) / (nj + lit(alpha0) - yj - aw)))
+    val varApprox = lit(1d) / (col("y_iw") + aw) + lit(1d) / (yj + aw)
+    cells.select(col("src").as(groupCol), col("w").as("term"),
+        col("y_iw"),
+        grid4(d1 - d2).as("delta"),
+        grid4((d1 - d2) / sqrt(varApprox)).as("z"))
+      .orderBy(groupCol, "term")
+  }
+
 }

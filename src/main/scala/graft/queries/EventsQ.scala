@@ -148,6 +148,16 @@ object EventsQ {
         .orderBy("user_id")
     }),
 
+    // ---- Holt double-exponential daily-volume forecast per event
+    //      type: α=β=1/2 keeps every intermediate a dyadic rational,
+    //      so the sequential fold is float-EXACT and the oracle's
+    //      recursive-CTE replay matches bit-for-bit unrounded ----
+    "q334_holt_forecast" -> ((s, d) => {
+      graft.operators.Forecast.holtDaily(
+          Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type")
+    }),
+
     // ---- event-time RANGE window frame: per-user rolling 7-day spend
     //      (RANGE BETWEEN 6 days PRECEDING — peers at equal ts all
     //      included, integer cents ⇒ exact) ----
@@ -2124,6 +2134,46 @@ object EventsQ {
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start_us""",
+    // Holt recursion replayed as a recursive CTE over the zero-filled
+    // day grid; dyadic α=β=1/2 over integer counts ⇒ exact doubles,
+    // no output rounding needed
+    "q334_holt_forecast" ->
+      """WITH RECURSIVE ev AS (
+            SELECT event_type, epoch_ns(ts) // 86400000000000 AS d
+            FROM events),
+          bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          cnts AS (
+            SELECT event_type, d, count(*) AS y FROM ev GROUP BY 1, 2),
+          grid AS (
+            SELECT k.event_type, b.d0 + u.i AS d
+            FROM (SELECT DISTINCT event_type FROM ev) k, bounds b,
+                 LATERAL (SELECT unnest(generate_series(0, b.d1 - b.d0))
+                          AS i) u),
+          series AS (
+            SELECT g.event_type,
+              row_number() OVER (PARTITION BY g.event_type ORDER BY g.d)
+                AS t,
+              CAST(coalesce(c.y, 0) AS DOUBLE) AS y
+            FROM grid g LEFT JOIN cnts c
+              ON c.event_type = g.event_type AND c.d = g.d),
+          sm AS (
+            SELECT event_type, t, y AS l, CAST(0 AS DOUBLE) AS b
+            FROM series WHERE t = 1
+            UNION ALL
+            SELECT s.event_type, s.t,
+              0.5 * s.y + 0.5 * (sm.l + sm.b),
+              0.5 * ((0.5 * s.y + 0.5 * (sm.l + sm.b)) - sm.l)
+                + 0.5 * sm.b
+            FROM sm JOIN series s
+              ON s.event_type = sm.event_type AND s.t = sm.t + 1),
+          last AS (SELECT event_type, max(t) AS T FROM sm GROUP BY 1)
+         SELECT sm.event_type, CAST(l2.T AS BIGINT) AS n_days,
+           sm.l AS level, sm.b AS trend,
+           sm.l + 1 * sm.b AS f1, sm.l + 3 * sm.b AS f3,
+           sm.l + 7 * sm.b AS f7
+         FROM sm JOIN last l2
+           ON l2.event_type = sm.event_type AND sm.t = l2.T
+         ORDER BY sm.event_type""",
     // interval-weighted cents·ms integer sums, floor-grid ratio
     "q333_twap" ->
       """WITH b AS (

@@ -111,6 +111,40 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- distributed BPE merge learning: the vocabulary never leaves
+    //      the cluster — one pair-count aggregate + one broadcast
+    //      literal replace per round; the oracle replays all 6 rounds
+    //      in SQL over the real corpus (q61 gates the driver-dict
+    //      variant on a toy fixture) ----
+    "q335_bpe_merges" -> ((s, d) => {
+      Bpe.learnDistributed(Tables.documents(s, d), "text", numMerges = 6)
+        .orderBy("round")
+    }),
+
+    // ---- tokenizer fertility audit per language: subword tokens per
+    //      word / char / byte — the multilingual token-budget report ----
+    "q336_tokenizer_fertility" -> ((s, d) => {
+      TextAnalysis.fertilityReport(Tables.documents(s, d), "text", "lang")
+        .orderBy("lang")
+    }),
+
+    // ---- Good–Turing frequency re-estimation over word bigrams
+    //      (the unigram vocab has no rare tail in this corpus): r* per
+    //      count class + unseen-event mass N1/N (the LM-smoothing
+    //      companion of the q267 Chao1 unseen-species estimate) ----
+    "q337_good_turing" -> ((s, d) => {
+      TextAnalysis.goodTuring(Tables.documents(s, d), "text",
+        n = 2, maxR = 10)
+    }),
+
+    // ---- distinctive terms per source: log-odds with an informative
+    //      Dirichlet prior (Monroe et al., "Fightin' Words") over the
+    //      corpus top-50 vocabulary, z-scored ----
+    "q338_log_odds_terms" -> ((s, d) => {
+      TextAnalysis.logOddsTerms(Tables.documents(s, d), "text", "source",
+        topV = 50, alpha0 = 100.0)
+    }),
+
     // ---- exact dedup on a derived boilerplate key (2-token prefix) ----
     "q31_dedup_prefix_groups" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1921,7 +1955,140 @@ object Pipeline {
               CROSS JOIN c2_$j n) WHERE rn = 1)"""
   }.mkString(",\n          ")
 
+  /** q335 oracle: the distributed BPE trainer's 6 merge rounds replayed
+    * verbatim in SQL — pipe-wrapped token strings, weighted adjacent-
+    * pair counts, (cnt DESC, a, b) argmax, non-overlapping left-to-right
+    * `replace` per round (identical merge semantics in both engines;
+    * the wrapping pipes anchor whole tokens and adjacent occurrences
+    * never share consumed characters).
+    */
+  private val BpeMergeOracle: String = {
+    val rounds = 1 to 6
+    val stages = rounds.map { r =>
+      s"""p$r AS MATERIALIZED (
+            SELECT l[i] AS a, l[i+1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+            FROM (SELECT f, string_split(trim(w, '|'), '| |') AS l
+                  FROM v${r - 1}),
+                 LATERAL (SELECT unnest(generate_series(1, len(l) - 1))
+                          AS i) u
+            GROUP BY 1, 2),
+          m$r AS MATERIALIZED (
+            SELECT $r AS round, a, b, cnt FROM p$r
+            ORDER BY cnt DESC, a, b LIMIT 1),
+          v$r AS MATERIALIZED (
+            SELECT f, replace(w, '|' || m.a || '| |' || m.b || '|',
+                              '|' || m.a || m.b || '|') AS w
+            FROM v${r - 1}, m$r m)"""
+    }.mkString(",\n          ")
+    val union = rounds.map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+            SELECT CAST(count(*) AS BIGINT) AS f,
+              rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS w
+            FROM (SELECT unnest($Toks) AS word FROM documents)
+            GROUP BY word),
+          $stages
+         SELECT round, a AS left_tok, b AS right_tok, a || b AS merged,
+           cnt AS pair_count
+         FROM ($union) ORDER BY round"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q335_bpe_merges" -> BpeMergeOracle,
+    // exact replay of tokenCountBpeIsh (the q39 SQL) aggregated per
+    // language; ratios of integer sums on the 1e-6 floor grid
+    "q336_tokenizer_fertility" ->
+      s"""SELECT lang, count(*) AS n_docs,
+            CAST(sum(len(toks)) AS BIGINT) AS sum_words,
+            CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens,
+            CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+            CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+            floor(CAST(sum(bpe) AS DOUBLE)
+              / CAST(sum(len(toks)) AS BIGINT) * 1e6 + 0.5) / 1e6
+              AS fertility,
+            floor(CAST(sum(length(text)) AS DOUBLE)
+              / CAST(sum(bpe) AS BIGINT) * 1e6 + 0.5) / 1e6
+              AS chars_per_token,
+            floor(CAST(sum(octet_length(encode(text))) AS DOUBLE)
+              / CAST(sum(bpe) AS BIGINT) * 1e6 + 0.5) / 1e6
+              AS bytes_per_token
+          FROM (SELECT lang, text, $Toks AS toks,
+                  coalesce(list_sum(list_transform($Toks,
+                    t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0)
+                  + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                    AS bpe
+                FROM documents)
+          GROUP BY lang ORDER BY lang""",
+    // Turing estimator over the unigram frequency-of-frequencies;
+    // r = 0 row carries the unseen mass N1/N
+    "q337_good_turing" ->
+      s"""WITH counts AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS r
+            FROM (SELECT t[i] || ' ' || t[i+1] AS w
+                  FROM (SELECT $Toks AS t FROM documents),
+                       LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                                AS i) u)
+            GROUP BY w),
+          fof AS (
+            SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts
+            GROUP BY r),
+          tot AS (SELECT CAST(sum(r) AS BIGINT) AS N FROM counts),
+          seen AS (
+            SELECT f.r, f.n_r,
+              CASE WHEN coalesce(nx.n_r, 0) > 0 THEN
+                floor(CAST((f.r + 1) AS DOUBLE) * nx.n_r / f.n_r
+                  * 1e6 + 0.5) / 1e6 END AS r_star,
+              CASE WHEN coalesce(nx.n_r, 0) > 0 THEN
+                floor(CAST((f.r + 1) AS DOUBLE) * nx.n_r / t.N
+                  * 1e8 + 0.5) / 1e8 END AS p_mass
+            FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1 CROSS JOIN tot t
+            WHERE f.r <= 10),
+          unseen AS (
+            SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+              CAST(NULL AS DOUBLE) AS r_star,
+              floor(CAST(f.n_r AS DOUBLE) / t.N * 1e8 + 0.5) / 1e8
+                AS p_mass
+            FROM fof f CROSS JOIN tot t WHERE f.r = 1)
+         SELECT r, n_r, r_star, p_mass
+         FROM (SELECT * FROM unseen UNION ALL SELECT * FROM seen)
+         ORDER BY r""",
+    // Monroe log-odds with informative Dirichlet prior: dense
+    // source×top-50 scaffold, 1e-6-gridded ln arguments (the PMI
+    // pattern), δ and z on the 1e-4 floor grid
+    "q338_log_odds_terms" ->
+      s"""WITH dt AS MATERIALIZED (
+            SELECT source AS src, w, CAST(count(*) AS BIGINT) AS y_iw
+            FROM (SELECT source, unnest($Toks) AS w FROM documents)
+            GROUP BY 1, 2),
+          corpus AS (
+            SELECT w, CAST(sum(y_iw) AS BIGINT) AS y_w FROM dt GROUP BY w),
+          top AS (SELECT w, y_w FROM corpus ORDER BY y_w DESC, w LIMIT 50),
+          totals AS (
+            SELECT src, CAST(sum(y_iw) AS BIGINT) AS n_i FROM dt
+            GROUP BY src),
+          nn AS (SELECT CAST(sum(y_iw) AS BIGINT) AS N FROM dt),
+          cells AS (
+            SELECT t.src, p.w, p.y_w, t.n_i, coalesce(d.y_iw, 0) AS y_iw,
+              nn.N
+            FROM totals t CROSS JOIN top p
+            LEFT JOIN dt d ON d.src = t.src AND d.w = p.w
+            CROSS JOIN nn),
+          sc AS (
+            SELECT src, w, y_iw,
+              ln(floor((y_iw + CAST(100 AS DOUBLE) * y_w / N)
+                   / (n_i + CAST(100 AS DOUBLE) - y_iw
+                      - CAST(100 AS DOUBLE) * y_w / N) * 1e6 + 0.5) / 1e6)
+              - ln(floor(((y_w - y_iw) + CAST(100 AS DOUBLE) * y_w / N)
+                   / ((N - n_i) + CAST(100 AS DOUBLE) - (y_w - y_iw)
+                      - CAST(100 AS DOUBLE) * y_w / N) * 1e6 + 0.5) / 1e6)
+                AS delta,
+              CAST(1 AS DOUBLE) / (y_iw + CAST(100 AS DOUBLE) * y_w / N)
+              + CAST(1 AS DOUBLE)
+                / ((y_w - y_iw) + CAST(100 AS DOUBLE) * y_w / N) AS v
+            FROM cells)
+         SELECT src AS source, w AS term, y_iw,
+           floor(delta * 1e4 + 0.5) / 1e4 AS delta,
+           floor(delta / sqrt(v) * 1e4 + 0.5) / 1e4 AS z
+         FROM sc ORDER BY source, term""",
     // largest-remainder (Hamilton) apportionment per lang over the
     // k=3 split rows, then rows dealt by (md5 prio, doc_id) rank —
     // the bucketed Spark rank equals this plain per-stratum

@@ -27,6 +27,96 @@ class OperatorsSpec extends SparkSpec {
     assert(toks == 3L) // each word fully merged to one token
   }
 
+  test("Bpe.learnDistributed: hand-computed merges, dry stop, tie-break") {
+    // words: aaab ×2, ab ×1. Round 1: (a,a)=4 beats (a,b)=3 → "aa".
+    // Round 2: (a,b)=3 beats (aa,a)=2 → "ab". Round 3: (aa,ab)=2.
+    // Round 4: every word is one token → dry stop at 3 merges.
+    val corpus = Seq("aaab aaab ab").toDF("text")
+    val merges = Bpe.learnDistributed(corpus, "text", numMerges = 10)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+    // count tie (x,y)=2 vs (a,b)=2 → lexicographically smaller pair wins
+    val tie = Seq("xy xy ab ab").toDF("text")
+    val m1 = Bpe.learnDistributed(tie, "text", numMerges = 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m1 == Seq((1, "a", "b", "ab", 2L)))
+    // left-to-right non-overlap: "a a a a" merges to "aa aa", so round 2
+    // of pure-'a' text is (aa, aa) — the wrapped-string replace must not
+    // let adjacent occurrences share a delimiter
+    val runs = Seq("aaaa aaaa").toDF("text")
+    val m2 = Bpe.learnDistributed(runs, "text", numMerges = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m2 == Seq((1, "a", "a", "aa", 6L), (2, "aa", "aa", "aaaa", 2L)))
+  }
+
+  test("Forecast.holtDaily: hand-computed fold, zero-filled grid") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // key k: daily counts [4, 8, 2]; key m: [1, 0(filled), 3]
+    val rows =
+      (0 until 4).map(i => ("k", 0 * day + i)) ++
+      (0 until 8).map(i => ("k", 1 * day + i)) ++
+      (0 until 2).map(i => ("k", 2 * day + i)) ++
+      Seq(("m", 10L)) ++ (0 until 3).map(i => ("m", 2 * day + i))
+    val df = rows.toDF("k", "ts")
+    val out = Forecast.holtDaily(df, "k", "ts")
+      .orderBy("k")
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    // k: l1=4,b1=0; t2: l=6,b=1; t3: l=4.5,b=-0.25 → f1=4.25 f3=3.75 f7=2.75
+    // m: l1=1,b1=0; t2: l=0.5,b=-0.25; t3: l=1.625,b=0.4375 → f1=2.0625
+    assert(out == Seq(
+      ("k", 3L, 4.5, -0.25, 4.25, 3.75, 2.75),
+      ("m", 3L, 1.625, 0.4375, 2.0625, 2.9375, 4.6875)))
+  }
+
+  test("TextAnalysis.fertilityReport: hand-computed single doc") {
+    val df = Seq(("Hello, world!! ab", "en")).toDF("text", "lang")
+    val r = TextAnalysis.fertilityReport(df, "text", "lang").collect()(0)
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 1L) // n_docs
+    assert(r.getLong(2) == 3L) // words: hello, world, ab
+    // bpe-ish: ceil(5/4)+ceil(5/4)+ceil(2/4)=5 word pieces + 3 symbols
+    assert(r.getLong(3) == 8L)
+    assert(r.getLong(4) == 17L && r.getLong(5) == 17L) // chars, bytes
+    assert(r.getDouble(6) == 2.666667) // 8/3 on the 1e-6 grid
+    assert(r.getDouble(7) == 2.125 && r.getDouble(8) == 2.125)
+  }
+
+  test("TextAnalysis.goodTuring: hand-computed bigram histogram") {
+    val df = Seq("a a a b b c").toDF("text")
+    val out = TextAnalysis.goodTuring(df, "text", n = 2).collect().toSeq
+    // bigrams: "a a"×2, "a b", "b b", "b c" → N=5, N_1=3, N_2=1
+    assert(out.map(_.getLong(0)) == Seq(0L, 1L, 2L))
+    val r0 = out(0)
+    assert(r0.getLong(1) == 0L && r0.isNullAt(2)
+      && r0.getDouble(3) == 0.6) // unseen mass N1/N = 3/5
+    assert(out(1).getLong(1) == 3L
+      && out(1).getDouble(2) == 0.666667 // r* = 2·N2/N1 = 2/3
+      && out(1).getDouble(3) == 0.4)     // p = 2·N2/N = 2/5
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3)) // N_3 = 0 → tail
+  }
+
+  test("TextAnalysis.logOddsTerms: signs, dense scaffold, zero cells") {
+    val df = Seq(
+      ("x x x x y", "s1"), ("y y y y x", "s2"), ("z z", "s3"))
+      .toDF("text", "source")
+    val out = TextAnalysis.logOddsTerms(df, "text", "source", topV = 3)
+      .collect().toSeq
+    assert(out.size == 9) // 3 sources × top-3 terms, zero cells kept
+    def cell(s: String, t: String) =
+      out.find(r => r.getString(0) == s && r.getString(1) == t).get
+    // each source's own word scores positive, others' negative
+    assert(cell("s1", "x").getDouble(3) > 0 && cell("s1", "x").getDouble(4) > 0)
+    assert(cell("s1", "y").getDouble(3) < 0)
+    assert(cell("s2", "y").getDouble(3) > 0)
+    assert(cell("s3", "z").getDouble(3) > 0)
+    assert(cell("s3", "x").getLong(2) == 0L) // zero-usage cell present
+    assert(cell("s3", "x").getDouble(3) < 0)
+  }
+
   test("Multimodal.decodeImage: real PNG decode, corrupt bytes → None") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
