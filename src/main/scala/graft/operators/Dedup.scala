@@ -27,7 +27,7 @@ object Dedup {
     */
   private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private[operators] def persistTracked(df: DataFrame): DataFrame = {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
     liveCaches.add(p)
     p

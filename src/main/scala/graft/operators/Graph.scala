@@ -36,7 +36,7 @@ object Graph {
     * those blocks are dead weight in executor storage. The RDD handle
     * lives on the plan's `LogicalRDD` leaf.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     // match ONLY a frame that is itself the checkpoint root: a derived
     // frame (select/filter over a checkpoint) shares a LIVE ancestor's
     // blocks, which must not be dropped from under it

@@ -189,6 +189,17 @@ object VcfQ {
     "q293_vcf_het" -> ((s, _) => {
       VcfApi.hetReport(tables(s).geno).orderBy("sample")
     }),
+    // ---- GRM leading principal component (EIGENSTRAT PC1): join-based
+    //      power iteration, integer-grid accumulation — the GRM is
+    //      never collected ----
+    "q339_vcf_grm_pca" -> ((s, _) => {
+      VcfApi.grmPca(tables(s).geno, iters = 8)
+    }),
+    // ---- LD decay curve: mean r² by 50-bp distance bin ----
+    "q340_vcf_ld_decay" -> ((s, _) => {
+      VcfApi.ldDecay(tables(s).geno, tables(s).info,
+        maxDist = 200L, binBp = 50L)
+    }),
     // ---- Mendelian-error trio check (plink --mendel): a family
     //      fixture exercising every feasible-range edge — 0×0, 2×2,
     //      0×2 and hom×het violations, a missing-call exclusion, two
@@ -414,7 +425,70 @@ object VcfQ {
         .orderBy("chr", "pos")
     }))
 
+  /** q339 oracle: the grmPca power iteration replayed round-by-round in
+    * SQL from the q292-pinned GRM golden values (×1e4 integer grid) —
+    * HUGEINT accumulation, sign-aware integer-valued floors, the same
+    * md5-parity start vector. Composition over an already-gated
+    * operator's goldens, the q110/q69 pattern.
+    */
+  private val GrmPcaOracle: String = {
+    val rounds = 1 to 8
+    val stages = rounds.map { r =>
+      s"""w$r AS MATERIALIZED (
+            SELECT f.a, CAST(sum(f.g4 * v.v12) AS HUGEINT) AS w16
+            FROM gfull f JOIN v${r - 1} v ON v.s = f.b GROUP BY f.a),
+          m$r AS MATERIALIZED (
+            SELECT a, CAST(CASE WHEN CAST(w16 AS DOUBLE) >= 0
+              THEN floor(CAST(w16 AS DOUBLE) / 1e4 + 0.5)
+              ELSE -floor(-CAST(w16 AS DOUBLE) / 1e4 + 0.5) END AS BIGINT)
+              AS m12
+            FROM w$r),
+          n$r AS MATERIALIZED (
+            SELECT sqrt(CAST(sum(CAST(m12 AS HUGEINT) * m12) AS DOUBLE))
+              / 1e12 AS norm
+            FROM m$r),
+          v$r AS MATERIALIZED (
+            SELECT m.a AS s,
+              CAST(CASE WHEN n.norm <= 0 THEN 0
+                WHEN CAST(m.m12 AS DOUBLE) / 1e12 / n.norm >= 0
+                  THEN floor(CAST(m.m12 AS DOUBLE) / 1e12 / n.norm
+                    * 1e12 + 0.5)
+                ELSE -floor(-(CAST(m.m12 AS DOUBLE) / 1e12 / n.norm)
+                  * 1e12 + 0.5) END AS BIGINT) AS v12
+            FROM m$r m, n$r n)"""
+    }.mkString(",\n          ")
+    s"""WITH gfull(a, b, g4) AS (VALUES
+            ('S1', 'S1', CAST(10000 AS BIGINT)), ('S1', 'S2', -10000),
+            ('S2', 'S1', -10000), ('S2', 'S2', 8000)),
+          v0 AS (
+            SELECT s, CAST(CASE WHEN
+                ('0x' || substr(md5('grmpca:' || s), 1, 15))::BIGINT % 2 = 0
+              THEN 1000000000000 ELSE -1000000000000 END AS BIGINT) AS v12
+            FROM (VALUES ('S1'), ('S2')) t(s)),
+          $stages,
+          flip AS (
+            SELECT CASE WHEN v12 < 0 THEN -1 ELSE 1 END AS f
+            FROM v8 ORDER BY s LIMIT 1)
+         SELECT v.s AS sample,
+           CAST(v.v12 * fl.f AS DOUBLE) / 1e12 AS pc1,
+           floor(n8.norm * 1e6 + 0.5) / 1e6 AS lambda1
+         FROM v8 v, flip fl, n8 ORDER BY sample"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q339_vcf_grm_pca" -> GrmPcaOracle,
+    // hand-derived from the q218 LD golden rows binned at 50 bp:
+    // bin [100,149]: pairs (1,2),(2,3),(4,5), scored r² {1.0, 1.0} from
+    // (1,2)/(4,5), (2,3) NULL ⇒ mean 1.0; [150,199]: (5,6) NULL-only;
+    // [200,249]: (1,3) NULL-only
+    "q340_vcf_ld_decay" ->
+      """SELECT * FROM (VALUES
+          (CAST(100 AS BIGINT), CAST(149 AS BIGINT), CAST(3 AS BIGINT),
+            CAST(2 AS BIGINT), CAST(1.0 AS DOUBLE)),
+          (150, 199, 1, 0, NULL),
+          (200, 249, 1, 0, NULL))
+         t(dist_from, dist_to, n_pairs, n_scored, mean_r2)
+         ORDER BY dist_from""",
     // hand-computed from the q45 genotype golden rows:
     // S1 gts (0,2,∅,2,1,2) dp (10,15,0,20,11,22); S2 gts (1,0,1,1,0,2)
     "q88_vcf_sample_qc" ->

@@ -710,6 +710,123 @@ object VcfApi {
           .as("grm"))
   }
 
+  /** LD decay curve: mean pairwise r² by distance bin — the standard
+    * population-genetics summary of how fast linkage decays along the
+    * genome (plink `--r2` post-processed by distance). Bins are
+    * `binBp`-wide over [[ldReport]]'s window pairs.
+    *
+    * Determinism: r² values arrive 4dp-rounded, so the per-bin mean is
+    * computed from an exact integer sum of 1e4-grid units (order-free
+    * across partitions) and lands on the 1e-6 floor grid. NULL-r² pairs
+    * (zero-variance sites) stay in `n_pairs` but not `n_scored`.
+    * Output: `dist_from, dist_to, n_pairs, n_scored, mean_r2`.
+    *
+    * Scale shape: inherits ldReport's bucket-blocked pair kernel; the
+    * decay rollup adds ONE combinable aggregation over bin ids —
+    * bounded by maxDist/binBp groups, no new pair work.
+    */
+  def ldDecay(geno: DataFrame, info: DataFrame, maxDist: Long,
+      binBp: Long): DataFrame = {
+    require(binBp > 0, "binBp must be positive")
+    ldReport(geno, info, maxDist)
+      .select(expr(s"dist div ${binBp}L").as("__bin"), col("r2"))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(col("r2")).as("n_scored"),
+        sum(when(col("r2").isNotNull,
+            floor(col("r2") * 1e4 + 0.5).cast("long")).otherwise(0L))
+          .as("__s4"))
+      .select((col("__bin") * binBp).as("dist_from"),
+        (col("__bin") * binBp + binBp - 1).as("dist_to"),
+        col("n_pairs"), col("n_scored"),
+        when(col("n_scored") > 0,
+          floor(col("__s4").cast("double") / col("n_scored") / 1e4
+            * 1e6 + 0.5) / 1e6).as("mean_r2"))
+      .orderBy("dist_from")
+  }
+
+  /** Leading principal component of the genetic relationship matrix —
+    * the population-structure axis (EIGENSTRAT/smartpca's PC1, the
+    * covariate every GWAS adjusts for). Power iteration where the
+    * matrix-vector product is a JOIN: `w_a = Σ_b G_ab · v_b` is one
+    * sample-keyed join + one aggregation per round, so the GRM is never
+    * collected — at biobank width (100k samples ⇒ 10^10 pair entries)
+    * a driver-side eigensolve is impossible but each matvec is an
+    * ordinary distributed join. (The embeddings-domain [[
+    * graft.operators.Similarity.pcaProject]] collects a d×d covariance
+    * instead — fine for bounded d, not for n×n sample matrices.)
+    *
+    * Cross-engine determinism (float sums over a shuffle have no
+    * defined order): every accumulation is INTEGER. GRM weights arrive
+    * 4dp-rounded → 1e4-grid longs; v lives on a 1e-12 grid; per-round
+    * products g4·v12 (≤ ~1e16 for |grm| ≤ 920) sum in decimal(38,0)
+    * (DuckDB HUGEINT), the quantized w re-grids to 1e-12 via sign-aware
+    * integer-valued floors, and the norm is √(Σ m12², decimal-exact).
+    * The only doubles are IEEE-correctly-rounded casts, divisions and
+    * sqrt of identical values — bit-identical in any engine. Start
+    * vector: deterministic md5-parity ±1 (the all-ones vector is near
+    * the GRM's null space — rows of a centered matrix sum ≈ 0).
+    *
+    * Sign convention: flipped so the lexicographically-first sample
+    * loads ≥ 0. Output: `sample, pc1` (1e-12 grid) and the Rayleigh
+    * eigenvalue estimate `lambda1` (= final pre-normalization ‖w‖,
+    * 1e-6 floor grid, repeated per row).
+    */
+  def grmPca(geno: DataFrame, iters: Int = 8,
+      maxVariants: Long = 0L, sampleBlocks: Int = 1): DataFrame = {
+    import graft.functions.md5Long
+    import graft.operators.Dedup
+    require(iters >= 1, "iters must be >= 1")
+    val g4c = when(col("grm") >= 0, floor(col("grm") * 1e4 + 0.5))
+      .otherwise(-floor(-col("grm") * 1e4 + 0.5)).cast("long")
+    val up = grmReport(geno, maxVariants, sampleBlocks)
+      .select(col("sample_a").as("a"), col("sample_b").as("b"), g4c.as("g4"))
+    val full = Dedup.persistTracked(
+      up.unionByName(up.filter(col("a") =!= col("b"))
+        .select(col("b").as("a"), col("a").as("b"), col("g4"))))
+    var v = full.select(col("a").as("s")).distinct()
+      .select(col("s"),
+        (when(md5Long(concat(lit("grmpca:"), col("s"))) % 2 === 0, 1L)
+          .otherwise(-1L) * lit(1000000000000L)).as("v12"))
+    // per round: ONE job (the norm aggregate materializes the round's
+    // lazy localCheckpoint, truncating plan growth — the Graph CC
+    // pattern); the 1-row norm collects to the driver and re-enters as
+    // a literal. Superseded rounds' checkpoint blocks are dropped.
+    var prev: DataFrame = null
+    var lastNorm = 0d
+    for (_ <- 1 to iters) {
+      val wp = full.join(v.withColumnRenamed("s", "b"), Seq("b"))
+        .groupBy("a")
+        .agg(sum((col("g4") * col("v12")).cast("decimal(38,0)")).as("__w16"))
+        .select(col("a"), col("__w16").cast("double").as("__wd"))
+        .select(col("a"),
+          when(col("__wd") >= 0, floor(col("__wd") / 1e4 + 0.5))
+            .otherwise(-floor(-col("__wd") / 1e4 + 0.5)).cast("long")
+            .as("m12"))
+        .localCheckpoint(false)
+      // m12 can exceed √Long.Max — cast BEFORE squaring
+      val nRow = wp
+        .agg(sum(col("m12").cast("decimal(38,0)") * col("m12"))
+          .cast("double").as("__nInt")).head()
+      val nInt = if (nRow.isNullAt(0)) 0d else nRow.getDouble(0)
+      lastNorm = math.sqrt(nInt) / 1e12
+      val vd = col("m12").cast("double") / 1e12 / lit(lastNorm)
+      v = wp.select(col("a").as("s"),
+        when(lit(lastNorm) <= 0d, 0L)
+          .when(vd >= 0, floor(vd * 1e12 + 0.5))
+          .otherwise(-floor(-vd * 1e12 + 0.5)).cast("long").as("v12"))
+      if (prev != null) graft.operators.Graph.unpersistCheckpoint(prev)
+      prev = wp
+    }
+    val flipSign =
+      if (v.orderBy("s").limit(1).head().getLong(1) < 0) -1L else 1L
+    val lambda1 = math.floor(lastNorm * 1e6 + 0.5) / 1e6
+    v.select(col("s").as("sample"),
+        ((col("v12") * lit(flipSign)).cast("double") / 1e12).as("pc1"),
+        lit(lambda1).as("lambda1"))
+      .orderBy("sample")
+  }
+
   /** Per-sample heterozygosity / inbreeding coefficient (plink
     * `--het`): over the polymorphic sites where the sample is called,
     * `F = (O_hom − E_hom)/(M − E_hom)` with observed homozygote count

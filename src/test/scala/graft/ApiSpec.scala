@@ -421,6 +421,60 @@ class ApiSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("nonref_concordance")))
   }
 
+  test("VcfApi.ldDecay: distance bins, NULL-r² pairs counted not scored") {
+    import spark.implicits._
+    val info = Seq(
+      (1L, "1", 100L), (2L, "1", 150L), (3L, "1", 260L), (4L, "1", 400L)
+    ).toDF("variant_id", "chr", "start")
+    def g(v: Long, doses: Seq[Option[Double]]) =
+      doses.zipWithIndex.map { case (d, i) => (v, s"s$i", d) }
+    val geno = (
+      g(1L, Seq(0d, 0d, 1d, 1d, 2d, 2d).map(Some(_))) ++
+      g(2L, Seq(0d, 0d, 1d, 1d, 2d, 2d).map(Some(_))) ++
+      g(3L, Seq(0d, 1d, 0d, 1d, 0d, 1d).map(Some(_))) ++
+      g(4L, Seq(Some(2d), Some(2d), None, None, Some(0d), Some(0d)))
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.ldDecay(geno, info, maxDist = 200L,
+        binBp = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1d else r.getDouble(4)))
+    // dists: (1,2)=50 → bin [0,99] r²=1; (2,3)=110, (3,4)=140,
+    // (1,3)=160 → bin [100,199] r² {0,0,0} ⇒ mean 0
+    assert(got.toSeq == Seq(
+      (0L, 99L, 1L, 1L, 1.0), (100L, 199L, 3L, 3L, 0.0)))
+  }
+
+  test("VcfApi.grmPca: G·v = λ·v residual, unit norm, sign pin") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val samples = (0 until 6).map(i => s"s$i")
+    val rows = for (v <- 1 to 40; s <- samples)
+      yield (v.toLong, s, rnd.nextInt(3).toDouble)
+    val geno = rows.toDF("variant_id", "sample", "gt")
+    val out = graft.vcf.VcfApi.grmPca(geno, iters = 60).collect()
+    val pc = out.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val lambda = out(0).getDouble(2)
+    // unit norm (up to the 1e-12 loading grid)
+    val norm = math.sqrt(pc.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+    // sign pin: lexicographically-first sample loads non-negative
+    assert(pc("s0") >= 0d)
+    // eigenpair property vs the independently-computed GRM: all-called
+    // fixture ⇒ G is a Gram matrix (PSD), power iteration converges to
+    // the top eigenpair — residual ‖G·v − λ·v‖∞ must be tiny vs λ
+    val gm = collection.mutable.Map[(String, String), Double]()
+    graft.vcf.VcfApi.grmReport(geno).collect().foreach { r =>
+      val (a, b, w) = (r.getString(0), r.getString(1), r.getDouble(3))
+      gm((a, b)) = w; gm((b, a)) = w
+    }
+    assert(lambda > 0d)
+    samples.foreach { a =>
+      val gva = samples.map(b => gm.getOrElse((a, b), 0d) * pc(b)).sum
+      assert(math.abs(gva - lambda * pc(a)) < 1e-3 * lambda,
+        s"residual at $a: ${gva - lambda * pc(a)}")
+    }
+  }
+
   test("VcfApi.ldPrune: greedy chain needs one round per link; cap throws") {
     import spark.implicits._
     // four perfectly-correlated variants in one window: the greedy
