@@ -1032,4 +1032,77 @@ object Eval {
           .as("mean"),
         (floor(col("__mu") * 100d + 0.5) / 1e4).as("huber_mean"))
   }
+
+  /** Wald's sequential probability ratio test per group: walk each
+    * group's event stream in (ts, id) order accumulating the Bernoulli
+    * log-likelihood ratio for H1: p = p1 vs H0: p = p0,
+    *
+    *   LLR_t = k_t·ln(p1/p0) + (t − k_t)·ln((1−p1)/(1−p0)),
+    *
+    * and stop at the first t where LLR ≥ ln((1−β)/α) (accept H1) or
+    * LLR ≤ ln(β/(1−α)) (accept H0) — the sequential A/B design that
+    * reaches a decision in O(1/KL) samples instead of a fixed horizon.
+    * Groups that never cross report `continue` with their final state.
+    *
+    * Determinism: k_t and t are exact integer running counts (one
+    * window over the unique (ts, id) order); the four ln constants are
+    * computed ONCE driver-side, quantized to the 1e-12 grid, and
+    * inlined as literals — [[sprtConstants]] exposes them so the oracle
+    * embeds the SAME numbers and no engine ever calls ln. LLR is then
+    * two integer·literal products and one sum — bit-identical
+    * everywhere, emitted raw. Output:
+    * `group, decision, n_at_decision, k_at_decision, llr`.
+    */
+  def sprt(df: DataFrame, groupCol: String, tsCol: String, idCol: String,
+      success: Column, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    val (c1, c0, a, b) = sprtConstants(p0, p1, alpha, beta)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = Dedup.persistTracked(
+      df.select(col(groupCol), col(tsCol), col(idCol),
+          when(success, 1L).otherwise(0L).as("__x"))
+        .select(col(groupCol),
+          row_number().over(Window.partitionBy(groupCol)
+            .orderBy(col(tsCol), col(idCol))).as("__t"),
+          sum("__x").over(w).as("__k"))
+        .select(col(groupCol), col("__t"), col("__k"),
+          (col("__k") * lit(c1)
+            + (col("__t") - col("__k")) * lit(c0)).as("__llr")))
+    val crossed = scored
+      .filter(col("__llr") >= a || col("__llr") <= b)
+      .groupBy(groupCol).agg(min("__t").as("__t"))
+      .join(scored, Seq(groupCol, "__t"))
+      .select(col(groupCol),
+        when(col("__llr") >= a, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        col("__t").as("n_at_decision"), col("__k").as("k_at_decision"),
+        col("__llr").as("llr"))
+    val last = scored.groupBy(groupCol).agg(max("__t").as("__t"))
+      .join(scored, Seq(groupCol, "__t"))
+      .join(crossed.select(groupCol), Seq(groupCol), "left_anti")
+      .select(col(groupCol), lit("continue").as("decision"),
+        col("__t").as("n_at_decision"), col("__k").as("k_at_decision"),
+        col("__llr").as("llr"))
+    crossed.unionByName(last).orderBy(groupCol)
+  }
+
+  /** The SPRT's four log constants on the 1e-12 grid (sign-aware
+    * round-half-away): `(lnRatio1, lnRatio0, upperA, lowerB)`. Shared
+    * verbatim by [[sprt]] and its oracle so no engine's libm is in the
+    * comparison path.
+    */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+      beta: Double): (Double, Double, Double, Double) = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"degenerate SPRT rates: p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"degenerate SPRT errors: alpha=$alpha beta=$beta")
+    def g12(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e12 + 0.5) / 1e12
+      else -math.floor(-x * 1e12 + 0.5) / 1e12
+    (g12(math.log(p1 / p0)), g12(math.log((1 - p1) / (1 - p0))),
+      g12(math.log((1 - beta) / alpha)), g12(math.log(beta / (1 - alpha))))
+  }
 }

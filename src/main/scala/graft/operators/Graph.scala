@@ -697,4 +697,57 @@ object Graph {
       s"MIS did not stabilize within $maxRounds rounds — raise maxRounds")
     mis
   }
+
+  /** Conductance of an ATTRIBUTE partition over an undirected graph:
+    * for each attribute value g, φ(g) = cut(g) / min(vol(g), vol(V∖g))
+    * with cut = edges crossing g's boundary and vol = Σ degrees inside
+    * g. Low conductance = the attribute aligns with the graph's
+    * similarity structure (e.g. near-dups stay within a source); high
+    * conductance over a near-dup graph flags syndication — content
+    * whose duplicate mass lives OUTSIDE its own source. (Conductance of
+    * the graph's own connected components is identically 0, so the
+    * interesting partition is always an external label.)
+    *
+    * Everything is integer edge counting: each edge contributes 1
+    * within-edge to its attribute (both endpoints equal) or 1 cut-edge
+    * to each of its two attributes; vol(g) = 2·within(g) + cut(g),
+    * total volume = 2·|E|. The ratio lands on the 1e-6 floor grid.
+    * Attributes with no incident edges keep their node count and a
+    * NULL conductance. Output:
+    * `attr, n_nodes, within_edges, cut_edges, volume, conductance`.
+    *
+    * Scale shape: two node-keyed joins tag the endpoints (the attribute
+    * table broadcasts when small), then ONE combinable aggregation over
+    * attribute values — no pair blow-up beyond the input edge list.
+    */
+  def partitionConductance(edges: DataFrame, aCol: String, bCol: String,
+      nodes: DataFrame, idCol: String, attrCol: String): DataFrame = {
+    val ea = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val na = nodes.select(col(idCol).as("__a"), col(attrCol).as("__ga"))
+    val nb = nodes.select(col(idCol).as("__b"), col(attrCol).as("__gb"))
+    val tagged = Dedup.persistTracked(
+      ea.join(na, Seq("__a")).join(nb, Seq("__b")))
+    val same = col("__ga") === col("__gb")
+    val contrib = tagged.select(col("__ga").as("attr"),
+        when(same, 1L).otherwise(0L).as("__w"),
+        when(same, 0L).otherwise(1L).as("__c"))
+      .unionByName(tagged.filter(!same)
+        .select(col("__gb").as("attr"), lit(0L).as("__w"), lit(1L).as("__c")))
+    val per = contrib.groupBy("attr")
+      .agg(sum("__w").as("within_edges"), sum("__c").as("cut_edges"))
+    val tot = tagged.agg((count(lit(1)) * 2).as("__totVol"))
+    val counts = nodes.groupBy(col(attrCol).as("attr"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val vol = col("within_edges") * 2 + col("cut_edges")
+    counts.join(per, Seq("attr"), "left")
+      .na.fill(0L, Seq("within_edges", "cut_edges"))
+      .crossJoin(tot)
+      .select(col("attr"), col("n_nodes"),
+        col("within_edges"), col("cut_edges"), vol.as("volume"),
+        when(vol > 0 && (col("__totVol") - vol) > 0,
+          floor(col("cut_edges").cast("double")
+            / least(vol, col("__totVol") - vol) * 1e6 + 0.5) / 1e6)
+          .as("conductance"))
+      .orderBy("attr")
+  }
 }

@@ -1474,4 +1474,83 @@ object Similarity {
       .withColumn("explained_share",
         lit(math.floor(explained * 1e6 + 0.5) / 1e6))
   }
+
+  /** Hopkins statistic — the standard clusterability audit run BEFORE
+    * spending a clustering/SemDeDup pass: H = Σu / (Σu + Σw), where u
+    * are nearest-real-neighbor distances of `m` synthetic
+    * uniform-in-bounding-box probes and w are nearest-OTHER-neighbor
+    * distances of `m` md5-selected real probes. H ≈ 0.5 ⇒ the
+    * embeddings look uniform (clustering would manufacture structure);
+    * H → 1 ⇒ genuinely clustered.
+    *
+    * Determinism: probe selection and the synthetic coordinates derive
+    * from md5 (uniform fractions on the 2⁻⁴⁰ grid inside per-dimension
+    * [min, max] bounds), squared-L2 distances are the row-local
+    * sequential fold both engines share, each probe's NN distance
+    * quantizes to a 1e-9 integer grid BEFORE the m-term sums (min is
+    * order-free; integer sums make the two Σ exact), and H lands on
+    * the 1e-6 floor grid. Output one row:
+    * `m, n_vecs, sum_u9, sum_w9, hopkins`.
+    *
+    * Scale shape: the 2m probes broadcast; the corpus is scanned once
+    * per probe side (O(m·n) distance evaluations, map-side aggregated
+    * to per-probe minima). The d-row bounds aggregate collects to the
+    * driver (d is the embedding width, bounded).
+    */
+  def hopkinsStatistic(emb: DataFrame, vecCol: String, idCol: String,
+      m: Int = 20): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val spark = emb.sparkSession
+    // clean corpus: full-width vectors, no NaN (the q142 audit's gate)
+    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    val pts = Dedup.persistTracked(emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(size(col("__v")) === d &&
+        !exists(col("__v"), x => isnan(x))))
+    // per-dimension bounds (d rows → driver → literals)
+    val bounds = pts.select(posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy("__p").agg(min("__x").as("mn"), max("__x").as("mx"))
+      .orderBy("__p").collect()
+    val mn = bounds.map(_.getDouble(1))
+    val mx = bounds.map(_.getDouble(2))
+    // m real probes by md5 order
+    val real = pts
+      .orderBy(md5Long(concat(lit("hop:"), col("__id"))), col("__id"))
+      .limit(m)
+      .select(col("__id").as("__pid"), col("__v").as("__pv"))
+    // m synthetic probes: uniform md5 fractions inside the bounds
+    val frac = (i: Column, j: Column) =>
+      (md5Long(concat(lit("hopsyn:"), i, lit(":"), j)) % 1099511627776L)
+        .cast("double") / lit(1099511627776d)
+    val synth = spark.range(1, m + 1).select(col("id").as("__pid"),
+      transform(sequence(lit(0), lit(d - 1)), j =>
+        element_at(typedLit(mn.toSeq), j + 1) +
+          frac(col("id"), j) *
+          (element_at(typedLit(mx.toSeq), j + 1)
+            - element_at(typedLit(mn.toSeq), j + 1))).as("__pv"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, z) => acc + z)
+    def nnSum(probes: DataFrame, excludeSelf: Boolean): DataFrame = {
+      val joined = pts.crossJoin(broadcast(probes))
+      val filtered =
+        if (excludeSelf) joined.filter(col("__id") =!= col("__pid"))
+        else joined
+      filtered
+        .select(col("__pid"), d2(col("__pv"), col("__v")).as("__d2"))
+        .groupBy("__pid").agg(min("__d2").as("__nn"))
+        .agg(sum(floor(col("__nn") * 1e9 + 0.5).cast("long")).as("s9"),
+          count(lit(1)).as("np"))
+    }
+    val u = nnSum(synth, excludeSelf = false).select(col("s9").as("sum_u9"))
+    val w = nnSum(real, excludeSelf = true).select(col("s9").as("sum_w9"))
+    val n = pts.agg(count(lit(1)).as("n_vecs"))
+    u.crossJoin(w).crossJoin(n)
+      .select(lit(m.toLong).as("m"), col("n_vecs"),
+        col("sum_u9"), col("sum_w9"),
+        when(col("sum_u9") + col("sum_w9") > 0,
+          floor(col("sum_u9").cast("double")
+            / (col("sum_u9") + col("sum_w9")) * 1e6 + 0.5) / 1e6)
+          .as("hopkins"))
+  }
 }

@@ -175,6 +175,20 @@ object EventsQ {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // ---- Wald SPRT per md5 user-cohort: sequential test of the
+    //      purchase rate (H0 p=0.15 vs H1 p=0.35), first boundary
+    //      crossing decides; shared 1e-12-grid ln constants keep
+    //      both engines' LLR bit-identical ----
+    "q343_sprt" -> ((s, d) => {
+      graft.operators.Eval.sprt(
+        Tables.events(s, d).withColumn("cohort",
+          pmod(graft.functions.md5Long(
+            concat(lit("sprt:"), col("user_id"))), lit(8))),
+        "cohort", "ts", "event_id",
+        success = col("event_type") === "purchase",
+        p0 = 0.15, p1 = 0.35)
+    }),
+
     // ---- Kruskal–Wallis H: do event types draw value from the same
     //      distribution? (tie-corrected, grid-exact ranks) ----
     "q324_kruskal_wallis" -> ((s, d) => {
@@ -2134,6 +2148,49 @@ object EventsQ {
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start_us""",
+    // SPRT replay: integer running (t, k) over the unique (ts, id)
+    // order; the four ln constants are the OPERATOR's own 1e-12-grid
+    // literals (Eval.sprtConstants) — no ln in either engine's path
+    "q343_sprt" -> {
+      val (c1, c0, a, b) =
+        graft.operators.Eval.sprtConstants(0.15, 0.35, 0.05, 0.05)
+      s"""WITH base AS (
+            SELECT ('0x' || substr(md5('sprt:' || user_id), 1, 15))::BIGINT
+                % 8 AS cohort,
+              epoch_ns(ts) AS t0, event_id,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+            FROM events),
+          scored AS (
+            SELECT cohort,
+              row_number() OVER (PARTITION BY cohort
+                ORDER BY t0, event_id) AS t,
+              CAST(sum(x) OVER (PARTITION BY cohort ORDER BY t0, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k
+            FROM base),
+          llrs AS (
+            SELECT cohort, t, k,
+              k * ($c1) + (t - k) * ($c0) AS llr
+            FROM scored),
+          crossed AS (
+            SELECT cohort, min(t) AS t FROM llrs
+            WHERE llr >= ($a) OR llr <= ($b) GROUP BY cohort),
+          dec AS (
+            SELECT l.cohort,
+              CASE WHEN l.llr >= ($a) THEN 'accept_h1'
+                   ELSE 'accept_h0' END AS decision,
+              l.t, l.k, l.llr
+            FROM crossed c JOIN llrs l
+              ON l.cohort = c.cohort AND l.t = c.t),
+          fin AS (
+            SELECT l.cohort, 'continue' AS decision, l.t, l.k, l.llr
+            FROM (SELECT cohort, max(t) AS t FROM llrs GROUP BY cohort) mx
+            JOIN llrs l ON l.cohort = mx.cohort AND l.t = mx.t
+            WHERE l.cohort NOT IN (SELECT cohort FROM crossed))
+         SELECT cohort, decision, t AS n_at_decision, k AS k_at_decision,
+           llr
+         FROM (SELECT * FROM dec UNION ALL SELECT * FROM fin)
+         ORDER BY cohort"""
+    },
     // Holt recursion replayed as a recursive CTE over the zero-filled
     // day grid; dyadic α=β=1/2 over integer counts ⇒ exact doubles,
     // no output rounding needed

@@ -145,6 +145,25 @@ object Pipeline {
         topV = 50, alpha0 = 100.0)
     }),
 
+    // ---- conductance of the SOURCE partition over the verified
+    //      near-dup graph: low = duplicates stay within a source,
+    //      high = syndication (duplicate mass crosses sources) ----
+    "q341_source_conductance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minHashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+      Graph.partitionConductance(edges, "id_a", "id_b",
+        docs.select("doc_id", "source"), "doc_id", "source")
+    }),
+
+    // ---- Hopkins clusterability statistic over the embeddings:
+    //      H ≈ 0.5 uniform, → 1 clustered — the audit run BEFORE
+    //      spending a clustering/SemDeDup pass ----
+    "q342_hopkins" -> ((s, d) => {
+      Similarity.hopkinsStatistic(
+        Tables.embeddings(s, d), "embedding", "vec_id", m = 20)
+    }),
+
     // ---- exact dedup on a derived boilerplate key (2-token prefix) ----
     "q31_dedup_prefix_groups" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1993,6 +2012,97 @@ object Pipeline {
   }
 
   val oracle: Map[String, String] = Map(
+    // attribute-partition conductance over the shared verified LSH
+    // pair set: pure integer edge counting, 1e-6 floor-grid ratio
+    "q341_source_conductance" ->
+      s"""$LshVerifiedPairCtes,
+          tagged AS (
+            SELECT v.id_a, v.id_b, da.source AS ga, db.source AS gb
+            FROM vpairs v
+            JOIN documents da ON da.doc_id = v.id_a
+            JOIN documents db ON db.doc_id = v.id_b),
+          contrib AS (
+            SELECT ga AS attr,
+              CASE WHEN ga = gb THEN 1 ELSE 0 END AS w,
+              CASE WHEN ga = gb THEN 0 ELSE 1 END AS c
+            FROM tagged
+            UNION ALL
+            SELECT gb, 0, 1 FROM tagged WHERE ga <> gb),
+          per AS (
+            SELECT attr, CAST(sum(w) AS BIGINT) AS within_edges,
+              CAST(sum(c) AS BIGINT) AS cut_edges
+            FROM contrib GROUP BY attr),
+          tot AS (SELECT CAST(2 * count(*) AS BIGINT) AS tv FROM tagged),
+          counts AS (
+            SELECT source AS attr, count(*) AS n_nodes FROM documents
+            GROUP BY source),
+          wide AS (
+            SELECT c2.attr, c2.n_nodes,
+              coalesce(p.within_edges, 0) AS within_edges,
+              coalesce(p.cut_edges, 0) AS cut_edges,
+              coalesce(p.within_edges, 0) * 2 + coalesce(p.cut_edges, 0)
+                AS volume, t.tv
+            FROM counts c2 LEFT JOIN per p ON p.attr = c2.attr
+            CROSS JOIN tot t)
+         SELECT attr, n_nodes, within_edges, cut_edges, volume,
+           CASE WHEN volume > 0 AND tv - volume > 0 THEN
+             floor(CAST(cut_edges AS DOUBLE) / least(volume, tv - volume)
+               * 1e6 + 0.5) / 1e6 END AS conductance
+         FROM wide ORDER BY attr""",
+    // Hopkins replay: same md5 probe selection, 2^-40-grid uniforms in
+    // the per-dim bounds, ordered-fold L2², per-probe NN min quantized
+    // to 1e-9 integers before the two m-term sums
+    "q342_hopkins" ->
+      """WITH pts AS MATERIALIZED (
+            SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            WHERE len(embedding) = 64
+              AND len(list_filter(embedding, x -> isnan(x))) = 0),
+          bounds AS (
+            SELECT i AS dim, min(v[i]) AS mn, max(v[i]) AS mx
+            FROM pts,
+                 LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+            GROUP BY i),
+          synthc AS (
+            SELECT pr.pid, b.dim,
+              b.mn + (('0x' || substr(md5('hopsyn:' || pr.pid || ':'
+                  || (b.dim - 1)), 1, 15))::BIGINT % 1099511627776)
+                / 1099511627776.0 * (b.mx - b.mn) AS x
+            FROM (SELECT unnest(generate_series(1, 20)) AS pid) pr
+            CROSS JOIN bounds b),
+          synth AS (
+            SELECT pid, list(x ORDER BY dim) AS pv FROM synthc
+            GROUP BY pid),
+          realp AS (
+            SELECT id AS pid, v AS pv FROM pts
+            ORDER BY ('0x' || substr(md5('hop:' || id), 1, 15))::BIGINT,
+              id
+            LIMIT 20),
+          du AS (
+            SELECT s.pid,
+              list_sum(list_transform(generate_series(1, 64),
+                i -> (s.pv[i] - p.v[i]) * (s.pv[i] - p.v[i]))) AS d2
+            FROM synth s CROSS JOIN pts p),
+          dw AS (
+            SELECT r.pid,
+              list_sum(list_transform(generate_series(1, 64),
+                i -> (r.pv[i] - p.v[i]) * (r.pv[i] - p.v[i]))) AS d2
+            FROM realp r CROSS JOIN pts p WHERE p.id <> r.pid),
+          un AS (SELECT pid, min(d2) AS nn FROM du GROUP BY pid),
+          wn AS (SELECT pid, min(d2) AS nn FROM dw GROUP BY pid),
+          us AS (
+            SELECT CAST(sum(CAST(floor(nn * 1e9 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_u9 FROM un),
+          ws AS (
+            SELECT CAST(sum(CAST(floor(nn * 1e9 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_w9 FROM wn),
+          nv AS (SELECT count(*) AS n_vecs FROM pts)
+         SELECT CAST(20 AS BIGINT) AS m, n_vecs, sum_u9, sum_w9,
+           CASE WHEN sum_u9 + sum_w9 > 0 THEN
+             floor(CAST(sum_u9 AS DOUBLE) / (sum_u9 + sum_w9)
+               * 1e6 + 0.5) / 1e6 END AS hopkins
+         FROM us, ws, nv""",
     "q335_bpe_merges" -> BpeMergeOracle,
     // exact replay of tokenCountBpeIsh (the q39 SQL) aggregated per
     // language; ratios of integer sums on the 1e-6 floor grid

@@ -117,6 +117,74 @@ class OperatorsSpec extends SparkSpec {
     assert(cell("s3", "x").getDouble(3) < 0)
   }
 
+  test("Graph.partitionConductance: hand graph, isolated attr NULL") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (3L, 4L))
+      .toDF("src", "dst")
+    val nodes = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, "c")).toDF("id", "attr")
+    val out = Graph.partitionConductance(edges, "src", "dst",
+        nodes, "id", "attr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1d else r.getDouble(5))).toSeq
+    // a: within {12,23}, cut {34} → vol 5; b: within {45}, cut {34} →
+    // vol 3; total vol 8; φ = 1/min(5,3) = 1/min(3,5) = 1/3 (floor grid
+    // 0.333333); c: isolated → NULL
+    assert(out == Seq(
+      ("a", 3L, 2L, 1L, 5L, 0.333333),
+      ("b", 2L, 1L, 1L, 3L, 0.333333),
+      ("c", 1L, 0L, 0L, 0L, -1d)))
+  }
+
+  test("Similarity.hopkinsStatistic: clustered ≫ uniform-ish") {
+    val rnd = new scala.util.Random(7)
+    def jit() = (rnd.nextDouble() - 0.5) * 0.02
+    // two tight blobs in 4-d
+    val blobs = (1 to 60).map { i =>
+      val c = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Array(c + jit(), c + jit(), c + jit(), c + jit()))
+    }.toDF("vec_id", "embedding")
+    // near-uniform cloud over the same box
+    def u() = rnd.nextDouble() * 2 - 1
+    val unif = (1 to 60).map(i =>
+      (i.toLong, Array(u(), u(), u(), u()))).toDF("vec_id", "embedding")
+    def h(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.hopkinsStatistic(df, "embedding", "vec_id", m = 12)
+        .collect()(0).getDouble(4)
+    val hB = h(blobs)
+    val hU = h(unif)
+    assert(hB > 0.85, s"blobs should be clearly clustered: $hB")
+    assert(hU > 0.3 && hU < 0.85, s"uniform cloud mid-range: $hU")
+    assert(hB > hU + 0.1)
+  }
+
+  test("Eval.sprt: boundary crossings and continue, hand sequences") {
+    // p0=0.2 vs p1=0.8 ⇒ c1 = ln4, c0 = −ln4, A ≈ 2.944: three
+    // successes cross H1 at t=3, three failures cross H0 at t=3,
+    // a 6-long alternating stream never crosses
+    val rows =
+      Seq(("g1", 1L, 1L, "hit"), ("g1", 2L, 2L, "hit"), ("g1", 3L, 3L, "hit"),
+        ("g2", 1L, 4L, "miss"), ("g2", 2L, 5L, "miss"), ("g2", 3L, 6L, "miss")) ++
+      (1 to 6).map(i =>
+        ("g3", i.toLong, (6 + i).toLong, if (i % 2 == 1) "hit" else "miss"))
+    val df = rows.toDF("g", "ts", "event_id", "kind")
+    val out = graft.operators.Eval.sprt(df, "g", "ts", "event_id",
+        success = col("kind") === "hit", p0 = 0.2, p1 = 0.8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      ("g1", "accept_h1", 3, 3L),
+      ("g2", "accept_h0", 3, 0L),
+      ("g3", "continue", 6, 3L)))
+    // llr at the g1 decision = 3·ln4 on the shared constant grid
+    val (c1, _, _, _) =
+      graft.operators.Eval.sprtConstants(0.2, 0.8, 0.05, 0.05)
+    val llr = graft.operators.Eval.sprt(df, "g", "ts", "event_id",
+        col("kind") === "hit", 0.2, 0.8)
+      .filter(col("g") === "g1").collect()(0).getDouble(4)
+    assert(llr == 3L * c1)
+  }
+
   test("Multimodal.decodeImage: real PNG decode, corrupt bytes → None") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
