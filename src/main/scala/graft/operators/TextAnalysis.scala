@@ -1902,8 +1902,11 @@ object TextAnalysis {
     */
   def goodTuring(df: DataFrame, textCol: String,
       n: Int = 2, maxR: Int = 10): DataFrame = {
-    val counts = df
-      .select(explode(wordShingles(tokens(col(textCol)), n)).as("w"))
+    // stage the token array below the shingle transform: lambda bodies
+    // get no CSE, so an inlined tokens() would re-split the text once
+    // per shingle position (the r4 generator-sibling lesson)
+    val counts = df.select(tokens(col(textCol)).as("__t"))
+      .select(explode(wordShingles(col("__t"), n)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("r"))
     val freqOfFreq = Dedup.persistTracked(
       counts.groupBy("r").agg(count(lit(1)).as("n_r")))
