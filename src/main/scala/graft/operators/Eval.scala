@@ -1033,6 +1033,93 @@ object Eval {
         (floor(col("__mu") * 100d + 0.5) / 1e4).as("huber_mean"))
   }
 
+  /** One-way ANOVA F over integer-cents values: does the group factor
+    * explain variance in `valueCol`? Sums of squares decompose
+    * algebraically from per-group integer moments —
+    * SSB = Σ s_g²/n_g − S²/N, SST = Q − S²/N, SSW = SST − SSB with
+    * s/S/Q exact integer sums (squares accumulate in decimal(38,0) —
+    * cents² overflows int64 past ~10⁹ rows), so both engines divide
+    * identical integers. F and η² land on the 1e-4 floor grid.
+    * Output one row: `k_groups, n, ss_between, ss_within, f_stat,
+    * eta_sq` (SS on the 1e-4 grid).
+    *
+    * The parametric companion of [[kruskalWallis]] — one combinable
+    * aggregation per group, one k-row rollup; no shuffle beyond the
+    * group keys.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c"))
+    val per = base.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum("__c").as("__s"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__q"))
+    val roll = per.agg(count(lit(1)).as("k_groups"),
+      sum("__n").as("n"), sum("__s").as("__S"),
+      sum("__q").cast("decimal(38,0)").as("__Q"),
+      // Σ s_g²/n_g: per-group double ratios of exact integers, summed
+      // on the 1e-6 grid so partition order cannot reorder a float sum
+      sum(floor(col("__s").cast("double") * col("__s") / col("__n")
+          / 1e4 * 1e6 + 0.5).cast("long")).as("__sb6"))
+    def g4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+    val grand = col("__S").cast("double") * col("__S") / col("n") / 1e4
+    val ssb = col("__sb6").cast("double") / 1e6 - grand
+    val sst = col("__Q").cast("double") / 1e4 - grand
+    val ssw = sst - ssb
+    val f = (ssb / (col("k_groups") - 1).cast("double")) /
+      (ssw / (col("n") - col("k_groups")).cast("double"))
+    roll.select(col("k_groups"), col("n"),
+      g4(ssb).as("ss_between"), g4(ssw).as("ss_within"),
+      when(col("k_groups") > 1 && col("n") > col("k_groups") && ssw > 0,
+        g4(f)).as("f_stat"),
+      when(sst > 0, g4(ssb / sst)).as("eta_sq"))
+  }
+
+  /** Welch's unequal-variance t-test for every PAIR of groups: the
+    * post-hoc companion of [[anovaF]]. Per group the integer-cents
+    * moments (n, Σc, Σc² in decimal(38,0)) aggregate once; the k-row
+    * result self-joins on `group_a < group_b`, so no data-sized pair
+    * work. t and the Welch–Satterthwaite df are double algebra over
+    * identical integer inputs, emitted on the 1e-4 floor grid. Output:
+    * `group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat, df`.
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val per = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum("__c").as("__s"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__q"))
+      .filter(col("__n") >= 2)
+    def m(s: Column, n: Column): Column = s.cast("double") / n / 100d
+    // unbiased variance in value² units from exact integer moments
+    def v(q: Column, s: Column, n: Column): Column =
+      (q.cast("double") - s.cast("double") * s / n) / (n - 1) / 1e4
+    val a = per.select(col("__g").as("group_a"), col("__n").as("n_a"),
+      col("__s").as("__sa"), col("__q").as("__qa"))
+    val b = per.select(col("__g").as("group_b"), col("__n").as("n_b"),
+      col("__s").as("__sb"), col("__q").as("__qb"))
+    val va = v(col("__qa"), col("__sa"), col("n_a"))
+    val vb = v(col("__qb"), col("__sb"), col("n_b"))
+    val sem = va / col("n_a") + vb / col("n_b")
+    val t = (m(col("__sa"), col("n_a")) - m(col("__sb"), col("n_b"))) /
+      sqrt(sem)
+    val dfW = sem * sem /
+      (va * va / col("n_a") / col("n_a") / (col("n_a") - 1) +
+        vb * vb / col("n_b") / col("n_b") / (col("n_b") - 1))
+    def g4(c: Column): Column =
+      when(c >= 0, floor(c * 1e4 + 0.5)).otherwise(-floor(-c * 1e4 + 0.5)) / 1e4
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        g4(m(col("__sa"), col("n_a"))).as("mean_a"),
+        g4(m(col("__sb"), col("n_b"))).as("mean_b"),
+        when(sem > 0, g4(t)).as("t_stat"),
+        when(sem > 0, g4(dfW)).as("df"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** Wald's sequential probability ratio test per group: walk each
     * group's event stream in (ts, id) order accumulating the Bernoulli
     * log-likelihood ratio for H1: p = p1 vs H0: p = p0,

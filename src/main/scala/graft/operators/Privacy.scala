@@ -159,4 +159,42 @@ object Privacy {
           .otherwise(lit(0d)).as("t_closeness"): _*)
       .withColumn("violating", col("t_closeness") > t)
   }
+
+  /** Warner randomized response — LOCAL differential privacy for a
+    * sensitive boolean (each record lies with probability 1−p before
+    * it ever reaches the store; the central [[dpNoisyCounts]] trusts
+    * the aggregator, this does not). Per group, the debiased share
+    * estimator p̂ = (obs − (1−p)) / (2p − 1) inverts the known flip
+    * rate; the audit emits the true share next to it so calibration is
+    * gated, not assumed. ε = ln(p/(1−p)) per response.
+    *
+    * The flip coin is an md5 fraction on the 2⁻⁴⁰ grid (deterministic
+    * replay; swap for a secure RNG in production, exactly like
+    * [[dpNoisyCounts]]). All counts are integers; shares and the
+    * estimator land on the 1e-6 floor grid. Output:
+    * `group, n, reported_yes, reported_share, est_share, true_share`.
+    */
+  def randomizedResponse(df: DataFrame, groupCol: String, idCol: String,
+      sensitive: Column, p: Double = 0.75): DataFrame = {
+    require(p > 0.5 && p < 1, s"truth probability p=$p must be in (0.5, 1)")
+    val coin = (md5Long(concat(lit("rr:"), col(idCol).cast("string")))
+      % 1099511627776L).cast("double") / lit(1099511627776d)
+    val truth = when(sensitive, 1L).otherwise(0L)
+    val reported = when(coin < lit(p), truth).otherwise(lit(1L) - truth)
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    def g6s(c: Column): Column =
+      when(c >= 0, floor(c * 1e6 + 0.5)).otherwise(-floor(-c * 1e6 + 0.5)) / 1e6
+    df.select(col(groupCol).as("group"), truth.as("__t"),
+        reported.as("__r"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"), sum("__r").as("reported_yes"),
+        sum("__t").as("__trueYes"))
+      .select(col("group"), col("n"), col("reported_yes"),
+        g6(col("reported_yes").cast("double") / col("n"))
+          .as("reported_share"),
+        g6s((col("reported_yes").cast("double") / col("n") - lit(1 - p))
+          / lit(2 * p - 1)).as("est_share"),
+        g6(col("__trueYes").cast("double") / col("n")).as("true_share"))
+      .orderBy("group")
+  }
 }

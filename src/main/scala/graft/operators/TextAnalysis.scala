@@ -1850,6 +1850,64 @@ object TextAnalysis {
             / col("n_bottom") + 0.5) / 1e6).as("mink_avg_logp"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal token runs between stopwords (gaps-and-islands over
+    * the per-doc token stream; stopset = [[markerWords]], the corpus's
+    * own function words), scored by Σ over member words of
+    * deg(w)/freq(w), where freq counts phrase memberships and deg sums
+    * the lengths of the phrases each membership sits in — co-occurring
+    * words inherit their phrases' mass, so multi-word domain terms
+    * outrank bare frequent words. Top-`topK` by score.
+    *
+    * Determinism: deg/freq are exact integers; each word score
+    * quantizes to a 1e-6 integer grid before the ≤`maxPhraseLen`-term
+    * phrase sum (integer — order-free), and ranking orders by the
+    * integer score with a phrase-text tie-break. The rank window's
+    * `row_number ≤ k` plans a map-side WindowGroupLimit. Output:
+    * `rank, phrase, n_occurrences, score`.
+    */
+  def rakeKeyphrases(df: DataFrame, textCol: String, idCol: String,
+      topK: Int = 15, maxPhraseLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = markerWords.values.flatten.toSeq.distinct.sorted
+    val tok = df.select(col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__i", "__w")))
+      .withColumn("__stop", col("__w").isInCollection(stops))
+    val wSeq = Window.partitionBy("__id").orderBy("__i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrases = Dedup.persistTracked(
+      tok.withColumn("__grp",
+          sum(when(col("__stop"), 1L).otherwise(0L)).over(wSeq))
+        .filter(!col("__stop"))
+        .groupBy("__id", "__grp")
+        .agg(transform(array_sort(collect_list(struct(col("__i"),
+          col("__w")))), e => e("__w")).as("__ws"))
+        .filter(size(col("__ws")) <= maxPhraseLen)
+        .select(array_join(col("__ws"), " ").as("phrase"), col("__ws")))
+    val words = phrases
+      .select(explode(col("__ws")).as("w"), size(col("__ws")).as("__len"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("__freq"), sum("__len").as("__deg"))
+      .select(col("w"),
+        floor(col("__deg").cast("double") / col("__freq") * 1e6 + 0.5)
+          .cast("long").as("__ws6"))
+    val dp = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val scored = dp
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(words, Seq("w"))
+      .groupBy("phrase", "n_occurrences")
+      .agg(sum("__ws6").as("__p6"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__p6").desc, col("phrase").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("phrase"), col("n_occurrences"),
+        (col("__p6").cast("double") / 1e6).as("score"))
+      .orderBy("rank")
+  }
+
   /** Tokenizer fertility / compression audit per group (typically the
     * language column): how many subword tokens the BPE-ish tokenizer
     * spends per word, character, and byte. The standard multilingual

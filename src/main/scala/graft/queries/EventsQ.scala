@@ -189,6 +189,25 @@ object EventsQ {
         p0 = 0.15, p1 = 0.35)
     }),
 
+    // ---- one-way ANOVA F on value by event type (the parametric
+    //      companion of q324's Kruskal–Wallis) ----
+    "q344_anova_f" -> ((s, d) => {
+      graft.operators.Eval.anovaF(Tables.events(s, d), "event_type", "value")
+    }),
+
+    // ---- Welch unequal-variance t for every event-type pair ----
+    "q345_welch_t" -> ((s, d) => {
+      graft.operators.Eval.welchT(Tables.events(s, d), "event_type", "value")
+    }),
+
+    // ---- Schuster periodogram of the daily volume series at 2/3/5/7/
+    //      10/15-day candidate periods (shared 1e-12-grid trig
+    //      literals — no libm trig in either engine) ----
+    "q346_periodogram" -> ((s, d) => {
+      graft.operators.Forecast.periodogramDaily(
+        Tables.events(s, d), "ts", Seq(2, 3, 5, 7, 10, 15))
+    }),
+
     // ---- Kruskal–Wallis H: do event types draw value from the same
     //      distribution? (tie-corrected, grid-exact ranks) ----
     "q324_kruskal_wallis" -> ((s, d) => {
@@ -2148,6 +2167,128 @@ object EventsQ {
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start_us""",
+    // per-group integer moments (Σc in BIGINT, Σc² in HUGEINT), the
+    // between-groups term pre-quantized to 1e-6 so its k-term sum is
+    // order-free, F/η² on the 1e-4 floor grid
+    "q344_anova_f" ->
+      """WITH base AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL),
+          per AS (
+            SELECT g, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+              CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+            FROM base GROUP BY g),
+          roll AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+              CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(s) AS BIGINT) AS gs,
+              CAST(sum(q) AS HUGEINT) AS gq,
+              CAST(sum(CAST(floor(CAST(s AS DOUBLE) * s / n / 1e4 * 1e6
+                + 0.5) AS BIGINT)) AS BIGINT) AS sb6
+            FROM per),
+          calc AS (
+            SELECT k_groups, n,
+              CAST(sb6 AS DOUBLE) / 1e6
+                - CAST(gs AS DOUBLE) * gs / n / 1e4 AS ssb,
+              CAST(gq AS DOUBLE) / 1e4
+                - CAST(gs AS DOUBLE) * gs / n / 1e4 AS sst
+            FROM roll)
+         SELECT k_groups, n,
+           floor(ssb * 1e4 + 0.5) / 1e4 AS ss_between,
+           floor((sst - ssb) * 1e4 + 0.5) / 1e4 AS ss_within,
+           CASE WHEN k_groups > 1 AND n > k_groups AND sst - ssb > 0 THEN
+             floor((ssb / (k_groups - 1)) / ((sst - ssb) / (n - k_groups))
+               * 1e4 + 0.5) / 1e4 END AS f_stat,
+           CASE WHEN sst > 0 THEN floor(ssb / sst * 1e4 + 0.5) / 1e4 END
+             AS eta_sq
+         FROM calc""",
+    // k-row self-join on the per-group integer moments; Welch t and
+    // Satterthwaite df are identical double algebra, 1e-4 grid
+    "q345_welch_t" ->
+      """WITH per AS (
+            SELECT g, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+              CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+            FROM (SELECT event_type AS g,
+                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                  FROM events WHERE value IS NOT NULL)
+            GROUP BY g HAVING count(*) >= 2),
+          pairs AS (
+            SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+              a.s AS sa, b.s AS sb2, a.q AS qa, b.q AS qb
+            FROM per a JOIN per b ON a.g < b.g),
+          calc AS (
+            SELECT *,
+              (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a)
+                / (n_a - 1) / 1e4 AS va,
+              (CAST(qb AS DOUBLE) - CAST(sb2 AS DOUBLE) * sb2 / n_b)
+                / (n_b - 1) / 1e4 AS vb
+            FROM pairs),
+          calc2 AS (
+            SELECT *, va / n_a + vb / n_b AS sem,
+              CAST(sa AS DOUBLE) / n_a / 100 AS ma,
+              CAST(sb2 AS DOUBLE) / n_b / 100 AS mb
+            FROM calc)
+         SELECT group_a, group_b, n_a, n_b,
+           CASE WHEN ma >= 0 THEN floor(ma * 1e4 + 0.5)
+                ELSE -floor(-ma * 1e4 + 0.5) END / 1e4 AS mean_a,
+           CASE WHEN mb >= 0 THEN floor(mb * 1e4 + 0.5)
+                ELSE -floor(-mb * 1e4 + 0.5) END / 1e4 AS mean_b,
+           CASE WHEN sem > 0 THEN
+             CASE WHEN (ma - mb) / sqrt(sem) >= 0
+               THEN floor((ma - mb) / sqrt(sem) * 1e4 + 0.5)
+               ELSE -floor(-((ma - mb) / sqrt(sem)) * 1e4 + 0.5) END / 1e4
+           END AS t_stat,
+           CASE WHEN sem > 0 THEN
+             floor(sem * sem / (va * va / n_a / n_a / (n_a - 1)
+               + vb * vb / n_b / n_b / (n_b - 1)) * 1e4 + 0.5) / 1e4
+           END AS df
+         FROM calc2 ORDER BY group_a, group_b""",
+    // trig factors are the operator's own 1e-12-grid literals
+    // (Forecast.trigTable); per-day products quantize to 1e-6 integers
+    // before the per-period sums
+    "q346_periodogram" -> {
+      val trigRows = graft.operators.Forecast
+        .trigTable(Seq(2, 3, 5, 7, 10, 15), 31)
+        .map { case (p, t, c, s) => s"($p, $t, $c, $s)" }
+        .mkString(",\n            ")
+      s"""WITH trig(period, t, c, s) AS (VALUES
+            $trigRows),
+          ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (
+            SELECT CAST(d - (SELECT min(d) FROM ev) AS INT) AS t,
+              count(*) AS y
+            FROM ev GROUP BY d),
+          joined AS (
+            SELECT tr.period, c2.t, c2.y, tr.c, tr.s
+            FROM cnts c2 JOIN trig tr ON tr.t = c2.t),
+          sums AS (
+            SELECT period, count(*) AS n_days,
+              CAST(sum(CASE WHEN y * c >= 0
+                THEN floor(y * c * 1e6 + 0.5)
+                ELSE -floor(-(y * c) * 1e6 + 0.5) END) AS BIGINT) AS c6,
+              CAST(sum(CASE WHEN y * s >= 0
+                THEN floor(y * s * 1e6 + 0.5)
+                ELSE -floor(-(y * s) * 1e6 + 0.5) END) AS BIGINT) AS s6
+            FROM joined GROUP BY period),
+          pw AS (
+            SELECT period, n_days,
+              (CAST(c6 AS DOUBLE) / 1e6) * (CAST(c6 AS DOUBLE) / 1e6)
+              + (CAST(s6 AS DOUBLE) / 1e6) * (CAST(s6 AS DOUBLE) / 1e6)
+                AS praw
+            FROM sums),
+          pp AS (
+            SELECT period, n_days, floor(praw * 1e4 + 0.5) / 1e4 AS power,
+              CAST(floor(praw * 1e6 + 0.5) AS BIGINT) AS p6
+            FROM pw),
+          tot AS (SELECT CAST(sum(p6) AS BIGINT) AS tv FROM pp)
+         SELECT period, n_days, power,
+           CASE WHEN tv > 0 THEN
+             floor(CAST(p6 AS DOUBLE) / tv * 1e6 + 0.5) / 1e6 END
+             AS power_share
+         FROM pp, tot ORDER BY period"""
+    },
     // SPRT replay: integer running (t, k) over the unique (ts, id)
     // order; the four ln constants are the OPERATOR's own 1e-12-grid
     // literals (Eval.sprtConstants) — no ln in either engine's path

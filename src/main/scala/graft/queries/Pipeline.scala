@@ -164,6 +164,22 @@ object Pipeline {
         Tables.embeddings(s, d), "embedding", "vec_id", m = 20)
     }),
 
+    // ---- RAKE keyphrase extraction: stopword-delimited phrase
+    //      islands, deg/freq word scores, top-15 phrases ----
+    "q347_rake_keyphrases" -> ((s, d) => {
+      TextAnalysis.rakeKeyphrases(Tables.documents(s, d), "text", "doc_id",
+        topK = 15)
+    }),
+
+    // ---- Warner randomized response (LOCAL differential privacy):
+    //      per-record md5 coin flips the sensitive bit before
+    //      aggregation; debiased estimator gated against truth ----
+    "q348_randomized_response" -> ((s, d) => {
+      graft.operators.Privacy.randomizedResponse(
+        Tables.documents(s, d), "source", "doc_id",
+        sensitive = col("lang") === "en", p = 0.75)
+    }),
+
     // ---- exact dedup on a derived boilerplate key (2-token prefix) ----
     "q31_dedup_prefix_groups" -> ((s, d) => {
       Tables.documents(s, d)
@@ -2104,6 +2120,80 @@ object Pipeline {
                * 1e6 + 0.5) / 1e6 END AS hopkins
          FROM us, ws, nv""",
     "q335_bpe_merges" -> BpeMergeOracle,
+    // RAKE replay: gaps-and-islands phrase split at the marker-word
+    // stopset, integer deg/freq, 1e-6-grid word scores summed as
+    // integers per phrase, (score, phrase) rank
+    "q347_rake_keyphrases" -> {
+      val stopList = TextAnalysis.markerWords.values.flatten.toSeq
+        .distinct.sorted.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (
+            SELECT doc_id, u.i, t[u.i] AS w
+            FROM (SELECT doc_id, $Toks AS t FROM documents),
+                 LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u),
+          isl AS (
+            SELECT doc_id, i, w,
+              CAST(sum(CASE WHEN w IN ($stopList) THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp,
+              w IN ($stopList) AS stop
+            FROM tok),
+          ph AS (
+            SELECT array_to_string(ws, ' ') AS phrase, ws
+            FROM (SELECT doc_id, grp, list(w ORDER BY i) AS ws
+                  FROM isl WHERE NOT stop GROUP BY doc_id, grp)
+            WHERE len(ws) <= 4),
+          words AS (
+            SELECT u.w,
+              CAST(floor(CAST(sum(len(ph.ws)) AS DOUBLE) / count(*)
+                * 1e6 + 0.5) AS BIGINT) AS ws6
+            FROM ph, LATERAL (SELECT unnest(ph.ws) AS w) u
+            GROUP BY u.w),
+          dp AS (
+            SELECT phrase, count(*) AS n_occurrences FROM ph
+            GROUP BY phrase),
+          scored AS (
+            SELECT d.phrase, d.n_occurrences,
+              CAST(sum(ws.ws6) AS BIGINT) AS p6
+            FROM dp d,
+                 LATERAL (SELECT unnest(string_split(d.phrase, ' '))
+                          AS w) u
+            JOIN words ws ON ws.w = u.w
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (ORDER BY p6 DESC, phrase)
+              AS INT) AS rank
+            FROM scored)
+         SELECT rank, phrase, n_occurrences,
+           CAST(p6 AS DOUBLE) / 1e6 AS score
+         FROM ranked WHERE rank <= 15 ORDER BY rank"""
+    },
+    // randomized-response replay: the same md5 coin, 0.75/0.25 flip,
+    // debiased share (obs − 0.25)/0.5 on the 1e-6 grid
+    "q348_randomized_response" ->
+      """WITH base AS (
+            SELECT source AS grp,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+              (('0x' || substr(md5('rr:' || doc_id), 1, 15))::BIGINT
+                % 1099511627776) / 1099511627776.0 AS coin
+            FROM documents),
+          rep AS (
+            SELECT grp, t,
+              CASE WHEN coin < 0.75 THEN t ELSE 1 - t END AS r
+            FROM base),
+          agg AS (
+            SELECT grp, count(*) AS n, CAST(sum(r) AS BIGINT)
+              AS reported_yes, CAST(sum(t) AS BIGINT) AS ty
+            FROM rep GROUP BY grp)
+         SELECT grp AS "group", n, reported_yes,
+           floor(CAST(reported_yes AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+             AS reported_share,
+           CASE WHEN (CAST(reported_yes AS DOUBLE) / n - 0.25) / 0.5 >= 0
+             THEN floor((CAST(reported_yes AS DOUBLE) / n - 0.25) / 0.5
+               * 1e6 + 0.5)
+             ELSE -floor(-((CAST(reported_yes AS DOUBLE) / n - 0.25)
+               / 0.5) * 1e6 + 0.5) END / 1e6 AS est_share,
+           floor(CAST(ty AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS true_share
+         FROM agg ORDER BY "group"""",
     // exact replay of tokenCountBpeIsh (the q39 SQL) aggregated per
     // language; ratios of integer sums on the 1e-6 floor grid
     "q336_tokenizer_fertility" ->

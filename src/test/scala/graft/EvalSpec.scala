@@ -143,4 +143,54 @@ class EvalSpec extends SparkSpec {
     val got = out.head.getAs[Double]("chi2")
     assert(math.abs(got - (chi2 - missing)) < 1e-6)
   }
+
+  test("anovaF: hand-computed two-group decomposition") {
+    // a = {1,2,3}, b = {5,6,7} (dollars): means 2 and 6, grand 4,
+    // SSB = 3*4 + 3*4 = 24, SSW = 2 + 2 = 4, F = (24/1)/(4/4) = 24
+    val df = Seq(("a", 1d), ("a", 2d), ("a", 3d),
+      ("b", 5d), ("b", 6d), ("b", 7d)).toDF("g", "v")
+    val r = graft.operators.Eval.anovaF(df, "g", "v").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 24.0 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 24.0)
+    assert(r.getDouble(5) == 0.8571) // eta^2 = 24/28
+  }
+
+  test("welchT: hand-computed symmetric pair; singleton group dropped") {
+    val df = Seq(("a", 1d), ("a", 2d), ("a", 3d),
+      ("b", 5d), ("b", 6d), ("b", 7d), ("c", 9d)).toDF("g", "v")
+    val out = graft.operators.Eval.welchT(df, "g", "v").collect()
+    assert(out.length == 1) // c has n = 1 -> excluded
+    val r = out(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 6.0)
+    // va = vb = 1, sem = 2/3: t = -4/sqrt(2/3) = -4.899, df = 4
+    assert(r.getDouble(6) == -4.899 && r.getDouble(7) == 4.0)
+  }
+
+  test("Forecast.periodogramDaily: 7-day impulse train peaks at period 7") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // 35 days: baseline 3 events/day, +5 extra every 7th day
+    val rows = (0 until 35).flatMap { t =>
+      val n = if (t % 7 == 0) 8 else 3
+      (0 until n).map(i => Tuple1(t * day + i))
+    }
+    val df = rows.toDF("ts")
+    val power = graft.operators.Forecast.periodogramDaily(
+        df, "ts", Seq(2, 3, 5, 7, 10, 15), maxDays = 36)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // exact 5 complete cycles at p = 7: P(7) = (5·5)² = 625; period 5
+    // also divides 35 so its constant leakage cancels exactly; the
+    // other candidates keep incomplete-cycle leakage but stay far below
+    assert(power(7) > 600.0, s"P(7) = ${power(7)}")
+    assert(power(5) == 0.0, power.toString)
+    assert(power.filterNot(_._1 == 7).values.forall(_ < 300.0),
+      power.toString)
+    assert(power(7) == power.values.max)
+    // span guard trips when the literal table is too small
+    intercept[IllegalArgumentException] {
+      graft.operators.Forecast.periodogramDaily(
+        df, "ts", Seq(7), maxDays = 20).collect()
+    }
+  }
 }

@@ -185,6 +185,44 @@ class OperatorsSpec extends SparkSpec {
     assert(llr == 3L * c1)
   }
 
+  test("TextAnalysis.rakeKeyphrases: hand-computed phrase scores") {
+    // stopwords "the"/"and" split two islands; RAKE scores:
+    // quick/brown/fox deg 3 freq 1 → 3 each ⇒ phrase 9;
+    // lazy/dog deg 2 freq 1 → 2 each ⇒ phrase 4
+    val df = Seq((1L, "the quick brown fox and the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeyphrases(df, "text", "doc_id")
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (1, "quick brown fox", 1L, 9.0), (2, "lazy dog", 1L, 4.0)))
+    // repeated phrase: deg/freq double but the ratio — and the phrase
+    // score — is unchanged; occurrences count it
+    val df2 = Seq((1L, "lazy dog and the lazy dog")).toDF("doc_id", "text")
+    val out2 = TextAnalysis.rakeKeyphrases(df2, "text", "doc_id")
+      .collect().map(r =>
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out2 == Seq(("lazy dog", 2L, 4.0)))
+  }
+
+  test("Privacy.randomizedResponse: deterministic replay, debiased share") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", s"s${i % 2}"))
+      .toDF("doc_id", "lang", "source")
+    def run() = Privacy.randomizedResponse(docs, "source", "doc_id",
+      sensitive = col("lang") === "en", p = 0.75).collect().toSeq
+    val a = run()
+    assert(a == run()) // md5 coin ⇒ identical replay
+    // s0 is all-en (true 1.0), s1 all-de (true 0.0); the debiased
+    // estimator must land near truth (200 flips, p=0.75)
+    val m = a.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(4), r.getDouble(5))).toMap
+    assert(m("s0")._1 == 200L && m("s0")._3 == 1.0)
+    assert(m("s1")._3 == 0.0)
+    assert(math.abs(m("s0")._2 - 1.0) < 0.2, m.toString)
+    assert(math.abs(m("s1")._2 - 0.0) < 0.2, m.toString)
+  }
+
   test("Multimodal.decodeImage: real PNG decode, corrupt bytes → None") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
