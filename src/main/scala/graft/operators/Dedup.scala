@@ -90,6 +90,32 @@ object Dedup {
     withFp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
 
+  /** Split-document stitching detection: doc A's LAST `k` tokens equal
+    * doc B's FIRST `k` tokens — the seam a chunking/sharding pipeline
+    * leaves when one source document was split across records (the
+    * fragments are NOT near-duplicates of each other, so the LSH family
+    * never sees them; this is the complementary boundary check).
+    *
+    * One equi-join on the seam string (tail side ⨝ head side) — no
+    * pair scan; candidates are exact matches by construction, so there
+    * is no verify stage. Self-seams (a doc whose own head equals its
+    * tail) are excluded. Output: `a_id, b_id, seam` ordered.
+    */
+  def stitchingPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+    val heads = toks.select(col("__id").as("b_id"),
+      array_join(slice(col("__t"), 1, k), " ").as("seam"))
+    val tails = toks.select(col("__id").as("a_id"),
+      array_join(slice(col("__t"), -k, k), " ").as("seam"))
+    tails.join(heads, Seq("seam"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("seam"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Incremental-ingest dedup — the per-dump pattern corpus pipelines
     * use (dedup each new crawl against everything already ingested,
     * never re-shuffling the historical corpus): keep the rows of

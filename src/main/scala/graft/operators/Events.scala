@@ -146,6 +146,64 @@ object Events {
         sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
   }
 
+  /** Stationary distribution of the first-order event-type Markov
+    * chain: power iteration of vᵀP where P is the [[transitions]]
+    * matrix — the long-run share of time the user population spends in
+    * each state, independent of where sessions start (the steady-state
+    * complement of the raw transition counts).
+    *
+    * Chain hygiene: the state space is the set of types observed as a
+    * transition SOURCE; transitions into never-source (absorbing-tail)
+    * states are dropped and each row renormalizes over what remains —
+    * a dangling state would otherwise soak up mass with no outflow.
+    *
+    * Determinism (the grmPca integer-grid pattern): P entries quantize
+    * to a 1e-6 grid, v to 1e-12; per-round products accumulate in
+    * decimal(38,0) and the L1 renormalizer is a 1-row collect that
+    * re-enters as a literal — bit-identical replay in any engine, and
+    * one job per round (the lazy checkpoint is materialized by the
+    * normalizer aggregate; superseded rounds' blocks are dropped).
+    * Output: `state, stationary` (1e-12 grid, sums to ~1).
+    */
+  def markovStationary(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, tieBreak: String, iters: Int = 12): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val w = Window.partitionBy(userCol).orderBy(col(tsNs), col(tieBreak))
+    val pairs = df.withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .select(col(typeCol).as("from"), col("__next").as("to"))
+    val states = Dedup.persistTracked(pairs.select(col("from").as("s")).distinct())
+    val kept = pairs.join(states.select(col("s").as("to")), Seq("to"), "left_semi")
+    val cnt = kept.groupBy("from", "to").agg(count(lit(1)).as("__n"))
+    val totals = cnt.groupBy("from").agg(sum("__n").as("__tot"))
+    val p = Dedup.persistTracked(cnt.join(totals, Seq("from"))
+      .select(col("from"), col("to"),
+        floor(col("__n").cast("double") / col("__tot") * 1e6 + 0.5)
+          .cast("long").as("__p6")))
+    var v = states.select(col("s"), lit(1000000000000L).as("__v12"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val wp = p.join(v.withColumnRenamed("s", "from"), Seq("from"))
+        .groupBy(col("to").as("s"))
+        .agg(sum((col("__p6") * col("__v12")).cast("decimal(38,0)"))
+          .as("__w18"))
+        .localCheckpoint(false)
+      val sRow = wp.agg(sum(col("__w18")).cast("double")).head()
+      val total = if (sRow.isNullAt(0)) 0d else sRow.getDouble(0)
+      v = wp.select(col("s"),
+        when(lit(total) <= 0d, 0L)
+          .otherwise(floor(col("__w18").cast("double") / lit(total)
+            * 1e12 + 0.5)).cast("long").as("__v12"))
+      if (prev != null) Graph.unpersistCheckpoint(prev)
+      prev = wp
+    }
+    states.join(v, Seq("s"), "left")
+      .na.fill(0L, Seq("__v12"))
+      .select(col("s").as("state"),
+        (col("__v12").cast("double") / 1e12).as("stationary"))
+      .orderBy("state")
+  }
+
   /** Next-event prediction evaluation — the simplest behavioral-model
     * baseline, trained and scored entirely in-engine: learn the
     * majority next event per current event on the TRAIN users

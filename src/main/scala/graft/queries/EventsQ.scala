@@ -189,6 +189,23 @@ object EventsQ {
         p0 = 0.15, p1 = 0.35)
     }),
 
+    // ---- bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    //      evicts per-key state at the re-delivery horizon (q67's
+    //      plain dropDuplicates keeps state forever) ----
+    "q349_stream_dedup_ttl" -> ((s, d) => {
+      graft.streaming.EventsStream.runDedupTtlOnce(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+        .orderBy("event_type")
+    }),
+
+    // ---- stationary distribution of the event-type Markov chain
+    //      (vᵀP power iteration, integer-grid accumulation) ----
+    "q351_markov_stationary" -> ((s, d) => {
+      Events.markovStationary(Tables.events(s, d), "user_id", "ts",
+        "event_type", "event_id", iters = 12)
+    }),
+
     // ---- one-way ANOVA F on value by event type (the parametric
     //      companion of q324's Kruskal–Wallis) ----
     "q344_anova_f" -> ((s, d) => {
@@ -2167,6 +2184,54 @@ object EventsQ {
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start_us""",
+    // the TTL-dedup'd stream must equal the batch distinct — same
+    // oracle as q67, proving the bounded-state form loses nothing
+    "q349_stream_dedup_ttl" ->
+      """SELECT event_type, count(*) AS n,
+            CAST(sum(event_id) AS BIGINT) AS sum_ids
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // vᵀP power iteration unrolled 12 rounds: 1e-6-grid P, 1e-12-grid
+    // v, HUGEINT product sums, L1 renormalize per round — the grmPca
+    // integer-grid pattern on a row-stochastic matrix
+    "q351_markov_stationary" -> {
+      val rounds = 1 to 12
+      val stages = rounds.map { r =>
+        s"""w$r AS MATERIALIZED (
+              SELECT tr.t AS s, CAST(sum(tr.p6 * v.v12) AS HUGEINT) AS w18
+              FROM tr JOIN vr${r - 1} v ON v.s = tr.f GROUP BY tr.t),
+            n$r AS MATERIALIZED (
+              SELECT CAST(sum(w18) AS DOUBLE) AS tot FROM w$r),
+            vr$r AS MATERIALIZED (
+              SELECT w.s,
+                CAST(CASE WHEN n.tot <= 0 THEN 0
+                  ELSE floor(CAST(w.w18 AS DOUBLE) / n.tot * 1e12 + 0.5)
+                  END AS BIGINT) AS v12
+              FROM w$r w, n$r n)"""
+      }.mkString(",\n          ")
+      s"""WITH seq AS (
+            SELECT user_id, event_type AS f,
+              lead(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS t
+            FROM events),
+          pairs AS (SELECT f, t FROM seq WHERE t IS NOT NULL),
+          states AS (SELECT DISTINCT f AS s FROM pairs),
+          kept AS (SELECT p.f, p.t FROM pairs p JOIN states st
+            ON st.s = p.t),
+          cnt AS (SELECT f, t, count(*) AS n FROM kept GROUP BY 1, 2),
+          tr AS (
+            SELECT c.f, c.t,
+              CAST(floor(CAST(c.n AS DOUBLE) / tt.tot * 1e6 + 0.5)
+                AS BIGINT) AS p6
+            FROM cnt c JOIN (SELECT f, CAST(sum(n) AS BIGINT) AS tot
+              FROM cnt GROUP BY f) tt ON tt.f = c.f),
+          vr0 AS (SELECT s, CAST(1000000000000 AS BIGINT) AS v12
+            FROM states),
+          $stages
+         SELECT st.s AS state,
+           CAST(coalesce(v.v12, 0) AS DOUBLE) / 1e12 AS stationary
+         FROM states st LEFT JOIN vr12 v ON v.s = st.s
+         ORDER BY state"""
+    },
     // per-group integer moments (Σc in BIGINT, Σc² in HUGEINT), the
     // between-groups term pre-quantized to 1e-6 so its k-term sum is
     // order-free, F/η² on the 1e-4 floor grid

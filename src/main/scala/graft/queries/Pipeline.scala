@@ -164,6 +164,13 @@ object Pipeline {
         Tables.embeddings(s, d), "embedding", "vec_id", m = 20)
     }),
 
+    // ---- split-document stitching: doc A's last-k tokens = doc B's
+    //      first-k — the seam fragments share that LSH near-dup never
+    //      sees (fragments aren't similar to each other) ----
+    "q350_doc_stitching" -> ((s, d) => {
+      Dedup.stitchingPairs(Tables.documents(s, d), "text", "doc_id", k = 3)
+    }),
+
     // ---- RAKE keyphrase extraction: stopword-delimited phrase
     //      islands, deg/freq word scores, top-15 phrases ----
     "q347_rake_keyphrases" -> ((s, d) => {
@@ -2120,6 +2127,19 @@ object Pipeline {
                * 1e6 + 0.5) / 1e6 END AS hopkins
          FROM us, ws, nv""",
     "q335_bpe_merges" -> BpeMergeOracle,
+    // boundary-seam equi-join on the k-token head/tail strings
+    "q350_doc_stitching" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+          f AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+          heads AS (
+            SELECT doc_id AS b_id, array_to_string(t[1:3], ' ') AS seam
+            FROM f),
+          tails AS (
+            SELECT doc_id AS a_id,
+              array_to_string(t[len(t)-2:len(t)], ' ') AS seam
+            FROM f)
+         SELECT a_id, b_id, seam FROM tails JOIN heads USING (seam)
+         WHERE a_id <> b_id ORDER BY a_id, b_id""",
     // RAKE replay: gaps-and-islands phrase split at the marker-word
     // stopset, integer deg/freq, 1e-6-grid word scores summed as
     // integers per phrase, (score, phrase) rank

@@ -360,6 +360,43 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * evicts a key's dedup state once the watermark passes its event
+    * time + `horizon`. [[runDedupOnce]]'s plain `dropDuplicates` keeps
+    * EVERY key for stream lifetime — unbounded state at 100-TB scale;
+    * this form caps state at the re-delivery horizon (real duplicate
+    * ingestion is close-in-time re-emission, exactly what the fixture
+    * models: the re-emitted subset carries identical event times, so
+    * every duplicate lands inside any horizon and the AvailableNow
+    * replay equals batch distinct).
+    */
+  def runDedupTtlOnce(spark: SparkSession, dir: String,
+      horizon: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.tsAsNanos(
+      spark.readStream.schema(schema).parquet(staged))
+    val doubled = stream.union(
+      stream.where(pmod(col("event_id"), lit(7)) === 0))
+    val out = doubled
+      .withColumn("__evt", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("__evt", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type", "value")
+    val name = s"events_dedup_ttl_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   /** Watermarked stream-stream interval join: every purchase pairs with
     * the same user's views in the preceding `horizon` (event time, µs
     * precision — the cross-engine comparable grain; see

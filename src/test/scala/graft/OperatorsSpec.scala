@@ -223,6 +223,35 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m("s1")._2 - 0.0) < 0.2, m.toString)
   }
 
+  test("Dedup.stitchingPairs: seams found, self-seam excluded") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // tail "c d e"
+      (2L, "c d e x y z"),      // head "c d e", tail "x y z"
+      (3L, "x y z w"),          // head "x y z"
+      (4L, "p q r p q r"))      // own head == own tail → excluded
+      .toDF("doc_id", "text")
+    val got = Dedup.stitchingPairs(docs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    assert(got == Seq((1L, 2L, "c d e"), (2L, 3L, "x y z")))
+  }
+
+  test("Events.markovStationary: 2/3–1/3 chain, dangling state dropped") {
+    val day = 1000000L
+    // user 1: A A B A A B → P(A→A)=P(A→B)=1/2, P(B→A)=1 ⇒ π=(2/3,1/3)
+    val rows = Seq("A", "A", "B", "A", "A", "B").zipWithIndex.map {
+      case (t, i) => (1L, i * day, (i + 1).toLong, t)
+    } ++ Seq((2L, 0L, 100L, "A"), (2L, day, 101L, "C")) // A→C dangling
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.markovStationary(df, "user_id", "ts", "event_type",
+        "event_id", iters = 40)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // C is never a source → dropped from the state space entirely
+    assert(got.keySet == Set("A", "B"))
+    assert(math.abs(got("A") - 2d / 3) < 1e-9, got.toString)
+    assert(math.abs(got("B") - 1d / 3) < 1e-9, got.toString)
+  }
+
   test("Multimodal.decodeImage: real PNG decode, corrupt bytes → None") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -45,6 +45,52 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("dropDuplicatesWithinWatermark evicts expired dedup state (bounded)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ttl")
+    val h = 3600L * 1000000L // 1 hour in µs
+    // b1: keys 1,2 (+ an in-batch duplicate of 1) at t≈1h (NOT epoch 0
+    // — a row at the initial watermark is discarded as late); b2
+    // advances the watermark far past t+horizon; b3 triggers eviction
+    val b1 = Seq((1L, h, "a"), (1L, h, "a"), (2L, h + 1000L, "b"))
+    val b2 = Seq((3L, 11L * h, "c"))
+    val b3 = Seq((4L, 12L * h, "d"))
+    def write(rows: Seq[(Long, Long, String)], name: String, mtime: Long): Unit = {
+      val p = dir.resolve(name)
+      rows.toDF("event_id", "ts_us", "event_type").coalesce(1)
+        .write.parquet(p.toString)
+      java.nio.file.Files.walk(p).forEach(f => f.toFile.setLastModified(mtime))
+    }
+    write(b1, "b1.parquet", 1000000L)
+    write(b2, "b2.parquet", 2000000L)
+    write(b3, "b3.parquet", 3000000L)
+    val schema = spark.read.parquet(dir.toString + "/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*.parquet")
+    val out = stream
+      .withColumn("__evt", timestamp_micros(col("ts_us")))
+      .withWatermark("__evt", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "event_type")
+    val name = s"dedup_ttl_${System.nanoTime()}"
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // all four keys emitted once (the in-batch duplicate dropped)
+    val got = spark.table(name).as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")), s"got $got")
+    // the point of the operator: keys 1,2 (event time + 1h < watermark
+    // 10h) are EVICTED — state holds only keys 3,4. q67's plain
+    // dropDuplicates would still hold all 4.
+    val stateRows = q.recentProgress.filter(_.numInputRows > 0)
+      .last.stateOperators(0).numRowsTotal
+    assert(stateRows == 2L, s"state not evicted: $stateRows rows")
+    spark.catalog.dropTempView(name)
+  }
+
   test("streaming ledger carries the clamp state across micro-batches") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val dir = java.nio.file.Files.createTempDirectory("graft_ledger_stream")
