@@ -204,6 +204,99 @@ object Events {
       .orderBy("state")
   }
 
+  /** Markov-chain (removal-effect) attribution — Anderl et al. 2014,
+    * the de-facto data-driven attribution model that position rules
+    * (q216 last-touch, q233 U-shaped) approximate: model user journeys
+    * as a first-order chain over channels with absorbing CONV (first
+    * conversion) and NULL (journey end); a channel's credit is the
+    * share of total conversion probability that disappears when the
+    * channel is removed (all transitions into it redirect to NULL).
+    *
+    * Scale shape: the corpus-sized work is ONE windowed journey pass +
+    * one (from, to) count aggregate; the chain itself is
+    * |channels|²-bounded metadata (the d×d-covariance precedent of
+    * pcaProject) and collects to the driver, where the absorption
+    * fixed-point p = P·(p ⊕ CONV) runs in EXACT integer arithmetic —
+    * P on the 1e-6 grid, p on 1e-12, BigInt products,
+    * (w + 500000) / 1000000 integer re-gridding, `iters` rounds. The
+    * oracle unrolls the identical integer recursion per removal
+    * variant, so results hash-match with no float in the path.
+    * Output: `channel, p_conv, p_conv_removed, removal_effect`.
+    */
+  def markovAttribution(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, tieBreak: String, convType: String,
+      iters: Int = 16): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Start = "__START__"
+    val Conv = "__CONV__"
+    val Null = "__NULL__"
+    val w = Window.partitionBy("__u")
+    val wSeq = Window.partitionBy("__u").orderBy(col("__t"), col("__id"))
+    val base = df.select(col(userCol).as("__u"), col(typeCol).as("__e"),
+        col(tsNs).as("__t"), col(tieBreak).as("__id"))
+      .select(col("__u"), col("__e"), row_number().over(wSeq).as("__rn"))
+      .withColumn("__fpRn",
+        min(when(col("__e") === convType, col("__rn"))).over(w))
+    val keptCond = col("__e") =!= convType &&
+      (col("__fpRn").isNull || col("__rn") < col("__fpRn"))
+    val wk = Window.partitionBy("__u").orderBy("__rn")
+    val seq2 = base.filter(keptCond).select(col("__u"), col("__e"),
+      row_number().over(wk).as("__kr"),
+      lead("__e", 1).over(wk).as("__next"),
+      col("__fpRn").isNotNull.as("__conv"))
+    val trans = seq2.filter(col("__kr") === 1)
+        .select(lit(Start).as("f"), col("__e").as("t2"))
+      .unionByName(seq2.filter(col("__next").isNotNull)
+        .select(col("__e").as("f"), col("__next").as("t2")))
+      .unionByName(seq2.filter(col("__next").isNull)
+        .select(col("__e").as("f"),
+          when(col("__conv"), lit(Conv)).otherwise(lit(Null)).as("t2")))
+      .unionByName(base.groupBy("__u")
+        .agg(max(when(col("__e") === convType, 1).otherwise(0)).as("__c"),
+          max(when(keptCond, 1).otherwise(0)).as("__k"))
+        .filter(col("__c") === 1 && col("__k") === 0)
+        .select(lit(Start).as("f"), lit(Conv).as("t2")))
+    val cnt = trans.groupBy("f", "t2").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // 1e-6-grid transition probabilities (floor(n/tot·1e6 + ½) — the
+    // same expression the oracle renders)
+    val totals = cnt.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+    val p6: Map[(String, String), Long] = cnt.map { case (f, t2, n) =>
+      (f, t2) -> math.floor(n.toDouble / totals(f) * 1e6 + 0.5).toLong
+    }.toMap
+    val channels = cnt.map(_._1).filter(_ != Start).distinct.sorted
+    val states = Start +: channels
+    def solve(excluded: Option[String]): Long = {
+      var p: Map[String, BigInt] = states.map(_ -> BigInt(0)).toMap
+      for (_ <- 1 to iters) {
+        p = states.map { s =>
+          val w18 = p6.collect {
+            case ((f, t2), pr) if f == s && !excluded.contains(t2) =>
+              if (t2 == Conv) BigInt(pr) * BigInt(1000000000000L)
+              else if (t2 == Null) BigInt(0)
+              else BigInt(pr) * p.getOrElse(t2, BigInt(0))
+          }.sum
+          s -> (w18 + 500000) / 1000000
+        }.toMap
+      }
+      p(Start).toLong
+    }
+    val pFull = solve(None)
+    val rows = channels.map { ch =>
+      val pRem = solve(Some(ch))
+      val eff =
+        if (pFull > 0)
+          Some(math.floor((1d - pRem.toDouble / pFull) * 1e6 + 0.5) / 1e6)
+        else None
+      (ch, pFull.toDouble / 1e12, pRem.toDouble / 1e12, eff)
+    }
+    rows.toSeq
+      .toDF("channel", "p_conv", "p_conv_removed", "removal_effect")
+      .orderBy("channel")
+  }
+
   /** Next-event prediction evaluation — the simplest behavioral-model
     * baseline, trained and scored entirely in-engine: learn the
     * majority next event per current event on the TRAIN users

@@ -206,6 +206,14 @@ object EventsQ {
         "event_type", "event_id", iters = 12)
     }),
 
+    // ---- Markov removal-effect attribution: journeys → absorbing
+    //      chain → per-channel conversion-probability drop; exact
+    //      integer fixed-point shared bit-for-bit with the oracle ----
+    "q353_markov_attribution" -> ((s, d) => {
+      Events.markovAttribution(Tables.events(s, d), "user_id", "ts",
+        "event_type", "event_id", convType = "purchase", iters = 16)
+    }),
+
     // ---- one-way ANOVA F on value by event type (the parametric
     //      companion of q324's Kruskal–Wallis) ----
     "q344_anova_f" -> ((s, d) => {
@@ -2184,6 +2192,87 @@ object EventsQ {
            count(*) AS n, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start_us""",
+    // journeys (truncate at first purchase) → 1e-6-grid transition
+    // matrix → 16-round integer absorption fixed-point, unrolled once
+    // for the full chain and once per removed channel — every
+    // accumulation is HUGEINT, the re-grid is integer division, and
+    // only the final ratios touch doubles
+    "q353_markov_attribution" -> {
+      val chans = Seq("click", "error", "signup", "view")
+      def rounds(tag: String, excl: Option[String]): String = {
+        val exclCond = excl.map(c => s" AND p.t2 <> '$c'").getOrElse("")
+        val base =
+          s"""r${tag}0 AS (SELECT s, CAST(0 AS HUGEINT) AS v FROM states)"""
+        val steps = (1 to 16).map { k =>
+          s"""r$tag$k AS MATERIALIZED (
+              SELECT st.s,
+                (coalesce(sum(CASE
+                    WHEN p.t2 = '__CONV__'
+                      THEN CAST(p.p6 AS HUGEINT) * 1000000000000
+                    WHEN p.t2 <> '__NULL__'
+                      THEN CAST(p.p6 AS HUGEINT) * coalesce(pr.v, 0)
+                    END), 0) + 500000) // 1000000 AS v
+              FROM states st
+              LEFT JOIN p ON p.f = st.s$exclCond
+              LEFT JOIN r$tag${k - 1} pr ON pr.s = p.t2
+              GROUP BY st.s)"""
+        }
+        (base +: steps).mkString(",\n          ")
+      }
+      val variants = chans.zipWithIndex
+        .map { case (c, i) => rounds(s"x$i", Some(c)) }
+        .mkString(",\n          ")
+      val finalRows = chans.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS channel,
+              CAST(f.v AS DOUBLE) / 1e12 AS p_conv,
+              CAST(r.v AS DOUBLE) / 1e12 AS p_conv_removed,
+              CASE WHEN f.v > 0 THEN
+                floor((1 - CAST(r.v AS DOUBLE) / CAST(f.v AS DOUBLE))
+                  * 1e6 + 0.5) / 1e6 END AS removal_effect
+            FROM rf16 f, rx${i}16 r
+            WHERE f.s = '__START__' AND r.s = '__START__'"""
+      }.mkString(" UNION ALL ")
+      s"""WITH base AS (
+            SELECT user_id AS u, event_type AS e,
+              row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events),
+          fp AS (
+            SELECT u, e, rn,
+              min(CASE WHEN e = 'purchase' THEN rn END)
+                OVER (PARTITION BY u) AS fprn
+            FROM base),
+          kept AS (
+            SELECT u, e, rn, fprn IS NOT NULL AS conv,
+              row_number() OVER (PARTITION BY u ORDER BY rn) AS kr,
+              lead(e) OVER (PARTITION BY u ORDER BY rn) AS nxt
+            FROM fp
+            WHERE e <> 'purchase' AND (fprn IS NULL OR rn < fprn)),
+          trans AS (
+            SELECT '__START__' AS f, e AS t2 FROM kept WHERE kr = 1
+            UNION ALL SELECT e, nxt FROM kept WHERE nxt IS NOT NULL
+            UNION ALL SELECT e,
+              CASE WHEN conv THEN '__CONV__' ELSE '__NULL__' END
+            FROM kept WHERE nxt IS NULL
+            UNION ALL SELECT '__START__', '__CONV__' FROM (
+              SELECT u,
+                max(CASE WHEN e = 'purchase' THEN 1 ELSE 0 END) AS c,
+                max(CASE WHEN e <> 'purchase'
+                  AND (fprn IS NULL OR rn < fprn) THEN 1 ELSE 0 END) AS k
+              FROM fp GROUP BY u) WHERE c = 1 AND k = 0),
+          cnt AS (SELECT f, t2, count(*) AS n FROM trans GROUP BY 1, 2),
+          p AS MATERIALIZED (
+            SELECT f, t2,
+              CAST(floor(CAST(n AS DOUBLE)
+                / sum(n) OVER (PARTITION BY f) * 1e6 + 0.5) AS BIGINT)
+                AS p6
+            FROM cnt),
+          states AS (SELECT unnest(['__START__', 'click', 'error',
+            'signup', 'view']) AS s),
+          ${rounds("f", None)},
+          $variants
+         SELECT * FROM ($finalRows) ORDER BY channel"""
+    },
     // the TTL-dedup'd stream must equal the batch distinct — same
     // oracle as q67, proving the bounded-state form loses nothing
     "q349_stream_dedup_ttl" ->

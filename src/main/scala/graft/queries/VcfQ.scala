@@ -200,6 +200,10 @@ object VcfQ {
       VcfApi.ldDecay(tables(s).geno, tables(s).info,
         maxDist = 200L, binBp = 50L)
     }),
+    // ---- windowed nucleotide diversity (vcftools --window-pi) ----
+    "q352_vcf_pi_windows" -> ((s, _) => {
+      VcfApi.piWindows(tables(s).geno, tables(s).info, windowBp = 200L)
+    }),
     // ---- Mendelian-error trio check (plink --mendel): a family
     //      fixture exercising every feasible-range edge — 0×0, 2×2,
     //      0×2 and hom×het violations, a missing-call exclusion, two
@@ -489,6 +493,20 @@ object VcfQ {
           (200, 249, 1, 0, NULL))
          t(dist_from, dist_to, n_pairs, n_scored, mean_r2)
          ORDER BY dist_from""",
+    // hand-computed from the q45 genotypes: fully-called sites only
+    // (v3 misses S1); allele count n = 4, per-site numerator 2j(4−j)
+    // with j = dosage sum: v1@1:100 j=1→6, v2@1:200 j=2→8,
+    // v4@2:150 j=3→6, v5@2:250 j=1→6, v6@2:400 j=4→0; π = num/12
+    "q352_vcf_pi_windows" ->
+      """SELECT * FROM (VALUES
+          ('1', CAST(0 AS BIGINT), CAST(199 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)),
+          ('1', 200, 399, 1, 0.666667),
+          ('2', 0, 199, 1, 0.5),
+          ('2', 200, 399, 1, 0.5),
+          ('2', 400, 599, 1, 0.0))
+         t(chr, win_start, win_end, n_sites, pi)
+         ORDER BY chr, win_start""",
     // hand-computed from the q45 genotype golden rows:
     // S1 gts (0,2,∅,2,1,2) dp (10,15,0,20,11,22); S2 gts (1,0,1,1,0,2)
     "q88_vcf_sample_qc" ->

@@ -1264,6 +1264,45 @@ object VcfApi {
           .as("tajima_d"))
   }
 
+  /** Windowed nucleotide diversity — π summed per genomic window (the
+    * sliding-π track every pop-gen browser shows; vcftools
+    * `--window-pi`). Same estimator as [[tajimaD]]'s π restricted to
+    * fully-called sites (constant allele count n = 2·S ⇒ every site's
+    * heterozygosity 2j(n−j)/(n(n−1)) shares one denominator, so the
+    * window sum is an exact integer numerator over a constant), binned
+    * by `start div windowBp`. Output:
+    * `chr, win_start, win_end, n_sites, pi` (1e-6 floor grid).
+    *
+    * Scale shape: one per-variant aggregate, a broadcast 1-row sample
+    * count, one position-keyed join to info, ONE combinable window
+    * rollup — linear in geno rows.
+    */
+  def piWindows(geno: DataFrame, info: DataFrame,
+      windowBp: Long): DataFrame = {
+    require(windowBp > 0, "windowBp must be positive")
+    val nSamples = geno.select(
+      countDistinct("sample").cast("long").as("__ns"))
+    val perSite = geno.groupBy("variant_id")
+      .agg(sum(col("gt").cast("long")).as("__a"),
+        count(col("gt")).as("__called"))
+    val sites = perSite.crossJoin(broadcast(nSamples))
+      .where(col("__called") === col("__ns"))
+      .select(col("variant_id"), col("__ns"),
+        (lit(2L) * col("__a") * (lit(2L) * col("__ns") - col("__a")))
+          .as("__h"))
+    sites.join(info.select("variant_id", "chr", "start"), Seq("variant_id"))
+      .groupBy(col("chr"), expr(s"start div ${windowBp}L").as("__w"),
+        col("__ns"))
+      .agg(count(lit(1)).as("n_sites"), sum("__h").as("__hs"))
+      .select(col("chr"), (col("__w") * windowBp).as("win_start"),
+        (col("__w") * windowBp + windowBp - 1).as("win_end"),
+        col("n_sites"),
+        (floor(col("__hs").cast("double")
+          / (lit(2d) * col("__ns") * (lit(2d) * col("__ns") - lit(1d)))
+          * 1e6 + 0.5) / 1e6).as("pi"))
+      .orderBy("chr", "win_start")
+  }
+
   /** Cochran–Mantel–Haenszel stratified case/control association —
     * plink's `--mh` (the 2×2×K allele-count test that controls for
     * population structure by stratifying, Mantel & Haenszel 1959):

@@ -252,6 +252,26 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got("B") - 1d / 3) < 1e-9, got.toString)
   }
 
+  test("Events.markovAttribution: hand-computed removal effects") {
+    // journeys: u1 view→click→CONV, u2 view→NULL, u3 direct CONV.
+    // P: START→{view ⅔, CONV ⅓}; view→{click ½, NULL ½}; click→CONV 1.
+    // p_full(START) = ⅔·½ + ⅓ (on the 1e-6/1e-12 grids: 0.6666665);
+    // removing click OR view both leave only the direct ⅓ → 0.333333;
+    // removal effect = 1 − ⅓/(2/3) = ½ on the 1e-6 grid.
+    val rows = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      (2L, 10L, 4L, "view"),
+      (3L, 10L, 5L, "purchase"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.markovAttribution(df, "user_id", "ts", "event_type",
+        "event_id", convType = "purchase")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("click", 0.6666665, 0.333333, 0.5),
+      ("view", 0.6666665, 0.333333, 0.5)))
+  }
+
   test("Multimodal.decodeImage: real PNG decode, corrupt bytes → None") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
