@@ -297,6 +297,77 @@ object Events {
       .orderBy("channel")
   }
 
+  /** Shapley-value attribution over journey channel SETS — the
+    * cooperative-game counterpart of [[markovAttribution]] (the two
+    * standard data-driven models; position rules approximate both).
+    * Each user journey (events before the first conversion) is a
+    * coalition of touched channels; the characteristic value
+    * v(S) = conversions among journeys whose touch set ⊆ S, and
+    * channel c's credit is the exact Shapley sum
+    * Σ_{S ∌ c} |S|!·(n−|S|−1)!·(v(S∪c) − v(S)) / n!.
+    *
+    * Scale shape: one windowed journey pass + one aggregate to the
+    * ≤2ⁿ (mask → journeys, conversions) table, which collects to the
+    * driver (n = |channels| is type-cardinality-bounded, like the d×d
+    * covariance); the subset enumeration is exact INTEGER arithmetic —
+    * factorial weights stay scaled by n!, so `phi_scaled` is an exact
+    * integer both engines reproduce, and only the final normalization
+    * touches doubles. Output:
+    * `channel, n_journeys, phi_scaled, shapley` where
+    * shapley = phi_scaled / (n! · journeys), 1e-6 floor grid.
+    */
+  def shapleyAttribution(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, tieBreak: String, convType: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("__u")
+    val wSeq = Window.partitionBy("__u").orderBy(col("__t"), col("__id"))
+    val base = df.select(col(userCol).as("__u"), col(typeCol).as("__e"),
+        col(tsNs).as("__t"), col(tieBreak).as("__id"))
+      .select(col("__u"), col("__e"), row_number().over(wSeq).as("__rn"))
+      .withColumn("__fpRn",
+        min(when(col("__e") === convType, col("__rn"))).over(w))
+    val keptCond = col("__e") =!= convType &&
+      (col("__fpRn").isNull || col("__rn") < col("__fpRn"))
+    // one row per journey: touched-channel set + converted flag
+    // (direct conversions with no prior touches form the empty set)
+    val journeys = base.groupBy("__u")
+      .agg(sort_array(collect_set(when(keptCond, col("__e")))).as("__chs"),
+        max(when(col("__e") === convType, 1).otherwise(0)).as("__conv"))
+    val perSet = journeys.groupBy("__chs")
+      .agg(count(lit(1)).as("n"), sum("__conv").as("nc"))
+      .collect()
+      .map(r => (r.getSeq[String](0), r.getLong(1), r.getLong(2)))
+    val channels = perSet.flatMap(_._1).distinct.sorted
+    val n = channels.length
+    require(n >= 1 && n <= 20, s"channel cardinality $n out of range")
+    val idx = channels.zipWithIndex.toMap
+    val maskOf = (chs: Seq[String]) => chs.map(c => 1L << idx(c)).sum
+    val conv = perSet.map { case (chs, _, nc) => maskOf(chs) -> nc }
+      .groupBy(_._1).map { case (m, g) => m -> g.map(_._2).sum }
+    val totalJ = perSet.map(_._2).sum
+    def fact(k: Int): BigInt = (1 to k).foldLeft(BigInt(1))(_ * _)
+    // v(S) = conversions of journeys with mask ⊆ S
+    def v(s: Long): BigInt =
+      conv.collect { case (m, c) if (m & ~s) == 0 => BigInt(c) }.sum
+    val rows = channels.map { c =>
+      val bit = 1L << idx(c)
+      var phi = BigInt(0)
+      for (s <- 0L until (1L << n) if (s & bit) == 0) {
+        val size = java.lang.Long.bitCount(s)
+        phi += fact(size) * fact(n - size - 1) * (v(s | bit) - v(s))
+      }
+      val shap =
+        if (totalJ > 0)
+          Some(math.floor(phi.toDouble / fact(n).toDouble / totalJ
+            * 1e6 + 0.5) / 1e6)
+        else None
+      (c, totalJ, phi.toLong, shap)
+    }
+    rows.toSeq.toDF("channel", "n_journeys", "phi_scaled", "shapley")
+      .orderBy("channel")
+  }
+
   /** Next-event prediction evaluation — the simplest behavioral-model
     * baseline, trained and scored entirely in-engine: learn the
     * majority next event per current event on the TRAIN users

@@ -214,6 +214,14 @@ object EventsQ {
         "event_type", "event_id", convType = "purchase", iters = 16)
     }),
 
+    // ---- Shapley-value attribution over journey channel sets (the
+    //      cooperative-game companion of q353; exact integer
+    //      factorial-weighted marginals) ----
+    "q354_shapley_attribution" -> ((s, d) => {
+      Events.shapleyAttribution(Tables.events(s, d), "user_id", "ts",
+        "event_type", "event_id", convType = "purchase")
+    }),
+
     // ---- one-way ANOVA F on value by event type (the parametric
     //      companion of q324's Kruskal–Wallis) ----
     "q344_anova_f" -> ((s, d) => {
@@ -2273,6 +2281,63 @@ object EventsQ {
           $variants
          SELECT * FROM ($finalRows) ORDER BY channel"""
     },
+    // journey touch-set bitmasks (click=1, error=2, signup=4, view=8 —
+    // the operator's sorted-channel order), v(S) = conversions with
+    // mask ⊆ S via containment join, factorial weights as integer
+    // literals (n = 4: |S|!·(3−|S|)! ∈ {6,2,2,6}), phi exact integer
+    "q354_shapley_attribution" ->
+      """WITH base AS (
+            SELECT user_id AS u, event_type AS e,
+              row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events),
+          fp AS (
+            SELECT u, e, rn,
+              min(CASE WHEN e = 'purchase' THEN rn END)
+                OVER (PARTITION BY u) AS fprn
+            FROM base),
+          journeys AS (
+            SELECT u,
+              max(CASE WHEN e = 'click'
+                AND (fprn IS NULL OR rn < fprn) THEN 1 ELSE 0 END)
+              + 2 * max(CASE WHEN e = 'error'
+                AND (fprn IS NULL OR rn < fprn) THEN 1 ELSE 0 END)
+              + 4 * max(CASE WHEN e = 'signup'
+                AND (fprn IS NULL OR rn < fprn) THEN 1 ELSE 0 END)
+              + 8 * max(CASE WHEN e = 'view'
+                AND (fprn IS NULL OR rn < fprn) THEN 1 ELSE 0 END)
+                AS mask,
+              max(CASE WHEN e = 'purchase' THEN 1 ELSE 0 END) AS conv
+            FROM fp GROUP BY u),
+          perMask AS (
+            SELECT mask, count(*) AS n, CAST(sum(conv) AS BIGINT) AS nc
+            FROM journeys GROUP BY mask),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS J FROM perMask),
+          subsets AS (SELECT unnest(generate_series(0, 15)) AS s),
+          vs AS (
+            SELECT s.s, CAST(coalesce(sum(pm.nc), 0) AS BIGINT) AS v
+            FROM subsets s LEFT JOIN perMask pm
+              ON (pm.mask & s.s) = pm.mask
+            GROUP BY s.s),
+          ch(channel, bit) AS (VALUES
+            ('click', 1), ('error', 2), ('signup', 4), ('view', 8)),
+          pairs AS (
+            SELECT ch.channel, ch.bit, s.s,
+              CASE bit_count(s.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                WHEN 2 THEN 2 ELSE 6 END AS wgt
+            FROM ch JOIN subsets s ON (s.s & ch.bit) = 0),
+          phi AS (
+            SELECT p.channel,
+              CAST(sum(p.wgt * (va.v - vb.v)) AS BIGINT) AS phi_scaled
+            FROM pairs p
+            JOIN vs va ON va.s = (p.s | p.bit)
+            JOIN vs vb ON vb.s = p.s
+            GROUP BY p.channel)
+         SELECT channel, J AS n_journeys, phi_scaled,
+           CASE WHEN J > 0 THEN
+             floor(CAST(phi_scaled AS DOUBLE) / 24 / J * 1e6 + 0.5) / 1e6
+           END AS shapley
+         FROM phi, tot ORDER BY channel""",
     // the TTL-dedup'd stream must equal the batch distinct — same
     // oracle as q67, proving the bounded-state form loses nothing
     "q349_stream_dedup_ttl" ->

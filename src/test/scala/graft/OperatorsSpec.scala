@@ -272,6 +272,24 @@ class OperatorsSpec extends SparkSpec {
       ("view", 0.6666665, 0.333333, 0.5)))
   }
 
+  test("Events.shapleyAttribution: hand-computed coalition values") {
+    // same journeys as the Markov spec: u1 {view,click}→conv,
+    // u2 {view}→no, u3 {}→direct conv. n = 2 channels, weights all 1:
+    // v(∅)=1(direct), v({c})=1, v({v})=1, v({c,v})=2 ⇒ φ = 1 each,
+    // shapley = 1/2!/3 = 0.166667
+    val rows = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      (2L, 10L, 4L, "view"),
+      (3L, 10L, 5L, "purchase"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.shapleyAttribution(df, "user_id", "ts", "event_type",
+        "event_id", convType = "purchase")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("click", 3L, 1L, 0.166667), ("view", 3L, 1L, 0.166667)))
+  }
+
   test("Multimodal.decodeImage: real PNG decode, corrupt bytes → None") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
