@@ -112,8 +112,20 @@ object Linkage {
       .select(blockCols.map(col): _*)
       .limit(1001).collect()
 
+    // pin the pair join's partitioning with an explicit-count
+    // repartition (exempt from AQE coalescing, reused by the join —
+    // no extra exchange): the join INPUTS are block-key-sized but the
+    // OUTPUT is Σ|L_b|·|R_b| pairs × comparator kernels, and AQE sizes
+    // post-shuffle partitions by input bytes only — without the pin it
+    // coalesces the scoring stage onto 1–2 cores (the samplePairGrid
+    // kinship lesson; measured 16 s → ~3 s on the q300 gate)
+    val parts = math.max(left.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    def pin(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.repartition(parts, keys.map(col): _*)
     val scored =
-      if (hotRows.isEmpty) score(left.as("l").join(right.as("r"), blockCols))
+      if (hotRows.isEmpty)
+        score(pin(left, blockCols).as("l")
+          .join(pin(right, blockCols).as("r"), blockCols))
       else if (hotRows.length > 1000) {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"fellegiSunter: >1000 blocks exceed $maxBlockPairs pairs — " +
@@ -151,11 +163,18 @@ object Linkage {
     */
   private def saltJoin(left: DataFrame, right: DataFrame,
       blockCols: Seq[String], leftId: String, salt: Int): DataFrame = {
+    val parts = math.max(
+      left.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val keys = blockCols :+ "__fs_salt"
     val l = left.withColumn("__fs_salt",
-      pmod(hash(col(leftId)), lit(salt))).as("l")
+      pmod(hash(col(leftId)), lit(salt)))
     val r = right.withColumn("__fs_salt",
-      explode(sequence(lit(0), lit(salt - 1)))).as("r")
-    l.join(r, blockCols :+ "__fs_salt").drop("__fs_salt")
+      explode(sequence(lit(0), lit(salt - 1))))
+    // same AQE-coalescing pin as the plain path — the salted sub-blocks
+    // exist precisely to spread one block's pair volume across reducers
+    l.repartition(parts, keys.map(col): _*).as("l")
+      .join(r.repartition(parts, keys.map(col): _*).as("r"), keys)
+      .drop("__fs_salt")
   }
 
   /** Round half away from zero at `s` decimals — the per-iteration
