@@ -427,9 +427,18 @@ object VcfApi {
       col("start").as("pos_b"), col("dose").as("db"), col("bucket"))
     // telemetry is 1:1 with the qualifying window pairs — the volume
     // the scaling sweep tracks against variant density (identity when
-    // telemetry is disabled, which is every gate/spec run)
+    // telemetry is disabled, which is every gate/spec run).
+    // Explicit-count repartition on the bucket key: the join INPUTS
+    // are variant-count-sized but the output is window-pairs × the
+    // posexplode/agg kernel IN THE SAME STAGE — AQE coalesces by input
+    // bytes and would serialize the whole kernel (the linkage/kinship
+    // output-explosion lesson)
+    val parts = math.max(
+      geno.sparkSession.sessionState.conf.numShufflePartitions, 1)
     val pairs = graft.operators.Telemetry.mark(
-      probe.join(b, Seq("chr", "bucket"))
+      probe.repartition(parts, col("chr"), col("bucket"))
+        .join(b.repartition(parts, col("chr"), col("bucket")),
+          Seq("chr", "bucket"))
         .where((col("pos_b") > col("pos_a")
             || (col("pos_b") === col("pos_a") && col("id_b") > col("id_a")))
           && col("pos_b") - col("pos_a") <= maxDist),
