@@ -1120,6 +1120,59 @@ object Eval {
       .orderBy("group_a", "group_b")
   }
 
+  /** Quantile normalization across groups — map every group's
+    * empirical value distribution onto the POOLED distribution (the
+    * batch-effect correction normalizing scores/labels collected from
+    * heterogeneous sources): a value at tie-high rank R in a group of
+    * n maps to the pooled value at rank ⌈R·M/n⌉. Ties share a rank, so
+    * the mapping depends only on (group, value) and the output is the
+    * complete GRID `group, value, n_rows, normalized` — join it back
+    * to rows downstream.
+    *
+    * All ranks are integers over the distinct-cents grids (the q324
+    * pattern): per-group cumulative counts, pooled cumulative counts,
+    * target rank ⌈R·M/n⌉ by integer division, and the "smallest pooled
+    * value with cumulative ≥ t" lookup is one reversed-order running
+    * `last(ignoreNulls)` over the unioned rank axis — grid-sized
+    * windows (distinct values), never row-sized. Output values are
+    * exact cents/100 doubles.
+    */
+  def quantileNormalizeGrid(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("c"))
+    val wg = Window.partitionBy("g").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gRank = base.groupBy("g", "c").agg(count(lit(1)).as("n_rows"))
+      .withColumn("__R", sum("n_rows").over(wg))
+    val totals = base.groupBy("g").agg(count(lit(1)).as("__n"))
+    val mTot = base.agg(count(lit(1)).as("__M"))
+    val tgt = gRank.join(totals, Seq("g")).crossJoin(mTot)
+      .withColumn("__t", expr("(__R * __M + __n - 1) div __n"))
+    val pooled = base.groupBy("c").agg(count(lit(1)).as("__pc"))
+      .withColumn("__P", sum("__pc").over(Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val u = tgt.select(col("g"), col("c"), col("n_rows"),
+        col("__t").as("k"), lit(null).cast("long").as("__pv"),
+        lit(1).as("__ord"))
+      .unionByName(pooled.select(lit(null).cast("string").as("g"),
+        lit(null).cast("long").as("c"), lit(null).cast("long").as("n_rows"),
+        col("__P").as("k"), col("c").as("__pv"), lit(0).as("__ord")))
+    // reversed rank axis: at each target the running last non-null is
+    // the pooled value with the SMALLEST cumulative ≥ t (pooled rows
+    // sort before targets at equal k so P = t qualifies)
+    val wrev = Window.orderBy(col("k").desc, col("__ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__nc", last("__pv", ignoreNulls = true).over(wrev))
+      .filter(col("g").isNotNull)
+      .select(col("g").as(groupCol),
+        (col("c").cast("double") / 100d).as("value"), col("n_rows"),
+        (col("__nc").cast("double") / 100d).as("normalized"))
+      .orderBy(groupCol, "value")
+  }
+
   /** Wald's sequential probability ratio test per group: walk each
     * group's event stream in (ts, id) order accumulating the Bernoulli
     * log-likelihood ratio for H1: p = p1 vs H0: p = p0,

@@ -1475,6 +1475,65 @@ object Similarity {
         lit(math.floor(explained * 1e6 + 0.5) / 1e6))
   }
 
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017) — how many
+    * degrees of freedom the embeddings actually use, independent of
+    * the ambient width: for md5-sampled probes, μ = d₂/d₁ (ratio of
+    * 2nd- to 1st-NN distance) follows Pareto(ID), so the MLE is
+    * ID = m' / Σ ln μ. The audit that tells you whether a 64-wide
+    * embedding really spans 64 dimensions (matryoshka truncation,
+    * q262, wants this before cutting).
+    *
+    * Determinism: probes by md5 order; per-probe NN ranks break ties
+    * on (quantized distance, id) through a `row_number ≤ 2` window
+    * (map-side WindowGroupLimit); distances quantize to the 1e-9 grid
+    * BEFORE ranking, each ln μ (of a 1e-6-gridded ratio — the PMI
+    * pattern) quantizes to 1e-9 integers before the m-term sum.
+    * Duplicate-point probes (d₁ = 0) are excluded from the MLE.
+    * Output one row: `m_probes, n_used, id_mle` (1e-4 floor grid).
+    */
+  def twoNnIntrinsicDim(emb: DataFrame, vecCol: String, idCol: String,
+      m: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 2, "m must be >= 2")
+    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    val pts = Dedup.persistTracked(emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(size(col("__v")) === d && !exists(col("__v"), x => isnan(x))))
+    val probes = pts
+      .orderBy(md5Long(concat(lit("twonn:"), col("__id"))), col("__id"))
+      .limit(m)
+      .select(col("__id").as("__pid"), col("__v").as("__pv"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, z) => acc + z)
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("__d9").asc, col("__id").asc)
+    val ranked = pts.crossJoin(broadcast(probes))
+      .filter(col("__id") =!= col("__pid"))
+      .select(col("__pid"), col("__id"),
+        floor(d2(col("__pv"), col("__v")) * 1e9 + 0.5).cast("long")
+          .as("__d9"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+    val mu = ranked.groupBy("__pid")
+      .agg(min(when(col("__rn") === 1, col("__d9"))).as("__d1"),
+        min(when(col("__rn") === 2, col("__d9"))).as("__d2"))
+      .filter(col("__d1") > 0 && col("__d2").isNotNull)
+      // ln of the 1e-6-gridded ratio, quantized to 1e-9 integers so
+      // the probe sum is order-free
+      .select(floor(log(
+          floor(col("__d2").cast("double") / col("__d1") * 1e6 + 0.5)
+            / 1e6) * 1e9 + 0.5).cast("long").as("__lnmu9"))
+    // distances stayed SQUARED (ln μ² = 2·ln μ), so the Pareto MLE
+    // carries a factor 2: ID = 2·m' / Σ ln μ²
+    mu.agg(count(lit(1)).as("n_used"), sum("__lnmu9").as("__s9"))
+      .select(lit(m.toLong).as("m_probes"), col("n_used"),
+        when(col("__s9") > 0,
+          floor(col("n_used").cast("double") * 2d
+            / (col("__s9").cast("double") / 1e9) * 1e4 + 0.5) / 1e4)
+          .as("id_mle"))
+  }
+
   /** Hopkins statistic — the standard clusterability audit run BEFORE
     * spending a clustering/SemDeDup pass: H = Σu / (Σu + Σw), where u
     * are nearest-real-neighbor distances of `m` synthetic

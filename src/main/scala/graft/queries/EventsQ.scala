@@ -222,6 +222,14 @@ object EventsQ {
         "event_type", "event_id", convType = "purchase")
     }),
 
+    // ---- quantile normalization of value across event types: each
+    //      group's distribution mapped onto the pooled quantiles
+    //      (integer tie-high ranks, grid-sized windows) ----
+    "q355_quantile_normalize" -> ((s, d) => {
+      graft.operators.Eval.quantileNormalizeGrid(
+        Tables.events(s, d), "event_type", "value")
+    }),
+
     // ---- one-way ANOVA F on value by event type (the parametric
     //      companion of q324's Kruskal–Wallis) ----
     "q344_anova_f" -> ((s, d) => {
@@ -2338,6 +2346,44 @@ object EventsQ {
              floor(CAST(phi_scaled AS DOUBLE) / 24 / J * 1e6 + 0.5) / 1e6
            END AS shapley
          FROM phi, tot ORDER BY channel""",
+    // integer tie-high ranks over the distinct-cents grids, target
+    // rank by integer ceil-division, pooled lookup via the reversed
+    // rank-axis running last(IGNORE NULLS)
+    "q355_quantile_normalize" ->
+      """WITH base AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL),
+          gg AS (SELECT g, c, count(*) AS n_rows FROM base GROUP BY 1, 2),
+          gr AS (
+            SELECT g, c, n_rows,
+              CAST(sum(n_rows) OVER (PARTITION BY g ORDER BY c
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS R
+            FROM gg),
+          tt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base
+            GROUP BY g),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS M FROM base),
+          tgt AS (
+            SELECT gr.g, gr.c, gr.n_rows,
+              (gr.R * mm.M + tt.n - 1) // tt.n AS k
+            FROM gr JOIN tt USING (g) CROSS JOIN mm),
+          pg AS (SELECT c, count(*) AS pc FROM base GROUP BY c),
+          pp AS (
+            SELECT c, CAST(sum(pc) OVER (ORDER BY c
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS P
+            FROM pg),
+          u AS (
+            SELECT g, c, n_rows, k, CAST(NULL AS BIGINT) AS pv, 1 AS ord
+            FROM tgt
+            UNION ALL
+            SELECT NULL, NULL, NULL, P, c, 0 FROM pp),
+          nrm AS (
+            SELECT *, last_value(pv IGNORE NULLS) OVER (
+              ORDER BY k DESC, ord ASC ROWS UNBOUNDED PRECEDING) AS nc
+            FROM u)
+         SELECT g AS event_type, CAST(c AS DOUBLE) / 100 AS value,
+           n_rows, CAST(nc AS DOUBLE) / 100 AS normalized
+         FROM nrm WHERE g IS NOT NULL ORDER BY event_type, value""",
     // the TTL-dedup'd stream must equal the batch distinct — same
     // oracle as q67, proving the bounded-state form loses nothing
     "q349_stream_dedup_ttl" ->

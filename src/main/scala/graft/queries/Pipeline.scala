@@ -171,6 +171,14 @@ object Pipeline {
       Dedup.stitchingPairs(Tables.documents(s, d), "text", "doc_id", k = 3)
     }),
 
+    // ---- TwoNN intrinsic-dimension estimate: how many degrees of
+    //      freedom the 64-wide embeddings actually use (Pareto MLE on
+    //      NN distance ratios) ----
+    "q357_twonn_dim" -> ((s, d) => {
+      Similarity.twoNnIntrinsicDim(
+        Tables.embeddings(s, d), "embedding", "vec_id", m = 30)
+    }),
+
     // ---- RAKE keyphrase extraction: stopword-delimited phrase
     //      islands, deg/freq word scores, top-15 phrases ----
     "q347_rake_keyphrases" -> ((s, d) => {
@@ -2127,6 +2135,47 @@ object Pipeline {
                * 1e6 + 0.5) / 1e6 END AS hopkins
          FROM us, ws, nv""",
     "q335_bpe_merges" -> BpeMergeOracle,
+    // TwoNN replay: md5 probes, 1e-9-grid squared distances ranked
+    // with (d9, id) ties, ln of the 1e-6-gridded ratio quantized to
+    // 1e-9 integers, factor-2 MLE for squared distances
+    "q357_twonn_dim" ->
+      """WITH pts AS MATERIALIZED (
+            SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            WHERE len(embedding) = 64
+              AND len(list_filter(embedding, x -> isnan(x))) = 0),
+          probes AS (
+            SELECT id AS pid, v AS pv FROM pts
+            ORDER BY ('0x' || substr(md5('twonn:' || id), 1, 15))::BIGINT,
+              id
+            LIMIT 30),
+          dists AS (
+            SELECT pr.pid, p.id,
+              CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                i -> (pr.pv[i] - p.v[i]) * (pr.pv[i] - p.v[i])))
+                * 1e9 + 0.5) AS BIGINT) AS d9
+            FROM probes pr CROSS JOIN pts p WHERE p.id <> pr.pid),
+          rk AS (
+            SELECT pid, d9,
+              row_number() OVER (PARTITION BY pid ORDER BY d9, id) AS rn
+            FROM dists),
+          mu AS (
+            SELECT pid, min(CASE WHEN rn = 1 THEN d9 END) AS d1,
+              min(CASE WHEN rn = 2 THEN d9 END) AS d2
+            FROM rk WHERE rn <= 2 GROUP BY pid),
+          lnm AS (
+            SELECT CAST(floor(ln(
+                floor(CAST(d2 AS DOUBLE) / d1 * 1e6 + 0.5) / 1e6)
+                * 1e9 + 0.5) AS BIGINT) AS l9
+            FROM mu WHERE d1 > 0 AND d2 IS NOT NULL)
+         SELECT CAST(30 AS BIGINT) AS m_probes,
+           CAST(count(*) AS BIGINT) AS n_used,
+           CASE WHEN CAST(sum(l9) AS BIGINT) > 0 THEN
+             floor(CAST(count(*) AS DOUBLE) * 2
+               / (CAST(sum(l9) AS BIGINT) / 1e9) * 1e4 + 0.5) / 1e4
+           END AS id_mle
+         FROM lnm""",
     // boundary-seam equi-join on the k-token head/tail strings
     "q350_doc_stitching" ->
       s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),

@@ -204,6 +204,10 @@ object VcfQ {
     "q352_vcf_pi_windows" -> ((s, _) => {
       VcfApi.piWindows(tables(s).geno, tables(s).info, windowBp = 200L)
     }),
+    // ---- per-sample singleton / private-doubleton QC ----
+    "q356_vcf_private" -> ((s, _) => {
+      VcfApi.privateVariants(tables(s).geno)
+    }),
     // ---- Mendelian-error trio check (plink --mendel): a family
     //      fixture exercising every feasible-range edge — 0×0, 2×2,
     //      0×2 and hom×het violations, a missing-call exclusion, two
@@ -507,6 +511,15 @@ object VcfQ {
           ('2', 400, 599, 1, 0.0))
          t(chr, win_start, win_end, n_sites, pi)
          ORDER BY chr, win_start""",
+    // hand-computed from the q45 genotypes: singletons = AC 1 sites
+    // (v5→S1; v1,v3→S2 — v3's AC is 1 over the CALLED genotypes),
+    // private doubleton = AC 2 hom single-carrier (v2→S1)
+    "q356_vcf_private" ->
+      """SELECT * FROM (VALUES
+          ('S1', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+          ('S2', 2, 0))
+         t(sample, n_singleton, n_private_doubleton)
+         ORDER BY sample""",
     // hand-computed from the q45 genotype golden rows:
     // S1 gts (0,2,∅,2,1,2) dp (10,15,0,20,11,22); S2 gts (1,0,1,1,0,2)
     "q88_vcf_sample_qc" ->

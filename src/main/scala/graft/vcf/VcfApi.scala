@@ -1312,6 +1312,36 @@ object VcfApi {
       .orderBy("chr", "win_start")
   }
 
+  /** Per-sample private rare variation — the f-statistics QC that
+    * flags contamination (deflated singleton counts: foreign DNA adds
+    * shared alleles) and batch artifacts (inflated: caller errors
+    * concentrate as novel singletons): a SINGLETON is a site whose
+    * cohort alt-allele count is exactly 1 and this sample carries it;
+    * a PRIVATE DOUBLETON is AC = 2 carried homozygous by one sample.
+    * Output: `sample, n_singleton, n_private_doubleton`.
+    *
+    * One per-site aggregate + one carrier-keyed join + one combinable
+    * per-sample rollup — linear in geno rows.
+    */
+  def privateVariants(geno: DataFrame): DataFrame = {
+    val site = geno.filter(col("gt").isNotNull)
+      .groupBy("variant_id")
+      .agg(sum(col("gt").cast("long")).as("__ac"),
+        count(when(col("gt") > 0, 1)).as("__ncar"))
+    val per = geno.filter(col("gt") > 0)
+      .join(site, Seq("variant_id"))
+      .groupBy("sample")
+      .agg(count(when(col("__ac") === 1, 1)).as("n_singleton"),
+        count(when(col("__ac") === 2 && col("__ncar") === 1, 1))
+          .as("n_private_doubleton"))
+    // zero-count samples stay in the report — a sample carrying NO
+    // private variation is itself the contamination signal
+    geno.select("sample").distinct()
+      .join(per, Seq("sample"), "left")
+      .na.fill(0L, Seq("n_singleton", "n_private_doubleton"))
+      .orderBy("sample")
+  }
+
   /** Cochran–Mantel–Haenszel stratified case/control association —
     * plink's `--mh` (the 2×2×K allele-count test that controls for
     * population structure by stratifying, Mantel & Haenszel 1959):

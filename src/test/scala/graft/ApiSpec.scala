@@ -475,6 +475,22 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("VcfApi.privateVariants: singleton vs private/shared doubleton") {
+    import spark.implicits._
+    val geno = Seq(
+      (1L, "s1", Some(1d)), (1L, "s2", Some(0d)), (1L, "s3", Some(0d)),
+      (2L, "s1", Some(2d)), (2L, "s2", Some(0d)), (2L, "s3", Some(0d)),
+      (3L, "s1", Some(1d)), (3L, "s2", Some(1d)), (3L, "s3", Some(0d)),
+      (4L, "s1", None), (4L, "s2", Some(1d)), (4L, "s3", Some(0d))
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.privateVariants(geno).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // v1: s1 singleton; v2: s1 private doubleton; v3: AC 2 over TWO
+    // carriers → neither; v4: s2 singleton (AC over called gts);
+    // s3 carries nothing but stays in the report with zeros
+    assert(got == Seq(("s1", 1L, 1L), ("s2", 1L, 0L), ("s3", 0L, 0L)))
+  }
+
   test("VcfApi.ldPrune: greedy chain needs one round per link; cap throws") {
     import spark.implicits._
     // four perfectly-correlated variants in one window: the greedy

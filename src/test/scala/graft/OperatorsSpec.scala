@@ -290,6 +290,40 @@ class OperatorsSpec extends SparkSpec {
       ("click", 3L, 1L, 0.166667), ("view", 3L, 1L, 0.166667)))
   }
 
+  test("Eval.quantileNormalizeGrid: hand-computed pooled mapping") {
+    // group a: {1,1,3}; group b: {2}. Pooled sorted cents: 100,100,200,
+    // 300 (cum 2,3,4). a@1.0: R=2,n=3 → t=⌈8/3⌉=3 → 2.0;
+    // a@3.0: R=3 → t=4 → 3.0; b@2.0: R=1,n=1 → t=4 → 3.0
+    val df = Seq(("a", 1d), ("a", 1d), ("a", 3d), ("b", 2d))
+      .toDF("g", "v")
+    val out = graft.operators.Eval.quantileNormalizeGrid(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("a", 1.0, 2L, 2.0), ("a", 3.0, 1L, 3.0), ("b", 2.0, 1L, 3.0)))
+  }
+
+  test("Similarity.twoNnIntrinsicDim: line ≈ 1-d, cube ≈ 4-d") {
+    val rnd = new scala.util.Random(11)
+    // RANDOMLY sampled 1-d manifold in 4-d ambient space — TwoNN's
+    // Pareto model assumes Poisson sampling; a near-regular grid has
+    // d2/d1 ≈ 1 everywhere and overestimates wildly
+    val line = (1 to 60).map(i =>
+      (i.toLong, Array(rnd.nextDouble() * 10, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cube = (1 to 60).map(i =>
+      (i.toLong, Array.fill(4)(rnd.nextDouble())))
+      .toDF("vec_id", "embedding")
+    def id(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.twoNnIntrinsicDim(df, "embedding", "vec_id", m = 25)
+        .collect()(0).getDouble(2)
+    val idLine = id(line)
+    val idCube = id(cube)
+    assert(idLine > 0.4 && idLine < 2.0, s"line ID = $idLine")
+    assert(idCube > 2.0 && idCube < 8.0, s"cube ID = $idCube")
+    assert(idCube > idLine + 1.0)
+  }
+
   test("Multimodal.decodeImage: real PNG decode, corrupt bytes → None") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
