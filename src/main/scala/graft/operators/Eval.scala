@@ -1120,6 +1120,48 @@ object Eval {
       .orderBy("group_a", "group_b")
   }
 
+  /** Theil's uncertainty coefficient U(Y|X) — the ASYMMETRIC
+    * categorical association: the fraction of Y's entropy that knowing
+    * X removes, MI/H(Y) ∈ [0, 1]. Complements the symmetric Cramér's V
+    * (q232): U answers "does source determine language?" and "does
+    * language determine source?" separately.
+    *
+    * Everything reduces to three ln-sums over integer counts
+    * (A = Σ_xy c·ln c, B = Σ_x n_x·ln n_x, C = Σ_y n_y·ln n_y):
+    * H(Y) = ln N − C/N, H(Y|X) = (B − A)/N, MI = H(Y) − H(Y|X) — the
+    * q146 entropy identity. Each c·ln c term quantizes to 1e-6
+    * integers before its cross-partition sum. Output one row:
+    * `n, h_y, h_y_given_x, mi, u` (1e-6 floor grids).
+    */
+  def theilsU(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def lnTerm(c: Column): Column =
+      floor(c.cast("double") * log(c.cast("double")) * 1e6 + 0.5)
+        .cast("long")
+    val base = Dedup.persistTracked(
+      df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+        .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+        .agg(count(lit(1)).as("__c")))
+    val a = base.agg(sum(lnTerm(col("__c"))).as("__A"),
+      sum("__c").as("__N"))
+    val b = base.groupBy("__x").agg(sum("__c").as("__nx"))
+      .agg(sum(lnTerm(col("__nx"))).as("__B"))
+    val c = base.groupBy("__y").agg(sum("__c").as("__ny"))
+      .agg(sum(lnTerm(col("__ny"))).as("__C"))
+    // + 0.0 folds IEEE −0.0 (a negative ulp-noise MI floors to −0)
+    // back to +0.0 — the r7 hash-mismatch footgun
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val nD = col("__N").cast("double")
+    val hY = log(nD) - col("__C").cast("double") / 1e6 / nD
+    val hYX =
+      (col("__B").cast("double") - col("__A").cast("double")) / 1e6 / nD
+    a.crossJoin(b).crossJoin(c)
+      .select(col("__N").as("n"), g6(hY).as("h_y"),
+        g6(hYX).as("h_y_given_x"), g6(hY - hYX).as("mi"),
+        when(hY > 0, g6((hY - hYX) / hY)).as("u"))
+  }
+
   /** Quantile normalization across groups — map every group's
     * empirical value distribution onto the POOLED distribution (the
     * batch-effect correction normalizing scores/labels collected from

@@ -1534,6 +1534,70 @@ object Similarity {
           .as("id_mle"))
   }
 
+  /** Label separability audit over the embedding space — Fisher's
+    * criterion per class: how far each label's centroid sits from the
+    * global centroid relative to the pooled within-class scatter
+    * (trace form, the multi-class generalization of the two-class
+    * Fisher discriminant). The pre-training answer to "do these labels
+    * carve the embedding space at all?" — a near-zero Fisher ratio
+    * means a probe classifier has nothing to find.
+    *
+    * Determinism: every coordinate quantizes to a 1e-7 integer grid
+    * BEFORE any sum (float32 inputs are exact on it after the 0.5-ulp
+    * round both engines share), so all moments are exact integers
+    * (squares in decimal(38,0)/HUGEINT); the per-(class, dim) scatter
+    * terms re-grid to 1e-9 integers before the dim/class rollups.
+    * Output per label: `label, n_vecs, within_var, centroid_d2` plus
+    * the global `fisher_ratio` = ΣB/ΣW repeated per row (1e-6 grids).
+    */
+  def classSeparability(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    val cells = emb
+      .filter(size(col(vecCol).cast("array<double>")) === d &&
+        !exists(col(vecCol).cast("array<double>"), x => isnan(x)))
+      .select(col(labelCol).as("__l"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__x")))
+      .select(col("__l"), col("__p"),
+        when(col("__x") >= 0, floor(col("__x") * 1e7 + 0.5))
+          .otherwise(-floor(-col("__x") * 1e7 + 0.5)).cast("long")
+          .as("__x7"))
+    val perLD = Dedup.persistTracked(cells.groupBy("__l", "__p")
+      .agg(count(lit(1)).as("__n"), sum("__x7").as("__s"),
+        sum(col("__x7").cast("decimal(38,0)") * col("__x7")).as("__q")))
+    // NOT "__N"/"__S": Spark resolution is case-INSENSITIVE and the
+    // join would make them ambiguous with perLD's __n/__s (r7 footgun)
+    val perD = perLD.groupBy("__p")
+      .agg(sum("__n").as("__tn"), sum("__s").as("__ts"))
+    // per-(class, dim): within-scatter (Σx² − (Σx)²/n) and
+    // between-term n·(μ_c − μ)², each re-gridded to 1e-9 integers so
+    // the rollups are order-free
+    val terms = perLD.join(perD, Seq("__p"))
+      .select(col("__l"), col("__n"),
+        floor((col("__q").cast("double")
+          - col("__s").cast("double") * col("__s") / col("__n")) / 1e14
+          * 1e9 + 0.5).cast("long").as("__w9"),
+        floor(col("__n") * (col("__s").cast("double") / col("__n") / 1e7
+            - col("__ts").cast("double") / col("__tn") / 1e7)
+          * (col("__s").cast("double") / col("__n") / 1e7
+            - col("__ts").cast("double") / col("__tn") / 1e7)
+          * 1e9 + 0.5).cast("long").as("__b9"))
+    val perClass = Dedup.persistTracked(terms.groupBy("__l")
+      .agg((max("__n")).as("n_vecs"), sum("__w9").as("__w9s"),
+        sum("__b9").as("__b9s")))
+    val tot = perClass.agg(sum("__w9s").as("__W"), sum("__b9s").as("__B"))
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    perClass.crossJoin(tot)
+      .select(col("__l").as(labelCol), col("n_vecs"),
+        g6(col("__w9s").cast("double") / 1e9 / col("n_vecs"))
+          .as("within_var"),
+        g6(col("__b9s").cast("double") / 1e9 / col("n_vecs"))
+          .as("centroid_d2"),
+        when(col("__W") > 0,
+          g6(col("__B").cast("double") / col("__W"))).as("fisher_ratio"))
+      .orderBy(labelCol)
+  }
+
   /** Hopkins statistic — the standard clusterability audit run BEFORE
     * spending a clustering/SemDeDup pass: H = Σu / (Σu + Σw), where u
     * are nearest-real-neighbor distances of `m` synthetic

@@ -179,6 +179,20 @@ object Pipeline {
         Tables.embeddings(s, d), "embedding", "vec_id", m = 30)
     }),
 
+    // ---- Fisher label-separability audit: do the embedding labels
+    //      carve the space? (between/within scatter trace ratio) ----
+    "q358_class_separability" -> ((s, d) => {
+      Similarity.classSeparability(
+        Tables.embeddings(s, d), "embedding", "label")
+    }),
+
+    // ---- Theil's U(lang | source): the asymmetric "does source
+    //      determine language?" association (MI / H(lang)) ----
+    "q359_theils_u" -> ((s, d) => {
+      graft.operators.Eval.theilsU(
+        Tables.documents(s, d), "source", "lang")
+    }),
+
     // ---- RAKE keyphrase extraction: stopword-delimited phrase
     //      islands, deg/freq word scores, top-15 phrases ----
     "q347_rake_keyphrases" -> ((s, d) => {
@@ -2135,6 +2149,99 @@ object Pipeline {
                * 1e6 + 0.5) / 1e6 END AS hopkins
          FROM us, ws, nv""",
     "q335_bpe_merges" -> BpeMergeOracle,
+    // Fisher separability replay: 1e-7-grid coordinates, HUGEINT
+    // squares, per-(class,dim) terms re-gridded to 1e-9 integers
+    "q358_class_separability" ->
+      """WITH pts AS MATERIALIZED (
+            SELECT label AS l,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            WHERE len(embedding) = 64
+              AND len(list_filter(embedding, x -> isnan(x))) = 0),
+          cells AS (
+            SELECT l, i AS p,
+              CAST(CASE WHEN v[i] >= 0 THEN floor(v[i] * 1e7 + 0.5)
+                ELSE -floor(-v[i] * 1e7 + 0.5) END AS BIGINT) AS x7
+            FROM pts,
+                 LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u),
+          perLD AS (
+            SELECT l, p, count(*) AS n, CAST(sum(x7) AS BIGINT) AS s,
+              CAST(sum(CAST(x7 AS HUGEINT) * x7) AS HUGEINT) AS q
+            FROM cells GROUP BY 1, 2),
+          perD AS (
+            SELECT p, CAST(sum(n) AS BIGINT) AS nn,
+              CAST(sum(s) AS BIGINT) AS gs
+            FROM perLD GROUP BY p),
+          terms AS (
+            SELECT ld.l, ld.n,
+              CAST(floor((CAST(ld.q AS DOUBLE)
+                - CAST(ld.s AS DOUBLE) * ld.s / ld.n) / 1e14 * 1e9 + 0.5)
+                AS BIGINT) AS w9,
+              CAST(floor(ld.n
+                * (CAST(ld.s AS DOUBLE) / ld.n / 1e7
+                   - CAST(d.gs AS DOUBLE) / d.nn / 1e7)
+                * (CAST(ld.s AS DOUBLE) / ld.n / 1e7
+                   - CAST(d.gs AS DOUBLE) / d.nn / 1e7)
+                * 1e9 + 0.5) AS BIGINT) AS b9
+            FROM perLD ld JOIN perD d USING (p)),
+          perClass AS (
+            SELECT l, max(n) AS n_vecs, CAST(sum(w9) AS BIGINT) AS w9s,
+              CAST(sum(b9) AS BIGINT) AS b9s
+            FROM terms GROUP BY l),
+          tot AS (
+            SELECT CAST(sum(w9s) AS BIGINT) AS w,
+              CAST(sum(b9s) AS BIGINT) AS b
+            FROM perClass)
+         SELECT l AS label, n_vecs,
+           floor(CAST(w9s AS DOUBLE) / 1e9 / n_vecs * 1e6 + 0.5) / 1e6
+             AS within_var,
+           floor(CAST(b9s AS DOUBLE) / 1e9 / n_vecs * 1e6 + 0.5) / 1e6
+             AS centroid_d2,
+           CASE WHEN w > 0 THEN
+             floor(CAST(b AS DOUBLE) / w * 1e6 + 0.5) / 1e6 END
+             AS fisher_ratio
+         FROM perClass, tot ORDER BY label""",
+    // Theil's U replay: three 1e-6-quantized c·ln c sums, + 0.0 to
+    // fold a −0.0 MI (the r7 footgun)
+    "q359_theils_u" ->
+      """WITH base AS (
+            SELECT source AS x, lang AS y, count(*) AS c FROM documents
+            WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+          a AS (
+            SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(c) * 1e6
+              + 0.5) AS BIGINT)) AS BIGINT) AS la,
+              CAST(sum(c) AS BIGINT) AS n
+            FROM base),
+          b AS (
+            SELECT CAST(sum(CAST(floor(CAST(nx AS DOUBLE) * ln(nx) * 1e6
+              + 0.5) AS BIGINT)) AS BIGINT) AS lb
+            FROM (SELECT x, CAST(sum(c) AS BIGINT) AS nx FROM base
+                  GROUP BY x)),
+          cc AS (
+            SELECT CAST(sum(CAST(floor(CAST(ny AS DOUBLE) * ln(ny) * 1e6
+              + 0.5) AS BIGINT)) AS BIGINT) AS lc
+            FROM (SELECT y, CAST(sum(c) AS BIGINT) AS ny FROM base
+                  GROUP BY y)),
+          calc AS (
+            SELECT n,
+              ln(CAST(n AS DOUBLE)) - CAST(lc AS DOUBLE) / 1e6 / n AS hy,
+              (CAST(lb AS DOUBLE) - CAST(la AS DOUBLE)) / 1e6 / n AS hyx
+            FROM a, b, cc)
+         SELECT n,
+           CASE WHEN hy >= 0 THEN floor(hy * 1e6 + 0.5)
+             ELSE -floor(-hy * 1e6 + 0.5) END / 1e6 + 0.0 AS h_y,
+           CASE WHEN hyx >= 0 THEN floor(hyx * 1e6 + 0.5)
+             ELSE -floor(-hyx * 1e6 + 0.5) END / 1e6 + 0.0
+             AS h_y_given_x,
+           CASE WHEN hy - hyx >= 0 THEN floor((hy - hyx) * 1e6 + 0.5)
+             ELSE -floor(-(hy - hyx) * 1e6 + 0.5) END / 1e6 + 0.0 AS mi,
+           CASE WHEN hy > 0 THEN
+             CASE WHEN (hy - hyx) / hy >= 0
+               THEN floor((hy - hyx) / hy * 1e6 + 0.5)
+               ELSE -floor(-((hy - hyx) / hy) * 1e6 + 0.5) END / 1e6
+               + 0.0
+           END AS u
+         FROM calc""",
     // TwoNN replay: md5 probes, 1e-9-grid squared distances ranked
     // with (d9, id) ties, ln of the 1e-6-gridded ratio quantized to
     // 1e-9 integers, factor-2 MLE for squared distances

@@ -324,6 +324,39 @@ class OperatorsSpec extends SparkSpec {
     assert(idCube > idLine + 1.0)
   }
 
+  test("Similarity.classSeparability: hand-computed scatter decomposition") {
+    // a: (0,0),(2,0); b: (10,0),(12,0): within-var 1.0 each (dim0
+    // scatter 2 over n=2), centroids 1 and 11 vs global 6 →
+    // centroid_d2 = 25; fisher = ΣB/ΣW = 100/4 = 25
+    val df = Seq(
+      (1, Array(0d, 0d)), (1, Array(2d, 0d)),
+      (2, Array(10d, 0d)), (2, Array(12d, 0d)))
+      .toDF("label", "embedding")
+    val out = Similarity.classSeparability(df, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out == Seq(
+      (1, 2L, 1.0, 25.0, 25.0), (2, 2L, 1.0, 25.0, 25.0)))
+  }
+
+  test("Eval.theilsU: determination → 1, independence → 0") {
+    // X fully determines Y
+    val det = Seq(("s", "en"), ("s", "en"), ("t", "de")).toDF("src", "lg")
+    val r1 = graft.operators.Eval.theilsU(det, "src", "lg").collect()(0)
+    assert(r1.getLong(0) == 3L)
+    assert(r1.getDouble(1) == 0.636514) // H(Y) = ln3 − (2ln2)/3
+    assert(r1.getDouble(2) == 0.0 && r1.getDouble(4) == 1.0)
+    // perfect independence (uniform 2×2): MI floors to 0 (and the
+    // −0.0 ulp-noise case folds to +0.0)
+    val ind = Seq(("s", "en"), ("s", "de"), ("t", "en"), ("t", "de"))
+      .toDF("src", "lg")
+    val r2 = graft.operators.Eval.theilsU(ind, "src", "lg").collect()(0)
+    // mi lands exactly on 0 at the grid; u can keep one grid step of
+    // quantization residue (per-group ln terms round before the sums)
+    assert(r2.getDouble(3) == 0.0 && math.abs(r2.getDouble(4)) <= 1e-6)
+    assert(1d / r2.getDouble(3) > 0, "mi must be +0.0, not -0.0")
+  }
+
   test("Multimodal.decodeImage: real PNG decode, corrupt bytes → None") {
     val img = new java.awt.image.BufferedImage(2, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
