@@ -1287,4 +1287,194 @@ object Eval {
     (g12(math.log(p1 / p0)), g12(math.log((1 - p1) / (1 - p0))),
       g12(math.log((1 - beta) / alpha)), g12(math.log(beta / (1 - alpha))))
   }
+
+  /** McNemar's test for paired binary outcomes — "did condition B fire
+    * for the same units as condition A?" (the paired-classifier /
+    * before-after comparison a model-swap report needs; a two-sample
+    * proportion test is WRONG there because the units are shared).
+    * Per unit the two predicates reduce to booleans; the test reads
+    * only the discordant cells b = #(A∧¬B), c = #(¬A∧B):
+    * χ² = (b−c)²/(b+c), plus Edwards' continuity-corrected
+    * (max(|b−c|−1,0))²/(b+c). Output one row:
+    * `n_units, n_both, n_a_only, n_b_only, n_neither, chi2, chi2_cc`
+    * (1e-6 floor grids, NULL when b+c = 0).
+    *
+    * Scale shape: one map-side-combined groupBy(unit) → one 5-counter
+    * fold — no data-sized shuffle beyond the unit aggregate.
+    */
+  def mcnemar(df: DataFrame, unitCol: String, predA: Column,
+      predB: Column): DataFrame = {
+    val per = df.groupBy(col(unitCol).as("__u"))
+      .agg(max(when(predA, 1L).otherwise(0L)).as("__a"),
+        max(when(predB, 1L).otherwise(0L)).as("__b"))
+    val cells = per.agg(count(lit(1)).as("n_units"),
+      sum(when(col("__a") === 1 && col("__b") === 1, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("__a") === 1 && col("__b") === 0, 1L).otherwise(0L))
+        .as("n_a_only"),
+      sum(when(col("__a") === 0 && col("__b") === 1, 1L).otherwise(0L))
+        .as("n_b_only"),
+      sum(when(col("__a") === 0 && col("__b") === 0, 1L).otherwise(0L))
+        .as("n_neither"))
+    val b = col("n_a_only").cast("double")
+    val c = col("n_b_only").cast("double")
+    val disc = col("n_a_only") + col("n_b_only")
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    val dCC = greatest(abs(b - c) - 1d, lit(0d))
+    cells.select(col("n_units"), col("n_both"), col("n_a_only"),
+      col("n_b_only"), col("n_neither"),
+      when(disc > 0, g6((b - c) * (b - c) / (b + c))).as("chi2"),
+      when(disc > 0, g6(dCC * dCC / (b + c))).as("chi2_cc"))
+  }
+
+  /** Log-rank test comparing survival between two groups (Mantel 1966
+    * — the time-to-event comparison next to q205's Kaplan–Meier
+    * curves; compares WHOLE hazard curves where a t-test on durations
+    * ignores censoring). Input: one row per subject with an integer
+    * duration, an event flag (1 = event observed, 0 = censored) and a
+    * 0/1 group. At each distinct event time: d₁ₜ deaths in group 1,
+    * dₜ total deaths, n₁ₜ/nₜ at risk (duration ≥ t);
+    * O₁ = Σd₁ₜ, E₁ = Σ dₜ·n₁ₜ/nₜ,
+    * V = Σ dₜ·(n₁ₜ/nₜ)·(1−n₁ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1),
+    * χ² = (O₁−E₁)²/V. Per-time E and V terms are identical double
+    * ratios of exact integers quantized to the 1e-6 grid before the
+    * cross-partition sum (the Theil's-U discipline). Output one row:
+    * `n_group1, n_group0, deaths_total, o1, e1, variance, chi2`.
+    *
+    * Scale shape: one groupBy(duration) to the distinct-time grid,
+    * two reverse-cumulative window sums over that GRID (distinct
+    * durations, not subjects), one fold. Subjects are themselves an
+    * aggregate of the raw data, so nothing here is data-sized.
+    */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("long").as("__g"),
+      col(durationCol).cast("long").as("__t"),
+      col(eventCol).cast("long").as("__e"))
+    val grid = base.groupBy("__t").agg(
+      sum(when(col("__g") === 1, col("__e")).otherwise(0L)).as("__d1"),
+      sum("__e").as("__d"),
+      sum(when(col("__g") === 1, 1L).otherwise(0L)).as("__c1"),
+      count(lit(1)).as("__c"))
+    val wTail = Window.orderBy(col("__t").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val atRisk = grid
+      .withColumn("__n1", sum("__c1").over(wTail))
+      .withColumn("__n", sum("__c").over(wTail))
+    val frac1 = col("__n1").cast("double") / col("__n")
+    val terms = atRisk.where(col("__d") > 0).select(col("__d1"),
+      col("__d"),
+      floor(col("__d").cast("double") * frac1 * 1e6 + 0.5).cast("long")
+        .as("__e6"),
+      when(col("__n") > 1,
+        floor(col("__d").cast("double") * frac1 * (lit(1d) - frac1) *
+          (col("__n") - col("__d")).cast("double") / (col("__n") - 1d) *
+          1e6 + 0.5).cast("long")).otherwise(lit(0L)).as("__v6"))
+    val sizes = base.agg(
+      sum(when(col("__g") === 1, 1L).otherwise(0L)).as("n_group1"),
+      sum(when(col("__g") =!= 1, 1L).otherwise(0L)).as("n_group0"))
+    val roll = terms.agg(sum("__d").as("deaths_total"),
+      sum("__d1").as("__o1"), sum("__e6").as("__E6"),
+      sum("__v6").as("__V6"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val e1 = col("__E6").cast("double") / 1e6
+    val v = col("__V6").cast("double") / 1e6
+    val o1 = col("__o1").cast("double")
+    broadcast(sizes).crossJoin(roll)
+      .select(col("n_group1"), col("n_group0"), col("deaths_total"),
+        col("__o1").as("o1"), g6(e1).as("e1"), g6(v).as("variance"),
+        when(v > 0, g6((o1 - e1) * (o1 - e1) / v)).as("chi2"))
+  }
+
+  /** Average precision (area under the precision–recall curve, the
+    * step-wise sklearn convention over DISTINCT score thresholds) —
+    * the ranking-quality number for imbalanced labels where q180's ROC
+    * AUC saturates. Ties share a threshold: at each distinct score s
+    * (descending) with p new positives, the term is
+    * p · precision(≥ s); AP = Σ terms / n_pos. Each term is an
+    * identical double ratio of exact cumulative integers, quantized to
+    * the 1e-9 grid before the sum. Output one row:
+    * `n_pos, n_neg, pr_auc, prevalence` (1e-6 grids).
+    *
+    * Scale shape: one groupBy(score) to the distinct-score grid, one
+    * cumulative window over that grid, one fold — the q180 class.
+    */
+  def averagePrecision(df: DataFrame, scoreQ: Column,
+      label: Column): DataFrame = {
+    val counts = df
+      .select(scoreQ.as("__s"), label.cast("boolean").as("__y"))
+      .groupBy("__s")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__n"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__tp", sum("__p").over(w))
+      .withColumn("__fp", sum("__n").over(w))
+    val roll = cum.agg(
+      sum(when(col("__p") > 0,
+        floor(col("__p").cast("double") * col("__tp") /
+          (col("__tp") + col("__fp")) * 1e9 + 0.5).cast("long"))
+        .otherwise(0L)).as("__t9"),
+      sum("__p").as("n_pos"), sum("__n").as("n_neg"))
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    roll.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0,
+        g6(col("__t9").cast("double") / 1e9 / col("n_pos"))).as("pr_auc"),
+      g6(col("n_pos").cast("double") / (col("n_pos") + col("n_neg")))
+        .as("prevalence"))
+  }
+
+  /** Murphy decomposition of the Brier score (reliability − resolution
+    * + uncertainty — WHY a probability scorer is bad: miscalibrated,
+    * or just uninformative?; the diagnosis q181's ECE alone can't
+    * give). Probabilities arrive as integer basis points on the 0–100
+    * cents grid (`probCents`), so the direct Brier sum
+    * Σ(p−y)² is an exact integer in 1e-4 units. Bins are equal-width
+    * over [0,1]; REL = Σ nₖ(p̄ₖ−ȳₖ)²/N and RES = Σ nₖ(ȳₖ−ȳ)²/N fold
+    * per-bin double terms of exact integer moments on the 1e-6 grid.
+    * Binning makes the identity inexact by the within-bin variance of
+    * p — reported as `residual`. Output one row:
+    * `n, brier, reliability, resolution, uncertainty, residual`.
+    *
+    * Scale shape: one pass to `bins` rows + one 1-row total broadcast.
+    */
+  def brierDecomposition(df: DataFrame, probCents: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val base = df.select(probCents.cast("long").as("__p"),
+      when(label, 1L).otherwise(0L).as("__y"))
+    val binned = base.withColumn("__b",
+      least(floor(col("__p") * bins / 100).cast("long"), lit(bins - 1L)))
+    val per = binned.groupBy("__b").agg(count(lit(1)).as("__nk"),
+      sum("__p").as("__sp"), sum("__y").as("__sy"),
+      sum((col("__p") - col("__y") * 100L) *
+        (col("__p") - col("__y") * 100L)).as("__sse4"))
+    val tot = per.agg(sum("__nk").as("__tn"), sum("__sy").as("__tsy"),
+      sum("__sse4").as("__tsse4"))
+    val pBar = col("__sp").cast("double") / col("__nk") / 100d
+    val yBar = col("__sy").cast("double") / col("__nk")
+    val yAll = col("__tsy").cast("double") / col("__tn")
+    val folded = per.crossJoin(broadcast(tot)).agg(
+      max("__tn").as("n"), max("__tsy").as("__tsyx"),
+      max("__tsse4").as("__tsse4x"),
+      sum(floor(col("__nk") * (pBar - yBar) * (pBar - yBar) * 1e6 + 0.5)
+        .cast("long")).as("__rel6"),
+      sum(floor(col("__nk") * (yBar - yAll) * (yBar - yAll) * 1e6 + 0.5)
+        .cast("long")).as("__res6"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val nD = col("n").cast("double")
+    val brier = col("__tsse4x").cast("double") / 1e4 / nD
+    val rel = col("__rel6").cast("double") / 1e6 / nD
+    val res = col("__res6").cast("double") / 1e6 / nD
+    val yA = col("__tsyx").cast("double") / nD
+    val unc = yA * (lit(1d) - yA)
+    folded.select(col("n"), g6(brier).as("brier"), g6(rel).as("reliability"),
+      g6(res).as("resolution"), g6(unc).as("uncertainty"),
+      g6(brier - (rel - res + unc)).as("residual"))
+  }
 }

@@ -264,6 +264,46 @@ object EventsQ {
         .orderBy("event_type")
     }),
 
+    // ---- McNemar paired test: do high-value errors and high-value
+    //      purchases fire for the SAME users? (paired proportions —
+    //      only the discordant cells carry information) ----
+    "q360_mcnemar" -> ((s, d) => {
+      graft.operators.Eval.mcnemar(Tables.events(s, d), "user_id",
+        col("event_type") === "error" && col("value") > 200,
+        col("event_type") === "purchase" && col("value") > 200)
+    }),
+
+    // ---- log-rank test: time from first event to first purchase
+    //      (censored at last activity), even vs odd user cohorts ----
+    "q361_logrank" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id").agg(
+        min("ts").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+        max("ts").as("t1"))
+      val dur = per.select(pmod(col("user_id"), lit(2)).as("grp"),
+        expr(s"(coalesce(tp, t1) - t0) div ${24 * HourNs}").as("dur"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("evt"))
+      graft.operators.Eval.logRank(dur, "grp", "dur", "evt")
+    }),
+
+    // ---- average precision (PR-AUC): does value rank purchases
+    //      ahead of the rest? (q180 ROC AUC's imbalance-robust twin) ----
+    "q362_pr_auc" -> ((s, d) => {
+      graft.operators.Eval.averagePrecision(
+        Tables.events(s, d).where(col("value").isNotNull),
+        floor(col("value") * 100 + 0.5).cast("long"),
+        col("event_type") === "purchase")
+    }),
+
+    // ---- Murphy decomposition of the Brier score for a basis-point
+    //      pseudo-probability against the purchase label ----
+    "q363_brier_decomposition" -> ((s, d) => {
+      graft.operators.Eval.brierDecomposition(
+        Tables.events(s, d).where(col("value").isNotNull),
+        pmod(floor(col("value") * 100 + 0.5).cast("long"), lit(101L)),
+        col("event_type") === "purchase")
+    }),
+
     // ---- funnel: ordered view→click→purchase completion within 7d ----
     "q120_funnel" -> ((s, d) => {
       Events.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
@@ -699,6 +739,177 @@ object EventsQ {
     s"lag(n, $j) OVER (PARTITION BY k ORDER BY t) AS x$j").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // discordant-cell algebra over per-user boolean reductions; the
+    // continuity correction clamps |b−c|−1 at 0 (Edwards convention)
+    "q360_mcnemar" ->
+      """WITH per AS (
+            SELECT user_id,
+              max(CASE WHEN event_type = 'error' AND value > 200
+                  THEN 1 ELSE 0 END) AS a,
+              max(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS b
+            FROM events GROUP BY user_id),
+          cells AS (
+            SELECT count(*) AS n_units,
+              CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+              CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a_only,
+              CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b_only,
+              CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_neither
+            FROM per)
+         SELECT n_units, n_both, n_a_only, n_b_only, n_neither,
+           CASE WHEN n_a_only + n_b_only > 0 THEN
+             floor((CAST(n_a_only AS DOUBLE) - n_b_only)
+               * (CAST(n_a_only AS DOUBLE) - n_b_only)
+               / (CAST(n_a_only AS DOUBLE) + n_b_only) * 1e6 + 0.5) / 1e6
+             END AS chi2,
+           CASE WHEN n_a_only + n_b_only > 0 THEN
+             floor(greatest(abs(CAST(n_a_only AS DOUBLE) - n_b_only) - 1, 0)
+               * greatest(abs(CAST(n_a_only AS DOUBLE) - n_b_only) - 1, 0)
+               / (CAST(n_a_only AS DOUBLE) + n_b_only) * 1e6 + 0.5) / 1e6
+             END AS chi2_cc
+         FROM cells""",
+    // at-risk counts = reverse-cumulative sums over the distinct-
+    // duration grid; per-time E/V terms quantize to 1e-6 pre-sum
+    "q361_logrank" ->
+      """WITH per AS (
+            SELECT user_id, min(epoch_ns(ts)) AS t0,
+              min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+                AS tp,
+              max(epoch_ns(ts)) AS t1
+            FROM events GROUP BY user_id),
+          dur AS (
+            SELECT user_id % 2 AS g,
+              (coalesce(tp, t1) - t0) // 86400000000000 AS t,
+              CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e
+            FROM per),
+          grid AS (
+            SELECT t,
+              CAST(sum(CASE WHEN g = 1 THEN e ELSE 0 END) AS BIGINT) AS d1,
+              CAST(sum(e) AS BIGINT) AS d,
+              CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              count(*) AS c
+            FROM dur GROUP BY t),
+          risk AS (
+            SELECT *,
+              CAST(sum(c1) OVER (ORDER BY t ASC ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+              CAST(sum(c) OVER (ORDER BY t ASC ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+            FROM grid),
+          terms AS (
+            SELECT d1, d,
+              CAST(floor(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+                * 1e6 + 0.5) AS BIGINT) AS e6,
+              CASE WHEN n > 1 THEN
+                CAST(floor(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+                  * (1 - CAST(n1 AS DOUBLE) / n)
+                  * CAST(n - d AS DOUBLE) / (n - 1) * 1e6 + 0.5) AS BIGINT)
+                ELSE 0 END AS v6
+            FROM risk WHERE d > 0),
+          sizes AS (
+            SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_group1,
+              CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_group0
+            FROM dur),
+          roll AS (
+            SELECT CAST(sum(d) AS BIGINT) AS deaths_total,
+              CAST(sum(d1) AS BIGINT) AS o1,
+              CAST(sum(e6) AS BIGINT) AS se6,
+              CAST(sum(v6) AS BIGINT) AS sv6
+            FROM terms)
+         SELECT n_group1, n_group0, deaths_total, o1,
+           CAST(se6 AS DOUBLE) / 1e6 + 0.0 AS e1,
+           CAST(sv6 AS DOUBLE) / 1e6 + 0.0 AS variance,
+           CASE WHEN sv6 > 0 THEN
+             floor((CAST(o1 AS DOUBLE) - CAST(se6 AS DOUBLE) / 1e6)
+               * (CAST(o1 AS DOUBLE) - CAST(se6 AS DOUBLE) / 1e6)
+               / (CAST(sv6 AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 + 0.0
+             END AS chi2
+         FROM sizes, roll""",
+    // step-wise AP over distinct score thresholds; per-threshold
+    // precision terms quantize to 1e-9 before the fold
+    "q362_pr_auc" ->
+      """WITH counts AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+                AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY s),
+          cum AS (
+            SELECT *,
+              CAST(sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+              CAST(sum(n) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+            FROM counts),
+          roll AS (
+            SELECT
+              CAST(sum(CASE WHEN p > 0 THEN
+                CAST(floor(CAST(p AS DOUBLE) * tp / (tp + fp) * 1e9 + 0.5)
+                  AS BIGINT) ELSE 0 END) AS BIGINT) AS t9,
+              CAST(sum(p) AS BIGINT) AS n_pos,
+              CAST(sum(n) AS BIGINT) AS n_neg
+            FROM cum)
+         SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 THEN
+             floor(CAST(t9 AS DOUBLE) / 1e9 / n_pos * 1e6 + 0.5) / 1e6
+             END AS pr_auc,
+           floor(CAST(n_pos AS DOUBLE) / (n_pos + n_neg) * 1e6 + 0.5) / 1e6
+             AS prevalence
+         FROM roll""",
+    // Murphy decomposition from per-bin exact integer moments; the
+    // direct Brier sum is an exact integer in 1e-4 units
+    "q363_brier_decomposition" ->
+      """WITH base AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) % 101 AS p,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events WHERE value IS NOT NULL),
+          per AS (
+            SELECT least(CAST(floor(p * 10 / 100) AS BIGINT), 9) AS b,
+              count(*) AS nk, CAST(sum(p) AS BIGINT) AS sp,
+              CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum((p - 100 * y) * (p - 100 * y)) AS BIGINT) AS sse4
+            FROM base GROUP BY 1),
+          tot AS (
+            SELECT CAST(sum(nk) AS BIGINT) AS nn,
+              CAST(sum(sy) AS BIGINT) AS gsy,
+              CAST(sum(sse4) AS BIGINT) AS gsse4
+            FROM per),
+          folded AS (
+            SELECT max(nn) AS n, max(gsy) AS syx, max(gsse4) AS sse4x,
+              CAST(sum(CAST(floor(nk * (CAST(sp AS DOUBLE) / nk / 100
+                  - CAST(sy AS DOUBLE) / nk)
+                * (CAST(sp AS DOUBLE) / nk / 100 - CAST(sy AS DOUBLE) / nk)
+                * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS rel6,
+              CAST(sum(CAST(floor(nk * (CAST(sy AS DOUBLE) / nk
+                  - CAST(gsy AS DOUBLE) / nn)
+                * (CAST(sy AS DOUBLE) / nk - CAST(gsy AS DOUBLE) / nn)
+                * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS res6
+            FROM per CROSS JOIN tot),
+          calc AS (
+            SELECT n,
+              CAST(sse4x AS DOUBLE) / 1e4 / n AS brier,
+              CAST(rel6 AS DOUBLE) / 1e6 / n AS rel,
+              CAST(res6 AS DOUBLE) / 1e6 / n AS res,
+              (CAST(syx AS DOUBLE) / n) * (1 - CAST(syx AS DOUBLE) / n)
+                AS unc
+            FROM folded)
+         SELECT n,
+           floor(brier * 1e6 + 0.5) / 1e6 + 0.0 AS brier,
+           floor(rel * 1e6 + 0.5) / 1e6 + 0.0 AS reliability,
+           floor(res * 1e6 + 0.5) / 1e6 + 0.0 AS resolution,
+           floor(unc * 1e6 + 0.5) / 1e6 + 0.0 AS uncertainty,
+           CASE WHEN brier - (rel - res + unc) >= 0 THEN
+               floor((brier - (rel - res + unc)) * 1e6 + 0.5)
+             ELSE -floor(-(brier - (rel - res + unc)) * 1e6 + 0.5) END
+             / 1e6 + 0.0 AS residual
+         FROM calc""",
     // integer-ns cut points (// = floor div, both engines); embargo =
     // membership in the distinct purge-window user set
     "q301_embargo_split" ->

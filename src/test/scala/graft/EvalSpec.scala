@@ -193,4 +193,69 @@ class EvalSpec extends SparkSpec {
         df, "ts", Seq(7), maxDays = 20).collect()
     }
   }
+
+  test("mcnemar: hand-computed discordant cells, chi2 and correction") {
+    // 10 units: both 2, a-only 3, b-only 1, neither 4
+    val df = Seq(
+      (1, 1, 1), (2, 1, 1), (3, 1, 0), (4, 1, 0), (5, 1, 0),
+      (6, 0, 1), (7, 0, 0), (8, 0, 0), (9, 0, 0), (10, 0, 0))
+      .toDF("u", "a", "b")
+    val r = Eval.mcnemar(df, "u", col("a") === 1, col("b") === 1)
+      .collect().head
+    assert(r.getAs[Long]("n_units") == 10)
+    assert(r.getAs[Long]("n_both") == 2)
+    assert(r.getAs[Long]("n_a_only") == 3)
+    assert(r.getAs[Long]("n_b_only") == 1)
+    assert(r.getAs[Long]("n_neither") == 4)
+    assert(r.getAs[Double]("chi2") == 1.0) // (3−1)²/4
+    assert(r.getAs[Double]("chi2_cc") == 0.25) // (|2|−1)²/4
+    // no discordant pairs → NULL statistics, not a division blow-up
+    val deg = Eval.mcnemar(Seq((1, 1, 1), (2, 0, 0)).toDF("u", "a", "b"),
+      "u", col("a") === 1, col("b") === 1).collect().head
+    assert(deg.isNullAt(deg.fieldIndex("chi2")))
+  }
+
+  test("logRank: hand-computed O/E/V on a 6-subject two-group case") {
+    // g1: 1*, 2*, 3 censored; g0: 1*, 4*, 5 censored (* = event)
+    val df = Seq(
+      (1, 1L, 1), (1, 2L, 1), (1, 3L, 0),
+      (0, 1L, 1), (0, 4L, 1), (0, 5L, 0))
+      .toDF("g", "t", "e")
+    val r = Eval.logRank(df, "g", "t", "e").collect().head
+    assert(r.getAs[Long]("n_group1") == 3 && r.getAs[Long]("n_group0") == 3)
+    assert(r.getAs[Long]("deaths_total") == 4)
+    assert(r.getAs[Long]("o1") == 2)
+    // E: t=1 ⇒ 2·(3/6)=1; t=2 ⇒ 1·(2/4)=0.5; t=4 ⇒ 1·0=0
+    assert(r.getAs[Double]("e1") == 1.5)
+    // V: t=1 ⇒ 2·.5·.5·(4/5)=0.4; t=2 ⇒ 1·.5·.5·1=0.25; t=4 ⇒ 0
+    assert(r.getAs[Double]("variance") == 0.65)
+    assert(r.getAs[Double]("chi2") == 0.384615) // 0.25/0.65 on 1e-6 grid
+  }
+
+  test("averagePrecision: tie-blocked step AP, hand-computed") {
+    val df = Seq((5, 1), (4, 0), (3, 1), (3, 1), (2, 0), (1, 1))
+      .toDF("s", "y")
+    val r = Eval.averagePrecision(df, col("s"), col("y") === 1)
+      .collect().head
+    assert(r.getAs[Long]("n_pos") == 4 && r.getAs[Long]("n_neg") == 2)
+    // terms: 1·(1/1) + 2·(3/4) + 1·(4/6) = 3.16666667 ⇒ /4
+    assert(r.getAs[Double]("pr_auc") == 0.791667)
+    assert(r.getAs[Double]("prevalence") == 0.666667)
+  }
+
+  test("brierDecomposition: constant-p bins make the identity exact") {
+    // bin 2: p=0.20, 1/4 positive; bin 8: p=0.80, 3/4 positive
+    val df = Seq(
+      (20L, 1), (20L, 0), (20L, 0), (20L, 0),
+      (80L, 1), (80L, 1), (80L, 1), (80L, 0)).toDF("p", "y")
+    val r = Eval.brierDecomposition(df, col("p"), col("y") === 1)
+      .collect().head
+    assert(r.getAs[Long]("n") == 8)
+    assert(r.getAs[Double]("brier") == 0.19)
+    assert(r.getAs[Double]("reliability") == 0.0025)
+    assert(r.getAs[Double]("resolution") == 0.0625)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    // p constant within each bin ⇒ REL − RES + UNC reconstructs Brier
+    assert(r.getAs[Double]("residual") == 0.0)
+  }
 }
