@@ -115,6 +115,29 @@ object Forecast {
     */
   def periodogramDaily(df: DataFrame, tsNsCol: String, periods: Seq[Int],
       maxDays: Int = 31): DataFrame = {
+    val sums = spectralSums(df, tsNsCol, periods, maxDays)
+    val cS = col("__c6").cast("double") / 1e6
+    val sS = col("__s6").cast("double") / 1e6
+    val power = cS * cS + sS * sS
+    val withP = sums.select(col("period"), col("n_days"),
+      (floor(power * 1e4 + 0.5) / 1e4).as("power"),
+      floor(power * 1e6 + 0.5).cast("long").as("__p6"))
+    val tot = withP.agg(sum("__p6").as("__tot"))
+    withP.crossJoin(tot)
+      .select(col("period"), col("n_days"), col("power"),
+        when(col("__tot") > 0,
+          floor(col("__p6").cast("double") / col("__tot") * 1e6 + 0.5)
+            / 1e6).as("power_share"))
+      .orderBy("period")
+  }
+
+  /** Shared spine of [[periodogramDaily]] and [[spectralEntropyDaily]]:
+    * per-period Schuster sums `(period, n_days, __c6, __s6)` over the
+    * daily count series, each y·cos / y·sin product quantized to the
+    * 1e-6 grid before the per-period fold. Runs the span guard.
+    */
+  private def spectralSums(df: DataFrame, tsNsCol: String,
+      periods: Seq[Int], maxDays: Int): DataFrame = {
     require(periods.nonEmpty && periods.forall(_ >= 2),
       "periods must be >= 2 days")
     val spark = df.sparkSession
@@ -143,18 +166,264 @@ object Forecast {
     require(maxT < maxDays,
       s"observed span ${maxT + 1} days exceeds maxDays=$maxDays — " +
         "raise maxDays (the oracle literal table must match)")
+    sums
+  }
+
+  /** Normalized spectral entropy of the candidate-period power
+    * distribution — "is the series' energy concentrated in one cycle
+    * (≈0) or spread flat (≈1)?", the one-number regularity score next
+    * to [[periodogramDaily]]'s per-period report. Powers reduce to the
+    * same 1e-6-grid integers `p6` as the periodogram; the share
+    * q = p6/tot is an identical double ratio in both engines, each
+    * −q·ln q term quantizes to the 1e-9 grid before the fold, and the
+    * ln(k) normalizer is a driver-side 1e-12-grid literal ([[lnLit]]).
+    * Output one row:
+    * `n_periods, k_positive, entropy, entropy_norm, max_share`.
+    */
+  def spectralEntropyDaily(df: DataFrame, tsNsCol: String,
+      periods: Seq[Int], maxDays: Int = 31): DataFrame = {
+    val sums = spectralSums(df, tsNsCol, periods, maxDays)
     val cS = col("__c6").cast("double") / 1e6
     val sS = col("__s6").cast("double") / 1e6
     val power = cS * cS + sS * sS
-    val withP = sums.select(col("period"), col("n_days"),
-      (floor(power * 1e4 + 0.5) / 1e4).as("power"),
+    val p6 = sums.select(col("period"),
       floor(power * 1e6 + 0.5).cast("long").as("__p6"))
-    val tot = withP.agg(sum("__p6").as("__tot"))
-    withP.crossJoin(tot)
-      .select(col("period"), col("n_days"), col("power"),
-        when(col("__tot") > 0,
-          floor(col("__p6").cast("double") / col("__tot") * 1e6 + 0.5)
-            / 1e6).as("power_share"))
-      .orderBy("period")
+    val tot = p6.agg(sum("__p6").as("__tot"), max("__p6").as("__mx"))
+    val q = col("__p6").cast("double") / col("__tot")
+    val folded = p6.crossJoin(broadcast(tot)).agg(
+      count(lit(1)).as("n_periods"),
+      sum(when(col("__p6") > 0, 1L).otherwise(0L)).as("k_positive"),
+      sum(when(col("__p6") > 0,
+        floor(-q * log(q) * 1e9 + 0.5).cast("long")).otherwise(0L))
+        .as("__h9"),
+      max("__tot").as("__totx"), max("__mx").as("__mxx"))
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    val h = col("__h9").cast("double") / 1e9
+    folded.select(col("n_periods"), col("k_positive"),
+      g6(h).as("entropy"),
+      when(col("n_periods") > 1,
+        g6(h / lit(lnLit(periods.size)))).as("entropy_norm"),
+      when(col("__totx") > 0,
+        g6(col("__mxx").cast("double") / col("__totx"))).as("max_share"))
+  }
+
+  /** ln(x) on the 1e-12 grid, computed driver-side and rendered into
+    * both the Spark plan and the oracle SQL (the sprtConstants
+    * discipline) — used for the block-size axis of [[hurstDaily]] and
+    * the entropy normalizer of [[spectralEntropyDaily]].
+    */
+  def lnLit(x: Double): Double = {
+    require(x > 0, s"ln of non-positive $x")
+    val v = math.log(x)
+    if (v >= 0) math.floor(v * 1e12 + 0.5) / 1e12
+    else -math.floor(-v * 1e12 + 0.5) / 1e12
+  }
+
+  /** 1e-6-grid ln(n) integers for [[hurstDaily]]'s regression axis:
+    * `(n, x6 = round(ln n · 1e6))` — shared with the oracle.
+    */
+  def hurstLnTable(blockSizes: Seq[Int]): Seq[(Int, Long)] =
+    blockSizes.map(n =>
+      (n, math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong))
+
+  /** Hurst exponent by rescaled-range (R/S) analysis of the daily
+    * event-count series (Hurst 1951; Mandelbrot & Wallis 1969) — the
+    * long-range-dependence audit: H ≈ 0.5 for independent increments,
+    * H > 0.5 for persistent (trending) volume, H < 0.5 for
+    * mean-reverting. The zero-filled day grid splits into complete
+    * contiguous blocks of each candidate size n; per block
+    * R = max−min of the cumulative mean-deviations and S = the
+    * population std; H = the least-squares slope of ln(mean R/S)
+    * against the ln n literals ([[hurstLnTable]]).
+    *
+    * Determinism: counts are integers, so block means/deviations are
+    * identical double rationals; sqrt is IEEE-exact; per-block R/S
+    * quantizes to the 1e-6 grid before the per-n mean; the regression
+    * runs on exact 1e-6-grid INTEGER (x6, y6) points, so the slope is
+    * a ratio of exact longs. Output one row per block size:
+    * `block_size, n_blocks, mean_rs, hurst` (hurst repeated — it is
+    * the regression over all rows).
+    *
+    * Scale shape: the corpus reduces to the day-grid count once;
+    * everything after is grid-sized (days × |blockSizes| rows, bounded
+    * windows within blocks). No data-sized shuffle or window.
+    */
+  def hurstDaily(df: DataFrame, tsNsCol: String,
+      blockSizes: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    require(blockSizes.size >= 2 && blockSizes.forall(_ >= 2),
+      "need >= 2 block sizes of >= 2 days for the ln-ln regression")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds
+      .select(col("__d0"),
+        explode(sequence(col("__d0"), col("__d1"))).as("__d"),
+        (col("__d1") - col("__d0") + 1L).as("__T"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"), col("__T"))
+    val ns = hurstLnTable(blockSizes).toDF("n", "__x6")
+    val rows = series.crossJoin(broadcast(ns))
+      .where((expr("t div n") + 1) * col("n") <= col("__T"))
+      .withColumn("blk", expr("t div n"))
+    val byBlk = org.apache.spark.sql.expressions.Window
+      .partitionBy("n", "blk")
+    val runBlk = byBlk.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val staged = rows
+      .withColumn("__cs", sum("__y").over(runBlk))
+      .withColumn("__k",
+        row_number().over(byBlk.orderBy("t")))
+      .withColumn("__s", sum("__y").over(byBlk))
+      .withColumn("__q", sum(col("__y") * col("__y")).over(byBlk))
+    val m = col("__s").cast("double") / col("n")
+    val zk = col("__cs").cast("double") - col("__k") * m
+    val per = staged.groupBy("n", "__x6", "blk")
+      .agg(max(zk).as("__zmax"), min(zk).as("__zmin"),
+        max("__s").as("__sb"), max("__q").as("__qb"))
+    val nD = col("n").cast("double")
+    val mB = col("__sb").cast("double") / nD
+    val varP = (col("__qb").cast("double") - nD * mB * mB) / nD
+    val rs = (col("__zmax") - col("__zmin")) / sqrt(varP)
+    val perN = per.where(varP > 0).groupBy("n", "__x6")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(floor(rs * 1e6 + 0.5).cast("long")).as("__rs6"))
+    val meanRs = col("__rs6").cast("double") / col("n_blocks") / 1e6
+    val pts = perN.select(col("n"), col("n_blocks"), col("__x6"),
+      meanRs.as("__mrs"),
+      when(meanRs >= 1, floor(log(meanRs) * 1e6 + 0.5))
+        .otherwise(-floor(-log(meanRs) * 1e6 + 0.5)).cast("long")
+        .as("__y6"))
+    val st = pts.agg(count(lit(1)).as("__kk"),
+      sum("__x6").as("__sx"), sum("__y6").as("__sy"),
+      sum(col("__x6") * col("__y6")).as("__sxy"),
+      sum(col("__x6") * col("__x6")).as("__sxx"))
+    val hurst = (col("__kk") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double") /
+      (col("__kk") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast("double")
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    pts.crossJoin(broadcast(st.select(
+        when(col("__kk") >= 2,
+          (when(hurst >= 0, floor(hurst * 1e4 + 0.5))
+            .otherwise(-floor(-hurst * 1e4 + 0.5)) / 1e4 + lit(0d)))
+          .as("hurst"))))
+      .select(col("n").as("block_size"), col("n_blocks"),
+        g6(col("__mrs")).as("mean_rs"), col("hurst"))
+      .orderBy("block_size")
+  }
+
+  /** Cross-correlation function between the daily count series of two
+    * event types at integer-day lags — "do purchases FOLLOW views?"
+    * with the sign of the lead/lag made explicit (positive lag =
+    * series B shifted later). Pearson r per lag over the overlapping
+    * zero-filled grid, all five moments exact integer sums; r is a
+    * ratio of exact longs under IEEE sqrt. Output per lag:
+    * `lag, n_overlap, r` (1e-6 sign-aware grid, NULL when either side
+    * is constant).
+    *
+    * Scale shape: corpus → day grid once; the lag shift is a
+    * grid-sized self-join on `t` (≤ days × lags rows).
+    */
+  def ccfDaily(df: DataFrame, tsNsCol: String, typeCol: String,
+      typeA: String, typeB: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"),
+      col(typeCol).as("__ty"))
+    val cnts0 = ev.groupBy("__d").agg(
+      sum(when(col("__ty") === typeA, 1L).otherwise(0L)).as("__a"),
+      sum(when(col("__ty") === typeB, 1L).otherwise(0L)).as("__b"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b"))
+    val lags = (-maxLag to maxLag).toDF("lag")
+    val sa = series.select(col("t"), col("__a"))
+    val sb = series.select(col("t").as("__t2"), col("__b"))
+    val joined = sa.crossJoin(broadcast(lags))
+      .join(sb, col("__t2") === col("t") + col("lag"))
+    val mom = joined.groupBy("lag").agg(count(lit(1)).as("n_overlap"),
+      sum("__a").as("__sa"), sum("__b").as("__sb"),
+      sum(col("__a") * col("__b")).as("__sab"),
+      sum(col("__a") * col("__a")).as("__saa"),
+      sum(col("__b") * col("__b")).as("__sbb"))
+    val num = (col("n_overlap") * col("__sab") - col("__sa") * col("__sb"))
+      .cast("double")
+    val da = (col("n_overlap") * col("__saa") - col("__sa") * col("__sa"))
+      .cast("double")
+    val db = (col("n_overlap") * col("__sbb") - col("__sb") * col("__sb"))
+      .cast("double")
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    mom.select(col("lag"), col("n_overlap"),
+      when(da > 0 && db > 0, g6(num / (sqrt(da) * sqrt(db)))).as("r"))
+      .orderBy("lag")
+  }
+
+  /** Classical additive seasonal decomposition of the daily count
+    * series at a fixed period (default weekly): centered moving-average
+    * trend over full windows only, per-phase mean of the detrended
+    * values, indices re-centered to sum to zero. Detrended terms
+    * quantize to the 1e-6 grid pre-fold; the per-phase raw index
+    * quantizes to a 1e-6 integer so the re-centering grand mean is a
+    * ratio of exact longs. Output one row per phase:
+    * `phase, n_terms, raw_index, seasonal`.
+    *
+    * Scale shape: day grid once; one ±half-period bounded window over
+    * the GRID; one phase-sized aggregate. (`period` must be odd so the
+    * centered MA needs no half-weights.)
+    */
+  def seasonalIndicesDaily(df: DataFrame, tsNsCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1, "period must be odd >= 3")
+    val h = period / 2
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(-h, h)
+    val detr = series
+      .withColumn("__ws", sum("__y").over(w))
+      .withColumn("__wc", count(lit(1)).over(w))
+      .where(col("__wc") === period)
+      .select(pmod(col("t"), lit(period.toLong)).as("phase"),
+        (col("__y").cast("double") -
+          col("__ws").cast("double") / period).as("__dt"))
+    val perPhase = detr.groupBy("phase").agg(count(lit(1)).as("n_terms"),
+      sum(when(col("__dt") >= 0, floor(col("__dt") * 1e6 + 0.5))
+        .otherwise(-floor(-col("__dt") * 1e6 + 0.5)).cast("long"))
+        .as("__s6"))
+    val rawQ = col("__s6").cast("double") / col("n_terms")
+    val withRaw = perPhase.withColumn("__raw6",
+      when(rawQ >= 0, floor(rawQ + 0.5)).otherwise(-floor(-rawQ + 0.5))
+        .cast("long"))
+    val grand = withRaw.agg(sum("__raw6").as("__g6"),
+      count(lit(1)).as("__np"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    withRaw.crossJoin(broadcast(grand))
+      .select(col("phase"), col("n_terms"),
+        g6(col("__raw6").cast("double") / 1e6).as("raw_index"),
+        g6((col("__raw6").cast("double") -
+          col("__g6").cast("double") / col("__np")) / 1e6).as("seasonal"))
+      .orderBy("phase")
   }
 }

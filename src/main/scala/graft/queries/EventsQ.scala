@@ -264,6 +264,34 @@ object EventsQ {
         .orderBy("event_type")
     }),
 
+    // ---- Hurst exponent of the daily volume series (R/S analysis
+    //      over 4/8/16-day blocks, ln-ln regression on shared
+    //      integer-grid points) ----
+    "q364_hurst" -> ((s, d) => {
+      graft.operators.Forecast.hurstDaily(Tables.events(s, d), "ts")
+    }),
+
+    // ---- cross-correlation of daily view vs purchase volumes at
+    //      ±3-day lags: does one series lead the other? ----
+    "q365_ccf" -> ((s, d) => {
+      graft.operators.Forecast.ccfDaily(Tables.events(s, d), "ts",
+        "event_type", "view", "purchase")
+    }),
+
+    // ---- classical additive seasonal decomposition of daily volume
+    //      (centered MA(7) trend, zero-centered weekday indices) ----
+    "q366_seasonal_decompose" -> ((s, d) => {
+      graft.operators.Forecast.seasonalIndicesDaily(
+        Tables.events(s, d), "ts")
+    }),
+
+    // ---- normalized spectral entropy over q346's candidate periods:
+    //      is the volume energy concentrated or flat? ----
+    "q367_spectral_entropy" -> ((s, d) => {
+      graft.operators.Forecast.spectralEntropyDaily(
+        Tables.events(s, d), "ts", Seq(2, 3, 5, 7, 10, 15))
+    }),
+
     // ---- McNemar paired test: do high-value errors and high-value
     //      purchases fire for the SAME users? (paired proportions —
     //      only the discordant cells carry information) ----
@@ -739,6 +767,238 @@ object EventsQ {
     s"lag(n, $j) OVER (PARTITION BY k ORDER BY t) AS x$j").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // R/S per complete block from exact integer moments (sqrt is
+    // IEEE-exact); regression over 1e-6-grid integer (ln n, ln R/S)
+    // points — the ln-n axis is the operator's own literal table
+    "q364_hurst" -> {
+      val nsRows = graft.operators.Forecast.hurstLnTable(Seq(4, 8, 16))
+        .map { case (n, x6) => s"($n, CAST($x6 AS BIGINT))" }.mkString(", ")
+      s"""WITH ns(n, x6) AS (VALUES $nsRows),
+          ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d,
+            d1 - d0 + 1 AS tt FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y, g.tt
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          rows_ AS (
+            SELECT s.t, s.y, ns.n, ns.x6, s.t // ns.n AS blk
+            FROM series s CROSS JOIN ns
+            WHERE (s.t // ns.n + 1) * ns.n <= s.tt),
+          staged AS (
+            SELECT *,
+              sum(y) OVER (PARTITION BY n, blk ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+              row_number() OVER (PARTITION BY n, blk ORDER BY t) AS k,
+              sum(y) OVER (PARTITION BY n, blk) AS sb,
+              sum(y * y) OVER (PARTITION BY n, blk) AS qb
+            FROM rows_),
+          per AS (
+            SELECT n, x6, blk,
+              max(CAST(cs AS DOUBLE) - k * (CAST(sb AS DOUBLE) / n))
+                AS zmax,
+              min(CAST(cs AS DOUBLE) - k * (CAST(sb AS DOUBLE) / n))
+                AS zmin,
+              max(sb) AS sbx, max(qb) AS qbx
+            FROM staged GROUP BY n, x6, blk),
+          calc AS (
+            SELECT n, x6, zmax, zmin,
+              (CAST(qbx AS DOUBLE) - n * (CAST(sbx AS DOUBLE) / n)
+                * (CAST(sbx AS DOUBLE) / n)) / n AS varp
+            FROM per),
+          pern AS (
+            SELECT n, x6, count(*) AS n_blocks,
+              CAST(sum(CAST(floor((zmax - zmin) / sqrt(varp) * 1e6 + 0.5)
+                AS BIGINT)) AS BIGINT) AS rs6
+            FROM calc WHERE varp > 0 GROUP BY n, x6),
+          pts AS (
+            SELECT n, n_blocks, x6,
+              CAST(rs6 AS DOUBLE) / n_blocks / 1e6 AS mrs,
+              CASE WHEN CAST(rs6 AS DOUBLE) / n_blocks / 1e6 >= 1 THEN
+                  CAST(floor(ln(CAST(rs6 AS DOUBLE) / n_blocks / 1e6)
+                    * 1e6 + 0.5) AS BIGINT)
+                ELSE -CAST(floor(-ln(CAST(rs6 AS DOUBLE) / n_blocks / 1e6)
+                    * 1e6 + 0.5) AS BIGINT) END AS y6
+            FROM pern),
+          st AS (
+            SELECT count(*) AS kk, CAST(sum(x6) AS BIGINT) AS sx,
+              CAST(sum(y6) AS BIGINT) AS sy,
+              CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+              CAST(sum(x6 * x6) AS BIGINT) AS sxx
+            FROM pts),
+          hh AS (
+            SELECT CASE WHEN kk >= 2 THEN
+              CASE WHEN CAST(kk * sxy - sx * sy AS DOUBLE)
+                  / CAST(kk * sxx - sx * sx AS DOUBLE) >= 0 THEN
+                  floor(CAST(kk * sxy - sx * sy AS DOUBLE)
+                    / CAST(kk * sxx - sx * sx AS DOUBLE) * 1e4 + 0.5)
+                ELSE -floor(-(CAST(kk * sxy - sx * sy AS DOUBLE)
+                    / CAST(kk * sxx - sx * sx AS DOUBLE)) * 1e4 + 0.5)
+                END / 1e4 + 0.0 END AS hurst
+            FROM st)
+         SELECT n AS block_size, n_blocks,
+           floor(mrs * 1e6 + 0.5) / 1e6 AS mean_rs, hurst
+         FROM pts, hh ORDER BY block_size"""
+    },
+    // per-lag Pearson r over the zero-filled day grid from exact
+    // integer moments; grid-sized lag self-join
+    "q365_ccf" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d, event_type
+            FROM events),
+          cnts AS (
+            SELECT d,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS b
+            FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.a, 0) AS a,
+              coalesce(c.b, 0) AS b
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          lags(lg) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3)),
+          joined AS (
+            SELECT l.lg, s1.a, s2.b
+            FROM series s1 CROSS JOIN lags l
+            JOIN series s2 ON s2.t = s1.t + l.lg),
+          mom AS (
+            SELECT lg, count(*) AS n_overlap,
+              CAST(sum(a) AS BIGINT) AS sa2,
+              CAST(sum(b) AS BIGINT) AS sb2,
+              CAST(sum(a * b) AS BIGINT) AS sab,
+              CAST(sum(a * a) AS BIGINT) AS saa,
+              CAST(sum(b * b) AS BIGINT) AS sbb
+            FROM joined GROUP BY lg)
+         SELECT lg AS lag, n_overlap,
+           CASE WHEN CAST(n_overlap * saa - sa2 * sa2 AS DOUBLE) > 0
+               AND CAST(n_overlap * sbb - sb2 * sb2 AS DOUBLE) > 0 THEN
+             CASE WHEN CAST(n_overlap * sab - sa2 * sb2 AS DOUBLE)
+                 / (sqrt(CAST(n_overlap * saa - sa2 * sa2 AS DOUBLE))
+                   * sqrt(CAST(n_overlap * sbb - sb2 * sb2 AS DOUBLE)))
+                 >= 0 THEN
+               floor(CAST(n_overlap * sab - sa2 * sb2 AS DOUBLE)
+                 / (sqrt(CAST(n_overlap * saa - sa2 * sa2 AS DOUBLE))
+                   * sqrt(CAST(n_overlap * sbb - sb2 * sb2 AS DOUBLE)))
+                 * 1e6 + 0.5)
+             ELSE -floor(-(CAST(n_overlap * sab - sa2 * sb2 AS DOUBLE)
+                 / (sqrt(CAST(n_overlap * saa - sa2 * sa2 AS DOUBLE))
+                   * sqrt(CAST(n_overlap * sbb - sb2 * sb2 AS DOUBLE))))
+                 * 1e6 + 0.5) END / 1e6 + 0.0 END AS r
+         FROM mom ORDER BY lag""",
+    // centered-MA detrend over full windows, per-phase 1e-6-grid
+    // integer indices, grand-mean re-centering as a ratio of longs
+    "q366_seasonal_decompose" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d
+            FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          win AS (
+            SELECT t, y,
+              sum(y) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND
+                3 FOLLOWING) AS ws,
+              count(*) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND
+                3 FOLLOWING) AS wc
+            FROM series),
+          detr AS (
+            SELECT t % 7 AS phase,
+              CAST(y AS DOUBLE) - CAST(ws AS DOUBLE) / 7 AS dt
+            FROM win WHERE wc = 7),
+          per AS (
+            SELECT phase, count(*) AS n_terms,
+              CAST(sum(CASE WHEN dt >= 0
+                THEN CAST(floor(dt * 1e6 + 0.5) AS BIGINT)
+                ELSE -CAST(floor(-dt * 1e6 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS s6
+            FROM detr GROUP BY phase),
+          raw AS (
+            SELECT phase, n_terms,
+              CASE WHEN CAST(s6 AS DOUBLE) / n_terms >= 0 THEN
+                  CAST(floor(CAST(s6 AS DOUBLE) / n_terms + 0.5)
+                    AS BIGINT)
+                ELSE -CAST(floor(-(CAST(s6 AS DOUBLE) / n_terms) + 0.5)
+                    AS BIGINT) END AS raw6
+            FROM per),
+          g AS (SELECT CAST(sum(raw6) AS BIGINT) AS g6v, count(*) AS np
+            FROM raw)
+         SELECT phase, n_terms,
+           CASE WHEN CAST(raw6 AS DOUBLE) / 1e6 >= 0 THEN
+               floor(CAST(raw6 AS DOUBLE) / 1e6 * 1e6 + 0.5)
+             ELSE -floor(-(CAST(raw6 AS DOUBLE) / 1e6) * 1e6 + 0.5) END
+             / 1e6 + 0.0 AS raw_index,
+           CASE WHEN (CAST(raw6 AS DOUBLE) - CAST(g6v AS DOUBLE) / np)
+               / 1e6 >= 0 THEN
+               floor((CAST(raw6 AS DOUBLE) - CAST(g6v AS DOUBLE) / np)
+                 / 1e6 * 1e6 + 0.5)
+             ELSE -floor(-((CAST(raw6 AS DOUBLE) - CAST(g6v AS DOUBLE)
+                 / np) / 1e6) * 1e6 + 0.5) END / 1e6 + 0.0 AS seasonal
+         FROM raw, g ORDER BY phase""",
+    // q346's power integers re-folded into −Σ q·ln q; the ln(k)
+    // normalizer is the operator's 1e-12-grid literal
+    "q367_spectral_entropy" -> {
+      val trigRows = graft.operators.Forecast
+        .trigTable(Seq(2, 3, 5, 7, 10, 15), 31)
+        .map { case (p, t, c, s) => s"($p, $t, $c, $s)" }
+        .mkString(",\n            ")
+      val lnK = graft.operators.Forecast.lnLit(6d)
+      s"""WITH trig(period, t, c, s) AS (VALUES
+            $trigRows),
+          ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (
+            SELECT CAST(d - (SELECT min(d) FROM ev) AS INT) AS t,
+              count(*) AS y
+            FROM ev GROUP BY d),
+          joined AS (
+            SELECT tr.period, c2.t, c2.y, tr.c, tr.s
+            FROM cnts c2 JOIN trig tr ON tr.t = c2.t),
+          sums AS (
+            SELECT period,
+              CAST(sum(CASE WHEN y * c >= 0
+                THEN floor(y * c * 1e6 + 0.5)
+                ELSE -floor(-(y * c) * 1e6 + 0.5) END) AS BIGINT) AS c6,
+              CAST(sum(CASE WHEN y * s >= 0
+                THEN floor(y * s * 1e6 + 0.5)
+                ELSE -floor(-(y * s) * 1e6 + 0.5) END) AS BIGINT) AS s6
+            FROM joined GROUP BY period),
+          pp AS (
+            SELECT period,
+              CAST(floor(((CAST(c6 AS DOUBLE) / 1e6)
+                * (CAST(c6 AS DOUBLE) / 1e6)
+                + (CAST(s6 AS DOUBLE) / 1e6) * (CAST(s6 AS DOUBLE) / 1e6))
+                * 1e6 + 0.5) AS BIGINT) AS p6
+            FROM sums),
+          tot AS (SELECT CAST(sum(p6) AS BIGINT) AS tv,
+            CAST(max(p6) AS BIGINT) AS mx FROM pp),
+          folded AS (
+            SELECT count(*) AS n_periods,
+              CAST(sum(CASE WHEN p6 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS k_positive,
+              CAST(sum(CASE WHEN p6 > 0 THEN
+                CAST(floor(-(CAST(p6 AS DOUBLE) / tv)
+                  * ln(CAST(p6 AS DOUBLE) / tv) * 1e9 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS h9,
+              max(tv) AS totx, max(mx) AS mxx
+            FROM pp CROSS JOIN tot)
+         SELECT n_periods, k_positive,
+           floor(CAST(h9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS entropy,
+           CASE WHEN n_periods > 1 THEN
+             floor(CAST(h9 AS DOUBLE) / 1e9 / $lnK * 1e6 + 0.5) / 1e6
+             END AS entropy_norm,
+           CASE WHEN totx > 0 THEN
+             floor(CAST(mxx AS DOUBLE) / totx * 1e6 + 0.5) / 1e6
+             END AS max_share
+         FROM folded"""
+    },
     // discordant-cell algebra over per-user boolean reductions; the
     // continuity correction clamps |b−c|−1 at 0 (Edwards convention)
     "q360_mcnemar" ->

@@ -194,6 +194,79 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("hurstDaily: hand-computed R/S on a linear ramp") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // day d carries d+1 events, d = 0..7 ⇒ y = [1..8]
+    val rows = for (d <- 0 until 8; i <- 1 to d + 1)
+      yield (d * DayNs + i, 1)
+    val df = rows.toDF("tsns", "x")
+    val out = graft.operators.Forecast.hurstDaily(df, "tsns", Seq(2, 4))
+      .collect()
+    val byN = out.map(r => r.getAs[Int]("block_size") -> r).toMap
+    // n=2 blocks [a,a+1]: R = 0.5, S = 0.5 ⇒ R/S = 1 in all 4 blocks
+    assert(byN(2).getAs[Long]("n_blocks") == 4)
+    assert(byN(2).getAs[Double]("mean_rs") == 1.0)
+    // n=4: R = 2, S = √1.25 ⇒ R/S = 1.788854 (1e-6 grid) in both
+    assert(byN(4).getAs[Long]("n_blocks") == 2)
+    assert(byN(4).getAs[Double]("mean_rs") == 1.788854)
+    // slope over the 2 grid points, replayed exactly
+    val tab = graft.operators.Forecast.hurstLnTable(Seq(2, 4)).toMap
+    val y4 = math.floor(math.log(1788854d / 1e6) * 1e6 + 0.5)
+    val slope = y4 / (tab(4) - tab(2)).toDouble
+    val expected = math.floor(slope * 1e4 + 0.5) / 1e4
+    assert(byN(2).getAs[Double]("hurst") == expected)
+    assert(byN(4).getAs[Double]("hurst") == expected)
+  }
+
+  test("ccfDaily: anti-correlated daily series at every lag") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // view counts [1,2,3,4], purchase counts [4,3,2,1]
+    val rows =
+      (for (d <- 0 until 4; i <- 1 to d + 1)
+        yield (d * DayNs + i, "view")) ++
+      (for (d <- 0 until 4; i <- 1 to 4 - d)
+        yield (d * DayNs + 100 + i, "purchase"))
+    val df = rows.toDF("tsns", "ty")
+    val out = graft.operators.Forecast
+      .ccfDaily(df, "tsns", "ty", "view", "purchase", maxLag = 1)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_overlap"), r.getAs[Double]("r"))).toMap
+    assert(out(0) == ((4L, -1.0)))
+    assert(out(1) == ((3L, -1.0))) // [1,2,3] vs [3,2,1]
+    assert(out(-1) == ((3L, -1.0))) // [2,3,4] vs [4,3,2]
+  }
+
+  test("seasonalIndicesDaily: period-3 pattern, zero-centered indices") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // y = [3,1,1,3,1,1,3]: constant MA(3) trend 5/3 everywhere
+    val y = Seq(3, 1, 1, 3, 1, 1, 3)
+    val rows = for (d <- y.indices; i <- 1 to y(d))
+      yield (d * DayNs + i, 1)
+    val out = graft.operators.Forecast
+      .seasonalIndicesDaily(rows.toDF("tsns", "x"), "tsns", period = 3)
+      .collect().map(r => r.getAs[Long]("phase") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("raw_index"),
+          r.getAs[Double]("seasonal"))).toMap
+    assert(out(0L) == ((1L, 1.333333, 1.333333)))
+    assert(out(1L) == ((2L, -0.666667, -0.666667)))
+    assert(out(2L) == ((2L, -0.666667, -0.666667)))
+  }
+
+  test("spectralEntropyDaily: pure alternation concentrates all power") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val y = Seq(3, 1, 3, 1, 3, 1, 3, 1)
+    val rows = for (d <- y.indices; i <- 1 to y(d))
+      yield (d * DayNs + i, 1)
+    val r = graft.operators.Forecast
+      .spectralEntropyDaily(rows.toDF("tsns", "x"), "tsns", Seq(2, 4))
+      .collect().head
+    assert(r.getAs[Long]("n_periods") == 2)
+    assert(r.getAs[Long]("k_positive") == 1) // period 4 has zero power
+    assert(r.getAs[Double]("entropy") == 0.0)
+    assert(r.getAs[Double]("entropy_norm") == 0.0)
+    assert(r.getAs[Double]("max_share") == 1.0)
+  }
+
   test("mcnemar: hand-computed discordant cells, chi2 and correction") {
     // 10 units: both 2, a-only 3, b-only 1, neither 4
     val df = Seq(
