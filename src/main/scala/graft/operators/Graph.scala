@@ -750,4 +750,82 @@ object Graph {
           .as("conductance"))
       .orderBy("attr")
   }
+
+  /** k-truss decomposition (Cohen 2008): the maximal subgraph in which
+    * every edge closes at least k−2 triangles — the community-core
+    * extractor one notch stricter than [[kCore]] (a k-core keeps hubs
+    * with many DISJOINT neighbors; a k-truss demands the neighbors
+    * know each other). Iteratively computes per-edge triangle support
+    * and peels edges below k−2 until a fixpoint; returns the surviving
+    * canonical edges with their final support: `(u, v, support)`.
+    *
+    * Scale shape per round: the degree-ordered wedge enumeration of
+    * [[triangleCounts]] (wedge fan-out bounded by √|E| via the
+    * orientation), one closing equi-join on the canonical pair key,
+    * one explode-agg for per-edge support, one filter. Rounds are
+    * bounded by `maxRounds` (peeling converges in O(peel depth); each
+    * round's edge set is eagerly checkpointed so the plan never
+    * deepens, and superseded checkpoints are unpersisted).
+    */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int = 12): DataFrame = {
+    require(k >= 3, "k must be >= 3 (k−2 triangles per edge)")
+    var und = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .where(col("u").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var n = und.count()
+    var round = 0
+    while (round < maxRounds) {
+      val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("__d"))
+      val withDeg = und
+        .join(deg.select(col("id").as("u"), col("__d").as("__du")), "u")
+        .join(deg.select(col("id").as("v"), col("__d").as("__dv")), "v")
+      val lower =
+        struct(col("__du"), col("u")) < struct(col("__dv"), col("v"))
+      val oriented = withDeg.select(
+        when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"))
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+          col("e2.dst").as("c"))
+      val tri = wedges.join(und,
+          col("u") === least(col("b"), col("c")) &&
+            col("v") === greatest(col("b"), col("c")))
+        .select(col("a"), col("b"), col("c"))
+      val edgeSup = tri.select(explode(array(
+          struct(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v")),
+          struct(least(col("a"), col("c")).as("u"),
+            greatest(col("a"), col("c")).as("v")),
+          struct(least(col("b"), col("c")).as("u"),
+            greatest(col("b"), col("c")).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      val withSup = und.join(edgeSup, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("support"), lit(0L)).as("support"))
+      val kept = withSup.where(col("support") >= (k - 2).toLong)
+      val keptE = kept.select("u", "v").localCheckpoint(true)
+      val kn = keptE.count()
+      if (kn == n) {
+        // fixpoint: every surviving edge already meets the bound —
+        // `kept` carries the final supports (und's checkpoint backs it)
+        unpersistCheckpoint(keptE)
+        return kept
+      }
+      unpersistCheckpoint(und)
+      und = keptE
+      n = kn
+      round += 1
+    }
+    throw new IllegalStateException(
+      s"kTruss did not reach its fixpoint in $maxRounds rounds; " +
+        "raise maxRounds (the oracle unrolls the same bound)")
+  }
 }

@@ -2043,4 +2043,76 @@ object TextAnalysis {
       .orderBy(groupCol, "term")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): a weighted
+    * PageRank over the word co-occurrence graph — words that co-occur
+    * within a `window`-token span are linked, edge weight = corpus
+    * co-occurrence count, and a word's importance is its stationary
+    * visit rate. The graph-centrality alternative to q160's TF-IDF
+    * saliency (TextRank surfaces CONNECTOR terms; saliency surfaces
+    * distinctive ones). Output: the `topK` words,
+    * `(pos, word, rank)` (rank on the 1e-6 grid, ties broken by word).
+    *
+    * Determinism: weights and strengths are exact integers; each
+    * rank·w/strength contribution quantizes to a 1e-12-grid long
+    * before its in-neighbor sum, so iteration results are
+    * order-independent, bit-identical doubles in any engine.
+    *
+    * Scale shape: the pair enumeration is `window` shifted equi-joins
+    * on (doc, position) — NEVER a per-doc quadratic join; everything
+    * downstream is vocabulary-grain (co-occurrence grid, per-round
+    * weighted-contribution agg), the q84 PageRank class. Contribution
+    * longs bound |in-strength·rank·1e12| — fine to ~10⁶-neighbor hubs
+    * with O(1) ranks.
+    */
+  def textRank(df: DataFrame, textCol: String, idCol: String,
+      iters: Int = 3, damping: Double = 0.85, window: Int = 2,
+      minLen: Int = 3, topK: Int = 20): DataFrame = {
+    require(iters >= 1 && window >= 1 && topK >= 1,
+      "iters, window, topK must be >= 1")
+    val ft = filter(tokens(col(textCol)), w => length(w) >= minLen)
+    val toks = df.select(col(idCol).as("__doc"),
+      posexplode(ft).as(Seq("__r", "__w")))
+    val base = toks.select(col("__doc"), col("__r"), col("__w"))
+    val shifted = (1 to window).map(d =>
+        base.select(col("__doc"), (col("__r") + d).as("__r"),
+          col("__w").as("__w2")))
+      .reduce(_ union _)
+    val pairs = base.join(shifted, Seq("__doc", "__r"))
+      .where(col("__w") =!= col("__w2"))
+    val und = pairs.select(least(col("__w"), col("__w2")).as("wa"),
+        greatest(col("__w"), col("__w2")).as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("__wt"))
+    val sym = Dedup.persistTracked(
+      und.select(col("wa").as("src"), col("wb").as("dst"), col("__wt"))
+        .union(und.select(col("wb").as("src"), col("wa").as("dst"),
+          col("__wt"))))
+    val strength = sym.groupBy("src").agg(sum("__wt").as("__s"))
+    val symS = sym.join(strength, "src")
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = symS
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          floor(col("rank") * col("__wt") / col("__s") * 1e12 + 0.5)
+            .cast("long").as("__c12"))
+        .groupBy("dst").agg(sum("__c12").as("__s12"))
+      val prev = ranks
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(1 - damping) + lit(damping) *
+            (coalesce(col("__s12"), lit(0L)).cast("double") / 1e12))
+            .as("rank"))
+        .localCheckpoint(true)
+      Graph.unpersistCheckpoint(prev)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc, col("id").asc)
+    ranks.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col("__rn").as("pos"), col("id").as("word"),
+        (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+      .orderBy("pos")
+  }
 }

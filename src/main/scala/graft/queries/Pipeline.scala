@@ -83,7 +83,38 @@ object Pipeline {
             LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
             CROSS JOIN tot)"""
 
+  /** Authored k-truss fixture, shared verbatim by the q368 gate and
+    * its oracle: a K6 clique (every edge closes 4 triangles —
+    * survives k=4), a 7-triangle strip and a pendant triangle+tail
+    * (both unzip over two peel rounds), two bridge edges (support 0,
+    * peel round 1). 34 canonical edges; the 4-truss is exactly the
+    * clique's 15 edges at support 4.
+    */
+  private[queries] val kTrussEdges: Seq[(Long, Long)] =
+    (for (i <- 0 until 6; j <- i + 1 until 6)
+      yield (i.toLong, j.toLong)) ++
+    (10 until 17).map(i => (i.toLong, (i + 1).toLong)) ++
+    (10 until 16).map(i => (i.toLong, (i + 2).toLong)) ++
+    Seq((20L, 21L), (21L, 22L), (22L, 20L), (22L, 23L),
+      (5L, 10L), (16L, 20L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- k-truss: peel edges below k−2 triangle support to the
+    //      fixpoint (the cohesion core the clique survives and the
+    //      strip/pendant/bridges peel out of, over two rounds) ----
+    "q368_ktruss" -> ((s, _) => {
+      import s.implicits._
+      Graph.kTruss(kTrussEdges.toDF("a", "b"), "a", "b", k = 4)
+        .orderBy("u", "v")
+    }),
+
+    // ---- TextRank keywords: weighted PageRank over the word
+    //      co-occurrence graph (window 2), top 15 connector terms ----
+    "q369_textrank" -> ((s, d) => {
+      TextAnalysis.textRank(Tables.documents(s, d), "text", "doc_id",
+        iters = 3, topK = 15)
+    }),
+
     // ---- exact-count stratified split: largest-remainder 8/1/1 per
     //      lang, rows dealt by md5 rank — sizes are exact integers,
     //      not hash expectations ----
@@ -2057,6 +2088,96 @@ object Pipeline {
   }
 
   val oracle: Map[String, String] = Map(
+    // the same peel unrolled: per-round common-neighbor support over
+    // the canonical edge set, threshold k−2 = 2; one spare round past
+    // the fixture's two-peel convergence (idempotent at fixpoint)
+    "q368_ktruss" -> {
+      val edgeRows = kTrussEdges
+        .map { case (u, v) => s"($u, $v)" }.mkString(", ")
+      def round(i: Int): String =
+        s"""sym$i AS (SELECT u AS a, v AS b FROM e$i
+              UNION ALL SELECT v, u FROM e$i),
+          w$i AS (
+            SELECT s1.a AS ua, s2.a AS va, count(*) AS cnt
+            FROM sym$i s1 JOIN sym$i s2
+              ON s1.b = s2.b AND s1.a < s2.a
+            GROUP BY 1, 2),
+          sup$i AS (
+            SELECT e.u, e.v, CAST(coalesce(w.cnt, 0) AS BIGINT) AS sup
+            FROM e$i e LEFT JOIN w$i w ON w.ua = e.u AND w.va = e.v),
+          e${i + 1} AS (SELECT u, v FROM sup$i WHERE sup >= 2)"""
+      s"""WITH e0(u, v) AS (VALUES $edgeRows),
+          ${round(0)},
+          ${round(1)},
+          ${round(2)},
+          ${round(3)}
+         SELECT u, v, sup AS support FROM sup3 WHERE sup >= 2
+         ORDER BY u, v"""
+    },
+    // weighted PageRank over the window-2 co-occurrence grid, three
+    // unrolled iterations; contributions quantize to 1e-12 longs
+    // pre-sum and the damping constants are the Scala doubles
+    "q369_textrank" -> {
+      val d1 = 1d - 0.85
+      s"""WITH dt AS (
+            SELECT list_filter($Toks, w -> len(w) >= 3) AS ft
+            FROM documents),
+          pairs AS (
+            SELECT unnest(list_transform(
+                range(1, greatest(len(ft) - 1, 0) + 1),
+                i -> struct_pack(a := ft[i], b := ft[i + 1]))) AS pr
+            FROM dt
+            UNION ALL
+            SELECT unnest(list_transform(
+                range(1, greatest(len(ft) - 2, 0) + 1),
+                i -> struct_pack(a := ft[i], b := ft[i + 2]))) AS pr
+            FROM dt),
+          p2 AS (SELECT pr.a AS x, pr.b AS y FROM pairs
+            WHERE pr.a <> pr.b),
+          und AS (
+            SELECT least(x, y) AS wa, greatest(x, y) AS wb,
+              count(*) AS wt
+            FROM p2 GROUP BY 1, 2),
+          sym AS (SELECT wa AS src, wb AS dst, wt FROM und
+            UNION ALL SELECT wb, wa, wt FROM und),
+          str AS (SELECT src, CAST(sum(wt) AS BIGINT) AS s
+            FROM sym GROUP BY src),
+          syms AS (SELECT sym.src, sym.dst, sym.wt, str.s
+            FROM sym JOIN str USING (src)),
+          nodes AS (SELECT DISTINCT src AS id FROM sym),
+          r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+          r1 AS (
+            SELECT n.id, $d1 + 0.85 *
+              (CAST(coalesce(c.s12, 0) AS DOUBLE) / 1e12) AS rank
+            FROM nodes n LEFT JOIN (
+              SELECT dst, CAST(sum(CAST(floor(rank * wt / s * 1e12 + 0.5)
+                AS BIGINT)) AS BIGINT) AS s12
+              FROM syms JOIN r0 ON syms.src = r0.id GROUP BY dst) c
+            ON n.id = c.dst),
+          r2 AS (
+            SELECT n.id, $d1 + 0.85 *
+              (CAST(coalesce(c.s12, 0) AS DOUBLE) / 1e12) AS rank
+            FROM nodes n LEFT JOIN (
+              SELECT dst, CAST(sum(CAST(floor(rank * wt / s * 1e12 + 0.5)
+                AS BIGINT)) AS BIGINT) AS s12
+              FROM syms JOIN r1 ON syms.src = r1.id GROUP BY dst) c
+            ON n.id = c.dst),
+          r3 AS (
+            SELECT n.id, $d1 + 0.85 *
+              (CAST(coalesce(c.s12, 0) AS DOUBLE) / 1e12) AS rank
+            FROM nodes n LEFT JOIN (
+              SELECT dst, CAST(sum(CAST(floor(rank * wt / s * 1e12 + 0.5)
+                AS BIGINT)) AS BIGINT) AS s12
+              FROM syms JOIN r2 ON syms.src = r2.id GROUP BY dst) c
+            ON n.id = c.dst),
+          ranked AS (
+            SELECT row_number() OVER (ORDER BY rank DESC, id ASC)
+                AS pos, id AS word,
+              floor(rank * 1e6 + 0.5) / 1e6 AS rank
+            FROM r3)
+         SELECT pos, word, rank FROM ranked WHERE pos <= 15
+         ORDER BY pos"""
+    },
     // attribute-partition conductance over the shared verified LSH
     // pair set: pure integer edge counting, 1e-6 floor-grid ratio
     "q341_source_conductance" ->

@@ -2979,6 +2979,43 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.kCore(edges, "a", "b", k = 3).count() == 0)
   }
 
+  test("Graph.kTruss: strip unzips over rounds, clique core survives") {
+    // K4 on 1-4 (support 2 per edge) + a triangle strip 10-13 whose
+    // end edges have support 1 and cascade away under k=4
+    val edges = (
+      (for (i <- 1 to 4; j <- i + 1 to 4) yield (i.toLong, j.toLong)) ++
+        Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 12L), (11L, 13L)))
+      .toDF("a", "b")
+    val got = Graph.kTruss(edges, "a", "b", k = 4)
+      .orderBy("u", "v").collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("support")))
+    assert(got.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // k=3 keeps every triangle-closing edge (strip included)
+    assert(Graph.kTruss(edges, "a", "b", k = 3).count() == 11)
+    // k=5 empties the graph (K4 edges only reach support 2)
+    assert(Graph.kTruss(edges, "a", "b", k = 5).count() == 0)
+  }
+
+  test("TextAnalysis.textRank: hub word outranks peripherals") {
+    // "core" is adjacent to every other surviving word; window-2 pairs
+    // from one doc; 3-char min drops the "a of" filler
+    val docs = Seq(
+      (1L, "core alpha a of core beta a of core gamma"),
+      (2L, "core alpha of a core beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.textRank(docs, "text", "doc_id",
+      iters = 3, topK = 10).collect()
+    assert(out.head.getAs[String]("word") == "core")
+    assert(out.head.getAs[Int]("pos") == 1)
+    val words = out.map(_.getAs[String]("word")).toSet
+    assert(words == Set("core", "alpha", "beta", "gamma"))
+    // ranks descend with pos and stay on the 1e-6 grid
+    val ranks = out.map(_.getAs[Double]("rank"))
+    assert(ranks.sorted.reverse.toSeq == ranks.toSeq)
+    assert(ranks.forall(r => (r * 1e6).round / 1e6 == r))
+  }
+
   test("TextAnalysis.logisticRegressionGd: separable data learns the labels") {
     // y = 1 iff x1 high — GD from 0 with enough signal classifies
     // everything correctly within 5 full-batch steps
