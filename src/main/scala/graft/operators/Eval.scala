@@ -1477,4 +1477,153 @@ object Eval {
       g6(res).as("resolution"), g6(unc).as("uncertainty"),
       g6(brier - (rel - res + unc)).as("residual"))
   }
+
+  /** 3×3 determinant as one Column expression — row-major operands.
+    * The expansion order is FIXED (first-row cofactors, products
+    * before subtractions) and [[ols2Det3Sql]] renders the identical
+    * text for the oracle, so both engines evaluate the same IEEE
+    * operation sequence.
+    */
+  private def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+      f: Column, g: Column, h: Column, i: Column): Column =
+    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+  /** The SQL text of [[det3]] over nine operand strings. */
+  def ols2Det3Sql(a: String, b: String, c: String, d: String, e: String,
+      f: String, g: String, h: String, i: String): String =
+    s"$a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g)" +
+      s" + $c * ($d * $h - $e * $g)"
+
+  /** Two-feature ordinary least squares per group, solved in closed
+    * form by Cramer's rule on the 3×3 normal equations — the
+    * multi-feature extension of q213's Theil–Sen / q203's logistic GD:
+    * ŷ = b0 + b1·x1 + b2·x2 with exact integer-grid inputs. One
+    * corpus pass accumulates the nine moments (cross-products in
+    * decimal(38,0) — overflow-safe past int64); the determinants are
+    * identical double algebra over those moments. R² comes from the
+    * normal-equations identity SSE = Syy − (b0·Sy + b1·Sx1y + b2·Sx2y).
+    * Output per group:
+    * `group, n, b0, b1, b2, r2` (coefficients in the callers' grid
+    * units, 1e-6 sign-aware grids).
+    *
+    * Scale shape: one map-side-combined groupBy — no joins, no
+    * windows; the solve is per-group scalar algebra.
+    */
+  def ols2(df: DataFrame, groupCol: String, y: Column, x1: Column,
+      x2: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val per = df.select(col(groupCol).as("group"), y.as("__y"),
+        x1.as("__x1"), x2.as("__x2"))
+      .where(col("__y").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull)
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        sum("__x1").as("__sx1"), sum("__x2").as("__sx2"),
+        sum("__y").as("__sy"),
+        sum(dec(col("__x1")) * col("__x1")).as("__sx11"),
+        sum(dec(col("__x1")) * col("__x2")).as("__sx12"),
+        sum(dec(col("__x2")) * col("__x2")).as("__sx22"),
+        sum(dec(col("__x1")) * col("__y")).as("__sx1y"),
+        sum(dec(col("__x2")) * col("__y")).as("__sx2y"),
+        sum(dec(col("__y")) * col("__y")).as("__syy"))
+    val nD = col("n").cast("double")
+    val sx1 = col("__sx1").cast("double")
+    val sx2 = col("__sx2").cast("double")
+    val sy = col("__sy").cast("double")
+    val sx11 = col("__sx11").cast("double")
+    val sx12 = col("__sx12").cast("double")
+    val sx22 = col("__sx22").cast("double")
+    val sx1y = col("__sx1y").cast("double")
+    val sx2y = col("__sx2y").cast("double")
+    val syy = col("__syy").cast("double")
+    val dd = det3(nD, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
+    val d0 = det3(sy, sx1, sx2, sx1y, sx11, sx12, sx2y, sx12, sx22)
+    val d1 = det3(nD, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, sx22)
+    val d2 = det3(nD, sx1, sy, sx1, sx11, sx1y, sx2, sx12, sx2y)
+    val b0 = d0 / dd
+    val b1 = d1 / dd
+    val b2 = d2 / dd
+    val sse = syy - (b0 * sy + b1 * sx1y + b2 * sx2y)
+    val sst = syy - sy * sy / nD
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    per.select(col("group"), col("n"),
+      when(dd =!= 0d, g6(b0)).as("b0"),
+      when(dd =!= 0d, g6(b1)).as("b1"),
+      when(dd =!= 0d, g6(b2)).as("b2"),
+      when(dd =!= 0d && sst > 0, g6(lit(1d) - sse / sst)).as("r2"))
+      .orderBy("group")
+  }
+
+  /** Best single split of an integer-grid feature against a binary
+    * label by weighted Gini impurity — the CART decision-stump search
+    * (the one-feature "is this feature worth anything" audit a
+    * labeling pipeline runs before training anything). Candidates are
+    * the `bins` equal-width buckets of the observed [min, max] range
+    * (integer bucket arithmetic — at 100 TB you never enumerate
+    * distinct values); the split `x ≤ max(bucket b)` is scored by
+    * cumulative pos/neg counts over the bucket grid. Output one row:
+    * `n, n_pos, best_threshold, n_left, gini_root, gini_split, gain`
+    * (grids 1e-6; argmin tie-breaks toward the smaller threshold).
+    *
+    * Scale shape: one pass to ≤ `bins` rows (after a broadcast 1-row
+    * min/max), one bounded cumulative window over the bucket grid.
+    */
+  def giniSplit(df: DataFrame, x: Column, label: Column,
+      bins: Int = 32): DataFrame = {
+    require(bins >= 2, "need at least two candidate bins")
+    val base = df.select(x.cast("long").as("__x"),
+        when(label, 1L).otherwise(0L).as("__yy"))
+      .where(col("__x").isNotNull)
+    val mm = base.agg(min("__x").as("__mn"), max("__x").as("__mx"))
+    val binned = base.crossJoin(broadcast(mm)).select(
+      expr(s"((__x - __mn) * $bins) div (__mx - __mn + 1)").as("__b"),
+      col("__x"), col("__yy"))
+    val per = binned.groupBy("__b").agg(
+      count(lit(1)).as("__c"), sum("__yy").as("__p"),
+      max("__x").as("__thr"))
+    val wCum = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum("__c").as("__n"), sum("__p").as("__np"))
+    val cum = per
+      .withColumn("__cl", sum("__c").over(wCum))
+      .withColumn("__pl", sum("__p").over(wCum))
+      .crossJoin(broadcast(tot))
+      .where(col("__cl") < col("__n")) // a split must leave a right side
+    val nD = col("__n").cast("double")
+    val nl = col("__cl").cast("double")
+    val nr = nD - nl
+    val pl = col("__pl").cast("double")
+    val pr = col("__np").cast("double") - pl
+    // the m > 0 guard is load-bearing: Catalyst may collapse this
+    // projection BELOW the `__cl < __n` filter and speculatively
+    // evaluate the last grid row (nr = 0) — ANSI division would throw
+    def gini(p: Column, q: Column, m: Column): Column =
+      when(m > 0, lit(1d) - (p / m) * (p / m) - (q / m) * (q / m))
+        .otherwise(lit(0d))
+    val gl = gini(pl, nl - pl, nl)
+    val gr = gini(pr, nr - pr, nr)
+    val weighted = nl / nD * gl + nr / nD * gr
+    val scored = cum.select(col("__n"), col("__np"), col("__thr"),
+      col("__cl"),
+      floor(weighted * 1e9 + 0.5).cast("long").as("__w9"))
+    val best = scored.agg(
+      min(struct(col("__w9"), col("__thr"))).as("__best"),
+      max("__n").as("n"), max("__np").as("n_pos"))
+    val p0 = col("n_pos").cast("double")
+    val n0 = col("n").cast("double")
+    val rootG = lit(1d) - (p0 / n0) * (p0 / n0) -
+      ((n0 - p0) / n0) * ((n0 - p0) / n0)
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    best
+      .join(scored.select(col("__thr"), col("__w9"), col("__cl")),
+        col("__best.__thr") === col("__thr") &&
+          col("__best.__w9") === col("__w9"))
+      .select(col("n"), col("n_pos"), col("__thr").as("best_threshold"),
+        col("__cl").as("n_left"),
+        g6(rootG).as("gini_root"),
+        g6(col("__w9").cast("double") / 1e9).as("gini_split"),
+        g6(rootG - col("__w9").cast("double") / 1e9).as("gain"))
+  }
 }

@@ -426,4 +426,124 @@ object Forecast {
           col("__g6").cast("double") / col("__np")) / 1e6).as("seasonal"))
       .orderBy("phase")
   }
+
+  /** Kendall's τ-b between the daily count series of two event types —
+    * the fully tie-corrected RANK association (q196's Spearman sees
+    * monotone shape; τ-b counts concordant vs discordant day pairs
+    * directly and is robust to the heavy count ties a zero-filled
+    * grid produces). Over all day pairs i < j:
+    * τ-b = (C − D) / √((n0 − t_a)·(n0 − t_b)) with n0 = the pair
+    * count and t the per-side tied pairs. Pure integer counting until
+    * the final ratio (IEEE sqrt). Output one row:
+    * `n_days, n_pairs, concordant, discordant, ties_a, ties_b, tau_b`.
+    *
+    * Scale shape: the corpus reduces to the day grid once; the pair
+    * enumeration is a GRID self-join (days², ~900 rows for a month —
+    * days don't scale with data volume), one fold.
+    */
+  def kendallTauDaily(df: DataFrame, tsNsCol: String, typeCol: String,
+      typeA: String, typeB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"),
+      col(typeCol).as("__ty"))
+    val cnts0 = ev.groupBy("__d").agg(
+      sum(when(col("__ty") === typeA, 1L).otherwise(0L)).as("__a"),
+      sum(when(col("__ty") === typeB, 1L).otherwise(0L)).as("__b"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b"))
+    val s2 = series.select(col("t").as("__t2"), col("__a").as("__a2"),
+      col("__b").as("__b2"))
+    val pairs = series.join(s2, col("t") < col("__t2"))
+    val sgn = (col("__a") - col("__a2")) * (col("__b") - col("__b2"))
+    val mom = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+      sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"),
+      sum(when(col("__a") === col("__a2"), 1L).otherwise(0L))
+        .as("ties_a"),
+      sum(when(col("__b") === col("__b2"), 1L).otherwise(0L))
+        .as("ties_b"))
+    val nDays = series.agg(count(lit(1)).as("n_days"))
+    val da = (col("n_pairs") - col("ties_a")).cast("double")
+    val db = (col("n_pairs") - col("ties_b")).cast("double")
+    val tau = (col("concordant") - col("discordant")).cast("double") /
+      (sqrt(da) * sqrt(db))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    broadcast(nDays).crossJoin(mom)
+      .select(col("n_days"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_a"), col("ties_b"),
+        when(da > 0 && db > 0, g6(tau)).as("tau_b"))
+  }
+
+  /** Friedman rank test over daily blocks — "do the event types keep
+    * the same daily-volume ORDERING day after day?" (the
+    * repeated-measures companion of q324's Kruskal–Wallis: KW pools
+    * all values, Friedman ranks WITHIN each day so day-level volume
+    * shifts cancel). Within each day of the zero-filled span the k
+    * types get tie-averaged ranks (doubled ranks stay integers —
+    * the q324 trick); χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1), with the
+    * Conover tie correction C = 1 − Σ(t³−t)/(nk(k²−1)). Rank sums
+    * R_j are exact .25-grid doubles, so every fold is binary-exact.
+    * Output one row:
+    * `n_blocks, k_treatments, chi2_f, tie_correction, chi2_adj`.
+    *
+    * Scale shape: corpus → (day × type) cells once (map-side
+    * combined); ranks come from a per-day cumulative window over the
+    * ≤ k-row value grid; everything after is k-row algebra.
+    */
+  def friedmanDaily(df: DataFrame, tsNsCol: String,
+      typeCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"),
+      col(typeCol).as("__ty"))
+    val types = ev.select(col("__ty")).distinct()
+    val cnts0 = ev.groupBy("__d", "__ty").agg(count(lit(1)).as("__c"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+      .crossJoin(types)
+    val cells = grid.join(cnts0, Seq("__d", "__ty"), "left")
+      .select(col("__d"), col("__ty"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val vals = cells.groupBy("__d", "__c").agg(count(lit(1)).as("__t"))
+    val wDay = org.apache.spark.sql.expressions.Window
+      .partitionBy("__d").orderBy("__c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val ranked = vals.withColumn("__below",
+      coalesce(sum("__t").over(wDay), lit(0L)))
+    val withR2 = cells.join(ranked, Seq("__d", "__c"))
+      .select(col("__ty"),
+        (lit(2L) * col("__below") + col("__t") + 1L).as("__r2"),
+        col("__t"))
+    val perType = withR2.groupBy("__ty")
+      .agg(sum("__r2").as("__R2"), count(lit(1)).as("__nb"))
+    val rj = col("__R2").cast("double") / 2d
+    val folded = perType.agg(count(lit(1)).as("k_treatments"),
+      max("__nb").as("n_blocks"), sum(rj * rj).as("__S"))
+    val ties = vals.agg(
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ts"))
+    val nD = col("n_blocks").cast("double")
+    val kD = col("k_treatments").cast("double")
+    val chi2 = lit(12d) / (nD * kD * (kD + 1d)) * col("__S") -
+      lit(3d) * nD * (kD + 1d)
+    val corr = lit(1d) - col("__ts").cast("double") /
+      (nD * kD * (kD * kD - 1d))
+    def g4(x: Column): Column =
+      when(x >= 0, floor(x * 1e4 + 0.5)).otherwise(-floor(-x * 1e4 + 0.5)) /
+        1e4 + lit(0d)
+    folded.crossJoin(broadcast(ties))
+      .select(col("n_blocks"), col("k_treatments"),
+        g4(chi2).as("chi2_f"),
+        (floor(corr * 1e6 + 0.5) / 1e6).as("tie_correction"),
+        when(corr > 0, g4(chi2 / corr)).as("chi2_adj"))
+  }
 }

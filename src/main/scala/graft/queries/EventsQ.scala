@@ -292,6 +292,20 @@ object EventsQ {
         Tables.events(s, d), "ts", Seq(2, 3, 5, 7, 10, 15))
     }),
 
+    // ---- Kendall τ-b between daily view and purchase volumes:
+    //      tie-corrected pair concordance over the day grid ----
+    "q372_kendall_tau" -> ((s, d) => {
+      graft.operators.Forecast.kendallTauDaily(Tables.events(s, d),
+        "ts", "event_type", "view", "purchase")
+    }),
+
+    // ---- Friedman rank test: do event types keep the same daily
+    //      volume ordering? (within-day tie-averaged ranks) ----
+    "q373_friedman" -> ((s, d) => {
+      graft.operators.Forecast.friedmanDaily(Tables.events(s, d),
+        "ts", "event_type")
+    }),
+
     // ---- McNemar paired test: do high-value errors and high-value
     //      purchases fire for the SAME users? (paired proportions —
     //      only the discordant cells carry information) ----
@@ -999,8 +1013,115 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // day-grid pair self-join; pure integer concordance counting,
+    // tie-corrected denominator under IEEE sqrt
+    "q372_kendall_tau" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d, event_type
+            FROM events),
+          cnts AS (
+            SELECT d,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS b
+            FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.a, 0) AS a,
+              coalesce(c.b, 0) AS b
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          pairs AS (
+            SELECT s1.a AS a1, s1.b AS b1, s2.a AS a2, s2.b AS b2
+            FROM series s1 JOIN series s2 ON s1.t < s2.t),
+          mom AS (
+            SELECT count(*) AS n_pairs,
+              CAST(sum(CASE WHEN (a1 - a2) * (b1 - b2) > 0 THEN 1
+                ELSE 0 END) AS BIGINT) AS concordant,
+              CAST(sum(CASE WHEN (a1 - a2) * (b1 - b2) < 0 THEN 1
+                ELSE 0 END) AS BIGINT) AS discordant,
+              CAST(sum(CASE WHEN a1 = a2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS ties_a,
+              CAST(sum(CASE WHEN b1 = b2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS ties_b
+            FROM pairs),
+          nd AS (SELECT count(*) AS n_days FROM series)
+         SELECT n_days, n_pairs, concordant, discordant, ties_a, ties_b,
+           CASE WHEN CAST(n_pairs - ties_a AS DOUBLE) > 0
+               AND CAST(n_pairs - ties_b AS DOUBLE) > 0 THEN
+             CASE WHEN CAST(concordant - discordant AS DOUBLE)
+                 / (sqrt(CAST(n_pairs - ties_a AS DOUBLE))
+                   * sqrt(CAST(n_pairs - ties_b AS DOUBLE))) >= 0 THEN
+               floor(CAST(concordant - discordant AS DOUBLE)
+                 / (sqrt(CAST(n_pairs - ties_a AS DOUBLE))
+                   * sqrt(CAST(n_pairs - ties_b AS DOUBLE)))
+                 * 1e6 + 0.5)
+             ELSE -floor(-(CAST(concordant - discordant AS DOUBLE)
+                 / (sqrt(CAST(n_pairs - ties_a AS DOUBLE))
+                   * sqrt(CAST(n_pairs - ties_b AS DOUBLE))))
+                 * 1e6 + 0.5) END / 1e6 + 0.0 END AS tau_b
+         FROM nd, mom""",
+    // within-day tie-averaged doubled ranks (integers); rank sums are
+    // exact .25-grid doubles so every fold is binary-exact
+    "q373_friedman" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d, event_type AS ty
+            FROM events),
+          types AS (SELECT DISTINCT ty FROM ev),
+          cnts AS (SELECT d, ty, count(*) AS c FROM ev GROUP BY d, ty),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (
+            SELECT g.d, t.ty
+            FROM (SELECT unnest(generate_series(d0, d1)) AS d FROM bd) g
+            CROSS JOIN types t),
+          cells AS (
+            SELECT g.d, g.ty, coalesce(c.c, 0) AS c
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d AND g.ty = c.ty),
+          vals AS (SELECT d, c, count(*) AS t FROM cells GROUP BY d, c),
+          ranked AS (
+            SELECT d, c, t,
+              CAST(coalesce(sum(t) OVER (PARTITION BY d ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS below
+            FROM vals),
+          withr2 AS (
+            SELECT cells.ty, 2 * below + t + 1 AS r2
+            FROM cells JOIN ranked
+              ON cells.d = ranked.d AND cells.c = ranked.c),
+          pertype AS (
+            SELECT ty, CAST(sum(r2) AS BIGINT) AS sr2, count(*) AS nb
+            FROM withr2 GROUP BY ty),
+          folded AS (
+            SELECT count(*) AS k_treatments, max(nb) AS n_blocks,
+              sum((CAST(sr2 AS DOUBLE) / 2) * (CAST(sr2 AS DOUBLE) / 2))
+                AS s
+            FROM pertype),
+          tiesum AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ts
+            FROM vals),
+          calc AS (
+            SELECT n_blocks, k_treatments,
+              12 / (CAST(n_blocks AS DOUBLE) * CAST(k_treatments AS
+                DOUBLE) * (CAST(k_treatments AS DOUBLE) + 1)) * s
+                - 3 * CAST(n_blocks AS DOUBLE)
+                  * (CAST(k_treatments AS DOUBLE) + 1) AS chi2,
+              1 - CAST(ts AS DOUBLE)
+                / (CAST(n_blocks AS DOUBLE) * CAST(k_treatments AS
+                  DOUBLE) * (CAST(k_treatments AS DOUBLE)
+                    * CAST(k_treatments AS DOUBLE) - 1)) AS corr
+            FROM folded, tiesum)
+         SELECT n_blocks, k_treatments,
+           CASE WHEN chi2 >= 0 THEN floor(chi2 * 1e4 + 0.5)
+             ELSE -floor(-chi2 * 1e4 + 0.5) END / 1e4 + 0.0 AS chi2_f,
+           floor(corr * 1e6 + 0.5) / 1e6 AS tie_correction,
+           CASE WHEN corr > 0 THEN
+             CASE WHEN chi2 / corr >= 0 THEN floor(chi2 / corr * 1e4 + 0.5)
+               ELSE -floor(-(chi2 / corr) * 1e4 + 0.5) END / 1e4 + 0.0
+             END AS chi2_adj
+         FROM calc""",
     // discordant-cell algebra over per-user boolean reductions; the
-    // continuity correction clamps |b−c|−1 at 0 (Edwards convention)
+    // continuity correction clamps |b−c|−1 = 0 (Edwards convention)
     "q360_mcnemar" ->
       """WITH per AS (
             SELECT user_id,

@@ -201,6 +201,23 @@ object Relational {
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- two-feature OLS per returnflag (closed-form Cramer solve
+    //      of the normal equations over exact integer-grid moments) ----
+    "q370_ols2" -> ((s, d) => {
+      graft.operators.Eval.ols2(Tables.lineitem(s, d), "l_returnflag",
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long"),
+        floor(col("l_discount") * 10000 + 0.5).cast("long"))
+    }),
+
+    // ---- CART decision stump: best Gini split of price cents
+    //      against the returned flag over 32 equal-width buckets ----
+    "q371_best_split" -> ((s, d) => {
+      graft.operators.Eval.giniSplit(Tables.lineitem(s, d),
+        floor(col("l_extendedprice") * 100 + 0.5),
+        col("l_returnflag") === "R", bins = 32)
+    }),
+
     // ---- aggregation core (A-*, P1): TPC-H Q1 shape ----
     "q01_pricing_summary" -> ((s, d) => {
       li(s, d)
@@ -1095,6 +1112,133 @@ object Relational {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the determinant expansions are rendered by the operator's own
+    // ols2Det3Sql, so both engines run the same IEEE op sequence
+    "q370_ols2" -> {
+      import graft.operators.Eval.ols2Det3Sql
+      val dd = ols2Det3Sql("nd", "sx1", "sx2", "sx1", "sx11", "sx12",
+        "sx2", "sx12", "sx22")
+      val d0 = ols2Det3Sql("sy", "sx1", "sx2", "sx1y", "sx11", "sx12",
+        "sx2y", "sx12", "sx22")
+      val d1 = ols2Det3Sql("nd", "sy", "sx2", "sx1", "sx1y", "sx12",
+        "sx2", "sx2y", "sx22")
+      val d2 = ols2Det3Sql("nd", "sx1", "sy", "sx1", "sx11", "sx1y",
+        "sx2", "sx12", "sx2y")
+      s"""WITH base AS (
+            SELECT l_returnflag AS grp,
+              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+              CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+              CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x2
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+              AND l_discount IS NOT NULL),
+          per AS (
+            SELECT grp, count(*) AS n,
+              CAST(sum(x1) AS BIGINT) AS sx1i,
+              CAST(sum(x2) AS BIGINT) AS sx2i,
+              CAST(sum(y) AS BIGINT) AS syi,
+              sum(CAST(x1 AS HUGEINT) * x1) AS sx11h,
+              sum(CAST(x1 AS HUGEINT) * x2) AS sx12h,
+              sum(CAST(x2 AS HUGEINT) * x2) AS sx22h,
+              sum(CAST(x1 AS HUGEINT) * y) AS sx1yh,
+              sum(CAST(x2 AS HUGEINT) * y) AS sx2yh,
+              sum(CAST(y AS HUGEINT) * y) AS syyh
+            FROM base GROUP BY grp),
+          dbl AS (
+            SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+              CAST(sx1i AS DOUBLE) AS sx1, CAST(sx2i AS DOUBLE) AS sx2,
+              CAST(syi AS DOUBLE) AS sy,
+              CAST(sx11h AS DOUBLE) AS sx11,
+              CAST(sx12h AS DOUBLE) AS sx12,
+              CAST(sx22h AS DOUBLE) AS sx22,
+              CAST(sx1yh AS DOUBLE) AS sx1y,
+              CAST(sx2yh AS DOUBLE) AS sx2y,
+              CAST(syyh AS DOUBLE) AS syy
+            FROM per),
+          dets AS (
+            SELECT *, $dd AS dd, $d0 AS det0, $d1 AS det1, $d2 AS det2
+            FROM dbl),
+          betas AS (
+            SELECT *, det0 / dd AS b0, det1 / dd AS b1, det2 / dd AS b2
+            FROM dets),
+          fin AS (
+            SELECT grp, n, dd, b0, b1, b2,
+              syy - (b0 * sy + b1 * sx1y + b2 * sx2y) AS sse,
+              syy - sy * sy / nd AS sst
+            FROM betas)
+         SELECT grp AS "group", n,
+           CASE WHEN dd <> 0 THEN CASE WHEN b0 >= 0
+             THEN floor(b0 * 1e6 + 0.5) ELSE -floor(-b0 * 1e6 + 0.5) END
+             / 1e6 + 0.0 END AS b0,
+           CASE WHEN dd <> 0 THEN CASE WHEN b1 >= 0
+             THEN floor(b1 * 1e6 + 0.5) ELSE -floor(-b1 * 1e6 + 0.5) END
+             / 1e6 + 0.0 END AS b1,
+           CASE WHEN dd <> 0 THEN CASE WHEN b2 >= 0
+             THEN floor(b2 * 1e6 + 0.5) ELSE -floor(-b2 * 1e6 + 0.5) END
+             / 1e6 + 0.0 END AS b2,
+           CASE WHEN dd <> 0 AND sst > 0 THEN CASE WHEN 1 - sse / sst >= 0
+             THEN floor((1 - sse / sst) * 1e6 + 0.5)
+             ELSE -floor(-(1 - sse / sst) * 1e6 + 0.5) END
+             / 1e6 + 0.0 END AS r2
+         FROM fin ORDER BY grp"""
+    },
+    // cumulative pos/neg over the 32-bucket grid; argmin by
+    // (impurity-9-grid, threshold)
+    "q371_best_split" ->
+      """WITH base AS (
+            SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                AS x,
+              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS yy
+            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          mm AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
+          binned AS (
+            SELECT ((x - mn) * 32) // (mx - mn + 1) AS b, x, yy
+            FROM base, mm),
+          per AS (
+            SELECT b, count(*) AS c, CAST(sum(yy) AS BIGINT) AS p,
+              max(x) AS thr
+            FROM binned GROUP BY b),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(p) AS BIGINT) AS np FROM per),
+          cum AS (
+            SELECT per.*,
+              CAST(sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cl,
+              CAST(sum(p) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+            FROM per),
+          calc AS (
+            SELECT n, np, thr, cl, CAST(cl AS DOUBLE) AS nl,
+              CAST(n AS DOUBLE) - CAST(cl AS DOUBLE) AS nr,
+              CAST(pl AS DOUBLE) AS pld,
+              CAST(np AS DOUBLE) - CAST(pl AS DOUBLE) AS prd
+            FROM cum, tot WHERE cl < n),
+          gcalc AS (
+            SELECT *,
+              1 - (pld / nl) * (pld / nl)
+                - ((nl - pld) / nl) * ((nl - pld) / nl) AS gl,
+              1 - (prd / nr) * (prd / nr)
+                - ((nr - prd) / nr) * ((nr - prd) / nr) AS gr
+            FROM calc),
+          scored AS (
+            SELECT n, np, thr, cl,
+              CAST(floor((nl / CAST(n AS DOUBLE) * gl
+                + nr / CAST(n AS DOUBLE) * gr) * 1e9 + 0.5) AS BIGINT)
+                AS w9
+            FROM gcalc),
+          best AS (SELECT * FROM scored ORDER BY w9, thr LIMIT 1)
+         SELECT n, np AS n_pos, thr AS best_threshold, cl AS n_left,
+           floor((1 - (CAST(np AS DOUBLE) / n) * (CAST(np AS DOUBLE) / n)
+             - ((CAST(n AS DOUBLE) - np) / n)
+               * ((CAST(n AS DOUBLE) - np) / n)) * 1e6 + 0.5) / 1e6
+             AS gini_root,
+           floor(CAST(w9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+             AS gini_split,
+           floor(((1 - (CAST(np AS DOUBLE) / n) * (CAST(np AS DOUBLE) / n)
+             - ((CAST(n AS DOUBLE) - np) / n)
+               * ((CAST(n AS DOUBLE) - np) / n))
+             - CAST(w9 AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS gain
+         FROM best""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

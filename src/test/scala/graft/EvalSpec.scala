@@ -267,6 +267,70 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("max_share") == 1.0)
   }
 
+  test("ols2: exact linear fit recovered, collinear group goes NULL") {
+    // g1: y = 10 + 2·x1 + 3·x2 exactly; g2: x2 = x1 (singular normal eqs)
+    val rows = Seq(
+      ("g1", 1L, 1L, 15L), ("g1", 2L, 1L, 17L), ("g1", 1L, 2L, 18L),
+      ("g1", 3L, 2L, 22L), ("g1", 2L, 3L, 23L), ("g1", 4L, 1L, 21L),
+      ("g2", 1L, 1L, 5L), ("g2", 2L, 2L, 8L), ("g2", 3L, 3L, 11L))
+      .toDF("g", "x1", "x2", "y")
+    val out = Eval.ols2(rows, "g", col("y"), col("x1"), col("x2"))
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getAs[Long]("n") == 6)
+    assert(g1.getAs[Double]("b0") == 10.0)
+    assert(g1.getAs[Double]("b1") == 2.0)
+    assert(g1.getAs[Double]("b2") == 3.0)
+    assert(g1.getAs[Double]("r2") == 1.0)
+    assert(out("g2").isNullAt(out("g2").fieldIndex("b0")))
+  }
+
+  test("giniSplit: hand-computed best threshold over 4 buckets") {
+    val df = Seq((100L, "R"), (200L, "N"), (300L, "R"), (400L, "N"),
+      (500L, "R"), (600L, "N")).toDF("x", "f")
+    val r = Eval.giniSplit(df, col("x"), col("f") === "R", bins = 4)
+      .collect().head
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("n_pos") == 3)
+    // candidates: thr 200 → 0.5, thr 300 → 4/9, thr 400 → 0.5
+    assert(r.getAs[Long]("best_threshold") == 300)
+    assert(r.getAs[Long]("n_left") == 3)
+    assert(r.getAs[Double]("gini_root") == 0.5)
+    assert(r.getAs[Double]("gini_split") == 0.444444)
+    assert(r.getAs[Double]("gain") == 0.055556)
+  }
+
+  test("kendallTauDaily: perfectly anti-ordered series gives tau -1") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows =
+      (for (d <- 0 until 4; i <- 1 to d + 1)
+        yield (d * DayNs + i, "view")) ++
+      (for (d <- 0 until 4; i <- 1 to 4 - d)
+        yield (d * DayNs + 100 + i, "purchase"))
+    val r = graft.operators.Forecast.kendallTauDaily(
+      rows.toDF("tsns", "ty"), "tsns", "ty", "view", "purchase")
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 4 && r.getAs[Long]("n_pairs") == 6)
+    assert(r.getAs[Long]("concordant") == 0)
+    assert(r.getAs[Long]("discordant") == 6)
+    assert(r.getAs[Long]("ties_a") == 0 && r.getAs[Long]("ties_b") == 0)
+    assert(r.getAs[Double]("tau_b") == -1.0)
+  }
+
+  test("friedmanDaily: constant within-day ordering maxes chi2") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // both days: a=3, b=2, c=1 events → ranks 3/2/1 every day
+    val rows = for (d <- 0 until 2; (ty, n) <- Seq("a" -> 3, "b" -> 2,
+      "c" -> 1); i <- 1 to n) yield (d * DayNs + i * 10 + ty.hashCode % 7, ty)
+    val r = graft.operators.Forecast.friedmanDaily(
+      rows.toDF("tsns", "ty"), "tsns", "ty").collect().head
+    assert(r.getAs[Long]("n_blocks") == 2)
+    assert(r.getAs[Long]("k_treatments") == 3)
+    // 12/(2·3·4)·(36+16+4) − 3·2·4 = 28 − 24 = 4 (the n(k−1) max)
+    assert(r.getAs[Double]("chi2_f") == 4.0)
+    assert(r.getAs[Double]("tie_correction") == 1.0)
+    assert(r.getAs[Double]("chi2_adj") == 4.0)
+  }
+
   test("mcnemar: hand-computed discordant cells, chi2 and correction") {
     // 10 units: both 2, a-only 3, b-only 1, neither 4
     val df = Seq(
