@@ -292,6 +292,14 @@ object EventsQ {
         Tables.events(s, d), "ts", Seq(2, 3, 5, 7, 10, 15))
     }),
 
+    // ---- CEP sequence pattern via flatMapGroupsWithState: every
+    //      purchase pairs with its latest strictly-earlier view
+    //      within 1 h (exclusive-latest — the q98 join can't) ----
+    "q375_stream_pattern" -> ((s, d) => {
+      graft.streaming.EventsStream.runPatternOnce(s, d)
+        .orderBy("purchase_id")
+    }),
+
     // ---- Kendall τ-b between daily view and purchase volumes:
     //      tie-corrected pair concordance over the day grid ----
     "q372_kendall_tau" -> ((s, d) => {
@@ -1013,6 +1021,28 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // batch replay of the exclusive-latest match: per purchase the
+    // min-gap (then max view id) strictly-earlier view within 1 h
+    "q375_stream_pattern" ->
+      """WITH e AS (
+            SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type
+            FROM events WHERE event_type IN ('view', 'purchase')),
+          p AS (SELECT user_id, event_id AS purchase_id, tns AS pts
+            FROM e WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, event_id AS view_id, tns AS vts
+            FROM e WHERE event_type = 'view'),
+          j AS (
+            SELECT p.user_id, p.purchase_id, v.view_id,
+              p.pts - v.vts AS gap
+            FROM p JOIN v ON p.user_id = v.user_id
+              AND p.pts - v.vts > 0
+              AND p.pts - v.vts <= 3600000000000),
+          best AS (
+            SELECT *, row_number() OVER (PARTITION BY purchase_id
+              ORDER BY gap ASC, view_id DESC) AS rn
+            FROM j)
+         SELECT user_id, purchase_id, view_id, gap AS gap_ns
+         FROM best WHERE rn = 1 ORDER BY purchase_id""",
     // day-grid pair self-join; pure integer concordance counting,
     // tie-corrected denominator under IEEE sqrt
     "q372_kendall_tau" ->

@@ -208,6 +208,10 @@ object VcfQ {
     "q356_vcf_private" -> ((s, _) => {
       VcfApi.privateVariants(tables(s).geno)
     }),
+    // ---- SNV mutation spectrum (pyrimidine-folded 6 classes) ----
+    "q374_vcf_spectrum" -> ((s, _) => {
+      VcfApi.mutationSpectrum(tables(s).info)
+    }),
     // ---- Mendelian-error trio check (plink --mendel): a family
     //      fixture exercising every feasible-range edge — 0×0, 2×2,
     //      0×2 and hom×het violations, a missing-call exclusion, two
@@ -605,6 +609,16 @@ object VcfQ {
          t(sample_a, sample_b, n_shared, n_het_het, n_opp_homo,
            n_het_a, n_het_b, phi)
          ORDER BY sample_a, sample_b""",
+    // hand-computed: v1 A>G and v4 T>C fold to T>C; v2 C>T and v3 G>A
+    // fold to C>T; v6 A>C folds to T>G; v5 is an indel (excluded) —
+    // 5 SNVs ⇒ fractions .4/.4/.2, transitions C>T/T>C
+    "q374_vcf_spectrum" ->
+      """SELECT * FROM (VALUES
+          ('C>T', CAST(2 AS BIGINT), CAST(0.4 AS DOUBLE), true),
+          ('T>C', 2, 0.4, true),
+          ('T>G', 1, 0.2, false))
+         t(class, n, fraction, is_transition)
+         ORDER BY class""",
     // hand-computed: cohort p̂ = (.25,.5,.5,.75,.25,1); v6 monomorphic
     // excluded, v3 missing for S1. Standardized products
     // (g−2p)(g'−2p)/(2p(1−p)): S1·S1 = (.667+2+.667+.667)/4 = 1;

@@ -732,6 +732,82 @@ object EventsStream {
     * (user, ts, tieBreak, deltaCents) stream — exposed so the
     * multi-batch carry spec can drive it over a hand-staged source.
     */
+  /** Per-key pattern state: the pending views inside the match
+    * horizon, `(view_id, ts_ns)` — pruned each batch, so state size
+    * is bounded by the horizon's event rate, not stream lifetime.
+    */
+  case class PatternCarry(views: Seq[(Long, Long)])
+  case class PatternMatch(user_id: Long, purchase_id: Long,
+    view_id: Long, gap_ns: Long)
+
+  /** Streaming sequence-pattern detection with
+    * `flatMapGroupsWithState`: per user, every purchase matches its
+    * MOST RECENT strictly-earlier view within `horizonNs` (ties on
+    * timestamp break toward the larger view id), emitting
+    * `(user_id, purchase_id, view_id, gap_ns)` — the "did the funnel
+    * step complete in time?" CEP primitive the declarative
+    * stream-stream join (q98) can't express when the match must be
+    * exclusive-latest rather than all-pairs. State carries only the
+    * horizon's pending views. Like [[ledgerFold]], the per-batch group
+    * iterator is sorted by event time (at true scale:
+    * EventTimeTimeout + watermark finalization); the AvailableNow
+    * replay of the same fold is the DuckDB gate.
+    */
+  def patternFold(typed: org.apache.spark.sql.Dataset[(Long, Long, Long, Boolean)],
+      horizonNs: Long): DataFrame = {
+    import typed.sparkSession.implicits._
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[PatternCarry, PatternMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[PatternCarry]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var views = state.getOption.map(_.views).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer[PatternMatch]()
+          sorted.foreach { case (_, eid, ts, isView) =>
+            if (isView) views = views :+ (eid -> ts)
+            else {
+              val cand = views
+                .filter(v => ts - v._2 > 0 && ts - v._2 <= horizonNs)
+              if (cand.nonEmpty) {
+                val best = cand.maxBy(v => (v._2, v._1))
+                out += PatternMatch(user, eid, best._1, ts - best._2)
+              }
+            }
+            views = views.filter(v => v._2 >= ts - horizonNs)
+          }
+          state.update(PatternCarry(views))
+          out.iterator
+      }.toDF()
+  }
+
+  /** Drive the pattern detector once over the static events table. */
+  def runPatternOnce(spark: SparkSession, dir: String,
+      horizonNs: Long = 3600L * 1000 * 1000 * 1000): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.tsAsNanos(
+      spark.readStream.schema(schema).parquet(staged))
+    import spark.implicits._
+    val typed = stream
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long"), (col("event_type") === "view"))
+      .as[(Long, Long, Long, Boolean)]
+    val out = patternFold(typed, horizonNs)
+    val name = s"events_pattern_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   def ledgerFold(typed: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)]): DataFrame = {
     import typed.sparkSession.implicits._
     typed.groupByKey(_._1)

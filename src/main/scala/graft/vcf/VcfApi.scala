@@ -1446,4 +1446,37 @@ object VcfApi {
     RangeJoin.overlapAuto(
       info, regions.withColumnRenamed("start", "rstart").withColumnRenamed("end", "rend"),
       Seq("chr"), "start", "end", "rstart", "rend", binWidth, broadcastRows)
+
+  /** SNV mutation spectrum — per-class substitution counts with
+    * pyrimidine folding (the six canonical classes C>A/C>G/C>T/
+    * T>A/T>C/T>G; a purine ref strand-complements onto its pyrimidine
+    * twin, the mutational-signature convention). Indels and
+    * multi-base alleles are excluded; `is_transition` marks C>T/T>C.
+    * Output per observed class:
+    * `class, n, fraction, is_transition` (fraction on the 1e-6 grid).
+    *
+    * Scale shape: one filtered map-side-combined aggregate to ≤ 6
+    * rows + a 1-row total broadcast.
+    */
+  def mutationSpectrum(info: DataFrame): DataFrame = {
+    val bases = Seq("A", "C", "G", "T")
+    val isSnv = length(col("ref")) === 1 && length(col("alt")) === 1 &&
+      col("ref").isin(bases: _*) && col("alt").isin(bases: _*) &&
+      col("ref") =!= col("alt")
+    val folded = info.where(isSnv).select(
+      when(col("ref").isin("C", "T"), col("ref"))
+        .otherwise(translate(col("ref"), "ACGT", "TGCA")).as("__r"),
+      when(col("ref").isin("C", "T"), col("alt"))
+        .otherwise(translate(col("alt"), "ACGT", "TGCA")).as("__a"))
+    val per = folded
+      .groupBy(concat(col("__r"), lit(">"), col("__a")).as("class"))
+      .agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum("n").as("__t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("class"), col("n"),
+        (floor(col("n").cast("double") / col("__t") * 1e6 + 0.5) / 1e6)
+          .as("fraction"),
+        col("class").isin("C>T", "T>C").as("is_transition"))
+      .orderBy("class")
+  }
 }

@@ -650,4 +650,23 @@ class ApiSpec extends SparkSpec {
       assert(r.getAs[Double]("e_hom") == 1.0 && r.getAs[Double]("f") == -1.0)
     }
   }
+
+  test("VcfApi.mutationSpectrum: purine folding, indels excluded") {
+    import spark.implicits._
+    val info = Seq(
+      ("A", "G"), // folds to T>C (transition)
+      ("G", "T"), // folds to C>A
+      ("C", "G"), // stays C>G
+      ("T", "AT"), // indel — excluded
+      ("GA", "G") // multi-base ref — excluded
+    ).toDF("ref", "alt")
+    val got = graft.vcf.VcfApi.mutationSpectrum(info).collect()
+      .map(r => r.getAs[String]("class") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("fraction"),
+          r.getAs[Boolean]("is_transition"))).toMap
+    assert(got.keySet == Set("C>A", "C>G", "T>C"))
+    assert(got("C>A") == ((1L, 0.333333, false)))
+    assert(got("C>G") == ((1L, 0.333333, false)))
+    assert(got("T>C") == ((1L, 0.333333, true)))
+  }
 }

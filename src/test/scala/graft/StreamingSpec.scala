@@ -739,4 +739,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, "high"), (2L, "mid"), (3L, "low"),
       (4L, "mid")), s"got $got")
   }
+
+  test("EventsStream.patternFold: exclusive-latest match, horizon and " +
+      "strict-precedence edges") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1: two candidate views → latest wins; later purchase is
+      // past the horizon of both
+      (1L, 1L, 10L, true), (1L, 2L, 50L, true), (1L, 3L, 60L, false),
+      (1L, 4L, 200L, false),
+      // u2: purchase before any view; same-ts view never matches
+      // (strict precedence); a later purchase matches it normally
+      (2L, 5L, 5L, false), (2L, 6L, 30L, true), (2L, 7L, 30L, false),
+      (2L, 8L, 100L, false))
+      .toDS()
+    val got = graft.streaming.EventsStream.patternFold(rows, horizonNs = 100L)
+      .orderBy("purchase_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 10L), (2L, 8L, 6L, 70L)), s"got $got")
+  }
 }
