@@ -1626,4 +1626,185 @@ object Eval {
         g6(col("__w9").cast("double") / 1e9).as("gini_split"),
         g6(rootG - col("__w9").cast("double") / 1e9).as("gain"))
   }
+
+  /** Effect-size panel for every pair of groups: Cohen's d (pooled-sd
+    * standardized mean gap), Hedges' g (its small-sample correction)
+    * and Cliff's delta (the ordinal P(a>b) − P(a<b) that doesn't
+    * assume any distribution) — the "HOW different, not just
+    * significantly different" companion to [[welchT]]'s t-statistics.
+    * Cliff's delta reduces to exact integer counting on the distinct-
+    * cents grid: per group-pair, Σ cntA·cumBelowB gives the greater-
+    * than pairs and Σ cntA·cntB the ties, so no subject-pair is ever
+    * enumerated. Output per pair (group_a < group_b):
+    * `group_a, group_b, n_a, n_b, cohens_d, hedges_g, cliffs_delta`
+    * (1e-6 sign-aware grids).
+    *
+    * Scale shape: one pass to the (group × distinct-cents) grid, one
+    * per-group cumulative window over that grid (value domain, not
+    * rows), one grid-sized pair join, k²-row algebra. Count products
+    * bound long at ≤ ~3·10⁹ rows per group pair.
+    */
+  def effectSizes(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c"))
+    val grid = Dedup.persistTracked(
+      base.groupBy("__g", "__c").agg(count(lit(1)).as("__cnt")))
+    val full = grid.select("__c").distinct()
+      .crossJoin(grid.select("__g").distinct())
+      .join(grid, Seq("__g", "__c"), "left")
+      .select(col("__g"), col("__c"),
+        coalesce(col("__cnt"), lit(0L)).as("__cnt"))
+    val wCum = Window.partitionBy("__g").orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = full.withColumn("__below",
+      coalesce(sum("__cnt").over(wCum), lit(0L)))
+    val per = grid.groupBy("__g").agg(sum("__cnt").as("__n"),
+        sum(col("__c") * col("__cnt")).as("__s"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c") * col("__cnt"))
+          .as("__q"))
+      .filter(col("__n") >= 2)
+    val pairCells = grid
+      .select(col("__g").as("__ga"), col("__c"), col("__cnt").as("__ca"))
+      .join(cum.select(col("__g").as("__gb"), col("__c"),
+          col("__cnt").as("__cb"), col("__below")),
+        Seq("__c"))
+      .where(col("__ga") < col("__gb"))
+    val counts = pairCells.groupBy("__ga", "__gb").agg(
+      sum(col("__ca") * col("__below")).as("__gt"),
+      sum(col("__ca") * col("__cb")).as("__eq"))
+    val a = per.select(col("__g").as("__ga"), col("__n").as("n_a"),
+      col("__s").as("__sa"), col("__q").as("__qa"))
+    val b = per.select(col("__g").as("__gb"), col("__n").as("n_b"),
+      col("__s").as("__sb"), col("__q").as("__qb"))
+    val joined = a.join(b, col("__ga") < col("__gb"))
+      .join(counts, Seq("__ga", "__gb"))
+    def m(s: Column, n: Column): Column = s.cast("double") / n / 100d
+    def v(q: Column, s: Column, n: Column): Column =
+      (q.cast("double") - s.cast("double") * s / n) / (n - 1) / 1e4
+    val va = v(col("__qa"), col("__sa"), col("n_a"))
+    val vb = v(col("__qb"), col("__sb"), col("n_b"))
+    val pooled = ((col("n_a") - 1) * va + (col("n_b") - 1) * vb) /
+      (col("n_a") + col("n_b") - 2).cast("double")
+    val d = (m(col("__sa"), col("n_a")) - m(col("__sb"), col("n_b"))) /
+      sqrt(pooled)
+    val g = d * (lit(1d) -
+      lit(3d) / (lit(4L) * (col("n_a") + col("n_b")) - 9L))
+    val lt = col("n_a") * col("n_b") - col("__gt") - col("__eq")
+    val delta = (col("__gt") - lt).cast("double") /
+      (col("n_a") * col("n_b"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    joined.select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+      col("n_a"), col("n_b"),
+      when(pooled > 0, g6(d)).as("cohens_d"),
+      when(pooled > 0, g6(g)).as("hedges_g"),
+      g6(delta).as("cliffs_delta"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** Levene's test for equal variances (mean-centered original form):
+    * one-way ANOVA on the absolute deviations z = |x − x̄_g| — the
+    * "are the spreads equal" gate that should precede any pooled-
+    * variance comparison ([[anovaF]] assumes it). The per-group means
+    * are exact rationals of integer cents; each z quantizes to a
+    * 1e-6-grid long, and the ANOVA algebra then runs on exact integer
+    * moments (the [[anovaF]] identities on the finer grid). Output one
+    * row: `k_groups, n, w_stat` (1e-4 grid).
+    *
+    * Scale shape: two passes (group means broadcast back by a k-row
+    * join, then one map-side-combined moment aggregate). No windows.
+    */
+  def leveneMean(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c"))
+    val means = base.groupBy("__g")
+      .agg(count(lit(1)).as("__nm"), sum("__c").as("__sm"))
+    val z = base.join(broadcast(means), Seq("__g"))
+      .select(col("__g"),
+        floor(abs(col("__c").cast("double") -
+          col("__sm").cast("double") / col("__nm")) / 100d * 1e6 + 0.5)
+          .cast("long").as("__z"))
+    val per = z.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum("__z").as("__s"),
+        sum(col("__z").cast("decimal(38,0)") * col("__z")).as("__q"))
+    val roll = per.agg(count(lit(1)).as("k_groups"),
+      sum("__n").as("n"), sum("__s").as("__ts"),
+      sum("__q").cast("decimal(38,0)").as("__tq"),
+      sum(floor(col("__s").cast("double") * col("__s") / col("__n")
+          / 1e12 * 1e6 + 0.5).cast("long")).as("__sb6"))
+    val grand = col("__ts").cast("double") * col("__ts") / col("n") / 1e12
+    val ssb = col("__sb6").cast("double") / 1e6 - grand
+    val sst = col("__tq").cast("double") / 1e12 - grand
+    val ssw = sst - ssb
+    val f = (ssb / (col("k_groups") - 1).cast("double")) /
+      (ssw / (col("n") - col("k_groups")).cast("double"))
+    roll.select(col("k_groups"), col("n"),
+      when(col("k_groups") > 1 && col("n") > col("k_groups") && ssw > 0,
+        floor(f * 1e4 + 0.5) / 1e4).as("w_stat"))
+  }
+
+  /** Paired sign-flip permutation (randomization) test — the
+    * distribution-free significance check for a per-unit paired
+    * difference (here: does metric A exceed metric B for the same
+    * units?) that needs no normality and no variance model. The
+    * observed statistic is T = Σ d_u on the 1e-4 grid; each of `reps`
+    * deterministic md5 coin flips re-signs every unit's difference,
+    * and p = #(|T_r| ≥ |T|)/reps. Everything is exact integer
+    * arithmetic — the md5 signs replay bit-identically in any engine.
+    * Output one row:
+    * `n_units, t_obs, n_reps, n_extreme, p_value`.
+    *
+    * Scale shape: one unit-grain aggregate, then a units × reps
+    * expansion that immediately re-aggregates to `reps` rows (map-side
+    * combined — nothing rep-sized ever shuffles raw units).
+    */
+  def signFlipTest(df: DataFrame, unitCol: String, valueCol: String,
+      predA: Column, predB: Column, reps: Int = 200): DataFrame = {
+    require(reps >= 1, "need at least one permutation rep")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = floor(col(valueCol).cast("double") * 100d + 0.5)
+      .cast("long")
+    val per = df.filter(col(valueCol).isNotNull && (predA || predB))
+      .select(col(unitCol).as("__u"),
+        when(predA, cents).otherwise(lit(null)).as("__ca"),
+        when(predB, cents).otherwise(lit(null)).as("__cb"))
+      .groupBy("__u")
+      .agg(sum("__ca").as("__sa"), count(col("__ca")).as("__na"),
+        sum("__cb").as("__sb"), count(col("__cb")).as("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+    val dv = col("__sa").cast("double") / col("__na") / 100d -
+      col("__sb").cast("double") / col("__nb") / 100d
+    val diffs = Dedup.persistTracked(per.select(col("__u"),
+      when(dv >= 0, floor(dv * 1e4 + 0.5))
+        .otherwise(-floor(-dv * 1e4 + 0.5)).cast("long").as("__d4")))
+    val obs = diffs.agg(count(lit(1)).as("n_units"),
+      sum("__d4").as("__t4"))
+    val repsDf = spark.range(reps).toDF("__r")
+    val flipped = diffs.crossJoin(repsDf)
+      .select(col("__r"),
+        (when(pmod(graft.functions.md5Long(
+            concat(lit("sf:"), col("__u").cast("string"), lit(":"),
+              col("__r").cast("string"))), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)) * col("__d4")).as("__sd"))
+      .groupBy("__r").agg(sum("__sd").as("__tr"))
+    val extreme = flipped.crossJoin(broadcast(obs))
+      .agg(sum(when(abs(col("__tr")) >= abs(col("__t4")), 1L)
+        .otherwise(0L)).as("n_extreme"), max("n_units").as("n_units"),
+        max("__t4").as("__t4x"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    extreme.select(col("n_units"),
+      (col("__t4x").cast("double") / 1e4).as("t_obs"),
+      lit(reps).as("n_reps"), col("n_extreme"),
+      g6(col("n_extreme").cast("double") / reps).as("p_value"))
+  }
 }

@@ -300,6 +300,28 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- effect-size panel (Cohen's d / Hedges' g / Cliff's delta)
+    //      for every event-type pair — magnitude next to q345's t ----
+    "q376_effect_sizes" -> ((s, d) => {
+      graft.operators.Eval.effectSizes(Tables.events(s, d),
+        "event_type", "value")
+    }),
+
+    // ---- Levene's equal-variance test across event types (ANOVA on
+    //      |x − group mean|, the q344 precondition check) ----
+    "q377_levene" -> ((s, d) => {
+      graft.operators.Eval.leveneMean(Tables.events(s, d),
+        "event_type", "value")
+    }),
+
+    // ---- paired sign-flip permutation test: per-user purchase-vs-
+    //      view value gap, 200 deterministic md5 re-signings ----
+    "q378_sign_flip" -> ((s, d) => {
+      graft.operators.Eval.signFlipTest(Tables.events(s, d), "user_id",
+        "value", col("event_type") === "purchase",
+        col("event_type") === "view")
+    }),
+
     // ---- Kendall τ-b between daily view and purchase volumes:
     //      tie-corrected pair concordance over the day grid ----
     "q372_kendall_tau" -> ((s, d) => {
@@ -1021,6 +1043,159 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // Cliff's delta from grid counting (Σ cntA·cumBelowB); d/g from
+    // the q345 integer moments; pooled-sd algebra mirrored exactly
+    "q376_effect_sizes" ->
+      """WITH base AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL),
+          grid AS (SELECT g, c, count(*) AS cnt FROM base GROUP BY g, c),
+          full_ AS (
+            SELECT gg.g, cc.c, coalesce(gr.cnt, 0) AS cnt
+            FROM (SELECT DISTINCT c FROM grid) cc
+            CROSS JOIN (SELECT DISTINCT g FROM grid) gg
+            LEFT JOIN grid gr ON gr.g = gg.g AND gr.c = cc.c),
+          cum AS (
+            SELECT g, c, cnt,
+              CAST(coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS below
+            FROM full_),
+          per AS (
+            SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+              CAST(sum(c * cnt) AS BIGINT) AS s,
+              sum(CAST(c AS HUGEINT) * c * cnt) AS q
+            FROM grid GROUP BY g HAVING sum(cnt) >= 2),
+          cells AS (
+            SELECT a.g AS ga, b.g AS gb, a.cnt AS ca, b.cnt AS cb,
+              b.below
+            FROM grid a JOIN cum b ON a.c = b.c AND a.g < b.g),
+          counts AS (
+            SELECT ga, gb, CAST(sum(ca * below) AS BIGINT) AS gt,
+              CAST(sum(ca * cb) AS BIGINT) AS eq
+            FROM cells GROUP BY ga, gb),
+          pair AS (
+            SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b,
+              a.s AS sa2, b.s AS sb2, a.q AS qa, b.q AS qb
+            FROM per a JOIN per b ON a.g < b.g),
+          calc AS (
+            SELECT pair.ga, pair.gb, n_a, n_b, sa2, sb2, gt, eq,
+              (CAST(qa AS DOUBLE) - CAST(sa2 AS DOUBLE) * sa2 / n_a)
+                / (n_a - 1) / 1e4 AS va,
+              (CAST(qb AS DOUBLE) - CAST(sb2 AS DOUBLE) * sb2 / n_b)
+                / (n_b - 1) / 1e4 AS vb
+            FROM pair JOIN counts
+              ON pair.ga = counts.ga AND pair.gb = counts.gb),
+          calc2 AS (
+            SELECT *,
+              ((n_a - 1) * va + (n_b - 1) * vb)
+                / CAST(n_a + n_b - 2 AS DOUBLE) AS pooled,
+              CAST(sa2 AS DOUBLE) / n_a / 100
+                - CAST(sb2 AS DOUBLE) / n_b / 100 AS md,
+              CAST(gt - (n_a * n_b - gt - eq) AS DOUBLE)
+                / (n_a * n_b) AS delta
+            FROM calc),
+          calc3 AS (
+            SELECT *, md / sqrt(pooled) AS d,
+              md / sqrt(pooled) * (1 - 3.0 / (4 * (n_a + n_b) - 9)) AS hg
+            FROM calc2)
+         SELECT ga AS group_a, gb AS group_b, n_a, n_b,
+           CASE WHEN pooled > 0 THEN CASE WHEN d >= 0
+             THEN floor(d * 1e6 + 0.5) ELSE -floor(-d * 1e6 + 0.5) END
+             / 1e6 + 0.0 END AS cohens_d,
+           CASE WHEN pooled > 0 THEN CASE WHEN hg >= 0
+             THEN floor(hg * 1e6 + 0.5) ELSE -floor(-hg * 1e6 + 0.5) END
+             / 1e6 + 0.0 END AS hedges_g,
+           CASE WHEN delta >= 0 THEN floor(delta * 1e6 + 0.5)
+             ELSE -floor(-delta * 1e6 + 0.5) END / 1e6 + 0.0
+             AS cliffs_delta
+         FROM calc3 ORDER BY group_a, group_b""",
+    // ANOVA on 1e-6-grid |x − mean| longs — the q344 identities on
+    // the finer grid
+    "q377_levene" ->
+      """WITH base AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL),
+          means AS (SELECT g, count(*) AS nm, CAST(sum(c) AS BIGINT)
+            AS sm FROM base GROUP BY g),
+          z AS (
+            SELECT base.g,
+              CAST(floor(abs(CAST(c AS DOUBLE) - CAST(sm AS DOUBLE) / nm)
+                / 100 * 1e6 + 0.5) AS BIGINT) AS z
+            FROM base JOIN means ON base.g = means.g),
+          per AS (
+            SELECT g, count(*) AS n, CAST(sum(z) AS BIGINT) AS s,
+              sum(CAST(z AS HUGEINT) * z) AS q
+            FROM z GROUP BY g),
+          roll AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+              CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(s) AS BIGINT) AS ts,
+              CAST(sum(q) AS HUGEINT) AS tq,
+              CAST(sum(CAST(floor(CAST(s AS DOUBLE) * s / n / 1e12 * 1e6
+                + 0.5) AS BIGINT)) AS BIGINT) AS sb6
+            FROM per),
+          calc AS (
+            SELECT k_groups, n,
+              CAST(sb6 AS DOUBLE) / 1e6
+                - CAST(ts AS DOUBLE) * ts / n / 1e12 AS ssb,
+              CAST(tq AS DOUBLE) / 1e12
+                - CAST(ts AS DOUBLE) * ts / n / 1e12 AS sst
+            FROM roll)
+         SELECT k_groups, n,
+           CASE WHEN k_groups > 1 AND n > k_groups AND sst - ssb > 0 THEN
+             floor((ssb / (k_groups - 1)) / ((sst - ssb) / (n - k_groups))
+               * 1e4 + 0.5) / 1e4 END AS w_stat
+         FROM calc""",
+    // exact integer re-signing: the md5 coin replays bit-identically
+    "q378_sign_flip" ->
+      """WITH per AS (
+            SELECT user_id AS u,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS sa2,
+              count(CASE WHEN event_type = 'purchase' THEN 1 END) AS na,
+              CAST(sum(CASE WHEN event_type = 'view'
+                THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS sb2,
+              count(CASE WHEN event_type = 'view' THEN 1 END) AS nb
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('purchase', 'view')
+            GROUP BY user_id
+            HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                > 0
+              AND count(CASE WHEN event_type = 'view' THEN 1 END) > 0),
+          diffs AS (
+            SELECT u,
+              CASE WHEN CAST(sa2 AS DOUBLE) / na / 100
+                  - CAST(sb2 AS DOUBLE) / nb / 100 >= 0 THEN
+                CAST(floor((CAST(sa2 AS DOUBLE) / na / 100
+                  - CAST(sb2 AS DOUBLE) / nb / 100) * 1e4 + 0.5)
+                  AS BIGINT)
+              ELSE -CAST(floor(-(CAST(sa2 AS DOUBLE) / na / 100
+                  - CAST(sb2 AS DOUBLE) / nb / 100) * 1e4 + 0.5)
+                  AS BIGINT) END AS d4
+            FROM per),
+          obs AS (SELECT count(*) AS n_units,
+            CAST(sum(d4) AS BIGINT) AS t4 FROM diffs),
+          reps AS (SELECT unnest(generate_series(0, 199)) AS r),
+          fl AS (
+            SELECT r,
+              CAST(sum((CASE WHEN ('0x' || substr(md5('sf:'
+                || CAST(u AS VARCHAR) || ':' || CAST(r AS VARCHAR)),
+                1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) * d4)
+                AS BIGINT) AS tr
+            FROM diffs CROSS JOIN reps GROUP BY r)
+         SELECT n_units, CAST(t4 AS DOUBLE) / 1e4 AS t_obs,
+           200 AS n_reps,
+           CAST(sum(CASE WHEN abs(tr) >= abs(t4) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_extreme,
+           floor(CAST(sum(CASE WHEN abs(tr) >= abs(t4) THEN 1 ELSE 0
+             END) AS DOUBLE) / 200 * 1e6 + 0.5) / 1e6 + 0.0 AS p_value
+         FROM fl, obs GROUP BY n_units, t4""",
     // batch replay of the exclusive-latest match: per purchase the
     // min-gap (then max view id) strictly-earlier view within 1 h
     "q375_stream_pattern" ->

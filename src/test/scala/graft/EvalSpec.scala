@@ -331,6 +331,51 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("chi2_adj") == 4.0)
   }
 
+  test("effectSizes: hand-computed d, g and Cliff's delta") {
+    // A = {1,2,3}, B = {2,3,4}: unit variances, means 2 vs 3
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val r = Eval.effectSizes(df, "g", "v").collect().head
+    assert(r.getAs[String]("group_a") == "a" &&
+      r.getAs[String]("group_b") == "b")
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("cohens_d") == -1.0) // (2−3)/1
+    assert(r.getAs[Double]("hedges_g") == -0.8) // −1·(1 − 3/15)
+    // gt = 1 (3>2), ties = 2, lt = 6 ⇒ (1−6)/9
+    assert(r.getAs[Double]("cliffs_delta") == -0.555556)
+  }
+
+  test("leveneMean: hand-computed W on unequal spreads") {
+    // A: |z| ≡ 1; B: z = {2,2,0,4} ⇒ ssb 2, ssw 8, F = 2/(8/6)
+    val df = Seq(("a", 0.0), ("a", 2.0), ("a", 0.0), ("a", 2.0),
+      ("b", 0.0), ("b", 0.0), ("b", 2.0), ("b", 6.0)).toDF("g", "v")
+    val r = Eval.leveneMean(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 2 && r.getAs[Long]("n") == 8)
+    assert(r.getAs[Double]("w_stat") == 1.5)
+  }
+
+  test("signFlipTest: zero diffs give p = 1; basics deterministic") {
+    // u1/u2: purchase mean == view mean ⇒ d = 0 ⇒ every rep extreme
+    val zero = Seq((1L, "p", 5.0), (1L, "v", 5.0),
+      (2L, "p", 3.0), (2L, "v", 3.0),
+      (3L, "p", 9.0) // purchase-only unit is excluded
+    ).toDF("u", "ty", "v")
+    val r0 = Eval.signFlipTest(zero, "u", "v",
+      col("ty") === "p", col("ty") === "v", reps = 50).collect().head
+    assert(r0.getAs[Long]("n_units") == 2)
+    assert(r0.getAs[Double]("t_obs") == 0.0)
+    assert(r0.getAs[Long]("n_extreme") == 50)
+    assert(r0.getAs[Double]("p_value") == 1.0)
+    // two units, diffs {1, 2}: only same-sign flips reach |3| ⇒ p ≈ ½
+    val two = Seq((1L, "p", 2.0), (1L, "v", 1.0),
+      (2L, "p", 5.0), (2L, "v", 3.0)).toDF("u", "ty", "v")
+    val r2 = Eval.signFlipTest(two, "u", "v",
+      col("ty") === "p", col("ty") === "v", reps = 200).collect().head
+    assert(r2.getAs[Double]("t_obs") == 3.0)
+    val p = r2.getAs[Double]("p_value")
+    assert(p > 0.3 && p < 0.7, s"p = $p")
+  }
+
   test("mcnemar: hand-computed discordant cells, chi2 and correction") {
     // 10 units: both 2, a-only 3, b-only 1, neither 4
     val df = Seq(
