@@ -2115,4 +2115,58 @@ object TextAnalysis {
         (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
       .orderBy("pos")
   }
+
+  /** Interpolated Kneser–Ney bigram smoothing (Kneser & Ney 1995;
+    * Chen & Goodman 1998) — the LM-smoothing gold standard next to
+    * q316's stupid backoff and q337's Good–Turing:
+    * P(w|v) = max(c(vw)−d, 0)/c(v) + d·N₁₊(v·)/c(v) · N₁₊(·w)/N₁₊(··),
+    * where the continuation counts N₁₊ ask "in how many CONTEXTS does
+    * w appear" rather than "how often" (the 'San Francisco' fix). All
+    * counts are exact integers and the default discount d = 0.75 is
+    * dyadic, so the probability algebra is identical double work in
+    * any engine. Output: the `topK` bigrams by count (ties broken
+    * lexicographically),
+    * `pos, v, w, c_vw, c_v, p_disc, lambda, p_cont, p_kn` (1e-6 grids).
+    *
+    * Scale shape: one bigram-grid aggregate (shifted equi-join, never
+    * per-doc quadratic), two grid-grain reductions for the context
+    * marginals, one broadcast 1-row total, one map-side top-k window.
+    */
+  def kneserNeyBigrams(df: DataFrame, textCol: String, idCol: String,
+      discount: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(discount > 0 && discount < 1, "discount in (0, 1)")
+    val base = df.select(col(idCol).as("__doc"),
+      posexplode(tokens(col(textCol))).as(Seq("__p", "__w")))
+    val nxt = base.select(col("__doc"), (col("__p") + 1).as("__p"),
+      col("__w").as("__wn"))
+    // at joined position p: __wn is the token from p−1 (the CONTEXT v),
+    // __w is the token at p (the continuation w)
+    val c2 = Dedup.persistTracked(
+      base.join(nxt, Seq("__doc", "__p"))
+        .select(col("__wn").as("__v"), col("__w").as("__w"))
+        .groupBy("__v", "__w").agg(count(lit(1)).as("__cvw")))
+    val cv = c2.groupBy("__v")
+      .agg(sum("__cvw").as("__cv"), count(lit(1)).as("__n1v"))
+    val cw = c2.groupBy("__w").agg(count(lit(1)).as("__n1w"))
+    val nb = c2.agg(count(lit(1)).as("__nb"))
+    val joined = c2.join(cv, Seq("__v")).join(cw, Seq("__w"))
+      .crossJoin(broadcast(nb))
+    val pDisc = greatest(col("__cvw").cast("double") - discount, lit(0d)) /
+      col("__cv")
+    val lam = lit(discount) * col("__n1v") / col("__cv")
+    val pCont = col("__n1w").cast("double") / col("__nb")
+    val pKn = pDisc + lam * pCont
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cvw").desc, col("__v").asc, col("__w").asc)
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col("__rn").as("pos"), col("__v").as("v"),
+        col("__w").as("w"), col("__cvw").as("c_vw"),
+        col("__cv").as("c_v"), g6(pDisc).as("p_disc"),
+        g6(lam).as("lambda"), g6(pCont).as("p_cont"),
+        g6(pKn).as("p_kn"))
+      .orderBy("pos")
+  }
 }

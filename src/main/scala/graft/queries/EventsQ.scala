@@ -300,6 +300,13 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- streaming token-bucket rate limiter: 3-token buckets,
+    //      1 token/hour refill, integer micro-token admission ----
+    "q380_token_bucket" -> ((s, d) => {
+      graft.streaming.EventsStream.runTokenBucketOnce(s, d)
+        .orderBy("user_id")
+    }),
+
     // ---- effect-size panel (Cohen's d / Hedges' g / Cliff's delta)
     //      for every event-type pair — magnitude next to q345's t ----
     "q376_effect_sizes" -> ((s, d) => {
@@ -1043,6 +1050,39 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // sequential recurrence replayed as a recursive CTE over per-user
+    // event ordinals; pure integer refill/admission arithmetic
+    "q380_token_bucket" ->
+      """WITH RECURSIVE e AS (
+            SELECT user_id, epoch_ns(ts) AS tns, event_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY epoch_ns(ts), event_id) AS seq
+            FROM events),
+          r(user_id, seq, tns, tokens, adm) AS (
+            SELECT user_id, seq, tns, CAST(2000000 AS BIGINT),
+              CAST(1 AS BIGINT)
+            FROM e WHERE seq = 1
+            UNION ALL
+            SELECT e.user_id, e.seq, e.tns,
+              CASE WHEN least(3000000,
+                  r.tokens + (e.tns - r.tns) // 3600000) >= 1000000
+                THEN least(3000000,
+                  r.tokens + (e.tns - r.tns) // 3600000) - 1000000
+                ELSE least(3000000,
+                  r.tokens + (e.tns - r.tns) // 3600000) END,
+              r.adm + CASE WHEN least(3000000,
+                  r.tokens + (e.tns - r.tns) // 3600000) >= 1000000
+                THEN 1 ELSE 0 END
+            FROM r JOIN e
+              ON e.user_id = r.user_id AND e.seq = r.seq + 1),
+          fin AS (
+            SELECT user_id, seq, tokens, adm,
+              row_number() OVER (PARTITION BY user_id ORDER BY seq DESC)
+                AS rn
+            FROM r)
+         SELECT user_id, seq AS n_events, adm AS n_admitted,
+           tokens AS final_tokens_micro
+         FROM fin WHERE rn = 1 ORDER BY user_id""",
     // Cliff's delta from grid counting (Σ cntA·cumBelowB); d/g from
     // the q345 integer moments; pooled-sd algebra mirrored exactly
     "q376_effect_sizes" ->

@@ -115,6 +115,13 @@ object Pipeline {
         iters = 3, topK = 15)
     }),
 
+    // ---- interpolated Kneser–Ney bigram smoothing: top-20 bigrams
+    //      with discounted/continuation components ----
+    "q379_kneser_ney" -> ((s, d) => {
+      TextAnalysis.kneserNeyBigrams(Tables.documents(s, d), "text",
+        "doc_id", topK = 20)
+    }),
+
     // ---- exact-count stratified split: largest-remainder 8/1/1 per
     //      lang, rows dealt by md5 rank — sizes are exact integers,
     //      not hash expectations ----
@@ -2114,6 +2121,41 @@ object Pipeline {
          SELECT u, v, sup AS support FROM sup3 WHERE sup >= 2
          ORDER BY u, v"""
     },
+    // exact integer counts; d = 0.75 is dyadic so the probability
+    // algebra replays bit-identically
+    "q379_kneser_ney" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS t FROM documents),
+          bg AS (
+            SELECT unnest(list_transform(
+              range(1, greatest(len(t) - 1, 0) + 1),
+              i -> t[i] || ' ' || t[i + 1])) AS b
+            FROM d),
+          c2 AS (
+            SELECT split_part(b, ' ', 1) AS v,
+              split_part(b, ' ', 2) AS w, count(*) AS cvw
+            FROM bg GROUP BY 1, 2),
+          cv AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cvt,
+            count(*) AS n1v FROM c2 GROUP BY v),
+          cw AS (SELECT w, count(*) AS n1w FROM c2 GROUP BY w),
+          nbt AS (SELECT count(*) AS nb FROM c2),
+          calc AS (
+            SELECT c2.v, c2.w, CAST(c2.cvw AS BIGINT) AS c_vw,
+              cv.cvt AS c_v,
+              greatest(CAST(c2.cvw AS DOUBLE) - 0.75, 0) / cv.cvt
+                AS p_disc_r,
+              0.75 * cv.n1v / cv.cvt AS lam_r,
+              CAST(cw.n1w AS DOUBLE) / nbt.nb AS p_cont_r
+            FROM c2 JOIN cv USING (v) JOIN cw USING (w) CROSS JOIN nbt),
+          ranked AS (
+            SELECT *, row_number() OVER (ORDER BY c_vw DESC, v, w)
+              AS pos
+            FROM calc)
+         SELECT pos, v, w, c_vw, c_v,
+           floor(p_disc_r * 1e6 + 0.5) / 1e6 AS p_disc,
+           floor(lam_r * 1e6 + 0.5) / 1e6 AS lambda,
+           floor(p_cont_r * 1e6 + 0.5) / 1e6 AS p_cont,
+           floor((p_disc_r + lam_r * p_cont_r) * 1e6 + 0.5) / 1e6 AS p_kn
+         FROM ranked WHERE pos <= 20 ORDER BY pos""",
     // weighted PageRank over the window-2 co-occurrence grid, three
     // unrolled iterations; contributions quantize to 1e-12 longs
     // pre-sum and the damping constants are the Scala doubles

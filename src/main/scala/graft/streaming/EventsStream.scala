@@ -732,6 +732,86 @@ object EventsStream {
     * (user, ts, tieBreak, deltaCents) stream — exposed so the
     * multi-batch carry spec can drive it over a hand-staged source.
     */
+  /** Token-bucket carry: last event time, the micro-token balance,
+    * and the cumulative event/admission counters (emitted per batch;
+    * the gate keeps the max-count row, the [[ledgerFold]] pattern).
+    */
+  case class BucketCarry(lastTs: Long, tokens: Long, n: Long, adm: Long)
+  case class BucketRow(user_id: Long, n_events: Long, n_admitted: Long,
+    final_tokens_micro: Long)
+
+  /** Streaming per-key token-bucket rate limiter (admission control —
+    * the ingestion-throttling primitive a crawl/event pipeline puts in
+    * front of expensive downstream work): each key holds a bucket of
+    * `capacityMicro` micro-tokens refilled at one micro-token per
+    * `nsPerMicroToken` ns; an event is admitted iff a full token
+    * (10⁶ µ) is available, and spends it. Pure integer arithmetic —
+    * the refill is an integer `div` (sub-µtoken remainders are
+    * deliberately dropped; deterministic in any engine). State is one
+    * (ts, balance, counters) tuple per key. Emits the cumulative
+    * per-key summary each batch:
+    * `(user_id, n_events, n_admitted, final_tokens_micro)`.
+    */
+  def tokenBucketFold(typed: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      capacityMicro: Long, nsPerMicroToken: Long): DataFrame = {
+    import typed.sparkSession.implicits._
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[BucketCarry, BucketRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[BucketCarry]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(
+            BucketCarry(Long.MinValue, capacityMicro, 0L, 0L))
+          sorted.foreach { case (_, ts, _) =>
+            val refill =
+              if (st.lastTs == Long.MinValue) 0L
+              else (ts - st.lastTs) / nsPerMicroToken
+            val avail = math.min(capacityMicro, st.tokens + refill)
+            val admit = avail >= 1000000L
+            st = BucketCarry(ts,
+              if (admit) avail - 1000000L else avail,
+              st.n + 1, st.adm + (if (admit) 1L else 0L))
+          }
+          state.update(st)
+          Iterator(BucketRow(user, st.n, st.adm, st.tokens))
+      }.toDF()
+  }
+
+  /** Drive the token bucket once over the static events table:
+    * 3-token buckets, one token per hour. */
+  def runTokenBucketOnce(spark: SparkSession, dir: String,
+      capacityMicro: Long = 3000000L,
+      nsPerMicroToken: Long = 3600000L): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    val schema = spark.read.parquet(staged).schema
+    val stream = graft.Tables.tsAsNanos(
+      spark.readStream.schema(schema).parquet(staged))
+    import spark.implicits._
+    val typed = stream.select(col("user_id").cast("long"),
+        col("ts").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+    val out = tokenBucketFold(typed, capacityMicro, nsPerMicroToken)
+    val name = s"events_bucket_${System.nanoTime()}"
+    withStatePartitions(spark, 8) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // final row per user = the one with the full event count
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_admitted"),
+        col("final_tokens_micro"))).as("__f"))
+      .select(col("user_id"), col("__f.n_events").as("n_events"),
+        col("__f.n_admitted").as("n_admitted"),
+        col("__f.final_tokens_micro").as("final_tokens_micro"))
+  }
+
   /** Per-key pattern state: the pending views inside the match
     * horizon, `(view_id, ts_ns)` — pruned each batch, so state size
     * is bounded by the horizon's event rate, not stream lifetime.

@@ -3016,6 +3016,25 @@ class OperatorsSpec extends SparkSpec {
     assert(ranks.forall(r => (r * 1e6).round / 1e6 == r))
   }
 
+  test("TextAnalysis.kneserNeyBigrams: hand-computed continuation mix") {
+    // "a b a b a c": c(ab)=2, c(ba)=2, c(ac)=1; N1+ marginals all 1
+    // except N1+(a·)=2; 3 distinct bigrams
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyBigrams(docs, "text", "doc_id")
+      .collect()
+    assert(out.length == 3)
+    val byPair = out.map(r => (r.getAs[String]("v"),
+      r.getAs[String]("w")) -> r).toMap
+    val ab = byPair(("a", "b"))
+    assert(ab.getAs[Int]("pos") == 1 && ab.getAs[Long]("c_vw") == 2)
+    assert(ab.getAs[Double]("p_disc") == 0.416667) // 1.25/3
+    assert(ab.getAs[Double]("lambda") == 0.5) // 0.75·2/3
+    assert(ab.getAs[Double]("p_cont") == 0.333333) // 1/3
+    assert(ab.getAs[Double]("p_kn") == 0.583333)
+    assert(byPair(("b", "a")).getAs[Double]("p_kn") == 0.75)
+    assert(byPair(("a", "c")).getAs[Double]("p_kn") == 0.25)
+  }
+
   test("TextAnalysis.logisticRegressionGd: separable data learns the labels") {
     // y = 1 iff x1 high — GD from 0 with enough signal classifies
     // everything correctly within 5 full-batch steps

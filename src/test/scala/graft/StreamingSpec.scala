@@ -758,4 +758,25 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 3L, 2L, 10L), (2L, 8L, 6L, 70L)), s"got $got")
   }
+
+  test("EventsStream.tokenBucketFold: capacity, refill floor, denial") {
+    import spark.implicits._
+    // 3-token bucket, 1 µtoken per 3.6e6 ns (1 token/h)
+    val rows = Seq(
+      (1L, 0L, 1L), // full bucket → admit, 2e6 left
+      (1L, 1000L, 2L), // no refill yet → admit, 1e6
+      (1L, 2000L, 3L), // admit, 0
+      (1L, 3000L, 4L), // denied
+      (1L, 1800000003000L, 5L), // +0.5 token → still denied
+      (1L, 3600000003000L, 6L), // +0.5 more → exactly 1 → admit, 0
+      (2L, 42L, 7L) // fresh user: admit once
+    ).toDS()
+    val got = graft.streaming.EventsStream
+      .tokenBucketFold(rows, capacityMicro = 3000000L,
+        nsPerMicroToken = 3600000L)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 6L, 4L, 0L), (2L, 1L, 1L, 2000000L)),
+      s"got $got")
+  }
 }
