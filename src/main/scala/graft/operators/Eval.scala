@@ -1750,6 +1750,64 @@ object Eval {
         floor(f * 1e4 + 0.5) / 1e4).as("w_stat"))
   }
 
+  /** Isotonic calibration (exact PAVA fit) of a binary label against
+    * a score — the monotone recalibration step that turns any ranking
+    * score into a probability without q181's binned-identity
+    * assumption. Scores bucket into `bins` equal-width buckets; the
+    * fitted rate uses the closed-form minimax identity
+    * fitted_i = min_{j≥i} max_{k≤i} rate(k..j) (equal to the PAVA
+    * pool-adjacent-violators solution), evaluated over all (k, i, j)
+    * bucket triples — O(bins³) rows of exact integer cumulative
+    * moments, no iteration and no data-sized work. Output per bucket:
+    * `bucket, max_score, n, raw_rate, fitted_rate` (1e-6 grids;
+    * fitted_rate is non-decreasing by construction).
+    *
+    * Scale shape: one pass to ≤ `bins` rows (after a broadcast 1-row
+    * min/max), then bins³ ≤ ~10⁴ rows of algebra. Nothing here grows
+    * with the data.
+    */
+  def isotonicCalibration(df: DataFrame, x: Column, label: Column,
+      bins: Int = 12): DataFrame = {
+    require(bins >= 2 && bins <= 64, "bins in [2, 64]")
+    val base = df.select(x.cast("long").as("__x"),
+        when(label, 1L).otherwise(0L).as("__yy"))
+      .where(col("__x").isNotNull)
+    val mm = base.agg(min("__x").as("__mn"), max("__x").as("__mx"))
+    val per = base.crossJoin(broadcast(mm))
+      .select(expr(s"((__x - __mn) * $bins) div (__mx - __mn + 1)")
+        .as("__b"), col("__x"), col("__yy"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("__w"), sum("__yy").as("__s"),
+        max("__x").as("__thr"))
+    val wCum = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Dedup.persistTracked(per
+      .withColumn("__cw", sum("__w").over(wCum))
+      .withColumn("__cs", sum("__s").over(wCum)))
+    val ks = cum.select(col("__b").as("__k"),
+      (col("__cw") - col("__w")).as("__cwp"),
+      (col("__cs") - col("__s")).as("__csp"))
+    val js = cum.select(col("__b").as("__j"), col("__cw").as("__cwj"),
+      col("__cs").as("__csj"))
+    val is = cum.select(col("__b").as("__i"), col("__w").as("n"),
+      col("__s").as("__si"), col("__thr").as("max_score"))
+    val triples = ks.join(js, col("__k") <= col("__j"))
+      .join(is, col("__k") <= col("__i") && col("__i") <= col("__j"))
+    val avg = (col("__csj") - col("__csp")).cast("double") /
+      (col("__cwj") - col("__cwp"))
+    val inner = triples
+      .groupBy("__i", "__j", "n", "__si", "max_score")
+      .agg(max(avg).as("__mx"))
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    inner.groupBy(col("__i").as("bucket"), col("max_score"), col("n"),
+        col("__si"))
+      .agg(min("__mx").as("__fit"))
+      .select(col("bucket"), col("max_score"), col("n"),
+        g6(col("__si").cast("double") / col("n")).as("raw_rate"),
+        g6(col("__fit")).as("fitted_rate"))
+      .orderBy("bucket")
+  }
+
   /** Paired sign-flip permutation (randomization) test — the
     * distribution-free significance check for a per-unit paired
     * difference (here: does metric A exceed metric B for the same

@@ -300,6 +300,16 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- isotonic (PAVA) calibration of the basis-point pseudo-
+    //      probability against the purchase label: exact minimax fit
+    //      over 12 score buckets, monotone by construction ----
+    "q381_isotonic" -> ((s, d) => {
+      graft.operators.Eval.isotonicCalibration(
+        Tables.events(s, d).where(col("value").isNotNull),
+        pmod(floor(col("value") * 100 + 0.5).cast("long"), lit(101L)),
+        col("event_type") === "purchase")
+    }),
+
     // ---- streaming token-bucket rate limiter: 3-token buckets,
     //      1 token/hour refill, integer micro-token admission ----
     "q380_token_bucket" -> ((s, d) => {
@@ -1050,6 +1060,42 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // closed-form isotonic fit: min_{j≥i} max_{k≤i} rate(k..j) over
+    // bucket triples of exact cumulative integers
+    "q381_isotonic" ->
+      """WITH base AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) % 101 AS x,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS yy
+            FROM events WHERE value IS NOT NULL),
+          mm AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
+          per AS (
+            SELECT ((x - mn) * 12) // (mx - mn + 1) AS b, count(*) AS w,
+              CAST(sum(yy) AS BIGINT) AS s, max(x) AS thr
+            FROM base, mm GROUP BY 1),
+          cum AS (
+            SELECT *,
+              CAST(sum(w) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+              CAST(sum(s) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+            FROM per),
+          ks AS (SELECT b AS k, cw - w AS cwp, cs - s AS csp FROM cum),
+          js AS (SELECT b AS j, cw AS cwj, cs AS csj FROM cum),
+          isb AS (SELECT b AS i, w AS n, s AS si, thr AS max_score
+            FROM cum),
+          tri AS (
+            SELECT isb.i, js.j, isb.n, isb.si, isb.max_score,
+              CAST(csj - csp AS DOUBLE) / (cwj - cwp) AS avgr
+            FROM ks JOIN js ON ks.k <= js.j
+            JOIN isb ON ks.k <= isb.i AND isb.i <= js.j),
+          inner_ AS (
+            SELECT i, j, n, si, max_score, max(avgr) AS mx
+            FROM tri GROUP BY i, j, n, si, max_score)
+         SELECT i AS bucket, max_score, n,
+           floor(CAST(si AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS raw_rate,
+           floor(min(mx) * 1e6 + 0.5) / 1e6 AS fitted_rate
+         FROM inner_ GROUP BY i, max_score, n, si
+         ORDER BY bucket""",
     // sequential recurrence replayed as a recursive CTE over per-user
     // event ordinals; pure integer refill/admission arithmetic
     "q380_token_bucket" ->

@@ -354,6 +354,21 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stat") == 1.5)
   }
 
+  test("isotonicCalibration: violator pooled, fit monotone and exact") {
+    // raw rates [0.5, 0.0, 0.5, 1.0] → PAVA pools buckets 0-1 to 0.25
+    val df = Seq((0L, 1), (0L, 0), (1L, 0), (1L, 0),
+      (2L, 1), (2L, 0), (3L, 1), (3L, 1)).toDF("x", "y")
+    val out = Eval.isotonicCalibration(df, col("x"), col("y") === 1,
+      bins = 4).collect()
+    val fit = out.map(r => r.getAs[Long]("bucket") ->
+      (r.getAs[Double]("raw_rate"), r.getAs[Double]("fitted_rate")))
+      .toMap
+    assert(fit(0L) == ((0.5, 0.25)))
+    assert(fit(1L) == ((0.0, 0.25)))
+    assert(fit(2L) == ((0.5, 0.5)))
+    assert(fit(3L) == ((1.0, 1.0)))
+  }
+
   test("signFlipTest: zero diffs give p = 1; basics deterministic") {
     // u1/u2: purchase mean == view mean ⇒ d = 0 ⇒ every rep extreme
     val zero = Seq((1L, "p", 5.0), (1L, "v", 5.0),
