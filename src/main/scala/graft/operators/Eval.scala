@@ -1750,6 +1750,90 @@ object Eval {
         floor(f * 1e4 + 0.5) / 1e4).as("w_stat"))
   }
 
+  /** Cochran's Q test — the k-treatment binary repeated-measures test
+    * (the Friedman of 0/1 outcomes, the McNemar of k > 2): do the k
+    * conditions fire at the same rate across the same blocks?
+    * Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²) over per-block binary
+    * reductions — pure int64 arithmetic until the final ratio.
+    * Output one row: `n_blocks, k_treatments, q_stat` (1e-4 grid,
+    * NULL when the denominator degenerates).
+    *
+    * Scale shape: one (block × treatment) boolean aggregate, two
+    * marginal reductions. Column totals C_j are treatment-grain;
+    * row-total squares fold map-side.
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+      pred: Column): DataFrame = {
+    val cells = df.groupBy(col(blockCol).as("__b"),
+        col(treatCol).as("__t"))
+      .agg(max(when(pred, 1L).otherwise(0L)).as("__x"))
+    val k = cells.select("__t").distinct().count()
+    val rows = cells.groupBy("__b").agg(sum("__x").as("__r"))
+      .agg(count(lit(1)).as("n_blocks"), sum("__r").as("__N"),
+        sum(col("__r") * col("__r")).as("__R2"))
+    val cols = cells.groupBy("__t").agg(sum("__x").as("__c"))
+      .agg(sum(col("__c") * col("__c")).as("__C2"))
+    val num = (lit(k - 1) * (lit(k) * col("__C2") -
+      col("__N") * col("__N"))).cast("double")
+    val den = (lit(k) * col("__N") - col("__R2")).cast("double")
+    rows.crossJoin(broadcast(cols))
+      .select(col("n_blocks"), lit(k).as("k_treatments"),
+        when(den > 0, floor(num / den * 1e4 + 0.5) / 1e4).as("q_stat"))
+  }
+
+  /** Simpson's-paradox audit: per-stratum vs pooled linear association
+    * between two numeric columns — flags strata whose covariance SIGN
+    * contradicts the pooled sign (the aggregation-reversal trap every
+    * metrics dashboard needs guarded). Signs come from the exact
+    * integer covariance numerator n·Σxy − Σx·Σy (no float compare);
+    * Pearson r is reported alongside on the 1e-6 grid. Output one row
+    * per stratum plus a pooled `__all` row:
+    * `stratum, n, cov_sign, r, reverses_pooled`.
+    *
+    * Scale shape: one map-side-combined moment aggregate per stratum;
+    * the pooled row folds the same moments. No joins beyond the 1-row
+    * pooled broadcast.
+    */
+  def simpsonsAudit(df: DataFrame, stratumCol: String, x: Column,
+      y: Column): DataFrame = {
+    val base = df.select(col(stratumCol).cast("string").as("__st"),
+        x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val per = base.groupBy("__st").agg(count(lit(1)).as("n"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"),
+      sum(col("__y").cast("decimal(38,0)") * col("__y")).as("__syy"))
+    val pooled = per.agg(lit("__all").as("__st"),
+      sum("n").as("n"), sum("__sx").as("__sx"), sum("__sy").as("__sy"),
+      sum("__sxy").cast("decimal(38,0)").as("__sxy"),
+      sum("__sxx").cast("decimal(38,0)").as("__sxx"),
+      sum("__syy").cast("decimal(38,0)").as("__syy"))
+    val all = per.unionByName(pooled)
+    val cov = col("n").cast("decimal(38,0)") * col("__sxy") -
+      col("__sx").cast("decimal(38,0)") * col("__sy")
+    val dx = col("n").cast("decimal(38,0)") * col("__sxx") -
+      col("__sx").cast("decimal(38,0)") * col("__sx")
+    val dy = col("n").cast("decimal(38,0)") * col("__syy") -
+      col("__sy").cast("decimal(38,0)") * col("__sy")
+    val sign = when(cov > 0, 1).when(cov < 0, -1).otherwise(0)
+    val r = cov.cast("double") / (sqrt(dx.cast("double")) *
+      sqrt(dy.cast("double")))
+    def g6(c: Column): Column =
+      when(c >= 0, floor(c * 1e6 + 0.5)).otherwise(-floor(-c * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val scored = all.select(col("__st").as("stratum"), col("n"),
+      sign.as("cov_sign"),
+      when(dx > 0 && dy > 0, g6(r)).as("r"))
+    val pooledSign = scored.where(col("stratum") === "__all")
+      .select(col("cov_sign").as("__ps"))
+    scored.crossJoin(broadcast(pooledSign))
+      .select(col("stratum"), col("n"), col("cov_sign"), col("r"),
+        (col("cov_sign") =!= 0 && col("__ps") =!= 0 &&
+          col("cov_sign") =!= col("__ps")).as("reverses_pooled"))
+      .orderBy("stratum")
+  }
+
   /** Isotonic calibration (exact PAVA fit) of a binary label against
     * a score — the monotone recalibration step that turns any ranking
     * score into a probability without q181's binned-identity

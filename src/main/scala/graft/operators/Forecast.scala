@@ -482,6 +482,60 @@ object Forecast {
         when(da > 0 && db > 0, g6(tau)).as("tau_b"))
   }
 
+  /** Wald–Wolfowitz runs test on the daily volume's up/down moves —
+    * "is the day-over-day direction random, or does it streak/
+    * alternate?" (too FEW runs = momentum, too many = mean-reversion;
+    * the model-free serial-dependence check next to q230's ACF).
+    * Zero moves are dropped; R = the number of sign runs,
+    * E[R] = 1 + 2n₁n₂/n, V[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)),
+    * z = (R−E)/√V — exact integers until the final ratio. Output one
+    * row: `n_moves, n_up, n_down, runs, expected_runs, z` (1e-4/1e-6
+    * grids).
+    *
+    * Scale shape: corpus → day grid once; two bounded lag windows
+    * over the GRID. Nothing data-sized.
+    */
+  def runsTestDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val wT = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val moves = series
+      .withColumn("__prev", lag("__y", 1).over(wT))
+      .where(col("__prev").isNotNull && col("__y") =!= col("__prev"))
+      .select(col("t"),
+        when(col("__y") > col("__prev"), 1L).otherwise(-1L).as("__s"))
+    val wM = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val runs = moves
+      .withColumn("__ps", lag("__s", 1).over(wM))
+      .select(col("__s"),
+        when(col("__ps").isNull || col("__ps") =!= col("__s"), 1L)
+          .otherwise(0L).as("__newRun"))
+      .agg(count(lit(1)).as("n_moves"),
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("__s") === -1L, 1L).otherwise(0L)).as("n_down"),
+        sum("__newRun").as("runs"))
+    val n = col("n_moves").cast("double")
+    val p2 = (lit(2L) * col("n_up") * col("n_down")).cast("double")
+    val eR = lit(1d) + p2 / n
+    val vR = p2 * (p2 - n) / (n * n * (n - 1d))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    runs.select(col("n_moves"), col("n_up"), col("n_down"), col("runs"),
+      when(col("n_moves") > 0, floor(eR * 1e4 + 0.5) / 1e4)
+        .as("expected_runs"),
+      when(col("n_moves") > 1 && vR > 0,
+        g6((col("runs").cast("double") - eR) / sqrt(vR))).as("z"))
+  }
+
   /** Friedman rank test over daily blocks — "do the event types keep
     * the same daily-volume ORDERING day after day?" (the
     * repeated-measures companion of q324's Kruskal–Wallis: KW pools

@@ -300,6 +300,18 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- Cochran's Q: do high-value events fire at the same rate
+    //      across event types for the same users? (binary Friedman) ----
+    "q382_cochran_q" -> ((s, d) => {
+      graft.operators.Eval.cochranQ(Tables.events(s, d), "user_id",
+        "event_type", col("value") > 300)
+    }),
+
+    // ---- Wald–Wolfowitz runs test on daily volume up/down moves ----
+    "q385_runs_test" -> ((s, d) => {
+      graft.operators.Forecast.runsTestDaily(Tables.events(s, d), "ts")
+    }),
+
     // ---- isotonic (PAVA) calibration of the basis-point pseudo-
     //      probability against the purchase label: exact minimax fit
     //      over 12 score buckets, monotone by construction ----
@@ -1060,6 +1072,85 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // pure int64 marginals; absent (block, treatment) cells are
+    // exact zeros in both engines
+    "q382_cochran_q" ->
+      """WITH cells AS (
+            SELECT user_id AS b, event_type AS t,
+              max(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS x
+            FROM events GROUP BY 1, 2),
+          rows_ AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+              CAST(sum(r) AS BIGINT) AS nn,
+              CAST(sum(r * r) AS BIGINT) AS r2
+            FROM (SELECT b, CAST(sum(x) AS BIGINT) AS r FROM cells
+              GROUP BY b)),
+          cols_ AS (
+            SELECT CAST(sum(c * c) AS BIGINT) AS c2
+            FROM (SELECT t, CAST(sum(x) AS BIGINT) AS c FROM cells
+              GROUP BY t)),
+          k_ AS (SELECT count(DISTINCT t) AS k FROM cells)
+         SELECT n_blocks, k AS k_treatments,
+           CASE WHEN CAST(k * nn - r2 AS DOUBLE) > 0 THEN
+             floor(CAST((k - 1) * (k * c2 - nn * nn) AS DOUBLE)
+               / CAST(k * nn - r2 AS DOUBLE) * 1e4 + 0.5) / 1e4
+             END AS q_stat
+         FROM rows_, cols_, k_""",
+    // runs over the sign sequence of day-over-day moves; exact
+    // integers until the final z ratio
+    "q385_runs_test" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d
+            FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          mv AS (
+            SELECT t, CASE WHEN y > prev THEN 1 ELSE -1 END AS s
+            FROM (SELECT t, y, lag(y) OVER (ORDER BY t) AS prev
+              FROM series)
+            WHERE prev IS NOT NULL AND y <> prev),
+          r AS (
+            SELECT count(*) AS n_moves,
+              CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_up,
+              CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_down,
+              CAST(sum(CASE WHEN ps IS NULL OR ps <> s THEN 1 ELSE 0
+                END) AS BIGINT) AS runs
+            FROM (SELECT s, lag(s) OVER (ORDER BY t) AS ps FROM mv))
+         SELECT n_moves, n_up, n_down, runs,
+           CASE WHEN n_moves > 0 THEN
+             floor((1 + CAST(2 * n_up * n_down AS DOUBLE) / n_moves)
+               * 1e4 + 0.5) / 1e4 END AS expected_runs,
+           CASE WHEN n_moves > 1
+               AND CAST(2 * n_up * n_down AS DOUBLE)
+                 * (CAST(2 * n_up * n_down AS DOUBLE) - n_moves)
+                 / (CAST(n_moves AS DOUBLE) * n_moves * (n_moves - 1))
+                 > 0 THEN
+             CASE WHEN (CAST(runs AS DOUBLE)
+                 - (1 + CAST(2 * n_up * n_down AS DOUBLE) / n_moves))
+                 / sqrt(CAST(2 * n_up * n_down AS DOUBLE)
+                   * (CAST(2 * n_up * n_down AS DOUBLE) - n_moves)
+                   / (CAST(n_moves AS DOUBLE) * n_moves
+                     * (n_moves - 1))) >= 0 THEN
+               floor((CAST(runs AS DOUBLE)
+                 - (1 + CAST(2 * n_up * n_down AS DOUBLE) / n_moves))
+                 / sqrt(CAST(2 * n_up * n_down AS DOUBLE)
+                   * (CAST(2 * n_up * n_down AS DOUBLE) - n_moves)
+                   / (CAST(n_moves AS DOUBLE) * n_moves
+                     * (n_moves - 1))) * 1e6 + 0.5)
+             ELSE -floor(-((CAST(runs AS DOUBLE)
+                 - (1 + CAST(2 * n_up * n_down AS DOUBLE) / n_moves))
+                 / sqrt(CAST(2 * n_up * n_down AS DOUBLE)
+                   * (CAST(2 * n_up * n_down AS DOUBLE) - n_moves)
+                   / (CAST(n_moves AS DOUBLE) * n_moves
+                     * (n_moves - 1)))) * 1e6 + 0.5) END / 1e6 + 0.0
+             END AS z
+         FROM r""",
     // closed-form isotonic fit: min_{j≥i} max_{k≤i} rate(k..j) over
     // bucket triples of exact cumulative integers
     "q381_isotonic" ->

@@ -218,6 +218,15 @@ object Relational {
         col("l_returnflag") === "R", bins = 32)
     }),
 
+    // ---- Simpson's-paradox audit: per-returnflag vs pooled sign of
+    //      the discount↔price association (exact integer covariance) ----
+    "q383_simpsons" -> ((s, d) => {
+      graft.operators.Eval.simpsonsAudit(Tables.lineitem(s, d),
+        "l_returnflag",
+        floor(col("l_discount") * 10000 + 0.5).cast("long"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+    }),
+
     // ---- aggregation core (A-*, P1): TPC-H Q1 shape ----
     "q01_pricing_summary" -> ((s, d) => {
       li(s, d)
@@ -1182,6 +1191,61 @@ object Relational {
              / 1e6 + 0.0 END AS r2
          FROM fin ORDER BY grp"""
     },
+    // covariance signs from exact integer numerators (HUGEINT ↔
+    // decimal(38,0)); the pooled row folds the same moments
+    "q383_simpsons" ->
+      """WITH base AS (
+            SELECT l_returnflag AS st,
+              CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x,
+              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+            FROM lineitem
+            WHERE l_discount IS NOT NULL
+              AND l_extendedprice IS NOT NULL),
+          per AS (
+            SELECT st, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM base GROUP BY st),
+          pooled AS (
+            SELECT '__all' AS st, CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(sx) AS BIGINT) AS sx,
+              CAST(sum(sy) AS BIGINT) AS sy,
+              CAST(sum(sxy) AS HUGEINT) AS sxy,
+              CAST(sum(sxx) AS HUGEINT) AS sxx,
+              CAST(sum(syy) AS HUGEINT) AS syy
+            FROM per),
+          allr AS (SELECT * FROM per UNION ALL SELECT * FROM pooled),
+          calc AS (
+            SELECT st, n,
+              CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS cov,
+              CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS dx,
+              CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                AS dy
+            FROM allr),
+          scored AS (
+            SELECT st AS stratum, n,
+              CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+                AS cov_sign,
+              CASE WHEN dx > 0 AND dy > 0 THEN
+                CASE WHEN CAST(cov AS DOUBLE) / (sqrt(CAST(dx AS
+                    DOUBLE)) * sqrt(CAST(dy AS DOUBLE))) >= 0 THEN
+                  floor(CAST(cov AS DOUBLE) / (sqrt(CAST(dx AS DOUBLE))
+                    * sqrt(CAST(dy AS DOUBLE))) * 1e6 + 0.5)
+                ELSE -floor(-(CAST(cov AS DOUBLE)
+                    / (sqrt(CAST(dx AS DOUBLE))
+                      * sqrt(CAST(dy AS DOUBLE)))) * 1e6 + 0.5)
+                END / 1e6 + 0.0 END AS r
+            FROM calc),
+          ps AS (SELECT cov_sign AS p FROM scored
+            WHERE stratum = '__all')
+         SELECT stratum, n, cov_sign, r,
+           (cov_sign <> 0 AND p <> 0 AND cov_sign <> p)
+             AS reverses_pooled
+         FROM scored, ps ORDER BY stratum""",
     // cumulative pos/neg over the 32-bucket grid; argmin by
     // (impurity-9-grid, threshold)
     "q371_best_split" ->

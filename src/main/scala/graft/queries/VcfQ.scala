@@ -212,6 +212,10 @@ object VcfQ {
     "q374_vcf_spectrum" -> ((s, _) => {
       VcfApi.mutationSpectrum(tables(s).info)
     }),
+    // ---- mean-dosage imputation accounting (GRM/PCA preprocessing) ----
+    "q384_vcf_impute" -> ((s, _) => {
+      VcfApi.imputeDosageReport(tables(s).geno)
+    }),
     // ---- Mendelian-error trio check (plink --mendel): a family
     //      fixture exercising every feasible-range edge — 0×0, 2×2,
     //      0×2 and hom×het violations, a missing-call exclusion, two
@@ -609,6 +613,20 @@ object VcfQ {
          t(sample_a, sample_b, n_shared, n_het_het, n_opp_homo,
            n_het_a, n_het_b, phi)
          ORDER BY sample_a, sample_b""",
+    // hand-computed from the q45 dosages: v3 has S1 missing (./.) ⇒
+    // af from the one call (1/2), imputed mean (1 + 2·0.5)/2 = 1;
+    // all other variants fully called
+    "q384_vcf_impute" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+          (2, 2, 0, 0.5, 1.0),
+          (3, 1, 1, 0.5, 1.0),
+          (4, 2, 0, 0.75, 1.5),
+          (5, 2, 0, 0.25, 0.5),
+          (6, 2, 0, 1.0, 2.0))
+         t(variant_id, n_called, n_missing, af, mean_dosage)
+         ORDER BY variant_id""",
     // hand-computed: v1 A>G and v4 T>C fold to T>C; v2 C>T and v3 G>A
     // fold to C>T; v6 A>C folds to T>G; v5 is an indel (excluded) —
     // 5 SNVs ⇒ fractions .4/.4/.2, transitions C>T/T>C

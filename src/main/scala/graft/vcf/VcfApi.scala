@@ -1447,6 +1447,33 @@ object VcfApi {
       info, regions.withColumnRenamed("start", "rstart").withColumnRenamed("end", "rend"),
       Seq("chr"), "start", "end", "rstart", "rend", binWidth, broadcastRows)
 
+  /** Mean-dosage imputation of missing genotype calls (the standard
+    * GRM/PCA preprocessing: a missing call contributes the variant's
+    * expected dosage 2p̂ instead of dropping the whole sample-pair
+    * cell). Reports per variant the call accounting, the called-only
+    * allele frequency and the post-imputation mean dosage:
+    * `variant_id, n_called, n_missing, af, mean_dosage` (1e-6 grids;
+    * fully-missing variants get NULL af/mean).
+    *
+    * Scale shape: one map-side-combined per-variant aggregate.
+    */
+  def imputeDosageReport(geno: DataFrame): DataFrame = {
+    val per = geno.groupBy("variant_id").agg(
+      count(col("gt")).as("n_called"),
+      sum(when(col("gt").isNull, 1L).otherwise(0L)).as("n_missing"),
+      sum(col("gt").cast("long")).as("__sg"))
+    val af = col("__sg").cast("double") /
+      (lit(2L) * col("n_called")).cast("double")
+    val mean = (col("__sg").cast("double") +
+      col("n_missing").cast("double") * (lit(2d) * af)) /
+      (col("n_called") + col("n_missing")).cast("double")
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    per.select(col("variant_id"), col("n_called"), col("n_missing"),
+      when(col("n_called") > 0, g6(af)).as("af"),
+      when(col("n_called") > 0, g6(mean)).as("mean_dosage"))
+      .orderBy("variant_id")
+  }
+
   /** SNV mutation spectrum — per-class substitution counts with
     * pyrimidine folding (the six canonical classes C>A/C>G/C>T/
     * T>A/T>C/T>G; a purine ref strand-complements onto its pyrimidine

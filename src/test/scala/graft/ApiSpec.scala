@@ -651,6 +651,24 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("VcfApi.imputeDosageReport: missing calls imputed at 2p̂") {
+    import spark.implicits._
+    val geno = Seq(
+      (1L, "a", Some(0d)), (1L, "b", None), (1L, "c", Some(2d)),
+      (2L, "a", None), (2L, "b", None), (2L, "c", None)
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.imputeDosageReport(geno)
+      .collect().map(r => r.getAs[Long]("variant_id") -> r).toMap
+    val v1 = got(1L)
+    assert(v1.getAs[Long]("n_called") == 2 &&
+      v1.getAs[Long]("n_missing") == 1)
+    assert(v1.getAs[Double]("af") == 0.5)
+    assert(v1.getAs[Double]("mean_dosage") == 1.0) // (2 + 1·1)/3
+    val v2 = got(2L)
+    assert(v2.getAs[Long]("n_called") == 0)
+    assert(v2.isNullAt(v2.fieldIndex("af")))
+  }
+
   test("VcfApi.mutationSpectrum: purine folding, indels excluded") {
     import spark.implicits._
     val info = Seq(

@@ -354,6 +354,47 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stat") == 1.5)
   }
 
+  test("cochranQ: hand-computed 4-block 3-treatment case") {
+    // Cj = (3,2,1), N = 6, ΣRi² = 14 ⇒ Q = 2·(42−36)/4 = 3
+    val rows = Seq(
+      (1, "a", 1), (1, "b", 1), (1, "c", 0),
+      (2, "a", 1), (2, "b", 0), (2, "c", 0),
+      (3, "a", 1), (3, "b", 1), (3, "c", 1),
+      (4, "a", 0), (4, "b", 0), (4, "c", 0)).toDF("b", "t", "x")
+    val r = Eval.cochranQ(rows, "b", "t", col("x") === 1)
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") == 4)
+    assert(r.getAs[Long]("k_treatments") == 3)
+    assert(r.getAs[Double]("q_stat") == 3.0)
+  }
+
+  test("simpsonsAudit: within-stratum positive, pooled negative") {
+    val rows = Seq(("A", 1L, 5L), ("A", 2L, 6L),
+      ("B", 8L, 1L), ("B", 9L, 2L)).toDF("st", "x", "y")
+    val out = Eval.simpsonsAudit(rows, "st", col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Int]("cov_sign"), r.getAs[Double]("r"),
+          r.getAs[Boolean]("reverses_pooled"))).toMap
+    assert(out("A") == ((1, 1.0, true)))
+    assert(out("B") == ((1, 1.0, true)))
+    assert(out("__all")._1 == -1 && !out("__all")._3)
+    assert(out("__all")._2 < 0)
+  }
+
+  test("runsTestDaily: perfect alternation, hand-computed z") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val y = Seq(1, 2, 1, 2, 1)
+    val rows = for (d <- y.indices; i <- 1 to y(d))
+      yield (d * DayNs + i, 1)
+    val r = graft.operators.Forecast.runsTestDaily(
+      rows.toDF("tsns", "x"), "tsns").collect().head
+    assert(r.getAs[Long]("n_moves") == 4)
+    assert(r.getAs[Long]("n_up") == 2 && r.getAs[Long]("n_down") == 2)
+    assert(r.getAs[Long]("runs") == 4)
+    assert(r.getAs[Double]("expected_runs") == 3.0)
+    assert(r.getAs[Double]("z") == 1.224745) // 1/√(2/3), floor grid
+  }
+
   test("isotonicCalibration: violator pooled, fit monotone and exact") {
     // raw rates [0.5, 0.0, 0.5, 1.0] → PAVA pools buckets 0-1 to 0.25
     val df = Seq((0L, 1), (0L, 0), (1L, 0), (1L, 0),
