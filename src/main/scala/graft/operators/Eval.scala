@@ -1750,6 +1750,39 @@ object Eval {
         floor(f * 1e4 + 0.5) / 1e4).as("w_stat"))
   }
 
+  /** Hill estimator of the right-tail index (Hill 1975) — "how heavy
+    * is the value tail?" (α ≤ 2 ⇒ infinite variance; the
+    * heavy-tail audit behind q183's Zipf fit and q184's Gini). Over
+    * the top `k` order statistics x₁ ≥ … ≥ x_k:
+    * H = mean of ln(x_i/x_k) for i < k, α = 1/H. Each ln term
+    * quantizes to the 1e-9 grid before the fold. Output one row:
+    * `k, threshold, hill_mean, tail_index` (1e-6/1e-4 grids).
+    *
+    * Scale shape: the top-k filter compiles to a map-side
+    * WindowGroupLimit (no full sort); everything after is k-row
+    * algebra.
+    */
+  def hillTail(df: DataFrame, x: Column, k: Int = 50): DataFrame = {
+    require(k >= 3, "need at least 3 order statistics")
+    val base = df.select(x.cast("long").as("__x"))
+      .where(col("__x").isNotNull && col("__x") > 0)
+    val w = Window.orderBy(col("__x").desc)
+    val top = base.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+    val thr = top.agg(min("__x").as("__xk"), max("__rn").as("__kk"))
+    val terms = top.crossJoin(broadcast(thr))
+      .where(col("__rn") < col("__kk"))
+      .agg(sum(floor(log(col("__x").cast("double") / col("__xk")) * 1e9
+        + 0.5).cast("long")).as("__s9"))
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val hill = col("__s9").cast("double") / 1e9 / (col("__kk") - 1)
+    broadcast(thr).crossJoin(terms)
+      .select(col("__kk").as("k"), col("__xk").as("threshold"),
+        g6(hill).as("hill_mean"),
+        when(hill > 0, floor(lit(1d) / hill * 1e4 + 0.5) / 1e4)
+          .as("tail_index"))
+  }
+
   /** Cochran's Q test — the k-treatment binary repeated-measures test
     * (the Friedman of 0/1 outcomes, the McNemar of k > 2): do the k
     * conditions fire at the same rate across the same blocks?

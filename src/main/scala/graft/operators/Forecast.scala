@@ -536,6 +536,103 @@ object Forecast {
         g6((col("runs").cast("double") - eR) / sqrt(vR))).as("z"))
   }
 
+  /** Matrix profile of the daily volume series (Yeh et al. 2016,
+    * unnormalized-Euclidean form): for every length-`m` subsequence,
+    * the squared distance to its nearest non-trivial neighbor — the
+    * motif/discord detector (small profile = repeated shape, large =
+    * anomaly). Distances are EXACT integer sums of squared count
+    * differences; the exclusion zone `|i−j| ≥ ⌈m/2⌉` suppresses
+    * trivial self-matches. Output one row per window:
+    * `window_start, nn_index, dist_sq` (argmin ties break toward the
+    * smaller neighbor index).
+    *
+    * Scale shape: corpus → day grid once; the profile is a
+    * (windows × m) alignment join + a windows² pair aggregate — all
+    * day-grid-sized, independent of data volume.
+    */
+  def matrixProfileDaily(df: DataFrame, tsNsCol: String,
+      m: Int = 5): DataFrame = {
+    require(m >= 2, "window length m must be >= 2")
+    val excl = (m + 1) / 2
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"),
+      (col("__d1") - col("__d0") + 1L).as("__T"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"), col("__T"))
+    val offs = (0 until m).toDF("__k")
+    val win = series.crossJoin(broadcast(offs))
+      .select((col("t") - col("__k")).as("__i"), col("__k"),
+        col("__y"), col("__T"))
+      .where(col("__i") >= 0 && col("__i") <= col("__T") - m)
+    val a = win.select(col("__i"), col("__k"), col("__y").as("__ya"))
+    val b = win.select(col("__i").as("__j"), col("__k"),
+      col("__y").as("__yb"))
+    val d2 = a.join(b, Seq("__k"))
+      .where(abs(col("__i") - col("__j")) >= excl)
+      .groupBy("__i", "__j")
+      .agg(sum((col("__ya") - col("__yb")) * (col("__ya") - col("__yb")))
+        .as("__d2"))
+    d2.groupBy(col("__i").as("window_start"))
+      .agg(min(struct(col("__d2"), col("__j"))).as("__best"))
+      .select(col("window_start"), col("__best.__j").as("nn_index"),
+        col("__best.__d2").as("dist_sq"))
+      .orderBy("window_start")
+  }
+
+  /** Forecast-error panel for the two zero-parameter baselines every
+    * volume forecast must beat: naive-1 (ŷ_t = y_{t−1}) and
+    * seasonal-naive (ŷ_t = y_{t−period}), scored over the shared
+    * valid range t ≥ period. MAE/RMSE from exact integer error sums;
+    * MASE = MAE_seasonal / MAE_naive1 (< 1 ⇒ the weekly shape is
+    * real signal). Output one row:
+    * `n, mae_naive1, rmse_naive1, mae_snaive, rmse_snaive, mase`
+    * (1e-6 grids).
+    *
+    * Scale shape: day grid once, two lag windows over the grid, one
+    * fold.
+    */
+  def naiveForecastErrorsDaily(df: DataFrame, tsNsCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val wT = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val errs = series
+      .withColumn("__p1", lag("__y", 1).over(wT))
+      .withColumn("__ps", lag("__y", period).over(wT))
+      .where(col("t") >= period)
+      .select((col("__y") - col("__p1")).as("__e1"),
+        (col("__y") - col("__ps")).as("__es"))
+    val folded = errs.agg(count(lit(1)).as("n"),
+      sum(abs(col("__e1"))).as("__a1"),
+      sum(col("__e1") * col("__e1")).as("__q1"),
+      sum(abs(col("__es"))).as("__as"),
+      sum(col("__es") * col("__es")).as("__qs"))
+    val nD = col("n").cast("double")
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val mae1 = col("__a1").cast("double") / nD
+    val maeS = col("__as").cast("double") / nD
+    folded.select(col("n"), g6(mae1).as("mae_naive1"),
+      g6(sqrt(col("__q1").cast("double") / nD)).as("rmse_naive1"),
+      g6(maeS).as("mae_snaive"),
+      g6(sqrt(col("__qs").cast("double") / nD)).as("rmse_snaive"),
+      when(col("__a1") > 0, g6(maeS / mae1)).as("mase"))
+  }
+
   /** Friedman rank test over daily blocks — "do the event types keep
     * the same daily-volume ORDERING day after day?" (the
     * repeated-measures companion of q324's Kruskal–Wallis: KW pools

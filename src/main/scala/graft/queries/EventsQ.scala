@@ -300,6 +300,28 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- matrix profile of daily volume: nearest-neighbor squared
+    //      distance per 5-day window (motif/discord detector) ----
+    "q386_matrix_profile" -> ((s, d) => {
+      graft.operators.Forecast.matrixProfileDaily(
+        Tables.events(s, d), "ts")
+    }),
+
+    // ---- Hill tail-index estimator over the top-50 value order
+    //      statistics (heavy-tail audit) ----
+    "q387_hill_tail" -> ((s, d) => {
+      graft.operators.Eval.hillTail(
+        Tables.events(s, d).where(col("value").isNotNull),
+        floor(col("value") * 100 + 0.5))
+    }),
+
+    // ---- naive vs seasonal-naive forecast-error panel (MAE/RMSE/
+    //      MASE over the shared valid range) ----
+    "q388_forecast_errors" -> ((s, d) => {
+      graft.operators.Forecast.naiveForecastErrorsDaily(
+        Tables.events(s, d), "ts")
+    }),
+
     // ---- Cochran's Q: do high-value events fire at the same rate
     //      across event types for the same users? (binary Friedman) ----
     "q382_cochran_q" -> ((s, d) => {
@@ -1072,6 +1094,93 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // exact integer squared distances over the (windows × m)
+    // alignment; exclusion zone ⌈m/2⌉ = 3; argmin by (d², j)
+    "q386_matrix_profile" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d
+            FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d,
+            d1 - d0 + 1 AS tt FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y, g.tt
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          offs AS (SELECT unnest(generate_series(0, 4)) AS k),
+          win AS (
+            SELECT s.t - o.k AS i, o.k, s.y
+            FROM series s CROSS JOIN offs o
+            WHERE s.t - o.k >= 0 AND s.t - o.k <= s.tt - 5),
+          d2 AS (
+            SELECT a.i, b.i AS j,
+              CAST(sum((a.ya - b.yb) * (a.ya - b.yb)) AS BIGINT) AS dd
+            FROM (SELECT i, k, y AS ya FROM win) a
+            JOIN (SELECT i, k, y AS yb FROM win) b ON a.k = b.k
+            WHERE abs(a.i - b.i) >= 3
+            GROUP BY a.i, b.i),
+          best AS (
+            SELECT i, j, dd,
+              row_number() OVER (PARTITION BY i ORDER BY dd, j) AS rn
+            FROM d2)
+         SELECT i AS window_start, j AS nn_index, dd AS dist_sq
+         FROM best WHERE rn = 1 ORDER BY window_start""",
+    // top-k order statistics; ln(x/x_k) terms 1e-9-quantized pre-fold
+    "q387_hill_tail" ->
+      """WITH base AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL
+              AND CAST(floor(value * 100 + 0.5) AS BIGINT) > 0),
+          top AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rn
+            FROM base),
+          tk AS (SELECT min(x) AS xk, CAST(max(rn) AS BIGINT) AS kk
+            FROM top WHERE rn <= 50),
+          terms AS (
+            SELECT CAST(sum(CAST(floor(ln(CAST(x AS DOUBLE) / xk) * 1e9
+              + 0.5) AS BIGINT)) AS BIGINT) AS s9
+            FROM top, tk WHERE rn <= 50 AND rn < kk)
+         SELECT kk AS k, xk AS threshold,
+           floor(CAST(s9 AS DOUBLE) / 1e9 / (kk - 1) * 1e6 + 0.5) / 1e6
+             AS hill_mean,
+           CASE WHEN CAST(s9 AS DOUBLE) / 1e9 / (kk - 1) > 0 THEN
+             floor(1 / (CAST(s9 AS DOUBLE) / 1e9 / (kk - 1)) * 1e4
+               + 0.5) / 1e4 END AS tail_index
+         FROM tk, terms""",
+    // exact integer error sums over the shared t ≥ 7 range
+    "q388_forecast_errors" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d
+            FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          errs AS (
+            SELECT y - p1 AS e1, y - ps AS es
+            FROM (SELECT t, y, lag(y, 1) OVER (ORDER BY t) AS p1,
+                lag(y, 7) OVER (ORDER BY t) AS ps FROM series)
+            WHERE t >= 7),
+          f AS (
+            SELECT count(*) AS n,
+              CAST(sum(abs(e1)) AS BIGINT) AS a1,
+              CAST(sum(e1 * e1) AS BIGINT) AS q1,
+              CAST(sum(abs(es)) AS BIGINT) AS a2,
+              CAST(sum(es * es) AS BIGINT) AS q2
+            FROM errs)
+         SELECT n,
+           floor(CAST(a1 AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+             AS mae_naive1,
+           floor(sqrt(CAST(q1 AS DOUBLE) / n) * 1e6 + 0.5) / 1e6
+             AS rmse_naive1,
+           floor(CAST(a2 AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+             AS mae_snaive,
+           floor(sqrt(CAST(q2 AS DOUBLE) / n) * 1e6 + 0.5) / 1e6
+             AS rmse_snaive,
+           CASE WHEN a1 > 0 THEN
+             floor(CAST(a2 AS DOUBLE) / n / (CAST(a1 AS DOUBLE) / n)
+               * 1e6 + 0.5) / 1e6 END AS mase
+         FROM f""",
     // pure int64 marginals; absent (block, treatment) cells are
     // exact zeros in both engines
     "q382_cochran_q" ->

@@ -216,6 +216,11 @@ object VcfQ {
     "q384_vcf_impute" -> ((s, _) => {
       VcfApi.imputeDosageReport(tables(s).geno)
     }),
+    // ---- per-sample Ts/Tv over carried SNVs (plink --sample-counts) ----
+    "q389_vcf_sample_tstv" -> ((s, _) => {
+      val t = tables(s)
+      VcfApi.sampleTsTv(t.geno, t.info)
+    }),
     // ---- Mendelian-error trio check (plink --mendel): a family
     //      fixture exercising every feasible-range edge — 0×0, 2×2,
     //      0×2 and hom×het violations, a missing-call exclusion, two
@@ -613,6 +618,15 @@ object VcfQ {
          t(sample_a, sample_b, n_shared, n_het_het, n_opp_homo,
            n_het_a, n_het_b, phi)
          ORDER BY sample_a, sample_b""",
+    // hand-computed: S1 carries v2,v4 (transitions), v6 (transversion),
+    // v5 (indel, excluded) ⇒ 2/1; S2 carries v1,v3,v4 (ts) + v6 ⇒ 3/1
+    "q389_vcf_sample_tstv" ->
+      """SELECT * FROM (VALUES
+          ('S1', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(2.0 AS DOUBLE)),
+          ('S2', 3, 1, 3.0))
+         t(sample, n_ts, n_tv, tstv)
+         ORDER BY sample""",
     // hand-computed from the q45 dosages: v3 has S1 missing (./.) ⇒
     // af from the one call (1/2), imputed mean (1 + 2·0.5)/2 = 1;
     // all other variants fully called

@@ -1474,6 +1474,43 @@ object VcfApi {
       .orderBy("variant_id")
   }
 
+  /** Per-sample Ts/Tv — transition/transversion ratio over the SNVs a
+    * sample actually CARRIES (gt > 0; plink `--sample-counts`): the
+    * per-sample callset-quality screen (an outlier ratio flags a
+    * contaminated or mis-genotyped sample where the cohort-wide q217
+    * number looks fine). Folding/exclusion rules shared with
+    * [[mutationSpectrum]]. Output per sample:
+    * `sample, n_ts, n_tv, tstv` (1e-4 grid, NULL when no
+    * transversions).
+    *
+    * Scale shape: the variant-grain class table broadcasts into one
+    * carrier-filtered geno aggregate.
+    */
+  def sampleTsTv(geno: DataFrame, info: DataFrame): DataFrame = {
+    val bases = Seq("A", "C", "G", "T")
+    val isSnv = length(col("ref")) === 1 && length(col("alt")) === 1 &&
+      col("ref").isin(bases: _*) && col("alt").isin(bases: _*) &&
+      col("ref") =!= col("alt")
+    val classes = info.where(isSnv).select(col("variant_id"),
+      concat(
+        when(col("ref").isin("C", "T"), col("ref"))
+          .otherwise(translate(col("ref"), "ACGT", "TGCA")),
+        lit(">"),
+        when(col("ref").isin("C", "T"), col("alt"))
+          .otherwise(translate(col("alt"), "ACGT", "TGCA")))
+        .isin("C>T", "T>C").as("__isTs"))
+    val carried = geno.where(col("gt").isNotNull && col("gt") > 0)
+      .join(broadcast(classes), Seq("variant_id"))
+    val per = carried.groupBy("sample").agg(
+      sum(when(col("__isTs"), 1L).otherwise(0L)).as("n_ts"),
+      sum(when(!col("__isTs"), 1L).otherwise(0L)).as("n_tv"))
+    per.select(col("sample"), col("n_ts"), col("n_tv"),
+      when(col("n_tv") > 0,
+        floor(col("n_ts").cast("double") / col("n_tv") * 1e4 + 0.5)
+          / 1e4).as("tstv"))
+      .orderBy("sample")
+  }
+
   /** SNV mutation spectrum — per-class substitution counts with
     * pyrimidine folding (the six canonical classes C>A/C>G/C>T/
     * T>A/T>C/T>G; a purine ref strand-complements onto its pyrimidine

@@ -669,6 +669,25 @@ class ApiSpec extends SparkSpec {
     assert(v2.isNullAt(v2.fieldIndex("af")))
   }
 
+  test("VcfApi.sampleTsTv: carried-only counting, indels out, NULL ratio") {
+    import spark.implicits._
+    val info = Seq((1L, "A", "G"), (2L, "A", "C"), (3L, "G", "GA"))
+      .toDF("variant_id", "ref", "alt")
+    val geno = Seq(
+      (1L, "X", Some(1d)), (3L, "X", Some(2d)), (2L, "X", Some(0d)),
+      (1L, "Y", Some(2d)), (2L, "Y", Some(1d)), (3L, "Y", None)
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.sampleTsTv(geno, info).collect()
+      .map(r => r.getAs[String]("sample") -> r).toMap
+    // X carries v1 (ts) and v3 (indel, excluded); v2 is hom-ref
+    assert(got("X").getAs[Long]("n_ts") == 1)
+    assert(got("X").getAs[Long]("n_tv") == 0)
+    assert(got("X").isNullAt(got("X").fieldIndex("tstv")))
+    assert(got("Y").getAs[Long]("n_ts") == 1)
+    assert(got("Y").getAs[Long]("n_tv") == 1)
+    assert(got("Y").getAs[Double]("tstv") == 1.0)
+  }
+
   test("VcfApi.mutationSpectrum: purine folding, indels excluded") {
     import spark.implicits._
     val info = Seq(

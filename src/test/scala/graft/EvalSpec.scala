@@ -354,6 +354,49 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stat") == 1.5)
   }
 
+  test("matrixProfileDaily: alternating series, phase-match neighbors") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // y alternates 1/2 over 10 days: same-phase windows at d² = 0,
+    // cross-phase at 5; exclusion zone |i−j| ≥ 3
+    val y = Seq(1, 2, 1, 2, 1, 2, 1, 2, 1, 2)
+    val rows = for (d <- y.indices; i <- 1 to y(d))
+      yield (d * DayNs + i, 1)
+    val got = graft.operators.Forecast.matrixProfileDaily(
+      rows.toDF("tsns", "x"), "tsns", m = 5)
+      .collect().map(r => (r.getAs[Long]("window_start"),
+        r.getAs[Long]("nn_index"), r.getAs[Long]("dist_sq"))).toSeq
+    assert(got == Seq((0L, 4L, 0L), (1L, 5L, 0L), (2L, 5L, 5L),
+      (3L, 0L, 5L), (4L, 0L, 0L), (5L, 1L, 0L)), s"got $got")
+  }
+
+  test("hillTail: hand-quantized ln terms on a 4-point tail") {
+    val df = Seq(100000L, 10000L, 10000L, 1000L).toDF("x")
+    val r = Eval.hillTail(df, col("x"), k = 4).collect().head
+    assert(r.getAs[Int]("k") == 4)
+    assert(r.getAs[Long]("threshold") == 1000L)
+    val s9 = math.floor(math.log(100d) * 1e9 + 0.5).toLong +
+      2 * math.floor(math.log(10d) * 1e9 + 0.5).toLong
+    val hill = s9.toDouble / 1e9 / 3
+    assert(r.getAs[Double]("hill_mean") ==
+      math.floor(hill * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("tail_index") ==
+      math.floor(1d / hill * 1e4 + 0.5) / 1e4)
+  }
+
+  test("naiveForecastErrorsDaily: linear ramp, hand errors") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows = for (d <- 0 until 14; i <- 1 to d + 1)
+      yield (d * DayNs + i, 1)
+    val r = graft.operators.Forecast.naiveForecastErrorsDaily(
+      rows.toDF("tsns", "x"), "tsns").collect().head
+    assert(r.getAs[Long]("n") == 7)
+    assert(r.getAs[Double]("mae_naive1") == 1.0)
+    assert(r.getAs[Double]("rmse_naive1") == 1.0)
+    assert(r.getAs[Double]("mae_snaive") == 7.0)
+    assert(r.getAs[Double]("rmse_snaive") == 7.0)
+    assert(r.getAs[Double]("mase") == 7.0)
+  }
+
   test("cochranQ: hand-computed 4-block 3-treatment case") {
     // Cj = (3,2,1), N = 6, ΣRi² = 14 ⇒ Q = 2·(42−36)/4 = 3
     val rows = Seq(
