@@ -1750,6 +1750,90 @@ object Eval {
         floor(f * 1e4 + 0.5) / 1e4).as("w_stat"))
   }
 
+  /** Grubbs' single-outlier test (Grubbs 1950): G = max|x−x̄|/s — the
+    * parametric "is the most extreme point too extreme?" check next
+    * to q222's distribution-free MAD screen. The argmax is decided on
+    * EXACT integers (|c·n − Σc| cross-multiplied deviations, ties
+    * toward the larger value); G is double algebra over exact
+    * moments under IEEE sqrt. Output one row:
+    * `n, mean, sd, outlier_value, g_stat` (1e-6/1e-4 grids).
+    *
+    * Scale shape: one moment pass + one max pass (both map-side
+    * combined) against a broadcast 1-row total. Deviation products
+    * bound int64 to ~10¹⁸/max-cents rows.
+    */
+  def grubbs(df: DataFrame, valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") * 100d + 0.5)
+        .cast("long").as("__c"))
+    val mom = base.agg(count(lit(1)).as("n"), sum("__c").as("__s"),
+      sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__q"))
+    val dev = abs(col("__c") * col("n") - col("__s"))
+    val far = base.crossJoin(broadcast(mom))
+      .groupBy("n", "__s", "__q")
+      .agg(max(struct(dev.as("__d"), col("__c"))).as("__worst"))
+    val nD = col("n").cast("double")
+    val mean = col("__s").cast("double") / nD / 100d
+    val variance = (col("__q").cast("double") -
+      col("__s").cast("double") * col("__s") / nD) / (nD - 1d) / 1e4
+    val sd = sqrt(variance)
+    val g = col("__worst.__d").cast("double") / nD / 100d / sd
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    far.select(col("n"), g6(mean).as("mean"),
+      when(variance > 0, g6(sd)).as("sd"),
+      col("__worst.__c").as("outlier_value"),
+      when(variance > 0 && col("n") > 1, floor(g * 1e4 + 0.5) / 1e4)
+        .as("g_stat"))
+  }
+
+  /** Jackknife (leave-one-unit-out) standard error of a ratio metric
+    * R = Σnum/Σden — the correct uncertainty for per-user ratio KPIs
+    * (revenue per event, CTR), where row-level bootstrap is wrong
+    * because users are the exchangeable unit and q185's replication
+    * works per GROUP, not for one global ratio. Each pseudo-ratio
+    * R₍₋ᵤ₎ = (A−aᵤ)/(B−bᵤ) comes from the broadcast totals (no n×
+    * recompute), quantizes to the 1e-9 grid, and the variance folds
+    * exact integer moments: v = (n−1)/n · Σ(Rᵤ−R̄)². Output one row:
+    * `n_units, ratio, jk_se, ci_lo, ci_hi` (±1.96·se, 1e-6 grids).
+    *
+    * Scale shape: one unit-grain aggregate + a broadcast 1-row total;
+    * nothing quadratic anywhere.
+    */
+  def jackknifeRatio(df: DataFrame, unitCol: String, num: Column,
+      den: Column): DataFrame = {
+    val per = df.groupBy(col(unitCol).as("__u"))
+      .agg(sum(num).cast("long").as("__a"),
+        sum(den).cast("long").as("__b"))
+    val tot = per.agg(sum("__a").as("__ta"), sum("__b").as("__tb"))
+    val loo = per.crossJoin(broadcast(tot))
+      .where(col("__tb") - col("__b") > 0)
+    val rU = (col("__ta") - col("__a")).cast("double") /
+      (col("__tb") - col("__b"))
+    val r9 = when(rU >= 0, floor(rU * 1e9 + 0.5))
+      .otherwise(-floor(-rU * 1e9 + 0.5)).cast("long")
+    val mom = loo.select(r9.as("__r9"), col("__ta"), col("__tb"))
+      .groupBy("__ta", "__tb")
+      .agg(count(lit(1)).as("n_units"), sum("__r9").as("__sr"),
+        sum(col("__r9").cast("decimal(38,0)") * col("__r9")).as("__qr"))
+    val nD = col("n_units").cast("double")
+    val ratio = col("__ta").cast("double") / col("__tb")
+    val ss = (col("__qr").cast("double") -
+      col("__sr").cast("double") * col("__sr") / nD) / 1e18
+    val v = (nD - 1d) / nD * ss
+    val se = sqrt(v)
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    mom.select(col("n_units"), g6(ratio).as("ratio"),
+      when(col("n_units") > 1 && ss >= 0, g6(se)).as("jk_se"),
+      when(col("n_units") > 1 && ss >= 0,
+        g6(ratio - lit(1.96) * se)).as("ci_lo"),
+      when(col("n_units") > 1 && ss >= 0,
+        g6(ratio + lit(1.96) * se)).as("ci_hi"))
+  }
+
   /** Hill estimator of the right-tail index (Hill 1975) — "how heavy
     * is the value tail?" (α ≤ 2 ⇒ infinite variance; the
     * heavy-tail audit behind q183's Zipf fit and q184's Gini). Over

@@ -1762,4 +1762,48 @@ object Events {
           .otherwise(lit("test")))
       .drop("__mn", "__mx", "__t0", "__t1", "__embargoed")
   }
+
+  /** Entropy rate of the first-order event-type Markov chain —
+    * H(next | current) in nats, the one-number predictability of user
+    * behavior (0 = deterministic next step, ln k = uniform chaos; the
+    * sequence-domain sibling of q359's Theil U, which conditions on a
+    * static attribute instead). Reduces to the q146 ln-sum identity
+    * over transition counts: H = (B − A)/N with A = Σ_ij c·ln c,
+    * B = Σ_i n_i·ln n_i — each term quantized to the 1e-6 grid before
+    * its cross-partition sum. The normalizer ln(k) is computed from
+    * the same identity's integers in both engines. Output one row:
+    * `n_transitions, n_states, h_rate, h_max, predictability`
+    * (1e-6 grids; predictability = 1 − H/ln k).
+    *
+    * Scale shape: one windowed lead per user (the [[transitions]]
+    * pass), then type²-grain algebra.
+    */
+  def markovEntropyRate(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsNs), col(tieBreak))
+    def lnTerm(c: Column): Column =
+      floor(c.cast("double") * log(c.cast("double")) * 1e6 + 0.5)
+        .cast("long")
+    val cells = df.withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("__f"), col("__next").as("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val a = cells.agg(sum(lnTerm(col("__c"))).as("__la"),
+      sum("__c").as("__N"))
+    val b = cells.groupBy("__f").agg(sum("__c").as("__nf"))
+      .agg(sum(lnTerm(col("__nf"))).as("__lb"),
+        count(lit(1)).as("n_states"))
+    val nD = col("__N").cast("double")
+    val h = (col("__lb").cast("double") - col("__la").cast("double")) /
+      1e6 / nD
+    val hMax = log(col("n_states").cast("double"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    a.crossJoin(b)
+      .select(col("__N").as("n_transitions"), col("n_states"),
+        g6(h).as("h_rate"), g6(hMax).as("h_max"),
+        when(col("n_states") > 1, g6(lit(1d) - h / hMax))
+          .as("predictability"))
+  }
 }

@@ -751,6 +751,53 @@ object Graph {
       .orderBy("attr")
   }
 
+  /** Rich-club coefficient (Zhou & Mondragón 2004): for each degree
+    * threshold k, the edge density among nodes of degree > k —
+    * "do the hubs preferentially link to each other?" (φ(k) → 1 means
+    * a syndication/template CORE in a near-dup graph, vs hubs that
+    * only fan out to the periphery). Pure integer counting per
+    * threshold. Output per k: `k, n_nodes, n_edges, phi`
+    * (1e-6 grid, NULL when fewer than 2 qualifying nodes).
+    *
+    * Scale shape: one degree aggregate, two endpoint-degree joins
+    * (the [[triangleCounts]] prologue), then a broadcast-threshold
+    * crossJoin over the |ks| literal rows — counts fold map-side.
+    */
+  def richClub(edges: DataFrame, aCol: String, bCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), "thresholds must be >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .where(col("u").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .transform(Dedup.persistTracked)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+    val kDf = broadcast(ks.toDF("k"))
+    val nodesPerK = deg.crossJoin(kDf).where(col("__d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("__d").as("__du")), "u")
+      .join(deg.select(col("id").as("v"), col("__d").as("__dv")), "v")
+    val edgesPerK = withDeg.crossJoin(kDf)
+      .where(col("__du") > col("k") && col("__dv") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    val nN = col("n_nodes")
+    val phi = (lit(2L) * coalesce(col("n_edges"), lit(0L)))
+      .cast("double") / (nN * (nN - 1)).cast("double")
+    kDf.join(nodesPerK, Seq("k"), "left")
+      .join(edgesPerK, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        when(coalesce(col("n_nodes"), lit(0L)) >= 2,
+          floor(phi * 1e6 + 0.5) / 1e6).as("phi"))
+      .orderBy("k")
+  }
+
   /** k-truss decomposition (Cohen 2008): the maximal subgraph in which
     * every edge closes at least k−2 triangles — the community-core
     * extractor one notch stricter than [[kCore]] (a k-core keeps hubs

@@ -300,6 +300,28 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- Grubbs' single-outlier test on event values ----
+    "q390_grubbs" -> ((s, d) => {
+      graft.operators.Eval.grubbs(Tables.events(s, d), "value")
+    }),
+
+    // ---- jackknife SE of the revenue-per-event ratio (users are
+    //      the exchangeable unit, not rows) ----
+    "q391_jackknife_ratio" -> ((s, d) => {
+      graft.operators.Eval.jackknifeRatio(
+        Tables.events(s, d).where(col("value").isNotNull), "user_id",
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L),
+        lit(1L))
+    }),
+
+    // ---- Markov entropy rate: predictability of the next event
+    //      type given the current one ----
+    "q392_entropy_rate" -> ((s, d) => {
+      graft.operators.Events.markovEntropyRate(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id")
+    }),
+
     // ---- matrix profile of daily volume: nearest-neighbor squared
     //      distance per 5-day window (motif/discord detector) ----
     "q386_matrix_profile" -> ((s, d) => {
@@ -1094,6 +1116,117 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // argmax outlier decided on exact |c·n − Σc| integers; G from
+    // exact moments under IEEE sqrt
+    "q390_grubbs" ->
+      """WITH base AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL),
+          mom AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+            sum(CAST(c AS HUGEINT) * c) AS q FROM base),
+          far AS (
+            SELECT c, abs(c * n - s) AS d, n, s, q,
+              row_number() OVER (ORDER BY abs(c * n - s) DESC, c DESC)
+                AS rn
+            FROM base, mom),
+          sel AS (SELECT * FROM far WHERE rn = 1),
+          calc AS (
+            SELECT n, s, c, d,
+              (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+                / 1e4 AS var
+            FROM sel)
+         SELECT n,
+           CASE WHEN CAST(s AS DOUBLE) / n / 100 >= 0 THEN
+               floor(CAST(s AS DOUBLE) / n / 100 * 1e6 + 0.5)
+             ELSE -floor(-(CAST(s AS DOUBLE) / n / 100) * 1e6 + 0.5)
+             END / 1e6 + 0.0 AS mean,
+           CASE WHEN var > 0 THEN
+             floor(sqrt(var) * 1e6 + 0.5) / 1e6 + 0.0 END AS sd,
+           c AS outlier_value,
+           CASE WHEN var > 0 AND n > 1 THEN
+             floor(CAST(d AS DOUBLE) / n / 100 / sqrt(var) * 1e4 + 0.5)
+               / 1e4 END AS g_stat
+         FROM calc""",
+    // leave-one-unit-out pseudo-ratios from broadcast totals,
+    // 1e-9-quantized; variance from exact integer moments
+    "q391_jackknife_ratio" ->
+      """WITH per AS (
+            SELECT user_id AS u,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS a,
+              CAST(sum(1) AS BIGINT) AS b
+            FROM events WHERE value IS NOT NULL GROUP BY user_id),
+          tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+            CAST(sum(b) AS BIGINT) AS tb FROM per),
+          loo AS (
+            SELECT ta, tb,
+              CASE WHEN ru >= 0 THEN CAST(floor(ru * 1e9 + 0.5)
+                AS BIGINT)
+              ELSE -CAST(floor(-ru * 1e9 + 0.5) AS BIGINT) END AS r9
+            FROM (SELECT ta, tb, CAST(ta - a AS DOUBLE) / (tb - b)
+                AS ru
+              FROM per, tot WHERE tb - b > 0)),
+          mom AS (
+            SELECT ta, tb, count(*) AS n_units,
+              CAST(sum(r9) AS BIGINT) AS sr,
+              sum(CAST(r9 AS HUGEINT) * r9) AS qr
+            FROM loo GROUP BY ta, tb),
+          calc AS (
+            SELECT n_units, CAST(ta AS DOUBLE) / tb AS ratio,
+              (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n_units)
+                / 1e18 AS ss
+            FROM mom),
+          calc2 AS (
+            SELECT n_units, ratio, ss,
+              sqrt((CAST(n_units AS DOUBLE) - 1) / n_units * ss) AS se
+            FROM calc)
+         SELECT n_units,
+           floor(ratio * 1e6 + 0.5) / 1e6 + 0.0 AS ratio,
+           CASE WHEN n_units > 1 AND ss >= 0 THEN
+             floor(se * 1e6 + 0.5) / 1e6 + 0.0 END AS jk_se,
+           CASE WHEN n_units > 1 AND ss >= 0 THEN
+             CASE WHEN ratio - 1.96 * se >= 0 THEN
+                 floor((ratio - 1.96 * se) * 1e6 + 0.5)
+               ELSE -floor(-(ratio - 1.96 * se) * 1e6 + 0.5) END
+               / 1e6 + 0.0 END AS ci_lo,
+           CASE WHEN n_units > 1 AND ss >= 0 THEN
+             floor((ratio + 1.96 * se) * 1e6 + 0.5) / 1e6 + 0.0
+             END AS ci_hi
+         FROM calc2""",
+    // the q146 ln-sum identity over transition counts; ln terms
+    // 1e-6-quantized pre-sum
+    "q392_entropy_rate" ->
+      """WITH cells AS (
+            SELECT f, t, count(*) AS c
+            FROM (SELECT event_type AS f,
+                lead(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts), event_id) AS t
+              FROM events)
+            WHERE t IS NOT NULL GROUP BY f, t),
+          a AS (
+            SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+              * ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS la,
+              CAST(sum(c) AS BIGINT) AS n
+            FROM cells),
+          b AS (
+            SELECT CAST(sum(CAST(floor(CAST(nf AS DOUBLE)
+              * ln(CAST(nf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS lb,
+              CAST(count(*) AS BIGINT) AS n_states
+            FROM (SELECT f, CAST(sum(c) AS BIGINT) AS nf FROM cells
+              GROUP BY f))
+         SELECT n AS n_transitions, n_states,
+           floor((CAST(lb AS DOUBLE) - CAST(la AS DOUBLE)) / 1e6 / n
+             * 1e6 + 0.5) / 1e6 + 0.0 AS h_rate,
+           floor(ln(CAST(n_states AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0.0
+             AS h_max,
+           CASE WHEN n_states > 1 THEN
+             floor((1 - ((CAST(lb AS DOUBLE) - CAST(la AS DOUBLE))
+               / 1e6 / n) / ln(CAST(n_states AS DOUBLE))) * 1e6 + 0.5)
+               / 1e6 + 0.0 END AS predictability
+         FROM a, b""",
     // exact integer squared distances over the (windows × m)
     // alignment; exclusion zone ⌈m/2⌉ = 3; argmin by (d², j)
     "q386_matrix_profile" ->

@@ -115,6 +115,15 @@ object Pipeline {
         iters = 3, topK = 15)
     }),
 
+    // ---- rich-club coefficient of the q84 link graph: hub-to-hub
+    //      edge density per degree threshold ----
+    "q393_rich_club" -> ((s, d) => {
+      val edges = Tables.documents(s, d).where(col("doc_id") < 300)
+        .select(pmod(col("doc_id"), lit(50)).as("a"),
+          pmod(col("doc_id") * 13 + 7, lit(50)).as("b"))
+      Graph.richClub(edges, "a", "b", Seq(2, 4, 6, 8, 10))
+    }),
+
     // ---- interpolated Kneser–Ney bigram smoothing: top-20 bigrams
     //      with discounted/continuation components ----
     "q379_kneser_ney" -> ((s, d) => {
@@ -2121,6 +2130,37 @@ object Pipeline {
          SELECT u, v, sup AS support FROM sup3 WHERE sup >= 2
          ORDER BY u, v"""
     },
+    // pure integer node/edge counting per degree threshold over the
+    // canonical undirected edge set
+    "q393_rich_club" ->
+      """WITH e0 AS (
+            SELECT doc_id % 50 AS a, (doc_id * 13 + 7) % 50 AS b
+            FROM documents WHERE doc_id < 300),
+          und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM e0 WHERE a <> b),
+          deg AS (
+            SELECT id, count(*) AS d
+            FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+            GROUP BY id),
+          ks(k) AS (VALUES (2), (4), (6), (8), (10)),
+          nodes AS (
+            SELECT k, count(*) AS n_nodes FROM deg, ks WHERE d > k
+            GROUP BY k),
+          wd AS (
+            SELECT du.d AS du, dv.d AS dv
+            FROM und JOIN deg du ON du.id = und.u
+            JOIN deg dv ON dv.id = und.v),
+          edges2 AS (
+            SELECT k, count(*) AS n_edges FROM wd, ks
+            WHERE du > k AND dv > k GROUP BY k)
+         SELECT ks.k, CAST(coalesce(n_nodes, 0) AS BIGINT) AS n_nodes,
+           CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+           CASE WHEN coalesce(n_nodes, 0) >= 2 THEN
+             floor(CAST(2 * coalesce(n_edges, 0) AS DOUBLE)
+               / CAST(n_nodes * (n_nodes - 1) AS DOUBLE) * 1e6 + 0.5)
+               / 1e6 END AS phi
+         FROM ks LEFT JOIN nodes USING (k) LEFT JOIN edges2 USING (k)
+         ORDER BY k""",
     // exact integer counts; d = 0.75 is dyadic so the probability
     // algebra replays bit-identically
     "q379_kneser_ney" ->

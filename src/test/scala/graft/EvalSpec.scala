@@ -354,6 +354,43 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stat") == 1.5)
   }
 
+  test("grubbs: hand-computed max deviation and G") {
+    val df = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    val r = Eval.grubbs(df, "v").collect().head
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("mean") == 4.0)
+    assert(r.getAs[Double]("sd") == 4.082483) // √(50/3)
+    assert(r.getAs[Long]("outlier_value") == 1000L) // 10.00 in cents
+    assert(r.getAs[Double]("g_stat") == 1.4697) // 6/√(50/3)
+  }
+
+  test("jackknifeRatio: hand-computed pseudo-ratios and CI") {
+    // units (a=num, b=den): pseudo-ratios 12.5 / 10 / 7.5
+    val df = Seq((1, 10L, 2L), (2, 20L, 2L), (3, 30L, 2L))
+      .toDF("u", "a", "b")
+    val r = Eval.jackknifeRatio(df, "u", col("a"), col("b"))
+      .collect().head
+    assert(r.getAs[Long]("n_units") == 3)
+    assert(r.getAs[Double]("ratio") == 10.0)
+    assert(r.getAs[Double]("jk_se") == 2.886751) // √((2/3)·12.5)
+    assert(r.getAs[Double]("ci_lo") == 4.341967)
+    assert(r.getAs[Double]("ci_hi") == 15.658033)
+  }
+
+  test("markovEntropyRate: deterministic chain is fully predictable") {
+    // a→b→a→b: every next state is determined ⇒ H(next|cur) = 0
+    val rows = Seq((1L, 10L, "a", 1L), (1L, 20L, "b", 2L),
+      (1L, 30L, "a", 3L), (1L, 40L, "b", 4L), (2L, 5L, "c", 5L))
+      .toDF("u", "tsns", "ty", "id")
+    val r = graft.operators.Events.markovEntropyRate(rows, "u", "tsns",
+      "ty", "id").collect().head
+    assert(r.getAs[Long]("n_transitions") == 3)
+    assert(r.getAs[Long]("n_states") == 2)
+    assert(r.getAs[Double]("h_rate") == 0.0)
+    assert(r.getAs[Double]("h_max") == 0.693147) // ln 2
+    assert(r.getAs[Double]("predictability") == 1.0)
+  }
+
   test("matrixProfileDaily: alternating series, phase-match neighbors") {
     val DayNs = 86400L * 1000 * 1000 * 1000
     // y alternates 1/2 over 10 days: same-phase windows at d² = 0,

@@ -2979,6 +2979,18 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.kCore(edges, "a", "b", k = 3).count() == 0)
   }
 
+  test("Graph.richClub: clique core at phi 1, lone top hub NULL") {
+    // K4 on 1-4 (deg 3; node 1 deg 4 via pendant 5)
+    val edges = ((for (i <- 1 to 4; j <- i + 1 to 4)
+      yield (i.toLong, j.toLong)) :+ (1L, 5L)).toDF("a", "b")
+    val got = Graph.richClub(edges, "a", "b", Seq(2, 3))
+      .collect().map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+          Option(r.get(r.fieldIndex("phi"))))).toMap
+    assert(got(2) == ((4L, 6L, Some(1.0)))) // the clique is a rich club
+    assert(got(3) == ((1L, 0L, None))) // a single hub has no club
+  }
+
   test("Graph.kTruss: strip unzips over rounds, clique core survives") {
     // K4 on 1-4 (support 2 per edge) + a triangle strip 10-13 whose
     // end edges have support 1 and cascade away under k=4
