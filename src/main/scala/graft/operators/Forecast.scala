@@ -427,6 +427,91 @@ object Forecast {
       .orderBy("phase")
   }
 
+  /** Seasonal-ESD anomaly detection (the Twitter AnomalyDetection
+    * recipe: classical seasonal decomposition, then generalized ESD on
+    * the residuals) — "which DAYS are anomalous once the weekly shape
+    * is removed?", where a raw z-score would flag every ordinary
+    * weekend. Residuals r = y − trend − seasonal live on the exact
+    * 1e-6 integer grid (the [[seasonalIndicesDaily]] pipeline);
+    * each of `maxAnomalies` ESD rounds picks the max |r − mean| point
+    * (argmax decided on exact |r·n − Σr| integers, ties to the
+    * earlier day) and removes it from the next round's moments.
+    * Output one row per round:
+    * `round, t, residual, g_stat` (1e-6/1e-4 grids).
+    *
+    * Scale shape: corpus → day grid once; each unrolled round is a
+    * 1-row moment aggregate + an argmax over the GRID. Rounds are a
+    * compile-time constant — no driver-data loop.
+    */
+  def seasonalEsdDaily(df: DataFrame, tsNsCol: String, period: Int = 7,
+      maxAnomalies: Int = 3): DataFrame = {
+    require(period >= 3 && period % 2 == 1, "period must be odd >= 3")
+    require(maxAnomalies >= 1 && maxAnomalies <= 8,
+      "maxAnomalies in [1, 8] (the oracle unrolls the same count)")
+    val h = period / 2
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(-h, h)
+    val detr = series
+      .withColumn("__ws", sum("__y").over(w))
+      .withColumn("__wc", count(lit(1)).over(w))
+      .where(col("__wc") === period)
+      .select(col("t"), pmod(col("t"), lit(period.toLong)).as("__ph"),
+        (col("__y").cast("double") -
+          col("__ws").cast("double") / period).as("__dt"))
+    val withD6 = detr.withColumn("__d6",
+      when(col("__dt") >= 0, floor(col("__dt") * 1e6 + 0.5))
+        .otherwise(-floor(-col("__dt") * 1e6 + 0.5)).cast("long"))
+    val perPhase = withD6.groupBy("__ph")
+      .agg(count(lit(1)).as("__np"), sum("__d6").as("__s6"))
+    val rawQ = col("__s6").cast("double") / col("__np")
+    val idx = perPhase.withColumn("__raw6",
+      when(rawQ >= 0, floor(rawQ + 0.5)).otherwise(-floor(-rawQ + 0.5))
+        .cast("long"))
+    val resid = Dedup.persistTracked(
+      withD6.join(broadcast(idx.select(col("__ph"), col("__raw6"))),
+          Seq("__ph"))
+        .select(col("t"), (col("__d6") - col("__raw6")).as("__r6")))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    var remaining = resid
+    var out: DataFrame = null
+    for (round <- 1 to maxAnomalies) {
+      val mom = remaining.agg(count(lit(1)).as("__n"),
+        sum("__r6").as("__S"),
+        sum(col("__r6").cast("decimal(38,0)") * col("__r6")).as("__Q"))
+      val dev = abs(col("__r6") * col("__n") - col("__S"))
+      val pick = remaining.crossJoin(broadcast(mom))
+        .groupBy("__n", "__S", "__Q")
+        .agg(max(struct(dev.as("__dv"), (-col("t")).as("__nt"),
+          col("__r6"))).as("__w"))
+      val nD = col("__n").cast("double")
+      val variance = (col("__Q").cast("double") -
+        col("__S").cast("double") * col("__S") / nD) / (nD - 1d) / 1e12
+      val g = col("__w.__dv").cast("double") / nD / 1e6 / sqrt(variance)
+      val row = pick.select(lit(round).as("round"),
+        (-col("__w.__nt")).as("t"),
+        g6(col("__w.__r6").cast("double") / 1e6).as("residual"),
+        when(variance > 0 && col("__n") > 2,
+          floor(g * 1e4 + 0.5) / 1e4).as("g_stat"))
+      out = if (out == null) row else out.unionByName(row)
+      val pickedT = pick.select((-col("__w.__nt")).as("t"))
+      remaining = remaining.join(broadcast(pickedT), Seq("t"),
+        "left_anti")
+    }
+    out.orderBy("round")
+  }
+
   /** Kendall's τ-b between the daily count series of two event types —
     * the fully tie-corrected RANK association (q196's Spearman sees
     * monotone shape; τ-b counts concordant vs discordant day pairs

@@ -300,6 +300,13 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- Seasonal-ESD day anomalies: generalized ESD on the
+    //      weekly-decomposed residuals (Twitter S-H-ESD shape) ----
+    "q395_seasonal_esd" -> ((s, d) => {
+      graft.operators.Forecast.seasonalEsdDaily(Tables.events(s, d),
+        "ts")
+    }),
+
     // ---- Grubbs' single-outlier test on event values ----
     "q390_grubbs" -> ((s, d) => {
       graft.operators.Eval.grubbs(Tables.events(s, d), "value")
@@ -1115,6 +1122,81 @@ object EventsQ {
              floor(CAST(mxx AS DOUBLE) / totx * 1e6 + 0.5) / 1e6
              END AS max_share
          FROM folded"""
+    },
+    // three unrolled ESD rounds on the exact 1e-6-grid residuals;
+    // argmax by |r·n − Σr| integers, ties to the earlier day
+    "q395_seasonal_esd" -> {
+      def esdRound(i: Int): String = {
+        val prev = if (i == 1) "resid" else s"rem${i - 1}"
+        s"""mom$i AS (SELECT count(*) AS n, CAST(sum(r6) AS BIGINT)
+              AS s, sum(CAST(r6 AS HUGEINT) * r6) AS q FROM $prev),
+          pick$i AS (
+            SELECT $i AS round, t, r6, n, s, q,
+              abs(r6 * n - s) AS dv,
+              row_number() OVER (ORDER BY abs(r6 * n - s) DESC, t ASC)
+                AS rn
+            FROM $prev, mom$i),
+          sel$i AS (SELECT * FROM pick$i WHERE rn = 1),
+          rem$i AS (SELECT t, r6 FROM $prev
+            WHERE t NOT IN (SELECT t FROM sel$i))"""
+      }
+      val selOut = (1 to 3).map(i =>
+        s"""SELECT round, t,
+           CASE WHEN CAST(r6 AS DOUBLE) / 1e6 >= 0 THEN
+               floor(CAST(r6 AS DOUBLE) / 1e6 * 1e6 + 0.5)
+             ELSE -floor(-(CAST(r6 AS DOUBLE) / 1e6) * 1e6 + 0.5) END
+             / 1e6 + 0.0 AS residual,
+           CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+               / (n - 1) / 1e12 > 0 AND n > 2 THEN
+             floor(CAST(dv AS DOUBLE) / n / 1e6
+               / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                 / (n - 1) / 1e12) * 1e4 + 0.5) / 1e4 END AS g_stat
+         FROM sel$i""").mkString("\n         UNION ALL\n         ")
+      s"""WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d
+            FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          win AS (
+            SELECT t, y,
+              sum(y) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND
+                3 FOLLOWING) AS ws,
+              count(*) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND
+                3 FOLLOWING) AS wc
+            FROM series),
+          detr AS (
+            SELECT t, t % 7 AS ph,
+              CAST(y AS DOUBLE) - CAST(ws AS DOUBLE) / 7 AS dt
+            FROM win WHERE wc = 7),
+          withd6 AS (
+            SELECT t, ph,
+              CASE WHEN dt >= 0
+                THEN CAST(floor(dt * 1e6 + 0.5) AS BIGINT)
+                ELSE -CAST(floor(-dt * 1e6 + 0.5) AS BIGINT) END AS d6
+            FROM detr),
+          perph AS (
+            SELECT ph, count(*) AS np, CAST(sum(d6) AS BIGINT) AS s6
+            FROM withd6 GROUP BY ph),
+          idx AS (
+            SELECT ph,
+              CASE WHEN CAST(s6 AS DOUBLE) / np >= 0 THEN
+                  CAST(floor(CAST(s6 AS DOUBLE) / np + 0.5) AS BIGINT)
+                ELSE -CAST(floor(-(CAST(s6 AS DOUBLE) / np) + 0.5)
+                    AS BIGINT) END AS raw6
+            FROM perph),
+          resid AS (
+            SELECT w.t, w.d6 - i.raw6 AS r6
+            FROM withd6 w JOIN idx i ON w.ph = i.ph),
+          ${esdRound(1)},
+          ${esdRound(2)},
+          ${esdRound(3)}
+         SELECT * FROM (
+         $selOut
+         ) ORDER BY round"""
     },
     // argmax outlier decided on exact |c·n − Σc| integers; G from
     // exact moments under IEEE sqrt

@@ -221,6 +221,10 @@ object VcfQ {
       val t = tables(s)
       VcfApi.sampleTsTv(t.geno, t.info)
     }),
+    // ---- per-sample depth QC from the typed FORMAT dp column ----
+    "q394_vcf_depth" -> ((s, _) => {
+      VcfApi.depthQc(tables(s).geno)
+    }),
     // ---- Mendelian-error trio check (plink --mendel): a family
     //      fixture exercising every feasible-range edge — 0×0, 2×2,
     //      0×2 and hom×het violations, a missing-call exclusion, two
@@ -618,6 +622,17 @@ object VcfQ {
          t(sample_a, sample_b, n_shared, n_het_het, n_opp_homo,
            n_het_a, n_het_b, phi)
          ORDER BY sample_a, sample_b""",
+    // hand-computed from the fixture DP values: S1 {10,15,0,20,11,22}
+    // ⇒ mean 13, low(<10) = {0}; S2 {12,9,7,18,13,19} ⇒ mean 13,
+    // low = {9,7}
+    "q394_vcf_depth" ->
+      """SELECT * FROM (VALUES
+          ('S1', CAST(6 AS BIGINT), CAST(13.0 AS DOUBLE),
+            CAST(0 AS BIGINT), CAST(22 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(0.166667 AS DOUBLE)),
+          ('S2', 6, 13.0, 7, 19, 2, 0.333333))
+         t(sample, n_dp, mean_dp, min_dp, max_dp, n_low, low_frac)
+         ORDER BY sample""",
     // hand-computed: S1 carries v2,v4 (transitions), v6 (transversion),
     // v5 (indel, excluded) ⇒ 2/1; S2 carries v1,v3,v4 (ts) + v6 ⇒ 3/1
     "q389_vcf_sample_tstv" ->

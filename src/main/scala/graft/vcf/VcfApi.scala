@@ -1474,6 +1474,28 @@ object VcfApi {
       .orderBy("variant_id")
   }
 
+  /** Per-sample depth QC from the typed FORMAT `dp` column (the
+    * coverage screen behind every call-rate threshold: a sample whose
+    * depth distribution sits low explains its missingness before any
+    * genotype-level filter fires). Output per sample:
+    * `sample, n_dp, mean_dp, min_dp, max_dp, n_low, low_frac`
+    * (1e-6 grids; `n_low` counts calls under `minDepth`).
+    *
+    * Scale shape: one map-side-combined per-sample aggregate.
+    */
+  def depthQc(geno: DataFrame, minDepth: Long = 10L): DataFrame = {
+    val per = geno.where(col("dp").isNotNull).groupBy("sample").agg(
+      count(lit(1)).as("n_dp"), sum("dp").as("__s"),
+      min("dp").as("min_dp"), max("dp").as("max_dp"),
+      sum(when(col("dp") < minDepth, 1L).otherwise(0L)).as("n_low"))
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    per.select(col("sample"), col("n_dp"),
+      g6(col("__s").cast("double") / col("n_dp")).as("mean_dp"),
+      col("min_dp"), col("max_dp"), col("n_low"),
+      g6(col("n_low").cast("double") / col("n_dp")).as("low_frac"))
+      .orderBy("sample")
+  }
+
   /** Per-sample Ts/Tv — transition/transversion ratio over the SNVs a
     * sample actually CARRIES (gt > 0; plink `--sample-counts`): the
     * per-sample callset-quality screen (an outlier ratio flags a

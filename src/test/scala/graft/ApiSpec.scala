@@ -669,6 +669,22 @@ class ApiSpec extends SparkSpec {
     assert(v2.isNullAt(v2.fieldIndex("af")))
   }
 
+  test("VcfApi.depthQc: per-sample stats, NULL dp rows excluded") {
+    import spark.implicits._
+    val geno = Seq(
+      (1L, "A", Some(5L)), (2L, "A", Some(15L)), (3L, "A", None),
+      (1L, "B", Some(20L)), (2L, "B", Some(10L))
+    ).toDF("variant_id", "sample", "dp")
+    val got = graft.vcf.VcfApi.depthQc(geno).collect()
+      .map(r => r.getAs[String]("sample") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n_dp") == 2 && a.getAs[Double]("mean_dp") == 10.0)
+    assert(a.getAs[Long]("min_dp") == 5 && a.getAs[Long]("max_dp") == 15)
+    assert(a.getAs[Long]("n_low") == 1 && a.getAs[Double]("low_frac") == 0.5)
+    val b = got("B")
+    assert(b.getAs[Long]("n_low") == 0 && b.getAs[Double]("low_frac") == 0.0)
+  }
+
   test("VcfApi.sampleTsTv: carried-only counting, indels out, NULL ratio") {
     import spark.implicits._
     val info = Seq((1L, "A", "G"), (2L, "A", "C"), (3L, "G", "GA"))

@@ -354,6 +354,24 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stat") == 1.5)
   }
 
+  test("seasonalEsdDaily: planted spike is the round-1 anomaly") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // period-3 pattern [3,1,1] over 9 days with a 50-event spike on
+    // day 4 — the weekly-shape removal must still surface day 4 first
+    val y = Seq(3, 1, 1, 3, 50, 1, 3, 1, 1)
+    val rows = for (d <- y.indices; i <- 1 to y(d))
+      yield (d * DayNs + i, 1)
+    val out = graft.operators.Forecast.seasonalEsdDaily(
+      rows.toDF("tsns", "x"), "tsns", period = 3, maxAnomalies = 2)
+      .collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Int]("round") == 1)
+    assert(out.head.getAs[Long]("t") == 4L)
+    assert(out.head.getAs[Double]("residual") > 10.0)
+    // rounds pick distinct days
+    assert(out.map(_.getAs[Long]("t")).distinct.length == 2)
+  }
+
   test("grubbs: hand-computed max deviation and G") {
     val df = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
     val r = Eval.grubbs(df, "v").collect().head
