@@ -1750,6 +1750,62 @@ object Eval {
         floor(f * 1e4 + 0.5) / 1e4).as("w_stat"))
   }
 
+  /** Inverse-propensity-weighted treatment-effect estimate with
+    * stratum-level propensities — the confounding-adjusted
+    * alternative to a naive mean difference (the q246/q263 causal
+    * family's missing member: DiD needs time, CUPED needs a
+    * pre-period; IPW needs only a stratification). Within stratum s,
+    * p̂_s = n_t/n is an exact rational, so the weighted sums reduce
+    * to integer algebra: Σ y·t/p̂ = ΣY_t · n/n_t per stratum.
+    * Strata violating positivity (no treated or no control) are
+    * EXCLUDED and counted. Per-stratum terms quantize to 1e-6
+    * pre-fold. Output one row:
+    * `n, n_treated, n_excluded_strata, naive_diff, ipw_ate`
+    * (1e-6 grids).
+    *
+    * Scale shape: one stratum-grain moment aggregate; everything
+    * after is strata-row algebra.
+    */
+  def ipwEffect(df: DataFrame, stratumCol: String, treated: Column,
+      outcome: Column): DataFrame = {
+    val base = df.select(col(stratumCol).as("__st"),
+        when(treated, 1L).otherwise(0L).as("__t"),
+        outcome.cast("long").as("__y"))
+      .where(col("__y").isNotNull)
+    val per = base.groupBy("__st").agg(count(lit(1)).as("__n"),
+      sum("__t").as("__nt"),
+      sum(when(col("__t") === 1L, col("__y")).otherwise(0L)).as("__yt"),
+      sum(when(col("__t") === 0L, col("__y")).otherwise(0L)).as("__yc"))
+    val ok = col("__nt") > 0 && col("__nt") < col("__n")
+    def q6(c: Column): Column =
+      when(c >= 0, floor(c * 1e6 + 0.5)).otherwise(-floor(-c * 1e6 + 0.5))
+        .cast("long")
+    val termT = col("__yt").cast("double") * col("__n") / col("__nt")
+    val termC = col("__yc").cast("double") * col("__n") /
+      (col("__n") - col("__nt"))
+    val folded = per.agg(
+      sum(when(ok, col("__n")).otherwise(0L)).as("n"),
+      sum(when(ok, col("__nt")).otherwise(0L)).as("n_treated"),
+      sum(when(!ok, 1L).otherwise(0L)).as("n_excluded_strata"),
+      sum(when(ok, col("__yt")).otherwise(0L)).as("__syt"),
+      sum(when(ok, col("__yc")).otherwise(0L)).as("__syc"),
+      sum(when(ok, q6(termT)).otherwise(0L)).as("__wt6"),
+      sum(when(ok, q6(termC)).otherwise(0L)).as("__wc6"))
+    val nD = col("n").cast("double")
+    val naive = col("__syt").cast("double") / col("n_treated") -
+      col("__syc").cast("double") / (col("n") - col("n_treated"))
+    val ate = (col("__wt6").cast("double") / 1e6 -
+      col("__wc6").cast("double") / 1e6) / nD
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    folded.select(col("n"), col("n_treated"),
+      col("n_excluded_strata"),
+      when(col("n_treated") > 0 && col("n") > col("n_treated"),
+        g6(naive)).as("naive_diff"),
+      when(col("n") > 0, g6(ate)).as("ipw_ate"))
+  }
+
   /** Grubbs' single-outlier test (Grubbs 1950): G = max|x−x̄|/s — the
     * parametric "is the most extreme point too extreme?" check next
     * to q222's distribution-free MAD screen. The argmax is decided on

@@ -1763,6 +1763,40 @@ object Events {
       .drop("__mn", "__mx", "__t0", "__t1", "__embargoed")
   }
 
+  /** Eventually-follows matrix (the process-mining relation behind
+    * every discovered process map): for each ordered type pair
+    * (a, b), how many users have SOME a-event strictly before some
+    * b-event — i.e. min ts(a) < max ts(b)? Unlike [[transitions]]
+    * (immediate successor) this sees skipped steps, and unlike
+    * [[funnel]] it needs no fixed step list. `share` normalizes by
+    * the users that have both types at all. Pure integer/timestamp
+    * comparisons. Output per pair:
+    * `from_type, to_type, n_follows, n_both, share` (1e-6 grid).
+    *
+    * Scale shape: one (user × type) min/max aggregate, then a
+    * per-user type×type self-join bounded by the type-count square —
+    * never event-pair work.
+    */
+  def eventuallyFollows(df: DataFrame, userCol: String, tsNs: String,
+      typeCol: String): DataFrame = {
+    val per = df.groupBy(col(userCol).as("__u"), col(typeCol).as("__ty"))
+      .agg(min(col(tsNs)).as("__mn"), max(col(tsNs)).as("__mx"))
+    val a = per.select(col("__u"), col("__ty").as("from_type"),
+      col("__mn"))
+    val b = per.select(col("__u"), col("__ty").as("to_type"),
+      col("__mx"))
+    val joined = a.join(b, Seq("__u"))
+      .where(col("from_type") =!= col("to_type"))
+    val counts = joined.groupBy("from_type", "to_type")
+      .agg(sum(when(col("__mn") < col("__mx"), 1L).otherwise(0L))
+        .as("n_follows"), count(lit(1)).as("n_both"))
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    counts.select(col("from_type"), col("to_type"), col("n_follows"),
+      col("n_both"),
+      g6(col("n_follows").cast("double") / col("n_both")).as("share"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Entropy rate of the first-order event-type Markov chain —
     * H(next | current) in nats, the one-number predictability of user
     * behavior (0 = deterministic next step, ln k = uniform chaos; the

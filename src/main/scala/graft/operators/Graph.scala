@@ -751,6 +751,36 @@ object Graph {
       .orderBy("attr")
   }
 
+  /** Percolation curve of a scored similarity graph: connected-
+    * component structure at each similarity threshold — the dedup
+    * "aggressiveness dial" made visible (raise the threshold until
+    * the giant syndication component shatters; the knee is the
+    * operating point). One CC solve per threshold over the
+    * pre-filtered edge set. Output per threshold:
+    * `threshold, n_nodes, n_components, largest_component`.
+    *
+    * Scale shape: the scored pairs are computed ONCE upstream
+    * (LSH-bucketed, sub-quadratic); each threshold re-filters the
+    * same pair set and runs the O(log n) large-star/small-star CC.
+    * |thresholds| is a small constant.
+    */
+  def percolation(pairs: DataFrame, aCol: String, bCol: String,
+      simCol: String, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val cached = Dedup.persistTracked(
+      pairs.select(col(aCol).as("__a"), col(bCol).as("__b"),
+        col(simCol).as("__sim")))
+    thresholds.sorted.map { t =>
+      val comps = connectedComponents(
+        cached.where(col("__sim") >= t), "__a", "__b")
+      comps.groupBy("comp").agg(count(lit(1)).as("__sz"))
+        .agg(lit(t).as("threshold"),
+          coalesce(sum("__sz"), lit(0L)).as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          coalesce(max("__sz"), lit(0L)).as("largest_component"))
+    }.reduce(_ unionByName _).orderBy("threshold")
+  }
+
   /** Rich-club coefficient (Zhou & Mondragón 2004): for each degree
     * threshold k, the edge density among nodes of degree > k —
     * "do the hubs preferentially link to each other?" (φ(k) → 1 means

@@ -300,6 +300,13 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- eventually-follows matrix (process mining): does type a
+    //      strictly precede type b somewhere in a user's history? ----
+    "q397_eventually_follows" -> ((s, d) => {
+      graft.operators.Events.eventuallyFollows(Tables.events(s, d),
+        "user_id", "ts", "event_type")
+    }),
+
     // ---- Seasonal-ESD day anomalies: generalized ESD on the
     //      weekly-decomposed residuals (Twitter S-H-ESD shape) ----
     "q395_seasonal_esd" -> ((s, d) => {
@@ -1123,6 +1130,25 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // per-user (type × type) min/max timestamp comparisons — never
+    // event-pair work
+    "q397_eventually_follows" ->
+      """WITH per AS (
+            SELECT user_id AS u, event_type AS ty,
+              min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+            FROM events GROUP BY 1, 2),
+          j AS (
+            SELECT a.ty AS from_type, b.ty AS to_type,
+              CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END AS f
+            FROM per a JOIN per b ON a.u = b.u AND a.ty <> b.ty),
+          c AS (
+            SELECT from_type, to_type, CAST(sum(f) AS BIGINT)
+              AS n_follows, count(*) AS n_both
+            FROM j GROUP BY 1, 2)
+         SELECT from_type, to_type, n_follows, n_both,
+           floor(CAST(n_follows AS DOUBLE) / n_both * 1e6 + 0.5) / 1e6
+             AS share
+         FROM c ORDER BY from_type, to_type""",
     // three unrolled ESD rounds on the exact 1e-6-grid residuals;
     // argmax by |r·n − Σr| integers, ties to the earlier day
     "q395_seasonal_esd" -> {

@@ -115,6 +115,16 @@ object Pipeline {
         iters = 3, topK = 15)
     }),
 
+    // ---- dedup percolation curve: component structure of the
+    //      verified near-dup graph at three similarity thresholds ----
+    "q396_percolation" -> ((s, d) => {
+      val pairs = Dedup.minHashLsh(Tables.documents(s, d), "text",
+        "doc_id", numHashes = 16, bands = 4, shingleSize = 2,
+        threshold = 0.5)
+      Graph.percolation(pairs, "id_a", "id_b", "jaccard",
+        Seq(0.5, 0.7, 0.9))
+    }),
+
     // ---- rich-club coefficient of the q84 link graph: hub-to-hub
     //      edge density per degree threshold ----
     "q393_rich_club" -> ((s, d) => {
@@ -2129,6 +2139,39 @@ object Pipeline {
           ${round(3)}
          SELECT u, v, sup AS support FROM sup3 WHERE sup >= 2
          ORDER BY u, v"""
+    },
+    // per-threshold recursive-CTE closures over the shared verified
+    // LSH pair set; jaccard compares are exact rationals
+    "q396_percolation" -> {
+      def tBlock(i: Int, t: String): String =
+        s"""u$i AS (
+            SELECT id_a AS a, id_b AS b FROM vpairs WHERE jac >= $t
+            UNION SELECT id_b, id_a FROM vpairs WHERE jac >= $t),
+          reach$i(id, r) AS (
+            SELECT a AS id, a AS r FROM u$i
+            UNION
+            SELECT u$i.a AS id, reach$i.r AS r
+            FROM u$i JOIN reach$i ON u$i.b = reach$i.id),
+          comp$i AS (SELECT id, min(r) AS comp FROM reach$i
+            GROUP BY id),
+          sz$i AS (SELECT comp, count(*) AS sz FROM comp$i
+            GROUP BY comp),
+          stat$i AS (
+            SELECT CAST($t AS DOUBLE) AS threshold,
+              CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes,
+              CAST(count(*) AS BIGINT) AS n_components,
+              CAST(coalesce(max(sz), 0) AS BIGINT)
+                AS largest_component
+            FROM sz$i)"""
+      s"""${LshVerifiedPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          ${tBlock(1, "0.5")},
+          ${tBlock(2, "0.7")},
+          ${tBlock(3, "0.9")}
+         SELECT * FROM (
+           SELECT * FROM stat1
+           UNION ALL SELECT * FROM stat2
+           UNION ALL SELECT * FROM stat3)
+         ORDER BY threshold"""
     },
     // pure integer node/edge counting per degree threshold over the
     // canonical undirected edge set

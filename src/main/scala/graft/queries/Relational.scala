@@ -227,6 +227,14 @@ object Relational {
         floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
     }),
 
+    // ---- stratified IPW treatment-effect estimate: returned-flag
+    //      "treatment" on price, linestatus strata propensities ----
+    "q398_ipw" -> ((s, d) => {
+      graft.operators.Eval.ipwEffect(Tables.lineitem(s, d),
+        "l_linestatus", col("l_returnflag") === "R",
+        floor(col("l_extendedprice") * 100 + 0.5))
+    }),
+
     // ---- aggregation core (A-*, P1): TPC-H Q1 shape ----
     "q01_pricing_summary" -> ((s, d) => {
       li(s, d)
@@ -1191,6 +1199,66 @@ object Relational {
              / 1e6 + 0.0 END AS r2
          FROM fin ORDER BY grp"""
     },
+    // stratum propensities are exact rationals ⇒ the weighted sums
+    // reduce to integer algebra; per-stratum terms 1e-6-quantized
+    "q398_ipw" ->
+      """WITH base AS (
+            SELECT l_linestatus AS st,
+              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t,
+              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          per AS (
+            SELECT st, count(*) AS n, CAST(sum(t) AS BIGINT) AS nt,
+              CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+                AS yt,
+              CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+                AS yc
+            FROM base GROUP BY st),
+          folded AS (
+            SELECT
+              CAST(sum(CASE WHEN nt > 0 AND nt < n THEN n ELSE 0 END)
+                AS BIGINT) AS n,
+              CAST(sum(CASE WHEN nt > 0 AND nt < n THEN nt ELSE 0 END)
+                AS BIGINT) AS n_treated,
+              CAST(sum(CASE WHEN NOT (nt > 0 AND nt < n) THEN 1
+                ELSE 0 END) AS BIGINT) AS n_excluded_strata,
+              CAST(sum(CASE WHEN nt > 0 AND nt < n THEN yt ELSE 0 END)
+                AS BIGINT) AS syt,
+              CAST(sum(CASE WHEN nt > 0 AND nt < n THEN yc ELSE 0 END)
+                AS BIGINT) AS syc,
+              CAST(sum(CASE WHEN nt > 0 AND nt < n THEN
+                CASE WHEN CAST(yt AS DOUBLE) * n / nt >= 0 THEN
+                  CAST(floor(CAST(yt AS DOUBLE) * n / nt * 1e6 + 0.5)
+                    AS BIGINT)
+                ELSE -CAST(floor(-(CAST(yt AS DOUBLE) * n / nt) * 1e6
+                    + 0.5) AS BIGINT) END ELSE 0 END) AS BIGINT)
+                AS wt6,
+              CAST(sum(CASE WHEN nt > 0 AND nt < n THEN
+                CASE WHEN CAST(yc AS DOUBLE) * n / (n - nt) >= 0 THEN
+                  CAST(floor(CAST(yc AS DOUBLE) * n / (n - nt) * 1e6
+                    + 0.5) AS BIGINT)
+                ELSE -CAST(floor(-(CAST(yc AS DOUBLE) * n / (n - nt))
+                    * 1e6 + 0.5) AS BIGINT) END ELSE 0 END) AS BIGINT)
+                AS wc6
+            FROM per)
+         SELECT n, n_treated, n_excluded_strata,
+           CASE WHEN n_treated > 0 AND n > n_treated THEN
+             CASE WHEN CAST(syt AS DOUBLE) / n_treated
+                 - CAST(syc AS DOUBLE) / (n - n_treated) >= 0 THEN
+               floor((CAST(syt AS DOUBLE) / n_treated
+                 - CAST(syc AS DOUBLE) / (n - n_treated)) * 1e6 + 0.5)
+             ELSE -floor(-(CAST(syt AS DOUBLE) / n_treated
+                 - CAST(syc AS DOUBLE) / (n - n_treated)) * 1e6 + 0.5)
+             END / 1e6 + 0.0 END AS naive_diff,
+           CASE WHEN n > 0 THEN
+             CASE WHEN (CAST(wt6 AS DOUBLE) / 1e6
+                 - CAST(wc6 AS DOUBLE) / 1e6) / n >= 0 THEN
+               floor((CAST(wt6 AS DOUBLE) / 1e6
+                 - CAST(wc6 AS DOUBLE) / 1e6) / n * 1e6 + 0.5)
+             ELSE -floor(-((CAST(wt6 AS DOUBLE) / 1e6
+                 - CAST(wc6 AS DOUBLE) / 1e6) / n) * 1e6 + 0.5)
+             END / 1e6 + 0.0 END AS ipw_ate
+         FROM folded""",
     // covariance signs from exact integer numerators (HUGEINT ↔
     // decimal(38,0)); the pooled row folds the same moments
     "q383_simpsons" ->

@@ -354,6 +354,23 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stat") == 1.5)
   }
 
+  test("ipwEffect: stratified weighting removes the confounded sign") {
+    // per-stratum ATE is +10 in both strata, but treatment is rare in
+    // the high-outcome stratum ⇒ naive diff goes NEGATIVE; IPW = 10
+    val rows = Seq(
+      ("s1", 1, 10L), ("s1", 1, 20L), ("s1", 0, 0L), ("s1", 0, 10L),
+      ("s2", 1, 100L), ("s2", 0, 80L), ("s2", 0, 90L), ("s2", 0, 100L),
+      ("s3", 1, 50L), ("s3", 1, 60L) // all-treated: positivity violation
+    ).toDF("st", "t", "y")
+    val r = Eval.ipwEffect(rows, "st", col("t") === 1, col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 8)
+    assert(r.getAs[Long]("n_treated") == 3)
+    assert(r.getAs[Long]("n_excluded_strata") == 1)
+    assert(r.getAs[Double]("naive_diff") == -12.666667)
+    assert(r.getAs[Double]("ipw_ate") == 10.0)
+  }
+
   test("seasonalEsdDaily: planted spike is the round-1 anomaly") {
     val DayNs = 86400L * 1000 * 1000 * 1000
     // period-3 pattern [3,1,1] over 9 days with a 50-event spike on

@@ -2979,6 +2979,32 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.kCore(edges, "a", "b", k = 3).count() == 0)
   }
 
+  test("Graph.percolation: components shatter as the threshold rises") {
+    val pairs = Seq((1L, 2L, 0.95), (2L, 3L, 0.6), (4L, 5L, 0.55),
+      (5L, 6L, 0.4)).toDF("a", "b", "sim")
+    val got = Graph.percolation(pairs, "a", "b", "sim", Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_components"),
+          r.getAs[Long]("largest_component"))).toMap
+    assert(got(0.5) == ((5L, 2L, 3L))) // {1,2,3} and {4,5}
+    assert(got(0.9) == ((2L, 1L, 2L))) // only the 0.95 edge survives
+  }
+
+  test("Events.eventuallyFollows: strict precedence over user history") {
+    val rows = Seq((1L, 1L, "a"), (1L, 5L, "b"), (1L, 10L, "a"),
+      (2L, 3L, "a"), (3L, 2L, "b"), (3L, 7L, "a"))
+      .toDF("u", "tsns", "ty")
+    val got = graft.operators.Events.eventuallyFollows(rows, "u",
+      "tsns", "ty").collect()
+      .map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_follows"), r.getAs[Long]("n_both"),
+          r.getAs[Double]("share"))).toMap
+    // u1: a(1..10), b(5); u3: a(7), b(2)
+    assert(got(("a", "b")) == ((1L, 2L, 0.5)))
+    assert(got(("b", "a")) == ((2L, 2L, 1.0)))
+  }
+
   test("Graph.richClub: clique core at phi 1, lone top hub NULL") {
     // K4 on 1-4 (deg 3; node 1 deg 4 via pendant 5)
     val edges = ((for (i <- 1 to 4; j <- i + 1 to 4)
