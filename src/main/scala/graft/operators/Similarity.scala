@@ -1676,4 +1676,97 @@ object Similarity {
             / (col("sum_u9") + col("sum_w9")) * 1e6 + 0.5) / 1e6)
           .as("hopkins"))
   }
+
+  /** Local Outlier Factor (Breunig 2000) for a deterministic md5
+    * probe panel — the DENSITY-relative outlier score a global
+    * z-score can't give (a point at the edge of a tight cluster is
+    * more anomalous than one inside a diffuse one): LOF(p) = mean
+    * lrd(o)/lrd(p) over p's k neighbors, lrd = 1/mean reachability
+    * distance, reach(p,o) = max(k-distance(o), d(p,o)). The exact
+    * 2-hop expansion: kNN of the probes, then of their neighbors,
+    * then of THEIR neighbors (k-distances only) — candidate sets stay
+    * O(m·k²), never corpus².
+    *
+    * Determinism: squared distances quantize to the 1e-9 grid (the
+    * TwoNN discipline), distances are IEEE sqrt of those grid
+    * integers, reach/lrd terms re-quantize to 1e-9 pre-sum. Output
+    * per probe: `probe_id, k, lrd, lof` (1e-6/1e-4 grids; NULL when
+    * a zero reachability sum — exact duplicates — degenerates lrd).
+    *
+    * Scale shape: three bounded crossJoin+top-k passes over the
+    * corpus (each a broadcast of ≤ m·k² query points, with the top-k
+    * window partitioned per query); everything after is
+    * probe/neighbor-grain algebra.
+    */
+  def lofScores(emb: DataFrame, vecCol: String, idCol: String,
+      mProbes: Int = 10, k: Int = 3): DataFrame = {
+    require(mProbes >= 1 && k >= 2, "need mProbes >= 1 and k >= 2")
+    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    val pts = Dedup.persistTracked(emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(size(col("__v")) === d && !exists(col("__v"), x => isnan(x))))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, z) => acc + z)
+    def knn(q: DataFrame): DataFrame = {
+      val w = Window.partitionBy("__qid")
+        .orderBy(col("__d9").asc, col("__id").asc)
+      pts.crossJoin(broadcast(q))
+        .filter(col("__id") =!= col("__qid"))
+        .select(col("__qid"), col("__id"),
+          floor(d2(col("__qv"), col("__v")) * 1e9 + 0.5).cast("long")
+            .as("__d9"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+    }
+    val probes = pts
+      .orderBy(md5Long(concat(lit("lof:"), col("__id"))), col("__id"))
+      .limit(mProbes)
+      .select(col("__id").as("__qid"), col("__v").as("__qv"))
+    val nn0 = Dedup.persistTracked(knn(probes))
+    val s1 = Dedup.persistTracked(nn0.select(col("__id")).distinct()
+      .join(pts, Seq("__id"))
+      .select(col("__id").as("__qid"), col("__v").as("__qv")))
+    val nn1 = Dedup.persistTracked(knn(s1))
+    val s2 = nn1.select(col("__id")).distinct()
+      .join(pts, Seq("__id"))
+      .select(col("__id").as("__qid"), col("__v").as("__qv"))
+    val nn2 = knn(s2)
+    val dk2 = nn2.groupBy(col("__qid").as("__n2"))
+      .agg(max("__d9").as("__dkb"))
+    val dk1 = nn1.groupBy(col("__qid").as("__n1"))
+      .agg(max("__d9").as("__dka"))
+    def reach(nn: DataFrame, dk: DataFrame, nid: String,
+        dkc: String): DataFrame =
+      nn.join(dk, nn("__id") === dk(nid))
+        .select(col("__qid"),
+          floor(greatest(sqrt(col(dkc).cast("double") / 1e9),
+            sqrt(col("__d9").cast("double") / 1e9)) * 1e9 + 0.5)
+            .cast("long").as("__r9"))
+    val lrd1 = reach(nn1, dk2, "__n2", "__dkb")
+      .groupBy(col("__qid").as("__oid")).agg(sum("__r9").as("__sr"))
+      .select(col("__oid"),
+        when(col("__sr") > 0,
+          lit(1d) / (col("__sr").cast("double") / 1e9 / k))
+          .as("__lrdO"))
+    val lrd0 = reach(nn0, dk1, "__n1", "__dka")
+      .groupBy("__qid").agg(sum("__r9").as("__sr"))
+      .select(col("__qid"),
+        when(col("__sr") > 0,
+          lit(1d) / (col("__sr").cast("double") / 1e9 / k))
+          .as("__lrdP"))
+    val folded = nn0.join(lrd1, nn0("__id") === lrd1("__oid"))
+      .select(col("__qid"),
+        floor(col("__lrdO") * 1e9 + 0.5).cast("long").as("__l9"))
+      .groupBy("__qid")
+      .agg(sum("__l9").as("__sl"), count(col("__l9")).as("__nc"))
+      .join(lrd0, Seq("__qid"))
+    folded.select(col("__qid").as("probe_id"), lit(k).as("k"),
+      when(col("__lrdP").isNotNull,
+        floor(col("__lrdP") * 1e6 + 0.5) / 1e6).as("lrd"),
+      when(col("__lrdP").isNotNull && col("__nc") === k,
+        floor(col("__sl").cast("double") / 1e9 / k / col("__lrdP")
+          * 1e4 + 0.5) / 1e4).as("lof"))
+      .orderBy("probe_id")
+  }
 }

@@ -115,6 +115,13 @@ object Pipeline {
         iters = 3, topK = 15)
     }),
 
+    // ---- Local Outlier Factor over the embeddings (md5 probe panel,
+    //      exact 2-hop kNN expansion, density-relative scores) ----
+    "q399_lof" -> ((s, d) => {
+      Similarity.lofScores(Tables.embeddings(s, d), "embedding",
+        "vec_id", mProbes = 10, k = 3)
+    }),
+
     // ---- dedup percolation curve: component structure of the
     //      verified near-dup graph at three similarity thresholds ----
     "q396_percolation" -> ((s, d) => {
@@ -2139,6 +2146,84 @@ object Pipeline {
           ${round(3)}
          SELECT u, v, sup AS support FROM sup3 WHERE sup >= 2
          ORDER BY u, v"""
+    },
+    // the TwoNN distance discipline (1e-9 squared-distance grid, IEEE
+    // sqrt) through the full 2-hop LOF expansion
+    "q399_lof" -> {
+      def knnCte(name: String, qSrc: String): String =
+        s"""$name AS (
+            SELECT qid, id, d9,
+              row_number() OVER (PARTITION BY qid ORDER BY d9, id)
+                AS rn
+            FROM (
+              SELECT q.qid, p.id,
+                CAST(floor(list_sum(list_transform(
+                  generate_series(1, 64),
+                  i -> (q.qv[i] - p.v[i]) * (q.qv[i] - p.v[i])))
+                  * 1e9 + 0.5) AS BIGINT) AS d9
+              FROM $qSrc q CROSS JOIN pts p WHERE p.id <> q.qid)),
+          ${name}f AS (SELECT * FROM $name WHERE rn <= 3)"""
+      s"""WITH pts AS MATERIALIZED (
+            SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            WHERE len(embedding) = 64
+              AND len(list_filter(embedding, x -> isnan(x))) = 0),
+          probes AS (
+            SELECT id AS qid, v AS qv FROM pts
+            ORDER BY ('0x' || substr(md5('lof:' || id), 1, 15))::BIGINT,
+              id
+            LIMIT 10),
+          ${knnCte("nn0", "probes")},
+          q1 AS (
+            SELECT pts.id AS qid, pts.v AS qv FROM pts
+            JOIN (SELECT DISTINCT id FROM nn0f) s1 ON pts.id = s1.id),
+          ${knnCte("nn1", "q1")},
+          q2 AS (
+            SELECT pts.id AS qid, pts.v AS qv FROM pts
+            JOIN (SELECT DISTINCT id FROM nn1f) s2 ON pts.id = s2.id),
+          ${knnCte("nn2", "q2")},
+          dk1 AS (SELECT qid AS n1, CAST(max(d9) AS BIGINT) AS dka
+            FROM nn1f GROUP BY qid),
+          dk2 AS (SELECT qid AS n2, CAST(max(d9) AS BIGINT) AS dkb
+            FROM nn2f GROUP BY qid),
+          r1 AS (
+            SELECT nn1f.qid,
+              CAST(floor(greatest(sqrt(CAST(dkb AS DOUBLE) / 1e9),
+                sqrt(CAST(d9 AS DOUBLE) / 1e9)) * 1e9 + 0.5) AS BIGINT)
+                AS r9
+            FROM nn1f JOIN dk2 ON nn1f.id = dk2.n2),
+          lrd1 AS (
+            SELECT oid, CASE WHEN sr > 0 THEN
+              1 / (CAST(sr AS DOUBLE) / 1e9 / 3) END AS lrdo
+            FROM (SELECT qid AS oid, CAST(sum(r9) AS BIGINT) AS sr
+              FROM r1 GROUP BY qid)),
+          r0 AS (
+            SELECT nn0f.qid,
+              CAST(floor(greatest(sqrt(CAST(dka AS DOUBLE) / 1e9),
+                sqrt(CAST(d9 AS DOUBLE) / 1e9)) * 1e9 + 0.5) AS BIGINT)
+                AS r9
+            FROM nn0f JOIN dk1 ON nn0f.id = dk1.n1),
+          lrd0 AS (
+            SELECT pid, CASE WHEN sr > 0 THEN
+              1 / (CAST(sr AS DOUBLE) / 1e9 / 3) END AS lrdp
+            FROM (SELECT qid AS pid, CAST(sum(r9) AS BIGINT) AS sr
+              FROM r0 GROUP BY qid)),
+          folded AS (
+            SELECT nn0f.qid,
+              CAST(sum(CAST(floor(lrdo * 1e9 + 0.5) AS BIGINT))
+                AS BIGINT) AS sl,
+              count(lrdo) AS nc
+            FROM nn0f JOIN lrd1 ON nn0f.id = lrd1.oid
+            GROUP BY nn0f.qid)
+         SELECT f.qid AS probe_id, 3 AS k,
+           CASE WHEN lrdp IS NOT NULL THEN
+             floor(lrdp * 1e6 + 0.5) / 1e6 END AS lrd,
+           CASE WHEN lrdp IS NOT NULL AND nc = 3 THEN
+             floor(CAST(sl AS DOUBLE) / 1e9 / 3 / lrdp * 1e4 + 0.5)
+               / 1e4 END AS lof
+         FROM folded f JOIN lrd0 l ON f.qid = l.pid
+         ORDER BY probe_id"""
     },
     // per-threshold recursive-CTE closures over the shared verified
     // LSH pair set; jaccard compares are exact rationals

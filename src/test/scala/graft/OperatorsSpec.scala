@@ -2979,6 +2979,21 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.kCore(edges, "a", "b", k = 3).count() == 0)
   }
 
+  test("Similarity.lofScores: isolated point scores far above the bulk") {
+    // 1-d line 0..9 plus an outlier at 100; probe everything
+    val emb = ((0 to 9).map(i => (i.toLong, Seq(i.toFloat))) :+
+      (100L, Seq(100f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.lofScores(emb, "embedding",
+      "vec_id", mProbes = 11, k = 3)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        r.getAs[Double]("lof")).toMap
+    assert(out.size == 11)
+    assert(out(100L) > 3.0, s"outlier lof = ${out(100L)}")
+    // interior bulk points sit near 1
+    assert(out(5L) > 0.7 && out(5L) < 1.4, s"bulk lof = ${out(5L)}")
+    assert(out.count { case (id, v) => id != 100L && v < 2.0 } >= 9)
+  }
+
   test("Graph.percolation: components shatter as the threshold rises") {
     val pairs = Seq((1L, 2L, 0.95), (2L, 3L, 0.6), (4L, 5L, 0.55),
       (5L, 6L, 0.4)).toDF("a", "b", "sim")
