@@ -2169,4 +2169,55 @@ object TextAnalysis {
         g6(pKn).as("p_kn"))
       .orderBy("pos")
   }
+
+  /** Greedy maximum-coverage document selection (the classic
+    * (1−1/e)-approximate submodular subset pick: "which k documents
+    * together cover the most distinct n-gram shingles?" — the
+    * data-subset-selection primitive behind facility-location corpus
+    * pruning, and the constructive complement of q158's coverage
+    * CURVE, which only measures a given order). Each of `rounds`
+    * rounds scores every document by its count of still-uncovered
+    * shingles (pure integer), picks the argmax (ties to the smaller
+    * id), and removes its shingles. Output per round:
+    * `round, doc_id, gain, covered_total`.
+    *
+    * Scale shape: one (doc, shingle) distinct grid up front; each
+    * round is one semi-join + count aggregate over that grid, a 1-row
+    * argmax broadcast, and an anti-join shrink of the uncovered set.
+    * `rounds` is a compile-time constant.
+    */
+  def coverageSelect(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      "rounds in [1, 16] (the oracle unrolls the same count)")
+    val pairs = Dedup.persistTracked(df.select(col(idCol).as("__doc"),
+        explode(wordShingles(tokens(col(textCol)), shingleSize))
+          .as("__sh"))
+      .distinct())
+    var uncovered = pairs.select("__sh").distinct()
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val gains = pairs.join(uncovered, Seq("__sh"))
+        .groupBy("__doc").agg(count(lit(1)).as("__g"))
+      val pick = gains.agg(
+        max(struct(col("__g"), (-col("__doc")).as("__nd"))).as("__best"))
+        .select((-col("__best.__nd")).as("__doc"),
+          col("__best.__g").as("gain"), lit(r).as("round"))
+      val row = pick.select(col("round"), col("__doc").as("doc_id"),
+        col("gain"))
+      out = if (out == null) row else out.unionByName(row)
+      val pickedSh = pairs
+        .join(broadcast(pick.select("__doc")), Seq("__doc"))
+        .select("__sh")
+      uncovered = uncovered.join(pickedSh, Seq("__sh"), "left_anti")
+        .localCheckpoint(true)
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy("round")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    out.where(col("doc_id").isNotNull)
+      .withColumn("covered_total", sum("gain").over(w))
+      .orderBy("round")
+  }
 }

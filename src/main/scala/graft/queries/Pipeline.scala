@@ -115,6 +115,13 @@ object Pipeline {
         iters = 3, topK = 15)
     }),
 
+    // ---- greedy max-coverage subset: 5 docs covering the most
+    //      distinct 3-gram shingles (submodular data selection) ----
+    "q400_coverage_select" -> ((s, d) => {
+      TextAnalysis.coverageSelect(Tables.documents(s, d), "text",
+        "doc_id")
+    }),
+
     // ---- Local Outlier Factor over the embeddings (md5 probe panel,
     //      exact 2-hop kNN expansion, density-relative scores) ----
     "q399_lof" -> ((s, d) => {
@@ -2146,6 +2153,37 @@ object Pipeline {
           ${round(3)}
          SELECT u, v, sup AS support FROM sup3 WHERE sup >= 2
          ORDER BY u, v"""
+    },
+    // five unrolled greedy rounds; per-round gains are pure integer
+    // counts, argmax ties to the smaller doc id
+    "q400_coverage_select" -> {
+      def cRound(r: Int): String =
+        s"""g$r AS (SELECT doc, count(*) AS g FROM pairs
+            JOIN u${r - 1} USING (sh) GROUP BY doc),
+          sel$r AS (SELECT doc, g, $r AS round FROM g$r
+            ORDER BY g DESC, doc ASC LIMIT 1),
+          u$r AS (SELECT sh FROM u${r - 1} WHERE sh NOT IN (
+            SELECT pairs.sh FROM pairs
+            JOIN sel$r ON pairs.doc = sel$r.doc))"""
+      s"""WITH pairs AS MATERIALIZED (
+            SELECT DISTINCT doc_id AS doc, sh FROM (
+              SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(t[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, $Toks AS t FROM documents))),
+          u0 AS (SELECT DISTINCT sh FROM pairs),
+          ${cRound(1)},
+          ${cRound(2)},
+          ${cRound(3)},
+          ${cRound(4)},
+          ${cRound(5)}
+         SELECT round, doc AS doc_id, g AS gain,
+           CAST(sum(g) OVER (ORDER BY round ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS covered_total
+         FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+           UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+           UNION ALL SELECT * FROM sel5)
+         ORDER BY round"""
     },
     // the TwoNN distance discipline (1e-9 squared-distance grid, IEEE
     // sqrt) through the full 2-hop LOF expansion

@@ -2979,6 +2979,19 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.kCore(edges, "a", "b", k = 3).count() == 0)
   }
 
+  test("TextAnalysis.coverageSelect: greedy picks, tie to smaller id") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "c d e"),
+      (4L, "f")).toDF("doc_id", "text")
+    val got = TextAnalysis.coverageSelect(docs, "text", "doc_id",
+      shingleSize = 1, rounds = 3)
+      .collect().map(r => (r.getAs[Int]("round"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("gain"),
+        r.getAs[Long]("covered_total"))).toSeq
+    // round 2: d3 and d4 both gain 1 — the smaller id wins
+    assert(got == Seq((1, 1L, 4L, 4L), (2, 3L, 1L, 5L),
+      (3, 4L, 1L, 6L)), s"got $got")
+  }
+
   test("Similarity.lofScores: isolated point scores far above the bulk") {
     // 1-d line 0..9 plus an outlier at 100; probe everything
     val emb = ((0 to 9).map(i => (i.toLong, Seq(i.toFloat))) :+
