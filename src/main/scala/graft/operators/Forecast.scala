@@ -621,6 +621,112 @@ object Forecast {
         g6((col("runs").cast("double") - eR) / sqrt(vR))).as("z"))
   }
 
+  /** Haar wavelet energy decomposition of the daily volume series —
+    * which TIME SCALES carry the variation? (day-to-day jitter vs
+    * weekly swells vs the monthly trend; the multi-resolution
+    * companion of [[periodogramDaily]]'s fixed-period probe). The
+    * zero-padded 32-day window transforms through 5 unrolled Haar
+    * levels with the dyadic (s,d) = ((a+b)/2, (a−b)/2) butterflies —
+    * every coefficient is a dyadic rational, so all double arithmetic
+    * is EXACT in any engine. Output per level (1 = finest, plus the
+    * level-0 DC row): `level, n_coeffs, scale_days, energy, share`
+    * (1e-6 grids).
+    *
+    * Scale shape: corpus → 32-row day grid once; each level is a
+    * 2-row-group aggregate over ≤ 32 rows.
+    */
+  def haarEnergyDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val d0 = ev.agg(min("__d").as("__d0"))
+    val grid = d0.select(col("__d0"),
+      explode(sequence(lit(0L), lit(31L))).as("t"))
+    var coeffs = grid
+      .join(cnts0, col("__d0") + col("t") === col("__d"), "left")
+      .select(col("t"), coalesce(col("__y").cast("double"), lit(0d))
+        .as("__v"))
+    var energies = Seq.empty[DataFrame]
+    for (lvl <- 1 to 5) {
+      val paired = coeffs
+        .withColumn("__pt", expr("t div 2"))
+        .withColumn("__odd", pmod(col("t"), lit(2L)))
+        .groupBy("__pt").agg(
+          sum(when(col("__odd") === 0, col("__v"))).as("__a"),
+          sum(when(col("__odd") === 1, col("__v"))).as("__b"))
+        .withColumnRenamed("__pt", "t")
+      val next = paired.select(col("t"),
+        ((col("__a") + col("__b")) / 2d).as("__v"),
+        ((col("__a") - col("__b")) / 2d).as("__diff"))
+      energies = energies :+ next.agg(lit(lvl).as("level"),
+        count(lit(1)).as("n_coeffs"),
+        lit(1L << (lvl - 1)).as("scale_days"),
+        sum(col("__diff") * col("__diff")).as("__e"))
+      coeffs = next.select(col("t"), col("__v")).localCheckpoint(true)
+    }
+    val dc = coeffs.agg(lit(0).as("level"), count(lit(1)).as("n_coeffs"),
+      lit(32L).as("scale_days"), sum(col("__v") * col("__v")).as("__e"))
+    val all = (energies :+ dc).reduce(_ unionByName _)
+    val tot = all.agg(sum("__e").as("__tot"))
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    all.crossJoin(broadcast(tot))
+      .select(col("level"), col("n_coeffs"), col("scale_days"),
+        g6(col("__e")).as("energy"),
+        when(col("__tot") > 0, g6(col("__e") / col("__tot")))
+          .as("share"))
+      .orderBy("level")
+  }
+
+  /** Ljung–Box portmanteau test over the first `maxLag` daily
+    * autocorrelations — "is there ANY serial structure left?" (the
+    * joint companion of q230's per-lag ACF and q385's runs test;
+    * the standard residual-whiteness gate after any forecast).
+    * Centered values scale to exact integers z_t = y_t·n − Σy, so
+    * every ρ_k = Σz_t·z_{t+k} / Σz_t² is an exact integer ratio;
+    * the ρ²/(n−k) terms quantize to 1e-9 pre-fold. Output one row:
+    * `n_days, max_lag, q_stat` (1e-4 grid).
+    *
+    * Scale shape: day grid once; `maxLag` grid-sized lag joins fold
+    * into one aggregate.
+    */
+  def ljungBoxDaily(df: DataFrame, tsNsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val tot = series.agg(count(lit(1)).as("__n"), sum("__y").as("__s"))
+    val z = Dedup.persistTracked(series.crossJoin(broadcast(tot))
+      .select(col("t"), (col("__y") * col("__n") - col("__s")).as("__z"),
+        col("__n")))
+    val den = z.agg(sum(col("__z") * col("__z")).as("__zz"),
+      max("__n").as("__n"))
+    val lags = (1 to maxLag).toDF("lag")
+    val z2 = z.select((col("t")).as("__t2"), col("__z").as("__z2"))
+    val nums = z.crossJoin(broadcast(lags))
+      .join(z2, col("__t2") === col("t") + col("lag"))
+      .groupBy("lag").agg(sum(col("__z") * col("__z2")).as("__num"))
+    val rho = col("__num").cast("double") / col("__zz")
+    val terms = nums.crossJoin(broadcast(den))
+      .select(col("__n"),
+        floor(rho * rho / (col("__n") - col("lag")) * 1e9 + 0.5)
+          .cast("long").as("__t9"))
+    val folded = terms.groupBy("__n").agg(sum("__t9").as("__s9"))
+    val nD = col("__n").cast("double")
+    val q = nD * (nD + 2d) * (col("__s9").cast("double") / 1e9)
+    folded.select(col("__n").as("n_days"),
+      lit(maxLag).as("max_lag"),
+      (floor(q * 1e4 + 0.5) / 1e4).as("q_stat"))
+  }
+
   /** Matrix profile of the daily volume series (Yeh et al. 2016,
     * unnormalized-Euclidean form): for every length-`m` subsequence,
     * the squared distance to its nearest non-trivial neighbor — the

@@ -300,6 +300,17 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- Haar wavelet energy by time scale over the 32-day window ----
+    "q401_haar_energy" -> ((s, d) => {
+      graft.operators.Forecast.haarEnergyDaily(Tables.events(s, d),
+        "ts")
+    }),
+
+    // ---- Ljung–Box whiteness test over the first 7 daily lags ----
+    "q402_ljung_box" -> ((s, d) => {
+      graft.operators.Forecast.ljungBoxDaily(Tables.events(s, d), "ts")
+    }),
+
     // ---- eventually-follows matrix (process mining): does type a
     //      strictly precede type b somewhere in a user's history? ----
     "q397_eventually_follows" -> ((s, d) => {
@@ -1130,6 +1141,79 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // five unrolled dyadic Haar levels — every coefficient is a
+    // dyadic rational, so the double arithmetic is exact
+    "q401_haar_energy" -> {
+      def lvl(i: Int): String = {
+        val prev = s"c${i - 1}"
+        s"""p$i AS (
+            SELECT t // 2 AS pt,
+              sum(CASE WHEN t % 2 = 0 THEN v END) AS a,
+              sum(CASE WHEN t % 2 = 1 THEN v END) AS b
+            FROM $prev GROUP BY t // 2),
+          c$i AS (SELECT pt AS t, (a + b) / 2 AS v, (a - b) / 2 AS df
+            FROM p$i),
+          e$i AS (SELECT $i AS level, count(*) AS n_coeffs,
+            CAST(${1L << (i - 1)} AS BIGINT) AS scale_days,
+            sum(df * df) AS e FROM c$i)"""
+      }
+      s"""WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d
+            FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          dz AS (SELECT min(d) AS d0 FROM ev),
+          grid AS (SELECT unnest(generate_series(0, 31)) AS t),
+          c0 AS (
+            SELECT g.t, coalesce(CAST(c.y AS DOUBLE), 0) AS v
+            FROM grid g CROSS JOIN dz
+            LEFT JOIN cnts c ON dz.d0 + g.t = c.d),
+          ${lvl(1)}, ${lvl(2)}, ${lvl(3)}, ${lvl(4)}, ${lvl(5)},
+          e0 AS (SELECT 0 AS level, count(*) AS n_coeffs,
+            CAST(32 AS BIGINT) AS scale_days, sum(v * v) AS e FROM c5),
+          allr AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+            UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+            UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e0),
+          tot AS (SELECT sum(e) AS te FROM allr)
+         SELECT level, CAST(n_coeffs AS BIGINT) AS n_coeffs, scale_days,
+           floor(e * 1e6 + 0.5) / 1e6 AS energy,
+           CASE WHEN te > 0 THEN floor(e / te * 1e6 + 0.5) / 1e6
+             END AS share
+         FROM allr, tot ORDER BY level"""
+    },
+    // exact integer autocovariances via z = y·n − Σy scaling; the
+    // ρ²/(n−k) terms quantize to 1e-9 pre-fold
+    "q402_ljung_box" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d
+            FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+            FROM series),
+          z AS (SELECT t, y * n - s AS z, n FROM series, tot),
+          den AS (SELECT CAST(sum(z * z) AS BIGINT) AS zz,
+            max(n) AS nn FROM z),
+          lags AS (SELECT unnest(generate_series(1, 7)) AS lg),
+          nums AS (
+            SELECT lg, CAST(sum(z1.z * z2.z) AS BIGINT) AS num
+            FROM z z1 CROSS JOIN lags
+            JOIN z z2 ON z2.t = z1.t + lg
+            GROUP BY lg),
+          terms AS (
+            SELECT nn,
+              CAST(floor((CAST(num AS DOUBLE) / zz)
+                * (CAST(num AS DOUBLE) / zz) / (nn - lg) * 1e9 + 0.5)
+                AS BIGINT) AS t9
+            FROM nums, den),
+          folded AS (SELECT nn, CAST(sum(t9) AS BIGINT) AS s9
+            FROM terms GROUP BY nn)
+         SELECT nn AS n_days, 7 AS max_lag,
+           floor(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 2)
+             * (CAST(s9 AS DOUBLE) / 1e9) * 1e4 + 0.5) / 1e4 AS q_stat
+         FROM folded""",
     // per-user (type × type) min/max timestamp comparisons — never
     // event-pair work
     "q397_eventually_follows" ->

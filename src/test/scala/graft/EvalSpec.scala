@@ -389,6 +389,35 @@ class EvalSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("t")).distinct.length == 2)
   }
 
+  test("haarEnergyDaily: pure alternation concentrates at level 1") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // 2 events on even days, 0 on odd, over the full 32-day window
+    val rows = for (d <- 0 until 32 if d % 2 == 0; i <- 1 to 2)
+      yield (d * DayNs + i, 1)
+    val got = graft.operators.Forecast.haarEnergyDaily(
+      rows.toDF("tsns", "x"), "tsns")
+      .collect().map(r => r.getAs[Int]("level") ->
+        (r.getAs[Long]("n_coeffs"), r.getAs[Double]("energy"),
+          r.getAs[Double]("share"))).toMap
+    assert(got(1) == ((16L, 16.0, 0.941176))) // 16 unit diffs
+    assert(got(2) == ((8L, 0.0, 0.0)))
+    assert(got(5) == ((1L, 0.0, 0.0)))
+    assert(got(0) == ((1L, 1.0, 0.058824))) // the DC mean² term
+  }
+
+  test("ljungBoxDaily: hand-computed Q on an alternating series") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val y = Seq(1, 2, 1, 2)
+    val rows = for (d <- y.indices; i <- 1 to y(d))
+      yield (d * DayNs + i, 1)
+    val r = graft.operators.Forecast.ljungBoxDaily(
+      rows.toDF("tsns", "x"), "tsns", maxLag = 3).collect().head
+    assert(r.getAs[Long]("n_days") == 4)
+    assert(r.getAs[Int]("max_lag") == 3)
+    // ρ = (−.75, .5, −.25) ⇒ Q = 4·6·(0.1875+0.125+0.0625) = 9
+    assert(r.getAs[Double]("q_stat") == 9.0)
+  }
+
   test("grubbs: hand-computed max deviation and G") {
     val df = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
     val r = Eval.grubbs(df, "v").collect().head
