@@ -1677,6 +1677,87 @@ object Similarity {
           .as("hopkins"))
   }
 
+  /** Lloyd's k-means over the embedding space — the missing EXPLICIT
+    * clustering operator behind the quantizer internals (q105's
+    * SemDeDup and the IVF/PQ indexes train centroids as a means to an
+    * end; this IS the end): deterministic md5-seeded init, a fixed
+    * number of unrolled assignment→update rounds, then a final
+    * assignment report. Per cluster:
+    * `cluster, n_points, inertia` (inertia = Σ assigned squared
+    * distance, 1e-6 grid).
+    *
+    * Determinism: distances fold per-dimension in array order and
+    * quantize to the 1e-9 grid before the argmin (ties to the lower
+    * cluster id); centroid updates sum 1e-7-grid coordinate INTEGERS
+    * (order-free) and divide once, so every round's centroids are
+    * bit-identical doubles in any engine.
+    *
+    * Scale shape: per round one corpus × k broadcast crossJoin with a
+    * per-point argmin (no shuffle beyond the posexplode update agg,
+    * which is map-side combined on (cluster, dim)). k and rounds are
+    * compile-time constants.
+    */
+  def kMeans(emb: DataFrame, vecCol: String, idCol: String, k: Int = 4,
+      rounds: Int = 3): DataFrame = {
+    require(k >= 2 && rounds >= 1, "need k >= 2 and rounds >= 1")
+    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    val pts = Dedup.persistTracked(emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(size(col("__v")) === d && !exists(col("__v"), x => isnan(x)))
+      .withColumn("__v7", transform(col("__v"), x =>
+        when(x >= 0, floor(x * 1e7 + 0.5))
+          .otherwise(-floor(-x * 1e7 + 0.5)).cast("long"))))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, z) => acc + z)
+    val wInit = Window.orderBy(
+      md5Long(concat(lit("km:"), col("__id"))), col("__id"))
+    var centroids = pts
+      .withColumn("__rn", row_number().over(wInit))
+      .where(col("__rn") <= k)
+      .select((col("__rn") - 1).cast("long").as("__c"),
+        col("__v").as("__cv"))
+      .localCheckpoint(true)
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("__id")
+        .orderBy(col("__d9").asc, col("__c").asc)
+      pts.crossJoin(broadcast(cents))
+        .select(col("__id"), col("__v7"), col("__c"),
+          floor(d2(col("__v"), col("__cv")) * 1e9 + 0.5).cast("long")
+            .as("__d9"))
+        .withColumn("__arn", row_number().over(w))
+        .where(col("__arn") === 1)
+    }
+    for (_ <- 1 to rounds) {
+      val assigned = assign(centroids)
+      val updated = assigned
+        .select(col("__c"), posexplode(col("__v7")).as(Seq("__dim", "__x7")))
+        .groupBy("__c", "__dim")
+        .agg(sum("__x7").as("__sx"), count(lit(1)).as("__nx"))
+        .select(col("__c"), col("__dim"),
+          (col("__sx").cast("double") / col("__nx") / 1e7).as("__cx"))
+        .groupBy("__c")
+        .agg(transform(
+          sort_array(collect_list(struct(col("__dim"), col("__cx")))),
+          s => s.getField("__cx")).as("__cvNew"))
+      val prev = centroids
+      // empty clusters keep their previous centroid
+      centroids = prev
+        .join(updated, Seq("__c"), "left")
+        .select(col("__c"), coalesce(col("__cvNew"), col("__cv"))
+          .as("__cv"))
+        .localCheckpoint(true)
+      graft.operators.Graph.unpersistCheckpoint(prev)
+    }
+    val fin = assign(centroids)
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    fin.groupBy(col("__c").as("cluster"))
+      .agg(count(lit(1)).as("n_points"), sum("__d9").as("__i9"))
+      .select(col("cluster"), col("n_points"),
+        g6(col("__i9").cast("double") / 1e9).as("inertia"))
+      .orderBy("cluster")
+  }
+
   /** Local Outlier Factor (Breunig 2000) for a deterministic md5
     * probe panel — the DENSITY-relative outlier score a global
     * z-score can't give (a point at the edge of a tight cluster is

@@ -115,6 +115,13 @@ object Pipeline {
         iters = 3, topK = 15)
     }),
 
+    // ---- explicit Lloyd k-means over the embeddings (md5-seeded
+    //      init, 3 unrolled rounds, final assignment report) ----
+    "q403_kmeans" -> ((s, d) => {
+      Similarity.kMeans(Tables.embeddings(s, d), "embedding",
+        "vec_id", k = 4, rounds = 3)
+    }),
+
     // ---- greedy max-coverage subset: 5 docs covering the most
     //      distinct 3-gram shingles (submodular data selection) ----
     "q400_coverage_select" -> ((s, d) => {
@@ -2153,6 +2160,70 @@ object Pipeline {
           ${round(3)}
          SELECT u, v, sup AS support FROM sup3 WHERE sup >= 2
          ORDER BY u, v"""
+    },
+    // three unrolled Lloyd rounds: 1e-9-grid distances with argmin
+    // ties to the lower cluster, 1e-7-grid integer coordinate sums
+    // for the order-free centroid update
+    "q403_kmeans" -> {
+      def assignCte(name: String, cents: String): String =
+        s"""$name AS (
+            SELECT id, v7, c, d9 FROM (
+              SELECT *, row_number() OVER (PARTITION BY id
+                ORDER BY d9, c) AS rn
+              FROM (
+                SELECT p.id, p.v7, cc.c,
+                  CAST(floor(list_sum(list_transform(
+                    generate_series(1, 64),
+                    i -> (p.v[i] - cc.cv[i]) * (p.v[i] - cc.cv[i])))
+                    * 1e9 + 0.5) AS BIGINT) AS d9
+                FROM pts2 p CROSS JOIN $cents cc))
+            WHERE rn = 1)"""
+      def updateCte(r: Int): String =
+        s"""u$r AS (
+            SELECT c, dim, CAST(sum(x7) AS BIGINT) AS sx,
+              count(*) AS nx
+            FROM (
+              SELECT c, i - 1 AS dim, v7[i] AS x7
+              FROM a$r CROSS JOIN
+                (SELECT unnest(generate_series(1, 64)) AS i))
+            GROUP BY c, dim),
+          c$r AS (
+            SELECT pc.c, coalesce(nv.cvn, pc.cv) AS cv
+            FROM c${r - 1} pc LEFT JOIN (
+              SELECT c, list(CAST(sx AS DOUBLE) / nx / 1e7
+                ORDER BY dim) AS cvn
+              FROM u$r GROUP BY c) nv
+            ON pc.c = nv.c)"""
+      s"""WITH pts AS MATERIALIZED (
+            SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            WHERE len(embedding) = 64
+              AND len(list_filter(embedding, x -> isnan(x))) = 0),
+          pts2 AS (
+            SELECT id, v,
+              list_transform(v, x -> CASE WHEN x >= 0
+                THEN CAST(floor(x * 1e7 + 0.5) AS BIGINT)
+                ELSE -CAST(floor(-x * 1e7 + 0.5) AS BIGINT) END) AS v7
+            FROM pts),
+          c0 AS (
+            SELECT CAST(rn - 1 AS BIGINT) AS c, v AS cv FROM (
+              SELECT v, row_number() OVER (ORDER BY
+                ('0x' || substr(md5('km:' || id), 1, 15))::BIGINT, id)
+                AS rn
+              FROM pts2)
+            WHERE rn <= 4),
+          ${assignCte("a1", "c0")},
+          ${updateCte(1)},
+          ${assignCte("a2", "c1")},
+          ${updateCte(2)},
+          ${assignCte("a3", "c2")},
+          ${updateCte(3)},
+          ${assignCte("a4", "c3")}
+         SELECT c AS cluster, count(*) AS n_points,
+           floor(CAST(sum(d9) AS BIGINT) / 1e9 * 1e6 + 0.5) / 1e6
+             AS inertia
+         FROM a4 GROUP BY c ORDER BY cluster"""
     },
     // five unrolled greedy rounds; per-round gains are pure integer
     // counts, argmax ties to the smaller doc id

@@ -2992,6 +2992,18 @@ class OperatorsSpec extends SparkSpec {
       (3, 4L, 1L, 6L)), s"got $got")
   }
 
+  test("Similarity.kMeans: separated 1-d blobs recovered in 3 rounds") {
+    val emb = Seq(0f, 1f, 2f, 100f, 101f, 102f).zipWithIndex
+      .map { case (x, i) => (i.toLong, Seq(x)) }
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.kMeans(emb, "embedding",
+      "vec_id", k = 2, rounds = 3).collect()
+    assert(out.map(_.getAs[Long]("n_points")).sorted.toSeq ==
+      Seq(3L, 3L))
+    // each blob: centroid at its middle ⇒ Σd² = 1 + 0 + 1 = 2
+    assert(out.map(_.getAs[Double]("inertia")).toSeq == Seq(2.0, 2.0))
+  }
+
   test("Similarity.lofScores: isolated point scores far above the bulk") {
     // 1-d line 0..9 plus an outlier at 100; probe everything
     val emb = ((0 to 9).map(i => (i.toLong, Seq(i.toFloat))) :+
