@@ -1750,6 +1750,68 @@ object Eval {
         floor(f * 1e4 + 0.5) / 1e4).as("w_stat"))
   }
 
+  /** 1-D DBSCAN over the integer value grid — density clustering of a
+    * numeric column without choosing k (the distribution-shape
+    * answer to "how many pricing bands / activity modes exist?",
+    * where q19's fixed-width histogram imposes the bins). A grid
+    * value is CORE when ≥ `minPts` points fall within ±`eps` of it
+    * (one RANGE-frame window over the DISTINCT-value grid — never
+    * row-pair work); core values chain into clusters by
+    * gaps-and-islands (gap > eps splits); non-core values within eps
+    * of a core join their nearest core's cluster (ties toward the
+    * smaller core value); the rest is noise. Output per cluster
+    * (ordered by its minimum value, noise last as cluster −1):
+    * `cluster, n_points, min_value, max_value` — all exact integers.
+    *
+    * Scale shape: corpus → distinct-cents grid once; the density
+    * window, island scan and border join are all grid-sized.
+    */
+  def dbscan1d(df: DataFrame, x: Column, eps: Long,
+      minPts: Long): DataFrame = {
+    require(eps >= 1 && minPts >= 1, "eps and minPts must be >= 1")
+    val grid = Dedup.persistTracked(
+      df.select(x.cast("long").as("__c")).where(col("__c").isNotNull)
+        .groupBy("__c").agg(count(lit(1)).as("__cnt")))
+    val wRange = Window.orderBy("__c").rangeBetween(-eps, eps)
+    val dens = grid.withColumn("__nbr", sum("__cnt").over(wRange))
+    val cores = dens.where(col("__nbr") >= minPts)
+    val wLag = Window.orderBy("__c")
+    val islands = cores
+      .withColumn("__prev", lag("__c", 1).over(wLag))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__c") - col("__prev") > eps,
+          1L).otherwise(0L))
+      .withColumn("__cl", sum("__new").over(
+        wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__c").as("__core"), col("__cl"))
+    val coreSet = Dedup.persistTracked(islands)
+    val borders = dens.join(coreSet,
+        col("__c") =!= col("__core") &&
+          abs(col("__c") - col("__core")) <= eps, "left")
+      .join(coreSet.select(col("__core").as("__self")),
+        col("__c") === col("__self"), "left")
+      .where(col("__self").isNull) // core values resolve via islands
+      .groupBy("__c")
+      .agg(min(when(col("__core").isNotNull,
+        struct(abs(col("__c") - col("__core")).as("__dd"),
+          col("__core"), col("__cl")))).as("__near"))
+    val assignedCore = grid.join(coreSet, col("__c") === col("__core"))
+      .select(col("__c"), col("__cnt"), col("__cl"))
+    val assignedBorder = grid
+      .join(borders.where(col("__near").isNotNull), Seq("__c"))
+      .select(col("__c"), col("__cnt"), col("__near.__cl").as("__cl"))
+    val noise = grid
+      .join(borders.where(col("__near").isNull), Seq("__c"))
+      .select(col("__c"), col("__cnt"), lit(-1L).as("__cl"))
+    assignedCore.unionByName(assignedBorder).unionByName(noise)
+      .groupBy(col("__cl"))
+      .agg(sum("__cnt").as("n_points"), min("__c").as("min_value"),
+        max("__c").as("max_value"))
+      .select(col("__cl").as("cluster"), col("n_points"),
+        col("min_value"), col("max_value"))
+      .orderBy("cluster")
+  }
+
   /** Inverse-propensity-weighted treatment-effect estimate with
     * stratum-level propensities — the confounding-adjusted
     * alternative to a naive mean difference (the q246/q263 causal

@@ -1758,6 +1758,61 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Leave-one-out kNN label check for a deterministic md5 probe
+    * panel — the zero-training "are the labels learnable from the
+    * geometry?" probe (the instance-level companion of q358's Fisher
+    * ratio: separability says the CLASSES are apart; this says each
+    * POINT's neighborhood already votes its label). Each probe's k
+    * nearest OTHER points majority-vote (ties toward the smaller
+    * label). Output per probe:
+    * `probe_id, true_label, predicted_label, votes, correct` plus the
+    * panel accuracy repeated per row (1e-6 grid).
+    *
+    * Scale shape: one corpus × m broadcast crossJoin with a per-probe
+    * top-k window; vote counting is probe×k-grain.
+    */
+  def knnLooLabelCheck(emb: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, mProbes: Int = 20, k: Int = 3): DataFrame = {
+    require(mProbes >= 1 && k >= 1, "need mProbes >= 1 and k >= 1")
+    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    val pts = Dedup.persistTracked(emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"),
+        col(labelCol).cast("long").as("__lb"))
+      .filter(size(col("__v")) === d && !exists(col("__v"), x => isnan(x))))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, z) => acc + z)
+    val probes = pts
+      .orderBy(md5Long(concat(lit("knn:"), col("__id"))), col("__id"))
+      .limit(mProbes)
+      .select(col("__id").as("__pid"), col("__v").as("__pv"),
+        col("__lb").as("true_label"))
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("__d9").asc, col("__id").asc)
+    val nn = pts.crossJoin(broadcast(probes))
+      .filter(col("__id") =!= col("__pid"))
+      .select(col("__pid"), col("true_label"), col("__id"), col("__lb"),
+        floor(d2(col("__pv"), col("__v")) * 1e9 + 0.5).cast("long")
+          .as("__d9"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    val wVote = Window.partitionBy("__pid")
+      .orderBy(col("__nv").desc, col("__lb").asc)
+    val voted = nn.groupBy("__pid", "true_label", "__lb")
+      .agg(count(lit(1)).as("__nv"))
+      .withColumn("__vr", row_number().over(wVote))
+      .where(col("__vr") === 1)
+    val scored = Dedup.persistTracked(voted.select(
+      col("__pid").as("probe_id"), col("true_label"),
+      col("__lb").as("predicted_label"), col("__nv").as("votes"),
+      (col("true_label") === col("__lb")).as("correct")))
+    val acc = scored.agg(
+      (floor(sum(when(col("correct"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)) * 1e6 + 0.5) / 1e6)
+        .as("panel_accuracy"))
+    scored.crossJoin(broadcast(acc)).orderBy("probe_id")
+  }
+
   /** Local Outlier Factor (Breunig 2000) for a deterministic md5
     * probe panel — the DENSITY-relative outlier score a global
     * z-score can't give (a point at the edge of a tight cluster is

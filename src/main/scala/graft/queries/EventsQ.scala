@@ -300,6 +300,13 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- 1-D DBSCAN over value cents (eps $1, minPts 5): density
+    //      bands + noise without choosing k ----
+    "q404_dbscan" -> ((s, d) => {
+      graft.operators.Eval.dbscan1d(Tables.events(s, d),
+        floor(col("value") * 100 + 0.5), eps = 100L, minPts = 5L)
+    }),
+
     // ---- Haar wavelet energy by time scale over the 32-day window ----
     "q401_haar_energy" -> ((s, d) => {
       graft.operators.Forecast.haarEnergyDaily(Tables.events(s, d),
@@ -1141,6 +1148,50 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // grid-sized density window, core islands, nearest-core border
+    // assignment — all exact integers
+    "q404_dbscan" ->
+      """WITH grid AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+              count(*) AS cnt
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+          dens AS (
+            SELECT c, cnt,
+              CAST(sum(cnt) OVER (ORDER BY c RANGE BETWEEN 100
+                PRECEDING AND 100 FOLLOWING) AS BIGINT) AS nbr
+            FROM grid),
+          cores AS (SELECT c FROM dens WHERE nbr >= 5),
+          isl AS (
+            SELECT c AS core,
+              CAST(sum(nw) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cl
+            FROM (
+              SELECT c, CASE WHEN lag(c) OVER (ORDER BY c) IS NULL
+                OR c - lag(c) OVER (ORDER BY c) > 100 THEN 1 ELSE 0
+                END AS nw
+              FROM cores)),
+          bord AS (
+            SELECT c, cl FROM (
+              SELECT d.c, i.core, i.cl,
+                row_number() OVER (PARTITION BY d.c
+                  ORDER BY abs(d.c - i.core), i.core) AS rn
+              FROM dens d JOIN isl i
+                ON d.c <> i.core AND abs(d.c - i.core) <= 100
+              WHERE d.c NOT IN (SELECT core FROM isl))
+            WHERE rn = 1),
+          asg AS (
+            SELECT g.c, g.cnt, i.cl FROM grid g
+            JOIN isl i ON g.c = i.core
+            UNION ALL
+            SELECT g.c, g.cnt, b.cl FROM grid g
+            JOIN bord b ON g.c = b.c
+            UNION ALL
+            SELECT g.c, g.cnt, CAST(-1 AS BIGINT) AS cl FROM grid g
+            WHERE g.c NOT IN (SELECT core FROM isl)
+              AND g.c NOT IN (SELECT c FROM bord))
+         SELECT cl AS cluster, CAST(sum(cnt) AS BIGINT) AS n_points,
+           min(c) AS min_value, max(c) AS max_value
+         FROM asg GROUP BY cl ORDER BY cluster""",
     // five unrolled dyadic Haar levels — every coefficient is a
     // dyadic rational, so the double arithmetic is exact
     "q401_haar_energy" -> {

@@ -115,6 +115,13 @@ object Pipeline {
         iters = 3, topK = 15)
     }),
 
+    // ---- leave-one-out kNN label check over the embeddings: do the
+    //      neighborhoods already vote the labels? ----
+    "q405_knn_loo" -> ((s, d) => {
+      Similarity.knnLooLabelCheck(Tables.embeddings(s, d), "embedding",
+        "vec_id", "label", mProbes = 20, k = 3)
+    }),
+
     // ---- explicit Lloyd k-means over the embeddings (md5-seeded
     //      init, 3 unrolled rounds, final assignment report) ----
     "q403_kmeans" -> ((s, d) => {
@@ -2161,6 +2168,52 @@ object Pipeline {
          SELECT u, v, sup AS support FROM sup3 WHERE sup >= 2
          ORDER BY u, v"""
     },
+    // the TwoNN distance grid feeding a per-probe majority vote;
+    // vote ties break toward the smaller label
+    "q405_knn_loo" ->
+      """WITH pts AS MATERIALIZED (
+            SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              CAST(label AS BIGINT) AS lb
+            FROM embeddings
+            WHERE len(embedding) = 64
+              AND len(list_filter(embedding, x -> isnan(x))) = 0),
+          probes AS (
+            SELECT id AS pid, v AS pv, lb AS true_label FROM pts
+            ORDER BY ('0x' || substr(md5('knn:' || id), 1, 15))::BIGINT,
+              id
+            LIMIT 20),
+          nn AS (
+            SELECT pid, true_label, id, lb, d9 FROM (
+              SELECT *, row_number() OVER (PARTITION BY pid
+                ORDER BY d9, id) AS rn
+              FROM (
+                SELECT pr.pid, pr.true_label, p.id, p.lb,
+                  CAST(floor(list_sum(list_transform(
+                    generate_series(1, 64),
+                    i -> (pr.pv[i] - p.v[i]) * (pr.pv[i] - p.v[i])))
+                    * 1e9 + 0.5) AS BIGINT) AS d9
+                FROM probes pr CROSS JOIN pts p WHERE p.id <> pr.pid))
+            WHERE rn <= 3),
+          voted AS (
+            SELECT pid, true_label, lb, nv FROM (
+              SELECT pid, true_label, lb, count(*) AS nv,
+                row_number() OVER (PARTITION BY pid
+                  ORDER BY count(*) DESC, lb ASC) AS vr
+              FROM nn GROUP BY pid, true_label, lb)
+            WHERE vr = 1),
+          scored AS (
+            SELECT pid AS probe_id, true_label, lb AS predicted_label,
+              nv AS votes, true_label = lb AS correct
+            FROM voted),
+          acc AS (
+            SELECT floor(CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+              AS panel_accuracy
+            FROM scored)
+         SELECT probe_id, true_label, predicted_label, votes, correct,
+           panel_accuracy
+         FROM scored, acc ORDER BY probe_id""",
     // three unrolled Lloyd rounds: 1e-9-grid distances with argmin
     // ties to the lower cluster, 1e-7-grid integer coordinate sums
     // for the order-free centroid update

@@ -354,6 +354,19 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stat") == 1.5)
   }
 
+  test("dbscan1d: core island, border absorbed, isolated noise") {
+    // values (in cents already): dense band 10-12, border 14, far 20
+    val rows = (Seq.fill(3)(10L) ++ Seq.fill(3)(11L) ++
+      Seq.fill(3)(12L) ++ Seq(14L) ++ Seq.fill(2)(20L)).toDF("c")
+    val got = Eval.dbscan1d(rows, col("c"), eps = 2L, minPts = 5L)
+      .collect().map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("min_value"),
+          r.getAs[Long]("max_value"))).toMap
+    assert(got(1L) == ((10L, 10L, 14L))) // 9 core pts + the border 14
+    assert(got(-1L) == ((2L, 20L, 20L))) // isolated pair is noise
+    assert(got.size == 2)
+  }
+
   test("ipwEffect: stratified weighting removes the confounded sign") {
     // per-stratum ATE is +10 in both strata, but treatment is rare in
     // the high-outcome stratum ⇒ naive diff goes NEGATIVE; IPW = 10

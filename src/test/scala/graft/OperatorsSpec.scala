@@ -2992,6 +2992,19 @@ class OperatorsSpec extends SparkSpec {
       (3, 4L, 1L, 6L)), s"got $got")
   }
 
+  test("Similarity.knnLooLabelCheck: separated blobs vote their labels") {
+    val emb = (Seq(0f, 1f, 2f, 3f).map(x => (x, 0)) ++
+      Seq(100f, 101f, 102f, 103f).map(x => (x, 1))).zipWithIndex
+      .map { case ((x, lb), i) => (i.toLong, Seq(x), lb) }
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.knnLooLabelCheck(emb,
+      "embedding", "vec_id", "label", mProbes = 8, k = 3).collect()
+    assert(out.length == 8)
+    assert(out.forall(_.getAs[Boolean]("correct")))
+    assert(out.forall(_.getAs[Double]("panel_accuracy") == 1.0))
+    assert(out.forall(_.getAs[Long]("votes") == 3L))
+  }
+
   test("Similarity.kMeans: separated 1-d blobs recovered in 3 rounds") {
     val emb = Seq(0f, 1f, 2f, 100f, 101f, 102f).zipWithIndex
       .map { case (x, i) => (i.toLong, Seq(x)) }
