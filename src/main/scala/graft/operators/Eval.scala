@@ -1750,6 +1750,117 @@ object Eval {
         floor(f * 1e4 + 0.5) / 1e4).as("w_stat"))
   }
 
+  /** Wilcoxon signed-rank test for per-unit paired differences — the
+    * rank-based middle ground between [[signFlipTest]] (exact but
+    * permutation-priced) and a paired t-test (normality-priced):
+    * zero differences drop, |d| gets tie-averaged ranks (the q324
+    * doubled-rank integers over the distinct-|d| grid), W⁺ sums the
+    * positive-side ranks, and z uses the tie-corrected normal
+    * approximation σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48. Everything is
+    * exact integer arithmetic until the final z ratio. Output one
+    * row: `n_nonzero, w_plus, w_minus, z` (w on the exact .5 grid,
+    * z 1e-6 sign-aware).
+    *
+    * Scale shape: one unit-grain aggregate, one distinct-|d| grid
+    * window, one fold.
+    */
+  def wilcoxonSignedRank(df: DataFrame, unitCol: String,
+      valueCol: String, predA: Column, predB: Column): DataFrame = {
+    val cents = floor(col(valueCol).cast("double") * 100d + 0.5)
+      .cast("long")
+    val per = df.filter(col(valueCol).isNotNull && (predA || predB))
+      .select(col(unitCol).as("__u"),
+        when(predA, cents).otherwise(lit(null)).as("__ca"),
+        when(predB, cents).otherwise(lit(null)).as("__cb"))
+      .groupBy("__u")
+      .agg(sum("__ca").as("__sa"), count(col("__ca")).as("__na"),
+        sum("__cb").as("__sb"), count(col("__cb")).as("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+    val dv = col("__sa").cast("double") / col("__na") / 100d -
+      col("__sb").cast("double") / col("__nb") / 100d
+    val diffs = per.select(
+        when(dv >= 0, floor(dv * 1e4 + 0.5))
+          .otherwise(-floor(-dv * 1e4 + 0.5)).cast("long").as("__d4"))
+      .where(col("__d4") =!= 0L)
+      .select(abs(col("__d4")).as("__ad"),
+        (col("__d4") > 0).as("__pos"))
+    val grid = diffs.groupBy("__ad").agg(count(lit(1)).as("__t"),
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("__p"))
+    val wBelow = Window.orderBy("__ad")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grid.withColumn("__rank2",
+      lit(2L) * coalesce(sum("__t").over(wBelow), lit(0L)) +
+        col("__t") + 1L)
+    val folded = ranked.agg(sum("__t").as("__n"),
+      sum(col("__p") * col("__rank2")).as("__wp2"),
+      sum((col("__t") - col("__p")) * col("__rank2")).as("__wm2"),
+      sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__ties"))
+    val nD = col("__n").cast("double")
+    val mu2 = nD * (nD + 1d) / 2d
+    val varW = nD * (nD + 1d) * (lit(2d) * nD + 1d) / 24d -
+      col("__ties").cast("double") / 48d
+    val z = (col("__wp2").cast("double") / 2d - mu2 / 2d) / sqrt(varW)
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    folded.select(col("__n").as("n_nonzero"),
+      (col("__wp2").cast("double") / 2d).as("w_plus"),
+      (col("__wm2").cast("double") / 2d).as("w_minus"),
+      when(col("__n") > 0 && varW > 0, g6(z)).as("z"))
+  }
+
+  /** 2×2 association panel — odds ratio and relative risk with the
+    * Wald log CI (Haldane–Anscombe +0.5 when any cell is empty): the
+    * epidemiology-standard effect report for "does exposure X
+    * co-occur with outcome Y?" at the unit grain (q211's AB test
+    * gives the difference; this gives the RATIO family reviewers
+    * expect). Cells are exact integers; ln runs once per report on
+    * identical doubles. Output one row:
+    * `n_exposed, n_unexposed, a, b, c, d, odds_ratio, log_or_se,
+    * or_ci_lo, or_ci_hi, relative_risk` (1e-6 grids).
+    *
+    * Scale shape: one unit-grain boolean aggregate → one 4-counter
+    * fold.
+    */
+  def oddsRatioPanel(df: DataFrame, unitCol: String, exposed: Column,
+      outcome: Column): DataFrame = {
+    val per = df.groupBy(col(unitCol).as("__u"))
+      .agg(max(when(exposed, 1L).otherwise(0L)).as("__e"),
+        max(when(outcome, 1L).otherwise(0L)).as("__o"))
+    val cells = per.agg(
+      sum(when(col("__e") === 1 && col("__o") === 1, 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("__e") === 1 && col("__o") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("__e") === 0 && col("__o") === 1, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("__e") === 0 && col("__o") === 0, 1L).otherwise(0L))
+        .as("d"))
+    val anyZero = col("a") === 0 || col("b") === 0 || col("c") === 0 ||
+      col("d") === 0
+    def adj(c: Column): Column =
+      when(anyZero, c.cast("double") + 0.5).otherwise(c.cast("double"))
+    val (aA, bA, cA, dA) = (adj(col("a")), adj(col("b")), adj(col("c")),
+      adj(col("d")))
+    val or = aA * dA / (bA * cA)
+    val se = sqrt(lit(1d) / aA + lit(1d) / bA + lit(1d) / cA +
+      lit(1d) / dA)
+    val lnOr = log(or)
+    val rr = (aA / (aA + bA)) / (cA / (cA + dA))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    def expG(x: Column): Column = g6(exp(x))
+    cells.select((col("a") + col("b")).as("n_exposed"),
+      (col("c") + col("d")).as("n_unexposed"),
+      col("a"), col("b"), col("c"), col("d"),
+      g6(or).as("odds_ratio"), g6(se).as("log_or_se"),
+      expG(lnOr - lit(1.96) * se).as("or_ci_lo"),
+      expG(lnOr + lit(1.96) * se).as("or_ci_hi"),
+      g6(rr).as("relative_risk"))
+  }
+
   /** 1-D DBSCAN over the integer value grid — density clustering of a
     * numeric column without choosing k (the distribution-shape
     * answer to "how many pricing bands / activity modes exist?",

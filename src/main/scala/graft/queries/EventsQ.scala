@@ -300,6 +300,23 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- Wilcoxon signed-rank on the per-user purchase-vs-view
+    //      value gap (the rank companion of q378's sign-flip) ----
+    "q406_wilcoxon" -> ((s, d) => {
+      graft.operators.Eval.wilcoxonSignedRank(Tables.events(s, d),
+        "user_id", "value", col("event_type") === "purchase",
+        col("event_type") === "view")
+    }),
+
+    // ---- 2×2 odds-ratio / relative-risk panel: do high-value
+    //      errors co-occur with high-value purchases per user? ----
+    "q407_odds_ratio" -> ((s, d) => {
+      graft.operators.Eval.oddsRatioPanel(Tables.events(s, d),
+        "user_id",
+        col("event_type") === "error" && col("value") > 200,
+        col("event_type") === "purchase" && col("value") > 200)
+    }),
+
     // ---- 1-D DBSCAN over value cents (eps $1, minPts 5): density
     //      bands + noise without choosing k ----
     "q404_dbscan" -> ((s, d) => {
@@ -1148,6 +1165,125 @@ object EventsQ {
              END AS max_share
          FROM folded"""
     },
+    // doubled tie-averaged ranks over the distinct-|d| grid; exact
+    // integers to the final z
+    "q406_wilcoxon" ->
+      """WITH per AS (
+            SELECT user_id AS u,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS sa2,
+              count(CASE WHEN event_type = 'purchase' THEN 1 END) AS na,
+              CAST(sum(CASE WHEN event_type = 'view'
+                THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS sb2,
+              count(CASE WHEN event_type = 'view' THEN 1 END) AS nb
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('purchase', 'view')
+            GROUP BY user_id
+            HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                > 0
+              AND count(CASE WHEN event_type = 'view' THEN 1 END) > 0),
+          diffs AS (
+            SELECT CASE WHEN CAST(sa2 AS DOUBLE) / na / 100
+                - CAST(sb2 AS DOUBLE) / nb / 100 >= 0 THEN
+                CAST(floor((CAST(sa2 AS DOUBLE) / na / 100
+                  - CAST(sb2 AS DOUBLE) / nb / 100) * 1e4 + 0.5)
+                  AS BIGINT)
+              ELSE -CAST(floor(-(CAST(sa2 AS DOUBLE) / na / 100
+                  - CAST(sb2 AS DOUBLE) / nb / 100) * 1e4 + 0.5)
+                  AS BIGINT) END AS d4
+            FROM per),
+          grid AS (
+            SELECT abs(d4) AS ad, count(*) AS t,
+              CAST(sum(CASE WHEN d4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS p
+            FROM diffs WHERE d4 <> 0 GROUP BY abs(d4)),
+          rk AS (
+            SELECT *,
+              2 * CAST(coalesce(sum(t) OVER (ORDER BY ad ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                + t + 1 AS rank2
+            FROM grid),
+          f AS (
+            SELECT CAST(sum(t) AS BIGINT) AS n,
+              CAST(sum(p * rank2) AS BIGINT) AS wp2,
+              CAST(sum((t - p) * rank2) AS BIGINT) AS wm2,
+              CAST(sum(t * t * t - t) AS BIGINT) AS ties
+            FROM rk)
+         SELECT n AS n_nonzero, CAST(wp2 AS DOUBLE) / 2 AS w_plus,
+           CAST(wm2 AS DOUBLE) / 2 AS w_minus,
+           CASE WHEN n > 0 AND CAST(n AS DOUBLE)
+               * (CAST(n AS DOUBLE) + 1) * (2 * CAST(n AS DOUBLE) + 1)
+               / 24 - CAST(ties AS DOUBLE) / 48 > 0 THEN
+             CASE WHEN (CAST(wp2 AS DOUBLE) / 2 - CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) + 1) / 2 / 2)
+                 / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                   * (2 * CAST(n AS DOUBLE) + 1) / 24
+                   - CAST(ties AS DOUBLE) / 48) >= 0 THEN
+               floor((CAST(wp2 AS DOUBLE) / 2 - CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) + 1) / 2 / 2)
+                 / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                   * (2 * CAST(n AS DOUBLE) + 1) / 24
+                   - CAST(ties AS DOUBLE) / 48) * 1e6 + 0.5)
+             ELSE -floor(-((CAST(wp2 AS DOUBLE) / 2 - CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) + 1) / 2 / 2)
+                 / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                   * (2 * CAST(n AS DOUBLE) + 1) / 24
+                   - CAST(ties AS DOUBLE) / 48)) * 1e6 + 0.5) END
+               / 1e6 + 0.0 END AS z
+         FROM f""",
+    // Haldane-corrected 2×2 cells; ln/exp run once on identical
+    // doubles, 1e-6 grids
+    "q407_odds_ratio" ->
+      """WITH per AS (
+            SELECT user_id,
+              max(CASE WHEN event_type = 'error' AND value > 200
+                THEN 1 ELSE 0 END) AS e,
+              max(CASE WHEN event_type = 'purchase' AND value > 200
+                THEN 1 ELSE 0 END) AS o
+            FROM events GROUP BY user_id),
+          cells AS (
+            SELECT
+              CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+              CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+              CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+              CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d
+            FROM per),
+          calc AS (
+            SELECT *,
+              CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                THEN CAST(a AS DOUBLE) + 0.5 ELSE CAST(a AS DOUBLE)
+                END AS aa,
+              CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                THEN CAST(b AS DOUBLE) + 0.5 ELSE CAST(b AS DOUBLE)
+                END AS bb,
+              CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                THEN CAST(c AS DOUBLE) + 0.5 ELSE CAST(c AS DOUBLE)
+                END AS cc,
+              CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                THEN CAST(d AS DOUBLE) + 0.5 ELSE CAST(d AS DOUBLE)
+                END AS dd
+            FROM cells),
+          calc2 AS (
+            SELECT *, aa * dd / (bb * cc) AS orr,
+              sqrt(1 / aa + 1 / bb + 1 / cc + 1 / dd) AS se,
+              (aa / (aa + bb)) / (cc / (cc + dd)) AS rr
+            FROM calc)
+         SELECT a + b AS n_exposed, c + d AS n_unexposed, a, b, c, d,
+           floor(orr * 1e6 + 0.5) / 1e6 + 0.0 AS odds_ratio,
+           floor(se * 1e6 + 0.5) / 1e6 + 0.0 AS log_or_se,
+           floor(exp(ln(orr) - 1.96 * se) * 1e6 + 0.5) / 1e6 + 0.0
+             AS or_ci_lo,
+           floor(exp(ln(orr) + 1.96 * se) * 1e6 + 0.5) / 1e6 + 0.0
+             AS or_ci_hi,
+           floor(rr * 1e6 + 0.5) / 1e6 + 0.0 AS relative_risk
+         FROM calc2""",
     // grid-sized density window, core islands, nearest-core border
     // assignment — all exact integers
     "q404_dbscan" ->

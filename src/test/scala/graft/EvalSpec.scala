@@ -354,6 +354,38 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stat") == 1.5)
   }
 
+  test("wilcoxonSignedRank: hand-computed ranks, W and z") {
+    // unit diffs (purchase − view): +1, −2, +3 ⇒ W+ = 4, W− = 2
+    val rows = Seq((1, "p", 2.0), (1, "v", 1.0),
+      (2, "p", 1.0), (2, "v", 3.0),
+      (3, "p", 4.0), (3, "v", 1.0)).toDF("u", "ty", "v")
+    val r = Eval.wilcoxonSignedRank(rows, "u", "v",
+      col("ty") === "p", col("ty") === "v").collect().head
+    assert(r.getAs[Long]("n_nonzero") == 3)
+    assert(r.getAs[Double]("w_plus") == 4.0)
+    assert(r.getAs[Double]("w_minus") == 2.0)
+    // z = (4 − 3)/√3.5
+    assert(r.getAs[Double]("z") == 0.534522)
+  }
+
+  test("oddsRatioPanel: hand-computed OR/RR, no Haldane when full") {
+    val rows = Seq((1, 1, 1), (2, 1, 1), (3, 1, 0), (4, 0, 1),
+      (5, 0, 0), (6, 0, 0), (7, 0, 0), (8, 0, 0)).toDF("u", "e", "o")
+    val r = Eval.oddsRatioPanel(rows, "u", col("e") === 1,
+      col("o") === 1).collect().head
+    assert(r.getAs[Long]("a") == 2 && r.getAs[Long]("b") == 1)
+    assert(r.getAs[Long]("c") == 1 && r.getAs[Long]("d") == 4)
+    assert(r.getAs[Double]("odds_ratio") == 8.0)
+    val se = math.sqrt(1d / 2 + 1d / 1 + 1d / 1 + 1d / 4)
+    assert(r.getAs[Double]("log_or_se") ==
+      math.floor(se * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("relative_risk") == 3.333333) // (2/3)/(1/5)
+    assert(r.getAs[Double]("or_ci_lo") ==
+      math.floor(math.exp(math.log(8d) - 1.96 * se) * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("or_ci_hi") ==
+      math.floor(math.exp(math.log(8d) + 1.96 * se) * 1e6 + 0.5) / 1e6)
+  }
+
   test("dbscan1d: core island, border absorbed, isolated noise") {
     // values (in cents already): dense band 10-12, border 14, far 20
     val rows = (Seq.fill(3)(10L) ++ Seq.fill(3)(11L) ++
