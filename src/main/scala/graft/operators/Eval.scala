@@ -1750,6 +1750,54 @@ object Eval {
         floor(f * 1e4 + 0.5) / 1e4).as("w_stat"))
   }
 
+  /** Fleiss' kappa for m raters × binary verdicts per item — the
+    * multi-rater agreement score q287's Cohen kappa (two raters)
+    * can't give: with n_i positive votes of m per item,
+    * P̄ = mean of [n_i(n_i−1) + (m−n_i)(m−n_i−1)]/(m(m−1)) and
+    * P̄_e = p₁² + p₀² from the pooled vote shares;
+    * κ = (P̄ − P̄e)/(1 − P̄e). Items missing any rater's verdict are
+    * EXCLUDED (Fleiss assumes complete panels) and counted. All
+    * integer moments; the final κ is double algebra. Output one row:
+    * `n_items, m_raters, n_excluded, p_bar, p_e, kappa`
+    * (1e-6 grids).
+    *
+    * Scale shape: one (item × rater) boolean aggregate, one item-
+    * grain fold. The rater count m is a 1-row aggregate broadcast.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+      pred: Column): DataFrame = {
+    val cells = df.groupBy(col(itemCol).as("__i"),
+        col(raterCol).as("__r"))
+      .agg(max(when(pred, 1L).otherwise(0L)).as("__x"))
+    val m = cells.select("__r").distinct().count()
+    val per = cells.groupBy("__i")
+      .agg(count(lit(1)).as("__mr"), sum("__x").as("__ni"))
+    val complete = per.filter(col("__mr") === m)
+    val excluded = per.filter(col("__mr") =!= m)
+      .agg(count(lit(1)).as("__ex"))
+    val folded = complete.agg(count(lit(1)).as("n_items"),
+      sum("__ni").as("__tp"),
+      sum(col("__ni") * (col("__ni") - 1L) +
+        (lit(m) - col("__ni")) * (lit(m) - col("__ni") - 1L))
+        .as("__agree"))
+    val nD = col("n_items").cast("double")
+    val mD = lit(m.toDouble)
+    val pBar = col("__agree").cast("double") /
+      (nD * (mD * (mD - 1d)))
+    val p1 = col("__tp").cast("double") / (nD * mD)
+    val pE = p1 * p1 + (lit(1d) - p1) * (lit(1d) - p1)
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    folded.crossJoin(broadcast(excluded))
+      .select(col("n_items"), lit(m).as("m_raters"),
+        col("__ex").as("n_excluded"),
+        when(col("n_items") > 0, g6(pBar)).as("p_bar"),
+        when(col("n_items") > 0, g6(pE)).as("p_e"),
+        when(col("n_items") > 0 && pE < 1d,
+          g6((pBar - pE) / (lit(1d) - pE))).as("kappa"))
+  }
+
   /** Wilcoxon signed-rank test for per-unit paired differences — the
     * rank-based middle ground between [[signFlipTest]] (exact but
     * permutation-priced) and a paired t-test (normality-priced):

@@ -621,6 +621,68 @@ object Forecast {
         g6((col("runs").cast("double") - eR) / sqrt(vR))).as("z"))
   }
 
+  /** Gumbel (EV-I) fit to weekly block maxima of the daily volume —
+    * the extreme-value "how bad can a peak day get?" model (method of
+    * moments: β = s·√6/π, μ = x̄ − γ·β) with return levels for 4- and
+    * 52-block horizons: x_T = μ − β·ln(−ln(1 − 1/T)). The √6/π and
+    * Euler–Mascheroni constants and the two −ln(−ln(1−1/T)) factors
+    * are driver-side 1e-12-grid literals ([[gumbelConstants]]); block
+    * maxima and their moments are exact integers. Output one row:
+    * `n_blocks, mean_max, sd_max, mu, beta, ret4, ret52`
+    * (1e-4 grids).
+    *
+    * Scale shape: day grid once → block-grain max aggregate →
+    * one fold.
+    */
+  def gumbelMaximaDaily(df: DataFrame, tsNsCol: String,
+      blockDays: Int = 7): DataFrame = {
+    require(blockDays >= 2, "blockDays must be >= 2")
+    val (c6pi, gamma, f4, f52) = gumbelConstants
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select(expr(s"(__d - __d0) div $blockDays").as("__b"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val maxima = series.groupBy("__b").agg(max("__y").as("__mx"))
+    val mom = maxima.agg(count(lit(1)).as("n_blocks"),
+      sum("__mx").as("__s"),
+      sum(col("__mx").cast("decimal(38,0)") * col("__mx")).as("__q"))
+    val nD = col("n_blocks").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val variance = (col("__q").cast("double") -
+      col("__s").cast("double") * col("__s") / nD) / (nD - 1d)
+    val sd = sqrt(variance)
+    val beta = sd * lit(c6pi)
+    val mu = mean - lit(gamma) * beta
+    def g4(x: Column): Column =
+      when(x >= 0, floor(x * 1e4 + 0.5)).otherwise(-floor(-x * 1e4 + 0.5)) /
+        1e4 + lit(0d)
+    mom.select(col("n_blocks"), g4(mean).as("mean_max"),
+      when(variance > 0, g4(sd)).as("sd_max"),
+      when(variance > 0, g4(mu)).as("mu"),
+      when(variance > 0, g4(beta)).as("beta"),
+      when(variance > 0, g4(mu + beta * lit(f4))).as("ret4"),
+      when(variance > 0, g4(mu + beta * lit(f52))).as("ret52"))
+  }
+
+  /** The Gumbel fit's four libm constants on the 1e-12 grid (shared
+    * with the oracle): (√6/π, γ_EulerMascheroni,
+    * −ln(−ln(1−1/4)), −ln(−ln(1−1/52))).
+    */
+  def gumbelConstants: (Double, Double, Double, Double) = {
+    def g12(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e12 + 0.5) / 1e12
+      else -math.floor(-x * 1e12 + 0.5) / 1e12
+    (g12(math.sqrt(6d) / math.Pi), g12(0.5772156649015329),
+      g12(-math.log(-math.log(1d - 1d / 4))),
+      g12(-math.log(-math.log(1d - 1d / 52))))
+  }
+
   /** Haar wavelet energy decomposition of the daily volume series —
     * which TIME SCALES carry the variation? (day-to-day jitter vs
     * weekly swells vs the monthly trend; the multi-resolution

@@ -300,6 +300,19 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- Fleiss' kappa: do the event types agree on which users
+    //      produce high-value activity? (multi-rater agreement) ----
+    "q408_fleiss_kappa" -> ((s, d) => {
+      graft.operators.Eval.fleissKappa(Tables.events(s, d), "user_id",
+        "event_type", col("value") > 300)
+    }),
+
+    // ---- Gumbel fit to weekly block maxima with return levels ----
+    "q409_gumbel" -> ((s, d) => {
+      graft.operators.Forecast.gumbelMaximaDaily(Tables.events(s, d),
+        "ts")
+    }),
+
     // ---- Wilcoxon signed-rank on the per-user purchase-vs-view
     //      value gap (the rank companion of q378's sign-flip) ----
     "q406_wilcoxon" -> ((s, d) => {
@@ -1164,6 +1177,97 @@ object EventsQ {
              floor(CAST(mxx AS DOUBLE) / totx * 1e6 + 0.5) / 1e6
              END AS max_share
          FROM folded"""
+    },
+    // integer agreement moments over complete rater panels; κ is
+    // double algebra of exact integers
+    "q408_fleiss_kappa" ->
+      """WITH cells AS (
+            SELECT user_id AS i, event_type AS r,
+              max(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS x
+            FROM events GROUP BY 1, 2),
+          m_ AS (SELECT count(DISTINCT r) AS m FROM cells),
+          per AS (SELECT i, count(*) AS mr, CAST(sum(x) AS BIGINT)
+            AS ni FROM cells GROUP BY i),
+          exc AS (SELECT CAST(count(*) AS BIGINT) AS ex
+            FROM per, m_ WHERE mr <> m),
+          f AS (
+            SELECT m, count(*) AS n_items,
+              CAST(sum(ni) AS BIGINT) AS tp,
+              CAST(sum(ni * (ni - 1) + (m - ni) * (m - ni - 1))
+                AS BIGINT) AS agree
+            FROM per, m_ WHERE mr = m GROUP BY m),
+          calc AS (
+            SELECT m, n_items, ex,
+              CAST(agree AS DOUBLE) / (CAST(n_items AS DOUBLE)
+                * (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1)))
+                AS pbar,
+              CAST(tp AS DOUBLE) / (CAST(n_items AS DOUBLE)
+                * CAST(m AS DOUBLE)) AS p1
+            FROM f, exc)
+         SELECT n_items, m AS m_raters, ex AS n_excluded,
+           CASE WHEN n_items > 0 THEN
+             floor(pbar * 1e6 + 0.5) / 1e6 + 0.0 END AS p_bar,
+           CASE WHEN n_items > 0 THEN
+             floor((p1 * p1 + (1 - p1) * (1 - p1)) * 1e6 + 0.5) / 1e6
+               + 0.0 END AS p_e,
+           CASE WHEN n_items > 0
+               AND p1 * p1 + (1 - p1) * (1 - p1) < 1 THEN
+             CASE WHEN (pbar - (p1 * p1 + (1 - p1) * (1 - p1)))
+                 / (1 - (p1 * p1 + (1 - p1) * (1 - p1))) >= 0 THEN
+               floor((pbar - (p1 * p1 + (1 - p1) * (1 - p1)))
+                 / (1 - (p1 * p1 + (1 - p1) * (1 - p1))) * 1e6 + 0.5)
+             ELSE -floor(-((pbar - (p1 * p1 + (1 - p1) * (1 - p1)))
+                 / (1 - (p1 * p1 + (1 - p1) * (1 - p1)))) * 1e6 + 0.5)
+             END / 1e6 + 0.0 END AS kappa
+         FROM calc""",
+    // block maxima are exact integers; the four libm constants are
+    // the operator's own 1e-12-grid literals (gumbelConstants)
+    "q409_gumbel" -> {
+      val (c6pi, gamma, f4, f52) =
+        graft.operators.Forecast.gumbelConstants
+      s"""WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d
+            FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT (g.d - g.d0) // 7 AS b, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          maxima AS (SELECT b, max(y) AS mx FROM series GROUP BY b),
+          mom AS (SELECT count(*) AS n_blocks,
+            CAST(sum(mx) AS BIGINT) AS s,
+            sum(CAST(mx AS HUGEINT) * mx) AS q FROM maxima),
+          calc AS (
+            SELECT n_blocks, CAST(s AS DOUBLE) / n_blocks AS meanv,
+              (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_blocks)
+                / (n_blocks - 1) AS var
+            FROM mom),
+          calc2 AS (
+            SELECT *, sqrt(var) * $c6pi AS beta,
+              meanv - $gamma * (sqrt(var) * $c6pi) AS mu
+            FROM calc)
+         SELECT n_blocks,
+           floor(meanv * 1e4 + 0.5) / 1e4 + 0.0 AS mean_max,
+           CASE WHEN var > 0 THEN floor(sqrt(var) * 1e4 + 0.5) / 1e4
+             + 0.0 END AS sd_max,
+           CASE WHEN var > 0 THEN
+             CASE WHEN mu >= 0 THEN floor(mu * 1e4 + 0.5)
+               ELSE -floor(-mu * 1e4 + 0.5) END / 1e4 + 0.0
+             END AS mu,
+           CASE WHEN var > 0 THEN floor(beta * 1e4 + 0.5) / 1e4 + 0.0
+             END AS beta,
+           CASE WHEN var > 0 THEN
+             CASE WHEN mu + beta * $f4 >= 0 THEN
+                 floor((mu + beta * $f4) * 1e4 + 0.5)
+               ELSE -floor(-(mu + beta * $f4) * 1e4 + 0.5) END
+               / 1e4 + 0.0 END AS ret4,
+           CASE WHEN var > 0 THEN
+             CASE WHEN mu + beta * $f52 >= 0 THEN
+                 floor((mu + beta * $f52) * 1e4 + 0.5)
+               ELSE -floor(-(mu + beta * $f52) * 1e4 + 0.5) END
+               / 1e4 + 0.0 END AS ret52
+         FROM calc2"""
     },
     // doubled tie-averaged ranks over the distinct-|d| grid; exact
     // integers to the final z

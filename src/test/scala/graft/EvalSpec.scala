@@ -354,6 +354,45 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stat") == 1.5)
   }
 
+  test("fleissKappa: hand-computed agreement, incomplete item excluded") {
+    val rows = Seq(
+      (1, "a", 1), (1, "b", 1), (1, "c", 1),
+      (2, "a", 1), (2, "b", 1), (2, "c", 0),
+      (3, "a", 0), (3, "b", 0), (3, "c", 0),
+      (4, "a", 1), (4, "b", 0), (4, "c", 0),
+      (5, "a", 1), (5, "b", 1) // missing rater c → excluded
+    ).toDF("i", "r", "x")
+    val r = Eval.fleissKappa(rows, "i", "r", col("x") === 1)
+      .collect().head
+    assert(r.getAs[Long]("n_items") == 4)
+    assert(r.getAs[Long]("m_raters") == 3)
+    assert(r.getAs[Long]("n_excluded") == 1)
+    assert(r.getAs[Double]("p_bar") == 0.666667) // 16/24
+    assert(r.getAs[Double]("p_e") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.333333)
+  }
+
+  test("gumbelMaximaDaily: weekly maxima moments and return levels") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // week w peaks at 3 + w on its first day; other days 1 event
+    val rows = for (d <- 0 until 28;
+      i <- 1 to (if (d % 7 == 0) 3 + d / 7 else 1))
+      yield (d * DayNs + i, 1)
+    val r = graft.operators.Forecast.gumbelMaximaDaily(
+      rows.toDF("tsns", "x"), "tsns").collect().head
+    assert(r.getAs[Long]("n_blocks") == 4)
+    assert(r.getAs[Double]("mean_max") == 4.5)
+    val (c6pi, gamma, f4, _) = graft.operators.Forecast.gumbelConstants
+    val sd = math.sqrt(5d / 3)
+    def g4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Double]("sd_max") == g4(sd))
+    val beta = sd * c6pi
+    val mu = 4.5 - gamma * beta
+    assert(r.getAs[Double]("beta") == g4(beta))
+    assert(r.getAs[Double]("mu") == g4(mu))
+    assert(r.getAs[Double]("ret4") == g4(mu + beta * f4))
+  }
+
   test("wilcoxonSignedRank: hand-computed ranks, W and z") {
     // unit diffs (purchase − view): +1, −2, +3 ⇒ W+ = 4, W− = 2
     val rows = Seq((1, "p", 2.0), (1, "v", 1.0),
