@@ -225,6 +225,10 @@ object VcfQ {
     "q394_vcf_depth" -> ((s, _) => {
       VcfApi.depthQc(tables(s).geno)
     }),
+    // ---- exact Hardy-Weinberg test (plink --hardy midp analog) ----
+    "q410_vcf_hwe_exact" -> ((s, _) => {
+      VcfApi.hweExact(tables(s).geno)
+    }),
     // ---- Mendelian-error trio check (plink --mendel): a family
     //      fixture exercising every feasible-range edge — 0×0, 2×2,
     //      0×2 and hom×het violations, a missing-call exclusion, two
@@ -622,6 +626,22 @@ object VcfQ {
          t(sample_a, sample_b, n_shared, n_het_het, n_opp_homo,
            n_het_a, n_het_b, phi)
          ORDER BY sample_a, sample_b""",
+    // hand-computed through the 1e-6 log-factorial grid: odd-na
+    // variants have a single compatible h ⇒ p = 1, midp = 0.5; v2
+    // (n=2, na=2, h=0): l6(h=0) = −1098612, l6(h=2) = −405465 ⇒
+    // p9 = floor(exp(−1.098612)·1e9+0.5) = 333333430 ⇒ 0.333333,
+    // midp (p9 − p9 div 2)/1e9 ⇒ 0.166667; v6 monomorphic excluded
+    "q410_vcf_hwe_exact" ->
+      """SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE),
+            CAST(0.5 AS DOUBLE)),
+          (2, 2, 0, 2, 0.333333, 0.166667),
+          (3, 1, 1, 1, 1.0, 0.5),
+          (4, 2, 1, 1, 1.0, 0.5),
+          (5, 2, 1, 1, 1.0, 0.5))
+         t(variant_id, n_called, het_obs, minor_alleles, p_exact, p_mid)
+         ORDER BY variant_id""",
     // hand-computed from the fixture DP values: S1 {10,15,0,20,11,22}
     // ⇒ mean 13, low(<10) = {0}; S2 {12,9,7,18,13,19} ⇒ mean 13,
     // low = {9,7}

@@ -1474,6 +1474,94 @@ object VcfApi {
       .orderBy("variant_id")
   }
 
+  /** Exact Hardy–Weinberg test per variant (Wigginton 2005 — plink
+    * `--hardy` exact/midp): enumerate every heterozygote count h
+    * compatible with the variant's minor-allele count and sum the
+    * probabilities no likelier than the observed one. The chi-square
+    * q189 gate breaks down exactly where this test matters (rare
+    * alleles); this is the exact form.
+    *
+    * Determinism: log-probabilities are INTEGER combinations of a
+    * shared 1e-6-grid log-factorial table (per-term-quantized Σ ln j
+    * prefix sums over the 0..2n grid) plus h·round(ln2·1e6) — the
+    * "no likelier" ordering compares exact integers, and the
+    * probability sums are exp of identical grid doubles quantized to
+    * 1e-9 pre-fold. Output per polymorphic variant:
+    * `variant_id, n_called, het_obs, minor_alleles, p_exact, p_mid`
+    * (1e-6 grids).
+    *
+    * Scale shape: one per-variant genotype-class aggregate; the
+    * candidate grid is O(min(na, 2n−na)) rows per variant (the plink
+    * cost); the log-factorial table is one broadcast prefix-sum grid.
+    */
+  def hweExact(geno: DataFrame): DataFrame = {
+    val Ln2Micro = 693147L // round(ln 2 · 1e6), shared with the oracle
+    val per = geno.where(col("gt").isNotNull).groupBy("variant_id")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("gt") === 1d, 1L).otherwise(0L)).as("__h"),
+        sum(col("gt").cast("long")).as("__ac"))
+      .select(col("variant_id"), col("__n"), col("__h"),
+        least(col("__ac"), lit(2L) * col("__n") - col("__ac"))
+          .as("__na"))
+      .where(col("__na") > 0)
+    val maxArg = per.agg(max(lit(2L) * col("__n")).as("__mx"))
+    val lf = maxArg
+      .select(explode(sequence(lit(0L), col("__mx"))).as("__k"))
+      .withColumn("__lnk",
+        when(col("__k") <= 1L, 0L).otherwise(
+          floor(log(col("__k").cast("double")) * 1e6 + 0.5)
+            .cast("long")))
+      .withColumn("__lf", sum("__lnk").over(
+        org.apache.spark.sql.expressions.Window.orderBy("__k")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+      .select(col("__k"), col("__lf"))
+    def lfOf(alias: String): DataFrame =
+      lf.select(col("__k").as(s"__k$alias"),
+        col("__lf").as(s"__lf$alias"))
+    val cand = per.select(col("variant_id"), col("__n"), col("__h"),
+        col("__na"),
+        explode(sequence(pmod(col("__na"), lit(2L)),
+          least(col("__na"), lit(2L) * col("__n") - col("__na")),
+          lit(2L))).as("__hc"))
+      .withColumn("__gaa", expr("(__na - __hc) div 2"))
+      .withColumn("__gbb",
+        col("__n") - col("__hc") - expr("(__na - __hc) div 2"))
+    val joined = cand
+      .join(broadcast(lfOf("n")), col("__n") === col("__kn"))
+      .join(broadcast(lfOf("a")), col("__na") === col("__ka"))
+      .join(broadcast(lfOf("b")),
+        lit(2L) * col("__n") - col("__na") === col("__kb"))
+      .join(broadcast(lfOf("t")), lit(2L) * col("__n") === col("__kt"))
+      .join(broadcast(lfOf("h")), col("__hc") === col("__kh"))
+      .join(broadcast(lfOf("p")), col("__gaa") === col("__kp"))
+      .join(broadcast(lfOf("q")), col("__gbb") === col("__kq"))
+      .select(col("variant_id"), col("__n"), col("__h"), col("__na"),
+        col("__hc"),
+        (col("__lfn") + col("__lfa") + col("__lfb") - col("__lft") -
+          col("__lfh") - col("__lfp") - col("__lfq") +
+          col("__hc") * Ln2Micro).as("__l6"))
+    val obs = joined.where(col("__hc") === col("__h"))
+      .select(col("variant_id"), col("__l6").as("__lobs"))
+    val folded = joined.join(obs, Seq("variant_id"))
+      .groupBy("variant_id", "__n", "__h", "__na")
+      .agg(
+        sum(when(col("__l6") <= col("__lobs"),
+          floor(exp(col("__l6").cast("double") / 1e6) * 1e9 + 0.5)
+            .cast("long")).otherwise(0L)).as("__p9"),
+        max(when(col("__hc") === col("__h"),
+          floor(exp(col("__l6").cast("double") / 1e6) * 1e9 + 0.5)
+            .cast("long"))).as("__po9"))
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    folded.select(col("variant_id"), col("__n").as("n_called"),
+      col("__h").as("het_obs"), col("__na").as("minor_alleles"),
+      g6(least(col("__p9").cast("double") / 1e9, lit(1d))).as("p_exact"),
+      g6(greatest(least((col("__p9") - col("__po9") / 2L).cast("double")
+        / 1e9, lit(1d)), lit(0d))).as("p_mid"))
+      .orderBy("variant_id")
+  }
+
   /** Per-sample depth QC from the typed FORMAT `dp` column (the
     * coverage screen behind every call-rate threshold: a sample whose
     * depth distribution sits low explains its missingness before any

@@ -669,6 +669,31 @@ class ApiSpec extends SparkSpec {
     assert(v2.isNullAt(v2.fieldIndex("af")))
   }
 
+  test("VcfApi.hweExact: het-deficient site matches the Wigginton sum") {
+    import spark.implicits._
+    // n=4, na=4, observed h=0: P(0)=6/70, P(2)=48/70, P(4)=16/70 ⇒
+    // only h=0 is "no likelier" ⇒ p ≈ 6/70, midp ≈ 3/70
+    val geno = Seq(
+      (1L, "a", Some(2d)), (1L, "b", Some(2d)),
+      (1L, "c", Some(0d)), (1L, "d", Some(0d))
+    ).toDF("variant_id", "sample", "gt")
+    val r = graft.vcf.VcfApi.hweExact(geno).collect().head
+    assert(r.getAs[Long]("n_called") == 4)
+    assert(r.getAs[Long]("het_obs") == 0)
+    assert(r.getAs[Long]("minor_alleles") == 4)
+    assert(math.abs(r.getAs[Double]("p_exact") - 6d / 70) < 2e-5)
+    assert(math.abs(r.getAs[Double]("p_mid") - 3d / 70) < 2e-5)
+    // a perfectly HWE-consistent site is not flagged: (0,1,1,2) has
+    // h=2 the modal configuration ⇒ p_exact = 1
+    val hwe = Seq((2L, "a", Some(0d)), (2L, "b", Some(1d)),
+      (2L, "c", Some(1d)), (2L, "d", Some(2d)))
+      .toDF("variant_id", "sample", "gt")
+    val r2 = graft.vcf.VcfApi.hweExact(hwe).collect().head
+    // all configurations are "no likelier" than the modal one; the
+    // 1e-6 log grid leaves the total a hair under exactly 1
+    assert(r2.getAs[Double]("p_exact") > 0.99999)
+  }
+
   test("VcfApi.depthQc: per-sample stats, NULL dp rows excluded") {
     import spark.implicits._
     val geno = Seq(
