@@ -621,6 +621,84 @@ object Forecast {
         g6((col("runs").cast("double") - eR) / sqrt(vR))).as("z"))
   }
 
+  /** Dynamic time warping between the diurnal (time-of-day) profiles
+    * of two event types — "do purchases follow the SHAPE of views,
+    * shifted in time?" where q365's CCF only tests rigid lags and
+    * q372's τ ignores timing entirely. The two `bins`-bin profiles
+    * are integer counts; the classic DP
+    * D(i,j) = cost(i,j) + min(D(i−1,j), D(i,j−1), D(i−1,j−1)) unrolls
+    * over the 2·bins−1 anti-diagonals (each cell depends only on the
+    * two previous diagonals), so everything is exact int64. Output
+    * one row: `n_bins, dtw_dist_sq, diag_dist_sq, warp_gain`
+    * (warp_gain = 1 − dtw/diag, 1e-6 grid — how much the optimal
+    * alignment beats the rigid one).
+    *
+    * Scale shape: corpus → two bins-row profiles once; the DP is
+    * bins² cells in 2·bins−1 tiny joined stages — a compile-time
+    * constant, no data-sized work and no driver-side state.
+    */
+  def dtwDiurnal(df: DataFrame, tsNsCol: String, typeCol: String,
+      typeA: String, typeB: String, bins: Int = 12): DataFrame = {
+    require(bins >= 2 && bins <= 24, "bins in [2, 24]")
+    val Big = 9000000000000000L
+    val binNs = DayNs / bins
+    val n2 = bins * bins
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(
+      expr(s"(pmod($tsNsCol, ${DayNs}L)) div ${binNs}L").as("__b"),
+      col(typeCol).as("__ty"))
+    val grid = spark.range(bins).toDF("__b")
+    def profile(ty: String, out: String): DataFrame =
+      grid.join(ev.where(col("__ty") === ty).groupBy("__b")
+          .agg(count(lit(1)).as(out)), Seq("__b"), "left")
+        .select(col("__b"), coalesce(col(out), lit(0L)).as(out))
+    val pa = profile(typeA, "__ya")
+    val pb = profile(typeB, "__yb")
+    val cost = pa.select(col("__b").as("__i"), col("__ya"))
+      .crossJoin(pb.select(col("__b").as("__j"), col("__yb")))
+      .select(col("__i"), col("__j"),
+        ((col("__ya") - col("__yb")) * (col("__ya") - col("__yb")))
+          .as("__c"))
+    // the DP as ONE sequential fold over (i, j)-sorted cells: the
+    // accumulator is the flattened D table (1-based element_at), and
+    // every dependency (left/up/diag) precedes its cell in (i, j)
+    // order. A 23-stage join unroll would be correct too, but
+    // Catalyst's per-stage planning makes a bins²-element fold far
+    // cheaper — and the oracle keeps the unrolled-CTE form, proving
+    // both shapes compute the same table.
+    val foldSql =
+      s"""element_at(
+            aggregate(
+              transform(sort_array(collect_list(struct(__i, __j, __c))),
+                p -> p),
+              array_repeat(CAST($Big AS BIGINT), $n2),
+              (acc, s) -> transform(sequence(0, ${n2 - 1}), ii ->
+                IF(ii = s.__i * $bins + s.__j,
+                  s.__c + IF(s.__i = 0 AND s.__j = 0, 0L,
+                    least(
+                      IF(s.__i > 0,
+                        element_at(acc, CAST((s.__i - 1) * $bins + s.__j + 1 AS INT)),
+                        ${Big}L),
+                      IF(s.__j > 0,
+                        element_at(acc, CAST(s.__i * $bins + s.__j AS INT)),
+                        ${Big}L),
+                      IF(s.__i > 0 AND s.__j > 0,
+                        element_at(acc, CAST((s.__i - 1) * $bins + s.__j AS INT)),
+                        ${Big}L))),
+                  element_at(acc, CAST(ii + 1 AS INT))))),
+            $n2)"""
+    val dtw = cost.agg(expr(foldSql).as("__dtw"),
+      sum(when(col("__i") === col("__j"), col("__c")).otherwise(0L))
+        .as("__diag"))
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    dtw.select(lit(bins).as("n_bins"), col("__dtw").as("dtw_dist_sq"),
+      col("__diag").as("diag_dist_sq"),
+      when(col("__diag") > 0,
+        g6(lit(1d) - col("__dtw").cast("double") / col("__diag")))
+        .as("warp_gain"))
+  }
+
   /** Gumbel (EV-I) fit to weekly block maxima of the daily volume —
     * the extreme-value "how bad can a peak day get?" model (method of
     * moments: β = s·√6/π, μ = x̄ − γ·β) with return levels for 4- and

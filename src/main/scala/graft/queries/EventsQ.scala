@@ -300,6 +300,13 @@ object EventsQ {
         .orderBy("purchase_id")
     }),
 
+    // ---- DTW between the view and purchase diurnal profiles:
+    //      optimal time-warped alignment vs the rigid diagonal ----
+    "q411_dtw" -> ((s, d) => {
+      graft.operators.Forecast.dtwDiurnal(Tables.events(s, d), "ts",
+        "event_type", "view", "purchase")
+    }),
+
     // ---- Fleiss' kappa: do the event types agree on which users
     //      produce high-value activity? (multi-rater agreement) ----
     "q408_fleiss_kappa" -> ((s, d) => {
@@ -1177,6 +1184,59 @@ object EventsQ {
              floor(CAST(mxx AS DOUBLE) / totx * 1e6 + 0.5) / 1e6
              END AS max_share
          FROM folded"""
+    },
+    // the DP unrolled over 23 anti-diagonals — pure int64 end to end
+    "q411_dtw" -> {
+      val Big = 9000000000000000L
+      def diagCte(k: Int): String = {
+        val gjoin =
+          if (k >= 2)
+            s"LEFT JOIN dg${k - 2} g ON g.i = cost.i - 1 AND g.j = cost.j - 1"
+          else ""
+        val gsel =
+          if (k >= 2) s"coalesce(g.d, $Big)" else s"CAST($Big AS BIGINT)"
+        s"""dg$k AS MATERIALIZED (
+            SELECT cost.i, cost.j,
+              cost.c + least(coalesce(l.d, $Big), coalesce(u.d, $Big),
+                $gsel) AS d
+            FROM cost
+            LEFT JOIN dg${k - 1} l
+              ON l.i = cost.i - 1 AND l.j = cost.j
+            LEFT JOIN dg${k - 1} u
+              ON u.i = cost.i AND u.j = cost.j - 1
+            $gjoin
+            WHERE cost.i + cost.j = $k)"""
+      }
+      val diags = (1 to 22).map(diagCte).mkString(",\n          ")
+      s"""WITH ev AS (
+            SELECT (epoch_ns(ts) % 86400000000000) // 7200000000000
+              AS b, event_type
+            FROM events),
+          grid AS (SELECT unnest(generate_series(0, 11)) AS b),
+          pa AS (
+            SELECT g.b, coalesce(x.ya, 0) AS ya FROM grid g
+            LEFT JOIN (SELECT b, count(*) AS ya FROM ev
+              WHERE event_type = 'view' GROUP BY b) x ON g.b = x.b),
+          pb AS (
+            SELECT g.b, coalesce(x.yb, 0) AS yb FROM grid g
+            LEFT JOIN (SELECT b, count(*) AS yb FROM ev
+              WHERE event_type = 'purchase' GROUP BY b) x
+            ON g.b = x.b),
+          cost AS MATERIALIZED (
+            SELECT a.b AS i, b2.b AS j,
+              (a.ya - b2.yb) * (a.ya - b2.yb) AS c
+            FROM pa a CROSS JOIN pb b2),
+          dg0 AS MATERIALIZED (SELECT i, j, c AS d FROM cost
+            WHERE i = 0 AND j = 0),
+          $diags
+         SELECT 12 AS n_bins, t.d AS dtw_dist_sq,
+           dd.s AS diag_dist_sq,
+           CASE WHEN dd.s > 0 THEN
+             floor((1 - CAST(t.d AS DOUBLE) / dd.s) * 1e6 + 0.5) / 1e6
+             END AS warp_gain
+         FROM (SELECT d FROM dg22 WHERE i = 11 AND j = 11) t,
+           (SELECT CAST(sum(c) AS BIGINT) AS s FROM cost WHERE i = j)
+             dd"""
     },
     // integer agreement moments over complete rater panels; κ is
     // double algebra of exact integers

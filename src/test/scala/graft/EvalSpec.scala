@@ -354,6 +354,20 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stat") == 1.5)
   }
 
+  test("dtwDiurnal: one-bin shift warps to half the rigid cost") {
+    val H6 = 6L * 3600 * 1000 * 1000 * 1000 // one 4-bin slot
+    // views all in bin 0, purchases all in bin 1 (same shape, shifted)
+    val rows = (1 to 5).map(i => (i * 1000L, "view")) ++
+      (1 to 5).map(i => (H6 + i * 1000L, "purchase"))
+    val r = graft.operators.Forecast.dtwDiurnal(
+      rows.toDF("tsns", "ty"), "tsns", "ty", "view", "purchase",
+      bins = 4).collect().head
+    assert(r.getAs[Int]("n_bins") == 4)
+    assert(r.getAs[Long]("dtw_dist_sq") == 25L)
+    assert(r.getAs[Long]("diag_dist_sq") == 50L)
+    assert(r.getAs[Double]("warp_gain") == 0.5)
+  }
+
   test("fleissKappa: hand-computed agreement, incomplete item excluded") {
     val rows = Seq(
       (1, "a", 1), (1, "b", 1), (1, "c", 1),
