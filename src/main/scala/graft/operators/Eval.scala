@@ -1766,9 +1766,12 @@ object Eval {
     */
   def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
       pred: Column): DataFrame = {
-    val cells = df.groupBy(col(itemCol).as("__i"),
+    // persisted: the rater-count action below and the main plan both
+    // read this (item × rater) aggregate — without the cache the full
+    // corpus pass runs twice per call
+    val cells = Dedup.persistTracked(df.groupBy(col(itemCol).as("__i"),
         col(raterCol).as("__r"))
-      .agg(max(when(pred, 1L).otherwise(0L)).as("__x"))
+      .agg(max(when(pred, 1L).otherwise(0L)).as("__x")))
     val m = cells.select("__r").distinct().count()
     val per = cells.groupBy("__i")
       .agg(count(lit(1)).as("__mr"), sum("__x").as("__ni"))
@@ -2158,9 +2161,11 @@ object Eval {
     */
   def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
       pred: Column): DataFrame = {
-    val cells = df.groupBy(col(blockCol).as("__b"),
+    // persisted for the same reason as fleissKappa's cells: the
+    // treatment-count action and the main plan share one aggregate pass
+    val cells = Dedup.persistTracked(df.groupBy(col(blockCol).as("__b"),
         col(treatCol).as("__t"))
-      .agg(max(when(pred, 1L).otherwise(0L)).as("__x"))
+      .agg(max(when(pred, 1L).otherwise(0L)).as("__x")))
     val k = cells.select("__t").distinct().count()
     val rows = cells.groupBy("__b").agg(sum("__x").as("__r"))
       .agg(count(lit(1)).as("n_blocks"), sum("__r").as("__N"),

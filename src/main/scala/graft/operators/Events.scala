@@ -1825,8 +1825,15 @@ object Events {
     val a = cells.agg(sum(lnTerm(col("__c"))).as("__la"),
       sum("__c").as("__N"))
     val b = cells.groupBy("__f").agg(sum("__c").as("__nf"))
-      .agg(sum(lnTerm(col("__nf"))).as("__lb"),
-        count(lit(1)).as("n_states"))
+      .agg(sum(lnTerm(col("__nf"))).as("__lb"))
+    // state count over the FULL state set (sources ∪ targets): a type
+    // appearing only as a transition target still belongs to the
+    // chain, and H(next|cur) ≤ ln|targets| ≤ ln k keeps
+    // predictability in [0, 1] — normalizing by source-only
+    // cardinality could push it negative.
+    val k = cells.select(col("__f").as("__s"))
+      .union(cells.select(col("__t").as("__s")))
+      .agg(count_distinct(col("__s")).as("n_states"))
     val nD = col("__N").cast("double")
     val h = (col("__lb").cast("double") - col("__la").cast("double")) /
       1e6 / nD
@@ -1834,7 +1841,7 @@ object Events {
     def g6(x: Column): Column =
       when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
         1e6 + lit(0d)
-    a.crossJoin(b)
+    a.crossJoin(b).crossJoin(k)
       .select(col("__N").as("n_transitions"), col("n_states"),
         g6(h).as("h_rate"), g6(hMax).as("h_max"),
         when(col("n_states") > 1, g6(lit(1d) - h / hMax))

@@ -645,8 +645,13 @@ object Forecast {
     val n2 = bins * bins
     val spark = df.sparkSession
     import spark.implicits._
+    // binNs = DayNs div bins truncates, so when bins does not divide the
+    // day the last sliver of timestamps lands on index == bins — clamp
+    // it into the final bin rather than silently dropping it at the
+    // grid join below.
     val ev = df.select(
-      expr(s"(pmod($tsNsCol, ${DayNs}L)) div ${binNs}L").as("__b"),
+      least(expr(s"(pmod($tsNsCol, ${DayNs}L)) div ${binNs}L"),
+        lit((bins - 1).toLong)).as("__b"),
       col(typeCol).as("__ty"))
     val grid = spark.range(bins).toDF("__b")
     def profile(ty: String, out: String): DataFrame =

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed percentile operators.
   *
@@ -108,10 +107,10 @@ object Percentiles {
   private def hOf(p: Double): Column = lit(1d) + (col("_n") - 1d) * lit(p)
 
   /** Above this many (partition, group) stats rows the rank stage
-    * dispatches to the per-group window plan instead of collecting
-    * offsets to the driver — overridable via
+    * dispatches to the per-group window plan instead of broadcasting
+    * the stats table back onto the scan — overridable via
     * `spark.graft.percentiles.maxDriverStats`. 200k rows of small
-    * tuples is a few tens of MB of driver heap; the same guard shape
+    * tuples is a few tens of MB of broadcast; the same guard shape
     * as `VcfApi.buildGeneIndex`'s `maxDriverIds`.
     */
   private val DefaultMaxDriverStats = 200000L
@@ -135,69 +134,66 @@ object Percentiles {
     */
   private[graft] def globalSortRanks(df: DataFrame, keys: Seq[String],
       value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val kcols = keys.map(col)
-    val nKeys = keys.length
     val base = df.where(col(value).isNotNull)
       .select(kcols :+ col(value).cast("double").as("_v"): _*)
       .orderBy(kcols :+ col("_v"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveCaches.add(base)
 
-    // stats pass: rows per (partition, group), with a pre-count gating
-    // the driver-side collect (cardinality dispatch, see scaladoc)
-    val statsDf = base
+    // Rank reconstruction stays DECLARATIVE (no rdd round-trip — that
+    // would deserialize every UnsafeRow to GenericRow and back, and it
+    // measurably dominated the exact-quantile gates): within a cached
+    // partition `monotonically_increasing_id()` is the partition id in
+    // the high bits plus a CONSECUTIVE record counter, and after the
+    // range-partitioned sort each (partition, group) run is contiguous
+    // — so `_mid - min(_mid) over the run` IS the 0-based rank within
+    // the run. The per-run min rides along in the same tiny stats
+    // aggregate that sizes the runs; re-evaluation over the persisted
+    // cache is order-stable, so both passes see identical ids.
+    val withMid = base
       .withColumn("_pid", spark_partition_id())
-      .groupBy(col("_pid") +: kcols: _*).agg(count(lit(1)).as("_c"))
+      .withColumn("_mid", monotonically_increasing_id())
+    val statsDf = withMid
+      .groupBy(col("_pid") +: kcols: _*)
+      .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_mid0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(statsDf)
     val maxStats = spark.conf.getOption("spark.graft.percentiles.maxDriverStats")
       .map(_.toLong).getOrElse(DefaultMaxDriverStats)
     if (keys.nonEmpty && statsDf.count() > maxStats) {
-      import org.apache.spark.sql.expressions.Window
+      // HIGH-cardinality group key: the stats table itself is big, but
+      // each group is small — the classic hash-partitioned per-group
+      // window is the right plan (cardinality dispatch, see scaladoc).
       val w = Window.partitionBy(kcols: _*).orderBy(col("_v"))
       return base
         .withColumn("_rn", row_number().over(w).cast("long"))
         .withColumn("_n",
           count(lit(1)).over(Window.partitionBy(kcols: _*)))
     }
-    val counts: Array[(Int, IndexedSeq[Any], Long)] = statsDf
-      .collect()
-      .map(r => (r.getInt(0), (1 to nKeys).map(r.get).toIndexedSeq,
-        r.getLong(nKeys + 1)))
-    val totals: Map[IndexedSeq[Any], Long] =
-      counts.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
-    val offsets: Map[(Int, IndexedSeq[Any]), Long] =
-      counts.groupBy(_._2).iterator.flatMap { case (k, cs) =>
-        var acc = 0L
-        cs.sortBy(_._1).map { case (pid, _, c) =>
-          val entry = (pid, k) -> acc
-          acc += c
-          entry
-        }
-      }.toMap
-    val bc = spark.sparkContext.broadcast((offsets, totals))
-
-    val outSchema = StructType(base.schema.fields ++ Seq(
-      StructField("_rn", LongType, nullable = false),
-      StructField("_n", LongType, nullable = false)))
-    val rdd = base.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val (off, tot) = bc.value
-      var curKey: IndexedSeq[Any] = null
-      var started = false
-      var rank = 0L
-      var n = 0L
-      rows.map { r =>
-        val k = (0 until nKeys).map(r.get).toIndexedSeq
-        if (!started || k != curKey) {
-          started = true
-          curKey = k
-          rank = off.getOrElse((pid, k), 0L)
-          n = tot.getOrElse(k, 0L)
-        }
-        rank += 1
-        Row.fromSeq(r.toSeq :+ rank :+ n)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    // Per-(partition, group) offsets and group totals from windows over
+    // the persisted stats table only (O(#groups + #partitions) rows):
+    // offset = rows of the group in earlier partitions.
+    val wOff = Window.partitionBy(kcols: _*).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(kcols: _*)
+    val offs = statsDf
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .withColumn("_gn", sum(col("_c")).over(wTot))
+      .select(col("_pid").as("_spid") +:
+        keys.map(k => col(k).as(s"_sk_$k")) ++:
+        Seq(col("_mid0"), col("_off"), col("_gn")): _*)
+    // Null-safe key equality: a NULL group key is a real group here
+    // (the maps-based predecessor kept it; a plain equi-join would
+    // silently drop it).
+    val cond = (Seq(col("_pid") === col("_spid")) ++
+      keys.map(k => col(k) <=> col(s"_sk_$k"))).reduce(_ && _)
+    withMid.join(broadcast(offs), cond)
+      .select(base.columns.map(col) ++ Seq(
+        (col("_off") + (col("_mid") - col("_mid0")) + lit(1L)).as("_rn"),
+        col("_gn").as("_n")): _*)
   }
 
   /** Shared rank stage: rank the non-null values per group via

@@ -1756,10 +1756,13 @@ object EventsQ {
           b AS (
             SELECT CAST(sum(CAST(floor(CAST(nf AS DOUBLE)
               * ln(CAST(nf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
-              AS BIGINT) AS lb,
-              CAST(count(*) AS BIGINT) AS n_states
+              AS BIGINT) AS lb
             FROM (SELECT f, CAST(sum(c) AS BIGINT) AS nf FROM cells
-              GROUP BY f))
+              GROUP BY f)),
+          k AS (
+            SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_states
+            FROM (SELECT f AS s FROM cells
+              UNION ALL SELECT t AS s FROM cells))
          SELECT n AS n_transitions, n_states,
            floor((CAST(lb AS DOUBLE) - CAST(la AS DOUBLE)) / 1e6 / n
              * 1e6 + 0.5) / 1e6 + 0.0 AS h_rate,
@@ -1769,7 +1772,7 @@ object EventsQ {
              floor((1 - ((CAST(lb AS DOUBLE) - CAST(la AS DOUBLE))
                / 1e6 / n) / ln(CAST(n_states AS DOUBLE))) * 1e6 + 0.5)
                / 1e6 + 0.0 END AS predictability
-         FROM a, b""",
+         FROM a, b, k""",
     // exact integer squared distances over the (windows × m)
     // alignment; exclusion zone ⌈m/2⌉ = 3; argmin by (d², j)
     "q386_matrix_profile" ->
@@ -1940,7 +1943,8 @@ object EventsQ {
     // bucket triples of exact cumulative integers
     "q381_isotonic" ->
       """WITH base AS (
-            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) % 101 AS x,
+            SELECT ((CAST(floor(value * 100 + 0.5) AS BIGINT) % 101) + 101)
+                % 101 AS x,
               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS yy
             FROM events WHERE value IS NOT NULL),
           mm AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
@@ -2415,7 +2419,8 @@ object EventsQ {
     // direct Brier sum is an exact integer in 1e-4 units
     "q363_brier_decomposition" ->
       """WITH base AS (
-            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) % 101 AS p,
+            SELECT ((CAST(floor(value * 100 + 0.5) AS BIGINT) % 101) + 101)
+                % 101 AS p,
               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
             FROM events WHERE value IS NOT NULL),
           per AS (

@@ -123,6 +123,11 @@ object VcfQ {
     "q48_vcf_gene_map" -> ((s, _) => {
       tables(s).geneMap.get.orderBy("symbol")
     }),
+    // one meta table per header section includes contig
+    // (02-build-db.R:113-127); length NULL where the header omits it
+    "q412_vcf_meta_contig" -> ((s, _) => {
+      tables(s).meta("contig").orderBy("name")
+    }),
     "q58_vcf_clinvar" -> ((s, _) => {
       val t = tablesClinvar(s)
       // info must NOT carry the clinvar INFO columns (they live on impact)
@@ -925,6 +930,12 @@ object VcfQ {
           ('GENE3', 'ENSG3'))
          t(symbol, gene)
          ORDER BY symbol""",
+    "q412_vcf_meta_contig" ->
+      """SELECT * FROM (VALUES
+          ('1', '1000'),
+          ('2', CAST(NULL AS VARCHAR)))
+         t(name, length)
+         ORDER BY name""",
     // hand-computed: rs1's two sigs double its two impact rows; the
     // un-annotated variants keep left-join NULLs
     "q58_vcf_clinvar" ->

@@ -22,7 +22,7 @@ object ToyVcf {
     "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
     "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read depth\">",
     "##FILTER=<ID=q10,Description=\"Quality below 10\">",
-    "##contig=<ID=1>",
+    "##contig=<ID=1,length=1000>",
     "##contig=<ID=2>",
     t("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT", "S1", "S2"),
     t("1", "100", "rs1", "A", "G", "50", "PASS",

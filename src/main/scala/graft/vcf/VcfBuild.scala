@@ -285,15 +285,20 @@ object VcfBuild {
   }
 
   /** Header metadata tables (`02-build-db.R:113-127`): one DataFrame per
-    * section, `name`/`number`/`type`/`description`.
+    * section — `name`/`number`/`type`/`description` for the field
+    * sections, `name`/`length` for `contig` (the reference writes ONE
+    * table per header section, contigs included; length is the header
+    * attribute when declared, NULL otherwise).
     */
   def metaTables(spark: SparkSession, header: VcfHeaderInfo): Map[String, DataFrame] = {
     import spark.implicits._
     def of(defs: Seq[VcfFieldDef]) =
       defs.map(d => (d.id, d.number, d.vcfType, d.description))
         .toDF("name", "number", "type", "description")
+    val contig = header.contigDefs.map { case (id, len) => (id, len.orNull) }
+      .toDF("name", "length")
     Map("info" -> of(header.infoDefs), "format" -> of(header.formatDefs),
-      "filter" -> of(header.filterDefs))
+      "filter" -> of(header.filterDefs), "contig" -> contig)
   }
 
   /** Multiallelic guard (`01-generate-variant-ranges-index.R:43-53`):

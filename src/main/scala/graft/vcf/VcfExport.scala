@@ -40,7 +40,9 @@ object VcfExport {
       header.formatDefs.map(defLine("FORMAT", _)) ++
       header.filterDefs.map(d =>
         s"""##FILTER=<ID=${d.id},Description="${esc(d.description)}">""") ++
-      header.contigs.map(c => s"##contig=<ID=$c>") ++
+      header.contigDefs.map { case (c, len) =>
+        len.fold(s"##contig=<ID=$c>")(l => s"##contig=<ID=$c,length=$l>")
+      } ++
       Seq(cols.mkString("\t"))
   }
 

@@ -18,8 +18,14 @@ final case class VcfHeaderInfo(
     infoDefs: Seq[VcfFieldDef],
     formatDefs: Seq[VcfFieldDef],
     filterDefs: Seq[VcfFieldDef],
-    contigs: Seq[String],
+    contigDefs: Seq[(String, Option[String])],
     samples: Seq[String]) {
+
+  /** Contig ids in declaration order (lengths, when declared, ride in
+    * [[contigDefs]] — the `meta_contig` sidecar and VCF export keep
+    * them).
+    */
+  def contigs: Seq[String] = contigDefs.map(_._1)
 
   def infoDef(id: String): Option[VcfFieldDef] = infoDefs.find(_.id == id)
 
@@ -93,7 +99,7 @@ object VcfHeader {
     val info = Seq.newBuilder[VcfFieldDef]
     val fmt = Seq.newBuilder[VcfFieldDef]
     val filt = Seq.newBuilder[VcfFieldDef]
-    val contigs = Seq.newBuilder[String]
+    val contigs = Seq.newBuilder[(String, Option[String])]
     var samples: Seq[String] = Seq.empty
 
     headerLines.foreach {
@@ -106,7 +112,7 @@ object VcfHeader {
           case "INFO" => info += d
           case "FORMAT" => fmt += d
           case "FILTER" => filt += d
-          case "contig" => contigs += d.id
+          case "contig" => contigs += (d.id -> a.get("length"))
         }
       case l if l.startsWith("#CHROM") =>
         val cols = l.stripPrefix("#").split("\t")

@@ -100,6 +100,11 @@ class VcfSpec extends SparkSpec {
       Seq((1L, "S1"), (2L, "S2")))
     assert(tables.meta("info").count() == 5)
     assert(tables.meta("format").count() == 2)
+    // one table per header section includes contig (02-build-db.R:113-127),
+    // with the declared length kept and NULL where the header omits it
+    assert(tables.meta("contig").columns.toSeq == Seq("name", "length"))
+    assert(tables.meta("contig").as[(String, Option[String])].collect()
+      .sortBy(_._1).toSeq == Seq(("1", Some("1000")), ("2", None)))
   }
 
   test("clinvar re-join: unnested onto impact, excluded from info") {
