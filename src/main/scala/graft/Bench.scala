@@ -140,6 +140,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -502,10 +503,29 @@ object Bench {
     // the wall cost; the candidate counts carry the structural verdict.
     val sweep100 = scala.collection.mutable.LinkedHashMap[
       String, (Double, Double, Double, Long, Long, Double)]()
+    // Century tiers run with WIDE initial shuffle partitions (8 ×
+    // cores, AQE coalesces back down): at 100× the gate SF a fixed
+    // 32-reducer layout makes every sort-merge partition 100× larger
+    // (spill → a super-linear seconds term the candidate counts
+    // disclaim — q159's r11 century row). A cluster scales reducers
+    // with data; the century exponent should measure the ALGORITHM,
+    // not fixed-reducer saturation. Scoped to the 100× sections only:
+    // blanket-wide measurably taxes the small-grid queries ~2×
+    // (q369 2.4 s → 4.8 s) in pure task-scheduling overhead.
+    val wideKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    def withWideShuffles[T](body: => T): T = {
+      spark.conf.set(wideKey, (cpus.toInt * 8).toString)
+      try body finally spark.conf.unset(wideKey)
+    }
     if (posArgs.isEmpty && sfDir.endsWith("sf0.1")) {
-      try {
+      try withWideShuffles {
+        // the newest iterative/probe gates (percolation, LOF, greedy
+        // coverage, k-means) claim probe-panel / grid-bounded cost —
+        // the century row is the proof, same as the dedup family
         val centuryQs = Seq("q32_dedup_minhash_lsh", "q105_semdedup",
-          "q106_fuzzy_dedup", "q159_set_similarity_join", "q169_saturation")
+          "q106_fuzzy_dedup", "q159_set_similarity_join", "q169_saturation",
+          "q396_percolation", "q399_lof", "q400_coverage_select",
+          "q403_kmeans")
         val centuryDir = ScaleUp.ensure(spark, sfDir, "/tmp/graft_sf10_synth",
           100, only = Seq("documents", "embeddings"))
         import graft.operators.{Dedup, Telemetry}
@@ -525,6 +545,13 @@ object Bench {
             forceRun(SparkEntry.queries("q159_set_similarity_join")(spark, dir))
             Telemetry.await("ssj_candidates")
               .foreach(m("q159_set_similarity_join") = _)
+            clearAll()
+            Telemetry.reset()
+            // percolation's cost driver is its LSH pair stage — same
+            // counter as q32, under q396's own band/shingle params
+            forceRun(SparkEntry.queries("q396_percolation")(spark, dir))
+            Telemetry.await("lsh_candidates")
+              .foreach(m("q396_percolation") = _)
           } finally { Telemetry.disable(); Telemetry.reset(); clearAll() }
           m("q106_fuzzy_dedup") = Dedup.editDistanceCandidateVolume(
             Tables.documents(spark, dir), "text", "doc_id", blockTokens = 2)
@@ -583,7 +610,7 @@ object Bench {
           graft.operators.Dedup.clearCaches()
         }
       }
-      try {
+      try withWideShuffles {
         val custDir = ScaleUp.ensure(spark, sfDir, "/tmp/graft_sf10_linkage",
           100, only = Seq("customer"))
         val docDir = ScaleUp.ensure(spark, sfDir, "/tmp/graft_sf10_synth",
@@ -614,7 +641,7 @@ object Bench {
       }
       // LD pair kernel at constant density: ~75 bp spacing, 1 kb
       // window (≈13 candidates per variant either tier), 24 samples.
-      try {
+      try withWideShuffles {
         def ldTier(nVariants: Long): (Double, Long) = {
           val info = spark.range(1L, nVariants + 1).select(
             col("id").as("variant_id"), lit("1").as("chr"),
