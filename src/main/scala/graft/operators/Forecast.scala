@@ -1033,4 +1033,221 @@ object Forecast {
         (floor(corr * 1e6 + 0.5) / 1e6).as("tie_correction"),
         when(corr > 0, g4(chi2 / corr)).as("chi2_adj"))
   }
+
+  /** Mann–Kendall trend test on the zero-filled daily volume — the
+    * distribution-free "is there a monotone trend at all?" screen that
+    * belongs BEFORE q213's Theil–Sen slope (MK decides presence,
+    * Theil–Sen sizes it): S = Σ_{i<j} sgn(y_j − y_i) with the
+    * tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)
+    * (2t_g+5)]/18 over the tie groups of the VALUE grid, and the
+    * ±1-continuity-corrected z. S, the tie sum, and 18·Var are exact
+    * int64 end to end; only the final z divides. Output one row:
+    * `n_days, s_stat, n_value_groups, var18, z` (z 1e-6 sign-aware;
+    * var18 = 18·Var(S) kept integer so the gate pins it exactly).
+    *
+    * Scale shape: corpus → day grid once; the pair join and tie
+    * grouping run over the GRID (and its distinct values), never the
+    * data.
+    */
+  def mannKendallDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    // persisted: the pair join, the day count and the tie grouping all
+    // read the series — one corpus scan, everything after is grid-sized
+    val cnts0 = Dedup.persistTracked(
+      ev.groupBy("__d").agg(count(lit(1)).as("__y")))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val s2 = series.select(col("t").as("__t2"), col("__y").as("__y2"))
+    val mom = series.join(s2, col("t") < col("__t2"))
+      .agg(coalesce(sum(when(col("__y2") > col("__y"), 1L)
+        .when(col("__y2") < col("__y"), -1L).otherwise(0L)), lit(0L))
+        .as("s_stat"))
+    val nDays = series.agg(count(lit(1)).as("n_days"))
+    val ties = series.groupBy("__y").agg(count(lit(1)).as("__tg"))
+      .agg(count(lit(1)).as("n_value_groups"),
+        sum(col("__tg") * (col("__tg") - 1L) *
+          (lit(2L) * col("__tg") + 5L)).as("__tsum"))
+    val n = col("n_days")
+    val var18 = n * (n - 1L) * (lit(2L) * n + 5L) - col("__tsum")
+    val vD = var18.cast("double") / lit(18d)
+    val sD = col("s_stat").cast("double")
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val z = when(col("s_stat") > 0, (sD - 1d) / sqrt(vD))
+      .when(col("s_stat") < 0, (sD + 1d) / sqrt(vD))
+      .otherwise(lit(0d))
+    broadcast(nDays).crossJoin(mom).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"), col("n_value_groups"),
+        var18.as("var18"), when(var18 > 0, g6(z)).as("z"))
+  }
+
+  /** 3×3 determinant expanded in the EXACT operation order of
+    * [[Eval.ols2Det3Sql]] — oracles that mirror this algebra must
+    * render the same text so both engines take the identical IEEE
+    * path.
+    */
+  private def det3d(a: Column, b: Column, c: Column, d: Column,
+      e: Column, f: Column, g: Column, h: Column, i: Column): Column =
+    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+  /** Lag-1 Granger causality between two daily event-type series —
+    * "does yesterday's A volume predict today's B volume beyond B's
+    * own yesterday?": restricted model b_t ~ b_{t−1}, unrestricted
+    * b_t ~ b_{t−1} + a_{t−1} (the q370 closed-form 3×3 solve), and
+    * F = (SSE_r − SSE_u)·(n−3)/SSE_u with 1 numerator df. All ten
+    * moments are exact integers (decimal(38,0) cross-products); the
+    * SSEs and F are identical double algebra in both engines (the
+    * ols2 determinant discipline), clamped at 0 against rounding.
+    * Output one row: `n_obs, sse_r, sse_u, f_stat` (1e-6 / 1e-4
+    * grids).
+    *
+    * Scale shape: corpus → day grid once; one window lag and one
+    * scalar fold over the GRID.
+    */
+  def grangerDaily(df: DataFrame, tsNsCol: String, typeCol: String,
+      typeA: String, typeB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"),
+      col(typeCol).as("__ty"))
+    // persisted: bounds and the series join both read it — one corpus
+    // scan total
+    val cnts0 = Dedup.persistTracked(ev.groupBy("__d").agg(
+      sum(when(col("__ty") === typeA, 1L).otherwise(0L)).as("__a"),
+      sum(when(col("__ty") === typeB, 1L).otherwise(0L)).as("__b")))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val obs = series.select(col("__b").as("__yv"),
+        lag("__b", 1).over(w).as("__x1"), lag("__a", 1).over(w).as("__x2"))
+      .where(col("__x1").isNotNull)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val mom = obs.agg(count(lit(1)).as("n_obs"),
+      sum("__x1").as("__sx1"), sum("__x2").as("__sx2"),
+      sum("__yv").as("__sy"),
+      sum(dec(col("__x1")) * col("__x1")).as("__sx11"),
+      sum(dec(col("__x1")) * col("__x2")).as("__sx12"),
+      sum(dec(col("__x2")) * col("__x2")).as("__sx22"),
+      sum(dec(col("__x1")) * col("__yv")).as("__sx1y"),
+      sum(dec(col("__x2")) * col("__yv")).as("__sx2y"),
+      sum(dec(col("__yv")) * col("__yv")).as("__syy"))
+    val nD = col("n_obs").cast("double")
+    val sx1 = col("__sx1").cast("double")
+    val sx2 = col("__sx2").cast("double")
+    val sy = col("__sy").cast("double")
+    val sx11 = col("__sx11").cast("double")
+    val sx12 = col("__sx12").cast("double")
+    val sx22 = col("__sx22").cast("double")
+    val sx1y = col("__sx1y").cast("double")
+    val sx2y = col("__sx2y").cast("double")
+    val syy = col("__syy").cast("double")
+    val dd = det3d(nD, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
+    val d0 = det3d(sy, sx1, sx2, sx1y, sx11, sx12, sx2y, sx12, sx22)
+    val d1 = det3d(nD, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, sx22)
+    val d2 = det3d(nD, sx1, sy, sx1, sx11, sx1y, sx2, sx12, sx2y)
+    val sseU = syy - (d0 / dd * sy + d1 / dd * sx1y + d2 / dd * sx2y)
+    val mxx = nD * sx11 - sx1 * sx1
+    val c1 = (nD * sx1y - sx1 * sy) / mxx
+    val c0 = (sy - c1 * sx1) / nD
+    val sseR = syy - (c0 * sy + c1 * sx1y)
+    val f = greatest((sseR - sseU) * (nD - lit(3d)) / sseU, lit(0d))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    def g4(x: Column): Column =
+      when(x >= 0, floor(x * 1e4 + 0.5)).otherwise(-floor(-x * 1e4 + 0.5)) /
+        1e4 + lit(0d)
+    val ok = col("n_obs") > 3 && mxx > 0 && dd =!= 0d
+    mom.select(col("n_obs"),
+      when(ok, g6(sseR)).as("sse_r"),
+      when(ok, g6(sseU)).as("sse_u"),
+      when(ok && sseU > 0, g4(f)).as("f_stat"))
+  }
+
+  /** Chow structural-break test on the daily volume's linear trend —
+    * "did the trend CHANGE at the midpoint?" (the regression-regime
+    * companion of q293's CUSUM level shifts): fit y ~ t by OLS on the
+    * full grid and on each half split at m = n div 2, then
+    * F = ((SSE_p − SSE_a − SSE_b)/2) / ((SSE_a + SSE_b)/(n−4)).
+    * Segment moments are exact integers from one conditional
+    * aggregate; each SSE is the simple-regression closed form in
+    * identical double algebra cross-engine, F clamped at 0 against
+    * rounding. Output one row: `n_days, break_t, sse_pooled, sse_a,
+    * sse_b, f_stat` (1e-6 / 1e-4 grids; NULL F when a segment is
+    * degenerate or n ≤ 4).
+    *
+    * Scale shape: corpus → day grid once; one conditional fold over
+    * the GRID.
+    */
+  def chowDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    // persisted: bounds, the day count and the conditional fold all
+    // read it — one corpus scan total
+    val cnts0 = Dedup.persistTracked(
+      ev.groupBy("__d").agg(count(lit(1)).as("__y")))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val nRow = series.agg(count(lit(1)).as("__n"))
+      .select(col("__n"), expr("__n div 2").as("__m"))
+    val st = series.crossJoin(broadcast(nRow))
+    def seg(pred: Column, suffix: String): Seq[Column] = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"k$suffix"),
+      sum(when(pred, col("t")).otherwise(0L)).as(s"st$suffix"),
+      sum(when(pred, col("t") * col("t")).otherwise(0L)).as(s"stt$suffix"),
+      sum(when(pred, col("t") * col("__y")).otherwise(0L)).as(s"sty$suffix"),
+      sum(when(pred, col("__y")).otherwise(0L)).as(s"sy$suffix"),
+      sum(when(pred, col("__y") * col("__y")).otherwise(0L)).as(s"syy$suffix"))
+    val aggs = seg(lit(true), "P") ++ seg(col("t") < col("__m"), "A") ++
+      seg(col("t") >= col("__m"), "B") :+ max(col("__m")).as("break_t")
+    val mom = st.agg(aggs.head, aggs.tail: _*)
+    def sseOf(sfx: String): (Column, Column) = {
+      val k = col(s"k$sfx").cast("double")
+      val stx = col(s"st$sfx").cast("double")
+      val stt = col(s"stt$sfx").cast("double")
+      val sty = col(s"sty$sfx").cast("double")
+      val sy = col(s"sy$sfx").cast("double")
+      val syy = col(s"syy$sfx").cast("double")
+      val den = k * stt - stx * stx
+      val c1 = (k * sty - stx * sy) / den
+      val c0 = (sy - c1 * stx) / k
+      (syy - (c0 * sy + c1 * sty), den)
+    }
+    val (sseP, denP) = sseOf("P")
+    val (sseA, denA) = sseOf("A")
+    val (sseB, denB) = sseOf("B")
+    val nD = col("kP").cast("double")
+    val f = greatest(
+      ((sseP - sseA - sseB) / lit(2d)) / ((sseA + sseB) / (nD - lit(4d))),
+      lit(0d))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    def g4(x: Column): Column =
+      when(x >= 0, floor(x * 1e4 + 0.5)).otherwise(-floor(-x * 1e4 + 0.5)) /
+        1e4 + lit(0d)
+    val ok = denP > 0 && denA > 0 && denB > 0
+    mom.select(col("kP").as("n_days"), col("break_t"),
+      when(ok, g6(sseP)).as("sse_pooled"),
+      when(ok, g6(sseA)).as("sse_a"),
+      when(ok, g6(sseB)).as("sse_b"),
+      when(ok && col("kP") > 4 && sseA + sseB > 0, g4(f)).as("f_stat"))
+  }
 }

@@ -307,6 +307,25 @@ object EventsQ {
         "event_type", "view", "purchase")
     }),
 
+    // ---- Mann–Kendall: distribution-free monotone-trend screen on
+    //      daily volume (presence test before q213's Theil–Sen) ----
+    "q413_mann_kendall" -> ((s, d) => {
+      graft.operators.Forecast.mannKendallDaily(Tables.events(s, d), "ts")
+    }),
+
+    // ---- lag-1 Granger causality: does yesterday's view volume
+    //      predict today's purchases beyond purchases' own past? ----
+    "q414_granger" -> ((s, d) => {
+      graft.operators.Forecast.grangerDaily(Tables.events(s, d), "ts",
+        "event_type", "view", "purchase")
+    }),
+
+    // ---- Chow test: structural break of the daily linear trend at
+    //      the grid midpoint ----
+    "q415_chow" -> ((s, d) => {
+      graft.operators.Forecast.chowDaily(Tables.events(s, d), "ts")
+    }),
+
     // ---- Fleiss' kappa: do the event types agree on which users
     //      produce high-value activity? (multi-rater agreement) ----
     "q408_fleiss_kappa" -> ((s, d) => {
@@ -1186,6 +1205,233 @@ object EventsQ {
          FROM folded"""
     },
     // the DP unrolled over 23 anti-diagonals — pure int64 end to end
+    // exact integer S, tie sum and 18·Var; only the final z divides —
+    // identical double path both engines
+    "q413_mann_kendall" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          mom AS (
+            SELECT coalesce(CAST(sum(CASE WHEN s2.y > s1.y THEN 1
+                WHEN s2.y < s1.y THEN -1 ELSE 0 END) AS BIGINT), 0)
+              AS s_stat
+            FROM series s1 JOIN series s2 ON s1.t < s2.t),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM series),
+          ties AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_value_groups,
+              CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tsum
+            FROM (SELECT CAST(count(*) AS BIGINT) AS tg FROM series
+              GROUP BY y)),
+          alg AS (
+            SELECT n_days, s_stat, n_value_groups,
+              n_days * (n_days - 1) * (2 * n_days + 5) - tsum AS var18
+            FROM nd, mom, ties)
+         SELECT n_days, s_stat, n_value_groups, var18,
+           CASE WHEN var18 > 0 THEN
+             CASE WHEN s_stat > 0 THEN
+               floor((CAST(s_stat AS DOUBLE) - 1)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18) * 1e6 + 0.5) / 1e6
+                 + 0.0
+             WHEN s_stat < 0 THEN
+               -floor(-((CAST(s_stat AS DOUBLE) + 1)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18)) * 1e6 + 0.5) / 1e6
+                 + 0.0
+             ELSE 0.0 END
+           END AS z
+         FROM alg""",
+    // restricted/unrestricted OLS via the ols2 determinant discipline:
+    // exact integer moments, layered-CTE double algebra textually
+    // mirroring the Column expressions
+    "q414_granger" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d, event_type
+            FROM events),
+          cnts AS (
+            SELECT d,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS b
+            FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.a, 0) AS a,
+              coalesce(c.b, 0) AS b
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          obs AS (
+            SELECT yv, x1, x2 FROM (
+              SELECT b AS yv, lag(b, 1) OVER (ORDER BY t) AS x1,
+                lag(a, 1) OVER (ORDER BY t) AS x2
+              FROM series)
+            WHERE x1 IS NOT NULL),
+          mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_obs,
+              CAST(sum(x1) AS BIGINT) AS sx1,
+              CAST(sum(x2) AS BIGINT) AS sx2,
+              CAST(sum(yv) AS BIGINT) AS sy,
+              CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+              CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+              CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+              CAST(sum(x1 * yv) AS BIGINT) AS sx1y,
+              CAST(sum(x2 * yv) AS BIGINT) AS sx2y,
+              CAST(sum(yv * yv) AS BIGINT) AS syy
+            FROM obs),
+          dbl AS (
+            SELECT n_obs, CAST(n_obs AS DOUBLE) AS nd,
+              CAST(sx1 AS DOUBLE) AS x1, CAST(sx2 AS DOUBLE) AS x2,
+              CAST(sy AS DOUBLE) AS y, CAST(sx11 AS DOUBLE) AS x11,
+              CAST(sx12 AS DOUBLE) AS x12, CAST(sx22 AS DOUBLE) AS x22,
+              CAST(sx1y AS DOUBLE) AS x1y, CAST(sx2y AS DOUBLE) AS x2y,
+              CAST(syy AS DOUBLE) AS yy
+            FROM mom),
+          alg1 AS (
+            SELECT *,
+              nd * (x11 * x22 - x12 * x12) - x1 * (x1 * x22 - x12 * x2)
+                + x2 * (x1 * x12 - x11 * x2) AS dd,
+              y * (x11 * x22 - x12 * x12) - x1 * (x1y * x22 - x12 * x2y)
+                + x2 * (x1y * x12 - x11 * x2y) AS d0,
+              nd * (x1y * x22 - x12 * x2y) - y * (x1 * x22 - x12 * x2)
+                + x2 * (x1 * x2y - x1y * x2) AS d1,
+              nd * (x11 * x2y - x1y * x12) - x1 * (x1 * x2y - x1y * x2)
+                + y * (x1 * x12 - x11 * x2) AS d2,
+              nd * x11 - x1 * x1 AS mxx,
+              (nd * x1y - x1 * y) / (nd * x11 - x1 * x1) AS c1
+            FROM dbl),
+          alg2 AS (
+            SELECT *,
+              yy - (d0 / dd * y + d1 / dd * x1y + d2 / dd * x2y)
+                AS sse_u_raw,
+              yy - ((y - c1 * x1) / nd * y + c1 * x1y) AS sse_r_raw
+            FROM alg1)
+         SELECT n_obs,
+           CASE WHEN n_obs > 3 AND mxx > 0 AND dd <> 0 THEN
+             CASE WHEN sse_r_raw >= 0 THEN
+               floor(sse_r_raw * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-sse_r_raw * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS sse_r,
+           CASE WHEN n_obs > 3 AND mxx > 0 AND dd <> 0 THEN
+             CASE WHEN sse_u_raw >= 0 THEN
+               floor(sse_u_raw * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-sse_u_raw * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS sse_u,
+           CASE WHEN n_obs > 3 AND mxx > 0 AND dd <> 0
+               AND sse_u_raw > 0 THEN
+             floor(greatest((sse_r_raw - sse_u_raw) * (nd - 3)
+               / sse_u_raw, 0) * 1e4 + 0.5) / 1e4 + 0.0
+           END AS f_stat
+         FROM alg2""",
+    // pooled-vs-halves simple-regression SSEs from one conditional
+    // integer fold; the closed-form double algebra mirrors the Columns
+    "q415_chow" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          nm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) // 2 AS BIGINT) AS m FROM series),
+          mom AS (
+            SELECT
+              CAST(sum(1) AS BIGINT) AS kp,
+              CAST(sum(t) AS BIGINT) AS stp,
+              CAST(sum(t * t) AS BIGINT) AS sttp,
+              CAST(sum(t * y) AS BIGINT) AS styp,
+              CAST(sum(y) AS BIGINT) AS syp,
+              CAST(sum(y * y) AS BIGINT) AS syyp,
+              CAST(sum(CASE WHEN t < m THEN 1 ELSE 0 END) AS BIGINT)
+                AS ka,
+              CAST(sum(CASE WHEN t < m THEN t ELSE 0 END) AS BIGINT)
+                AS sta,
+              CAST(sum(CASE WHEN t < m THEN t * t ELSE 0 END) AS BIGINT)
+                AS stta,
+              CAST(sum(CASE WHEN t < m THEN t * y ELSE 0 END) AS BIGINT)
+                AS stya,
+              CAST(sum(CASE WHEN t < m THEN y ELSE 0 END) AS BIGINT)
+                AS sya,
+              CAST(sum(CASE WHEN t < m THEN y * y ELSE 0 END) AS BIGINT)
+                AS syya,
+              CAST(sum(CASE WHEN t >= m THEN 1 ELSE 0 END) AS BIGINT)
+                AS kb,
+              CAST(sum(CASE WHEN t >= m THEN t ELSE 0 END) AS BIGINT)
+                AS stb,
+              CAST(sum(CASE WHEN t >= m THEN t * t ELSE 0 END)
+                AS BIGINT) AS sttb,
+              CAST(sum(CASE WHEN t >= m THEN t * y ELSE 0 END)
+                AS BIGINT) AS styb,
+              CAST(sum(CASE WHEN t >= m THEN y ELSE 0 END) AS BIGINT)
+                AS syb,
+              CAST(sum(CASE WHEN t >= m THEN y * y ELSE 0 END)
+                AS BIGINT) AS syyb,
+              max(m) AS break_t
+            FROM series, nm),
+          alg1 AS (
+            SELECT *,
+              CAST(kp AS DOUBLE) * CAST(sttp AS DOUBLE)
+                - CAST(stp AS DOUBLE) * CAST(stp AS DOUBLE) AS denp,
+              CAST(ka AS DOUBLE) * CAST(stta AS DOUBLE)
+                - CAST(sta AS DOUBLE) * CAST(sta AS DOUBLE) AS dena,
+              CAST(kb AS DOUBLE) * CAST(sttb AS DOUBLE)
+                - CAST(stb AS DOUBLE) * CAST(stb AS DOUBLE) AS denb,
+              (CAST(kp AS DOUBLE) * CAST(styp AS DOUBLE)
+                - CAST(stp AS DOUBLE) * CAST(syp AS DOUBLE))
+                / (CAST(kp AS DOUBLE) * CAST(sttp AS DOUBLE)
+                  - CAST(stp AS DOUBLE) * CAST(stp AS DOUBLE)) AS c1p,
+              (CAST(ka AS DOUBLE) * CAST(stya AS DOUBLE)
+                - CAST(sta AS DOUBLE) * CAST(sya AS DOUBLE))
+                / (CAST(ka AS DOUBLE) * CAST(stta AS DOUBLE)
+                  - CAST(sta AS DOUBLE) * CAST(sta AS DOUBLE)) AS c1a,
+              (CAST(kb AS DOUBLE) * CAST(styb AS DOUBLE)
+                - CAST(stb AS DOUBLE) * CAST(syb AS DOUBLE))
+                / (CAST(kb AS DOUBLE) * CAST(sttb AS DOUBLE)
+                  - CAST(stb AS DOUBLE) * CAST(stb AS DOUBLE)) AS c1b
+            FROM mom),
+          alg2 AS (
+            SELECT *,
+              CAST(syyp AS DOUBLE) - ((CAST(syp AS DOUBLE)
+                - c1p * CAST(stp AS DOUBLE)) / CAST(kp AS DOUBLE)
+                * CAST(syp AS DOUBLE) + c1p * CAST(styp AS DOUBLE))
+                AS ssep,
+              CAST(syya AS DOUBLE) - ((CAST(sya AS DOUBLE)
+                - c1a * CAST(sta AS DOUBLE)) / CAST(ka AS DOUBLE)
+                * CAST(sya AS DOUBLE) + c1a * CAST(stya AS DOUBLE))
+                AS ssea,
+              CAST(syyb AS DOUBLE) - ((CAST(syb AS DOUBLE)
+                - c1b * CAST(stb AS DOUBLE)) / CAST(kb AS DOUBLE)
+                * CAST(syb AS DOUBLE) + c1b * CAST(styb AS DOUBLE))
+                AS sseb
+            FROM alg1)
+         SELECT kp AS n_days, break_t,
+           CASE WHEN denp > 0 AND dena > 0 AND denb > 0 THEN
+             CASE WHEN ssep >= 0 THEN floor(ssep * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-ssep * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS sse_pooled,
+           CASE WHEN denp > 0 AND dena > 0 AND denb > 0 THEN
+             CASE WHEN ssea >= 0 THEN floor(ssea * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-ssea * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS sse_a,
+           CASE WHEN denp > 0 AND dena > 0 AND denb > 0 THEN
+             CASE WHEN sseb >= 0 THEN floor(sseb * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-sseb * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS sse_b,
+           CASE WHEN denp > 0 AND dena > 0 AND denb > 0 AND kp > 4
+               AND ssea + sseb > 0 THEN
+             floor(greatest((ssep - ssea - sseb) / 2
+               / ((ssea + sseb) / (CAST(kp AS DOUBLE) - 4)), 0)
+               * 1e4 + 0.5) / 1e4 + 0.0
+           END AS f_stat
+         FROM alg2""",
     "q411_dtw" -> {
       val Big = 9000000000000000L
       def diagCte(k: Int): String = {

@@ -738,4 +738,107 @@ class EvalSpec extends SparkSpec {
     // p constant within each bin ⇒ REL − RES + UNC reconstructs Brier
     assert(r.getAs[Double]("residual") == 0.0)
   }
+
+  test("mannKendallDaily: strict increase has S = n(n-1)/2, no ties") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows = for (d <- 0 until 4; i <- 1 to d + 1)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.mannKendallDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("n_days") == 4 && r.getAs[Long]("s_stat") == 6)
+    assert(r.getAs[Long]("n_value_groups") == 4)
+    // var18 = n(n-1)(2n+5) with a zero tie sum = 4*3*13
+    assert(r.getAs[Long]("var18") == 156)
+    val expZ = math.floor(5d / math.sqrt(156d / 18d) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("z") == expZ)
+  }
+
+  test("mannKendallDaily: tied days enter the tie-corrected variance") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(2, 2, 3)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.mannKendallDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("s_stat") == 2)
+    assert(r.getAs[Long]("n_value_groups") == 2)
+    // 3*2*11 - [tie group of 2: 2*1*9] = 66 - 18
+    assert(r.getAs[Long]("var18") == 48)
+  }
+
+  test("grangerDaily: lagged cause beats the autoregression") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val a = Seq(5, 1, 4, 2, 3, 1, 5, 2)
+    // b follows a with one day of lag, one value perturbed so the
+    // unrestricted fit is near-exact but not exact
+    val b = Seq(1, 5, 1, 4, 2, 3, 1, 6)
+    val rows =
+      (for ((c, d) <- a.zipWithIndex; i <- 1 to c)
+        yield (d * DayNs + i, "view")) ++
+      (for ((c, d) <- b.zipWithIndex; i <- 1 to c)
+        yield (d * DayNs + 100 + i, "purchase"))
+    val r = graft.operators.Forecast.grangerDaily(
+      rows.toDF("tsns", "ty"), "tsns", "ty", "view", "purchase")
+      .collect().head
+    assert(r.getAs[Long]("n_obs") == 7)
+    assert(r.getAs[Double]("sse_u") < r.getAs[Double]("sse_r"))
+    assert(r.getAs[Double]("f_stat") > 5d)
+  }
+
+  test("grangerDaily: constant effect series degenerates to NULLs") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows =
+      (for (d <- 0 until 5; i <- 1 to d + 1)
+        yield (d * DayNs + i, "view")) ++
+      (for (d <- 0 until 5; i <- 1 to 2)
+        yield (d * DayNs + 100 + i, "purchase"))
+    val r = graft.operators.Forecast.grangerDaily(
+      rows.toDF("tsns", "ty"), "tsns", "ty", "view", "purchase")
+      .collect().head
+    // x1 is constant ⇒ mxx = 0 ⇒ every statistic is NULL
+    assert(r.isNullAt(r.fieldIndex("sse_r")))
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
+  test("chowDaily: level jump between exactly-linear halves") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = (0 until 8).map(t => if (t < 4) t + 1 else t + 11)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.chowDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("n_days") == 8 && r.getAs[Long]("break_t") == 4)
+    assert(r.getAs[Double]("sse_a") == 0.0)
+    assert(r.getAs[Double]("sse_b") == 0.0)
+    assert(r.getAs[Double]("sse_pooled") > 10d)
+    // both half-fits are exact ⇒ the F denominator is 0 ⇒ NULL
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
+  test("chowDaily: identical halves give a small F (no break)") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(1, 2, 1, 2, 1, 2, 1, 2)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.chowDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    // mirror the closed form on the hand series
+    def sse(ts: Seq[Int], ys: Seq[Int]): Double = {
+      val k = ts.size.toDouble
+      val st = ts.sum.toDouble; val stt = ts.map(t => t * t).sum.toDouble
+      val sty = ts.zip(ys).map { case (t, y) => t * y }.sum.toDouble
+      val sy = ys.sum.toDouble; val syy = ys.map(y => y * y).sum.toDouble
+      val c1 = (k * sty - st * sy) / (k * stt - st * st)
+      val c0 = (sy - c1 * st) / k
+      syy - (c0 * sy + c1 * sty)
+    }
+    val ys = counts
+    val sseP = sse(0 until 8, ys)
+    val sseA = sse(0 until 4, ys.take(4))
+    val sseB = sse(4 until 8, ys.drop(4))
+    val expF = math.floor(
+      ((sseP - sseA - sseB) / 2d) / ((sseA + sseB) / 4d) * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Double]("f_stat") == expF)
+    assert(r.getAs[Double]("f_stat") < 1d)
+  }
 }
