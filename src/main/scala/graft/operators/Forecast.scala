@@ -1176,6 +1176,117 @@ object Forecast {
       when(ok && sseU > 0, g4(f)).as("f_stat"))
   }
 
+  /** Spearman rank correlation between two daily event-type series —
+    * the monotone-association companion of q372's Kendall τ-b (ρ uses
+    * rank covariance — cheaper, the classic reporting convention; τ
+    * counts pair inversions): tie-averaged DOUBLED ranks (the q406
+    * integer-grid trick: 2·rank_min + ties − 1 is always an exact
+    * int64) feed a plain Pearson moment fold, and doubling cancels in
+    * the ratio. Exact integers until the final ρ division. Output one
+    * row: `n_days, rho` (1e-6 sign-aware grid; NULL when either
+    * series is constant).
+    *
+    * Scale shape: corpus → day grid once (persisted); ranks are two
+    * windows over the GRID.
+    */
+  def spearmanDaily(df: DataFrame, tsNsCol: String, typeCol: String,
+      typeA: String, typeB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"),
+      col(typeCol).as("__ty"))
+    val cnts0 = Dedup.persistTracked(ev.groupBy("__d").agg(
+      sum(when(col("__ty") === typeA, 1L).otherwise(0L)).as("__a"),
+      sum(when(col("__ty") === typeB, 1L).otherwise(0L)).as("__b")))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select(coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b"))
+    val ranked = series.select(
+      (lit(2L) * rank().over(Window.orderBy("__a")) +
+        count(lit(1)).over(Window.partitionBy("__a")) - 1L).as("__ra"),
+      (lit(2L) * rank().over(Window.orderBy("__b")) +
+        count(lit(1)).over(Window.partitionBy("__b")) - 1L).as("__rb"))
+    val mom = ranked.agg(count(lit(1)).as("n_days"),
+      sum("__ra").as("__sa"), sum("__rb").as("__sb"),
+      sum(col("__ra") * col("__ra")).as("__saa"),
+      sum(col("__rb") * col("__rb")).as("__sbb"),
+      sum(col("__ra") * col("__rb")).as("__sab"))
+    val nD = col("n_days").cast("double")
+    val sa = col("__sa").cast("double")
+    val sb = col("__sb").cast("double")
+    val saa = col("__saa").cast("double")
+    val sbb = col("__sbb").cast("double")
+    val sab = col("__sab").cast("double")
+    val da = nD * saa - sa * sa
+    val db = nD * sbb - sb * sb
+    val rho = (nD * sab - sa * sb) / (sqrt(da) * sqrt(db))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    mom.select(col("n_days"), when(da > 0 && db > 0, g6(rho)).as("rho"))
+  }
+
+  /** Weekday-vs-weekend diurnal stationarity — a χ² homogeneity test
+    * of the 24-hour event profile across the two day classes ("can
+    * one diurnal model serve the whole week?"; q411's DTW compares
+    * two TYPES' shapes, this compares one type's shape across DAY
+    * CLASSES): the 24×2 contingency table is exact integer counts
+    * (zero cells included via the full hour grid), each cell's
+    * (o·n − r·c)²/(n·r·c) term is quantized to the 1e-9 grid BEFORE
+    * the order-free integer sum (the q146 discipline), and Cramér's V
+    * (min-dim 2 ⇒ √(χ²/n)) rides along. Day-of-week from the epoch
+    * day (+4 ⇒ 0 = Sunday). Output one row: `n_events,
+    * n_weekend_events, n_cells_used, chi2, cramers_v` (χ² exact on
+    * the 1e-9 grid; V 1e-6).
+    *
+    * Scale shape: one corpus aggregate to ≤ 48 cells; margins are
+    * windows over the CELL grid.
+    */
+  def diurnalStationarity(df: DataFrame, tsNsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HourNs = 3600L * 1000 * 1000 * 1000
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells0 = df.select(
+        expr(s"(pmod($tsNsCol, ${DayNs}L)) div ${HourNs}L").as("__h"),
+        when(pmod(expr(s"$tsNsCol div ${DayNs}L") + lit(4L), lit(7L))
+          .isin(0L, 6L), 1L).otherwise(0L).as("__we"))
+      .groupBy("__h", "__we").agg(count(lit(1)).as("__o"))
+    val grid = spark.range(24).select(col("id").as("__h"))
+      .crossJoin(spark.range(2).select(col("id").as("__we")))
+    val cells = grid.join(cells0, Seq("__h", "__we"), "left")
+      .select(col("__h"), col("__we"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
+    val full = cells.select(col("__h"), col("__we"), col("__o"),
+      sum("__o").over(Window.partitionBy("__h")).as("__rt"),
+      sum("__o").over(Window.partitionBy("__we")).as("__ct"),
+      sum("__o").over(Window.partitionBy()).as("__n"))
+    val oD = col("__o").cast("double")
+    val rtD = col("__rt").cast("double")
+    val ctD = col("__ct").cast("double")
+    val nD = col("__n").cast("double")
+    val num = oD * nD - rtD * ctD
+    val term = num * num / (nD * rtD * ctD)
+    val folded = full.where(col("__rt") > 0 && col("__ct") > 0)
+      .agg(sum("__o").as("n_events"),
+        sum(when(col("__we") === 1L, col("__o")).otherwise(0L))
+          .as("n_weekend_events"),
+        count(lit(1)).as("n_cells_used"),
+        sum(floor(term * 1e9 + 0.5).cast("long")).as("__t9"))
+    val chi2 = col("__t9").cast("double") / lit(1e9)
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    folded.select(col("n_events"), col("n_weekend_events"),
+      col("n_cells_used"), chi2.as("chi2"),
+      when(col("n_events") > 0, g6(sqrt(chi2 / col("n_events").cast("double"))))
+        .as("cramers_v"))
+  }
+
   /** Chow structural-break test on the daily volume's linear trend —
     * "did the trend CHANGE at the midpoint?" (the regression-regime
     * companion of q293's CUSUM level shifts): fit y ~ t by OLS on the

@@ -2220,4 +2220,5 @@ object TextAnalysis {
       .withColumn("covered_total", sum("gain").over(w))
       .orderBy("round")
   }
+
 }

@@ -326,6 +326,20 @@ object EventsQ {
       graft.operators.Forecast.chowDaily(Tables.events(s, d), "ts")
     }),
 
+    // ---- Spearman rank correlation between daily view and purchase
+    //      volumes (monotone association next to q372's tau) ----
+    "q416_spearman" -> ((s, d) => {
+      graft.operators.Forecast.spearmanDaily(Tables.events(s, d), "ts",
+        "event_type", "view", "purchase")
+    }),
+
+    // ---- diurnal stationarity: chi-square homogeneity of the
+    //      24-hour profile, weekday vs weekend ----
+    "q417_diurnal_chi2" -> ((s, d) => {
+      graft.operators.Forecast.diurnalStationarity(Tables.events(s, d),
+        "ts")
+    }),
+
     // ---- Fleiss' kappa: do the event types agree on which users
     //      produce high-value activity? (multi-rater agreement) ----
     "q408_fleiss_kappa" -> ((s, d) => {
@@ -1328,6 +1342,102 @@ object EventsQ {
                / sse_u_raw, 0) * 1e4 + 0.5) / 1e4 + 0.0
            END AS f_stat
          FROM alg2""",
+    // doubled tie-averaged ranks (exact int64) through a Pearson fold;
+    // one division at the end
+    "q416_spearman" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d, event_type
+            FROM events),
+          cnts AS (
+            SELECT d,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS b
+            FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT coalesce(c.a, 0) AS a, coalesce(c.b, 0) AS b
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          ranked AS (
+            SELECT
+              2 * rank() OVER (ORDER BY a)
+                + count(*) OVER (PARTITION BY a) - 1 AS ra,
+              2 * rank() OVER (ORDER BY b)
+                + count(*) OVER (PARTITION BY b) - 1 AS rb
+            FROM series),
+          mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(ra) AS BIGINT) AS sa,
+              CAST(sum(rb) AS BIGINT) AS sb,
+              CAST(sum(ra * ra) AS BIGINT) AS saa,
+              CAST(sum(rb * rb) AS BIGINT) AS sbb,
+              CAST(sum(ra * rb) AS BIGINT) AS sab
+            FROM ranked),
+          alg AS (
+            SELECT n_days,
+              CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS da,
+              CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
+                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS db,
+              CAST(n_days AS DOUBLE) * CAST(sab AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS num
+            FROM mom),
+          alg2 AS (
+            SELECT n_days, da, db, num / (sqrt(da) * sqrt(db)) AS raw
+            FROM alg)
+         SELECT n_days,
+           CASE WHEN da > 0 AND db > 0 THEN
+             CASE WHEN raw >= 0 THEN floor(raw * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-raw * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS rho
+         FROM alg2""",
+    // 24x2 exact contingency; per-cell terms 1e-9-quantized before
+    // the order-free integer sum (the q146 discipline)
+    "q417_diurnal_chi2" ->
+      """WITH cells0 AS (
+            SELECT (epoch_ns(ts) % 86400000000000) // 3600000000000 AS h,
+              CASE WHEN ((epoch_ns(ts) // 86400000000000) + 4) % 7
+                IN (0, 6) THEN 1 ELSE 0 END AS we,
+              CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2),
+          grid AS (
+            SELECT hh.h, ww.we
+            FROM (SELECT unnest(generate_series(0, 23)) AS h) hh
+            CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS we) ww),
+          cells AS (
+            SELECT g.h, g.we, coalesce(c.o, 0) AS o
+            FROM grid g LEFT JOIN cells0 c
+              ON g.h = c.h AND g.we = c.we),
+          fullc AS (
+            SELECT h, we, o,
+              sum(o) OVER (PARTITION BY h) AS rt,
+              sum(o) OVER (PARTITION BY we) AS ct,
+              sum(o) OVER () AS n
+            FROM cells),
+          folded AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n_events,
+              CAST(sum(CASE WHEN we = 1 THEN o ELSE 0 END) AS BIGINT)
+                AS n_weekend_events,
+              CAST(count(*) AS BIGINT) AS n_cells_used,
+              CAST(sum(CAST(floor(
+                (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)
+                  * CAST(ct AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+                AS BIGINT) AS t9
+            FROM fullc WHERE rt > 0 AND ct > 0)
+         SELECT n_events, n_weekend_events, n_cells_used,
+           CAST(t9 AS DOUBLE) / 1e9 AS chi2,
+           CASE WHEN n_events > 0 THEN
+             floor(sqrt(CAST(t9 AS DOUBLE) / 1e9
+               / CAST(n_events AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0.0
+           END AS cramers_v
+         FROM folded""",
     // pooled-vs-halves simple-regression SSEs from one conditional
     // integer fold; the closed-form double algebra mirrors the Columns
     "q415_chow" ->

@@ -800,6 +800,61 @@ class EvalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("f_stat")))
   }
 
+  test("spearmanDaily: anti-ordered series gives rho -1") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows =
+      (for (d <- 0 until 4; i <- 1 to d + 1)
+        yield (d * DayNs + i, "view")) ++
+      (for (d <- 0 until 4; i <- 1 to 4 - d)
+        yield (d * DayNs + 100 + i, "purchase"))
+    val r = graft.operators.Forecast.spearmanDaily(
+      rows.toDF("tsns", "ty"), "tsns", "ty", "view", "purchase")
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 4)
+    assert(r.getAs[Double]("rho") == -1.0)
+  }
+
+  test("spearmanDaily: constant series degenerates to NULL rho") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows =
+      (for (d <- 0 until 3; i <- 1 to d + 1)
+        yield (d * DayNs + i, "view")) ++
+      (for (d <- 0 until 3; i <- 1 to 2)
+        yield (d * DayNs + 100 + i, "purchase"))
+    val r = graft.operators.Forecast.spearmanDaily(
+      rows.toDF("tsns", "ty"), "tsns", "ty", "view", "purchase")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("rho")))
+  }
+
+  test("diurnalStationarity: identical hour profiles give chi2 0") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // day 5 -> (5+4)%7 = 2 (Tuesday, weekday); day 3 -> 0 (Sunday)
+    val rows = (for (i <- 1 to 4) yield (5 * DayNs + i, "e")) ++
+      (for (i <- 1 to 2) yield (3 * DayNs + i, "e"))
+    val r = graft.operators.Forecast.diurnalStationarity(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("n_events") == 6)
+    assert(r.getAs[Long]("n_weekend_events") == 2)
+    assert(r.getAs[Long]("n_cells_used") == 2)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Double]("cramers_v") == 0.0)
+  }
+
+  test("diurnalStationarity: disjoint hours give chi2 = n, V = 1") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val HourNs = 3600L * 1000 * 1000 * 1000
+    // weekday events at hour 0, weekend events at hour 1 — perfect
+    // association, so chi2 = n (2 effective rows) and V = 1
+    val rows = (for (i <- 1 to 4) yield (5 * DayNs + i, "e")) ++
+      (for (i <- 1 to 2) yield (3 * DayNs + HourNs + i, "e"))
+    val r = graft.operators.Forecast.diurnalStationarity(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("n_cells_used") == 4)
+    assert(r.getAs[Double]("chi2") == 6.0)
+    assert(r.getAs[Double]("cramers_v") == 1.0)
+  }
+
   test("chowDaily: level jump between exactly-linear halves") {
     val DayNs = 86400L * 1000 * 1000 * 1000
     val counts = (0 until 8).map(t => if (t < 4) t + 1 else t + 11)
