@@ -1287,6 +1287,133 @@ object Forecast {
         .as("cramers_v"))
   }
 
+  /** Jarque–Bera normality test of the daily volume distribution —
+    * the moment-based "is a Gaussian model even admissible?" screen
+    * (JB = n/6·(S² + (K−3)²/4) from sample skewness S and kurtosis
+    * K) that belongs before any z-scored anomaly rule (q395's ESD
+    * assumes rough normality; this measures the assumption): the four
+    * raw power sums are exact integers (decimal(38,0) — day counts
+    * to the 4th power pass int64), and the central-moment algebra is
+    * identical IEEE doubles in both engines. Output one row:
+    * `n_days, skewness, kurtosis, jb_stat` (1e-6 / 1e-4 grids; NULL
+    * when the series is constant).
+    *
+    * Scale shape: corpus → day grid once; one moment fold over the
+    * GRID.
+    */
+  def jarqueBeraDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = Dedup.persistTracked(
+      ev.groupBy("__d").agg(count(lit(1)).as("__y")))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select(coalesce(col("__y"), lit(0L)).as("__y"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val mom = series.agg(count(lit(1)).as("n_days"),
+      sum("__y").as("__s1"),
+      sum(dec(col("__y")) * col("__y")).as("__s2"),
+      sum(dec(col("__y")) * col("__y") * col("__y")).as("__s3"),
+      sum(dec(col("__y")) * col("__y") * col("__y") * col("__y"))
+        .as("__s4"))
+    val nD = col("n_days").cast("double")
+    val s1 = col("__s1").cast("double")
+    val s2 = col("__s2").cast("double")
+    val s3 = col("__s3").cast("double")
+    val s4 = col("__s4").cast("double")
+    val mean = s1 / nD
+    val m2 = s2 / nD - mean * mean
+    val m3 = s3 / nD - lit(3d) * mean * (s2 / nD) +
+      lit(2d) * (mean * mean * mean)
+    val m4 = s4 / nD - lit(4d) * mean * (s3 / nD) +
+      lit(6d) * (mean * mean) * (s2 / nD) -
+      lit(3d) * (mean * mean * mean * mean)
+    val skew = m3 / (sqrt(m2) * m2)
+    val kurt = m4 / (m2 * m2)
+    val jb = nD / lit(6d) *
+      (skew * skew + (kurt - lit(3d)) * (kurt - lit(3d)) / lit(4d))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    def g4(x: Column): Column =
+      when(x >= 0, floor(x * 1e4 + 0.5)).otherwise(-floor(-x * 1e4 + 0.5)) /
+        1e4 + lit(0d)
+    mom.select(col("n_days"),
+      when(m2 > 0, g6(skew)).as("skewness"),
+      when(m2 > 0, g6(kurt)).as("kurtosis"),
+      when(m2 > 0, g4(jb)).as("jb_stat"))
+  }
+
+  /** Durbin–Watson statistic of the DETRENDED daily volume — serial
+    * correlation of the residuals around the linear trend (DW ≈ 2 ⇒
+    * independent residuals; → 0 positive, → 4 negative autocorr; the
+    * residual-side complement of q402's Ljung–Box on raw counts):
+    * the trend is the closed-form OLS fit (the q415 algebra), each
+    * residual is quantized to the 1e-6 grid BEFORE the two integer
+    * sums, so DW = Σ(Δe)²/Σe² is a ratio of exact int64 sums —
+    * order-free and engine-identical. Output one row: `n_days, dw`
+    * (1e-6 grid; NULL on a degenerate fit or n < 2).
+    *
+    * Scale shape: corpus → day grid once; one moment fold, one lag
+    * window and one sum over the GRID.
+    */
+  def durbinWatsonDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = Dedup.persistTracked(
+      ev.groupBy("__d").agg(count(lit(1)).as("__y")))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val mom = series.agg(count(lit(1)).as("__k"),
+      sum("t").as("__st"), sum(col("t") * col("t")).as("__stt"),
+      sum(col("t") * col("__y")).as("__sty"),
+      sum("__y").as("__sy"))
+    val k = col("__k").cast("double")
+    val st = col("__st").cast("double")
+    val stt = col("__stt").cast("double")
+    val sty = col("__sty").cast("double")
+    val sy = col("__sy").cast("double")
+    val den = k * stt - st * st
+    val c1 = (k * sty - st * sy) / den
+    val c0 = (sy - c1 * st) / k
+    val resid = series.crossJoin(broadcast(mom))
+      .select(col("t"), col("__k"),
+        (col("__y").cast("double") - (c0 + c1 * col("t").cast("double")))
+          .as("__e"), den.as("__den"))
+      .select(col("t"), col("__k"), col("__den"),
+        when(col("__e") >= 0, floor(col("__e") * 1e6 + 0.5))
+          .otherwise(-floor(-col("__e") * 1e6 + 0.5)).cast("long")
+          .as("__e6"))
+    val w = Window.orderBy("t")
+    // squares of 1e-6-grid residuals can pass int64 at large daily
+    // volumes — accumulate in decimal(38,0) (HUGEINT on the oracle
+    // side)
+    def dec6(c: Column): Column = c.cast("decimal(38,0)")
+    val folded = resid
+      .withColumn("__pe6", lag("__e6", 1).over(w))
+      .agg(max(col("__k")).as("n_days"), max(col("__den")).as("__d"),
+        sum(dec6(col("__e6")) * col("__e6")).as("__see"),
+        sum(when(col("__pe6").isNotNull,
+          dec6(col("__e6") - col("__pe6")) * (col("__e6") - col("__pe6")))
+          .otherwise(dec6(lit(0L)))).as("__sdd"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    folded.select(col("n_days"),
+      when(col("__d") > 0 && col("__see") > 0 && col("n_days") > 1,
+        g6(col("__sdd").cast("double") / col("__see").cast("double")))
+        .as("dw"))
+  }
+
   /** Chow structural-break test on the daily volume's linear trend —
     * "did the trend CHANGE at the midpoint?" (the regression-regime
     * companion of q293's CUSUM level shifts): fit y ~ t by OLS on the

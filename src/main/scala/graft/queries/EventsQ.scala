@@ -340,6 +340,19 @@ object EventsQ {
         "ts")
     }),
 
+    // ---- Jarque-Bera: is daily volume even roughly Gaussian?
+    //      (moment-based normality screen before z-scored rules) ----
+    "q418_jarque_bera" -> ((s, d) => {
+      graft.operators.Forecast.jarqueBeraDaily(Tables.events(s, d), "ts")
+    }),
+
+    // ---- Durbin-Watson: serial correlation of the residuals around
+    //      the daily linear trend ----
+    "q419_durbin_watson" -> ((s, d) => {
+      graft.operators.Forecast.durbinWatsonDaily(Tables.events(s, d),
+        "ts")
+    }),
+
     // ---- Fleiss' kappa: do the event types agree on which users
     //      produce high-value activity? (multi-rater agreement) ----
     "q408_fleiss_kappa" -> ((s, d) => {
@@ -1342,6 +1355,112 @@ object EventsQ {
                / sse_u_raw, 0) * 1e4 + 0.5) / 1e4 + 0.0
            END AS f_stat
          FROM alg2""",
+    // four exact integer power sums; central-moment algebra mirrored
+    // operation for operation
+    "q418_jarque_bera" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(y) AS BIGINT) AS s1,
+              CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS s2,
+              CAST(sum(CAST(y AS HUGEINT) * y * y) AS DOUBLE) AS s3,
+              CAST(sum(CAST(y AS HUGEINT) * y * y * y) AS DOUBLE) AS s4
+            FROM series),
+          alg AS (
+            SELECT n_days, CAST(n_days AS DOUBLE) AS nd,
+              CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+              s2, s3, s4
+            FROM mom),
+          alg2 AS (
+            SELECT *,
+              s2 / nd - mean * mean AS m2,
+              s3 / nd - 3 * mean * (s2 / nd)
+                + 2 * (mean * mean * mean) AS m3,
+              s4 / nd - 4 * mean * (s3 / nd)
+                + 6 * (mean * mean) * (s2 / nd)
+                - 3 * (mean * mean * mean * mean) AS m4
+            FROM alg),
+          alg3 AS (
+            SELECT *, m3 / (sqrt(m2) * m2) AS skew,
+              m4 / (m2 * m2) AS kurt
+            FROM alg2)
+         SELECT n_days,
+           CASE WHEN m2 > 0 THEN
+             CASE WHEN skew >= 0 THEN
+               floor(skew * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-skew * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS skewness,
+           CASE WHEN m2 > 0 THEN
+             CASE WHEN kurt >= 0 THEN
+               floor(kurt * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-kurt * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS kurtosis,
+           CASE WHEN m2 > 0 THEN
+             floor(nd / 6 * (skew * skew
+               + (kurt - 3) * (kurt - 3) / 4) * 1e4 + 0.5) / 1e4 + 0.0
+           END AS jb_stat
+         FROM alg3""",
+    // residuals quantized to the 1e-6 grid BEFORE the two integer
+    // sums — DW is a ratio of exact sums, order-free
+    "q419_durbin_watson" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS kk,
+              CAST(count(*) AS DOUBLE) AS kd,
+              CAST(sum(t) AS DOUBLE) AS std,
+              CAST(sum(t * t) AS DOUBLE) AS sttd,
+              CAST(sum(t * y) AS DOUBLE) AS styd,
+              CAST(sum(y) AS DOUBLE) AS syd
+            FROM series),
+          alg AS (
+            SELECT *, kd * sttd - std * std AS den,
+              (kd * styd - std * syd) / (kd * sttd - std * std) AS c1
+            FROM mom),
+          alg2 AS (SELECT *, (syd - c1 * std) / kd AS c0 FROM alg),
+          resid AS (
+            SELECT t, kk, den,
+              CASE WHEN e >= 0 THEN CAST(floor(e * 1e6 + 0.5) AS BIGINT)
+              ELSE CAST(-floor(-e * 1e6 + 0.5) AS BIGINT) END AS e6
+            FROM (
+              SELECT s.t, a.kk, a.den,
+                CAST(s.y AS DOUBLE) - (a.c0 + a.c1 * CAST(s.t AS DOUBLE))
+                  AS e
+              FROM series s, alg2 a)),
+          lagged AS (
+            SELECT kk, den, e6, lag(e6, 1) OVER (ORDER BY t) AS pe6
+            FROM resid),
+          folded AS (
+            SELECT max(kk) AS n_days, max(den) AS den,
+              sum(CAST(e6 AS HUGEINT) * e6) AS see,
+              sum(CASE WHEN pe6 IS NOT NULL THEN
+                CAST(e6 - pe6 AS HUGEINT) * (e6 - pe6)
+                ELSE CAST(0 AS HUGEINT) END) AS sdd
+            FROM lagged)
+         SELECT n_days,
+           CASE WHEN den > 0 AND see > 0 AND n_days > 1 THEN
+             CASE WHEN CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) >= 0
+               THEN floor(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS dw
+         FROM folded""",
     // doubled tie-averaged ranks (exact int64) through a Pearson fold;
     // one division at the end
     "q416_spearman" ->

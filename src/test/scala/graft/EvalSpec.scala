@@ -855,6 +855,64 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("cramers_v") == 1.0)
   }
 
+  test("jarqueBeraDaily: symmetric light-tailed hand moments") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(1, 2, 3, 4)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.jarqueBeraDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("n_days") == 4)
+    // symmetric series: m3 = 0 exactly
+    assert(r.getAs[Double]("skewness") == 0.0)
+    // mirror the moment algebra for kurtosis / JB
+    val n = 4d; val mean = 10d / n
+    val m2 = 30d / n - mean * mean
+    val m4 = 354d / n - 4d * mean * (100d / n) +
+      6d * (mean * mean) * (30d / n) - 3d * (mean * mean * mean * mean)
+    val kurt = m4 / (m2 * m2)
+    assert(r.getAs[Double]("kurtosis") ==
+      math.floor(kurt * 1e6 + 0.5) / 1e6)
+    val jb = n / 6d * (0d + (kurt - 3d) * (kurt - 3d) / 4d)
+    assert(r.getAs[Double]("jb_stat") == math.floor(jb * 1e4 + 0.5) / 1e4)
+  }
+
+  test("durbinWatsonDaily: exact-linear series has no residual, NULL dw") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows = for (d <- 0 until 5; i <- 1 to d + 1)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.durbinWatsonDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("n_days") == 5)
+    assert(r.isNullAt(r.fieldIndex("dw")))
+  }
+
+  test("durbinWatsonDaily: alternating residuals push dw toward 4") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(2, 1, 4, 3, 6, 5)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.durbinWatsonDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    // mirror the closed form + 1e-6 residual grid
+    val ts = (0 until 6).map(_.toDouble); val ys = counts.map(_.toDouble)
+    val k = 6d; val st = ts.sum; val stt = ts.map(t => t * t).sum
+    val sty = ts.zip(ys).map { case (t, y) => t * y }.sum; val sy = ys.sum
+    val c1 = (k * sty - st * sy) / (k * stt - st * st)
+    val c0 = (sy - c1 * st) / k
+    val e6 = ts.zip(ys).map { case (t, y) =>
+      val e = y - (c0 + c1 * t)
+      if (e >= 0) math.floor(e * 1e6 + 0.5).toLong
+      else -math.floor(-e * 1e6 + 0.5).toLong
+    }
+    val see = e6.map(e => e * e).sum.toDouble
+    val sdd = e6.sliding(2).map { case Seq(p, c) => (c - p) * (c - p) }
+      .sum.toDouble
+    val exp = math.floor(sdd / see * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("dw") == exp)
+    assert(r.getAs[Double]("dw") > 2.5)
+  }
+
   test("chowDaily: level jump between exactly-linear halves") {
     val DayNs = 86400L * 1000 * 1000 * 1000
     val counts = (0 until 8).map(t => if (t < 4) t + 1 else t + 11)
