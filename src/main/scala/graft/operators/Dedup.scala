@@ -1291,11 +1291,21 @@ object Dedup {
     * mutations (OCR noise, boilerplate injection) that token-set
     * measures miss.
     *
-    * Scale shape: candidates come from an equi-join on the block key —
-    * never all-pairs — and the O(len²) Levenshtein kernel runs only on
-    * same-block pairs. Blocks are prefix-natural ⇒ a hot template
-    * prefix is exactly the skew the auto-salting in [[minHashLsh]]
-    * addresses; reuse that pattern if a block exceeds memory.
+    * Scale shape (two-stage, payload-free candidate generation):
+    *   1. a SLIM self-join on `(id, blk, len)` produces the candidate
+    *      pair ids — only ~30 bytes/row cross the block-key exchange,
+    *      and the O(1) prunes (id order + |len gap| > budget, which
+    *      implies Levenshtein > budget) run here, so full texts are
+    *      never shuffled through the skew-prone block key;
+    *   2. texts re-attach to the SURVIVING pairs via two id-keyed
+    *      joins (naturally distributed — no blk skew), and the
+    *      O(len²) Levenshtein kernel fires once per survivor.
+    * Hot template prefixes — the one remaining skew — are probed with
+    * [[Skew.probeSalt]]; when a hot block exists the slim self-join
+    * switches to a fragment-replicate scheme (each side replicated
+    * ×salt, pair (x,y) matched at the unique cell (h(x)%s, h(y)%s)),
+    * spreading a hot block's C(n,2) comparisons over salt² reducer
+    * cells instead of one.
     */
   def editDistancePairs(
       df: DataFrame,
@@ -1305,32 +1315,49 @@ object Dedup {
       maxNormDist: Double = 0.05): DataFrame = {
     val docs = persistTracked(parallelize(df).select(
       col(idCol).as("id"), col(textCol).as("txt"),
-      md5(array_join(slice(tokens(col(textCol)), 1, blockTokens), " ")).as("blk")))
-    val a = docs.as("a"); val b = docs.as("b")
-    // Conjunct order is deliberate and load-bearing: a trailing WHERE
-    // on the distance gets pushed into the join condition AHEAD of the
-    // cheap guards (observed in the executed plan), running the
-    // O(len²) kernel on every hash-collided pair in both id orders.
-    // Writing the full condition here pins the evaluation order:
-    // id ordering and the |len gap| lower bound (which implies
-    // Levenshtein > budget) prune ~25× of the pairs for O(1) each
-    // before the kernel fires once per survivor. Known double-eval:
-    // the post-join projection re-computes the kernel to emit `dist`
-    // (same shape at the cosine emits in nearDupEmbedding/semDedup) —
-    // accepted, because survivors are a tiny fraction of candidates
-    // and a project-then-filter alternative gets collapsed back into
-    // the join by Catalyst, re-creating the unguarded order.
-    val mx = greatest(length(col("a.txt")), length(col("b.txt")))
-    val lenGapOk = abs(length(col("a.txt")) - length(col("b.txt"))) <=
-      mx * maxNormDist
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id")
-        && lenGapOk
-        && levenshtein(col("a.txt"), col("b.txt")) <= mx * maxNormDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        levenshtein(col("a.txt"), col("b.txt")).as("dist"),
-        mx.as("mx"))
-      .withColumn("norm_dist", round(col("dist") / col("mx").cast("double"), 4))
-      .select("id_a", "id_b", "dist", "norm_dist")
+      md5(array_join(slice(tokens(col(textCol)), 1, blockTokens), " ")).as("blk"),
+      length(col(textCol)).as("len")))
+    val slim = docs.select("id", "blk", "len")
+    val mxS = greatest(col("a.len"), col("b.len"))
+    val prune = col("a.id") < col("b.id") &&
+      abs(col("a.len") - col("b.len")) <= mxS * maxNormDist
+    val salt = Skew.probeSalt(slim, Seq("blk"))
+    val cand =
+      if (salt == 0)
+        slim.as("a").join(slim.as("b"),
+          col("a.blk") === col("b.blk") && prune)
+      else {
+        // Fragment-replicate self-join: row x lands in cells
+        // (h(x)%salt, t) on the a-side and (u, h(x)%salt) on the
+        // b-side, so pair (x,y) meets at exactly one cell — replication
+        // is ×salt of the slim projection only, never of the texts.
+        val cells = sequence(lit(0), lit(salt - 1)).cast("array<int>")
+        val sa = slim
+          .withColumn("__ca", pmod(hash(col("id")), lit(salt)))
+          .withColumn("__cb", explode(cells)).as("a")
+        val sb = slim
+          .withColumn("__cb", pmod(hash(col("id")), lit(salt)))
+          .withColumn("__ca", explode(cells)).as("b")
+        sa.join(sb, col("a.blk") === col("b.blk") &&
+          col("a.__ca") === col("b.__ca") &&
+          col("a.__cb") === col("b.__cb") && prune)
+      }
+    val pairs = cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      mxS.as("mx"))
+    // Verify stage: only surviving candidates carry payload through an
+    // exchange. Known double-eval: the final projection re-computes the
+    // kernel to emit `dist` (Catalyst collapses a project-then-filter
+    // back into one node, duplicating the deterministic expression) —
+    // accepted, survivors are a tiny fraction of candidates.
+    val txt = docs.select("id", "txt")
+    pairs
+      .join(txt.select(col("id").as("id_a"), col("txt").as("txt_a")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("txt").as("txt_b")), "id_b")
+      .where(levenshtein(col("txt_a"), col("txt_b")) <= col("mx") * maxNormDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("txt_a"), col("txt_b")).as("dist"),
+        round(levenshtein(col("txt_a"), col("txt_b")) /
+          col("mx").cast("double"), 4).as("norm_dist"))
   }
 
   /** Candidate-pair volume of [[editDistancePairs]]'s blocking stage:

@@ -1818,10 +1818,13 @@ object Events {
     def lnTerm(c: Column): Column =
       floor(c.cast("double") * log(c.cast("double")) * 1e6 + 0.5)
         .cast("long")
-    val cells = df.withColumn("__next", lead(col(typeCol), 1).over(w))
-      .where(col("__next").isNotNull)
-      .groupBy(col(typeCol).as("__f"), col("__next").as("__t"))
-      .agg(count(lit(1)).as("__c"))
+    // persisted: three aggregates (A, B, n_states) derive from it — the
+    // per-user lead-window corpus pass must run once, not three times
+    val cells = Dedup.persistTracked(
+      df.withColumn("__next", lead(col(typeCol), 1).over(w))
+        .where(col("__next").isNotNull)
+        .groupBy(col(typeCol).as("__f"), col("__next").as("__t"))
+        .agg(count(lit(1)).as("__c")))
     val a = cells.agg(sum(lnTerm(col("__c"))).as("__la"),
       sum("__c").as("__N"))
     val b = cells.groupBy("__f").agg(sum("__c").as("__nf"))

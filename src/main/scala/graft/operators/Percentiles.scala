@@ -158,15 +158,28 @@ object Percentiles {
       .withColumn("_mid", monotonically_increasing_id())
     val statsDf = withMid
       .groupBy(col("_pid") +: kcols: _*)
-      .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_mid0"))
+      .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_mid0"),
+        max(col("_mid")).as("_mid1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveCaches.add(statsDf)
     val maxStats = spark.conf.getOption("spark.graft.percentiles.maxDriverStats")
       .map(_.toLong).getOrElse(DefaultMaxDriverStats)
-    if (keys.nonEmpty && statsDf.count() > maxStats) {
-      // HIGH-cardinality group key: the stats table itself is big, but
+    // One tiny job over the persisted stats yields BOTH the cardinality
+    // dispatch and an INVARIANT GUARD on the id layout this plan leans
+    // on: within each contiguous (partition, group) run the ids must be
+    // consecutive (max − min + 1 = count). If a cached partition was
+    // recomputed (eviction, executor loss) or a Spark upgrade changes
+    // monotonically_increasing_id's layout, the run check fails and we
+    // fall back to the always-correct per-group window plan instead of
+    // silently corrupting ranks.
+    val st = statsDf.agg(count(lit(1)).as("_rows"),
+      coalesce(sum(when(col("_mid1") - col("_mid0") + 1L =!= col("_c"),
+        1L).otherwise(0L)), lit(0L)).as("_bad")).head()
+    if ((keys.nonEmpty && st.getLong(0) > maxStats) || st.getLong(1) > 0L) {
+      // HIGH-cardinality group key (the stats table itself is big, but
       // each group is small — the classic hash-partitioned per-group
-      // window is the right plan (cardinality dispatch, see scaladoc).
+      // window is the right plan), or the id-consecutiveness invariant
+      // failed (window plan as the safe fallback).
       val w = Window.partitionBy(kcols: _*).orderBy(col("_v"))
       return base
         .withColumn("_rn", row_number().over(w).cast("long"))

@@ -1304,12 +1304,12 @@ object EventsQ {
               CAST(sum(x1) AS BIGINT) AS sx1,
               CAST(sum(x2) AS BIGINT) AS sx2,
               CAST(sum(yv) AS BIGINT) AS sy,
-              CAST(sum(x1 * x1) AS BIGINT) AS sx11,
-              CAST(sum(x1 * x2) AS BIGINT) AS sx12,
-              CAST(sum(x2 * x2) AS BIGINT) AS sx22,
-              CAST(sum(x1 * yv) AS BIGINT) AS sx1y,
-              CAST(sum(x2 * yv) AS BIGINT) AS sx2y,
-              CAST(sum(yv * yv) AS BIGINT) AS syy
+              CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS sx11,
+              CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS sx12,
+              CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS sx22,
+              CAST(sum(CAST(x1 AS HUGEINT) * yv) AS HUGEINT) AS sx1y,
+              CAST(sum(CAST(x2 AS HUGEINT) * yv) AS HUGEINT) AS sx2y,
+              CAST(sum(CAST(yv AS HUGEINT) * yv) AS HUGEINT) AS syy
             FROM obs),
           dbl AS (
             SELECT n_obs, CAST(n_obs AS DOUBLE) AS nd,

@@ -1492,7 +1492,14 @@ object VcfApi {
     *
     * Scale shape: one per-variant genotype-class aggregate; the
     * candidate grid is O(min(na, 2n−na)) rows per variant (the plink
-    * cost); the log-factorial table is one broadcast prefix-sum grid.
+    * cost); the log-factorial table — bounded by 2·samples entries —
+    * is computed once on the driver (a trivial prefix-sum loop) and
+    * embedded as ONE array literal, so every lookup is a codegen'd
+    * `element_at` and the plan contains zero joins: aggregate →
+    * explode → pure projection → aggregate, two shuffles total.
+    * (Earlier revisions broadcast-joined the grid seven times; at 1 M
+    * samples the literal is ~16 MB — well inside task-binary budget —
+    * while seven BroadcastHashJoins rebuilt seven hash maps per task.)
     */
   def hweExact(geno: DataFrame): DataFrame = {
     val Ln2Micro = 693147L // round(ln 2 · 1e6), shared with the oracle
@@ -1504,22 +1511,19 @@ object VcfApi {
         least(col("__ac"), lit(2L) * col("__n") - col("__ac"))
           .as("__na"))
       .where(col("__na") > 0)
-    val maxArg = per.agg(max(lit(2L) * col("__n")).as("__mx"))
-    val lf = maxArg
-      .select(explode(sequence(lit(0L), col("__mx"))).as("__k"))
-      .withColumn("__lnk",
-        when(col("__k") <= 1L, 0L).otherwise(
-          floor(log(col("__k").cast("double")) * 1e6 + 0.5)
-            .cast("long")))
-      .withColumn("__lf", sum("__lnk").over(
-        org.apache.spark.sql.expressions.Window.orderBy("__k")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, org.apache.spark.sql.expressions.Window
-            .currentRow)))
-      .select(col("__k"), col("__lf"))
-    def lfOf(alias: String): DataFrame =
-      lf.select(col("__k").as(s"__k$alias"),
-        col("__lf").as(s"__lf$alias"))
+    val mxRow = per.agg(max(lit(2L) * col("__n"))).head()
+    val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    // Per-term-quantized Σ round(ln j · 1e6) prefix sums, 0..2n — the
+    // identical grid both engines derive, so the "no likelier"
+    // ordering compares exact integers.
+    val lfArr = new Array[Long](mx.toInt + 1)
+    var acc = 0L; var k = 2
+    while (k <= mx) {
+      acc += math.floor(math.log(k.toDouble) * 1e6 + 0.5).toLong
+      lfArr(k) = acc; k += 1
+    }
+    val lfLit = lit(lfArr)
+    def lf(c: Column): Column = element_at(lfLit, (c + 1L).cast("int"))
     val cand = per.select(col("variant_id"), col("__n"), col("__h"),
         col("__na"),
         explode(sequence(pmod(col("__na"), lit(2L)),
@@ -1528,23 +1532,21 @@ object VcfApi {
       .withColumn("__gaa", expr("(__na - __hc) div 2"))
       .withColumn("__gbb",
         col("__n") - col("__hc") - expr("(__na - __hc) div 2"))
-    val joined = cand
-      .join(broadcast(lfOf("n")), col("__n") === col("__kn"))
-      .join(broadcast(lfOf("a")), col("__na") === col("__ka"))
-      .join(broadcast(lfOf("b")),
-        lit(2L) * col("__n") - col("__na") === col("__kb"))
-      .join(broadcast(lfOf("t")), lit(2L) * col("__n") === col("__kt"))
-      .join(broadcast(lfOf("h")), col("__hc") === col("__kh"))
-      .join(broadcast(lfOf("p")), col("__gaa") === col("__kp"))
-      .join(broadcast(lfOf("q")), col("__gbb") === col("__kq"))
-      .select(col("variant_id"), col("__n"), col("__h"), col("__na"),
-        col("__hc"),
-        (col("__lfn") + col("__lfa") + col("__lfb") - col("__lft") -
-          col("__lfh") - col("__lfp") - col("__lfq") +
-          col("__hc") * Ln2Micro).as("__l6"))
-    val obs = joined.where(col("__hc") === col("__h"))
-      .select(col("variant_id"), col("__l6").as("__lobs"))
-    val folded = joined.join(obs, Seq("variant_id"))
+    // Shared combinatorial prefix ln C(2n; n,na) appears in both the
+    // candidate and the observed log-prob; the observed one (hc = __h)
+    // is computed inline per row, eliminating the former obs self-join.
+    val pre = lf(col("__n")) + lf(col("__na")) +
+      lf(lit(2L) * col("__n") - col("__na")) -
+      lf(lit(2L) * col("__n"))
+    val gaaObs = expr("(__na - __h) div 2")
+    val gbbObs = col("__n") - col("__h") - expr("(__na - __h) div 2")
+    val joined = cand.select(col("variant_id"), col("__n"), col("__h"),
+      col("__na"), col("__hc"),
+      (pre - lf(col("__hc")) - lf(col("__gaa")) - lf(col("__gbb")) +
+        col("__hc") * Ln2Micro).as("__l6"),
+      (pre - lf(col("__h")) - lf(gaaObs) - lf(gbbObs) +
+        col("__h") * Ln2Micro).as("__lobs"))
+    val folded = joined
       .groupBy("variant_id", "__n", "__h", "__na")
       .agg(
         sum(when(col("__l6") <= col("__lobs"),
