@@ -2348,4 +2348,176 @@ object Eval {
       lit(reps).as("n_reps"), col("n_extreme"),
       g6(col("n_extreme").cast("double") / reps).as("p_value"))
   }
+
+  /** Bartlett's test for variance homogeneity — the parametric,
+    * more-powerful-under-normality sibling of [[leveneMean]] (q377):
+    *   T = [(N−k)·ln s_p² − Σ (n_i−1)·ln s_i²] / C,
+    *   C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+    * Per-group moments are exact integer cents (squares in
+    * decimal(38,0)); each group's unbiased variance numerator is
+    * quantized to a shared integer unit (100·cents²) before the
+    * cross-group pool, each ln s² to the 1e-6 grid, and each 1/(n−1)
+    * to the 1e-9 grid — every cross-group sum is of exact integers,
+    * so both engines fold in any order. Groups need n_i ≥ 2; a
+    * zero-variance group makes the statistic undefined (NULL).
+    * Output one row: `k_groups, n, t_stat, c_factor`
+    * (t 1e-4 grid, C 1e-6 grid).
+    *
+    * Scale shape: one map-side-combined moment aggregate per group,
+    * one k-row rollup. No windows, no joins.
+    */
+  def bartlett(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c"))
+    val per = base.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum("__c").as("__s"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__q"))
+      .where(col("__n") >= 2L)
+    // unbiased variance numerator (q − s²/n) in cents², quantized to
+    // 100-cents² units; ln s² and 1/(n−1) per group as grid integers
+    val num = col("__q").cast("double") -
+      col("__s").cast("double") * col("__s") / col("__n")
+    val v = (col("__n") - 1L).cast("double")
+    val terms = per.select(col("__n"),
+      floor(num / 100d + 0.5).cast("long").as("__num2"),
+      // degenerate (zero-variance) groups keep a 0 placeholder — the
+      // __degen flag NULLs the whole statistic, and the oracle's ln()
+      // must never see a non-positive argument (DuckDB errors)
+      when(num > 0d, floor(log(num / v) * 1e6 + 0.5).cast("long"))
+        .otherwise(0L).as("__ln6"),
+      (num <= 0d).as("__degen"),
+      floor(lit(1e9) / v + 0.5).cast("long").as("__inv9"))
+    val roll = terms.agg(count(lit(1)).as("k_groups"),
+      sum("__n").as("n"), sum("__num2").as("__pool2"),
+      sum((col("__n") - 1L) * col("__ln6")).as("__wln6"),
+      sum("__inv9").as("__sinv9"),
+      max(when(col("__degen"), 1L).otherwise(0L)).as("__bad"))
+    // divisors null-guarded (ANSI Divide throws on zero even for
+    // doubles; the output guard can't stop eager subexpression eval)
+    val nmk = when(col("n") > col("k_groups"),
+      (col("n") - col("k_groups")).cast("double"))
+    val sp2 = when(col("__pool2") > 0L,
+      col("__pool2").cast("double") * 100d) / nmk
+    val lnSp6 = floor(log(sp2) * 1e6 + 0.5)
+    val t = (nmk * lnSp6 - col("__wln6").cast("double")) / 1e6
+    val cFac = lit(1d) +
+      (col("__sinv9").cast("double") / 1e9 - lit(1d) / nmk) /
+        (lit(3d) * when(col("k_groups") > 1L,
+          (col("k_groups") - 1L).cast("double")))
+    def g4(x: Column): Column =
+      when(x >= 0, floor(x * 1e4 + 0.5)).otherwise(-floor(-x * 1e4 + 0.5)) /
+        1e4 + lit(0d)
+    val ok = col("k_groups") > 1L && col("n") > col("k_groups") &&
+      col("__bad") === 0L && col("__pool2") > 0L
+    roll.select(col("k_groups"), col("n"),
+      when(ok, g4(t / cFac)).as("t_stat"),
+      when(ok, floor(cFac * 1e6 + 0.5) / 1e6).as("c_factor"))
+  }
+
+  /** Holm step-down multiple-testing adjustment — the family-wise-
+    * error sibling of [[fdrBH]] (q326): adjusted
+    * p_(i) = max_{j ≤ i} min((m−j+1)·p_(j), 1) over the ascending
+    * p-value ranks; reject while the adjusted value stays ≤ α.
+    * Strictly more powerful than Bonferroni at identical FWER. The
+    * running max folds identical doubles — order-free, so the whole
+    * report replays exactly in any engine. Ties rank
+    * deterministically by `idCol`. Emits
+    * `(idCol, p, rank, p_holm, significant)` (p_holm 1e-6 floor
+    * grid).
+    *
+    * Scale shape: one global rank window over the TEST table
+    * (metadata-grain, the q326/q152 bounded-window class).
+    */
+  def holmAdjust(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    val m = df.agg(count(lit(1)).as("__m"))
+    val wAsc = Window.orderBy(col("p").asc, col(idCol).asc)
+    val wRun = Window.orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(pCol).cast("double").as("p"))
+      .withColumn("rank", row_number().over(wAsc))
+      .crossJoin(broadcast(m))
+      .withColumn("__h_raw", max(least(
+        (col("__m") - col("rank") + 1L).cast("double") * col("p"),
+        lit(1d))).over(wRun))
+      .select(col(idCol), col("p"), col("rank"),
+        (floor(col("__h_raw") * 1e6 + 0.5) / 1e6).as("p_holm"),
+        (col("__h_raw") <= alpha).as("significant"))
+  }
+
+  /** Bradley–Terry strengths from pairwise comparisons — the
+    * Arena-style ranking model (Bradley & Terry 1952; the MM
+    * algorithm of Hunter 2004): P(i beats j) = p_i/(p_i + p_j),
+    * fitted by `iters` minorization updates
+    *   p_i ← W_i / Σ_{j≠i} n_ij/(p_i + p_j)
+    * from p ≡ 1, then normalized to mean 1. Each update quantizes
+    * the per-opponent terms to the 1e-9 grid and the strengths to
+    * the 1e-6 grid, so a fixed iteration count replays exactly in
+    * any engine (the same unrolled-fixpoint discipline as the q403
+    * k-means gate). Items with zero wins get strength 0 (their MM
+    * fixpoint). Output per item:
+    * `item, wins, comparisons, strength` (1e-6 grid, mean 1).
+    *
+    * Scale shape: comparisons collapse to the k²-grain win matrix in
+    * one aggregate; every iteration is k²-grain algebra (items are
+    * model/variant counts — metadata scale).
+    */
+  def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters in [1, 8]")
+    // directed win counts → symmetric pair totals n_ij (both
+    // orientations materialized so the per-i fold sees every opponent)
+    val wins = Dedup.persistTracked(df.groupBy(
+        col(winnerCol).as("__w"), col(loserCol).as("__l"))
+      .agg(count(lit(1)).as("__c")))
+    val pairs = Dedup.persistTracked(wins
+      .select(col("__w").as("__i"), col("__l").as("__j"), col("__c"))
+      .unionByName(wins.select(col("__l").as("__i"),
+        col("__w").as("__j"), lit(0L).as("__c")))
+      .groupBy("__i", "__j").agg(sum("__c").as("__wij")))
+    val nij = pairs.select(col("__i"), col("__j"), col("__wij"))
+      .join(pairs.select(col("__j").as("__i"), col("__i").as("__j"),
+        col("__wij").as("__wji")), Seq("__i", "__j"))
+      .select(col("__i"), col("__j"),
+        (col("__wij") + col("__wji")).as("__nij"))
+    val items = Dedup.persistTracked(pairs.groupBy("__i")
+      .agg(sum("__wij").as("wins"))
+      .join(nij.groupBy("__i").agg(sum("__nij").as("comparisons")),
+        Seq("__i")))
+    // strengths in 1e-6 integer units; MM fold at k²-grain
+    var p = items.select(col("__i"), lit(1000000L).as("__p6"))
+    for (_ <- 1 to iters) {
+      val withP = nij
+        .join(p.select(col("__i"), col("__p6").as("__pi6")), Seq("__i"))
+        .join(p.select(col("__i").as("__j"), col("__p6").as("__pj6")),
+          Seq("__j"))
+      // divisors null-guarded: ANSI Divide throws on zero even for
+      // doubles. A zero p_i+p_j pair cannot arise from a pair with
+      // n_ij > 0 (someone won it), and den9 = 0 only for an all-lost
+      // item whose 0-strength the otherwise() branch assigns — the
+      // guards exist so no degenerate input can crash the plan.
+      val denom = withP.groupBy("__i").agg(
+        sum(floor(col("__nij").cast("double") /
+          (when(col("__pi6") + col("__pj6") > 0L,
+            (col("__pi6") + col("__pj6")).cast("double")) / 1e6) * 1e9
+          + 0.5).cast("long")).as("__den9"))
+      p = items.join(denom, Seq("__i"))
+        .select(col("__i"),
+          when(col("__den9") > 0L,
+            floor(col("wins").cast("double") /
+              (when(col("__den9") > 0L, col("__den9").cast("double"))
+                / 1e9) * 1e6 + 0.5)
+              .cast("long")).otherwise(0L).as("__p6"))
+    }
+    val norm = p.agg(sum("__p6").as("__sp6"), count(lit(1)).as("__k"))
+    items.join(p, Seq("__i")).crossJoin(broadcast(norm))
+      .select(col("__i").as("item"), col("wins"), col("comparisons"),
+        (floor(col("__p6").cast("double") * col("__k") /
+          when(col("__sp6") > 0L, col("__sp6").cast("double")) * 1e6
+          + 0.5) / 1e6).as("strength"))
+  }
 }

@@ -1097,6 +1097,126 @@ object Forecast {
       e: Column, f: Column, g: Column, h: Column, i: Column): Column =
     a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
 
+  /** Cox–Stuart trend test on the daily event-count series — the
+    * sign-test cousin of q415's Mann–Kendall: pair day t with day
+    * t + ⌈T/2⌉ (the middle day drops out when T is odd), count
+    * positive/negative differences, and test #pos against
+    * Binomial(n, ½). Where Mann–Kendall weighs all O(T²) pairs,
+    * Cox–Stuart uses the T/2 maximally-separated ones — cruder but
+    * assumption-free about tie structure. d = pos − neg has Var = n
+    * under H₀; z carries the ±1 continuity correction with the same
+    * sign convention as Mann–Kendall. Everything except z is exact
+    * int64. Output one row:
+    * `n_days, n_pairs, n_pos, n_neg, n_ties, z` (z 1e-6 sign-aware).
+    *
+    * Scale shape: corpus → day grid once; the pairing is one
+    * grid-sized self-join on a computed offset.
+    */
+  def coxStuartDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = Dedup.persistTracked(grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y")))
+    val tot = series.agg(count(lit(1)).as("__n"))
+    val later = series.select(col("t").as("__t2"), col("__y").as("__y2"))
+    val mom = series.crossJoin(broadcast(tot))
+      .where(col("t") < expr("__n div 2"))
+      .join(later, col("__t2") === col("t") + expr("(__n + 1) div 2"))
+      .agg(max("__n").as("n_days"), count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("__y2") > col("__y"), 1L).otherwise(0L)),
+          lit(0L)).as("n_pos"),
+        coalesce(sum(when(col("__y2") < col("__y"), 1L).otherwise(0L)),
+          lit(0L)).as("n_neg"))
+    val d = col("n_pos") - col("n_neg")
+    // null-guarded divisor: ANSI Divide throws on zero even for
+    // doubles, and subexpression elimination can evaluate the z
+    // branches on the all-ties row the output guard NULLs out
+    val n = when(col("n_pos") + col("n_neg") > 0L,
+      (col("n_pos") + col("n_neg")).cast("double"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val z = when(d > 0, (d.cast("double") - 1d) / sqrt(n))
+      .when(d < 0, (d.cast("double") + 1d) / sqrt(n))
+      .otherwise(lit(0d))
+    mom.select(col("n_days"), col("n_pairs"), col("n_pos"), col("n_neg"),
+      (col("n_pairs") - col("n_pos") - col("n_neg")).as("n_ties"),
+      when(col("n_pos") + col("n_neg") > 0, g6(z)).as("z"))
+  }
+
+  /** Partial autocorrelations of the daily count series at lags 1–3
+    * via the Durbin–Levinson recursion closed forms — the AR-order
+    * diagnostic q230's raw ACF can't give (an AR(1) series has
+    * nonzero ACF at EVERY lag but PACF cuts off after 1). Centered
+    * values scale to exact integers z_t = y_t·n − Σy (the q413
+    * Ljung–Box discipline), so each r_k = Σ z_t·z_{t+k} / Σ z_t² is
+    * a ratio of exact decimal(38,0) moments; the recursion
+    *   φ₁₁ = r₁
+    *   φ₂₂ = (r₂ − r₁²)/(1 − r₁²),      φ₂₁ = r₁·(1 − φ₂₂)
+    *   φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂)
+    * is pure one-row scalar algebra, mirrored textually in the
+    * oracle. Output one row:
+    * `n_days, r1, r2, r3, pacf1, pacf2, pacf3` (1e-6 sign-aware).
+    *
+    * Scale shape: corpus → day grid once; three lead windows over the
+    * bounded grid; one fold.
+    */
+  def pacfDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val tot = series.agg(count(lit(1)).as("__n"), sum("__y").as("__s"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val w = Window.orderBy("t")
+    val z = series.crossJoin(broadcast(tot))
+      .select(col("t"),
+        (col("__y") * col("__n") - col("__s")).as("__z"), col("__n"))
+      .withColumn("__z1", lead(col("__z"), 1).over(w))
+      .withColumn("__z2", lead(col("__z"), 2).over(w))
+      .withColumn("__z3", lead(col("__z"), 3).over(w))
+    val mom = z.agg(max("__n").as("n_days"),
+      sum(dec(col("__z")) * col("__z")).as("__zz"),
+      sum(when(col("__z1").isNotNull, dec(col("__z")) * col("__z1"))
+        .otherwise(dec(lit(0L)))).as("__m1"),
+      sum(when(col("__z2").isNotNull, dec(col("__z")) * col("__z2"))
+        .otherwise(dec(lit(0L)))).as("__m2"),
+      sum(when(col("__z3").isNotNull, dec(col("__z")) * col("__z3"))
+        .otherwise(dec(lit(0L)))).as("__m3"))
+    // divisors null-guarded: subexpression elimination evaluates these
+    // ratios even on rows the output guards NULL out, and ANSI Divide
+    // throws on a zero divisor — a null divisor yields null instead,
+    // which the guards below turn into the intended NULL outputs
+    val zz = when(col("__zz") =!= 0, col("__zz").cast("double"))
+    val r1 = col("__m1").cast("double") / zz
+    val r2 = col("__m2").cast("double") / zz
+    val r3 = col("__m3").cast("double") / zz
+    val p22den = lit(1d) - r1 * r1
+    val p22 = (r2 - r1 * r1) / when(p22den =!= 0d, p22den)
+    val p21 = r1 * (lit(1d) - p22)
+    val p33den = lit(1d) - p21 * r1 - p22 * r2
+    val p33 = (r3 - p21 * r2 - p22 * r1) / when(p33den =!= 0d, p33den)
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val ok = col("__zz") > 0 && col("n_days") > 3
+    mom.select(col("n_days"),
+      when(ok, g6(r1)).as("r1"), when(ok, g6(r2)).as("r2"),
+      when(ok, g6(r3)).as("r3"),
+      when(ok, g6(r1)).as("pacf1"),
+      when(ok && p22den =!= 0d, g6(p22)).as("pacf2"),
+      when(ok && p22den =!= 0d && p33den =!= 0d, g6(p33)).as("pacf3"))
+  }
+
   /** Lag-1 Granger causality between two daily event-type series —
     * "does yesterday's A volume predict today's B volume beyond B's
     * own yesterday?": restricted model b_t ~ b_{t−1}, unrestricted

@@ -353,6 +353,42 @@ object EventsQ {
         "ts")
     }),
 
+    // ---- Bartlett's equal-variance test across event types — the
+    //      parametric sibling of q377's Levene (χ²_{k−1} under
+    //      normality; more powerful there, fragile off it) ----
+    "q420_bartlett" -> ((s, d) => {
+      graft.operators.Eval.bartlett(Tables.events(s, d), "event_type",
+        "value")
+    }),
+
+    // ---- Cox-Stuart trend test: sign test on maximally-separated
+    //      daily-count pairs (q413 Mann-Kendall's O(T) cousin) ----
+    "q421_cox_stuart" -> ((s, d) => {
+      graft.operators.Forecast.coxStuartDaily(Tables.events(s, d), "ts")
+    }),
+
+    // ---- PACF lags 1-3 via Durbin-Levinson: the AR-order cutoff
+    //      diagnostic raw ACF can't give ----
+    "q422_pacf" -> ((s, d) => {
+      graft.operators.Forecast.pacfDaily(Tables.events(s, d), "ts")
+    }),
+
+    // ---- Bradley-Terry strengths over daily volume duels: each day,
+    //      each event-type pair, higher daily count wins; two MM
+    //      iterations from p=1 (the Arena-style pairwise ranker) ----
+    "q424_bradley_terry" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(expr("ts div 86400000000000").as("d"), col("event_type"))
+        .groupBy("d", "event_type").agg(count(lit(1)).as("n"))
+      val duels = daily.as("a").join(daily.as("b"),
+          col("a.d") === col("b.d") && col("a.n") > col("b.n"))
+        .select(col("a.event_type").as("winner"),
+          col("b.event_type").as("loser"))
+      graft.operators.Eval.bradleyTerry(duels, "winner", "loser",
+          iters = 2)
+        .orderBy("item")
+    }),
+
     // ---- Fleiss' kappa: do the event types agree on which users
     //      produce high-value activity? (multi-rater agreement) ----
     "q408_fleiss_kappa" -> ((s, d) => {
@@ -1461,6 +1497,230 @@ object EventsQ {
                  * 1e6 + 0.5) / 1e6 + 0.0 END
            END AS dw
          FROM folded""",
+    // per-group integer moments; variance numerators pooled in
+    // 100-cents² integer units, ln terms and 1/(n−1) as grid longs —
+    // every cross-group fold is of exact integers
+    "q420_bartlett" ->
+      """WITH base AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL),
+          per AS (
+            SELECT g, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+              sum(CAST(c AS HUGEINT) * c) AS q
+            FROM base GROUP BY g HAVING count(*) >= 2),
+          numed AS (
+            SELECT n,
+              CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n AS num
+            FROM per),
+          terms AS (
+            SELECT n,
+              CAST(floor(num / 100 + 0.5) AS BIGINT) AS num2,
+              CASE WHEN num > 0 THEN
+                CAST(floor(ln(num / CAST(n - 1 AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT) ELSE 0 END AS ln6,
+              num <= 0 AS degen,
+              CAST(floor(1e9 / CAST(n - 1 AS DOUBLE) + 0.5) AS BIGINT)
+                AS inv9
+            FROM numed),
+          roll AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+              CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(num2) AS BIGINT) AS pool2,
+              CAST(sum((n - 1) * ln6) AS BIGINT) AS wln6,
+              CAST(sum(inv9) AS BIGINT) AS sinv9,
+              max(CASE WHEN degen THEN 1 ELSE 0 END) AS bad
+            FROM terms),
+          calc AS (
+            SELECT k_groups, n, pool2, bad,
+              (CAST(n - k_groups AS DOUBLE)
+                * floor(ln(CAST(pool2 AS DOUBLE) * 100
+                    / CAST(n - k_groups AS DOUBLE)) * 1e6 + 0.5)
+                - CAST(wln6 AS DOUBLE)) / 1e6 AS t_num,
+              1 + (CAST(sinv9 AS DOUBLE) / 1e9
+                  - 1 / CAST(n - k_groups AS DOUBLE))
+                / (3 * CAST(k_groups - 1 AS DOUBLE)) AS cf
+            FROM roll WHERE pool2 > 0)
+         SELECT k_groups, n,
+           CASE WHEN k_groups > 1 AND n > k_groups AND bad = 0
+               AND pool2 > 0 THEN
+             CASE WHEN t_num / cf >= 0 THEN
+               floor(t_num / cf * 1e4 + 0.5) / 1e4 + 0.0
+             ELSE -floor(-(t_num / cf) * 1e4 + 0.5) / 1e4 + 0.0 END
+           END AS t_stat,
+           CASE WHEN k_groups > 1 AND n > k_groups AND bad = 0
+               AND pool2 > 0 THEN
+             floor(cf * 1e6 + 0.5) / 1e6 + 0.0
+           END AS c_factor
+         FROM calc""",
+    // T/2 maximally-separated day pairs; everything except z exact
+    // int64, z with the Mann-Kendall ±1 continuity convention
+    "q421_cox_stuart" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series),
+          mom AS (
+            SELECT max(tot.n) AS n_days,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(coalesce(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS n_pos,
+              CAST(coalesce(sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS n_neg
+            FROM series a, tot, series b
+            WHERE a.t < tot.n // 2 AND b.t = a.t + (tot.n + 1) // 2)
+         SELECT n_days, n_pairs, n_pos, n_neg,
+           n_pairs - n_pos - n_neg AS n_ties,
+           CASE WHEN n_pos + n_neg > 0 THEN
+             CASE WHEN n_pos - n_neg > 0 THEN
+               floor((CAST(n_pos - n_neg AS DOUBLE) - 1)
+                 / sqrt(CAST(n_pos + n_neg AS DOUBLE)) * 1e6 + 0.5)
+                 / 1e6 + 0.0
+             WHEN n_pos - n_neg < 0 THEN
+               -floor(-((CAST(n_pos - n_neg AS DOUBLE) + 1)
+                 / sqrt(CAST(n_pos + n_neg AS DOUBLE))) * 1e6 + 0.5)
+                 / 1e6 + 0.0
+             ELSE 0.0 END
+           END AS z
+         FROM mom""",
+    // centered-integer moments in HUGEINT; Durbin-Levinson closed
+    // forms staged so each denominator is computed once, like the
+    // Column tree
+    "q422_pacf" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS s FROM series),
+          z AS (SELECT t, y * tot.n - tot.s AS z, tot.n FROM series, tot),
+          zl AS (
+            SELECT n, z,
+              lead(z, 1) OVER (ORDER BY t) AS z1,
+              lead(z, 2) OVER (ORDER BY t) AS z2,
+              lead(z, 3) OVER (ORDER BY t) AS z3
+            FROM z),
+          mom AS (
+            SELECT max(n) AS n_days,
+              sum(CAST(z AS HUGEINT) * z) AS zz,
+              sum(CASE WHEN z1 IS NOT NULL THEN CAST(z AS HUGEINT) * z1
+                ELSE CAST(0 AS HUGEINT) END) AS m1,
+              sum(CASE WHEN z2 IS NOT NULL THEN CAST(z AS HUGEINT) * z2
+                ELSE CAST(0 AS HUGEINT) END) AS m2,
+              sum(CASE WHEN z3 IS NOT NULL THEN CAST(z AS HUGEINT) * z3
+                ELSE CAST(0 AS HUGEINT) END) AS m3
+            FROM zl),
+          rr AS (
+            SELECT n_days, zz,
+              CAST(m1 AS DOUBLE) / CAST(zz AS DOUBLE) AS r1,
+              CAST(m2 AS DOUBLE) / CAST(zz AS DOUBLE) AS r2,
+              CAST(m3 AS DOUBLE) / CAST(zz AS DOUBLE) AS r3
+            FROM mom),
+          dl1 AS (SELECT *, 1 - r1 * r1 AS p22den FROM rr),
+          dl2 AS (SELECT *, (r2 - r1 * r1) / p22den AS p22 FROM dl1),
+          dl3 AS (SELECT *, r1 * (1 - p22) AS p21 FROM dl2),
+          dl4 AS (SELECT *,
+              1 - p21 * r1 - p22 * r2 AS p33den FROM dl3),
+          dl5 AS (SELECT *,
+              (r3 - p21 * r2 - p22 * r1) / p33den AS p33 FROM dl4)
+         SELECT n_days,
+           CASE WHEN zz > 0 AND n_days > 3 THEN
+             CASE WHEN r1 >= 0 THEN floor(r1 * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-r1 * 1e6 + 0.5) / 1e6 + 0.0 END END AS r1,
+           CASE WHEN zz > 0 AND n_days > 3 THEN
+             CASE WHEN r2 >= 0 THEN floor(r2 * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-r2 * 1e6 + 0.5) / 1e6 + 0.0 END END AS r2,
+           CASE WHEN zz > 0 AND n_days > 3 THEN
+             CASE WHEN r3 >= 0 THEN floor(r3 * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-r3 * 1e6 + 0.5) / 1e6 + 0.0 END END AS r3,
+           CASE WHEN zz > 0 AND n_days > 3 THEN
+             CASE WHEN r1 >= 0 THEN floor(r1 * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-r1 * 1e6 + 0.5) / 1e6 + 0.0 END END AS pacf1,
+           CASE WHEN zz > 0 AND n_days > 3 AND p22den <> 0 THEN
+             CASE WHEN p22 >= 0 THEN floor(p22 * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-p22 * 1e6 + 0.5) / 1e6 + 0.0 END END AS pacf2,
+           CASE WHEN zz > 0 AND n_days > 3 AND p22den <> 0
+               AND p33den <> 0 THEN
+             CASE WHEN p33 >= 0 THEN floor(p33 * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-p33 * 1e6 + 0.5) / 1e6 + 0.0 END END AS pacf3
+         FROM dl5""",
+    // two unrolled MM iterations from p=1; per-opponent terms on the
+    // 1e-9 grid, strengths on the 1e-6 grid — exact integer folds
+    "q424_bradley_terry" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d, event_type
+            FROM events),
+          daily AS (
+            SELECT d, event_type, count(*) AS n
+            FROM ev GROUP BY d, event_type),
+          duels AS (
+            SELECT a.event_type AS w, b.event_type AS l
+            FROM daily a JOIN daily b ON a.d = b.d AND a.n > b.n),
+          winc AS (
+            SELECT w, l, CAST(count(*) AS BIGINT) AS c
+            FROM duels GROUP BY w, l),
+          pairs AS (
+            SELECT i, j, CAST(sum(c) AS BIGINT) AS wij FROM (
+              SELECT w AS i, l AS j, c FROM winc
+              UNION ALL SELECT l AS i, w AS j, 0 AS c FROM winc)
+            GROUP BY i, j),
+          nij AS (
+            SELECT p.i, p.j, p.wij + q.wij AS nij
+            FROM pairs p JOIN pairs q ON p.i = q.j AND p.j = q.i),
+          itw AS (SELECT i, CAST(sum(wij) AS BIGINT) AS wins
+            FROM pairs GROUP BY i),
+          itc AS (SELECT i, CAST(sum(nij) AS BIGINT) AS comparisons
+            FROM nij GROUP BY i),
+          items AS (
+            SELECT itw.i, wins, comparisons
+            FROM itw JOIN itc ON itw.i = itc.i),
+          p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p6 FROM items),
+          den1 AS (
+            SELECT n.i, CAST(sum(CAST(floor(CAST(n.nij AS DOUBLE)
+                / (CAST(pi.p6 + pj.p6 AS DOUBLE) / 1e6) * 1e9 + 0.5)
+                AS BIGINT)) AS BIGINT) AS den9
+            FROM nij n JOIN p0 pi ON n.i = pi.i
+              JOIN p0 pj ON n.j = pj.i
+            GROUP BY n.i),
+          p1 AS (
+            SELECT items.i,
+              CASE WHEN den9 > 0 THEN
+                CAST(floor(CAST(wins AS DOUBLE)
+                  / (CAST(den9 AS DOUBLE) / 1e9) * 1e6 + 0.5) AS BIGINT)
+              ELSE 0 END AS p6
+            FROM items JOIN den1 ON items.i = den1.i),
+          den2 AS (
+            SELECT n.i, CAST(sum(CAST(floor(CAST(n.nij AS DOUBLE)
+                / (CAST(pi.p6 + pj.p6 AS DOUBLE) / 1e6) * 1e9 + 0.5)
+                AS BIGINT)) AS BIGINT) AS den9
+            FROM nij n JOIN p1 pi ON n.i = pi.i
+              JOIN p1 pj ON n.j = pj.i
+            GROUP BY n.i),
+          p2 AS (
+            SELECT items.i,
+              CASE WHEN den9 > 0 THEN
+                CAST(floor(CAST(wins AS DOUBLE)
+                  / (CAST(den9 AS DOUBLE) / 1e9) * 1e6 + 0.5) AS BIGINT)
+              ELSE 0 END AS p6
+            FROM items JOIN den2 ON items.i = den2.i),
+          norm AS (SELECT CAST(sum(p6) AS BIGINT) AS sp6,
+              CAST(count(*) AS BIGINT) AS k FROM p2)
+         SELECT items.i AS item, wins, comparisons,
+           floor(CAST(p2.p6 AS DOUBLE) * norm.k / CAST(norm.sp6 AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 + 0.0 AS strength
+         FROM items JOIN p2 ON items.i = p2.i, norm
+         ORDER BY item""",
     // doubled tie-averaged ranks (exact int64) through a Pearson fold;
     // one division at the end
     "q416_spearman" ->

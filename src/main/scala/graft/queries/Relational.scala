@@ -603,6 +603,20 @@ object Relational {
         .orderBy("rank")
     }),
 
+    // ---- Holm step-down FWER adjustment over the same p-value family
+    //      as q326 — the rejection set every genome-wide report quotes
+    //      when false DISCOVERIES (not rate) must be controlled ----
+    "q423_holm" -> ((s, d) => {
+      val u = (pmod(graft.functions.md5Long(
+          concat(lit("bh:"), col("c_custkey").cast("string"))),
+        lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000d)
+      graft.operators.Eval.holmAdjust(
+          cust(s, d).withColumn("p_raw", u * u * u)
+            .select("c_custkey", "p_raw"),
+          "c_custkey", "p_raw", alpha = 0.05)
+        .orderBy("rank")
+    }),
+
     // ---- blocking-quality report for the q300 linkage blocking:
     //      RR from block-count statistics (no pair materialization),
     //      PC = 1 since dirtying never touches the block keys ----
@@ -1650,6 +1664,29 @@ object Relational {
            floor(least(qraw, 1.0) * 1e6 + 0.5) / 1e6 AS q_value,
            rank <= cut.c AS significant
          FROM r2, cut ORDER BY rank""",
+    // running MAX of identical doubles over ascending ranks —
+    // order-free, so the step-down replays exactly
+    "q423_holm" ->
+      """WITH t AS (
+            SELECT c_custkey AS id,
+              ((('0x' || substr(md5('bh:' || CAST(c_custkey AS VARCHAR)),
+                  1, 15))::BIGINT % 1000000 + 0.5) / 1000000.0) AS u
+            FROM customer),
+          t2 AS (SELECT id, u * u * u AS p FROM t),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM t2),
+          r AS (SELECT id, p,
+              CAST(row_number() OVER (ORDER BY p, id) AS INTEGER) AS rank
+            FROM t2),
+          r2 AS (SELECT id, p, rank,
+              max(least(CAST(m.m - rank + 1 AS DOUBLE) * p, 1.0)) OVER (
+                ORDER BY rank ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS hraw
+            FROM r, mm m)
+         SELECT id AS c_custkey, p, rank,
+           floor(hraw * 1e6 + 0.5) / 1e6 AS p_holm,
+           hraw <= 0.05 AS significant
+         FROM r2 ORDER BY rank""",
     // RR/PC from block stats; truth = custkey identity
     "q321_blocking_quality" ->
       """WITH dirty AS (

@@ -954,4 +954,152 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("f_stat") == expF)
     assert(r.getAs[Double]("f_stat") < 1d)
   }
+
+  test("coxStuartDaily: strict increase makes every pair positive") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(1, 2, 3, 4, 5, 6) // T=6: pairs (1,4)(2,5)(3,6)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.coxStuartDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("n_days") == 6 && r.getAs[Long]("n_pairs") == 3)
+    assert(r.getAs[Long]("n_pos") == 3 && r.getAs[Long]("n_neg") == 0)
+    assert(r.getAs[Long]("n_ties") == 0)
+    val expZ = math.floor((3d - 1d) / math.sqrt(3d) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("z") == expZ)
+  }
+
+  test("coxStuartDaily: odd T drops the middle day; balanced signs → z 0") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(3, 1, 2, 1, 5) // T=5, h=3: (3,1)−, (1,5)+
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.coxStuartDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("n_pairs") == 2)
+    assert(r.getAs[Long]("n_pos") == 1 && r.getAs[Long]("n_neg") == 1)
+    assert(r.getAs[Double]("z") == 0d)
+  }
+
+  test("coxStuartDaily: all-tied pairs leave z NULL") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows = for (d <- 0 until 4; i <- 1 to 2)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.coxStuartDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("n_ties") == 2)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("pacfDaily: matches the Durbin-Levinson closed forms by hand") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(5, 1, 4, 2, 3, 1, 5, 2)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.pacfDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    val n = counts.size; val s = counts.sum
+    val z = counts.map(y => (y.toLong * n - s).toDouble)
+    def mom(k: Int): Double =
+      (0 until n - k).map(t => z(t) * z(t + k)).sum
+    val zz = z.map(v => v * v).sum
+    val (r1, r2, r3) = (mom(1) / zz, mom(2) / zz, mom(3) / zz)
+    val p22den = 1d - r1 * r1
+    val p22 = (r2 - r1 * r1) / p22den
+    val p21 = r1 * (1d - p22)
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1d - p21 * r1 - p22 * r2)
+    def g6(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Double]("r1") == g6(r1))
+    assert(r.getAs[Double]("pacf1") == g6(r1))
+    assert(r.getAs[Double]("pacf2") == g6(p22))
+    assert(r.getAs[Double]("pacf3") == g6(p33))
+  }
+
+  test("pacfDaily: constant series degenerates to NULLs") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows = for (d <- 0 until 6; i <- 1 to 3)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.pacfDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.isNullAt(r.fieldIndex("r1")))
+    assert(r.isNullAt(r.fieldIndex("pacf3")))
+  }
+
+  test("bartlett: equal group variances give exactly 0") {
+    // both groups have unbiased variance numerator 20000 cents² —
+    // the grid ln terms cancel term for term
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Eval.bartlett(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 2 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Double]("t_stat") == 0d)
+    // C = 1 + (1/2 + 1/2 − 1/4) / 3
+    assert(r.getAs[Double]("c_factor") == 1.25)
+  }
+
+  test("bartlett: unequal variances give a positive statistic") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 5.0), ("b", 9.0)).toDF("g", "v")
+    val r = Eval.bartlett(df, "g", "v").collect().head
+    assert(r.getAs[Double]("t_stat") > 0d)
+  }
+
+  test("bartlett: a zero-variance group makes the statistic NULL") {
+    val df = Seq(("a", 1.0), ("a", 2.0),
+      ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val r = Eval.bartlett(df, "g", "v").collect().head
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+  }
+
+  test("holmAdjust: hand step-down on four p-values") {
+    val df = Seq((1L, 0.01), (2L, 0.02), (3L, 0.04), (4L, 0.5))
+      .toDF("id", "p_raw")
+    val out = Eval.holmAdjust(df, "id", "p_raw", alpha = 0.05)
+      .orderBy("rank").collect()
+    // adjusted: 4·.01, max(·,3·.02), max(·,2·.04), max(·,min(1·.5,1))
+    assert(out.map(_.getAs[Double]("p_holm")).toSeq ==
+      Seq(0.04, 0.06, 0.08, 0.5))
+    assert(out.map(_.getAs[Boolean]("significant")).toSeq ==
+      Seq(true, false, false, false))
+  }
+
+  test("holmAdjust: monotone and capped at 1") {
+    val df = Seq((1L, 0.9), (2L, 0.8), (3L, 0.95)).toDF("id", "p_raw")
+    val out = Eval.holmAdjust(df, "id", "p_raw", alpha = 0.05)
+      .orderBy("rank").collect()
+    val hs = out.map(_.getAs[Double]("p_holm")).toSeq
+    assert(hs == hs.sorted && hs.forall(_ <= 1d))
+    // 3·0.8 caps at 1.0 on rank 1 and the running max propagates it
+    assert(hs == Seq(1.0, 1.0, 1.0))
+  }
+
+  test("bradleyTerry: symmetric record gives strength 1 for both") {
+    val duels = Seq(("a", "b"), ("b", "a")).toDF("w", "l")
+    val out = Eval.bradleyTerry(duels, "w", "l", iters = 2)
+      .orderBy("item").collect()
+    assert(out.map(_.getAs[Double]("strength")).toSeq == Seq(1.0, 1.0))
+    assert(out.map(_.getAs[Long]("wins")).toSeq == Seq(1L, 1L))
+    assert(out.map(_.getAs[Long]("comparisons")).toSeq == Seq(2L, 2L))
+  }
+
+  test("bradleyTerry: dominance orders strengths; zero wins → 0") {
+    val duels = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("a", "c"))
+      .toDF("w", "l")
+    val out = Eval.bradleyTerry(duels, "w", "l", iters = 2)
+      .orderBy("item").collect()
+    val m = out.map(r => r.getAs[String]("item") ->
+      (r.getAs[Long]("wins"), r.getAs[Long]("comparisons"),
+        r.getAs[Double]("strength"))).toMap
+    assert(m("a")._1 == 3 && m("a")._2 == 3)
+    assert(m("b")._1 == 1 && m("b")._2 == 3)
+    assert(m("c")._1 == 0 && m("c")._2 == 2)
+    assert(m("a")._3 > m("b")._3 && m("b")._3 > m("c")._3)
+    assert(m("c")._3 == 0d)
+    // normalized to mean 1 on the 1e-6 grid
+    val mean = out.map(_.getAs[Double]("strength")).sum / 3d
+    assert(math.abs(mean - 1d) < 1e-5)
+  }
 }
