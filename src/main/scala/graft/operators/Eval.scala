@@ -2520,4 +2520,411 @@ object Eval {
           when(col("__sp6") > 0L, col("__sp6").cast("double")) * 1e6
           + 0.5) / 1e6).as("strength"))
   }
+
+  /** Fisher's exact test per stratum on the 2×2 table of two boolean
+    * flags — the small-count complement of the χ² association gates
+    * (q189/q232): when any cell is in the single digits the asymptotic
+    * χ² is unusable and the exact hypergeometric tail is the test.
+    * Per stratum the table is (n, r1 = #a, c1 = #b, aObs = #(a∧b));
+    * the support k ∈ [max(0, r1+c1−n), min(r1, c1)] is enumerated and
+    * two-sided p sums every table no likelier than the observed one.
+    *
+    * Determinism: log-weights are built WITHOUT factorials of n (which
+    * would need an unbounded log-factorial grid) via the
+    * hypergeometric ratio recurrence — L(k+1) − L(k) =
+    * ln((r1−k)(c1−k) / ((k+1)(n−r1−c1+k+1))), each step quantized to
+    * the 1e-6 grid, prefix-summed as exact int64 over the enumeration
+    * — so the "no likelier" ordering compares exact integers and both
+    * engines derive the identical grid. Weights exp((L−Lmax)/1e6) are
+    * 1e-12-quantized pre-sum. By convention ties count into the
+    * two-sided sum (L(k) ≤ L(obs) on the exact grid).
+    *
+    * Scale shape: one corpus aggregate to k stratum rows; the
+    * enumeration is O(min margin) per stratum and only strata whose
+    * span fits `maxEnum` are enumerated (larger ones emit NULL p with
+    * `exact_ok = false` — at that margin the χ² gates are exact
+    * enough); every window runs over the bounded enumeration grid,
+    * never the corpus. Output per stratum:
+    * `stratum, n, n_a, n_b, n_ab, exact_ok, p_two, p_left` (1e-6).
+    */
+  def fisherExact(df: DataFrame, strataCol: String, aCol: String,
+      bCol: String, maxEnum: Long = 100000L): DataFrame = {
+    val per = df.select(col(strataCol).as("__g"),
+        col(aCol).cast("boolean").as("__a"),
+        col(bCol).cast("boolean").as("__b"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__r1"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L))
+          .as("__aobs"))
+      .withColumn("__lo",
+        greatest(lit(0L), col("__r1") + col("__c1") - col("__n")))
+      .withColumn("__hi", least(col("__r1"), col("__c1")))
+    val ok = per.where(col("__hi") - col("__lo") <= maxEnum)
+    val enumd = ok.select(col("__g"), col("__n"), col("__r1"),
+      col("__c1"), col("__aobs"), col("__hi"),
+      explode(sequence(col("__lo"), col("__hi"))).as("__k"))
+    // ratio-recurrence step ln term, 1e-6 grid; defined for k < hi
+    // (all four factors ≥ 1 there)
+    val step = log(
+      ((col("__r1") - col("__k")).cast("double") *
+        (col("__c1") - col("__k"))) /
+      ((col("__k") + 1L).cast("double") *
+        (col("__n") - col("__r1") - col("__c1") + col("__k") + 1L)))
+    val q6 = when(col("__k") < col("__hi"),
+      floor(step * 1e6 + 0.5).cast("long")).otherwise(lit(0L))
+    val wPrev = Window.partitionBy("__g").orderBy("__k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("__g")
+    val withL = enumd.withColumn("__q6", q6)
+      .withColumn("__L", coalesce(sum("__q6").over(wPrev), lit(0L)))
+    val withW = withL
+      .withColumn("__Lmax", max("__L").over(wAll))
+      .withColumn("__Lobs",
+        max(when(col("__k") === col("__aobs"), col("__L"))).over(wAll))
+      .withColumn("__w12",
+        floor(exp((col("__L") - col("__Lmax")).cast("double") / 1e6)
+          * 1e12 + 0.5).cast("long"))
+    val sums = withW.groupBy("__g").agg(
+      sum("__w12").as("__S"),
+      sum(when(col("__L") <= col("__Lobs"), col("__w12"))
+        .otherwise(0L)).as("__two"),
+      sum(when(col("__k") <= col("__aobs"), col("__w12"))
+        .otherwise(0L)).as("__left"))
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6 + lit(0d)
+    per.join(sums, Seq("__g"), "left")
+      .select(col("__g").as("stratum"), col("__n").as("n"),
+        col("__r1").as("n_a"), col("__c1").as("n_b"),
+        col("__aobs").as("n_ab"),
+        (col("__hi") - col("__lo") <= maxEnum).as("exact_ok"),
+        when(col("__S") > 0L,
+          g6(col("__two").cast("double") / col("__S"))).as("p_two"),
+        when(col("__S") > 0L,
+          g6(col("__left").cast("double") / col("__S"))).as("p_left"))
+      .orderBy("stratum")
+  }
+
+  /** Cochran–Armitage trend test: does the success probability move
+    * MONOTONICALLY across k ordered dose levels? The 2×k directional
+    * sibling of the omnibus χ² — an ordered alternative concentrates
+    * the power the unordered test spreads over k−1 df. Scores are the
+    * dose ordinals themselves (w_j = j). With N = Σn_j, R = Σr_j the
+    * statistic is
+    *   Z = T / sqrt(R(N−R)(N·Σw²n − (Σwn)²) / N),
+    *   T = Σ w_j (r_j N − n_j R)
+    * — T and the radicand are exact decimal(38,0)/HUGEINT products of
+    * int64 marginals, so both engines fold identical integers and only
+    * the final Z divides. Output one row:
+    * `k_doses, n, n_success, t_num, z, chi2` (z 1e-6 sign-aware,
+    * chi2 1e-4; t_num exact so the gate pins the integer core).
+    *
+    * Scale shape: one map-side-combined per-dose aggregate to k rows;
+    * everything after is k-row scalar algebra.
+    */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+      outcomeCol: String): DataFrame = {
+    val per = df.select(col(doseCol).cast("long").as("__w"),
+        col(outcomeCol).cast("boolean").as("__o"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__nj"),
+        sum(when(col("__o"), 1L).otherwise(0L)).as("__rj"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val roll = per.agg(count(lit(1)).as("k_doses"),
+      sum("__nj").as("n"), sum("__rj").as("n_success"),
+      sum(dec(col("__w")) * col("__nj")).as("__wn"),
+      sum(dec(col("__w")) * col("__w") * col("__nj")).as("__wwn"),
+      sum(dec(col("__w")) * col("__rj")).as("__wr"))
+    // T = Σw·r·N − Σw·n·R = N·Σwr − R·Σwn (identical regrouping both
+    // engines); radicand R(N−R)(N·Σw²n − (Σwn)²)/N left as exact
+    // decimal until the final double division
+    val t = dec(col("n")) * col("__wr") - dec(col("n_success")) * col("__wn")
+    val rad = dec(col("n_success")) * (dec(col("n")) - col("n_success")) *
+      (dec(col("n")) * col("__wwn") - dec(col("__wn")) * col("__wn"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val z = t.cast("double") /
+      sqrt(when(rad > 0, rad.cast("double")) / col("n").cast("double"))
+    roll.select(col("k_doses"), col("n"), col("n_success"),
+      t.cast("long").as("t_num"),
+      when(rad > 0, g6(z)).as("z"),
+      when(rad > 0, floor(z * z * 1e4 + 0.5) / 1e4 + lit(0d)).as("chi2"))
+  }
+
+  /** Brown–Forsythe equal-variance test — [[leveneMean]] with the
+    * group MEDIAN as the center, the robust form recommended for
+    * skewed distributions (the mean-centered Levene loses level under
+    * asymmetry; the median-centered one holds it). Group medians are
+    * exact: per-group value-grid counts (integer cents), a cumulative
+    * window over the bounded grid, and x[(n+1) div 2] + x[n div 2 + 1]
+    * as the DOUBLED median — an integer in cents for every parity. The
+    * spreads z = |2c − med2| (half-cent integers) then run through the
+    * one-way ANOVA identities of q344 (per-group s²/n on the 1e-6
+    * grid pre-sum, decimal(38,0) squares). Output one row:
+    * `k_groups, n, df1, df2, f_stat` (1e-4).
+    *
+    * Scale shape: two corpus aggregates (value-grid counts, then
+    * spread moments) bridged by a k-row broadcast of medians; the
+    * median window runs over the distinct-cents grid, never rows.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = Dedup.persistTracked(df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c")))
+    val grid = base.groupBy("__g", "__c").agg(count(lit(1)).as("__t"))
+    val wCum = Window.partitionBy("__g").orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("__cum", sum("__t").over(wCum))
+    val ng = base.groupBy("__g").agg(count(lit(1)).as("__ng"))
+    val med = cum.join(ng, Seq("__g"))
+      .groupBy("__g")
+      .agg(
+        min(when(lit(2L) * col("__cum") >= col("__ng") +
+          pmod(col("__ng"), lit(2L)), col("__c"))).as("__m1"),
+        min(when(col("__cum") >= expr("__ng div 2") + 1L, col("__c")))
+          .as("__m2"))
+      .select(col("__g"), (col("__m1") + col("__m2")).as("__med2"))
+    val z = base.join(broadcast(med), Seq("__g"))
+      .select(col("__g"),
+        abs(lit(2L) * col("__c") - col("__med2")).as("__z"))
+    val per = z.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum("__z").as("__s"),
+        sum(col("__z").cast("decimal(38,0)") * col("__z")).as("__q"))
+    val roll = per.agg(count(lit(1)).as("k_groups"),
+      sum("__n").as("n"), sum("__s").as("__S"),
+      sum("__q").cast("decimal(38,0)").as("__Q"),
+      sum(floor(col("__s").cast("double") * col("__s") / col("__n")
+        * 1e2 + 0.5).cast("long")).as("__sb2"))
+    def g4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4 + lit(0d)
+    val grand = col("__S").cast("double") * col("__S") / col("n")
+    val ssb = col("__sb2").cast("double") / 1e2 - grand
+    val sst = col("__Q").cast("double") - grand
+    val ssw = sst - ssb
+    val f = (ssb / (col("k_groups") - 1).cast("double")) /
+      (ssw / (col("n") - col("k_groups")).cast("double"))
+    roll.select(col("k_groups"), col("n"),
+      (col("k_groups") - 1L).as("df1"),
+      (col("n") - col("k_groups")).as("df2"),
+      when(col("k_groups") > 1 && col("n") > col("k_groups") && ssw > 0,
+        g4(f)).as("f_stat"))
+  }
+
+  /** Tukey HSD pairwise comparisons — the equal-variance post-hoc that
+    * belongs after a significant [[anovaF]] (q344), next to the
+    * unequal-variance [[welchT]] (q345): every pair is judged against
+    * the POOLED mean square error, q = (m_i − m_j) /
+    * sqrt(MSE/2 · (1/n_i + 1/n_j)) (the Tukey–Kramer unbalanced
+    * form). Per-group integer-cents moments aggregate once; MSE comes
+    * from the q344 identities (per-group s²/n 1e-6-grid pre-sum,
+    * decimal(38,0) squares); the k-row result self-joins on
+    * group_a < group_b so there is no data-sized pair work. Output:
+    * `group_a, group_b, n_a, n_b, mean_diff, q_stat` (1e-4
+    * sign-aware; q_stat signed by mean_diff so the gate pins
+    * direction).
+    */
+  def tukeyHsd(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val per = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum("__c").as("__s"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__q"))
+    val roll = per.agg(count(lit(1)).as("__k"), sum("__n").as("__N"),
+      sum("__q").cast("decimal(38,0)").as("__Q"),
+      sum(floor(col("__s").cast("double") * col("__s") / col("__n")
+        / 1e4 * 1e6 + 0.5).cast("long")).as("__sb6"))
+    val mse = (col("__Q").cast("double") / 1e4 -
+      col("__sb6").cast("double") / 1e6) /
+      (col("__N") - col("__k")).cast("double")
+    val a = per.select(col("__g").as("group_a"), col("__n").as("n_a"),
+      col("__s").as("__sa"))
+    val b = per.select(col("__g").as("group_b"), col("__n").as("n_b"),
+      col("__s").as("__sb"))
+    def g4(x: Column): Column =
+      when(x >= 0, floor(x * 1e4 + 0.5)).otherwise(-floor(-x * 1e4 + 0.5)) /
+        1e4 + lit(0d)
+    val diff = col("__sa").cast("double") / col("n_a") / 100d -
+      col("__sb").cast("double") / col("n_b") / 100d
+    val se = sqrt(when(col("__mse") > 0, col("__mse")) / 2d *
+      (lit(1d) / col("n_a") + lit(1d) / col("n_b")))
+    a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(roll.select(col("__k"), col("__N"),
+        mse.as("__mse"))))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        g4(diff).as("mean_diff"),
+        when(col("__mse") > 0 && col("__N") > col("__k"),
+          g4(diff / se)).as("q_stat"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** Dunn's test — the rank-based post-hoc that belongs after a
+    * significant [[kruskalWallis]] (q324), comparing every pair of
+    * groups by mean rank against the pooled rank variance
+    *   z_ij = (R̄_i − R̄_j) / sqrt((N(N+1)/12 − ΣT/(12(N−1)))
+    *          · (1/n_i + 1/n_j))
+    * with the tie correction ΣT = Σ(t³−t) over the value grid.
+    * Ranks are the q324 DOUBLED tie-averaged integers (2·below + t +
+    * 1), so per-group rank sums fold exactly; the k-row mean-rank
+    * table self-joins on group_a < group_b. Output:
+    * `group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z`
+    * (means 1e-4, z 1e-6 sign-aware).
+    *
+    * Scale shape: value-grid rank window (bounded by distinct cents),
+    * one per-group fold, k²-grain pair algebra.
+    */
+  def dunnTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val b = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__x"))
+    val grid = b.groupBy("__x").agg(count(lit(1)).as("__t"))
+    val w = Window.orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rk = grid.withColumn("__rank2",
+      lit(2L) * coalesce(sum("__t").over(w), lit(0L)) + col("__t") + 1L)
+    val cells = b.groupBy("__g", "__x").agg(count(lit(1)).as("__cnt"))
+    val pg = cells.join(rk, Seq("__x"))
+      .groupBy("__g")
+      .agg(sum(col("__cnt").cast("decimal(38,0)") * col("__rank2"))
+        .as("__rg2"), sum("__cnt").as("__ng"))
+    val totals = b.agg(count(lit(1)).as("__N"))
+    val ties = grid.agg(
+      sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+        - col("__t")).as("__ts"))
+    val aS = pg.select(col("__g").as("group_a"), col("__ng").as("n_a"),
+      col("__rg2").as("__ra2"))
+    val bS = pg.select(col("__g").as("group_b"), col("__ng").as("n_b"),
+      col("__rg2").as("__rb2"))
+    def g4(x: Column): Column =
+      when(x >= 0, floor(x * 1e4 + 0.5)).otherwise(-floor(-x * 1e4 + 0.5)) /
+        1e4 + lit(0d)
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val nD = col("__N").cast("double")
+    val sig2 = (nD * (nD + 1d) / 12d -
+      col("__ts").cast("double") / (lit(12d) * (nD - 1d))) *
+      (lit(1d) / col("n_a") + lit(1d) / col("n_b"))
+    val mra = col("__ra2").cast("double") / 2d / col("n_a")
+    val mrb = col("__rb2").cast("double") / 2d / col("n_b")
+    aS.join(bS, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(ties))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        g4(mra).as("mean_rank_a"), g4(mrb).as("mean_rank_b"),
+        when(col("__N") > 1L && sig2 > 0d, g6((mra - mrb) / sqrt(sig2)))
+          .as("z"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** Mantel–Haenszel pooled odds ratio + Cochran–Mantel–Haenszel χ²
+    * across strata — "is exposure associated with outcome AFTER
+    * controlling for the stratifier?", the confounding-aware form of
+    * the crude 2×2 (q407 reports per-table OR; pooling crude tables
+    * invites Simpson reversals this estimator is built to avoid):
+    *   OR_MH = Σ(a_i d_i/n_i) / Σ(b_i c_i/n_i),
+    *   χ²_CMH = (|Σa_i − Σ r1_i c1_i/n_i| − ½)² / Σ V_i,
+    *   V_i = r1_i r0_i c1_i c0_i / (n_i²(n_i−1)).
+    * Per-stratum ratio terms are 1e-9-quantized pre-sum (exact int64
+    * folds in any order); strata with n < 2 are excluded and counted.
+    * Output one row: `k_strata, n, sum_a, or_mh, chi2_cmh`
+    * (or 1e-6, χ² 1e-4).
+    *
+    * Scale shape: one map-side-combined per-stratum aggregate; the
+    * fold is over k stratum rows.
+    */
+  def mantelHaenszel(df: DataFrame, strataCol: String, expCol: String,
+      outCol: String): DataFrame = {
+    val per = df.select(col(strataCol).as("__g"),
+        col(expCol).cast("boolean").as("__e"),
+        col(outCol).cast("boolean").as("__o"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("__b"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("__c"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("__d"))
+      .where(col("__n") >= 2L)
+    def q9(x: Column): Column = floor(x * 1e9 + 0.5).cast("long")
+    val nD = col("__n").cast("double")
+    val r1 = (col("__a") + col("__b")).cast("double")
+    val r0 = (col("__c") + col("__d")).cast("double")
+    val c1 = (col("__a") + col("__c")).cast("double")
+    val c0 = (col("__b") + col("__d")).cast("double")
+    val terms = per.select(col("__a"),
+      q9(col("__a").cast("double") * col("__d") / nD).as("__ad9"),
+      q9(col("__b").cast("double") * col("__c") / nD).as("__bc9"),
+      q9(r1 * c1 / nD).as("__e9"),
+      q9(r1 * r0 * c1 * c0 / (nD * nD * (nD - 1d))).as("__v9"))
+    val roll = terms.agg(count(lit(1)).as("k_strata"),
+      sum("__a").as("sum_a"), sum("__ad9").as("__sad9"),
+      sum("__bc9").as("__sbc9"), sum("__e9").as("__se9"),
+      sum("__v9").as("__sv9"))
+    val n = per.agg(sum("__n").as("n"))
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6 + lit(0d)
+    def g4(x: Column): Column = floor(x * 1e4 + 0.5) / 1e4 + lit(0d)
+    val dev = greatest(
+      abs(col("sum_a").cast("double") - col("__se9").cast("double") / 1e9)
+        - 0.5d, lit(0d))
+    roll.crossJoin(broadcast(n))
+      .select(col("k_strata"), col("n"), col("sum_a"),
+        when(col("__sbc9") > 0L,
+          g6(col("__sad9").cast("double") / col("__sbc9"))).as("or_mh"),
+        when(col("__sv9") > 0L,
+          g4(dev * dev / (col("__sv9").cast("double") / 1e9)))
+          .as("chi2_cmh"))
+  }
+
+  /** Two-sample Cramér–von Mises statistic — the whole-distribution
+    * distance that weighs the BODY of the distributions where the
+    * q152 Kolmogorov–Smirnov matrix weighs only the single largest gap
+    * (KS is famously blind to tail and spread differences that CvM
+    * catches):
+    *   T = nm/(n+m)² · Σ_{combined obs} (F_n(x) − G_m(x))².
+    * On the integer-cents value grid the CDF gap at a grid point is
+    * the exact rational (cum1·m − cum2·n)/(nm), so each grid point
+    * contributes cnt·((cum1·m − cum2·n)/(nm))² — quantized to the
+    * 1e-9 grid pre-sum (int64 fold, order-free). Output one row:
+    * `n, m, n_grid, t_stat` (1e-6).
+    *
+    * Scale shape: one corpus aggregate to the distinct-cents grid; two
+    * cumulative windows over the grid; one fold.
+    */
+  def cramerVonMises(df: DataFrame, valueCol: String,
+      sideCol: String): DataFrame = {
+    val grid = df.where(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") * 100d + 0.5)
+        .cast("long").as("__x"),
+        col(sideCol).cast("boolean").as("__s"))
+      .groupBy("__x")
+      .agg(sum(when(col("__s"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(!col("__s"), 1L).otherwise(0L)).as("__c2"))
+    val w = Window.orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("__f1", sum("__c1").over(w))
+      .withColumn("__f2", sum("__c2").over(w))
+    val tot = grid.agg(sum("__c1").as("__n"), sum("__c2").as("__m"))
+    val gap = (col("__f1").cast("double") * col("__m") -
+      col("__f2").cast("double") * col("__n")) /
+      (when(col("__n") > 0L && col("__m") > 0L,
+        col("__n").cast("double")) * col("__m"))
+    val folded = cum.crossJoin(broadcast(tot))
+      .agg(max("__n").as("n"), max("__m").as("m"),
+        count(lit(1)).as("n_grid"),
+        sum(floor((col("__c1") + col("__c2")).cast("double") * gap * gap
+          * 1e9 + 0.5).cast("long")).as("__t9"))
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6 + lit(0d)
+    val nm = col("n").cast("double") * col("m")
+    val npm = (col("n") + col("m")).cast("double")
+    folded.select(col("n"), col("m"), col("n_grid"),
+      when(col("n") > 0L && col("m") > 0L,
+        g6(col("__t9").cast("double") / 1e9 * nm / (npm * npm)))
+        .as("t_stat"))
+  }
 }

@@ -1608,4 +1608,260 @@ object Forecast {
       when(ok, g6(sseB)).as("sse_b"),
       when(ok && col("kP") > 4 && sseA + sseB > 0, g4(f)).as("f_stat"))
   }
+
+  /** Shared Friedman-layout rank machinery: zero-filled per-(day,
+    * type) counts over the full day grid × type set, DOUBLED
+    * tie-averaged within-day ranks (2·below + t + 1 — exact
+    * integers), per-type rank sums, and the within-day tie sum
+    * Σ(t³−t). Returns (perType(__ty, __R2, __nb), ties(__ts),
+    * nTypes) with everything grid-sized. Used by [[pageTrendDaily]]
+    * and [[kendallWDaily]] (the q373 Friedman test derives the same
+    * ranks inline).
+    */
+  private def friedmanRanks(df: DataFrame, tsNsCol: String,
+      typeCol: String): (DataFrame, DataFrame) = {
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"),
+      col(typeCol).as("__ty"))
+    val types = ev.select(col("__ty")).distinct()
+    val cnts0 = ev.groupBy("__d", "__ty").agg(count(lit(1)).as("__c"))
+    val bounds = ev.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+      .crossJoin(types)
+    val cells = grid.join(cnts0, Seq("__d", "__ty"), "left")
+      .select(col("__d"), col("__ty"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val vals = Dedup.persistTracked(
+      cells.groupBy("__d", "__c").agg(count(lit(1)).as("__t")))
+    val wDay = org.apache.spark.sql.expressions.Window
+      .partitionBy("__d").orderBy("__c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val ranked = vals.withColumn("__below",
+      coalesce(sum("__t").over(wDay), lit(0L)))
+    val perType = cells.join(ranked, Seq("__d", "__c"))
+      .select(col("__ty"),
+        (lit(2L) * col("__below") + col("__t") + 1L).as("__r2"))
+      .groupBy("__ty")
+      .agg(sum("__r2").as("__R2"), count(lit(1)).as("__nb"))
+    val ties = vals.agg(
+      sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+        - col("__t")).as("__ts"))
+    (perType, ties)
+  }
+
+  /** Page's trend test for ORDERED alternatives in the Friedman
+    * layout — "do the k treatments' daily volumes follow the
+    * hypothesized ORDER?" where q373's Friedman only asks "do they
+    * differ at all?" (for a monotone alternative Page's L
+    * concentrates the power Friedman spreads over k−1 df). Treatments
+    * are scored by their lexicographic rank (the hypothesized order;
+    * callers with a domain order pre-map the type column);
+    * L = Σ_j j·R_j over within-day tie-averaged ranks,
+    * E(L) = n·k(k+1)²/4, Var(L) = n·k²(k+1)(k²−1)/144 (the no-tie
+    * normal approximation — documented convention; ranks themselves
+    * ARE tie-averaged). 2L and 4E are exact integers; only z divides.
+    * Output one row: `n_days, k_treatments, l_stat, z` (L exact on
+    * the .5 grid, z 1e-6 sign-aware).
+    *
+    * Scale shape: corpus → (day × type) grid once; rank windows over
+    * the bounded grid; k-row fold.
+    */
+  def pageTrendDaily(df: DataFrame, tsNsCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (perType, _) = friedmanRanks(df, tsNsCol, typeCol)
+    val wOrd = Window.orderBy("__ty")
+    val scored = perType.withColumn("__j", row_number().over(wOrd))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val roll = scored.agg(count(lit(1)).as("k"),
+      max("__nb").as("n_days"),
+      sum(dec(col("__j")) * col("__R2")).as("__L2"))
+    val kL = col("k")
+    val nL = col("n_days")
+    // z = (L − E)/sqrt(Var) with L = L2/2 and 4E = n·k(k+1)² — scale
+    // numerator by 4 so it stays an exact integer: (2·L2 − 4E)/4
+    val num4 = lit(2).cast("decimal(38,0)") * col("__L2") -
+      dec(nL) * kL * (kL + 1L) * (kL + 1L)
+    val varL = nL.cast("double") * col("k").cast("double") * col("k") *
+      (col("k") + 1L) * (col("k").cast("double") * col("k") - 1d) / 144d
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    roll.select(col("n_days"), col("k").as("k_treatments"),
+      (col("__L2").cast("double") / 2d).as("l_stat"),
+      when(col("k") > 1L && col("n_days") > 0L && varL > 0d,
+        g6(num4.cast("double") / 4d / sqrt(varL))).as("z"))
+  }
+
+  /** Kendall's coefficient of concordance W — HOW STRONGLY do the
+    * days agree on a single ranking of the k types? The effect-size
+    * companion of q373's Friedman significance (χ²_F = n(k−1)·W; a
+    * huge corpus can make a negligible W "significant", so the gate
+    * reports both):
+    *   W = (12·ΣS_j² − 3n²k(k+1)²) / (n²k(k²−1) − n·ΣT)
+    * with the within-day tie sum ΣT = Σ(t³−t). With DOUBLED rank sums
+    * R2_j = 2S_j the numerator is 3·(ΣR2_j² − n²k(k+1)²) — exact
+    * decimal(38,0)/HUGEINT end to end; only the final ratio divides.
+    * Output one row: `n_days, k_treatments, w, chi2` (w 1e-6,
+    * χ² = n(k−1)W 1e-4).
+    *
+    * Scale shape: identical to [[pageTrendDaily]] — grid windows,
+    * k-row fold.
+    */
+  def kendallWDaily(df: DataFrame, tsNsCol: String,
+      typeCol: String): DataFrame = {
+    val (perType, ties) = friedmanRanks(df, tsNsCol, typeCol)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val roll = perType.agg(count(lit(1)).as("k"),
+      max("__nb").as("n_days"),
+      sum(dec(col("__R2")) * col("__R2")).as("__SR2"))
+    val kL = col("k")
+    val nL = col("n_days")
+    val num = lit(3).cast("decimal(38,0)") *
+      (col("__SR2") - dec(nL) * nL * kL * (kL + 1L) * (kL + 1L))
+    val den = dec(nL) * nL * kL * (kL * kL - 1L) -
+      dec(nL) * col("__ts")
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    def g4(x: Column): Column =
+      when(x >= 0, floor(x * 1e4 + 0.5)).otherwise(-floor(-x * 1e4 + 0.5)) /
+        1e4 + lit(0d)
+    val w = num.cast("double") /
+      when(den > 0, den.cast("double"))
+    roll.crossJoin(broadcast(ties))
+      .select(col("n_days"), col("k").as("k_treatments"),
+        when(den > 0, g6(w)).as("w"),
+        when(den > 0,
+          g4(nL.cast("double") * (kL - 1L).cast("double") * w))
+          .as("chi2"))
+  }
+
+  /** Breusch–Pagan heteroskedasticity test on the daily-volume trend
+    * residuals — "does the VARIANCE around the q419 trend line grow
+    * with time?" (Durbin–Watson checks residual correlation; this
+    * checks residual scale — the two standard OLS residual
+    * diagnostics): regress e² on t and report LM = n·R²_aux.
+    * Residuals are quantized to the 1e-2 grid BEFORE squaring (the
+    * coarser-than-q419 grid keeps u = e² and its centered moments
+    * inside decimal(38,0)/HUGEINT at large daily volumes — u is a
+    * FOURTH power of the data), so every cross-day moment is an exact
+    * integer and both engines fold identically; only R² divides.
+    * Output one row: `n_days, r2_aux, lm` (1e-6 / 1e-4).
+    *
+    * Scale shape: corpus → day grid once (persisted); two bounded
+    * folds (trend moments, then auxiliary moments).
+    */
+  def breuschPaganDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = Dedup.persistTracked(
+      ev.groupBy("__d").agg(count(lit(1)).as("__y")))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = Dedup.persistTracked(grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y")))
+    val mom = series.agg(count(lit(1)).as("__k"),
+      sum("t").as("__st"), sum(col("t") * col("t")).as("__stt"),
+      sum(col("t") * col("__y")).as("__sty"), sum("__y").as("__sy"))
+    val k = col("__k").cast("double")
+    val st = col("__st").cast("double")
+    val den = k * col("__stt").cast("double") - st * st
+    val c1 = (k * col("__sty").cast("double") -
+      st * col("__sy").cast("double")) / den
+    val c0 = (col("__sy").cast("double") - c1 * st) / k
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val aux = series.crossJoin(broadcast(mom))
+      .select(col("t"), col("__k"), den.as("__den"),
+        (col("__y").cast("double") - (c0 + c1 * col("t").cast("double")))
+          .as("__e"))
+      .select(col("t"), col("__k"), col("__den"),
+        when(col("__e") >= 0, floor(col("__e") * 1e2 + 0.5))
+          .otherwise(-floor(-col("__e") * 1e2 + 0.5)).cast("long")
+          .as("__e2"))
+      .select(col("t"), col("__k"), col("__den"),
+        (col("__e2") * col("__e2")).as("__u"))
+      .agg(max("__k").as("n_days"), max("__den").as("__d"),
+        sum(dec(col("t"))).as("__sx"),
+        sum(dec(col("t")) * col("t")).as("__sxx"),
+        sum(dec(col("t")) * col("__u")).as("__sxu"),
+        sum(dec(col("__u"))).as("__su"),
+        sum(dec(col("__u")) * col("__u")).as("__suu"))
+    val m = col("n_days").cast("double")
+    val sxxC = m * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val suuC = m * col("__suu").cast("double") -
+      col("__su").cast("double") * col("__su").cast("double")
+    val sxuC = m * col("__sxu").cast("double") -
+      col("__sx").cast("double") * col("__su").cast("double")
+    val r2 = sxuC * sxuC /
+      (when(sxxC > 0d && suuC > 0d, sxxC) * suuC)
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6 + lit(0d)
+    def g4(x: Column): Column = floor(x * 1e4 + 0.5) / 1e4 + lit(0d)
+    val ok = col("__d") > 0d && sxxC > 0d && suuC > 0d &&
+      col("n_days") > 2L
+    aux.select(col("n_days"),
+      when(ok, g6(r2)).as("r2_aux"),
+      when(ok, g4(m * r2)).as("lm"))
+  }
+
+  /** Dickey–Fuller unit-root t-statistic (lag-0 form) on the daily
+    * volume — "does the series mean-revert, or does it wander?": fit
+    * Δy_t = α + β·y_{t−1} and report t(β̂); β near 0 (t near 0) means
+    * a random walk, strongly negative t means reversion. The
+    * stationarity screen that belongs before q422's PACF (whose AR
+    * closed forms presume it). With A = mΣx²−(Σx)², B = mΣxz−ΣxΣz,
+    * C = mΣz²−(Σz)² over the m = n−1 (x = y_{t−1}, z = Δy) pairs, the
+    * t-statistic collapses to t = B·sqrt((m−2)/(A·C − B²)) — A, B, C
+    * exact decimal(38,0)/HUGEINT, one division chain at the end.
+    * Output one row: `n_days, n_pairs, beta, t_stat` (1e-6 / 1e-4
+    * sign-aware).
+    *
+    * Scale shape: corpus → day grid once; one lag window over the
+    * bounded grid; one fold.
+    */
+  def dickeyFullerDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = ev.groupBy("__d").agg(count(lit(1)).as("__y"))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0")).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    val w = Window.orderBy("t")
+    val pairs = series
+      .withColumn("__py", lag("__y", 1).over(w))
+      .where(col("__py").isNotNull)
+      .select(col("__py").as("__x"), (col("__y") - col("__py")).as("__z"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val mom = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(dec(col("__x"))).as("__sx"),
+      sum(dec(col("__x")) * col("__x")).as("__sxx"),
+      sum(dec(col("__x")) * col("__z")).as("__sxz"),
+      sum(dec(col("__z"))).as("__sz"),
+      sum(dec(col("__z")) * col("__z")).as("__szz"))
+    val mI = dec(col("n_pairs"))
+    val aI = mI * col("__sxx") - col("__sx") * col("__sx")
+    val bI = mI * col("__sxz") - col("__sx") * col("__sz")
+    val cI = mI * col("__szz") - col("__sz") * col("__sz")
+    val disc = aI * cI - bI * bI
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    def g4(x: Column): Column =
+      when(x >= 0, floor(x * 1e4 + 0.5)).otherwise(-floor(-x * 1e4 + 0.5)) /
+        1e4 + lit(0d)
+    val beta = bI.cast("double") / when(aI > 0, aI.cast("double"))
+    val t = bI.cast("double") *
+      sqrt((col("n_pairs") - 2L).cast("double") /
+        when(disc > 0, disc.cast("double")))
+    mom.select((col("n_pairs") + 1L).as("n_days"), col("n_pairs"),
+      when(aI > 0, g6(beta)).as("beta"),
+      when(aI > 0 && disc > 0 && col("n_pairs") > 2L, g4(t))
+        .as("t_stat"))
+  }
 }

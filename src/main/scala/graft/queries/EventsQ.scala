@@ -389,6 +389,95 @@ object EventsQ {
         .orderBy("item")
     }),
 
+    // ---- Fisher's exact 2×2 per event type: are the two sparse
+    //      flags associated? (the small-count complement of the χ²
+    //      association gates; margins ~n/97 keep the enumeration
+    //      grid-sized) ----
+    "q425_fisher_exact" -> ((s, d) => {
+      graft.operators.Eval.fisherExact(
+        Tables.events(s, d)
+          .withColumn("fa", pmod(col("user_id"), lit(97L)) === 0L)
+          .withColumn("fb", pmod(col("event_id"), lit(89L)) === 0L),
+        "event_type", "fa", "fb")
+    }),
+
+    // ---- Cochran-Armitage trend across 5 ordered dose levels ----
+    "q426_cochran_armitage" -> ((s, d) => {
+      graft.operators.Eval.cochranArmitage(
+        Tables.events(s, d)
+          .withColumn("dose", pmod(col("user_id"), lit(5L)))
+          .withColumn("hit", pmod(col("event_id"), lit(3L)) === 0L),
+        "dose", "hit")
+    }),
+
+    // ---- Brown-Forsythe: q377's Levene re-centered on exact group
+    //      medians (the robust form for skewed values) ----
+    "q427_brown_forsythe" -> ((s, d) => {
+      graft.operators.Eval.brownForsythe(Tables.events(s, d),
+        "event_type", "value")
+    }),
+
+    // ---- Tukey HSD pairwise q statistics against the pooled MSE:
+    //      the equal-variance post-hoc after q344's ANOVA ----
+    "q428_tukey_hsd" -> ((s, d) => {
+      graft.operators.Eval.tukeyHsd(Tables.events(s, d), "event_type",
+        "value")
+    }),
+
+    // ---- Dunn's rank post-hoc after q324's Kruskal-Wallis ----
+    "q429_dunn" -> ((s, d) => {
+      graft.operators.Eval.dunnTest(Tables.events(s, d), "event_type",
+        "value")
+    }),
+
+    // ---- Mantel-Haenszel pooled OR + CMH χ² across event-type
+    //      strata (the Simpson-safe pooled 2×2) ----
+    "q430_mantel_haenszel" -> ((s, d) => {
+      graft.operators.Eval.mantelHaenszel(
+        Tables.events(s, d)
+          .withColumn("ex", pmod(col("user_id"), lit(2L)) === 0L)
+          .withColumn("ou", pmod(col("event_id"), lit(2L)) === 0L),
+        "event_type", "ex", "ou")
+    }),
+
+    // ---- two-sample Cramér-von Mises distance between the value
+    //      distributions of two user cohorts (body-sensitive where
+    //      q152's KS sees only the largest gap) ----
+    "q431_cramer_von_mises" -> ((s, d) => {
+      graft.operators.Eval.cramerVonMises(
+        Tables.events(s, d)
+          .withColumn("side", pmod(col("user_id"), lit(2L)) === 0L),
+        "value", "side")
+    }),
+
+    // ---- Page's trend test: do daily volumes follow the
+    //      hypothesized (lexicographic) type order? ----
+    "q432_page_trend" -> ((s, d) => {
+      graft.operators.Forecast.pageTrendDaily(Tables.events(s, d),
+        "ts", "event_type")
+    }),
+
+    // ---- Kendall's W: day-over-day concordance of the type ranking
+    //      (the effect size behind q373's Friedman χ²) ----
+    "q433_kendall_w" -> ((s, d) => {
+      graft.operators.Forecast.kendallWDaily(Tables.events(s, d),
+        "ts", "event_type")
+    }),
+
+    // ---- Breusch-Pagan: does residual VARIANCE around the daily
+    //      trend grow with time? (q419 DW's scale sibling) ----
+    "q434_breusch_pagan" -> ((s, d) => {
+      graft.operators.Forecast.breuschPaganDaily(Tables.events(s, d),
+        "ts")
+    }),
+
+    // ---- Dickey-Fuller lag-0 unit-root t: mean-reversion screen
+    //      before the q422 PACF's AR closed forms ----
+    "q435_dickey_fuller" -> ((s, d) => {
+      graft.operators.Forecast.dickeyFullerDaily(Tables.events(s, d),
+        "ts")
+    }),
+
     // ---- Fleiss' kappa: do the event types agree on which users
     //      produce high-value activity? (multi-rater agreement) ----
     "q408_fleiss_kappa" -> ((s, d) => {
@@ -5270,5 +5359,591 @@ object EventsQ {
            ON p.user_id = v.user_id
           AND epoch_us(v.ts) >= epoch_us(p.ts) - 86400000000
           AND epoch_us(v.ts) < epoch_us(p.ts)
-         ORDER BY purchase_id, view_id""")
+         ORDER BY purchase_id, view_id""",
+    // hypergeometric ratio recurrence on the 1e-6 ln grid (no
+    // factorials of n); weights 1e-12-quantized pre-sum; "no
+    // likelier" compares exact grid integers
+    "q425_fisher_exact" ->
+      """WITH per AS (
+            SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS r1,
+              CAST(sum(CASE WHEN event_id % 89 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+              CAST(sum(CASE WHEN user_id % 97 = 0
+                AND event_id % 89 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS aobs
+            FROM events GROUP BY event_type),
+          pb AS (
+            SELECT g, n, r1, c1, aobs,
+              greatest(0, r1 + c1 - n) AS lo, least(r1, c1) AS hi
+            FROM per),
+          enumd AS (
+            SELECT g, n, r1, c1, aobs, hi,
+              unnest(generate_series(lo, hi)) AS k
+            FROM pb WHERE hi - lo <= 100000),
+          stepd AS (
+            SELECT g, n, aobs, hi, k,
+              CASE WHEN k < hi THEN CAST(floor(ln(
+                (CAST(r1 - k AS DOUBLE) * (c1 - k)) /
+                (CAST(k + 1 AS DOUBLE) * (n - r1 - c1 + k + 1)))
+                * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS q6
+            FROM enumd),
+          withl AS (
+            SELECT g, aobs, k, coalesce(sum(q6) OVER (PARTITION BY g
+              ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS l
+            FROM stepd),
+          withw AS (
+            SELECT g, aobs, k, l,
+              max(l) OVER (PARTITION BY g) AS lmax,
+              max(CASE WHEN k = aobs THEN l END)
+                OVER (PARTITION BY g) AS lobs
+            FROM withl),
+          w12 AS (
+            SELECT g, aobs, k, l, lobs,
+              CAST(floor(exp(CAST(l - lmax AS DOUBLE) / 1e6) * 1e12
+                + 0.5) AS BIGINT) AS w
+            FROM withw),
+          sums AS (
+            SELECT g, sum(w) AS s,
+              sum(CASE WHEN l <= lobs THEN w ELSE 0 END) AS two,
+              sum(CASE WHEN k <= aobs THEN w ELSE 0 END) AS lft
+            FROM w12 GROUP BY g)
+         SELECT pb.g AS stratum, pb.n AS n, pb.r1 AS n_a,
+           pb.c1 AS n_b, pb.aobs AS n_ab,
+           (pb.hi - pb.lo <= 100000) AS exact_ok,
+           CASE WHEN s > 0 THEN floor(CAST(two AS DOUBLE)
+             / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 + 0.0 END AS p_two,
+           CASE WHEN s > 0 THEN floor(CAST(lft AS DOUBLE)
+             / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 + 0.0 END AS p_left
+         FROM pb LEFT JOIN sums ON pb.g = sums.g
+         ORDER BY stratum""",
+    // T and the radicand exact HUGEINT; one division chain at the end
+    "q426_cochran_armitage" ->
+      """WITH per AS (
+            SELECT user_id % 5 AS w, CAST(count(*) AS BIGINT) AS nj,
+              CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rj
+            FROM events GROUP BY 1),
+          roll AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_doses,
+              CAST(sum(nj) AS BIGINT) AS n,
+              CAST(sum(rj) AS BIGINT) AS n_success,
+              sum(CAST(w AS HUGEINT) * nj) AS wn,
+              sum(CAST(w AS HUGEINT) * w * nj) AS wwn,
+              sum(CAST(w AS HUGEINT) * rj) AS wr
+            FROM per),
+          alg AS (
+            SELECT k_doses, n, n_success,
+              CAST(n AS HUGEINT) * wr
+                - CAST(n_success AS HUGEINT) * wn AS t,
+              CAST(n_success AS HUGEINT)
+                * (CAST(n AS HUGEINT) - n_success)
+                * (CAST(n AS HUGEINT) * wwn
+                  - CAST(wn AS HUGEINT) * wn) AS rad
+            FROM roll),
+          alg2 AS (
+            SELECT k_doses, n, n_success, t, rad,
+              CAST(t AS DOUBLE) / sqrt(
+                (CASE WHEN rad > 0 THEN CAST(rad AS DOUBLE) END)
+                / CAST(n AS DOUBLE)) AS z
+            FROM alg)
+         SELECT k_doses, n, n_success, CAST(t AS BIGINT) AS t_num,
+           CASE WHEN rad > 0 THEN
+             CASE WHEN z >= 0 THEN floor(z * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-z * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS z,
+           CASE WHEN rad > 0 THEN
+             floor(z * z * 1e4 + 0.5) / 1e4 + 0.0
+           END AS chi2
+         FROM alg2""",
+    // exact doubled group medians from the value grid; the q344 ANOVA
+    // identities on half-cent spread integers
+    "q427_brown_forsythe" ->
+      """WITH base AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL),
+          grid AS (
+            SELECT g, c, CAST(count(*) AS BIGINT) AS t
+            FROM base GROUP BY g, c),
+          cum AS (
+            SELECT g, c, sum(t) OVER (PARTITION BY g ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+            FROM grid),
+          ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY g),
+          med AS (
+            SELECT cum.g,
+              min(CASE WHEN 2 * cm >= n + (n % 2) THEN c END)
+                + min(CASE WHEN cm >= n // 2 + 1 THEN c END) AS med2
+            FROM cum JOIN ng ON cum.g = ng.g GROUP BY cum.g),
+          z AS (
+            SELECT base.g, abs(2 * c - med2) AS z
+            FROM base JOIN med ON base.g = med.g),
+          per AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(z) AS BIGINT) AS s,
+              sum(CAST(z AS HUGEINT) * z) AS q
+            FROM z GROUP BY g),
+          roll AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+              CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(s) AS BIGINT) AS st,
+              sum(q) AS qt,
+              CAST(sum(CAST(floor(CAST(s AS DOUBLE) * s / n * 1e2
+                + 0.5) AS BIGINT)) AS BIGINT) AS sb2
+            FROM per),
+          alg AS (
+            SELECT k_groups, n,
+              CAST(sb2 AS DOUBLE) / 1e2
+                - CAST(st AS DOUBLE) * st / n AS ssb,
+              CAST(qt AS DOUBLE)
+                - CAST(st AS DOUBLE) * st / n AS sst
+            FROM roll)
+         SELECT k_groups, n, k_groups - 1 AS df1, n - k_groups AS df2,
+           CASE WHEN k_groups > 1 AND n > k_groups
+               AND sst - ssb > 0 THEN
+             floor((ssb / CAST(k_groups - 1 AS DOUBLE))
+               / ((sst - ssb) / CAST(n - k_groups AS DOUBLE))
+               * 1e4 + 0.5) / 1e4 + 0.0
+           END AS f_stat
+         FROM alg""",
+    // pooled-MSE pairwise q statistics; k-row moment self-join
+    "q428_tukey_hsd" ->
+      """WITH per AS (
+            SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS s,
+              sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                AS HUGEINT) * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS q
+            FROM events WHERE value IS NOT NULL GROUP BY event_type),
+          roll AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n) AS BIGINT) AS nt, sum(q) AS qt,
+              CAST(sum(CAST(floor(CAST(s AS DOUBLE) * s / n / 1e4
+                * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sb6
+            FROM per),
+          mse AS (
+            SELECT k, nt,
+              (CAST(qt AS DOUBLE) / 1e4 - CAST(sb6 AS DOUBLE) / 1e6)
+                / CAST(nt - k AS DOUBLE) AS m
+            FROM roll),
+          pairs AS (
+            SELECT a.g AS group_a, b.g AS group_b,
+              a.n AS n_a, b.n AS n_b,
+              CAST(a.s AS DOUBLE) / a.n / 100
+                - CAST(b.s AS DOUBLE) / b.n / 100 AS diff,
+              k, nt, m
+            FROM per a JOIN per b ON a.g < b.g CROSS JOIN mse)
+         SELECT group_a, group_b, n_a, n_b,
+           CASE WHEN diff >= 0 THEN floor(diff * 1e4 + 0.5) / 1e4 + 0.0
+             ELSE -floor(-diff * 1e4 + 0.5) / 1e4 + 0.0 END AS mean_diff,
+           CASE WHEN m > 0 AND nt > k THEN
+             CASE WHEN diff / sqrt((CASE WHEN m > 0 THEN m END) / 2
+                 * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))
+                 >= 0 THEN
+               floor(diff / sqrt((CASE WHEN m > 0 THEN m END) / 2
+                 * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))
+                 * 1e4 + 0.5) / 1e4 + 0.0
+             ELSE -floor(-(diff / sqrt((CASE WHEN m > 0 THEN m END) / 2
+                 * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 + 0.0 END
+           END AS q_stat
+         FROM pairs
+         ORDER BY group_a, group_b""",
+    // q324's doubled tie-averaged ranks; pooled rank variance with
+    // the Σ(t³−t) tie correction; k-row pair algebra
+    "q429_dunn" ->
+      """WITH b AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL),
+          grid AS (
+            SELECT x, CAST(count(*) AS BIGINT) AS t
+            FROM b GROUP BY x),
+          rk AS (
+            SELECT x, 2 * coalesce(sum(t) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + t + 1 AS rank2
+            FROM grid),
+          cells AS (
+            SELECT g, x, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY g, x),
+          pg AS (
+            SELECT g, sum(CAST(cnt AS HUGEINT) * rank2) AS rg2,
+              CAST(sum(cnt) AS BIGINT) AS ng
+            FROM cells JOIN rk ON cells.x = rk.x GROUP BY g),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+          ties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS ts
+            FROM grid),
+          pairs AS (
+            SELECT a.g AS group_a, b2.g AS group_b,
+              a.ng AS n_a, b2.ng AS n_b,
+              CAST(a.rg2 AS DOUBLE) / 2 / a.ng AS mra,
+              CAST(b2.rg2 AS DOUBLE) / 2 / b2.ng AS mrb,
+              n, ts
+            FROM pg a JOIN pg b2 ON a.g < b2.g
+              CROSS JOIN tot CROSS JOIN ties),
+          alg AS (
+            SELECT group_a, group_b, n_a, n_b, mra, mrb, n,
+              (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 12
+                - CAST(ts AS DOUBLE) / (12 * (CAST(n AS DOUBLE) - 1)))
+                * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))
+                AS sig2
+            FROM pairs)
+         SELECT group_a, group_b, n_a, n_b,
+           floor(mra * 1e4 + 0.5) / 1e4 + 0.0 AS mean_rank_a,
+           floor(mrb * 1e4 + 0.5) / 1e4 + 0.0 AS mean_rank_b,
+           CASE WHEN n > 1 AND sig2 > 0 THEN
+             CASE WHEN (mra - mrb) / sqrt(sig2) >= 0 THEN
+               floor((mra - mrb) / sqrt(sig2) * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-((mra - mrb) / sqrt(sig2)) * 1e6 + 0.5)
+               / 1e6 + 0.0 END
+           END AS z
+         FROM alg
+         ORDER BY group_a, group_b""",
+    // per-stratum ratio terms 1e-9-quantized pre-sum; ½ continuity
+    // correction clamped at 0
+    "q430_mantel_haenszel" ->
+      """WITH per AS (
+            SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN user_id % 2 = 0 AND event_id % 2 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(sum(CASE WHEN user_id % 2 = 0
+                AND NOT event_id % 2 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS b,
+              CAST(sum(CASE WHEN NOT user_id % 2 = 0
+                AND event_id % 2 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              CAST(sum(CASE WHEN NOT user_id % 2 = 0
+                AND NOT event_id % 2 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM events GROUP BY event_type HAVING count(*) >= 2),
+          terms AS (
+            SELECT a,
+              CAST(floor(CAST(a AS DOUBLE) * d / CAST(n AS DOUBLE)
+                * 1e9 + 0.5) AS BIGINT) AS ad9,
+              CAST(floor(CAST(b AS DOUBLE) * c / CAST(n AS DOUBLE)
+                * 1e9 + 0.5) AS BIGINT) AS bc9,
+              CAST(floor(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                / CAST(n AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS e9,
+              CAST(floor(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) - 1)) * 1e9 + 0.5) AS BIGINT)
+                AS v9
+            FROM per),
+          roll AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_strata,
+              CAST(sum(a) AS BIGINT) AS sum_a,
+              CAST(sum(ad9) AS BIGINT) AS sad9,
+              CAST(sum(bc9) AS BIGINT) AS sbc9,
+              CAST(sum(e9) AS BIGINT) AS se9,
+              CAST(sum(v9) AS BIGINT) AS sv9
+            FROM terms),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM per),
+          alg AS (
+            SELECT k_strata, n, sum_a, sad9, sbc9, sv9,
+              greatest(abs(CAST(sum_a AS DOUBLE)
+                - CAST(se9 AS DOUBLE) / 1e9) - 0.5, 0) AS dev
+            FROM roll CROSS JOIN tot)
+         SELECT k_strata, n, sum_a,
+           CASE WHEN sbc9 > 0 THEN floor(CAST(sad9 AS DOUBLE) / sbc9
+             * 1e6 + 0.5) / 1e6 + 0.0 END AS or_mh,
+           CASE WHEN sv9 > 0 THEN floor(dev * dev
+             / (CAST(sv9 AS DOUBLE) / 1e9) * 1e4 + 0.5) / 1e4 + 0.0
+           END AS chi2_cmh
+         FROM alg""",
+    // CDF gaps as exact rationals on the cents grid, per-point terms
+    // 1e-9-quantized pre-sum
+    "q431_cramer_von_mises" ->
+      """WITH grid AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+              CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+              CAST(sum(CASE WHEN NOT user_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+          tot AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n,
+              CAST(sum(c2) AS BIGINT) AS m
+            FROM grid),
+          cum AS (
+            SELECT c1, c2,
+              sum(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS f1,
+              sum(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS f2
+            FROM grid),
+          folded AS (
+            SELECT max(n) AS n, max(m) AS m,
+              CAST(count(*) AS BIGINT) AS n_grid,
+              CAST(sum(CAST(floor(CAST(c1 + c2 AS DOUBLE)
+                * ((CAST(f1 AS DOUBLE) * m - CAST(f2 AS DOUBLE) * n)
+                  / ((CASE WHEN n > 0 AND m > 0
+                    THEN CAST(n AS DOUBLE) END) * m))
+                * ((CAST(f1 AS DOUBLE) * m - CAST(f2 AS DOUBLE) * n)
+                  / ((CASE WHEN n > 0 AND m > 0
+                    THEN CAST(n AS DOUBLE) END) * m))
+                * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS t9
+            FROM cum CROSS JOIN tot)
+         SELECT n, m, n_grid,
+           CASE WHEN n > 0 AND m > 0 THEN
+             floor(CAST(t9 AS DOUBLE) / 1e9
+               * (CAST(n AS DOUBLE) * m)
+               / (CAST(n + m AS DOUBLE) * CAST(n + m AS DOUBLE))
+               * 1e6 + 0.5) / 1e6 + 0.0
+           END AS t_stat
+         FROM folded""",
+    // Friedman-layout doubled ranks; L scored by lexicographic type
+    // rank; no-tie normal approximation (documented convention)
+    "q432_page_trend" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d,
+              event_type AS ty
+            FROM events),
+          types AS (SELECT DISTINCT ty FROM ev),
+          cnts AS (SELECT d, ty, CAST(count(*) AS BIGINT) AS c
+            FROM ev GROUP BY d, ty),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          cells AS (
+            SELECT g.d, t.ty, coalesce(c.c, 0) AS c
+            FROM grid g CROSS JOIN types t
+            LEFT JOIN cnts c ON g.d = c.d AND t.ty = c.ty),
+          vals AS (SELECT d, c, CAST(count(*) AS BIGINT) AS t
+            FROM cells GROUP BY d, c),
+          ranked AS (
+            SELECT d, c, t, coalesce(sum(t) OVER (PARTITION BY d
+              ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS below
+            FROM vals),
+          pt AS (
+            SELECT ty, CAST(sum(2 * below + t + 1) AS BIGINT) AS r2,
+              CAST(count(*) AS BIGINT) AS nb
+            FROM cells JOIN ranked
+              ON cells.d = ranked.d AND cells.c = ranked.c
+            GROUP BY ty),
+          scored AS (
+            SELECT r2, nb, row_number() OVER (ORDER BY ty) AS j
+            FROM pt),
+          roll AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(max(nb) AS BIGINT) AS n_days,
+              sum(CAST(j AS HUGEINT) * r2) AS l2
+            FROM scored),
+          alg AS (
+            SELECT n_days, k, l2,
+              2 * l2 - CAST(n_days AS HUGEINT) * k * (k + 1) * (k + 1)
+                AS num4,
+              CAST(n_days AS DOUBLE) * CAST(k AS DOUBLE) * k * (k + 1)
+                * (CAST(k AS DOUBLE) * k - 1) / 144 AS varl
+            FROM roll)
+         SELECT n_days, k AS k_treatments,
+           CAST(l2 AS DOUBLE) / 2 AS l_stat,
+           CASE WHEN k > 1 AND n_days > 0 AND varl > 0 THEN
+             CASE WHEN CAST(num4 AS DOUBLE) / 4 / sqrt(varl) >= 0 THEN
+               floor(CAST(num4 AS DOUBLE) / 4 / sqrt(varl) * 1e6 + 0.5)
+                 / 1e6 + 0.0
+             ELSE -floor(-(CAST(num4 AS DOUBLE) / 4 / sqrt(varl))
+               * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS z
+         FROM alg""",
+    // same ranks; W and χ² = n(k−1)W from exact HUGEINT sums with the
+    // within-day tie correction
+    "q433_kendall_w" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d,
+              event_type AS ty
+            FROM events),
+          types AS (SELECT DISTINCT ty FROM ev),
+          cnts AS (SELECT d, ty, CAST(count(*) AS BIGINT) AS c
+            FROM ev GROUP BY d, ty),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+          grid AS (SELECT unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          cells AS (
+            SELECT g.d, t.ty, coalesce(c.c, 0) AS c
+            FROM grid g CROSS JOIN types t
+            LEFT JOIN cnts c ON g.d = c.d AND t.ty = c.ty),
+          vals AS (SELECT d, c, CAST(count(*) AS BIGINT) AS t
+            FROM cells GROUP BY d, c),
+          ranked AS (
+            SELECT d, c, t, coalesce(sum(t) OVER (PARTITION BY d
+              ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS below
+            FROM vals),
+          pt AS (
+            SELECT ty, CAST(sum(2 * below + t + 1) AS BIGINT) AS r2,
+              CAST(count(*) AS BIGINT) AS nb
+            FROM cells JOIN ranked
+              ON cells.d = ranked.d AND cells.c = ranked.c
+            GROUP BY ty),
+          ties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS ts
+            FROM vals),
+          roll AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(max(nb) AS BIGINT) AS n_days,
+              sum(CAST(r2 AS HUGEINT) * r2) AS sr2
+            FROM pt),
+          alg AS (
+            SELECT n_days, k,
+              3 * (sr2 - CAST(n_days AS HUGEINT) * n_days * k
+                * (k + 1) * (k + 1)) AS num,
+              CAST(n_days AS HUGEINT) * n_days * k * (k * k - 1)
+                - CAST(n_days AS HUGEINT) * ts AS den
+            FROM roll CROSS JOIN ties),
+          alg2 AS (
+            SELECT n_days, k, den,
+              CAST(num AS DOUBLE)
+                / (CASE WHEN den > 0 THEN CAST(den AS DOUBLE) END)
+                AS w
+            FROM alg)
+         SELECT n_days, k AS k_treatments,
+           CASE WHEN den > 0 THEN
+             CASE WHEN w >= 0 THEN floor(w * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-w * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS w,
+           CASE WHEN den > 0 THEN
+             CASE WHEN CAST(n_days AS DOUBLE) * CAST(k - 1 AS DOUBLE)
+                 * w >= 0 THEN
+               floor(CAST(n_days AS DOUBLE) * CAST(k - 1 AS DOUBLE)
+                 * w * 1e4 + 0.5) / 1e4 + 0.0
+             ELSE -floor(-(CAST(n_days AS DOUBLE)
+               * CAST(k - 1 AS DOUBLE) * w) * 1e4 + 0.5) / 1e4 + 0.0
+             END
+           END AS chi2
+         FROM alg2""",
+    // q419's trend residuals on the coarser 1e-2 grid (u = e² is a
+    // 4th power — the grid keeps its centered moments in HUGEINT);
+    // LM = n·R² of the auxiliary regression
+    "q434_breusch_pagan" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM cnts),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(t) AS BIGINT) AS st,
+              CAST(sum(t * t) AS BIGINT) AS stt,
+              CAST(sum(t * y) AS BIGINT) AS sty,
+              CAST(sum(y) AS BIGINT) AS sy
+            FROM series),
+          coef AS (
+            SELECT k, st, sy,
+              CAST(k AS DOUBLE) * stt - CAST(st AS DOUBLE) * st
+                AS den,
+              (CAST(k AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                / (CAST(k AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                AS c1
+            FROM mom),
+          coef2 AS (
+            SELECT k, den, c1,
+              (CAST(sy AS DOUBLE) - c1 * CAST(st AS DOUBLE))
+                / CAST(k AS DOUBLE) AS c0
+            FROM coef),
+          resid AS (
+            SELECT t, k, den,
+              CASE WHEN CAST(y AS DOUBLE)
+                  - (c0 + c1 * CAST(t AS DOUBLE)) >= 0 THEN
+                CAST(floor((CAST(y AS DOUBLE)
+                  - (c0 + c1 * CAST(t AS DOUBLE))) * 1e2 + 0.5)
+                  AS BIGINT)
+              ELSE -CAST(floor(-(CAST(y AS DOUBLE)
+                - (c0 + c1 * CAST(t AS DOUBLE))) * 1e2 + 0.5)
+                AS BIGINT) END AS e2
+            FROM series CROSS JOIN coef2),
+          aux AS (
+            SELECT max(k) AS n_days, max(den) AS dn,
+              sum(CAST(t AS HUGEINT)) AS sx,
+              sum(CAST(t AS HUGEINT) * t) AS sxx,
+              sum(CAST(t AS HUGEINT) * (e2 * e2)) AS sxu,
+              sum(CAST(e2 * e2 AS HUGEINT)) AS su,
+              sum(CAST(e2 * e2 AS HUGEINT) * (e2 * e2)) AS suu
+            FROM resid),
+          alg AS (
+            SELECT n_days, dn,
+              CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS sxxc,
+              CAST(n_days AS DOUBLE) * CAST(suu AS DOUBLE)
+                - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS suuc,
+              CAST(n_days AS DOUBLE) * CAST(sxu AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(su AS DOUBLE) AS sxuc
+            FROM aux),
+          alg2 AS (
+            SELECT n_days, dn, sxxc, suuc,
+              sxuc * sxuc / ((CASE WHEN sxxc > 0 AND suuc > 0
+                THEN sxxc END) * suuc) AS r2
+            FROM alg)
+         SELECT n_days,
+           CASE WHEN dn > 0 AND sxxc > 0 AND suuc > 0
+               AND n_days > 2 THEN
+             floor(r2 * 1e6 + 0.5) / 1e6 + 0.0
+           END AS r2_aux,
+           CASE WHEN dn > 0 AND sxxc > 0 AND suuc > 0
+               AND n_days > 2 THEN
+             floor(CAST(n_days AS DOUBLE) * r2 * 1e4 + 0.5) / 1e4 + 0.0
+           END AS lm
+         FROM alg2""",
+    // t(β̂) collapses to B·sqrt((m−2)/(AC−B²)) — A, B, C exact
+    // HUGEINT centered moments of the (y_{t−1}, Δy) pairs
+    "q435_dickey_fuller" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (SELECT d, count(*) AS y FROM ev GROUP BY d),
+          bd AS (SELECT min(d) AS d0, max(d) AS d1 FROM cnts),
+          grid AS (SELECT d0, unnest(generate_series(d0, d1)) AS d
+            FROM bd),
+          series AS (
+            SELECT g.d - g.d0 AS t, coalesce(c.y, 0) AS y
+            FROM grid g LEFT JOIN cnts c ON g.d = c.d),
+          pairs AS (
+            SELECT py AS x, y - py AS z FROM (
+              SELECT y, lag(y, 1) OVER (ORDER BY t) AS py
+              FROM series)
+            WHERE py IS NOT NULL),
+          mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS np,
+              sum(CAST(x AS HUGEINT)) AS sx,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(x AS HUGEINT) * z) AS sxz,
+              sum(CAST(z AS HUGEINT)) AS sz,
+              sum(CAST(z AS HUGEINT) * z) AS szz
+            FROM pairs),
+          alg AS (
+            SELECT np,
+              CAST(np AS HUGEINT) * sxx - sx * sx AS a,
+              CAST(np AS HUGEINT) * sxz - sx * sz AS b,
+              CAST(np AS HUGEINT) * szz - sz * sz AS c
+            FROM mom),
+          alg2 AS (
+            SELECT np, a, b, a * c - b * b AS disc FROM alg),
+          alg3 AS (
+            SELECT np, a, disc,
+              CAST(b AS DOUBLE)
+                / (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) END) AS beta,
+              CAST(b AS DOUBLE) * sqrt(CAST(np - 2 AS DOUBLE)
+                / (CASE WHEN disc > 0 THEN CAST(disc AS DOUBLE) END))
+                AS t
+            FROM alg2)
+         SELECT np + 1 AS n_days, np AS n_pairs,
+           CASE WHEN a > 0 THEN
+             CASE WHEN beta >= 0 THEN
+               floor(beta * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-beta * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS beta,
+           CASE WHEN a > 0 AND disc > 0 AND np > 2 THEN
+             CASE WHEN t >= 0 THEN floor(t * 1e4 + 0.5) / 1e4 + 0.0
+             ELSE -floor(-t * 1e4 + 0.5) / 1e4 + 0.0 END
+           END AS t_stat
+         FROM alg3""")
 }

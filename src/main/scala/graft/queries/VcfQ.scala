@@ -234,6 +234,12 @@ object VcfQ {
     "q410_vcf_hwe_exact" -> ((s, _) => {
       VcfApi.hweExact(tables(s).geno)
     }),
+    // ---- per-sample inbreeding coefficient (plink --het): observed
+    //      vs HWE-expected homozygosity with the allele-count
+    //      small-sample correction ----
+    "q436_vcf_inbreeding" -> ((s, _) => {
+      VcfApi.inbreedingF(tables(s).geno)
+    }),
     // ---- Mendelian-error trio check (plink --mendel): a family
     //      fixture exercising every feasible-range edge — 0×0, 2×2,
     //      0×2 and hom×het violations, a missing-call exclusion, two
@@ -647,6 +653,19 @@ object VcfQ {
           (5, 2, 1, 1, 1.0, 0.5))
          t(variant_id, n_called, het_obs, minor_alleles, p_exact, p_mid)
          ORDER BY variant_id""",
+    // hand-computed through the 1e-9 expectation grid: per-variant
+    // e = 1 − 2p(1−p)·2n/(2n−1) gives (v1..v6) = (.5, 1/3, 0, .5, .5,
+    // 1). S1 (called at 1,2,4,5,6; hom at 1,2,4,6): E = 2.833333333,
+    // F = (4−E)/(5−E) = 7/13 → 0.538462; S2 (all 6; hom at 2,5,6):
+    // F = (3−E)/(6−E) = 1/19 → 0.052632 (1e-9-grid E shifts the 1e-6
+    // rounding of both to the ...462/...632 cells)
+    "q436_vcf_inbreeding" ->
+      """SELECT * FROM (VALUES
+          ('S1', CAST(5 AS BIGINT), CAST(4 AS BIGINT),
+            CAST(2.833333 AS DOUBLE), CAST(0.538462 AS DOUBLE)),
+          ('S2', 6, 3, 2.833333, 0.052632))
+         t(sample, n_called, o_hom, e_hom, f)
+         ORDER BY sample""",
     // hand-computed from the fixture DP values: S1 {10,15,0,20,11,22}
     // ⇒ mean 13, low(<10) = {0}; S2 {12,9,7,18,13,19} ⇒ mean 13,
     // low = {9,7}

@@ -1655,4 +1655,51 @@ object VcfApi {
         col("class").isin("C>T", "T>C").as("is_transition"))
       .orderBy("class")
   }
+
+  /** Per-sample method-of-moments inbreeding coefficient (plink
+    * `--het`): F = (O(hom) − E(hom)) / (L − E(hom)) where O counts a
+    * sample's observed homozygous calls, L its called sites, and
+    * E(hom) = Σ_v (1 − 2p_v(1−p_v)·N_v/(N_v−1)) the HWE-expected
+    * homozygosity with plink's allele-count small-sample correction
+    * (N_v = called alleles at v, p_v the alt frequency over called
+    * genotypes). The sample-level screen behind cohort QC: F ≫ 0
+    * flags inbreeding or a contaminated/merged duplicate, F ≪ 0
+    * flags sample contamination (excess heterozygosity) —
+    * reference context: `pipeline/02-build-db.R` builds the genotype
+    * table this consumes.
+    *
+    * Determinism: per-variant expectation terms are 1e-9-quantized
+    * pre-sum, so the per-sample fold is an exact int64 sum in any
+    * partition order; only the final F ratio divides (null-guarded —
+    * an all-monomorphic sample has L = E and no defined F). Output
+    * per sample: `sample, n_called, o_hom, e_hom, f` (1e-6 grids).
+    *
+    * Scale shape: one per-variant aggregate, one co-keyed
+    * variant-stats join back to the genotype table (equi-join on the
+    * key both sides already carry), one map-side-combinable
+    * per-sample aggregate — no window, no driver state.
+    */
+  def inbreedingF(geno: DataFrame): DataFrame = {
+    val called = geno.where(col("gt").isNotNull)
+    val stats = called.groupBy("variant_id").agg(
+      count(lit(1)).as("__n"), sum(col("gt").cast("long")).as("__ac"))
+    val twoN = (lit(2L) * col("__n")).cast("double")
+    val af = col("__ac").cast("double") / twoN
+    val e9 = floor((lit(1d) - lit(2d) * af * (lit(1d) - af) *
+      (twoN / (twoN - 1d))) * 1e9 + 0.5).cast("long")
+    val terms = stats.select(col("variant_id"), e9.as("__e9"))
+    val per = called.join(terms, Seq("variant_id"))
+      .groupBy("sample").agg(count(lit(1)).as("n_called"),
+        sum(when(col("gt") =!= 1d, 1L).otherwise(0L)).as("o_hom"),
+        sum("__e9").as("__E9"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val e = col("__E9").cast("double") / 1e9
+    val den = col("n_called").cast("double") - e
+    per.select(col("sample"), col("n_called"), col("o_hom"),
+      g6(e).as("e_hom"),
+      when(den > 0d, g6((col("o_hom").cast("double") - e) / den)).as("f"))
+      .orderBy("sample")
+  }
 }

@@ -747,4 +747,34 @@ class ApiSpec extends SparkSpec {
     assert(got("C>G") == ((1L, 0.333333, false)))
     assert(got("T>C") == ((1L, 0.333333, true)))
   }
+
+  test("VcfApi.inbreedingF: hand expectation terms and edge guards") {
+    import spark.implicits._
+    // v1 (gts 0,1): p=.25, e = 1 − .375·4/3 = .5; v2 (2,0): e = 1/3;
+    // v3 single call (gt 1): e = 0; v4 monomorphic (2,2): e = 1
+    val geno = Seq(
+      (1L, "A", Some(0d)), (1L, "B", Some(1d)),
+      (2L, "A", Some(2d)), (2L, "B", Some(0d)),
+      (3L, "A", None), (3L, "B", Some(1d)),
+      (4L, "A", Some(2d)), (4L, "B", Some(2d))
+    ).toDF("variant_id", "sample", "gt")
+    val got = graft.vcf.VcfApi.inbreedingF(geno).collect()
+      .map(r => r.getAs[String]("sample") -> r).toMap
+    val a = got("A")
+    // A called at 1,2,4 (hom at 1,2,4): E = .5 + 1/3 + 1 = 1.833333,
+    // F = (3 − E)/(3 − E) = 1
+    assert(a.getAs[Long]("n_called") == 3 && a.getAs[Long]("o_hom") == 3)
+    assert(a.getAs[Double]("e_hom") == 1.833333)
+    assert(a.getAs[Double]("f") == 1d)
+    val b = got("B")
+    // B called at all 4 (hom at 2,4): E = .5 + 1/3 + 0 + 1 = 1.833333,
+    // F = (2 − E)/(4 − E) ≈ 1/13
+    assert(b.getAs[Long]("n_called") == 4 && b.getAs[Long]("o_hom") == 2)
+    assert(math.abs(b.getAs[Double]("f") - 1d / 13d) < 1e-5)
+    // all-monomorphic sample: L = E → F is NULL, not a crash
+    val mono = Seq((1L, "A", Some(2d)), (1L, "B", Some(2d)))
+      .toDF("variant_id", "sample", "gt")
+    val m = graft.vcf.VcfApi.inbreedingF(mono).collect().head
+    assert(m.isNullAt(m.fieldIndex("f")))
+  }
 }

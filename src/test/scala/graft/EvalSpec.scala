@@ -1102,4 +1102,222 @@ class EvalSpec extends SparkSpec {
     val mean = out.map(_.getAs[Double]("strength")).sum / 3d
     assert(math.abs(mean - 1d) < 1e-5)
   }
+
+  test("fisherExact: lady-tasting-tea 2x2 matches the exact tails") {
+    // n=8, r1=c1=4, a=3: p_left = 1 − C(4,4)C(4,0)/C(8,4) = 69/70,
+    // two-sided (symmetric distribution) = 1 − P(k=2) = 34/70
+    val rows = Seq(
+      (true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false), (false, false))
+      .map { case (a, b) => ("s", a, b) }
+    val r = Eval.fisherExact(rows.toDF("g", "fa", "fb"), "g", "fa", "fb")
+      .collect().head
+    assert(r.getAs[Long]("n") == 8 && r.getAs[Long]("n_a") == 4)
+    assert(r.getAs[Long]("n_ab") == 3)
+    assert(r.getAs[Boolean]("exact_ok"))
+    assert(math.abs(r.getAs[Double]("p_two") - 34d / 70d) < 1e-4)
+    assert(math.abs(r.getAs[Double]("p_left") - 69d / 70d) < 1e-4)
+  }
+
+  test("fisherExact: degenerate margin gives p = 1; big span flags") {
+    val deg = Seq(("s", false, true), ("s", false, false))
+    val r = Eval.fisherExact(deg.toDF("g", "fa", "fb"), "g", "fa", "fb")
+      .collect().head
+    assert(r.getAs[Double]("p_two") == 1d)
+    // maxEnum below the span → NULL p, exact_ok false
+    val big = (1 to 20).map(i => ("s", i % 2 == 0, i % 3 == 0))
+    val r2 = Eval.fisherExact(big.toDF("g", "fa", "fb"), "g", "fa",
+      "fb", maxEnum = 2L).collect().head
+    assert(!r2.getAs[Boolean]("exact_ok"))
+    assert(r2.isNullAt(r2.fieldIndex("p_two")))
+  }
+
+  test("cochranArmitage: hand case z = 2 on a perfect dose trend") {
+    // doses 0,1,2 each n=2 with successes 0,1,2: T = 12, rad = 216,
+    // z = 12/sqrt(216/6) = 2
+    val rows = Seq((0L, false), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, true))
+    val r = Eval.cochranArmitage(rows.toDF("dose", "hit"), "dose",
+      "hit").collect().head
+    assert(r.getAs[Long]("k_doses") == 3 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Long]("t_num") == 12)
+    assert(r.getAs[Double]("z") == 2d)
+    assert(r.getAs[Double]("chi2") == 4d)
+  }
+
+  test("cochranArmitage: flat rates give z 0; one dose gives NULL") {
+    val flat = Seq((0L, true), (0L, false), (1L, true), (1L, false))
+    val r = Eval.cochranArmitage(flat.toDF("d", "h"), "d", "h")
+      .collect().head
+    assert(r.getAs[Long]("t_num") == 0 && r.getAs[Double]("z") == 0d)
+    val one = Seq((0L, true), (0L, false))
+    val r2 = Eval.cochranArmitage(one.toDF("d", "h"), "d", "h")
+      .collect().head
+    assert(r2.isNullAt(r2.fieldIndex("z")))
+  }
+
+  test("brownForsythe: hand medians and F on two 3-point groups") {
+    // g1 {1,2,3}: med 2, spreads (half-cents) 200,0,200;
+    // g2 {1,2,9}: med 2, spreads 200,0,1400
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 9.0)).toDF("g", "v")
+    val r = Eval.brownForsythe(df, "g", "v").collect().head
+    val sb2 = math.floor(400d * 400 / 3 * 1e2 + 0.5) +
+      math.floor(1600d * 1600 / 3 * 1e2 + 0.5)
+    val grand = 2000d * 2000 / 6
+    val ssb = sb2 / 1e2 - grand
+    val sst = (80000d + 2000000d) - grand
+    val f = (ssb / 1d) / ((sst - ssb) / 4d)
+    assert(r.getAs[Long]("k_groups") == 2 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Long]("df1") == 1 && r.getAs[Long]("df2") == 4)
+    assert(r.getAs[Double]("f_stat") == math.floor(f * 1e4 + 0.5) / 1e4)
+  }
+
+  test("brownForsythe: even-sized group averages the two middles") {
+    // {1,2,3,10}: med2 = 200+300 = 500 (median 2.5)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = Eval.brownForsythe(df, "g", "v").collect().head
+    // spreads a: |200−500|,|400−500|,|600−500|,|2000−500| =
+    // 300,100,100,1500 — F is finite and positive
+    assert(r.getAs[Long]("n") == 7)
+    assert(r.getAs[Double]("f_stat") > 0d)
+  }
+
+  test("tukeyHsd: two shifted groups give q = diff/sqrt(mse/3)") {
+    // {1,2,3} vs {3,4,5}: means 2,4, pooled MSE = 1,
+    // q = −2/sqrt(1/2·(1/3+1/3)) = −3.4641
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 3.0), ("b", 4.0), ("b", 5.0)).toDF("g", "v")
+    val r = Eval.tukeyHsd(df, "g", "v").collect().head
+    assert(r.getAs[String]("group_a") == "a")
+    assert(r.getAs[Double]("mean_diff") == -2d)
+    val q = -2d / math.sqrt(1d / 2d * (1d / 3 + 1d / 3))
+    assert(r.getAs[Double]("q_stat") == -math.floor(-q * 1e4 + 0.5) / 1e4)
+  }
+
+  test("dunnTest: tie-free hand ranks on two 2-point groups") {
+    // values 1,2|3,4 → mean ranks 1.5, 3.5; sig² = (4·5/12)(1/2+1/2)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Eval.dunnTest(df, "g", "v").collect().head
+    assert(r.getAs[Double]("mean_rank_a") == 1.5d)
+    assert(r.getAs[Double]("mean_rank_b") == 3.5d)
+    val z = -2d / math.sqrt(20d / 12d)
+    assert(r.getAs[Double]("z") == -math.floor(-z * 1e6 + 0.5) / 1e6)
+  }
+
+  test("mantelHaenszel: two identical strata pool to the common OR") {
+    // each stratum a=2,b=1,c=1,d=2: OR_MH = (2·4/6)/(2·1/6) = 4;
+    // CMH χ² = (|4−3|−.5)²/0.9
+    val stratum = Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false))
+    val rows = (stratum.map(x => ("s1", x._1, x._2)) ++
+      stratum.map(x => ("s2", x._1, x._2)))
+    val r = Eval.mantelHaenszel(rows.toDF("g", "e", "o"), "g", "e", "o")
+      .collect().head
+    assert(r.getAs[Long]("k_strata") == 2 && r.getAs[Long]("sum_a") == 4)
+    assert(r.getAs[Double]("or_mh") == 4d)
+    assert(r.getAs[Double]("chi2_cmh") ==
+      math.floor(0.25 / 0.9 * 1e4 + 0.5) / 1e4)
+  }
+
+  test("cramerVonMises: hand CDF gaps on {1,2} vs {1,3}") {
+    // gaps 0, .5, 0 over grid 100,200,300; Σcnt·gap² = .25;
+    // T = .25·4/16 = 0.0625
+    val df = Seq((1.0, true), (2.0, true), (1.0, false), (3.0, false))
+      .toDF("v", "s")
+    val r = Eval.cramerVonMises(df, "v", "s").collect().head
+    assert(r.getAs[Long]("n") == 2 && r.getAs[Long]("m") == 2)
+    assert(r.getAs[Long]("n_grid") == 3)
+    assert(r.getAs[Double]("t_stat") == 0.0625)
+  }
+
+  test("cramerVonMises: identical samples give T = 0") {
+    val df = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "s")
+    val r = Eval.cramerVonMises(df, "v", "s").collect().head
+    assert(r.getAs[Double]("t_stat") == 0d)
+  }
+
+  test("pageTrendDaily: dominant first type gives the hand z") {
+    // A > B every one of 3 days; lexicographic scores j(A)=1, j(B)=2:
+    // L = 12, E = 13.5, Var = 0.75 → z = −1.5/sqrt(.75)
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows = (for (d <- 0 until 3; i <- 1 to 3)
+      yield (d * DayNs + i, "A")) ++
+      (for (d <- 0 until 3) yield (d * DayNs + 1L, "B"))
+    val r = graft.operators.Forecast.pageTrendDaily(
+      rows.toDF("tsns", "ty"), "tsns", "ty").collect().head
+    assert(r.getAs[Long]("n_days") == 3)
+    assert(r.getAs[Long]("k_treatments") == 2)
+    assert(r.getAs[Double]("l_stat") == 12d)
+    val z = -1.5d / math.sqrt(0.75)
+    assert(r.getAs[Double]("z") == -math.floor(-z * 1e6 + 0.5) / 1e6)
+  }
+
+  test("kendallWDaily: perfect day-over-day concordance gives W = 1") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows = (for (d <- 0 until 3; i <- 1 to 3)
+      yield (d * DayNs + i, "A")) ++
+      (for (d <- 0 until 3) yield (d * DayNs + 1L, "B"))
+    val r = graft.operators.Forecast.kendallWDaily(
+      rows.toDF("tsns", "ty"), "tsns", "ty").collect().head
+    assert(r.getAs[Double]("w") == 1d)
+    assert(r.getAs[Double]("chi2") == 3d)
+  }
+
+  test("breuschPaganDaily: hand moments on a 4-day series") {
+    // counts 1,3,2,6: residuals .1,.7,−1.7,.9 → e2 grid
+    // 10,70,−170,90; R² = 96000²/(20·1935360000)
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(1, 3, 2, 6)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.breuschPaganDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    val r2 = 96000d * 96000 / (20d * 1935360000d)
+    assert(r.getAs[Long]("n_days") == 4)
+    assert(r.getAs[Double]("r2_aux") == math.floor(r2 * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("lm") == math.floor(4 * r2 * 1e4 + 0.5) / 1e4)
+  }
+
+  test("breuschPaganDaily: an exact linear fit leaves NULLs") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(1, 2, 3, 4)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.breuschPaganDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.isNullAt(r.fieldIndex("lm")))
+  }
+
+  test("dickeyFullerDaily: hand A/B/C moments") {
+    // counts 2,1,3,1,4: A=11, B=−26, C=68, disc=72 →
+    // β = −26/11, t = −26·sqrt(2/72)
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(2, 1, 3, 1, 4)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.dickeyFullerDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Long]("n_days") == 5 && r.getAs[Long]("n_pairs") == 4)
+    assert(r.getAs[Double]("beta") ==
+      -math.floor(26d / 11d * 1e6 + 0.5) / 1e6)
+    val t = -26d * math.sqrt(2d / 72d)
+    assert(r.getAs[Double]("t_stat") == -math.floor(-t * 1e4 + 0.5) / 1e4)
+  }
+
+  test("dickeyFullerDaily: zero discriminant leaves t NULL") {
+    // counts 1,2,1,2: perfectly alternating Δ on two x values —
+    // AC = B² exactly
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val counts = Seq(1, 2, 1, 2)
+    val rows = for ((c, d) <- counts.zipWithIndex; i <- 1 to c)
+      yield (d * DayNs + i, "e")
+    val r = graft.operators.Forecast.dickeyFullerDaily(
+      rows.toDF("tsns", "ty"), "tsns").collect().head
+    assert(r.getAs[Double]("beta") == -2d)
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+  }
 }
