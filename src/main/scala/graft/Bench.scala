@@ -136,9 +136,14 @@ object Bench {
   private def loadProbe(spark: SparkSession): Double = {
     // min-of-2 per sample point: single runs of even this fixed op
     // jitter ±2× from scheduler wakeups alone; sustained contention
-    // inflates both runs, which is the signal load_index is after
+    // inflates both runs, which is the signal load_index is after.
+    // TOTAL by design: a probe on a dead SparkContext (an OOM killed
+    // an executor thread mid-run — observed r13) returns the −1
+    // sentinel instead of throwing, so the final JSON — carrying every
+    // section measured before the fault — always prints.
     def once = time(spark.range(50000000L).selectExpr("sum(id * 7)").collect())
-    math.min(once, once)
+    try math.min(once, once)
+    catch { case _: Throwable => -1.0 }
   }
 
   def main(args: Array[String]): Unit = {
@@ -743,7 +748,16 @@ object Bench {
     // the full line) carry the cross-run diagnosis even when the WHOLE
     // run was contended: the op is fixed, so ~0.1s on this hardware
     // quiet vs. multi-second starved.
-    val loadIndex = probes.values.max / math.max(probes.values.min, 1e-9)
+    // −1 probe sentinels mean the context was already dead there —
+    // exclude them from the index and surface the fault explicitly
+    val liveProbes = probes.values.filter(_ > 0)
+    val aborted = probes.values.exists(_ <= 0)
+    if (aborted) System.err.println(
+      "[bench] ABORTED mid-run (dead SparkContext at a load probe); " +
+        "JSON carries the sections completed before the fault")
+    val loadIndex =
+      if (liveProbes.isEmpty) -1.0
+      else liveProbes.max / math.max(liveProbes.min, 1e-9)
     // Per-SECTION contention labels: a section whose bracketing load
     // probes exceed 2.5× the run minimum ran on a starved machine, and
     // its timings are machine noise — the record says so itself instead
@@ -752,7 +766,8 @@ object Bench {
     // Bar = 2.5×, the quiet-run load_index envelope noted below: the
     // start probe keeps ~2.3× residual JIT drift even after burn-in,
     // and a quiet run must not self-label its query section suspect.
-    val runMinProbe = math.max(probes.values.min, 1e-9)
+    val runMinProbe =
+      math.max(if (liveProbes.isEmpty) 1e-9 else liveProbes.min, 1e-9)
     def hotP(k: String): Boolean = probes.get(k).exists(_ > 2.5 * runMinProbe)
     val vcfBrackets =
       if (probes.contains("after_vcf_rerun")) Seq("after_vcf", "after_vcf_rerun")
@@ -838,8 +853,9 @@ object Bench {
       System.err.println(
         s"[bench] throughput FLOOR breach: ${throughputFlags.mkString(", ")}")
     val isolateJson = if (isolate) "true" else "false"
+    val abortedJson = if (aborted) "true" else "false"
     val fullLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_100x":$scaling100Json,"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"throughput_flags":$throughputJson,"suspect_sections":$suspectJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$qs,"scaling":$scalingJson,"scaling_10x":$scalingHugeJson,"scaling_100x":$scaling100Json,"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"throughput_flags":$throughputJson,"suspect_sections":$suspectJson,"load_probes":$probesJson,"load_index":$loadIndex%.2f,"aborted":$abortedJson,"sf":"$sfDir"}"""
     // Compact totals-only line: the five BASELINE.md comparables plus the
     // sweep verdict. This is the line the driver's bounded tail capture
     // must survive — keep it short no matter how many queries exist.
@@ -860,7 +876,7 @@ object Bench {
         (if (posArgs.nonEmpty) "-subset" else "") + ".json").toString
     }
     val compactLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$compactQs,"n_queries":${results.size},"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"throughput_flags":$throughputJson,"suspect_sections":$suspectJson,"load_index":$loadIndex%.2f,"sf":"$sfDir","full":"$fullPath"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","isolate":$isolateJson,"queries":$compactQs,"n_queries":${results.size},"scaling_flagged":$flaggedJson,"missing_metrics":$missingJson,"throughput_flags":$throughputJson,"suspect_sections":$suspectJson,"load_index":$loadIndex%.2f,"aborted":$abortedJson,"sf":"$sfDir","full":"$fullPath"}"""
 
     // Sidecars: survive even if stdout capture is truncated.
     try {

@@ -2927,4 +2927,131 @@ object Eval {
         g6(col("__t9").cast("double") / 1e9 * nm / (npm * npm)))
         .as("t_stat"))
   }
+
+  /** Mood's median test — "do the groups share a common median?":
+    * classify every value against the GRAND median and χ²-test the
+    * k×2 above/not-above table. The crudest but most
+    * assumption-free of the location tests (q324 Kruskal–Wallis uses
+    * full ranks; this uses one bit per row — robust to any amount of
+    * tail weirdness). The grand median is exact: the [[brownForsythe]]
+    * doubled-median construction on the GLOBAL value grid
+    * (x[(n+1) div 2] + x[n div 2 + 1], an integer in cents for every
+    * parity); "above" is the exact integer comparison 2c > med2.
+    * χ² cell terms are 1e-9-quantized pre-sum over the 2k cells.
+    * Output one row: `k_groups, n, n_above, chi2` (1e-4).
+    *
+    * Scale shape: one corpus aggregate to the value grid (cumulative
+    * window over the grid), one per-group classify-count aggregate,
+    * 2k-cell fold.
+    */
+  def moodMedian(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = Dedup.persistTracked(df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c")))
+    val grid = base.groupBy("__c").agg(count(lit(1)).as("__t"))
+    val w = Window.orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("__cum", sum("__t").over(w))
+    val nAll = base.agg(count(lit(1)).as("__nt"))
+    val med = cum.crossJoin(broadcast(nAll))
+      .agg(
+        min(when(lit(2L) * col("__cum") >= col("__nt") +
+          pmod(col("__nt"), lit(2L)), col("__c"))).as("__m1"),
+        min(when(col("__cum") >= expr("__nt div 2") + 1L, col("__c")))
+          .as("__m2"))
+      .select((col("__m1") + col("__m2")).as("__med2"))
+    val per = base.crossJoin(broadcast(med)).groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(lit(2L) * col("__c") > col("__med2"), 1L)
+          .otherwise(0L)).as("__a"))
+    val tots = per.agg(count(lit(1)).as("k_groups"), sum("__n").as("n"),
+      sum("__a").as("n_above"))
+    // χ² over the k×2 table: e_above = n_g·A/N, e_below = n_g·(N−A)/N;
+    // both cell terms per group, 1e-9-quantized pre-sum
+    val nD = col("n").cast("double")
+    val aD = col("n_above").cast("double")
+    val ea = col("__n").cast("double") * aD / nD
+    val eb = col("__n").cast("double") * (nD - aD) / nD
+    val oa = col("__a").cast("double")
+    val ob = (col("__n") - col("__a")).cast("double")
+    val t9 = floor((oa - ea) * (oa - ea) /
+        when(ea > 0d, ea) * 1e9 + 0.5).cast("long") +
+      floor((ob - eb) * (ob - eb) /
+        when(eb > 0d, eb) * 1e9 + 0.5).cast("long")
+    def g4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4 + lit(0d)
+    per.crossJoin(broadcast(tots))
+      .agg(max("k_groups").as("k_groups"), max("n").as("n"),
+        max("n_above").as("n_above"), sum(t9).as("__chi9"))
+      .select(col("k_groups"), col("n"), col("n_above"),
+        when(col("n_above") > 0L && col("n_above") < col("n"),
+          g4(col("__chi9").cast("double") / 1e9)).as("chi2"))
+  }
+
+  /** Jonckheere–Terpstra test for ORDERED alternatives across k dose
+    * groups — the continuous-outcome sibling of [[cochranArmitage]]
+    * (binary) and the ordered counterpart of [[kruskalWallis]]
+    * (unordered): J = Σ_{i<j} U_ij with U_ij the Mann–Whitney count
+    * of group-i values below group-j values (ties ½). On the global
+    * value grid 2U_ij = Σ_v cnt_j(v)·(2·cum<_i(v) + cnt_i(v)) — exact
+    * int64 from zero-filled per-group cumulative windows. The normal
+    * approximation uses the no-tie moments (documented convention;
+    * ties still count ½ in J itself):
+    *   E(J) = (N² − Σn_g²)/4,
+    *   Var(J) = (N²(2N+3) − Σn_g²(2n_g+3))/72;
+    * the z numerator is kept an exact integer by ×4 scaling
+    * (4J − 4E = 2·(2J) − (N² − Σn²)). Output one row:
+    * `k_groups, n, j_stat, z` (J exact on the .5 grid, z 1e-6
+    * sign-aware).
+    *
+    * Scale shape: one corpus aggregate to the (group × value-grid)
+    * zero-filled cells; cumulative windows per group over the grid;
+    * k²-pair algebra over grid-sized relations.
+    */
+  def jonckheereTerpstra(df: DataFrame, doseCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(doseCol).cast("long").as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c"))
+    val cnts = base.groupBy("__g", "__c").agg(count(lit(1)).as("__t"))
+    val groups = cnts.select("__g").distinct()
+    val vals = cnts.select("__c").distinct()
+    val cells = groups.crossJoin(vals)
+      .join(cnts, Seq("__g", "__c"), "left")
+      .select(col("__g"), col("__c"),
+        coalesce(col("__t"), lit(0L)).as("__t"))
+    val w = Window.partitionBy("__g").orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = Dedup.persistTracked(cells.withColumn("__lt",
+      coalesce(sum("__t").over(w), lit(0L))))
+    // 2U_ij summed over ordered pairs i<j at every grid value
+    val lo = withCum.select(col("__g").as("__gi"), col("__c"),
+      (lit(2L) * col("__lt") + col("__t")).as("__wi"))
+    val hi = withCum.select(col("__g").as("__gj"), col("__c"),
+      col("__t").as("__tj"))
+    val j2 = lo.join(hi, Seq("__c"))
+      .where(col("__gi") < col("__gj"))
+      .agg(coalesce(sum(col("__tj").cast("decimal(38,0)") * col("__wi")),
+        lit(0).cast("decimal(38,0)")).as("__J2"))
+    val pg = withCum.groupBy("__g").agg(sum("__t").as("__ng"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val moms = pg.agg(count(lit(1)).as("k_groups"), sum("__ng").as("n"),
+      sum(dec(col("__ng")) * col("__ng")).as("__sn2"),
+      sum(dec(col("__ng")) * col("__ng")
+        * (lit(2L) * col("__ng") + 3L)).as("__sn3"))
+    val num4 = lit(2).cast("decimal(38,0)") * col("__J2") -
+      (dec(col("n")) * col("n") - col("__sn2"))
+    val varJ = (dec(col("n")) * col("n")
+      * (lit(2L) * col("n") + 3L) - col("__sn3")).cast("double") / 72d
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    moms.crossJoin(broadcast(j2))
+      .select(col("k_groups"), col("n"),
+        (col("__J2").cast("double") / 2d).as("j_stat"),
+        when(col("k_groups") > 1L && varJ > 0d,
+          g6(num4.cast("double") / 4d / sqrt(varJ))).as("z"))
+  }
 }

@@ -1905,4 +1905,113 @@ object Similarity {
           * 1e4 + 0.5) / 1e4).as("lof"))
       .orderBy("probe_id")
   }
+
+  /** Cluster-validity indices over a labeled embedding table —
+    * Davies–Bouldin (lower = tighter/better-separated) and
+    * Calinski–Harabasz (higher = better), the two standard
+    * internal-quality numbers next to [[silhouetteReport]]'s
+    * per-cluster view (q243) and [[classSeparability]]'s per-class
+    * scatter (q358, whose 1e-7 coordinate grid and integer moments
+    * this reuses):
+    *   DB = (1/k)·Σ_i max_{j≠i} (S_i + S_j)/‖μ_i − μ_j‖,
+    *     S_i = mean point-to-centroid Euclidean distance;
+    *   CH = (trB/(k−1)) / (trW/(n−k)).
+    * Per-dimension squared deviations, per-point distances, and
+    * centroid-gap terms are each quantized to 1e-9 integers BEFORE
+    * any cross-row sum, so both engines fold identical values in any
+    * partition order. Output per label:
+    * `label, n_vecs, scatter, db_component, db_index, ch_index`
+    * (scatter/db 1e-6, CH 1e-4; db_index/ch_index repeated per row
+    * like q358's fisher_ratio).
+    *
+    * Scale shape: two corpus passes over the persisted (id, label,
+    * dim, coord) cells — per-(label,dim) moments (k·d rows), then a
+    * broadcast centroid join for point distances; the pair work is
+    * k²·d-grain centroid algebra, never data-sized.
+    */
+  def clusterValidity(emb: DataFrame, vecCol: String, labelCol: String,
+      idCol: String): DataFrame = {
+    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    val cells = Dedup.persistTracked(emb
+      .filter(size(col(vecCol).cast("array<double>")) === d &&
+        !exists(col(vecCol).cast("array<double>"), x => isnan(x)))
+      .select(col(idCol).as("__id"), col(labelCol).as("__l"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__x")))
+      .select(col("__id"), col("__l"), col("__p"),
+        when(col("__x") >= 0, floor(col("__x") * 1e7 + 0.5))
+          .otherwise(-floor(-col("__x") * 1e7 + 0.5)).cast("long")
+          .as("__x7")))
+    val perLD = Dedup.persistTracked(cells.groupBy("__l", "__p")
+      .agg(count(lit(1)).as("__n"), sum("__x7").as("__s"),
+        sum(col("__x7").cast("decimal(38,0)") * col("__x7")).as("__q")))
+    val perD = perLD.groupBy("__p")
+      .agg(sum("__n").as("__tn"), sum("__s").as("__ts"))
+    // trW / trB on the q358 grids (1e-9 integers per (label, dim))
+    val scat = perLD.join(perD, Seq("__p"))
+      .select(col("__l"), col("__n"),
+        floor((col("__q").cast("double")
+          - col("__s").cast("double") * col("__s") / col("__n")) / 1e14
+          * 1e9 + 0.5).cast("long").as("__w9"),
+        floor(col("__n") * (col("__s").cast("double") / col("__n") / 1e7
+            - col("__ts").cast("double") / col("__tn") / 1e7)
+          * (col("__s").cast("double") / col("__n") / 1e7
+            - col("__ts").cast("double") / col("__tn") / 1e7)
+          * 1e9 + 0.5).cast("long").as("__b9"))
+      .groupBy("__l").agg(max("__n").as("n_vecs"),
+        sum("__w9").as("__w9s"), sum("__b9").as("__b9s"))
+    val tot = scat.agg(sum("__w9s").as("__W"), sum("__b9s").as("__B"),
+      sum("n_vecs").as("__nt"), count(lit(1)).as("__k"))
+    // per-point Euclidean distance to the OWN centroid, 1e-9 pre-sum
+    val cent = perLD.select(col("__l"), col("__p"),
+      (col("__s").cast("double") / col("__n")).as("__mu7"))
+    val dists = cells.join(broadcast(cent), Seq("__l", "__p"))
+      .select(col("__id"), col("__l"),
+        floor((col("__x7") - col("__mu7")) * (col("__x7") - col("__mu7"))
+          / 1e14 * 1e9 + 0.5).cast("long").as("__dd9"))
+      .groupBy("__id", "__l").agg(sum("__dd9").as("__sq9"))
+      .select(col("__l"),
+        floor(sqrt(col("__sq9").cast("double") / 1e9) * 1e9 + 0.5)
+          .cast("long").as("__dist9"))
+    val sI = dists.groupBy("__l")
+      .agg((sum("__dist9").cast("double") / 1e9 / count(lit(1)))
+        .as("__si"))
+    // k²·d centroid-gap algebra → per-label worst Davies–Bouldin ratio
+    val gaps = cent.as("a").join(cent.as("b"),
+        col("a.__p") === col("b.__p") && col("a.__l") =!= col("b.__l"))
+      .select(col("a.__l").as("__li"), col("b.__l").as("__lj"),
+        floor((col("a.__mu7") - col("b.__mu7"))
+          * (col("a.__mu7") - col("b.__mu7")) / 1e14 * 1e9 + 0.5)
+          .cast("long").as("__g9"))
+      .groupBy("__li", "__lj").agg(sum("__g9").as("__m9"))
+    val rMax = gaps
+      .join(sI.select(col("__l").as("__li"), col("__si").as("__sa")),
+        Seq("__li"))
+      .join(sI.select(col("__l").as("__lj"), col("__si").as("__sb")),
+        Seq("__lj"))
+      .select(col("__li").as("__l"),
+        when(col("__m9") > 0L, (col("__sa") + col("__sb")) /
+          sqrt(col("__m9").cast("double") / 1e9)).as("__r"))
+      // worst ratio per label, 1e-9-gridded so the k-row mean below
+      // folds exact integers (a raw-double avg would be order-bound)
+      .groupBy("__l").agg(
+        floor(max("__r") * 1e9 + 0.5).cast("long").as("__rmax9"))
+    val db = rMax.agg(
+      (sum("__rmax9").cast("double") / 1e9 / count(lit(1))).as("__db"))
+    def g6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6 + lit(0d)
+    def g4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4 + lit(0d)
+    val ch = (col("__B").cast("double") /
+      when(col("__k") > 1L, (col("__k") - 1L).cast("double"))) /
+      (when(col("__W") > 0L, col("__W").cast("double")) /
+        when(col("__nt") > col("__k"),
+          (col("__nt") - col("__k")).cast("double")))
+    scat.join(sI, Seq("__l")).join(rMax, Seq("__l"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(db))
+      .select(col("__l").as(labelCol), col("n_vecs"),
+        g6(col("__si")).as("scatter"),
+        g6(col("__rmax9").cast("double") / 1e9).as("db_component"),
+        g6(col("__db")).as("db_index"),
+        when(col("__k") > 1L && col("__W") > 0L &&
+          col("__nt") > col("__k"), g4(ch)).as("ch_index"))
+      .orderBy(labelCol)
+  }
 }

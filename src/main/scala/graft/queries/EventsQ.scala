@@ -478,6 +478,23 @@ object EventsQ {
         "ts")
     }),
 
+    // ---- Mood's median test: one-bit-per-row location comparison
+    //      against the exact grand median (the assumption-free end of
+    //      the q324/q344 location-test spectrum) ----
+    "q438_mood_median" -> ((s, d) => {
+      graft.operators.Eval.moodMedian(Tables.events(s, d),
+        "event_type", "value")
+    }),
+
+    // ---- Jonckheere-Terpstra ordered-alternative test across 3
+    //      dose groups (continuous sibling of q426's CA trend) ----
+    "q439_jonckheere" -> ((s, d) => {
+      graft.operators.Eval.jonckheereTerpstra(
+        Tables.events(s, d)
+          .withColumn("dose", pmod(col("user_id"), lit(3L))),
+        "dose", "value")
+    }),
+
     // ---- Fleiss' kappa: do the event types agree on which users
     //      produce high-value activity? (multi-rater agreement) ----
     "q408_fleiss_kappa" -> ((s, d) => {
@@ -5945,5 +5962,106 @@ object EventsQ {
              CASE WHEN t >= 0 THEN floor(t * 1e4 + 0.5) / 1e4 + 0.0
              ELSE -floor(-t * 1e4 + 0.5) / 1e4 + 0.0 END
            END AS t_stat
-         FROM alg3""")
+         FROM alg3""",
+    // exact doubled grand median off the global value grid; k×2 χ²
+    // cell terms 1e-9-quantized pre-sum
+    "q438_mood_median" ->
+      """WITH base AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL),
+          grid AS (
+            SELECT c, CAST(count(*) AS BIGINT) AS t
+            FROM base GROUP BY c),
+          cum AS (
+            SELECT c, sum(t) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS cm
+            FROM grid),
+          nall AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM base),
+          med AS (
+            SELECT min(CASE WHEN 2 * cm >= nt + (nt % 2) THEN c END)
+              + min(CASE WHEN cm >= nt // 2 + 1 THEN c END) AS med2
+            FROM cum CROSS JOIN nall),
+          per AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN 2 * c > med2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a
+            FROM base CROSS JOIN med GROUP BY g),
+          tots AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+              CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(a) AS BIGINT) AS n_above
+            FROM per),
+          cellsx AS (
+            SELECT CAST(p.a AS DOUBLE) AS oa,
+              CAST(p.n - p.a AS DOUBLE) AS ob,
+              CAST(p.n AS DOUBLE) * CAST(t.n_above AS DOUBLE)
+                / CAST(t.n AS DOUBLE) AS ea,
+              CAST(p.n AS DOUBLE) * (CAST(t.n AS DOUBLE)
+                - CAST(t.n_above AS DOUBLE)) / CAST(t.n AS DOUBLE)
+                AS eb,
+              t.k_groups, t.n, t.n_above
+            FROM per p CROSS JOIN tots t)
+         SELECT max(k_groups) AS k_groups, max(n) AS n,
+           max(n_above) AS n_above,
+           CASE WHEN max(n_above) > 0 AND max(n_above) < max(n) THEN
+             floor(CAST(CAST(sum(
+               CAST(floor((oa - ea) * (oa - ea)
+                 / (CASE WHEN ea > 0 THEN ea END) * 1e9 + 0.5)
+                 AS BIGINT)
+               + CAST(floor((ob - eb) * (ob - eb)
+                 / (CASE WHEN eb > 0 THEN eb END) * 1e9 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 * 1e4 + 0.5)
+               / 1e4 + 0.0
+           END AS chi2
+         FROM cellsx""",
+    // 2U_ij from zero-filled per-group cumulative windows over the
+    // global value grid; no-tie normal moments, ×4-scaled integer
+    // numerator
+    "q439_jonckheere" ->
+      """WITH base AS (
+            SELECT user_id % 3 AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL),
+          cnts AS (
+            SELECT g, c, CAST(count(*) AS BIGINT) AS t
+            FROM base GROUP BY g, c),
+          groups AS (SELECT DISTINCT g FROM cnts),
+          vals AS (SELECT DISTINCT c FROM cnts),
+          cells AS (
+            SELECT gr.g, v.c, coalesce(ct.t, 0) AS t
+            FROM groups gr CROSS JOIN vals v
+            LEFT JOIN cnts ct ON gr.g = ct.g AND v.c = ct.c),
+          wc AS (
+            SELECT g, c, t, coalesce(sum(t) OVER (PARTITION BY g
+              ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS lt
+            FROM cells),
+          j2 AS (
+            SELECT coalesce(sum(CAST(hi.t AS HUGEINT)
+              * (2 * lo.lt + lo.t)), 0) AS j2
+            FROM wc lo JOIN wc hi ON lo.c = hi.c AND lo.g < hi.g),
+          pg AS (SELECT g, CAST(sum(t) AS BIGINT) AS ng
+            FROM wc GROUP BY g),
+          moms AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+              CAST(sum(ng) AS BIGINT) AS n,
+              sum(CAST(ng AS HUGEINT) * ng) AS sn2,
+              sum(CAST(ng AS HUGEINT) * ng * (2 * ng + 3)) AS sn3
+            FROM pg),
+          alg AS (
+            SELECT k_groups, n, j2,
+              2 * j2 - (CAST(n AS HUGEINT) * n - sn2) AS num4,
+              CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sn3
+                AS DOUBLE) / 72 AS varj
+            FROM moms CROSS JOIN j2)
+         SELECT k_groups, n, CAST(j2 AS DOUBLE) / 2 AS j_stat,
+           CASE WHEN k_groups > 1 AND varj > 0 THEN
+             CASE WHEN CAST(num4 AS DOUBLE) / 4 / sqrt(varj) >= 0 THEN
+               floor(CAST(num4 AS DOUBLE) / 4 / sqrt(varj) * 1e6 + 0.5)
+                 / 1e6 + 0.0
+             ELSE -floor(-(CAST(num4 AS DOUBLE) / 4 / sqrt(varj))
+               * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS z
+         FROM alg""")
 }

@@ -271,6 +271,15 @@ object Pipeline {
         Tables.embeddings(s, d), "embedding", "label")
     }),
 
+    // ---- Davies-Bouldin + Calinski-Harabasz cluster-validity
+    //      indices over the labeled embeddings (the two standard
+    //      internal-quality numbers next to q243's silhouette and
+    //      q358's scatter view) ----
+    "q437_cluster_validity" -> ((s, d) => {
+      Similarity.clusterValidity(
+        Tables.embeddings(s, d), "embedding", "label", "vec_id")
+    }),
+
     // ---- Theil's U(lang | source): the asymmetric "does source
     //      determine language?" association (MI / H(lang)) ----
     "q359_theils_u" -> ((s, d) => {
@@ -2694,6 +2703,101 @@ object Pipeline {
              floor(CAST(b AS DOUBLE) / w * 1e6 + 0.5) / 1e6 END
              AS fisher_ratio
          FROM perClass, tot ORDER BY label""",
+    // q358's grids extended: per-point centroid distances and
+    // centroid gaps 1e-9-quantized pre-sum; DB mean folds 1e-9-grid
+    // components; CH from the same trW/trB integers
+    "q437_cluster_validity" ->
+      """WITH pts AS MATERIALIZED (
+            SELECT vec_id AS id, label AS l,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            WHERE len(embedding) = 64
+              AND len(list_filter(embedding, x -> isnan(x))) = 0),
+          cells AS MATERIALIZED (
+            SELECT id, l, i AS p,
+              CAST(CASE WHEN v[i] >= 0 THEN floor(v[i] * 1e7 + 0.5)
+                ELSE -floor(-v[i] * 1e7 + 0.5) END AS BIGINT) AS x7
+            FROM pts,
+                 LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u),
+          perLD AS MATERIALIZED (
+            SELECT l, p, count(*) AS n, CAST(sum(x7) AS BIGINT) AS s,
+              CAST(sum(CAST(x7 AS HUGEINT) * x7) AS HUGEINT) AS q
+            FROM cells GROUP BY 1, 2),
+          perD AS (
+            SELECT p, CAST(sum(n) AS BIGINT) AS nn,
+              CAST(sum(s) AS BIGINT) AS gs
+            FROM perLD GROUP BY p),
+          scat AS (
+            SELECT l, max(n) AS n_vecs, CAST(sum(w9) AS BIGINT) AS w9s,
+              CAST(sum(b9) AS BIGINT) AS b9s
+            FROM (
+              SELECT ld.l, ld.n,
+                CAST(floor((CAST(ld.q AS DOUBLE)
+                  - CAST(ld.s AS DOUBLE) * ld.s / ld.n) / 1e14 * 1e9
+                  + 0.5) AS BIGINT) AS w9,
+                CAST(floor(ld.n
+                  * (CAST(ld.s AS DOUBLE) / ld.n / 1e7
+                     - CAST(d.gs AS DOUBLE) / d.nn / 1e7)
+                  * (CAST(ld.s AS DOUBLE) / ld.n / 1e7
+                     - CAST(d.gs AS DOUBLE) / d.nn / 1e7)
+                  * 1e9 + 0.5) AS BIGINT) AS b9
+              FROM perLD ld JOIN perD d USING (p))
+            GROUP BY l),
+          tot AS (
+            SELECT CAST(sum(w9s) AS BIGINT) AS w,
+              CAST(sum(b9s) AS BIGINT) AS b,
+              CAST(sum(n_vecs) AS BIGINT) AS nt,
+              CAST(count(*) AS BIGINT) AS k
+            FROM scat),
+          cent AS MATERIALIZED (
+            SELECT l, p, CAST(s AS DOUBLE) / n AS mu7 FROM perLD),
+          dists AS (
+            SELECT c.id, c.l,
+              CAST(sum(CAST(floor((c.x7 - ct.mu7) * (c.x7 - ct.mu7)
+                / 1e14 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sq9
+            FROM cells c JOIN cent ct ON c.l = ct.l AND c.p = ct.p
+            GROUP BY c.id, c.l),
+          sid AS (
+            SELECT l, CAST(sum(d9) AS DOUBLE) / 1e9 / count(*) AS si
+            FROM (SELECT l, CAST(floor(sqrt(CAST(sq9 AS DOUBLE) / 1e9)
+              * 1e9 + 0.5) AS BIGINT) AS d9 FROM dists)
+            GROUP BY l),
+          gaps AS (
+            SELECT a.l AS li, b.l AS lj,
+              CAST(sum(CAST(floor((a.mu7 - b.mu7) * (a.mu7 - b.mu7)
+                / 1e14 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS m9
+            FROM cent a JOIN cent b ON a.p = b.p AND a.l <> b.l
+            GROUP BY a.l, b.l),
+          rmax AS (
+            SELECT li AS l,
+              CAST(floor(max(r) * 1e9 + 0.5) AS BIGINT) AS rmax9
+            FROM (
+              SELECT g.li,
+                CASE WHEN g.m9 > 0 THEN (sa.si + sb.si)
+                  / sqrt(CAST(g.m9 AS DOUBLE) / 1e9) END AS r
+              FROM gaps g JOIN sid sa ON g.li = sa.l
+                JOIN sid sb ON g.lj = sb.l)
+            GROUP BY li),
+          db AS (
+            SELECT CAST(sum(rmax9) AS DOUBLE) / 1e9 / count(*) AS db
+            FROM rmax)
+         SELECT s.l AS label, s.n_vecs,
+           floor(sid.si * 1e6 + 0.5) / 1e6 + 0.0 AS scatter,
+           floor(CAST(r.rmax9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 + 0.0
+             AS db_component,
+           floor(db.db * 1e6 + 0.5) / 1e6 + 0.0 AS db_index,
+           CASE WHEN t.k > 1 AND t.w > 0 AND t.nt > t.k THEN
+             floor((CAST(t.b AS DOUBLE)
+                 / (CASE WHEN t.k > 1
+                   THEN CAST(t.k - 1 AS DOUBLE) END))
+               / ((CASE WHEN t.w > 0 THEN CAST(t.w AS DOUBLE) END)
+                 / (CASE WHEN t.nt > t.k
+                   THEN CAST(t.nt - t.k AS DOUBLE) END))
+               * 1e4 + 0.5) / 1e4 + 0.0
+           END AS ch_index
+         FROM scat s JOIN sid ON s.l = sid.l JOIN rmax r ON s.l = r.l
+         CROSS JOIN tot t CROSS JOIN db
+         ORDER BY label""",
     // Theil's U replay: three 1e-6-quantized c·ln c sums, + 0.0 to
     // fold a −0.0 MI (the r7 footgun)
     "q359_theils_u" ->

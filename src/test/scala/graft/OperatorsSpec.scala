@@ -4561,4 +4561,63 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(("X", 4L, 0.5, true), ("Y", 4L, 0.5, true),
       ("Z", 2L, 0.0, false)), s"got $got")
   }
+
+  test("Similarity.clusterValidity: hand DB/CH on two separated pairs") {
+    // label 0: (0,0),(0,2); label 1: (10,0),(10,2) — centroids (0,1)
+    // and (10,1); every point sits distance 1 from its centroid so
+    // S_i = 1, centroid gap 10 → DB = (1+1)/10 = 0.2; trW = 4,
+    // trB = 100, CH = (100/1)/(4/2) = 50
+    val df = Seq(
+      (1L, Array(0d, 0d), 0), (2L, Array(0d, 2d), 0),
+      (3L, Array(10d, 0d), 1), (4L, Array(10d, 2d), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.clusterValidity(
+      df, "embedding", "label", "vec_id").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 2)
+      assert(r.getAs[Double]("scatter") == 1.0)
+      assert(r.getAs[Double]("db_component") == 0.2)
+      assert(r.getAs[Double]("db_index") == 0.2)
+      assert(r.getAs[Double]("ch_index") == 50.0)
+    }
+  }
+
+  test("Eval.moodMedian: hand k×2 table against the grand median") {
+    // a {1,2,3} b {4,5,6}: doubled grand median 700; above-counts
+    // 0 and 3 → χ² = 4·(1.5²/1.5) = 6
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = graft.operators.Eval.moodMedian(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 2 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Long]("n_above") == 3)
+    assert(r.getAs[Double]("chi2") == 6.0)
+  }
+
+  test("Eval.moodMedian: all values equal leaves chi2 NULL") {
+    val df = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0)).toDF("g", "v")
+    val r = graft.operators.Eval.moodMedian(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n_above") == 0)
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+  }
+
+  test("Eval.jonckheereTerpstra: hand J and z on ordered groups") {
+    // dose 0 {1,2}, dose 1 {3,4}: J = 4, E = 2, Var = 120/72
+    val df = Seq((0L, 1.0), (0L, 2.0), (1L, 3.0), (1L, 4.0))
+      .toDF("dose", "v")
+    val r = graft.operators.Eval.jonckheereTerpstra(df, "dose", "v")
+      .collect().head
+    assert(r.getAs[Long]("k_groups") == 2 && r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("j_stat") == 4.0)
+    val z = 2d / math.sqrt(120d / 72d)
+    assert(r.getAs[Double]("z") == math.floor(z * 1e6 + 0.5) / 1e6)
+  }
+
+  test("Eval.jonckheereTerpstra: a cross-group tie counts one half") {
+    val df = Seq((0L, 1.0), (1L, 1.0)).toDF("dose", "v")
+    val r = graft.operators.Eval.jonckheereTerpstra(df, "dose", "v")
+      .collect().head
+    assert(r.getAs[Double]("j_stat") == 0.5)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
 }
