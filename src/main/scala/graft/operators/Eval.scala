@@ -3054,4 +3054,75 @@ object Eval {
         when(col("k_groups") > 1L && varJ > 0d,
           g6(num4.cast("double") / 4d / sqrt(varJ))).as("z"))
   }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the canonical two-sample
+    * location test, pinned to groups `ga` vs `gb` of `groupCol`.
+    * [[kruskalWallis]] covers the k-group omnibus; this is the
+    * directional pairwise form with the tie-corrected normal z the
+    * omnibus H doesn't expose. Same grid counting as the Cliff's-delta
+    * stage of `effectSizes`: on the cents grid,
+    *   2U_a = 2·Σ_v cnt_a(v)·cumBelow_b(v) + Σ_v cnt_a(v)·cnt_b(v)
+    * (greater-than pairs twice + ties once) — exact int64. Ties enter
+    * the variance through T = Σ_t(t³ − t) over the COMBINED grid:
+    *   Var(U) = n_a·n_b·[N(N−1)(N+1) − T] / (12·N(N−1)),
+    * and the z numerator 2U − n_a·n_b stays integer (no continuity
+    * correction; documented convention). One row:
+    * `(n_a, n_b, u_a, z)` — U on the exact .5 grid, z 1e-6.
+    *
+    * Scale shape: one corpus aggregate to the (group × value-grid)
+    * counts; a cumulative window PER GROUP over the grid; everything
+    * downstream is grid-sized. No row-level pairs anywhere.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      ga: String, gb: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(groupCol).isin(ga, gb))
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c"))
+    val cnts = base.groupBy("__g", "__c").agg(count(lit(1)).as("__t"))
+    // zero-filled union grid so each group's cumulative window sees
+    // every value the OTHER group attains
+    val vals = cnts.select("__c").distinct()
+    val cells = vals.crossJoin(
+        cnts.select("__g").distinct())
+      .join(cnts, Seq("__g", "__c"), "left")
+      .select(col("__g"), col("__c"),
+        coalesce(col("__t"), lit(0L)).as("__t"))
+    val w = Window.partitionBy("__g").orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = Dedup.persistTracked(cells.withColumn("__lt",
+      coalesce(sum("__t").over(w), lit(0L))))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val aSide = withCum.where(col("__g") === ga)
+      .select(col("__c"), col("__t").as("__ta"))
+    val bSide = withCum.where(col("__g") === gb)
+      .select(col("__c"), col("__t").as("__tb"), col("__lt").as("__ltb"))
+    val u2 = aSide.join(bSide, Seq("__c"))
+      .agg(coalesce(sum(dec(col("__ta")) *
+          (lit(2L) * col("__ltb") + col("__tb"))), dec(lit(0)))
+        .as("__u2"))
+    // combined tie spectrum + group sizes off the same grid relation
+    val ties = withCum.groupBy("__c").agg(sum("__t").as("__tt"))
+      .agg(coalesce(sum(dec(col("__tt")) * col("__tt") * col("__tt") -
+          dec(col("__tt"))), dec(lit(0))).as("__T"))
+    val sizes = withCum.groupBy("__g").agg(sum("__t").as("__n"))
+      .agg(sum(when(col("__g") === ga, col("__n"))).as("n_a"),
+        sum(when(col("__g") === gb, col("__n"))).as("n_b"))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    val nT = col("n_a") + col("n_b")
+    val varU = dec(col("n_a")).cast("double") *
+      col("n_b").cast("double") *
+      ((dec(nT) * (nT - 1L) * (nT + 1L) - col("__T")).cast("double")) /
+      (lit(12d) * nT.cast("double") * (nT - 1L).cast("double"))
+    val num2 = col("__u2") - dec(col("n_a")) * col("n_b")
+    sizes.crossJoin(broadcast(u2)).crossJoin(broadcast(ties))
+      .select(col("n_a"), col("n_b"),
+        (col("__u2").cast("double") / 2d).as("u_a"),
+        when(col("n_a") > 0L && col("n_b") > 0L && varU > 0d,
+          g6(num2.cast("double") / 2d / sqrt(varU))).as("z"))
+  }
+
 }

@@ -1850,4 +1850,74 @@ object Events {
         when(col("n_states") > 1, g6(lit(1d) - h / hMax))
           .as("predictability"))
   }
+
+  /** Viterbi decoding of per-user event sequences under a fixed
+    * 2-state HMM — the max-probability hidden-state path score, the
+    * sequence-labeling primitive behind engagement/churn segmentation
+    * ("is this user's recent cadence better explained by the ACTIVE
+    * or the LAPSING regime?"). The observation alphabet is the
+    * inter-event gap bucket (0: < 1 h, 1: < 1 d, 2: ≥ 1 d; a user's
+    * first event observes the neutral bucket 1), and the model is a
+    * broadcast-scale constant: log-probabilities pre-rounded to
+    * integer micro-nats, so the whole DP is exact int64 arithmetic
+    * and both engines reach bit-identical scores.
+    *
+    *   dp_1[k]   = π[k] + B[k][o_1]
+    *   dp_t[k]   = max_j(dp_{t-1}[j] + A[j][k]) + B[k][o_t]
+    *
+    * Emits one row per user: `(user_id, n_steps, best_state,
+    * best_logprob_micro)` — the Viterbi path score max_k dp_T[k] and
+    * its terminal state (ties → state 0). Sequences are truncated to
+    * the first `maxLen` events (deterministic ts/id order) BEFORE the
+    * pack, so per-user state is bounded.
+    *
+    * Scale shape: one user-keyed exchange shared by the ordering
+    * window and the pack aggregate; the DP itself is a per-row
+    * `aggregate` over a ≤ maxLen array — partition-local, no further
+    * shuffle, model constants inlined as literals (a K-state model is
+    * metadata-scale; K=2 keeps the recurrence readable, the array
+    * algebra generalizes).
+    */
+  def viterbiDecode(df: DataFrame, userCol: String, tsNs: String,
+      idCol: String, maxLen: Int = 64): DataFrame = {
+    val HourNs = 3600L * 1000 * 1000 * 1000
+    val DayNs = 24L * HourNs
+    // ln p in micro-nats: pi = (.6, .4); A = ((.7,.3),(.4,.6));
+    // B[active] = (.6,.3,.1) over gap buckets, B[lapsing] = (.2,.3,.5)
+    val pi0 = -510826L; val pi1 = -916291L
+    val a00 = -356675L; val a01 = -1203973L
+    val a10 = -916291L; val a11 = -510826L
+    val b0 = array(lit(-510826L), lit(-1203973L), lit(-2302585L))
+    val b1 = array(lit(-1609438L), lit(-1203973L), lit(-693147L))
+    val w = Window.partitionBy(userCol).orderBy(col(tsNs), col(idCol))
+    val gap = col(tsNs) - lag(col(tsNs), 1).over(w)
+    val obs = when(gap.isNull, lit(1)).when(gap < HourNs, lit(0))
+      .when(gap < DayNs, lit(1)).otherwise(lit(2))
+    val packed = df
+      .withColumn("__seq", row_number().over(w))
+      .withColumn("__o", obs.cast("int"))
+      .where(col("__seq") <= maxLen)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__seq").as("s"),
+          col("__o").as("o")))), e => e("o")).as("__obs"))
+    val first = element_at(col("__obs"), 1)
+    val init = array(
+      lit(pi0) + element_at(b0, first + 1),
+      lit(pi1) + element_at(b1, first + 1))
+    val dp = aggregate(
+      slice(col("__obs"), 2, maxLen), init,
+      (acc, o) => array(
+        greatest(element_at(acc, 1) + a00, element_at(acc, 2) + a10) +
+          element_at(b0, o + 1),
+        greatest(element_at(acc, 1) + a01, element_at(acc, 2) + a11) +
+          element_at(b1, o + 1)))
+    packed.select(col("user_id"),
+      size(col("__obs")).cast("long").as("n_steps"),
+      when(element_at(dp, 1) >= element_at(dp, 2), 0L).otherwise(1L)
+        .as("best_state"),
+      greatest(element_at(dp, 1), element_at(dp, 2))
+        .as("best_logprob_micro"))
+      .orderBy("user_id")
+  }
 }

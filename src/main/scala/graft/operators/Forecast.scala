@@ -1864,4 +1864,5 @@ object Forecast {
       when(aI > 0 && disc > 0 && col("n_pairs") > 2L, g4(t))
         .as("t_stat"))
   }
+
 }

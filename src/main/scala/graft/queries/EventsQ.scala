@@ -495,6 +495,21 @@ object EventsQ {
         "dose", "value")
     }),
 
+    // ---- Viterbi HMM decode of per-user gap-bucket sequences:
+    //      max-probability regime score + terminal state, exact
+    //      integer micro-nat DP ----
+    "q440_viterbi" -> ((s, d) => {
+      graft.operators.Events.viterbiDecode(Tables.events(s, d),
+        "user_id", "ts", "event_id")
+    }),
+
+    // ---- Mann-Whitney U, click vs view values: the pairwise rank
+    //      test under q324's Kruskal-Wallis omnibus ----
+    "q441_mann_whitney" -> ((s, d) => {
+      graft.operators.Eval.mannWhitney(Tables.events(s, d),
+        "event_type", "value", "click", "view")
+    }),
+
     // ---- Fleiss' kappa: do the event types agree on which users
     //      produce high-value activity? (multi-rater agreement) ----
     "q408_fleiss_kappa" -> ((s, d) => {
@@ -5963,6 +5978,106 @@ object EventsQ {
              ELSE -floor(-t * 1e4 + 0.5) / 1e4 + 0.0 END
            END AS t_stat
          FROM alg3""",
+    // exact integer micro-nat Viterbi DP replayed as a recursive CTE
+    // over per-user gap-bucket ordinals; model constants inlined
+    "q440_viterbi" ->
+      """WITH RECURSIVE e AS (
+            SELECT user_id, epoch_ns(ts) AS tns, event_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY epoch_ns(ts), event_id) AS seq
+            FROM events),
+          o AS (
+            SELECT user_id, seq,
+              CASE WHEN lg IS NULL THEN 1
+                WHEN tns - lg < 3600000000000 THEN 0
+                WHEN tns - lg < 86400000000000 THEN 1
+                ELSE 2 END AS ob
+            FROM (SELECT user_id, seq, tns,
+                lag(tns) OVER (PARTITION BY user_id ORDER BY seq) AS lg
+              FROM e) t
+            WHERE seq <= 64),
+          b AS (SELECT * FROM (VALUES
+              (0, -510826, -1609438), (1, -1203973, -1203973),
+              (2, -2302585, -693147)) AS v(ob, b0, b1)),
+          r(user_id, seq, dp0, dp1) AS (
+            SELECT o.user_id, o.seq,
+              CAST(-510826 + b.b0 AS BIGINT),
+              CAST(-916291 + b.b1 AS BIGINT)
+            FROM o JOIN b ON o.ob = b.ob WHERE o.seq = 1
+            UNION ALL
+            SELECT o.user_id, o.seq,
+              greatest(r.dp0 - 356675, r.dp1 - 916291) + b.b0,
+              greatest(r.dp0 - 1203973, r.dp1 - 510826) + b.b1
+            FROM r JOIN o ON o.user_id = r.user_id
+              AND o.seq = r.seq + 1
+            JOIN b ON o.ob = b.ob),
+          fin AS (
+            SELECT user_id, seq, dp0, dp1,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY seq DESC) AS rn
+            FROM r)
+         SELECT user_id, CAST(seq AS BIGINT) AS n_steps,
+           CAST(CASE WHEN dp0 >= dp1 THEN 0 ELSE 1 END AS BIGINT)
+             AS best_state,
+           CAST(greatest(dp0, dp1) AS BIGINT) AS best_logprob_micro
+         FROM fin WHERE rn = 1 ORDER BY user_id""",
+    // 2U from grid counting (gt pairs twice + ties once), tie-corrected
+    // normal variance from the combined tie spectrum — all HUGEINT
+    "q441_mann_whitney" ->
+      """WITH base AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')),
+          cnts AS (SELECT g, c, CAST(count(*) AS BIGINT) AS t
+            FROM base GROUP BY g, c),
+          cells AS (
+            SELECT gr.g, v.c, coalesce(ct.t, 0) AS t
+            FROM (SELECT DISTINCT g FROM cnts) gr
+            CROSS JOIN (SELECT DISTINCT c FROM cnts) v
+            LEFT JOIN cnts ct ON gr.g = ct.g AND v.c = ct.c),
+          wc AS (
+            SELECT g, c, t, coalesce(sum(t) OVER (PARTITION BY g
+              ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS lt
+            FROM cells),
+          u2 AS (
+            SELECT coalesce(sum(CAST(a.t AS HUGEINT)
+              * (2 * b.lt + b.t)), 0) AS u2
+            FROM wc a JOIN wc b ON a.c = b.c
+            WHERE a.g = 'click' AND b.g = 'view'),
+          ties AS (
+            SELECT coalesce(sum(CAST(tt AS HUGEINT) * tt * tt - tt), 0)
+              AS tsum
+            FROM (SELECT c, sum(t) AS tt FROM wc GROUP BY c)),
+          sizes AS (
+            SELECT CAST(sum(CASE WHEN g = 'click' THEN t END)
+                AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN g = 'view' THEN t END) AS BIGINT)
+                AS n_b
+            FROM wc),
+          alg AS (
+            SELECT n_a, n_b, u2, tsum, n_a + n_b AS nt
+            FROM sizes CROSS JOIN u2 CROSS JOIN ties),
+          alg2 AS (
+            SELECT n_a, n_b, u2,
+              CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                * CAST(CAST(nt AS HUGEINT) * (nt - 1) * (nt + 1)
+                  - tsum AS DOUBLE)
+                / (12.0 * CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE))
+                AS varu,
+              u2 - CAST(n_a AS HUGEINT) * n_b AS num2
+            FROM alg)
+         SELECT n_a, n_b, CAST(u2 AS DOUBLE) / 2 AS u_a,
+           CASE WHEN n_a > 0 AND n_b > 0 AND varu > 0 THEN
+             CASE WHEN CAST(num2 AS DOUBLE) / 2 / sqrt(varu) >= 0 THEN
+               floor(CAST(num2 AS DOUBLE) / 2 / sqrt(varu) * 1e6 + 0.5)
+                 / 1e6 + 0.0
+             ELSE -floor(-(CAST(num2 AS DOUBLE) / 2 / sqrt(varu))
+               * 1e6 + 0.5) / 1e6 + 0.0 END
+           END AS z
+         FROM alg2""",
     // exact doubled grand median off the global value grid; k×2 χ²
     // cell terms 1e-9-quantized pre-sum
     "q438_mood_median" ->

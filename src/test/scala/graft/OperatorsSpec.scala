@@ -4620,4 +4620,62 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("j_stat") == 0.5)
     assert(r.getAs[Double]("z") == 0.0)
   }
+
+  test("Events.viterbiDecode: hand DP over gap buckets") {
+    val HourNs = 3600L * 1000 * 1000 * 1000
+    // user 1: obs [1 (first), 0 (30 min), 1 (2 h)] — hand DP keeps
+    // the ACTIVE state: dp = (-4142948, -4990246)
+    // user 2: single event — init only: (-1714799, -2120264)
+    // user 3: obs [1, 2 (2 d gap)] — the long gap flips the argmax to
+    // LAPSING: dp = (-4374059, -3324237)
+    val df = Seq(
+      (1L, 0L, 10L), (1L, HourNs / 2, 11L), (1L, HourNs / 2 + 2 * HourNs, 12L),
+      (2L, 0L, 20L),
+      (3L, 0L, 30L), (3L, 48L * HourNs, 31L))
+      .toDF("user_id", "ts", "event_id")
+    val r = graft.operators.Events
+      .viterbiDecode(df, "user_id", "ts", "event_id").collect()
+    assert(r.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(r(0).getAs[Long]("n_steps") == 3)
+    assert(r(0).getAs[Long]("best_state") == 0)
+    assert(r(0).getAs[Long]("best_logprob_micro") == -4142948L)
+    assert(r(1).getAs[Long]("n_steps") == 1)
+    assert(r(1).getAs[Long]("best_logprob_micro") == -1714799L)
+    assert(r(2).getAs[Long]("best_state") == 1)
+    assert(r(2).getAs[Long]("best_logprob_micro") == -3324237L)
+  }
+
+  test("Events.viterbiDecode: maxLen truncates the sequence") {
+    val HourNs = 3600L * 1000 * 1000 * 1000
+    val df = Seq((1L, 0L, 10L), (1L, HourNs / 2, 11L),
+      (1L, HourNs / 2 + 2 * HourNs, 12L))
+      .toDF("user_id", "ts", "event_id")
+    val r = graft.operators.Events
+      .viterbiDecode(df, "user_id", "ts", "event_id", maxLen = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_steps") == 2)
+    assert(r.getAs[Long]("best_logprob_micro") == -2582300L)
+  }
+
+  test("Eval.mannWhitney: hand U and tie-corrected z") {
+    // a {10, 20} vs b {10, 30}: U_a = 1.5 (one win + half a tie),
+    // T = 6, Var(U) = 4·(60−6)/144 = 1.5, z = −0.5/√1.5
+    val df = Seq(("click", 10.0), ("click", 20.0),
+      ("view", 10.0), ("view", 30.0)).toDF("g", "v")
+    val r = graft.operators.Eval
+      .mannWhitney(df, "g", "v", "click", "view").collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("u_a") == 1.5)
+    val z = -0.5 / math.sqrt(1.5)
+    assert(r.getAs[Double]("z") == -math.floor(-z * 1e6 + 0.5) / 1e6)
+  }
+
+  test("Eval.mannWhitney: all-tied samples leave z NULL") {
+    val df = Seq(("click", 10.0), ("view", 10.0)).toDF("g", "v")
+    val r = graft.operators.Eval
+      .mannWhitney(df, "g", "v", "click", "view").collect().head
+    assert(r.getAs[Double]("u_a") == 0.5)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
 }
