@@ -518,8 +518,21 @@ object Bench {
     // join/group/similarity structure scales the way a genuinely
     // bigger corpus would. Same flag rule, reported separately. ----
     val sweepHuge = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
+    // Wide initial shuffle partitions for every synthetic-tier section
+    // (10× AND 100×): at 10–100× the gate SF a fixed 32-reducer layout
+    // makes each sort-merge partition 10–100× larger (spill / straggler
+    // granularity — q159's r11 century row, q106's r12 huge row). A
+    // cluster scales reducers with data; the tier exponents should
+    // measure the ALGORITHM. Scoped here so base-SF sections keep the
+    // cheap 32-partition layout (blanket-wide taxes small-grid queries
+    // ~2× in task-scheduling overhead — measured on q369/q376).
+    val wideKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    def withWideShuffles[T](body: => T): T = {
+      spark.conf.set(wideKey, (cpus.toInt * 8).toString)
+      try body finally spark.conf.unset(wideKey)
+    }
     if (posArgs.isEmpty && sfDir.endsWith("sf0.1")) {
-      try {
+      try withWideShuffles {
         val hugeDir = ScaleUp.ensure(spark, sfDir, "/tmp/graft_sf1_synth", 10)
         sweepQs.foreach { case (n, _) =>
           val tBig = results.getOrElse(n, -1.0)
@@ -553,20 +566,8 @@ object Bench {
     // the wall cost; the candidate counts carry the structural verdict.
     val sweep100 = scala.collection.mutable.LinkedHashMap[
       String, (Double, Double, Double, Long, Long, Double)]()
-    // Century tiers run with WIDE initial shuffle partitions (8 ×
-    // cores, AQE coalesces back down): at 100× the gate SF a fixed
-    // 32-reducer layout makes every sort-merge partition 100× larger
-    // (spill → a super-linear seconds term the candidate counts
-    // disclaim — q159's r11 century row). A cluster scales reducers
-    // with data; the century exponent should measure the ALGORITHM,
-    // not fixed-reducer saturation. Scoped to the 100× sections only:
-    // blanket-wide measurably taxes the small-grid queries ~2×
-    // (q369 2.4 s → 4.8 s) in pure task-scheduling overhead.
-    val wideKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    def withWideShuffles[T](body: => T): T = {
-      spark.conf.set(wideKey, (cpus.toInt * 8).toString)
-      try body finally spark.conf.unset(wideKey)
-    }
+    // Century tiers share the synthetic-tier wide-shuffle scope
+    // (withWideShuffles, defined at the 10× sweep above).
     if (posArgs.isEmpty && sfDir.endsWith("sf0.1")) {
       try withWideShuffles {
         // the newest iterative/probe gates (percolation, LOF, greedy

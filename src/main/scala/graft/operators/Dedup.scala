@@ -1345,19 +1345,30 @@ object Dedup {
     val pairs = cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
       mxS.as("mx"))
     // Verify stage: only surviving candidates carry payload through an
-    // exchange. Known double-eval: the final projection re-computes the
-    // kernel to emit `dist` (Catalyst collapses a project-then-filter
-    // back into one node, duplicating the deterministic expression) —
-    // accepted, survivors are a tiny fraction of candidates.
+    // exchange, and the kernel is the BANDED Levenshtein (3-arg form,
+    // O(len·k) instead of O(len²)): the per-pair budget is at most
+    // ceil(globalMaxLen · maxNormDist), so one corpus-max threshold
+    // bounds the band for every pair — the threshold only gates the
+    // algorithm (−1 when exceeded), the exact per-pair `mx` bound is
+    // still applied below, so results are identical to the unbanded
+    // form. At maxNormDist = 0.05 this is a ~len/(2k) ≈ 10× cut in
+    // verify CPU, which is where q106's tier seconds live (candidates
+    // are linear; the kernel is the constant).
+    // Known double-eval: the final projection re-computes the kernel
+    // to emit `dist` (Catalyst collapses a project-then-filter back
+    // into one node) — accepted, survivors are a tiny fraction.
+    val maxLenRow = docs.agg(max(col("len"))).head()
+    val thr =
+      if (maxLenRow.isNullAt(0)) 0
+      else math.ceil(maxLenRow.getInt(0) * maxNormDist).toInt
+    def lev: Column = levenshtein(col("txt_a"), col("txt_b"), thr)
     val txt = docs.select("id", "txt")
     pairs
       .join(txt.select(col("id").as("id_a"), col("txt").as("txt_a")), "id_a")
       .join(txt.select(col("id").as("id_b"), col("txt").as("txt_b")), "id_b")
-      .where(levenshtein(col("txt_a"), col("txt_b")) <= col("mx") * maxNormDist)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("txt_a"), col("txt_b")).as("dist"),
-        round(levenshtein(col("txt_a"), col("txt_b")) /
-          col("mx").cast("double"), 4).as("norm_dist"))
+      .where(lev >= 0 && lev <= col("mx") * maxNormDist)
+      .select(col("id_a"), col("id_b"), lev.as("dist"),
+        round(lev / col("mx").cast("double"), 4).as("norm_dist"))
   }
 
   /** Candidate-pair volume of [[editDistancePairs]]'s blocking stage:

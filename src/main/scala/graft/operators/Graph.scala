@@ -905,4 +905,77 @@ object Graph {
       s"kTruss did not reach its fixpoint in $maxRounds rounds; " +
         "raise maxRounds (the oracle unrolls the same bound)")
   }
+
+  /** Per-node triangle counts and local clustering coefficient, plus
+    * the graph's global transitivity carried on every row — the
+    * "how clique-ish is each node's neighborhood" primitive under
+    * community detection ([[kTruss]] exposes per-EDGE supports; this
+    * is the node view, and transitivity = 3·triangles/wedges is the
+    * whole-graph summary both share). lcc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)), NULL for degree < 2.
+    *
+    * Output: `(id, degree, triangles, lcc, transitivity)` (1e-6
+    * grids — both ratios divide exact integers).
+    *
+    * Scale shape: the standard degree-oriented enumeration — each
+    * triangle is generated exactly once from wedges centered at its
+    * LOWEST-degree vertex ((deg,id)-lexicographic orientation), so a
+    * hot hub of degree d contributes wedges only via its low-degree
+    * neighbors, bounding the wedge join at Σ min-degree² instead of
+    * Σ d². One distinct-edge shuffle, one wedge equi-join, one
+    * membership probe against the undirected edge set, then
+    * node-grain aggregates; wedge totals come off the degree table.
+    */
+  def clusteringCoefficient(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .where(col("u").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val undP = Dedup.persistTracked(und)
+    val deg = Dedup.persistTracked(undP
+      .select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree")))
+    val withDeg = undP
+      .join(deg.select(col("id").as("u"), col("degree").as("__du")), "u")
+      .join(deg.select(col("id").as("v"), col("degree").as("__dv")), "v")
+    val lower =
+      struct(col("__du"), col("u")) < struct(col("__dv"), col("v"))
+    val oriented = withDeg.select(
+      when(lower, col("u")).otherwise(col("v")).as("src"),
+      when(lower, col("v")).otherwise(col("u")).as("dst"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+      .join(undP,
+        col("u") === least(col("b"), col("c")) &&
+          col("v") === greatest(col("b"), col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    // global: 3·Σtri / Σ deg·(deg−1)/2 — both integer totals
+    val glob = deg.agg(
+      coalesce(sum(col("degree") * (col("degree") - 1L)), lit(0L))
+        .as("__w2"))
+    val triTot = tri.agg(count(lit(1)).as("__t"))
+    def g6(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(x * 1e6 + 0.5) / 1e6 + lit(0d)
+    deg.join(perNode, Seq("id"), "left")
+      .crossJoin(broadcast(glob)).crossJoin(broadcast(triTot))
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") > 1L,
+          g6(lit(2d) * coalesce(col("triangles"), lit(0L))
+            .cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double")))
+          .as("lcc"),
+        when(col("__w2") > 0L,
+          g6(lit(6d) * col("__t").cast("double") /
+            col("__w2").cast("double"))).as("transitivity"))
+      .orderBy("id")
+  }
 }

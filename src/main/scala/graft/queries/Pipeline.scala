@@ -1842,6 +1842,18 @@ object Pipeline {
       Graph.connectedComponents(edges, "a", "b").orderBy("id")
     }),
 
+    // ---- per-node triangles + local clustering coefficient; edges
+    //      (a, a+1) ∪ (a, a+2) from the q64 source set, so CONSECUTIVE
+    //      sources close triangles (the q64 gap-{1,3} graph is
+    //      triangle-free — useless for this gate) ----
+    "q442_clustering_coeff" -> ((s, d) => {
+      val edges = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(5)) < 2)
+        .select(col("doc_id").as("a"),
+          explode(array(col("doc_id") + 1, col("doc_id") + 2)).as("b"))
+      Graph.clusteringCoefficient(edges, "a", "b")
+    }),
+
     // ---- incremental CC maintenance: q64's graph split into a
     //      "history" batch (solved to an assignment first) and a
     //      "new" batch folded in via incrementalComponents — the
@@ -6518,6 +6530,49 @@ object Pipeline {
             UNION
             SELECT u.a AS id, reach.r AS r FROM u JOIN reach ON u.b = reach.id)
          SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""",
+    // triangles enumerated once as ordered triples u<v<w over the
+    // distinct undirected edge set; both ratios divide exact integers
+    "q442_clustering_coeff" ->
+      """WITH e0 AS (
+            SELECT CAST(doc_id AS BIGINT) AS a,
+              CAST(doc_id + 1 + k AS BIGINT) AS b
+            FROM documents
+            CROSS JOIN (SELECT unnest([0, 1]) AS k)
+            WHERE doc_id % 5 < 2),
+          und AS (
+            SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM e0 WHERE a <> b AND a IS NOT NULL),
+          tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM und e1 JOIN und e2
+              ON e1.u = e2.u AND e1.v < e2.v
+            JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+          pn AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS triangles
+            FROM (SELECT unnest([x, y, z]) AS id FROM tri)
+            GROUP BY id),
+          deg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT unnest([u, v]) AS id FROM und)
+            GROUP BY id),
+          gstats AS (
+            SELECT coalesce(sum(degree * (degree - 1)), 0) AS w2
+            FROM deg),
+          tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tri)
+         SELECT deg.id, deg.degree,
+           coalesce(pn.triangles, 0) AS triangles,
+           CASE WHEN deg.degree > 1 THEN
+             floor(2.0 * coalesce(pn.triangles, 0)
+               / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+               * 1e6 + 0.5) / 1e6 + 0.0
+           END AS lcc,
+           CASE WHEN w2 > 0 THEN
+             floor(6.0 * t / CAST(w2 AS DOUBLE) * 1e6 + 0.5) / 1e6
+               + 0.0
+           END AS transitivity
+         FROM deg LEFT JOIN pn ON deg.id = pn.id
+         CROSS JOIN gstats CROSS JOIN tt
+         ORDER BY deg.id""",
     // the incremental fold must land exactly where from-scratch CC
     // over the FULL edge set lands — q64's closure, unchanged
     "q302_incremental_components" ->

@@ -4678,4 +4678,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("Graph.clusteringCoefficient: triangle plus pendant by hand") {
+    // K3 {1,2,3} + pendant (3,4): lcc = 1, 1, 1/3, NULL;
+    // wedges = 5, transitivity = 3/5 (edges fed in BOTH directions
+    // and duplicated — the op must distinct/undirect them)
+    val df = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L), (3L, 4L))
+      .toDF("a", "b")
+    val r = graft.operators.Graph.clusteringCoefficient(df, "a", "b")
+      .collect()
+    assert(r.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(r.map(_.getAs[Long]("degree")).toSeq == Seq(2L, 2L, 3L, 1L))
+    assert(r.map(_.getAs[Long]("triangles")).toSeq ==
+      Seq(1L, 1L, 1L, 0L))
+    assert(r(0).getAs[Double]("lcc") == 1.0)
+    assert(r(2).getAs[Double]("lcc") == 0.333333)
+    assert(r(3).isNullAt(r(3).fieldIndex("lcc")))
+    assert(r(0).getAs[Double]("transitivity") == 0.6)
+  }
+
 }
