@@ -64,7 +64,13 @@ object Bench {
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
     val cmd = (Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", System.getProperty("java.class.path"),
+      Seq(
+        // a teardown crash's hs_err belongs in tmp, not the repo cwd —
+        // still written (diagnosable), never in the working tree even
+        // when the capture was partial and the delete-below is skipped
+        "-XX:ErrorFile=" + System.getProperty("java.io.tmpdir") +
+          "/graft_statebench_hs_err_%p.log",
+        "-cp", System.getProperty("java.class.path"),
         "graft.streaming.StateBench") ++ probes).asJava
     val pb = new ProcessBuilder(cmd)
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
@@ -469,6 +475,21 @@ object Bench {
     }
     probes("after_stream") = loadProbe(spark)
 
+    // Late VCF re-measure (unconditional): r13 run analysis showed the
+    // probe-gated re-run can miss self-inflicted JVM pressure — every
+    // probe BEFORE the vcf section read ~uniformly slow (0.12 s) so no
+    // bracket looked hot, yet the run's true floor (0.057 s, right
+    // here after the stream fork gave the parent a breather) says the
+    // section ran ~2× starved (vcf_build 8.3 s vs 3.4 s quiet). One
+    // more run in this window costs ~25 s of a 55-min bench and
+    // mergeMin keeps whichever reading is honest.
+    if (wantVcf) {
+      spark.catalog.clearCache(); clearAllCaches()
+      System.gc(); Thread.sleep(500); System.gc()
+      runVcfSection()
+      probes("after_vcf_late") = loadProbe(spark)
+    }
+
     // ---- scale sweep: headline queries re-timed one SF down, scaling
     // exponent per query (t ≈ c·N^e ⇒ e = ln(t_big/t_mid)/ln(ratio)).
     // Turns the "would this plan survive a 10× scale-up" argument into a
@@ -770,16 +791,29 @@ object Bench {
     val runMinProbe =
       math.max(if (liveProbes.isEmpty) 1e-9 else liveProbes.min, 1e-9)
     def hotP(k: String): Boolean = probes.get(k).exists(_ > 2.5 * runMinProbe)
-    val vcfBrackets =
-      if (probes.contains("after_vcf_rerun")) Seq("after_vcf", "after_vcf_rerun")
-      else Seq("after_queries", "after_vcf")
-    val suspectSections = Seq(
+    // The VCF section may run up to three times (initial, probe-gated
+    // re-run, unconditional late re-measure) with mergeMin keeping the
+    // best reading — so its comparables are suspect only if EVERY
+    // executed run was bracketed by a hot probe.
+    val vcfRunBrackets: Seq[Seq[String]] =
+      Seq(Seq("after_queries", "after_vcf")) ++
+        (if (probes.contains("after_vcf_rerun"))
+          Seq(Seq("after_vcf", "after_vcf_rerun")) else Nil) ++
+        (if (probes.contains("after_vcf_late"))
+          Seq(Seq("after_stream", "after_vcf_late")) else Nil)
+    val postVcfProbe =
+      if (probes.contains("after_vcf_rerun")) "after_vcf_rerun"
+      else "after_vcf"
+    val scalingStart =
+      if (probes.contains("after_vcf_late")) "after_vcf_late"
+      else "after_stream"
+    val suspectSections = (Seq(
       "queries" -> Seq("start", "after_queries"),
-      "vcf" -> vcfBrackets,
-      "bgzf" -> Seq(vcfBrackets.last, "after_bgzf"),
+      "bgzf" -> Seq(postVcfProbe, "after_bgzf"),
       "stream" -> Seq("after_bgzf", "after_stream"),
-      "scaling" -> Seq("after_stream", "end")
-    ).collect { case (name, ks) if ks.exists(hotP) => name }
+      "scaling" -> Seq(scalingStart, "end")
+    ).collect { case (name, ks) if ks.exists(hotP) => name }) ++
+      (if (vcfRunBrackets.forall(_.exists(hotP))) Seq("vcf") else Nil)
     val suspectJson =
       suspectSections.map("\"" + _ + "\"").mkString("[", ",", "]")
     if (suspectSections.nonEmpty)

@@ -97,7 +97,18 @@ object StateBench {
     // reflects validated output (all requested probes printed a finite
     // positive metric), so a future partial/garbage run no longer
     // masquerades as success just by reaching end of main.
+    //
+    // Quiesce before halt (r13): the r12/r13 crashes kept firing at
+    // the EXACT end of the last probe even with maintenance disabled —
+    // halt() begins unmapping JVM structures while the just-committed
+    // changelog batch's native background threads (memtable flush /
+    // changelog writer) are still draining through the JNI logger.
+    // Standalone runs on a quiet box exit clean; under bench load the
+    // drain loses the race. A short grace window lets the native side
+    // go idle before the process dies. (halt, not exit: shutdown hooks
+    // would start the very close path being avoided.)
     System.out.flush()
+    Thread.sleep(3000)
     Runtime.getRuntime.halt(if (completed == probes.size) 0 else 3)
   }
 }

@@ -736,4 +736,18 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
+
+  test("Events.viterbiDecode: one user-keyed exchange, DP stays map-side") {
+    import spark.implicits._
+    val df = (0 until 200).map(i =>
+      (i.toLong % 10, i.toLong * 1000000000L, i.toLong))
+      .toDF("user_id", "ts", "event_id")
+    val out = operators.Events.viterbiDecode(df, "user_id", "ts", "event_id")
+    val plan = out.queryExecution.executedPlan.toString
+    // the ordering window and the pack aggregate share the single
+    // user-keyed hash exchange; the DP aggregate() is a projection —
+    // no second shuffle, no sort beyond the final orderBy's range
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
