@@ -3125,4 +3125,80 @@ object Eval {
           g6(num2.cast("double") / 2d / sqrt(varU))).as("z"))
   }
 
+  /** Ansari–Bradley two-sample SCALE test — the rank-based dispersion
+    * comparison next to the moment-based family ([[bartlett]] assumes
+    * normality, q377's Levene / q427's Brown–Forsythe an absolute-
+    * deviation model; AB only ranks): score each pooled observation
+    * from BOTH ends, a_i = min(i, N+1−i), and W = Σ scores of group
+    * `ga` — small W ⇔ `ga` owns the extremes ⇔ larger spread.
+    *
+    * Exact-arithmetic shape: with l..u the pooled rank run of a tied
+    * value, the run's DOUBLED score sum is S2(u) − S2(l−1) where
+    *   S2(x) = x(x+1)                    for x ≤ h = ⌊(N+1)/2⌋
+    *   S2(x) = h(h+1) + (x−h)(2N+1−x−h)  for x > h
+    * (the closed form of 2·Σ min(i, N+1−i) — ties crossing the centre
+    * average the true POSITION scores, not the score of the midrank).
+    * Per-value average scores are rational → every W / Σa² term is
+    * 1e-9-quantized pre-sum (the [[mantelHaenszel]] convention), and
+    * the linear-rank moments close the test:
+    *   E(W) = n_a·Σa/N,  Var(W) = n_a·n_b·(N·Σa² − (Σa)²)/(N²(N−1)).
+    * One row: `(n_a, n_b, w_stat, z)` (1e-6 grids).
+    *
+    * Scale shape: one corpus aggregate to the pooled value grid; a
+    * cumulative window over the grid; grid-sized algebra after.
+    */
+  def ansariBradley(df: DataFrame, groupCol: String, valueCol: String,
+      ga: String, gb: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(groupCol).isin(ga, gb))
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol).cast("double") * 100d + 0.5).cast("long")
+          .as("__c"))
+    val cnts = base.groupBy("__c").agg(
+      count(lit(1)).as("__t"),
+      sum(when(col("__g") === ga, 1L).otherwise(0L)).as("__tA"))
+    val w = Window.orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nAll = cnts.agg(sum("__t").as("__N"), sum("__tA").as("__nA"))
+    val runs = cnts
+      .withColumn("__below", coalesce(sum("__t").over(w), lit(0L)))
+      .crossJoin(broadcast(nAll))
+    val h = expr("(__N + 1) div 2")
+    def s2(x: Column): Column =
+      when(x <= h, x * (x + 1L)).otherwise(
+        h * (h + 1L) +
+          (x - h) * (lit(2L) * col("__N") + 1L - x - h))
+    val lo = col("__below")
+    val hi = col("__below") + col("__t")
+    val a2run = s2(hi) - s2(lo)
+    // per-run average score (rational: a2run/(2t)); 1e-9 pre-sum terms
+    def q9(x: Column): Column = floor(x * 1e9 + 0.5).cast("long")
+    val terms = runs.select(col("__N"), col("__nA"),
+      q9(col("__tA").cast("double") * a2run.cast("double") /
+        (lit(2d) * col("__t").cast("double"))).as("__w9"),
+      q9(a2run.cast("double") * a2run.cast("double") /
+        (lit(4d) * col("__t").cast("double"))).as("__sq9"),
+      a2run.as("__a2run"))
+    val agg = terms.groupBy("__N", "__nA").agg(
+      sum("__w9").as("__W9"), sum("__sq9").as("__SQ9"),
+      sum("__a2run").as("__SA2"))
+    val nD = col("__N").cast("double")
+    val naD = col("__nA").cast("double")
+    val nbD = (col("__N") - col("__nA")).cast("double")
+    val wStat = col("__W9").cast("double") / 1e9
+    val sumA = col("__SA2").cast("double") / 2d
+    val sumA2 = col("__SQ9").cast("double") / 1e9
+    val eW = naD * sumA / nD
+    val varW = naD * nbD * (nD * sumA2 - sumA * sumA) /
+      (nD * nD * (nD - 1d))
+    def g6(x: Column): Column =
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5)) /
+        1e6 + lit(0d)
+    agg.select(col("__nA").as("n_a"),
+        (col("__N") - col("__nA")).as("n_b"),
+        g6(wStat).as("w_stat"),
+        when(col("__nA") > 0L && col("__N") - col("__nA") > 0L &&
+            varW > 0d && col("__N") > 1L,
+          g6((wStat - eW) / sqrt(varW))).as("z"))
+  }
 }

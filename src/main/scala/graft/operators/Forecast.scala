@@ -1865,4 +1865,65 @@ object Forecast {
         .as("t_stat"))
   }
 
+  /** Pettitt change-point test on daily volumes — the NONPARAMETRIC
+    * member of the change-point family (q293's CUSUM assumes a mean
+    * shift in level, q415's Chow a linear model, the binary-seg
+    * `changepoint` a variance criterion; Pettitt only assumes
+    * exchangeability under H0). U_t = Σ_{i≤t}Σ_{j>t} sgn(y_i − y_j),
+    * K = max|U_t|, split at the first argmax. With doubled midranks
+    * R2 = 2·below + cnt + 1 off the value grid the pair sums collapse
+    * to a cumulative window and land on U DIRECTLY (2S_t − t(T+1)
+    * with S the midrank prefix sum — sgn ties contribute 0 exactly as
+    * midranks average them out):
+    *   U_t = Σ_{i≤t} R2_i − t·(T+1),
+    * so every U is an exact integer and both engines agree bitwise.
+    * `p_exponent` = 6K²/(T³+T²) is emitted instead of the usual
+    * p ≈ 2·e^{−x} — same information, no cross-engine libm exp.
+    * Output one row: `(n_days, k_stat, cp_t, p_exponent)` (K integer,
+    * cp_t the 1-based day ordinal of the first max, exponent 1e-6).
+    * Empty input ⇒ empty result.
+    *
+    * Scale shape: one corpus pass to the day counts; ranks and the
+    * cumulative U window run on the TIME-BOUNDED grid (T days).
+    */
+  def pettittDaily(df: DataFrame, tsNsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(expr(s"$tsNsCol div ${DayNs}L").as("__d"))
+    val cnts0 = Dedup.persistTracked(
+      ev.groupBy("__d").agg(count(lit(1)).as("__y")))
+    val bounds = cnts0.agg(min("__d").as("__d0"), max("__d").as("__d1"))
+    val grid = bounds.select(col("__d0"),
+      explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val series = Dedup.persistTracked(grid.join(cnts0, Seq("__d"), "left")
+      .select((col("__d") - col("__d0") + 1L).as("t"),
+        coalesce(col("__y"), lit(0L)).as("__y")))
+    val vgrid = series.groupBy("__y").agg(count(lit(1)).as("__c"))
+    val wv = Window.orderBy("__y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vgrid
+      .withColumn("__below", coalesce(sum("__c").over(wv), lit(0L)))
+      .select(col("__y"),
+        (lit(2L) * col("__below") + col("__c") + 1L).as("__r2"))
+    val wt = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nAll = series.agg(count(lit(1)).as("__T"))
+    val u = series.join(ranked, Seq("__y"))
+      .withColumn("__s2", sum("__r2").over(wt))
+      .crossJoin(broadcast(nAll))
+      .where(col("t") < col("__T"))
+      .select(col("t"),
+        (col("__s2") - col("t") * (col("__T") + 1L)).as("__u"),
+        col("__T"))
+    val k = u.agg(max(abs(col("__u"))).as("__k"))
+    def g6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6 + lit(0d)
+    u.crossJoin(broadcast(k))
+      .where(abs(col("__u")) === col("__k"))
+      .agg(max("__T").as("n_days"), max("__k").as("__kb"),
+        min("t").as("cp_t"))
+      .select(col("n_days"),
+        col("__kb").cast("double").as("k_stat"), col("cp_t"),
+        g6(lit(6d) * (col("__kb") * col("__kb")).cast("double") /
+          (col("n_days") * col("n_days") * (col("n_days") + 1L))
+            .cast("double")).as("p_exponent"))
+  }
 }

@@ -510,6 +510,19 @@ object EventsQ {
         "event_type", "value", "click", "view")
     }),
 
+    // ---- Pettitt nonparametric change-point on daily volumes (the
+    //      rank-based member of the CUSUM/Chow/binary-seg family) ----
+    "q443_pettitt" -> ((s, d) => {
+      graft.operators.Forecast.pettittDaily(Tables.events(s, d), "ts")
+    }),
+
+    // ---- Ansari-Bradley rank scale test, click vs view: dispersion
+    //      without the normality/deviation models of q420/q377/q427 ----
+    "q444_ansari_bradley" -> ((s, d) => {
+      graft.operators.Eval.ansariBradley(Tables.events(s, d),
+        "event_type", "value", "click", "view")
+    }),
+
     // ---- Fleiss' kappa: do the event types agree on which users
     //      produce high-value activity? (multi-rater agreement) ----
     "q408_fleiss_kappa" -> ((s, d) => {
@@ -6078,6 +6091,116 @@ object EventsQ {
                * 1e6 + 0.5) / 1e6 + 0.0 END
            END AS z
          FROM alg2""",
+    // Pettitt U_t from doubled-midrank prefix sums on the gap-filled
+    // day grid — exact integers end to end; p reported as its exponent
+    "q443_pettitt" ->
+      """WITH ev AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS d FROM events),
+          cnts AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS y
+            FROM ev GROUP BY d),
+          b AS (SELECT min(d) AS d0, max(d) AS d1 FROM cnts),
+          grid AS (
+            SELECT unnest(generate_series(d0, d1)) AS d, d0 FROM b),
+          series AS (
+            SELECT grid.d - grid.d0 + 1 AS t, coalesce(cnts.y, 0) AS y
+            FROM grid LEFT JOIN cnts ON grid.d = cnts.d),
+          vg AS (SELECT y, CAST(count(*) AS BIGINT) AS c
+            FROM series GROUP BY y),
+          rk AS (
+            SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS r2
+            FROM vg),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM series),
+          uu AS (
+            SELECT s.t,
+              sum(rk.r2) OVER (ORDER BY s.t ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) - s.t * (tt + 1) AS u,
+              tt
+            FROM series s JOIN rk ON s.y = rk.y CROSS JOIN nn),
+          uu2 AS (SELECT * FROM uu WHERE t < tt),
+          kk AS (SELECT max(abs(u)) AS k FROM uu2)
+         SELECT max(tt) AS n_days, CAST(max(k) AS DOUBLE) AS k_stat,
+           CAST(min(t) AS BIGINT) AS cp_t,
+           floor(6.0 * CAST(max(k) * max(k) AS DOUBLE)
+             / CAST(max(tt) * max(tt) * (max(tt) + 1) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 + 0.0 AS p_exponent
+         FROM uu2 CROSS JOIN kk WHERE abs(u) = k""",
+    // Ansari-Bradley from-both-ends scores via the closed-form doubled
+    // prefix S2(x); tie runs average POSITION scores; 1e-9 pre-sum
+    "q444_ansari_bradley" ->
+      """WITH base AS (
+            SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')),
+          cnts AS (
+            SELECT c, CAST(count(*) AS BIGINT) AS t,
+              CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS ta
+            FROM base GROUP BY c),
+          nn AS (
+            SELECT CAST(sum(t) AS BIGINT) AS n,
+              CAST(sum(ta) AS BIGINT) AS na
+            FROM cnts),
+          runs AS (
+            SELECT c, t, ta, coalesce(sum(t) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS below, n, na
+            FROM cnts CROSS JOIN nn),
+          sx AS (
+            SELECT t, ta, n, na,
+              CASE WHEN below + t <= (n + 1) // 2
+                THEN (below + t) * (below + t + 1)
+                ELSE ((n + 1) // 2) * ((n + 1) // 2 + 1)
+                  + (below + t - (n + 1) // 2)
+                    * (2 * n + 1 - (below + t) - (n + 1) // 2)
+              END
+              - CASE WHEN below <= (n + 1) // 2
+                THEN below * (below + 1)
+                ELSE ((n + 1) // 2) * ((n + 1) // 2 + 1)
+                  + (below - (n + 1) // 2)
+                    * (2 * n + 1 - below - (n + 1) // 2)
+              END AS a2run
+            FROM runs),
+          terms AS (
+            SELECT n, na,
+              CAST(floor(CAST(ta AS DOUBLE) * a2run / (2.0 * t)
+                * 1e9 + 0.5) AS BIGINT) AS w9,
+              CAST(floor(CAST(a2run AS DOUBLE) * a2run / (4.0 * t)
+                * 1e9 + 0.5) AS BIGINT) AS sq9,
+              a2run
+            FROM sx),
+          agg AS (
+            SELECT n, na, CAST(sum(w9) AS BIGINT) AS ww9,
+              CAST(sum(sq9) AS BIGINT) AS ssq9,
+              CAST(sum(a2run) AS BIGINT) AS sa2
+            FROM terms GROUP BY n, na),
+          calc AS (
+            SELECT n, na, na AS n_a, n - na AS n_b,
+              CAST(ww9 AS DOUBLE) / 1e9 AS wstat,
+              CAST(na AS DOUBLE) * (CAST(sa2 AS DOUBLE) / 2) / n AS ew,
+              CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE)
+                * (CAST(n AS DOUBLE) * (CAST(ssq9 AS DOUBLE) / 1e9)
+                  - (CAST(sa2 AS DOUBLE) / 2)
+                    * (CAST(sa2 AS DOUBLE) / 2))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) - 1)) AS varw
+            FROM agg)
+         SELECT n_a, n_b,
+           CASE WHEN wstat >= 0
+             THEN floor(wstat * 1e6 + 0.5) / 1e6 + 0.0
+             ELSE -floor(-wstat * 1e6 + 0.5) / 1e6 + 0.0 END AS w_stat,
+           CASE WHEN na > 0 AND n - na > 0 AND varw > 0 AND n > 1 THEN
+             CASE WHEN (wstat - ew) / sqrt(varw) >= 0
+               THEN floor((wstat - ew) / sqrt(varw) * 1e6 + 0.5) / 1e6
+                 + 0.0
+               ELSE -floor(-((wstat - ew) / sqrt(varw)) * 1e6 + 0.5)
+                 / 1e6 + 0.0 END
+           END AS z
+         FROM calc""",
     // exact doubled grand median off the global value grid; k×2 χ²
     // cell terms 1e-9-quantized pre-sum
     "q438_mood_median" ->

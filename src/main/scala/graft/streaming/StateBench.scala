@@ -98,17 +98,23 @@ object StateBench {
     // positive metric), so a future partial/garbage run no longer
     // masquerades as success just by reaching end of main.
     //
-    // Quiesce before halt (r13): the r12/r13 crashes kept firing at
-    // the EXACT end of the last probe even with maintenance disabled —
-    // halt() begins unmapping JVM structures while the just-committed
-    // changelog batch's native background threads (memtable flush /
-    // changelog writer) are still draining through the JNI logger.
-    // Standalone runs on a quiet box exit clean; under bench load the
-    // drain loses the race. A short grace window lets the native side
-    // go idle before the process dies. (halt, not exit: shutdown hooks
-    // would start the very close path being avoided.)
+    // Close the state stores for real before halting (r13, third
+    // attempt — this time from EVIDENCE: the ErrorFile-captured hs_err
+    // shows the SEGV is a native ROCKSDB BACKGROUND THREAD inside
+    // BlockBasedTable::Open → PrefetchIndexAndFilterBlocks, racing
+    // process exit — halt()'s ::exit runs librocksdbjni's static
+    // destructors while the never-closed DBs are still compacting the
+    // probe's 12M freshly-written rows; a sleep can't bound that, and
+    // the JNI logger was never the culprit. RocksDB's close cancels
+    // and WAITS for background work, and with the maintenance interval
+    // pushed to 6h there is no concurrent maintenance unload (the
+    // r10–r12 double-unload race that made teardown crash in the first
+    // place) — so a single synchronous StateStore.stop() on this
+    // thread is an orderly close. halt afterwards still skips the
+    // Spark shutdown hooks.
     System.out.flush()
-    Thread.sleep(3000)
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     Runtime.getRuntime.halt(if (completed == probes.size) 0 else 3)
   }
 }

@@ -4678,6 +4678,45 @@ class OperatorsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("Forecast.pettittDaily: hand U on a level shift") {
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // day counts [1, 1, 5, 5]: midranks (1.5, 1.5, 3.5, 3.5) →
+    // U = (-2, -4, -2); K = 4 at t = 2, exponent 6·16/80 = 1.2
+    val rows = Seq(0L, DayNs) ++
+      (0 until 5).map(i => 2 * DayNs + i.toLong) ++
+      (0 until 5).map(i => 3 * DayNs + i.toLong)
+    val df = rows.map(Tuple1(_)).toDF("ts")
+    val r = graft.operators.Forecast.pettittDaily(df, "ts")
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 4)
+    assert(r.getAs[Double]("k_stat") == 4.0)
+    assert(r.getAs[Long]("cp_t") == 2)
+    assert(r.getAs[Double]("p_exponent") == 1.2)
+  }
+
+  test("Eval.ansariBradley: extremes vs centre by hand") {
+    // a {.01, .04} owns both extremes of pooled {.01,.02,.03,.04}:
+    // scores (1,2,2,1), W = 2, E = 3, Var = 1/3 → z = −√3
+    val df = Seq(("click", 0.01), ("click", 0.04),
+      ("view", 0.02), ("view", 0.03)).toDF("g", "v")
+    val r = graft.operators.Eval
+      .ansariBradley(df, "g", "v", "click", "view").collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("w_stat") == 2.0)
+    val z = -1d / math.sqrt(1d / 3d)
+    assert(r.getAs[Double]("z") == -math.floor(-z * 1e6 + 0.5) / 1e6)
+  }
+
+  test("Eval.ansariBradley: a tie run crossing the centre averages position scores") {
+    // pooled {1, 2, 2, 3}: scores (1, 2, 2, 1); a = {1, 2} → W = 3 = E
+    val df = Seq(("click", 0.01), ("click", 0.02),
+      ("view", 0.02), ("view", 0.03)).toDF("g", "v")
+    val r = graft.operators.Eval
+      .ansariBradley(df, "g", "v", "click", "view").collect().head
+    assert(r.getAs[Double]("w_stat") == 3.0)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
   test("Graph.clusteringCoefficient: triangle plus pendant by hand") {
     // K3 {1,2,3} + pendant (3,4): lcc = 1, 1, 1/3, NULL;
     // wedges = 5, transitivity = 3/5 (edges fed in BOTH directions
