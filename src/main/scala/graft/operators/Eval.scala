@@ -2505,6 +2505,13 @@ object Eval {
           (when(col("__pi6") + col("__pj6") > 0L,
             (col("__pi6") + col("__pj6")).cast("double")) / 1e6) * 1e9
           + 0.5).cast("long")).as("__den9"))
+      // k-row eager checkpoint per MM sweep: p_{r+1} references p_r
+      // TWICE (the __pi6 and __pj6 joins), so an untruncated lineage
+      // doubles per iteration — the q424 gate's formatted plan reached
+      // 633 KB and Catalyst spent multi-second (worst observed: 24 s
+      // under JVM pressure) OPTIMIZING rather than executing. The
+      // checkpoint pins k rows (item-grain) and keeps every sweep's
+      // plan constant-size.
       p = items.join(denom, Seq("__i"))
         .select(col("__i"),
           when(col("__den9") > 0L,
@@ -2512,6 +2519,7 @@ object Eval {
               (when(col("__den9") > 0L, col("__den9").cast("double"))
                 / 1e9) * 1e6 + 0.5)
               .cast("long")).otherwise(0L).as("__p6"))
+        .localCheckpoint(true)
     }
     val norm = p.agg(sum("__p6").as("__sp6"), count(lit(1)).as("__k"))
     items.join(p, Seq("__i")).crossJoin(broadcast(norm))
@@ -3171,12 +3179,25 @@ object Eval {
     val lo = col("__below")
     val hi = col("__below") + col("__t")
     val a2run = s2(hi) - s2(lo)
-    // per-run average score (rational: a2run/(2t)); 1e-9 pre-sum terms
-    def q9(x: Column): Column = floor(x * 1e9 + 0.5).cast("long")
+    // per-run average score (rational: a2run/(2t)); 1e-9 pre-sum terms.
+    // Terms and their sums accumulate in decimal(38,0), NOT long: at
+    // bench scale (sf0.1, N ≈ 3M values) a single sq9 term reaches
+    // ~t·N²/16·1e9 ≈ 5e20 and the w9 sum ≈ na·N/2·1e9 ≈ 2e21 — both
+    // past Int64, which ANSI mode turns into a hard
+    // ARITHMETIC_OVERFLOW (this killed q444 in the r13 bench). A
+    // non-negative double ≥ 2^53 is already integer-valued, so
+    // floor(y) == y there and the < 2^53 branch keeps the small-SF
+    // gate values bit-identical to the old long path; the oracle
+    // mirrors with HUGEINT.
+    def q9w(x: Column): Column = {
+      val y = x * 1e9 + lit(0.5)
+      when(y < lit(9007199254740992d), floor(y).cast("decimal(38,0)"))
+        .otherwise(y.cast("decimal(38,0)"))
+    }
     val terms = runs.select(col("__N"), col("__nA"),
-      q9(col("__tA").cast("double") * a2run.cast("double") /
+      q9w(col("__tA").cast("double") * a2run.cast("double") /
         (lit(2d) * col("__t").cast("double"))).as("__w9"),
-      q9(a2run.cast("double") * a2run.cast("double") /
+      q9w(a2run.cast("double") * a2run.cast("double") /
         (lit(4d) * col("__t").cast("double"))).as("__sq9"),
       a2run.as("__a2run"))
     val agg = terms.groupBy("__N", "__nA").agg(

@@ -1710,23 +1710,40 @@ object Similarity {
     def d2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0d), (acc, z) => acc + z)
-    val wInit = Window.orderBy(
-      md5Long(concat(lit("km:"), col("__id"))), col("__id"))
+    // top-k by hash = TakeOrderedAndProject (no global single-partition
+    // window sort of the corpus); the k-row window after the limit only
+    // numbers k rows
+    val wInit = Window.orderBy(col("__h"), col("__id"))
     var centroids = pts
+      .withColumn("__h", md5Long(concat(lit("km:"), col("__id"))))
+      .orderBy(col("__h"), col("__id")).limit(k)
       .withColumn("__rn", row_number().over(wInit))
-      .where(col("__rn") <= k)
       .select((col("__rn") - 1).cast("long").as("__c"),
         col("__v").as("__cv"))
       .localCheckpoint(true)
+    // Argmin over the k centroids as a fold over a ONE-ROW broadcast
+    // array (ascending __c, strict < ⇒ ties keep the lowest id — the
+    // same verdict the old per-point row_number window reached), so the
+    // assignment is pure map-side codegen: the previous plan shuffled
+    // corpus × k rows (each carrying the 64-long __v7 payload) through
+    // an Exchange+Sort per round just to rank k candidates.
     def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("__id")
-        .orderBy(col("__d9").asc, col("__c").asc)
-      pts.crossJoin(broadcast(cents))
-        .select(col("__id"), col("__v7"), col("__c"),
-          floor(d2(col("__v"), col("__cv")) * 1e9 + 0.5).cast("long")
-            .as("__d9"))
-        .withColumn("__arn", row_number().over(w))
-        .where(col("__arn") === 1)
+      val centArr = cents.agg(
+        sort_array(collect_list(struct(col("__c"), col("__cv")))).as("__cs"))
+      pts.crossJoin(broadcast(centArr))
+        .select(col("__id"), col("__v7"),
+          aggregate(col("__cs"),
+            struct(lit(Long.MaxValue).as("__d9"), lit(-1L).as("__c")),
+            (acc, s) => {
+              val d9 = floor(d2(col("__v"), s.getField("__cv")) * 1e9 + 0.5)
+                .cast("long")
+              when(d9 < acc.getField("__d9"),
+                struct(d9.as("__d9"), s.getField("__c").as("__c")))
+                .otherwise(acc)
+            }).as("__best"))
+        .select(col("__id"), col("__v7"),
+          col("__best").getField("__c").as("__c"),
+          col("__best").getField("__d9").as("__d9"))
     }
     for (_ <- 1 to rounds) {
       val assigned = assign(centroids)

@@ -2194,23 +2194,37 @@ object TextAnalysis {
         explode(wordShingles(tokens(col(textCol)), shingleSize))
           .as("__sh"))
       .distinct())
-    var uncovered = pairs.select("__sh").distinct()
+    // Gains are counted against the COVERED set (shingles of the ≤
+    // rounds docs picked so far — document-bounded, so broadcastable at
+    // any corpus scale) instead of materializing + re-joining the
+    // corpus-sized `uncovered` complement every round: count(sh ∉
+    // covered) ≡ count(sh ∈ uncovered), and the per-round plan becomes
+    // one broadcast anti-join + map-side count over the persisted grid
+    // — the old shape shuffled BOTH the full (doc, shingle) grid and
+    // the near-corpus-sized uncovered set each round, then eagerly
+    // checkpointed the shrunk complement.
+    var picks: DataFrame = null
     var out: DataFrame = null
     for (r <- 1 to rounds) {
-      val gains = pairs.join(uncovered, Seq("__sh"))
-        .groupBy("__doc").agg(count(lit(1)).as("__g"))
+      val gains =
+        if (picks == null) pairs.groupBy("__doc").agg(count(lit(1)).as("__g"))
+        else {
+          val covered = pairs
+            .join(broadcast(picks), Seq("__doc"), "left_semi")
+            .select("__sh").distinct()
+          pairs.join(broadcast(covered), Seq("__sh"), "left_anti")
+            .groupBy("__doc").agg(count(lit(1)).as("__g"))
+        }
       val pick = gains.agg(
         max(struct(col("__g"), (-col("__doc")).as("__nd"))).as("__best"))
         .select((-col("__best.__nd")).as("__doc"),
           col("__best.__g").as("gain"), lit(r).as("round"))
+        .localCheckpoint(true)
       val row = pick.select(col("round"), col("__doc").as("doc_id"),
         col("gain"))
       out = if (out == null) row else out.unionByName(row)
-      val pickedSh = pairs
-        .join(broadcast(pick.select("__doc")), Seq("__doc"))
-        .select("__sh")
-      uncovered = uncovered.join(pickedSh, Seq("__sh"), "left_anti")
-        .localCheckpoint(true)
+      val newPick = pick.select("__doc")
+      picks = if (picks == null) newPick else picks.unionByName(newPick)
     }
     val w = org.apache.spark.sql.expressions.Window.orderBy("round")
       .rowsBetween(org.apache.spark.sql.expressions.Window

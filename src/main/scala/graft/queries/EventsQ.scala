@@ -6168,14 +6168,14 @@ object EventsQ {
           terms AS (
             SELECT n, na,
               CAST(floor(CAST(ta AS DOUBLE) * a2run / (2.0 * t)
-                * 1e9 + 0.5) AS BIGINT) AS w9,
+                * 1e9 + 0.5) AS HUGEINT) AS w9,
               CAST(floor(CAST(a2run AS DOUBLE) * a2run / (4.0 * t)
-                * 1e9 + 0.5) AS BIGINT) AS sq9,
+                * 1e9 + 0.5) AS HUGEINT) AS sq9,
               a2run
             FROM sx),
           agg AS (
-            SELECT n, na, CAST(sum(w9) AS BIGINT) AS ww9,
-              CAST(sum(sq9) AS BIGINT) AS ssq9,
+            SELECT n, na, CAST(sum(w9) AS HUGEINT) AS ww9,
+              CAST(sum(sq9) AS HUGEINT) AS ssq9,
               CAST(sum(a2run) AS BIGINT) AS sa2
             FROM terms GROUP BY n, na),
           calc AS (

@@ -1184,8 +1184,15 @@ object VcfApi {
       val newly = decidable
         .join(keptUp.withColumn("__k", lit(false)), Seq("variant_id"), "left")
         .select(col("variant_id"), coalesce(col("__k"), lit(true)).as("kept"))
-      val nextDecided = decided.union(newly)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint, not persist: decided_{r} references
+      // decided_{r-1} through keptUp AND the union, so an untruncated
+      // lineage grows exponentially with rounds (the q305 gate's
+      // formatted plan reached 616 KB — Catalyst re-analysis per round
+      // cost more than the round's joins), and the old per-round
+      // persists were never unpersisted. The checkpoint materializes
+      // the slim (variant_id, kept) rows once and keeps every round's
+      // plan constant-size.
+      val nextDecided = decided.union(newly).localCheckpoint(true)
       val nextUndecided = undecided
         .join(newly.select("variant_id"), Seq("variant_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1194,6 +1201,9 @@ object VcfApi {
         s"ldPrune made no progress at round $rounds — conflict graph " +
           "has an upstream cycle (corrupt positions?)")
       undecided.unpersist(); undecided = nextUndecided
+      // nextDecided is already materialized (eager checkpoint), so the
+      // previous round's checkpointed blocks can be dropped now
+      graft.operators.Graph.unpersistCheckpoint(decided)
       decided = nextDecided
       undecidedCount = nextCount
       rounds += 1
