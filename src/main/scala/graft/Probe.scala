@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.vcf.VcfApi
 
 /** Scratch perf probe (not part of the driver contract). */
 object Probe {
@@ -21,41 +20,36 @@ object Probe {
     def forceRun(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val sfDir = "/root/testdata/sf0.1"
+    import graft.functions._
 
-    // century customer tier cost check (bench pre-flight)
-    val tEnsure = time {
-      ScaleUp.ensure(spark, sfDir, "/tmp/graft_sf10_linkage", 100,
-        only = Seq("customer"))
-    }
-    println(f"[probe] customer century ensure: $tEnsure%.1f s")
-    val custDir = "/tmp/graft_sf10_linkage"
-    Seq("q300_record_linkage", "q306_linkage_one_to_one").foreach { n =>
-      val tB = time(forceRun(SparkEntry.queries(n)(spark, sfDir)))
-      val t1 = time(forceRun(SparkEntry.queries(n)(spark, custDir)))
-      println(f"[probe] $n%-28s base $tB%.2f s  100x $t1%.2f s  exp ${math.log(t1 / tB) / math.log(100d)}%.3f")
-    }
-
-    // LD tier cost check
-    def ldTier(nVariants: Long): Double = {
-      val info = spark.range(1L, nVariants + 1).select(
-        col("id").as("variant_id"), lit("1").as("chr"),
-        (col("id") * 75L + pmod(xxhash64(col("id")), lit(50L))).as("start"))
-      val geno = spark.range(1L, nVariants + 1)
-        .select(col("id").as("variant_id"))
-        .crossJoin(spark.range(0L, 24L).select(col("id").as("__s")))
-        .select(col("variant_id"),
-          concat(lit("s"), col("__s")).as("sample"),
-          pmod(xxhash64(col("variant_id"), col("__s")), lit(3L))
-            .cast("double").as("gt"))
-      time {
-        val n = VcfApi.ldPrune(geno, info, maxDist = 1000L, r2Max = 0.5).count()
-        require(n == nVariants, s"ldPrune emitted $n of $nVariants")
-      }
-    }
-    println(f"[probe] ldTier 20k:  ${ldTier(20000L)}%.2f s")
-    println(f"[probe] ldTier 2M:   ${ldTier(2000000L)}%.2f s")
-
-    spark.sparkContext.setLogLevel("OFF")
-    try spark.stop() catch { case _: Throwable => () }
+    val docs = Tables.documents(spark, sfDir)
+    // stage dissection of q267: where do 4.4 s go for 5k docs?
+    val toks = docs.select(tokens(col("text")).as("tk"))
+    forceRun(toks)
+    println(f"[probe] tokens only: ${time(forceRun(toks))}%.3f s")
+    val sh = docs.select(wordShingles(tokens(col("text")), 3).as("sh"))
+    forceRun(sh)
+    println(f"[probe] shingles arr: ${time(forceRun(sh))}%.3f s")
+    val ex = docs.select(explode(wordShingles(tokens(col("text")), 3)).as("t"))
+    forceRun(ex)
+    println(f"[probe] explode: ${time(forceRun(ex))}%.3f s")
+    val freq = ex.groupBy("t").agg(count(lit(1)).as("__f"))
+    forceRun(freq)
+    println(f"[probe] groupBy freq: ${time(forceRun(freq))}%.3f s")
+    val fin = graft.operators.TextAnalysis.unseenVocabEstimate(docs, "text", 3)
+    forceRun(fin)
+    println(f"[probe] q267 full: ${time(forceRun(fin))}%.3f s")
+    // fix shape A: materialize tokens into a column first (attribute
+    // capture in the lambda = O(1) slot read per element)
+    val sh2 = docs.select(tokens(col("text")).as("__tk"))
+      .select(explode(wordShingles(col("__tk"), 3)).as("t"))
+    forceRun(sh2)
+    println(f"[probe] explode w/ materialized toks: ${time(forceRun(sh2))}%.3f s")
+    val freq2 = sh2.groupBy("t").agg(count(lit(1)).as("__f"))
+    forceRun(freq2)
+    println(f"[probe] groupBy freq w/ materialized toks: ${time(forceRun(freq2))}%.3f s")
+    val n = docs.count()
+    println(s"[probe] docs=$n")
+    spark.stop()
   }
 }

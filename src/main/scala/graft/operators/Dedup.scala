@@ -654,8 +654,9 @@ object Dedup {
     // lane-wise L1 between two sketches LOWER-bounds |A Δ B| — the
     // deterministic refutation the candidate join prunes with.
     val docs = persistTracked(parallelize(df)
-      .select(col(idCol).as("id"),
-        hashedSet(wordShingles(tokens(col(textCol)), shingleSize)).as("sh"))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        hashedSet(wordShingles(col("__t"), shingleSize)).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sk", packedCountSketch(col("sh"))))
     val dfreq = docs.select(explode(col("sh")).as("tok"))
@@ -989,7 +990,9 @@ object Dedup {
       shingleSize, threshold)
     val sets = persistTracked(parallelize(df)
       .select(col(idCol).cast("long").as("id"),
-        array_distinct(wordShingles(tokens(col(textCol)), shingleSize)).as("sh"))
+        tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        array_distinct(wordShingles(col("__t"), shingleSize)).as("sh"))
       .where(size(col("sh")) > 0))
     val n = sets.count()
     val idf = sets.select(explode(col("sh")).as("g"))
@@ -1263,8 +1266,9 @@ object Dedup {
   def softDedupWeights(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, alpha: Double = 1.0): DataFrame = {
     val grams = persistTracked(df
-      .select(col(idCol).as("__id"),
-        explode(array_distinct(wordShingles(tokens(col(textCol)), n))).as("g")))
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .select(col("__id"),
+        explode(array_distinct(wordShingles(col("__t"), n))).as("g")))
     val nDocs = grams.select(countDistinct(col("__id")).as("__n_docs"))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val perDoc = persistTracked(grams.join(dfreq, "g")
@@ -1469,7 +1473,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && w >= 1, "k and w must be positive")
     val grams = parallelize(docs)
-      .select(col(idCol), posexplode(wordShingles(tokens(col(textCol)), k)))
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), posexplode(wordShingles(col("__t"), k)))
       .select(col(idCol), col("pos"), md5Long(col("col")).as("fingerprint"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val whole = Window.partitionBy(col(idCol))

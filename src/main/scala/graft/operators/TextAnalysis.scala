@@ -1231,8 +1231,8 @@ object TextAnalysis {
     * linear too (there is no pairwise stage to blow up).
     */
   def saturationVolume(df: DataFrame, textCol: String, n: Int = 3): Long =
-    df.select(explode(array_distinct(
-        wordShingles(tokens(col(textCol)), n))).as("g"))
+    df.select(tokens(col(textCol)).as("__t"))
+      .select(explode(array_distinct(wordShingles(col("__t"), n))).as("g"))
       .count()
 
   /** Domain-level quality gating (the RefinedWeb/C4 "bad domain" rule
@@ -1523,9 +1523,9 @@ object TextAnalysis {
   def noveltyRate(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val grams = Dedup.persistTracked(df
-      .select(col(idCol).as("__id"),
-        explode(array_distinct(wordShingles(tokens(col(textCol)), n)))
-          .as("__g")))
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .select(col("__id"),
+        explode(array_distinct(wordShingles(col("__t"), n))).as("__g")))
     val firsts = grams.groupBy("__g").agg(min("__id").as("__first"))
     grams.join(firsts, Seq("__g"))
       .groupBy(col("__id").as(idCol))
@@ -1548,13 +1548,18 @@ object TextAnalysis {
     */
   def codeSwitching(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int): DataFrame = {
-    val toks = tokens(col(textCol))
+    // tokens materialized to an attribute before the chunk lambda: the
+    // lambda's slice captures it per chunk, and an attribute capture is
+    // an O(1) slot read where an inline tokens(text) would re-tokenize
+    // the document once per chunk
+    val toks = col("__tk")
     val chunks = transform(
       sequence(lit(0), ((size(toks) - 1) / chunkTokens).cast("int")),
       i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
     val perChunk = df
       .select(col(idCol), langId(col(textCol)).as("doc_lang"),
-        explode(chunks).as("__chunk"))
+        tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("doc_lang"), explode(chunks).as("__chunk"))
       .where(length(col("__chunk")) > 0)
       .select(col(idCol), col("doc_lang"), langId(col("__chunk")).as("__cl"))
     val counts = perChunk
@@ -1583,7 +1588,8 @@ object TextAnalysis {
   def featureHashAudit(df: DataFrame, textCol: String, n: Int,
       buckets: Int): DataFrame = {
     val types = df
-      .select(explode(wordShingles(tokens(col(textCol)), n)).as("t"))
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(wordShingles(col("__t"), n)).as("t"))
       .distinct()
     // the bucket-load relation feeds BOTH the histogram and the
     // summary — persist or the corpus explode+distinct runs twice
@@ -1615,7 +1621,8 @@ object TextAnalysis {
   def unseenVocabEstimate(df: DataFrame, textCol: String,
       n: Int): DataFrame = {
     val freq = df
-      .select(explode(wordShingles(tokens(col(textCol)), n)).as("t"))
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(wordShingles(col("__t"), n)).as("t"))
       .groupBy("t").agg(count(lit(1)).as("__f"))
     freq.agg(sum("__f").as("n_tokens"), count(lit(1)).as("vocab"),
         count(when(col("__f") === 1, lit(1))).as("v1"),
@@ -2190,9 +2197,10 @@ object TextAnalysis {
       shingleSize: Int = 3, rounds: Int = 5): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       "rounds in [1, 16] (the oracle unrolls the same count)")
-    val pairs = Dedup.persistTracked(df.select(col(idCol).as("__doc"),
-        explode(wordShingles(tokens(col(textCol)), shingleSize))
-          .as("__sh"))
+    val pairs = Dedup.persistTracked(df
+      .select(col(idCol).as("__doc"), tokens(col(textCol)).as("__t"))
+      .select(col("__doc"),
+        explode(wordShingles(col("__t"), shingleSize)).as("__sh"))
       .distinct())
     // Gains are counted against the COVERED set (shingles of the ≤
     // rounds docs picked so far — document-bounded, so broadcastable at

@@ -890,8 +890,9 @@ object Pipeline {
     //      the pair fan-out) ----
     "q229_link_prediction" -> ((s, d) => {
       val inc = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("__t"))
         .select(col("doc_id"),
-          explode(wordShingles(tokens(col("text")), 3)).as("shingle"))
+          explode(wordShingles(col("__t"), 3)).as("shingle"))
       graft.operators.Graph.adamicAdar(inc, "doc_id", "shingle",
         minShared = 2, maxAttrDeg = 20, topK = 50)
     }),
