@@ -36,12 +36,25 @@ package object functions {
     * substring-regex alternation tested in order ref→het→hom-alt, so
     * e.g. "0/." is 0 and "./1" is 1, and any multi-allelic ("2/1") or
     * fully-missing ("./.") genotype is NULL.
+    *
+    * Every alternation branch of the reference regex is a literal
+    * (the only anchored forms, `^0$`/`^1$`, are whole-string
+    * equality under regex `find`), so the recode compiles to plain
+    * `contains`/equality tests — same truth table as the rlike form
+    * (FunctionsSpec keeps the regex oracle as the property test), at
+    * substring-search cost instead of a regex engine pass per
+    * genotype row of the build's widest table.
     */
-  def gt2snp(gtRaw: Column): Column =
-    when(gtRaw.rlike("0/\\.|\\./0|0/0|0\\|0|^0$"), lit(0d))
-      .when(gtRaw.rlike("0/1|1/0|0\\|1|1\\|0|\\./1|1/\\.|\\.\\|1|1\\|\\.|^1$"), lit(1d))
-      .when(gtRaw.rlike("1/1|1\\|1"), lit(2d))
+  def gt2snp(gtRaw: Column): Column = {
+    def anyOf(subs: Seq[String], exact: Seq[String]): Column =
+      (subs.map(gtRaw.contains) ++ exact.map(s => gtRaw === s))
+        .reduce(_ || _)
+    when(anyOf(Seq("0/.", "./0", "0/0", "0|0"), Seq("0")), lit(0d))
+      .when(anyOf(Seq("0/1", "1/0", "0|1", "1|0", "./1", "1/.", ".|1", "1|."),
+        Seq("1")), lit(1d))
+      .when(anyOf(Seq("1/1", "1|1"), Nil), lit(2d))
       .otherwise(lit(null).cast(DoubleType))
+  }
 
   /** Lowercase word tokens: split on runs of non-alphanumerics, drop
     * empties. DuckDB equivalent:

@@ -228,20 +228,33 @@ object VcfBuild {
     * disappears because each line is parsed once).
     *
     * FORMAT keys are resolved per row (`array_position` on the row's
-    * FORMAT column), so files with heterogeneous FORMAT are handled.
+    * FORMAT column), so files with heterogeneous FORMAT are handled —
+    * but resolved BEFORE the genotype explode: positions are a pure
+    * function of the per-VARIANT `format` string, so computing them on
+    * the pre-explode side evaluates `split` + one `array_position` per
+    * key once per variant instead of once per (variant × sample) row
+    * (at cohort width that is a ×n_samples saving on the build's
+    * widest stage for free — values are identical by definition).
     */
   def variantGeno(ids: DataFrame, header: VcfHeaderInfo): DataFrame = {
+    // key order: GT first (gt/gt_raw), then the declared extras
+    val keys = "GT" +: header.formatDefs.map(_.id).filterNot(_ == "GT")
+    val posCols = keys.zipWithIndex.map { case (k, i) =>
+      array_position(split(col("format"), ":"), k).as(s"_p$i")
+    }
     val base = ids.select(
-      col("variant_id"), col("format"),
-      explode(col("genotypes")).as("g"))
+      (Seq(col("variant_id"), col("genotypes")) ++ posCols): _*)
       .select(
-        col("variant_id"),
-        split(col("format"), ":").as("_fmt"),
-        col("g.sample").as("sample"),
-        split(col("g.raw"), ":").as("_vals"))
+        (Seq(col("variant_id"), explode(col("genotypes")).as("g")) ++
+          keys.indices.map(i => col(s"_p$i"))): _*)
+      .select(
+        (Seq(col("variant_id"),
+          col("g.sample").as("sample"),
+          split(col("g.raw"), ":").as("_vals")) ++
+          keys.indices.map(i => col(s"_p$i"))): _*)
 
     def fmtField(key: String): Column = {
-      val pos = array_position(col("_fmt"), key)
+      val pos = col(s"_p${keys.indexOf(key)}")
       // trailing FORMAT fields may be dropped per sample (VCF 4.2);
       // the bounds guard keeps ANSI element_at from throwing on them
       when(pos > 0 && pos <= size(col("_vals")),
