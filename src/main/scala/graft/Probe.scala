@@ -17,39 +17,24 @@ object Probe {
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    def forceRun(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
     val sfDir = "/root/testdata/sf0.1"
-    import graft.functions._
 
-    val docs = Tables.documents(spark, sfDir)
-    // stage dissection of q267: where do 4.4 s go for 5k docs?
-    val toks = docs.select(tokens(col("text")).as("tk"))
-    forceRun(toks)
-    println(f"[probe] tokens only: ${time(forceRun(toks))}%.3f s")
-    val sh = docs.select(wordShingles(tokens(col("text")), 3).as("sh"))
-    forceRun(sh)
-    println(f"[probe] shingles arr: ${time(forceRun(sh))}%.3f s")
-    val ex = docs.select(explode(wordShingles(tokens(col("text")), 3)).as("t"))
-    forceRun(ex)
-    println(f"[probe] explode: ${time(forceRun(ex))}%.3f s")
-    val freq = ex.groupBy("t").agg(count(lit(1)).as("__f"))
-    forceRun(freq)
-    println(f"[probe] groupBy freq: ${time(forceRun(freq))}%.3f s")
-    val fin = graft.operators.TextAnalysis.unseenVocabEstimate(docs, "text", 3)
-    forceRun(fin)
-    println(f"[probe] q267 full: ${time(forceRun(fin))}%.3f s")
-    // fix shape A: materialize tokens into a column first (attribute
-    // capture in the lambda = O(1) slot read per element)
-    val sh2 = docs.select(tokens(col("text")).as("__tk"))
-      .select(explode(wordShingles(col("__tk"), 3)).as("t"))
-    forceRun(sh2)
-    println(f"[probe] explode w/ materialized toks: ${time(forceRun(sh2))}%.3f s")
-    val freq2 = sh2.groupBy("t").agg(count(lit(1)).as("__f"))
-    forceRun(freq2)
-    println(f"[probe] groupBy freq w/ materialized toks: ${time(forceRun(freq2))}%.3f s")
-    val n = docs.count()
-    println(s"[probe] docs=$n")
+    // stream gate dissection: default temp checkpoint (/tmp, disk) vs
+    // a RAM-backed checkpoint root
+    def run(): Unit = {
+      graft.streaming.EventsStream
+        .runTumblingOnce(spark, sfDir, 3600L * 1000 * 1000 * 1000)
+        .write.format("noop").mode("overwrite").save()
+    }
+    run() // warm
+    println(f"[probe] tumbling default ckpt: ${time(run())}%.3f s")
+    println(f"[probe] tumbling default ckpt (2): ${time(run())}%.3f s")
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+      "/dev/shm/graft_probe_ckpt")
+    run() // warm with new root
+    println(f"[probe] tumbling shm ckpt: ${time(run())}%.3f s")
+    println(f"[probe] tumbling shm ckpt (2): ${time(run())}%.3f s")
+    spark.conf.unset("spark.sql.streaming.checkpointLocation")
     spark.stop()
   }
 }

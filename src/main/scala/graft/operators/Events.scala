@@ -176,10 +176,17 @@ object Events {
     val kept = pairs.join(states.select(col("s").as("to")), Seq("to"), "left_semi")
     val cnt = kept.groupBy("from", "to").agg(count(lit(1)).as("__n"))
     val totals = cnt.groupBy("from").agg(sum("__n").as("__tot"))
-    val p = Dedup.persistTracked(cnt.join(totals, Seq("from"))
+    // eager localCheckpoint on the |states|²-bounded transition grid,
+    // pre-partitioned on the round-join key: the persisted form kept
+    // the corpus-pass lineage, which all `iters` rounds re-analyzed;
+    // the checkpoint makes per-round planning O(1) and the grid
+    // crosses an exchange once (released after the loop)
+    val p = cnt.join(totals, Seq("from"))
       .select(col("from"), col("to"),
         floor(col("__n").cast("double") / col("__tot") * 1e6 + 0.5)
-          .cast("long").as("__p6")))
+          .cast("long").as("__p6"))
+      .repartition(col("from"))
+      .localCheckpoint(true)
     var v = states.select(col("s"), lit(1000000000000L).as("__v12"))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
@@ -197,6 +204,7 @@ object Events {
       if (prev != null) Graph.unpersistCheckpoint(prev)
       prev = wp
     }
+    Graph.unpersistCheckpoint(p)
     states.join(v, Seq("s"), "left")
       .na.fill(0L, Seq("__v12"))
       .select(col("s").as("state"),

@@ -197,12 +197,21 @@ object Graph {
     val e = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+    // loop invariants as EAGER localCheckpoints, not persists: a
+    // persisted frame keeps its full logical plan, so every round
+    // would re-analyze + re-optimize the whole edge derivation
+    // (measured as a dominant per-round cost across the iterative
+    // operators); the checkpoint truncates each to a LogicalRDD leaf.
+    // withDeg is pre-partitioned on the round-join key, so the
+    // edge-sized side crosses an exchange ONCE for all rounds — only
+    // the node-sized rank vector moves per round.
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val withDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("src"))
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contribs = withDeg
@@ -220,8 +229,8 @@ object Graph {
       // the superseded round's blocks are dead weight from here on
       unpersistCheckpoint(prev)
     }
-    nodes.unpersist(false)
-    withDeg.unpersist(false)
+    unpersistCheckpoint(nodes)
+    unpersistCheckpoint(withDeg)
     ranks.select(col("id"), round(col("rank"), roundTo).as("rank"))
   }
 
@@ -314,14 +323,19 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, roundTo: Int = 6): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    // eager checkpoints (not persists) for the loop invariants — see
+    // pageRank: truncated lineage keeps per-round planning O(1); the
+    // edge set is pre-partitioned on the auth-step join key so one of
+    // the two per-round joins never re-shuffles the edge-sized side
     val e = edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("src"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def l1Normalize(scores: DataFrame, c: String): DataFrame = {
       val tot = broadcast(scores.agg(sum(col(c)).as("__tot")))
       scores.crossJoin(tot)
@@ -354,7 +368,7 @@ object Graph {
     val out = auths.join(hubs, Seq("id"))
       .select(col("id"), round(col("auth"), roundTo).as("authority"),
         round(col("hub"), roundTo).as("hub"))
-    e.unpersist(false); nodes.unpersist(false)
+    unpersistCheckpoint(e); unpersistCheckpoint(nodes)
     out
   }
 
@@ -762,7 +776,13 @@ object Graph {
     * Scale shape: the scored pairs are computed ONCE upstream
     * (LSH-bucketed, sub-quadratic); each threshold re-filters the
     * same pair set and runs the O(log n) large-star/small-star CC.
-    * |thresholds| is a small constant.
+    * |thresholds| is a small constant. The per-threshold solves are
+    * INDEPENDENT, and each is a driver-sequenced round loop — run
+    * them from a thread pool so the scheduler overlaps their jobs
+    * (guide §2.6: actions are only sequential because the driver
+    * calls them sequentially); wall-clock ≈ the slowest solve, not
+    * the sum. Each solve's rounds, checkpoints and telemetry are
+    * private to its thread; results are unchanged by construction.
     */
   def percolation(pairs: DataFrame, aCol: String, bCol: String,
       simCol: String, thresholds: Seq[Double]): DataFrame = {
@@ -770,15 +790,30 @@ object Graph {
     val cached = Dedup.persistTracked(
       pairs.select(col(aCol).as("__a"), col(bCol).as("__b"),
         col(simCol).as("__sim")))
-    thresholds.sorted.map { t =>
-      val comps = connectedComponents(
-        cached.where(col("__sim") >= t), "__a", "__b")
-      comps.groupBy("comp").agg(count(lit(1)).as("__sz"))
-        .agg(lit(t).as("threshold"),
-          coalesce(sum("__sz"), lit(0L)).as("n_nodes"),
-          count(lit(1)).as("n_components"),
-          coalesce(max("__sz"), lit(0L)).as("largest_component"))
-    }.reduce(_ unionByName _).orderBy("threshold")
+    // materialize the shared pair cache ONCE before the solves fan
+    // out: three concurrent first-touches would each recompute the
+    // upstream LSH pipeline into the same cache partitions
+    cached.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      thresholds.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = thresholds.sorted.map { t =>
+        scala.concurrent.Future {
+          val comps = connectedComponents(
+            cached.where(col("__sim") >= t), "__a", "__b")
+          comps.groupBy("comp").agg(count(lit(1)).as("__sz"))
+            .agg(lit(t).as("threshold"),
+              coalesce(sum("__sz"), lit(0L)).as("n_nodes"),
+              count(lit(1)).as("n_components"),
+              coalesce(max("__sz"), lit(0L)).as("largest_component"))
+        }
+      }
+      futs.map(scala.concurrent.Await.result(
+          _, scala.concurrent.duration.Duration.Inf))
+        .reduce(_ unionByName _).orderBy("threshold")
+    } finally pool.shutdown()
   }
 
   /** Rich-club coefficient (Zhou & Mondragón 2004): for each degree

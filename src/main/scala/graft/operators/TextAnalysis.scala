@@ -2094,8 +2094,16 @@ object TextAnalysis {
         .union(und.select(col("wb").as("src"), col("wa").as("dst"),
           col("__wt"))))
     val strength = sym.groupBy("src").agg(sum("__wt").as("__s"))
+    // eager checkpoint of the loop-invariant strength-weighted edge
+    // grid (vocab-pair-bounded), pre-partitioned on the round-join
+    // key: rounds no longer re-analyze the corpus tokenize/window
+    // lineage, and the edge-sized side never re-shuffles (the rank
+    // vector, checkpointed with the same hash partitioning, aligns)
     val symS = sym.join(strength, "src")
-    val nodes = sym.select(col("src").as("id")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = symS.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contribs = symS
@@ -2114,6 +2122,8 @@ object TextAnalysis {
         .localCheckpoint(true)
       Graph.unpersistCheckpoint(prev)
     }
+    Graph.unpersistCheckpoint(symS)
+    Graph.unpersistCheckpoint(nodes)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rank").desc, col("id").asc)
     ranks.withColumn("__rn", row_number().over(w))

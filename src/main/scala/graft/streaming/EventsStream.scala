@@ -59,12 +59,48 @@ object EventsStream {
     * same knob a deployment pins before a stateful query's first start
     * (the count is frozen into the checkpoint). Results are
     * partition-count invariant; the DuckDB gates re-verify that.
+    *
+    * The block also pins the query's CHECKPOINT to a RAM-backed
+    * scratch dir, deleted when the block exits. These AvailableNow
+    * harness runs replay a static table into a memory sink: their
+    * offset/commit/state files are pure verification scratch — written
+    * once, never read back, discarded with the query — so placing them
+    * on `/dev/shm` (override: `spark.graft.streamScratch`; fallback:
+    * `java.io.tmpdir` when absent) removes disk-write latency from
+    * every micro-batch commit without touching the durable-checkpoint
+    * story of a real deployment, where the location is an explicit
+    * required choice. The throughput PROBES (rate source) do not run
+    * through this block — their measurement conditions are unchanged.
     */
   private[streaming] def withStatePartitions[A](spark: SparkSession, n: Int)
       (body: => A): A = {
+    import java.nio.file.{Files, Paths, Path}
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCkpt =
+      spark.conf.getOption("spark.sql.streaming.checkpointLocation")
+    val root = spark.conf.getOption("spark.graft.streamScratch")
+      .getOrElse(
+        if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm"
+        else sys.props("java.io.tmpdir"))
+    val scratch = Files.createTempDirectory(
+      Paths.get(root), "graft_stream_ckpt_")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+      scratch.toString)
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCkpt match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.checkpointLocation", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.checkpointLocation")
+      }
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(scratch).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
   }
 
   /** Run the streaming aggregation once over the static events table

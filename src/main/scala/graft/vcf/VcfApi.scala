@@ -790,9 +790,22 @@ object VcfApi {
       .otherwise(-floor(-col("grm") * 1e4 + 0.5)).cast("long")
     val up = grmReport(geno, maxVariants, sampleBlocks)
       .select(col("sample_a").as("a"), col("sample_b").as("b"), g4c.as("g4"))
-    val full = Dedup.persistTracked(
-      up.unionByName(up.filter(col("a") =!= col("b"))
-        .select(col("b").as("a"), col("a").as("b"), col("g4"))))
+    // EAGER localCheckpoint, not persist: a persisted frame keeps its
+    // full logical plan, so all `iters` round joins below re-analyze
+    // and re-optimize the whole GRM derivation (join + pair grid +
+    // aggregate) once per round — measured as the dominant cost of
+    // the gate call. The checkpoint truncates the lineage to a
+    // LogicalRDD leaf: per-round planning is O(1) in the GRM plan.
+    // The GRM itself is cohort²-bounded, the same residency class the
+    // persist had; blocks are released explicitly after the loop.
+    // pre-partitioned on the round-join key: localCheckpoint preserves
+    // the physical partitioning in its LogicalRDD, so all `iters`
+    // round joins below reuse it — the cohort²-sized GRM side crosses
+    // an exchange ONCE, only the sample-sized vector moves per round
+    val full = up.unionByName(up.filter(col("a") =!= col("b"))
+      .select(col("b").as("a"), col("a").as("b"), col("g4")))
+      .repartition(col("b"))
+      .localCheckpoint()
     var v = full.select(col("a").as("s")).distinct()
       .select(col("s"),
         (when(md5Long(concat(lit("grmpca:"), col("s"))) % 2 === 0, 1L)
@@ -829,6 +842,9 @@ object VcfApi {
     }
     val flipSign =
       if (v.orderBy("s").limit(1).head().getLong(1) < 0) -1L else 1L
+    // the returned frame depends only on the LAST round's checkpoint
+    // (v) — the GRM blocks are dead weight from here
+    graft.operators.Graph.unpersistCheckpoint(full)
     val lambda1 = math.floor(lastNorm * 1e6 + 0.5) / 1e6
     v.select(col("s").as("sample"),
         ((col("v12") * lit(flipSign)).cast("double") / 1e12).as("pc1"),
@@ -1169,6 +1185,9 @@ object VcfApi {
         "variant_id BIGINT, kept BOOLEAN"))
     var rounds = 0
     var undecidedCount = undecided.count()
+    // `decided` becomes a lazy union of the per-round NEWLY-decided
+    // checkpoints (O(rounds) slim LogicalRDD leaves — linear growth,
+    // not the exponential self-reference the r13 fix removed)
     while (undecidedCount > 0 && rounds < maxRounds) {
       // decidable: every upstream conflict already decided
       val blocked = edges
@@ -1181,37 +1200,32 @@ object VcfApi {
         .join(decided.where(col("kept")).select(
           col("variant_id").as("up")), Seq("up"), "left_semi")
         .select(col("down").as("variant_id")).distinct()
+      // ONE heavy action per round: the round's join chain materializes
+      // into the eager checkpoint of the slim newly-decided rows. The
+      // previous shape ran the chain TWICE per round — once under the
+      // undecided-count job and once under the decided checkpoint —
+      // and the progress count now derives from the (trivial) count of
+      // the already-checkpointed blocks instead of a second chain run.
       val newly = decidable
         .join(keptUp.withColumn("__k", lit(false)), Seq("variant_id"), "left")
         .select(col("variant_id"), coalesce(col("__k"), lit(true)).as("kept"))
-      // eager localCheckpoint, not persist: decided_{r} references
-      // decided_{r-1} through keptUp AND the union, so an untruncated
-      // lineage grows exponentially with rounds (the q305 gate's
-      // formatted plan reached 616 KB — Catalyst re-analysis per round
-      // cost more than the round's joins), and the old per-round
-      // persists were never unpersisted. The checkpoint materializes
-      // the slim (variant_id, kept) rows once and keeps every round's
-      // plan constant-size.
-      val nextDecided = decided.union(newly).localCheckpoint(true)
+        .localCheckpoint(true)
+      val newlyCount = newly.count()
+      require(newlyCount > 0,
+        s"ldPrune made no progress at round $rounds — conflict graph " +
+          "has an upstream cycle (corrupt positions?)")
+      decided = decided.union(newly)
       val nextUndecided = undecided
         .join(newly.select("variant_id"), Seq("variant_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextCount = nextUndecided.count()
-      require(nextCount < undecidedCount,
-        s"ldPrune made no progress at round $rounds — conflict graph " +
-          "has an upstream cycle (corrupt positions?)")
       undecided.unpersist(); undecided = nextUndecided
-      // nextDecided is already materialized (eager checkpoint), so the
-      // previous round's checkpointed blocks can be dropped now
-      graft.operators.Graph.unpersistCheckpoint(decided)
-      decided = nextDecided
-      undecidedCount = nextCount
+      undecidedCount -= newlyCount
       rounds += 1
     }
     require(undecidedCount == 0,
       s"ldPrune fixpoint not reached within $maxRounds rounds " +
         s"($undecidedCount variants undecided) — raise maxRounds")
-    edges.unpersist()
+    edges.unpersist(); undecided.unpersist()
     sites.join(decided, Seq("variant_id"), "left")
       .select(col("variant_id"), col("chr"), col("pos"),
         coalesce(col("kept"), lit(true)).as("kept"))
