@@ -82,8 +82,14 @@ object EventsStream {
       .getOrElse(
         if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm"
         else sys.props("java.io.tmpdir"))
-    val scratch = Files.createTempDirectory(
-      Paths.get(root), "graft_stream_ckpt_")
+    // an unwritable scratch root (read-only /dev/shm in a locked-down
+    // sandbox) must degrade to tmpdir, never fail the gate
+    val scratch =
+      try Files.createTempDirectory(Paths.get(root), "graft_stream_ckpt_")
+      catch { case _: Exception =>
+        Files.createTempDirectory(
+          Paths.get(sys.props("java.io.tmpdir")), "graft_stream_ckpt_")
+      }
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     spark.conf.set("spark.sql.streaming.checkpointLocation",
       scratch.toString)
